@@ -1,13 +1,269 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.oracle.{DeterministicOracle, TagRule}
+import graft.plan.{LogicalOp, NumCondition}
+import graft.ops._
+import graft.exec.PlanRunner
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + BASELINE.md.
+  *
+  * Every implemented operator from SURVEY.md §2 has a `queries` entry
+  * (Spark DataFrame program) and, where ANSI-SQL-expressible, a matching
+  * `oracleSql` entry the driver runs in DuckDB over the same parquet
+  * tables. Column names are aliased identically on both sides; every
+  * computed double goes through exact decimal aggregation + one double
+  * conversion so hashes match bit-for-bit.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  private val oracle = DeterministicOracle.default
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Exercises the plan IR end-to-end: cascade filter -> count -> top-k
+    * (the shape of golden plan entry 1 Q4, evaluate_datas.json).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val li = t(spark, "/root/testdata/sf0.001", "lineitem")
+    val plan = Seq(
+      LogicalOp.NumFilter(Seq(NumCondition("l_quantity", 5, ">")), "and"),
+      LogicalOp.KeywordFilter(Seq("l_linestatus"), Seq("o"), "and", "contains"),
+      LogicalOp.CountOp("l_returnflag", Seq.empty),
+      LogicalOp.NumTopK("count_of_l_returnflag", 3, "desc"))
+    PlanRunner.run(li, plan, oracle, tiebreak = Seq("l_returnflag"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- keyword_filter (SURVEY §2a) -----------------------------------
+    "q_keyword_filter_contains" -> ((s, dir) => {
+      KeywordFilter(t(s, dir, "documents"),
+        LogicalOp.KeywordFilter(Seq("text"), Seq("spark", "join"), "and", "contains"))
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
+    "q_keyword_filter_or" -> ((s, dir) => {
+      KeywordFilter(t(s, dir, "events"),
+        LogicalOp.KeywordFilter(Seq("event_type"), Seq("error", "signup"), "or", "contains"))
+        .select("event_id", "event_type").orderBy("event_id")
+    }),
+    "q_keyword_filter_irrelevant" -> ((s, dir) => {
+      KeywordFilter(t(s, dir, "documents"),
+        LogicalOp.KeywordFilter(Seq("text"), Seq("spark", "window"), "and", "irrelevant"))
+        .select("doc_id").orderBy("doc_id")
+    }),
+    "q_keyword_filter_equal" -> ((s, dir) => {
+      KeywordFilter(t(s, dir, "region"),
+        LogicalOp.KeywordFilter(Seq("r_name"), Seq("EUROPE"), "or", "equal"))
+        .select("r_regionkey", "r_name").orderBy("r_regionkey")
+    }),
+    // ---- num_filter (SURVEY §2a) ---------------------------------------
+    "q_num_filter" -> ((s, dir) => {
+      NumFilter(t(s, dir, "lineitem"), LogicalOp.NumFilter(Seq(
+        NumCondition("l_quantity", 30, ">"),
+        NumCondition("l_discount", 0.05, "<=")), "and"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "q_num_filter_or" -> ((s, dir) => {
+      NumFilter(t(s, dir, "orders"), LogicalOp.NumFilter(Seq(
+        NumCondition("o_totalprice", 300000, ">="),
+        NumCondition("o_totalprice", 1000, "<")), "or"))
+        .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+    }),
+    // ---- count (+ distinct variant) (SURVEY §2a) -----------------------
+    "q_count" -> ((s, dir) => {
+      CountOp(t(s, dir, "lineitem"), LogicalOp.CountOp("l_returnflag", Seq.empty))
+        .orderBy("l_returnflag")
+    }),
+    "q_count_distinct" -> ((s, dir) => {
+      CountOp(t(s, dir, "orders"), LogicalOp.CountOp("o_orderstatus", Seq("o_custkey")))
+        .orderBy("o_orderstatus")
+    }),
+    // ---- num_reduce (SURVEY §2a) ---------------------------------------
+    "q_num_reduce" -> ((s, dir) => {
+      NumReduce(t(s, dir, "lineitem"),
+        LogicalOp.NumReduce(Seq("l_quantity"), Seq("sum", "avg", "min", "max"),
+          Some("l_returnflag")), exact = true)
+        .orderBy("l_returnflag")
+    }),
+    "q_num_reduce_global" -> ((s, dir) => {
+      NumReduce(t(s, dir, "orders"),
+        LogicalOp.NumReduce(Seq("o_totalprice"), Seq("sum", "max"), None),
+        exact = true)
+    }),
+    // ---- num_topk (SURVEY §2a) -----------------------------------------
+    "q_num_topk" -> ((s, dir) => {
+      NumTopK(t(s, dir, "orders"), LogicalOp.NumTopK("o_totalprice", 10, "desc"),
+        tiebreak = Seq("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+    }),
+    "q_num_topk_asc" -> ((s, dir) => {
+      NumTopK(t(s, dir, "customer"), LogicalOp.NumTopK("c_acctbal", 5, "asc"),
+        tiebreak = Seq("c_custkey"))
+        .select("c_custkey", "c_acctbal")
+    }),
+    // ---- sem_filter on the deterministic oracle (SURVEY §2a) -----------
+    "q_sem_filter" -> ((s, dir) => {
+      SemFilter(t(s, dir, "documents"),
+        LogicalOp.SemFilter(Seq("text"), "mentions spark window merge"), oracle)
+        .select("doc_id", "n_chars").orderBy("doc_id")
+    }),
+    // ---- sem_map (SURVEY §2a) ------------------------------------------
+    "q_sem_map" -> ((s, dir) => {
+      SemMap(t(s, dir, "events"),
+        LogicalOp.SemMap(Seq("props"), "\"k\": (\\d+)", "props_k"), oracle)
+        .select("event_id", "props_k").orderBy("event_id")
+    }),
+    // ---- sem_group closed-set + roll-up count (SURVEY §2a/2d) ----------
+    "q_sem_group" -> ((s, dir) => {
+      SemGroup(t(s, dir, "documents"),
+        LogicalOp.SemGroup(Seq("text"), "group by streaming topic", "topic"),
+        Seq(TagRule("stream", "streaming"), TagRule("join", "joins"),
+          TagRule("window", "windowing")), oracle)
+        .select("doc_id", "topic").orderBy("doc_id")
+    }),
+    "q_roll_up_count" -> ((s, dir) => {
+      val grouped = SemGroup(t(s, dir, "documents"),
+        LogicalOp.SemGroup(Seq("text"), "group by streaming topic", "topic"),
+        Seq(TagRule("stream", "streaming"), TagRule("join", "joins"),
+          TagRule("window", "windowing")), oracle)
+      CountOp(grouped, LogicalOp.CountOp("topic", Seq.empty)).orderBy("topic")
+    }),
+    // ---- sem_reduce (deterministic summary) (SURVEY §2a) ---------------
+    "q_sem_reduce" -> ((s, dir) => {
+      t(s, dir, "documents").groupBy("lang")
+        .agg(SemReduce.exprSummary("source", 5))
+        .orderBy("lang")
+    }),
+    // ---- sem_topk (SURVEY §2a) -----------------------------------------
+    "q_sem_topk" -> ((s, dir) => {
+      SemTopK(t(s, dir, "documents"),
+        LogicalOp.SemTopK(Seq("text"), "spark join window", 5), oracle,
+        tiebreak = Seq("doc_id"))
+        .select("doc_id", "sem_score")
+    }),
+    // ---- cost-ordered filter cascade (SURVEY §2c/§4) -------------------
+    "q_cascade" -> ((s, dir) => {
+      val plan = Seq(
+        LogicalOp.SemFilter(Seq("text"), "spark stream"),
+        LogicalOp.NumFilter(Seq(NumCondition("n_chars", 200, ">=")), "and"),
+        LogicalOp.KeywordFilter(Seq("text"), Seq("join"), "and", "contains"))
+      PlanRunner.run(t(s, dir, "documents"), plan, oracle)
+        .select("doc_id").orderBy("doc_id")
+    }),
+    // ---- granularity re-attach join (SURVEY §2b) -----------------------
+    "q_reattach" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val view = t(s, dir, "orders").groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"))
+        .withColumnRenamed("o_custkey", "c_custkey")
+      Reattach(cust, view, "c_custkey")
+        .select(col("c_custkey"), col("c_name"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy("c_custkey")
+    })
+  )
+
+  /** DuckDB-equivalent SQL per query (driver correctness gate). */
+  def oracleSql: Map[String, String] = Map(
+    "q_keyword_filter_contains" ->
+      """SELECT doc_id, source FROM documents
+         WHERE contains(lower(text), 'spark') AND contains(lower(text), 'join')
+         ORDER BY doc_id""",
+    "q_keyword_filter_or" ->
+      """SELECT event_id, event_type FROM events
+         WHERE contains(lower(event_type), 'error') OR contains(lower(event_type), 'signup')
+         ORDER BY event_id""",
+    "q_keyword_filter_irrelevant" ->
+      """SELECT doc_id FROM documents
+         WHERE NOT contains(lower(text), 'spark') AND NOT contains(lower(text), 'window')
+         ORDER BY doc_id""",
+    "q_keyword_filter_equal" ->
+      """SELECT r_regionkey, r_name FROM region
+         WHERE lower(r_name) = 'europe' ORDER BY r_regionkey""",
+    "q_num_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+         WHERE try_cast(l_quantity AS DOUBLE) > 30
+           AND try_cast(l_discount AS DOUBLE) <= 0.05
+         ORDER BY l_orderkey, l_linenumber""",
+    "q_num_filter_or" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE try_cast(o_totalprice AS DOUBLE) >= 300000
+            OR try_cast(o_totalprice AS DOUBLE) < 1000
+         ORDER BY o_orderkey""",
+    "q_count" ->
+      """SELECT l_returnflag, count(*) AS count_of_l_returnflag
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_count_distinct" ->
+      """SELECT o_orderstatus, count(*) AS count_of_o_orderstatus,
+                count(DISTINCT o_custkey) AS distinct_o_custkey
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_num_reduce" ->
+      """SELECT l_returnflag,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_of_l_quantity,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS avg_of_l_quantity,
+                CAST(min(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS min_of_l_quantity,
+                CAST(max(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_of_l_quantity
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_num_reduce_global" ->
+      """SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_of_o_totalprice,
+                CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_of_o_totalprice
+         FROM orders""",
+    "q_num_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY try_cast(o_totalprice AS DOUBLE) DESC, o_orderkey LIMIT 10""",
+    "q_num_topk_asc" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+         ORDER BY try_cast(c_acctbal AS DOUBLE) ASC, c_custkey LIMIT 5""",
+    "q_sem_filter" ->
+      """SELECT doc_id, n_chars FROM documents
+         WHERE contains(lower(text), 'spark') AND contains(lower(text), 'window')
+           AND contains(lower(text), 'merge')
+         ORDER BY doc_id""",
+    "q_sem_map" ->
+      """SELECT event_id, NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS props_k
+         FROM events ORDER BY event_id""",
+    "q_sem_group" ->
+      """SELECT doc_id,
+                CASE WHEN contains(lower(text), 'stream') THEN 'streaming'
+                     WHEN contains(lower(text), 'join')   THEN 'joins'
+                     WHEN contains(lower(text), 'window') THEN 'windowing'
+                     ELSE NULL END AS topic
+         FROM documents ORDER BY doc_id""",
+    "q_roll_up_count" ->
+      """SELECT topic, count(*) AS count_of_topic FROM (
+           SELECT CASE WHEN contains(lower(text), 'stream') THEN 'streaming'
+                       WHEN contains(lower(text), 'join')   THEN 'joins'
+                       WHEN contains(lower(text), 'window') THEN 'windowing'
+                       ELSE NULL END AS topic
+           FROM documents) GROUP BY topic ORDER BY topic""",
+    "q_sem_reduce" ->
+      """SELECT lang,
+                array_to_string(list_slice(list_sort(list(DISTINCT source)), 1, 5), ', ')
+                  AS summary_of_source
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q_sem_topk" ->
+      """SELECT doc_id,
+                CAST(CASE WHEN contains(lower(text), 'spark') THEN 1 ELSE 0 END
+                   + CASE WHEN contains(lower(text), 'join') THEN 1 ELSE 0 END
+                   + CASE WHEN contains(lower(text), 'window') THEN 1 ELSE 0 END
+                  AS DOUBLE) / 3.0 AS sem_score
+         FROM documents
+         ORDER BY sem_score DESC, doc_id LIMIT 5""",
+    "q_cascade" ->
+      """SELECT doc_id FROM documents
+         WHERE try_cast(n_chars AS DOUBLE) >= 200
+           AND contains(lower(text), 'join')
+           AND contains(lower(text), 'spark') AND contains(lower(text), 'stream')
+         ORDER BY doc_id""",
+    "q_reattach" ->
+      """SELECT c.c_custkey, c.c_name, coalesce(v.n_orders, 0) AS n_orders
+         FROM customer c LEFT JOIN (
+           SELECT o_custkey AS c_custkey, count(*) AS n_orders
+           FROM orders GROUP BY o_custkey) v USING (c_custkey)
+         ORDER BY c_custkey"""
+  )
 }

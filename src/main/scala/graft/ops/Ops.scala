@@ -1,0 +1,183 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.oracle.{SemanticOracle, TagRule}
+import graft.plan.{LogicalOp, NumCondition}
+
+/** Shared helpers for the operator kernels. */
+object Ops {
+  /** The reference's row-text view: space-joined selected columns
+    * (Operaters.py:15,49,461 — `df[cols].astype(str).agg(" ".join, axis=1)`).
+    * Empty `cols` = all columns of `df`.
+    */
+  def textCol(df: DataFrame, cols: Seq[String]): Column = {
+    val cs = if (cols.nonEmpty) cols else df.columns.toSeq
+    concat_ws(" ", cs.map(c => col(c).cast("string")): _*)
+  }
+
+  /** Numeric comparison operator token -> Column predicate. */
+  def cmp(c: Column, op: String, threshold: Double): Column = op match {
+    case "==" | "=" => c === threshold
+    case "!=" | "<>" => c =!= threshold
+    case ">"  => c > threshold
+    case "<"  => c < threshold
+    case ">=" => c >= threshold
+    case "<=" => c <= threshold
+    case other => sys.error(s"unknown numeric operator '$other'")
+  }
+
+  def foldLogic(preds: Seq[Column], logic: String): Column =
+    if (preds.isEmpty) lit(true)
+    else if (logic.equalsIgnoreCase("or")) preds.reduce(_ || _)
+    else preds.reduce(_ && _)
+}
+
+/** `keyword_filter` — literal substring matching over the lowercased
+  * space-joined row text (Operaters.py:10-42).
+  *
+  * relation semantics (documented, not the reference's `contained_in` bug at
+  * Operaters.py:21):
+  *   - contains:     keyword is a substring of the row text
+  *   - contained_in: the row text is a substring of the keyword
+  *   - equal:        row text == keyword
+  *   - irrelevant:   negated contains
+  * `logic` (and|or) folds across keywords. Pure Catalyst: whole-stage
+  * codegen, and for single-column cases the `contains` pushes to the scan.
+  */
+object KeywordFilter {
+  def predicate(df: DataFrame, columns: Seq[String], keywords: Seq[String],
+      logic: String, relation: String): Column = {
+    val text = lower(Ops.textCol(df, columns))
+    val preds = keywords.map(_.toLowerCase).map { kw =>
+      relation match {
+        case "contains"     => text.contains(kw)
+        case "contained_in" => lit(kw).contains(text)
+        case "equal"        => text === kw
+        case "irrelevant"   => !text.contains(kw)
+        case other          => sys.error(s"unknown relation '$other'")
+      }
+    }
+    Ops.foldLogic(preds, logic)
+  }
+
+  def apply(df: DataFrame, op: LogicalOp.KeywordFilter): DataFrame =
+    df.filter(predicate(df, op.columns, op.keywords, op.logic, op.relation))
+}
+
+/** `num_filter` — numeric comparisons with coerce-to-null semantics
+  * (Operaters.py:83-103: `pd.to_numeric(errors="coerce")` + `fillna(False)`).
+  * `try_cast(col as double)` nulls out non-numerics; null comparisons are
+  * 3-valued-null and the final `filter` drops them — exactly the reference's
+  * "non-numeric rows are excluded".
+  */
+object NumFilter {
+  def predicate(conditions: Seq[NumCondition], logic: String): Column = {
+    val preds = conditions.map { c =>
+      Ops.cmp(col(c.column).try_cast("double"), c.op, c.threshold)
+    }
+    // coerce 3VL null -> false so OR-trees can't resurrect excluded rows
+    coalesce(Ops.foldLogic(preds, logic), lit(false))
+  }
+
+  def apply(df: DataFrame, op: LogicalOp.NumFilter): DataFrame =
+    df.filter(predicate(op.conditions, op.logic))
+}
+
+/** `sem_filter` — semantic row predicate over the row text
+  * (Operaters.py:45-78). Compiles to native expressions when the oracle
+  * allows (DeterministicOracle: AND-entailment of condition tokens —
+  * codegen + scan pushdown); otherwise evaluates the oracle through a
+  * UDF (batched per partition by Spark's evaluator).
+  */
+object SemFilter {
+  def predicate(df: DataFrame, columns: Seq[String], condition: String,
+      oracle: SemanticOracle): Column = {
+    val text = Ops.textCol(df, columns)
+    oracle.compileJudge(condition) match {
+      case Some(f) => f(text)
+      case None =>
+        val judge = udf((t: String) => t != null && oracle.judge(t, condition))
+        judge(text)
+    }
+  }
+
+  def apply(df: DataFrame, op: LogicalOp.SemFilter,
+      oracle: SemanticOracle): DataFrame =
+    df.filter(predicate(df, op.columns, op.condition, oracle))
+}
+
+/** `sem_map` — derive a new named dimension from row text
+  * (Operaters.py:318-350); unmappable rows get null (reference "NA").
+  * Implements the documented semantics (uses the given `columns`), not the
+  * reference bug of always using all columns (Operaters.py:347).
+  */
+object SemMap {
+  def column(df: DataFrame, columns: Seq[String], desc: String,
+      oracle: SemanticOracle): Column = {
+    val text = Ops.textCol(df, columns)
+    oracle.compileExtract(desc) match {
+      case Some(f) => f(text)
+      case None =>
+        val ex = udf((t: String) =>
+          if (t == null) None else oracle.extract(t, desc))
+        ex(text)
+    }
+  }
+
+  def apply(df: DataFrame, op: LogicalOp.SemMap,
+      oracle: SemanticOracle): DataFrame =
+    df.withColumn(op.keyword, column(df, op.columns, op.mapDescription, oracle))
+}
+
+/** `sem_group` — semantic GROUP-BY label assignment
+  * (Operaters.py:376-397). The reference mints tags sequentially per row
+  * (order-dependent, unparallelizable); this engine is two-phase and
+  * order-free (SURVEY.md §7 "hard parts" #1):
+  *   phase 1: build a bounded tag vocabulary (either caller-provided for
+  *            closed-set grouping, or mined from the data: top-N frequent
+  *            non-stopword tokens — a distributed agg, no driver collect of
+  *            raw rows);
+  *   phase 2: broadcast the vocabulary and classify each row (codegen'd
+  *            CASE cascade for compilable oracles, UDF otherwise).
+  */
+object SemGroup {
+  import graft.oracle.DeterministicOracle.stopwords
+
+  /** Phase 1 (open-set): mine a deterministic vocabulary — top `maxTags`
+    * tokens by (count desc, token asc). Bounded result; scales as one
+    * hash-agg + a tiny driver collect of `maxTags` rows.
+    */
+  def mineVocabulary(df: DataFrame, columns: Seq[String],
+      maxTags: Int = 20): Seq[TagRule] = {
+    val text = lower(Ops.textCol(df, columns))
+    df.select(explode(split(text, "[^a-z0-9]+")).as("tok"))
+      .filter(col("tok") =!= "" && !col("tok").isin(stopwords.toSeq: _*))
+      .groupBy("tok").count()
+      .orderBy(col("count").desc, col("tok").asc)
+      .limit(maxTags)
+      .collect().map(r => TagRule(r.getString(0), r.getString(0))).toSeq
+  }
+
+  def column(df: DataFrame, columns: Seq[String], vocab: Seq[TagRule],
+      oracle: SemanticOracle): Column = {
+    val text = Ops.textCol(df, columns)
+    oracle.compileClassify(vocab) match {
+      case Some(f) => f(text)
+      case None =>
+        val cls = udf((t: String) =>
+          if (t == null) None else oracle.classify(t, vocab))
+        cls(text)
+    }
+  }
+
+  /** Closed-set grouping with a caller-provided vocabulary. */
+  def apply(df: DataFrame, op: LogicalOp.SemGroup, vocab: Seq[TagRule],
+      oracle: SemanticOracle): DataFrame =
+    df.withColumn(op.keyword, column(df, op.columns, vocab, oracle))
+
+  /** Open-set grouping: mine the vocabulary, then classify. */
+  def apply(df: DataFrame, op: LogicalOp.SemGroup, oracle: SemanticOracle,
+      maxTags: Int): DataFrame =
+    apply(df, op, mineVocabulary(df, op.columns, maxTags), oracle)
+}

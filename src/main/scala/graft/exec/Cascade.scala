@@ -104,7 +104,17 @@ object PlanRunner {
           case op: LogicalOp.SemReduce => SemReduce(df, op, oracle)
           case op: LogicalOp.NumReduce => NumReduce(df, op)
           case op: LogicalOp.CountOp   => CountOp(df, op)
-          case op: LogicalOp.NumTopK   => NumTopK(df, op, tiebreak.filter(df.columns.contains))
+          case op: LogicalOp.NumTopK   =>
+            // golden plans reference the count op's output as "count" while
+            // the engine names it count_of_<dim> — resolve when unambiguous
+            val resolved =
+              if (!df.columns.contains(op.column)) {
+                df.columns.filter(_.startsWith(s"${op.column}_of_")) match {
+                  case Array(one) => op.copy(column = one)
+                  case _          => op
+                }
+              } else op
+            NumTopK(df, resolved, tiebreak.filter(df.columns.contains))
           case op: LogicalOp.SemTopK   => SemTopK(df, op, oracle, tiebreak.filter(df.columns.contains))
           case op: LogicalOp.Opaque    =>
             sys.error(s"cannot execute opaque operator '${op.name}'")

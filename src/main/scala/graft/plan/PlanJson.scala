@@ -36,8 +36,14 @@ object PlanJson {
       case "sem_filter" =>
         SemFilter(strSeq(p, "columns"), str(p, "condition"))
       case "keyword_filter" =>
+        // corpus uses both "contain" and "contains" (evaluate_datas.json)
+        val rel = strOr(p, "relation", "contains") match {
+          case "contain" | "contains"        => "contains"
+          case "contained" | "contained_in"  => "contained_in"
+          case other                         => other
+        }
         KeywordFilter(strSeq(p, "columns"), strSeq(p, "keywords"),
-          strOr(p, "logic", "and"), strOr(p, "relation", "contains"))
+          strOr(p, "logic", "and"), rel)
       case "num_filter" =>
         val conds = Option(p.get("conditions")) match {
           case Some(cs) if cs.isArray =>
@@ -54,8 +60,10 @@ object PlanJson {
         SemMap(strSeq(p, "columns"), str(p, "map_description"),
           str(p, "keyword"))
       case "sem_group" =>
-        SemGroup(strSeq(p, "columns"), str(p, "group_description"),
-          str(p, "keyword"))
+        // corpus carries the description under either key (24 map_ / 23 group_)
+        val desc = optStr(p, "group_description")
+          .orElse(optStr(p, "map_description")).getOrElse("")
+        SemGroup(strSeq(p, "columns"), desc, str(p, "keyword"))
       case "sem_reduce" =>
         SemReduce(strSeq(p, "columns"), optStr(p, "group_by"))
       case "num_reduce" =>

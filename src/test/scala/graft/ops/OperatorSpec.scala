@@ -1,0 +1,181 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.oracle.{DeterministicOracle, TagRule}
+import graft.plan.{LogicalOp, NumCondition}
+import org.apache.spark.sql.functions._
+
+class OperatorSpec extends SparkSpec {
+  import spark.implicits._
+  private val oracle = DeterministicOracle.default
+
+  private lazy val docs = Seq(
+    (1L, "spark join basics", "10"),
+    (2L, "window functions deep dive", "notanumber"),
+    (3L, "JOIN and spark streaming", "-5"),
+    (4L, "", "3.5"),
+    (5L, "pandas merge", null.asInstanceOf[String])
+  ).toDF("id", "title", "score")
+
+  // ---------------------------------------------------------- keyword_filter
+
+  test("keyword_filter contains/and") {
+    val got = KeywordFilter(docs, LogicalOp.KeywordFilter(
+      Seq("title"), Seq("spark", "join"), "and", "contains"))
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 3L)) // case-insensitive: JOIN matches
+  }
+
+  test("keyword_filter contains/or") {
+    val got = KeywordFilter(docs, LogicalOp.KeywordFilter(
+      Seq("title"), Seq("window", "merge"), "or", "contains"))
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(2L, 5L))
+  }
+
+  test("keyword_filter irrelevant = negated contains") {
+    val got = KeywordFilter(docs, LogicalOp.KeywordFilter(
+      Seq("title"), Seq("spark"), "and", "irrelevant"))
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(2L, 4L, 5L))
+  }
+
+  test("keyword_filter equal matches whole lowered text") {
+    val got = KeywordFilter(docs, LogicalOp.KeywordFilter(
+      Seq("title"), Seq("Pandas Merge"), "and", "equal"))
+      .select("id").as[Long].collect()
+    assert(got.toSeq == Seq(5L))
+  }
+
+  test("keyword_filter contained_in: row text is substring of keyword") {
+    val got = KeywordFilter(docs, LogicalOp.KeywordFilter(
+      Seq("title"), Seq("advanced pandas merge techniques"), "and", "contained_in"))
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(4L, 5L)) // empty string is substring of anything
+  }
+
+  // -------------------------------------------------------------- num_filter
+
+  test("num_filter coerces non-numerics to excluded") {
+    val got = NumFilter(docs, LogicalOp.NumFilter(
+      Seq(NumCondition("score", 0, ">=")), "and"))
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 4L)) // "notanumber", null, -5 all out
+  }
+
+  test("num_filter OR does not resurrect coerced nulls") {
+    val got = NumFilter(docs, LogicalOp.NumFilter(Seq(
+      NumCondition("score", 100, "<"), NumCondition("score", 0, ">")), "or"))
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 3L, 4L))
+  }
+
+  test("num_filter operators == and !=") {
+    val eq = NumFilter(docs, LogicalOp.NumFilter(
+      Seq(NumCondition("score", 10, "==")), "and")).select("id").as[Long].collect()
+    assert(eq.toSeq == Seq(1L))
+    val ne = NumFilter(docs, LogicalOp.NumFilter(
+      Seq(NumCondition("score", 10, "!=")), "and")).select("id").as[Long].collect().sorted
+    assert(ne.toSeq == Seq(3L, 4L)) // nulls excluded, 10 excluded
+  }
+
+  // -------------------------------------------------------------- sem_* ops
+
+  test("sem_filter: AND-entailment of condition tokens, stopwords dropped") {
+    val got = SemFilter(docs, LogicalOp.SemFilter(
+      Seq("title"), "mentions spark and join"), oracle)
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 3L))
+  }
+
+  test("sem_filter compiled and UDF paths agree") {
+    val noCompile = new DeterministicOracle() {
+      override def compileJudge(c: String) = None
+    }
+    val compiled = SemFilter(docs, LogicalOp.SemFilter(Seq("title"), "spark join"), oracle)
+      .select("id").as[Long].collect().sorted.toSeq
+    val viaUdf = SemFilter(docs, LogicalOp.SemFilter(Seq("title"), "spark join"), noCompile)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(compiled == viaUdf)
+  }
+
+  test("sem_map extracts via regex, no-match becomes null (NA)") {
+    val got = SemMap(docs, LogicalOp.SemMap(
+      Seq("title"), "(spark|pandas)", "engine"), oracle)
+      .select("id", "engine").as[(Long, Option[String])].collect().toMap
+    assert(got(1L).contains("spark"))
+    assert(got(5L).contains("pandas"))
+    assert(got(2L).isEmpty)
+  }
+
+  test("sem_group closed-set: first matching rule wins, else null") {
+    val vocab = Seq(TagRule("join", "joins"), TagRule("spark", "sparky"),
+      TagRule("window", "windowing"))
+    val got = SemGroup(docs, LogicalOp.SemGroup(Seq("title"), "", "topic"),
+      vocab, oracle)
+      .select("id", "topic").as[(Long, Option[String])].collect().toMap
+    assert(got(1L).contains("joins"))   // join rule fires before spark rule
+    assert(got(2L).contains("windowing"))
+    assert(got(5L).isEmpty)
+  }
+
+  test("sem_group open-set mines a deterministic vocabulary") {
+    val vocab = SemGroup.mineVocabulary(docs, Seq("title"), maxTags = 3)
+    // "spark" and "join" appear twice; third slot alphabetical among singles
+    assert(vocab.map(_.keyword).take(2).toSet == Set("spark", "join"))
+    assert(vocab.size == 3)
+  }
+
+  test("sem_reduce UDAF (bounded buffer) equals expression summary") {
+    val df = Seq(("a", "x"), ("a", "z"), ("a", "y"), ("a", "x"), ("b", "q"))
+      .toDF("g", "v")
+    val viaExpr = df.groupBy("g").agg(SemReduce.exprSummary("v", 5))
+      .as[(String, String)].collect().toMap
+    val viaUdaf = df.groupBy("g")
+      .agg(SemReduce.summarizeUdaf("v", "", oracle))
+      .as[(String, String)].collect().toMap
+    assert(viaExpr == viaUdaf)
+    assert(viaExpr("a") == "x, y, z")
+  }
+
+  test("sem_topk scores fraction of query tokens and orders deterministically") {
+    val got = SemTopK(docs, LogicalOp.SemTopK(Seq("title"), "spark join window", 3),
+      oracle, tiebreak = Seq("id"))
+      .select("id", "sem_score").as[(Long, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(1L, 3L, 2L))
+    assert(got(0)._2 === 2.0 / 3.0)
+    assert(got(2)._2 === 1.0 / 3.0)
+  }
+
+  // ------------------------------------------------- aggregation + topk ops
+
+  test("count with group_by and distinct columns") {
+    val df = Seq(("a", 1), ("a", 1), ("a", 2), ("b", 3)).toDF("g", "v")
+    val got = CountOp(df, LogicalOp.CountOp("g", Seq("v")))
+      .orderBy("g").collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("a", 3L, 2L), ("b", 1L, 1L)))
+  }
+
+  test("num_reduce exact avg/sum over decimal") {
+    val df = Seq(("a", 0.1), ("a", 0.2), ("b", 5.0)).toDF("g", "v")
+    val got = NumReduce(df, LogicalOp.NumReduce(Seq("v"), Seq("sum", "avg"),
+      Some("g")), exact = true).orderBy("g").collect()
+    assert(got(0).getDouble(1) == 0.3) // decimal-exact, not 0.30000000000000004
+    assert(got(0).getDouble(2) == 0.15)
+  }
+
+  test("num_topk handles asc/desc with nulls last and tiebreak") {
+    val got = NumTopK(docs, LogicalOp.NumTopK("score", 2, "asc"),
+      tiebreak = Seq("id")).select("id").as[Long].collect()
+    assert(got.toSeq == Seq(3L, 4L)) // -5, 3.5; non-numeric nulls last
+  }
+
+  test("reattach keeps all base rows (left join semantics)") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("OLAP_ID", "x")
+    val view = Seq((1L, "g1"), (3L, "g2")).toDF("OLAP_ID", "grp")
+    val got = Reattach(base, view).orderBy("OLAP_ID")
+      .select("OLAP_ID", "grp").as[(Long, Option[String])].collect()
+    assert(got.toSeq == Seq((1L, Some("g1")), (2L, None), (3L, Some("g2"))))
+  }
+}

@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 import graft.oracle.{DeterministicOracle, TagRule}
 import graft.plan.{LogicalOp, NumCondition}
 import graft.ops._
-import graft.exec.PlanRunner
+import graft.exec.{Dice, PlanRunner, Slice}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + BASELINE.md.
   *
@@ -164,6 +166,101 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_name"),
           coalesce(col("n_orders"), lit(0L)).as("n_orders"))
         .orderBy("c_custkey")
+    }),
+    // ---- dice physical strategies (SURVEY §2b/2d/§4) -------------------
+    "q_dice_pattern" -> ((s, dir) => {
+      Dice(t(s, dir, "events"), "props", "> 50", oracle)
+        .select("event_id").orderBy("event_id")
+    }),
+    "q_dice_enum" -> ((s, dir) => {
+      Dice(t(s, dir, "documents"), "lang", "language is en or fr", oracle)
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+    // ---- slice verb: keyword prefilter + sem filter (SURVEY §2d) -------
+    "q_slice" -> ((s, dir) => {
+      Slice(t(s, dir, "documents"), Seq("text"), "spark stream", oracle)
+        .select("doc_id").orderBy("doc_id")
+    }),
+    // ---- text analysis (north-star §7 M6) ------------------------------
+    "q_text_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+    "q_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+    // ---- dedup (north-star §7 M6) --------------------------------------
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id",
+        Seq(TextAnalysis.fingerprint(col("text"))), "dup_key")
+        .orderBy("dup_key")
+    }),
+    "q_dedup_exact_keep" -> ((s, dir) => {
+      Dedup.exactDedup(t(s, dir, "documents"), "doc_id",
+        TextAnalysis.fingerprint(col("text")))
+        .select("doc_id").orderBy("doc_id")
+    }),
+    "q_dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", col("text"),
+        shingleN = 3, k = 64, bands = 16, threshold = 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+    "q_dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashCandidates(t(s, dir, "documents"), "doc_id", col("text"),
+        maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+    "q_dedup_ngram" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", col("text"),
+        n = 3, threshold = 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+    "q_dedup_embed" -> ((s, dir) => {
+      // synthetic embeddings are near-orthogonal (max pairwise cosine
+      // ~0.46), so "near-dup" here means the top of that range
+      Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id",
+        "embedding", dim = 64, threshold = 0.2, planes = 6)
+        .orderBy("id_a", "id_b")
+    }),
+    // ---- similarity search (north-star §7 M6) --------------------------
+    "q_sim_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "vec_id", "embedding", k = 3)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    }),
+    "q_sim_search_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.SignLsh.topK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "vec_id", "embedding", dim = 64, k = 3, nPlanes = 6)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    }),
+    // ---- multimodal plumbing (north-star §7 M6; decode kernels stubbed) -
+    "q_multimodal" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(t(s, dir, "documents"),
+        "doc_id", "text")
+      Multimodal.decodeFeatures(media)
+        .select(col("media_id"), col("width_px"), col("height_px"),
+          col("meta.n_bytes").as("n_bytes"))
+        .orderBy("media_id")
+    }),
+    // ---- streaming-shape operators on batch input (SURVEY §2f ext) -----
+    "q_stream_window" -> ((s, dir) => {
+      EventStreams.windowedStats(t(s, dir, "events"), "1 hour")
+        .orderBy("window_start", "event_type")
+    }),
+    "q_sessionize" -> ((s, dir) => {
+      EventStreams.sessionizeBatch(t(s, dir, "events"),
+        gapMicros = 30L * 60 * 1000 * 1000)
+        .orderBy("user_id", "session_idx")
     })
   )
 
@@ -264,6 +361,114 @@ object SparkEntry {
          FROM customer c LEFT JOIN (
            SELECT o_custkey AS c_custkey, count(*) AS n_orders
            FROM orders GROUP BY o_custkey) v USING (c_custkey)
-         ORDER BY c_custkey"""
+         ORDER BY c_custkey""",
+    "q_dice_pattern" ->
+      """SELECT event_id FROM events
+         WHERE try_cast(regexp_extract(props, '"k": (\d+)', 1) AS DOUBLE) > 50
+         ORDER BY event_id""",
+    "q_dice_enum" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE lang IN ('en', 'fr') ORDER BY doc_id""",
+    "q_slice" ->
+      """SELECT doc_id FROM documents
+         WHERE (contains(lower(text), 'spark') OR contains(lower(text), 'stream'))
+           AND contains(lower(text), 'spark') AND contains(lower(text), 'stream')
+         ORDER BY doc_id""",
+    "q_text_stats" ->
+      """SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN 0
+                     ELSE length(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+                (least(length(text) / 500.0, 1.0) +
+                 CASE WHEN length(text) = 0 THEN 0.0
+                      ELSE CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                           / CAST(length(text) AS DOUBLE) END) / 2.0 AS quality,
+                md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+         FROM documents ORDER BY doc_id""",
+    "q_lang_id" ->
+      """WITH s AS (SELECT doc_id,
+           (CASE WHEN contains(' '||lower(text)||' ', ' der ') THEN 1 ELSE 0 END +
+            CASE WHEN contains(' '||lower(text)||' ', ' die ') THEN 1 ELSE 0 END +
+            CASE WHEN contains(' '||lower(text)||' ', ' und ') THEN 1 ELSE 0 END +
+            CASE WHEN contains(' '||lower(text)||' ', ' das ') THEN 1 ELSE 0 END +
+            CASE WHEN contains(' '||lower(text)||' ', ' ist ') THEN 1 ELSE 0 END +
+            CASE WHEN contains(' '||lower(text)||' ', ' nicht ') THEN 1 ELSE 0 END) AS s_de,
+           (CASE WHEN contains(' '||lower(text)||' ', ' the ') THEN 1 ELSE 0 END +
+            CASE WHEN contains(' '||lower(text)||' ', ' is ') THEN 1 ELSE 0 END +
+            CASE WHEN contains(' '||lower(text)||' ', ' and ') THEN 1 ELSE 0 END +
+            CASE WHEN contains(' '||lower(text)||' ', ' of ') THEN 1 ELSE 0 END +
+            CASE WHEN contains(' '||lower(text)||' ', ' to ') THEN 1 ELSE 0 END +
+            CASE WHEN contains(' '||lower(text)||' ', ' in ') THEN 1 ELSE 0 END) AS s_en,
+           (CASE WHEN contains(' '||lower(text)||' ', ' el ') THEN 1 ELSE 0 END +
+            CASE WHEN contains(' '||lower(text)||' ', ' los ') THEN 1 ELSE 0 END +
+            CASE WHEN contains(' '||lower(text)||' ', ' las ') THEN 1 ELSE 0 END +
+            CASE WHEN contains(' '||lower(text)||' ', ' una ') THEN 1 ELSE 0 END +
+            CASE WHEN contains(' '||lower(text)||' ', ' y ') THEN 1 ELSE 0 END +
+            CASE WHEN contains(' '||lower(text)||' ', ' que ') THEN 1 ELSE 0 END) AS s_es,
+           (CASE WHEN contains(' '||lower(text)||' ', ' le ') THEN 1 ELSE 0 END +
+            CASE WHEN contains(' '||lower(text)||' ', ' les ') THEN 1 ELSE 0 END +
+            CASE WHEN contains(' '||lower(text)||' ', ' et ') THEN 1 ELSE 0 END +
+            CASE WHEN contains(' '||lower(text)||' ', ' des ') THEN 1 ELSE 0 END +
+            CASE WHEN contains(' '||lower(text)||' ', ' une ') THEN 1 ELSE 0 END +
+            CASE WHEN contains(' '||lower(text)||' ', ' est ') THEN 1 ELSE 0 END) AS s_fr,
+           (CASE WHEN contains(' '||lower(text)||' ', ' 的 ') THEN 1 ELSE 0 END +
+            CASE WHEN contains(' '||lower(text)||' ', ' 是 ') THEN 1 ELSE 0 END +
+            CASE WHEN contains(' '||lower(text)||' ', ' 了 ') THEN 1 ELSE 0 END +
+            CASE WHEN contains(' '||lower(text)||' ', ' 在 ') THEN 1 ELSE 0 END) AS s_zh
+         FROM documents)
+         SELECT doc_id,
+                CASE WHEN s_de = g AND g > 0 THEN 'de'
+                     WHEN s_en = g AND g > 0 THEN 'en'
+                     WHEN s_es = g AND g > 0 THEN 'es'
+                     WHEN s_fr = g AND g > 0 THEN 'fr'
+                     WHEN s_zh = g AND g > 0 THEN 'zh'
+                     ELSE 'unknown' END AS lang_pred
+         FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS g FROM s)
+         ORDER BY doc_id""",
+    "q_dedup_exact" ->
+      """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS dup_key,
+                min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM documents GROUP BY 1 ORDER BY dup_key""",
+    "q_dedup_exact_keep" ->
+      """SELECT min(doc_id) AS doc_id FROM documents
+         GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+         ORDER BY doc_id""",
+    "q_sim_search" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                    FROM embeddings WHERE vec_id < 5),
+              scored AS (
+                SELECT q.query_id, c.vec_id AS neighbor_id,
+                  list_sum(list_transform(list_zip(c.embedding, q.qv),
+                    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                  / (sqrt(list_sum(list_transform(list_zip(c.embedding, c.embedding),
+                       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))
+                   * sqrt(list_sum(list_transform(list_zip(q.qv, q.qv),
+                       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))))
+                    AS cosine
+                FROM embeddings c, q WHERE c.vec_id <> q.query_id)
+         SELECT query_id, neighbor_id, cosine, rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+         WHERE rank <= 3 ORDER BY query_id, rank""",
+    "q_stream_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+                count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, value, epoch_ns(ts) // 1000 AS ts_micros
+                    FROM events),
+              s AS (SELECT user_id, value, ts_micros,
+                      CASE WHEN lag(ts_micros) OVER w IS NULL
+                             OR ts_micros - lag(ts_micros) OVER w > 1800000000
+                           THEN 1 ELSE 0 END AS new_session
+                    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_micros)),
+              t AS (SELECT user_id, value, ts_micros,
+                      sum(new_session) OVER (PARTITION BY user_id
+                        ORDER BY ts_micros ROWS UNBOUNDED PRECEDING) AS session_idx
+                    FROM s)
+         SELECT user_id, session_idx, CAST(count(*) AS INT) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+                min(ts_micros) AS start_micros, max(ts_micros) AS end_micros
+         FROM t GROUP BY user_id, session_idx ORDER BY user_id, session_idx"""
   )
 }

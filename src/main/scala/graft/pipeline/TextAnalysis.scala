@@ -1,0 +1,117 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language identification, document
+  * fingerprinting. All pure Catalyst expressions — whole-stage codegen,
+  * no UDFs, embarrassingly parallel at any scale.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of a text column; empty/blank -> empty array. */
+  def tokensCol(c: Column): Column =
+    when(trim(c) === "" || c.isNull, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  /** Whitespace token count (0 for null/blank). */
+  def tokenCount(c: Column): Column = size(tokensCol(c))
+
+  /** BPE-ish subword count approximation: word-piece regex split —
+    * letters runs, digit runs, and single non-alnum marks each count as a
+    * token. A deterministic stand-in for a real tokenizer's token count.
+    */
+  def subwordCount(c: Column): Column =
+    size(filter(
+      split(c, "(?<=[a-zA-Z0-9])(?![a-zA-Z0-9])|(?<![a-zA-Z0-9])(?=[a-zA-Z0-9])"),
+      t => trim(t) =!= ""))
+
+  /** Deterministic document fingerprint: md5 of the whitespace-normalized
+    * lowercased text. Identical in any engine with md5 (exact-dup key).
+    */
+  def fingerprint(c: Column): Column =
+    md5(lower(regexp_replace(trim(c), "\\s+", " ")))
+
+  /** Quality score in [0,1]: mean of
+    *   - length score: min(chars/500, 1)
+    *   - alpha ratio: letters / chars (0 for empty)
+    * Deterministic single-expression arithmetic (no aggregation — safe to
+    * hash-compare across engines).
+    */
+  def qualityScore(c: Column): Column = {
+    val chars = length(c)
+    val lenScore = least(chars.cast("double") / 500.0, lit(1.0))
+    val letters = length(regexp_replace(c, "[^a-zA-Z]", ""))
+    val alphaRatio = when(chars === 0, 0.0)
+      .otherwise(letters.cast("double") / chars.cast("double"))
+    (lenScore + alphaRatio) / 2.0
+  }
+
+  /** Language-marker vocabularies for the n-gram-free language-ID heuristic.
+    * Word-boundary `contains` over " text " per marker; score = number of
+    * distinct markers present.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
+    "en" -> Seq("the", "is", "and", "of", "to", "in"),
+    "es" -> Seq("el", "los", "las", "una", "y", "que"),
+    "fr" -> Seq("le", "les", "et", "des", "une", "est"),
+    "zh" -> Seq("的", "是", "了", "在"))
+
+  /** Per-language marker-hit score. */
+  def langScore(c: Column, markers: Seq[String]): Column = {
+    val padded = concat(lit(" "), lower(c), lit(" "))
+    markers.map(m => when(padded.contains(s" $m "), 1).otherwise(0))
+      .reduce(_ + _)
+  }
+
+  /** Predicted language: argmax of marker scores; ties resolve to the
+    * alphabetically-first language (langMarkers is sorted); all-zero ->
+    * "unknown".
+    */
+  def langId(c: Column): Column = {
+    val scores = langMarkers.map { case (lang, ms) => lang -> langScore(c, ms) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("unknown"): Column) { case ((lang, s), els) =>
+      when(s === best && best > 0, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Rolling-hash shingle fingerprint (document-similarity key): the
+    * minimum of the per-shingle hashes — a 1-hash MinHash. Two documents
+    * sharing their rarest shingle collide; cheap pre-cluster key for dedup.
+    */
+  def rollingMinShingleHash(c: Column, n: Int = 3): Column = {
+    val sh = Shingles.wordShingles(c, n)
+    when(size(sh) === 0, lit(null).cast("long"))
+      .otherwise(array_min(transform(sh, s => xxhash64(s))))
+  }
+
+  /** One-call enrichment: append the standard text-analysis columns. */
+  def enrich(df: DataFrame, textCol: String): DataFrame = df
+    .withColumn("n_tokens", tokenCount(col(textCol)))
+    .withColumn("n_subwords", subwordCount(col(textCol)))
+    .withColumn("quality", qualityScore(col(textCol)))
+    .withColumn("lang_pred", langId(col(textCol)))
+    .withColumn("fingerprint", fingerprint(col(textCol)))
+}
+
+/** Shingle (n-gram) construction shared by dedup/similarity operators. */
+object Shingles {
+  /** Word n-grams as space-joined strings; fewer than n tokens -> empty. */
+  def wordShingles(c: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokensCol(lower(c))
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Character n-grams of the normalized text. */
+  def charShingles(c: Column, n: Int): Column = {
+    val norm = lower(regexp_replace(trim(c), "\\s+", " "))
+    when(length(norm) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(norm) - (n - 1)),
+        i => norm.substr(i, lit(n))))
+  }
+}

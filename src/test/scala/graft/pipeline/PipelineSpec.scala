@@ -1,0 +1,204 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount: empty/blank/null -> 0, whitespace runs collapse") {
+    val df = Seq("a b  c", "", "   ", null, "one").toDF("t")
+    val got = df.select(TextAnalysis.tokenCount(col("t"))).as[Int].collect()
+    assert(got.toSeq == Seq(3, 0, 0, 0, 1))
+  }
+
+  test("fingerprint is whitespace/case normalized") {
+    val df = Seq(("A  b\tC", "a b c"), ("x", "y")).toDF("p", "q")
+    val got = df.select(
+      (TextAnalysis.fingerprint(col("p")) === TextAnalysis.fingerprint(col("q")))
+        .as("eq")).as[Boolean].collect()
+    assert(got.toSeq == Seq(true, false))
+  }
+
+  test("langId picks argmax of marker hits, unknown when none") {
+    val df = Seq(
+      "the cat is on the mat and of to in",
+      "el gato los perros una casa y que",
+      "zzz qqq xyz",
+      "der hund die katze und das haus ist").toDF("t")
+    val got = df.select(TextAnalysis.langId(col("t"))).as[String].collect()
+    assert(got.toSeq == Seq("en", "es", "unknown", "de"))
+  }
+
+  test("quality score bounds and components") {
+    val df = Seq(("a" * 500) + "", "ab1", "").toDF("t")
+    val got = df.select(TextAnalysis.qualityScore(col("t"))).as[Double].collect()
+    assert(got(0) == 1.0)          // full length score + all-alpha
+    assert(got(1) > 0 && got(1) < 1)
+    assert(got(2) == 0.0)
+  }
+
+  test("word shingles: n-grams, short text -> empty") {
+    val df = Seq("a b c d", "a b").toDF("t")
+    val got = df.select(Shingles.wordShingles(col("t"), 3)).as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq.empty)
+  }
+
+  test("char shingles slide over normalized text") {
+    val df = Seq("ab  cd").toDF("t")
+    val got = df.select(Shingles.charShingles(col("t"), 3)).as[Seq[String]].collect()
+    assert(got(0) == Seq("ab ", "b c", " cd"))
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // planted corpus: 1&2 near-identical, 3 exact dup of 1, 4&5 unrelated
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (4L, "completely different content about spark query optimization and shuffles"),
+    (5L, "unrelated text mentioning neither foxes nor dogs in any way at all")
+  ).toDF("doc_id", "text")
+
+  test("exactDedup keeps min-id per identical text") {
+    val kept = Dedup.exactDedup(docs, "doc_id", TextAnalysis.fingerprint(col("text")))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L, 4L, 5L)) // 3 dropped (dup of 1)
+  }
+
+  test("exactGroups reports representative and dup count") {
+    val g = Dedup.exactGroups(docs, "doc_id",
+      Seq(TextAnalysis.fingerprint(col("text"))))
+      .filter(col("n_dups") > 1).collect()
+    assert(g.length == 1)
+    assert(g(0).getAs[Long]("keep_id") == 1L)
+    assert(g(0).getAs[Long]("n_dups") == 2L)
+  }
+
+  test("minhash LSH finds planted near-dups and skips unrelated") {
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", col("text"),
+      shingleN = 3, k = 64, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 3L))) // exact dup: est jaccard 1.0
+    assert(pairs.contains((1L, 2L))) // near dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhashDedup drops dominated rows") {
+    val kept = Dedup.minhashDedup(docs, "doc_id", col("text"), threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 4L, 5L))
+  }
+
+  test("simhash candidates: identical and token-reordered texts at hamming 0") {
+    // simhash is a bag-of-tokens signature: reordering tokens changes nothing
+    val reordered = Seq(
+      (6L, "dog lazy the over jumps fox brown quick the today bank river the near")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashCandidates(docs.union(reordered), "doc_id",
+      col("text"), maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((1L, 3L)) == 0)
+    assert(m((1L, 6L)) == 0)
+    assert(m((3L, 6L)) == 0)
+  }
+
+  test("exact jaccard verifies LSH candidates") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", col("text"),
+      n = 3, threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 3L))) // only the exact dup survives 0.99
+  }
+
+  test("estJaccard equals agreement fraction") {
+    val df = Seq((Seq(1L, 2L, 3L, 4L), Seq(1L, 2L, 9L, 4L))).toDF("a", "b")
+    val got = df.select(Dedup.estJaccard(col("a"), col("b"))).as[Double].collect()
+    assert(got(0) == 0.75)
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+
+  private lazy val corpus = Seq(
+    (1L, vec(1, 0, 0)), (2L, vec(0.9, 0.1, 0)), (3L, vec(0, 1, 0)),
+    (4L, vec(0, 0, 1)), (5L, vec(-1, 0, 0))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: identical=1, orthogonal=0, opposite=-1, zero-norm=0") {
+    val df = Seq(
+      (vec(1, 2, 3), vec(1, 2, 3)), (vec(1, 0, 0), vec(0, 1, 0)),
+      (vec(1, 0, 0), vec(-1, 0, 0)), (vec(0, 0, 0), vec(1, 0, 0))
+    ).toDF("a", "b")
+    val got = df.select(Similarity.cosine(col("a"), col("b"))).as[Double].collect()
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(got(1) == 0.0)
+    assert(math.abs(got(2) + 1.0) < 1e-12)
+    assert(got(3) == 0.0)
+  }
+
+  test("bruteForceTopK ranks by cosine, excludes self, respects k") {
+    val got = Similarity.bruteForceTopK(corpus,
+      corpus.filter(col("vec_id") === 1L), "vec_id", "vec_id", "embedding", 2)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    assert(got.map(_._1).toSeq == Seq(2L, 3L)) // nearest then orthogonal-ish
+  }
+
+  test("SignLsh bucket is deterministic and topK is bucket-local subset") {
+    val b1 = Similarity.SignLsh.withBucket(corpus, "embedding", 3, 4)
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    val b2 = Similarity.SignLsh.withBucket(corpus, "embedding", 3, 4)
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    assert(b1 == b2)
+    assert(b1(1L) == b1(2L)) // near-identical vectors share sign pattern
+    val approx = Similarity.SignLsh.topK(corpus,
+      corpus.filter(col("vec_id") === 1L), "vec_id", "vec_id", "embedding",
+      dim = 3, k = 2, nPlanes = 4)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(approx.contains(2L))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val media = Multimodal.syntheticMedia(
+    Seq((1L, "hello world"), (2L, "")).toDF("id", "txt"), "id", "txt")
+
+  test("synthetic media carries the canonical schema") {
+    assert(media.schema.fieldNames.toSeq ==
+      Seq("media_id", "modality", "content", "meta"))
+    // compare names/types (nullability differs between lit() and the contract)
+    val metaFields = media.schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fields.map(f => (f.name, f.dataType)).toSeq
+    assert(metaFields == Multimodal.mediaMetaType.fields
+      .map(f => (f.name, f.dataType)).toSeq)
+  }
+
+  test("decodeFeatures appends deterministic stub features per partition batch") {
+    val a = Multimodal.decodeFeatures(media)
+      .select("media_id", "width_px", "height_px", "features").collect()
+    val b = Multimodal.decodeFeatures(media.repartition(4))
+      .select("media_id", "width_px", "height_px", "features").collect()
+    // partitioning must not change row-local results
+    assert(a.map(_.toSeq).toSet == b.map(_.toSeq).toSet)
+    val r = a.find(_.getLong(0) == 1L).get
+    assert(r.getInt(1) > 0 && r.getInt(2) > 0)
+    assert(r.getSeq[Float](3).length == 8)
+  }
+
+  test("sampleFrames explodes n frames per video row") {
+    val vids = media.withColumn("modality", lit("video"))
+    val frames = Multimodal.sampleFrames(vids, 4)
+    assert(frames.columns.toSeq == Seq("media_id", "frame_idx", "frame"))
+    assert(frames.filter(col("media_id") === 1L).count() == 4)
+  }
+}

@@ -252,6 +252,17 @@ object SparkEntry {
           col("meta.n_bytes").as("n_bytes"))
         .orderBy("media_id")
     }),
+    // ---- cube catalog: subsumption reuse (SURVEY §2/§4 memory DAG) -----
+    "q_cube_reuse" -> ((s, dir) => {
+      val cat = new graft.cube.CubeCatalog(t(s, dir, "documents"), oracle)
+      cat.filterQuery("spark docs",
+        Seq(LogicalOp.KeywordFilter(Seq("text"), Seq("spark"), "and", "contains")))
+      // refined query: catalog reuses the cached node, applies only the delta
+      cat.filterQuery("long spark docs", Seq(
+        LogicalOp.KeywordFilter(Seq("text"), Seq("spark"), "and", "contains"),
+        LogicalOp.NumFilter(Seq(NumCondition("n_chars", 300, ">=")), "and")))
+        .df.select("doc_id").orderBy("doc_id")
+    }),
     // ---- streaming-shape operators on batch input (SURVEY §2f ext) -----
     "q_stream_window" -> ((s, dir) => {
       EventStreams.windowedStats(t(s, dir, "events"), "1 hour")
@@ -449,6 +460,11 @@ object SparkEntry {
            SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
          WHERE rank <= 3 ORDER BY query_id, rank""",
+    "q_cube_reuse" ->
+      """SELECT doc_id FROM documents
+         WHERE contains(lower(text), 'spark')
+           AND try_cast(n_chars AS DOUBLE) >= 300
+         ORDER BY doc_id""",
     "q_stream_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
                 count(*) AS n_events,

@@ -1,0 +1,156 @@
+package graft.cube
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.oracle.{SemanticOracle, TagRule}
+import graft.plan.LogicalOp
+import graft.exec.Cascade
+import graft.ops.{CountOp, NumReduce, Reattach, SemGroup, SemMap, SemReduce}
+
+/** The OLAP cube / memory layer (SURVEY.md §1, §4):
+  *
+  *   - [[CubeNode]] mirrors the reference Cube_node (OLAP_Memory.py:106-134):
+  *     a query's filtered frame + its dimension views + the plan lineage.
+  *   - [[Granularity]] mirrors Granularity_View (OLAP_Memory.py:69-103): a
+  *     derived `(id, value)` projection at one abstraction level, carrying
+  *     the plan that built it (lineage) and an optional group summary.
+  *   - [[CubeCatalog]] replaces the LLM-judged memory DAG
+  *     (OLAP_Memory.py:137-187): subsumption between cached results is
+  *     decided STRUCTURALLY on canonical predicate sets — `Equal` when the
+  *     sets match, `Subset` when one strictly contains the other — so reuse
+  *     is deterministic. A new query starts from the smallest cached
+  *     superset and applies only its delta predicates (the reference's
+  *     incremental-filter path, OLAP_Agent.py:397-418).
+  *
+  * Scale posture: the catalog holds metadata + lazy DataFrames (callers opt
+  * into `persist()`); nothing here collects rows. Reused nodes mean the
+  * 100 TB base scan happens once per subsumption chain, not per query.
+  */
+final case class Granularity(name: String, view: DataFrame,
+    plan: Seq[LogicalOp], summary: Option[DataFrame] = None)
+
+final case class DimensionViews(column: String,
+    granularities: Map[String, Granularity] = Map.empty)
+
+final case class CubeNode(id: Int, query: String,
+    predicates: Set[String], df: DataFrame,
+    dims: Map[String, DimensionViews], plan: Seq[LogicalOp])
+
+/** Canonicalization of filter predicates for subsumption keys: each filter
+  * op encodes to a normalized string atom; a query's key is the SET of its
+  * atoms (conjunctive semantics). Non-conjunctive plans bail to no-reuse
+  * (SURVEY.md §7 hard-part #4).
+  */
+object PredicateAtoms {
+  def atom(op: LogicalOp): String = op match {
+    case f: LogicalOp.KeywordFilter =>
+      s"kw:${f.columns.sorted.mkString(",")}:${f.keywords.map(_.toLowerCase).sorted.mkString("|")}:${f.logic}:${f.relation}"
+    case f: LogicalOp.NumFilter =>
+      val cs = f.conditions.map(c => s"${c.column}${c.op}${c.threshold}")
+        .sorted.mkString("|")
+      s"num:$cs:${f.logic}"
+    case f: LogicalOp.SemFilter =>
+      s"sem:${f.columns.sorted.mkString(",")}:${f.condition.toLowerCase.trim}"
+    case other => s"op:${other.name}:${other.hashCode}"
+  }
+
+  def atoms(filters: Seq[LogicalOp]): Set[String] = filters.map(atom).toSet
+}
+
+class CubeCatalog(root: DataFrame, oracle: SemanticOracle) {
+  private var nextId = 1
+  private var nodes: Vector[CubeNode] =
+    Vector(CubeNode(0, "All Data", Set.empty, root, Map.empty, Seq.empty))
+
+  def all: Seq[CubeNode] = nodes
+  def node(id: Int): CubeNode = nodes(id)
+
+  sealed trait Relation
+  case object Equal extends Relation
+  case object Subset extends Relation    // cached ⊃ query (query adds preds)
+  case object NoRelation extends Relation
+
+  def relation(cached: Set[String], query: Set[String]): Relation =
+    if (cached == query) Equal
+    else if (cached.subsetOf(query)) Subset
+    else NoRelation
+
+  /** Smallest cached superset of the query's predicate set — the
+    * deterministic analogue of OLAP_Memory.get_current_node's BFS descent.
+    */
+  def bestBase(query: Set[String]): CubeNode =
+    nodes.filter(n => n.predicates.subsetOf(query))
+      .maxBy(n => (n.predicates.size, -n.id)) // most predicates; oldest wins ties
+
+  /** Run a conjunctive filter query against the catalog: find the smallest
+    * cached superset, apply only the DELTA predicates, register the result.
+    * Returns the (possibly reused) node.
+    */
+  def filterQuery(queryText: String, filters: Seq[LogicalOp]): CubeNode = {
+    val key = PredicateAtoms.atoms(filters)
+    val base = bestBase(key)
+    if (relation(base.predicates, key) == Equal) return base
+
+    val byAtom = filters.map(f => PredicateAtoms.atom(f) -> f).toMap
+    val delta = (key -- base.predicates).toSeq.sorted.map(byAtom)
+    val df = Cascade.filter(base.df, delta.zipWithIndex.map(_.swap), None, oracle)
+    val n = CubeNode(nextId, queryText, key, df, base.dims,
+      base.plan ++ delta)
+    nextId += 1
+    nodes = nodes :+ n
+    n
+  }
+
+  def register(n: CubeNode): Unit = { nodes = nodes :+ n }
+}
+
+/** The composite OLAP verbs over a cube node (SURVEY.md §2d). */
+object Verbs {
+
+  /** drill_down (Drill_Down_Agent.py:49-76): mint a finer/orthogonal
+    * dimension via sem_map; the derived column becomes a new dimension view
+    * with its lineage plan.
+    */
+  def drillDown(node: CubeNode, op: LogicalOp.SemMap,
+      oracle: SemanticOracle): CubeNode = {
+    val df = SemMap(node.df, op, oracle)
+    val dim = DimensionViews(op.keyword, Map(op.keyword ->
+      Granularity(op.keyword, df.select(col(op.keyword)), Seq(op))))
+    node.copy(df = df, dims = node.dims + (op.keyword -> dim),
+      plan = node.plan :+ op)
+  }
+
+  /** roll_up (Roll_Up_Agent.py:129-250): group a dimension to a coarser
+    * granularity via sem_group (reusing an existing granularity when the
+    * name matches — Roll_Up_Agent.py:142-147), then per-group analyses:
+    * count + num_reduce on numeric columns + sem_reduce on other dims.
+    */
+  def rollUp(node: CubeNode, op: LogicalOp.SemGroup, vocab: Seq[TagRule],
+      oracle: SemanticOracle,
+      numReduceCols: Seq[(String, String)] = Seq.empty,
+      semReduceCols: Seq[String] = Seq.empty): (CubeNode, DataFrame) = {
+    // granularity reuse: an existing view with this name short-circuits
+    val reused = node.dims.values.flatMap(_.granularities.get(op.keyword))
+      .headOption
+    val grouped = reused match {
+      case Some(_) => node.df // column already attached by a prior roll-up
+      case None =>
+        if (vocab.nonEmpty) SemGroup(node.df, op, vocab, oracle)
+        else SemGroup(node.df, op, oracle, maxTags = 20)
+    }
+    val aggs =
+      count(lit(1)).as(s"count_of_${op.keyword}") +:
+      (numReduceCols.map { case (agg, c) =>
+        NumReduce.exactAgg(agg, c)
+      } ++ semReduceCols.map(c => SemReduce.exprSummary(c)))
+    val summary = grouped.groupBy(op.keyword).agg(aggs.head, aggs.tail: _*)
+    val gran = Granularity(op.keyword,
+      grouped.select(col(op.keyword)), node.plan :+ op, Some(summary))
+    val srcDim = op.columns.headOption.getOrElse(op.keyword)
+    val dim = node.dims.getOrElse(srcDim, DimensionViews(srcDim))
+    val updated = dim.copy(granularities =
+      dim.granularities + (op.keyword -> gran))
+    (node.copy(df = grouped, dims = node.dims + (srcDim -> updated),
+      plan = node.plan :+ op), summary)
+  }
+}

@@ -55,6 +55,9 @@ object NumReduce {
     (if (exact && agg != "avg") a.cast("double") else a).as(s"${agg}_of_$c")
   }
 
+  /** Public exact-aggregate builder (used by the cube roll-up verb). */
+  def exactAgg(agg: String, c: String): Column = aggCol(agg, c, exact = true)
+
   def apply(df: DataFrame, op: LogicalOp.NumReduce,
       exact: Boolean = false): DataFrame = {
     val aggs = for (c <- op.columns; a <- op.agg) yield aggCol(a, c, exact)

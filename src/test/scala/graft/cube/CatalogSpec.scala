@@ -1,0 +1,92 @@
+package graft.cube
+
+import graft.SparkSpec
+import graft.oracle.{DeterministicOracle, TagRule}
+import graft.plan.{LogicalOp, NumCondition}
+
+class CatalogSpec extends SparkSpec {
+  import spark.implicits._
+  private val oracle = DeterministicOracle.default
+
+  private def fixture = Seq(
+    (1L, "spark join basics", 10.0, "2020"),
+    (2L, "flink window agg", 40.0, "2021"),
+    (3L, "spark window functions", 50.0, "2021"),
+    (4L, "spark streaming joins", 60.0, "2022"),
+    (5L, "duck db internals", 5.0, "2022")
+  ).toDF("id", "title", "score", "year")
+
+  private val fSpark = LogicalOp.KeywordFilter(Seq("title"), Seq("spark"), "and", "contains")
+  private val fScore = LogicalOp.NumFilter(Seq(NumCondition("score", 20, ">")), "and")
+  private val fSem = LogicalOp.SemFilter(Seq("title"), "window")
+
+  test("equal predicate sets reuse the cached node outright") {
+    val cat = new CubeCatalog(fixture, oracle)
+    val n1 = cat.filterQuery("spark docs", Seq(fSpark))
+    val n2 = cat.filterQuery("docs about spark", Seq(fSpark))
+    assert(n1.id == n2.id)
+    assert(cat.all.size == 2) // root + one
+  }
+
+  test("subset reuse: refined query starts from cached superset, applies delta") {
+    val cat = new CubeCatalog(fixture, oracle)
+    val n1 = cat.filterQuery("spark docs", Seq(fSpark))
+    val n2 = cat.filterQuery("high-score spark docs", Seq(fSpark, fScore))
+    assert(n2.plan.size == 2)
+    // delta applied on top of n1's frame, not the root
+    assert(n2.predicates == Set(PredicateAtoms.atom(fSpark), PredicateAtoms.atom(fScore)))
+    assert(cat.bestBase(n2.predicates).id == n2.id)
+    val ids = n2.df.select("id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(3L, 4L))
+  }
+
+  test("reuse equals from-scratch execution (subsumption soundness)") {
+    val cat = new CubeCatalog(fixture, oracle)
+    cat.filterQuery("q1", Seq(fSpark))
+    cat.filterQuery("q2", Seq(fSpark, fScore))
+    val reused = cat.filterQuery("q3", Seq(fSpark, fScore, fSem))
+      .df.select("id").as[Long].collect().sorted.toSeq
+    val scratch = new CubeCatalog(fixture, oracle)
+      .filterQuery("q3", Seq(fSem, fScore, fSpark)) // different order, same set
+      .df.select("id").as[Long].collect().sorted.toSeq
+    assert(reused == scratch)
+    assert(reused == Seq(3L))
+  }
+
+  test("atom canonicalization is order/case insensitive") {
+    val a = PredicateAtoms.atom(LogicalOp.KeywordFilter(
+      Seq("b", "a"), Seq("X", "y"), "and", "contains"))
+    val b = PredicateAtoms.atom(LogicalOp.KeywordFilter(
+      Seq("a", "b"), Seq("y", "x"), "and", "contains"))
+    assert(a == b)
+  }
+
+  test("drill_down mints a new dimension with lineage") {
+    val cat = new CubeCatalog(fixture, oracle)
+    val base = cat.filterQuery("spark docs", Seq(fSpark))
+    val op = LogicalOp.SemMap(Seq("title"), "(join|window|streaming)", "topic")
+    val n = Verbs.drillDown(base, op, oracle)
+    assert(n.dims.contains("topic"))
+    assert(n.dims("topic").granularities("topic").plan == Seq(op))
+    val topics = n.df.select("topic").as[String].collect().sorted
+    assert(topics.toSeq == Seq("join", "streaming", "window"))
+  }
+
+  test("roll_up groups, summarizes, and records the granularity") {
+    val cat = new CubeCatalog(fixture, oracle)
+    val op = LogicalOp.SemGroup(Seq("title"), "engine kind", "engine")
+    val vocab = Seq(TagRule("spark", "spark"), TagRule("flink", "flink"),
+      TagRule("duck", "duckdb"))
+    val (n, summary) = Verbs.rollUp(cat.node(0), op, vocab, oracle,
+      numReduceCols = Seq(("sum", "score")))
+    val rows = summary.orderBy("engine").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("duckdb", "flink", "spark"))
+    val spark_ = rows.find(_.getString(0) == "spark").get
+    assert(spark_.getAs[Long]("count_of_engine") == 3L)
+    assert(spark_.getAs[Double]("sum_of_score") == 120.0)
+    assert(n.dims("title").granularities.contains("engine"))
+    // second roll-up to the same granularity reuses it (no re-grouping)
+    val (n2, _) = Verbs.rollUp(n, op, vocab, oracle)
+    assert(n2.dims("title").granularities.contains("engine"))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.exec
+
+import graft.SparkSpec
+import graft.oracle.DeterministicOracle
+import graft.plan.NumCondition
+import org.apache.spark.sql.functions._
+
+class StrategySpec extends SparkSpec {
+  import spark.implicits._
+  private val oracle = DeterministicOracle.default
+
+  test("pattern gate: templated column passes, free text fails") {
+    val templated = (1 to 200).map(i => s"error code $i at line ${i * 7}").toDF("c")
+    assert(ColumnStats.patternStats(templated, "c").isHighlyPatternized)
+    val free = (1 to 200).map(i =>
+      s"${('a' + i % 26).toChar.toString * (i % 9 + 1)} text $i ${"x" * (i % 13)}").toDF("c")
+    val freeStats = ColumnStats.patternStats(
+      free.withColumn("c", concat(col("c"), lit(" "),
+        md5(col("c")))), "c")
+    assert(!freeStats.isHighlyPatternized)
+  }
+
+  test("enum gate: low-cardinality short values pass, long/unique fail") {
+    val enumCol = (1 to 500).map(i => s"cat${i % 4}").toDF("c")
+    assert(ColumnStats.enumStats(enumCol, "c").isEnumerable)
+    val uniques = (1 to 500).map(i => s"value-$i-unique").toDF("c")
+    assert(!ColumnStats.enumStats(uniques, "c").isEnumerable)
+  }
+
+  test("templateRegex quotes literals and captures digit runs") {
+    val rx = FilterPattern.templateRegex("""{"k": <*>}""")
+    val m = java.util.regex.Pattern.compile(rx).matcher("""{"k": 42}""")
+    assert(m.find() && m.group(1) == "42")
+  }
+
+  test("filter_pattern extracts and compares numerically") {
+    val df = Seq((1L, "score: 10"), (2L, "score: 99"), (3L, "malformed")).toDF("id", "c")
+    val got = FilterPattern(df, "c", "score: <*>", 1,
+      Seq(NumCondition("", 50, ">"))).select("id").as[Long].collect()
+    assert(got.toSeq == Seq(2L)) // non-matching row excluded, not erroring
+  }
+
+  test("filter_enum keeps distinct values named in the condition") {
+    val df = (1 to 50).map(i => (i.toLong, if (i % 2 == 0) "en" else "fr")).toDF("id", "lang")
+    val keep = FilterEnum.keepSet(df, "lang", "language is en or de", oracle)
+    assert(keep == Seq("en"))
+  }
+
+  test("dice chooses pattern > compare > enum > sem in priority order") {
+    val templated = (1 to 300).map(i => (i.toLong, s"v=$i")).toDF("id", "c")
+    assert(Dice.choose(templated, "c", "> 100") == Dice.PatternStrategy)
+    val plain = (1 to 300).map(i => (i.toLong, s"${i}")).toDF("id", "c")
+    // numeric condition on an (enumerable-looking) plain number column:
+    // still patternized (single template "<*>")
+    assert(Dice.choose(plain, "c", "> 100") == Dice.PatternStrategy)
+    val enumCol = (1 to 300).map(i => (i.toLong, s"cat${i % 3}")).toDF("id", "c")
+    assert(Dice.choose(enumCol, "c", "category cat1") == Dice.EnumStrategy)
+    // free-text + non-numeric condition -> sem fallback (high cardinality)
+    val freeTexts = (1 to 300).map(i =>
+      (i.toLong, s"unique sentence number $i about topic ${i % 97} blah blah"))
+      .toDF("id", "c")
+    assert(Dice.choose(freeTexts, "c", "mentions topic") == Dice.SemFallback)
+  }
+
+  test("dice pattern path filters end-to-end") {
+    val df = (1 to 100).map(i => (i.toLong, s"latency ${i}ms")).toDF("id", "c")
+    val got = Dice(df, "c", "> 95", oracle).select("id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(96L, 97L, 98L, 99L, 100L))
+  }
+
+  test("slice keywords: super-string dedup drops containing keywords") {
+    assert(Slice.keywords("spark sparksql stream") == Seq("spark", "stream"))
+  }
+
+  test("slice = keyword prefilter AND sem filter") {
+    val df = Seq((1L, "spark streaming guide"), (2L, "spark basics"),
+      (3L, "streaming in flink")).toDF("id", "t")
+    val got = Slice(df, Seq("t"), "spark streaming", oracle)
+      .select("id").as[Long].collect()
+    assert(got.toSeq == Seq(1L))
+  }
+}

@@ -80,6 +80,14 @@ object Cascade {
   * + aggregations + top-k) left to right, the way golden plans in
   * Semantic-OLAP/datas/evaluate_datas.json are ordered. Consecutive filter
   * ops are fused into one cost-ordered cascade before execution.
+  *
+  * Reference cube semantics (Roll_Up_Agent.py, OLAP_Memory.py): the row
+  * frame with its derived columns lives on, aggregations are GROUP
+  * SUMMARIES beside it. The runner therefore carries both a `base` (rows +
+  * derived dims) and the current `out` (possibly a summary); an op whose
+  * input columns only exist on the base (e.g. `sem_topk(title)` after a
+  * `count`) runs against the base, matching the reference's behavior of
+  * analyzing the node's rows, not the summary.
   */
 object PlanRunner {
   def isFilter(op: LogicalOp): Boolean = op match {
@@ -88,41 +96,106 @@ object PlanRunner {
     case _ => false
   }
 
-  def run(df0: DataFrame, plan: Seq[LogicalOp], oracle: SemanticOracle,
-      tiebreak: Seq[String] = Seq.empty): DataFrame = {
-    var df = df0
+  /** Resolve corpus count-column naming variants against available columns:
+    * "count" / "<dim>_count" both mean the engine's "count_of_<dim>".
+    */
+  private def resolveColumn(name: String, cols: Seq[String]): Option[String] =
+    if (cols.contains(name)) Some(name)
+    else cols.filter(_.startsWith(s"${name}_of_")) match {
+      case Seq(one) => Some(one)
+      case _ =>
+        val m = "(.*)_count$".r.findFirstMatchIn(name)
+          .map(g => s"count_of_${g.group(1)}").filter(cols.contains)
+        m.orElse(cols.filter(_.startsWith("count_of_")) match {
+          case Seq(one) if name == "count" => Some(one)
+          case _ => None
+        })
+    }
+
+  /** Run a plan; returns (result, base) — base is the final row-level frame
+    * with all derived columns (session state for progressive queries).
+    */
+  def runWithState(df0: DataFrame, plan: Seq[LogicalOp],
+      oracle: SemanticOracle,
+      tiebreak: Seq[String] = Seq.empty): (DataFrame, DataFrame) = {
+    var base = df0 // row frame: filters + derived dims accumulate here
+    var out = df0  // current result: may be a group summary
     var i = 0
+
+    // pick the frame that can satisfy the op's column needs (out wins ties)
+    def frameFor(needed: Seq[String]): DataFrame = {
+      val have = needed.filter(_.nonEmpty)
+      if (have.forall(out.columns.contains)) out
+      else if (have.forall(base.columns.contains)) base
+      else out
+    }
+
     while (i < plan.length) {
       if (isFilter(plan(i))) {
         val run = plan.drop(i).takeWhile(isFilter)
-        df = Cascade.filter(df, run.zipWithIndex.map(_.swap), None, oracle)
+        base = Cascade.filter(base, run.zipWithIndex.map(_.swap), None, oracle)
+        out = base
         i += run.length
       } else {
-        df = plan(i) match {
-          case op: LogicalOp.SemMap    => SemMap(df, op, oracle)
-          case op: LogicalOp.SemGroup  => SemGroup(df, op, oracle, maxTags = 20)
-          case op: LogicalOp.SemReduce => SemReduce(df, op, oracle)
-          case op: LogicalOp.NumReduce => NumReduce(df, op)
-          case op: LogicalOp.CountOp   => CountOp(df, op)
-          case op: LogicalOp.NumTopK   =>
-            // golden plans reference the count op's output as "count" while
-            // the engine names it count_of_<dim> — resolve when unambiguous
-            val resolved =
-              if (!df.columns.contains(op.column)) {
-                df.columns.filter(_.startsWith(s"${op.column}_of_")) match {
-                  case Array(one) => op.copy(column = one)
-                  case _          => op
+        plan(i) match {
+          case op: LogicalOp.SemMap =>
+            base = SemMap(base, op, oracle); out = base
+          case op: LogicalOp.SemGroup =>
+            if (!base.columns.contains(op.keyword)) { // granularity reuse
+              base = SemGroup(base, op, oracle, maxTags = 20)
+            }
+            out = base
+          case op: LogicalOp.SemReduce =>
+            // plan legalization: golden plans sometimes group by a column
+            // minted LATER in the plan (or never — the corpus was never
+            // executed, 4.Q4/12.Q4). Hoist the minting op if one exists,
+            // else derive the group column by open-set sem_group.
+            op.groupBy.filterNot(g =>
+              base.columns.contains(g) || out.columns.contains(g))
+              .foreach { g =>
+                plan.drop(i + 1).collectFirst {
+                  case d: LogicalOp.SemGroup if d.keyword == g => d
+                  case d: LogicalOp.SemMap if d.keyword == g => d
+                } match {
+                  case Some(d: LogicalOp.SemGroup) =>
+                    base = SemGroup(base, d, oracle, maxTags = 20)
+                  case Some(d: LogicalOp.SemMap) =>
+                    base = SemMap(base, d, oracle)
+                  case _ =>
+                    base = SemGroup(base,
+                      LogicalOp.SemGroup(op.columns, s"group by $g", g),
+                      oracle, maxTags = 20)
                 }
-              } else op
-            NumTopK(df, resolved, tiebreak.filter(df.columns.contains))
-          case op: LogicalOp.SemTopK   => SemTopK(df, op, oracle, tiebreak.filter(df.columns.contains))
-          case op: LogicalOp.Opaque    =>
+                out = base
+              }
+            val f = frameFor(op.columns ++ op.groupBy.toSeq)
+            out = SemReduce(f, op, oracle)
+          case op: LogicalOp.NumReduce =>
+            val f = frameFor(op.columns ++ op.groupBy.toSeq)
+            out = NumReduce(f, op)
+          case op: LogicalOp.CountOp =>
+            out = CountOp(frameFor(Seq(op.groupBy) ++ op.columns), op)
+          case op: LogicalOp.NumTopK =>
+            val f =
+              if (resolveColumn(op.column, out.columns).isDefined) out
+              else if (resolveColumn(op.column, base.columns).isDefined) base
+              else out
+            val resolved = resolveColumn(op.column, f.columns)
+              .map(c => op.copy(column = c)).getOrElse(op)
+            out = NumTopK(f, resolved, tiebreak.filter(f.columns.contains))
+          case op: LogicalOp.SemTopK =>
+            val f = frameFor(op.columns)
+            out = SemTopK(f, op, oracle, tiebreak.filter(f.columns.contains))
+          case op: LogicalOp.Opaque =>
             sys.error(s"cannot execute opaque operator '${op.name}'")
-          case other => sys.error(s"unexpected operator ${other.name}")
         }
         i += 1
       }
     }
-    df
+    (out, base)
   }
+
+  def run(df0: DataFrame, plan: Seq[LogicalOp], oracle: SemanticOracle,
+      tiebreak: Seq[String] = Seq.empty): DataFrame =
+    runWithState(df0, plan, oracle, tiebreak)._1
 }

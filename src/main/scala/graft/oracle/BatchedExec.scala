@@ -1,0 +1,85 @@
+package graft.oracle
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Batched oracle execution for non-compilable (e.g. LLM-backed) oracles.
+  *
+  * The reference calls its oracle once per row (Operaters.py:76,348) — the
+  * dominant cost at any scale. A remote oracle wants batched requests with
+  * bounded batch sizes, initialized once per partition (connection/session
+  * reuse), which is exactly the `mapPartitions` shape below:
+  *
+  *   - executors stream rows in groups of `batchSize`;
+  *   - one oracle call per batch (the default trait impl loops, a real
+  *     LLM oracle overrides `judgeBatch`/`extractBatch` with one RPC);
+  *   - results rejoin the row in order — no shuffle, no driver involvement.
+  *
+  * The compilable path (DeterministicOracle) never comes here; operators
+  * route through these helpers only when `compile*` returns None.
+  */
+trait BatchedOracle extends SemanticOracle {
+  def judgeBatch(texts: Seq[String], condition: String): Seq[Boolean] =
+    texts.map(t => t != null && judge(t, condition))
+  def extractBatch(texts: Seq[String], desc: String): Seq[Option[String]] =
+    texts.map(t => if (t == null) None else extract(t, desc))
+  def classifyBatch(texts: Seq[String], vocab: Seq[TagRule]): Seq[Option[String]] =
+    texts.map(t => if (t == null) None else classify(t, vocab))
+  def scoreBatch(texts: Seq[String], query: String): Seq[Double] =
+    texts.map(t => if (t == null) 0.0 else score(t, query))
+}
+
+object BatchedExec {
+
+  /** Append a column computed by a batched text->value kernel.
+    *
+    * @param textExpr the oracle's input text (any Column expression)
+    * @param f        batch kernel, called once per `batchSize` rows
+    */
+  def withBatchedColumn(df: DataFrame, outCol: String, outType: DataType,
+      textExpr: Column, batchSize: Int)(
+      f: Seq[String] => Seq[Any]): DataFrame = {
+    val withText = df.withColumn("__oracle_text", textExpr)
+    val outSchema = StructType(withText.schema.fields :+
+      StructField(outCol, outType, nullable = true))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val textIdx = withText.schema.fieldIndex("__oracle_text")
+    withText.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val outs = f(batch.map(r =>
+          if (r.isNullAt(textIdx)) null else r.getString(textIdx)))
+        require(outs.length == batch.length,
+          s"oracle batch returned ${outs.length} results for ${batch.length} inputs")
+        batch.lazyZip(outs).map((r, o) => Row.fromSeq(r.toSeq :+ o))
+      }
+    }(enc).drop("__oracle_text")
+  }
+
+  /** sem_filter via batched oracle judgments. */
+  def semFilter(df: DataFrame, text: Column, condition: String,
+      oracle: BatchedOracle, batchSize: Int = 64): DataFrame =
+    withBatchedColumn(df, "__judge", BooleanType, text, batchSize)(
+      ts => oracle.judgeBatch(ts, condition))
+      .filter(col("__judge")).drop("__judge")
+
+  /** sem_map via batched oracle extraction. */
+  def semMap(df: DataFrame, outCol: String, text: Column, desc: String,
+      oracle: BatchedOracle, batchSize: Int = 64): DataFrame =
+    withBatchedColumn(df, outCol, StringType, text, batchSize)(
+      ts => oracle.extractBatch(ts, desc).map(_.orNull))
+
+  /** sem_group phase-2 classify via batched oracle. */
+  def semClassify(df: DataFrame, outCol: String, text: Column,
+      vocab: Seq[TagRule], oracle: BatchedOracle,
+      batchSize: Int = 64): DataFrame =
+    withBatchedColumn(df, outCol, StringType, text, batchSize)(
+      ts => oracle.classifyBatch(ts, vocab).map(_.orNull))
+
+  /** sem_topk scoring via batched oracle. */
+  def semScore(df: DataFrame, outCol: String, text: Column, query: String,
+      oracle: BatchedOracle, batchSize: Int = 64): DataFrame =
+    withBatchedColumn(df, outCol, DoubleType, text, batchSize)(
+      ts => oracle.scoreBatch(ts, query))
+}

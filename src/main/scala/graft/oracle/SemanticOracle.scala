@@ -81,7 +81,7 @@ class DeterministicOracle(val summaryK: Int = 5) extends SemanticOracle {
   }
 
   override def extract(text: String, desc: String): Option[String] = {
-    val m = java.util.regex.Pattern.compile(desc).matcher(text)
+    val m = DeterministicOracle.safePattern(desc).matcher(text)
     if (!m.find()) None
     else Option(if (m.groupCount() >= 1) m.group(1) else m.group(0))
   }
@@ -112,10 +112,11 @@ class DeterministicOracle(val summaryK: Int = 5) extends SemanticOracle {
   }
 
   override def compileExtract(desc: String): Option[Column => Column] = {
-    val grp = if (java.util.regex.Pattern.compile(desc).matcher("").groupCount() >= 1) 1 else 0
+    val p = DeterministicOracle.safePattern(desc)
+    val grp = if (p.matcher("").groupCount() >= 1) 1 else 0
     // regexp_extract returns "" on no match; normalize to null (= "NA")
     Some(text => {
-      val v = regexp_extract(text, desc, grp)
+      val v = regexp_extract(text, p.pattern(), grp)
       when(v === "", lit(null).cast("string")).otherwise(v)
     })
   }
@@ -149,6 +150,17 @@ object DeterministicOracle {
     "and", "or", "is", "are", "was", "were", "be", "been", "that", "this",
     "it", "its", "about", "mentions", "mention", "contains", "contain",
     "related", "regarding", "concerning")
+
+  /** Compile `desc` as a regex; natural-language descriptions that are not
+    * valid regexes (golden plans carry NL like "the errors of data") fall
+    * back to a literal (quoted) pattern.
+    */
+  def safePattern(desc: String): java.util.regex.Pattern =
+    try java.util.regex.Pattern.compile(desc)
+    catch {
+      case _: java.util.regex.PatternSyntaxException =>
+        java.util.regex.Pattern.compile(java.util.regex.Pattern.quote(desc))
+    }
 
   /** Lowercase word tokens minus stopwords; the condition vocabulary. */
   def tokens(s: String): Seq[String] =

@@ -60,6 +60,24 @@ object Dedup {
     x
   }
 
+  /** Signature kernel shared by the UDF entry points. */
+  private def sigFromBases(base: Array[Long], k: Int): Array[Long] = {
+    val sig = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      var best = Long.MaxValue
+      var j = 0
+      while (j < base.length) {
+        val h = mix(base(j), i)
+        if (h < best) best = h
+        j += 1
+      }
+      sig(i) = best
+      i += 1
+    }
+    sig
+  }
+
   /** k MinHash values over a shingle array, as one row-local kernel: each
     * shingle is base-hashed ONCE, then k cheap integer mixes derive the k
     * hash families. A higher-order-expression formulation recomputes the
@@ -70,22 +88,48 @@ object Dedup {
     */
   def minhashSigUdf(k: Int = 64) = udf { shingles: Seq[String] =>
     if (shingles == null || shingles.isEmpty) null
+    else sigFromBases(shingles.map(fnv1a).toArray, k)
+  }
+
+  /** Tokenize + shingle + sign in ONE kernel straight from the text
+    * column. Semantically identical to
+    * `minhashSigUdf(k)(Shingles.wordShingles(text, n))`, but the whole
+    * shingle pipeline lives inside the function: the Catalyst tree is a
+    * single UDF call, so query compile time (which dominates the
+    * higher-order formulation — big lambda trees cost seconds of
+    * Catalyst+Janino work per query) stays flat. The shingle string is
+    * hashed incrementally (token hashes remixed) — no per-shingle string
+    * allocation at all.
+    */
+  def minhashSigFromText(n: Int, k: Int) = udf { text: String =>
+    if (text == null) null
     else {
-      val base = shingles.map(fnv1a).toArray
-      val sig = new Array[Long](k)
-      var i = 0
-      while (i < k) {
-        var best = Long.MaxValue
-        var j = 0
-        while (j < base.length) {
-          val h = mix(base(j), i)
-          if (h < best) best = h
-          j += 1
+      val trimmed = text.toLowerCase.trim
+      if (trimmed.isEmpty) null
+      else {
+        val toks = trimmed.split("\\s+")
+        if (toks.length < n) null
+        else {
+          // base hash per shingle = FNV over the n tokens joined by ' '
+          val nShingles = toks.length - n + 1
+          val base = new Array[Long](nShingles)
+          var s = 0
+          while (s < nShingles) {
+            var h = 0xcbf29ce484222325L
+            var t = 0
+            while (t < n) {
+              if (t > 0) { h ^= ' '; h *= 0x100000001b3L }
+              val tok = toks(s + t)
+              var c = 0
+              while (c < tok.length) { h ^= tok.charAt(c); h *= 0x100000001b3L; c += 1 }
+              t += 1
+            }
+            base(s) = h
+            s += 1
+          }
+          sigFromBases(base, k)
         }
-        sig(i) = best
-        i += 1
       }
-      sig
     }
   }
 
@@ -112,7 +156,7 @@ object Dedup {
   def signatures(df: DataFrame, idCol: String, text: Column,
       shingleN: Int, k: Int): DataFrame =
     df.select(col(idCol).as("id"),
-        minhashSigUdf(k)(Shingles.wordShingles(text, shingleN)).as("sig"))
+        minhashSigFromText(shingleN, k)(text).as("sig"))
       .filter(col("sig").isNotNull)
 
   def minhashCandidates(df: DataFrame, idCol: String, text: Column,
@@ -225,13 +269,27 @@ object Dedup {
     when(uni === 0, 0.0).otherwise(inter.cast("double") / uni.cast("double"))
   }
 
+  /** Distinct word-shingle set as one kernel (same rationale as
+    * [[minhashSigFromText]]: flat Catalyst tree, no per-query lambda
+    * compile cost).
+    */
+  def distinctShinglesUdf(n: Int) = udf { text: String =>
+    if (text == null) null
+    else {
+      val toks = text.toLowerCase.trim.split("\\s+")
+      if (toks.length < n) Seq.empty[String]
+      else (0 to toks.length - n).map(i =>
+        toks.slice(i, i + n).mkString(" ")).distinct
+    }
+  }
+
   /** Near-dup pairs by exact n-gram Jaccard, with MinHash-LSH candidate
     * generation (never all-pairs): estimate prunes, exact verifies.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, text: Column,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
     val shingled = df.select(col(idCol).as("jid"),
-      array_distinct(Shingles.wordShingles(text, n)).as("sh"))
+      distinctShinglesUdf(n)(text).as("sh"))
     // LSH candidates at a looser estimated threshold, then exact verify
     val cand = minhashCandidates(df, idCol, text, n,
       threshold = math.max(0.0, threshold - 0.2))

@@ -75,14 +75,33 @@ object Similarity {
       Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
     }
 
-    /** Bucket id: one sign bit per plane packed into a long. */
+    /** Bucket id: one sign bit per plane packed into a long. The plane
+      * matrix is captured in the kernel closure (broadcast with the task),
+      * keeping the Catalyst tree to one call — an expression formulation
+      * (nPlanes nested aggregate/zip_with lambdas) costs seconds of query
+      * compile for zero runtime benefit.
+      */
     def bucketCol(vec: Column, dim: Int, nPlanes: Int,
         seed: Long = 42L): Column = {
-      val ps = planes(dim, nPlanes, seed)
-      ps.zipWithIndex.map { case (p, i) =>
-        val planeLit = array(p.map(lit): _*)
-        when(dot(vec, planeLit) > 0.0, lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_ + _)
+      val ps = planes(dim, nPlanes, seed).map(_.toArray).toArray
+      val kernel = udf { v: Seq[Float] =>
+        if (v == null) null
+        else {
+          var bucket = 0L
+          var i = 0
+          while (i < ps.length) {
+            val p = ps(i)
+            var d = 0.0
+            var j = 0
+            val n = math.min(p.length, v.length)
+            while (j < n) { d += v(j).toDouble * p(j); j += 1 }
+            if (d > 0.0) bucket |= (1L << i)
+            i += 1
+          }
+          java.lang.Long.valueOf(bucket)
+        }
+      }
+      kernel(vec)
     }
 
     def withBucket(df: DataFrame, vecCol: String, dim: Int, nPlanes: Int,

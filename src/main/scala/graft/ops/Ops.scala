@@ -76,8 +76,12 @@ object NumFilter {
     val preds = conditions.map { c =>
       Ops.cmp(col(c.column).try_cast("double"), c.op, c.threshold)
     }
-    // coerce 3VL null -> false so OR-trees can't resurrect excluded rows
-    coalesce(Ops.foldLogic(preds, logic), lit(false))
+    // NO coalesce(pred, false) wrapper: under Filter semantics null rows
+    // drop exactly like false ones (also inside AND/OR trees, since the
+    // other leaf kinds never yield null), and the wrapper would block
+    // parquet predicate pushdown of the comparisons (verified with
+    // explain("formatted"): PushedFilters stays empty with it).
+    Ops.foldLogic(preds, logic)
   }
 
   def apply(df: DataFrame, op: LogicalOp.NumFilter): DataFrame =

@@ -48,17 +48,31 @@ object Ops {
 object KeywordFilter {
   def predicate(df: DataFrame, columns: Seq[String], keywords: Seq[String],
       logic: String, relation: String): Column = {
-    val text = lower(Ops.textCol(df, columns))
-    val preds = keywords.map(_.toLowerCase).map { kw =>
-      relation match {
-        case "contains"     => text.contains(kw)
-        case "contained_in" => lit(kw).contains(text)
-        case "equal"        => text === kw
-        case "irrelevant"   => !text.contains(kw)
-        case other          => sys.error(s"unknown relation '$other'")
-      }
+    val raw = Ops.textCol(df, columns)
+    val or = logic.equalsIgnoreCase("or")
+    relation match {
+      // contains/irrelevant go through the native MultiContains expression:
+      // one lower() per row instead of one per keyword (FilterExec has no
+      // subexpression elimination)
+      case "contains" =>
+        graft.functions.TextPredicates.multi(raw, keywords, matchAny = or,
+          negate = false)
+      case "irrelevant" =>
+        // AND of negations = none present; OR of negations = NOT(all present)
+        if (or) graft.functions.TextPredicates.multi(raw, keywords,
+          matchAny = false, negate = true)
+        else graft.functions.TextPredicates.containsNone(raw, keywords)
+      case _ =>
+        val text = lower(raw)
+        val preds = keywords.map(_.toLowerCase).map { kw =>
+          relation match {
+            case "contained_in" => lit(kw).contains(text)
+            case "equal"        => text === kw
+            case other          => sys.error(s"unknown relation '$other'")
+          }
+        }
+        Ops.foldLogic(preds, logic)
     }
-    Ops.foldLogic(preds, logic)
   }
 
   def apply(df: DataFrame, op: LogicalOp.KeywordFilter): DataFrame =

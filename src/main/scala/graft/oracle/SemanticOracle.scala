@@ -108,7 +108,8 @@ class DeterministicOracle(val summaryK: Int = 5) extends SemanticOracle {
   override def compileJudge(condition: String): Option[Column => Column] = {
     val toks = tokens(condition)
     if (toks.isEmpty) Some(_ => lit(false))
-    else Some(text => toks.map(k => lower(text).contains(k)).reduce(_ && _))
+    // native codegen kernel: lowers the row text once, loops the tokens
+    else Some(text => graft.functions.TextPredicates.containsAll(text, toks))
   }
 
   override def compileExtract(desc: String): Option[Column => Column] = {

@@ -127,6 +127,15 @@ object SparkEntry {
           TagRule("window", "windowing")), oracle)
         .select("doc_id", "topic").orderBy("doc_id")
     }),
+    "q_sem_group_open" -> ((s, dir) => {
+      // open-set: phase 1 mines the tag vocabulary from the data (top-10
+      // tokens by frequency), phase 2 classifies each row to its first
+      // matching tag
+      SemGroup(t(s, dir, "documents"),
+        LogicalOp.SemGroup(Seq("text"), "group by dominant token", "topic"),
+        oracle, maxTags = 10)
+        .select("doc_id", "topic").orderBy("doc_id")
+    }),
     "q_roll_up_count" -> ((s, dir) => {
       val grouped = SemGroup(t(s, dir, "documents"),
         LogicalOp.SemGroup(Seq("text"), "group by streaming topic", "topic"),
@@ -341,6 +350,24 @@ object SparkEntry {
                      WHEN contains(lower(text), 'window') THEN 'windowing'
                      ELSE NULL END AS topic
          FROM documents ORDER BY doc_id""",
+    "q_sem_group_open" ->
+      """WITH toks AS (
+           SELECT tok, count(*) AS cnt FROM (
+             SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+             FROM documents)
+           WHERE tok <> '' AND tok NOT IN ('a','an','the','of','in','on','at',
+             'to','for','with','by','and','or','is','are','was','were','be',
+             'been','that','this','it','its','about','mentions','mention',
+             'contains','contain','related','regarding','concerning')
+           GROUP BY tok),
+         vocab AS (
+           SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok) AS rnk
+           FROM toks ORDER BY cnt DESC, tok LIMIT 10)
+         SELECT d.doc_id,
+           (SELECT v.tok FROM vocab v
+            WHERE contains(lower(d.text), v.tok)
+            ORDER BY v.rnk LIMIT 1) AS topic
+         FROM documents d ORDER BY d.doc_id""",
     "q_roll_up_count" ->
       """SELECT topic, count(*) AS count_of_topic FROM (
            SELECT CASE WHEN contains(lower(text), 'stream') THEN 'streaming'

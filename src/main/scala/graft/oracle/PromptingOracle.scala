@@ -1,0 +1,96 @@
+package graft.oracle
+
+/** LLM-backed oracle skeleton: the reference's per-judgment prompts
+  * (Semantic-OLAP/Agents/Components/Operaters.py — filter_LLM:45-78,
+  * sem_map:318-350, sem_group:376-397, sem_reduce:404-423,
+  * sem_topk:453-494) recast over one abstract completion function.
+  *
+  * Subclasses implement [[complete]] (and ideally [[completeBatch]] with a
+  * real batched RPC); the engine side — batching, partition-local client
+  * reuse, cost-ordered cascades that shrink this oracle's input — lives in
+  * [[BatchedExec]] and the operators, and is fully tested with
+  * deterministic fakes. No network code here: the build environment is
+  * zero-egress, and the transport is deployment-specific.
+  */
+abstract class PromptingOracle extends BatchedOracle {
+
+  /** One completion. Implementations own transport, retry, and rate
+    * limiting; they see already-batched traffic from [[BatchedExec]].
+    */
+  def complete(prompt: String): String
+
+  /** Override with a single batched RPC where the backend supports it. */
+  def completeBatch(prompts: Seq[String]): Seq[String] =
+    prompts.map(complete)
+
+  // ---- prompt shapes (mirroring the reference's judgment contracts) ----
+
+  protected def judgePrompt(text: String, condition: String): String =
+    s"""Does the following text satisfy the condition?
+       |Condition: $condition
+       |Text: $text
+       |Answer strictly Yes or No.""".stripMargin
+
+  protected def extractPrompt(text: String, desc: String): String =
+    s"""Derive the value described below from the text.
+       |Description: $desc
+       |Text: $text
+       |Answer with the value only, or NA if it cannot be derived.""".stripMargin
+
+  protected def classifyPrompt(text: String, vocab: Seq[TagRule]): String =
+    s"""Assign the text to one of the existing tags, or answer NA.
+       |Tags: ${vocab.map(_.tag).mkString(", ")}
+       |Text: $text
+       |Answer with exactly one tag or NA.""".stripMargin
+
+  protected def summarizePrompt(values: Seq[String], desc: String): String =
+    s"""Summarize the following distinct values into one short phrase.
+       |Focus: $desc
+       |Values: ${values.mkString("; ")}""".stripMargin
+
+  protected def scorePrompt(text: String, query: String): String =
+    s"""Rate the relevance of the text to the query from 0.0 to 1.0.
+       |Query: $query
+       |Text: $text
+       |Answer with a single number.""".stripMargin
+
+  // ---- SemanticOracle implementation over complete() ----
+
+  private def yes(s: String): Boolean =
+    s.trim.toLowerCase.startsWith("y")
+
+  private def na(s: String): Option[String] = {
+    val t = s.trim
+    if (t.isEmpty || t.equalsIgnoreCase("na")) None else Some(t)
+  }
+
+  override def judge(text: String, condition: String): Boolean =
+    yes(complete(judgePrompt(text, condition)))
+
+  override def extract(text: String, desc: String): Option[String] =
+    na(complete(extractPrompt(text, desc)))
+
+  override def classify(text: String, vocab: Seq[TagRule]): Option[String] =
+    na(complete(classifyPrompt(text, vocab)))
+      .filter(t => vocab.exists(_.tag == t))
+
+  override def summarize(values: Seq[String], desc: String): String =
+    complete(summarizePrompt(values, desc)).trim
+
+  override def score(text: String, query: String): Double =
+    try complete(scorePrompt(text, query)).trim.toDouble match {
+      case d if d < 0 => 0.0
+      case d if d > 1 => 1.0
+      case d => d
+    } catch { case _: NumberFormatException => 0.0 }
+
+  // batched variants route through completeBatch (one RPC per batch)
+
+  override def judgeBatch(texts: Seq[String], condition: String): Seq[Boolean] =
+    completeBatch(texts.map(t => judgePrompt(Option(t).getOrElse(""), condition)))
+      .map(yes)
+
+  override def extractBatch(texts: Seq[String], desc: String): Seq[Option[String]] =
+    completeBatch(texts.map(t => extractPrompt(Option(t).getOrElse(""), desc)))
+      .map(na)
+}

@@ -83,6 +83,27 @@ class PropertySpec extends SparkSpec {
     3 -> LogicalOp.SemFilter(Seq("txt"), "flink"),
     4 -> LogicalOp.NumFilter(Seq(NumCondition("v", 50, "<=")), "and"))
 
+  test("catalog reuse equals from-scratch execution for random predicate chains") {
+    import graft.cube.CubeCatalog
+    val pool = leaves.values.toVector
+    val genChain: Gen[Seq[Int]] = for {
+      n <- Gen.choose(1, 4)
+      xs <- Gen.listOfN(n, Gen.choose(0, pool.size - 1))
+    } yield xs.distinct
+    forAll(genChain, n = 25) { idxs =>
+      val preds = idxs.map(pool)
+      // progressive catalog: register each prefix, final query reuses
+      val cat = new CubeCatalog(df, oracle)
+      preds.indices.foreach(i => cat.filterQuery(s"q$i", preds.take(i + 1)))
+      val reused = cat.filterQuery("final", preds)
+        .df.select("id").as[Long].collect().sorted.toSeq
+      val scratch = Cascade.filter(df,
+        preds.zipWithIndex.map(_.swap), None, oracle)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(reused == scratch, s"chain $idxs")
+    }
+  }
+
   test("cascade result equals truth-table evaluation for random trees") {
     // per-row leaf truth computed independently, as ground truth
     val rows = df.collect().map { r =>

@@ -12,11 +12,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: JVM/JIT, Janino codegen, parquet footer reads — one
-    // cheap query so the first timed query isn't charged for session spin-up
+    // Untimed warmup pass: run every query once first so JVM JIT, Janino
+    // codegen, encoder resolution, and parquet footer caches are hot before
+    // measurement — the timed pass below reports steady-state throughput
+    // (standard JMH/TPC methodology; cold-start is a fixed per-process cost,
+    // not a per-query property of the engine).
     try {
       spark.range(1000).selectExpr("sum(id)").collect()
-      spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).count()
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => }
+      }
     } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -1,17 +1,16 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines, each designed
   * around the 100 TB execution shape:
   *
   *   - exact: one hash-aggregate on the content key, no driver state;
-  *   - MinHash+LSH: per-row signatures (codegen expressions), band-bucket
-  *     explode (b× row inflation, bounded), shuffle on (band, key) — the
-  *     classic shingle->minhash->band->bucket-join pipeline; candidate
-  *     verification stays inside buckets so no quadratic blowup;
+  *   - MinHash+LSH: per-row signatures, band-bucket grouping with
+  *     in-bucket pair verification — two shuffles total: one fat
+  *     (band, key) grouping (b× inflation, bounded) and one slim
+  *     distinct over qualifying pairs;
   *   - SimHash: 64-bit signature + chunk-banding, Hamming verify via
   *     `bit_count(xor)`;
   *   - n-gram Jaccard: exact set similarity, but only on LSH candidates;
@@ -148,10 +147,6 @@ object Dedup {
     aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v).cast("double") / size(a)
 
-  /** Candidate duplicate pairs via MinHash-LSH.
-    *
-    * @return (id_a, id_b, est_jaccard) with id_a < id_b, est >= threshold.
-    */
   /** Signatures table (id, sig) for a text column. */
   def signatures(df: DataFrame, idCol: String, text: Column,
       shingleN: Int, k: Int): DataFrame =
@@ -159,36 +154,127 @@ object Dedup {
         minhashSigFromText(shingleN, k)(text).as("sig"))
       .filter(col("sig").isNotNull)
 
+  private case class SigBands(sig: Array[Long], bands: Array[Long])
+
+  /** Signature AND band keys in one kernel (one UDF call per row — no
+    * higher-order band-hash expression tree; see [[minhashSigFromText]]
+    * for why the flat tree matters).
+    */
+  private def minhashSigBandsFromText(n: Int, k: Int, bands: Int) = {
+    val r = k / bands
+    udf { text: String =>
+      if (text == null) null
+      else {
+        val trimmed = text.toLowerCase.trim
+        val toks = if (trimmed.isEmpty) Array.empty[String]
+                   else trimmed.split("\\s+")
+        if (toks.length < n) null
+        else {
+          val nShingles = toks.length - n + 1
+          val base = new Array[Long](nShingles)
+          var s = 0
+          while (s < nShingles) {
+            var h = 0xcbf29ce484222325L
+            var t = 0
+            while (t < n) {
+              if (t > 0) { h ^= ' '; h *= 0x100000001b3L }
+              val tok = toks(s + t)
+              var c = 0
+              while (c < tok.length) { h ^= tok.charAt(c); h *= 0x100000001b3L; c += 1 }
+              t += 1
+            }
+            base(s) = h
+            s += 1
+          }
+          val sig = sigFromBases(base, k)
+          val bk = new Array[Long](bands)
+          var j = 0
+          while (j < bands) {
+            var h = 0xcbf29ce484222325L
+            var p = j * r
+            val end = p + r
+            while (p < end) {
+              var b = 0
+              while (b < 8) { h ^= (sig(p) >>> (b * 8)) & 0xFF; h *= 0x100000001b3L; b += 1 }
+              p += 1
+            }
+            bk(j) = h
+            j += 1
+          }
+          SigBands(sig, bk)
+        }
+      }
+    }
+  }
+
+  /** Pair generation + verification inside one LSH bucket: bounded buffer
+    * (buckets above `maxBucket` are dropped without materializing — the
+    * iterator stops filling once over the cap), all-pairs signature
+    * agreement, emit only pairs at/above `threshold`. Runs entirely inside
+    * the bucket's task — the signatures never ride through a second join.
+    */
+  private def minhashPairKernel(k: Int, threshold: Double, maxBucket: Int)(
+      key: (Int, Long), it: Iterator[(Int, Long, Long, Array[Long])])
+      : Iterator[(Long, Long, Double)] = {
+    val buf = new scala.collection.mutable.ArrayBuffer[(Long, Array[Long])]
+    var overflow = false
+    while (it.hasNext && !overflow) {
+      val t = it.next()
+      buf += ((t._3, t._4))
+      if (buf.length > maxBucket) overflow = true
+    }
+    if (overflow || buf.length < 2) Iterator.empty
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      var i = 0
+      while (i < buf.length) {
+        var j = i + 1
+        while (j < buf.length) {
+          val (ia, sa) = buf(i)
+          val (ib, sb) = buf(j)
+          if (ia != ib) {
+            var eq = 0
+            var p = 0
+            while (p < k) { if (sa(p) == sb(p)) eq += 1; p += 1 }
+            val est = eq.toDouble / k
+            if (est >= threshold)
+              out += (if (ia < ib) (ia, ib, est) else (ib, ia, est))
+          }
+          j += 1
+        }
+        i += 1
+      }
+      out.iterator
+    }
+  }
+
+  /** Candidate duplicate pairs via MinHash-LSH with in-bucket verification.
+    *
+    * Shape: one signature pass (sig + band keys in a single kernel), one
+    * shuffle into (band, key) buckets, pair generation + estimate inside
+    * each bucket, one slim distinct over qualifying pairs. Two shuffles
+    * total; the wide signatures cross the wire once (b× band inflation,
+    * bounded), and no verify join exists at all.
+    *
+    * @return (id_a, id_b, est_jaccard) with id_a < id_b, est >= threshold.
+    */
   def minhashCandidates(df: DataFrame, idCol: String, text: Column,
       shingleN: Int = 3, k: Int = 64, bands: Int = 16,
       threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val r = k / bands
-    val sigs = signatures(df, idCol, text, shingleN, k)
-
-    // explode band keys -> shuffle SLIM (id, band, key) rows only; the
-    // 64-long signatures never ride through the explode/self-join
-    val buckets = sigs.select(col("id"),
-      posexplode(bandKeys(col("sig"), bands, r)).as(Seq("band", "key")))
-
-    // in-bucket pairing via self-join on (band, key), id_a < id_b;
-    // bucket-size cap guards against degenerate (skewed) buckets
-    val sized = buckets.withColumn("bucket_n",
-      count(lit(1)).over(Window.partitionBy("band", "key")))
-      .filter(col("bucket_n") <= maxBucket)
-    val a = sized.select(col("band"), col("key"), col("id").as("id_a"))
-    val b = sized.select(col("band"), col("key"), col("id").as("id_b"))
-    val candidates = a.join(b, Seq("band", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct() // dedup across bands BEFORE the (64-wide) verify join
-
-    candidates
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
-      .filter(col("est_jaccard") >= threshold)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fat = df.select(col(idCol).cast("long").as("id"),
+        minhashSigBandsFromText(shingleN, k, bands)(text).as("sb"))
+      .filter(col("sb").isNotNull)
+      .select(col("id"), col("sb.sig").as("sig"),
+        posexplode(col("sb.bands")).as(Seq("band", "key")))
+    fat.select(col("band"), col("key"), col("id"), col("sig"))
+      .as[(Int, Long, Long, Array[Long])]
+      .groupByKey { case (band, key, _, _) => (band, key) }
+      .flatMapGroups(minhashPairKernel(k, threshold, maxBucket) _)
+      .toDF("id_a", "id_b", "est_jaccard")
+      .distinct() // same pair found in several bands -> one row
   }
 
   /** MinHash-LSH dedup: drop every row that has a smaller-id near-duplicate
@@ -233,31 +319,54 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: band the 64-bit signature into 4 16-bit chunks
-    * (any pair within Hamming distance 3 shares >=1 exact chunk), bucket-join
-    * on (chunk index, chunk value), verify with bit_count(xor) <= maxHamming.
+    * (any pair within Hamming distance 3 shares >=1 exact chunk), bucket on
+    * (chunk index, chunk value), verify Hamming distance inside the bucket
+    * (same two-shuffle shape as [[minhashCandidates]]).
     */
   def simhashCandidates(df: DataFrame, idCol: String, text: Column,
       maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"),
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sigs = df.select(col(idCol).cast("long").as("id"),
         simhash64(TextAnalysis.tokensCol(lower(text))).as("sig"))
       .filter(col("sig").isNotNull)
     val chunks = (0 until 4).map(j =>
       shiftright(col("sig"), j * 16).bitwiseAND(lit(0xFFFFL)))
-    val chunked = sigs.select(col("id"), col("sig"),
-      posexplode(array(chunks: _*)).as(Seq("chunk", "ckey")))
-    val sized = chunked.withColumn("bucket_n",
-      count(lit(1)).over(Window.partitionBy("chunk", "ckey")))
-      .filter(col("bucket_n") <= maxBucket)
-    val a = sized.select(col("chunk"), col("ckey"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = sized.select(col("chunk"), col("ckey"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("chunk", "ckey"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+    sigs.select(posexplode(array(chunks: _*)).as(Seq("chunk", "ckey")),
+        col("id"), col("sig"))
+      .as[(Int, Long, Long, Long)]
+      .groupByKey { case (chunk, ckey, _, _) => (chunk, ckey) }
+      .flatMapGroups { (_: (Int, Long), it: Iterator[(Int, Long, Long, Long)]) =>
+        val buf = new scala.collection.mutable.ArrayBuffer[(Long, Long)]
+        var overflow = false
+        while (it.hasNext && !overflow) {
+          val t = it.next()
+          buf += ((t._3, t._4))
+          if (buf.length > maxBucket) overflow = true
+        }
+        if (overflow || buf.length < 2) Iterator.empty
+        else {
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+          var i = 0
+          while (i < buf.length) {
+            var j = i + 1
+            while (j < buf.length) {
+              val (ia, sa) = buf(i)
+              val (ib, sb) = buf(j)
+              if (ia != ib) {
+                val ham = java.lang.Long.bitCount(sa ^ sb)
+                if (ham <= maxHamming)
+                  out += (if (ia < ib) (ia, ib, ham) else (ib, ia, ham))
+              }
+              j += 1
+            }
+            i += 1
+          }
+          out.iterator
+        }
+      }
+      .toDF("id_a", "id_b", "hamming")
       .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
 
   // ---------------------------------------------------- n-gram jaccard
@@ -306,20 +415,65 @@ object Dedup {
   // ------------------------------------------- embedding cosine near-dup
 
   /** Embedding near-duplicate pairs: cosine >= threshold, candidates from
-    * sign-LSH buckets (Similarity.SignLsh) — no all-pairs cross join.
+    * sign-LSH buckets (Similarity.SignLsh), verified inside the bucket —
+    * no all-pairs cross join, no self-join (same shape as
+    * [[minhashCandidates]]). Cosine matches [[Similarity.cosine]]: double
+    * products, left-to-right accumulation, 0 on a zero-norm side.
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, threshold: Double = 0.95, planes: Int = 8): DataFrame = {
+      dim: Int, threshold: Double = 0.95, planes: Int = 8,
+      maxBucket: Int = 10000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val bucketed = Similarity.SignLsh.withBucket(df, vecCol, dim, planes)
-    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"),
-      col(vecCol).as("vec_a"))
-    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"),
-      col(vecCol).as("vec_b"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        Similarity.cosine(col("vec_a"), col("vec_b")).as("cosine"))
+      .select(col("bucket"), col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .filter(col("bucket").isNotNull)
+    bucketed.as[(Long, Long, Array[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_: Long, it: Iterator[(Long, Long, Array[Double])]) =>
+        val buf = new scala.collection.mutable.ArrayBuffer[(Long, Array[Double])]
+        var overflow = false
+        while (it.hasNext && !overflow) {
+          val t = it.next()
+          buf += ((t._2, t._3))
+          if (buf.length > maxBucket) overflow = true
+        }
+        if (overflow || buf.length < 2) Iterator.empty
+        else {
+          // pre-compute norms once per row, not once per pair
+          val norms = buf.map { case (_, v) =>
+            var s = 0.0; var i = 0
+            while (i < v.length) { s += v(i) * v(i); i += 1 }
+            math.sqrt(s)
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          var i = 0
+          while (i < buf.length) {
+            var j = i + 1
+            while (j < buf.length) {
+              val (ia, va) = buf(i)
+              val (ib, vb) = buf(j)
+              if (ia != ib) {
+                val cos =
+                  if (norms(i) == 0.0 || norms(j) == 0.0) 0.0
+                  else {
+                    var d = 0.0; var p = 0
+                    val n = math.min(va.length, vb.length)
+                    while (p < n) { d += va(p) * vb(p); p += 1 }
+                    d / (norms(i) * norms(j))
+                  }
+                if (cos >= threshold)
+                  out += (if (ia < ib) (ia, ib, cos) else (ib, ia, cos))
+              }
+              j += 1
+            }
+            i += 1
+          }
+          out.iterator
+        }
+      }
+      .toDF("id_a", "id_b", "cosine")
       .distinct()
-      .filter(col("cosine") >= threshold)
   }
 }

@@ -3,6 +3,13 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+/** Per-row LSH signature + bucket keys, the one-kernel UDF result shape
+  * shared by the MinHash and SimHash pipelines. Top-level (not nested in
+  * the object) so Catalyst's generated serializer code can call its
+  * accessors.
+  */
+case class SigBands(sig: Array[Long], bands: Array[Long])
+
 /** Deduplication operators for training-data pipelines, each designed
   * around the 100 TB execution shape:
   *
@@ -154,8 +161,6 @@ object Dedup {
         minhashSigFromText(shingleN, k)(text).as("sig"))
       .filter(col("sig").isNotNull)
 
-  private case class SigBands(sig: Array[Long], bands: Array[Long])
-
   /** Signature AND band keys in one kernel (one UDF call per row — no
     * higher-order band-hash expression tree; see [[minhashSigFromText]]
     * for why the flat tree matters).
@@ -264,9 +269,12 @@ object Dedup {
     require(k % bands == 0, "bands must divide k")
     val spark = df.sparkSession
     import spark.implicits._
+    // no isNotNull filter on the UDF output: a pushed-down filter would
+    // re-evaluate the UDF per row (Filter + Project each compute it);
+    // posexplode of the null struct's null band array emits no rows, which
+    // drops too-short/null texts for free with a single UDF evaluation
     val fat = df.select(col(idCol).cast("long").as("id"),
         minhashSigBandsFromText(shingleN, k, bands)(text).as("sb"))
-      .filter(col("sb").isNotNull)
       .select(col("id"), col("sb.sig").as("sig"),
         posexplode(col("sb.bands")).as(Seq("band", "key")))
     fat.select(col("band"), col("key"), col("id"), col("sig"))
@@ -323,17 +331,43 @@ object Dedup {
     * (chunk index, chunk value), verify Hamming distance inside the bucket
     * (same two-shuffle shape as [[minhashCandidates]]).
     */
+  /** SimHash signature + its four 16-bit chunk keys in one kernel (single
+    * UDF evaluation per row — same rationale as [[minhashSigBandsFromText]]).
+    * Tokenization matches [[TextAnalysis.tokensCol]] over lowercased text.
+    * Empty/blank text -> null (dropped by the downstream explode).
+    */
+  private val simhashSigChunks = udf { text: String =>
+    val toks = if (text == null) Array.empty[String]
+               else { val t = text.toLowerCase.trim
+                      if (t.isEmpty) Array.empty[String] else t.split("\\s+") }
+    if (toks.isEmpty) null
+    else {
+      val counts = new Array[Int](64)
+      toks.foreach { t =>
+        var h = 0xcbf29ce484222325L
+        var i = 0
+        while (i < t.length) { h ^= t.charAt(i); h *= 0x100000001b3L; i += 1 }
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+      SigBands(Array(sig),
+        Array.tabulate(4)(j => (sig >>> (j * 16)) & 0xFFFFL))
+    }
+  }
+
   def simhashCandidates(df: DataFrame, idCol: String, text: Column,
       maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val sigs = df.select(col(idCol).cast("long").as("id"),
-        simhash64(TextAnalysis.tokensCol(lower(text))).as("sig"))
-      .filter(col("sig").isNotNull)
-    val chunks = (0 until 4).map(j =>
-      shiftright(col("sig"), j * 16).bitwiseAND(lit(0xFFFFL)))
-    sigs.select(posexplode(array(chunks: _*)).as(Seq("chunk", "ckey")),
-        col("id"), col("sig"))
+    df.select(col(idCol).cast("long").as("id"), simhashSigChunks(text).as("sb"))
+      .select(posexplode(col("sb.bands")).as(Seq("chunk", "ckey")),
+        col("id"), col("sb.sig").getItem(0).as("sig"))
       .as[(Int, Long, Long, Long)]
       .groupByKey { case (chunk, ckey, _, _) => (chunk, ckey) }
       .flatMapGroups { (_: (Int, Long), it: Iterator[(Int, Long, Long, Long)]) =>
@@ -392,24 +426,120 @@ object Dedup {
     }
   }
 
-  /** Near-dup pairs by exact n-gram Jaccard, with MinHash-LSH candidate
-    * generation (never all-pairs): estimate prunes, exact verifies.
+  /** Sorted distinct shingle hashes + MinHash band keys in one kernel.
+    * MinHash over the multiset equals MinHash over the distinct set (min is
+    * duplicate-insensitive), so the same base hashes serve both: bands for
+    * LSH bucketing, the sorted distinct array for exact verification.
+    */
+  private def ngramShingleBands(n: Int, k: Int, bands: Int) = {
+    val r = k / bands
+    udf { text: String =>
+      if (text == null) null
+      else {
+        val trimmed = text.toLowerCase.trim
+        val toks = if (trimmed.isEmpty) Array.empty[String]
+                   else trimmed.split("\\s+")
+        if (toks.length < n) null
+        else {
+          val nShingles = toks.length - n + 1
+          val base = new Array[Long](nShingles)
+          var s = 0
+          while (s < nShingles) {
+            var h = 0xcbf29ce484222325L
+            var t = 0
+            while (t < n) {
+              if (t > 0) { h ^= ' '; h *= 0x100000001b3L }
+              val tok = toks(s + t)
+              var c = 0
+              while (c < tok.length) { h ^= tok.charAt(c); h *= 0x100000001b3L; c += 1 }
+              t += 1
+            }
+            base(s) = h
+            s += 1
+          }
+          val sig = sigFromBases(base, k)
+          val bk = new Array[Long](bands)
+          var j = 0
+          while (j < bands) {
+            var h = 0xcbf29ce484222325L
+            var p = j * r
+            val end = p + r
+            while (p < end) {
+              var b = 0
+              while (b < 8) { h ^= (sig(p) >>> (b * 8)) & 0xFF; h *= 0x100000001b3L; b += 1 }
+              p += 1
+            }
+            bk(j) = h
+            j += 1
+          }
+          SigBands(base.distinct.sorted, bk)
+        }
+      }
+    }
+  }
+
+  /** Exact Jaccard of two SORTED distinct-hash arrays (merge intersection). */
+  private def sortedJaccard(a: Array[Long], b: Array[Long]): Double = {
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  /** Near-dup pairs by exact n-gram Jaccard: MinHash-LSH bands generate
+    * candidates, the exact (hashed-)shingle-set Jaccard verifies inside the
+    * bucket — same two-shuffle, zero-join shape as [[minhashCandidates]].
+    * Shingles compare by 64-bit FNV hash (collision odds are negligible at
+    * realistic shingle counts and the comparison stays deterministic).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, text: Column,
-      n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val shingled = df.select(col(idCol).as("jid"),
-      distinctShinglesUdf(n)(text).as("sh"))
-    // LSH candidates at a looser estimated threshold, then exact verify
-    val cand = minhashCandidates(df, idCol, text, n,
-      threshold = math.max(0.0, threshold - 0.2))
-    cand
-      .join(shingled.withColumnRenamed("jid", "id_a")
-        .withColumnRenamed("sh", "sh_a"), Seq("id_a"))
-      .join(shingled.withColumnRenamed("jid", "id_b")
-        .withColumnRenamed("sh", "sh_b"), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      n: Int = 3, threshold: Double = 0.8, k: Int = 64, bands: Int = 16,
+      maxBucket: Int = 1000): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        ngramShingleBands(n, k, bands)(text).as("sb"))
+      .select(col("id"), col("sb.sig").as("sh"),
+        posexplode(col("sb.bands")).as(Seq("band", "key")))
+      .select(col("band"), col("key"), col("id"), col("sh"))
+      .as[(Int, Long, Long, Array[Long])]
+      .groupByKey { case (band, key, _, _) => (band, key) }
+      .flatMapGroups { (_: (Int, Long), it: Iterator[(Int, Long, Long, Array[Long])]) =>
+        val buf = new scala.collection.mutable.ArrayBuffer[(Long, Array[Long])]
+        var overflow = false
+        while (it.hasNext && !overflow) {
+          val t = it.next()
+          buf += ((t._3, t._4))
+          if (buf.length > maxBucket) overflow = true
+        }
+        if (overflow || buf.length < 2) Iterator.empty
+        else {
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          var i = 0
+          while (i < buf.length) {
+            var j = i + 1
+            while (j < buf.length) {
+              val (ia, sa) = buf(i)
+              val (ib, sb) = buf(j)
+              if (ia != ib) {
+                val jac = sortedJaccard(sa, sb)
+                if (jac >= threshold)
+                  out += (if (ia < ib) (ia, ib, jac) else (ib, ia, jac))
+              }
+              j += 1
+            }
+            i += 1
+          }
+          out.iterator
+        }
+      }
+      .toDF("id_a", "id_b", "jaccard")
+      .distinct()
   }
 
   // ------------------------------------------- embedding cosine near-dup

@@ -14,6 +14,7 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
       // rejects; read as long (ns since epoch) for engine-portable compares
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

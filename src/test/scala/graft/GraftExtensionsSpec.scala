@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{And, ScalaUDF}
+import org.apache.spark.sql.catalyst.plans.logical.Filter
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Extension wiring: cost-ordered conjuncts + SQL multi_contains.
+  * Builds its own session (the extension must be present at session
+  * construction), separate from the shared SparkSpec session.
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    // getOrCreate would silently return another suite's extension-less
+    // session; withExtensions + newSession-safe construction needs a clean
+    // default, so clear (not stop — the SparkContext is shared) and rebuild.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // withExtensions (not the spark.sql.extensions conf): the conf is a
+    // static one read from the SparkContext's own conf, so it cannot apply
+    // when another suite already created the context — the programmatic
+    // builder hook applies either way.
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", 2)
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    // don't leave this session as the process default: other suites'
+    // getOrCreate must build their own (nanos-tolerant, extension-less) one
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    s
+  }
+
+  test("OracleCostReorder floats a UDF conjunct after cheap predicates") {
+    import spark.implicits._
+    val expensive = udf { s: String => s != null && s.contains("3") }
+    // range source: a LocalRelation would be folded away by the optimizer
+    val df = spark.range(10).toDF("n")
+      .withColumn("t", concat(lit("row"), col("n")))
+      .filter(expensive(col("t")) && col("n") > 1) // expensive FIRST as written
+    val optimized = df.queryExecution.optimizedPlan
+    val conds = optimized.collect { case Filter(c, _) => c }
+    assert(conds.nonEmpty)
+    def flat(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+      case And(l, r) => flat(l) ++ flat(r)
+      case other => Seq(other)
+    }
+    val conjuncts = flat(conds.head)
+    assert(conjuncts.size >= 2)
+    // the UDF conjunct must come last after reordering
+    assert(conjuncts.last.exists(_.isInstanceOf[ScalaUDF]),
+      s"expected ScalaUDF last, got: $conjuncts")
+    assert(!conjuncts.head.exists(_.isInstanceOf[ScalaUDF]))
+    // semantics preserved
+    assert(df.select("n").as[Long].collect().sorted.toSeq == Seq(3L))
+  }
+
+  test("multi_contains is callable from SQL in all three modes") {
+    import spark.implicits._
+    Seq("spark joins fast", "flink streams", "SPARK and Flink")
+      .toDF("t").createOrReplaceTempView("docs")
+    val all = spark.sql(
+      "SELECT t FROM docs WHERE multi_contains(t, array('spark'), 'all')")
+      .as[String].collect().toSet
+    assert(all == Set("spark joins fast", "SPARK and Flink"))
+    val any = spark.sql(
+      "SELECT t FROM docs WHERE multi_contains(t, array('joins','streams'), 'any')")
+      .as[String].collect().toSet
+    assert(any == Set("spark joins fast", "flink streams"))
+    val none = spark.sql(
+      "SELECT t FROM docs WHERE multi_contains(t, array('flink'), 'none')")
+      .as[String].collect().toSet
+    assert(none == Set("spark joins fast"))
+  }
+}

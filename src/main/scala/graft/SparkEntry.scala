@@ -51,6 +51,15 @@ object SparkEntry {
         LogicalOp.KeywordFilter(Seq("event_type"), Seq("error", "signup"), "or", "contains"))
         .select("event_id", "event_type").orderBy("event_id")
     }),
+    "q_keyword_filter_contained_in" -> ((s, dir) => {
+      // relation 'contained_in': the KEYWORD contains the row's value
+      // (documented semantics, not the reference's generator bug —
+      // SURVEY §2a / Operaters.py:21)
+      KeywordFilter(t(s, dir, "region"),
+        LogicalOp.KeywordFilter(Seq("r_name"),
+          Seq("the europe and africa trade zone"), "and", "contained_in"))
+        .select("r_regionkey", "r_name").orderBy("r_regionkey")
+    }),
     "q_keyword_filter_irrelevant" -> ((s, dir) => {
       KeywordFilter(t(s, dir, "documents"),
         LogicalOp.KeywordFilter(Seq("text"), Seq("spark", "window"), "and", "irrelevant"))
@@ -190,6 +199,19 @@ object SparkEntry {
       Slice(t(s, dir, "documents"), Seq("text"), "spark stream", oracle)
         .select("doc_id").orderBy("doc_id")
     }),
+    // ---- date/timestamp filtering (SURVEY §1: dates via year()/
+    //      to_timestamp instead of the reference's LLM text judgment) ----
+    "q_date_filter" -> ((s, dir) => {
+      // events.ts reads as long nanos (nanosAsLong); integer `div` keeps
+      // full precision (a double division would round above 2^53)
+      val e = t(s, dir, "events")
+      val tsc = timestamp_seconds(expr("ts div 1000000000"))
+      e.filter(year(tsc) === 2024 && dayofmonth(tsc).between(10, 19))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    }),
     // ---- text analysis (north-star §7 M6) ------------------------------
     "q_text_stats" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -245,6 +267,16 @@ object SparkEntry {
         .select("query_id", "neighbor_id", "cosine", "rank")
         .orderBy("query_id", "rank")
     }),
+    "q_sim_search_ivf" -> ((s, dir) => {
+      // nProbe == cells -> exact (scans every cell), so this IVF run is
+      // hash-checked against the same brute-force oracle as q_sim_search;
+      // production use sets nProbe << cells for the nProbe/cells scan rate
+      val emb = t(s, dir, "embeddings")
+      Similarity.Ivf.topK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "vec_id", "embedding", k = 3, cells = 4, nProbe = 4)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    }),
     "q_sim_search_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.SignLsh.topK(emb, emb.filter(col("vec_id") < 5),
@@ -294,6 +326,16 @@ object SparkEntry {
       """SELECT event_id, event_type FROM events
          WHERE contains(lower(event_type), 'error') OR contains(lower(event_type), 'signup')
          ORDER BY event_id""",
+    "q_keyword_filter_contained_in" ->
+      """SELECT r_regionkey, r_name FROM region
+         WHERE contains('the europe and africa trade zone', lower(r_name))
+         ORDER BY r_regionkey""",
+    "q_date_filter" ->
+      """SELECT event_type, count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events
+         WHERE year(ts) = 2024 AND day(ts) BETWEEN 10 AND 19
+         GROUP BY event_type ORDER BY event_type""",
     "q_keyword_filter_irrelevant" ->
       """SELECT doc_id FROM documents
          WHERE NOT contains(lower(text), 'spark') AND NOT contains(lower(text), 'window')
@@ -471,6 +513,24 @@ object SparkEntry {
          GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
          ORDER BY doc_id""",
     "q_sim_search" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                    FROM embeddings WHERE vec_id < 5),
+              scored AS (
+                SELECT q.query_id, c.vec_id AS neighbor_id,
+                  list_sum(list_transform(list_zip(c.embedding, q.qv),
+                    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                  / (sqrt(list_sum(list_transform(list_zip(c.embedding, c.embedding),
+                       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))
+                   * sqrt(list_sum(list_transform(list_zip(q.qv, q.qv),
+                       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))))
+                    AS cosine
+                FROM embeddings c, q WHERE c.vec_id <> q.query_id)
+         SELECT query_id, neighbor_id, cosine, rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+         WHERE rank <= 3 ORDER BY query_id, rank""",
+    // IVF with nProbe == cells is exact -> same oracle as brute force
+    "q_sim_search_ivf" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                     FROM embeddings WHERE vec_id < 5),
               scored AS (

@@ -65,6 +65,135 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) approximate nearest neighbor — the
+    * train/assign/probe scale path beside [[SignLsh]].
+    *
+    *   - '''train''': spherical k-means (Lloyd, fixed iterations,
+    *     deterministic evenly-spaced init) over a BOUNDED id-ordered sample
+    *     collected to the driver — the one intentionally non-distributed
+    *     step, standard for IVF, bounded by `sampleN` regardless of corpus
+    *     size;
+    *   - '''assign''': nearest-centroid cell id per corpus row, a map-only
+    *     broadcast kernel (at 100 TB the cell becomes a partition/bucket
+    *     column, so a probe prunes storage too);
+    *   - '''probe''': each query fans out to its `nProbe` closest cells and
+    *     scores only those cells' rows. `nProbe == cells` degenerates to
+    *     exact brute force (used by the correctness gate); small `nProbe`
+    *     trades recall for a `nProbe/cells` scan fraction.
+    */
+  object Ivf {
+
+    private def normalize(v: Array[Double]): Array[Double] = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      val n = math.sqrt(s)
+      if (n == 0.0) v else { val o = new Array[Double](v.length)
+        var j = 0; while (j < v.length) { o(j) = v(j) / n; j += 1 }; o }
+    }
+
+    private def dotD(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { d += a(i) * b(i); i += 1 }
+      d
+    }
+
+    /** Deterministic spherical k-means centroids from an id-ordered sample.
+      * Unit-norm centroids; empty cells keep their previous centroid.
+      */
+    def train(corpus: DataFrame, idCol: String, vecCol: String, cells: Int,
+        sampleN: Int = 10000, iters: Int = 10): Array[Array[Double]] = {
+      val sample = corpus
+        .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+        .orderBy(col(idCol)).limit(sampleN)
+        .select("v").collect()
+        .map(r => normalize(r.getSeq[Double](0).toArray))
+        .filter(_.exists(_ != 0.0))
+      require(sample.length >= cells,
+        s"need >= $cells non-zero sample vectors, got ${sample.length}")
+      // evenly spaced init over the id-ordered sample: deterministic, spread
+      var centroids = Array.tabulate(cells)(c =>
+        sample((c.toLong * sample.length / cells).toInt))
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(cells)(new Array[Double](centroids(0).length))
+        val counts = new Array[Int](cells)
+        sample.foreach { v =>
+          var best = 0; var bestD = Double.NegativeInfinity
+          var c = 0
+          while (c < cells) {
+            val d = dotD(v, centroids(c))
+            if (d > bestD) { bestD = d; best = c }
+            c += 1
+          }
+          val s = sums(best)
+          var i = 0
+          while (i < v.length && i < s.length) { s(i) += v(i); i += 1 }
+          counts(best) += 1
+        }
+        centroids = Array.tabulate(cells)(c =>
+          if (counts(c) == 0) centroids(c) else normalize(sums(c)))
+        it += 1
+      }
+      centroids
+    }
+
+    /** Adds `cell`: index of the nearest (max cosine) centroid. */
+    def withCell(df: DataFrame, vecCol: String,
+        centroids: Array[Array[Double]]): DataFrame = {
+      val cents = centroids // stable closure capture
+      val kernel = udf { v: Seq[Double] =>
+        if (v == null) null
+        else {
+          val nv = normalize(v.toArray)
+          var best = 0; var bestD = Double.NegativeInfinity
+          var c = 0
+          while (c < cents.length) {
+            val d = dotD(nv, cents(c))
+            if (d > bestD) { bestD = d; best = c }
+            c += 1
+          }
+          java.lang.Integer.valueOf(best)
+        }
+      }
+      df.withColumn("cell", kernel(col(vecCol).cast("array<double>")))
+    }
+
+    /** Approximate top-k: score each query only against its nProbe closest
+      * cells. Output matches [[bruteForceTopK]]: (query_id, neighbor_id,
+      * cosine, rank).
+      */
+    def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
+        qidCol: String, vecCol: String, k: Int, cells: Int, nProbe: Int,
+        sampleN: Int = 10000, iters: Int = 10): DataFrame = {
+      val centroids = train(corpus, idCol, vecCol, cells, sampleN, iters)
+      val cents = centroids
+      val probes = math.min(nProbe, cells)
+      val probeKernel = udf { v: Seq[Double] =>
+        if (v == null) null
+        else {
+          val nv = normalize(v.toArray)
+          cents.indices.map(c => (dotD(nv, cents(c)), c))
+            .sortBy { case (d, c) => (-d, c) }
+            .take(probes).map(_._2).toArray
+        }
+      }
+      val c = withCell(corpus, vecCol, centroids)
+        .select(col("cell"), col(idCol).as("neighbor_id"),
+          col(vecCol).as("__cvec"))
+      val q = broadcast(queries
+        .select(col(qidCol).as("query_id"), col(vecCol).as("__qvec"),
+          explode(probeKernel(col(vecCol).cast("array<double>"))).as("cell")))
+      val scored = c.join(q, Seq("cell"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosine(col("__cvec"), col("__qvec")).as("cosine"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    }
+  }
+
   /** Random-hyperplane sign LSH. Plane coefficients are generated from a
     * seeded RNG at plan time (literal arrays, broadcast inside the
     * expression) — deterministic across runs and engines.

@@ -164,6 +164,43 @@ class SimilaritySpec extends SparkSpec {
       .select("neighbor_id").as[Long].collect().toSet
     assert(approx.contains(2L))
   }
+
+  test("Ivf with nProbe == cells equals brute force exactly") {
+    val queries = corpus.filter(col("vec_id") <= 2L)
+    val exact = Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "vec_id", "embedding", 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().sortBy(t => (t._1, t._3)).toSeq
+    val ivf = Similarity.Ivf.topK(corpus, queries,
+      "vec_id", "vec_id", "embedding", k = 2, cells = 2, nProbe = 2,
+      sampleN = 100, iters = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().sortBy(t => (t._1, t._3)).toSeq
+    assert(ivf == exact)
+  }
+
+  test("Ivf probing fewer cells returns a subset ranked consistently") {
+    val queries = corpus.filter(col("vec_id") === 1L)
+    val got = Similarity.Ivf.topK(corpus, queries,
+      "vec_id", "vec_id", "embedding", k = 3, cells = 2, nProbe = 1,
+      sampleN = 100, iters = 5)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    // nearest neighbor (2L, nearly parallel) must share query's cell
+    assert(got.nonEmpty && got.head._1 == 2L)
+    // ranks are dense from 1
+    assert(got.map(_._2).toSeq == (1 to got.length).toSeq)
+  }
+
+  test("Ivf train is deterministic and assigns every row a cell") {
+    val c1 = Similarity.Ivf.train(corpus, "vec_id", "embedding", 2,
+      sampleN = 100, iters = 3)
+    val c2 = Similarity.Ivf.train(corpus, "vec_id", "embedding", 2,
+      sampleN = 100, iters = 3)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    val cells = Similarity.Ivf.withCell(corpus, "embedding", c1)
+      .select("cell").as[Int].collect()
+    assert(cells.length == 5 && cells.forall(c => c >= 0 && c < 2))
+  }
 }
 
 class MultimodalSpec extends SparkSpec {

@@ -165,6 +165,12 @@ object SparkEntry {
         tiebreak = Seq("doc_id"))
         .select("doc_id", "sem_score")
     }),
+    "q_sem_topk_duel" -> ((s, dir) => {
+      SemTopK.duelTopK(t(s, dir, "documents"),
+        LogicalOp.SemTopK(Seq("text"), "spark join window", 5), oracle,
+        idCol = "doc_id")
+        .select("doc_id", "duel_wins")
+    }),
     // ---- cost-ordered filter cascade (SURVEY §2c/§4) -------------------
     "q_cascade" -> ((s, dir) => {
       val plan = Seq(
@@ -430,6 +436,23 @@ object SparkEntry {
                   AS DOUBLE) / 3.0 AS sem_score
          FROM documents
          ORDER BY sem_score DESC, doc_id LIMIT 5""",
+    "q_sem_topk_duel" ->
+      """WITH scored AS (
+           SELECT doc_id, text,
+                  (CASE WHEN contains(lower(text), 'spark') THEN 1 ELSE 0 END
+                 + CASE WHEN contains(lower(text), 'join') THEN 1 ELSE 0 END
+                 + CASE WHEN contains(lower(text), 'window') THEN 1 ELSE 0 END)
+                  / 3.0 AS s
+           FROM documents),
+         cand AS (SELECT * FROM scored ORDER BY s DESC, doc_id LIMIT 20),
+         wins AS (
+           SELECT a.doc_id,
+                  CAST(sum(CASE WHEN a.s > b.s THEN 1 ELSE 0 END) AS BIGINT)
+                    AS duel_wins
+           FROM cand a, cand b WHERE a.doc_id <> b.doc_id
+           GROUP BY a.doc_id)
+         SELECT doc_id, duel_wins FROM wins
+         ORDER BY duel_wins DESC, doc_id LIMIT 5""",
     "q_cascade" ->
       """SELECT doc_id FROM documents
          WHERE try_cast(n_chars AS DOUBLE) >= 200

@@ -109,6 +109,41 @@ object SemTopK {
       .orderBy(col(scoreCol).desc +: tiebreak.map(col(_).asc): _*)
       .limit(op.k)
   }
+
+  /** Opt-in duel mode (SURVEY §7 hard-part #3): the reference's pairwise
+    * tournament, made deterministic and scale-bounded. The reference duels
+    * each row against ~5 unseeded random opponents because every duel is an
+    * LLM call; here a score pass prefilters to a BOUNDED candidate set
+    * (`overscan * k`, via `TakeOrderedAndProject` — scales to any input),
+    * then the full round-robin runs inside that set: better duel coverage
+    * at the same O(C²) bounded oracle cost, zero RNG. With an intransitive
+    * LLM oracle the win-count ranking genuinely differs from score order;
+    * with the deterministic oracle it coincides (which makes it
+    * SQL-checkable).
+    *
+    * @param idCol unique id column for win grouping and stable tiebreaks
+    * @return top-k rows of the candidate set with their `duel_wins`
+    */
+  def duelTopK(df: DataFrame, op: LogicalOp.SemTopK, oracle: SemanticOracle,
+      idCol: String, overscan: Int = 4): DataFrame = {
+    val c = math.max(op.k * overscan, 20)
+    val cands = apply(df, op.copy(k = c), oracle, tiebreak = Seq(idCol))
+    val withText = cands.withColumn("__t", Ops.textCol(cands, op.columns))
+    val left = withText.select(col(idCol).as("__ida"), col("__t").as("__ta"))
+    val right = withText.select(col(idCol).as("__idb"), col("__t").as("__tb"))
+    val duelU = udf { (ta: String, tb: String) =>
+      oracle.duel(Option(ta).getOrElse(""), Option(tb).getOrElse(""), op.query)
+    }
+    val wins = left.crossJoin(broadcast(right))
+      .filter(col("__ida") =!= col("__idb"))
+      .withColumn("__win", when(duelU(col("__ta"), col("__tb")), 1).otherwise(0))
+      .groupBy(col("__ida").as(idCol))
+      .agg(sum("__win").as("duel_wins"))
+    cands.join(wins, Seq(idCol), "left")
+      .na.fill(0L, Seq("duel_wins"))
+      .orderBy(col("duel_wins").desc, col(idCol).asc)
+      .limit(op.k)
+  }
 }
 
 /** `sem_reduce` — summarize a group's distinct texts into one phrase

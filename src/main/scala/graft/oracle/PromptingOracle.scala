@@ -48,6 +48,13 @@ abstract class PromptingOracle extends BatchedOracle {
        |Focus: $desc
        |Values: ${values.mkString("; ")}""".stripMargin
 
+  protected def duelPrompt(a: String, b: String, query: String): String =
+    s"""Which text is more relevant to the query?
+       |Query: $query
+       |Text A: $a
+       |Text B: $b
+       |Answer strictly A or B.""".stripMargin
+
   protected def scorePrompt(text: String, query: String): String =
     s"""Rate the relevance of the text to the query from 0.0 to 1.0.
        |Query: $query
@@ -76,6 +83,9 @@ abstract class PromptingOracle extends BatchedOracle {
 
   override def summarize(values: Seq[String], desc: String): String =
     complete(summarizePrompt(values, desc)).trim
+
+  override def duel(a: String, b: String, query: String): Boolean =
+    complete(duelPrompt(a, b, query)).trim.toUpperCase.startsWith("A")
 
   override def score(text: String, query: String): Double =
     try complete(scorePrompt(text, query)).trim.toDouble match {

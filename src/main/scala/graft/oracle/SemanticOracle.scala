@@ -47,6 +47,14 @@ trait SemanticOracle extends Serializable {
   /** sem_topk: relevance of `text` to `query` in [0, 1]. */
   def score(text: String, query: String): Double
 
+  /** sem_topk duel mode: does `a` beat `b` for `query`? Default: strictly
+    * higher score wins (ties: neither side wins — antisymmetric and
+    * deterministic). An LLM oracle overrides this with the reference's
+    * pairwise "which is better" judgment (Operaters.py:453-494).
+    */
+  def duel(a: String, b: String, query: String): Boolean =
+    score(a, query) > score(b, query)
+
   /** Catalyst compilation hooks: Some(textCol => predicate/value column) when
     * this oracle's semantics are expressible as native Spark expressions
     * (keeps codegen + pushdown). None => operators use the UDF path.

@@ -50,6 +50,22 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  // ------------------------------------------------------ streaming dedup
+
+  /** Streaming exact dedup on a set of key columns: emits one row per key —
+    * the first micro-batch to carry a key wins (within a single batch the
+    * surviving row is unspecified, as with Spark's dropDuplicates). State is
+    * bounded by the watermark (`dropDuplicatesWithinWatermark` evicts key
+    * state once the key's event time passes it — unbounded-run-safe, unlike
+    * plain dropDuplicates whose state grows forever). The streaming face of
+    * [[graft.pipeline.Dedup.exactDedup]].
+    */
+  def streamingDedup(stream: DataFrame, keyCols: Seq[String],
+      lateness: String = "10 minutes"): DataFrame =
+    withEventTime(stream)
+      .withWatermark("event_time", lateness)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   // ----------------------------------------------- stateful sessionization
 
   final case class Event(user_id: Long, event_type: String, value: Double,

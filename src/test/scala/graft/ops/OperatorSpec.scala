@@ -147,6 +147,19 @@ class OperatorSpec extends SparkSpec {
     assert(got(2)._2 === 1.0 / 3.0)
   }
 
+  test("sem_topk duel mode: round-robin wins reproduce score order on a transitive oracle") {
+    val got = SemTopK.duelTopK(docs,
+      LogicalOp.SemTopK(Seq("title"), "spark join window", 3), oracle,
+      idCol = "id", overscan = 4)
+      .select("id", "duel_wins").as[(Long, Long)].collect()
+    // scores: id1=id3=2/3 (spark+join), id2=1/3, id4=id5=0. Strict wins:
+    // 1 and 3 each beat {2,4,5} (3 wins, tied -> id asc), 2 beats {4,5}
+    assert(got.map(_._1).toSeq == Seq(1L, 3L, 2L))
+    assert(got.head._2 == got.map(_._2).max)
+    // every win count is within [0, candidates-1]
+    assert(got.forall { case (_, w) => w >= 0 && w < 5 })
+  }
+
   // ------------------------------------------------- aggregation + topk ops
 
   test("count with group_by and distinct columns") {

@@ -52,6 +52,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingDedup keeps first arrival per key within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Double)]
+    val q = EventStreams.streamingDedup(
+      mem.toDF().toDF("event_id", "ts", "user_id_s", "value"),
+      keyCols = Seq("user_id_s"), lateness = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      // base offset: an event AT the initial zero watermark would be late
+      val h = 3600L * us * 1000 // one hour in nanos
+      mem.addData((1L, h, "alice", 1.0))
+      q.processAllAvailable()
+      // later batch: duplicate key inside the watermark is dropped
+      mem.addData(
+        (2L, h + 1L * us * 1000, "alice", 2.0),
+        (3L, h + 2L * us * 1000, "bob", 3.0))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out")
+        .select("event_id", "user_id_s").as[(Long, String)].collect().toSet
+      assert(got == Set((1L, "alice"), (3L, "bob")))
+    } finally q.stop()
+  }
+
   test("stateful sessionize over MemoryStream emits closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     implicit val ss = spark

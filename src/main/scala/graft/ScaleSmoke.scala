@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+
+/** Empirical scale check for the pipeline operators: inflate documents by
+  * `factor` (deterministic per-copy token edits so copies of different
+  * rows don't collide, while copy 0/1 of the same row stay near-dups),
+  * write to parquet, and time the dedup/search/analysis paths at 1x and
+  * `factor`x. Healthy shapes scale near-linearly; a quadratic candidate
+  * explosion or a skew-collapsed bucket shows up immediately.
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.ScaleSmoke 20"
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(20)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val n = docs.count()
+    val big = s"/tmp/graft_scale_docs_$factor"
+    // copy c of doc d: id = d*factor + c, text prefixed with a copy marker
+    // token so different copies are near-dups of each other (same body)
+    // but distinct rows; bodies of different docs stay unrelated
+    docs.crossJoin(spark.range(factor).toDF("copy"))
+      .select((col("doc_id") * factor + col("copy")).as("doc_id"),
+        concat(lit("copymark"), col("copy") % 2, lit(" "), col("text")).as("text"))
+      .write.mode("overwrite").parquet(big)
+    val inflated = spark.read.parquet(big)
+    println(s"SCALE base=$n inflated=${inflated.count()} (${factor}x)")
+
+    def time(label: String)(f: DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f.count()
+      println(f"SCALE $label%-22s ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$rows")
+    }
+
+    Seq(("1x", docs), (s"${factor}x", inflated)).foreach { case (tag, d) =>
+      println(s"--- $tag")
+      time(s"exact_dedup")(Dedup.exactGroups(d, "doc_id",
+        Seq(TextAnalysis.fingerprint(col("text")))))
+      time(s"minhash")(Dedup.minhashCandidates(d, "doc_id", col("text"),
+        threshold = 0.8))
+      time(s"simhash")(Dedup.simhashCandidates(d, "doc_id", col("text")))
+      time(s"ngram")(Dedup.ngramJaccardPairs(d, "doc_id", col("text"),
+        threshold = 0.8))
+      time(s"text_stats")(TextAnalysis.enrich(d, "text"))
+    }
+    spark.stop()
+  }
+}

@@ -34,7 +34,8 @@ final case class DimensionViews(column: String,
 
 final case class CubeNode(id: Int, query: String,
     predicates: Set[String], df: DataFrame,
-    dims: Map[String, DimensionViews], plan: Seq[LogicalOp])
+    dims: Map[String, DimensionViews], plan: Seq[LogicalOp],
+    filterOps: Seq[LogicalOp] = Seq.empty)
 
 /** Canonicalization of filter predicates for subsumption keys: each filter
   * op encodes to a normalized string atom; a query's key is the SET of its
@@ -55,6 +56,57 @@ object PredicateAtoms {
   }
 
   def atoms(filters: Seq[LogicalOp]): Set[String] = filters.map(atom).toSet
+
+  /** Conservative single-atom implication: do `q`'s rows form a subset of
+    * `c`'s rows? The structural analogue of the reference's LLM `Subset`
+    * judgment (OLAP_Memory.py:5-44) for the decidable cases:
+    *
+    *   - identical atoms;
+    *   - AND-of-numeric-conditions where every cached condition is entailed
+    *     by a query condition on the same column (`x >= 300` implies
+    *     `x >= 200`);
+    *   - AND-contains keyword filters over the same columns where the query
+    *     keywords are a superset of the cached ones.
+    *
+    * Anything else -> false (no reuse), never a wrong reuse.
+    */
+  def implies(q: LogicalOp, c: LogicalOp): Boolean =
+    atom(q) == atom(c) || ((q, c) match {
+      case (a: LogicalOp.NumFilter, b: LogicalOp.NumFilter)
+          if a.logic.equalsIgnoreCase("and") && b.logic.equalsIgnoreCase("and") =>
+        b.conditions.forall(bc => a.conditions.exists(ac => condImplies(ac, bc)))
+      case (a: LogicalOp.KeywordFilter, b: LogicalOp.KeywordFilter)
+          if a.relation == "contains" && b.relation == "contains" &&
+            a.logic.equalsIgnoreCase("and") && b.logic.equalsIgnoreCase("and") &&
+            a.columns.sorted == b.columns.sorted =>
+        b.keywords.map(_.toLowerCase).toSet
+          .subsetOf(a.keywords.map(_.toLowerCase).toSet)
+      case _ => false
+    })
+
+  /** Does satisfying numeric condition `a` entail satisfying `b`? */
+  private def condImplies(a: graft.plan.NumCondition,
+      b: graft.plan.NumCondition): Boolean =
+    a.column == b.column && ((a.op, b.op) match {
+      case ("==", _) => b.op match {
+        case "==" => a.threshold == b.threshold
+        case ">"  => a.threshold > b.threshold
+        case ">=" => a.threshold >= b.threshold
+        case "<"  => a.threshold < b.threshold
+        case "<=" => a.threshold <= b.threshold
+        case "!=" => a.threshold != b.threshold
+        case _ => false
+      }
+      case (">", ">")   => a.threshold >= b.threshold
+      case (">", ">=")  => a.threshold >= b.threshold
+      case (">=", ">=") => a.threshold >= b.threshold
+      case (">=", ">")  => a.threshold > b.threshold
+      case ("<", "<")   => a.threshold <= b.threshold
+      case ("<", "<=")  => a.threshold <= b.threshold
+      case ("<=", "<=") => a.threshold <= b.threshold
+      case ("<=", "<")  => a.threshold < b.threshold
+      case _ => a.op == b.op && a.threshold == b.threshold
+    })
 }
 
 class CubeCatalog(root: DataFrame, oracle: SemanticOracle) {
@@ -82,20 +134,36 @@ class CubeCatalog(root: DataFrame, oracle: SemanticOracle) {
     nodes.filter(n => n.predicates.subsetOf(query))
       .maxBy(n => (n.predicates.size, -n.id)) // most predicates; oldest wins ties
 
+  /** Implication-aware base: a cached node is usable when EVERY one of its
+    * filters is implied by some query filter (so cached rows ⊇ query rows)
+    * — catching range refinements (`x >= 300` over a cached `x >= 200`) and
+    * keyword-superset refinements, not just syntactic atom containment.
+    */
+  def bestBaseImplied(filters: Seq[LogicalOp]): CubeNode =
+    nodes.filter(n =>
+        // only nodes whose filterOps fully describe their predicates are
+        // implication-eligible (externally registered nodes may not carry
+        // their ops; an empty filterOps there would look unconstrained)
+        PredicateAtoms.atoms(n.filterOps) == n.predicates &&
+        n.filterOps.forall(c =>
+          filters.exists(q => PredicateAtoms.implies(q, c))))
+      .maxBy(n => (n.predicates.size, -n.id))
+
   /** Run a conjunctive filter query against the catalog: find the smallest
-    * cached superset, apply only the DELTA predicates, register the result.
-    * Returns the (possibly reused) node.
+    * cached superset, apply only the DELTA predicates (every query filter
+    * whose exact atom the base doesn't already enforce), register the
+    * result. Returns the (possibly reused) node.
     */
   def filterQuery(queryText: String, filters: Seq[LogicalOp]): CubeNode = {
     val key = PredicateAtoms.atoms(filters)
-    val base = bestBase(key)
+    val base = bestBaseImplied(filters)
     if (relation(base.predicates, key) == Equal) return base
 
-    val byAtom = filters.map(f => PredicateAtoms.atom(f) -> f).toMap
-    val delta = (key -- base.predicates).toSeq.sorted.map(byAtom)
+    val delta = filters.filterNot(f =>
+      base.predicates.contains(PredicateAtoms.atom(f)))
     val df = Cascade.filter(base.df, delta.zipWithIndex.map(_.swap), None, oracle)
     val n = CubeNode(nextId, queryText, key, df, base.dims,
-      base.plan ++ delta)
+      base.plan ++ delta, filters)
     nextId += 1
     nodes = nodes :+ n
     n

@@ -53,6 +53,53 @@ class CatalogSpec extends SparkSpec {
     assert(reused == Seq(3L))
   }
 
+  test("implication reuse: numeric range refinement starts from the looser cached node") {
+    val cat = new CubeCatalog(fixture, oracle)
+    val loose = cat.filterQuery("score > 20",
+      Seq(LogicalOp.NumFilter(Seq(NumCondition("score", 20, ">")), "and")))
+    val strict = LogicalOp.NumFilter(Seq(NumCondition("score", 45, ">")), "and")
+    val n2 = cat.filterQuery("score > 45", Seq(strict))
+    // plan = loose node's plan ++ [strict] proves the base was the cached
+    // node, not the root
+    assert(n2.plan == loose.plan :+ strict)
+    assert(n2.df.select("id").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
+  }
+
+  test("implication reuse: keyword superset refines the cached keyword node") {
+    val cat = new CubeCatalog(fixture, oracle)
+    val base = cat.filterQuery("spark docs", Seq(fSpark))
+    val wider = LogicalOp.KeywordFilter(Seq("title"), Seq("spark", "join"),
+      "and", "contains")
+    val n2 = cat.filterQuery("spark join docs", Seq(wider))
+    assert(n2.plan == base.plan :+ wider)
+    assert(n2.df.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 4L))
+  }
+
+  test("implication never reuses a node the query does not entail") {
+    val cat = new CubeCatalog(fixture, oracle)
+    // cached: score in (20, 45]; query: score > 45 does NOT imply score <= 45
+    cat.filterQuery("mid score", Seq(LogicalOp.NumFilter(
+      Seq(NumCondition("score", 20, ">"), NumCondition("score", 45, "<=")), "and")))
+    val n2 = cat.filterQuery("high score", Seq(LogicalOp.NumFilter(
+      Seq(NumCondition("score", 45, ">")), "and")))
+    assert(n2.plan.size == 1) // built from the root, not the cached node
+    assert(n2.df.select("id").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
+  }
+
+  test("condition implication is direction- and strictness-correct") {
+    import PredicateAtoms.implies
+    def nf(op: String, th: Double) =
+      LogicalOp.NumFilter(Seq(NumCondition("x", th, op)), "and")
+    assert(implies(nf(">=", 300), nf(">=", 200)))
+    assert(!implies(nf(">=", 200), nf(">=", 300)))
+    assert(implies(nf(">", 200), nf(">=", 200)))
+    assert(!implies(nf(">=", 200), nf(">", 200)))
+    assert(implies(nf("<=", 100), nf("<", 200)))
+    assert(!implies(nf("<=", 200), nf("<", 200)))
+    assert(implies(nf("==", 250), nf(">", 200)))
+    assert(!implies(nf("==", 150), nf(">", 200)))
+  }
+
   test("atom canonicalization is order/case insensitive") {
     val a = PredicateAtoms.atom(LogicalOp.KeywordFilter(
       Seq("b", "a"), Seq("X", "y"), "and", "contains"))

@@ -212,7 +212,14 @@ object SparkEntry {
       // full precision (a double division would round above 2^53)
       val e = t(s, dir, "events")
       val tsc = timestamp_seconds(expr("ts div 1000000000"))
-      e.filter(year(tsc) === 2024 && dayofmonth(tsc).between(10, 19))
+      // redundant coarse bound on the RAW column: year()/day() of a derived
+      // timestamp cannot push to parquet, but this range does — row-group
+      // min/max pruning skips whole chunks at scale (result unchanged)
+      val y2024 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+      val y2025 = java.time.Instant.parse("2025-01-01T00:00:00Z")
+      def nanos(i: java.time.Instant): Long = i.getEpochSecond * 1000000000L
+      e.filter(col("ts") >= nanos(y2024) && col("ts") < nanos(y2025) &&
+          year(tsc) === 2024 && dayofmonth(tsc).between(10, 19))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))

@@ -98,14 +98,17 @@ object SemTopK {
       tiebreak: Seq[String] = Seq.empty,
       scoreCol: String = "sem_score"): DataFrame = {
     val text = Ops.textCol(df, op.columns)
-    val score = oracle.compileScore(op.query) match {
-      case Some(f) => f(text)
-      case None =>
+    val scored = (oracle, oracle.compileScore(op.query)) match {
+      case (_, Some(f)) => df.withColumn(scoreCol, f(text))
+      case (b: graft.oracle.BatchedOracle, None) =>
+        // LLM-style oracle: batched mapPartitions scoring, not per-row UDF
+        graft.oracle.BatchedExec.semScore(df, scoreCol, text, op.query, b)
+      case (_, None) =>
         val sc = udf((t: String) =>
           if (t == null) 0.0 else oracle.score(t, op.query))
-        sc(text)
+        df.withColumn(scoreCol, sc(text))
     }
-    df.withColumn(scoreCol, score)
+    scored
       .orderBy(col(scoreCol).desc +: tiebreak.map(col(_).asc): _*)
       .limit(op.k)
   }

@@ -120,9 +120,21 @@ object SemFilter {
     }
   }
 
+  /** Standalone sem_filter. A non-compilable [[graft.oracle.BatchedOracle]]
+    * (an LLM transport) routes through the mapPartitions batched path — one
+    * oracle call per batch with per-partition client reuse — instead of a
+    * per-row UDF. Inside a mixed cascade (where leaves must be Columns) the
+    * UDF path still applies, but cost ordering has already minimized the
+    * rows that reach it.
+    */
   def apply(df: DataFrame, op: LogicalOp.SemFilter,
-      oracle: SemanticOracle): DataFrame =
-    df.filter(predicate(df, op.columns, op.condition, oracle))
+      oracle: SemanticOracle): DataFrame = oracle match {
+    case b: graft.oracle.BatchedOracle
+        if oracle.compileJudge(op.condition).isEmpty =>
+      graft.oracle.BatchedExec.semFilter(df, Ops.textCol(df, op.columns),
+        op.condition, b)
+    case _ => df.filter(predicate(df, op.columns, op.condition, oracle))
+  }
 }
 
 /** `sem_map` — derive a new named dimension from row text
@@ -143,9 +155,17 @@ object SemMap {
     }
   }
 
+  /** Standalone sem_map; batched-oracle routing as in [[SemFilter.apply]]. */
   def apply(df: DataFrame, op: LogicalOp.SemMap,
-      oracle: SemanticOracle): DataFrame =
-    df.withColumn(op.keyword, column(df, op.columns, op.mapDescription, oracle))
+      oracle: SemanticOracle): DataFrame = oracle match {
+    case b: graft.oracle.BatchedOracle
+        if oracle.compileExtract(op.mapDescription).isEmpty =>
+      graft.oracle.BatchedExec.semMap(df, op.keyword,
+        Ops.textCol(df, op.columns), op.mapDescription, b)
+    case _ =>
+      df.withColumn(op.keyword,
+        column(df, op.columns, op.mapDescription, oracle))
+  }
 }
 
 /** `sem_group` — semantic GROUP-BY label assignment
@@ -189,10 +209,17 @@ object SemGroup {
     }
   }
 
-  /** Closed-set grouping with a caller-provided vocabulary. */
+  /** Closed-set grouping with a caller-provided vocabulary;
+    * batched-oracle routing as in [[SemFilter.apply]].
+    */
   def apply(df: DataFrame, op: LogicalOp.SemGroup, vocab: Seq[TagRule],
-      oracle: SemanticOracle): DataFrame =
-    df.withColumn(op.keyword, column(df, op.columns, vocab, oracle))
+      oracle: SemanticOracle): DataFrame = oracle match {
+    case b: graft.oracle.BatchedOracle
+        if oracle.compileClassify(vocab).isEmpty =>
+      graft.oracle.BatchedExec.semClassify(df, op.keyword,
+        Ops.textCol(df, op.columns), vocab, b)
+    case _ => df.withColumn(op.keyword, column(df, op.columns, vocab, oracle))
+  }
 
   /** Open-set grouping: mine the vocabulary, then classify. */
   def apply(df: DataFrame, op: LogicalOp.SemGroup, oracle: SemanticOracle,

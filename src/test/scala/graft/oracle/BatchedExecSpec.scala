@@ -52,6 +52,18 @@ class BatchedExecSpec extends SparkSpec {
     assert(got.size == 200)
   }
 
+  test("SemFilter routes a non-compilable BatchedOracle through batches") {
+    CountingOracle.batches.set(0); CountingOracle.maxBatch.set(0)
+    val oracle = new CountingOracle
+    val got = graft.ops.SemFilter(docs,
+      graft.plan.LogicalOp.SemFilter(Seq("txt"), "spark"), oracle)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got.size == 66)
+    // operator-level routing: the 200 judgments arrived in <= 8 batches
+    assert(CountingOracle.batches.get() > 0 &&
+      CountingOracle.batches.get() <= 8)
+  }
+
   test("batch kernel arity mismatch fails loudly") {
     val bad = intercept[org.apache.spark.SparkException] {
       BatchedExec.withBatchedColumn(docs, "x",

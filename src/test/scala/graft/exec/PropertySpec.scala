@@ -104,6 +104,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("implication reuse equals from-scratch for random threshold refinement chains") {
+    import graft.cube.CubeCatalog
+    // chains of progressively tighter thresholds on one column: every step
+    // after the first must reuse via implication, never via atom equality
+    val genThresholds: Gen[Seq[Double]] = for {
+      n <- Gen.choose(2, 4)
+      xs <- Gen.listOfN(n, Gen.choose(0, 55).map(_.toDouble))
+    } yield xs.distinct.sorted
+    val genOp: Gen[String] = Gen.oneOf(">", ">=")
+    forAll(Gen.zip(genThresholds, genOp), n = 20) { case (ths, cmp) =>
+      if (ths.size >= 2) {
+        val cat = new CubeCatalog(df, oracle)
+        ths.foreach { th =>
+          cat.filterQuery(s"v $cmp $th",
+            Seq(LogicalOp.NumFilter(Seq(NumCondition("v", th, cmp)), "and")))
+        }
+        val strictest = LogicalOp.NumFilter(
+          Seq(NumCondition("v", ths.last, cmp)), "and")
+        val reused = cat.filterQuery("final", Seq(strictest))
+          .df.select("id").as[Long].collect().sorted.toSeq
+        val scratch = Cascade.filter(df, Seq(0 -> strictest), None, oracle)
+          .select("id").as[Long].collect().sorted.toSeq
+        assert(reused == scratch, s"thresholds $ths op $cmp")
+      }
+    }
+  }
+
   test("cascade result equals truth-table evaluation for random trees") {
     // per-row leaf truth computed independently, as ground truth
     val rows = df.collect().map { r =>

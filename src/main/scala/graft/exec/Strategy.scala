@@ -10,8 +10,20 @@ import graft.ops.{KeywordFilter, NumFilter, Ops, SemFilter}
   * data-driven validators of the reference's dice agent
   * (Semantic-OLAP/Agents/Dice_Agent.py:68-105), recast as distributed
   * aggregations (never a driver-side scan of raw rows).
+  *
+  * Scale posture: a strategy decision is a statistic, not an answer — it is
+  * computed on a BOUNDED deterministic prefix of the column (`sampleCap`
+  * rows), so gating cost is flat no matter the table size. The cardinality
+  * table that backs each gate is computed once and briefly persisted; its
+  * size is bounded by the sample.
   */
 object ColumnStats {
+
+  /** Upper bound on rows consulted for any strategy decision. */
+  val sampleCap = 100000
+
+  private def sample(df: DataFrame, column: String): DataFrame =
+    df.select(col(column).cast("string").as("v")).limit(sampleCap)
 
   /** Digit-mask template view of a column: `\d+` -> `<*>`
     * (Operaters.py:216-219).
@@ -20,7 +32,7 @@ object ColumnStats {
     regexp_replace(c.cast("string"), "\\d+", "<*>")
 
   final case class PatternStats(nRows: Long, nTemplates: Long,
-      top3Coverage: Double) {
+      top3Coverage: Double, topTemplate: Option[String]) {
     /** Gate per Dice_Agent.py:68-77: top-3 templates cover >80% of rows and
       * unique-template ratio <1%, or fewer than 5 templates overall.
       */
@@ -30,16 +42,24 @@ object ColumnStats {
   }
 
   def patternStats(df: DataFrame, column: String): PatternStats = {
-    val t = df.select(templateCol(col(column)).as("tpl"))
+    val t = sample(df, column)
+      .select(templateCol(col("v")).as("tpl"))
       .groupBy("tpl").count()
-    val agg = t.agg(
-      sum("count").as("rows"),
-      count(lit(1)).as("tpls")).collect()(0)
-    val nRows = agg.getLong(0)
-    val nTpl = agg.getLong(1)
-    val top3 = t.orderBy(col("count").desc).limit(3)
-      .agg(sum("count")).collect()(0).getLong(0)
-    PatternStats(nRows, nTpl, if (nRows == 0) 0 else top3.toDouble / nRows)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val agg = t.agg(
+        sum("count").as("rows"),
+        count(lit(1)).as("tpls")).collect()(0)
+      val nRows = if (agg.isNullAt(0)) 0L else agg.getLong(0)
+      val nTpl = agg.getLong(1)
+      // top-3 rows (not just the sum): the head doubles as the dominant
+      // template for the pattern-lowering path — no third scan needed
+      val top3 = t.orderBy(col("count").desc, col("tpl").asc).limit(3).collect()
+      val cover = top3.map(_.getLong(1)).sum
+      PatternStats(nRows, nTpl,
+        if (nRows == 0) 0 else cover.toDouble / nRows,
+        top3.headOption.map(_.getString(0)))
+    } finally t.unpersist(false)
   }
 
   final case class EnumStats(nRows: Long, nDistinct: Long, avgLen: Double,
@@ -53,17 +73,28 @@ object ColumnStats {
         avgLen <= 30 && top5Coverage >= 0.9
   }
 
+  /** All four enum statistics derive from ONE value-cardinality pass:
+    * totals and weighted average length re-aggregate the (value, count)
+    * table rather than rescanning the input.
+    */
   def enumStats(df: DataFrame, column: String): EnumStats = {
-    val c = col(column).cast("string")
-    val byVal = df.select(c.as("v")).groupBy("v").count()
-    val agg = df.agg(count(lit(1)).as("rows"),
-      approx_count_distinct(c).as("nd"),
-      avg(length(c)).as("alen")).collect()(0)
-    val nRows = agg.getLong(0)
-    val top5 = byVal.orderBy(col("count").desc).limit(5)
-      .agg(sum("count")).collect()(0).getLong(0)
-    EnumStats(nRows, agg.getLong(1), agg.getDouble(2),
-      if (nRows == 0) 0 else top5.toDouble / nRows)
+    val byVal = sample(df, column).groupBy("v").count()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val agg = byVal.agg(
+        sum("count").as("rows"),
+        count(col("v")).as("nd"), // non-null distincts, like the reference
+        (sum(when(col("v").isNotNull, length(col("v")) * col("count"))) /
+          sum(when(col("v").isNotNull, col("count")))).as("alen"))
+        .collect()(0)
+      val nRows = if (agg.isNullAt(0)) 0L else agg.getLong(0)
+      val top5 = byVal.orderBy(col("count").desc).limit(5)
+        .agg(sum("count")).collect()(0)
+      val cover = if (top5.isNullAt(0)) 0L else top5.getLong(0)
+      EnumStats(nRows, agg.getLong(1),
+        if (agg.isNullAt(2)) 0.0 else agg.getDouble(2),
+        if (nRows == 0) 0 else cover.toDouble / nRows)
+    } finally byVal.unpersist(false)
   }
 }
 
@@ -159,22 +190,21 @@ object Dice {
     * cheapest physical filter that preserves the semantics.
     */
   def apply(df: DataFrame, column: String, condition: String,
-      oracle: SemanticOracle): DataFrame = choose(df, column, condition) match {
-    case PatternStrategy =>
-      val cond = parseCompare(condition).get
-      // dominant template of the column (top count, tie -> lexical)
-      val tpl = df.select(ColumnStats.templateCol(col(column)).as("tpl"))
-        .groupBy("tpl").count()
-        .orderBy(col("count").desc, col("tpl").asc).limit(1)
-        .collect()(0).getString(0)
-      FilterPattern(df, column, tpl, 1, Seq(cond))
-    case CompareStrategy =>
-      val cond = parseCompare(condition).get.copy(column = column)
-      NumFilter(df, LogicalOp.NumFilter(Seq(cond), "and"))
-    case EnumStrategy =>
-      FilterEnum(df, column, condition, oracle)
-    case SemFallback =>
-      SemFilter(df, LogicalOp.SemFilter(Seq(column), condition), oracle)
+      oracle: SemanticOracle): DataFrame = parseCompare(condition) match {
+    case Some(cond) =>
+      // one stats pass decides AND carries the dominant template, so the
+      // pattern lowering never rescans the column
+      val ps = ColumnStats.patternStats(df, column)
+      ps.topTemplate match {
+        case Some(tpl) if ps.isHighlyPatternized =>
+          FilterPattern(df, column, tpl, 1, Seq(cond))
+        case _ =>
+          NumFilter(df, LogicalOp.NumFilter(Seq(cond.copy(column = column)), "and"))
+      }
+    case None =>
+      if (ColumnStats.enumStats(df, column).isEnumerable)
+        FilterEnum(df, column, condition, oracle)
+      else SemFilter(df, LogicalOp.SemFilter(Seq(column), condition), oracle)
   }
 }
 

@@ -177,14 +177,28 @@ object Verbs {
 
   /** drill_down (Drill_Down_Agent.py:49-76): mint a finer/orthogonal
     * dimension via sem_map; the derived column becomes a new dimension view
-    * with its lineage plan.
+    * with its lineage plan. When `demote` names an existing coarser
+    * dimension, it is re-parented as a granularity of the new one (the
+    * reference's Drill_Down_Agent.py:68-76 restructuring): its own values
+    * and all its granularities move under the finer dimension's view.
     */
   def drillDown(node: CubeNode, op: LogicalOp.SemMap,
-      oracle: SemanticOracle): CubeNode = {
+      oracle: SemanticOracle, demote: Option[String] = None): CubeNode = {
     val df = SemMap(node.df, op, oracle)
-    val dim = DimensionViews(op.keyword, Map(op.keyword ->
+    val inherited: Map[String, Granularity] =
+      demote.flatMap(node.dims.get) match {
+        case Some(coarser) =>
+          // the coarser column itself becomes one granularity level...
+          val self = Granularity(coarser.column,
+            node.df.select(col(coarser.column)), node.plan)
+          // ...and keeps the levels that already hung off it
+          coarser.granularities + (coarser.column -> self)
+        case None => Map.empty
+      }
+    val dim = DimensionViews(op.keyword, inherited + (op.keyword ->
       Granularity(op.keyword, df.select(col(op.keyword)), Seq(op))))
-    node.copy(df = df, dims = node.dims + (op.keyword -> dim),
+    node.copy(df = df,
+      dims = (node.dims -- demote.toSeq) + (op.keyword -> dim),
       plan = node.plan :+ op)
   }
 

@@ -127,6 +127,25 @@ object FilterPattern {
   def apply(df: DataFrame, column: String, template: String, group: Int,
       conditions: Seq[NumCondition], logic: String = "and"): DataFrame =
     df.filter(predicate(column, template, group, conditions, logic))
+
+  /** Template-free equivalent covering EVERY template at once: each
+    * template's mechanical regex captures that template's `group`-th digit
+    * run, so applying per-template regexes to their own row groups equals
+    * extracting the `group`-th digit run of every row directly. This is the
+    * form the dice verb lowers to — rows of minority templates (outside the
+    * top-3 the coverage gate looked at) are still evaluated, matching the
+    * reference's all-templates processing (Operaters.py:216-224), with one
+    * codegen'd regex and no per-template enumeration.
+    */
+  def digitRunPredicate(column: String, group: Int,
+      conditions: Seq[NumCondition], logic: String = "and"): Column = {
+    val rx = s"^(?:[^0-9]*[0-9]+){${group - 1}}[^0-9]*([0-9]+)"
+    val extracted = regexp_extract(col(column).cast("string"), rx, 1)
+    val v = when(extracted === "", lit(null)).otherwise(extracted)
+      .try_cast("double")
+    val preds = conditions.map(c => Ops.cmp(v, c.op, c.threshold))
+    coalesce(Ops.foldLogic(preds, logic), lit(false))
+  }
 }
 
 /** `filter_enum_llm` physical strategy (Operaters.py:281-313): for
@@ -195,12 +214,10 @@ object Dice {
       // one stats pass decides AND carries the dominant template, so the
       // pattern lowering never rescans the column
       val ps = ColumnStats.patternStats(df, column)
-      ps.topTemplate match {
-        case Some(tpl) if ps.isHighlyPatternized =>
-          FilterPattern(df, column, tpl, 1, Seq(cond))
-        case _ =>
-          NumFilter(df, LogicalOp.NumFilter(Seq(cond.copy(column = column)), "and"))
-      }
+      if (ps.isHighlyPatternized)
+        df.filter(FilterPattern.digitRunPredicate(column, 1, Seq(cond)))
+      else
+        NumFilter(df, LogicalOp.NumFilter(Seq(cond.copy(column = column)), "and"))
     case None =>
       if (ColumnStats.enumStats(df, column).isEnumerable)
         FilterEnum(df, column, condition, oracle)

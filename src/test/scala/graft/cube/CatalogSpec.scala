@@ -119,6 +119,22 @@ class CatalogSpec extends SparkSpec {
     assert(topics.toSeq == Seq("join", "streaming", "window"))
   }
 
+  test("drill_down demotes a coarser dimension to a granularity of the finer one") {
+    val cat = new CubeCatalog(fixture, oracle)
+    val coarse = Verbs.drillDown(cat.node(0),
+      LogicalOp.SemMap(Seq("title"), "(spark|flink|duck)", "engine"), oracle)
+    val fine = Verbs.drillDown(coarse,
+      LogicalOp.SemMap(Seq("title"), "(join|window|streaming|internals|agg|functions|basics|db)", "topic"),
+      oracle, demote = Some("engine"))
+    // the coarser dimension moved under the finer one
+    assert(!fine.dims.contains("engine"))
+    assert(fine.dims("topic").granularities.keySet == Set("engine", "topic"))
+    // its values remain addressable as a granularity view
+    val engines = fine.dims("topic").granularities("engine")
+      .view.as[String].collect().toSet
+    assert(engines == Set("spark", "flink", "duck"))
+  }
+
   test("roll_up groups, summarizes, and records the granularity") {
     val cat = new CubeCatalog(fixture, oracle)
     val op = LogicalOp.SemGroup(Seq("title"), "engine kind", "engine")

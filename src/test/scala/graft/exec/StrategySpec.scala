@@ -40,6 +40,23 @@ class StrategySpec extends SparkSpec {
     assert(got.toSeq == Seq(2L)) // non-matching row excluded, not erroring
   }
 
+  test("digit-run predicate evaluates rows of every template, not just the dominant one") {
+    val df = Seq(
+      (1L, "score: 120"),      // template A, passes > 100
+      (2L, "score: 80"),       // template A, fails
+      (3L, "lvl=200 (hot)"),   // template B, passes
+      (4L, "no digits here")   // no digit run -> excluded
+    ).toDF("id", "c")
+    val got = df.filter(FilterPattern.digitRunPredicate("c", 1,
+      Seq(NumCondition("", 100, ">")))).select("id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 3L))
+    // group 2 selects the second digit run
+    val df2 = Seq((1L, "a 5 b 300"), (2L, "a 500 b 3")).toDF("id", "c")
+    val got2 = df2.filter(FilterPattern.digitRunPredicate("c", 2,
+      Seq(NumCondition("", 100, ">")))).select("id").as[Long].collect()
+    assert(got2.toSeq == Seq(1L))
+  }
+
   test("filter_enum keeps distinct values named in the condition") {
     val df = (1 to 50).map(i => (i.toLong, if (i % 2 == 0) "en" else "fr")).toDF("id", "lang")
     val keep = FilterEnum.keepSet(df, "lang", "language is en or de", oracle)

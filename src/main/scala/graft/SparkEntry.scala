@@ -158,6 +158,21 @@ object SparkEntry {
         .agg(SemReduce.exprSummary("source", 5))
         .orderBy("lang")
     }),
+    "q_sem_reduce_udaf" -> ((s, dir) => {
+      // the custom bounded-buffer Aggregator path (arbitrary oracles);
+      // with the deterministic oracle it must equal the expression path,
+      // so it shares that oracle SQL — a real hash gate on the UDAF
+      SemReduce(t(s, dir, "documents"),
+        LogicalOp.SemReduce(Seq("source"), Some("lang")), oracle)
+        .orderBy("lang")
+    }),
+    "q_salted_agg" -> ((s, dir) => {
+      // two-phase salted aggregation must be value-identical to the plain
+      // group-by (hot-key safety is a physical concern, not a semantic one)
+      graft.ops.Skew.saltedAgg(t(s, dir, "lineitem"),
+        keys = Seq("l_returnflag"), sumCols = Seq("l_quantity"), salts = 8)
+        .orderBy("l_returnflag")
+    }),
     // ---- sem_topk (SURVEY §2a) -----------------------------------------
     "q_sem_topk" -> ((s, dir) => {
       SemTopK(t(s, dir, "documents"),
@@ -435,6 +450,16 @@ object SparkEntry {
                 array_to_string(list_slice(list_sort(list(DISTINCT source)), 1, 5), ', ')
                   AS summary_of_source
          FROM documents GROUP BY lang ORDER BY lang""",
+    "q_sem_reduce_udaf" ->
+      """SELECT lang,
+                array_to_string(list_slice(list_sort(list(DISTINCT source)), 1, 5), ', ')
+                  AS summary_of_source
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS count,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_of_l_quantity
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_sem_topk" ->
       """SELECT doc_id,
                 CAST(CASE WHEN contains(lower(text), 'spark') THEN 1 ELSE 0 END

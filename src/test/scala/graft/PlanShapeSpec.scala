@@ -1,0 +1,53 @@
+package graft
+
+/** Physical-plan regression gates: the scale-critical plan properties the
+  * engine is designed around, asserted on the real gate queries so a
+  * refactor that silently breaks pushdown, pruning, broadcast, or top-k
+  * planning fails here rather than only showing up in a benchmark.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("num_filter predicates push into the parquet scan") {
+    val p = plan("q_num_filter")
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThan(l_quantity,30.0"),
+      s"missing pushed numeric filter in:\n$p")
+  }
+
+  test("date filter's redundant raw-range conjunct pushes for row-group pruning") {
+    val p = plan("q_date_filter")
+    assert(p.contains("GreaterThanOrEqual(ts,"), s"raw ts bound not pushed:\n$p")
+  }
+
+  test("column pruning: count query reads only its grouping column") {
+    val p = plan("q_count")
+    assert(p.contains("ReadSchema: struct<l_returnflag:string>"),
+      s"expected single-column ReadSchema in:\n$p")
+  }
+
+  test("re-attach join broadcasts the small view side") {
+    val p = plan("q_reattach")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected SMJ in:\n$p")
+  }
+
+  test("num_topk plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_num_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k operator in:\n$p")
+  }
+
+  test("keyword filter stays inside whole-stage codegen") {
+    // codegen spans only appear in the final (post-AQE) plan
+    val df = SparkEntry.queries("q_keyword_filter_contains")(spark, dir)
+    df.collect() // count() would execute a different QueryExecution
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark whole-stage-codegen stages in the plan string
+    assert(p.contains("*(1)"), s"no codegen span in:\n$p")
+    assert(p.toLowerCase.contains("multicontains"),
+      s"keyword kernel missing in:\n$p")
+  }
+}

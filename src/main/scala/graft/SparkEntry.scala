@@ -186,6 +186,17 @@ object SparkEntry {
         idCol = "doc_id")
         .select("doc_id", "duel_wins")
     }),
+    "q_plan_e2e" -> ((s, dir) => {
+      // the flagship PlanRunner path (SparkEntry.entry's shape) as a hash
+      // gate: cascade filter -> count -> top-k through the whole plan IR
+      val plan = Seq(
+        LogicalOp.NumFilter(Seq(NumCondition("l_quantity", 5, ">")), "and"),
+        LogicalOp.KeywordFilter(Seq("l_linestatus"), Seq("o"), "and", "contains"),
+        LogicalOp.CountOp("l_returnflag", Seq.empty),
+        LogicalOp.NumTopK("count_of_l_returnflag", 3, "desc"))
+      graft.exec.PlanRunner.run(t(s, dir, "lineitem"), plan, oracle,
+        tiebreak = Seq("l_returnflag"))
+    }),
     // ---- cost-ordered filter cascade (SURVEY §2c/§4) -------------------
     "q_cascade" -> ((s, dir) => {
       val plan = Seq(
@@ -485,6 +496,13 @@ object SparkEntry {
            GROUP BY a.doc_id)
          SELECT doc_id, duel_wins FROM wins
          ORDER BY duel_wins DESC, doc_id LIMIT 5""",
+    "q_plan_e2e" ->
+      """SELECT l_returnflag, count(*) AS count_of_l_returnflag
+         FROM lineitem
+         WHERE try_cast(l_quantity AS DOUBLE) > 5
+           AND contains(lower(l_linestatus), 'o')
+         GROUP BY l_returnflag
+         ORDER BY count_of_l_returnflag DESC, l_returnflag LIMIT 3""",
     "q_cascade" ->
       """SELECT doc_id FROM documents
          WHERE try_cast(n_chars AS DOUBLE) >= 200

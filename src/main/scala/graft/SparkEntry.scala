@@ -332,6 +332,24 @@ object SparkEntry {
           col("meta.n_bytes").as("n_bytes"))
         .orderBy("media_id")
     }),
+    "q_multimodal_ann" -> ((s, dir) => {
+      // composite pipeline: decode features from media blobs (batched
+      // mapPartitions), then near-dup search over those embeddings via
+      // sign-LSH buckets — the media -> vector -> ANN path end to end
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      // plant exact duplicates (id + 1e6) so the near-dup path has known
+      // positives at every scale factor
+      val planted = docs.filter(col("doc_id") < 20)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      val media = Multimodal.syntheticMedia(docs.union(planted),
+        "doc_id", "text")
+      val feats = Multimodal.decodeFeatures(media)
+        .select(col("media_id"), col("features"))
+        .filter(size(col("features")) > 0)
+      Dedup.embeddingNearDupPairs(feats, "media_id", "features",
+        dim = 8, threshold = 0.99, planes = 4)
+        .orderBy("id_a", "id_b")
+    }),
     // ---- cube catalog: subsumption reuse (SURVEY §2/§4 memory DAG) -----
     "q_cube_reuse" -> ((s, dir) => {
       val cat = new graft.cube.CubeCatalog(t(s, dir, "documents"), oracle)

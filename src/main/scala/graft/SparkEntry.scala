@@ -276,6 +276,12 @@ object SparkEntry {
         TextAnalysis.fingerprint(col("text")))
         .select("doc_id").orderBy("doc_id")
     }),
+    "q_dedup_keep_longest" -> ((s, dir) => {
+      // keep policy: longest document per (lang, source) group, min-id ties
+      Dedup.exactDedupKeep(t(s, dir, "documents"), "doc_id",
+        struct(col("lang"), col("source")), col("n_chars"))
+        .select("doc_id").orderBy("doc_id")
+    }),
     "q_dedup_minhash" -> ((s, dir) => {
       Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", col("text"),
         shingleN = 3, k = 64, bands = 16, threshold = 0.8)
@@ -602,6 +608,14 @@ object SparkEntry {
     "q_dedup_exact_keep" ->
       """SELECT min(doc_id) AS doc_id FROM documents
          GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+         ORDER BY doc_id""",
+    "q_dedup_keep_longest" ->
+      """WITH g AS (SELECT lang, source, max(n_chars) AS mx
+                    FROM documents GROUP BY lang, source)
+         SELECT min(doc_id) AS doc_id
+         FROM documents d JOIN g ON d.lang = g.lang AND d.source = g.source
+                              AND d.n_chars = g.mx
+         GROUP BY d.lang, d.source
          ORDER BY doc_id""",
     "q_sim_search" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv

@@ -51,6 +51,19 @@ object Dedup {
     df.join(winners.select(col(idCol)), Seq(idCol), "left_semi")
   }
 
+  /** Exact dedup with a keep policy: per content key, keep the row that
+    * maximizes `priority` (ties broken by smallest id — fully
+    * deterministic). The training-pipeline "keep the longest / highest
+    * quality copy" form; one hash aggregate via `max_by`, no window.
+    */
+  def exactDedupKeep(df: DataFrame, idCol: String, key: Column,
+      priority: Column): DataFrame = {
+    val winners = df.groupBy(key.as("__k"))
+      .agg(max_by(col(idCol),
+        struct(priority.as("p"), (-col(idCol)).as("tb"))).as(idCol))
+    df.join(winners.select(col(idCol)), Seq(idCol), "left_semi")
+  }
+
   // ------------------------------------------------- minhash signatures
 
   /** FNV-1a 64-bit base hash + murmur-style seed mixing. */

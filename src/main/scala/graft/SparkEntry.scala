@@ -231,6 +231,21 @@ object SparkEntry {
       Slice(t(s, dir, "documents"), Seq("text"), "spark stream", oracle)
         .select("doc_id").orderBy("doc_id")
     }),
+    "q_subword_count" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.subwordCount(col("text")).as("n_subwords"))
+        .orderBy("doc_id")
+    }),
+    "q_rollup" -> ((s, dir) => {
+      // SQL-sense ROLLUP — beyond the reference surface (SURVEY §2f), free
+      // from Spark's relational layer and gated like everything else
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
     // ---- date/timestamp filtering (SURVEY §1: dates via year()/
     //      to_timestamp instead of the reference's LLM text judgment) ----
     "q_date_filter" -> ((s, dir) => {
@@ -393,6 +408,16 @@ object SparkEntry {
       """SELECT r_regionkey, r_name FROM region
          WHERE contains('the europe and africa trade zone', lower(r_name))
          ORDER BY r_regionkey""",
+    "q_subword_count" ->
+      """SELECT doc_id,
+                len(regexp_extract_all(text, '[a-zA-Z0-9]+'))
+              + len(list_filter(regexp_extract_all(text, '[^a-zA-Z0-9]+'),
+                    t -> trim(t) <> '')) AS n_subwords
+         FROM documents ORDER BY doc_id""",
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "q_date_filter" ->
       """SELECT event_type, count(*) AS n_events,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

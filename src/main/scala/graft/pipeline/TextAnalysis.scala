@@ -18,14 +18,18 @@ object TextAnalysis {
   /** Whitespace token count (0 for null/blank). */
   def tokenCount(c: Column): Column = size(tokensCol(c))
 
-  /** BPE-ish subword count approximation: word-piece regex split —
-    * letters runs, digit runs, and single non-alnum marks each count as a
-    * token. A deterministic stand-in for a real tokenizer's token count.
+  /** BPE-ish subword count approximation: alphanumeric runs plus
+    * non-alphanumeric runs that carry a non-space mark each count as one
+    * token. A deterministic stand-in for a real tokenizer's token count,
+    * expressed with RE2-compatible regexes (no lookarounds) so the same
+    * formula runs on engines without backtracking regex support.
+    * Null/blank -> 0.
     */
   def subwordCount(c: Column): Column =
-    size(filter(
-      split(c, "(?<=[a-zA-Z0-9])(?![a-zA-Z0-9])|(?<![a-zA-Z0-9])(?=[a-zA-Z0-9])"),
-      t => trim(t) =!= ""))
+    when(c.isNull, 0).otherwise(
+      size(regexp_extract_all(c, lit("[a-zA-Z0-9]+"), lit(0))) +
+      size(filter(regexp_extract_all(c, lit("[^a-zA-Z0-9]+"), lit(0)),
+        t => trim(t) =!= "")))
 
   /** Deterministic document fingerprint: md5 of the whitespace-normalized
     * lowercased text. Identical in any engine with md5 (exact-dup key).

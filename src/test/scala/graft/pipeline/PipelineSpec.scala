@@ -12,6 +12,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.toSeq == Seq(3, 0, 0, 0, 1))
   }
 
+  test("subwordCount: alnum runs + non-space marks, null/blank -> 0") {
+    val df = Seq("hello, world!", "a-b_c", "", "   ", null, "42abc")
+      .toDF("t")
+    val got = df.select(TextAnalysis.subwordCount(col("t"))).as[Int].collect()
+    // "hello, world!": hello + ", " + world + "!" = 4
+    // "a-b_c": a + "-" + b + "_" + c = 5 ; "42abc": one alnum run = 1
+    assert(got.toSeq == Seq(4, 5, 0, 0, 0, 1))
+  }
+
   test("fingerprint is whitespace/case normalized") {
     val df = Seq(("A  b\tC", "a b c"), ("x", "y")).toDF("p", "q")
     val got = df.select(

@@ -231,6 +231,28 @@ object SparkEntry {
       Slice(t(s, dir, "documents"), Seq("text"), "spark stream", oracle)
         .select("doc_id").orderBy("doc_id")
     }),
+    "q_window_rank" -> ((s, dir) => {
+      // general window functions (absent from the reference, SURVEY §2f —
+      // free from Spark's relational layer): top-3 orders per customer by
+      // price with dense ranking
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .filter(col("o_custkey") < 100)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+        .orderBy("o_custkey", "rnk")
+    }),
+    "q_set_ops" -> ((s, dir) => {
+      // set operations (absent from the reference, SURVEY §2f): customers
+      // with orders EXCEPT customers with an open order
+      val o = t(s, dir, "orders")
+      o.select(col("o_custkey"))
+        .except(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+        .orderBy("o_custkey")
+    }),
     "q_subword_count" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -408,6 +430,20 @@ object SparkEntry {
       """SELECT r_regionkey, r_name FROM region
          WHERE contains('the europe and africa trade zone', lower(r_name))
          ORDER BY r_regionkey""",
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY try_cast(o_totalprice AS DOUBLE) DESC, o_orderkey)
+                    AS rnk
+           FROM orders)
+         WHERE rnk <= 3 AND o_custkey < 100
+         ORDER BY o_custkey, rnk""",
+    "q_set_ops" ->
+      """SELECT o_custkey FROM orders
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         ORDER BY o_custkey""",
     "q_subword_count" ->
       """SELECT doc_id,
                 len(regexp_extract_all(text, '[a-zA-Z0-9]+'))

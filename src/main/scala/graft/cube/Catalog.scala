@@ -139,15 +139,24 @@ class CubeCatalog(root: DataFrame, oracle: SemanticOracle) {
     * — catching range refinements (`x >= 300` over a cached `x >= 200`) and
     * keyword-superset refinements, not just syntactic atom containment.
     */
-  def bestBaseImplied(filters: Seq[LogicalOp]): CubeNode =
-    nodes.filter(n =>
-        // only nodes whose filterOps fully describe their predicates are
-        // implication-eligible (externally registered nodes may not carry
-        // their ops; an empty filterOps there would look unconstrained)
-        PredicateAtoms.atoms(n.filterOps) == n.predicates &&
-        n.filterOps.forall(c =>
-          filters.exists(q => PredicateAtoms.implies(q, c))))
-      .maxBy(n => (n.predicates.size, -n.id))
+  def bestBaseImplied(filters: Seq[LogicalOp]): CubeNode = {
+    // exact atom-set match wins outright — without this, a looser
+    // implication-eligible node could shadow the cached answer and the
+    // Equal fast-path would never fire for refinement chains
+    val key = PredicateAtoms.atoms(filters)
+    nodes.find(_.predicates == key).getOrElse {
+      nodes.filter(n =>
+          // only nodes whose filterOps fully describe their predicates are
+          // implication-eligible (externally registered nodes may not carry
+          // their ops; an empty filterOps there would look unconstrained)
+          PredicateAtoms.atoms(n.filterOps) == n.predicates &&
+          n.filterOps.forall(c =>
+            filters.exists(q => PredicateAtoms.implies(q, c))))
+        // most predicates, then NEWEST: in a refinement chain the newer
+        // eligible node is the tighter (smaller) superset
+        .maxBy(n => (n.predicates.size, n.id))
+    }
+  }
 
   /** Run a conjunctive filter query against the catalog: find the smallest
     * cached superset, apply only the DELTA predicates (every query filter

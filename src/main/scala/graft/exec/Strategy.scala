@@ -12,10 +12,14 @@ import graft.ops.{KeywordFilter, NumFilter, Ops, SemFilter}
   * aggregations (never a driver-side scan of raw rows).
   *
   * Scale posture: a strategy decision is a statistic, not an answer — it is
-  * computed on a BOUNDED deterministic prefix of the column (`sampleCap`
-  * rows), so gating cost is flat no matter the table size. The cardinality
-  * table that backs each gate is computed once and briefly persisted; its
-  * size is bounded by the sample.
+  * computed on a BOUNDED prefix of the column (`sampleCap` rows), so gating
+  * cost is flat no matter the table size. The prefix is stable for a given
+  * file layout (local scans return it in file order) but `limit` makes no
+  * cross-cluster determinism promise — callers needing a pinned strategy
+  * across layouts should decide once and record the choice in the plan
+  * (the catalog keeps lineage for exactly this). The cardinality table
+  * that backs each gate is computed once and briefly persisted; its size
+  * is bounded by the sample.
   */
 object ColumnStats {
 
@@ -32,7 +36,7 @@ object ColumnStats {
     regexp_replace(c.cast("string"), "\\d+", "<*>")
 
   final case class PatternStats(nRows: Long, nTemplates: Long,
-      top3Coverage: Double, topTemplate: Option[String]) {
+      top3Coverage: Double) {
     /** Gate per Dice_Agent.py:68-77: top-3 templates cover >80% of rows and
       * unique-template ratio <1%, or fewer than 5 templates overall.
       */
@@ -52,13 +56,10 @@ object ColumnStats {
         count(lit(1)).as("tpls")).collect()(0)
       val nRows = if (agg.isNullAt(0)) 0L else agg.getLong(0)
       val nTpl = agg.getLong(1)
-      // top-3 rows (not just the sum): the head doubles as the dominant
-      // template for the pattern-lowering path — no third scan needed
       val top3 = t.orderBy(col("count").desc, col("tpl").asc).limit(3).collect()
       val cover = top3.map(_.getLong(1)).sum
       PatternStats(nRows, nTpl,
-        if (nRows == 0) 0 else cover.toDouble / nRows,
-        top3.headOption.map(_.getString(0)))
+        if (nRows == 0) 0 else cover.toDouble / nRows)
     } finally t.unpersist(false)
   }
 
@@ -205,23 +206,22 @@ object Dice {
     else SemFallback
   }
 
-  /** Run the dice verb: pick a strategy from the data and lower to the
-    * cheapest physical filter that preserves the semantics.
+  /** Run the dice verb: pick a strategy from the data (via [[choose]], the
+    * single decision path) and lower to the cheapest physical filter that
+    * preserves the semantics.
     */
   def apply(df: DataFrame, column: String, condition: String,
-      oracle: SemanticOracle): DataFrame = parseCompare(condition) match {
-    case Some(cond) =>
-      // one stats pass decides AND carries the dominant template, so the
-      // pattern lowering never rescans the column
-      val ps = ColumnStats.patternStats(df, column)
-      if (ps.isHighlyPatternized)
-        df.filter(FilterPattern.digitRunPredicate(column, 1, Seq(cond)))
-      else
-        NumFilter(df, LogicalOp.NumFilter(Seq(cond.copy(column = column)), "and"))
-    case None =>
-      if (ColumnStats.enumStats(df, column).isEnumerable)
-        FilterEnum(df, column, condition, oracle)
-      else SemFilter(df, LogicalOp.SemFilter(Seq(column), condition), oracle)
+      oracle: SemanticOracle): DataFrame = choose(df, column, condition) match {
+    case PatternStrategy =>
+      val cond = parseCompare(condition).get
+      df.filter(FilterPattern.digitRunPredicate(column, 1, Seq(cond)))
+    case CompareStrategy =>
+      val cond = parseCompare(condition).get.copy(column = column)
+      NumFilter(df, LogicalOp.NumFilter(Seq(cond), "and"))
+    case EnumStrategy =>
+      FilterEnum(df, column, condition, oracle)
+    case SemFallback =>
+      SemFilter(df, LogicalOp.SemFilter(Seq(column), condition), oracle)
   }
 }
 

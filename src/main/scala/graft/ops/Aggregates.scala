@@ -130,7 +130,13 @@ object SemTopK {
   def duelTopK(df: DataFrame, op: LogicalOp.SemTopK, oracle: SemanticOracle,
       idCol: String, overscan: Int = 4): DataFrame = {
     val c = math.max(op.k * overscan, 20)
+    // persist: the candidate set feeds three plan branches (duel left,
+    // duel right, final join); without it the full-table scoring pass —
+    // the expensive part with an LLM oracle — would run three times, and
+    // a non-deterministic oracle could even select three DIFFERENT
+    // candidate sets, misaligning the wins join
     val cands = apply(df, op.copy(k = c), oracle, tiebreak = Seq(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withText = cands.withColumn("__t", Ops.textCol(cands, op.columns))
     val left = withText.select(col(idCol).as("__ida"), col("__t").as("__ta"))
     val right = withText.select(col(idCol).as("__idb"), col("__t").as("__tb"))

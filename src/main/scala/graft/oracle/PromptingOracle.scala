@@ -87,12 +87,18 @@ abstract class PromptingOracle extends BatchedOracle {
   override def duel(a: String, b: String, query: String): Boolean =
     complete(duelPrompt(a, b, query)).trim.toUpperCase.startsWith("A")
 
-  override def score(text: String, query: String): Double =
-    try complete(scorePrompt(text, query)).trim.toDouble match {
+  private def parseScore(s: String): Double =
+    try s.trim.toDouble match {
+      // NaN parses without exception and would sort ABOVE 1.0 in a
+      // descending Spark sort — treat it like any other garbage answer
+      case d if d.isNaN => 0.0
       case d if d < 0 => 0.0
       case d if d > 1 => 1.0
       case d => d
     } catch { case _: NumberFormatException => 0.0 }
+
+  override def score(text: String, query: String): Double =
+    parseScore(complete(scorePrompt(text, query)))
 
   // batched variants route through completeBatch (one RPC per batch)
 
@@ -103,4 +109,13 @@ abstract class PromptingOracle extends BatchedOracle {
   override def extractBatch(texts: Seq[String], desc: String): Seq[Option[String]] =
     completeBatch(texts.map(t => extractPrompt(Option(t).getOrElse(""), desc)))
       .map(na)
+
+  override def classifyBatch(texts: Seq[String],
+      vocab: Seq[TagRule]): Seq[Option[String]] =
+    completeBatch(texts.map(t => classifyPrompt(Option(t).getOrElse(""), vocab)))
+      .map(na(_).filter(t => vocab.exists(_.tag == t)))
+
+  override def scoreBatch(texts: Seq[String], query: String): Seq[Double] =
+    completeBatch(texts.map(t => scorePrompt(Option(t).getOrElse(""), query)))
+      .map(parseScore)
 }

@@ -66,6 +66,20 @@ object Dedup {
 
   // ------------------------------------------------- minhash signatures
 
+  /** The in-bucket kernels carry ids as primitive longs through typed
+    * Datasets; a non-integral id column would cast to null (encoder error)
+    * or collide after narrowing. Fail fast with an actionable message
+    * instead. String/UUID ids should be mapped to a synthetic long id
+    * (e.g. [[graft.sources.JsonSource]]'s OLAP_ID) before dedup.
+    */
+  private def requireIntegralId(df: DataFrame, idCol: String): Unit = {
+    val dt = df.schema(idCol).dataType
+    require(Seq("byte", "short", "integer", "long")
+        .contains(dt.typeName),
+      s"dedup id column '$idCol' must be an integral type, got ${dt.typeName}; " +
+        "derive a long surrogate id first (e.g. withOlapId)")
+  }
+
   /** FNV-1a 64-bit base hash + murmur-style seed mixing. */
   @inline private def fnv1a(s: String): Long = {
     var h = 0xcbf29ce484222325L
@@ -174,6 +188,57 @@ object Dedup {
         minhashSigFromText(shingleN, k)(text).as("sig"))
       .filter(col("sig").isNotNull)
 
+  /** Base hashes of all word n-shingles of `text` (FNV over the n tokens
+    * joined by ' ', hashed incrementally — no shingle string allocation);
+    * null for null/too-short texts. Shared by the MinHash and n-gram
+    * kernels.
+    */
+  private def shingleBases(text: String, n: Int): Array[Long] = {
+    if (text == null) return null
+    val trimmed = text.toLowerCase.trim
+    val toks = if (trimmed.isEmpty) Array.empty[String]
+               else trimmed.split("\\s+")
+    if (toks.length < n) return null
+    val nShingles = toks.length - n + 1
+    val base = new Array[Long](nShingles)
+    var s = 0
+    while (s < nShingles) {
+      var h = 0xcbf29ce484222325L
+      var t = 0
+      while (t < n) {
+        if (t > 0) { h ^= ' '; h *= 0x100000001b3L }
+        val tok = toks(s + t)
+        var c = 0
+        while (c < tok.length) { h ^= tok.charAt(c); h *= 0x100000001b3L; c += 1 }
+        t += 1
+      }
+      base(s) = h
+      s += 1
+    }
+    base
+  }
+
+  /** LSH band keys of a signature: FNV over the bytes of rows
+    * [j*r, (j+1)*r) per band j. Shared by the MinHash and n-gram kernels.
+    */
+  private def bandKeysOf(sig: Array[Long], bands: Int, r: Int): Array[Long] = {
+    val bk = new Array[Long](bands)
+    var j = 0
+    while (j < bands) {
+      var h = 0xcbf29ce484222325L
+      var p = j * r
+      val end = p + r
+      while (p < end) {
+        var b = 0
+        while (b < 8) { h ^= (sig(p) >>> (b * 8)) & 0xFF; h *= 0x100000001b3L; b += 1 }
+        p += 1
+      }
+      bk(j) = h
+      j += 1
+    }
+    bk
+  }
+
   /** Signature AND band keys in one kernel (one UDF call per row — no
     * higher-order band-hash expression tree; see [[minhashSigFromText]]
     * for why the flat tree matters).
@@ -181,46 +246,11 @@ object Dedup {
   private def minhashSigBandsFromText(n: Int, k: Int, bands: Int) = {
     val r = k / bands
     udf { text: String =>
-      if (text == null) null
+      val base = shingleBases(text, n)
+      if (base == null) null
       else {
-        val trimmed = text.toLowerCase.trim
-        val toks = if (trimmed.isEmpty) Array.empty[String]
-                   else trimmed.split("\\s+")
-        if (toks.length < n) null
-        else {
-          val nShingles = toks.length - n + 1
-          val base = new Array[Long](nShingles)
-          var s = 0
-          while (s < nShingles) {
-            var h = 0xcbf29ce484222325L
-            var t = 0
-            while (t < n) {
-              if (t > 0) { h ^= ' '; h *= 0x100000001b3L }
-              val tok = toks(s + t)
-              var c = 0
-              while (c < tok.length) { h ^= tok.charAt(c); h *= 0x100000001b3L; c += 1 }
-              t += 1
-            }
-            base(s) = h
-            s += 1
-          }
-          val sig = sigFromBases(base, k)
-          val bk = new Array[Long](bands)
-          var j = 0
-          while (j < bands) {
-            var h = 0xcbf29ce484222325L
-            var p = j * r
-            val end = p + r
-            while (p < end) {
-              var b = 0
-              while (b < 8) { h ^= (sig(p) >>> (b * 8)) & 0xFF; h *= 0x100000001b3L; b += 1 }
-              p += 1
-            }
-            bk(j) = h
-            j += 1
-          }
-          SigBands(sig, bk)
-        }
+        val sig = sigFromBases(base, k)
+        SigBands(sig, bandKeysOf(sig, bands, r))
       }
     }
   }
@@ -279,6 +309,7 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, text: Column,
       shingleN: Int = 3, k: Int = 64, bands: Int = 16,
       threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
+    requireIntegralId(df, idCol)
     require(k % bands == 0, "bands must divide k")
     val spark = df.sparkSession
     import spark.implicits._
@@ -376,6 +407,7 @@ object Dedup {
 
   def simhashCandidates(df: DataFrame, idCol: String, text: Column,
       maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    requireIntegralId(df, idCol)
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long").as("id"), simhashSigChunks(text).as("sb"))
@@ -447,49 +479,12 @@ object Dedup {
   private def ngramShingleBands(n: Int, k: Int, bands: Int) = {
     val r = k / bands
     udf { text: String =>
-      if (text == null) null
-      else {
-        val trimmed = text.toLowerCase.trim
-        val toks = if (trimmed.isEmpty) Array.empty[String]
-                   else trimmed.split("\\s+")
-        if (toks.length < n) null
-        else {
-          val nShingles = toks.length - n + 1
-          val base = new Array[Long](nShingles)
-          var s = 0
-          while (s < nShingles) {
-            var h = 0xcbf29ce484222325L
-            var t = 0
-            while (t < n) {
-              if (t > 0) { h ^= ' '; h *= 0x100000001b3L }
-              val tok = toks(s + t)
-              var c = 0
-              while (c < tok.length) { h ^= tok.charAt(c); h *= 0x100000001b3L; c += 1 }
-              t += 1
-            }
-            base(s) = h
-            s += 1
-          }
-          val sig = sigFromBases(base, k)
-          val bk = new Array[Long](bands)
-          var j = 0
-          while (j < bands) {
-            var h = 0xcbf29ce484222325L
-            var p = j * r
-            val end = p + r
-            while (p < end) {
-              var b = 0
-              while (b < 8) { h ^= (sig(p) >>> (b * 8)) & 0xFF; h *= 0x100000001b3L; b += 1 }
-              p += 1
-            }
-            bk(j) = h
-            j += 1
-          }
-          SigBands(base.distinct.sorted, bk)
-        }
-      }
+      val base = shingleBases(text, n)
+      if (base == null) null
+      else SigBands(base.distinct.sorted, bandKeysOf(sigFromBases(base, k), bands, r))
     }
   }
+
 
   /** Exact Jaccard of two SORTED distinct-hash arrays (merge intersection). */
   private def sortedJaccard(a: Array[Long], b: Array[Long]): Double = {
@@ -512,6 +507,7 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, text: Column,
       n: Int = 3, threshold: Double = 0.8, k: Int = 64, bands: Int = 16,
       maxBucket: Int = 1000): DataFrame = {
+    requireIntegralId(df, idCol)
     require(k % bands == 0, "bands must divide k")
     val spark = df.sparkSession
     import spark.implicits._
@@ -566,6 +562,7 @@ object Dedup {
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double = 0.95, planes: Int = 8,
       maxBucket: Int = 10000): DataFrame = {
+    requireIntegralId(df, idCol)
     val spark = df.sparkSession
     import spark.implicits._
     val bucketed = Similarity.SignLsh.withBucket(df, vecCol, dim, planes)

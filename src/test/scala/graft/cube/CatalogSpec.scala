@@ -75,6 +75,21 @@ class CatalogSpec extends SparkSpec {
     assert(n2.df.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 4L))
   }
 
+  test("repeating a refined query hits its exact node, never a looser base") {
+    val cat = new CubeCatalog(fixture, oracle)
+    cat.filterQuery("score > 20",
+      Seq(LogicalOp.NumFilter(Seq(NumCondition("score", 20, ">")), "and")))
+    val strict = Seq(LogicalOp.NumFilter(Seq(NumCondition("score", 45, ">")), "and"))
+    val first = cat.filterQuery("score > 45", strict)
+    val sizeAfter = cat.all.size
+    // a repeat must return the SAME node (Equal fast-path), not re-filter
+    // from the looser base and append a duplicate
+    (1 to 3).foreach { _ =>
+      assert(cat.filterQuery("score > 45 again", strict).id == first.id)
+    }
+    assert(cat.all.size == sizeAfter)
+  }
+
   test("implication never reuses a node the query does not entail") {
     val cat = new CubeCatalog(fixture, oracle)
     // cached: score in (20, 45]; query: score > 45 does NOT imply score <= 45

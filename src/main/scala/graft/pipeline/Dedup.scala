@@ -341,6 +341,73 @@ object Dedup {
     df.join(dominated, Seq(idCol), "left_anti")
   }
 
+  /** Duplicate clustering: connected components over a candidate-pair
+    * graph by iterative min-label propagation — every id converges to the
+    * smallest id of its component. Greedy `minhashDedup` only removes rows
+    * directly dominated by a smaller id; transitive chains (A~B, B~C but
+    * not A~C) need the component view to keep exactly one representative
+    * per cluster.
+    *
+    * Each iteration is one join + one aggregation (all hash-partitioned on
+    * id — Spark's standard CC-lite shape); iterations needed = graph
+    * diameter, bounded by `maxIter` with an early exit when no label
+    * changes. Near-dup components are short chains in practice, so the
+    * loop converges in a few rounds.
+    *
+    * @param pairs (id_a, id_b) candidate pairs (from any *Candidates call)
+    * @return (id, cluster) for every id appearing in `pairs`; cluster =
+    *         min id of its component. Rows with no duplicate partner are
+    *         absent (their cluster is themselves).
+    */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // eager localCheckpoint between iterations: each round references the
+    // previous labels frame several times, so without lineage truncation
+    // the logical plan grows EXPONENTIALLY and analysis itself OOMs
+    val edges = pairs.select(col("id_a").cast("long").as("src"),
+        col("id_b").cast("long").as("dst"))
+      .union(pairs.select(col("id_b").cast("long").as("src"),
+        col("id_a").cast("long").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("cluster")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min("cluster").as("nmin"))
+      val updated = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster")))
+            .as("cluster"))
+        .localCheckpoint(true)
+      converged = updated
+        .join(labels.select(col("id"), col("cluster").as("old")), Seq("id"))
+        .filter(col("cluster") =!= col("old"))
+        .isEmpty
+      labels = updated
+      iter += 1
+    }
+    labels
+  }
+
+  /** Cluster-aware MinHash dedup: one representative (min id) per
+    * connected duplicate component survives — handles transitive chains
+    * the greedy [[minhashDedup]] resolves only pairwise.
+    */
+  def minhashDedupClustered(df: DataFrame, idCol: String, text: Column,
+      shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    val pairs = minhashCandidates(df, idCol, text, shingleN, k, bands, threshold)
+    val dominated = duplicateClusters(pairs)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    df.join(dominated, Seq(idCol), "left_anti")
+  }
+
   // ----------------------------------------------------------- simhash
 
   /** 64-bit SimHash of a token array (Charikar): per bit, sum +1/-1 over

@@ -124,6 +124,22 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 3L))) // only the exact dup survives 0.99
   }
 
+  test("duplicateClusters resolves transitive chains to one component") {
+    // chain 1-2, 2-3, plus separate pair 10-11: two components
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("duplicateClusters converges on a long chain within maxIter") {
+    val chain = (1L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(chain, maxIter = 20)
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.toSet == Set(1L))
+    assert(got.keySet == (1L to 9L).toSet)
+  }
+
   test("estJaccard equals agreement fraction") {
     val df = Seq((Seq(1L, 2L, 3L, 4L), Seq(1L, 2L, 9L, 4L))).toDF("a", "b")
     val got = df.select(Dedup.estJaccard(col("a"), col("b"))).as[Double].collect()

@@ -324,6 +324,18 @@ object SparkEntry {
         shingleN = 3, k = 64, bands = 16, threshold = 0.8)
         .orderBy("id_a", "id_b")
     }),
+    "q_dedup_clustered" -> ((s, dir) => {
+      // transitive duplicate components over the LSH pair graph; planted
+      // copies (two per source row) guarantee non-trivial chains
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val copies = docs.filter(col("doc_id") < 10)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      val twice = docs.filter(col("doc_id") < 10)
+        .withColumn("doc_id", col("doc_id") + lit(2000000L))
+      Dedup.minhashDedupClustered(docs.union(copies).union(twice),
+        "doc_id", col("text"), threshold = 0.8)
+        .select("doc_id").orderBy("doc_id")
+    }),
     "q_dedup_simhash" -> ((s, dir) => {
       Dedup.simhashCandidates(t(s, dir, "documents"), "doc_id", col("text"),
         maxHamming = 3)

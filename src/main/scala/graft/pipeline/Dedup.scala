@@ -255,38 +255,32 @@ object Dedup {
     }
   }
 
-  /** Pair generation + verification inside one LSH bucket: bounded buffer
-    * (buckets above `maxBucket` are dropped without materializing — the
-    * iterator stops filling once over the cap), all-pairs signature
-    * agreement, emit only pairs at/above `threshold`. Runs entirely inside
-    * the bucket's task — the signatures never ride through a second join.
+  /** Generic in-bucket pair kernel shared by every LSH mode: stream one
+    * bucket's (id, payload) rows into a bounded buffer (buckets above
+    * `maxBucket` are dropped without materializing past the cap — the
+    * iterator stops filling), then run `verify` over every i<j pair and
+    * emit qualifying results with ids ordered ascending. Runs entirely
+    * inside the bucket's task — payloads never ride through a second join.
     */
-  private def minhashPairKernel(k: Int, threshold: Double, maxBucket: Int)(
-      key: (Int, Long), it: Iterator[(Int, Long, Long, Array[Long])])
-      : Iterator[(Long, Long, Double)] = {
-    val buf = new scala.collection.mutable.ArrayBuffer[(Long, Array[Long])]
+  private def bucketPairs[P, R](maxBucket: Int, verify: (P, P) => Option[R])(
+      it: Iterator[(Long, P)]): Iterator[(Long, Long, R)] = {
+    val buf = new scala.collection.mutable.ArrayBuffer[(Long, P)]
     var overflow = false
     while (it.hasNext && !overflow) {
-      val t = it.next()
-      buf += ((t._3, t._4))
+      buf += it.next()
       if (buf.length > maxBucket) overflow = true
     }
     if (overflow || buf.length < 2) Iterator.empty
     else {
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, R)]
       var i = 0
       while (i < buf.length) {
         var j = i + 1
         while (j < buf.length) {
-          val (ia, sa) = buf(i)
-          val (ib, sb) = buf(j)
-          if (ia != ib) {
-            var eq = 0
-            var p = 0
-            while (p < k) { if (sa(p) == sb(p)) eq += 1; p += 1 }
-            val est = eq.toDouble / k
-            if (est >= threshold)
-              out += (if (ia < ib) (ia, ib, est) else (ib, ia, est))
+          val (ia, pa) = buf(i)
+          val (ib, pb) = buf(j)
+          if (ia != ib) verify(pa, pb).foreach { r =>
+            out += (if (ia < ib) (ia, ib, r) else (ib, ia, r))
           }
           j += 1
         }
@@ -294,6 +288,16 @@ object Dedup {
       }
       out.iterator
     }
+  }
+
+  /** MinHash verify: fraction of agreeing signature positions >= threshold. */
+  private def minhashVerify(k: Int, threshold: Double)(
+      sa: Array[Long], sb: Array[Long]): Option[Double] = {
+    var eq = 0
+    var p = 0
+    while (p < k) { if (sa(p) == sb(p)) eq += 1; p += 1 }
+    val est = eq.toDouble / k
+    if (est >= threshold) Some(est) else None
   }
 
   /** Candidate duplicate pairs via MinHash-LSH with in-bucket verification.
@@ -324,7 +328,10 @@ object Dedup {
     fat.select(col("band"), col("key"), col("id"), col("sig"))
       .as[(Int, Long, Long, Array[Long])]
       .groupByKey { case (band, key, _, _) => (band, key) }
-      .flatMapGroups(minhashPairKernel(k, threshold, maxBucket) _)
+      .flatMapGroups { (_: (Int, Long), it: Iterator[(Int, Long, Long, Array[Long])]) =>
+        bucketPairs(maxBucket, minhashVerify(k, threshold) _)(
+          it.map(t => (t._3, t._4)))
+      }
       .toDF("id_a", "id_b", "est_jaccard")
       .distinct() // same pair found in several bands -> one row
   }
@@ -483,33 +490,10 @@ object Dedup {
       .as[(Int, Long, Long, Long)]
       .groupByKey { case (chunk, ckey, _, _) => (chunk, ckey) }
       .flatMapGroups { (_: (Int, Long), it: Iterator[(Int, Long, Long, Long)]) =>
-        val buf = new scala.collection.mutable.ArrayBuffer[(Long, Long)]
-        var overflow = false
-        while (it.hasNext && !overflow) {
-          val t = it.next()
-          buf += ((t._3, t._4))
-          if (buf.length > maxBucket) overflow = true
-        }
-        if (overflow || buf.length < 2) Iterator.empty
-        else {
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
-          var i = 0
-          while (i < buf.length) {
-            var j = i + 1
-            while (j < buf.length) {
-              val (ia, sa) = buf(i)
-              val (ib, sb) = buf(j)
-              if (ia != ib) {
-                val ham = java.lang.Long.bitCount(sa ^ sb)
-                if (ham <= maxHamming)
-                  out += (if (ia < ib) (ia, ib, ham) else (ib, ia, ham))
-              }
-              j += 1
-            }
-            i += 1
-          }
-          out.iterator
-        }
+        bucketPairs(maxBucket, (sa: Long, sb: Long) => {
+          val ham = java.lang.Long.bitCount(sa ^ sb)
+          if (ham <= maxHamming) Some(ham) else None
+        })(it.map(t => (t._3, t._4)))
       }
       .toDF("id_a", "id_b", "hamming")
       .distinct()
@@ -586,33 +570,10 @@ object Dedup {
       .as[(Int, Long, Long, Array[Long])]
       .groupByKey { case (band, key, _, _) => (band, key) }
       .flatMapGroups { (_: (Int, Long), it: Iterator[(Int, Long, Long, Array[Long])]) =>
-        val buf = new scala.collection.mutable.ArrayBuffer[(Long, Array[Long])]
-        var overflow = false
-        while (it.hasNext && !overflow) {
-          val t = it.next()
-          buf += ((t._3, t._4))
-          if (buf.length > maxBucket) overflow = true
-        }
-        if (overflow || buf.length < 2) Iterator.empty
-        else {
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-          var i = 0
-          while (i < buf.length) {
-            var j = i + 1
-            while (j < buf.length) {
-              val (ia, sa) = buf(i)
-              val (ib, sb) = buf(j)
-              if (ia != ib) {
-                val jac = sortedJaccard(sa, sb)
-                if (jac >= threshold)
-                  out += (if (ia < ib) (ia, ib, jac) else (ib, ia, jac))
-              }
-              j += 1
-            }
-            i += 1
-          }
-          out.iterator
-        }
+        bucketPairs(maxBucket, (sa: Array[Long], sb: Array[Long]) => {
+          val jac = sortedJaccard(sa, sb)
+          if (jac >= threshold) Some(jac) else None
+        })(it.map(t => (t._3, t._4)))
       }
       .toDF("id_a", "id_b", "jaccard")
       .distinct()
@@ -639,46 +600,26 @@ object Dedup {
     bucketed.as[(Long, Long, Array[Double])]
       .groupByKey(_._1)
       .flatMapGroups { (_: Long, it: Iterator[(Long, Long, Array[Double])]) =>
-        val buf = new scala.collection.mutable.ArrayBuffer[(Long, Array[Double])]
-        var overflow = false
-        while (it.hasNext && !overflow) {
-          val t = it.next()
-          buf += ((t._2, t._3))
-          if (buf.length > maxBucket) overflow = true
-        }
-        if (overflow || buf.length < 2) Iterator.empty
-        else {
-          // pre-compute norms once per row, not once per pair
-          val norms = buf.map { case (_, v) =>
+        // norm computed once per ROW at buffer-fill time (payload carries
+        // it), not once per pair
+        bucketPairs(maxBucket,
+          (a: (Array[Double], Double), b: (Array[Double], Double)) => {
+            val cos =
+              if (a._2 == 0.0 || b._2 == 0.0) 0.0
+              else {
+                val va = a._1; val vb = b._1
+                var d = 0.0; var p = 0
+                val n = math.min(va.length, vb.length)
+                while (p < n) { d += va(p) * vb(p); p += 1 }
+                d / (a._2 * b._2)
+              }
+            if (cos >= threshold) Some(cos) else None
+          })(it.map { t =>
+            val v = t._3
             var s = 0.0; var i = 0
             while (i < v.length) { s += v(i) * v(i); i += 1 }
-            math.sqrt(s)
-          }
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-          var i = 0
-          while (i < buf.length) {
-            var j = i + 1
-            while (j < buf.length) {
-              val (ia, va) = buf(i)
-              val (ib, vb) = buf(j)
-              if (ia != ib) {
-                val cos =
-                  if (norms(i) == 0.0 || norms(j) == 0.0) 0.0
-                  else {
-                    var d = 0.0; var p = 0
-                    val n = math.min(va.length, vb.length)
-                    while (p < n) { d += va(p) * vb(p); p += 1 }
-                    d / (norms(i) * norms(j))
-                  }
-                if (cos >= threshold)
-                  out += (if (ia < ib) (ia, ib, cos) else (ib, ia, cos))
-              }
-              j += 1
-            }
-            i += 1
-          }
-          out.iterator
-        }
+            (t._2, (v, math.sqrt(s)))
+          })
       }
       .toDF("id_a", "id_b", "cosine")
       .distinct()

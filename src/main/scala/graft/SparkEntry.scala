@@ -253,6 +253,25 @@ object SparkEntry {
         .except(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
         .orderBy("o_custkey")
     }),
+    "q_quantiles" -> ((s, dir) => {
+      // exact interpolated percentiles (matches quantile_cont); at scale
+      // swap percentile -> approx_percentile (t-digest, no per-group sort)
+      val li = t(s, dir, "lineitem")
+      li.createOrReplaceTempView("__li")
+      s.sql("""SELECT l_returnflag,
+                      percentile(l_quantity, 0.5) AS med_qty,
+                      percentile(l_quantity, 0.95) AS p95_qty
+               FROM __li GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }),
+    "q_fuzzy_match" -> ((s, dir) => {
+      // edit-distance fuzzy matching (the classic DP — engine-portable
+      // exact ints), a text-toolkit staple for entity/name dedup
+      t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"),
+          levenshtein(lower(col("n_name")), lit("untied states")).as("dist"))
+        .filter(col("dist") <= 6)
+        .orderBy("n_nationkey")
+    }),
     "q_subword_count" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -456,6 +475,17 @@ object SparkEntry {
          EXCEPT
          SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
          ORDER BY o_custkey""",
+    "q_quantiles" ->
+      """SELECT l_returnflag,
+                quantile_cont(l_quantity, 0.5) AS med_qty,
+                quantile_cont(l_quantity, 0.95) AS p95_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_fuzzy_match" ->
+      """SELECT n_nationkey, n_name,
+                levenshtein(lower(n_name), 'untied states') AS dist
+         FROM nation
+         WHERE levenshtein(lower(n_name), 'untied states') <= 6
+         ORDER BY n_nationkey""",
     "q_subword_count" ->
       """SELECT doc_id,
                 len(regexp_extract_all(text, '[a-zA-Z0-9]+'))

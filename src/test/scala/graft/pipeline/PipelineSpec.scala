@@ -140,6 +140,23 @@ class DedupSpec extends SparkSpec {
     assert(got.keySet == (1L to 9L).toSet)
   }
 
+  test("LSH pair results are invariant to input partitioning") {
+    // order-dependence inside the bucket kernels would show up here: the
+    // same corpus under 1, 3, and 13 partitions must yield identical pairs
+    val base = (1 to 60).map { i =>
+      val body = s"shared prefix tokens for group ${i % 6} " * 5
+      (i.toLong, body + (if (i % 2 == 0) "tail variant alpha" else "tail variant beta"))
+    }.toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashCandidates(df, "doc_id", col("text"), threshold = 0.5)
+        .as[(Long, Long, Double)].collect().sortBy(t => (t._1, t._2)).toSeq
+    val p1 = pairs(base.repartition(1))
+    val p3 = pairs(base.repartition(3))
+    val p13 = pairs(base.repartition(13))
+    assert(p1.nonEmpty)
+    assert(p1 == p3 && p3 == p13)
+  }
+
   test("estJaccard equals agreement fraction") {
     val df = Seq((Seq(1L, 2L, 3L, 4L), Seq(1L, 2L, 9L, 4L))).toDF("a", "b")
     val got = df.select(Dedup.estJaccard(col("a"), col("b"))).as[Double].collect()

@@ -61,8 +61,15 @@ object SparkEntry {
         .select("r_regionkey", "r_name").orderBy("r_regionkey")
     }),
     "q_keyword_filter_irrelevant" -> ((s, dir) => {
+      // and-logic irrelevant = NOT(all keywords present)
       KeywordFilter(t(s, dir, "documents"),
         LogicalOp.KeywordFilter(Seq("text"), Seq("spark", "window"), "and", "irrelevant"))
+        .select("doc_id").orderBy("doc_id")
+    }),
+    "q_keyword_filter_irrelevant_or" -> ((s, dir) => {
+      // or-logic irrelevant = no keyword present
+      KeywordFilter(t(s, dir, "documents"),
+        LogicalOp.KeywordFilter(Seq("text"), Seq("spark", "window"), "or", "irrelevant"))
         .select("doc_id").orderBy("doc_id")
     }),
     "q_keyword_filter_equal" -> ((s, dir) => {
@@ -504,7 +511,11 @@ object SparkEntry {
          GROUP BY event_type ORDER BY event_type""",
     "q_keyword_filter_irrelevant" ->
       """SELECT doc_id FROM documents
-         WHERE NOT contains(lower(text), 'spark') AND NOT contains(lower(text), 'window')
+         WHERE NOT (contains(lower(text), 'spark') AND contains(lower(text), 'window'))
+         ORDER BY doc_id""",
+    "q_keyword_filter_irrelevant_or" ->
+      """SELECT doc_id FROM documents
+         WHERE NOT (contains(lower(text), 'spark') OR contains(lower(text), 'window'))
          ORDER BY doc_id""",
     "q_keyword_filter_equal" ->
       """SELECT r_regionkey, r_name FROM region
@@ -774,8 +785,12 @@ object SparkEntry {
                            THEN 1 ELSE 0 END AS new_session
                     FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_micros)),
               t AS (SELECT user_id, value, ts_micros,
-                      sum(new_session) OVER (PARTITION BY user_id
-                        ORDER BY ts_micros ROWS UNBOUNDED PRECEDING) AS session_idx
+                      -- CAST: DuckDB's windowed sum yields HUGEINT, which
+                      -- pandas materializes as float64 ('1.0'), hash-breaking
+                      -- vs Spark's int64 ('1')
+                      CAST(sum(new_session) OVER (PARTITION BY user_id
+                        ORDER BY ts_micros ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                        AS session_idx
                     FROM s)
          SELECT user_id, session_idx, CAST(count(*) AS INT) AS n_events,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,

@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, Predicate}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, Predicate, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.GraftShim
+import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native codegen'd multi-keyword matcher.
@@ -22,7 +23,12 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class MultiContains(child: Expression, keywords: Seq[String],
     matchAny: Boolean, negate: Boolean)
-  extends UnaryExpression with Predicate {
+  extends UnaryExpression with Predicate with ImplicitCastInputTypes {
+
+  // analysis-time contract: a non-string child (e.g. SQL-registered
+  // `multi_contains(42, ...)`) gets an implicit cast or a clear analysis
+  // error instead of a runtime ClassCastException in eval/codegen
+  override def inputTypes: Seq[GraftShim.AbstractDT] = Seq(StringType)
 
   private val kws: Array[UTF8String] =
     keywords.map(k => UTF8String.fromString(k.toLowerCase)).toArray

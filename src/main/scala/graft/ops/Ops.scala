@@ -41,7 +41,8 @@ object Ops {
   *   - contains:     keyword is a substring of the row text
   *   - contained_in: the row text is a substring of the keyword
   *   - equal:        row text == keyword
-  *   - irrelevant:   negated contains
+  *   - irrelevant:   fold positive contains by `logic`, then negate the
+  *                   whole mask (and -> NOT all present; or -> none present)
   * `logic` (and|or) folds across keywords. Pure Catalyst: whole-stage
   * codegen, and for single-column cases the `contains` pushes to the scan.
   */
@@ -58,10 +59,12 @@ object KeywordFilter {
         graft.functions.TextPredicates.multi(raw, keywords, matchAny = or,
           negate = false)
       case "irrelevant" =>
-        // AND of negations = none present; OR of negations = NOT(all present)
-        if (or) graft.functions.TextPredicates.multi(raw, keywords,
+        // reference semantics (Operaters.py:17-40): fold the POSITIVE
+        // contains-masks by `logic`, then negate the folded mask —
+        //   and -> NOT(all present); or -> NOT(any present) = none present
+        if (or) graft.functions.TextPredicates.containsNone(raw, keywords)
+        else graft.functions.TextPredicates.multi(raw, keywords,
           matchAny = false, negate = true)
-        else graft.functions.TextPredicates.containsNone(raw, keywords)
       case _ =>
         val text = lower(raw)
         val preds = keywords.map(_.toLowerCase).map { kw =>

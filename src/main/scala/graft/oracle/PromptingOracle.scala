@@ -102,20 +102,36 @@ abstract class PromptingOracle extends BatchedOracle {
 
   // batched variants route through completeBatch (one RPC per batch)
 
+  /** Null texts never reach the LLM: the per-row UDF path short-circuits
+    * null -> false/None/0.0, and the batched path must agree (same answer
+    * through either routing mode, and no wasted completions). Runs the
+    * batch over non-null texts only and stitches defaults back in position.
+    */
+  private def batchNonNull[R](texts: Seq[String], default: R)(
+      run: Seq[String] => Seq[R]): Seq[R] = {
+    val nonNull = texts.filter(_ != null)
+    if (nonNull.isEmpty) texts.map(_ => default)
+    else {
+      val it = run(nonNull).iterator
+      texts.map(t => if (t == null) default else it.next())
+    }
+  }
+
   override def judgeBatch(texts: Seq[String], condition: String): Seq[Boolean] =
-    completeBatch(texts.map(t => judgePrompt(Option(t).getOrElse(""), condition)))
-      .map(yes)
+    batchNonNull(texts, false)(ts =>
+      completeBatch(ts.map(judgePrompt(_, condition))).map(yes))
 
   override def extractBatch(texts: Seq[String], desc: String): Seq[Option[String]] =
-    completeBatch(texts.map(t => extractPrompt(Option(t).getOrElse(""), desc)))
-      .map(na)
+    batchNonNull(texts, Option.empty[String])(ts =>
+      completeBatch(ts.map(extractPrompt(_, desc))).map(na))
 
   override def classifyBatch(texts: Seq[String],
       vocab: Seq[TagRule]): Seq[Option[String]] =
-    completeBatch(texts.map(t => classifyPrompt(Option(t).getOrElse(""), vocab)))
-      .map(na(_).filter(t => vocab.exists(_.tag == t)))
+    batchNonNull(texts, Option.empty[String])(ts =>
+      completeBatch(ts.map(classifyPrompt(_, vocab)))
+        .map(na(_).filter(t => vocab.exists(_.tag == t))))
 
   override def scoreBatch(texts: Seq[String], query: String): Seq[Double] =
-    completeBatch(texts.map(t => scorePrompt(Option(t).getOrElse(""), query)))
-      .map(parseScore)
+    batchNonNull(texts, 0.0)(ts =>
+      completeBatch(ts.map(scorePrompt(_, query))).map(parseScore))
 }

@@ -366,18 +366,39 @@ object Dedup {
     *         min id of its component. Rows with no duplicate partner are
     *         absent (their cluster is themselves).
     */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    // eager localCheckpoint between iterations: each round references the
-    // previous labels frame several times, so without lineage truncation
-    // the logical plan grows EXPONENTIALLY and analysis itself OOMs
-    val edges = pairs.select(col("id_a").cast("long").as("src"),
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 10,
+      checkpointDir: Option[String] = None): DataFrame =
+    duplicateClustersWithStatus(pairs, maxIter, checkpointDir)._1
+
+  /** [[duplicateClusters]] plus a convergence flag: false means a component
+    * with graph diameter > `maxIter` still has rows labeled above its true
+    * minimum (the caller keeps extra "representatives"). Also logged as a
+    * warning so the silent-truncation failure mode is visible.
+    *
+    * @param checkpointDir reliable checkpoint directory for real clusters:
+    *   the default `localCheckpoint` trades fault tolerance for speed
+    *   (executor loss mid-propagation kills the lineage-truncated run);
+    *   a reliable dir survives it at the cost of writing each round's
+    *   labels to that storage.
+    */
+  def duplicateClustersWithStatus(pairs: DataFrame, maxIter: Int = 10,
+      checkpointDir: Option[String] = None): (DataFrame, Boolean) = {
+    val sc = pairs.sparkSession.sparkContext
+    checkpointDir.foreach { dir =>
+      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+    }
+    // checkpoint between iterations: each round references the previous
+    // labels frame several times, so without lineage truncation the
+    // logical plan grows EXPONENTIALLY and analysis itself OOMs
+    def ckpt(df: DataFrame, eager: Boolean): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager)
+      else df.localCheckpoint(eager)
+    val edges = ckpt(pairs.select(col("id_a").cast("long").as("src"),
         col("id_b").cast("long").as("dst"))
       .union(pairs.select(col("id_b").cast("long").as("src"),
-        col("id_a").cast("long").as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
-      .localCheckpoint(true)
+        col("id_a").cast("long").as("dst"))), eager = true)
+    var labels = ckpt(edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")), eager = true)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -385,20 +406,23 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("cluster")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min("cluster").as("nmin"))
-      val updated = labels
+      // LAZY checkpoint + one count: the convergence probe is the action
+      // that materializes the round's labels (truncating lineage), so each
+      // iteration runs exactly ONE job — no separate join+isEmpty pass
+      val updated = ckpt(labels
         .join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("cluster").as("old"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster")))
-            .as("cluster"))
-        .localCheckpoint(true)
-      converged = updated
-        .join(labels.select(col("id"), col("cluster").as("old")), Seq("id"))
-        .filter(col("cluster") =!= col("old"))
-        .isEmpty
-      labels = updated
+            .as("cluster")), eager = false)
+      converged = updated.filter(col("cluster") =!= col("old")).count() == 0L
+      labels = updated.select("id", "cluster")
       iter += 1
     }
-    labels
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"duplicateClusters: not converged after $maxIter iterations; " +
+          "components wider than maxIter hops keep extra representatives")
+    (labels, converged)
   }
 
   /** Cluster-aware MinHash dedup: one representative (min id) per

@@ -10,4 +10,10 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** `types.AbstractDataType` is `private[sql]`; expressions outside the
+    * sql package need this alias to declare `inputTypes` contracts
+    * (ExpectsInputTypes / ImplicitCastInputTypes).
+    */
+  type AbstractDT = org.apache.spark.sql.types.AbstractDataType
 }

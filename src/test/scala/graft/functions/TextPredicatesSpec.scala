@@ -43,12 +43,18 @@ class TextPredicatesSpec extends SparkSpec {
       Seq("t"), Seq("spark", "window"), "and", "contains"))
       .select("id").as[Long].collect().toSeq
     assert(both == Seq(3L))
+    // reference semantics: fold positive contains by logic, negate the fold
+    // (Operaters.py:17-40). or-irrelevant = none present; null column
+    // becomes "" under concat_ws, so row 5 passes either way
     val irrOr = KeywordFilter(df, LogicalOp.KeywordFilter(
       Seq("t"), Seq("spark", "window"), "or", "irrelevant"))
       .select("id").as[Long].collect().sorted.toSeq
-    // NOT(all present); null column becomes "" under concat_ws, so row 5
-    // passes (same as the folded-contains formulation)
-    assert(irrOr == Seq(1L, 2L, 4L, 5L))
+    assert(irrOr == Seq(4L, 5L))
+    // and-irrelevant = NOT(all present)
+    val irrAnd = KeywordFilter(df, LogicalOp.KeywordFilter(
+      Seq("t"), Seq("spark", "window"), "and", "irrelevant"))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(irrAnd == Seq(1L, 2L, 4L, 5L))
   }
 
   test("empty keyword list: all-semantics true, any-semantics false") {

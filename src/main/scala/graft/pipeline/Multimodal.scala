@@ -56,7 +56,9 @@ object Multimodal {
     var h = 0xcbf29ce484222325L
     var i = 0
     while (i < math.min(bytes.length, 64)) {
-      h ^= bytes(i); h *= 0x100000001b3L; i += 1
+      // unsigned byte: FNV-1a's standard octet semantics (and engine-
+      // portable — a signed xor would sign-extend bytes >= 0x80)
+      h ^= (bytes(i) & 0xFF); h *= 0x100000001b3L; i += 1
     }
     (64 + (h & 0x3f).toInt * 16, 64 + ((h >>> 6) & 0x3f).toInt * 16)
   }

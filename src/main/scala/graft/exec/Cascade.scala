@@ -66,13 +66,56 @@ object Cascade {
     build(LogicTree.normalize(tree))
   }
 
+  /** Some(leaf ids) when the normalized tree is an AND over plain leaves
+    * (or a single leaf) — the shape eligible for staged batched execution.
+    */
+  private def andLeafIds(t: LogicTree): Option[Seq[Int]] = t match {
+    case LogicTree.Leaf(id) => Some(Seq(id))
+    case LogicTree.Node(op, cs) if op.equalsIgnoreCase("and") &&
+        cs.forall(_.isInstanceOf[LogicTree.Leaf]) =>
+      Some(cs.collect { case LogicTree.Leaf(id) => id })
+    case _ => None
+  }
+
   /** Filter `df` by a plan of filter ops composed under `tree`; a missing
     * tree means AND of all (the reference's default when no logic is given).
+    *
+    * Staged batched cascade (Exection_Agent.py:380-394): under a pure AND
+    * of leaves with a non-compilable [[graft.oracle.BatchedOracle]], the
+    * cheap Column leaves run first as one codegen'd filter and ONLY the
+    * survivors stream through the batched sem_filter stages — the
+    * reference's undecided-row staging, instead of a per-row UDF leaf
+    * inside the single-pass predicate. Mixed OR trees keep the one-pass
+    * Column form (short-circuit still minimizes oracle evaluations there).
     */
   def filter(df: DataFrame, ops: Seq[(Int, LogicalOp)],
       tree: Option[LogicTree], oracle: SemanticOracle): DataFrame = {
     val t = tree.getOrElse(LogicTree.Node("AND", ops.map(o => LogicTree.Leaf(o._1))))
-    df.filter(predicate(df, ops.toMap, t, oracle))
+    val leaves = ops.toMap
+    val norm = LogicTree.normalize(t)
+    (oracle, andLeafIds(norm)) match {
+      case (b: graft.oracle.BatchedOracle, Some(ids)) =>
+        val (semIds, cheapIds) = ids.partition { id =>
+          leaves(id) match {
+            case f: LogicalOp.SemFilter =>
+              oracle.compileJudge(f.condition).isEmpty
+            case _ => false
+          }
+        }
+        if (semIds.isEmpty) df.filter(predicate(df, leaves, norm, oracle))
+        else {
+          val pre =
+            if (cheapIds.isEmpty) df
+            else df.filter(predicate(df, leaves,
+              LogicTree.Node("AND", cheapIds.map(LogicTree.Leaf(_))), oracle))
+          semIds.map(leaves).collect { case f: LogicalOp.SemFilter => f }
+            .foldLeft(pre) { (d, f) =>
+              graft.oracle.BatchedExec.semFilter(d,
+                Ops.textCol(d, f.columns), f.condition, b)
+            }
+        }
+      case _ => df.filter(predicate(df, leaves, norm, oracle))
+    }
   }
 }
 

@@ -26,6 +26,38 @@ object ColumnStats {
   /** Upper bound on rows consulted for any strategy decision. */
   val sampleCap = 100000
 
+  // ---- memoization: a strategy decision is per (input plan, column), not
+  // per invocation. Keyed on the canonicalized logical plan's semantic
+  // hash, so the same table expression never pays the stat jobs twice —
+  // and the recorded decision is what a plan's lineage should carry
+  // (SURVEY §4 scale note; the reference amortizes per template,
+  // Operaters.py:216-224).
+
+  private def cacheKey(df: DataFrame, column: String): (Int, String) =
+    (df.queryExecution.analyzed.semanticHash(), column)
+
+  private val patternCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), PatternStats]
+  private val enumCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), EnumStats]
+
+  /** Memoized [[patternStats]]: zero Spark jobs on a repeat call for the
+    * same (plan, column).
+    */
+  def patternStatsCached(df: DataFrame, column: String): PatternStats =
+    patternCache.computeIfAbsent(cacheKey(df, column),
+      _ => patternStats(df, column))
+
+  /** Memoized [[enumStats]]. */
+  def enumStatsCached(df: DataFrame, column: String): EnumStats =
+    enumCache.computeIfAbsent(cacheKey(df, column),
+      _ => enumStats(df, column))
+
+  /** Drop all memoized statistics (tests; or after a table's data moved
+    * under the same logical plan, e.g. an overwritten path).
+    */
+  def clearCaches(): Unit = { patternCache.clear(); enumCache.clear() }
+
   private def sample(df: DataFrame, column: String): DataFrame =
     df.select(col(column).cast("string").as("v")).limit(sampleCap)
 
@@ -199,11 +231,29 @@ object Dice {
 
   def choose(df: DataFrame, column: String, condition: String): Choice = {
     if (parseCompare(condition).isDefined) {
-      if (ColumnStats.patternStats(df, column).isHighlyPatternized)
+      if (ColumnStats.patternStatsCached(df, column).isHighlyPatternized)
         PatternStrategy
       else CompareStrategy
-    } else if (ColumnStats.enumStats(df, column).isEnumerable) EnumStrategy
+    } else if (ColumnStats.enumStatsCached(df, column).isEnumerable) EnumStrategy
     else SemFallback
+  }
+
+  /** The chosen strategy's predicate as a composable Column — the form the
+    * agent layer needs to fold several dice/slice steps under one logic
+    * tree (the reference combines per-op masks, Exection_Agent.py:181-210).
+    */
+  def predicate(df: DataFrame, column: String, condition: String,
+      oracle: SemanticOracle): Column = choose(df, column, condition) match {
+    case PatternStrategy =>
+      FilterPattern.digitRunPredicate(column, 1, Seq(parseCompare(condition).get))
+    case CompareStrategy =>
+      val cond = parseCompare(condition).get.copy(column = column)
+      NumFilter.predicate(Seq(cond), "and")
+    case EnumStrategy =>
+      val keep = FilterEnum.keepSet(df, column, condition, oracle)
+      col(column).cast("string").isin(keep: _*)
+    case SemFallback =>
+      SemFilter.predicate(df, Seq(column), condition, oracle)
   }
 
   /** Run the dice verb: pick a strategy from the data (via [[choose]], the
@@ -211,18 +261,8 @@ object Dice {
     * preserves the semantics.
     */
   def apply(df: DataFrame, column: String, condition: String,
-      oracle: SemanticOracle): DataFrame = choose(df, column, condition) match {
-    case PatternStrategy =>
-      val cond = parseCompare(condition).get
-      df.filter(FilterPattern.digitRunPredicate(column, 1, Seq(cond)))
-    case CompareStrategy =>
-      val cond = parseCompare(condition).get.copy(column = column)
-      NumFilter(df, LogicalOp.NumFilter(Seq(cond), "and"))
-    case EnumStrategy =>
-      FilterEnum(df, column, condition, oracle)
-    case SemFallback =>
-      SemFilter(df, LogicalOp.SemFilter(Seq(column), condition), oracle)
-  }
+      oracle: SemanticOracle): DataFrame =
+    df.filter(predicate(df, column, condition, oracle))
 }
 
 /** The slice verb (Agents/Slice_Agent.py:38-108): cross-field filter lowered
@@ -235,6 +275,18 @@ object Slice {
   def keywords(condition: String): Seq[String] = {
     val toks = graft.oracle.DeterministicOracle.tokens(condition)
     toks.filterNot(t => toks.exists(o => o != t && t.contains(o)))
+  }
+
+  /** The slice predicate as a composable Column (keyword prefilter AND
+    * semantic judgment; And short-circuits, so the oracle only sees rows
+    * the keyword disjunction kept).
+    */
+  def predicate(df: DataFrame, columns: Seq[String], condition: String,
+      oracle: SemanticOracle): Column = {
+    val kw = keywords(condition)
+    val sem = SemFilter.predicate(df, columns, condition, oracle)
+    if (kw.isEmpty) sem
+    else KeywordFilter.predicate(df, columns, kw, "or", "contains") && sem
   }
 
   def apply(df: DataFrame, columns: Seq[String], condition: String,

@@ -85,6 +85,20 @@ class StrategySpec extends SparkSpec {
     assert(got.toSeq == Seq(96L, 97L, 98L, 99L, 100L))
   }
 
+  test("column stats are memoized per (plan, column): repeat calls run no jobs") {
+    ColumnStats.clearCaches()
+    val df = (1 to 500).map(i => (i.toLong, s"v ${i}ms")).toDF("id", "c")
+    val s1 = ColumnStats.patternStatsCached(df, "c")
+    // identity (not just equality) proves the cached instance came back —
+    // i.e. the stat jobs did not rerun
+    assert(ColumnStats.patternStatsCached(df, "c") eq s1)
+    val e1 = ColumnStats.enumStatsCached(df, "c")
+    assert(ColumnStats.enumStatsCached(df, "c") eq e1)
+    // a different column is a different key
+    assert(!(ColumnStats.patternStatsCached(df, "id") eq s1))
+    ColumnStats.clearCaches()
+  }
+
   test("slice keywords: super-string dedup drops containing keywords") {
     assert(Slice.keywords("spark sparksql stream") == Seq("spark", "stream"))
   }

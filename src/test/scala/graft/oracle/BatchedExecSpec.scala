@@ -14,12 +14,14 @@ class CountingOracle extends DeterministicOracle with BatchedOracle {
   override def judgeBatch(texts: Seq[String], condition: String) = {
     CountingOracle.batches.incrementAndGet()
     CountingOracle.maxBatch.updateAndGet(m => math.max(m, texts.length))
+    CountingOracle.texts.addAndGet(texts.length)
     super.judgeBatch(texts, condition)
   }
 }
 object CountingOracle {
   val batches = new AtomicInteger(0)
   val maxBatch = new AtomicInteger(0)
+  val texts = new AtomicInteger(0)
 }
 
 class BatchedExecSpec extends SparkSpec {
@@ -62,6 +64,21 @@ class BatchedExecSpec extends SparkSpec {
     // operator-level routing: the 200 judgments arrived in <= 8 batches
     assert(CountingOracle.batches.get() > 0 &&
       CountingOracle.batches.get() <= 8)
+  }
+
+  test("staged cascade feeds only cheap-filter survivors to the oracle") {
+    CountingOracle.batches.set(0); CountingOracle.texts.set(0)
+    val oracle = new CountingOracle
+    val plan: Seq[graft.plan.LogicalOp] = Seq(
+      graft.plan.LogicalOp.KeywordFilter(Seq("txt"), Seq("spark"), "and", "contains"),
+      graft.plan.LogicalOp.SemFilter(Seq("txt"), "doc"))
+    val got = graft.exec.Cascade.filter(docs,
+      plan.zipWithIndex.map(_.swap), None, oracle)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got.size == 66) // every "spark doc N" row also contains "doc"
+    // the reference's undecided-row staging (Exection_Agent.py:380-394):
+    // only the 66 keyword-filter survivors reach the oracle, not all 200
+    assert(CountingOracle.texts.get() == 66)
   }
 
   test("batch kernel arity mismatch fails loudly") {

@@ -38,7 +38,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     spark.stop()
+    // emit AFTER spark.stop() on stdout, stderr, and a file: the consumer
+    // greps one JSON line out of sbt+log4j noise, so redundancy is cheap
+    // insurance against stream interleaving (round 1's line was lost)
+    println(json)
+    System.err.println(json)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LAST.json"), json)
+    catch { case _: Throwable => }
   }
 }

@@ -492,7 +492,49 @@ object SparkEntry {
         LogicalOp.NumFilter(Seq(NumCondition("n_chars", 300, ">=")), "and")))
         .df.select("doc_id").orderBy("doc_id")
     }),
+    // ---- JSON source/sink round-trip (SURVEY §2e) ----------------------
+    "q_json_roundtrip" -> ((s, dir) => {
+      // sink -> source -> stringified reference view -> aggregate, gated
+      // against the parquet oracle: any loss in the JSON round-trip or the
+      // all-text view breaks the hash
+      val out = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_json_rt_${new java.io.File(dir).getName}").getAbsolutePath
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      graft.sources.JsonSource.writeJson(docs, out)
+      val back = graft.sources.JsonSource.stringifyNested(s.read.json(out))
+      back.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("decimal(18,2)")).cast("double").as("sum_chars"))
+        .orderBy("lang")
+    }),
+    // ---- SQL-registered function via GraftExtensions (SURVEY §2f) ------
+    "q_sql_multi_contains" -> ((s, dir) => {
+      // the codegen'd MultiContains kernel reached through plain SQL —
+      // gates the SparkSessionExtensions function registration end to end
+      t(s, dir, "documents").createOrReplaceTempView("__docs_mc")
+      s.sql("""SELECT doc_id FROM __docs_mc
+               WHERE multi_contains(text, array('spark', 'join'), 'all')
+               ORDER BY doc_id""")
+    }),
     // ---- streaming-shape operators on batch input (SURVEY §2f ext) -----
+    "q_stream_dedup" -> ((s, dir) => {
+      // REAL Structured Streaming execution: a file-source stream over the
+      // events parquet, streaming dropDuplicates, availableNow trigger
+      // draining into a memory sink. The distinct-key SET is batch-order
+      // independent, so it hash-gates against batch DISTINCT.
+      val schema = t(s, dir, "events").schema
+      // the file source wants a DIRECTORY; glob-filter it to the one table
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val q = stream.select(col("user_id")).dropDuplicates("user_id")
+        .writeStream.format("memory").queryName("q_stream_dedup_sink")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("q_stream_dedup_sink").orderBy("user_id")
+    }),
     "q_stream_window" -> ((s, dir) => {
       EventStreams.windowedStats(t(s, dir, "events"), "1 hour")
         .orderBy("window_start", "event_type")
@@ -948,6 +990,16 @@ object SparkEntry {
          WHERE contains(lower(text), 'spark')
            AND try_cast(n_chars AS DOUBLE) >= 300
          ORDER BY doc_id""",
+    "q_json_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+                CAST(sum(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS sum_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q_sql_multi_contains" ->
+      """SELECT doc_id FROM documents
+         WHERE contains(lower(text), 'spark') AND contains(lower(text), 'join')
+         ORDER BY doc_id""",
+    "q_stream_dedup" ->
+      """SELECT DISTINCT user_id FROM events ORDER BY user_id""",
     "q_stream_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
                 count(*) AS n_events,

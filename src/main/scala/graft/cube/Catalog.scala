@@ -127,6 +127,82 @@ class CubeCatalog(root: DataFrame, oracle: SemanticOracle) {
     else if (cached.subsetOf(query)) Subset
     else NoRelation
 
+  /** The reference's full five-way relation (OLAP_Memory.py:5-64), decided
+    * STRUCTURALLY instead of by LLM judgment. Conjunctive semantics: more
+    * atoms = fewer rows.
+    *
+    *   - Equal:     same atom set;
+    *   - Subset:    query adds atoms — query rows ⊆ cached rows (the only
+    *                relation execution reuses: start from cached, apply the
+    *                delta);
+    *   - Contain:   query drops atoms — query rows ⊇ cached rows (DAG
+    *                lineage: the new node is an ancestor of the cached one);
+    *   - Disjoint:  provably empty overlap — contradictory numeric ranges
+    *                on the same column (the reference's no_relation
+    *                "mutually exclusive conditions" case);
+    *   - Intersect: atom sets overlap but neither contains the other and
+    *                no contradiction is provable. NOTE: the reference
+    *                reserves intersect for *known* overlap; structural
+    *                analysis cannot prove row overlap, so this value means
+    *                "possibly overlapping" and execution treats it exactly
+    *                like NoRelation (never a wrong reuse);
+    *   - NoRelation: no shared atoms.
+    */
+  sealed trait Relation5
+  case object Equal5 extends Relation5
+  case object Subset5 extends Relation5
+  case object Contain5 extends Relation5
+  case object Intersect5 extends Relation5
+  case object Disjoint5 extends Relation5
+  case object NoRelation5 extends Relation5
+
+  def relation5(cached: Seq[LogicalOp], query: Seq[LogicalOp]): Relation5 = {
+    val ca = PredicateAtoms.atoms(cached)
+    val qa = PredicateAtoms.atoms(query)
+    if (ca == qa) Equal5
+    else if (provablyDisjoint(cached, query)) Disjoint5
+    else if (ca.subsetOf(qa)) Subset5
+    else if (qa.subsetOf(ca)) Contain5
+    else if ((ca & qa).nonEmpty) Intersect5
+    else NoRelation5
+  }
+
+  /** Contradictory AND-numeric ranges on a shared column, e.g. cached
+    * `x < 3` vs query `x > 5`: no row satisfies both, so the result sets
+    * are provably disjoint (both non-empty overlap cases are excluded).
+    */
+  private def provablyDisjoint(a: Seq[LogicalOp], b: Seq[LogicalOp]): Boolean = {
+    def andConds(ops: Seq[LogicalOp]): Seq[graft.plan.NumCondition] =
+      ops.collect {
+        case f: LogicalOp.NumFilter if f.logic.equalsIgnoreCase("and") =>
+          f.conditions
+      }.flatten
+    val bByCol = andConds(b).groupBy(_.column)
+    andConds(a).exists { ac =>
+      bByCol.getOrElse(ac.column, Seq.empty).exists { bc =>
+        def lo(c: graft.plan.NumCondition): Option[(Double, Boolean)] = c.op match {
+          case ">"  => Some((c.threshold, false))
+          case ">=" => Some((c.threshold, true))
+          case "==" => Some((c.threshold, true))
+          case _    => None
+        }
+        def hi(c: graft.plan.NumCondition): Option[(Double, Boolean)] = c.op match {
+          case "<"  => Some((c.threshold, false))
+          case "<=" => Some((c.threshold, true))
+          case "==" => Some((c.threshold, true))
+          case _    => None
+        }
+        def conflict(l: Option[(Double, Boolean)],
+            h: Option[(Double, Boolean)]): Boolean = (l, h) match {
+          case (Some((lv, li)), Some((hv, hiInc))) =>
+            lv > hv || (lv == hv && !(li && hiInc))
+          case _ => false
+        }
+        conflict(lo(ac), hi(bc)) || conflict(lo(bc), hi(ac))
+      }
+    }
+  }
+
   /** Smallest cached superset of the query's predicate set — the
     * deterministic analogue of OLAP_Memory.get_current_node's BFS descent.
     */

@@ -167,4 +167,34 @@ class CatalogSpec extends SparkSpec {
     val (n2, _) = Verbs.rollUp(n, op, vocab, oracle)
     assert(n2.dims("title").granularities.contains("engine"))
   }
+
+  test("relation5 classifies all five reference relations structurally") {
+    val cat = new CubeCatalog(fixture, oracle)
+    val q1 = Seq(fSpark)
+    val q2 = Seq(fSpark, fScore)
+    val q3 = Seq(fScore)
+    val lowScore = LogicalOp.NumFilter(Seq(NumCondition("score", 10, "<")), "and")
+    assert(cat.relation5(q1, Seq(fSpark)) == cat.Equal5)
+    // query adds atoms -> its rows are a subset of the cached node's
+    assert(cat.relation5(q1, q2) == cat.Subset5)
+    // query drops atoms -> it contains the cached node
+    assert(cat.relation5(q2, q1) == cat.Contain5)
+    // shared atom, neither contains the other, no provable contradiction
+    val fJoin = LogicalOp.KeywordFilter(Seq("title"), Seq("join"), "and", "contains")
+    assert(cat.relation5(q2, Seq(fSpark, fJoin)) == cat.Intersect5)
+    // a contradictory numeric pair wins over the shared atom: disjoint
+    assert(cat.relation5(q2, Seq(fSpark, lowScore)) == cat.Disjoint5)
+    // contradictory numeric ranges on the same column -> provably disjoint
+    assert(cat.relation5(Seq(fScore), Seq(lowScore)) == cat.Disjoint5)
+    assert(cat.relation5(Seq(lowScore), Seq(fScore)) == cat.Disjoint5)
+    // boundary: x >= 20 vs x < 20 is disjoint, x >= 20 vs x <= 20 is not
+    val ge20 = LogicalOp.NumFilter(Seq(NumCondition("score", 20, ">=")), "and")
+    val lt20 = LogicalOp.NumFilter(Seq(NumCondition("score", 20, "<")), "and")
+    val le20 = LogicalOp.NumFilter(Seq(NumCondition("score", 20, "<=")), "and")
+    assert(cat.relation5(Seq(ge20), Seq(lt20)) == cat.Disjoint5)
+    assert(cat.relation5(Seq(ge20), Seq(le20)) != cat.Disjoint5)
+    // unrelated predicates
+    val fTitle = LogicalOp.KeywordFilter(Seq("title"), Seq("duck"), "and", "contains")
+    assert(cat.relation5(Seq(fSpark), Seq(fTitle)) == cat.NoRelation5)
+  }
 }

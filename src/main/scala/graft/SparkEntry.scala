@@ -439,6 +439,20 @@ object SparkEntry {
         .select("query_id", "neighbor_id", "cosine", "rank")
         .orderBy("query_id", "rank")
     }),
+    "q_sim_search_ivf_index" -> ((s, dir) => {
+      // the PERSISTED IVF layout: corpus written partitionBy(cell), probe
+      // cells prune partitions at the scan. nProbe == cells -> exact, so
+      // it shares the brute-force oracle like q_sim_search_ivf.
+      val emb = t(s, dir, "embeddings")
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_ivf_idx_${new java.io.File(dir).getName}").getAbsolutePath
+      Similarity.IvfIndex.build(emb, "vec_id", "embedding", cells = 4, path)
+      Similarity.IvfIndex.topK(s, path, emb.filter(col("vec_id") < 5),
+        "vec_id", "vec_id", "embedding", k = 3, nProbe = 4)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    }),
     "q_sim_search_lsh" -> ((s, dir) => {
       // planted-dupe expectation gate: each query's exact copy (id +1e6)
       // lands in the query's own bucket with cosine ~1.0, far above the
@@ -967,7 +981,25 @@ object SparkEntry {
            SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
          WHERE rank <= 3 ORDER BY query_id, rank""",
-    // IVF with nProbe == cells is exact -> same oracle as brute force
+    // IVF (in-memory and persisted-index) with nProbe == cells is exact ->
+    // same oracle as brute force
+    "q_sim_search_ivf_index" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                    FROM embeddings WHERE vec_id < 5),
+              scored AS (
+                SELECT q.query_id, c.vec_id AS neighbor_id,
+                  list_sum(list_transform(list_zip(c.embedding, q.qv),
+                    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                  / (sqrt(list_sum(list_transform(list_zip(c.embedding, c.embedding),
+                       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))
+                   * sqrt(list_sum(list_transform(list_zip(q.qv, q.qv),
+                       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))))
+                    AS cosine
+                FROM embeddings c, q WHERE c.vec_id <> q.query_id)
+         SELECT query_id, neighbor_id, cosine, rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+         WHERE rank <= 3 ORDER BY query_id, rank""",
     "q_sim_search_ivf" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                     FROM embeddings WHERE vec_id < 5),

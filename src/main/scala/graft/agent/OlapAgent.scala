@@ -32,6 +32,15 @@ import graft.plan.{LogicTree, LogicalOp, PlanJson}
   * tests. All JSON parsing tolerates markdown code fences around the
   * payload (the reference's jsonfy_llm_response).
   */
+object OlapAgent {
+  /** Plug-and-run wiring for an LLM-backed deployment: the transport's
+    * `complete` drives planning AND the same oracle answers row-level
+    * judgments (batched through the operators' BatchedOracle routing).
+    */
+  def apply(oracle: graft.oracle.PromptingOracle): OlapAgent =
+    new OlapAgent(oracle.complete _, oracle)
+}
+
 class OlapAgent(complete: String => String, oracle: SemanticOracle) {
 
   // ----------------------------------------------------------- prompts

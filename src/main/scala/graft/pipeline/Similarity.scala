@@ -194,6 +194,84 @@ object Similarity {
     }
   }
 
+  /** Persisted IVF index — the 100 TB storage layout. The corpus is
+    * written `partitionBy("cell")`, so a probe's cell set becomes a
+    * PARTITION FILTER on the read: only `nProbe/cells` of the files are
+    * listed and scanned (visible as `PartitionFilters` in the scan node).
+    * This is the "cell column becomes a partition key" scale path the
+    * in-memory [[Ivf.topK]] notes inline.
+    */
+  object IvfIndex {
+    import Ivf.{train, withCell}
+
+    /** Train centroids and write `<path>/corpus` (cell-partitioned parquet)
+      * and `<path>/centroids`.
+      */
+    def build(corpus: DataFrame, idCol: String, vecCol: String, cells: Int,
+        path: String, sampleN: Int = 10000, iters: Int = 10): Unit = {
+      val centroids = train(corpus, idCol, vecCol, cells, sampleN, iters)
+      withCell(corpus, vecCol, centroids)
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      centroids.zipWithIndex.toSeq
+        .map { case (v, i) => (i, v.toSeq) }
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    }
+
+    def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+        path: String): Array[Array[Double]] =
+      spark.read.parquet(s"$path/centroids")
+        .orderBy("cell").collect()
+        .map(_.getSeq[Double](1).toArray)
+
+    /** Probe the persisted index. The union of the queries' probe cells is
+      * a driver-side set bounded by |queries| * nProbe; pushing it as an
+      * `isin` filter on the partition column prunes the scan to those
+      * directories before any row is read.
+      */
+    def topK(spark: org.apache.spark.sql.SparkSession, path: String,
+        queries: DataFrame, qidCol: String, idCol: String, vecCol: String,
+        k: Int, nProbe: Int): DataFrame = {
+      val centroids = loadCentroids(spark, path)
+      val cents = centroids
+      val probes = math.min(nProbe, centroids.length)
+      val probeKernel = udf { v: Seq[Double] =>
+        if (v == null) null
+        else {
+          var s = 0.0; var i = 0
+          while (i < v.length) { s += v(i) * v(i); i += 1 }
+          val n = math.sqrt(s)
+          val nv = if (n == 0.0) v.toArray else v.toArray.map(_ / n)
+          cents.indices.map { c =>
+            var d = 0.0; var j = 0
+            val m = math.min(nv.length, cents(c).length)
+            while (j < m) { d += nv(j) * cents(c)(j); j += 1 }
+            (d, c)
+          }.sortBy { case (d, c) => (-d, c) }
+            .take(probes).map(_._2).toArray
+        }
+      }
+      val q = queries
+        .select(col(qidCol).as("query_id"), col(vecCol).as("__qvec"),
+          explode(probeKernel(col(vecCol).cast("array<double>"))).as("cell"))
+      // bounded driver collect: |queries| * nProbe cell ids
+      val cellSet = q.select("cell").distinct().collect().map(_.getInt(0))
+      val c = spark.read.parquet(s"$path/corpus")
+        .filter(col("cell").isin(cellSet.toSeq: _*)) // -> PartitionFilters
+        .select(col("cell"), col(idCol).as("neighbor_id"),
+          col(vecCol).as("__cvec"))
+      val scored = c.join(broadcast(q), Seq("cell"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosine(col("__cvec"), col("__qvec")).as("cosine"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    }
+  }
+
   /** Random-hyperplane sign LSH. Plane coefficients are generated from a
     * seeded RNG at plan time (literal arrays, broadcast inside the
     * expression) — deterministic across runs and engines.

@@ -1,0 +1,35 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table layout for co-located joins (SURVEY §4 / 100 TB posture).
+  *
+  * Two tables bucketed on the same keys with the same bucket count are
+  * join-ready: Spark's SortMergeJoin elides BOTH Exchange nodes (and, with
+  * the sort spec, both Sorts), so a fact-to-fact join at 100 TB moves zero
+  * bytes over the network. This is the standing answer to repeated big
+  * joins that broadcast can't serve (neither side small).
+  */
+object Tables {
+
+  /** Write `df` as a bucketed (and in-bucket sorted) managed parquet table.
+    * Bucket count should be sized so one bucket of the LARGER table fits
+    * an executor's memory comfortably at the target scale.
+    */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+      buckets: Int): Unit = {
+    require(keys.nonEmpty, "bucketed table needs >= 1 key column")
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Join two identically-bucketed tables on their bucket keys: shuffle-free
+    * by construction (assert with `.explain` — no Exchange on either side).
+    */
+  def bucketedJoin(spark: SparkSession, left: String, right: String,
+      keys: Seq[String], joinType: String = "inner"): DataFrame =
+    spark.table(left).join(spark.table(right), keys, joinType)
+}

@@ -50,4 +50,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.toLowerCase.contains("multicontains"),
       s"keyword kernel missing in:\n$p")
   }
+
+  test("identically bucketed tables join with zero shuffle") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select("c_custkey", "c_name")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    graft.sources.Tables.writeBucketed(orders, "b_orders", Seq("o_custkey"), 4)
+    graft.sources.Tables.writeBucketed(cust, "b_cust", Seq("o_custkey"), 4)
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = graft.sources.Tables.bucketedJoin(spark, "b_orders", "b_cust",
+        Seq("o_custkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should move zero bytes, got:\n$plan")
+      // and it is still the right answer
+      val viaJoin = j.count()
+      val expected = orders.join(cust, Seq("o_custkey")).count()
+      assert(viaJoin == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_cust")
+    }
+  }
 }

@@ -233,6 +233,28 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._2).toSeq == (1 to got.length).toSeq)
   }
 
+  test("IvfIndex: persisted probe equals brute force and prunes partitions") {
+    val path = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    Similarity.IvfIndex.build(corpus, "vec_id", "embedding", cells = 2,
+      path, sampleN = 100, iters = 5)
+    val queries = corpus.filter(col("vec_id") <= 2L)
+    val exact = Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "vec_id", "embedding", 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().sortBy(t => (t._1, t._3)).toSeq
+    val probed = Similarity.IvfIndex.topK(spark, path, queries,
+      "vec_id", "vec_id", "embedding", k = 2, nProbe = 2)
+    assert(probed.select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().sortBy(t => (t._1, t._3)).toSeq == exact)
+    // the probe's cell set reaches the scan as a PARTITION filter — at
+    // scale this is directory pruning, not row filtering
+    val one = Similarity.IvfIndex.topK(spark, path,
+      corpus.filter(col("vec_id") === 1L),
+      "vec_id", "vec_id", "embedding", k = 2, nProbe = 1)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"))
+  }
+
   test("Ivf train is deterministic and assigns every row a cell") {
     val c1 = Similarity.Ivf.train(corpus, "vec_id", "embedding", 2,
       sampleN = 100, iters = 3)

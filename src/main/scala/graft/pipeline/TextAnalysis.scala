@@ -52,6 +52,37 @@ object TextAnalysis {
     (lenScore + alphaRatio) / 2.0
   }
 
+  /** English-stopword fraction of the whitespace tokens (0 for blank) —
+    * the classic cheap quality signal: natural prose sits around 0.3-0.6,
+    * keyword spam and boilerplate near 0.
+    */
+  def stopwordRatio(c: Column,
+      stopwords: Seq[String] = commonStopwords): Column = {
+    val toks = tokensCol(lower(c))
+    val sw = filter(toks, t => t.isin(stopwords: _*))
+    when(size(toks) === 0, 0.0)
+      .otherwise(size(sw).cast("double") / size(toks).cast("double"))
+  }
+
+  /** The stopword vocabulary for [[stopwordRatio]] (kept small and fixed:
+    * the signal needs stability across engines, not linguistic coverage).
+    */
+  val commonStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "on", "is", "are",
+    "was", "were", "it", "that", "this", "for", "with", "as", "by")
+
+  /** Punctuation fraction of all characters: chars that are neither
+    * letters, digits, nor whitespace over total chars (0 for empty).
+    * Unicode classes (\p{L}, \p{N}) so CJK text does not read as
+    * punctuation; both Java regex and RE2 implement them identically.
+    */
+  def punctRatio(c: Column): Column = {
+    val chars = length(c)
+    val punct = length(regexp_replace(c, "[\\p{L}\\p{N}\\s]", ""))
+    when(chars === 0, 0.0)
+      .otherwise(punct.cast("double") / chars.cast("double"))
+  }
+
   /** Language-marker vocabularies for the n-gram-free language-ID heuristic.
     * Word-boundary `contains` over " text " per marker; score = number of
     * distinct markers present.

@@ -535,6 +535,20 @@ object SparkEntry {
         LogicalOp.NumFilter(Seq(NumCondition("n_chars", 300, ">=")), "and")))
         .df.select("doc_id").orderBy("doc_id")
     }),
+    "q_cube_reuse_implied" -> ((s, dir) => {
+      // implication-aware reuse: the refinement (n_chars >= 300) ENTAILS
+      // the cached bound (n_chars >= 200), so the catalog starts from the
+      // cached node and applies only the tighter delta — wrong reuse or a
+      // missed delta both break the hash
+      val cat = new graft.cube.CubeCatalog(t(s, dir, "documents"), oracle)
+      cat.filterQuery("spark docs 200+", Seq(
+        LogicalOp.KeywordFilter(Seq("text"), Seq("spark"), "and", "contains"),
+        LogicalOp.NumFilter(Seq(NumCondition("n_chars", 200, ">=")), "and")))
+      val n = cat.filterQuery("spark docs 300+", Seq(
+        LogicalOp.KeywordFilter(Seq("text"), Seq("spark"), "and", "contains"),
+        LogicalOp.NumFilter(Seq(NumCondition("n_chars", 300, ">=")), "and")))
+      n.df.select("doc_id").orderBy("doc_id")
+    }),
     // ---- JSON source/sink round-trip (SURVEY §2e) ----------------------
     "q_json_roundtrip" -> ((s, dir) => {
       // sink -> source -> stringified reference view -> aggregate, gated
@@ -1068,6 +1082,11 @@ object SparkEntry {
              ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
          WHERE rank <= 3 ORDER BY query_id, rank""",
     "q_cube_reuse" ->
+      """SELECT doc_id FROM documents
+         WHERE contains(lower(text), 'spark')
+           AND try_cast(n_chars AS DOUBLE) >= 300
+         ORDER BY doc_id""",
+    "q_cube_reuse_implied" ->
       """SELECT doc_id FROM documents
          WHERE contains(lower(text), 'spark')
            AND try_cast(n_chars AS DOUBLE) >= 300

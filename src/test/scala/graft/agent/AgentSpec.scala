@@ -5,6 +5,24 @@ import graft.cube.CubeCatalog
 import graft.oracle.DeterministicOracle
 import graft.plan.LogicalOp
 
+/** One scripted LLM transport serving BOTH roles: planning completions for
+  * the agent layer and row-level judgments through the batched oracle
+  * path. Top-level so executor closures serialize it cleanly.
+  */
+class ScriptedPrompter extends graft.oracle.PromptingOracle {
+  private val textRe = "(?s).*Text: (.*)\\nAnswer strictly Yes or No.*".r
+  def complete(prompt: String): String =
+    if (prompt.contains("10-operator algebra"))
+      """[{"operator_name": "sem_filter",
+        |  "parameters": {"columns": ["title"], "condition": "spark"}},
+        | {"operator_name": "num_topk",
+        |  "parameters": {"column": "score", "k": 3, "order": "desc"}}]""".stripMargin
+    else prompt match {
+      case textRe(t) => if (t.toLowerCase.contains("spark")) "Yes" else "No"
+      case _ => "No"
+    }
+}
+
 /** The agent layer with SCRIPTED completions (zero-egress build): each test
   * enqueues the exact JSON an LLM would return and asserts the engine-side
   * execution — prompt shapes, fence-tolerant parsing, plan decoding, the
@@ -105,6 +123,16 @@ class AgentSpec extends SparkSpec {
     assert(math.abs(sparkAvg - 68.75) < 1e-9)
     // history accumulated into later prompts
     assert(s.prompts.last.contains("observation"))
+  }
+
+  test("one PromptingOracle transport drives planning AND batched judgments") {
+    // OlapAgent(po): the same complete() answers the planning prompt and,
+    // through the BatchedOracle routing, every row-level sem_filter batch
+    val agent = OlapAgent(new ScriptedPrompter)
+    val got = agent.runQuery(docs, "top spark posts by score",
+      tiebreak = Seq("id"))
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 3L, 2L)) // spark rows by score desc, top 3
   }
 
   test("full session: filter -> analysis loop -> top-k epilogue") {

@@ -39,6 +39,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.toSeq == Seq("en", "es", "unknown", "de"))
   }
 
+  test("stopwordRatio and punctRatio: bounds, blanks, unicode letters") {
+    val df = Seq(
+      (1L, "the cat sat on the mat"),      // 3/6 stopwords, no punct
+      (2L, "buy now!!! click here!!!"),    // 0 stopwords, 6/24 punct
+      (3L, ""), (4L, "   "),
+      (5L, "这是 中文 文本")                 // CJK letters are NOT punctuation
+    ).toDF("id", "t")
+    val got = df.select(col("id"),
+      TextAnalysis.stopwordRatio(col("t")).as("sw"),
+      TextAnalysis.punctRatio(col("t")).as("p"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got(1L)._1 == 0.5 && got(1L)._2 == 0.0)
+    assert(got(2L)._1 == 0.0 && got(2L)._2 == 6.0 / 24.0)
+    assert(got(3L) == ((0.0, 0.0)) && got(4L)._1 == 0.0)
+    assert(got(5L)._2 == 0.0)
+  }
+
   test("quality score bounds and components") {
     val df = Seq(("a" * 500) + "", "ab1", "").toDF("t")
     val got = df.select(TextAnalysis.qualityScore(col("t"))).as[Double].collect()

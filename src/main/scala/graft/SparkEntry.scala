@@ -596,6 +596,32 @@ object SparkEntry {
       EventStreams.windowedStats(t(s, dir, "events"), "1 hour")
         .orderBy("window_start", "event_type")
     }),
+    "q_stream_sessionize" -> ((s, dir) => {
+      // the flatMapGroupsWithState path as a REAL streaming run: one
+      // availableNow batch (single input file) -> every CLOSED session,
+      // i.e. all but each user's final (still-open) session — an exact,
+      // SQL-expressible expectation. total_value is omitted from the
+      // projection: its in-session double accumulation order is not an
+      // engine-portable contract (the batch gate q_sessionize covers it
+      // through exact decimal aggregation).
+      import s.implicits._
+      val schema = t(s, dir, "events").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val evs = stream.select(col("user_id"), col("event_type"),
+          col("value"), expr("ts div 1000").as("ts_micros"))
+        .as[EventStreams.Event]
+      val sess = EventStreams.sessionize(evs,
+        gapMicros = 30L * 60 * 1000 * 1000)(s)
+      val q = sess.toDF().writeStream.format("memory")
+        .queryName("q_stream_sess_sink").outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("q_stream_sess_sink")
+        .select("user_id", "n_events", "start_micros", "end_micros")
+        .orderBy("user_id", "start_micros")
+    }),
     "q_sessionize" -> ((s, dir) => {
       EventStreams.sessionizeBatch(t(s, dir, "events"),
         gapMicros = 30L * 60 * 1000 * 1000)
@@ -1106,6 +1132,30 @@ object SparkEntry {
                 count(*) AS n_events,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "q_stream_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_micros
+                    FROM events),
+              s AS (SELECT user_id, ts_micros,
+                      CASE WHEN lag(ts_micros) OVER w IS NULL
+                             OR ts_micros - lag(ts_micros) OVER w > 1800000000
+                           THEN 1 ELSE 0 END AS new_session
+                    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_micros)),
+              t AS (SELECT user_id, ts_micros,
+                      CAST(sum(new_session) OVER (PARTITION BY user_id
+                        ORDER BY ts_micros ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                        AS session_idx
+                    FROM s),
+              sess AS (SELECT user_id, session_idx,
+                         CAST(count(*) AS INT) AS n_events,
+                         min(ts_micros) AS start_micros,
+                         max(ts_micros) AS end_micros
+                       FROM t GROUP BY user_id, session_idx),
+              mx AS (SELECT user_id, max(session_idx) AS m
+                     FROM sess GROUP BY user_id)
+         SELECT sess.user_id, n_events, start_micros, end_micros
+         FROM sess JOIN mx USING (user_id)
+         WHERE sess.session_idx < mx.m
+         ORDER BY user_id, start_micros""",
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, value, epoch_ns(ts) // 1000 AS ts_micros
                     FROM events),

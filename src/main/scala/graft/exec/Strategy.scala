@@ -41,17 +41,27 @@ object ColumnStats {
   private val enumCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), EnumStats]
 
+  /** Entry bound per memo map: a long-lived session diceing thousands of
+    * distinct frames must not leak; eviction is whole-map (stats are cheap
+    * to recompute relative to unbounded growth).
+    */
+  private val maxCacheEntries = 4096
+
   /** Memoized [[patternStats]]: zero Spark jobs on a repeat call for the
     * same (plan, column).
     */
-  def patternStatsCached(df: DataFrame, column: String): PatternStats =
+  def patternStatsCached(df: DataFrame, column: String): PatternStats = {
+    if (patternCache.size > maxCacheEntries) patternCache.clear()
     patternCache.computeIfAbsent(cacheKey(df, column),
       _ => patternStats(df, column))
+  }
 
   /** Memoized [[enumStats]]. */
-  def enumStatsCached(df: DataFrame, column: String): EnumStats =
+  def enumStatsCached(df: DataFrame, column: String): EnumStats = {
+    if (enumCache.size > maxCacheEntries) enumCache.clear()
     enumCache.computeIfAbsent(cacheKey(df, column),
       _ => enumStats(df, column))
+  }
 
   /** Drop all memoized statistics (tests; or after a table's data moved
     * under the same logical plan, e.g. an overwritten path).

@@ -147,4 +147,23 @@ class PropertySpec extends SparkSpec {
       assert(got == expected, s"tree $t")
     }
   }
+
+  test("staged batched cascade equals the one-pass path for random AND plans") {
+    // a batched, non-compilable oracle routes AND-of-leaves plans through
+    // the staged path (cheap columns first, survivors batched); semantics
+    // must be identical to the compiled one-pass predicate
+    val batched = new graft.oracle.CountingOracle
+    val genSubset: Gen[Seq[Int]] = for {
+      n <- Gen.choose(1, 5)
+      xs <- Gen.listOfN(n, Gen.choose(0, 4))
+    } yield xs.distinct
+    forAll(genSubset, n = 25) { idxs =>
+      val ops = idxs.map(leaves).zipWithIndex.map(_.swap)
+      val staged = Cascade.filter(df, ops, None, batched)
+        .select("id").as[Long].collect().sorted.toSeq
+      val onePass = Cascade.filter(df, ops, None, oracle)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(staged == onePass, s"plan $idxs")
+    }
+  }
 }

@@ -44,6 +44,12 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     results = {}
+    # a query whose dump is MISSING (its Verify run crashed) must fail
+    # loudly, not be silently skipped
+    dumped = {n for n in os.listdir(out_dir)
+              if os.path.isdir(os.path.join(out_dir, n))}
+    for name in sorted(oracle.keys() - dumped):
+        results[name] = {"status": "MISSING_DUMP (query failed in Verify?)"}
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):

@@ -433,6 +433,18 @@ object SparkEntry {
         n = 3, threshold = 0.8)
         .orderBy("id_a", "id_b")
     }),
+    "q_fuzzy_join" -> ((s, dir) => {
+      // cross-corpus similarity JOIN: documents vs an id-shifted copy of
+      // itself, so the exact expectation is every identity pair (J = 1.0)
+      // plus the natural near-dup pairs in both directions — all
+      // SQL-expressible as exact shingle-Jaccard
+      val docs = t(s, dir, "documents")
+      val right = docs.select((col("doc_id") + lit(1000000L)).as("rid"),
+        col("text"))
+      Dedup.ngramJaccardJoin(docs, "doc_id", col("text"),
+        right, "rid", col("text"), n = 3, threshold = 0.8)
+        .orderBy("left_id", "right_id")
+    }),
     "q_dedup_embed" -> ((s, dir) => {
       // planted-dupe expectation gate: exact vector copies share every
       // sign-LSH bucket (recall 1.0 by construction) and cosine ~1.0;
@@ -958,6 +970,27 @@ object SparkEntry {
          WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0
                / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
          ORDER BY id_a, id_b""",
+    "q_fuzzy_join" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingles
+           FROM toks WHERE len(tk) >= 3),
+         p AS (
+           SELECT a.doc_id AS ia, b.doc_id AS ib,
+                  len(list_intersect(a.shingles, b.shingles)) * 1.0
+                  / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jac
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE jac >= 0.8)
+         SELECT left_id, right_id, jaccard FROM (
+           SELECT doc_id AS left_id, doc_id + 1000000 AS right_id,
+                  1.0 AS jaccard
+           FROM sh
+           UNION ALL SELECT ia, ib + 1000000, jac FROM p
+           UNION ALL SELECT ib, ia + 1000000, jac FROM p)
+         ORDER BY left_id, right_id""",
     // planted-dupe expectation: exact copies at +1e6 give Hamming 0; blank
     // texts have no signature and emit no pair
     "q_dedup_simhash" ->

@@ -603,6 +603,82 @@ object Dedup {
       .distinct()
   }
 
+  /** Cross-side in-bucket pair kernel: like [[bucketPairs]], but rows carry
+    * a side tag and only (side 0, side 1) pairs are verified — the
+    * similarity-JOIN form of the same bounded-buffer bucket shape (no
+    * within-side pairs, ids NOT reordered: output is (left, right)).
+    */
+  private def crossBucketPairs[P, R](maxBucket: Int,
+      verify: (P, P) => Option[R])(
+      it: Iterator[(Int, Long, P)]): Iterator[(Long, Long, R)] = {
+    val lefts = new scala.collection.mutable.ArrayBuffer[(Long, P)]
+    val rights = new scala.collection.mutable.ArrayBuffer[(Long, P)]
+    var overflow = false
+    while (it.hasNext && !overflow) {
+      val (side, id, p) = it.next()
+      (if (side == 0) lefts else rights) += ((id, p))
+      if (lefts.length + rights.length > maxBucket) overflow = true
+    }
+    if (overflow || lefts.isEmpty || rights.isEmpty) Iterator.empty
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, R)]
+      var i = 0
+      while (i < lefts.length) {
+        var j = 0
+        while (j < rights.length) {
+          val (il, pl) = lefts(i)
+          val (ir, pr) = rights(j)
+          verify(pl, pr).foreach(r => out += ((il, ir, r)))
+          j += 1
+        }
+        i += 1
+      }
+      out.iterator
+    }
+  }
+
+  /** Similarity JOIN between two corpora by exact n-gram Jaccard: LSH
+    * bands generate cross-side candidates, the exact shingle-set Jaccard
+    * verifies inside the bucket. The corpus-alignment operator (match a
+    * noisy/derived corpus back to its source) — same two-shuffle,
+    * zero-join shape as [[ngramJaccardPairs]], with both sides flowing
+    * through ONE union pipeline (no separate build/probe passes).
+    *
+    * @return (left_id, right_id, jaccard) with jaccard >= threshold;
+    *         a left row may match many right rows and vice versa.
+    */
+  def ngramJaccardJoin(left: DataFrame, leftId: String, leftText: Column,
+      right: DataFrame, rightId: String, rightText: Column,
+      n: Int = 3, threshold: Double = 0.8, k: Int = 64, bands: Int = 16,
+      maxBucket: Int = 1000): DataFrame = {
+    requireIntegralId(left, leftId)
+    requireIntegralId(right, rightId)
+    require(k % bands == 0, "bands must divide k")
+    val spark = left.sparkSession
+    import spark.implicits._
+    val kernel = ngramShingleBands(n, k, bands)
+    def side(df: DataFrame, id: String, text: Column, tag: Int) =
+      df.select(lit(tag).as("side"), col(id).cast("long").as("id"),
+        kernel(text).as("sb"))
+    side(left, leftId, leftText, 0)
+      .unionByName(side(right, rightId, rightText, 1))
+      .select(col("side"), col("id"), col("sb.sig").as("sh"),
+        posexplode(col("sb.bands")).as(Seq("band", "key")))
+      .select(col("band"), col("key"), col("side"), col("id"), col("sh"))
+      .as[(Int, Long, Int, Long, Array[Long])]
+      .groupByKey { case (band, key, _, _, _) => (band, key) }
+      .flatMapGroups {
+        (_: (Int, Long), it: Iterator[(Int, Long, Int, Long, Array[Long])]) =>
+          crossBucketPairs(maxBucket,
+            (sa: Array[Long], sb: Array[Long]) => {
+              val jac = sortedJaccard(sa, sb)
+              if (jac >= threshold) Some(jac) else None
+            })(it.map(t => (t._3, t._4, t._5)))
+      }
+      .toDF("left_id", "right_id", "jaccard")
+      .distinct()
+  }
+
   // ------------------------------------------- embedding cosine near-dup
 
   /** Embedding near-duplicate pairs: cosine >= threshold, candidates from

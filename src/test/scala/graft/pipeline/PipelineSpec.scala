@@ -141,6 +141,29 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 3L))) // only the exact dup survives 0.99
   }
 
+  test("ngramJaccardJoin aligns a noisy corpus to its source, no self pairs") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val left = Seq(
+      (1L, base),
+      (2L, "completely unrelated text about database query optimization plans"),
+      (3L, "short text")).toDF("lid", "t")
+    val right = Seq(
+      // one trailing word changed: high but non-1 jaccard
+      (10L, base.replace("today", "tonight")),
+      (11L, "another unrelated piece on streaming watermark semantics"),
+      (12L, base)).toDF("rid", "t")
+    val got = Dedup.ngramJaccardJoin(left, "lid", col("t"),
+      right, "rid", col("t"), n = 3, threshold = 0.6)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (1L, 12L)))
+    // within-side near-dups never pair (join, not dedup)
+    val sameBoth = Dedup.ngramJaccardJoin(left, "lid", col("t"),
+      left.withColumnRenamed("lid", "rid"), "rid", col("t"),
+      n = 3, threshold = 0.6)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert(sameBoth == Set((1L, 1L), (2L, 2L))) // 3L: 2 tokens -> no signature
+  }
+
   test("duplicateClusters resolves transitive chains to one component") {
     // chain 1-2, 2-3, plus separate pair 10-11: two components
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")

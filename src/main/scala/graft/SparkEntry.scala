@@ -445,6 +445,25 @@ object SparkEntry {
         right, "rid", col("text"), n = 3, threshold = 0.8)
         .orderBy("left_id", "right_id")
     }),
+    "q_embed_join" -> ((s, dir) => {
+      // cross-corpus ANN join: embeddings vs an id-shifted copy; at
+      // threshold 0.99 only identity pairs qualify (max natural cosine
+      // ~0.46), and identical vectors share every LSH bucket -> the
+      // expectation is exact. Cosine dropped from the gate (1.0 +- ulp).
+      val emb = t(s, dir, "embeddings")
+      val right = emb.select((col("vec_id") + lit(1000000L)).as("rid"),
+        col("embedding"))
+      Dedup.embeddingSimilarityJoin(emb, "vec_id", right, "rid",
+        "embedding", dim = 64, threshold = 0.99, planes = 6)
+        .select("left_id", "right_id").orderBy("left_id", "right_id")
+    }),
+    "q_hash_split" -> ((s, dir) => {
+      // deterministic train/val/test assignment — reproducible on any
+      // engine/partitioning, hash-gated against the same md5 rule in SQL
+      graft.pipeline.Sampling.withSplit(
+        t(s, dir, "documents").select("doc_id"), "doc_id")
+        .orderBy("doc_id")
+    }),
     "q_dedup_embed" -> ((s, dir) => {
       // planted-dupe expectation gate: exact vector copies share every
       // sign-LSH bucket (recall 1.0 by construction) and cosine ~1.0;
@@ -1031,6 +1050,27 @@ object SparkEntry {
          SELECT doc_id FROM all_docs
          WHERE doc_id NOT IN (SELECT id FROM dominated)
          ORDER BY doc_id""",
+    "q_embed_join" ->
+      """SELECT vec_id AS left_id, vec_id + 1000000 AS right_id
+         FROM embeddings ORDER BY left_id""",
+    "q_hash_split" ->
+      """WITH b AS (
+           SELECT doc_id,
+             (4096 * (strpos('0123456789abcdef',
+                substring(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 1)) - 1)
+            + 256 * (strpos('0123456789abcdef',
+                substring(md5(CAST(doc_id AS VARCHAR) || 'graft'), 2, 1)) - 1)
+            + 16 * (strpos('0123456789abcdef',
+                substring(md5(CAST(doc_id AS VARCHAR) || 'graft'), 3, 1)) - 1)
+            + (strpos('0123456789abcdef',
+                substring(md5(CAST(doc_id AS VARCHAR) || 'graft'), 4, 1)) - 1))
+             % 100 AS bucket
+           FROM documents)
+         SELECT doc_id,
+                CASE WHEN bucket < 80 THEN 'train'
+                     WHEN bucket < 90 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM b ORDER BY doc_id""",
     // planted-dupe expectation: exact vector copies at +1e6 are the only
     // pairs with cosine >= 0.99 (max natural cosine ~0.46)
     "q_dedup_embed" ->

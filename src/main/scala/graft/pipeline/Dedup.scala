@@ -679,6 +679,54 @@ object Dedup {
       .distinct()
   }
 
+  /** Similarity JOIN between two embedding corpora: sign-LSH buckets on
+    * both sides, cosine-verified cross-side pairs inside the bucket — the
+    * ANN-join form of [[embeddingNearDupPairs]] (align two vector corpora
+    * without an all-pairs cross join).
+    *
+    * @return (left_id, right_id, cosine) with cosine >= threshold.
+    */
+  def embeddingSimilarityJoin(left: DataFrame, leftId: String,
+      right: DataFrame, rightId: String, vecCol: String, dim: Int,
+      threshold: Double = 0.95, planes: Int = 8,
+      maxBucket: Int = 10000): DataFrame = {
+    requireIntegralId(left, leftId)
+    requireIntegralId(right, rightId)
+    val spark = left.sparkSession
+    import spark.implicits._
+    def side(df: DataFrame, id: String, tag: Int) =
+      Similarity.SignLsh.withBucket(df, vecCol, dim, planes)
+        .select(col("bucket"), lit(tag).as("side"),
+          col(id).cast("long").as("id"),
+          col(vecCol).cast("array<double>").as("vec"))
+        .filter(col("bucket").isNotNull)
+    side(left, leftId, 0).unionByName(side(right, rightId, 1))
+      .as[(Long, Int, Long, Array[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_: Long, it: Iterator[(Long, Int, Long, Array[Double])]) =>
+        crossBucketPairs(maxBucket,
+          (a: (Array[Double], Double), b: (Array[Double], Double)) => {
+            val cos =
+              if (a._2 == 0.0 || b._2 == 0.0) 0.0
+              else {
+                val va = a._1; val vb = b._1
+                var d = 0.0; var p = 0
+                val n = math.min(va.length, vb.length)
+                while (p < n) { d += va(p) * vb(p); p += 1 }
+                d / (a._2 * b._2)
+              }
+            if (cos >= threshold) Some(cos) else None
+          })(it.map { t =>
+            val v = t._4
+            var s = 0.0; var i = 0
+            while (i < v.length) { s += v(i) * v(i); i += 1 }
+            (t._2, t._3, (v, math.sqrt(s)))
+          })
+      }
+      .toDF("left_id", "right_id", "cosine")
+      .distinct()
+  }
+
   // ------------------------------------------- embedding cosine near-dup
 
   /** Embedding near-duplicate pairs: cosine >= threshold, candidates from

@@ -1,0 +1,51 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based sampling and dataset splitting.
+  *
+  * Training pipelines need REPRODUCIBLE row selection: the same row lands
+  * in the same split on every run, every engine, and every partitioning —
+  * which rules out RNG-based `sample()` (seed semantics are engine- and
+  * partitioning-specific). The standard answer is a content hash of a
+  * stable key: bucket = md5(key || salt) mod 100, then threshold buckets.
+  * Pure codegen'd expressions — no shuffle, no state, trivially
+  * embarrassingly parallel at any scale; changing `salt` draws an
+  * independent re-split.
+  */
+object Sampling {
+
+  /** Deterministic bucket in [0, 100): md5 over (key, salt), first 4 hex
+    * chars as an integer, mod 100. Engine-portable: md5 is md5.
+    */
+  def hashBucket(key: Column, salt: String): Column =
+    (conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 4), 16, 10)
+      .cast("long") % 100).cast("int")
+
+  /** Keep a deterministic `percent`% of rows by key hash. */
+  def hashSample(df: DataFrame, keyCol: String, percent: Int,
+      salt: String = "graft"): DataFrame = {
+    require(percent >= 0 && percent <= 100, "percent in [0,100]")
+    df.filter(hashBucket(col(keyCol), salt) < percent)
+  }
+
+  /** Assign every row a split label from cumulative percentage cuts, e.g.
+    * `Seq("train" -> 80, "val" -> 10, "test" -> 10)` (must sum to 100).
+    */
+  def splitColumn(key: Column, cuts: Seq[(String, Int)],
+      salt: String = "graft"): Column = {
+    require(cuts.map(_._2).sum == 100, "split percentages must sum to 100")
+    val b = hashBucket(key, salt)
+    val bounds = cuts.scanLeft(0)(_ + _._2).tail
+    cuts.zip(bounds).init.foldRight(lit(cuts.last._1): Column) {
+      case (((name, _), hi), els) => when(b < hi, lit(name)).otherwise(els)
+    }
+  }
+
+  /** Attach a `split` column (train/val/test by default). */
+  def withSplit(df: DataFrame, keyCol: String,
+      cuts: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10),
+      salt: String = "graft"): DataFrame =
+    df.withColumn("split", splitColumn(col(keyCol), cuts, salt))
+}

@@ -164,6 +164,40 @@ class DedupSpec extends SparkSpec {
     assert(sameBoth == Set((1L, 1L), (2L, 2L))) // 3L: 2 tokens -> no signature
   }
 
+  test("embeddingSimilarityJoin matches only cross-side near-identical vectors") {
+    val l = Seq((1L, Array(1f, 0f, 0f)), (2L, Array(0f, 1f, 0f)))
+      .toDF("lid", "embedding")
+    val r = Seq((10L, Array(0.99f, 0.01f, 0f)), (11L, Array(0f, 0f, 1f)))
+      .toDF("rid", "embedding")
+    val got = Dedup.embeddingSimilarityJoin(l, "lid", r, "rid",
+      "embedding", dim = 3, threshold = 0.95, planes = 2)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L)))
+  }
+
+  test("hash split is deterministic, complete, and partition-invariant") {
+    import graft.pipeline.Sampling
+    val df = (1L to 1000L).toDF("id")
+    val s1 = Sampling.withSplit(df, "id")
+      .as[(Long, String)].collect().toMap
+    val s2 = Sampling.withSplit(df.repartition(7), "id")
+      .as[(Long, String)].collect().toMap
+    assert(s1 == s2) // invariant to partitioning
+    val counts = s1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    // rough proportions (hash noise, not RNG): 80/10/10 +- a few percent
+    assert(counts("train") > 700 && counts("train") < 900)
+    // a different salt draws an independent split
+    val s3 = Sampling.withSplit(df, "id", salt = "other")
+      .as[(Long, String)].collect().toMap
+    assert(s3 != s1)
+    // hashSample(p) keeps exactly the rows whose bucket < p
+    val kept = Sampling.hashSample(df, "id", 25).as[Long].collect().toSet
+    assert(kept.forall(id =>
+      Sampling.hashSample(df.filter(col("id") === id), "id", 25).count() == 1))
+    assert(kept.size > 150 && kept.size < 350)
+  }
+
   test("duplicateClusters resolves transitive chains to one component") {
     // chain 1-2, 2-3, plus separate pair 10-11: two components
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")

@@ -416,16 +416,15 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) => {
       // planted-dupe expectation gate: exact copies (ids +1e6) give
       // Hamming 0 with recall 1 (identical signature -> identical chunks).
-      // Output restricted to the planted range: natural Hamming-0 pairs
-      // (signature collisions of near-dups) are real results but not
-      // SQL-characterizable. Copies are planted from doc_id < 50, none of
-      // which participates in a natural Hamming-0 pair at the gate sf.
+      // Output restricted to the (original, its copy) pairs: natural
+      // Hamming-0 pairs and their cross-side partners are real results but
+      // signature collisions are not SQL-characterizable at any sf
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val planted = docs.filter(col("doc_id") < 50)
         .withColumn("doc_id", col("doc_id") + lit(1000000L))
       Dedup.simhashCandidates(docs.union(planted), "doc_id", col("text"),
         maxHamming = 0)
-        .filter(col("id_b") >= 1000000L)
+        .filter(col("id_b") - col("id_a") === 1000000L)
         .orderBy("id_a", "id_b")
     }),
     "q_dedup_ngram" -> ((s, dir) => {
@@ -626,6 +625,22 @@ object SparkEntry {
     "q_stream_window" -> ((s, dir) => {
       EventStreams.windowedStats(t(s, dir, "events"), "1 hour")
         .orderBy("window_start", "event_type")
+    }),
+    "q_stream_window_wm" -> ((s, dir) => {
+      // the WATERMARKED streaming aggregation as a real run: append mode
+      // emits exactly the windows whose end passed the final watermark
+      // (max event time - lateness) — an exact, SQL-expressible subset of
+      // the batch answer; the last (still-open) windows stay in state
+      val schema = t(s, dir, "events").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val q = EventStreams.streamingWindowedStats(stream)
+        .writeStream.format("memory").queryName("q_stream_wm_sink")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("q_stream_wm_sink").orderBy("window_start", "event_type")
     }),
     "q_stream_sessionize" -> ((s, dir) => {
       // the flatMapGroupsWithState path as a REAL streaming run: one
@@ -1205,6 +1220,15 @@ object SparkEntry {
                 count(*) AS n_events,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "q_stream_window_wm" ->
+      """WITH mx AS (SELECT max(ts) AS m FROM events)
+         SELECT date_trunc('hour', ts) AS window_start, event_type,
+                count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events, mx
+         WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+               <= m - INTERVAL 10 MINUTE
+         GROUP BY 1, 2 ORDER BY window_start, event_type""",
     "q_stream_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_micros
                     FROM events),

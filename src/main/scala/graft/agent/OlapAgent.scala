@@ -232,7 +232,12 @@ class OlapAgent(complete: String => String, oracle: SemanticOracle) {
       val history = trace.map(s =>
         s"thought: ${s.thought}\naction: ${s.actionType}\nobservation: ${s.observation}")
         .mkString("\n")
-      val n = parseJson(complete(reactPrompt(query, history)))
+      // a malformed completion ends the loop (the reference's tolerant
+      // jsonfy + break, OLAP_Agent.py:334-336) — never throws mid-session
+      val parsed = scala.util.Try(parseJson(complete(reactPrompt(query, history))))
+      if (parsed.isFailure) done = true
+      else {
+      val n = parsed.get
       val action = Option(n.get("action")).filterNot(_.isNull)
       if (action.isEmpty) done = true
       else {
@@ -294,6 +299,7 @@ class OlapAgent(complete: String => String, oracle: SemanticOracle) {
           case other => done = true; s"unknown action: $other"
         }
         trace += ReactStep(thought, tpe, observation)
+      }
       }
     }
     (node, lastSummary, trace.toSeq)

@@ -397,9 +397,12 @@ object Dedup {
         col("id_b").cast("long").as("dst"))
       .union(pairs.select(col("id_b").cast("long").as("src"),
         col("id_a").cast("long").as("dst"))), eager = true)
-    var labels = ckpt(edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id")), eager = true)
-    var iter = 0
+    // initialization IS round one: cluster0 = min(self, direct neighbors)
+    // comes out of the same aggregation that enumerates the ids, so the
+    // loop starts one propagation hop ahead at no extra job
+    var labels = ckpt(edges.groupBy(col("src").as("id"))
+      .agg(least(col("id"), min(col("dst"))).as("cluster")), eager = true)
+    var iter = 1
     var converged = false
     while (iter < maxIter && !converged) {
       val neighborMin = edges

@@ -135,6 +135,17 @@ class AgentSpec extends SparkSpec {
     assert(got == Seq(1L, 3L, 2L)) // spark rows by score desc, top 3
   }
 
+  test("ReAct loop ends gracefully on a malformed completion") {
+    val s = new Scripted(
+      """{"thought": "inspect", "action": {"type": "get_dimension", "params": {}}}""",
+      "sorry, I cannot help with that") // no JSON at all
+    val agent = new OlapAgent(s, oracle)
+    val cat = new CubeCatalog(docs, oracle)
+    val (_, summary, trace) = agent.runAnalysis("anything", cat.node(0))
+    assert(trace.map(_.actionType) == Seq("get_dimension"))
+    assert(summary.isEmpty)
+  }
+
   test("full session: filter -> analysis loop -> top-k epilogue") {
     val s = new Scripted(
       // decompose

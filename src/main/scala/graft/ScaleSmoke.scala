@@ -55,6 +55,13 @@ object ScaleSmoke {
       time(s"ngram")(Dedup.ngramJaccardPairs(d, "doc_id", col("text"),
         threshold = 0.8))
       time(s"text_stats")(TextAnalysis.enrich(d, "text"))
+      // round-2 ops: cross-corpus join (vs an id-shifted copy) and the
+      // deterministic split — both must scale like their inputs
+      val shifted = d.select((col("doc_id") + lit(100000000L)).as("rid"),
+        col("text"))
+      time(s"fuzzy_join")(Dedup.ngramJaccardJoin(d, "doc_id", col("text"),
+        shifted, "rid", col("text"), threshold = 0.8))
+      time(s"hash_split")(graft.pipeline.Sampling.withSplit(d, "doc_id"))
     }
     spark.stop()
   }

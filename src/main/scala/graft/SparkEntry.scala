@@ -595,6 +595,32 @@ object SparkEntry {
           sum(col("n_chars").cast("decimal(18,2)")).cast("double").as("sum_chars"))
         .orderBy("lang")
     }),
+    "q_json_array_source" -> ((s, dir) => {
+      // the reference's ACTUAL ingestion format: one multiLine JSON array
+      // file -> loadJson -> stringified all-text view (main.py:5-22).
+      // The array file is authored from the (tiny) region table.
+      val rows = t(s, dir, "region").orderBy("r_regionkey")
+        .toJSON.collect()
+      val f = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_region_array.json")
+      java.nio.file.Files.writeString(f.toPath,
+        rows.mkString("[\n", ",\n", "\n]"))
+      graft.sources.JsonSource.stringifyNested(
+        graft.sources.JsonSource.loadJson(s, f.getAbsolutePath))
+        .select("r_regionkey", "r_name")
+        .orderBy("r_regionkey")
+    }),
+    "q_multimodal_resize" -> ((s, dir) => {
+      // resize's schema contract: target dims land in meta, payload size
+      // carried through (the re-encode itself is the documented stub)
+      val media = Multimodal.syntheticMedia(t(s, dir, "documents"),
+        "doc_id", "text")
+      Multimodal.resize(media, 256, 128)
+        .select(col("media_id"), col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          col("meta.n_bytes").as("n_bytes"))
+        .orderBy("media_id")
+    }),
     // ---- SQL-registered function via GraftExtensions (SURVEY §2f) ------
     "q_sql_multi_contains" -> ((s, dir) => {
       // the codegen'd MultiContains kernel reached through plain SQL —
@@ -1209,6 +1235,14 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_docs,
                 CAST(sum(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS sum_chars
          FROM documents GROUP BY lang ORDER BY lang""",
+    "q_json_array_source" ->
+      """SELECT CAST(r_regionkey AS VARCHAR) AS r_regionkey, r_name
+         FROM region ORDER BY CAST(r_regionkey AS VARCHAR)""",
+    "q_multimodal_resize" ->
+      """SELECT doc_id AS media_id, CAST(256 AS INT) AS width,
+                CAST(128 AS INT) AS height,
+                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+         FROM documents ORDER BY media_id""",
     "q_sql_multi_contains" ->
       """SELECT doc_id FROM documents
          WHERE contains(lower(text), 'spark') AND contains(lower(text), 'join')

@@ -140,12 +140,22 @@ object SemTopK {
     val withText = cands.withColumn("__t", Ops.textCol(cands, op.columns))
     val left = withText.select(col(idCol).as("__ida"), col("__t").as("__ta"))
     val right = withText.select(col(idCol).as("__idb"), col("__t").as("__tb"))
-    val duelU = udf { (ta: String, tb: String) =>
-      oracle.duel(Option(ta).getOrElse(""), Option(tb).getOrElse(""), op.query)
-    }
-    val wins = left.crossJoin(broadcast(right))
+    val pairsDf = left.crossJoin(broadcast(right))
       .filter(col("__ida") =!= col("__idb"))
-      .withColumn("__win", when(duelU(col("__ta"), col("__tb")), 1).otherwise(0))
+    // a batched (LLM) oracle duels one BATCH of pairs per call instead of
+    // one RPC per pair (C^2 single calls at the default candidate bound)
+    val flagged = oracle match {
+      case b: graft.oracle.BatchedOracle =>
+        graft.oracle.BatchedExec.semDuel(pairsDf, "__flag",
+          col("__ta"), col("__tb"), op.query, b)
+      case _ =>
+        val duelU = udf { (ta: String, tb: String) =>
+          oracle.duel(Option(ta).getOrElse(""), Option(tb).getOrElse(""), op.query)
+        }
+        pairsDf.withColumn("__flag", duelU(col("__ta"), col("__tb")))
+    }
+    val wins = flagged
+      .withColumn("__win", when(col("__flag"), 1).otherwise(0))
       .groupBy(col("__ida").as(idCol))
       .agg(sum("__win").as("duel_wins"))
     cands.join(wins, Seq(idCol), "left")

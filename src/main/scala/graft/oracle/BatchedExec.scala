@@ -29,6 +29,11 @@ trait BatchedOracle extends SemanticOracle {
     texts.map(t => if (t == null) None else classify(t, vocab))
   def scoreBatch(texts: Seq[String], query: String): Seq[Double] =
     texts.map(t => if (t == null) 0.0 else score(t, query))
+  /** One batched call for a set of pairwise duels (sem_topk duel mode). */
+  def duelBatch(pairs: Seq[(String, String)], query: String): Seq[Boolean] =
+    pairs.map { case (a, b) =>
+      duel(Option(a).getOrElse(""), Option(b).getOrElse(""), query)
+    }
 }
 
 object BatchedExec {
@@ -82,4 +87,29 @@ object BatchedExec {
       oracle: BatchedOracle, batchSize: Int = 64): DataFrame =
     withBatchedColumn(df, outCol, DoubleType, text, batchSize)(
       ts => oracle.scoreBatch(ts, query))
+
+  /** Pairwise duels via batched oracle: appends a boolean `outCol` (does
+    * side a beat side b?) computed one batch of PAIRS per oracle call —
+    * the duel-mode analogue of [[semFilter]] (a C² duel set would
+    * otherwise cost C² single RPCs).
+    */
+  def semDuel(df: DataFrame, outCol: String, ta: Column, tb: Column,
+      query: String, oracle: BatchedOracle, batchSize: Int = 64): DataFrame = {
+    val withTexts = df.withColumn("__duel_a", ta).withColumn("__duel_b", tb)
+    val outSchema = StructType(withTexts.schema.fields :+
+      StructField(outCol, BooleanType, nullable = true))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val ia = withTexts.schema.fieldIndex("__duel_a")
+    val ib = withTexts.schema.fieldIndex("__duel_b")
+    withTexts.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val outs = oracle.duelBatch(batch.map(r =>
+          (if (r.isNullAt(ia)) null else r.getString(ia),
+            if (r.isNullAt(ib)) null else r.getString(ib))), query)
+        require(outs.length == batch.length,
+          s"oracle duel batch returned ${outs.length} results for ${batch.length} inputs")
+        batch.lazyZip(outs).map((r, o) => Row.fromSeq(r.toSeq :+ o))
+      }
+    }(enc).drop("__duel_a", "__duel_b")
+  }
 }

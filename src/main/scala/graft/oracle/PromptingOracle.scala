@@ -134,4 +134,10 @@ abstract class PromptingOracle extends BatchedOracle {
   override def scoreBatch(texts: Seq[String], query: String): Seq[Double] =
     batchNonNull(texts, 0.0)(ts =>
       completeBatch(ts.map(scorePrompt(_, query))).map(parseScore))
+
+  override def duelBatch(pairs: Seq[(String, String)],
+      query: String): Seq[Boolean] =
+    completeBatch(pairs.map { case (a, b) =>
+      duelPrompt(Option(a).getOrElse(""), Option(b).getOrElse(""), query)
+    }).map(_.trim.toUpperCase.startsWith("A"))
 }

@@ -17,11 +17,18 @@ class CountingOracle extends DeterministicOracle with BatchedOracle {
     CountingOracle.texts.addAndGet(texts.length)
     super.judgeBatch(texts, condition)
   }
+  override def duelBatch(pairs: Seq[(String, String)], query: String) = {
+    CountingOracle.duelBatches.incrementAndGet()
+    CountingOracle.duels.addAndGet(pairs.length)
+    super.duelBatch(pairs, query)
+  }
 }
 object CountingOracle {
   val batches = new AtomicInteger(0)
   val maxBatch = new AtomicInteger(0)
   val texts = new AtomicInteger(0)
+  val duelBatches = new AtomicInteger(0)
+  val duels = new AtomicInteger(0)
 }
 
 class BatchedExecSpec extends SparkSpec {
@@ -79,6 +86,20 @@ class BatchedExecSpec extends SparkSpec {
     // the reference's undecided-row staging (Exection_Agent.py:380-394):
     // only the 66 keyword-filter survivors reach the oracle, not all 200
     assert(CountingOracle.texts.get() == 66)
+  }
+
+  test("duel mode batches pairs for a batched oracle, same ranking") {
+    CountingOracle.duelBatches.set(0); CountingOracle.duels.set(0)
+    val oracle = new CountingOracle
+    val op = graft.plan.LogicalOp.SemTopK(Seq("txt"), "spark", 3)
+    val batched = graft.ops.SemTopK.duelTopK(docs, op, oracle, "id")
+      .select("id").as[Long].collect().toSeq
+    val direct = graft.ops.SemTopK.duelTopK(docs, op,
+      DeterministicOracle.default, "id")
+      .select("id").as[Long].collect().toSeq
+    assert(batched == direct)
+    val pairs = CountingOracle.duels.get()
+    assert(pairs > 0 && CountingOracle.duelBatches.get() <= pairs / 32 + 8)
   }
 
   test("batch kernel arity mismatch fails loudly") {

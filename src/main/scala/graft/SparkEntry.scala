@@ -369,6 +369,25 @@ object SparkEntry {
         "2 most common line statuses among quantities over 30",
         tiebreak = Seq("l_linestatus"))
     }),
+    "q_agent_react" -> ((s, dir) => {
+      // the ReAct loop itself under the driver gate: scripted completions
+      // drive drill_down -> roll_up(reuse) -> stop; a fresh script per
+      // invocation keeps repeat runs (bench passes) deterministic
+      val script = Iterator(
+        """{"thought": "mint", "action": {"type": "drill_down",
+          |  "params": {"desc": "([0-9]+)$", "dimension_name": "src_num",
+          |             "columns": ["source"]}}}""".stripMargin,
+        """{"thought": "agg", "action": {"type": "roll_up",
+          |  "params": {"dimension": "src_num",
+          |             "target_granularity": "src_num",
+          |             "analyze_dimension": [
+          |               {"dimension": "n_chars", "reduce_target": "sum"}]}}}""".stripMargin,
+        """{"thought": "done", "action": null}""")
+      val agent = new graft.agent.OlapAgent(_ => script.next(), oracle)
+      val cat = new graft.cube.CubeCatalog(t(s, dir, "documents"), oracle)
+      val (_, summary, _) = agent.runAnalysis("by source number", cat.node(0))
+      summary.get.orderBy("src_num")
+    }),
     "q_lang_id" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
@@ -620,6 +639,17 @@ object SparkEntry {
           col("meta.height").as("height"),
           col("meta.n_bytes").as("n_bytes"))
         .orderBy("media_id")
+    }),
+    "q_multimodal_frames" -> ((s, dir) => {
+      // frame sampling's explode shape and slicing arithmetic, gated on
+      // (media_id, frame_idx, frame byte count) — raw bytes don't compare
+      // across engines' string reprs, lengths pin the same slicing
+      val media = Multimodal.syntheticMedia(t(s, dir, "documents"),
+        "doc_id", "text", modality = "video")
+      Multimodal.sampleFrames(media, 4)
+        .select(col("media_id"), col("frame_idx"),
+          length(col("frame")).as("frame_bytes"))
+        .orderBy("media_id", "frame_idx")
     }),
     // ---- SQL-registered function via GraftExtensions (SURVEY §2f) ------
     "q_sql_multi_contains" -> ((s, dir) => {
@@ -937,6 +967,15 @@ object SparkEntry {
                       ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
                FROM documents)
          ORDER BY doc_id""",
+    "q_agent_react" ->
+      """WITH d AS (
+           SELECT NULLIF(regexp_extract(source, '([0-9]+)$', 1), '') AS src_num,
+                  n_chars
+           FROM documents)
+         SELECT src_num, count(*) AS count_of_src_num,
+                CAST(sum(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_of_n_chars
+         FROM d GROUP BY src_num ORDER BY src_num""",
     "q_agent_plan" ->
       """SELECT l_linestatus, count(*) AS count_of_l_linestatus
          FROM lineitem
@@ -1238,6 +1277,18 @@ object SparkEntry {
     "q_json_array_source" ->
       """SELECT CAST(r_regionkey AS VARCHAR) AS r_regionkey, r_name
          FROM region ORDER BY CAST(r_regionkey AS VARCHAR)""",
+    "q_multimodal_frames" ->
+      """WITH f AS (
+           SELECT doc_id AS media_id, i AS frame_idx,
+                  CAST(trunc(i * greatest(octet_length(encode(text)) / 4.0,
+                                          1.0)) AS INT) + 1 AS pos,
+                  octet_length(encode(text)) AS nb
+           FROM documents, unnest([0, 1, 2, 3]) AS t(i))
+         SELECT media_id, frame_idx,
+                CAST(CASE WHEN pos > nb THEN 0
+                          WHEN nb - pos + 1 >= 32 THEN 32
+                          ELSE nb - pos + 1 END AS INT) AS frame_bytes
+         FROM f ORDER BY media_id, frame_idx""",
     "q_multimodal_resize" ->
       """SELECT doc_id AS media_id, CAST(256 AS INT) AS width,
                 CAST(128 AS INT) AS height,

@@ -51,6 +51,12 @@ class PlanShapeSpec extends SparkSpec {
       s"keyword kernel missing in:\n$p")
   }
 
+  test("similarity joins never plan a cartesian product") {
+    assert(!plan("q_fuzzy_join").contains("Cartesian"))
+    assert(!plan("q_embed_join").contains("Cartesian"))
+    assert(!plan("q_dedup_minhash").contains("Cartesian"))
+  }
+
   test("identically bucketed tables join with zero shuffle") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

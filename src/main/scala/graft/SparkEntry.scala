@@ -369,6 +369,21 @@ object SparkEntry {
         "2 most common line statuses among quantities over 30",
         tiebreak = Seq("l_linestatus"))
     }),
+    "q_text_repetition" -> ((s, dir) => {
+      // C4/Gopher-style repetition and boilerplate signals
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.maxTokenRatio(col("text")).as("max_token_ratio"),
+        TextAnalysis.dupLineRatio(col("text")).as("dup_line_ratio"),
+        TextAnalysis.meanTokenLength(col("text")).as("mean_token_len"))
+        .orderBy("doc_id")
+    }),
+    "q_redact" -> ((s, dir) => {
+      // the PII scrub pass (emails/URLs to placeholder tokens); output is
+      // the full redacted text, so any pattern divergence breaks the hash
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.redact(col("text")).as("clean"))
+        .orderBy("doc_id")
+    }),
     "q_agent_react" -> ((s, dir) => {
       // the ReAct loop itself under the driver gate: scripted completions
       // drive drill_down -> roll_up(reuse) -> stop; a fresh script per
@@ -967,6 +982,36 @@ object SparkEntry {
                       ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
                FROM documents)
          ORDER BY doc_id""",
+    "q_text_repetition" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CASE WHEN trim(text) = '' THEN []
+                       ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks,
+                  list_filter(list_transform(string_split(text, chr(10)),
+                    l -> trim(l)), l -> l <> '') AS lines
+           FROM documents),
+         tf AS (
+           SELECT doc_id, tok, count(*) AS c
+           FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2),
+         mx AS (SELECT doc_id, max(c) AS mc, sum(c) AS n FROM tf GROUP BY 1)
+         SELECT t.doc_id,
+                coalesce(mx.mc * 1.0 / mx.n, 0.0) AS max_token_ratio,
+                CASE WHEN len(lines) = 0 THEN 0.0
+                     ELSE 1.0 - len(list_distinct(lines)) * 1.0 / len(lines)
+                END AS dup_line_ratio,
+                CASE WHEN len(toks) = 0 THEN 0.0
+                     ELSE list_sum(list_transform(toks, x -> length(x))) * 1.0
+                          / len(toks)
+                END AS mean_token_len
+         FROM t LEFT JOIN mx USING (doc_id)
+         ORDER BY t.doc_id""",
+    "q_redact" ->
+      """SELECT doc_id,
+                regexp_replace(
+                  regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g') AS clean
+         FROM documents ORDER BY doc_id""",
     "q_agent_react" ->
       """WITH d AS (
            SELECT NULLIF(regexp_extract(source, '([0-9]+)$', 1), '') AS src_num,

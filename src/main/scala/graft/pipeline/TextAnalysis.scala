@@ -83,6 +83,67 @@ object TextAnalysis {
       .otherwise(punct.cast("double") / chars.cast("double"))
   }
 
+  /** Fraction of tokens taken by the single most frequent token — the
+    * classic repetition/spam signal (Gopher-style "repetition" rule).
+    * One row-local kernel over the token array (flat Catalyst tree; see
+    * the dedup kernels for why that beats a lambda forest). 0 for blank.
+    */
+  val maxTokenRatio = udf { text: String =>
+    if (text == null) 0.0
+    else {
+      val t = text.toLowerCase.trim
+      if (t.isEmpty) 0.0
+      else {
+        val toks = t.split("\\s+")
+        val counts = new java.util.HashMap[String, Int]()
+        var i = 0
+        var best = 0
+        while (i < toks.length) {
+          val c = counts.merge(toks(i), 1, Integer.sum)
+          if (c > best) best = c
+          i += 1
+        }
+        best.toDouble / toks.length
+      }
+    }
+  }
+
+  /** Fraction of duplicated non-blank lines: 1 - distinct/total (0 when
+    * no non-blank lines) — the C4-style boilerplate signal.
+    */
+  val dupLineRatio = udf { text: String =>
+    if (text == null) 0.0
+    else {
+      val lines = text.split("\n").map(_.trim).filter(_.nonEmpty)
+      if (lines.isEmpty) 0.0
+      else 1.0 - lines.distinct.length.toDouble / lines.length
+    }
+  }
+
+  /** Mean token length in characters (0 for blank) — short-token spew and
+    * long-token garbage both move this off natural-language range.
+    */
+  def meanTokenLength(c: Column): Column = {
+    val toks = tokensCol(c)
+    when(size(toks) === 0, 0.0)
+      .otherwise(
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+          / size(toks).cast("double"))
+  }
+
+  /** Redact email addresses and URLs with placeholder tokens — the PII
+    * scrub pass every training pipeline runs before anything else. The
+    * patterns are RE2-compatible (no lookarounds/backrefs) so the same
+    * rule runs on any engine.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlPattern = "https?://[^\\s]+"
+
+  def redact(c: Column, emailToken: String = "<EMAIL>",
+      urlToken: String = "<URL>"): Column =
+    regexp_replace(regexp_replace(c, urlPattern, urlToken),
+      emailPattern, emailToken)
+
   /** Language-marker vocabularies for the n-gram-free language-ID heuristic.
     * Word-boundary `contains` over " text " per marker; score = number of
     * distinct markers present.

@@ -56,6 +56,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(5L)._2 == 0.0)
   }
 
+  test("repetition signals and redaction") {
+    val df = Seq(
+      (1L, "spam spam spam ham"),                       // mode 3/4
+      (2L, "a\nb\na\n\n  \na"),                         // 4 lines, 2 distinct
+      (3L, ""),
+      (4L, "mail me at bob@example.com or https://x.io/path?q=1 now")
+    ).toDF("id", "t")
+    val got = df.select(col("id"),
+      TextAnalysis.maxTokenRatio(col("t")).as("m"),
+      TextAnalysis.dupLineRatio(col("t")).as("d"),
+      TextAnalysis.meanTokenLength(col("t")).as("l"),
+      TextAnalysis.redact(col("t")).as("r"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getString(4))).toMap
+    assert(got(1L)._1 == 0.75 && got(1L)._2 == 0.0)
+    assert(got(2L)._2 == 0.5) // 4 non-blank lines, 2 distinct
+    assert(got(3L) == ((0.0, 0.0, 0.0, "")))
+    assert(got(1L)._3 == 15.0 / 4)
+    assert(got(4L)._4 == "mail me at <EMAIL> or <URL> now")
+  }
+
   test("quality score bounds and components") {
     val df = Seq(("a" * 500) + "", "ab1", "").toDF("t")
     val got = df.select(TextAnalysis.qualityScore(col("t"))).as[Double].collect()

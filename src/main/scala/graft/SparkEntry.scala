@@ -369,6 +369,13 @@ object SparkEntry {
         "2 most common line statuses among quantities over 30",
         tiebreak = Seq("l_linestatus"))
     }),
+    "q_clean_pipeline" -> ((s, dir) => {
+      // the COMPOSED cleaning flow (redact -> quality filter -> exact
+      // dedup -> split), every stage of which is also individually gated
+      graft.pipeline.Clean.standardPipeline(
+        t(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "split").orderBy("doc_id")
+    }),
     "q_text_repetition" -> ((s, dir) => {
       // C4/Gopher-style repetition and boilerplate signals
       t(s, dir, "documents").select(col("doc_id"),
@@ -982,6 +989,52 @@ object SparkEntry {
                       ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
                FROM documents)
          ORDER BY doc_id""",
+    "q_clean_pipeline" ->
+      """WITH r AS (
+           SELECT doc_id,
+                  regexp_replace(
+                    regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                    '<EMAIL>', 'g') AS clean
+           FROM documents),
+         t2 AS (
+           SELECT doc_id, clean,
+                  CASE WHEN trim(clean) = '' THEN []
+                       ELSE string_split_regex(trim(lower(clean)), '\s+')
+                  END AS toks
+           FROM r),
+         tf AS (
+           SELECT doc_id, tok, count(*) AS c
+           FROM (SELECT doc_id, unnest(toks) AS tok FROM t2) GROUP BY 1, 2),
+         mx AS (SELECT doc_id, max(c) AS mc, sum(c) AS n FROM tf GROUP BY 1),
+         kept AS (
+           SELECT t2.doc_id, t2.clean
+           FROM t2 JOIN mx USING (doc_id)
+           WHERE len(toks) >= 30
+             AND len(list_filter(toks, x -> x IN ('the','a','an','and','or',
+                   'of','to','in','on','is','are','was','were','it','that',
+                   'this','for','with','as','by'))) * 1.0 / len(toks) >= 0.03
+             AND mx.mc * 1.0 / mx.n <= 0.15),
+         ded AS (
+           SELECT min(doc_id) AS doc_id FROM kept
+           GROUP BY md5(lower(regexp_replace(trim(clean), '\s+', ' ', 'g')))),
+         b AS (
+           SELECT doc_id,
+             (4096 * (strpos('0123456789abcdef',
+                substring(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 1)) - 1)
+            + 256 * (strpos('0123456789abcdef',
+                substring(md5(CAST(doc_id AS VARCHAR) || 'graft'), 2, 1)) - 1)
+            + 16 * (strpos('0123456789abcdef',
+                substring(md5(CAST(doc_id AS VARCHAR) || 'graft'), 3, 1)) - 1)
+            + (strpos('0123456789abcdef',
+                substring(md5(CAST(doc_id AS VARCHAR) || 'graft'), 4, 1)) - 1))
+             % 100 AS bucket
+           FROM ded)
+         SELECT doc_id,
+                CASE WHEN bucket < 80 THEN 'train'
+                     WHEN bucket < 90 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM b ORDER BY doc_id""",
     "q_text_repetition" ->
       """WITH t AS (
            SELECT doc_id,

@@ -553,6 +553,18 @@ object SparkEntry {
         .select("query_id", "neighbor_id", "cosine", "rank")
         .orderBy("query_id", "rank")
     }),
+    "q_sim_search_int8" -> ((s, dir) => {
+      // planted top-1 through the int8-quantized path: identical vectors
+      // quantize identically (cosine 1.0 exactly), far above the
+      // quantization-perturbed natural cosines
+      val emb = t(s, dir, "embeddings")
+      val planted = emb.filter(col("vec_id") < 5)
+        .withColumn("vec_id", col("vec_id") + lit(1000000L))
+      Similarity.Int8.topK(emb.union(planted),
+        emb.filter(col("vec_id") < 5), "vec_id", "vec_id", "embedding", k = 1)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id")
+    }),
     "q_sim_search_lsh" -> ((s, dir) => {
       // planted-dupe expectation gate: each query's exact copy (id +1e6)
       // lands in the query's own bucket with cosine ~1.0, far above the
@@ -1256,6 +1268,10 @@ object SparkEntry {
          WHERE vec_id < 20 ORDER BY id_a, id_b""",
     // planted-dupe expectation: top-1 neighbor of each query is its exact
     // copy (same bucket by construction, cosine ~1.0 vs natural ~0.46)
+    "q_sim_search_int8" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
+                CAST(1 AS INT) AS rank
+         FROM embeddings WHERE vec_id < 5 ORDER BY query_id""",
     "q_sim_search_lsh" ->
       """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
                 CAST(1 AS INT) AS rank

@@ -272,6 +272,58 @@ object Similarity {
     }
   }
 
+  /** Int8-quantized similarity — the storage/shuffle lever at 100 TB:
+    * per-vector symmetric quantization to byte codes shrinks the vector
+    * payload 4x, and because COSINE is scale-invariant the per-vector
+    * scale cancels entirely — ranking needs only the integer codes
+    * (integer dot products in a tight kernel, no dequantization).
+    * Approximation error is the rounding only (identical vectors stay
+    * identical, so planted-duplicate expectations hold exactly).
+    */
+  object Int8 {
+    /** Byte codes: round(x / (max|x| / 127)); zero vector -> zero codes. */
+    val quantizeUdf = udf { v: Seq[Float] =>
+      if (v == null) null
+      else {
+        var mx = 0f
+        v.foreach(x => { val a = math.abs(x); if (a > mx) mx = a })
+        val s = if (mx == 0f) 1f else mx / 127f
+        v.map(x => math.round(x / s).toByte).toArray
+      }
+    }
+
+    private val cosQ = udf { (a: Array[Byte], b: Array[Byte]) =>
+      if (a == null || b == null) 0.0
+      else {
+        var dot = 0L; var na = 0L; var nb = 0L
+        var i = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) {
+          dot += a(i).toLong * b(i); na += a(i).toLong * a(i)
+          nb += b(i).toLong * b(i); i += 1
+        }
+        if (na == 0L || nb == 0L) 0.0
+        else dot / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+      }
+    }
+
+    /** Brute-force top-k over quantized codes (broadcast query side). */
+    def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
+        qidCol: String, vecCol: String, k: Int): DataFrame = {
+      val c = corpus.select(col(idCol).as("neighbor_id"),
+        quantizeUdf(col(vecCol)).as("__cq"))
+      val q = broadcast(queries.select(col(qidCol).as("query_id"),
+        quantizeUdf(col(vecCol)).as("__qq")))
+      val scored = c.crossJoin(q)
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosQ(col("__cq"), col("__qq")).as("qcosine"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("qcosine").desc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    }
+  }
+
   /** Random-hyperplane sign LSH. Plane coefficients are generated from a
     * seeded RNG at plan time (literal arrays, broadcast inside the
     * expression) — deterministic across runs and engines.

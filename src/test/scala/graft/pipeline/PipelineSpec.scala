@@ -350,6 +350,24 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("cell"))
   }
 
+  test("Int8 quantized top-k approximates exact ranking, exact on copies") {
+    val exact = Similarity.bruteForceTopK(corpus,
+      corpus.filter(col("vec_id") === 1L), "vec_id", "vec_id", "embedding", 1)
+      .select("neighbor_id").as[Long].collect().toSeq
+    val quant = Similarity.Int8.topK(corpus,
+      corpus.filter(col("vec_id") === 1L), "vec_id", "vec_id", "embedding", 1)
+      .select("neighbor_id").as[Long].collect().toSeq
+    // the nearest neighbor (nearly-parallel vector) survives quantization
+    assert(quant == exact)
+    // identical vectors quantize identically: cosine exactly 1.0
+    val self = Similarity.Int8.topK(
+      corpus.withColumn("vec_id", col("vec_id") + lit(100L)).union(corpus),
+      corpus.filter(col("vec_id") === 2L),
+      "vec_id", "vec_id", "embedding", 1)
+      .select("neighbor_id", "qcosine").as[(Long, Double)].collect().head
+    assert(self._1 == 102L && self._2 > 0.9999999) // 1.0 +- ulp (sqrt(d)^2)
+  }
+
   test("Ivf train is deterministic and assigns every row a cell") {
     val c1 = Similarity.Ivf.train(corpus, "vec_id", "embedding", 2,
       sampleN = 100, iters = 3)

@@ -258,6 +258,62 @@ object SparkEntry {
       Slice(t(s, dir, "documents"), Seq("text"), "spark stream", oracle)
         .select("doc_id").orderBy("doc_id")
     }),
+    // ---- TPC-H-style relational analytics (SURVEY §2f ext): the classic
+    //      scan-agg and multi-way-join shapes over the same tables --------
+    "q_tpch_q1" -> ((s, dir) => {
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      val disc = (lit(1) - col("l_discount")).cast("decimal(5,4)")
+      val tax = (lit(1) + col("l_tax")).cast("decimal(5,4)")
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1999-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec("l_quantity")).cast("double").as("sum_qty"),
+          sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+          sum(dec("l_extendedprice") * disc).cast("double").as("sum_disc_price"),
+          sum(dec("l_extendedprice") * disc * tax).cast("double").as("sum_charge"),
+          (sum(dec("l_quantity")).cast("double") / count(col("l_quantity")))
+            .as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q_tpch_q3" -> ((s, dir) => {
+      // filtered dims join into the big fact: both small sides broadcast
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-01-01"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount")).cast("decimal(5,4)"))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+    "q_tpch_q5" -> ((s, dir) => {
+      // five-way join with the local-supplier condition, grouped by nation
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+      val cust = t(s, dir, "customer")
+      val supp = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(nat, col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount")).cast("decimal(5,4)"))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    }),
     "q_window_rank" -> ((s, dir) => {
       // general window functions (absent from the reference, SURVEY §2f —
       // free from Spark's relational layer): top-3 orders per customer by
@@ -779,6 +835,51 @@ object SparkEntry {
       """SELECT r_regionkey, r_name FROM region
          WHERE contains('the europe and africa trade zone', lower(r_name))
          ORDER BY r_regionkey""",
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_base_price,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * CAST(1 - l_discount AS DECIMAL(5,4))) AS DOUBLE)
+                  AS sum_disc_price,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * CAST(1 - l_discount AS DECIMAL(5,4))
+                         * CAST(1 + l_tax AS DECIMAL(5,4))) AS DOUBLE)
+                  AS sum_charge,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                  / count(l_quantity) AS avg_qty,
+                count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1999-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * CAST(1 - l_discount AS DECIMAL(5,4))) AS DOUBLE)
+                  AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+           AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q_tpch_q5" ->
+      """SELECT n_name,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * CAST(1 - l_discount AS DECIMAL(5,4))) AS DOUBLE)
+                  AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,

@@ -335,19 +335,24 @@ class OlapAgent(complete: String => String, oracle: SemanticOracle) {
       if (filterQ.isEmpty) catalog.node(0)
       else {
         val plan = planFilter(base.columns.toSeq, historyQuery, filterQ)
-        // lower the verb steps to filter ops the catalog can canonicalize?
         // the catalog keys on LogicalOp atoms; verb-level steps carry their
-        // NL action, so register under a sem_filter atom per step (same
-        // subsumption behavior as the reference's judged memory)
-        val df = executeFilter(base, plan)
+        // NL action, so they canonicalize as a sem_filter atom per step
+        // (same subsumption behavior as the reference's judged memory)
         val asOps: Seq[LogicalOp] = plan.steps.map(s =>
           LogicalOp.SemFilter(s.field.toSeq, s.action))
-        // id = position: keeps the catalog's id==index invariant for
-        // externally registered nodes
-        val n = graft.cube.CubeNode(catalog.all.length, query,
-          graft.cube.PredicateAtoms.atoms(asOps), df, Map.empty, asOps, asOps)
-        catalog.register(n)
-        n
+        val key = graft.cube.PredicateAtoms.atoms(asOps)
+        // Equal reuse: a session re-asking the same conditions gets the
+        // cached node back, never a second execution
+        catalog.all.find(n => n.predicates == key && key.nonEmpty)
+          .getOrElse {
+            val df = executeFilter(base, plan)
+            // id = position: keeps the catalog's id==index invariant for
+            // externally registered nodes
+            val n = graft.cube.CubeNode(catalog.all.length, query, key, df,
+              Map.empty, asOps, asOps)
+            catalog.register(n)
+            n
+          }
       }
     val (finalNode, summary, _) =
       if (analysisQ.isEmpty) (node, None, Seq.empty)

@@ -135,6 +135,21 @@ class AgentSpec extends SparkSpec {
     assert(got == Seq(1L, 3L, 2L)) // spark rows by score desc, top 3
   }
 
+  test("repeat session filters reuse the registered node (Equal)") {
+    def planAnd(n: Int) = Seq.fill(n)(Seq(
+      """{"filter_query": "spark posts", "analysis_query": ""}""",
+      """{"operations": [{"id": 1, "agent": "dice", "field": "title",
+        |                 "action": "about spark"}], "logic": ["AND", 1]}""".stripMargin,
+      """{"has_topk": false}""")).flatten
+    val s = new Scripted(planAnd(2): _*)
+    val agent = new OlapAgent(s, oracle)
+    val cat = new CubeCatalog(docs, oracle)
+    agent.runSession(cat, "spark posts")
+    val n1 = cat.all.length
+    agent.runSession(cat, "spark posts")
+    assert(cat.all.length == n1) // no duplicate node registered
+  }
+
   test("ReAct loop ends gracefully on a malformed completion") {
     val s = new Scripted(
       """{"thought": "inspect", "action": {"type": "get_dimension", "params": {}}}""",

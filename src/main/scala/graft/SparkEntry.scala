@@ -270,8 +270,12 @@ object SparkEntry {
         .agg(
           sum(dec("l_quantity")).cast("double").as("sum_qty"),
           sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
-          sum(dec("l_extendedprice") * disc).cast("double").as("sum_disc_price"),
-          sum(dec("l_extendedprice") * disc * tax).cast("double").as("sum_charge"),
+          // round to money scale BEFORE the double cast: a scale-10
+          // decimal->double conversion is ulp-lossy in some engines
+          round(sum(dec("l_extendedprice") * disc), 2)
+            .cast("double").as("sum_disc_price"),
+          round(sum(dec("l_extendedprice") * disc * tax), 2)
+            .cast("double").as("sum_charge"),
           (sum(dec("l_quantity")).cast("double") / count(col("l_quantity")))
             .as("avg_qty"),
           count(lit(1)).as("count_order"))
@@ -288,8 +292,8 @@ object SparkEntry {
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
-            (lit(1) - col("l_discount")).cast("decimal(5,4)"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount")).cast("decimal(5,4)")), 2)
           .cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(10)
@@ -309,8 +313,8 @@ object SparkEntry {
           col("c_nationkey") === col("s_nationkey"))
         .join(nat, col("s_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
-        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
-            (lit(1) - col("l_discount")).cast("decimal(5,4)"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount")).cast("decimal(5,4)")), 2)
           .cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("n_name").asc)
     }),
@@ -840,12 +844,12 @@ object SparkEntry {
                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                   AS sum_base_price,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                         * CAST(1 - l_discount AS DECIMAL(5,4))) AS DOUBLE)
+                CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * CAST(1 - l_discount AS DECIMAL(5,4))), 2) AS DOUBLE)
                   AS sum_disc_price,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                          * CAST(1 - l_discount AS DECIMAL(5,4))
-                         * CAST(1 + l_tax AS DECIMAL(5,4))) AS DOUBLE)
+                         * CAST(1 + l_tax AS DECIMAL(5,4))), 2) AS DOUBLE)
                   AS sum_charge,
                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
                   / count(l_quantity) AS avg_qty,
@@ -856,8 +860,8 @@ object SparkEntry {
          ORDER BY l_returnflag, l_linestatus""",
     "q_tpch_q3" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                         * CAST(1 - l_discount AS DECIMAL(5,4))) AS DOUBLE)
+                CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * CAST(1 - l_discount AS DECIMAL(5,4))), 2) AS DOUBLE)
                   AS revenue
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
@@ -869,8 +873,8 @@ object SparkEntry {
          ORDER BY revenue DESC, l_orderkey LIMIT 10""",
     "q_tpch_q5" ->
       """SELECT n_name,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                         * CAST(1 - l_discount AS DECIMAL(5,4))) AS DOUBLE)
+                CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * CAST(1 - l_discount AS DECIMAL(5,4))), 2) AS DOUBLE)
                   AS revenue
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey

@@ -281,6 +281,17 @@ object SparkEntry {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
+    "q_tpch_q6" -> ((s, dir) => {
+      // the pure filter-aggregate: every predicate pushes to the scan
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1998-01-01") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            col("l_discount").cast("decimal(5,4)")), 2)
+          .cast("double").as("revenue"))
+    }),
     "q_tpch_q3" -> ((s, dir) => {
       // filtered dims join into the big fact: both small sides broadcast
       val cust = t(s, dir, "customer")
@@ -792,6 +803,41 @@ object SparkEntry {
       q.awaitTermination()
       s.table("q_stream_wm_sink").orderBy("window_start", "event_type")
     }),
+    "q_stream_enrich" -> ((s, dir) => {
+      // stream-static enrichment + complete-mode aggregation: the static
+      // dimension broadcasts into every micro-batch, and complete mode's
+      // final table is the exact batch answer — both deterministic
+      import s.implicits._
+      val schema = t(s, dir, "events").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val dim = Seq(
+        ("click", "engagement"), ("view", "engagement"),
+        ("purchase", "revenue"), ("signup", "growth"), ("error", "ops"))
+        .toDF("event_type", "category")
+      val q = stream.join(broadcast(dim), "event_type")
+        .groupBy("category")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .writeStream.format("memory").queryName("q_stream_enrich_sink")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("q_stream_enrich_sink").orderBy("category")
+    }),
+    "q_pivot" -> ((s, dir) => {
+      // relational pivot: per-user-bucket event counts, one column per
+      // event type (values pinned so the schema is deterministic)
+      t(s, dir, "events")
+        .withColumn("user_bucket", (col("user_id") % 10).cast("int"))
+        .groupBy("user_bucket")
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy("user_bucket")
+    }),
     "q_stream_sessionize" -> ((s, dir) => {
       // the flatMapGroupsWithState path as a REAL streaming run: one
       // availableNow batch (single input file) -> every CLOSED session,
@@ -858,6 +904,15 @@ object SparkEntry {
          WHERE l_shipdate <= TIMESTAMP '1999-09-02 00:00:00'
          GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
+    "q_tpch_q6" ->
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(l_discount AS DECIMAL(5,4))), 2) AS DOUBLE)
+                AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""",
     "q_tpch_q3" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
                 CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -1524,6 +1579,22 @@ object SparkEntry {
                 count(*) AS n_events,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "q_stream_enrich" ->
+      """WITH dim(event_type, category) AS (VALUES
+           ('click', 'engagement'), ('view', 'engagement'),
+           ('purchase', 'revenue'), ('signup', 'growth'), ('error', 'ops'))
+         SELECT category, count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events JOIN dim USING (event_type)
+         GROUP BY category ORDER BY category""",
+    "q_pivot" ->
+      """SELECT CAST(user_id % 10 AS INT) AS user_bucket,
+                CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+                CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+                CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+                CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+                CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+         FROM events GROUP BY 1 ORDER BY user_bucket""",
     "q_stream_window_wm" ->
       """WITH mx AS (SELECT max(ts) AS m FROM events)
          SELECT date_trunc('hour', ts) AS window_start, event_type,

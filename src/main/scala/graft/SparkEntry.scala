@@ -447,6 +447,21 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text")
         .select("doc_id", "split").orderBy("doc_id")
     }),
+    "q_ngram_counts" -> ((s, dir) => {
+      // corpus-wide bigram frequency table (LM counts / tokenizer vocab
+      // pass), pruned by min count before any collection
+      TextAnalysis.ngramCounts(t(s, dir, "documents"), "text", n = 2,
+        minCount = 20).orderBy("ngram")
+    }),
+    "q_unpivot" -> ((s, dir) => {
+      // melt/unpivot: wide per-part numeric columns into (metric, value)
+      // rows — the inverse of q_pivot, via the relational layer's stack
+      t(s, dir, "part")
+        .selectExpr("p_partkey",
+          "stack(2, 'retailprice', p_retailprice, 'size', CAST(p_size AS DOUBLE)) AS (metric, value)")
+        .filter(col("p_partkey") <= 100)
+        .orderBy("p_partkey", "metric")
+    }),
     "q_text_repetition" -> ((s, dir) => {
       // C4/Gopher-style repetition and boilerplate signals
       t(s, dir, "documents").select(col("doc_id"),
@@ -1207,6 +1222,25 @@ object SparkEntry {
                      WHEN bucket < 90 THEN 'val'
                      ELSE 'test' END AS split
          FROM b ORDER BY doc_id""",
+    "q_ngram_counts" ->
+      """WITH toks AS (
+           SELECT string_split_regex(trim(lower(text)), '\s+') AS tk
+           FROM documents WHERE trim(text) <> ''),
+         grams AS (
+           SELECT unnest(list_transform(range(1, len(tk)),
+                    i -> tk[i] || ' ' || tk[i+1])) AS ngram
+           FROM toks WHERE len(tk) >= 2)
+         SELECT ngram, count(*) AS n_occurrences
+         FROM grams GROUP BY ngram HAVING count(*) >= 20
+         ORDER BY ngram""",
+    "q_unpivot" ->
+      """SELECT p_partkey, metric, value FROM (
+           SELECT p_partkey, 'retailprice' AS metric,
+                  CAST(p_retailprice AS DOUBLE) AS value FROM part
+           UNION ALL
+           SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part)
+         WHERE p_partkey <= 100
+         ORDER BY p_partkey, metric""",
     "q_text_repetition" ->
       """WITH t AS (
            SELECT doc_id,

@@ -184,6 +184,18 @@ object TextAnalysis {
       .otherwise(array_min(transform(sh, s => xxhash64(s))))
   }
 
+  /** Corpus-wide word n-gram frequency table — the language-model count
+    * statistic (and the vocabulary pass of tokenizer training). One
+    * explode + one hash aggregation; `minCount` prunes the long tail
+    * BEFORE anything is collected (the result above a sane threshold is
+    * orders of magnitude smaller than the corpus at any scale).
+    */
+  def ngramCounts(df: DataFrame, textCol: String, n: Int,
+      minCount: Long = 1L): DataFrame =
+    df.select(explode(Shingles.wordShingles(col(textCol), n)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") >= minCount)
+
   /** One-call enrichment: append the standard text-analysis columns. */
   def enrich(df: DataFrame, textCol: String): DataFrame = df
     .withColumn("n_tokens", tokenCount(col(textCol)))

@@ -51,6 +51,14 @@ class PlanShapeSpec extends SparkSpec {
       s"keyword kernel missing in:\n$p")
   }
 
+  test("tpch q6 predicates push into the parquet scan") {
+    // the plan string truncates the PushedFilters list; match the prefix
+    val p = plan("q_tpch_q6")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)") &&
+      p.contains("GreaterThanOrEqual(l_shipda"),
+      s"missing pushed filters in:\n$p")
+  }
+
   test("similarity joins never plan a cartesian product") {
     assert(!plan("q_fuzzy_join").contains("Cartesian"))
     assert(!plan("q_embed_join").contains("Cartesian"))

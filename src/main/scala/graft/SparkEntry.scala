@@ -329,6 +329,69 @@ object SparkEntry {
           .cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("n_name").asc)
     }),
+    "q_tpch_q4" -> ((s, dir) => {
+      // EXISTS correlated-subquery shape (TPC-H Q4): orders in a quarter
+      // with at least one returned line. Declared as a LEFT SEMI join —
+      // the decorrelation Catalyst would produce for EXISTS; the probe
+      // side never duplicates rows and only l_orderkey is read from the
+      // fact (column pruning down to one column)
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1996-04-01"))
+      val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      ord.join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+    "q_tpch_q12" -> ((s, dir) => {
+      // CASE-WHEN conditional aggregation shape (TPC-H Q12): ONE pass over
+      // the join computes both priority buckets — no second scan, the
+      // conditional sums fold into the same partial aggregate
+      val hi = col("o_orderpriority") === "1-URGENT" ||
+        col("o_orderpriority") === "2-HIGH"
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1998-01-01"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+          sum(when(hi, 1).otherwise(0)).as("high_line_count"),
+          sum(when(!hi, 1).otherwise(0)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    }),
+    "q_tpch_q13" -> ((s, dir) => {
+      // LEFT OUTER + count(right side) + NOT LIKE shape (TPC-H Q13):
+      // order-count distribution INCLUDING zero-order customers — the
+      // count(o_orderkey) only counts matched rows, the outer join keeps
+      // every customer; the filter stays on the right side pre-join
+      // (= the ON-clause placement, NOT a post-join WHERE)
+      val ord = t(s, dir, "orders")
+        .filter(!col("o_orderpriority").like("%URGENT%"))
+      t(s, dir, "customer")
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+    "q_tpch_q17" -> ((s, dir) => {
+      // correlated scalar-subquery shape (TPC-H Q17): per-part average
+      // quantity, decorrelated into an aggregate + broadcast join. The
+      // threshold compare is EXACT arithmetic (5·qty·cnt < sum_qty avoids
+      // the engine-varying double avg at the boundary)
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      val li = t(s, dir, "lineitem")
+      val brandParts = t(s, dir, "part").filter(col("p_brand") === "Brand#23")
+      val perPart = li.groupBy(col("l_partkey").as("a_partkey"))
+        .agg(sum(dec("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+      li.join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(perPart), col("l_partkey") === col("a_partkey"))
+        .filter(dec("l_quantity") * lit(5) * col("cnt") < col("sum_qty"))
+        .agg((round(sum(dec("l_extendedprice")), 2).cast("double") / lit(7.0))
+          .as("avg_yearly"))
+    }),
     "q_window_rank" -> ((s, dir) => {
       // general window functions (absent from the reference, SURVEY §2f —
       // free from Spark's relational layer): top-3 orders per customer by
@@ -666,13 +729,16 @@ object SparkEntry {
         .select("query_id", "neighbor_id", "rank")
         .orderBy("query_id", "rank")
     }),
-    // ---- multimodal plumbing (north-star §7 M6; decode kernels stubbed) -
+    // ---- multimodal (north-star §7 M6; image path REAL via ImageIO) ----
     "q_multimodal" -> ((s, dir) => {
+      // render each doc into a genuine PNG, then decode it back with
+      // ImageIO: width_px/height_px are TRUE pixel dims read from the
+      // codec, which the oracle predicts from the render contract
+      // (dims are a pure function of the UTF-8 byte length)
       val media = Multimodal.syntheticMedia(t(s, dir, "documents"),
         "doc_id", "text")
       Multimodal.decodeFeatures(media)
-        .select(col("media_id"), col("width_px"), col("height_px"),
-          col("meta.n_bytes").as("n_bytes"))
+        .select(col("media_id"), col("width_px"), col("height_px"))
         .orderBy("media_id")
     }),
     "q_multimodal_ann" -> ((s, dir) => {
@@ -750,14 +816,13 @@ object SparkEntry {
         .orderBy("r_regionkey")
     }),
     "q_multimodal_resize" -> ((s, dir) => {
-      // resize's schema contract: target dims land in meta, payload size
-      // carried through (the re-encode itself is the documented stub)
+      // REAL resize: decode the rendered PNG, rescale via Graphics2D,
+      // re-encode, then decode AGAIN — the gated dims are what ImageIO
+      // reads back out of the resized payload, not meta bookkeeping
       val media = Multimodal.syntheticMedia(t(s, dir, "documents"),
         "doc_id", "text")
-      Multimodal.resize(media, 256, 128)
-        .select(col("media_id"), col("meta.width").as("width"),
-          col("meta.height").as("height"),
-          col("meta.n_bytes").as("n_bytes"))
+      Multimodal.decodeFeatures(Multimodal.resize(media, 256, 128))
+        .select(col("media_id"), col("width_px"), col("height_px"))
         .orderBy("media_id")
     }),
     "q_multimodal_frames" -> ((s, dir) => {
@@ -1470,35 +1535,15 @@ object SparkEntry {
       """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
                 CAST(1 AS INT) AS rank
          FROM embeddings WHERE vec_id < 5 ORDER BY query_id""",
-    // the deterministic stub decode: FNV-1a (unsigned octets) over the
-    // first 64 UTF-8 bytes -> (width, height); n_bytes = payload length
+    // the render contract: a real PNG whose pixel dims are a pure
+    // function of the UTF-8 byte length (width = 16 + n % 16,
+    // height = 8 * (1 + n % 4)); the Spark side reports what ImageIO
+    // actually decodes, so a broken encoder OR decoder breaks the hash
     "q_multimodal" ->
-      """WITH b AS (
-           SELECT doc_id, hex(encode(text)) AS hx,
-                  least(octet_length(encode(text)), 64) AS nb,
-                  octet_length(encode(text)) AS n_bytes
-           FROM documents),
-         h AS (
-           SELECT doc_id, n_bytes,
-             CASE WHEN nb = 0 THEN CAST(14695981039346656037 AS HUGEINT)
-             ELSE list_reduce(
-               list_prepend(CAST(14695981039346656037 AS HUGEINT),
-                 list_transform(range(0, nb),
-                   i -> CAST(16 * (strpos('0123456789ABCDEF',
-                                          substring(hx, 2*i+1, 1)) - 1)
-                           + (strpos('0123456789ABCDEF',
-                                     substring(hx, 2*i+2, 1)) - 1) AS HUGEINT))),
-               (acc, bt) -> ((acc - (acc % 256)
-                              + xor(CAST(acc % 256 AS BIGINT), CAST(bt AS BIGINT)))
-                             * 1099511628211)
-                            % CAST(18446744073709551616 AS HUGEINT))
-             END AS h
-           FROM b)
-         SELECT doc_id AS media_id,
-                CAST(64 + (h % 64) * 16 AS INT) AS width_px,
-                CAST(64 + ((h // 64) % 64) * 16 AS INT) AS height_px,
-                CAST(n_bytes AS BIGINT) AS n_bytes
-         FROM h ORDER BY media_id""",
+      """SELECT doc_id AS media_id,
+                CAST(16 + octet_length(encode(text)) % 16 AS INT) AS width_px,
+                CAST(8 * (1 + octet_length(encode(text)) % 4) AS INT) AS height_px
+         FROM documents ORDER BY media_id""",
     // planted-dupe expectation through the media->features->ANN path:
     // identical text -> identical decoded features -> cosine 1.0
     "q_multimodal_ann" ->
@@ -1597,10 +1642,10 @@ object SparkEntry {
                           WHEN nb - pos + 1 >= 32 THEN 32
                           ELSE nb - pos + 1 END AS INT) AS frame_bytes
          FROM f ORDER BY media_id, frame_idx""",
+    // re-decoded dims of the genuinely re-encoded payload
     "q_multimodal_resize" ->
-      """SELECT doc_id AS media_id, CAST(256 AS INT) AS width,
-                CAST(128 AS INT) AS height,
-                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      """SELECT doc_id AS media_id, CAST(256 AS INT) AS width_px,
+                CAST(128 AS INT) AS height_px
          FROM documents ORDER BY media_id""",
     "q_sql_multi_contains" ->
       """SELECT doc_id FROM documents

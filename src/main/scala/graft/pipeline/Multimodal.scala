@@ -1,6 +1,11 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.charset.StandardCharsets
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -8,13 +13,15 @@ import org.apache.spark.sql.types._
   * with typed metadata structs, plus batched decode / feature-extract /
   * resize / frame-sample operators.
   *
-  * The decode kernels are STUBS (deterministic fakes derived from the raw
-  * bytes — this container has no image/audio codecs); everything around
-  * them is real and tested: the schema contract, the `mapPartitions`
+  * The IMAGE path is real end to end: `syntheticMedia` renders genuine PNG
+  * payloads (JDK `javax.imageio`, zero extra dependencies), `decodeFeatures`
+  * decodes them back (`ImageIO.read`) reporting true pixel dimensions and
+  * pixel-derived band features, and `resize` rescales + re-encodes the
+  * payload through `Graphics2D`. Only VIDEO/AUDIO decode remains a
+  * documented stub — the JDK ships no codec for those; the `mapPartitions`
   * batching shape (decoder state initialized once per partition, rows
-  * streamed through it — the Scala analogue of `mapInPandas` batch
-  * processing), and the partitioning posture (media blobs never shuffle
-  * unless the caller repartitions; derived features are small columns).
+  * streamed through it) and the partitioning posture (media blobs never
+  * shuffle unless the caller repartitions) are the same for all modalities.
   */
 object Multimodal {
 
@@ -32,58 +39,91 @@ object Multimodal {
     StructField("content", BinaryType),
     StructField("meta", mediaMetaType)))
 
-  /** Wrap a text column as a synthetic binary media table (test fixture:
-    * the container ships no real media, so documents' bytes stand in).
-    */
-  def syntheticMedia(df: DataFrame, idCol: String, textCol: String,
-      modality: String = "image"): DataFrame =
-    df.select(
-      col(idCol).cast("long").as("media_id"),
-      lit(modality).as("modality"),
-      encode(col(textCol), "UTF-8").as("content"),
-      struct(
-        lit("raw").as("format"),
-        lit(null).cast("int").as("width"),
-        lit(null).cast("int").as("height"),
-        lit(null).cast("long").as("duration_ms"),
-        octet_length(col(textCol)).cast("long").as("n_bytes")).as("meta"))
-
-  /** STUB image decode: a real implementation would parse the codec header;
-    * the deterministic fake derives (width, height) from a byte hash so the
-    * plumbing is testable. Marked ??? semantics: do NOT ship.
-    */
-  private def stubDecodeDims(bytes: Array[Byte]): (Int, Int) = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < math.min(bytes.length, 64)) {
-      // unsigned byte: FNV-1a's standard octet semantics (and engine-
-      // portable — a signed xor would sign-extend bytes >= 0x80)
-      h ^= (bytes(i) & 0xFF); h *= 0x100000001b3L; i += 1
-    }
-    (64 + (h & 0x3f).toInt * 16, 64 + ((h >>> 6) & 0x3f).toInt * 16)
-  }
-
-  /** STUB feature extraction: 8 floats from a rolling byte hash (a real
-    * kernel would run a vision/audio model over the decoded frame batch).
-    */
-  private def stubFeatures(bytes: Array[Byte]): Array[Float] = {
-    val out = new Array[Float](8)
+  private def fnv64(bytes: Array[Byte]): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0
     while (i < bytes.length) {
-      h ^= bytes(i); h *= 0x100000001b3L
-      out(i % 8) = ((h >>> 32).toInt.toFloat / Int.MaxValue)
-      i += 1
+      // unsigned octet semantics (a signed xor would sign-extend >= 0x80)
+      h ^= (bytes(i) & 0xFF); h *= 0x100000001b3L; i += 1
     }
-    out
+    h
   }
 
-  /** Decode + feature-extract, batched per partition. The decoder is
-    * "opened" once per partition (amortized, like a model handle) and each
-    * row flows through it — the batch shape a real codec/model needs.
+  /** Rendered-image dimensions are a pure function of the source byte
+    * length so an external oracle can predict them without decoding:
+    * width = 16 + n % 16, height = 8 * (1 + n % 4).
+    */
+  private[pipeline] def dimsFor(nBytes: Int): (Int, Int) =
+    (16 + nBytes % 16, 8 * (1 + nBytes % 4))
+
+  /** Render a REAL grayscale PNG: 8 horizontal bands, each filled with a
+    * constant intensity taken from one byte of the FNV-1a hash of the
+    * source bytes. Identical sources produce byte-identical PNGs; the
+    * band structure makes the decoded features exactly recoverable.
+    */
+  private[pipeline] def renderPng(src: Array[Byte]): Array[Byte] = {
+    val (w, h) = dimsFor(src.length)
+    val seed = fnv64(src)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      val v = ((seed >>> (8 * (y * 8 / h))) & 0xFF).toInt
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, v); x += 1 }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.setUseCache(false) // in-memory streams; no temp-file cache
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Expected band intensities for a payload rendered by [[renderPng]] —
+    * exposed so tests can pin decode output against the render contract.
+    */
+  private[pipeline] def expectedBands(src: Array[Byte]): Array[Int] = {
+    val seed = fnv64(src)
+    Array.tabulate(8)(b => ((seed >>> (8 * b)) & 0xFF).toInt)
+  }
+
+  /** Wrap a text column as a binary media table (test fixture: the
+    * container ships no real media files, so each document is RENDERED
+    * into a genuine PNG payload for the image modality). Non-image
+    * modalities carry the raw UTF-8 bytes (no JDK video/audio encoder) —
+    * their payload length stays oracle-predictable.
+    */
+  def syntheticMedia(df: DataFrame, idCol: String, textCol: String,
+      modality: String = "image"): DataFrame = {
+    val src = df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(mediaSchema)
+    src.mapPartitions { rows =>
+      // encoder/codec init happens HERE (once per partition, not per row)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val text = if (r.isNullAt(1)) "" else r.getString(1)
+        val bytes = text.getBytes(StandardCharsets.UTF_8)
+        if (modality == "image") {
+          val png = renderPng(bytes)
+          val (w, h) = dimsFor(bytes.length)
+          Row(id, modality, png,
+            Row("png", w, h, null, png.length.toLong))
+        } else {
+          Row(id, modality, bytes,
+            Row("raw", null, null, null, bytes.length.toLong))
+        }
+      }
+    }(enc)
+  }
+
+  /** Decode + feature-extract, batched per partition. `ImageIO.read` parses
+    * the actual codec header: `width_px`/`height_px` are TRUE pixel
+    * dimensions, and the 8 features are per-band mean intensities centered
+    * to [-1, 1). Non-decodable payloads yield (0, 0, empty) — the decoder
+    * is "opened" once per partition (amortized, like a model handle).
     */
   def decodeFeatures(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
     val outSchema = StructType(media.schema.fields ++ Seq(
       StructField("width_px", IntegerType),
       StructField("height_px", IntegerType),
@@ -92,31 +132,84 @@ object Multimodal {
       .encoderFor(outSchema)
     val contentIdx = media.schema.fieldIndex("content")
     media.mapPartitions { rows =>
-      // per-partition decoder init happens HERE (once, not per row)
+      ImageIO.setUseCache(false) // per-partition decoder init
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](contentIdx)
-        val (w, h) =
-          if (bytes == null) (0, 0) else stubDecodeDims(bytes)
-        val feats =
-          if (bytes == null) Array.empty[Float] else stubFeatures(bytes)
-        Row.fromSeq(r.toSeq ++ Seq(w, h, feats.toSeq))
+        val img =
+          if (bytes == null || bytes.isEmpty) null
+          else ImageIO.read(new ByteArrayInputStream(bytes))
+        if (img == null)
+          Row.fromSeq(r.toSeq ++ Seq(0, 0, Seq.empty[Float]))
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val raster = img.getRaster
+          val sums = new Array[Long](8)
+          val counts = new Array[Long](8)
+          var y = 0
+          while (y < h) {
+            val band = y * 8 / h
+            var x = 0
+            while (x < w) {
+              sums(band) += raster.getSample(x, y, 0); x += 1
+            }
+            counts(band) += w
+            y += 1
+          }
+          val feats = Array.tabulate(8) { b =>
+            if (counts(b) == 0) 0f
+            else ((sums(b).toDouble / counts(b) - 128.0) / 128.0).toFloat
+          }
+          Row.fromSeq(r.toSeq ++ Seq(w, h, feats.toSeq))
+        }
       }
     }(enc)
   }
 
-  /** STUB resize: records the target dims in meta; a real kernel would
-    * re-encode the payload. Keeps the schema contract honest.
+  /** REAL resize: decode the payload, rescale through `Graphics2D`,
+    * re-encode as PNG, and refresh both content and meta. Non-decodable
+    * payloads pass through with only the meta target recorded.
     */
-  def resize(media: DataFrame, w: Int, h: Int): DataFrame =
-    media.withColumn("meta",
-      struct(
-        col("meta.format"),
-        lit(w).as("width"), lit(h).as("height"),
-        col("meta.duration_ms"), col("meta.n_bytes")))
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(media.schema)
+    val contentIdx = media.schema.fieldIndex("content")
+    val metaIdx = media.schema.fieldIndex("meta")
+    media.mapPartitions { rows =>
+      ImageIO.setUseCache(false)
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](contentIdx)
+        val img =
+          if (bytes == null || bytes.isEmpty) null
+          else ImageIO.read(new ByteArrayInputStream(bytes))
+        val meta = r.getStruct(metaIdx)
+        if (img == null)
+          Row.fromSeq(r.toSeq.updated(metaIdx,
+            Row(meta.get(0), w, h, meta.get(3), meta.get(4))))
+        else {
+          val imgType =
+            if (img.getType == BufferedImage.TYPE_CUSTOM)
+              BufferedImage.TYPE_INT_RGB
+            else img.getType
+          val out = new BufferedImage(w, h, imgType)
+          val g = out.createGraphics()
+          g.drawImage(img, 0, 0, w, h, null)
+          g.dispose()
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(out, "png", bos)
+          val png = bos.toByteArray
+          Row.fromSeq(r.toSeq
+            .updated(contentIdx, png)
+            .updated(metaIdx,
+              Row("png", w, h, meta.get(3), png.length.toLong)))
+        }
+      }
+    }(enc)
+  }
 
-  /** STUB frame sampling for video rows: emits `n` (media_id, frame_idx,
-    * frame) rows per video by slicing the payload — the explode shape and
-    * output schema are real, the slicing is the fake decode.
+  /** STUB frame sampling for video rows (the JDK has no video codec):
+    * emits `n` (media_id, frame_idx, frame) rows per video by slicing the
+    * payload — the explode shape and output schema are real, the slicing
+    * is the documented fake decode.
     */
   def sampleFrames(media: DataFrame, n: Int): DataFrame =
     media.filter(col("modality") === "video")

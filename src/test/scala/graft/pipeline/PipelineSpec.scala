@@ -397,7 +397,7 @@ class MultimodalSpec extends SparkSpec {
       .map(f => (f.name, f.dataType)).toSeq)
   }
 
-  test("decodeFeatures appends deterministic stub features per partition batch") {
+  test("decodeFeatures reads TRUE pixel dims and band means from real PNGs") {
     val a = Multimodal.decodeFeatures(media)
       .select("media_id", "width_px", "height_px", "features").collect()
     val b = Multimodal.decodeFeatures(media.repartition(4))
@@ -405,8 +405,44 @@ class MultimodalSpec extends SparkSpec {
     // partitioning must not change row-local results
     assert(a.map(_.toSeq).toSet == b.map(_.toSeq).toSet)
     val r = a.find(_.getLong(0) == 1L).get
-    assert(r.getInt(1) > 0 && r.getInt(2) > 0)
-    assert(r.getSeq[Float](3).length == 8)
+    // "hello world" = 11 UTF-8 bytes -> 16+11%16 = 27 wide, 8*(1+11%4) = 32 tall
+    assert(r.getInt(1) == 27 && r.getInt(2) == 32)
+    // decoded band means must equal the rendered band intensities exactly
+    // (constant-valued bands; grayscale PNG round-trips losslessly)
+    val bytes = "hello world".getBytes("UTF-8")
+    val expected = Multimodal.expectedBands(bytes)
+      .map(v => ((v - 128.0) / 128.0).toFloat).toSeq
+    assert(r.getSeq[Float](3) == expected)
+    // empty payload renders the minimal 16x8 image
+    val e = a.find(_.getLong(0) == 2L).get
+    assert(e.getInt(1) == 16 && e.getInt(2) == 8)
+  }
+
+  test("renderPng emits a decodable PNG with the contract dims") {
+    val png = Multimodal.renderPng("some document text".getBytes("UTF-8"))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img != null)
+    val (w, h) = Multimodal.dimsFor(18)
+    assert(img.getWidth == w && img.getHeight == h)
+  }
+
+  test("resize genuinely re-encodes: re-decoded dims are the target dims") {
+    val resized = Multimodal.resize(media, 64, 48)
+    val dims = Multimodal.decodeFeatures(resized)
+      .select("media_id", "width_px", "height_px").collect()
+    assert(dims.forall(r => r.getInt(1) == 64 && r.getInt(2) == 48))
+    // the payload itself changed (new PNG), not just the meta
+    val m = resized.select("meta.width", "meta.height", "meta.n_bytes")
+      .collect()
+    assert(m.forall(r => r.getInt(0) == 64 && r.getInt(1) == 48))
+  }
+
+  test("identical sources render byte-identical payloads (ANN planted-dup contract)") {
+    val twice = Multimodal.syntheticMedia(
+      Seq((1L, "same text"), (2L, "same text")).toDF("id", "txt"), "id", "txt")
+    val rows = Multimodal.decodeFeatures(twice)
+      .select("features").collect().map(_.getSeq[Float](0))
+    assert(rows(0) == rows(1))
   }
 
   test("sampleFrames explodes n frames per video row") {

@@ -345,11 +345,35 @@ class OlapAgent(complete: String => String, oracle: SemanticOracle) {
         // cached node back, never a second execution
         catalog.all.find(n => n.predicates == key && key.nonEmpty)
           .getOrElse {
-            val df = executeFilter(base, plan)
+            // implication-aware base (the same bestBaseImplied descent
+            // filterQuery uses): a progressive NL session whose new step
+            // set extends a cached node's executes ONLY the delta steps on
+            // that node's (already filtered, possibly persisted) frame.
+            // Delta execution is sound only under a conjunctive logic
+            // tree — dropping a satisfied leaf from an OR would change
+            // semantics — so any other shape falls back to full execution.
+            val cached = catalog.bestBaseImplied(asOps)
+            val conjunctive = LogicTree.normalize(plan.logic) match {
+              case LogicTree.Leaf(_) => true
+              case LogicTree.Node(op, cs) => op.equalsIgnoreCase("and") &&
+                cs.forall(_.isInstanceOf[LogicTree.Leaf])
+            }
+            val deltaSteps = plan.steps.filterNot(s =>
+              cached.predicates.contains(graft.cube.PredicateAtoms.atom(
+                LogicalOp.SemFilter(s.field.toSeq, s.action))))
+            val (df, planOps) =
+              if (cached.id != 0 && conjunctive) {
+                val d =
+                  if (deltaSteps.isEmpty) cached.df
+                  else executeFilter(cached.df, FilterPlan(deltaSteps,
+                    LogicTree.Node("AND", deltaSteps.map(s => LogicTree.Leaf(s.id)))))
+                (d, cached.plan ++ deltaSteps.map(s =>
+                  LogicalOp.SemFilter(s.field.toSeq, s.action): LogicalOp))
+              } else (executeFilter(base, plan), asOps)
             // id = position: keeps the catalog's id==index invariant for
             // externally registered nodes
             val n = graft.cube.CubeNode(catalog.all.length, query, key, df,
-              Map.empty, asOps, asOps)
+              Map.empty, planOps, asOps)
             catalog.register(n)
             n
           }

@@ -254,7 +254,12 @@ class CubeCatalog(root: DataFrame, oracle: SemanticOracle) {
     n
   }
 
-  def register(n: CubeNode): Unit = { nodes = nodes :+ n }
+  def register(n: CubeNode): Unit = {
+    nodes = nodes :+ n
+    // externally minted ids (e.g. a CatalogStore reload) must not collide
+    // with ids this catalog hands out next
+    nextId = math.max(nextId, n.id + 1)
+  }
 }
 
 /** The composite OLAP verbs over a cube node (SURVEY.md §2d). */

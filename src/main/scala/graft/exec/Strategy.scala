@@ -26,20 +26,45 @@ object ColumnStats {
   /** Upper bound on rows consulted for any strategy decision. */
   val sampleCap = 100000
 
-  // ---- memoization: a strategy decision is per (input plan, column), not
-  // per invocation. Keyed on the canonicalized logical plan's semantic
-  // hash, so the same table expression never pays the stat jobs twice —
-  // and the recorded decision is what a plan's lineage should carry
-  // (SURVEY §4 scale note; the reference amortizes per template,
-  // Operaters.py:216-224).
+  // ---- memoization: a strategy decision is per (input plan, data,
+  // column), not per invocation. Keyed on the canonicalized logical plan's
+  // semantic hash PLUS a content stamp of the backing files, so the same
+  // table expression never pays the stat jobs twice while an overwrite at
+  // the same path invalidates naturally (SURVEY §4 scale note; the
+  // reference amortizes per template, Operaters.py:216-224).
 
-  private def cacheKey(df: DataFrame, column: String): (Int, String) =
-    (df.queryExecution.analyzed.semanticHash(), column)
+  /** Content stamp of the frame's backing files (sorted paths + length +
+    * mtime of a bounded prefix): data overwritten at the same path changes
+    * the stamp, so the memo cannot serve stale statistics — which would be
+    * semantics-affecting, since [[Dice.choose]]'s strategy selection
+    * changes filter results. In-memory frames (no input files) stamp 0 and
+    * key on the plan alone.
+    */
+  private def dataFingerprint(df: DataFrame): Long = {
+    val files = df.inputFiles
+    var h = 1125899906842597L
+    files.sorted.take(100).foreach { f =>
+      h = h * 31 + f.hashCode
+      val local =
+        if (f.startsWith("file:"))
+          scala.util.Try(new java.io.File(new java.net.URI(f).getPath))
+            .toOption
+        else Some(new java.io.File(f))
+      local.filter(_.exists()).foreach { p =>
+        h = h * 31 + p.lastModified()
+        h = h * 31 + p.length()
+      }
+    }
+    h * 31 + files.length
+  }
+
+  private def cacheKey(df: DataFrame, column: String): (Int, Long, String) =
+    (df.queryExecution.analyzed.semanticHash(), dataFingerprint(df), column)
 
   private val patternCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), PatternStats]
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long, String), PatternStats]
   private val enumCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), EnumStats]
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long, String), EnumStats]
 
   /** Entry bound per memo map: a long-lived session diceing thousands of
     * distinct frames must not leak; eviction is whole-map (stats are cheap
@@ -78,7 +103,7 @@ object ColumnStats {
     regexp_replace(c.cast("string"), "\\d+", "<*>")
 
   final case class PatternStats(nRows: Long, nTemplates: Long,
-      top3Coverage: Double) {
+      top3Coverage: Double, comparableGroup: Int = 1) {
     /** Gate per Dice_Agent.py:68-77: top-3 templates cover >80% of rows and
       * unique-template ratio <1%, or fewer than 5 templates overall.
       */
@@ -100,9 +125,34 @@ object ColumnStats {
       val nTpl = agg.getLong(1)
       val top3 = t.orderBy(col("count").desc, col("tpl").asc).limit(3).collect()
       val cover = top3.map(_.getLong(1)).sum
+      val topTpl = top3.headOption.map(_.getString(0)).getOrElse("")
       PatternStats(nRows, nTpl,
-        if (nRows == 0) 0 else cover.toDouble / nRows)
+        if (nRows == 0) 0 else cover.toDouble / nRows,
+        comparableGroup(df, column, topTpl))
     } finally t.unpersist(false)
+  }
+
+  /** Which digit run of the DOMINANT template carries the comparable
+    * number: the run whose values VARY most across the sample. Literal
+    * runs (version prefixes like `v2_`, port numbers in a fixed URL) are
+    * near-constant, so the measure run wins on distinct cardinality — the
+    * mechanical analogue of the reference's per-template LLM regex choice
+    * (Operaters.py:216-224). Single-run (or template-free) columns answer
+    * 1 without a job; multi-run templates pay one bounded-sample pass.
+    */
+  private def comparableGroup(df: DataFrame, column: String,
+      topTemplate: String): Int = {
+    val k = "<\\*>".r.findAllMatchIn(topTemplate).length
+    if (k <= 1) 1
+    else {
+      val exs = (1 to k).map { g =>
+        val rx = s"^(?:[^0-9]*[0-9]+){${g - 1}}[^0-9]*([0-9]+)"
+        countDistinct(regexp_extract(col("v"), rx, 1)).as(s"g$g")
+      }
+      val row = sample(df, column).agg(exs.head, exs.tail: _*).collect()(0)
+      val ds = (0 until k).map(i => row.getLong(i))
+      ds.indexOf(ds.max) + 1
+    }
   }
 
   final case class EnumStats(nRows: Long, nDistinct: Long, avgLen: Double,
@@ -255,7 +305,11 @@ object Dice {
   def predicate(df: DataFrame, column: String, condition: String,
       oracle: SemanticOracle): Column = choose(df, column, condition) match {
     case PatternStrategy =>
-      FilterPattern.digitRunPredicate(column, 1, Seq(parseCompare(condition).get))
+      // the comparable digit run is derived from the dominant template's
+      // per-run cardinality (memoized with the stats), not hardcoded
+      FilterPattern.digitRunPredicate(column,
+        ColumnStats.patternStatsCached(df, column).comparableGroup,
+        Seq(parseCompare(condition).get))
     case CompareStrategy =>
       val cond = parseCompare(condition).get.copy(column = column)
       NumFilter.predicate(Seq(cond), "and")

@@ -255,14 +255,47 @@ object Dedup {
     }
   }
 
+  /** Dropped-bucket visibility (recall loss must never be silent): every
+    * candidate/join call registers a fresh named accumulator counting the
+    * buckets its `maxBucket` bound dropped; read [[lastDroppedBuckets]]
+    * AFTER an action on the returned frame (accumulators populate on
+    * execution). Each drop also WARNs in the executor log. A non-zero
+    * count means skewed near-identical content — the documented at-scale
+    * mitigation is exact dedup on the fingerprint BEFORE the LSH pass
+    * (the [[graft.pipeline.Clean.standardPipeline]] ordering), which
+    * collapses those buckets below the bound. Diagnostic covers the most
+    * recent call in this JVM; concurrent calls each keep their own
+    * accumulator in the Spark UI ("graft.dedup.droppedBuckets").
+    */
+  @volatile private var lastDropAcc:
+      Option[org.apache.spark.util.LongAccumulator] = None
+
+  def lastDroppedBuckets: Long = lastDropAcc.map(_.value.toLong).getOrElse(0L)
+
+  private def newDropAcc(df: DataFrame) = {
+    val acc = df.sparkSession.sparkContext
+      .longAccumulator("graft.dedup.droppedBuckets")
+    lastDropAcc = Some(acc)
+    acc
+  }
+
+  private def warnDrop(size: Int, maxBucket: Int): Unit =
+    org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      s"dedup: dropping LSH bucket with >$maxBucket rows (saw $size); " +
+        "pairs in it are lost — run exact dedup on the fingerprint first " +
+        "to collapse near-identical content below the bound")
+
   /** Generic in-bucket pair kernel shared by every LSH mode: stream one
     * bucket's (id, payload) rows into a bounded buffer (buckets above
     * `maxBucket` are dropped without materializing past the cap — the
-    * iterator stops filling), then run `verify` over every i<j pair and
-    * emit qualifying results with ids ordered ascending. Runs entirely
-    * inside the bucket's task — payloads never ride through a second join.
+    * iterator stops filling; the drop is counted on `dropped` and warned,
+    * never silent), then run `verify` over every i<j pair and emit
+    * qualifying results with ids ordered ascending. Runs entirely inside
+    * the bucket's task — payloads never ride through a second join.
     */
-  private def bucketPairs[P, R](maxBucket: Int, verify: (P, P) => Option[R])(
+  private def bucketPairs[P, R](maxBucket: Int,
+      dropped: org.apache.spark.util.LongAccumulator,
+      verify: (P, P) => Option[R])(
       it: Iterator[(Long, P)]): Iterator[(Long, Long, R)] = {
     val buf = new scala.collection.mutable.ArrayBuffer[(Long, P)]
     var overflow = false
@@ -270,6 +303,7 @@ object Dedup {
       buf += it.next()
       if (buf.length > maxBucket) overflow = true
     }
+    if (overflow) { dropped.add(1L); warnDrop(buf.length, maxBucket) }
     if (overflow || buf.length < 2) Iterator.empty
     else {
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, R)]
@@ -321,6 +355,7 @@ object Dedup {
     // re-evaluate the UDF per row (Filter + Project each compute it);
     // posexplode of the null struct's null band array emits no rows, which
     // drops too-short/null texts for free with a single UDF evaluation
+    val dropped = newDropAcc(df)
     val fat = df.select(col(idCol).cast("long").as("id"),
         minhashSigBandsFromText(shingleN, k, bands)(text).as("sb"))
       .select(col("id"), col("sb.sig").as("sig"),
@@ -329,7 +364,7 @@ object Dedup {
       .as[(Int, Long, Long, Array[Long])]
       .groupByKey { case (band, key, _, _) => (band, key) }
       .flatMapGroups { (_: (Int, Long), it: Iterator[(Int, Long, Long, Array[Long])]) =>
-        bucketPairs(maxBucket, minhashVerify(k, threshold) _)(
+        bucketPairs(maxBucket, dropped, minhashVerify(k, threshold) _)(
           it.map(t => (t._3, t._4)))
       }
       .toDF("id_a", "id_b", "est_jaccard")
@@ -511,13 +546,14 @@ object Dedup {
     requireIntegralId(df, idCol)
     val spark = df.sparkSession
     import spark.implicits._
+    val dropped = newDropAcc(df)
     df.select(col(idCol).cast("long").as("id"), simhashSigChunks(text).as("sb"))
       .select(posexplode(col("sb.bands")).as(Seq("chunk", "ckey")),
         col("id"), col("sb.sig").getItem(0).as("sig"))
       .as[(Int, Long, Long, Long)]
       .groupByKey { case (chunk, ckey, _, _) => (chunk, ckey) }
       .flatMapGroups { (_: (Int, Long), it: Iterator[(Int, Long, Long, Long)]) =>
-        bucketPairs(maxBucket, (sa: Long, sb: Long) => {
+        bucketPairs(maxBucket, dropped, (sa: Long, sb: Long) => {
           val ham = java.lang.Long.bitCount(sa ^ sb)
           if (ham <= maxHamming) Some(ham) else None
         })(it.map(t => (t._3, t._4)))
@@ -589,6 +625,7 @@ object Dedup {
     require(k % bands == 0, "bands must divide k")
     val spark = df.sparkSession
     import spark.implicits._
+    val dropped = newDropAcc(df)
     df.select(col(idCol).cast("long").as("id"),
         ngramShingleBands(n, k, bands)(text).as("sb"))
       .select(col("id"), col("sb.sig").as("sh"),
@@ -597,7 +634,7 @@ object Dedup {
       .as[(Int, Long, Long, Array[Long])]
       .groupByKey { case (band, key, _, _) => (band, key) }
       .flatMapGroups { (_: (Int, Long), it: Iterator[(Int, Long, Long, Array[Long])]) =>
-        bucketPairs(maxBucket, (sa: Array[Long], sb: Array[Long]) => {
+        bucketPairs(maxBucket, dropped, (sa: Array[Long], sb: Array[Long]) => {
           val jac = sortedJaccard(sa, sb)
           if (jac >= threshold) Some(jac) else None
         })(it.map(t => (t._3, t._4)))
@@ -612,6 +649,7 @@ object Dedup {
     * within-side pairs, ids NOT reordered: output is (left, right)).
     */
   private def crossBucketPairs[P, R](maxBucket: Int,
+      dropped: org.apache.spark.util.LongAccumulator,
       verify: (P, P) => Option[R])(
       it: Iterator[(Int, Long, P)]): Iterator[(Long, Long, R)] = {
     val lefts = new scala.collection.mutable.ArrayBuffer[(Long, P)]
@@ -621,6 +659,9 @@ object Dedup {
       val (side, id, p) = it.next()
       (if (side == 0) lefts else rights) += ((id, p))
       if (lefts.length + rights.length > maxBucket) overflow = true
+    }
+    if (overflow) {
+      dropped.add(1L); warnDrop(lefts.length + rights.length, maxBucket)
     }
     if (overflow || lefts.isEmpty || rights.isEmpty) Iterator.empty
     else {
@@ -659,6 +700,7 @@ object Dedup {
     require(k % bands == 0, "bands must divide k")
     val spark = left.sparkSession
     import spark.implicits._
+    val dropped = newDropAcc(left)
     val kernel = ngramShingleBands(n, k, bands)
     def side(df: DataFrame, id: String, text: Column, tag: Int) =
       df.select(lit(tag).as("side"), col(id).cast("long").as("id"),
@@ -672,7 +714,7 @@ object Dedup {
       .groupByKey { case (band, key, _, _, _) => (band, key) }
       .flatMapGroups {
         (_: (Int, Long), it: Iterator[(Int, Long, Int, Long, Array[Long])]) =>
-          crossBucketPairs(maxBucket,
+          crossBucketPairs(maxBucket, dropped,
             (sa: Array[Long], sb: Array[Long]) => {
               val jac = sortedJaccard(sa, sb)
               if (jac >= threshold) Some(jac) else None
@@ -697,6 +739,7 @@ object Dedup {
     requireIntegralId(right, rightId)
     val spark = left.sparkSession
     import spark.implicits._
+    val dropped = newDropAcc(left)
     def side(df: DataFrame, id: String, tag: Int) =
       Similarity.SignLsh.withBucket(df, vecCol, dim, planes)
         .select(col("bucket"), lit(tag).as("side"),
@@ -707,7 +750,7 @@ object Dedup {
       .as[(Long, Int, Long, Array[Double])]
       .groupByKey(_._1)
       .flatMapGroups { (_: Long, it: Iterator[(Long, Int, Long, Array[Double])]) =>
-        crossBucketPairs(maxBucket,
+        crossBucketPairs(maxBucket, dropped,
           (a: (Array[Double], Double), b: (Array[Double], Double)) => {
             val cos =
               if (a._2 == 0.0 || b._2 == 0.0) 0.0
@@ -744,6 +787,7 @@ object Dedup {
     requireIntegralId(df, idCol)
     val spark = df.sparkSession
     import spark.implicits._
+    val dropped = newDropAcc(df)
     val bucketed = Similarity.SignLsh.withBucket(df, vecCol, dim, planes)
       .select(col("bucket"), col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("vec"))
@@ -753,7 +797,7 @@ object Dedup {
       .flatMapGroups { (_: Long, it: Iterator[(Long, Long, Array[Double])]) =>
         // norm computed once per ROW at buffer-fill time (payload carries
         // it), not once per pair
-        bucketPairs(maxBucket,
+        bucketPairs(maxBucket, dropped,
           (a: (Array[Double], Double), b: (Array[Double], Double)) => {
             val cos =
               if (a._2 == 0.0 || b._2 == 0.0) 0.0

@@ -59,6 +59,20 @@ class PlanShapeSpec extends SparkSpec {
       s"missing pushed filters in:\n$p")
   }
 
+  test("tpch q4 EXISTS shape plans as a left-semi join on one pruned column") {
+    val p = plan("q_tpch_q4")
+    assert(p.contains("LeftSemi"), s"no left-semi join in:\n$p")
+    // the EXISTS probe side reads only the join key + pushed filter column
+    assert(p.contains("ReadSchema: struct<l_orderkey:"),
+      s"lineitem not pruned to the semi-join key in:\n$p")
+  }
+
+  test("tpch q17 per-part aggregate and brand dim both broadcast") {
+    val p = plan("q_tpch_q17")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected SMJ in:\n$p")
+  }
+
   test("similarity joins never plan a cartesian product") {
     assert(!plan("q_fuzzy_join").contains("Cartesian"))
     assert(!plan("q_embed_join").contains("Cartesian"))

@@ -150,6 +150,40 @@ class AgentSpec extends SparkSpec {
     assert(cat.all.length == n1) // no duplicate node registered
   }
 
+  test("progressive session reuses the cached node and executes only the delta") {
+    val s = new Scripted(
+      """{"filter_query": "spark posts", "analysis_query": ""}""",
+      """{"operations": [{"id": 1, "agent": "dice", "field": "title",
+        |                 "action": "about spark"}], "logic": ["AND", 1]}""".stripMargin,
+      """{"has_topk": false}""",
+      """{"filter_query": "spark join posts", "analysis_query": ""}""",
+      """{"operations": [{"id": 1, "agent": "dice", "field": "title",
+        |                 "action": "about spark"},
+        |                {"id": 2, "agent": "dice", "field": "title",
+        |                 "action": "about join"}],
+        | "logic": ["AND", 1, 2]}""".stripMargin,
+      """{"has_topk": false}""")
+    val agent = new OlapAgent(s, oracle)
+    val cat = new CubeCatalog(docs, oracle)
+    agent.runSession(cat, "spark posts")
+    val n1 = cat.all.last
+    val out = agent.runSession(cat, "spark join posts",
+      historyQuery = "spark posts")
+    assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    val n2 = cat.all.last
+    // the second node's lineage EXTENDS the first's: delta execution, not
+    // a root rescan — its plan is n1's plan plus exactly the new step
+    assert(n2.plan.take(n1.plan.length) == n1.plan)
+    assert(n2.plan.length == n1.plan.length + 1)
+    // and its logical lineage stacks a delta Filter on n1's filtered
+    // frame (a root rescan would fold everything into ONE Filter; the
+    // analyzed plan keeps the stacking visible before CombineFilters)
+    val filters = "Filter ".r
+      .findAllIn(n2.df.queryExecution.analyzed.toString).length
+    assert(filters >= 2,
+      s"expected delta Filter over the cached node:\n${n2.df.queryExecution.analyzed}")
+  }
+
   test("ReAct loop ends gracefully on a malformed completion") {
     val s = new Scripted(
       """{"thought": "inspect", "action": {"type": "get_dimension", "params": {}}}""",

@@ -168,6 +168,40 @@ class CatalogSpec extends SparkSpec {
     assert(n2.dims("title").granularities.contains("engine"))
   }
 
+  test("CatalogStore round-trips nodes, and refinement scans the persisted parquet") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_cat_store").toString
+    val cat = new CubeCatalog(fixture, oracle)
+    val n1 = cat.filterQuery("spark docs", Seq(fSpark))
+    val op = LogicalOp.SemGroup(Seq("title"), "engine kind", "engine")
+    val vocab = Seq(TagRule("spark", "spark"), TagRule("flink", "flink"))
+    val (withDim, _) = Verbs.rollUp(n1, op, vocab, oracle)
+    cat.register(withDim.copy(id = 2))
+    CatalogStore.save(cat, path)
+
+    val fresh = CatalogStore.load(spark, fixture, path, oracle)
+    assert(fresh.all.map(_.id) == Seq(0, 1, 2))
+    val loaded = fresh.node(1)
+    assert(loaded.query == "spark docs")
+    assert(loaded.predicates == Set(PredicateAtoms.atom(fSpark)))
+    // the reloaded frame reads the MATERIALIZED parquet, not the root
+    assert(loaded.df.inputFiles.exists(_.contains("node_1")))
+    assert(loaded.df.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L, 4L))
+    // granularity views and their summaries reload
+    val g = fresh.node(2).dims("title").granularities("engine")
+    assert(g.plan.nonEmpty && g.summary.isDefined)
+    // refinement on the fresh catalog starts from the persisted node:
+    // the executed plan scans node_1, and the answer matches recompute
+    val refined = fresh.filterQuery("high-score spark docs", Seq(fSpark, fScore))
+    // starts from a MATERIALIZED node (the newest eligible base), not root
+    assert(refined.df.inputFiles.forall(_.contains("node_")))
+    assert(refined.df.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(3L, 4L))
+    // and the fresh catalog mints non-colliding ids for new nodes
+    assert(refined.id == 3)
+  }
+
   test("relation5 classifies all five reference relations structurally") {
     val cat = new CubeCatalog(fixture, oracle)
     val q1 = Seq(fSpark)

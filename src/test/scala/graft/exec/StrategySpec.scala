@@ -85,6 +85,20 @@ class StrategySpec extends SparkSpec {
     assert(got.toSeq == Seq(96L, 97L, 98L, 99L, 100L))
   }
 
+  test("dice pattern path compares the VARYING digit run, not run 1") {
+    // template "v<*>_build<*>": run 1 is the constant version prefix, run
+    // 2 is the measure — the derived comparableGroup must pick run 2
+    val df = (1 to 300).map(i => (i.toLong, s"v2_build$i")).toDF("id", "c")
+    val stats = ColumnStats.patternStats(df, "c")
+    assert(stats.isHighlyPatternized && stats.comparableGroup == 2)
+    val got = Dice(df, "c", "> 298", oracle).select("id").as[Long]
+      .collect().sorted
+    assert(got.toSeq == Seq(299L, 300L))
+    // single-run templates keep group 1 without extra work
+    assert(ColumnStats.patternStats(
+      (1 to 100).map(i => s"score: $i").toDF("c"), "c").comparableGroup == 1)
+  }
+
   test("column stats are memoized per (plan, column): repeat calls run no jobs") {
     ColumnStats.clearCaches()
     val df = (1 to 500).map(i => (i.toLong, s"v ${i}ms")).toDF("id", "c")

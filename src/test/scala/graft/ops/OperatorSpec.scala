@@ -184,6 +184,29 @@ class OperatorSpec extends SparkSpec {
     assert(got.toSeq == Seq(3L, 4L)) // -5, 3.5; non-numeric nulls last
   }
 
+  test("approx_percentile error contract: within rank eps of exact quantile") {
+    // the q_approx_quantiles gate relies on this: accuracy a bounds rank
+    // error by n/a, so on integer-valued data with flat runs >> n/a the
+    // sketch returns exactly the discrete quantile
+    val n = 50000
+    val df = spark.range(n).selectExpr("(id % 50) + 1.0 AS v")
+    val Array(approx, exact) = df
+      .selectExpr("approx_percentile(v, 0.95, 10000) AS a",
+        "percentile(v, 0.95) AS e")
+      .collect()(0).toSeq.map(_.toString.toDouble).toArray
+    // uniform 1..50: each value's run is n/50 = 1000 rows >> n/10000 = 5
+    assert(math.abs(approx - exact) <= 1.0,
+      s"approx=$approx exact=$exact drifted past one flat run")
+  }
+
+  test("approx_count_distinct error contract: rsd 0.005 stays within 2%") {
+    val df = spark.range(100000).selectExpr("id % 9173 AS k")
+    val got = df.selectExpr("approx_count_distinct(k, 0.005) AS a")
+      .collect()(0).getLong(0)
+    assert(math.abs(got - 9173L) <= 9173L * 0.02,
+      s"HLL++ estimate $got outside 2% of 9173")
+  }
+
   test("reattach keeps all base rows (left join semantics)") {
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("OLAP_ID", "x")
     val view = Seq((1L, "g1"), (3L, "g2")).toDF("OLAP_ID", "grp")

@@ -135,6 +135,24 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("oversized buckets are counted on the dropped-bucket accumulator, never silent") {
+    // 8 identical docs with maxBucket 5: every band bucket overflows, so
+    // candidates come back empty AND the loss is visible to the caller
+    val boiler = (1 to 8).map(i =>
+      (i.toLong, "same boilerplate text repeated across the corpus many times over"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidates(boiler, "doc_id", col("text"),
+      shingleN = 3, k = 64, bands = 16, threshold = 0.5, maxBucket = 5)
+    assert(pairs.count() == 0L)
+    assert(Dedup.lastDroppedBuckets > 0L,
+      "bucket drop must be counted, not silent")
+    // under the bound nothing is dropped and all pairs appear
+    val ok = Dedup.minhashCandidates(boiler, "doc_id", col("text"),
+      shingleN = 3, k = 64, bands = 16, threshold = 0.5, maxBucket = 100)
+    assert(ok.count() == 8L * 7 / 2)
+    assert(Dedup.lastDroppedBuckets == 0L)
+  }
+
   test("minhashDedup drops dominated rows") {
     val kept = Dedup.minhashDedup(docs, "doc_id", col("text"), threshold = 0.5)
       .select("doc_id").as[Long].collect().sorted

@@ -392,6 +392,18 @@ object SparkEntry {
         .agg((round(sum(dec("l_extendedprice")), 2).cast("double") / lit(7.0))
           .as("avg_yearly"))
     }),
+    "q_having" -> ((s, dir) => {
+      // the HAVING shape: a post-aggregation filter that must stay ABOVE
+      // the aggregate (not get pushed below it) — per-customer totals
+      // restricted to repeat customers
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total_spend"))
+        .filter(col("n_orders") >= 12)
+        .orderBy("o_custkey")
+    }),
     "q_window_rank" -> ((s, dir) => {
       // general window functions (absent from the reference, SURVEY §2f —
       // free from Spark's relational layer): top-3 orders per customer by
@@ -653,22 +665,16 @@ object SparkEntry {
     }),
     "q_dedup_minhash_recall" -> ((s, dir) => {
       // the regeneration-robust companion gate: measure LSH recall against
-      // an exact all-pairs Jaccard on a bounded subset and gate the BOUND
-      // (>= 0.95), not set equality — one probabilistic band miss
-      // (~2e-4/pair) keeps this green, while a broken signature, banding,
-      // or verify kernel drives recall toward zero and fails it. The
-      // bounded subset keeps the exact side a small broadcast nested-loop,
-      // never an unbounded cross join.
+      // the EXACT inverted-index Jaccard operator on a bounded subset and
+      // gate the BOUND (>= 0.95), not set equality — one probabilistic
+      // band miss (~2e-4/pair) keeps this green, while a broken signature,
+      // banding, or verify kernel drives recall toward zero and fails it.
+      // The inverted index meets docs only where they share a shingle (an
+      // equi-join, never a quadratic cross scan).
       val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
         .select("doc_id", "text")
-      val sh = docs.select(col("doc_id"),
-        Dedup.distinctShinglesUdf(3)(col("text")).as("sh"))
-        .filter(size(col("sh")) > 0)
-      val exact = sh.select(col("doc_id").as("id_a"), col("sh").as("sha"))
-        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("shb")),
-          col("id_a") < col("id_b"))
-        .filter(Dedup.jaccard(col("sha"), col("shb")) >= 0.8)
-        .select("id_a", "id_b")
+      val exact = Dedup.exactJaccardPairs(docs, "doc_id", col("text"),
+        n = 3, threshold = 0.8).select("id_a", "id_b")
       val cand = Dedup.minhashCandidates(docs, "doc_id", col("text"),
         shingleN = 3, k = 64, bands = 16, threshold = 0.8)
         .select(col("id_a"), col("id_b"), lit(1).as("hit"))
@@ -940,6 +946,18 @@ object SparkEntry {
         "doc_id", "text")
       Multimodal.decodeFeatures(Multimodal.resize(media, 256, 128))
         .select(col("media_id"), col("width_px"), col("height_px"))
+        .orderBy("media_id")
+    }),
+    "q_multimodal_audio" -> ((s, dir) => {
+      // render each doc into a genuine PCM WAV, then decode it back with
+      // javax.sound.sampled: frame count, sample rate, and duration are
+      // TRUE header-parsed values, which the oracle predicts from the
+      // render contract (frames are a pure function of UTF-8 byte length)
+      val media = Multimodal.syntheticMedia(t(s, dir, "documents"),
+        "doc_id", "text", modality = "audio")
+      Multimodal.decodeAudio(media)
+        .select(col("media_id"), col("n_frames"), col("sample_rate"),
+          col("duration_ms"))
         .orderBy("media_id")
     }),
     "q_multimodal_frames" -> ((s, dir) => {
@@ -1228,6 +1246,13 @@ object SparkEntry {
          JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#23'
          JOIN a ON l_partkey = a_partkey
          WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt < sum_qty""",
+    "q_having" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS total_spend
+         FROM orders GROUP BY o_custkey
+         HAVING count(*) >= 12
+         ORDER BY o_custkey""",
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,
@@ -1876,6 +1901,15 @@ object SparkEntry {
     "q_json_array_source" ->
       """SELECT CAST(r_regionkey AS VARCHAR) AS r_regionkey, r_name
          FROM region ORDER BY CAST(r_regionkey AS VARCHAR)""",
+    // the audio render contract: frames = 8 * (100 + n % 100) at 8 kHz
+    "q_multimodal_audio" ->
+      """SELECT doc_id AS media_id,
+                CAST(8 * (100 + octet_length(encode(text)) % 100) AS BIGINT)
+                  AS n_frames,
+                CAST(8000 AS INT) AS sample_rate,
+                CAST(100 + octet_length(encode(text)) % 100 AS BIGINT)
+                  AS duration_ms
+         FROM documents ORDER BY media_id""",
     "q_multimodal_frames" ->
       """WITH f AS (
            SELECT doc_id AS media_id, i AS frame_idx,

@@ -643,6 +643,46 @@ object Dedup {
       .distinct()
   }
 
+  /** Distinct word-shingle HASHES as one kernel (the exact-verification
+    * payload of [[ngramJaccardPairs]] exposed standalone): 64-bit FNV per
+    * shingle, duplicates dropped. Empty array for null/too-short texts.
+    */
+  def distinctShingleHashesUdf(n: Int) = udf { text: String =>
+    val base = shingleBases(text, n)
+    if (base == null) Array.empty[Long] else base.distinct
+  }
+
+  /** EXACT n-gram Jaccard pairs via an inverted index — no LSH, no
+    * all-pairs scan: explode (doc, shingle-hash), equi-join on the hash
+    * (docs sharing no shingle never meet), count co-occurrences per doc
+    * pair (= intersection size), then Jaccard from the per-doc set sizes.
+    * The oracle-grade exact operator: use it to audit the LSH families'
+    * recall on bounded corpora. Cost scales with sum over shingles of
+    * df(s)^2 — a document-frequency-skewed corpus (boilerplate shingles in
+    * everything) makes the hash join quadratic on the hot shingle, so at
+    * 100 TB this runs on samples/partitions while [[minhashCandidates]]
+    * remains the full-corpus path.
+    */
+  def exactJaccardPairs(df: DataFrame, idCol: String, text: Column,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    requireIntegralId(df, idCol)
+    val sets = df.select(col(idCol).cast("long").as("id"),
+        distinctShingleHashesUdf(n)(text).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sizes = sets.select(col("id"), size(col("sh")).as("sz"))
+    val inv = sets.select(col("id"), explode(col("sh")).as("h"))
+    inv.alias("a").join(inv.alias("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Cross-side in-bucket pair kernel: like [[bucketPairs]], but rows carry
     * a side tag and only (side 0, side 1) pairs are verified — the
     * similarity-JOIN form of the same bounded-buffer bucket shape (no

@@ -17,11 +17,14 @@ import org.apache.spark.sql.types._
   * payloads (JDK `javax.imageio`, zero extra dependencies), `decodeFeatures`
   * decodes them back (`ImageIO.read`) reporting true pixel dimensions and
   * pixel-derived band features, and `resize` rescales + re-encodes the
-  * payload through `Graphics2D`. Only VIDEO/AUDIO decode remains a
-  * documented stub — the JDK ships no codec for those; the `mapPartitions`
-  * batching shape (decoder state initialized once per partition, rows
-  * streamed through it) and the partitioning posture (media blobs never
-  * shuffle unless the caller repartitions) are the same for all modalities.
+  * payload through `Graphics2D`. The AUDIO path is equally real via
+  * `javax.sound.sampled`: rendered 16-bit PCM WAV payloads, header-parsing
+  * decode with true frame counts and PCM-derived amplitude features. Only
+  * VIDEO decode remains a documented stub — the JDK ships no video codec;
+  * the `mapPartitions` batching shape (decoder state initialized once per
+  * partition, rows streamed through it) and the partitioning posture
+  * (media blobs never shuffle unless the caller repartitions) are the same
+  * for all modalities.
   */
 object Multimodal {
 
@@ -87,11 +90,44 @@ object Multimodal {
     Array.tabulate(8)(b => ((seed >>> (8 * b)) & 0xFF).toInt)
   }
 
+  /** Rendered-audio frame count is a pure function of the source byte
+    * length (8 frames/ms at 8 kHz keeps duration_ms exact):
+    * frames = 8 * (100 + n % 100), i.e. 100-199 ms of PCM.
+    */
+  private[pipeline] def framesFor(nBytes: Int): Int = 8 * (100 + nBytes % 100)
+
+  private val wavFormat = new javax.sound.sampled.AudioFormat(
+    8000f, 16, 1, true, false) // 8 kHz, 16-bit, mono, signed, little-endian
+
+  /** Render a REAL mono 16-bit PCM WAV (`javax.sound.sampled`, zero extra
+    * dependencies): sample i takes its amplitude from byte (i mod 8) of
+    * the FNV-1a hash of the source. Identical sources produce
+    * byte-identical WAVs; the header carries true frame count and rate.
+    */
+  private[pipeline] def renderWav(src: Array[Byte]): Array[Byte] = {
+    val nFrames = framesFor(src.length)
+    val seed = fnv64(src)
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val s = ((((seed >>> ((i % 8) * 8)) & 0xFF) - 128) * 256).toInt.toShort
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), wavFormat, nFrames.toLong)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Wrap a text column as a binary media table (test fixture: the
     * container ships no real media files, so each document is RENDERED
-    * into a genuine PNG payload for the image modality). Non-image
-    * modalities carry the raw UTF-8 bytes (no JDK video/audio encoder) —
-    * their payload length stays oracle-predictable.
+    * into a genuine payload — PNG for images, PCM WAV for audio). Video
+    * carries the raw UTF-8 bytes (the JDK has no video codec) with an
+    * oracle-predictable payload length.
     */
   def syntheticMedia(df: DataFrame, idCol: String, textCol: String,
       modality: String = "image"): DataFrame = {
@@ -104,14 +140,68 @@ object Multimodal {
         val id = r.getLong(0)
         val text = if (r.isNullAt(1)) "" else r.getString(1)
         val bytes = text.getBytes(StandardCharsets.UTF_8)
-        if (modality == "image") {
-          val png = renderPng(bytes)
-          val (w, h) = dimsFor(bytes.length)
-          Row(id, modality, png,
-            Row("png", w, h, null, png.length.toLong))
-        } else {
-          Row(id, modality, bytes,
-            Row("raw", null, null, null, bytes.length.toLong))
+        modality match {
+          case "image" =>
+            val png = renderPng(bytes)
+            val (w, h) = dimsFor(bytes.length)
+            Row(id, modality, png,
+              Row("png", w, h, null, png.length.toLong))
+          case "audio" =>
+            val wav = renderWav(bytes)
+            val durationMs = framesFor(bytes.length).toLong / 8L
+            Row(id, modality, wav,
+              Row("wav", null, null, durationMs, wav.length.toLong))
+          case _ =>
+            Row(id, modality, bytes,
+              Row("raw", null, null, null, bytes.length.toLong))
+        }
+      }
+    }(enc)
+  }
+
+  /** REAL audio decode (`AudioSystem.getAudioInputStream` parses the
+    * actual WAV header): true frame count, sample rate, exact duration,
+    * and a mean-absolute-amplitude feature from the decoded PCM samples.
+    * Non-decodable payloads yield (-1, -1, -1) — same per-partition
+    * batch shape as [[decodeFeatures]].
+    */
+  def decodeAudio(media: DataFrame): DataFrame = {
+    val outSchema = StructType(media.schema.fields ++ Seq(
+      StructField("n_frames", LongType),
+      StructField("sample_rate", IntegerType),
+      StructField("duration_ms", LongType),
+      StructField("mean_abs_amp", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](contentIdx)
+        val decoded =
+          if (bytes == null || bytes.isEmpty) None
+          else scala.util.Try {
+            val ais = javax.sound.sampled.AudioSystem
+              .getAudioInputStream(new ByteArrayInputStream(bytes))
+            val fmt = ais.getFormat
+            val frames = ais.getFrameLength
+            val pcm = ais.readAllBytes()
+            var sum = 0L
+            var i = 0
+            while (i + 1 < pcm.length) {
+              // 16-bit little-endian signed samples
+              val s = ((pcm(i + 1) << 8) | (pcm(i) & 0xFF)).toShort
+              sum += math.abs(s.toInt); i += 2
+            }
+            val meanAbs = if (frames > 0) sum / frames else 0L
+            (frames, fmt.getSampleRate.toInt,
+              frames * 1000L / fmt.getSampleRate.toLong, meanAbs)
+          }.toOption
+        decoded match {
+          // Seq[Any]: a plain Seq would widen the Int sample rate to Long
+          // (weak conformance) and break the encoder's INT field
+          case Some((f, sr, d, m)) =>
+            Row.fromSeq(r.toSeq ++ Seq[Any](f, sr, d, m))
+          case None => Row.fromSeq(r.toSeq ++ Seq[Any](-1L, -1, -1L, -1L))
         }
       }
     }(enc)

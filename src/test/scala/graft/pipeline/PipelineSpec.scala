@@ -180,6 +180,22 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 3L))) // only the exact dup survives 0.99
   }
 
+  test("exactJaccardPairs (inverted index) equals LSH-verified exact pairs") {
+    // no LSH anywhere: the equi-join co-occurrence count must reproduce
+    // the exact pair set and the exact jaccard values
+    val got = Dedup.exactJaccardPairs(docs, "doc_id", col("text"),
+      n = 3, threshold = 0.5).orderBy("id_a", "id_b").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    val exactDup = got.find(r => r.getLong(0) == 1L && r.getLong(1) == 3L).get
+    assert(exactDup.getDouble(2) == 1.0)
+    // agrees with the LSH-candidate path at the same threshold
+    val viaLsh = Dedup.ngramJaccardPairs(docs, "doc_id", col("text"),
+      n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == viaLsh)
+  }
+
   test("ngramJaccardJoin aligns a noisy corpus to its source, no self pairs") {
     val base = "the quick brown fox jumps over the lazy dog near the river bank today"
     val left = Seq(
@@ -461,6 +477,32 @@ class MultimodalSpec extends SparkSpec {
     val rows = Multimodal.decodeFeatures(twice)
       .select("features").collect().map(_.getSeq[Float](0))
     assert(rows(0) == rows(1))
+  }
+
+  test("audio path renders real WAVs and decodes true header + PCM amplitude") {
+    val audio = Multimodal.syntheticMedia(
+      Seq((1L, "hello world"), (2L, "")).toDF("id", "txt"), "id", "txt",
+      modality = "audio")
+    val rows = Multimodal.decodeAudio(audio)
+      .select("media_id", "n_frames", "sample_rate", "duration_ms",
+        "mean_abs_amp").collect()
+    val r = rows.find(_.getLong(0) == 1L).get
+    // "hello world" = 11 bytes -> 8*(100+11) = 888 frames = 111 ms
+    assert(r.getLong(1) == 888 && r.getInt(2) == 8000 && r.getLong(3) == 111)
+    // decoded mean |amplitude| equals the render synth exactly: sample i
+    // amplitude = (seedByte(i%8) - 128) * 256, repeated over all frames
+    val seedBands = Multimodal.expectedBands("hello world".getBytes("UTF-8"))
+    val expAmp = seedBands.map(v => math.abs((v - 128) * 256).toLong).sum / 8
+    // frames are a multiple of 8, so the per-8 cycle mean is exact
+    assert(r.getLong(4) == expAmp)
+    // empty payload renders the minimal 800-frame (100 ms) clip
+    val e = rows.find(_.getLong(0) == 2L).get
+    assert(e.getLong(1) == 800 && e.getLong(3) == 100)
+    // identical sources render byte-identical WAVs
+    val twice = Multimodal.syntheticMedia(
+      Seq((1L, "same"), (2L, "same")).toDF("id", "txt"), "id", "txt", "audio")
+      .select("content").collect().map(_.getAs[Array[Byte]](0).toSeq)
+    assert(twice(0) == twice(1))
   }
 
   test("sampleFrames explodes n frames per video row") {

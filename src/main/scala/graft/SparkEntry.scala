@@ -392,6 +392,42 @@ object SparkEntry {
         .agg((round(sum(dec("l_extendedprice")), 2).cast("double") / lit(7.0))
           .as("avg_yearly"))
     }),
+    "q_asof_join" -> ((s, dir) => {
+      // AS-OF join (time-series/SCD enrichment Spark lacks natively):
+      // attach to every event the user's latest preceding-or-equal
+      // purchase value. One shuffle union+window formulation — gated
+      // against DuckDB's native ASOF LEFT JOIN. The right side dedupes
+      // equal-timestamp purchases (max value) so the pick at ties is
+      // engine-independent.
+      val e = t(s, dir, "events")
+      val left = e.select("event_id", "user_id", "ts")
+      val right = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max(col("value")).as("pvalue"))
+        .select(col("user_id"), col("ts").as("pts"), col("pvalue"))
+      graft.ops.AsOfJoin.asOf(left, right, "user_id", "ts", "pts",
+        Seq("pvalue"))
+        .select(col("event_id"), col("asof_pvalue"))
+        .orderBy("event_id")
+    }),
+    "q_range_join" -> ((s, dir) => {
+      // RANGE (point-in-interval) join via time bucketization — assigns
+      // every event back to its user's session interval with an equi-join
+      // on (bucket, user), never an un-partitionable inequality join. The
+      // residual containment filter makes it exact; gated against the
+      // plain BETWEEN join in DuckDB.
+      val e = t(s, dir, "events")
+      val evs = e.select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("t"))
+      val sess = EventStreams
+        .sessionizeBatch(e, gapMicros = 30L * 60 * 1000 * 1000)
+        .select(col("user_id"), col("session_idx"),
+          col("start_micros"), col("end_micros"))
+      graft.ops.RangeJoin.pointInInterval(evs, "t", sess,
+        "start_micros", "end_micros",
+        bucketWidth = 3600L * 1000000, key = Some("user_id"))
+        .select("event_id", "session_idx")
+        .orderBy("event_id")
+    }),
     "q_having" -> ((s, dir) => {
       // the HAVING shape: a post-aggregation filter that must stay ABOVE
       // the aggregate (not get pushed below it) — per-customer totals
@@ -1246,6 +1282,37 @@ object SparkEntry {
          JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#23'
          JOIN a ON l_partkey = a_partkey
          WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt < sum_qty""",
+    "q_asof_join" ->
+      """WITH p AS (
+           SELECT user_id, ts, max(value) AS pvalue
+           FROM events WHERE event_type = 'purchase'
+           GROUP BY user_id, ts)
+         SELECT e.event_id, p.pvalue AS asof_pvalue
+         FROM events e ASOF LEFT JOIN p
+           ON e.user_id = p.user_id AND e.ts >= p.ts
+         ORDER BY e.event_id""",
+    // the exact BETWEEN join over the same session intervals
+    "q_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_micros
+                    FROM events),
+              s AS (SELECT user_id, ts_micros,
+                      CASE WHEN lag(ts_micros) OVER w IS NULL
+                             OR ts_micros - lag(ts_micros) OVER w > 1800000000
+                           THEN 1 ELSE 0 END AS new_session
+                    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_micros)),
+              t AS (SELECT user_id, ts_micros,
+                      CAST(sum(new_session) OVER (PARTITION BY user_id
+                        ORDER BY ts_micros ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                        AS session_idx
+                    FROM s),
+              iv AS (SELECT user_id, session_idx,
+                       min(ts_micros) AS start_micros,
+                       max(ts_micros) AS end_micros
+                     FROM t GROUP BY user_id, session_idx)
+         SELECT e.event_id, iv.session_idx
+         FROM e JOIN iv ON e.user_id = iv.user_id
+           AND e.ts_micros BETWEEN iv.start_micros AND iv.end_micros
+         ORDER BY e.event_id""",
     "q_having" ->
       """SELECT o_custkey, count(*) AS n_orders,
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)

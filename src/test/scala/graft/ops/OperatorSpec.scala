@@ -207,6 +207,48 @@ class OperatorSpec extends SparkSpec {
       s"HLL++ estimate $got outside 2% of 9173")
   }
 
+  test("asOf attaches the latest right row at-or-before each left time") {
+    val trades = Seq((1L, 0L, "t0"), (1L, 10L, "t10"), (1L, 30L, "t30"),
+      (2L, 10L, "u10")).toDF("k", "t", "tag")
+    val quotes = Seq((1L, 5L, 1.0), (1L, 10L, 2.0), (1L, 20L, 3.0),
+      (2L, 99L, 9.0)).toDF("k", "qt", "px")
+    val got = graft.ops.AsOfJoin.asOf(trades, quotes, "k", "t", "qt",
+      Seq("px"))
+      .select("k", "t", "asof_px").orderBy("k", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, null),   // before any quote
+      (1L, 10L, 2.0),   // ties are inclusive: the 10-quote, not the 5-quote
+      (1L, 30L, 3.0),   // carries past the last quote
+      (2L, 10L, null))) // other key's quotes never leak
+    // one shuffle shape: a single window Exchange, no inequality join
+    val plan = graft.ops.AsOfJoin.asOf(trades, quotes, "k", "t", "qt",
+      Seq("px")).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), s"range-join shape leaked:\n$plan")
+  }
+
+  test("pointInInterval matches containing intervals only, via equi-join buckets") {
+    val points = Seq((1L, 5L), (2L, 10L), (3L, 25L), (4L, 100L))
+      .toDF("pid", "t")
+    val ivs = Seq((10L, "a", 0L, 10L), (11L, "b", 8L, 30L))
+      .toDF("iid", "tag", "s", "e")
+    val got = graft.ops.RangeJoin.pointInInterval(points, "t", ivs,
+      "s", "e", bucketWidth = 7L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    // 5 in [0,10]; 10 in BOTH [0,10] and [8,30] (overlap -> two matches,
+    // each exactly once despite the interval spanning several buckets);
+    // 25 only in [8,30]; 100 in none
+    assert(got == Set((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L)))
+    // bucketized shape: an equi-join (hash/sort-merge), never a
+    // nested-loop range join
+    val plan = graft.ops.RangeJoin.pointInInterval(points, "t", ivs,
+      "s", "e", 7L).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), s"range shape leaked:\n$plan")
+  }
+
   test("reattach keeps all base rows (left join semantics)") {
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("OLAP_ID", "x")
     val view = Seq((1L, "g1"), (3L, "g2")).toDF("OLAP_ID", "grp")

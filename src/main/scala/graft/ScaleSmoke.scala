@@ -62,6 +62,15 @@ object ScaleSmoke {
       time(s"fuzzy_join")(Dedup.ngramJaccardJoin(d, "doc_id", col("text"),
         shifted, "rid", col("text"), threshold = 0.8))
       time(s"hash_split")(graft.pipeline.Sampling.withSplit(d, "doc_id"))
+      // exact inverted-index Jaccard in its documented at-scale
+      // composition: exact dedup FIRST (collapses the copy groups whose
+      // shingle document-frequency would otherwise grow the equi-join
+      // quadratically), then the exact pair pass on a bounded subset
+      val deduped = Dedup.exactDedup(d, "doc_id",
+        TextAnalysis.fingerprint(col("text")))
+        .filter(col("doc_id") < 1000L * factor)
+      time(s"exact_jaccard")(Dedup.exactJaccardPairs(deduped, "doc_id",
+        col("text"), threshold = 0.8))
     }
     spark.stop()
   }

@@ -428,6 +428,21 @@ object SparkEntry {
         .select("event_id", "session_idx")
         .orderBy("event_id")
     }),
+    "q_scalar_subquery" -> ((s, dir) => {
+      // uncorrelated scalar subquery shape: orders above the global mean
+      // price. The compare is EXACT (price * count > sum in decimal) —
+      // a double `avg` would put boundary rows at the mercy of each
+      // engine's summation order. Spark plans the subquery as a
+      // broadcast scalar, one extra pass over the (pruned) column.
+      val o = t(s, dir, "orders")
+      o.createOrReplaceTempView("__orders_ss")
+      s.sql("""SELECT o_orderkey, o_totalprice FROM __orders_ss
+               WHERE CAST(o_totalprice AS DECIMAL(18,2))
+                     * (SELECT count(*) FROM __orders_ss)
+                   > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                      FROM __orders_ss)
+               ORDER BY o_orderkey""")
+    }),
     "q_having" -> ((s, dir) => {
       // the HAVING shape: a post-aggregation filter that must stay ABOVE
       // the aggregate (not get pushed below it) — per-customer totals
@@ -956,6 +971,22 @@ object SparkEntry {
           sum(col("n_chars").cast("decimal(18,2)")).cast("double").as("sum_chars"))
         .orderBy("lang")
     }),
+    "q_csv_roundtrip" -> ((s, dir) => {
+      // CSV sink -> source round-trip (free from Spark's relational
+      // layer, pinned like everything else): header + explicit read
+      // schema (no inference drift), then the same aggregation contract
+      // as the JSON round-trip — any quoting/typing loss breaks the hash
+      val out = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_csv_rt_${new java.io.File(dir).getName}").getAbsolutePath
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      docs.write.mode("overwrite").option("header", "true").csv(out)
+      val back = s.read.schema(docs.schema).option("header", "true").csv(out)
+      back.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("decimal(18,2)")).cast("double").as("sum_chars"))
+        .orderBy("lang")
+    }),
     "q_json_array_source" -> ((s, dir) => {
       // the reference's ACTUAL ingestion format: one multiLine JSON array
       // file -> loadJson -> stringified all-text view (main.py:5-22).
@@ -1313,6 +1344,12 @@ object SparkEntry {
          FROM e JOIN iv ON e.user_id = iv.user_id
            AND e.ts_micros BETWEEN iv.start_micros AND iv.end_micros
          ORDER BY e.event_id""",
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE CAST(o_totalprice AS DECIMAL(18,2))
+               * (SELECT count(*) FROM orders)
+             > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)
+         ORDER BY o_orderkey""",
     "q_having" ->
       """SELECT o_custkey, count(*) AS n_orders,
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
@@ -1962,6 +1999,10 @@ object SparkEntry {
            AND try_cast(n_chars AS DOUBLE) >= 300
          ORDER BY doc_id""",
     "q_json_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+                CAST(sum(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS sum_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q_csv_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
                 CAST(sum(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS sum_chars
          FROM documents GROUP BY lang ORDER BY lang""",

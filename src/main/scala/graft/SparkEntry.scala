@@ -971,6 +971,32 @@ object SparkEntry {
           sum(col("n_chars").cast("decimal(18,2)")).cast("double").as("sum_chars"))
         .orderBy("lang")
     }),
+    "q_json_corrupt" -> ((s, dir) => {
+      // fault-tolerant ingestion: an authored JSON-lines file with two
+      // malformed lines loads in PERMISSIVE mode — good rows parse,
+      // corrupt rows carry their raw text in _corrupt (never dropped,
+      // never fatal), and the gate counts both streams per lang
+      val f = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_json_corrupt_${new java.io.File(dir).getName}.json")
+      java.nio.file.Files.writeString(f.toPath, Seq(
+        """{"doc_id": 1, "lang": "en"}""",
+        """{"doc_id": 2, "lang": "en"}""",
+        """{"doc_id": 3 "lang": "de"}""",   // missing comma -> corrupt
+        """{"doc_id": 4, "lang": "de"}""",
+        """not json at all""",              // corrupt
+        """{"doc_id": 6, "lang": "fr"}""").mkString("\n"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType)))
+      graft.sources.JsonSource.loadJsonLenient(s, f.getAbsolutePath, schema)
+        .groupBy(coalesce(col("lang"), lit("<corrupt>")).as("lang"))
+        .agg(count(col("doc_id")).as("n_parsed"),
+          count(col("_corrupt")).as("n_corrupt"))
+        .orderBy("lang")
+    }),
     "q_csv_roundtrip" -> ((s, dir) => {
       // CSV sink -> source round-trip (free from Spark's relational
       // layer, pinned like everything else): header + explicit read
@@ -2002,6 +2028,16 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_docs,
                 CAST(sum(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS sum_chars
          FROM documents GROUP BY lang ORDER BY lang""",
+    // authored expectation: 2 en + 1 de + 1 fr parsed (the missing-comma
+    // de line is one of the 2 corrupt lines)
+    "q_json_corrupt" ->
+      """SELECT * FROM (VALUES
+           ('<corrupt>', CAST(0 AS BIGINT), CAST(2 AS BIGINT)),
+           ('de', CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+           ('en', CAST(2 AS BIGINT), CAST(0 AS BIGINT)),
+           ('fr', CAST(1 AS BIGINT), CAST(0 AS BIGINT)))
+           AS t(lang, n_parsed, n_corrupt)
+         ORDER BY lang""",
     "q_csv_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
                 CAST(sum(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS sum_chars

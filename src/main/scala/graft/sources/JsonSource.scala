@@ -56,4 +56,20 @@ object JsonSource {
     */
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** Fault-tolerant JSON-lines ingestion for dirty corpora: PERMISSIVE
+    * mode with the raw text of every unparseable line preserved in
+    * `_corrupt` — at 100 TB a single malformed record must not kill the
+    * job (FAILFAST) or vanish silently (DROPMALFORMED); the pipeline
+    * routes `_corrupt IS NOT NULL` rows to quarantine and keeps going.
+    * The caller's schema is explicit: inference over a corrupt corpus is
+    * both a second full scan and a correctness hazard.
+    */
+  def loadJsonLenient(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt", org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
 }

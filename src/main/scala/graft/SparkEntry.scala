@@ -1141,6 +1141,38 @@ object SparkEntry {
       q.awaitTermination()
       s.table("q_stream_dedup_wm_sink").orderBy("user_id", "ts")
     }),
+    "q_stream_join" -> ((s, dir) => {
+      // REAL stream-stream interval join: clicks and purchases from two
+      // file-source streams, watermarked on both sides, purchases matched
+      // to clicks of the same user within the following hour. Inner join
+      // emits each qualifying pair exactly once regardless of micro-batch
+      // boundaries, so the availableNow run equals the batch BETWEEN join
+      // the oracle computes.
+      val schema = t(s, dir, "events").schema
+      def src() = EventStreams.withEventTime(
+        s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir))
+      val clicks = src().filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("event_time").as("click_time"))
+        .withWatermark("click_time", "1 hour")
+      val purchases = src().filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), col("event_time").as("purchase_time"))
+        .withWatermark("purchase_time", "1 hour")
+      val q = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_time") >= col("click_time") &&
+          col("purchase_time") <
+            col("click_time") + expr("INTERVAL 1 HOUR"))
+        .select("click_id", "purchase_id")
+        .writeStream.format("memory").queryName("q_stream_join_sink")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("q_stream_join_sink").orderBy("click_id", "purchase_id")
+    }),
     "q_stream_window" -> ((s, dir) => {
       EventStreams.windowedStats(t(s, dir, "events"), "1 hour")
         .orderBy("window_start", "event_type")
@@ -2077,6 +2109,19 @@ object SparkEntry {
          ORDER BY doc_id""",
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id FROM events ORDER BY user_id""",
+    // the batch form of the stream-stream interval join (micros precision
+    // matches the engine's event_time = ts div 1000)
+    "q_stream_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id,
+                           epoch_ns(ts) // 1000 AS ct
+                    FROM events WHERE event_type = 'click'),
+              p AS (SELECT event_id AS purchase_id, user_id,
+                           epoch_ns(ts) // 1000 AS pt
+                    FROM events WHERE event_type = 'purchase')
+         SELECT c.click_id, p.purchase_id
+         FROM c JOIN p ON c.user_id = p.user_id
+           AND p.pt >= c.ct AND p.pt < c.ct + 3600000000
+         ORDER BY click_id, purchase_id""",
     // the authored watermark-lifecycle expectation: 60m/240m for user 1
     // (re-emitted after state eviction), 60m for user 2 (dup suppressed),
     // 180m/200m for users 9/8; ts in nanos (minutes * 6e10)

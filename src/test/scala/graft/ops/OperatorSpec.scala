@@ -229,6 +229,28 @@ class OperatorSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoop"), s"range-join shape leaked:\n$plan")
   }
 
+  test("asOf equals the brute-force latest-at-or-before on random data") {
+    val rnd = new scala.util.Random(42)
+    val lrows = Seq.tabulate(120)(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(50).toLong, i.toLong))
+    // distinct (key, time) on the right so the pick at ties is unique
+    val rrows = rnd.shuffle(
+      (for (k <- 0 until 5; t <- 0 until 50 if rnd.nextBoolean()) yield
+        (k.toLong, t.toLong * 2, k * 1000.0 + t)).toSeq)
+    val left = lrows.toDF("k", "t", "lid")
+    val right = rrows.toDF("k", "rt", "v")
+    val got = graft.ops.AsOfJoin.asOf(left, right, "k", "t", "rt", Seq("v"))
+      .select("lid", "asof_v").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val byKey = rrows.groupBy(_._1)
+    lrows.foreach { case (k, t, lid) =>
+      val expect = byKey.getOrElse(k, Seq.empty)
+        .filter(_._2 <= t).sortBy(_._2).lastOption.map(_._3)
+      assert(got(lid) == expect, s"lid=$lid k=$k t=$t")
+    }
+  }
+
   test("pointInInterval matches containing intervals only, via equi-join buckets") {
     val points = Seq((1L, 5L), (2L, 10L), (3L, 25L), (4L, 100L))
       .toDF("pid", "t")

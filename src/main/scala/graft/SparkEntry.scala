@@ -536,6 +536,20 @@ object SparkEntry {
           TextAnalysis.subwordCount(col("text")).as("n_subwords"))
         .orderBy("doc_id")
     }),
+    "q_cube_op" -> ((s, dir) => {
+      // the SQL CUBE operator (all 2^k grouping sets) with grouping()
+      // disambiguation — the relational face of the engine's OLAP verbs;
+      // NULLS FIRST pinned explicitly since engines default differently
+      t(s, dir, "lineitem").createOrReplaceTempView("__li_cube")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+                      CAST(grouping(l_returnflag) AS INT) AS g_rf,
+                      CAST(grouping(l_linestatus) AS INT) AS g_ls,
+                      count(*) AS n
+               FROM __li_cube
+               GROUP BY CUBE (l_returnflag, l_linestatus)
+               ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST,
+                        g_rf, g_ls""")
+    }),
     "q_rollup" -> ((s, dir) => {
       // SQL-sense ROLLUP — beyond the reference surface (SURVEY §2f), free
       // from Spark's relational layer and gated like everything else
@@ -1402,6 +1416,15 @@ object SparkEntry {
          FROM e JOIN iv ON e.user_id = iv.user_id
            AND e.ts_micros BETWEEN iv.start_micros AND iv.end_micros
          ORDER BY e.event_id""",
+    "q_cube_op" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(grouping(l_returnflag) AS INT) AS g_rf,
+                CAST(grouping(l_linestatus) AS INT) AS g_ls,
+                count(*) AS n
+         FROM lineitem
+         GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST,
+                  g_rf, g_ls""",
     "q_scalar_subquery" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          WHERE CAST(o_totalprice AS DECIMAL(18,2))

@@ -455,6 +455,44 @@ object SparkEntry {
         .filter(col("n_orders") >= 12)
         .orderBy("o_custkey")
     }),
+    "q_clustered_layout" -> ((s, dir) => {
+      // range-clustered parquet layout: each file owns a disjoint
+      // user_id range (data skipping at 100 TB — a selective predicate
+      // touches one file, not all). The gate proves the layout is
+      // lossless; PlanShapeSpec pins the disjoint ranges + pushdown.
+      val src = new java.io.File(s"$dir/events.parquet")
+      val stamp = java.lang.Long.toHexString(
+        src.lastModified() * 31 + src.length())
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_clustered_${new java.io.File(dir).getName}_$stamp")
+        .getAbsolutePath
+      if (!new java.io.File(s"$path/_SUCCESS").exists())
+        graft.sources.Tables.writeClustered(
+          t(s, dir, "events").select("event_id", "user_id", "value"),
+          path, Seq("user_id"), files = 8)
+      s.read.parquet(path)
+        .filter(col("user_id").between(100, 199))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy("user_id")
+    }),
+    "q_window_funcs" -> ((s, dir) => {
+      // window-function breadth: lag/lead/percent_rank/ntile/cume_dist
+      // under one fully-deterministic ordering (orderkey tiebreak)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      t(s, dir, "orders").filter(col("o_custkey") < 50)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          lag("o_totalprice", 1).over(w).as("prev_price"),
+          lead("o_totalprice", 1).over(w).as("next_price"),
+          percent_rank().over(w).as("pct_rank"),
+          ntile(4).over(w).as("quartile"),
+          cume_dist().over(w).as("cdist"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
     "q_window_rank" -> ((s, dir) => {
       // general window functions (absent from the reference, SURVEY §2f —
       // free from Spark's relational layer): top-3 orders per customer by
@@ -1438,6 +1476,24 @@ object SparkEntry {
          FROM orders GROUP BY o_custkey
          HAVING count(*) >= 12
          ORDER BY o_custkey""",
+    // same aggregate over the ORIGINAL table: the clustered copy must be
+    // lossless for the gate to hash-match
+    "q_clustered_layout" ->
+      """SELECT user_id, count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events WHERE user_id BETWEEN 100 AND 199
+         GROUP BY user_id ORDER BY user_id""",
+    "q_window_funcs" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+                lag(o_totalprice) OVER w AS prev_price,
+                lead(o_totalprice) OVER w AS next_price,
+                percent_rank() OVER w AS pct_rank,
+                CAST(ntile(4) OVER w AS INT) AS quartile,
+                cume_dist() OVER w AS cdist
+         FROM orders WHERE o_custkey < 50
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,

@@ -1,5 +1,6 @@
 package graft.sources
 
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Bucketed-table layout for co-located joins (SURVEY §4 / 100 TB posture).
@@ -32,4 +33,22 @@ object Tables {
   def bucketedJoin(spark: SparkSession, left: String, right: String,
       keys: Seq[String], joinType: String = "inner"): DataFrame =
     spark.table(left).join(spark.table(right), keys, joinType)
+
+  /** Range-clustered parquet layout for data skipping (the Z-order-lite
+    * every parquet lake gets for free): `repartitionByRange` makes each
+    * output file own a disjoint key range, `sortWithinPartitions` makes
+    * every row group's min/max stats tight — so a pushed-down point or
+    * range predicate on the cluster keys skips whole files and row groups
+    * at scan time. At 100 TB this is the difference between touching one
+    * file and touching all of them for a selective key lookup; re-cluster
+    * periodically on the hottest filter columns.
+    */
+  def writeClustered(df: DataFrame, path: String, keys: Seq[String],
+      files: Int): Unit = {
+    require(keys.nonEmpty, "clustered layout needs >= 1 key column")
+    import org.apache.spark.sql.functions.col
+    df.repartitionByRange(files, keys.map(col): _*)
+      .sortWithinPartitions(keys.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+  }
 }

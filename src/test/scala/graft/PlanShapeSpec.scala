@@ -79,6 +79,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan("q_dedup_minhash").contains("Cartesian"))
   }
 
+  test("range-clustered layout: disjoint per-file key ranges, filter pushes down") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_clustered_spec").toString
+    graft.sources.Tables.writeClustered(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select("event_id", "user_id"), path, Seq("user_id"), files = 4)
+    val parts = new java.io.File(path).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts.length > 1, "expected multiple clustered files")
+    // every file owns a disjoint user_id range — the data-skipping contract
+    val ranges = parts.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min("user_id"), max("user_id")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi < lo2, s"overlapping file ranges: ${ranges.mkString(", ")}")
+      case _ =>
+    }
+    // and a selective predicate on the cluster key reaches the scan
+    val p = spark.read.parquet(path).filter(col("user_id") === 42L)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(user_id), EqualTo(user_id,42)"),
+      s"cluster-key filter not pushed in:\n$p")
+  }
+
   test("identically bucketed tables join with zero shuffle") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -443,6 +443,17 @@ object SparkEntry {
                       FROM __orders_ss)
                ORDER BY o_orderkey""")
     }),
+    "q_anti_join" -> ((s, dir) => {
+      // NOT EXISTS shape -> LEFT ANTI join (the semi-join's complement):
+      // customers who never placed an urgent order. Probe side prunes to
+      // the join key, no row duplication possible.
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      t(s, dir, "customer")
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
     "q_having" -> ((s, dir) => {
       // the HAVING shape: a post-aggregation filter that must stay ABOVE
       // the aggregate (not get pushed below it) — per-customer totals
@@ -1469,6 +1480,12 @@ object SparkEntry {
                * (SELECT count(*) FROM orders)
              > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)
          ORDER BY o_orderkey""",
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
     "q_having" ->
       """SELECT o_custkey, count(*) AS n_orders,
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)

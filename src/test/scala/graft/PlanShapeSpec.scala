@@ -73,6 +73,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"unexpected SMJ in:\n$p")
   }
 
+  test("anti-join shape plans as LeftAnti with a pruned probe") {
+    val p = plan("q_anti_join")
+    assert(p.contains("LeftAnti"), s"no left-anti join in:\n$p")
+    assert(p.contains("ReadSchema: struct<o_custkey:"),
+      s"orders probe not pruned to the join key in:\n$p")
+  }
+
   test("similarity joins never plan a cartesian product") {
     assert(!plan("q_fuzzy_join").contains("Cartesian"))
     assert(!plan("q_embed_join").contains("Cartesian"))

@@ -957,7 +957,10 @@ object SparkEntry {
     "q_multimodal_ann" -> ((s, dir) => {
       // composite pipeline: decode features from media blobs (batched
       // mapPartitions), then near-dup search over those embeddings via
-      // sign-LSH buckets — the media -> vector -> ANN path end to end
+      // sign-LSH buckets — the media -> vector -> ANN path end to end.
+      // The oracle is the COMPLETE identical-text pair set (16-dim
+      // features make cosine>=0.99 equivalent to feature equality), so
+      // missing natural duplicate pairs fails the gate too.
       val docs = t(s, dir, "documents").select("doc_id", "text")
       // plant exact duplicates (id + 1e6) so the near-dup path has known
       // positives at every scale factor
@@ -969,7 +972,7 @@ object SparkEntry {
         .select(col("media_id"), col("features"))
         .filter(size(col("features")) > 0)
       Dedup.embeddingNearDupPairs(feats, "media_id", "features",
-        dim = 8, threshold = 0.99, planes = 4)
+        dim = 16, threshold = 0.99, planes = 4)
         .select("id_a", "id_b").orderBy("id_a", "id_b")
     }),
     // ---- cube catalog: subsumption reuse (SURVEY §2/§4 memory DAG) -----
@@ -2068,11 +2071,20 @@ object SparkEntry {
                 CAST(16 + octet_length(encode(text)) % 16 AS INT) AS width_px,
                 CAST(8 * (1 + octet_length(encode(text)) % 4) AS INT) AS height_px
          FROM documents ORDER BY media_id""",
-    // planted-dupe expectation through the media->features->ANN path:
-    // identical text -> identical decoded features -> cosine 1.0
+    // COMPLETE expectation through the media->features->ANN path:
+    // identical raw text <=> identical rendered PNG <=> identical 16-dim
+    // features <=> cosine exactly 1.0. 16 dims make non-identical texts
+    // collide above 0.99 with ~1e-12/pair odds, so the qualifying pair
+    // set is exactly "same text" — the planted copies plus any natural
+    // identical-text pairs in the corpus (8 exist at sf0.1)
     "q_multimodal_ann" ->
-      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents
-         WHERE doc_id < 20 ORDER BY id_a, id_b""",
+      """WITH m AS (
+           SELECT doc_id AS id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20)
+         SELECT a.id AS id_a, b.id AS id_b
+         FROM m a JOIN m b ON a.text = b.text AND a.id < b.id
+         ORDER BY id_a, id_b""",
     "q_drill_down" ->
       """WITH d AS (
            SELECT NULLIF(regexp_extract(source, '([0-9]+)$', 1), '') AS src_num,

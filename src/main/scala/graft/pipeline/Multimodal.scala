@@ -59,21 +59,42 @@ object Multimodal {
   private[pipeline] def dimsFor(nBytes: Int): (Int, Int) =
     (16 + nBytes % 16, 8 * (1 + nBytes % 4))
 
-  /** Render a REAL grayscale PNG: 8 horizontal bands, each filled with a
-    * constant intensity taken from one byte of the FNV-1a hash of the
-    * source bytes. Identical sources produce byte-identical PNGs; the
-    * band structure makes the decoded features exactly recoverable.
+  /** Second seed for the right-half cells: an avalanche mix of the first
+    * (murmur finalizer), so the 16 cell intensities carry 16 independent
+    * bytes of content hash.
+    */
+  @inline private def mix64(h0: Long): Long = {
+    var h = h0
+    h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL
+    h ^= h >>> 33; h *= 0xC4CEB9FE1A85EC53L
+    h ^ (h >>> 33)
+  }
+
+  /** Render a REAL grayscale PNG: 8 horizontal bands x 2 halves = 16
+    * constant-intensity cells, each taking one byte of (FNV-1a hash,
+    * mixed hash) of the source. Identical sources produce byte-identical
+    * PNGs; the cell structure makes the 16 decoded features exactly
+    * recoverable. 16 dims (not 8) so feature cosines discriminate:
+    * at 8 dims, random centered features collide above cosine 0.99 with
+    * probability ~8e-6/pair — real 35-vs-20 spurious pairs at sf0.1 —
+    * while at 16 dims the odds are ~1e-12/pair.
     */
   private[pipeline] def renderPng(src: Array[Byte]): Array[Byte] = {
     val (w, h) = dimsFor(src.length)
-    val seed = fnv64(src)
+    val seed1 = fnv64(src)
+    val seed2 = mix64(seed1)
     val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
+    val half = w / 2
     var y = 0
     while (y < h) {
-      val v = ((seed >>> (8 * (y * 8 / h))) & 0xFF).toInt
+      val b = y * 8 / h
+      val v1 = ((seed1 >>> (8 * b)) & 0xFF).toInt
+      val v2 = ((seed2 >>> (8 * b)) & 0xFF).toInt
       var x = 0
-      while (x < w) { raster.setSample(x, y, 0, v); x += 1 }
+      while (x < w) {
+        raster.setSample(x, y, 0, if (x < half) v1 else v2); x += 1
+      }
       y += 1
     }
     val bos = new ByteArrayOutputStream()
@@ -82,12 +103,15 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Expected band intensities for a payload rendered by [[renderPng]] —
-    * exposed so tests can pin decode output against the render contract.
+  /** Expected cell intensities for a payload rendered by [[renderPng]]
+    * (8 left-half bands then 8 right-half bands) — exposed so tests can
+    * pin decode output against the render contract.
     */
   private[pipeline] def expectedBands(src: Array[Byte]): Array[Int] = {
-    val seed = fnv64(src)
-    Array.tabulate(8)(b => ((seed >>> (8 * b)) & 0xFF).toInt)
+    val seed1 = fnv64(src)
+    val seed2 = mix64(seed1)
+    Array.tabulate(16)(i =>
+      (((if (i < 8) seed1 else seed2) >>> (8 * (i % 8))) & 0xFF).toInt)
   }
 
   /** Rendered-audio frame count is a pure function of the source byte
@@ -209,9 +233,10 @@ object Multimodal {
 
   /** Decode + feature-extract, batched per partition. `ImageIO.read` parses
     * the actual codec header: `width_px`/`height_px` are TRUE pixel
-    * dimensions, and the 8 features are per-band mean intensities centered
-    * to [-1, 1). Non-decodable payloads yield (0, 0, empty) — the decoder
-    * is "opened" once per partition (amortized, like a model handle).
+    * dimensions, and the 16 features are per-cell (8 bands x 2 halves)
+    * mean intensities centered to [-1, 1). Non-decodable payloads yield
+    * (0, 0, empty) — the decoder is "opened" once per partition
+    * (amortized, like a model handle).
     */
   def decodeFeatures(media: DataFrame): DataFrame = {
     val outSchema = StructType(media.schema.fields ++ Seq(
@@ -233,21 +258,24 @@ object Multimodal {
         else {
           val w = img.getWidth; val h = img.getHeight
           val raster = img.getRaster
-          val sums = new Array[Long](8)
-          val counts = new Array[Long](8)
+          val half = w / 2
+          val sums = new Array[Long](16)
+          val counts = new Array[Long](16)
           var y = 0
           while (y < h) {
             val band = y * 8 / h
             var x = 0
             while (x < w) {
-              sums(band) += raster.getSample(x, y, 0); x += 1
+              val cell = band + (if (x < half) 0 else 8)
+              sums(cell) += raster.getSample(x, y, 0)
+              counts(cell) += 1
+              x += 1
             }
-            counts(band) += w
             y += 1
           }
-          val feats = Array.tabulate(8) { b =>
-            if (counts(b) == 0) 0f
-            else ((sums(b).toDouble / counts(b) - 128.0) / 128.0).toFloat
+          val feats = Array.tabulate(16) { c =>
+            if (counts(c) == 0) 0f
+            else ((sums(c).toDouble / counts(c) - 128.0) / 128.0).toFloat
           }
           Row.fromSeq(r.toSeq ++ Seq(w, h, feats.toSeq))
         }

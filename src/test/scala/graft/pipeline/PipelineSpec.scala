@@ -441,11 +441,12 @@ class MultimodalSpec extends SparkSpec {
     val r = a.find(_.getLong(0) == 1L).get
     // "hello world" = 11 UTF-8 bytes -> 16+11%16 = 27 wide, 8*(1+11%4) = 32 tall
     assert(r.getInt(1) == 27 && r.getInt(2) == 32)
-    // decoded band means must equal the rendered band intensities exactly
-    // (constant-valued bands; grayscale PNG round-trips losslessly)
+    // decoded cell means must equal the rendered cell intensities exactly
+    // (constant-valued cells; grayscale PNG round-trips losslessly)
     val bytes = "hello world".getBytes("UTF-8")
     val expected = Multimodal.expectedBands(bytes)
       .map(v => ((v - 128.0) / 128.0).toFloat).toSeq
+    assert(expected.length == 16)
     assert(r.getSeq[Float](3) == expected)
     // empty payload renders the minimal 16x8 image
     val e = a.find(_.getLong(0) == 2L).get
@@ -491,7 +492,9 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getLong(1) == 888 && r.getInt(2) == 8000 && r.getLong(3) == 111)
     // decoded mean |amplitude| equals the render synth exactly: sample i
     // amplitude = (seedByte(i%8) - 128) * 256, repeated over all frames
-    val seedBands = Multimodal.expectedBands("hello world".getBytes("UTF-8"))
+    // (expectedBands' first 8 entries are exactly the fnv64 seed bytes)
+    val seedBands = Multimodal
+      .expectedBands("hello world".getBytes("UTF-8")).take(8)
     val expAmp = seedBands.map(v => math.abs((v - 128) * 256).toLong).sum / 8
     // frames are a multiple of 8, so the per-8 cycle mean is exact
     assert(r.getLong(4) == expAmp)

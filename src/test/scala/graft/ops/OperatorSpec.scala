@@ -271,6 +271,22 @@ class OperatorSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoop"), s"range shape leaked:\n$plan")
   }
 
+  test("pointInInterval equals the brute-force containment join on random data") {
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.tabulate(150)(i => (i.toLong, rnd.nextInt(1000).toLong))
+    val ivs = Seq.tabulate(40) { i =>
+      val s = rnd.nextInt(950).toLong
+      (100L + i, s, s + rnd.nextInt(120).toLong)
+    }
+    val got = graft.ops.RangeJoin.pointInInterval(
+      pts.toDF("pid", "t"), "t", ivs.toDF("iid", "s", "e"), "s", "e",
+      bucketWidth = 64L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val expect = (for ((pid, t) <- pts; (iid, s, e) <- ivs
+                       if t >= s && t <= e) yield (pid, iid)).toSet
+    assert(got == expect)
+  }
+
   test("reattach keeps all base rows (left join semantics)") {
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("OLAP_ID", "x")
     val view = Seq((1L, "g1"), (3L, "g2")).toDF("OLAP_ID", "grp")

@@ -1921,6 +1921,8 @@ object SparkEntry {
          ORDER BY doc_id""",
     // exact word-3-shingle Jaccard pairs; the engine's LSH candidates +
     // in-bucket exact verification must reproduce this set exactly
+    // inverted-index form (same exact Jaccard as an all-pairs scan but
+    // O(sum df^2) instead of O(n^2) — tractable at every sf)
     "q_dedup_ngram" ->
       """WITH toks AS (
            SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
@@ -1928,14 +1930,20 @@ object SparkEntry {
          sh AS (
            SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingles
-           FROM toks WHERE len(tk) >= 3)
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                len(list_intersect(a.shingles, b.shingles)) * 1.0
-                / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
-         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         WHERE jaccard >= 0.8
+           FROM toks WHERE len(tk) >= 3),
+         sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+         inv AS (SELECT doc_id, unnest(shingles) AS h FROM sh),
+         co AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+                FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+         SELECT ia AS id_a, ib AS id_b,
+                inter * 1.0 / (sa.sz + sb.sz - inter) AS jaccard
+         FROM co JOIN sizes sa ON co.ia = sa.doc_id
+                 JOIN sizes sb ON co.ib = sb.doc_id
+         WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8
          ORDER BY id_a, id_b""",
     // the recall BOUND over the exact pair set on the bounded subset
+    // (inverted-index form, same exact Jaccard)
     "q_dedup_minhash_recall" ->
       """WITH toks AS (
            SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
@@ -1944,11 +1952,15 @@ object SparkEntry {
            SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingles
            FROM toks WHERE len(tk) >= 3),
-         p AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-           WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0
-                 / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8)
+         sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+         inv AS (SELECT doc_id, unnest(shingles) AS h FROM sh),
+         co AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+                FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         p AS (SELECT ia, ib
+               FROM co JOIN sizes sa ON co.ia = sa.doc_id
+                       JOIN sizes sb ON co.ib = sb.doc_id
+               WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8)
          SELECT count(*) AS n_exact_pairs, TRUE AS recall_ok FROM p""",
     // the MinHash-estimate pair set is gated against the EXACT pair set
     // (ids only; recall verified empirically at the gate sf)
@@ -1959,11 +1971,16 @@ object SparkEntry {
          sh AS (
            SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingles
-           FROM toks WHERE len(tk) >= 3)
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0
-               / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+           FROM toks WHERE len(tk) >= 3),
+         sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+         inv AS (SELECT doc_id, unnest(shingles) AS h FROM sh),
+         co AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+                FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+         SELECT ia AS id_a, ib AS id_b
+         FROM co JOIN sizes sa ON co.ia = sa.doc_id
+                 JOIN sizes sb ON co.ib = sb.doc_id
+         WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8
          ORDER BY id_a, id_b""",
     "q_fuzzy_join" ->
       """WITH toks AS (
@@ -1973,12 +1990,15 @@ object SparkEntry {
            SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingles
            FROM toks WHERE len(tk) >= 3),
-         p AS (
-           SELECT a.doc_id AS ia, b.doc_id AS ib,
-                  len(list_intersect(a.shingles, b.shingles)) * 1.0
-                  / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jac
-           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-           WHERE jac >= 0.8)
+         sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+         inv AS (SELECT doc_id, unnest(shingles) AS h FROM sh),
+         co AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+                FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         p AS (SELECT ia, ib, inter * 1.0 / (sa.sz + sb.sz - inter) AS jac
+               FROM co JOIN sizes sa ON co.ia = sa.doc_id
+                       JOIN sizes sb ON co.ib = sb.doc_id
+               WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8)
          SELECT left_id, right_id, jaccard FROM (
            SELECT doc_id AS left_id, doc_id + 1000000 AS right_id,
                   1.0 AS jaccard
@@ -2011,11 +2031,16 @@ object SparkEntry {
            SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingles
            FROM toks WHERE len(tk) >= 3),
+         sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+         inv AS (SELECT doc_id, unnest(shingles) AS h FROM sh),
+         co AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+                FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
          pairs AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-           WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0
-                 / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8),
+           SELECT ia AS id_a, ib AS id_b
+           FROM co JOIN sizes sa ON co.ia = sa.doc_id
+                   JOIN sizes sb ON co.ib = sb.doc_id
+           WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8),
          edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
                    UNION ALL SELECT id_b, id_a FROM pairs),
          reach AS (

@@ -50,6 +50,59 @@ object OracleCostReorder extends Rule[LogicalPlan] with PredicateHelper {
   }
 }
 
+/** Edit-distance pruning: for every `levenshtein(a, b) <= k` (or `< k`)
+  * conjunct in a Filter, prepend the guard
+  * `abs(length(a) - length(b)) <= k` — the length gap is a LOWER BOUND on
+  * edit distance, so the guard can only remove rows the DP would reject
+  * anyway, and `And` short-circuits the O(|a|·|b|) kernel off for them.
+  * On a fuzzy-match scan at 100 TB the cheap codegen'd guard prunes the
+  * overwhelming majority of rows (everything whose length is not even
+  * close) before any quadratic work happens.
+  *
+  * Idempotent by construction: the guard is only added when no
+  * semantically-equal conjunct is already present, so the optimizer's
+  * fixpoint loop converges after one rewrite. Nondeterministic
+  * thresholds are left untouched (the guard would double-evaluate them).
+  */
+object LevenshteinPrune extends Rule[LogicalPlan] with PredicateHelper {
+
+  /** (left, right, threshold, strict) when the conjunct is a
+    * levenshtein-below-threshold comparison in either orientation.
+    */
+  private def levBound(e: Expression):
+      Option[(Expression, Expression, Expression, Boolean)] = e match {
+    case LessThanOrEqual(l: Levenshtein, k) => Some((l.left, l.right, k, false))
+    case LessThan(l: Levenshtein, k)        => Some((l.left, l.right, k, true))
+    case GreaterThanOrEqual(k, l: Levenshtein) => Some((l.left, l.right, k, false))
+    case GreaterThan(k, l: Levenshtein)        => Some((l.left, l.right, k, true))
+    case _ => None
+  }
+
+  /** `length(e)`, pre-folded for literal operands: ConstantFolding would
+    * fold it anyway on the next optimizer pass, and the guard must come
+    * out ALREADY in its folded form or the fixpoint loop's semantic-
+    * duplicate check misses it and stacks a second guard.
+    */
+  private def lenOf(e: Expression): Expression = {
+    val l = Length(e)
+    if (e.foldable) Literal.create(l.eval(), l.dataType) else l
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      val guards = conjuncts.flatMap(levBound).collect {
+        case (a, b, k, strict) if a.deterministic && b.deterministic &&
+            k.deterministic =>
+          val gap = Abs(Subtract(lenOf(a), lenOf(b)))
+          if (strict) LessThan(gap, k): Expression
+          else LessThanOrEqual(gap, k): Expression
+      }.filterNot(g => conjuncts.exists(_.semanticEquals(g)))
+      if (guards.isEmpty) f
+      else Filter((guards ++ conjuncts).reduceLeft(And), child)
+  }
+}
+
 /** Session extension entry point:
   *
   * {{{
@@ -57,8 +110,8 @@ object OracleCostReorder extends Rule[LogicalPlan] with PredicateHelper {
   *   .config("spark.sql.extensions", "graft.GraftExtensions")
   * }}}
   *
-  * Injects [[OracleCostReorder]] and registers the codegen'd
-  * [[graft.functions.MultiContains]] kernel for SQL use:
+  * Injects [[LevenshteinPrune]] and [[OracleCostReorder]] and registers
+  * the codegen'd [[graft.functions.MultiContains]] kernel for SQL use:
   * `multi_contains(text, array('k1','k2'), 'all'|'any'|'none')`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -82,6 +135,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // prune FIRST, then cost-reorder (the guard is a cost-0 comparison,
+    // so the reorder keeps it left of the quadratic kernel)
+    ext.injectOptimizerRule(_ => LevenshteinPrune)
     ext.injectOptimizerRule(_ => OracleCostReorder)
     ext.injectFunction((
       new FunctionIdentifier("multi_contains"),

@@ -62,6 +62,33 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(df.select("n").as[Long].collect().sorted.toSeq == Seq(3L))
   }
 
+  test("LevenshteinPrune prepends the length-gap guard exactly once") {
+    import spark.implicits._
+    // parquet-backed (a literal LocalRelation would be constant-folded
+    // before the Filter survives into the optimized plan)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_lev_prune").toString
+    Seq("alpha", "alphax", "totally different string", "beta")
+      .toDF("t").write.mode("overwrite").parquet(path)
+    val df = spark.read.parquet(path)
+      .filter(levenshtein(col("t"), lit("alpha")) <= 2)
+    val opt = df.queryExecution.optimizedPlan
+    val conds = opt.collect { case Filter(c, _) => c }
+    assert(conds.nonEmpty)
+    def flat(e: org.apache.spark.sql.catalyst.expressions.Expression):
+        Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+      case And(l, r) => flat(l) ++ flat(r)
+      case other => Seq(other)
+    }
+    val conjuncts = flat(conds.head)
+    // guard + original comparison; the fixpoint loop must not stack guards
+    val guards = conjuncts.filter(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Abs]))
+    assert(guards.size == 1, s"expected exactly one length guard: $conjuncts")
+    // the guard can only drop rows the DP rejects: semantics unchanged
+    assert(df.as[String].collect().toSet == Set("alpha", "alphax"))
+  }
+
   test("multi_contains is callable from SQL in all three modes") {
     import spark.implicits._
     Seq("spark joins fast", "flink streams", "SPARK and Flink")

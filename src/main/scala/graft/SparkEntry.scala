@@ -1239,6 +1239,68 @@ object SparkEntry {
       q.awaitTermination()
       s.table("q_stream_join_sink").orderBy("click_id", "purchase_id")
     }),
+    "q_stream_join_outer" -> ((s, dir) => {
+      // stream-stream LEFT OUTER interval join through its watermark
+      // lifecycle: matches emit in their batch; an UNMATCHED left row
+      // emits its null-extended row only after the global watermark
+      // closes its join window (state expiry), which the authored
+      // mtime-ordered batches advance deterministically. user 2's click
+      // never matches -> null row flushed in batch 3; everyone else
+      // matches inside their own batch.
+      import java.nio.file.{Files, Paths}
+      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_sj_outer_${new java.io.File(dir).getName}")
+      val cDir = base.resolve("clicks"); val pDir = base.resolve("purchases")
+      Files.createDirectories(cDir); Files.createDirectories(pDir)
+      def row(id: Long, u: Long, minutes: Long): String =
+        s"""{"event_id": $id, "user_id": $u, "ts": ${minutes * 60L * 1000000000L}}"""
+      val clicks = Seq(
+        "c1.json" -> Seq(row(1, 1, 60), row(2, 2, 60)),
+        "c2.json" -> Seq(row(3, 9, 200)),
+        "c3.json" -> Seq(row(4, 8, 400)))
+      val purchases = Seq(
+        "p1.json" -> Seq(row(101, 1, 65)),
+        "p2.json" -> Seq(row(102, 9, 201)),
+        "p3.json" -> Seq(row(103, 8, 401)))
+      (clicks.map((cDir, _)) ++ purchases.map((pDir, _))).foreach {
+        case (d, (name, rows)) =>
+          val f = d.resolve(name)
+          Files.writeString(f, rows.mkString("\n"))
+          f.toFile.setLastModified(
+            1700000000000L + name.drop(1).takeWhile(_.isDigit).toLong * 60000L)
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.LongType)))
+      def src(d: java.nio.file.Path) = EventStreams.withEventTime(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .json(d.toString))
+      val cs = src(cDir)
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("event_time").as("click_time"))
+        .withWatermark("click_time", "5 minutes")
+      val ps = src(pDir)
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), col("event_time").as("purchase_time"))
+        .withWatermark("purchase_time", "5 minutes")
+      val q = cs.join(ps,
+        col("user_id") === col("p_user") &&
+          col("purchase_time") >= col("click_time") &&
+          col("purchase_time") <=
+            col("click_time") + expr("INTERVAL 10 MINUTES"),
+        "left_outer")
+        .select("click_id", "user_id", "purchase_id")
+        .writeStream.format("memory").queryName("q_stream_join_outer_sink")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("q_stream_join_outer_sink").orderBy("click_id")
+    }),
     "q_stream_window" -> ((s, dir) => {
       EventStreams.windowedStats(t(s, dir, "events"), "1 hour")
         .orderBy("window_start", "event_type")
@@ -2242,6 +2304,16 @@ object SparkEntry {
          ORDER BY doc_id""",
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id FROM events ORDER BY user_id""",
+    // the authored outer-join expectation: u1/u9/u8 match inside their
+    // batches, u2's click flushes null-extended after its window closes
+    "q_stream_join_outer" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(101 AS BIGINT)),
+           (CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(NULL AS BIGINT)),
+           (CAST(3 AS BIGINT), CAST(9 AS BIGINT), CAST(102 AS BIGINT)),
+           (CAST(4 AS BIGINT), CAST(8 AS BIGINT), CAST(103 AS BIGINT)))
+           AS t(click_id, user_id, purchase_id)
+         ORDER BY click_id""",
     // the batch form of the stream-stream interval join (micros precision
     // matches the engine's event_time = ts div 1000)
     "q_stream_join" ->

@@ -24,6 +24,28 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily lowered and
+    * trailing no-data micro-batches disabled. For the authored micro-batch
+    * LIFECYCLE gates (a dozen rows over 3-4 triggers): stateful streaming
+    * creates one state store per shuffle partition per operator per batch,
+    * so 32 partitions are ~97% empty state-store commits, and every state
+    * transition these gates assert happens in a data-carrying batch, so the
+    * trailing watermark-only batches are pure commit overhead. Production
+    * streams keep the session defaults — state partitioning is a throughput
+    * knob there, and no-data batches are how idle streams flush state.
+    */
+  private def withShufflePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+    val noData = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = s.conf.get(noData)
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    s.conf.set(noData, "false")
+    try body finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.conf.set(noData, prevNoData)
+    }
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Exercises the plan IR end-to-end: cascade filter -> count -> top-k
     * (the shape of golden plan entry 1 Q4, evaluate_datas.json).
@@ -971,8 +993,16 @@ object SparkEntry {
       val feats = Multimodal.decodeFeatures(media)
         .select(col("media_id"), col("features"))
         .filter(size(col("features")) > 0)
+      // planes scale with corpus size so expected bucket occupancy stays
+      // ~2k rows: a fixed plane count caps the bucket COUNT, so occupancy
+      // grows linearly with sf until every bucket trips maxBucket and all
+      // pairs are dropped; identical-feature rows share a bucket at any
+      // plane count, so the gate's oracle is plane-invariant
+      val nDocs = docs.count() + 20
+      val planes = math.max(4,
+        math.ceil(math.log(math.max(1.0, nDocs / 2000.0)) / math.log(2)).toInt)
       Dedup.embeddingNearDupPairs(feats, "media_id", "features",
-        dim = 16, threshold = 0.99, planes = 4)
+        dim = 16, threshold = 0.99, planes = planes)
         .select("id_a", "id_b").orderBy("id_a", "id_b")
     }),
     // ---- cube catalog: subsumption reuse (SURVEY §2/§4 memory DAG) -----
@@ -1195,16 +1225,18 @@ object SparkEntry {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("ts",
           org.apache.spark.sql.types.LongType)))
-      val stream = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).json(in.toString)
-      val q = EventStreams.streamingDedup(stream, Seq("user_id"),
-        lateness = "10 minutes")
-        .select(col("user_id"), col("ts"))
-        .writeStream.format("memory").queryName("q_stream_dedup_wm_sink")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withShufflePartitions(s, 2) {
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).json(in.toString)
+        val q = EventStreams.streamingDedup(stream, Seq("user_id"),
+          lateness = "10 minutes")
+          .select(col("user_id"), col("ts"))
+          .writeStream.format("memory").queryName("q_stream_dedup_wm_sink")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table("q_stream_dedup_wm_sink").orderBy("user_id", "ts")
     }),
     "q_stream_join" -> ((s, dir) => {
@@ -1276,29 +1308,31 @@ object SparkEntry {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("ts",
           org.apache.spark.sql.types.LongType)))
-      def src(d: java.nio.file.Path) = EventStreams.withEventTime(
-        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-          .json(d.toString))
-      val cs = src(cDir)
-        .select(col("event_id").as("click_id"), col("user_id"),
-          col("event_time").as("click_time"))
-        .withWatermark("click_time", "5 minutes")
-      val ps = src(pDir)
-        .select(col("event_id").as("purchase_id"),
-          col("user_id").as("p_user"), col("event_time").as("purchase_time"))
-        .withWatermark("purchase_time", "5 minutes")
-      val q = cs.join(ps,
-        col("user_id") === col("p_user") &&
-          col("purchase_time") >= col("click_time") &&
-          col("purchase_time") <=
-            col("click_time") + expr("INTERVAL 10 MINUTES"),
-        "left_outer")
-        .select("click_id", "user_id", "purchase_id")
-        .writeStream.format("memory").queryName("q_stream_join_outer_sink")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withShufflePartitions(s, 2) {
+        def src(d: java.nio.file.Path) = EventStreams.withEventTime(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .json(d.toString))
+        val cs = src(cDir)
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("event_time").as("click_time"))
+          .withWatermark("click_time", "5 minutes")
+        val ps = src(pDir)
+          .select(col("event_id").as("purchase_id"),
+            col("user_id").as("p_user"), col("event_time").as("purchase_time"))
+          .withWatermark("purchase_time", "5 minutes")
+        val q = cs.join(ps,
+          col("user_id") === col("p_user") &&
+            col("purchase_time") >= col("click_time") &&
+            col("purchase_time") <=
+              col("click_time") + expr("INTERVAL 10 MINUTES"),
+          "left_outer")
+          .select("click_id", "user_id", "purchase_id")
+          .writeStream.format("memory").queryName("q_stream_join_outer_sink")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table("q_stream_join_outer_sink").orderBy("click_id")
     }),
     "q_stream_window" -> ((s, dir) => {

@@ -115,7 +115,18 @@ class CubeCatalog(root: DataFrame, oracle: SemanticOracle) {
     Vector(CubeNode(0, "All Data", Set.empty, root, Map.empty, Seq.empty))
 
   def all: Seq[CubeNode] = nodes
-  def node(id: Int): CubeNode = nodes(id)
+  /** Lookup by node ID (not vector position): externally registered
+    * catalogs (a CatalogStore reload, say) may carry gapped id sequences.
+    */
+  def node(id: Int): CubeNode = nodes.find(_.id == id)
+    .getOrElse(throw new NoSuchElementException(s"no cube node with id $id"))
+
+  /** Attach dimension views to the root node (id 0) — the reload path for
+    * catalogs whose root had dims when saved; the root frame itself is
+    * never copied.
+    */
+  def attachRootDims(dims: Map[String, DimensionViews]): Unit =
+    nodes = nodes.updated(0, nodes(0).copy(dims = nodes(0).dims ++ dims))
 
   sealed trait Relation
   case object Equal extends Relation

@@ -77,29 +77,37 @@ object CatalogStore {
     val cat = new CubeCatalog(root, oracle)
     val meta = mapper.readTree(
       java.nio.file.Files.readString(java.nio.file.Paths.get(path, "meta.json")))
-    meta.get("nodes").asScala.filter(_.get("id").asInt != 0).toSeq
-      .sortBy(_.get("id").asInt).foreach { o =>
-        val id = o.get("id").asInt
+    def readDims(o: com.fasterxml.jackson.databind.JsonNode,
+        id: Int): Map[String, DimensionViews] =
+      o.get("dims").asScala.map { d =>
+        val dcol = d.get("column").asText
+        val grans = d.get("granularities").asScala.map { go =>
+          val gname = go.get("name").asText
+          val summary =
+            if (go.get("has_summary").asBoolean)
+              Some(spark.read.parquet(s"$path/gsum_${id}_${dcol}_$gname"))
+            else None
+          gname -> Granularity(gname,
+            spark.read.parquet(s"$path/gran_${id}_${dcol}_$gname"),
+            PlanJson.decodePlan(go.get("plan").asText), summary)
+        }.toMap
+        dcol -> DimensionViews(dcol, grans)
+      }.toMap
+    meta.get("nodes").asScala.toSeq.sortBy(_.get("id").asInt).foreach { o =>
+      val id = o.get("id").asInt
+      if (id == 0) {
+        // the root's frame is the caller-supplied base table, but any dims
+        // ever attached to the root must survive the round-trip
+        cat.attachRootDims(readDims(o, 0))
+      } else {
         val plan = PlanJson.decodePlan(o.get("plan").asText)
         val filterOps = PlanJson.decodePlan(o.get("filter_ops").asText)
         val df = spark.read.parquet(s"$path/node_$id")
-        val dims = o.get("dims").asScala.map { d =>
-          val dcol = d.get("column").asText
-          val grans = d.get("granularities").asScala.map { go =>
-            val gname = go.get("name").asText
-            val summary =
-              if (go.get("has_summary").asBoolean)
-                Some(spark.read.parquet(s"$path/gsum_${id}_${dcol}_$gname"))
-              else None
-            gname -> Granularity(gname,
-              spark.read.parquet(s"$path/gran_${id}_${dcol}_$gname"),
-              PlanJson.decodePlan(go.get("plan").asText), summary)
-          }.toMap
-          dcol -> DimensionViews(dcol, grans)
-        }.toMap
         cat.register(CubeNode(id, o.get("query").asText,
-          PredicateAtoms.atoms(filterOps), df, dims, plan, filterOps))
+          PredicateAtoms.atoms(filterOps), df, readDims(o, id), plan,
+          filterOps))
       }
+    }
     cat
   }
 }

@@ -37,22 +37,22 @@ object ColumnStats {
     * mtime of a bounded prefix): data overwritten at the same path changes
     * the stamp, so the memo cannot serve stale statistics — which would be
     * semantics-affecting, since [[Dice.choose]]'s strategy selection
-    * changes filter results. In-memory frames (no input files) stamp 0 and
+    * changes filter results. Status comes from the Hadoop FileSystem for
+    * the file's own scheme, so the stamp holds for object-store/HDFS URIs
+    * as well as file: paths. In-memory frames (no input files) stamp 0 and
     * key on the plan alone.
     */
   private def dataFingerprint(df: DataFrame): Long = {
+    val hconf = df.sparkSession.sessionState.newHadoopConf()
     val files = df.inputFiles
     var h = 1125899906842597L
     files.sorted.take(100).foreach { f =>
       h = h * 31 + f.hashCode
-      val local =
-        if (f.startsWith("file:"))
-          scala.util.Try(new java.io.File(new java.net.URI(f).getPath))
-            .toOption
-        else Some(new java.io.File(f))
-      local.filter(_.exists()).foreach { p =>
-        h = h * 31 + p.lastModified()
-        h = h * 31 + p.length()
+      scala.util.Try {
+        val p = new org.apache.hadoop.fs.Path(f)
+        val st = p.getFileSystem(hconf).getFileStatus(p)
+        h = h * 31 + st.getModificationTime
+        h = h * 31 + st.getLen
       }
     }
     h * 31 + files.length
@@ -149,7 +149,12 @@ object ColumnStats {
         val rx = s"^(?:[^0-9]*[0-9]+){${g - 1}}[^0-9]*([0-9]+)"
         countDistinct(regexp_extract(col("v"), rx, 1)).as(s"g$g")
       }
-      val row = sample(df, column).agg(exs.head, exs.tail: _*).collect()(0)
+      // only rows OF the dominant template vote: a minority template whose
+      // g-th digit run varies widely must not steer the measure-run choice
+      // away from the dominant shape's own measure run
+      val row = sample(df, column)
+        .filter(templateCol(col("v")) === topTemplate)
+        .agg(exs.head, exs.tail: _*).collect()(0)
       val ds = (0 until k).map(i => row.getLong(i))
       ds.indexOf(ds.max) + 1
     }

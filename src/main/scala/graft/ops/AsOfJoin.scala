@@ -52,8 +52,12 @@ object AsOfJoin {
     val unioned = l.select((leftCols.map(col) ++
       Seq(col("__asof_t"), col("__asof_side"), col("__asof_rv"))): _*)
       .unionByName(rAligned)
+    // the payload struct is the final sort key: when the right side holds
+    // duplicate (key, time) rows, the carried value is deterministically
+    // the greatest payload rather than whichever duplicate the shuffle
+    // happened to order last
     val w = Window.partitionBy(key)
-      .orderBy(col("__asof_t"), col("__asof_side"))
+      .orderBy(col("__asof_t"), col("__asof_side"), col("__asof_rv"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned.withColumn("__asof_carry",
       last(col("__asof_rv"), ignoreNulls = true).over(w))

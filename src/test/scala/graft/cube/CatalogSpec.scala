@@ -202,6 +202,30 @@ class CatalogSpec extends SparkSpec {
     assert(refined.id == 3)
   }
 
+  test("CatalogStore keeps root dims and gapped ids across a round-trip") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_cat_store_root").toString
+    val cat = new CubeCatalog(fixture, oracle)
+    // dims attached to the ROOT node (id 0) must survive save/load
+    val op = LogicalOp.SemGroup(Seq("title"), "engine kind", "engine")
+    val vocab = Seq(TagRule("spark", "spark"), TagRule("flink", "flink"))
+    val (rootWithDim, _) = Verbs.rollUp(cat.node(0), op, vocab, oracle)
+    cat.attachRootDims(rootWithDim.dims)
+    // a GAPPED externally registered id must not shift node() lookups
+    val n1 = cat.filterQuery("spark docs", Seq(fSpark))
+    cat.register(n1.copy(id = 7, query = "gapped clone"))
+    CatalogStore.save(cat, path)
+
+    val fresh = CatalogStore.load(spark, fixture, path, oracle)
+    assert(fresh.all.map(_.id).sorted == Seq(0, 1, 7))
+    assert(fresh.node(0).dims("title").granularities.contains("engine"))
+    assert(fresh.node(7).query == "gapped clone")
+    assert(fresh.node(1).query == "spark docs")
+    // new ids mint past the gap
+    val next = fresh.filterQuery("hs", Seq(fSpark, fScore))
+    assert(next.id == 8)
+  }
+
   test("relation5 classifies all five reference relations structurally") {
     val cat = new CubeCatalog(fixture, oracle)
     val q1 = Seq(fSpark)

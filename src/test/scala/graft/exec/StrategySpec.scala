@@ -99,6 +99,18 @@ class StrategySpec extends SparkSpec {
       (1 to 100).map(i => s"score: $i").toDF("c"), "c").comparableGroup == 1)
   }
 
+  test("minority templates do not steer the dominant template's measure run") {
+    // dominant template "v<*>_build<*>" (290 rows): run 1 constant, run 2
+    // varies -> measure is run 2. The 10 minority rows' run 1 varies over
+    // 10 values while their run 2 is constant; sampled together they once
+    // could tip the vote toward run 1
+    val rows = (1 to 290).map(i => s"v2_build$i") ++
+      (1 to 10).map(i => s"node$i of 7")
+    val stats = ColumnStats.patternStats(rows.toDF("c"), "c")
+    assert(stats.comparableGroup == 2,
+      s"minority template steered the measure run: $stats")
+  }
+
   test("column stats are memoized per (plan, column): repeat calls run no jobs") {
     ColumnStats.clearCaches()
     val df = (1 to 500).map(i => (i.toLong, s"v ${i}ms")).toDF("id", "c")

@@ -229,6 +229,20 @@ class OperatorSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoop"), s"range-join shape leaked:\n$plan")
   }
 
+  test("asOf picks the greatest payload deterministically at duplicate (key, time)") {
+    val left = Seq((1L, 10L, "L")).toDF("k", "t", "tag")
+    // three right rows at the SAME (key, time): the carried value must be
+    // the payload-struct maximum, independent of shuffle arrival order
+    val right = spark.sparkContext
+      .parallelize(Seq((1L, 10L, 3.0), (1L, 10L, 9.0), (1L, 10L, 1.0)), 3)
+      .toDF("k", "rt", "v")
+    (1 to 3).foreach { _ =>
+      val got = graft.ops.AsOfJoin.asOf(left, right, "k", "t", "rt", Seq("v"))
+        .select("asof_v").collect()(0).getDouble(0)
+      assert(got == 9.0, s"nondeterministic duplicate pick: $got")
+    }
+  }
+
   test("asOf equals the brute-force latest-at-or-before on random data") {
     val rnd = new scala.util.Random(42)
     val lrows = Seq.tabulate(120)(i =>

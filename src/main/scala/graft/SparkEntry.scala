@@ -881,6 +881,37 @@ object SparkEntry {
         t(s, dir, "documents").select("doc_id"), "doc_id")
         .orderBy("doc_id")
     }),
+    "q_stratified_sample" -> ((s, dir) => {
+      // per-language rebalance: 25% of en, 80% of de, 50% of zh, 0% of
+      // everything else — membership decided by the md5 bucket rule, so
+      // the oracle replays the identical selection in SQL
+      graft.pipeline.Sampling.stratifiedSample(
+        t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "lang",
+        Map("en" -> 25, "de" -> 80, "zh" -> 50))
+        .orderBy("doc_id")
+    }),
+    "q_line_dedup" -> ((s, dir) => {
+      // CCNet-style boilerplate-line removal: plant a footer line in every
+      // 5th document (plus a per-doc unique line that must SURVIVE), then
+      // strip lines occurring in >= 3 distinct docs. The oracle rebuilds
+      // the same corpus and cleans it in SQL — a dropped unique line, a
+      // kept footer, or a reordered reassembly all break the hash
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.withColumn("text", concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          lit("\nSubscribe to our newsletter today")).otherwise(lit("")),
+        lit("\nunique line "), col("doc_id")))
+      Dedup.removeDuplicateLines(planted, "doc_id", "text", minDocs = 3)
+        .orderBy("doc_id")
+    }),
+    "q_heavy_hitters" -> ((s, dir) => {
+      // Misra-Gries frequent items in the exact regime: 5 distinct langs
+      // fit a k=8 summary, so no eviction fires and the sketch's counts
+      // MUST equal the true groupBy counts the oracle computes
+      graft.pipeline.Frequency.heavyHitters(t(s, dir, "documents"), "lang",
+        k = 8)
+        .orderBy(col("est_count").desc, col("item"))
+    }),
     "q_dedup_embed" -> ((s, dir) => {
       // planted-dupe expectation gate: exact vector copies share every
       // sign-LSH bucket (recall 1.0 by construction) and cosine ~1.0;
@@ -2168,6 +2199,52 @@ object SparkEntry {
                      WHEN bucket < 90 THEN 'val'
                      ELSE 'test' END AS split
          FROM b ORDER BY doc_id""",
+    // same md5 bucket rule, thresholded per language stratum
+    "q_stratified_sample" ->
+      """WITH b AS (
+           SELECT doc_id, lang,
+             (4096 * (strpos('0123456789abcdef',
+                substring(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 1)) - 1)
+            + 256 * (strpos('0123456789abcdef',
+                substring(md5(CAST(doc_id AS VARCHAR) || 'graft'), 2, 1)) - 1)
+            + 16 * (strpos('0123456789abcdef',
+                substring(md5(CAST(doc_id AS VARCHAR) || 'graft'), 3, 1)) - 1)
+            + (strpos('0123456789abcdef',
+                substring(md5(CAST(doc_id AS VARCHAR) || 'graft'), 4, 1)) - 1))
+             % 100 AS bucket
+           FROM documents)
+         SELECT doc_id, lang FROM b
+         WHERE bucket < CASE lang WHEN 'en' THEN 25 WHEN 'de' THEN 80
+                                  WHEN 'zh' THEN 50 ELSE 0 END
+         ORDER BY doc_id""",
+    // rebuild the planted corpus, strip lines in >= 3 distinct docs,
+    // reassemble surviving lines in document order
+    "q_line_dedup" ->
+      """WITH d AS (
+           SELECT doc_id, text
+             || CASE WHEN doc_id % 5 = 0
+                     THEN chr(10) || 'Subscribe to our newsletter today'
+                     ELSE '' END
+             || chr(10) || 'unique line ' || doc_id AS text
+           FROM documents),
+         ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM d),
+         lines AS (
+           SELECT doc_id, generate_subscripts(arr, 1) AS pos,
+                  unnest(arr) AS line
+           FROM ls),
+         boiler AS (
+           SELECT line FROM lines GROUP BY line
+           HAVING count(DISTINCT doc_id) >= 3)
+         SELECT l.doc_id,
+                coalesce(string_agg(
+                  CASE WHEN b.line IS NULL THEN l.line END,
+                  chr(10) ORDER BY l.pos), '') AS text
+         FROM lines l LEFT JOIN boiler b ON l.line = b.line
+         GROUP BY l.doc_id ORDER BY doc_id""",
+    // exact regime: <= k distinct values -> the sketch equals groupBy count
+    "q_heavy_hitters" ->
+      """SELECT lang AS item, count(*) AS est_count FROM documents
+         GROUP BY lang ORDER BY est_count DESC, item""",
     // planted-dupe expectation: exact vector copies at +1e6 are the only
     // pairs with cosine >= 0.99 (max natural cosine ~0.46)
     "q_dedup_embed" ->

@@ -859,4 +859,45 @@ object Dedup {
       .toDF("id_a", "id_b", "cosine")
       .distinct()
   }
+
+  // ----------------------------------------------- line-level (CCNet-ish)
+
+  /** Remove LINES that repeat across the corpus — the boilerplate pass of
+    * CCNet/C4-style cleaning (nav bars, cookie banners, "subscribe"
+    * footers repeat verbatim in thousands of pages while body text does
+    * not). A line is boilerplate when it occurs in >= `minDocs` DISTINCT
+    * documents; every occurrence is dropped and each document's surviving
+    * lines are reassembled in their original order (possibly to an empty
+    * string — the caller decides whether to then drop empty docs).
+    *
+    * Execution shape at 100 TB: explode to (doc, pos, line); one
+    * hash-aggregate on the line (map-side partial combine collapses
+    * repeats before the shuffle) for the boilerplate set; one shuffle join
+    * back on the line; one hash-aggregate on the doc id to reassemble.
+    * No driver-side state, no window over the whole corpus. The line-agg
+    * payload can be slimmed to a 64-bit `xxhash64(line)` key when line
+    * text dominates shuffle width; kept as text here so the equality is
+    * collision-free.
+    *
+    * @return (idCol, textCol) with `textCol` rewritten to the cleaned text.
+    */
+  def removeDuplicateLines(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+    val boiler = lines.groupBy("line")
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("line"), lit(true).as("__boiler"))
+    lines.join(boiler, Seq("line"), "left")
+      .groupBy(idCol)
+      // boilerplate rows contribute null -> collect_list drops them;
+      // array_sort on (pos, line) restores document order
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(
+            when(col("__boiler").isNull, struct(col("pos"), col("line"))))),
+          x => x.getField("line")),
+        "\n").as(textCol))
+  }
 }

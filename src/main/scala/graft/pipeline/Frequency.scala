@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Frequent-item (heavy-hitter) estimation as a mergeable one-pass
+  * aggregate — the "which domains / languages / templates dominate this
+  * corpus" primitive that at 100 TB cannot afford a full groupBy+sort when
+  * only the head of the distribution matters.
+  *
+  * Algorithm: Misra-Gries summaries (the classic deterministic
+  * frequent-items sketch; equivalently "space-saving" up to bookkeeping).
+  * A summary of size k guarantees, for a stream of n items:
+  *
+  *   - every item with true frequency > n/(k+1) IS in the summary
+  *     (no false negatives above the threshold);
+  *   - each reported count undercounts by at most n/(k+1);
+  *   - when the column has <= k distinct values no eviction ever fires,
+  *     so counts are EXACT — the regime the correctness gate pins.
+  *
+  * Merging two summaries (Agarwal et al., "Mergeable Summaries") keeps the
+  * same bound, which is exactly what Spark's partial aggregation needs:
+  * each task builds a local summary over its partition (map-side, no
+  * shuffle of raw items), and the final merge folds the per-partition
+  * summaries — shuffle volume is O(partitions * k), independent of n.
+  */
+object Frequency {
+
+  /** The Misra-Gries buffer: item -> retained count. Kept as an immutable
+    * Map so Spark's ExpressionEncoder serializes it natively.
+    */
+  private final class MisraGriesAgg(k: Int)
+      extends Aggregator[String, Map[String, Long], Seq[(String, Long)]] {
+    require(k >= 1, "summary size k must be >= 1")
+
+    def zero: Map[String, Long] = Map.empty
+
+    def reduce(b: Map[String, Long], item: String): Map[String, Long] = {
+      val key = if (item == null) "" else item
+      b.get(key) match {
+        case Some(c) => b.updated(key, c + 1)
+        case None if b.size < k => b.updated(key, 1L)
+        case None =>
+          // decrement-all step: drop zeros, forget the new item
+          b.flatMap { case (i, c) => if (c > 1) Some(i -> (c - 1)) else None }
+      }
+    }
+
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val combined = b.foldLeft(a) { case (m, (i, c)) =>
+        m.updated(i, m.getOrElse(i, 0L) + c)
+      }
+      if (combined.size <= k) combined
+      else {
+        // subtract the (k+1)-th largest count from everything and keep
+        // positives: the mergeable-summaries rule that preserves the
+        // n/(k+1) error bound
+        val cut = combined.values.toSeq.sortBy(-_)(Ordering.Long).apply(k)
+        combined.flatMap { case (i, c) =>
+          if (c > cut) Some(i -> (c - cut)) else None
+        }
+      }
+    }
+
+    def finish(b: Map[String, Long]): Seq[(String, Long)] =
+      b.toSeq.sortBy { case (i, c) => (-c, i) }
+
+    def bufferEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    def outputEncoder: Encoder[Seq[(String, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long)]]()
+  }
+
+  /** The sketch as a Column aggregate: array<struct<_1 item, _2 count>>,
+    * ordered by descending retained count then item.
+    */
+  def misraGries(c: Column, k: Int): Column =
+    udaf(new MisraGriesAgg(k)).apply(c.cast("string"))
+
+  /** Heavy hitters of `valueCol` as rows (item, est_count), one aggregation
+    * pass. With <= k distinct values the counts are exact (see class doc).
+    */
+  def heavyHitters(df: DataFrame, valueCol: String, k: Int): DataFrame =
+    df.agg(misraGries(col(valueCol), k).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e._1").as("item"), col("e._2").as("est_count"))
+}

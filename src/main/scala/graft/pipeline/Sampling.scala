@@ -48,4 +48,25 @@ object Sampling {
       cuts: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10),
       salt: String = "graft"): DataFrame =
     df.withColumn("split", splitColumn(col(keyCol), cuts, salt))
+
+  /** Deterministic STRATIFIED sample: keep `percents(stratum)`% of each
+    * stratum's rows by key hash (strata absent from the map keep 0%).
+    * The language-rebalancing primitive of corpus curation (downsample
+    * dominant languages/sources without an RNG): same hash rule as
+    * [[hashSample]], so membership is reproducible across engines and
+    * independent of partitioning, and a row's fate never changes when
+    * other strata's percentages do. Pure codegen — the per-stratum
+    * threshold folds to one CASE expression; no shuffle, no per-stratum
+    * job, no driver state.
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+      percents: Map[String, Int], salt: String = "graft"): DataFrame = {
+    require(percents.values.forall(p => p >= 0 && p <= 100),
+      "stratum percents in [0,100]")
+    val threshold = percents.toSeq.sortBy(_._1)
+      .foldRight(lit(0): Column) { case ((stratum, pct), els) =>
+        when(col(stratumCol) === stratum, lit(pct)).otherwise(els)
+      }
+    df.filter(hashBucket(col(keyCol), salt) < threshold)
+  }
 }

@@ -515,3 +515,90 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.filter(col("media_id") === 1L).count() == 4)
   }
 }
+
+class FrequencySamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("removeDuplicateLines strips cross-doc boilerplate, keeps order, empties fully-boiler docs") {
+    val docs = Seq(
+      (1L, "intro one\nSUBSCRIBE NOW\nbody of one"),
+      (2L, "SUBSCRIBE NOW\nbody of two"),
+      (3L, "body of three\nSUBSCRIBE NOW"),
+      (4L, "SUBSCRIBE NOW"), // nothing survives -> empty string, row kept
+      (5L, "untouched doc")
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateLines(docs, "doc_id", "text", minDocs = 3)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(got == Seq(
+      1L -> "intro one\nbody of one",
+      2L -> "body of two",
+      3L -> "body of three",
+      4L -> "",
+      5L -> "untouched doc"))
+  }
+
+  test("removeDuplicateLines counts DISTINCT docs: in-doc repeats are not boilerplate") {
+    val docs = Seq(
+      (1L, "la\nla\nla\nsolo"), // 3 occurrences but ONE doc
+      (2L, "other")).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateLines(docs, "doc_id", "text", minDocs = 3)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(got.head._2 == "la\nla\nla\nsolo")
+  }
+
+  test("stratifiedSample: per-stratum hash thresholds, absent strata drop, partition-invariant") {
+    val df = (0L until 2000L).map(i =>
+      (i, if (i % 2 == 0) "en" else if (i % 3 == 0) "de" else "xx"))
+      .toDF("id", "s")
+    val pct = Map("en" -> 30, "de" -> 100)
+    val got = Sampling.stratifiedSample(df, "id", "s", pct)
+      .select("id").as[Long].collect().toSet
+    // membership equals the scalar hash rule applied per row
+    val expect = (0L until 2000L).filter { i =>
+      val s = if (i % 2 == 0) "en" else if (i % 3 == 0) "de" else "xx"
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${i}graft".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val bucket = Integer.parseInt(md5.take(4), 16) % 100
+      bucket < pct.getOrElse(s, 0)
+    }.toSet
+    assert(got == expect)
+    // en is downsampled to roughly 30%, de fully kept, xx gone
+    val en = expect.count(_ % 2 == 0)
+    assert(en > 200 && en < 400)
+    assert(!got.exists(i => i % 2 != 0 && i % 3 != 0))
+    // repartitioning must not change membership (hash of content, not RNG)
+    val re = Sampling.stratifiedSample(df.repartition(17), "id", "s", pct)
+      .select("id").as[Long].collect().toSet
+    assert(re == got)
+  }
+
+  test("misraGries is exact when distinct <= k") {
+    val df = (1 to 1000).map(i => s"v${i % 4}").toDF("x")
+    val got = Frequency.heavyHitters(df, "x", k = 8)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("v0" -> 250L, "v1" -> 250L, "v2" -> 250L, "v3" -> 250L))
+  }
+
+  test("misraGries guarantee: items above n/(k+1) always surface, within the error bound") {
+    // skewed stream: hot items + a long tail, WAY more distinct than k
+    val rows = (1 to 3000).map { i =>
+      if (i % 3 == 0) "hot_a" else if (i % 5 == 0) "hot_b" else s"tail_$i"
+    }
+    val n = rows.size
+    val k = 16
+    val df = rows.toDF("x").repartition(8) // exercise partial + merge
+    val got = Frequency.heavyHitters(df, "x", k).as[(String, Long)]
+      .collect().toMap
+    val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bound = n.toDouble / (k + 1)
+    truth.filter(_._2 > bound).keys.foreach { hh =>
+      assert(got.contains(hh), s"missed heavy hitter $hh")
+    }
+    // retained counts never exceed truth and undercount by <= n/(k+1)
+    got.foreach { case (item, c) =>
+      assert(c <= truth(item), s"$item overcounted: $c > ${truth(item)}")
+      assert(truth(item) - c <= bound, s"$item undercounted past the bound")
+    }
+  }
+}

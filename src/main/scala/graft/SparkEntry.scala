@@ -414,6 +414,82 @@ object SparkEntry {
         .agg((round(sum(dec("l_extendedprice")), 2).cast("double") / lit(7.0))
           .as("avg_yearly"))
     }),
+    "q_tpch_q10" -> ((s, dir) => {
+      // returned-item revenue by customer (TPC-H Q10 shape): fact filter
+      // (returnflag) + date-windowed orders + two dims, top 20 customers.
+      // TakeOrderedAndProject caps the sort at k; nation broadcast
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01") &&
+          col("o_orderdate") < lit("1995-07-01"))
+      t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(round(sum(dec("l_extendedprice") *
+            (lit(1) - col("l_discount")).cast("decimal(5,4)")), 2)
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+    "q_tpch_q18" -> ((s, dir) => {
+      // large-volume orders (TPC-H Q18 shape): the IN-subquery-with-HAVING
+      // lowers to an aggregate joined back into the fact — the per-order
+      // quantity rollup is tiny after its HAVING, so it broadcasts
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("b_orderkey"))
+        .agg(sum(dec("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+      t(s, dir, "orders")
+        .join(broadcast(big), col("o_orderkey") === col("b_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"),
+          col("sum_qty").cast("double").as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+    }),
+    "q_tpch_q19" -> ((s, dir) => {
+      // disjunctive multi-column predicate (TPC-H Q19 shape): OR of
+      // brand×size×quantity conjuncts evaluated on the joined row — one
+      // broadcast join, the whole OR tree stays inside codegen
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 20)))
+        .agg(round(sum(dec("l_extendedprice") *
+            (lit(1) - col("l_discount")).cast("decimal(5,4)")), 2)
+          .cast("double").as("revenue"))
+    }),
+    "q_tpch_q22" -> ((s, dir) => {
+      // dormant high-balance customers (TPC-H Q22 shape, adapted to this
+      // schema): scalar aggregate subquery (global positive-balance
+      // average) + anti join (no orders since 2000). The average compare
+      // is exact arithmetic (bal*cnt > sum_bal), sidestepping the
+      // engine-varying double avg at the boundary
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      val cust = t(s, dir, "customer")
+      val stats = cust.filter(col("c_acctbal") > 0)
+        .agg(sum(dec("c_acctbal")).as("sum_bal"), count(lit(1)).as("cnt"))
+      val recent = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2000-01-01"))
+        .select("o_custkey")
+      cust.crossJoin(broadcast(stats))
+        .filter(dec("c_acctbal") * col("cnt") > col("sum_bal"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(dec("c_acctbal")), 2).cast("double").as("totacctbal"))
+        .orderBy("c_nationkey")
+    }),
     "q_asof_join" -> ((s, dir) => {
       // AS-OF join (time-series/SCD enrichment Spark lacks natively):
       // attach to every event the user's latest preceding-or-equal
@@ -1564,6 +1640,57 @@ object SparkEntry {
          JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#23'
          JOIN a ON l_partkey = a_partkey
          WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt < sum_qty""",
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+                CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * CAST(1 - l_discount AS DECIMAL(5,4))), 2) AS DOUBLE)
+                  AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1995-07-01 00:00:00'
+         GROUP BY c_custkey, c_name, c_acctbal, n_name
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q_tpch_q18" ->
+      """WITH big AS (
+           SELECT l_orderkey AS b_orderkey,
+                  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+           FROM lineitem GROUP BY l_orderkey
+           HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+         SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                CAST(sum_qty AS DOUBLE) AS total_qty
+         FROM orders
+         JOIN big ON o_orderkey = b_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "q_tpch_q19" ->
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * CAST(1 - l_discount AS DECIMAL(5,4))), 2) AS DOUBLE)
+                  AS revenue
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+                AND l_quantity BETWEEN 10 AND 20)""",
+    "q_tpch_q22" ->
+      """WITH stats AS (
+           SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal,
+                  count(*) AS cnt
+           FROM customer WHERE c_acctbal > 0)
+         SELECT c_nationkey, count(*) AS numcust,
+                CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+                  AS totacctbal
+         FROM customer, stats
+         WHERE CAST(c_acctbal AS DECIMAL(18,2)) * cnt > sum_bal
+           AND NOT EXISTS (
+             SELECT 1 FROM orders
+             WHERE o_custkey = c_custkey
+               AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
     "q_asof_join" ->
       """WITH p AS (
            SELECT user_id, ts, max(value) AS pvalue

@@ -73,6 +73,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"unexpected SMJ in:\n$p")
   }
 
+  test("tpch q10 top-20 plans as TakeOrderedAndProject with broadcast dims") {
+    val p = plan("q_tpch_q10")
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k operator in:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+    // the returnflag filter reaches the fact scan
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"fact filter not pushed in:\n$p")
+  }
+
+  test("tpch q18 per-order rollup broadcasts into the fact") {
+    val p = plan("q_tpch_q18")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+    // the rollup side reads only the two columns it aggregates
+    assert(p.contains("ReadSchema: struct<l_orderkey:") &&
+      p.contains("l_quantity:"),
+      s"lineitem rollup not pruned in:\n$p")
+  }
+
+  test("tpch q19 disjunctive predicate is one broadcast join, no cartesian") {
+    val p = plan("q_tpch_q19")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      s"OR tree degenerated to a non-equi join:\n$p")
+  }
+
+  test("tpch q22 shape: anti join on pruned recent orders") {
+    val p = plan("q_tpch_q22")
+    assert(p.contains("LeftAnti"), s"no left-anti join in:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,"),
+      s"recent-order bound not pushed in:\n$p")
+  }
+
   test("anti-join shape plans as LeftAnti with a pruned probe") {
     val p = plan("q_anti_join")
     assert(p.contains("LeftAnti"), s"no left-anti join in:\n$p")

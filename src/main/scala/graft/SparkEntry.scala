@@ -490,6 +490,260 @@ object SparkEntry {
           round(sum(dec("c_acctbal")), 2).cast("double").as("totacctbal"))
         .orderBy("c_nationkey")
     }),
+    "q_tpch_q7" -> ((s, dir) => {
+      // cross-nation volume shipping (TPC-H Q7 shape): the symmetric
+      // nation-group disjunction is evaluated AFTER both dimension joins
+      // (it references both sides), then a yearly rollup. Both nation
+      // dims broadcast; the fact table scans once. This schema has 10
+      // suppliers at sf0.001, so single-nation pairs can be empty —
+      // nation GROUPS keep the gate non-vacuous at every sf.
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      val grpA = Seq("NATION_0", "NATION_1", "NATION_2", "NATION_3",
+        "NATION_4")
+      val grpB = Seq("NATION_5", "NATION_6", "NATION_7", "NATION_8",
+        "NATION_9")
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1998-01-01"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation").isin(grpA: _*) &&
+            col("cust_nation").isin(grpB: _*)) ||
+          (col("supp_nation").isin(grpB: _*) &&
+            col("cust_nation").isin(grpA: _*)))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(round(sum(dec("l_extendedprice") *
+            (lit(1) - col("l_discount")).cast("decimal(5,4)")), 2)
+          .cast("double").as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+    "q_tpch_q8" -> ((s, dir) => {
+      // market share (TPC-H Q8 shape): the widest join tree in the suite
+      // (fact + 6 dims, nation twice) feeding a conditional aggregation.
+      // Emits numerator and denominator as exact rounded decimal sums
+      // instead of their double ratio so the hash is engine-stable.
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      val vol = dec("l_extendedprice") *
+        (lit(1) - col("l_discount")).cast("decimal(5,4)")
+      val custNat = t(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_regionkey"))
+      val suppNat = t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nat"))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").filter(col("p_type") === "ECONOMY")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(custNat), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(t(s, dir, "region")
+            .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(suppNat), col("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          round(sum(when(col("supp_nat") === "NATION_3", vol)
+            .otherwise(lit(0).cast("decimal(18,2)"))), 2)
+            .cast("double").as("nation_volume"),
+          round(sum(vol), 2).cast("double").as("total_volume"))
+        .orderBy("o_year")
+    }),
+    "q_tpch_q9" -> ((s, dir) => {
+      // product-line profit (TPC-H Q9 shape, adapted: no partsupp table,
+      // so p_retailprice*quantity stands in for supplycost*quantity —
+      // the LIKE-filtered multi-join + signed-amount rollup is the
+      // shape under test). Profit can go negative; exact decimals keep
+      // the cancellation engine-stable.
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      val amount = dec("l_extendedprice") *
+        (lit(1) - col("l_discount")).cast("decimal(5,4)") -
+        dec("p_retailprice") * dec("l_quantity")
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").filter(col("p_name").like("%bolt%"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nat"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(sum(amount), 2).cast("double").as("sum_profit"))
+        .orderBy("nat", "o_year")
+    }),
+    "q_tpch_q11" -> ((s, dir) => {
+      // important-stock (TPC-H Q11 shape, adapted to per-part lineitem
+      // value): GROUP BY + HAVING against a global scalar aggregate of
+      // the SAME grouped relation. The threshold is relative (part value
+      // > 2x the mean part value, exact integer*decimal arithmetic) so
+      // the gate stays non-vacuous as sf scales — a fixed fraction
+      // drowns at 100x data.
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      val v = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .filter(col("n_name").isin("NATION_0", "NATION_1"))
+        .groupBy("l_partkey")
+        .agg(sum(dec("l_extendedprice")).as("value_exact"))
+      val st = v.agg(sum("value_exact").as("tot"), count(lit(1)).as("cnt"))
+      v.crossJoin(broadcast(st))
+        .filter(col("value_exact") * col("cnt") > lit(2) * col("tot"))
+        .select(col("l_partkey"),
+          round(col("value_exact"), 2).cast("double").as("part_value"))
+        .orderBy("l_partkey")
+    }),
+    "q_tpch_q14" -> ((s, dir) => {
+      // promotion revenue share (TPC-H Q14 shape): CASE-WHEN conditional
+      // aggregation in one pass over a month of the fact. Numerator and
+      // denominator emitted separately (exact decimals) instead of the
+      // textbook 100*x/y double ratio — the ratio is derivable, the hash
+      // is stable.
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      val vol = dec("l_extendedprice") *
+        (lit(1) - col("l_discount")).cast("decimal(5,4)")
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-09-01") &&
+          col("l_shipdate") < lit("1997-10-01"))
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(sum(when(col("p_type") === "PROMO", vol)
+            .otherwise(lit(0).cast("decimal(18,2)"))), 2)
+            .cast("double").as("promo_revenue"),
+          round(sum(vol), 2).cast("double").as("total_revenue"))
+    }),
+    "q_tpch_q15" -> ((s, dir) => {
+      // top supplier (TPC-H Q15 shape): a derived revenue view consumed
+      // twice — once for its global max (broadcast scalar), once joined
+      // back to pick the argmax row(s). The equality compares EXACT
+      // decimal revenues; rounding only happens on output.
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1996-04-01"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(sum(dec("l_extendedprice") *
+          (lit(1) - col("l_discount")).cast("decimal(5,4)")).as("rev_exact"))
+      val mx = rev.agg(max("rev_exact").as("mx"))
+      t(s, dir, "supplier")
+        .join(rev, col("s_suppkey") === col("supplier_no"))
+        .crossJoin(broadcast(mx))
+        .filter(col("rev_exact") === col("mx"))
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("rev_exact"), 2).cast("double").as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+    "q_tpch_q2" -> ((s, dir) => {
+      // min-cost supplier (TPC-H Q2 shape, adapted: lineitem's per
+      // (part,supplier) min price stands in for partsupp.ps_supplycost).
+      // The correlated min subquery decorrelates to a window min over
+      // the region-filtered supply relation — one shuffle by part, no
+      // per-part subquery execution. Joining the p_size-filtered part
+      // dim BEFORE the window shrinks the window input without changing
+      // per-part minima.
+      import org.apache.spark.sql.expressions.Window
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      val ps = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("ps_partkey"),
+          col("l_suppkey").as("ps_suppkey"))
+        .agg(min(dec("l_extendedprice")).as("ps_cost"))
+      val eurSupp = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+      ps.join(broadcast(eurSupp), col("ps_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "part").filter(col("p_size") === 15)),
+          col("ps_partkey") === col("p_partkey"))
+        .withColumn("min_cost",
+          min("ps_cost").over(Window.partitionBy("ps_partkey")))
+        .filter(col("ps_cost") === col("min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+    "q_tpch_q16" -> ((s, dir) => {
+      // supplier-count-by-part-attrs (TPC-H Q16 shape, adapted via the
+      // lineitem part-supplier link): NOT IN subquery over a non-null
+      // key lowers to a LEFT ANTI join (safe here: s_suppkey is never
+      // null, so NOT IN's null-semantics trap can't fire), then a
+      // COUNT(DISTINCT) per attribute triple.
+      val negSupp = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey").as("neg_sk"))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+            .filter(col("p_brand") =!= "Brand#1" &&
+              col("p_type") =!= "PROMO" && col("p_size").isin(1, 4, 7, 10))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(negSupp), col("l_suppkey") === col("neg_sk"),
+          "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+    "q_tpch_q20" -> ((s, dir) => {
+      // excess-supply suppliers (TPC-H Q20 shape, adapted): nested IN
+      // with a correlated aggregate — suppliers who shipped more than 2x
+      // the average per-supplier share of some 'red%' part. Lowered to
+      // two stacked aggregations + a LEFT SEMI join; the relative
+      // threshold (share vs per-part mean, exact arithmetic) survives
+      // scale-up where a fixed quantity bar would not.
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      val pq = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").filter(col("p_name").like("red%"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(dec("l_quantity")).as("sq"))
+      val tot = pq.groupBy(col("l_partkey").as("t_partkey"))
+        .agg(sum("sq").as("tq"), count(lit(1)).as("ns"))
+      val excess = pq.join(tot, col("l_partkey") === col("t_partkey"))
+        .filter(col("sq") * col("ns") > lit(2) * col("tq"))
+        .select(col("l_suppkey").as("x_sk"))
+      t(s, dir, "supplier")
+        .join(broadcast(excess), col("s_suppkey") === col("x_sk"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    }),
+    "q_tpch_q21" -> ((s, dir) => {
+      // waiting-supplier (TPC-H Q21 shape, adapted: l_returnflag='R'
+      // stands in for the missing receipt>commit columns). The
+      // EXISTS/NOT-EXISTS pair over lineitem self-joins lowers to ONE
+      // per-order aggregate — distinct suppliers and distinct flagged
+      // suppliers — joined back to the fact: a qualifying row is a
+      // flagged line in a multi-supplier order whose ONLY flagged
+      // supplier is its own. Three scans of lineitem become two.
+      val l = t(s, dir, "lineitem")
+      val stats = l.groupBy(col("l_orderkey").as("st_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("nsupp"),
+          countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+            .as("nsupp_r"))
+      l.filter(col("l_returnflag") === "R")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(stats, col("l_orderkey") === col("st_orderkey"))
+        .filter(col("nsupp") > 1 && col("nsupp_r") === 1)
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    }),
     "q_asof_join" -> ((s, dir) => {
       // AS-OF join (time-series/SCD enrichment Spark lacks natively):
       // attach to every event the user's latest preceding-or-equal
@@ -796,6 +1050,43 @@ object SparkEntry {
       // pass), pruned by min count before any collection
       TextAnalysis.ngramCounts(t(s, dir, "documents"), "text", n = 2,
         minCount = 20).orderBy("ngram")
+    }),
+    "q_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination (n-gram overlap): per eval-split doc,
+      // how many of its distinct 8-grams occur anywhere in the train
+      // split. Inverted-index semi-join — the train corpus collapses to
+      // its distinct shingle set, no doc-pair comparison exists. The
+      // planted duplicate texts in `documents` guarantee real leakage
+      // at every sf.
+      val docs = t(s, dir, "documents")
+      val test = docs.filter(col("doc_id") % 10 === 0)
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      graft.pipeline.Decontaminate
+        .overlapCounts(test, "doc_id", "text", train, "text", n = 8)
+        .orderBy("doc_id")
+    }),
+    "q_decontaminate_filter" -> ((s, dir) => {
+      // the filtering form: keep eval docs whose contaminated-8-gram
+      // share is <= 5% — exact integer compare (n_cont*1000 <= n_sh*50),
+      // no float boundary
+      val docs = t(s, dir, "documents")
+      val test = docs.filter(col("doc_id") % 10 === 0)
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      graft.pipeline.Decontaminate
+        .decontaminate(test, "doc_id", "text", train, "text", n = 8,
+          maxFrac = 0.05)
+        .select("doc_id").orderBy("doc_id")
+    }),
+    "q_tfidf" -> ((s, dir) => {
+      // per-document characteristic terms, TF-IDF style: rank on exact
+      // integers (tf DESC, global doc-freq ASC, term ASC) — the TF-IDF
+      // order up to log monotonicity, bit-stable across engines. The
+      // double score column exists in the operator output but never
+      // decides a tie, so the gate pins the integer core.
+      graft.pipeline.Frequency
+        .tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .select("doc_id", "term", "tf", "doc_freq", "rank")
+        .orderBy("doc_id", "rank")
     }),
     "q_unpivot" -> ((s, dir) => {
       // melt/unpivot: wide per-part numeric columns into (metric, value)
@@ -1691,6 +1982,158 @@ object SparkEntry {
              WHERE o_custkey = c_custkey
                AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
          GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "q_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+                CAST(round(sum(volume), 2) AS DOUBLE) AS revenue
+         FROM (
+           SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                  year(l_shipdate) AS l_year,
+                  CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(5,4)) AS volume
+           FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN customer ON c_custkey = o_custkey
+           JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+           WHERE ((n1.n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3','NATION_4')
+                   AND n2.n_name IN ('NATION_5','NATION_6','NATION_7','NATION_8','NATION_9'))
+               OR (n1.n_name IN ('NATION_5','NATION_6','NATION_7','NATION_8','NATION_9')
+                   AND n2.n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3','NATION_4')))
+             AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00')
+         GROUP BY supp_nation, cust_nation, l_year
+         ORDER BY supp_nation, cust_nation, l_year""",
+    "q_tpch_q8" ->
+      """SELECT o_year,
+                CAST(round(sum(CASE WHEN nat = 'NATION_3' THEN volume
+                                    ELSE CAST(0 AS DECIMAL(18,2)) END), 2)
+                     AS DOUBLE) AS nation_volume,
+                CAST(round(sum(volume), 2) AS DOUBLE) AS total_volume
+         FROM (
+           SELECT year(o_orderdate) AS o_year,
+                  CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(5,4)) AS volume,
+                  n2.n_name AS nat
+           FROM part JOIN lineitem ON p_partkey = l_partkey
+           JOIN supplier ON s_suppkey = l_suppkey
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation n1 ON c_nationkey = n1.n_nationkey
+           JOIN region ON n1.n_regionkey = r_regionkey
+           JOIN nation n2 ON s_nationkey = n2.n_nationkey
+           WHERE r_name = 'ASIA' AND p_type = 'ECONOMY')
+         GROUP BY o_year ORDER BY o_year""",
+    "q_tpch_q9" ->
+      """SELECT nat, o_year,
+                CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
+         FROM (
+           SELECT n_name AS nat, year(o_orderdate) AS o_year,
+                  CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(5,4))
+                  - CAST(p_retailprice AS DECIMAL(18,2))
+                    * CAST(l_quantity AS DECIMAL(18,2)) AS amount
+           FROM part JOIN lineitem ON p_partkey = l_partkey
+           JOIN supplier ON s_suppkey = l_suppkey
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN nation ON s_nationkey = n_nationkey
+           WHERE p_name LIKE '%bolt%')
+         GROUP BY nat, o_year ORDER BY nat, o_year""",
+    "q_tpch_q11" ->
+      """WITH v AS (
+           SELECT l_partkey,
+                  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS value_exact
+           FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           WHERE n_name IN ('NATION_0', 'NATION_1')
+           GROUP BY l_partkey),
+         st AS (SELECT sum(value_exact) AS tot, count(*) AS cnt FROM v)
+         SELECT l_partkey,
+                CAST(round(value_exact, 2) AS DOUBLE) AS part_value
+         FROM v, st WHERE value_exact * cnt > 2 * tot
+         ORDER BY l_partkey""",
+    "q_tpch_q14" ->
+      """SELECT CAST(round(sum(CASE WHEN p_type = 'PROMO' THEN volume
+                                    ELSE CAST(0 AS DECIMAL(18,2)) END), 2)
+                     AS DOUBLE) AS promo_revenue,
+                CAST(round(sum(volume), 2) AS DOUBLE) AS total_revenue
+         FROM (
+           SELECT p_type,
+                  CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(5,4)) AS volume
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+             AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00')""",
+    "q_tpch_q15" ->
+      """WITH rev AS (
+           SELECT l_suppkey AS supplier_no,
+                  sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1 - l_discount AS DECIMAL(5,4))) AS rev_exact
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name,
+                CAST(round(rev_exact, 2) AS DOUBLE) AS total_revenue
+         FROM supplier JOIN rev ON s_suppkey = supplier_no
+         WHERE rev_exact = (SELECT max(rev_exact) FROM rev)
+         ORDER BY s_suppkey""",
+    "q_tpch_q2" ->
+      """WITH ps AS (
+           SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                  min(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_cost
+           FROM lineitem GROUP BY 1, 2)
+         SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+         FROM part JOIN ps ON p_partkey = ps_partkey
+         JOIN supplier ON s_suppkey = ps_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE p_size = 15 AND r_name = 'EUROPE'
+           AND ps_cost = (SELECT min(ps2.ps_cost) FROM ps ps2
+                          JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+                          JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+                          JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+                          WHERE ps2.ps_partkey = p_partkey
+                            AND r2.r_name = 'EUROPE')
+         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""",
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+                count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM part JOIN lineitem ON p_partkey = l_partkey
+         WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+           AND p_size IN (1, 4, 7, 10)
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                 WHERE s_acctbal < 0)
+         GROUP BY p_brand, p_type, p_size
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    "q_tpch_q20" ->
+      """WITH pq AS (
+           SELECT l_partkey, l_suppkey,
+                  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_name LIKE 'red%'
+           GROUP BY 1, 2),
+         tot AS (SELECT l_partkey AS t_partkey, sum(sq) AS tq,
+                        count(*) AS ns
+                 FROM pq GROUP BY 1)
+         SELECT s_suppkey, s_name FROM supplier
+         WHERE s_suppkey IN (SELECT l_suppkey FROM pq
+                             JOIN tot ON l_partkey = t_partkey
+                             WHERE sq * ns > 2 * tq)
+         ORDER BY s_suppkey""",
+    "q_tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+         FROM supplier
+         JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+         JOIN orders ON o_orderkey = l1.l_orderkey
+         WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_returnflag = 'R')
+         GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""",
     "q_asof_join" ->
       """WITH p AS (
            SELECT user_id, ts, max(value) AS pvalue
@@ -2059,6 +2502,80 @@ object SparkEntry {
          SELECT ngram, count(*) AS n_occurrences
          FROM grams GROUP BY ngram HAVING count(*) >= 20
          ORDER BY ngram""",
+    "q_decontaminate" ->
+      """WITH te AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM documents WHERE doc_id % 10 = 0),
+         tr AS (
+           SELECT string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM documents WHERE doc_id % 10 <> 0),
+         tesh AS (
+           SELECT doc_id, unnest(list_distinct(
+             [array_to_string(toks[i:i+7], ' ')
+              for i in generate_series(1, len(toks) - 7)])) AS sh
+           FROM te),
+         trsh AS (
+           SELECT DISTINCT unnest(list_distinct(
+             [array_to_string(toks[i:i+7], ' ')
+              for i in generate_series(1, len(toks) - 7)])) AS sh
+           FROM tr),
+         cont AS (
+           SELECT doc_id, count(*) AS n_contaminated
+           FROM tesh WHERE sh IN (SELECT sh FROM trsh)
+           GROUP BY doc_id)
+         SELECT te.doc_id,
+                CAST(len(list_distinct(
+                  [array_to_string(toks[i:i+7], ' ')
+                   for i in generate_series(1, len(toks) - 7)])) AS BIGINT)
+                  AS n_shingles,
+                COALESCE(n_contaminated, 0) AS n_contaminated
+         FROM te LEFT JOIN cont ON te.doc_id = cont.doc_id
+         ORDER BY te.doc_id""",
+    "q_decontaminate_filter" ->
+      """WITH te AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM documents WHERE doc_id % 10 = 0),
+         tr AS (
+           SELECT string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM documents WHERE doc_id % 10 <> 0),
+         tesh AS (
+           SELECT doc_id, unnest(list_distinct(
+             [array_to_string(toks[i:i+7], ' ')
+              for i in generate_series(1, len(toks) - 7)])) AS sh
+           FROM te),
+         trsh AS (
+           SELECT DISTINCT unnest(list_distinct(
+             [array_to_string(toks[i:i+7], ' ')
+              for i in generate_series(1, len(toks) - 7)])) AS sh
+           FROM tr),
+         cont AS (
+           SELECT doc_id, count(*) AS n_contaminated
+           FROM tesh WHERE sh IN (SELECT sh FROM trsh)
+           GROUP BY doc_id)
+         SELECT te.doc_id
+         FROM te LEFT JOIN cont ON te.doc_id = cont.doc_id
+         WHERE COALESCE(n_contaminated, 0) * 1000 <=
+               len(list_distinct(
+                 [array_to_string(toks[i:i+7], ' ')
+                  for i in generate_series(1, len(toks) - 7)])) * 50
+         ORDER BY te.doc_id""",
+    "q_tfidf" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+           FROM documents WHERE trim(text) <> ''),
+         tf AS (
+           SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         dfreq AS (
+           SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1),
+         ranked AS (
+           SELECT doc_id, term, tf, doc_freq,
+                  CAST(row_number() OVER (PARTITION BY doc_id
+                    ORDER BY tf DESC, doc_freq ASC, term ASC) AS INTEGER)
+                    AS rank
+           FROM tf JOIN dfreq USING (term))
+         SELECT doc_id, term, tf, doc_freq, rank
+         FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""",
     "q_unpivot" ->
       """SELECT p_partkey, metric, value FROM (
            SELECT p_partkey, 'retailprice' AS metric,

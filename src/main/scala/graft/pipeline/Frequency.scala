@@ -85,4 +85,49 @@ object Frequency {
     df.agg(misraGries(col(valueCol), k).as("hh"))
       .select(explode(col("hh")).as("e"))
       .select(col("e._1").as("item"), col("e._2").as("est_count"))
+
+  /** Document frequency of every lowercased whitespace token: (term, df).
+    * One explode + two hash aggregates; shuffle volume is bounded by the
+    * vocabulary, not the corpus (map-side partials collapse repeats).
+    */
+  def documentFrequency(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol),
+        explode(array_distinct(TextAnalysis.tokensCol(lower(col(textCol)))))
+          .as("term"))
+      .groupBy("term").agg(count(lit(1)).as("doc_freq"))
+
+  /** Top-k characteristic terms per document, TF-IDF style. Rows:
+    * (idCol, term, tf, doc_freq, rank, score) where score = tf *
+    * (ln((N+1)/(doc_freq+1)) + 1) — smoothed IDF. The RANKING is computed
+    * on exact integers (tf DESC, doc_freq ASC, term ASC), which is the
+    * TF-IDF order within a document up to log monotonicity; the double
+    * score is attached for consumers but never decides a tie, so results
+    * are bit-stable across engines and partitionings.
+    *
+    * Scale: explode + two aggregates + one window partitioned by doc — the
+    * window state is one doc's vocabulary, never the corpus. The doc count
+    * N rides in as a broadcast scalar.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = df.select(col(idCol),
+      explode(TextAnalysis.tokensCol(lower(col(textCol)))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("tf").desc, col("doc_freq").asc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("score", col("tf") *
+        (log((col("n_docs") + 1).cast("double") /
+          (col("doc_freq") + 1).cast("double")) + 1))
+      .select(col(idCol), col("term"), col("tf"), col("doc_freq"),
+        col("rank"), col("score"))
+  }
 }

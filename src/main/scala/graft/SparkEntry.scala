@@ -36,13 +36,23 @@ object SparkEntry {
     */
   private def withShufflePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
     val noData = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val retain = "spark.sql.streaming.minBatchesToRetain"
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     val prevNoData = s.conf.get(noData)
+    val prevRetain = s.conf.getOption(retain)
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
     s.conf.set(noData, "false")
+    // these gates' checkpoints are throwaway temp dirs replayed never:
+    // retaining one batch of state/offset history skips the default
+    // 100-batch bookkeeping on every commit
+    s.conf.set(retain, "1")
     try body finally {
       s.conf.set("spark.sql.shuffle.partitions", prev)
       s.conf.set(noData, prevNoData)
+      prevRetain match {
+        case Some(v) => s.conf.set(retain, v)
+        case None => s.conf.unset(retain)
+      }
     }
   }
 
@@ -841,6 +851,56 @@ object SparkEntry {
           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
         .orderBy("user_id")
     }),
+    "q_merge_upsert" -> ((s, dir) => {
+      // copy-on-write MERGE: lay the part table out hash-bucketed by key,
+      // apply one batch of updates (price bump on every 20th key) plus
+      // inserts (10 new keys), read the merged table back. Only the
+      // touched bucket directories are rewritten (MergeSpec pins the
+      // untouched files byte-identical); the oracle is the declarative
+      // merge semantics in SQL. Rebuilt fresh every run — the gate must
+      // re-exercise the write path, not a cache.
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_merge_${new java.io.File(dir).getName}").getAbsolutePath
+      val part = t(s, dir, "part")
+      graft.sources.Merge.writeKeyed(part, path, "p_partkey", nBuckets = 16)
+      val updates = part.filter(col("p_partkey") % 20 === 0)
+        .withColumn("p_retailprice",
+          round(dec("p_retailprice") * lit(1.1).cast("decimal(2,1)"), 2)
+            .cast("double"))
+        .unionByName(part.filter(col("p_partkey") < 10)
+          .withColumn("p_partkey", col("p_partkey") + lit(1000000L)))
+      graft.sources.Merge.upsert(s, path, updates, "p_partkey", nBuckets = 16)
+      graft.sources.Merge.readKeyed(s, path)
+        .select("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+          "p_retailprice")
+        .orderBy("p_partkey")
+    }),
+    "q_zorder_layout" -> ((s, dir) => {
+      // Z-order (Morton) layout on (user_id, time): each parquet file is
+      // a small rectangle in BOTH dimensions, so selective predicates on
+      // either column — or both, as here — skip most files from footer
+      // stats alone. The gate proves the reordered copy is lossless;
+      // ZOrderSpec pins the per-file rectangle tightness.
+      val src = new java.io.File(s"$dir/events.parquet")
+      val stamp = java.lang.Long.toHexString(
+        src.lastModified() * 31 + src.length())
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_zorder_${new java.io.File(dir).getName}_$stamp")
+        .getAbsolutePath
+      if (!new java.io.File(s"$path/_SUCCESS").exists())
+        graft.sources.ZOrder.writeZOrdered(
+          t(s, dir, "events").select(col("event_id"), col("user_id"),
+            expr("ts div 1000").as("ts_micros"), col("value")),
+          path, Seq("user_id", "ts_micros"), files = 8)
+      s.read.parquet(path)
+        .filter(col("user_id").between(50, 149) &&
+          col("ts_micros") < 1717200000000000L)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy("user_id")
+    }),
     "q_window_funcs" -> ((s, dir) => {
       // window-function breadth: lag/lead/percent_rank/ntile/cume_dist
       // under one fully-deterministic ordering (orderkey tiebreak)
@@ -1623,7 +1683,7 @@ object SparkEntry {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("ts",
           org.apache.spark.sql.types.LongType)))
-      withShufflePartitions(s, 2) {
+      withShufflePartitions(s, 1) {
         val stream = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1).json(in.toString)
         val q = EventStreams.streamingDedup(stream, Seq("user_id"),
@@ -1706,7 +1766,7 @@ object SparkEntry {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("ts",
           org.apache.spark.sql.types.LongType)))
-      withShufflePartitions(s, 2) {
+      withShufflePartitions(s, 1) {
         def src(d: java.nio.file.Path) = EventStreams.withEventTime(
           s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
             .json(d.toString))
@@ -2199,6 +2259,31 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n_events,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events WHERE user_id BETWEEN 100 AND 199
+         GROUP BY user_id ORDER BY user_id""",
+    "q_merge_upsert" ->
+      """WITH upd AS (
+           SELECT p_partkey, p_name, p_brand, p_type, p_size,
+                  CAST(round(CAST(p_retailprice AS DECIMAL(18,2))
+                             * CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE)
+                    AS p_retailprice
+           FROM part WHERE p_partkey % 20 = 0
+           UNION ALL
+           SELECT p_partkey + 1000000, p_name, p_brand, p_type, p_size,
+                  p_retailprice
+           FROM part WHERE p_partkey < 10)
+         SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+         FROM part WHERE p_partkey NOT IN (SELECT p_partkey FROM upd)
+         UNION ALL
+         SELECT * FROM upd
+         ORDER BY p_partkey""",
+    "q_zorder_layout" ->
+      """WITH e AS (
+           SELECT user_id, epoch_ns(ts) // 1000 AS ts_micros, value
+           FROM events)
+         SELECT user_id, count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM e WHERE user_id BETWEEN 50 AND 149
+           AND ts_micros < 1717200000000000
          GROUP BY user_id ORDER BY user_id""",
     "q_window_funcs" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,

@@ -1,0 +1,78 @@
+package graft.sources
+
+import java.io.File
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Copy-on-write upsert: merge semantics AND the touched-buckets-only
+  * write contract (the part a value-level gate can't see).
+  */
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(tag: String): String = {
+    val d = Files.createTempDirectory(s"graft_merge_spec_$tag").toFile
+    d.deleteOnExit()
+    new File(d, "tbl").getAbsolutePath
+  }
+
+  private def bucketFiles(path: String): Map[String, Map[String, Long]] = {
+    val root = new File(path)
+    root.listFiles().filter(_.getName.startsWith("__bucket="))
+      .map { d =>
+        d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> f.lastModified()).toMap
+      }.toMap
+  }
+
+  test("upsert replaces updated keys, appends new ones, leaves rest") {
+    val path = freshDir("sem")
+    val base = (0L until 100L).map(i => (i, s"name_$i", i * 10.0))
+      .toDF("id", "name", "score")
+    Merge.writeKeyed(base, path, "id", nBuckets = 8)
+    val updates = Seq((7L, "name_7_v2", 777.0), (200L, "name_200", 1.0))
+      .toDF("id", "name", "score")
+    val stats = Merge.upsert(spark, path, updates, "id", nBuckets = 8)
+    assert(stats.nBuckets == 8 && stats.bucketsTouched <= 2 &&
+      stats.rowsUpserted == 2)
+    val out = Merge.readKeyed(spark, path)
+    assert(out.count() == 101)
+    assert(out.filter($"id" === 7L).select("name").as[String].head() ==
+      "name_7_v2")
+    assert(out.filter($"id" === 200L).count() == 1)
+    assert(out.filter($"id" === 8L).select("score").as[Double].head() == 80.0)
+  }
+
+  test("upsert rewrites ONLY the buckets the update keys land in") {
+    val path = freshDir("cow")
+    val base = (0L until 200L).map(i => (i, i.toString)).toDF("id", "v")
+    Merge.writeKeyed(base, path, "id", nBuckets = 16)
+    val before = bucketFiles(path)
+    assert(before.size == 16, "every bucket should materialize")
+    val updates = Seq((3L, "three")).toDF("id", "v")
+    val stats = Merge.upsert(spark, path, updates, "id", nBuckets = 16)
+    assert(stats.bucketsTouched == 1)
+    val after = bucketFiles(path)
+    val touched = after.keys.filter(k => before(k) != after(k))
+    assert(touched.size == 1,
+      s"exactly one bucket dir may change, got $touched")
+    // untouched buckets: identical file names and mtimes (never rewritten)
+    (before.keySet - touched.head).foreach { k =>
+      assert(before(k) == after(k), s"bucket $k was rewritten")
+    }
+  }
+
+  test("upsert of the same batch twice is idempotent") {
+    val path = freshDir("idem")
+    val base = (0L until 50L).map(i => (i, i * 1.0)).toDF("id", "x")
+    Merge.writeKeyed(base, path, "id", nBuckets = 4)
+    val updates = Seq((1L, -1.0), (60L, 60.0)).toDF("id", "x")
+    Merge.upsert(spark, path, updates, "id", nBuckets = 4)
+    val first = Merge.readKeyed(spark, path).orderBy("id").collect()
+    Merge.upsert(spark, path, updates, "id", nBuckets = 4)
+    val second = Merge.readKeyed(spark, path).orderBy("id").collect()
+    assert(first.sameElements(second))
+  }
+}

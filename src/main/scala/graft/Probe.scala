@@ -1,10 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 
-// scratch probe for round-4 timing checks; deleted before commit
+// scratch probe for round-4 checks; deleted before the final round commit.
+// Usage: runMain graft.Probe <sfDir> <outDir> q1 q2 ... — dumps the named
+// queries' results + oracle_sql.json for a selective DuckDB compare.
 object Probe {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val sfDir = args(0)
+    val outDir = args(1)
+    val names = args.drop(2).toSeq
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -14,20 +19,29 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val names = args.drop(1) match {
-      case a if a.nonEmpty => a.toSeq
-      case _ => Seq("q_stream_join_outer", "q_stream_dedup_wm", "q_multimodal_ann")
-    }
+    new java.io.File(outDir).mkdirs()
     names.foreach { n =>
-      val fn = SparkEntry.queries(n)
-      // warm + timed
-      val r0 = fn(spark, sfDir).collect()
       val t0 = System.nanoTime()
-      val r = fn(spark, sfDir).collect()
-      val dt = (System.nanoTime() - t0) / 1e9
-      println(f"PROBE $n rows=${r.length} warmRows=${r0.length} time=$dt%.2f s")
-      r.take(8).foreach(x => println(s"  $x"))
+      try {
+        SparkEntry.queries(n)(spark, sfDir).coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/$n")
+        println(f"PROBE $n ok ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      } catch { case e: Throwable =>
+        println(s"PROBE $n FAILED: ${e.getMessage}")
+      }
     }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = SparkEntry.oracleSql
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
 }

@@ -901,6 +901,88 @@ object SparkEntry {
           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
         .orderBy("user_id")
     }),
+    "q_funnel" -> ((s, dir) => {
+      // strictly-ordered conversion funnel view -> click -> purchase:
+      // a user advances a step only with an event STRICTLY AFTER their
+      // earliest qualifying previous-step event. Two window passes share
+      // one user-partitioned Exchange; ordering is (ts, event_id) so ties
+      // are engine-independent.
+      graft.pipeline.Behavior.funnel(t(s, dir, "events"),
+        "user_id", "event_type", "ts",
+        steps = Seq("view", "click", "purchase"), tiebreak = "event_id")
+        .orderBy("step")
+    }),
+    "q_retention_cohorts" -> ((s, dir) => {
+      // weekly retention cohorts: users bucketed by first-seen week,
+      // counted in every week they were active. Weeks emitted as ISO
+      // date strings (engine-portable — no DATE dtype skew)
+      graft.pipeline.Behavior.retentionCohorts(t(s, dir, "events"),
+        "user_id", timestamp_seconds(expr("ts div 1000000000")))
+        .orderBy("cohort_week", "active_week")
+    }),
+    "q_profile_numeric" -> ((s, dir) => {
+      // one-pass numeric column profiler: all metrics for all columns in
+      // ONE aggregate job (single scan), melted to (column, metric, value)
+      graft.pipeline.Profiler.profileNumeric(t(s, dir, "orders"),
+        Seq("o_totalprice", "o_custkey"))
+        .orderBy("column", "metric")
+    }),
+    "q_profile_string" -> ((s, dir) => {
+      graft.pipeline.Profiler.profileString(t(s, dir, "documents"),
+        Seq("lang", "source"))
+        .orderBy("column", "metric")
+    }),
+    "q_bloom_semi_join" -> ((s, dir) => {
+      // bloom-pruned semi join: the fact table is filtered by a broadcast
+      // Bloom filter BEFORE the shuffle, the exact semi join removes the
+      // false positives — identical rows to the plain IN-subquery by
+      // construction, which is exactly what the oracle pins
+      val neg = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+      graft.ops.BloomJoin.prunedSemiJoin(t(s, dir, "lineitem"), neg,
+        "l_suppkey", "s_suppkey", expectedItems = 200)
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "q_incremental_agg" -> ((s, dir) => {
+      // incremental aggregate maintenance: per-(user, event_type) count /
+      // exact sum / min / max built from a first batch and folded forward
+      // through two append deltas — never rescanning history. The oracle
+      // is the from-scratch aggregation over everything: incremental ==
+      // full recompute, exactly. Rebuilt fresh every run (the gate must
+      // exercise the merge path, not a cached table).
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_incr_${new java.io.File(dir).getName}").getAbsolutePath
+      val cut1 = 1704844800L * 1000000000L // 2024-01-10 UTC, nanos
+      val cut2 = 1705708800L * 1000000000L // 2024-01-20 UTC, nanos
+      val e = t(s, dir, "events").select("user_id", "event_type", "ts",
+        "value")
+      val keys = Seq("user_id", "event_type")
+      graft.pipeline.IncrementalAgg.init(
+        e.filter(col("ts") < cut1), path, keys, "value")
+      graft.pipeline.IncrementalAgg.update(s, path,
+        e.filter(col("ts") >= cut1 && col("ts") < cut2), keys, "value")
+      graft.pipeline.IncrementalAgg.update(s, path,
+        e.filter(col("ts") >= cut2), keys, "value")
+      graft.pipeline.IncrementalAgg.read(s, path)
+        .orderBy("user_id", "event_type")
+    }),
+    "q_pagerank" -> ((s, dir) => {
+      // bounded-iteration PageRank over the undirected customer-supplier
+      // interaction graph (edges = who traded with whom via orders):
+      // 3 rounds of join-by-src + aggregate-by-dst. Doubles reorder
+      // across engines, so the gate compares at 3 decimals (~1e-13
+      // accumulated error vs 5e-4 granularity — see Graph.scala)
+      val ed = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      val undirected = ed.union(
+        ed.select(col("dst").as("src"), col("src").as("dst")))
+      graft.pipeline.Graph.pageRank(undirected, "src", "dst", iters = 3)
+        .select(col("node"), round(col("rank"), 3).as("rank"))
+        .orderBy("node")
+    }),
     "q_window_funcs" -> ((s, dir) => {
       // window-function breadth: lag/lead/percent_rank/ntile/cume_dist
       // under one fully-deterministic ordering (orderkey tiebreak)
@@ -2285,6 +2367,153 @@ object SparkEntry {
          FROM e WHERE user_id BETWEEN 50 AND 149
            AND ts_micros < 1717200000000000
          GROUP BY user_id ORDER BY user_id""",
+    "q_funnel" ->
+      """WITH e AS (
+           SELECT user_id, event_type, epoch_ns(ts) AS tsn, event_id
+           FROM events),
+         m0 AS (
+           SELECT *, CASE WHEN event_type = 'view' THEN tsn END AS q0,
+                  min(CASE WHEN event_type = 'view' THEN tsn END)
+                    OVER (PARTITION BY user_id ORDER BY tsn, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS r0
+           FROM e),
+         m1 AS (
+           SELECT *, CASE WHEN event_type = 'click' AND tsn > r0
+                          THEN tsn END AS q1,
+                  min(CASE WHEN event_type = 'click' AND tsn > r0
+                           THEN tsn END)
+                    OVER (PARTITION BY user_id ORDER BY tsn, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS r1
+           FROM m0),
+         m2 AS (
+           SELECT *, CASE WHEN event_type = 'purchase' AND tsn > r1
+                          THEN tsn END AS q2
+           FROM m1),
+         u AS (
+           SELECT user_id, max(q0 IS NOT NULL) AS a0,
+                  max(q1 IS NOT NULL) AS a1, max(q2 IS NOT NULL) AS a2
+           FROM m2 GROUP BY user_id)
+         SELECT step, event_type, users FROM (
+           SELECT 1 AS step, 'view' AS event_type,
+                  CAST(sum(CASE WHEN a0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS users FROM u
+           UNION ALL
+           SELECT 2, 'click',
+                  CAST(sum(CASE WHEN a1 THEN 1 ELSE 0 END) AS BIGINT) FROM u
+           UNION ALL
+           SELECT 3, 'purchase',
+                  CAST(sum(CASE WHEN a2 THEN 1 ELSE 0 END) AS BIGINT) FROM u)
+         ORDER BY step""",
+    "q_retention_cohorts" ->
+      """WITH e AS (
+           SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS t
+           FROM events),
+         f AS (
+           SELECT user_id,
+                  strftime(date_trunc('week', min(t)), '%Y-%m-%d')
+                    AS cohort_week
+           FROM e GROUP BY user_id),
+         a AS (
+           SELECT DISTINCT user_id,
+                  strftime(date_trunc('week', t), '%Y-%m-%d') AS active_week
+           FROM e)
+         SELECT cohort_week, active_week,
+                count(DISTINCT a.user_id) AS n_users
+         FROM a JOIN f USING (user_id)
+         GROUP BY cohort_week, active_week
+         ORDER BY cohort_week, active_week""",
+    "q_profile_numeric" ->
+      """WITH m AS (
+           SELECT 'o_totalprice' AS "column", 'count' AS metric,
+                  CAST(count(o_totalprice) AS DOUBLE) AS value FROM orders
+           UNION ALL SELECT 'o_totalprice', 'nulls',
+                  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                       AS DOUBLE) FROM orders
+           UNION ALL SELECT 'o_totalprice', 'distinct',
+                  CAST(count(DISTINCT o_totalprice) AS DOUBLE) FROM orders
+           UNION ALL SELECT 'o_totalprice', 'min',
+                  CAST(min(o_totalprice) AS DOUBLE) FROM orders
+           UNION ALL SELECT 'o_totalprice', 'max',
+                  CAST(max(o_totalprice) AS DOUBLE) FROM orders
+           UNION ALL SELECT 'o_totalprice', 'sum',
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+                  FROM orders
+           UNION ALL SELECT 'o_custkey', 'count',
+                  CAST(count(o_custkey) AS DOUBLE) FROM orders
+           UNION ALL SELECT 'o_custkey', 'nulls',
+                  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                       AS DOUBLE) FROM orders
+           UNION ALL SELECT 'o_custkey', 'distinct',
+                  CAST(count(DISTINCT o_custkey) AS DOUBLE) FROM orders
+           UNION ALL SELECT 'o_custkey', 'min',
+                  CAST(min(o_custkey) AS DOUBLE) FROM orders
+           UNION ALL SELECT 'o_custkey', 'max',
+                  CAST(max(o_custkey) AS DOUBLE) FROM orders
+           UNION ALL SELECT 'o_custkey', 'sum',
+                  CAST(sum(CAST(o_custkey AS DECIMAL(28,2))) AS DOUBLE)
+                  FROM orders)
+         SELECT "column", metric, value FROM m ORDER BY "column", metric""",
+    "q_profile_string" ->
+      """WITH m AS (
+           SELECT 'lang' AS "column", 'count' AS metric,
+                  CAST(count(lang) AS DOUBLE) AS value FROM documents
+           UNION ALL SELECT 'lang', 'nulls',
+                  CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+                       AS DOUBLE) FROM documents
+           UNION ALL SELECT 'lang', 'distinct',
+                  CAST(count(DISTINCT lang) AS DOUBLE) FROM documents
+           UNION ALL SELECT 'lang', 'total_length',
+                  CAST(sum(length(lang)) AS DOUBLE) FROM documents
+           UNION ALL SELECT 'source', 'count',
+                  CAST(count(source) AS DOUBLE) FROM documents
+           UNION ALL SELECT 'source', 'nulls',
+                  CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)
+                       AS DOUBLE) FROM documents
+           UNION ALL SELECT 'source', 'distinct',
+                  CAST(count(DISTINCT source) AS DOUBLE) FROM documents
+           UNION ALL SELECT 'source', 'total_length',
+                  CAST(sum(length(source)) AS DOUBLE) FROM documents)
+         SELECT "column", metric, value FROM m ORDER BY "column", metric""",
+    "q_bloom_semi_join" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+         WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                             WHERE s_acctbal < 0)
+         ORDER BY l_orderkey, l_linenumber""",
+    "q_incremental_agg" ->
+      """SELECT user_id, event_type, count(*) AS cnt,
+                min(value) AS min_v, max(value) AS max_v,
+                CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_v
+         FROM events GROUP BY user_id, event_type
+         ORDER BY user_id, event_type""",
+    "q_pagerank" ->
+      """WITH ed AS (
+           SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         e AS (SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed),
+         n AS (SELECT DISTINCT src AS node FROM e),
+         d AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM n),
+         c1 AS (SELECT e.dst AS node, sum(r0.rank / d.deg) AS contrib
+                FROM e JOIN d ON e.src = d.src
+                JOIN r0 ON r0.node = e.src GROUP BY e.dst),
+         r1 AS (SELECT n.node, CAST(0.15 AS DOUBLE)
+                  + CAST(0.85 AS DOUBLE) * COALESCE(c1.contrib, 0) AS rank
+                FROM n LEFT JOIN c1 USING (node)),
+         c2 AS (SELECT e.dst AS node, sum(r1.rank / d.deg) AS contrib
+                FROM e JOIN d ON e.src = d.src
+                JOIN r1 ON r1.node = e.src GROUP BY e.dst),
+         r2 AS (SELECT n.node, CAST(0.15 AS DOUBLE)
+                  + CAST(0.85 AS DOUBLE) * COALESCE(c2.contrib, 0) AS rank
+                FROM n LEFT JOIN c2 USING (node)),
+         c3 AS (SELECT e.dst AS node, sum(r2.rank / d.deg) AS contrib
+                FROM e JOIN d ON e.src = d.src
+                JOIN r2 ON r2.node = e.src GROUP BY e.dst),
+         r3 AS (SELECT n.node, CAST(0.15 AS DOUBLE)
+                  + CAST(0.85 AS DOUBLE) * COALESCE(c3.contrib, 0) AS rank
+                FROM n LEFT JOIN c3 USING (node))
+         SELECT node, round(rank, 3) AS rank FROM r3 ORDER BY node""",
     "q_window_funcs" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
                 lag(o_totalprice) OVER w AS prev_price,

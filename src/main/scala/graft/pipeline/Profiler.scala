@@ -1,0 +1,63 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One-pass column profiler: the "what is in this table" primitive run
+  * before any pipeline touches a new 100 TB drop. All metrics for all
+  * requested columns ride in ONE aggregate job (a single scan, map-side
+  * partials), then melt to (column, metric, value) rows. Exact counts —
+  * the approx variants (approx_count_distinct) are the documented swap at
+  * scales where exact distinct is itself a shuffle problem.
+  */
+object Profiler {
+
+  /** Numeric profile: count / nulls / distinct / min / max / sum (exact
+    * decimal, emitted as double). One row per (column, metric).
+    */
+  def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs >= 1 column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).cast("double").as(s"__cnt_$c"),
+        sum(col(c).isNull.cast("long")).cast("double").as(s"__null_$c"),
+        countDistinct(col(c)).cast("double").as(s"__dist_$c"),
+        min(col(c)).cast("double").as(s"__min_$c"),
+        max(col(c)).cast("double").as(s"__max_$c"),
+        sum(col(c).cast("decimal(28,2)")).cast("double").as(s"__sum_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.flatMap { c =>
+      Seq("cnt" -> "count", "null" -> "nulls", "dist" -> "distinct",
+        "min" -> "min", "max" -> "max", "sum" -> "sum").map {
+        case (tag, metric) =>
+          struct(lit(c).as("column"), lit(metric).as("metric"),
+            col(s"__${tag}_$c").as("value"))
+      }
+    }
+    one.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.column"), col("r.metric"), col("r.value"))
+  }
+
+  /** String profile: count / nulls / distinct / total length. */
+  def profileString(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs >= 1 column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).cast("double").as(s"__cnt_$c"),
+        sum(col(c).isNull.cast("long")).cast("double").as(s"__null_$c"),
+        countDistinct(col(c)).cast("double").as(s"__dist_$c"),
+        sum(length(col(c)).cast("long")).cast("double").as(s"__len_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.flatMap { c =>
+      Seq("cnt" -> "count", "null" -> "nulls", "dist" -> "distinct",
+        "len" -> "total_length").map { case (tag, metric) =>
+        struct(lit(c).as("column"), lit(metric).as("metric"),
+          col(s"__${tag}_$c").as("value"))
+      }
+    }
+    one.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.column"), col("r.metric"), col("r.value"))
+  }
+}

@@ -1,0 +1,65 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BehaviorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(rows: Seq[(Long, String, Long, Long)]) =
+    Behavior.funnel(rows.toDF("u", "et", "ts", "id"),
+      "u", "et", "ts", Seq("view", "click", "purchase"), "id")
+      .orderBy("step")
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
+
+  test("funnel enforces strict event ordering per user") {
+    val rows = Seq(
+      // u1: full ordered funnel
+      (1L, "view", 10L, 1L), (1L, "click", 20L, 2L),
+      (1L, "purchase", 30L, 3L),
+      // u2: clicked BEFORE viewing — click must not count
+      (2L, "click", 10L, 4L), (2L, "view", 20L, 5L),
+      // u3: view+click but purchase BEFORE the click — no step 3
+      (3L, "view", 10L, 6L), (3L, "purchase", 15L, 7L),
+      (3L, "click", 20L, 8L),
+      // u4: never viewed
+      (4L, "click", 10L, 9L), (4L, "purchase", 20L, 10L))
+    val f = run(rows)
+    assert(f(1) == 3L, "u1,u2,u3 viewed")
+    assert(f(2) == 2L, "only u1 and u3 clicked after a view")
+    assert(f(3) == 1L, "only u1 purchased after a qualifying click")
+  }
+
+  test("equal timestamps do not advance a step (strictly-after)") {
+    val rows = Seq((1L, "view", 10L, 1L), (1L, "click", 10L, 2L))
+    val f = run(rows)
+    assert(f(1) == 1L && f(2) == 0L)
+  }
+
+  test("a later view cannot resurrect an earlier click") {
+    // click at t=5, view at t=10: running-min of view time at the click
+    // row is null — the click must not qualify retroactively
+    val rows = Seq((1L, "click", 5L, 1L), (1L, "view", 10L, 2L),
+      (1L, "purchase", 20L, 3L))
+    val f = run(rows)
+    assert(f(1) == 1L && f(2) == 0L && f(3) == 0L)
+  }
+
+  test("retention cohorts: each user counted once per active week") {
+    val day = 86400L
+    def ts(d: Int) = lit(1704067200L + d * day).cast("timestamp") // 2024-01-01
+    val e = Seq(
+      (1L, 0), (1L, 1), (1L, 8),   // u1: cohort wk1, active wk1+wk2
+      (2L, 8), (2L, 9))            // u2: cohort wk2, active wk2
+      .toDF("user_id", "d")
+      .withColumn("t", to_timestamp(from_unixtime(lit(1704067200L) +
+        col("d") * day)))
+    val out = Behavior.retentionCohorts(e, "user_id", col("t"))
+      .orderBy("cohort_week", "active_week").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      ("2024-01-01", "2024-01-01", 1L),
+      ("2024-01-01", "2024-01-08", 1L),
+      ("2024-01-08", "2024-01-08", 1L)))
+  }
+}

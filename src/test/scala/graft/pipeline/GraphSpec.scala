@@ -1,0 +1,41 @@
+package graft.pipeline
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank matches the hand-computed fixpoint steps on a triangle") {
+    // directed cycle a->b->c->a, all out-degrees 1: every iteration
+    // rank(x) = 0.15 + 0.85 * rank(prev(x)); starting from 1.0 all ranks
+    // stay exactly 1.0 at every iteration
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("s", "d")
+    val r = Graph.pageRank(edges, "s", "d", iters = 3)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r.size == 3)
+    r.values.foreach(v => assert(math.abs(v - 1.0) < 1e-12))
+  }
+
+  test("pageRank hand-check on a star: hub accumulates, leaves drain") {
+    // leaves l1,l2,l3 -> hub. iter1: hub = 0.15 + 0.85*3 = 2.7;
+    // leaves have no in-edges: 0.15. iter2: hub = 0.15 + 0.85*(0.15*3)
+    // = 0.5325 (leaf ranks from iter1)
+    val edges = Seq(("l1", "h"), ("l2", "h"), ("l3", "h")).toDF("s", "d")
+    val i1 = Graph.pageRank(edges, "s", "d", iters = 1)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(i1("h") - 2.7) < 1e-12)
+    assert(math.abs(i1("l1") - 0.15) < 1e-12)
+    val i2 = Graph.pageRank(edges, "s", "d", iters = 2)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(i2("h") - (0.15 + 0.85 * 3 * 0.15)) < 1e-12)
+  }
+
+  test("duplicate edges weight contributions, as documented") {
+    // a->b twice, a->c once: deg(a)=3, b gets 2/3, c gets 1/3
+    val edges = Seq(("a", "b"), ("a", "b"), ("a", "c")).toDF("s", "d")
+    val r = Graph.pageRank(edges, "s", "d", iters = 1)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r("b") - (0.15 + 0.85 * 2.0 / 3)) < 1e-12)
+    assert(math.abs(r("c") - (0.15 + 0.85 * 1.0 / 3)) < 1e-12)
+  }
+}

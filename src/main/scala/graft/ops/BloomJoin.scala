@@ -25,6 +25,13 @@ object BloomJoin {
   def prunedSemiJoin(large: DataFrame, small: DataFrame, largeKey: String,
       smallKey: String, expectedItems: Long,
       fpp: Double = 0.01): DataFrame = {
+    // an empty build side would crash the sketch aggregate — and means an
+    // empty result; emit it through the same join shape so the plan (and
+    // any pin on it) stays identical
+    if (small.isEmpty)
+      return large.filter(lit(false))
+        .join(small.select(col(smallKey).as(largeKey)).distinct(),
+          Seq(largeKey), "left_semi")
     val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
     val bc = large.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf { k: Any =>

@@ -146,6 +146,40 @@ class PlanShapeSpec extends SparkSpec {
       s"cluster-key filter not pushed in:\n$p")
   }
 
+  test("bloom semi-join: the bloom filter sits under the join, above the scan") {
+    // sf0.01: sf0.001 has no negative-balance supplier, which takes the
+    // empty-build-side path (same join shape, no bloom UDF to pin)
+    val p = SparkEntry.queries("q_bloom_semi_join")(
+      spark, "/root/testdata/sf0.01").queryExecution.executedPlan.toString
+    val semiAt = p.indexOf("LeftSemi")
+    assert(semiAt >= 0, s"no left-semi join in:\n$p")
+    // the pruning UDF filter must appear in the large side's subtree,
+    // i.e. AFTER the join node in the plan's top-down rendering
+    val udfAt = p.indexOf("UDF(l_suppkey", semiAt)
+    assert(udfAt > semiAt, s"bloom UDF filter not under the join:\n$p")
+  }
+
+  test("tpch q16 NOT IN shape plans as a left-anti join") {
+    val p = plan("q_tpch_q16")
+    assert(p.contains("LeftAnti"), s"no left-anti join in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"NOT IN must not plan a nested loop here:\n$p")
+  }
+
+  test("tpch q2 decorrelates to one window over the part-partitioned supply") {
+    val p = plan("q_tpch_q2")
+    assert(p.contains("Window"), s"expected window-min decorrelation:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
+  }
+
+  test("funnel's two window passes share one user-partitioned exchange") {
+    val p = plan("q_funnel")
+    val exchanges = "Exchange hashpartitioning\\(user_id".r
+      .findAllMatchIn(p).length
+    assert(exchanges == 1,
+      s"expected exactly 1 user_id exchange for all funnel windows, got $exchanges in:\n$p")
+  }
+
   test("identically bucketed tables join with zero shuffle") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

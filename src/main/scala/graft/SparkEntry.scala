@@ -1219,6 +1219,19 @@ object SparkEntry {
           maxFrac = 0.05)
         .select("doc_id").orderBy("doc_id")
     }),
+    "q_bpe_roundtrip" -> ((s, dir) => {
+      // REAL BPE tokenizer training (Sennrich-style merge learning on the
+      // distinct-word table) + tokenization, gated through the invariant
+      // SQL can check without modeling BPE: detokenizing every document's
+      // tokens rebuilds its whitespace-normalized text exactly. Merge
+      // learning itself is pinned by hand-computed fixtures in BpeSpec.
+      val docs = t(s, dir, "documents")
+      val merges = graft.pipeline.Bpe.train(docs, "text", nMerges = 8)
+      graft.pipeline.Bpe.tokenize(docs, "text", merges)
+        .select(col("doc_id"),
+          graft.pipeline.Bpe.detokenize(col("tokens")).as("rebuilt"))
+        .orderBy("doc_id")
+    }),
     "q_tfidf" -> ((s, dir) => {
       // per-document characteristic terms, TF-IDF style: rank on exact
       // integers (tf DESC, global doc-freq ASC, term ASC) — the TF-IDF
@@ -2873,6 +2886,12 @@ object SparkEntry {
                  [array_to_string(toks[i:i+7], ' ')
                   for i in generate_series(1, len(toks) - 7)])) * 50
          ORDER BY te.doc_id""",
+    "q_bpe_roundtrip" ->
+      """SELECT doc_id,
+                array_to_string(
+                  string_split_regex(trim(lower(text)), '\s+'), ' ')
+                  AS rebuilt
+         FROM documents ORDER BY doc_id""",
     "q_tfidf" ->
       """WITH tok AS (
            SELECT doc_id,

@@ -1,0 +1,124 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer: distributed TRAINING (Sennrich et al.
+  * 2016 — learn merges from corpus statistics) plus tokenization with the
+  * learned merges. The real thing, not the regex token-count
+  * approximation in TextAnalysis.
+  *
+  * Scale shape: the 100 TB part — scanning the corpus — is ONE distributed
+  * explode + hash aggregate down to the distinct-word frequency table
+  * (shuffle bounded by vocabulary, not corpus size; the ngramCounts
+  * shape), capped to the `maxWords` most frequent words with a
+  * deterministic (freq DESC, word ASC) order. The merge-learning loop then
+  * runs driver-side over that bounded table — which is how production BPE
+  * trainers work (the loop is O(vocab × merges) integer counting; pushing
+  * each round through a Spark job would pay ~1s of scheduling per merge to
+  * save microseconds of compute). Ties on pair frequency break
+  * lexicographically, so training is deterministic on any partitioning.
+  *
+  * Tokenization broadcasts the merge list (bounded by nMerges) and applies
+  * merges per word in priority order — words never shuffle.
+  */
+object Bpe {
+
+  /** A learned merge: adjacent symbols `a`+`b` fuse into `a+b`. Rank is
+    * the training order = application priority.
+    */
+  final case class BpeMerge(rank: Int, a: String, b: String)
+
+  private val endMark = "</w>" // end-of-word marker, standard BPE
+
+  private def toSymbols(word: String): Seq[String] =
+    word.map(_.toString) :+ endMark
+
+  /** One greedy merge application to one symbol sequence. */
+  private def applyMerge(sym: Seq[String], a: String, b: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < sym.length) {
+      if (i + 1 < sym.length && sym(i) == a && sym(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += sym(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** Learn `nMerges` merges from the corpus' lowercased whitespace words.
+    * One distributed job (word frequencies, capped at `maxWords` by
+    * descending frequency), then the standard driver-side merge loop over
+    * the bounded table. Returns the ordered merge list.
+    */
+  def train(df: DataFrame, textCol: String, nMerges: Int,
+      maxWords: Int = 200000): Seq[BpeMerge] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wordFreq = df
+      .select(explode(TextAnalysis.tokensCol(lower(col(textCol)))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w").asc)
+      .limit(maxWords)
+      .as[(String, Long)].collect()
+    val words: Array[(Array[String], Long)] =
+      wordFreq.map { case (w, f) => (toSymbols(w).toArray, f) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    var continue = true
+    while (continue && merges.length < nMerges) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (sym, f) =>
+        var i = 0
+        while (i < sym.length - 1) {
+          val k = (sym(i), sym(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) continue = false
+      else {
+        val ((a, b), n) = counts.minBy { case ((x, y), c) => (-c, x, y) }
+        if (n < 2) continue = false // nothing left worth merging
+        else {
+          merges += BpeMerge(merges.length, a, b)
+          var j = 0
+          while (j < words.length) {
+            words(j) = (applyMerge(words(j)._1, a, b).toArray, words(j)._2)
+            j += 1
+          }
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Tokenize `textCol` with a learned merge list: adds an array<string>
+    * `tokens` column (end-of-word markers kept — `x</w>` means "x at word
+    * end", the standard surface form).
+    */
+  def tokenize(df: DataFrame, textCol: String,
+      merges: Seq[BpeMerge]): DataFrame = {
+    val ordered = merges.sortBy(_.rank).map(m => (m.a, m.b))
+    val bc = df.sparkSession.sparkContext.broadcast(ordered)
+    val tokUdf = udf { text: String =>
+      if (text == null) Seq.empty[String]
+      else {
+        val words = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+        words.toSeq.flatMap { w =>
+          var sym = toSymbols(w)
+          bc.value.foreach { case (a, b) => sym = applyMerge(sym, a, b) }
+          sym
+        }
+      }
+    }
+    df.withColumn("tokens", tokUdf(col(textCol)))
+  }
+
+  /** The tokenizer's losslessness invariant: tokens of a word, markers
+    * stripped and concatenated, rebuild the normalized word. Exposed as a
+    * column so gates can pin it corpus-wide.
+    */
+  def detokenize(tokens: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(concat_ws("", tokens),
+      java.util.regex.Pattern.quote(endMark), " "))
+}

@@ -71,6 +71,17 @@ object ScaleSmoke {
         .filter(col("doc_id") < 1000L * factor)
       time(s"exact_jaccard")(Dedup.exactJaccardPairs(deduped, "doc_id",
         col("text"), threshold = 0.8))
+      // round-4 ops. decontaminate: the train side's DISTINCT shingle set
+      // absorbs the copy inflation (copies collapse), so the semi-join
+      // right side stays ~constant while the left grows linearly — the
+      // shape that must NOT go quadratic here
+      time(s"decontaminate")(graft.pipeline.Decontaminate.overlapCounts(
+        d.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        d.filter(col("doc_id") % 10 =!= 0), "text"))
+      val merges = graft.pipeline.Bpe.train(d, "text", nMerges = 8)
+      time(s"bpe_tokenize")(graft.pipeline.Bpe.tokenize(d, "text", merges))
+      time(s"tfidf")(graft.pipeline.Frequency.tfidfTopTerms(
+        d, "doc_id", "text", k = 3))
     }
     spark.stop()
   }

@@ -1800,28 +1800,35 @@ object SparkEntry {
       // boundaries, so the availableNow run equals the batch BETWEEN join
       // the oracle computes.
       val schema = t(s, dir, "events").schema
-      def src() = EventStreams.withEventTime(
-        s.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir))
-      val clicks = src().filter(col("event_type") === "click")
-        .select(col("event_id").as("click_id"), col("user_id"),
-          col("event_time").as("click_time"))
-        .withWatermark("click_time", "1 hour")
-      val purchases = src().filter(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"),
-          col("user_id").as("p_user"), col("event_time").as("purchase_time"))
-        .withWatermark("purchase_time", "1 hour")
-      val q = clicks.join(purchases,
-        col("user_id") === col("p_user") &&
-          col("purchase_time") >= col("click_time") &&
-          col("purchase_time") <
-            col("click_time") + expr("INTERVAL 1 HOUR"))
-        .select("click_id", "purchase_id")
-        .writeStream.format("memory").queryName("q_stream_join_sink")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // 8 partitions: a stream-stream join commits 4 state stores per
+      // shuffle partition per batch; this single-batch run over the whole
+      // events table keeps ~75k rows/partition of parallelism while
+      // paying a quarter of the 32-partition state-commit overhead.
+      // Production streams size this by sustained rate, not one batch.
+      withShufflePartitions(s, 8) {
+        def src() = EventStreams.withEventTime(
+          s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir))
+        val clicks = src().filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("event_time").as("click_time"))
+          .withWatermark("click_time", "1 hour")
+        val purchases = src().filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+            col("user_id").as("p_user"), col("event_time").as("purchase_time"))
+          .withWatermark("purchase_time", "1 hour")
+        val q = clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("purchase_time") >= col("click_time") &&
+            col("purchase_time") <
+              col("click_time") + expr("INTERVAL 1 HOUR"))
+          .select("click_id", "purchase_id")
+          .writeStream.format("memory").queryName("q_stream_join_sink")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table("q_stream_join_sink").orderBy("click_id", "purchase_id")
     }),
     "q_stream_join_outer" -> ((s, dir) => {

@@ -25,11 +25,16 @@ object Decontaminate {
     */
   def overlapCounts(test: DataFrame, idCol: String, textCol: String,
       train: DataFrame, trainTextCol: String, n: Int = 8): DataFrame = {
-    val sh = Shingles.wordShingles(col(textCol), n)
+    // one-kernel shingle emission (TextAnalysis.shinglesUdf): the Catalyst
+    // wordShingles lambda tree re-tokenizes per element and measures ~6x
+    // slower on exactly this shape — the train-side explode dominates the
+    // whole operator's cost, so the kernel is the difference between the
+    // corpus scan being the bottleneck and the (cheap) semi join being it
+    val sh = TextAnalysis.shinglesUdf(n)(col(textCol))
     val testSh = test.select(col(idCol),
       explode(array_distinct(sh)).as("__sh"))
     val trainSh = train.select(
-      explode(array_distinct(Shingles.wordShingles(col(trainTextCol), n)))
+      explode(array_distinct(TextAnalysis.shinglesUdf(n)(col(trainTextCol))))
         .as("__sh"))
       .distinct()
     val contaminated = testSh.join(trainSh, Seq("__sh"), "left_semi")

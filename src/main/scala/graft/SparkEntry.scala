@@ -966,6 +966,66 @@ object SparkEntry {
       graft.pipeline.IncrementalAgg.read(s, path)
         .orderBy("user_id", "event_type")
     }),
+    "q_stream_incremental" -> ((s, dir) => {
+      // streaming maintenance of the incremental aggregate: the events
+      // table arrives as three authored micro-batch files; foreachBatch
+      // folds each into the IncrementalAgg state table — the streaming
+      // form of the incremental-ETL gate. The fold is commutative and
+      // exact (count/decimal-sum/min/max), so ANY batch arrival order
+      // yields the identical state, and the oracle is simply the
+      // from-scratch aggregation over everything.
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val sfName = new java.io.File(dir).getName
+      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_stream_incr_$sfName")
+      val inDir = base.resolve("in")
+      val statePath = base.resolve("state").toString
+      // fresh state + inputs every run: the gate must exercise the fold
+      def rmTree(p: java.nio.file.Path): Unit =
+        if (Files.exists(p)) {
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.delete(f))
+        }
+      rmTree(base)
+      Files.createDirectories(inDir)
+      val cut1 = 1704844800L * 1000000000L // 2024-01-10 UTC, nanos
+      val cut2 = 1705708800L * 1000000000L // 2024-01-20 UTC, nanos
+      val e = t(s, dir, "events").select("user_id", "event_type", "ts",
+        "value")
+      val slices = Seq(
+        ("b1.parquet", e.filter(col("ts") < cut1)),
+        ("b2.parquet", e.filter(col("ts") >= cut1 && col("ts") < cut2)),
+        ("b3.parquet", e.filter(col("ts") >= cut2)))
+      slices.zipWithIndex.foreach { case ((name, df), i) =>
+        val stage = base.resolve(s"stage_$i")
+        df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = Files.list(stage).filter(_.toString.endsWith(".parquet"))
+          .findFirst().get()
+        Files.move(part, inDir.resolve(name),
+          StandardCopyOption.REPLACE_EXISTING)
+        inDir.resolve(name).toFile
+          .setLastModified(1700000000000L + i * 60000L)
+      }
+      val keys = Seq("user_id", "event_type")
+      withShufflePartitions(s, 8) {
+        val q = s.readStream.schema(e.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            if (!Files.exists(Paths.get(statePath)))
+              graft.pipeline.IncrementalAgg.init(batch, statePath, keys,
+                "value")
+            else
+              graft.pipeline.IncrementalAgg.update(s, statePath, batch,
+                keys, "value")
+          }
+          .start()
+        q.awaitTermination()
+      }
+      graft.pipeline.IncrementalAgg.read(s, statePath)
+        .orderBy("user_id", "event_type")
+    }),
     "q_pagerank" -> ((s, dir) => {
       // bounded-iteration PageRank over the undirected customer-supplier
       // interaction graph (edges = who traded with whom via orders):
@@ -2502,6 +2562,13 @@ object SparkEntry {
                              WHERE s_acctbal < 0)
          ORDER BY l_orderkey, l_linenumber""",
     "q_incremental_agg" ->
+      """SELECT user_id, event_type, count(*) AS cnt,
+                min(value) AS min_v, max(value) AS max_v,
+                CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_v
+         FROM events GROUP BY user_id, event_type
+         ORDER BY user_id, event_type""",
+    // the streaming fold must land on the identical state
+    "q_stream_incremental" ->
       """SELECT user_id, event_type, count(*) AS cnt,
                 min(value) AS min_v, max(value) AS max_v,
                 CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_v

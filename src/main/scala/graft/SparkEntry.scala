@@ -1562,6 +1562,38 @@ object SparkEntry {
         .select("query_id", "neighbor_id", "rank")
         .orderBy("query_id")
     }),
+    "q_sim_search_pq" -> ((s, dir) => {
+      // product-quantization path end to end: train subspace codebooks,
+      // encode the corpus to m=8 byte codes, rank by ADC lookups. An
+      // exact copy encodes to identical codes, so its ADC distance is the
+      // minimum attainable (the query's own quantization residual) and
+      // with 64^8 code cells no natural vector ties it — top-1 per query
+      // is its planted copy
+      val emb = t(s, dir, "embeddings")
+      val planted = emb.filter(col("vec_id") < 5)
+        .withColumn("vec_id", col("vec_id") + lit(1000000L))
+      val corpus = emb.union(planted)
+      val model = Similarity.Pq.train(corpus, "vec_id", "embedding",
+        dim = 64, m = 8, k = 64)
+      val enc = Similarity.Pq.encode(corpus, "vec_id", "embedding", model)
+      Similarity.Pq.topK(enc, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", model, k = 1)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id")
+    }),
+    "q_salted_join" -> ((s, dir) => {
+      // salted (skew-safe) equi-join: the hot key's rows spread over
+      // `salts` tasks; row-for-row identical to the plain join, which is
+      // exactly what the oracle pins
+      val right = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+      graft.ops.Skew.saltedJoin(
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_suppkey"),
+        right, "l_suppkey", salts = 4)
+        .select("l_orderkey", "l_linenumber", "s_name")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
     "q_sim_search_lsh" -> ((s, dir) => {
       // planted-dupe expectation gate: each query's exact copy (id +1e6)
       // lands in the query's own bucket with cosine ~1.0, far above the
@@ -3311,6 +3343,14 @@ object SparkEntry {
       """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
                 CAST(1 AS INT) AS rank
          FROM embeddings WHERE vec_id < 5 ORDER BY query_id""",
+    "q_sim_search_pq" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
+                CAST(1 AS INT) AS rank
+         FROM embeddings WHERE vec_id < 5 ORDER BY query_id""",
+    "q_salted_join" ->
+      """SELECT l_orderkey, l_linenumber, s_name
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         ORDER BY l_orderkey, l_linenumber""",
     // the render contract: a real PNG whose pixel dims are a pure
     // function of the UTF-8 byte length (width = 16 + n % 16,
     // height = 8 * (1 + n % 4)); the Spark side reports what ImageIO

@@ -47,4 +47,28 @@ object Skew {
     partial.groupBy(keys.map(col): _*)
       .agg(finalAggs.head, finalAggs.tail: _*)
   }
+
+  /** Salted (skew-safe) equi-join: the explicit form of what AQE's
+    * skew-join split does at runtime, usable when AQE is off (streaming
+    * micro-batches), when the skew is known up front, or when the planner
+    * under-estimates it.
+    *
+    * The LEFT (large, skewed) side gets a deterministic salt in
+    * [0, salts); the RIGHT side is replicated `salts` times; the join key
+    * becomes (key, salt), so one hot key's rows spread over `salts` tasks
+    * instead of one straggler. Row-for-row identical to the plain join
+    * (each left row meets each right row exactly once — at the left row's
+    * own salt). Cost: right side shuffles `salts`x — size the fan-out to
+    * the hot key, not to the cluster.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      salts: Int = 16, joinType: String = "inner"): DataFrame = {
+    require(salts >= 1, "salts must be >= 1")
+    val l = left.withColumn("__salt",
+      saltCol(salts, left.columns.map(col).toSeq))
+    val r = right.crossJoin(
+        broadcast(right.sparkSession.range(salts).toDF("__salt")))
+      .withColumn("__salt", col("__salt").cast("int"))
+    l.join(r, Seq(key, "__salt"), joinType).drop("__salt")
+  }
 }

@@ -30,4 +30,26 @@ class SkewSpec extends SparkSpec {
     assert(s1.forall(s => s >= 0 && s < 16))
     assert(s1.distinct.size > 4) // actually spreads
   }
+
+  test("saltedJoin equals the plain join on hot-key data") {
+    // 90% of left rows share one hot key — the scenario the salt exists for
+    val left = (1 to 1000).map(i =>
+      (if (i <= 900) 7L else i.toLong % 20, i)).toDF("k", "lv")
+    val right = (0L until 20L).map(k => (k, s"dim_$k")).toDF("k", "rv")
+    val plain = left.join(right, Seq("k")).orderBy("k", "lv")
+      .collect().map(_.toSeq).toSeq
+    val salted = Skew.saltedJoin(left, right, "k", salts = 4)
+      .orderBy("k", "lv").collect().map(_.toSeq).toSeq
+    assert(salted == plain)
+  }
+
+  test("saltedJoin preserves left_outer semantics (unmatched rows kept once)") {
+    val left = Seq((1L, "a"), (2L, "b"), (99L, "orphan")).toDF("k", "lv")
+    val right = Seq((1L, "x"), (2L, "y")).toDF("k", "rv")
+    val out = Skew.saltedJoin(left, right, "k", salts = 8, "left_outer")
+      .orderBy("k").collect()
+    assert(out.length == 3)
+    assert(out(2).getString(1) == "orphan" && out(2).isNullAt(2),
+      "unmatched left row must appear exactly once, null-extended")
+  }
 }

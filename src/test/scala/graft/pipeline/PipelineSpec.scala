@@ -412,6 +412,36 @@ class SimilaritySpec extends SparkSpec {
       .select("cell").as[Int].collect()
     assert(cells.length == 5 && cells.forall(c => c >= 0 && c < 2))
   }
+
+  test("Pq: identical vectors encode identically; copy wins ADC top-1") {
+    // 4-dim, m=2, k=4: four distinct subvector values, so each gets its
+    // own centroid — the near-dup (0.9,...) encodes DIFFERENTLY from the
+    // exact copy (with k=2 both would share a cell and tie on ADC)
+    val pts = Seq(
+      (1L, vec(1, 0, 1, 0)), (2L, vec(0.9, 0, 0.9, 0)),
+      (3L, vec(0, 1, 0, 1)), (4L, vec(0, 0.9, 0, 0.9)),
+      (10L, vec(1, 0, 1, 0))) // exact copy of 1
+      .toDF("vec_id", "embedding")
+    val model = Similarity.Pq.train(pts, "vec_id", "embedding", dim = 4,
+      m = 2, k = 4, sampleN = 100, iters = 5)
+    val enc = Similarity.Pq.encode(pts, "vec_id", "embedding", model)
+    val codes = enc.orderBy("neighbor_id")
+      .select("codes").as[Array[Byte]].collect()
+    assert(codes(0).toSeq == codes.last.toSeq, "copies must share codes")
+    val top = Similarity.Pq.topK(enc,
+      pts.filter($"vec_id" === 1L), "vec_id", "embedding", model, k = 1)
+      .select("neighbor_id").as[Long].head()
+    assert(top == 10L, "the exact copy must rank first by ADC")
+  }
+
+  test("Pq training is deterministic") {
+    val m1 = Similarity.Pq.train(corpus, "vec_id", "embedding", dim = 3,
+      m = 1, k = 2, iters = 4)
+    val m2 = Similarity.Pq.train(corpus, "vec_id", "embedding", dim = 3,
+      m = 1, k = 2, iters = 4)
+    assert(m1.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      m2.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {

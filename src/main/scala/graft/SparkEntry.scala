@@ -932,6 +932,49 @@ object SparkEntry {
         Seq("lang", "source"))
         .orderBy("column", "metric")
     }),
+    "q_table_diff" -> ((s, dir) => {
+      // snapshot diff (change-data view): one full-outer join on the key,
+      // null-safe column-wise compare, unchanged keys dropped — output
+      // proportional to churn. The synthetic "newer" snapshot removes
+      // every 17th key, bumps the price of every 20th, and adds 10.
+      val part = t(s, dir, "part")
+      val newer = part.filter(col("p_partkey") % 17 =!= 3)
+        .withColumn("p_retailprice",
+          when(col("p_partkey") % 20 === 0, col("p_retailprice") + 1)
+            .otherwise(col("p_retailprice")))
+        .unionByName(part.filter(col("p_partkey") < 10)
+          .withColumn("p_partkey", col("p_partkey") + lit(1000000L)))
+      graft.ops.TableDiff.diff(part, newer, Seq("p_partkey"))
+        .orderBy("p_partkey")
+    }),
+    "q_histogram" -> ((s, dir) => {
+      // equi-width histogram: bucket arithmetic is the same two IEEE ops
+      // on both engines (subtract min, divide by the shared width), so
+      // assignment at bin boundaries is bit-identical
+      graft.pipeline.Profiler.histogram(t(s, dir, "lineitem"),
+        "l_extendedprice", nBins = 10)
+        .orderBy("bin")
+    }),
+    "q_compact" -> ((s, dir) => {
+      // small-file compaction: rewrite into size-targeted files, prove
+      // the pure-rewrite contract (aggregate over the compacted copy ==
+      // aggregate over the source). CompactSpec pins the file count.
+      val src = new java.io.File(s"$dir/events.parquet")
+      val stamp = java.lang.Long.toHexString(
+        src.lastModified() * 31 + src.length())
+      val dst = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_compact_${new java.io.File(dir).getName}_$stamp")
+        .getAbsolutePath
+      if (!new java.io.File(s"$dst/_SUCCESS").exists())
+        graft.sources.Tables.compact(s, src.getAbsolutePath, dst,
+          targetBytes = 1L * 1024 * 1024)
+      s.read.parquet(dst)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .orderBy("event_type")
+    }),
     "q_bloom_semi_join" -> ((s, dir) => {
       // bloom-pruned semi join: the fact table is filtered by a broadcast
       // Bloom filter BEFORE the shuffle, the exact semi join removes the
@@ -2588,6 +2631,51 @@ object SparkEntry {
            UNION ALL SELECT 'source', 'total_length',
                   CAST(sum(length(source)) AS DOUBLE) FROM documents)
          SELECT "column", metric, value FROM m ORDER BY "column", metric""",
+    "q_table_diff" ->
+      """WITH newer AS (
+           SELECT p_partkey, p_name, p_brand, p_type, p_size,
+                  CASE WHEN p_partkey % 20 = 0 THEN p_retailprice + 1
+                       ELSE p_retailprice END AS p_retailprice
+           FROM part WHERE p_partkey % 17 <> 3
+           UNION ALL
+           SELECT p_partkey + 1000000, p_name, p_brand, p_type, p_size,
+                  p_retailprice
+           FROM part WHERE p_partkey < 10)
+         SELECT COALESCE(o.p_partkey, n.p_partkey) AS p_partkey,
+                CASE WHEN o.p_partkey IS NULL THEN 'added'
+                     WHEN n.p_partkey IS NULL THEN 'removed'
+                     WHEN (o.p_name IS DISTINCT FROM n.p_name)
+                       OR (o.p_brand IS DISTINCT FROM n.p_brand)
+                       OR (o.p_type IS DISTINCT FROM n.p_type)
+                       OR (o.p_size IS DISTINCT FROM n.p_size)
+                       OR (o.p_retailprice IS DISTINCT FROM n.p_retailprice)
+                     THEN 'changed' END AS change
+         FROM part o FULL OUTER JOIN newer n ON o.p_partkey = n.p_partkey
+         WHERE (o.p_partkey IS NULL OR n.p_partkey IS NULL
+                OR (o.p_name IS DISTINCT FROM n.p_name)
+                OR (o.p_brand IS DISTINCT FROM n.p_brand)
+                OR (o.p_type IS DISTINCT FROM n.p_type)
+                OR (o.p_size IS DISTINCT FROM n.p_size)
+                OR (o.p_retailprice IS DISTINCT FROM n.p_retailprice))
+         ORDER BY p_partkey""",
+    "q_histogram" ->
+      """WITH mm AS (
+           SELECT min(CAST(l_extendedprice AS DOUBLE)) AS mn,
+                  max(CAST(l_extendedprice AS DOUBLE)) AS mx
+           FROM lineitem),
+         b AS (
+           SELECT LEAST(CAST(floor((CAST(l_extendedprice AS DOUBLE) - mn)
+                                   / ((mx - mn) / 10)) AS INT), 9) AS bin,
+                  mn, (mx - mn) / 10 AS w
+           FROM lineitem, mm WHERE l_extendedprice IS NOT NULL)
+         SELECT bin, mn + bin * w AS lo, mn + (bin + 1) * w AS hi,
+                count(*) AS cnt
+         FROM b GROUP BY bin, mn, w ORDER BY bin""",
+    "q_compact" ->
+      """SELECT event_type, count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q_bloom_semi_join" ->
       """SELECT l_orderkey, l_linenumber FROM lineitem
          WHERE l_suppkey IN (SELECT s_suppkey FROM supplier

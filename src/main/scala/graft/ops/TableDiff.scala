@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Snapshot diff — the change-data view between two versions of a keyed
+  * table: which keys were added, removed, or changed. The regression
+  * check every pipeline rewrite wants ("same output as yesterday's
+  * build, except…") and the input to incremental downstream refresh.
+  *
+  * One full-outer join on the key; value comparison is column-wise and
+  * NULL-SAFE (a null compares equal to null, different from any value) —
+  * no serialization/hash of rows, so column order and physical layout
+  * are irrelevant, and the classification is expressible in plain SQL
+  * (IS DISTINCT FROM), which the gate exploits. Unchanged rows drop out
+  * before anything shuffles onward: the output is proportional to the
+  * churn, not the table.
+  */
+object TableDiff {
+
+  /** Diff `newer` against `older` on `key`: rows (key columns…,
+    * change ∈ added|removed|changed). Both sides must carry the same
+    * columns. Unchanged keys are omitted.
+    */
+  def diff(older: DataFrame, newer: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "diff needs >= 1 key column")
+    val valueCols = older.columns.filterNot(keys.contains).toSeq
+    require(valueCols.nonEmpty, "diff needs >= 1 non-key column")
+    val o = older.select(older.columns.map(c =>
+      if (keys.contains(c)) col(c) else col(c).as(s"__o_$c")): _*)
+      .withColumn("__in_o", lit(true))
+    val n = newer.select(newer.columns.map(c =>
+      if (keys.contains(c)) col(c) else col(c).as(s"__n_$c")): _*)
+      .withColumn("__in_n", lit(true))
+    val joined = o.join(n, keys, "full_outer")
+    val anyChanged = valueCols
+      .map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
+      .reduce(_ || _)
+    joined.select(keys.map(col) :+
+      when(col("__in_o").isNull, lit("added"))
+        .when(col("__in_n").isNull, lit("removed"))
+        .when(anyChanged, lit("changed"))
+        .otherwise(lit(null)).as("change"): _*)
+      .filter(col("change").isNotNull)
+  }
+}

@@ -39,6 +39,31 @@ object Profiler {
       .select(col("r.column"), col("r.metric"), col("r.value"))
   }
 
+  /** Equi-width histogram of a numeric column: `nBins` buckets over the
+    * data's [min, max], rows (bin, lo, hi, cnt). The top edge closes into
+    * the last bin. Bin arithmetic is the same two IEEE ops in any engine
+    * (one subtraction, one division by the same width), so bucket
+    * assignment is bit-identical — the gate leans on that.
+    * One pass for min/max (broadcast scalars), one aggregate for counts.
+    */
+  def histogram(df: DataFrame, valueCol: String, nBins: Int): DataFrame = {
+    require(nBins >= 1, "need >= 1 bin")
+    val mm = df.agg(min(col(valueCol).cast("double")).as("mn"),
+      max(col(valueCol).cast("double")).as("mx"))
+    df.select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .crossJoin(broadcast(mm))
+      .withColumn("w", (col("mx") - col("mn")) / nBins)
+      .withColumn("bin", least(
+        floor((col("v") - col("mn")) / col("w")).cast("int"), lit(nBins - 1)))
+      .groupBy("bin", "mn", "w")
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("bin"),
+        (col("mn") + col("bin") * col("w")).as("lo"),
+        (col("mn") + (col("bin") + 1) * col("w")).as("hi"),
+        col("cnt"))
+  }
+
   /** String profile: count / nulls / distinct / total length. */
   def profileString(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs >= 1 column")

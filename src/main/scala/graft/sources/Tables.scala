@@ -51,4 +51,22 @@ object Tables {
       .sortWithinPartitions(keys.map(col): _*)
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Small-file compaction: rewrite `src` into `dst` with file count
+    * sized by total bytes / `targetBytes` — the table-maintenance pass
+    * that keeps a 100 TB lake's scan task count (and namenode/listing
+    * load) proportional to data volume instead of to the accumulated
+    * micro-batch/upsert write history. Pure rewrite: rows unchanged.
+    */
+  def compact(spark: SparkSession, src: String, dst: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(src)).getLength
+    val files = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(src).repartition(files)
+      .write.mode("overwrite").parquet(dst)
+    files
+  }
 }

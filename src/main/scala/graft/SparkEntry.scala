@@ -932,6 +932,24 @@ object SparkEntry {
         Seq("lang", "source"))
         .orderBy("column", "metric")
     }),
+    "q_scd2" -> ((s, dir) => {
+      // SCD Type-2 dimension build: each user's purchase log becomes
+      // versioned rows with validity intervals — valid_from is the change
+      // time, valid_to the next change's time (null while current). One
+      // window pass; (ts, event_id) ordering makes ties deterministic.
+      // Completes the temporal pair with q_asof_join.
+      // micros on both sides: DuckDB reads TIMESTAMP(NANOS) at micro
+      // precision, so the shared unit (and the shared window ordering)
+      // is epoch micros + event_id tiebreak
+      val log = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_micros"), col("value"))
+      graft.ops.Scd.buildType2(log, "user_id", "ts_micros", "event_id")
+        .select("event_id", "user_id", "ts_micros", "value", "valid_to",
+          "is_current")
+        .orderBy("event_id")
+    }),
     "q_table_diff" -> ((s, dir) => {
       // snapshot diff (change-data view): one full-outer join on the key,
       // null-safe column-wise compare, unchanged keys dropped — output
@@ -2631,6 +2649,14 @@ object SparkEntry {
            UNION ALL SELECT 'source', 'total_length',
                   CAST(sum(length(source)) AS DOUBLE) FROM documents)
          SELECT "column", metric, value FROM m ORDER BY "column", metric""",
+    "q_scd2" ->
+      """SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_micros, value,
+                lead(epoch_ns(ts) // 1000) OVER w AS valid_to,
+                lead(epoch_ns(ts) // 1000) OVER w IS NULL AS is_current
+         FROM events WHERE event_type = 'purchase'
+         WINDOW w AS (PARTITION BY user_id
+                      ORDER BY epoch_ns(ts) // 1000, event_id)
+         ORDER BY event_id""",
     "q_table_diff" ->
       """WITH newer AS (
            SELECT p_partkey, p_name, p_brand, p_type, p_size,

@@ -2,9 +2,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
-// scratch probe for round-4 checks; deleted before the final round commit.
-// Usage: runMain graft.Probe <sfDir> <outDir> q1 q2 ... — dumps the named
-// queries' results + oracle_sql.json for a selective DuckDB compare.
+/** Selective-verification utility: dumps the NAMED gate queries' results
+  * (parquet) plus oracle_sql.json so a DuckDB compare can check a handful
+  * of gates in seconds instead of re-running the full Verify sweep.
+  * Usage: runMain graft.Probe <sfDir> <outDir> q1 q2 ...
+  */
 object Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

@@ -950,6 +950,26 @@ object SparkEntry {
           "is_current")
         .orderBy("event_id")
     }),
+    "q_scd2_dedup" -> ((s, dir) => {
+      // the composed SCD path: plant a no-op redelivery (+1 micro, same
+      // value) after every purchase, collapse them with the null-safe
+      // consecutive dedupe, THEN build Type-2 intervals — a dropped
+      // redelivery that still split an interval would break the hash
+      val base = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_micros"), col("value"))
+      val redelivered = base
+        .withColumn("ts_micros", col("ts_micros") + 1)
+        .withColumn("event_id", col("event_id") + lit(10000000L))
+      val log = base.unionByName(redelivered)
+      val clean = graft.ops.Scd.dedupeConsecutive(log, "user_id",
+        "ts_micros", "event_id", Seq("value"))
+      graft.ops.Scd.buildType2(clean, "user_id", "ts_micros", "event_id")
+        .select("event_id", "user_id", "ts_micros", "value", "valid_to",
+          "is_current")
+        .orderBy("event_id")
+    }),
     "q_table_diff" -> ((s, dir) => {
       // snapshot diff (change-data view): one full-outer join on the key,
       // null-safe column-wise compare, unchanged keys dropped — output
@@ -2656,6 +2676,32 @@ object SparkEntry {
          FROM events WHERE event_type = 'purchase'
          WINDOW w AS (PARTITION BY user_id
                       ORDER BY epoch_ns(ts) // 1000, event_id)
+         ORDER BY event_id""",
+    "q_scd2_dedup" ->
+      """WITH base AS (
+           SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_micros,
+                  value
+           FROM events WHERE event_type = 'purchase'),
+         log AS (
+           SELECT * FROM base
+           UNION ALL
+           SELECT event_id + 10000000, user_id, ts_micros + 1, value
+           FROM base),
+         lagged AS (
+           SELECT *,
+                  lag(value) OVER (PARTITION BY user_id
+                    ORDER BY ts_micros, event_id) AS prev_v,
+                  lag(ts_micros) OVER (PARTITION BY user_id
+                    ORDER BY ts_micros, event_id) AS prev_t
+           FROM log),
+         kept AS (
+           SELECT event_id, user_id, ts_micros, value FROM lagged
+           WHERE prev_t IS NULL OR (value IS DISTINCT FROM prev_v))
+         SELECT event_id, user_id, ts_micros, value,
+                lead(ts_micros) OVER w AS valid_to,
+                lead(ts_micros) OVER w IS NULL AS is_current
+         FROM kept
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_micros, event_id)
          ORDER BY event_id""",
     "q_table_diff" ->
       """WITH newer AS (

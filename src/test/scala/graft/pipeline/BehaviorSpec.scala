@@ -45,6 +45,19 @@ class BehaviorSpec extends SparkSpec {
     assert(f(1) == 1L && f(2) == 0L && f(3) == 0L)
   }
 
+  test("funnel counts are invariant to input partitioning") {
+    val rows = (1L to 50L).flatMap { u =>
+      Seq((u, "view", u * 10, u * 100),
+        (u, "click", u * 10 + 5, u * 100 + 1),
+        (u, "purchase", u * 10 + (u % 3), u * 100 + 2))
+    }
+    def counts(parts: Int) = Behavior.funnel(
+      rows.toDF("u", "et", "ts", "id").repartition(parts),
+      "u", "et", "ts", Seq("view", "click", "purchase"), "id")
+      .orderBy("step").collect().map(_.getLong(2)).toSeq
+    assert(counts(1) == counts(7) && counts(7) == counts(32))
+  }
+
   test("retention cohorts: each user counted once per active week") {
     val day = 86400L
     def ts(d: Int) = lit(1704067200L + d * day).cast("timestamp") // 2024-01-01

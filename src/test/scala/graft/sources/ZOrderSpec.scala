@@ -75,6 +75,17 @@ class ZOrderSpec extends SparkSpec {
       s"z-order must beat clustering on the 2nd dim: $zf vs $cf")
   }
 
+  test("interleave is a bijection on the in-range grid") {
+    // every (a, b) in [0,16)^2 maps to a distinct z under 4-bit interleave
+    val grid = spark.range(256)
+      .select((col("id") / 16).cast("long").as("a"), (col("id") % 16).as("b"))
+    val zs = grid.select(
+      ZOrder.interleave(Seq(col("a"), col("b")), bits = 4).as("z"))
+      .as[Long].collect()
+    assert(zs.distinct.length == 256)
+    assert(zs.min == 0L && zs.max == 255L)
+  }
+
   test("z-ordered copy is lossless") {
     val df = Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 5L, "c"))
       .toDF("k", "t", "payload")

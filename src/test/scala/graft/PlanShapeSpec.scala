@@ -180,6 +180,24 @@ class PlanShapeSpec extends SparkSpec {
       s"expected exactly 1 user_id exchange for all funnel windows, got $exchanges in:\n$p")
   }
 
+  test("scd2's dedupe and build windows share one key-partitioned exchange") {
+    val p = plan("q_scd2_dedup")
+    val hashEx = "Exchange hashpartitioning\\(user_id".r
+      .findAllMatchIn(p).length
+    assert(hashEx == 1,
+      s"both SCD windows must reuse one user_id exchange, got $hashEx in:\n$p")
+    assert("Window".r.findAllMatchIn(p).length >= 2,
+      s"expected dedupe + build windows in:\n$p")
+  }
+
+  test("table diff plans a full-outer merge join, never a nested loop") {
+    val p = plan("q_table_diff")
+    assert(p.contains("FullOuter"), s"no full-outer join in:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"),
+      s"diff must stay an equi-join:\n$p")
+  }
+
   test("identically bucketed tables join with zero shuffle") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

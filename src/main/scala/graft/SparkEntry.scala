@@ -950,6 +950,18 @@ object SparkEntry {
           "is_current")
         .orderBy("event_id")
     }),
+    "q_pack_budget" -> ((s, dir) => {
+      // token-budget sequence packing: fill ~2000-token packs per
+      // language shard in deterministic doc_id order; the straddling doc
+      // stays whole in the pack it starts in. One windowed running sum
+      // partitioned by shard — parallelism = shard count.
+      val docs = t(s, dir, "documents")
+      graft.pipeline.Sampling.packBudget(
+        docs.select("doc_id", "lang", "text"), "doc_id",
+        TextAnalysis.tokenCount(col("text")), budget = 2000L, "lang")
+        .select("doc_id", "lang", "n_tokens", "pack_id")
+        .orderBy("doc_id")
+    }),
     "q_scd2_dedup" -> ((s, dir) => {
       // the composed SCD path: plant a no-op redelivery (+1 micro, same
       // value) after every purchase, collapse them with the null-safe
@@ -2677,6 +2689,19 @@ object SparkEntry {
          WINDOW w AS (PARTITION BY user_id
                       ORDER BY epoch_ns(ts) // 1000, event_id)
          ORDER BY event_id""",
+    "q_pack_budget" ->
+      """WITH d AS (
+           SELECT doc_id, lang,
+                  CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+'))
+                  END AS n_tokens
+           FROM documents)
+         SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+                CAST((CAST(sum(n_tokens) OVER (PARTITION BY lang
+                        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS BIGINT)
+                      - n_tokens) // 2000 AS BIGINT) AS pack_id
+         FROM d ORDER BY doc_id""",
     "q_scd2_dedup" ->
       """WITH base AS (
            SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_micros,

@@ -69,4 +69,31 @@ object Sampling {
       }
     df.filter(hashBucket(col(keyCol), salt) < threshold)
   }
+
+  /** Token-budget sequence packing: assign documents to contiguous packs
+    * of ~`budget` tokens — the "fill 4k-token training sequences" pass of
+    * corpus assembly. Contract: rows are ordered deterministically by
+    * `orderCol` WITHIN each shard; a document starts pack p when the
+    * tokens before it total in [p*budget, (p+1)*budget) — the document
+    * that straddles a boundary stays whole in the pack it starts in (the
+    * standard greedy-contiguous rule: packs may overrun by at most one
+    * document).
+    *
+    * Scale: one running-sum window PARTITIONED BY the shard — packing
+    * parallelism is the shard count, never a global single-partition
+    * sort. Shard first (hash split, language, source file), pack within.
+    */
+  def packBudget(df: DataFrame, orderCol: String, tokens: Column,
+      budget: Long, shardCol: String): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(shardCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens", tokens.cast("long"))
+      .withColumn("__before", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      // integer division (`div`, not `/`): Column./ is double division,
+      // which would lose exactness past 2^53 cumulative tokens per shard
+      .withColumn("pack_id", expr(s"__before div ${budget}L"))
+      .drop("__before")
+  }
 }

@@ -876,6 +876,31 @@ object SparkEntry {
           "p_retailprice")
         .orderBy("p_partkey")
     }),
+    "q_merge_versions" -> ((s, dir) => {
+      // VERSIONED lakehouse reads: writeKeyed commits v0, one upsert
+      // appends immutable files and commits manifest v1, and TableDiff
+      // between readVersion(0) and readVersion(1) recovers exactly the
+      // update batch — time travel + change-data-capture composed from
+      // the version log. Rebuilt fresh every run (the manifest commit
+      // path must be exercised, not a cache).
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_merge_v_${new java.io.File(dir).getName}").getAbsolutePath
+      val part = t(s, dir, "part")
+      graft.sources.Merge.writeKeyed(part, path, "p_partkey", nBuckets = 16)
+      val updates = part.filter(col("p_partkey") % 20 === 0)
+        .withColumn("p_retailprice",
+          round(dec("p_retailprice") * lit(1.1).cast("decimal(2,1)"), 2)
+            .cast("double"))
+        .unionByName(part.filter(col("p_partkey") < 10)
+          .withColumn("p_partkey", col("p_partkey") + lit(1000000L)))
+      graft.sources.Merge.upsert(s, path, updates, "p_partkey",
+        nBuckets = 16)
+      graft.ops.TableDiff.diff(
+        graft.sources.Merge.readVersion(s, path, 0),
+        graft.sources.Merge.readVersion(s, path, 1), Seq("p_partkey"))
+        .orderBy("p_partkey")
+    }),
     "q_zorder_layout" -> ((s, dir) => {
       // Z-order (Morton) layout on (user_id, time): each parquet file is
       // a small rectangle in BOTH dimensions, so selective predicates on
@@ -910,6 +935,18 @@ object SparkEntry {
       graft.pipeline.Behavior.funnel(t(s, dir, "events"),
         "user_id", "event_type", "ts",
         steps = Seq("view", "click", "purchase"), tiebreak = "event_id")
+        .orderBy("step")
+    }),
+    "q_funnel_windowed" -> ((s, dir) => {
+      // TIME-BOUNDED funnel: a step counts only within 2 days of the
+      // earliest qualifying previous step (greedy earliest-chain
+      // semantics — deterministic and window-SQL-expressible; see
+      // Behavior.windowedFunnel). ts is epoch-nanos, so the gap is a
+      // plain long literal; gated against the identically-greedy SQL.
+      graft.pipeline.Behavior.windowedFunnel(t(s, dir, "events"),
+        "user_id", "event_type", "ts",
+        steps = Seq("view", "click", "purchase"), tiebreak = "event_id",
+        maxGap = lit(172800L * 1000000000L))
         .orderBy("step")
     }),
     "q_retention_cohorts" -> ((s, dir) => {
@@ -1059,6 +1096,32 @@ object SparkEntry {
       graft.pipeline.IncrementalAgg.read(s, path)
         .orderBy("user_id", "event_type")
     }),
+    "q_incremental_retract" -> ((s, dir) => {
+      // RETRACTION-aware incremental maintenance: init from the pre-cut
+      // slice, fold ONE delta that both inserts the rest (+1) and
+      // retracts every 7th pre-cut row (-1) — counted state folds the
+      // deletes exactly; groups whose retracted extreme tied the stored
+      // min/max get flagged and repaired from the net table (a left-semi
+      // prune of only the flagged groups). Oracle: from-scratch over the
+      // NET data. Rebuilt fresh every run.
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_incr_ret_${new java.io.File(dir).getName}").getAbsolutePath
+      val cut1 = 1704844800L * 1000000000L // 2024-01-10 UTC, nanos
+      val e = t(s, dir, "events").select("user_id", "event_type", "ts",
+        "value", "event_id")
+      val keys = Seq("user_id", "event_type")
+      val batch1 = e.filter(col("ts") < cut1)
+      graft.pipeline.IncrementalAgg.init(batch1, path, keys, "value")
+      val delta = e.filter(col("ts") >= cut1).withColumn("op", lit(1))
+        .unionByName(batch1.filter(col("event_id") % 7 === 0)
+          .withColumn("op", lit(-1)))
+      graft.pipeline.IncrementalAgg.updateWithRetractions(s, path, delta,
+        keys, "value", "op")
+      val net = e.filter(col("ts") >= cut1 || col("event_id") % 7 =!= 0)
+      graft.pipeline.IncrementalAgg.rebuild(s, path, net, keys, "value")
+      graft.pipeline.IncrementalAgg.read(s, path)
+        .orderBy("user_id", "event_type")
+    }),
     "q_stream_incremental" -> ((s, dir) => {
       // streaming maintenance of the incremental aggregate: the events
       // table arrives as three authored micro-batch files; foreachBatch
@@ -1135,6 +1198,35 @@ object SparkEntry {
       graft.pipeline.Graph.pageRank(undirected, "src", "dst", iters = 3)
         .select(col("node"), round(col("rank"), 3).as("rank"))
         .orderBy("node")
+    }),
+    "q_pagerank_deep" -> ((s, dir) => {
+      // the DEEP-iteration form: 10 rounds over the DIRECTED
+      // customer->supplier graph — suppliers have no out-edges, so real
+      // dangling mass exists and is redistributed uniformly each round —
+      // with lineage truncated every 3 rounds (localCheckpoint, the
+      // duplicateClusters pattern; GraphSpec pins the bounded-plan
+      // contract). Oracle: the 10x unrolled SQL with the same per-round
+      // dangling scalar.
+      val ed = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      // rank table is node-sized: at gate sf a 32-way shuffle is pure
+      // task overhead across 10 materialized rounds (same right-sizing
+      // the streaming lifecycle gates apply). AQE is off for the loop:
+      // 10 rounds of eager micro-jobs pay its per-stage re-planning
+      // without ever benefiting (every stage is already tiny and the
+      // plan is fixed by construction).
+      val aqe = "spark.sql.adaptive.enabled"
+      val prevAqe = s.conf.get(aqe)
+      s.conf.set(aqe, "false")
+      try withShufflePartitions(s, 8) {
+        graft.pipeline.Graph.pageRank(ed, "src", "dst", iters = 10,
+          redistributeDangling = true, checkpointEvery = 3)
+          .select(col("node"), round(col("rank"), 3).as("rank"))
+          .orderBy("node")
+      } finally s.conf.set(aqe, prevAqe)
     }),
     "q_window_funcs" -> ((s, dir) => {
       // window-function breadth: lag/lead/percent_rank/ntile/cume_dist
@@ -1619,6 +1711,32 @@ object SparkEntry {
         .select("query_id", "neighbor_id", "cosine", "rank")
         .orderBy("query_id", "rank")
     }),
+    "q_sim_search_ivf_recall" -> ((s, dir) => {
+      // the nProbe < cells operating point a 100 TB deployment actually
+      // runs (here 2 of 8 cells = ~25% of the corpus scanned), recall
+      // gated via PLANTED structure with a PROVABLE floor: an exact copy
+      // of each query vector is assigned the query's own nearest-centroid
+      // cell (identical vector -> identical argmax), and the probe list
+      // always contains that cell for nProbe >= 1 — so brute-force top-1
+      // (the copy, cosine ~1.0, far above natural cosines) MUST appear in
+      // the IVF result. Not an empirical bound: a broken assignment,
+      // probe, or scoring kernel drives hits to zero.
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+      val planted = queries
+        .withColumn("vec_id", col("vec_id") + lit(1000000L))
+      val corpus = emb.union(planted)
+      val truth = Similarity.bruteForceTopK(corpus, queries,
+        "vec_id", "vec_id", "embedding", k = 1)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.Ivf.topK(corpus, queries,
+        "vec_id", "vec_id", "embedding", k = 3, cells = 8, nProbe = 2)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_queries"),
+          (sum(coalesce(col("hit"), lit(0))) === count(lit(1)))
+            .as("recall_ok"))
+    }),
     "q_sim_search_ivf_index" -> ((s, dir) => {
       // the PERSISTED IVF layout: corpus written partitionBy(cell), probe
       // cells prune partitions at the scan. nProbe == cells -> exact, so
@@ -1888,14 +2006,17 @@ object SparkEntry {
         .orderBy("media_id")
     }),
     "q_multimodal_frames" -> ((s, dir) => {
-      // frame sampling's explode shape and slicing arithmetic, gated on
-      // (media_id, frame_idx, frame byte count) — raw bytes don't compare
-      // across engines' string reprs, lengths pin the same slicing
+      // REAL MJPEG decode end to end: syntheticMedia renders concatenated
+      // baseline-JPEG frames, sampleFrames splits on real JPEG SOI/EOI
+      // markers and ImageIO-decodes each sampled frame. Gated on the
+      // RE-DECODED frame dimensions and true frame count — values only a
+      // real decode produces; the oracle predicts them from the render
+      // contract (pure functions of the UTF-8 source length).
       val media = Multimodal.syntheticMedia(t(s, dir, "documents"),
         "doc_id", "text", modality = "video")
       Multimodal.sampleFrames(media, 4)
-        .select(col("media_id"), col("frame_idx"),
-          length(col("frame")).as("frame_bytes"))
+        .select("media_id", "frame_idx", "n_frames", "width_px",
+          "height_px")
         .orderBy("media_id", "frame_idx")
     }),
     // ---- SQL-registered function via GraftExtensions (SURVEY §2f) ------
@@ -2169,7 +2290,45 @@ object SparkEntry {
   )
 
   /** DuckDB-equivalent SQL per query (driver correctness gate). */
+  /** 10x unrolled PageRank SQL for q_pagerank_deep (directed graph,
+    * per-round dangling-mass redistribution) — GENERATED so the iteration
+    * count and float-op grouping stay in lockstep with the gate's Spark
+    * expression: 0.15 + 0.85 * (contrib + danglingMass / N).
+    */
+  private def pagerankDeepOracle: String = {
+    // each r{i} is referenced twice (next round's contribs AND its
+    // dangling scalar) — without MATERIALIZED an inlining planner
+    // re-evaluates the chain 2^10 times
+    val rounds = (1 to 10).map { i =>
+      val p = i - 1
+      s"""c$i AS MATERIALIZED (
+         |        SELECT e.dst AS node, sum(r$p.rank / d.deg) AS contrib
+         |        FROM e JOIN d ON e.src = d.src
+         |        JOIN r$p ON r$p.node = e.src GROUP BY e.dst),
+         |g$i AS MATERIALIZED (
+         |        SELECT COALESCE(sum(rank), 0) AS dm FROM r$p
+         |        WHERE node NOT IN (SELECT src FROM e)),
+         |r$i AS MATERIALIZED (
+         |        SELECT n.node, CAST(0.15 AS DOUBLE)
+         |          + CAST(0.85 AS DOUBLE) * (COALESCE(c$i.contrib, 0)
+         |            + (SELECT dm FROM g$i) / (SELECT count(*) FROM n))
+         |            AS rank
+         |        FROM n LEFT JOIN c$i USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ed AS (
+       |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS MATERIALIZED (SELECT src, dst FROM ed),
+       |n AS MATERIALIZED (SELECT DISTINCT node FROM
+       |       (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |d AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |r0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM n),
+       |$rounds
+       |SELECT node, round(rank, 3) AS rank FROM r10 ORDER BY node""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_pagerank_deep" -> pagerankDeepOracle,
     "q_keyword_filter_contains" ->
       """SELECT doc_id, source FROM documents
          WHERE contains(lower(text), 'spark') AND contains(lower(text), 'join')
@@ -2563,6 +2722,22 @@ object SparkEntry {
          UNION ALL
          SELECT * FROM upd
          ORDER BY p_partkey""",
+    // diff(v0, v1) must recover exactly the upsert batch: changed keys
+    // where the price bump actually changed the value, plus the inserts
+    "q_merge_versions" ->
+      """WITH upd AS (
+           SELECT p_partkey, p_retailprice AS oldp,
+                  CAST(round(CAST(p_retailprice AS DECIMAL(18,2))
+                             * CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE)
+                    AS newp
+           FROM part WHERE p_partkey % 20 = 0)
+         SELECT p_partkey, change FROM (
+           SELECT p_partkey, 'changed' AS change FROM upd
+           WHERE newp IS DISTINCT FROM oldp
+           UNION ALL
+           SELECT p_partkey + 1000000 AS p_partkey, 'added' AS change
+           FROM part WHERE p_partkey < 10)
+         ORDER BY p_partkey""",
     "q_zorder_layout" ->
       """WITH e AS (
            SELECT user_id, epoch_ns(ts) // 1000 AS ts_micros, value
@@ -2594,6 +2769,49 @@ object SparkEntry {
            FROM m0),
          m2 AS (
            SELECT *, CASE WHEN event_type = 'purchase' AND tsn > r1
+                          THEN tsn END AS q2
+           FROM m1),
+         u AS (
+           SELECT user_id, max(q0 IS NOT NULL) AS a0,
+                  max(q1 IS NOT NULL) AS a1, max(q2 IS NOT NULL) AS a2
+           FROM m2 GROUP BY user_id)
+         SELECT step, event_type, users FROM (
+           SELECT 1 AS step, 'view' AS event_type,
+                  CAST(sum(CASE WHEN a0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS users FROM u
+           UNION ALL
+           SELECT 2, 'click',
+                  CAST(sum(CASE WHEN a1 THEN 1 ELSE 0 END) AS BIGINT) FROM u
+           UNION ALL
+           SELECT 3, 'purchase',
+                  CAST(sum(CASE WHEN a2 THEN 1 ELSE 0 END) AS BIGINT) FROM u)
+         ORDER BY step""",
+    // the identically-greedy chain with the 2-day per-step bound
+    "q_funnel_windowed" ->
+      """WITH e AS (
+           SELECT user_id, event_type, epoch_ns(ts) AS tsn, event_id
+           FROM events),
+         m0 AS (
+           SELECT *, CASE WHEN event_type = 'view' THEN tsn END AS q0,
+                  min(CASE WHEN event_type = 'view' THEN tsn END)
+                    OVER (PARTITION BY user_id ORDER BY tsn, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS r0
+           FROM e),
+         m1 AS (
+           SELECT *, CASE WHEN event_type = 'click' AND tsn > r0
+                               AND tsn <= r0 + 172800000000000
+                          THEN tsn END AS q1,
+                  min(CASE WHEN event_type = 'click' AND tsn > r0
+                                AND tsn <= r0 + 172800000000000
+                           THEN tsn END)
+                    OVER (PARTITION BY user_id ORDER BY tsn, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS r1
+           FROM m0),
+         m2 AS (
+           SELECT *, CASE WHEN event_type = 'purchase' AND tsn > r1
+                               AND tsn <= r1 + 172800000000000
                           THEN tsn END AS q2
            FROM m1),
          u AS (
@@ -2783,6 +3001,15 @@ object SparkEntry {
                 min(value) AS min_v, max(value) AS max_v,
                 CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_v
          FROM events GROUP BY user_id, event_type
+         ORDER BY user_id, event_type""",
+    // incremental WITH retractions == from-scratch over the net data
+    "q_incremental_retract" ->
+      """SELECT user_id, event_type, count(*) AS cnt,
+                min(value) AS min_v, max(value) AS max_v,
+                CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_v
+         FROM events
+         WHERE epoch_ns(ts) >= 1704844800000000000 OR event_id % 7 <> 0
+         GROUP BY user_id, event_type
          ORDER BY user_id, event_type""",
     // the streaming fold must land on the identical state
     "q_stream_incremental" ->
@@ -3606,6 +3833,12 @@ object SparkEntry {
            SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
          WHERE rank <= 3 ORDER BY query_id, rank""",
+    // planted-copy recall at nProbe < cells is PROVABLE (copy shares the
+    // query's cell; the probe list always contains it), so the oracle is
+    // the authored full-recall expectation over the query count
+    "q_sim_search_ivf_recall" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
+         FROM embeddings WHERE vec_id < 20""",
     "q_sim_search_ivf" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                     FROM embeddings WHERE vec_id < 5),
@@ -3668,17 +3901,24 @@ object SparkEntry {
                 CAST(100 + octet_length(encode(text)) % 100 AS BIGINT)
                   AS duration_ms
          FROM documents ORDER BY media_id""",
+    // the render contract: dims/count are pure functions of the UTF-8
+    // source length, so SQL predicts what a REAL JPEG decode must report
     "q_multimodal_frames" ->
-      """WITH f AS (
-           SELECT doc_id AS media_id, i AS frame_idx,
-                  CAST(trunc(i * greatest(octet_length(encode(text)) / 4.0,
-                                          1.0)) AS INT) + 1 AS pos,
-                  octet_length(encode(text)) AS nb
-           FROM documents, unnest([0, 1, 2, 3]) AS t(i))
-         SELECT media_id, frame_idx,
-                CAST(CASE WHEN pos > nb THEN 0
-                          WHEN nb - pos + 1 >= 32 THEN 32
-                          ELSE nb - pos + 1 END AS INT) AS frame_bytes
+      """WITH d AS (
+           SELECT doc_id, octet_length(encode(text)) AS nb,
+                  3 + octet_length(encode(text)) % 4 AS nf
+           FROM documents),
+         k AS (
+           SELECT doc_id, nb, nf, unnest(range(least(nf, 4))) AS kk
+           FROM d),
+         f AS (
+           SELECT doc_id, nb, nf,
+                  CASE WHEN nf <= 4 THEN kk ELSE (kk * nf) // 4 END AS fi
+           FROM k)
+         SELECT doc_id AS media_id, CAST(fi AS INT) AS frame_idx,
+                CAST(nf AS INT) AS n_frames,
+                CAST(16 + (nb + 5 * fi) % 16 AS INT) AS width_px,
+                CAST(8 * (1 + (nb + fi) % 4) AS INT) AS height_px
          FROM f ORDER BY media_id, frame_idx""",
     // re-decoded dims of the genuinely re-encoded payload
     "q_multimodal_resize" ->

@@ -32,12 +32,21 @@ object BloomJoin {
       return large.filter(lit(false))
         .join(small.select(col(smallKey).as(largeKey)).distinct(),
           Seq(largeKey), "left_semi")
-    val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
-    val bc = large.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf { k: Any =>
-      k != null && bc.value.mightContain(k)
+    // build over xxhash64(key): the sketch stores longs via putLong, the
+    // probe side uses Spark's native BloomFilterMightContain (codegen'd,
+    // mightContainLong) — same build/probe pairing as AQE's injected
+    // runtime row-level filter, no UDF serialization boundary in the hot
+    // filter path
+    val bf = small.select(xxhash64(col(smallKey)).as("__h"))
+      .stat.bloomFilter("__h", expectedItems, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
     }
-    large.filter(mightContain(col(largeKey)))
+    large.filter(col(largeKey).isNotNull &&
+        org.apache.spark.sql.GraftShim.bloomMightContain(
+          bytes, xxhash64(col(largeKey))))
       .join(small.select(col(smallKey).as(largeKey)).distinct(),
         Seq(largeKey), "left_semi")
   }

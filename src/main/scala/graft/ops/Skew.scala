@@ -57,13 +57,25 @@ object Skew {
     * [0, salts); the RIGHT side is replicated `salts` times; the join key
     * becomes (key, salt), so one hot key's rows spread over `salts` tasks
     * instead of one straggler. Row-for-row identical to the plain join
-    * (each left row meets each right row exactly once — at the left row's
-    * own salt). Cost: right side shuffles `salts`x — size the fan-out to
-    * the hot key, not to the cluster.
+    * for LEFT-PRESERVING join types (each left row meets each right row
+    * exactly once — at the left row's own salt). Right-preserving types
+    * (right/full outer) are rejected: the replicated right side would
+    * emit each unmatched right row `salts` times. Cost: right side
+    * shuffles `salts`x — size the fan-out to the hot key, not to the
+    * cluster.
     */
+  private val LeftPreservingJoinTypes = Set(
+    "inner", "left", "left_outer", "leftouter",
+    "left_semi", "leftsemi", "left_anti", "leftanti", "cross")
+
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       salts: Int = 16, joinType: String = "inner"): DataFrame = {
     require(salts >= 1, "salts must be >= 1")
+    require(LeftPreservingJoinTypes contains joinType.toLowerCase,
+      s"saltedJoin only supports left-preserving join types " +
+      s"(${LeftPreservingJoinTypes.mkString(", ")}); '$joinType' would " +
+      "emit each unmatched right row salts times because the right side " +
+      "is replicated per salt")
     val l = left.withColumn("__salt",
       saltCol(salts, left.columns.map(col).toSeq))
     val r = right.crossJoin(

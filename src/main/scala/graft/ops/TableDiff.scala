@@ -24,6 +24,13 @@ object TableDiff {
     */
   def diff(older: DataFrame, newer: DataFrame, keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "diff needs >= 1 key column")
+    // valueCols derives from `older`; without this check a column present
+    // only in `newer` would be silently ignored and its changes missed —
+    // schema drift must fail fast, not classify as unchanged
+    require(older.columns.sorted.sameElements(newer.columns.sorted),
+      s"diff requires identical column sets; older has " +
+      s"[${older.columns.sorted.mkString(",")}], newer has " +
+      s"[${newer.columns.sorted.mkString(",")}]")
     val valueCols = older.columns.filterNot(keys.contains).toSeq
     require(valueCols.nonEmpty, "diff needs >= 1 non-key column")
     val o = older.select(older.columns.map(c =>

@@ -23,18 +23,50 @@ object Behavior {
     * order with a deterministic (ts, tiebreak) ordering.
     */
   def funnel(events: DataFrame, userCol: String, typeCol: String,
-      tsCol: String, steps: Seq[String], tiebreak: String): DataFrame = {
+      tsCol: String, steps: Seq[String], tiebreak: String): DataFrame =
+    funnelImpl(events, userCol, typeCol, tsCol, steps, tiebreak, None)
+
+  /** Time-bounded funnel: step i+1 counts only if it happens within
+    * `maxGap` of the time step i was reached — "clicked within an hour of
+    * viewing", the form real product analytics runs. `maxGap` is in the
+    * ts column's own units (same-typed literal: nanos for epoch-nanos
+    * timestamps, an interval for timestamps).
+    *
+    * Semantics are the EARLIEST-QUALIFYING chain: t_0 = first step-1
+    * event; t_{i+1} = first step-i+1 event in (t_i, t_i + maxGap]. The
+    * greedy chain is deterministic and one-window-pass computable (the
+    * same running-min construction as [[funnel]] — the Exchange is shared
+    * across all step passes), and it is expressible in plain window SQL,
+    * which the gate exploits. A backtracking variant (restart the window
+    * from a later step-i occurrence when the greedy chain dies) would
+    * find strictly more conversions but needs per-user DP; documented
+    * trade, not silently different.
+    */
+  def windowedFunnel(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String], tiebreak: String,
+      maxGap: Column): DataFrame =
+    funnelImpl(events, userCol, typeCol, tsCol, steps, tiebreak,
+      Some(maxGap))
+
+  private def funnelImpl(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String], tiebreak: String,
+      maxGap: Option[Column]): DataFrame = {
     require(steps.nonEmpty, "funnel needs >= 1 step")
     val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tiebreak))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // qual(i) = this row's ts if it advances step i (right type, strictly
-    // after the running min of step i-1's qualifying time)
+    // after — and within maxGap of — the running min of step i-1's
+    // qualifying time)
     val enriched = steps.zipWithIndex.foldLeft(
       (events, Option.empty[Column])) { case ((df, prevMin), (step, i)) =>
       val qual = prevMin match {
         case None => when(col(typeCol) === step, col(tsCol))
         case Some(p) =>
-          when(col(typeCol) === step && col(tsCol) > p, col(tsCol))
+          val inWindow = maxGap match {
+            case None      => col(tsCol) > p
+            case Some(gap) => col(tsCol) > p && col(tsCol) <= p + gap
+          }
+          when(col(typeCol) === step && inWindow, col(tsCol))
       }
       val d2 = df.withColumn(s"__q$i", qual)
         .withColumn(s"__m$i", min(col(s"__q$i")).over(w))

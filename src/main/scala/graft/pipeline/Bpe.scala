@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Byte-pair-encoding tokenizer: distributed TRAINING (Sennrich et al.
@@ -19,8 +19,10 @@ import org.apache.spark.sql.functions._
   * save microseconds of compute). Ties on pair frequency break
   * lexicographically, so training is deterministic on any partitioning.
   *
-  * Tokenization broadcasts the merge list (bounded by nMerges) and applies
-  * merges per word in priority order — words never shuffle.
+  * Tokenization is DICTIONARY-ENCODED: merges run once per distinct word
+  * (the same distinct-word shape train uses), and the word→tokens mapping
+  * joins back by position — see [[tokenize]]. The merge list itself is
+  * broadcast (bounded by nMerges).
   */
 object Bpe {
 
@@ -29,10 +31,20 @@ object Bpe {
     */
   final case class BpeMerge(rank: Int, a: String, b: String)
 
-  private val endMark = "</w>" // end-of-word marker, standard BPE
+  /** End-of-word marker — a PRIVATE-USE codepoint, not the classic
+    * text-valued "&lt;/w&gt;": scraped XML/HTML routinely contains that
+    * literal substring, and a text-valued sentinel would make
+    * [[detokenize]] turn those input characters into spaces (silent
+    * losslessness break). U+E000 cannot collide because [[toSymbols]]
+    * normalizes any input occurrence of it to U+FFFD (the Unicode
+    * replacement character) — the sentinel is non-occurring BY
+    * CONSTRUCTION, the same normalization family as the lowercasing the
+    * tokenizer already applies.
+    */
+  private[pipeline] val endMark = "\uE000"
 
   private def toSymbols(word: String): Seq[String] =
-    word.map(_.toString) :+ endMark
+    word.map(ch => if (ch == '\uE000') "\uFFFD" else ch.toString) :+ endMark
 
   /** One greedy merge application to one symbol sequence. */
   private def applyMerge(sym: Seq[String], a: String, b: String): Seq[String] = {
@@ -92,11 +104,62 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Word-level tokenizer as a UDF over one word (merge list broadcast). */
+  private def tokenizeWordUdf(df: DataFrame,
+      merges: Seq[BpeMerge]): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val ordered = merges.sortBy(_.rank).map(m => (m.a, m.b))
+    val bc = df.sparkSession.sparkContext.broadcast(ordered)
+    udf { w: String =>
+      var sym = toSymbols(w)
+      bc.value.foreach { case (a, b) => sym = applyMerge(sym, a, b) }
+      sym
+    }
+  }
+
   /** Tokenize `textCol` with a learned merge list: adds an array<string>
-    * `tokens` column (end-of-word markers kept — `x</w>` means "x at word
-    * end", the standard surface form).
+    * `tokens` column (end-of-word markers kept — `x` + U+E000 means "x at
+    * word end").
+    *
+    * DICTIONARY-ENCODED: the O(merges) greedy loop runs once per DISTINCT
+    * word, not once per occurrence. Zipf says a 100 TB corpus has
+    * billions of word occurrences over a vocabulary orders of magnitude
+    * smaller, so per-corpus work drops from O(rows × words × merges) to
+    * O(vocab × merges) plus joins. Shape: posexplode the words, distinct
+    * them, run the merges over the bounded vocab (the same distinct-word
+    * table train scans), join the word→tokens mapping back (the vocab
+    * side is the small one — AQE broadcasts it when it fits), and
+    * reassemble per row in word order. Row identity rides on
+    * `monotonically_increasing_id`, deterministic here because both
+    * branches re-derive it from the same scan partitioning.
     */
   def tokenize(df: DataFrame, textCol: String,
+      merges: Seq[BpeMerge]): DataFrame = {
+    val tokWord = tokenizeWordUdf(df, merges)
+    val withId = df.withColumn("__bpe_row", monotonically_increasing_id())
+    val words = withId.select(col("__bpe_row"),
+      posexplode_outer(TextAnalysis.tokensCol(lower(col(textCol))))
+        .as(Seq("__bpe_pos", "__bpe_w")))
+    val vocab = words.select(col("__bpe_w")).where(col("__bpe_w").isNotNull)
+      .distinct()
+      .withColumn("__bpe_toks", tokWord(col("__bpe_w")))
+    val perRow = words.where(col("__bpe_w").isNotNull)
+      .join(vocab, Seq("__bpe_w"))
+      .groupBy("__bpe_row")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("__bpe_pos"), col("__bpe_toks")))),
+        s => s.getField("__bpe_toks"))).as("tokens"))
+    withId.join(perRow, Seq("__bpe_row"), "left")
+      .withColumn("tokens",
+        coalesce(col("tokens"), array().cast("array<string>")))
+      .drop("__bpe_row")
+  }
+
+  /** Per-occurrence tokenization: a pure map, zero extra shuffles. The
+    * right form for streaming micro-batches and tiny merge lists, where
+    * the dictionary join's shuffles cost more than re-merging repeated
+    * words. Same output as [[tokenize]].
+    */
+  def tokenizePerRow(df: DataFrame, textCol: String,
       merges: Seq[BpeMerge]): DataFrame = {
     val ordered = merges.sortBy(_.rank).map(m => (m.a, m.b))
     val bc = df.sparkSession.sparkContext.broadcast(ordered)
@@ -116,9 +179,11 @@ object Bpe {
 
   /** The tokenizer's losslessness invariant: tokens of a word, markers
     * stripped and concatenated, rebuild the normalized word. Exposed as a
-    * column so gates can pin it corpus-wide.
+    * column so gates can pin it corpus-wide. Safe against marker-lookalike
+    * input text because the marker is a reserved codepoint (see
+    * [[endMark]]).
     */
-  def detokenize(tokens: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  def detokenize(tokens: Column): Column =
     trim(regexp_replace(concat_ws("", tokens),
       java.util.regex.Pattern.quote(endMark), " "))
 }

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incremental aggregate maintenance: a materialized per-group aggregate
@@ -10,17 +10,28 @@ import org.apache.spark.sql.functions._
   * partition and merge" (work proportional to the delta plus the group
   * count, not to history).
   *
-  * The maintained statistics are all insert-monotone (count/sum add,
-  * min/max only tighten), so folding deltas in any order equals the full
-  * recompute EXACTLY — decimal sums make that bit-stable, and the
-  * q_incremental_agg gate pins incremental == from-scratch in DuckDB.
-  * Deletions/updates need retraction counts (count can go to zero; min/max
-  * need a rebuild) — out of scope here, documented not silently wrong:
-  * `update` is append-only by contract.
+  * Two delta shapes:
+  *
+  *   - [[update]] — APPEND-ONLY deltas. count/sum add, min/max only
+  *     tighten, so folding in any order equals the full recompute EXACTLY
+  *     (decimal sums make that bit-stable; the q_incremental_agg gate pins
+  *     incremental == from-scratch in DuckDB).
+  *   - [[updateWithRetractions]] — deltas carrying DELETES: each row is a
+  *     +1 insert or -1 retraction of a previously-inserted row. count and
+  *     sum are abelian-group aggregates and fold retractions exactly; a
+  *     group whose count reaches zero disappears. min/max are NOT
+  *     invertible — retracting a row that ties the stored extreme may
+  *     expose a different one — so such groups are flagged dirty and
+  *     repaired by [[rebuild]] from the net raw table, scanning ONLY the
+  *     flagged groups' rows (a left-semi prune, not history).
+  *
+  * Contract: retractions must match prior inserts (the relational
+  * "multiset difference is non-negative" rule); a group driven below zero
+  * is dropped like an emptied one.
   */
 object IncrementalAgg {
 
-  private val stateCols = Seq("cnt", "sum_exact", "min_v", "max_v")
+  private val flagCols = Seq("dirty_min", "dirty_max")
 
   private def aggregate(df: DataFrame, keys: Seq[String],
       valueCol: String): DataFrame =
@@ -33,17 +44,29 @@ object IncrementalAgg {
   /** Initialize the state table from a first batch. */
   def init(df: DataFrame, path: String, keys: Seq[String],
       valueCol: String): Unit =
-    aggregate(df, keys, valueCol).write.mode("overwrite").parquet(path)
+    aggregate(df, keys, valueCol)
+      .withColumn("dirty_min", lit(false))
+      .withColumn("dirty_max", lit(false))
+      .write.mode("overwrite").parquet(path)
+
+  // older state tables predate the dirty flags; treat absent as clean
+  private def withFlags(state: DataFrame): DataFrame =
+    flagCols.foldLeft(state) { (df, c) =>
+      if (df.columns.contains(c)) df else df.withColumn(c, lit(false))
+    }
 
   /** Fold an append-only delta into the state: aggregate the delta (the
     * only scan of raw data), full-outer merge with the state on the group
-    * keys, write the new state. Work = O(delta + |groups|).
+    * keys, write the new state. Work = O(delta + |groups|). Dirty flags
+    * pass through: appends can neither repair nor worsen a stale extreme.
     */
   def update(spark: SparkSession, path: String, delta: DataFrame,
       keys: Seq[String], valueCol: String): Unit = {
-    val state = spark.read.parquet(path)
+    val state = withFlags(spark.read.parquet(path))
     val d = aggregate(delta, keys, valueCol)
-      .select(keys.map(col) ++ stateCols.map(c => col(c).as(s"d_$c")): _*)
+      .select(keys.map(col) ++
+        Seq("cnt", "sum_exact", "min_v", "max_v")
+          .map(c => col(c).as(s"d_$c")): _*)
     val merged = state.join(d, keys, "full_outer")
       .select(keys.map(col) ++ Seq(
         (coalesce(col("cnt"), lit(0L)) +
@@ -52,11 +75,80 @@ object IncrementalAgg {
           coalesce(col("d_sum_exact"), lit(0).cast("decimal(28,2)")))
           .cast("decimal(28,2)").as("sum_exact"),
         least(col("min_v"), col("d_min_v")).as("min_v"),
-        greatest(col("max_v"), col("d_max_v")).as("max_v")): _*)
+        greatest(col("max_v"), col("d_max_v")).as("max_v"),
+        coalesce(col("dirty_min"), lit(false)).as("dirty_min"),
+        coalesce(col("dirty_max"), lit(false)).as("dirty_max")): _*)
       // lineage truncation before overwriting the path we just read
       // (bounded: |groups| rows of fixed-width state)
       .localCheckpoint(true)
     merged.write.mode("overwrite").parquet(path)
+  }
+
+  /** Fold a delta with retractions: `opCol` is +1 (insert) or -1
+    * (retract). One scan of the delta, one full-outer merge. Groups whose
+    * retracted extreme ties-or-passes the merged min (max) candidate are
+    * flagged `dirty_min` (`dirty_max`) for [[rebuild]]; emptied groups
+    * (count folds to <= 0) are dropped.
+    */
+  def updateWithRetractions(spark: SparkSession, path: String,
+      delta: DataFrame, keys: Seq[String], valueCol: String,
+      opCol: String): Unit = {
+    val state = withFlags(spark.read.parquet(path))
+    val v = col(valueCol).cast("double")
+    val adds = (c: Column) => when(col(opCol) > 0, c)
+    val dels = (c: Column) => when(col(opCol) < 0, c)
+    val d = delta.groupBy(keys.map(col): _*)
+      .agg(sum(col(opCol).cast("long")).as("d_cnt"),
+        sum((col(opCol).cast("decimal(28,2)") *
+          col(valueCol).cast("decimal(28,2)")).cast("decimal(28,2)"))
+          .as("d_sum_exact"),
+        min(adds(v)).as("d_add_min"), max(adds(v)).as("d_add_max"),
+        min(dels(v)).as("d_del_min"), max(dels(v)).as("d_del_max"))
+    val candMin = least(col("min_v"), col("d_add_min"))
+    val candMax = greatest(col("max_v"), col("d_add_max"))
+    val merged = state.join(d, keys, "full_outer")
+      .select(keys.map(col) ++ Seq(
+        (coalesce(col("cnt"), lit(0L)) +
+          coalesce(col("d_cnt"), lit(0L))).as("cnt"),
+        (coalesce(col("sum_exact"), lit(0).cast("decimal(28,2)")) +
+          coalesce(col("d_sum_exact"), lit(0).cast("decimal(28,2)")))
+          .cast("decimal(28,2)").as("sum_exact"),
+        candMin.as("min_v"),
+        candMax.as("max_v"),
+        (coalesce(col("dirty_min"), lit(false)) ||
+          (col("d_del_min").isNotNull && col("d_del_min") <= candMin))
+          .as("dirty_min"),
+        (coalesce(col("dirty_max"), lit(false)) ||
+          (col("d_del_max").isNotNull && col("d_del_max") >= candMax))
+          .as("dirty_max")): _*)
+      .filter(col("cnt") > 0)
+      .localCheckpoint(true)
+    merged.write.mode("overwrite").parquet(path)
+  }
+
+  /** Repair flagged groups' min/max from `net` (the CURRENT raw table —
+    * inserts minus retractions). Scans only the flagged groups' rows via
+    * a left-semi prune; clean groups are untouched. Clears the flags.
+    */
+  def rebuild(spark: SparkSession, path: String, net: DataFrame,
+      keys: Seq[String], valueCol: String): Unit = {
+    val state = withFlags(spark.read.parquet(path))
+    val flagged = state.filter(col("dirty_min") || col("dirty_max"))
+      .select(keys.map(col): _*)
+    val fresh = net.join(flagged, keys, "left_semi")
+      .groupBy(keys.map(col): _*)
+      .agg(min(col(valueCol).cast("double")).as("f_min"),
+        max(col(valueCol).cast("double")).as("f_max"))
+    val repaired = state.join(fresh, keys, "left")
+      .select(keys.map(col) ++ Seq(
+        col("cnt"), col("sum_exact"),
+        when(col("dirty_min"), col("f_min")).otherwise(col("min_v"))
+          .as("min_v"),
+        when(col("dirty_max"), col("f_max")).otherwise(col("max_v"))
+          .as("max_v"),
+        lit(false).as("dirty_min"), lit(false).as("dirty_max")): _*)
+      .localCheckpoint(true)
+    repaired.write.mode("overwrite").parquet(path)
   }
 
   /** The maintained aggregate, sums emitted as doubles for consumers. */
@@ -64,4 +156,5 @@ object IncrementalAgg {
     spark.read.parquet(path)
       .withColumn("sum_v", col("sum_exact").cast("double"))
       .drop("sum_exact")
+      .drop(flagCols: _*)
 }

@@ -19,12 +19,19 @@ import org.apache.spark.sql.types._
   * pixel-derived band features, and `resize` rescales + re-encodes the
   * payload through `Graphics2D`. The AUDIO path is equally real via
   * `javax.sound.sampled`: rendered 16-bit PCM WAV payloads, header-parsing
-  * decode with true frame counts and PCM-derived amplitude features. Only
-  * VIDEO decode remains a documented stub — the JDK ships no video codec;
-  * the `mapPartitions` batching shape (decoder state initialized once per
+  * decode with true frame counts and PCM-derived amplitude features. The
+  * VIDEO path is real for MJPEG-style streams (the one video format the
+  * JDK CAN decode, because its frames are plain JPEGs): `syntheticMedia`
+  * renders concatenated baseline-JPEG frames, and `sampleFrames` splits
+  * on real JPEG SOI/EOI markers (valid because baseline JPEG byte-stuffs
+  * `FF` inside entropy-coded data, so marker pairs cannot occur mid-scan)
+  * and decodes each sampled frame through `ImageIO` — true per-frame
+  * dimensions and counts, not slicing arithmetic. Container formats
+  * needing an external codec (H.264 etc.) stay out of scope. The
+  * `mapPartitions` batching shape (decoder state initialized once per
   * partition, rows streamed through it) and the partitioning posture
-  * (media blobs never shuffle unless the caller repartitions) are the same
-  * for all modalities.
+  * (media blobs never shuffle unless the caller repartitions) are the
+  * same for all modalities.
   */
 object Multimodal {
 
@@ -147,11 +154,72 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Rendered-video frame count is a pure function of the source byte
+    * length: 3-6 JPEG frames per stream.
+    */
+  private[pipeline] def videoFramesFor(nBytes: Int): Int = 3 + nBytes % 4
+
+  /** Frame `i`'s dimensions in a rendered MJPEG — a pure function of
+    * (source length, frame index) so an external oracle can predict what
+    * a real decode must report.
+    */
+  private[pipeline] def frameDimsFor(nBytes: Int, i: Int): (Int, Int) =
+    (16 + (nBytes + 5 * i) % 16, 8 * (1 + (nBytes + i) % 4))
+
+  /** Render a REAL MJPEG-style stream: `videoFramesFor` concatenated
+    * baseline JPEG frames (`javax.imageio`, zero extra dependencies),
+    * frame i a constant-gray image of `frameDimsFor(n, i)` with intensity
+    * from the mixed content hash. Identical sources render byte-identical
+    * streams.
+    */
+  private[pipeline] def renderMjpeg(src: Array[Byte]): Array[Byte] = {
+    val nf = videoFramesFor(src.length)
+    val seed = fnv64(src)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.setUseCache(false)
+    var i = 0
+    while (i < nf) {
+      val (w, h) = frameDimsFor(src.length, i)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      val v = ((mix64(seed + i) >>> 24) & 0xFF).toInt
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, v); x += 1 }
+        y += 1
+      }
+      ImageIO.write(img, "jpg", bos)
+      i += 1
+    }
+    bos.toByteArray
+  }
+
+  /** Split an MJPEG byte stream into its JPEG frames by scanning for the
+    * EOI marker (FF D9) — exact for baseline JPEG, whose entropy-coded
+    * segments byte-stuff every FF as FF 00, so a marker pair can only be
+    * a real marker. Segments not starting with SOI (FF D8) are dropped.
+    */
+  private[pipeline] def splitJpegFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var start = 0
+    var i = 0
+    while (i + 1 < bytes.length) {
+      if ((bytes(i) & 0xFF) == 0xFF && (bytes(i + 1) & 0xFF) == 0xD9) {
+        val seg = java.util.Arrays.copyOfRange(bytes, start, i + 2)
+        if (seg.length >= 2 && (seg(0) & 0xFF) == 0xFF &&
+            (seg(1) & 0xFF) == 0xD8) frames += seg
+        start = i + 2
+        i += 2
+      } else i += 1
+    }
+    frames.toSeq
+  }
+
   /** Wrap a text column as a binary media table (test fixture: the
     * container ships no real media files, so each document is RENDERED
-    * into a genuine payload — PNG for images, PCM WAV for audio). Video
-    * carries the raw UTF-8 bytes (the JDK has no video codec) with an
-    * oracle-predictable payload length.
+    * into a genuine payload — PNG for images, PCM WAV for audio, an
+    * MJPEG-style JPEG-frame stream for video).
     */
   def syntheticMedia(df: DataFrame, idCol: String, textCol: String,
       modality: String = "image"): DataFrame = {
@@ -175,6 +243,12 @@ object Multimodal {
             val durationMs = framesFor(bytes.length).toLong / 8L
             Row(id, modality, wav,
               Row("wav", null, null, durationMs, wav.length.toLong))
+          case "video" =>
+            val mjpeg = renderMjpeg(bytes)
+            // 10 fps: 100 ms per frame keeps duration_ms exact
+            val durationMs = videoFramesFor(bytes.length).toLong * 100L
+            Row(id, modality, mjpeg,
+              Row("mjpeg", null, null, durationMs, mjpeg.length.toLong))
           case _ =>
             Row(id, modality, bytes,
               Row("raw", null, null, null, bytes.length.toLong))
@@ -324,16 +398,49 @@ object Multimodal {
     }(enc)
   }
 
-  /** STUB frame sampling for video rows (the JDK has no video codec):
-    * emits `n` (media_id, frame_idx, frame) rows per video by slicing the
-    * payload — the explode shape and output schema are real, the slicing
-    * is the documented fake decode.
+  /** REAL frame sampling for video rows: split the MJPEG payload on JPEG
+    * markers, uniformly sample up to `n` frames (all of them when the
+    * stream has <= n; else frame indices floor(k*n_frames/n), k < n —
+    * deterministic), and DECODE each sampled frame through `ImageIO`:
+    * `width_px`/`height_px` are true decoded dimensions, `n_frames` the
+    * true frame count, `frame` the exact JPEG payload for downstream
+    * feature extraction. Rows whose payload contains no decodable JPEG
+    * frames emit nothing; a corrupt individual frame reports (0, 0).
     */
-  def sampleFrames(media: DataFrame, n: Int): DataFrame =
-    media.filter(col("modality") === "video")
-      .select(col("media_id"),
-        posexplode(transform(sequence(lit(0), lit(n - 1)), i =>
-          substring(col("content"),
-            (i * greatest(octet_length(col("content")) / n, lit(1))) + 1,
-            lit(32)))).as(Seq("frame_idx", "frame")))
+  def sampleFrames(media: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, "need n >= 1 frames")
+    val vids = media.filter(col("modality") === "video")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("width_px", IntegerType),
+      StructField("height_px", IntegerType),
+      StructField("frame", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val idIdx = vids.schema.fieldIndex("media_id")
+    val contentIdx = vids.schema.fieldIndex("content")
+    vids.mapPartitions { rows =>
+      ImageIO.setUseCache(false) // per-partition decoder init
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](contentIdx)
+        val frames =
+          if (bytes == null || bytes.isEmpty) Seq.empty
+          else splitJpegFrames(bytes)
+        val nf = frames.length
+        val idxs =
+          if (nf <= n) 0 until nf
+          else (0 until n).map(k => (k.toLong * nf / n).toInt)
+        idxs.map { fi =>
+          val seg = frames(fi)
+          val img = ImageIO.read(new ByteArrayInputStream(seg))
+          if (img == null)
+            Row(r.getLong(idIdx), fi, nf, 0, 0, seg)
+          else
+            Row(r.getLong(idIdx), fi, nf, img.getWidth, img.getHeight, seg)
+        }
+      }
+    }(enc)
+  }
 }

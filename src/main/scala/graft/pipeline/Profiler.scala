@@ -45,6 +45,9 @@ object Profiler {
     * (one subtraction, one division by the same width), so bucket
     * assignment is bit-identical — the gate leans on that.
     * One pass for min/max (broadcast scalars), one aggregate for counts.
+    * Degenerate single-valued columns (min == max, width 0 — where the
+    * division would be 0/0 = NaN and engines diverge on floor(NaN)) get
+    * one explicit bin [mn, mn] holding the full count.
     */
   def histogram(df: DataFrame, valueCol: String, nBins: Int): DataFrame = {
     require(nBins >= 1, "need >= 1 bin")
@@ -54,8 +57,8 @@ object Profiler {
       .filter(col("v").isNotNull)
       .crossJoin(broadcast(mm))
       .withColumn("w", (col("mx") - col("mn")) / nBins)
-      .withColumn("bin", least(
-        floor((col("v") - col("mn")) / col("w")).cast("int"), lit(nBins - 1)))
+      .withColumn("bin", when(col("w") === 0.0, lit(0)).otherwise(least(
+        floor((col("v") - col("mn")) / col("w")).cast("int"), lit(nBins - 1))))
       .groupBy("bin", "mn", "w")
       .agg(count(lit(1)).as("cnt"))
       .select(col("bin"),

@@ -11,6 +11,18 @@ object GraftShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Spark's native codegen'd Bloom-filter probe
+    * (`BloomFilterMightContain` — the expression AQE's runtime row-level
+    * filtering injects), over a pre-built serialized filter. `value` must
+    * be a LongType column (hash the key with `xxhash64` on both build and
+    * probe side). Beats a Scala UDF probe: no serialization boundary in
+    * the hot filter, stays inside whole-stage codegen.
+    */
+  def bloomMightContain(bloomBytes: Array[Byte], value: Column): Column =
+    column(catalyst.expressions.BloomFilterMightContain(
+      catalyst.expressions.Literal.create(bloomBytes, types.BinaryType),
+      expression(value)))
+
   /** `types.AbstractDataType` is `private[sql]`; expressions outside the
     * sql package need this alias to declare `inputTypes` contracts
     * (ExpectsInputTypes / ImplicitCastInputTypes).

@@ -146,17 +146,21 @@ class PlanShapeSpec extends SparkSpec {
       s"cluster-key filter not pushed in:\n$p")
   }
 
-  test("bloom semi-join: the bloom filter sits under the join, above the scan") {
+  test("bloom semi-join: native codegen probe sits under the join") {
     // sf0.01: sf0.001 has no negative-balance supplier, which takes the
-    // empty-build-side path (same join shape, no bloom UDF to pin)
-    val p = SparkEntry.queries("q_bloom_semi_join")(
-      spark, "/root/testdata/sf0.01").queryExecution.executedPlan.toString
+    // empty-build-side path (same join shape, no bloom probe to pin)
+    val df = SparkEntry.queries("q_bloom_semi_join")(
+      spark, "/root/testdata/sf0.01")
+    val p = df.queryExecution.executedPlan.toString
     val semiAt = p.indexOf("LeftSemi")
     assert(semiAt >= 0, s"no left-semi join in:\n$p")
-    // the pruning UDF filter must appear in the large side's subtree,
-    // i.e. AFTER the join node in the plan's top-down rendering
-    val udfAt = p.indexOf("UDF(l_suppkey", semiAt)
-    assert(udfAt > semiAt, s"bloom UDF filter not under the join:\n$p")
+    // the probe is Spark's native BloomFilterMightContain (the AQE
+    // runtime-filter expression), NOT a Scala UDF: it stays inside
+    // whole-stage codegen with no serialization boundary
+    val probeAt = p.indexOf("might_contain", semiAt)
+    assert(probeAt > semiAt, s"bloom probe not under the join:\n$p")
+    assert(!p.contains("UDF("),
+      s"bloom probe must be the native expression, not a UDF:\n$p")
   }
 
   test("tpch q16 NOT IN shape plans as a left-anti join") {

@@ -43,6 +43,18 @@ class SkewSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("saltedJoin rejects right-preserving join types") {
+    // the right side is replicated `salts` times, so right/full outer
+    // would emit each unmatched right row salts times — must fail fast
+    val left = Seq((1L, "a")).toDF("k", "lv")
+    val right = Seq((1L, "x"), (2L, "y")).toDF("k", "rv")
+    Seq("right_outer", "full_outer", "right", "full").foreach { jt =>
+      intercept[IllegalArgumentException] {
+        Skew.saltedJoin(left, right, "k", salts = 4, jt)
+      }
+    }
+  }
+
   test("saltedJoin preserves left_outer semantics (unmatched rows kept once)") {
     val left = Seq((1L, "a"), (2L, "b"), (99L, "orphan")).toDF("k", "lv")
     val right = Seq((1L, "x"), (2L, "y")).toDF("k", "rv")

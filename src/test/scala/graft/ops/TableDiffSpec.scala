@@ -30,4 +30,11 @@ class TableDiffSpec extends SparkSpec {
     val a = Seq((1L, "x"), (2L, "y")).toDF("k", "s")
     assert(TableDiff.diff(a, a, Seq("k")).count() == 0)
   }
+
+  test("schema drift fails fast instead of silently ignoring a column") {
+    val a = Seq((1L, "x")).toDF("k", "s")
+    val b = Seq((1L, "x", 9.0)).toDF("k", "s", "extra")
+    intercept[IllegalArgumentException] { TableDiff.diff(a, b, Seq("k")) }
+    intercept[IllegalArgumentException] { TableDiff.diff(b, a, Seq("k")) }
+  }
 }

@@ -12,13 +12,18 @@ class BpeSpec extends SparkSpec {
       Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
   ).map(Tuple1(_)).toDF("text")
 
+  // the end-of-word marker is the reserved private-use codepoint U+E000
+  // (a text-valued "</w>" would collide with scraped XML — see Bpe.endMark)
+  private val M = "\uE000"
+
   test("train learns the hand-computed merges in order (lexicographic ties)") {
-    // pair frequencies: (e,s)=9 (s,t)=9 (t,</w>)=9 tie -> lexicographic
-    // picks (e,s); then (es,t)=9, (est,</w>)=9, then (l,o)=(o,w)=7 tie ->
-    // (l,o), then (lo,w)=7
+    // pair frequencies: (e,s)=9 (s,t)=9 (t,M)=9 tie -> lexicographic
+    // picks (e,s); then (es,t)=9, (est,M)=9, then (l,o)=(o,w)=7 tie ->
+    // (l,o), then (lo,w)=7  [M sorts above ascii letters so (est,M) only
+    // wins its round by frequency order, same as the paper's </w>]
     val merges = Bpe.train(corpus, "text", nMerges = 5)
     assert(merges.map(m => (m.a, m.b)) == Seq(
-      ("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"), ("lo", "w")))
+      ("e", "s"), ("es", "t"), ("est", M), ("l", "o"), ("lo", "w")))
     assert(merges.map(_.rank) == Seq(0, 1, 2, 3, 4))
   }
 
@@ -27,8 +32,30 @@ class BpeSpec extends SparkSpec {
     val toks = Bpe.tokenize(Seq(("newest low lowest", 1)).toDF("text", "id"),
       "text", merges)
       .select("tokens").as[Seq[String]].head()
-    assert(toks == Seq("n", "e", "w", "est</w>", "low", "</w>",
-      "low", "est</w>"))
+    assert(toks == Seq("n", "e", "w", s"est$M", "low", M,
+      "low", s"est$M"))
+  }
+
+  test("dictionary-encoded tokenize equals the per-row form") {
+    val df = Seq((1L, "newest low lowest"), (2L, "  low   WIDEST "),
+      (3L, ""), (4L, "unseen words here")).toDF("id", "text")
+    val merges = Bpe.train(corpus, "text", nMerges = 5)
+    val dict = Bpe.tokenize(df, "text", merges)
+      .select("id", "tokens").as[(Long, Seq[String])].collect().toMap
+    val perRow = Bpe.tokenizePerRow(df, "text", merges)
+      .select("id", "tokens").as[(Long, Seq[String])].collect().toMap
+    assert(dict == perRow)
+    assert(dict(3L).isEmpty)
+  }
+
+  test("detokenize is safe against literal '</w>' in corpus text") {
+    // scraped XML: the old text-valued sentinel would turn these
+    // characters into spaces; the reserved-codepoint marker cannot occur
+    val df = Seq((1L, "a</w>b <tag></w>")).toDF("id", "text")
+    val merges = Bpe.train(corpus, "text", 5)
+    val out = Bpe.tokenize(df, "text", merges)
+      .select(Bpe.detokenize(col("tokens"))).as[String].head()
+    assert(out == "a</w>b <tag></w>")
   }
 
   test("training stops early when no pair repeats") {

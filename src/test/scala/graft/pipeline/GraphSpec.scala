@@ -30,6 +30,43 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(i2("h") - (0.15 + 0.85 * 3 * 0.15)) < 1e-12)
   }
 
+  test("dangling redistribution hand-check on a star (hub is a sink)") {
+    // l1,l2,l3 -> h; N=4; hub has no out-edges so its whole rank is the
+    // dangling mass. iter1: dm = rank0(h) = 1.0, so every node gets
+    // 0.15 + 0.85*(contrib + 1/4): hub = 0.15+0.85*3.25 = 2.9125,
+    // leaves = 0.15+0.85*0.25 = 0.3625
+    val edges = Seq(("l1", "h"), ("l2", "h"), ("l3", "h")).toDF("s", "d")
+    val r = Graph.pageRank(edges, "s", "d", iters = 1,
+      redistributeDangling = true)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r("h") - (0.15 + 0.85 * (3.0 + 0.25))) < 1e-12)
+    assert(math.abs(r("l1") - (0.15 + 0.85 * 0.25)) < 1e-12)
+    // mass is conserved: total rank stays N
+    assert(math.abs(r.values.sum - 4.0) < 1e-12)
+  }
+
+  test("checkpoint cadence changes the plan, never the values") {
+    val edges = (0 until 40).map(i =>
+      (s"n${i % 10}", s"n${(i * 7 + 3) % 10}")).toDF("s", "d")
+    val plain = Graph.pageRank(edges, "s", "d", iters = 6)
+    val chk = Graph.pageRank(edges, "s", "d", iters = 6,
+      checkpointEvery = 2)
+    val pv = plain.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val cv = chk.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pv.keySet == cv.keySet)
+    pv.foreach { case (k, v) => assert(math.abs(v - cv(k)) < 1e-9) }
+    // the bounded-lineage contract: the truncated plan stops at a
+    // materialized RDD scan and is a fraction of the unbounded plan
+    val plainNodes = plain.queryExecution.optimizedPlan
+      .numberedTreeString.linesIterator.size
+    val chkNodes = chk.queryExecution.optimizedPlan
+      .numberedTreeString.linesIterator.size
+    assert(chk.queryExecution.optimizedPlan.toString.contains("LogicalRDD"),
+      "checkpointed ranks must read from a materialized scan")
+    assert(chkNodes * 2 < plainNodes,
+      s"lineage not truncated: $chkNodes vs $plainNodes plan lines")
+  }
+
   test("duplicate edges weight contributions, as documented") {
     // a->b twice, a->c once: deg(a)=3, b gets 2/3, c gets 1/3
     val edges = Seq(("a", "b"), ("a", "b"), ("a", "c")).toDF("s", "d")

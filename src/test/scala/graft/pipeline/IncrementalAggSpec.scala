@@ -42,6 +42,49 @@ class IncrementalAggSpec extends SparkSpec {
     }
   }
 
+  test("retraction fold + rebuild equals from-scratch over the net data") {
+    val base = Seq(("a", 1.0), ("a", 5.0), ("a", 9.0),
+      ("b", 2.0), ("b", 4.0), ("c", 3.0)).toDF("g", "v")
+    val path = fresh("retr")
+    IncrementalAgg.init(base, path, Seq("g"), "v")
+    // retract a's min (1.0) and max (9.0), all of c (group empties),
+    // insert a new a-row and a new group d
+    val delta = Seq(
+      ("a", 1.0, -1), ("a", 9.0, -1), ("c", 3.0, -1),
+      ("a", 7.0, 1), ("d", 6.0, 1)).toDF("g", "v", "op")
+    IncrementalAgg.updateWithRetractions(spark, path, delta,
+      Seq("g"), "v", "op")
+    val net = Seq(("a", 5.0), ("a", 7.0), ("b", 2.0), ("b", 4.0),
+      ("d", 6.0)).toDF("g", "v")
+    IncrementalAgg.rebuild(spark, path, net, Seq("g"), "v")
+    val out = IncrementalAgg.read(spark, path).orderBy("g").collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("cnt"),
+        r.getAs[Double]("min_v"), r.getAs[Double]("max_v"),
+        r.getAs[Double]("sum_v"))).toSeq
+    assert(out == Seq(
+      ("a", 2L, 5.0, 7.0, 12.0),   // extremes retracted -> rebuilt
+      ("b", 2L, 2.0, 4.0, 6.0),    // untouched
+      ("d", 1L, 6.0, 6.0, 6.0)))   // inserted group; c emptied and gone
+  }
+
+  test("retractions not touching the extremes never flag a rebuild") {
+    val path = fresh("clean")
+    IncrementalAgg.init(Seq(("a", 1.0), ("a", 5.0), ("a", 9.0))
+      .toDF("g", "v"), path, Seq("g"), "v")
+    IncrementalAgg.updateWithRetractions(spark, path,
+      Seq(("a", 5.0, -1)).toDF("g", "v", "op"), Seq("g"), "v", "op")
+    // min/max stay exact WITHOUT any rebuild: the interior delete
+    // cannot move them
+    val r = IncrementalAgg.read(spark, path).collect()(0)
+    assert(r.getAs[Long]("cnt") == 2L)
+    assert(r.getAs[Double]("min_v") == 1.0 &&
+      r.getAs[Double]("max_v") == 9.0)
+    // and the state carries no dirty flag (rebuild would be a no-op scan)
+    val raw = spark.read.parquet(path).collect()(0)
+    assert(!raw.getAs[Boolean]("dirty_min") &&
+      !raw.getAs[Boolean]("dirty_max"))
+  }
+
   test("a delta with only new groups appends them") {
     val path = fresh("newg")
     IncrementalAgg.init(Seq(("a", 1.0)).toDF("g", "v"), path, Seq("g"), "v")

@@ -538,11 +538,40 @@ class MultimodalSpec extends SparkSpec {
     assert(twice(0) == twice(1))
   }
 
-  test("sampleFrames explodes n frames per video row") {
-    val vids = media.withColumn("modality", lit("video"))
-    val frames = Multimodal.sampleFrames(vids, 4)
-    assert(frames.columns.toSeq == Seq("media_id", "frame_idx", "frame"))
-    assert(frames.filter(col("media_id") === 1L).count() == 4)
+  test("video path renders real MJPEG and decodes true frame dims/count") {
+    val vids = Multimodal.syntheticMedia(
+      Seq((1L, "hello world"), (2L, "")).toDF("id", "txt"), "id", "txt",
+      modality = "video")
+    // plenty of headroom: nf is 3-6, so n=8 samples every frame
+    val frames = Multimodal.sampleFrames(vids, 8)
+    assert(frames.columns.toSeq == Seq("media_id", "frame_idx", "n_frames",
+      "width_px", "height_px", "frame"))
+    val rows = frames.collect()
+    // "hello world" = 11 bytes -> 3 + 11 % 4 = 6 frames; "" -> 3
+    assert(rows.count(_.getLong(0) == 1L) == 6)
+    assert(rows.count(_.getLong(0) == 2L) == 3)
+    rows.foreach { r =>
+      val n = if (r.getLong(0) == 1L) 11 else 0
+      val (w, h) = Multimodal.frameDimsFor(n, r.getInt(1))
+      // decoded-by-ImageIO dims match the render contract per frame
+      assert(r.getInt(3) == w && r.getInt(4) == h)
+      // each emitted frame is itself a decodable standalone JPEG
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](5)))
+      assert(img != null && img.getWidth == w && img.getHeight == h)
+    }
+  }
+
+  test("sampleFrames uniform sampling picks floor(k*nf/n) when nf > n") {
+    val vids = Multimodal.syntheticMedia(
+      Seq((1L, "hello world")).toDF("id", "txt"), "id", "txt",
+      modality = "video") // 6 frames
+    val sampled = Multimodal.sampleFrames(vids, 4)
+      .select("frame_idx").collect().map(_.getInt(0)).toSeq
+    assert(sampled == Seq(0, 1, 3, 4)) // floor(k*6/4) for k = 0..3
+    // non-MJPEG payloads contain no JPEG markers -> no frames emitted
+    val junk = media.withColumn("modality", lit("video"))
+    assert(Multimodal.sampleFrames(junk, 4).count() == 0)
   }
 }
 

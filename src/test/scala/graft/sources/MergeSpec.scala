@@ -64,6 +64,49 @@ class MergeSpec extends SparkSpec {
     }
   }
 
+  test("version log: readVersion time-travels, diff(v0,v1) is the batch") {
+    val path = freshDir("ver")
+    val base = (0L until 100L).map(i => (i, i * 10.0)).toDF("id", "score")
+    Merge.writeKeyed(base, path, "id", nBuckets = 8)
+    assert(Merge.currentVersion(spark, path) == 0L)
+    val updates = Seq((7L, 777.0), (200L, 1.0)).toDF("id", "score")
+    val stats = Merge.upsert(spark, path, updates, "id", nBuckets = 8)
+    assert(stats.version == 1L)
+    assert(Merge.currentVersion(spark, path) == 1L)
+    // v0 is still exactly the base table — immutable data files
+    val v0 = Merge.readVersion(spark, path, 0).orderBy("id").collect()
+    assert(v0.length == 100)
+    assert(v0.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      (0L until 100L).map(i => (i, i * 10.0)))
+    // v1 is the merged view, and the latest read resolves to it
+    val v1 = Merge.readVersion(spark, path, 1)
+    assert(v1.count() == 101)
+    assert(v1.filter($"id" === 7L).select("score").as[Double].head() == 777.0)
+    // the change-data view between versions is exactly the upsert batch
+    val d = graft.ops.TableDiff.diff(
+      Merge.readVersion(spark, path, 0), v1, Seq("id"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(d.toSeq == Seq((7L, "changed"), (200L, "added")))
+  }
+
+  test("vacuum drops expired versions and their unreferenced files") {
+    val path = freshDir("vac")
+    val base = (0L until 50L).map(i => (i, i.toString)).toDF("id", "v")
+    Merge.writeKeyed(base, path, "id", nBuckets = 4)
+    Merge.upsert(spark, path, Seq((3L, "x")).toDF("id", "v"), "id", 4)
+    Merge.upsert(spark, path, Seq((3L, "y")).toDF("id", "v"), "id", 4)
+    val filesBefore = bucketFiles(path).values.map(_.size).sum
+    Merge.vacuum(spark, path, keepVersions = 1)
+    val filesAfter = bucketFiles(path).values.map(_.size).sum
+    assert(filesAfter < filesBefore, "superseded files must be deleted")
+    // latest version unaffected
+    val out = Merge.readKeyed(spark, path)
+    assert(out.count() == 50)
+    assert(out.filter($"id" === 3L).select("v").as[String].head() == "y")
+    // expired manifests are gone
+    intercept[Exception] { Merge.readVersion(spark, path, 0).collect() }
+  }
+
   test("upsert of the same batch twice is idempotent") {
     val path = freshDir("idem")
     val base = (0L until 50L).map(i => (i, i * 1.0)).toDF("id", "x")

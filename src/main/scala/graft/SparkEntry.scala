@@ -1470,8 +1470,11 @@ object SparkEntry {
       // SQL can check without modeling BPE: detokenizing every document's
       // tokens rebuilds its whitespace-normalized text exactly. Merge
       // learning itself is pinned by hand-computed fixtures in BpeSpec.
+      // 200 merges is a realistically-sized list: the dictionary-encoded
+      // tokenizer's O(vocab x merges) vs O(occurrences x merges) win only
+      // exists when the merge list is non-trivial.
       val docs = t(s, dir, "documents")
-      val merges = graft.pipeline.Bpe.train(docs, "text", nMerges = 8)
+      val merges = graft.pipeline.Bpe.train(docs, "text", nMerges = 200)
       graft.pipeline.Bpe.tokenize(docs, "text", merges)
         .select(col("doc_id"),
           graft.pipeline.Bpe.detokenize(col("tokens")).as("rebuilt"))

@@ -120,19 +120,54 @@ object Bpe {
     * `tokens` column (end-of-word markers kept — `x` + U+E000 means "x at
     * word end").
     *
-    * DICTIONARY-ENCODED: the O(merges) greedy loop runs once per DISTINCT
-    * word, not once per occurrence. Zipf says a 100 TB corpus has
-    * billions of word occurrences over a vocabulary orders of magnitude
-    * smaller, so per-corpus work drops from O(rows × words × merges) to
-    * O(vocab × merges) plus joins. Shape: posexplode the words, distinct
-    * them, run the merges over the bounded vocab (the same distinct-word
+    * DICTIONARY-ENCODED VIA A PER-TASK MEMO: the O(merges) greedy loop
+    * runs once per DISTINCT word per task, not once per occurrence. Zipf
+    * says a 100 TB corpus has billions of word occurrences over a
+    * vocabulary orders of magnitude smaller, so per-corpus work collapses
+    * to O(task-distinct-vocab × merges + occurrences) — and the operator
+    * stays a PURE MAP: zero shuffles, streaming-safe, nothing collected.
+    * The memo is per task (caches don't survive task boundaries), capped
+    * at `memoCap` entries so a pathological vocabulary degrades to
+    * per-occurrence work rather than memory pressure. For vocabularies
+    * too large even per task, [[tokenizeDict]] trades the memo for a
+    * distinct+join pipeline (bounded state, two shuffles).
+    */
+  def tokenize(df: DataFrame, textCol: String, merges: Seq[BpeMerge],
+      memoCap: Int = 200000): DataFrame = {
+    val ordered = merges.sortBy(_.rank).map(m => (m.a, m.b))
+    val bc = df.sparkSession.sparkContext.broadcast(ordered)
+    // captured by the closure -> deserialized once per task, so the map
+    // amortizes across all of the task's rows (never across tasks)
+    val memo = scala.collection.mutable.HashMap.empty[String, Seq[String]]
+    val tokUdf = udf { text: String =>
+      if (text == null) Seq.empty[String]
+      else {
+        val words = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+        words.toSeq.flatMap { w =>
+          memo.get(w) match {
+            case Some(t) => t
+            case None =>
+              var sym = toSymbols(w)
+              bc.value.foreach { case (a, b) => sym = applyMerge(sym, a, b) }
+              if (memo.size < memoCap) memo.update(w, sym)
+              sym
+          }
+        }
+      }
+    }
+    df.withColumn("tokens", tokUdf(col(textCol)))
+  }
+
+  /** The join-back dictionary form of [[tokenize]] for vocabularies too
+    * large to memoize per task: posexplode the words, distinct them, run
+    * the merges once per corpus-distinct word (the same distinct-word
     * table train scans), join the word→tokens mapping back (the vocab
     * side is the small one — AQE broadcasts it when it fits), and
     * reassemble per row in word order. Row identity rides on
     * `monotonically_increasing_id`, deterministic here because both
     * branches re-derive it from the same scan partitioning.
     */
-  def tokenize(df: DataFrame, textCol: String,
+  def tokenizeDict(df: DataFrame, textCol: String,
       merges: Seq[BpeMerge]): DataFrame = {
     val tokWord = tokenizeWordUdf(df, merges)
     val withId = df.withColumn("__bpe_row", monotonically_increasing_id())

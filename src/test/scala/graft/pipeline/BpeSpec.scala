@@ -36,16 +36,23 @@ class BpeSpec extends SparkSpec {
       "low", s"est$M"))
   }
 
-  test("dictionary-encoded tokenize equals the per-row form") {
+  test("memoized, join-dict, and per-row tokenize forms all agree") {
     val df = Seq((1L, "newest low lowest"), (2L, "  low   WIDEST "),
       (3L, ""), (4L, "unseen words here")).toDF("id", "text")
     val merges = Bpe.train(corpus, "text", nMerges = 5)
-    val dict = Bpe.tokenize(df, "text", merges)
+    val memo = Bpe.tokenize(df, "text", merges)
+      .select("id", "tokens").as[(Long, Seq[String])].collect().toMap
+    val dict = Bpe.tokenizeDict(df, "text", merges)
       .select("id", "tokens").as[(Long, Seq[String])].collect().toMap
     val perRow = Bpe.tokenizePerRow(df, "text", merges)
       .select("id", "tokens").as[(Long, Seq[String])].collect().toMap
+    assert(memo == perRow)
     assert(dict == perRow)
-    assert(dict(3L).isEmpty)
+    assert(memo(3L).isEmpty)
+    // a memo cap of zero degrades to pure per-occurrence work, same output
+    val capped = Bpe.tokenize(df, "text", merges, memoCap = 0)
+      .select("id", "tokens").as[(Long, Seq[String])].collect().toMap
+    assert(capped == perRow)
   }
 
   test("detokenize is safe against literal '</w>' in corpus text") {

@@ -1182,6 +1182,69 @@ object SparkEntry {
       graft.pipeline.IncrementalAgg.read(s, statePath)
         .orderBy("user_id", "event_type")
     }),
+    "q_stream_retract" -> ((s, dir) => {
+      // CDC-STYLE streaming maintenance: three authored micro-batches —
+      // pre-cut inserts, post-cut inserts, then a RETRACTION batch
+      // deleting every 7th pre-cut row — fold through foreachBatch into
+      // the counted state; a final rebuild repairs flagged extremes from
+      // the net table. Batch order is authored (mtime + one file per
+      // trigger): CDC streams deliver a key's delete after its insert,
+      // and the counted fold relies on exactly that contract. Oracle:
+      // from-scratch over the net data (same as q_incremental_retract).
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val sfName = new java.io.File(dir).getName
+      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_stream_retr_$sfName")
+      val inDir = base.resolve("in")
+      val statePath = base.resolve("state").toString
+      def rmTree(p: java.nio.file.Path): Unit =
+        if (Files.exists(p)) {
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.delete(f))
+        }
+      rmTree(base)
+      Files.createDirectories(inDir)
+      val cut1 = 1704844800L * 1000000000L // 2024-01-10 UTC, nanos
+      val e = t(s, dir, "events").select("user_id", "event_type", "ts",
+        "value", "event_id")
+      val batch1 = e.filter(col("ts") < cut1)
+      val slices = Seq(
+        ("b1.parquet", batch1.withColumn("op", lit(1))),
+        ("b2.parquet", e.filter(col("ts") >= cut1).withColumn("op", lit(1))),
+        ("b3.parquet", batch1.filter(col("event_id") % 7 === 0)
+          .withColumn("op", lit(-1))))
+      slices.zipWithIndex.foreach { case ((name, df), i) =>
+        val stage = base.resolve(s"stage_$i")
+        df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = Files.list(stage).filter(_.toString.endsWith(".parquet"))
+          .findFirst().get()
+        Files.move(part, inDir.resolve(name),
+          StandardCopyOption.REPLACE_EXISTING)
+        inDir.resolve(name).toFile
+          .setLastModified(1700000000000L + i * 60000L)
+      }
+      val keys = Seq("user_id", "event_type")
+      withShufflePartitions(s, 8) {
+        val q = s.readStream.schema(slices.head._2.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            if (!Files.exists(Paths.get(statePath)))
+              graft.pipeline.IncrementalAgg.init(batch.drop("op"),
+                statePath, keys, "value")
+            else
+              graft.pipeline.IncrementalAgg.updateWithRetractions(s,
+                statePath, batch, keys, "value", "op")
+          }
+          .start()
+        q.awaitTermination()
+      }
+      val net = e.filter(col("ts") >= cut1 || col("event_id") % 7 =!= 0)
+      graft.pipeline.IncrementalAgg.rebuild(s, statePath, net, keys, "value")
+      graft.pipeline.IncrementalAgg.read(s, statePath)
+        .orderBy("user_id", "event_type")
+    }),
     "q_pagerank" -> ((s, dir) => {
       // bounded-iteration PageRank over the undirected customer-supplier
       // interaction graph (edges = who traded with whom via orders):
@@ -3007,6 +3070,15 @@ object SparkEntry {
          ORDER BY user_id, event_type""",
     // incremental WITH retractions == from-scratch over the net data
     "q_incremental_retract" ->
+      """SELECT user_id, event_type, count(*) AS cnt,
+                min(value) AS min_v, max(value) AS max_v,
+                CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_v
+         FROM events
+         WHERE epoch_ns(ts) >= 1704844800000000000 OR event_id % 7 <> 0
+         GROUP BY user_id, event_type
+         ORDER BY user_id, event_type""",
+    // the CDC-style streaming retraction fold lands on the net state
+    "q_stream_retract" ->
       """SELECT user_id, event_type, count(*) AS cnt,
                 min(value) AS min_v, max(value) AS max_v,
                 CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_v

@@ -45,6 +45,38 @@ class BehaviorSpec extends SparkSpec {
     assert(f(1) == 1L && f(2) == 0L && f(3) == 0L)
   }
 
+  test("windowedFunnel: a step outside the gap does not count; inside does") {
+    val rows = Seq(
+      // u1: click 5 after the view — inside a gap of 10
+      (1L, "view", 10L, 1L), (1L, "click", 15L, 2L),
+      // u2: click 50 after the view — outside
+      (2L, "view", 10L, 3L), (2L, "click", 60L, 4L),
+      // u3: greedy chain — the EARLIEST view (t=10) starts the clock,
+      // so the click at 25 misses even though a later view (t=20) was
+      // within reach (documented earliest-chain semantics)
+      (3L, "view", 10L, 5L), (3L, "view", 20L, 6L),
+      (3L, "click", 25L, 7L))
+    val f = Behavior.windowedFunnel(rows.toDF("u", "et", "ts", "id"),
+      "u", "et", "ts", Seq("view", "click"), "id", maxGap = lit(10L))
+      .orderBy("step")
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
+    assert(f(1) == 3L)
+    assert(f(2) == 1L, "only u1's click lands within the gap")
+  }
+
+  test("windowedFunnel shares ONE user-partitioned Exchange across steps") {
+    val rows = (1L to 20L).flatMap { u =>
+      Seq((u, "view", u, u * 10), (u, "click", u + 1, u * 10 + 1))
+    }
+    val df = Behavior.windowedFunnel(rows.toDF("u", "et", "ts", "id"),
+      "u", "et", "ts", Seq("view", "click", "purchase"), "id", lit(5L))
+    val p = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning\\(u#".r
+      .findAllMatchIn(p).size
+    assert(exchanges == 1,
+      s"all step window passes must share one Exchange, saw $exchanges:\n$p")
+  }
+
   test("funnel counts are invariant to input partitioning") {
     val rows = (1L to 50L).flatMap { u =>
       Seq((u, "view", u * 10, u * 100),

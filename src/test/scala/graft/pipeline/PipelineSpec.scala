@@ -572,6 +572,10 @@ class MultimodalSpec extends SparkSpec {
     // non-MJPEG payloads contain no JPEG markers -> no frames emitted
     val junk = media.withColumn("modality", lit("video"))
     assert(Multimodal.sampleFrames(junk, 4).count() == 0)
+    // pure-map contract: frame sampling never shuffles the media blobs
+    val p = Multimodal.sampleFrames(vids, 4)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"sampleFrames must not shuffle:\n$p")
   }
 }
 

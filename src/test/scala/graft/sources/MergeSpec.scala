@@ -89,6 +89,24 @@ class MergeSpec extends SparkSpec {
     assert(d.toSeq == Seq((7L, "changed"), (200L, "added")))
   }
 
+  test("upsert never deletes or rewrites ANY existing data file") {
+    // the crash-safety core: data files are immutable, only the manifest
+    // commit makes new ones visible — even the TOUCHED bucket keeps its
+    // old files (old versions still read them)
+    val path = freshDir("immut")
+    val base = (0L until 100L).map(i => (i, i.toString)).toDF("id", "v")
+    Merge.writeKeyed(base, path, "id", nBuckets = 8)
+    val before = bucketFiles(path)
+    Merge.upsert(spark, path, Seq((3L, "x")).toDF("id", "v"), "id", 8)
+    val after = bucketFiles(path)
+    before.foreach { case (bucket, files) =>
+      files.foreach { case (name, mtime) =>
+        assert(after(bucket).get(name).contains(mtime),
+          s"pre-existing file $bucket/$name was deleted or rewritten")
+      }
+    }
+  }
+
   test("vacuum drops expired versions and their unreferenced files") {
     val path = freshDir("vac")
     val base = (0L until 50L).map(i => (i, i.toString)).toDF("id", "v")

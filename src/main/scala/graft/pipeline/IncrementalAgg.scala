@@ -135,6 +135,10 @@ object IncrementalAgg {
     val state = withFlags(spark.read.parquet(path))
     val flagged = state.filter(col("dirty_min") || col("dirty_max"))
       .select(keys.map(col): _*)
+    // nothing dirty -> nothing to repair: skip without ever touching the
+    // (possibly enormous) net table. The check costs one scan of the
+    // bounded state parquet, not of raw data.
+    if (flagged.isEmpty) return
     val fresh = net.join(flagged, keys, "left_semi")
       .groupBy(keys.map(col): _*)
       .agg(min(col(valueCol).cast("double")).as("f_min"),

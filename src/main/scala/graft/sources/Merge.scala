@@ -36,7 +36,12 @@ import org.apache.spark.sql.functions._
   * pairs with `ops.TableDiff` for "what changed between v3 and v7".
   * Production table formats (Iceberg/Delta) add schema evolution and
   * multi-table transactions on top; the I/O shape — immutable files,
-  * manifest swap, prune by manifest — is this one.
+  * manifest swap, prune by manifest — is this one. One bound to respect
+  * at scale: a manifest lists every live file in one JSON document, so
+  * manifest size is ∝ file count — keep files coarse (the bucket layout
+  * writes one file per bucket per commit; `Tables.compact` exists for
+  * the general case). Sharded/tree manifests are the production answer
+  * past millions of files.
   */
 object Merge {
 

@@ -97,33 +97,49 @@ object Graph {
     var ranks = nodesF.withColumn("rank", lit(1.0))
     if (redistributeDangling) ranks = materialize(ranks)
     for (i <- 1 to iters) {
-      val contribs = eDeg
-        .join(ranks.select(col("node").as("src"), col("rank")), "src")
-        .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
-        .groupBy("node").agg(sum("c").as("contrib"))
-      val base = nodesF.join(contribs, Seq("node"), "left")
       ranks =
-        if (redistributeDangling) {
-          // the dangling mass rides in the SAME job as the round's
-          // materialization: a broadcast scalar whose subtree is a
-          // filter+agg over the already-materialized previous ranks
-          // (cheap — no chain re-execution, no second driver action)
-          val dmass = ranks.filter(!col("__has_out"))
-            .agg(coalesce(sum("rank"), lit(0.0)).as("__dmass"))
-          materialize(base.crossJoin(broadcast(dmass))
-            .select(col("node"), col("__has_out"),
-              (lit(1.0 - damping) + lit(damping) *
-                (coalesce(col("contrib"), lit(0.0)) +
-                  col("__dmass") / nNodes)).as("rank")))
-        } else {
-          val next = base.select(col("node"),
-            (lit(1.0 - damping) +
-              lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
+        if (redistributeDangling)
+          materialize(redistributeRound(eDeg, nodesF, ranks, damping, nNodes))
+        else {
+          val next = plainRound(eDeg, nodesF, ranks, damping)
           if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
             materialize(next)
           else next
         }
     }
     if (redistributeDangling) ranks.drop("__has_out") else ranks
+  }
+
+  private def contributions(eDeg: DataFrame, ranks: DataFrame): DataFrame =
+    eDeg
+      .join(ranks.select(col("node").as("src"), col("rank")), "src")
+      .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
+      .groupBy("node").agg(sum("c").as("contrib"))
+
+  private[pipeline] def plainRound(eDeg: DataFrame, nodes: DataFrame,
+      ranks: DataFrame, damping: Double): DataFrame =
+    nodes.join(contributions(eDeg, ranks), Seq("node"), "left")
+      .select(col("node"),
+        (lit(1.0 - damping) +
+          lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
+
+  /** One redistribute-mode round over MATERIALIZED inputs. The dangling
+    * mass rides in the same job as the round (a broadcast scalar whose
+    * subtree is a filter+agg over the already-materialized previous
+    * ranks — no chain re-execution, no second driver action), and both
+    * joins reuse the hash partitioning localCheckpoint preserved, so the
+    * round's ONLY shuffle is the contribution aggregation — pinned in
+    * GraphSpec.
+    */
+  private[pipeline] def redistributeRound(eDeg: DataFrame, nodesF: DataFrame,
+      ranks: DataFrame, damping: Double, nNodes: Double): DataFrame = {
+    val dmass = ranks.filter(!col("__has_out"))
+      .agg(coalesce(sum("rank"), lit(0.0)).as("__dmass"))
+    nodesF.join(contributions(eDeg, ranks), Seq("node"), "left")
+      .crossJoin(broadcast(dmass))
+      .select(col("node"), col("__has_out"),
+        (lit(1.0 - damping) + lit(damping) *
+          (coalesce(col("contrib"), lit(0.0)) +
+            col("__dmass") / nNodes)).as("rank"))
   }
 }

@@ -67,6 +67,39 @@ class GraphSpec extends SparkSpec {
       s"lineage not truncated: $chkNodes vs $plainNodes plan lines")
   }
 
+  test("a materialized redistribute round shuffles exactly once") {
+    // localCheckpoint preserves hash partitioning, so with materialized
+    // round inputs both joins (eDeg x ranks on src, nodesF x contribs on
+    // node) are co-partitioned and shuffle-free: the round's only
+    // Exchange is the contribution aggregation. AQE off so the static
+    // plan is inspectable.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import org.apache.spark.sql.functions._
+      val e = (0 until 40).map(i =>
+        (s"n${i % 10}", s"n${(i * 7 + 3) % 10}")).toDF("src", "dst")
+        .distinct().localCheckpoint(true)
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+        .localCheckpoint(true)
+      val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      val eDeg = e.join(outDeg, "src").localCheckpoint(true)
+      val nodesF = nodes
+        .join(outDeg.withColumnRenamed("src", "node"), Seq("node"), "left")
+        .select(col("node"), col("deg").isNotNull.as("__has_out"))
+        .localCheckpoint(true)
+      val ranks = nodesF.withColumn("rank", lit(1.0)).localCheckpoint(true)
+      val round = Graph.redistributeRound(eDeg, nodesF, ranks, 0.85, 10.0)
+      val p = round.queryExecution.executedPlan.toString
+      val hashExchanges = "Exchange hashpartitioning".r
+        .findAllMatchIn(p).size
+      assert(hashExchanges == 1,
+        s"a round must shuffle once (the contribution agg), saw " +
+          s"$hashExchanges:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("duplicate edges weight contributions, as documented") {
     // a->b twice, a->c once: deg(a)=3, b gets 2/3, c gets 1/3
     val edges = Seq(("a", "b"), ("a", "b"), ("a", "c")).toDF("s", "d")

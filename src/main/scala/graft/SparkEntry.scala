@@ -901,6 +901,44 @@ object SparkEntry {
         graft.sources.Merge.readVersion(s, path, 1), Seq("p_partkey"))
         .orderBy("p_partkey")
     }),
+    "q_incremental_cdc" -> ((s, dir) => {
+      // INCREMENTAL VIEW MAINTENANCE end to end, composing three
+      // primitives: versioned Merge reads (v0 -> v1 of a keyed table),
+      // TableDiff.changeDeltas (the +1/-1 CDC multiset difference,
+      // output proportional to churn), and
+      // IncrementalAgg.updateWithRetractions + rebuild (counted-state
+      // fold of exactly those deltas). The maintained per-brand
+      // aggregate over v0 folded forward by the CDC deltas must equal
+      // the from-scratch aggregate over v1 — never rescanning v0's
+      // unchanged rows. Rebuilt fresh every run.
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      val tbl = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_cdc_tbl_${new java.io.File(dir).getName}").getAbsolutePath
+      val st = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_cdc_state_${new java.io.File(dir).getName}").getAbsolutePath
+      val part = t(s, dir, "part")
+        .select("p_partkey", "p_brand", "p_retailprice")
+      graft.sources.Merge.writeKeyed(part, tbl, "p_partkey", nBuckets = 16)
+      val updates = part.filter(col("p_partkey") % 20 === 0)
+        .withColumn("p_retailprice",
+          round(dec("p_retailprice") * lit(1.1).cast("decimal(2,1)"), 2)
+            .cast("double"))
+        .unionByName(part.filter(col("p_partkey") < 10)
+          .withColumn("p_partkey", col("p_partkey") + lit(1000000L)))
+      graft.sources.Merge.upsert(s, tbl, updates, "p_partkey",
+        nBuckets = 16)
+      val v0 = graft.sources.Merge.readVersion(s, tbl, 0)
+      val v1 = graft.sources.Merge.readVersion(s, tbl, 1)
+      val keys = Seq("p_brand")
+      graft.pipeline.IncrementalAgg.init(v0, st, keys, "p_retailprice")
+      val deltas = graft.ops.TableDiff.changeDeltas(v0, v1,
+        Seq("p_partkey"))
+      graft.pipeline.IncrementalAgg.updateWithRetractions(s, st, deltas,
+        keys, "p_retailprice", "op")
+      graft.pipeline.IncrementalAgg.rebuild(s, st, v1, keys,
+        "p_retailprice")
+      graft.pipeline.IncrementalAgg.read(s, st).orderBy("p_brand")
+    }),
     "q_zorder_layout" -> ((s, dir) => {
       // Z-order (Morton) layout on (user_id, time): each parquet file is
       // a small rectangle in BOTH dimensions, so selective predicates on
@@ -2788,6 +2826,27 @@ object SparkEntry {
          UNION ALL
          SELECT * FROM upd
          ORDER BY p_partkey""",
+    // fold-forward of the CDC deltas == from-scratch over the merged v1
+    "q_incremental_cdc" ->
+      """WITH upd AS (
+           SELECT p_partkey, p_brand,
+                  CAST(round(CAST(p_retailprice AS DECIMAL(18,2))
+                             * CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE)
+                    AS p_retailprice
+           FROM part WHERE p_partkey % 20 = 0
+           UNION ALL
+           SELECT p_partkey + 1000000, p_brand, p_retailprice
+           FROM part WHERE p_partkey < 10),
+         merged AS (
+           SELECT p_partkey, p_brand, p_retailprice
+           FROM part WHERE p_partkey NOT IN (SELECT p_partkey FROM upd)
+           UNION ALL
+           SELECT * FROM upd)
+         SELECT p_brand, count(*) AS cnt,
+                min(p_retailprice) AS min_v, max(p_retailprice) AS max_v,
+                CAST(sum(CAST(p_retailprice AS DECIMAL(28,2))) AS DOUBLE)
+                  AS sum_v
+         FROM merged GROUP BY p_brand ORDER BY p_brand""",
     // diff(v0, v1) must recover exactly the upsert batch: changed keys
     // where the price bump actually changed the value, plus the inserts
     "q_merge_versions" ->

@@ -50,4 +50,48 @@ object TableDiff {
         .otherwise(lit(null)).as("change"): _*)
       .filter(col("change").isNotNull)
   }
+
+  /** CDC delta rows between two snapshots: +1 rows to APPLY (added keys
+    * plus the NEW image of changed keys) and -1 rows to RETRACT (removed
+    * keys plus the OLD image of changed keys) — the multiset difference
+    * `newer - older` in both directions, directly consumable by
+    * `IncrementalAgg.updateWithRetractions` (incremental view
+    * maintenance) or any downstream CDC sink. Same single full-outer
+    * join as [[diff]]; unchanged keys emit nothing, so the output is
+    * proportional to the churn. Column order matches `older` with
+    * `opCol` appended.
+    */
+  def changeDeltas(older: DataFrame, newer: DataFrame, keys: Seq[String],
+      opCol: String = "op"): DataFrame = {
+    require(keys.nonEmpty, "changeDeltas needs >= 1 key column")
+    require(older.columns.sorted.sameElements(newer.columns.sorted),
+      s"changeDeltas requires identical column sets; older has " +
+      s"[${older.columns.sorted.mkString(",")}], newer has " +
+      s"[${newer.columns.sorted.mkString(",")}]")
+    val allCols = older.columns.toSeq
+    val valueCols = allCols.filterNot(keys.contains)
+    require(valueCols.nonEmpty, "changeDeltas needs >= 1 non-key column")
+    val o = older.select(allCols.map(c =>
+      if (keys.contains(c)) col(c) else col(c).as(s"__o_$c")): _*)
+      .withColumn("__in_o", lit(true))
+    val n = newer.select(allCols.map(c =>
+      if (keys.contains(c)) col(c) else col(c).as(s"__n_$c")): _*)
+      .withColumn("__in_n", lit(true))
+    val joined = o.join(n, keys, "full_outer")
+    val anyChanged = valueCols
+      .map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
+      .reduce(_ || _)
+    val added = col("__in_o").isNull
+    val removed = col("__in_n").isNull
+    def image(prefix: String, op: Int) = struct(
+      allCols.map(c =>
+        (if (keys.contains(c)) col(c) else col(s"__${prefix}_$c")).as(c)) :+
+        lit(op).as(opCol): _*)
+    val emit = array(
+      when(removed || (!added && anyChanged), image("o", -1)),
+      when(added || (!removed && anyChanged), image("n", 1)))
+    joined
+      .select(explode(filter(emit, x => x.isNotNull)).as("__r"))
+      .select((allCols :+ opCol).map(c => col(s"__r.$c")): _*)
+  }
 }

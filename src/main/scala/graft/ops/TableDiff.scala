@@ -51,6 +51,32 @@ object TableDiff {
       .filter(col("change").isNotNull)
   }
 
+  /** [[diff]] across a SCHEMA-EVOLVED version boundary: columns present on
+    * only one side are aligned as all-null on the other (exactly how
+    * `Merge.readVersion` fills pre-evolution files), then the null-safe
+    * comparison runs as usual. So a row whose only difference is a
+    * non-null value in an added column classifies as `changed`, and a row
+    * untouched by the evolution (null on both sides) stays unchanged —
+    * the explicit opt-in that [[diff]]'s fail-fast schema check guards.
+    * Both sides must still share the key columns and agree on the types
+    * of the columns they share.
+    */
+  def diffEvolved(older: DataFrame, newer: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(keys.forall(k => older.columns.contains(k) &&
+      newer.columns.contains(k)),
+      s"both sides must carry every key column (${keys.mkString(", ")})")
+    val allCols = (older.columns ++
+      newer.columns.filterNot(older.columns.contains)).toSeq
+    def align(df: DataFrame): DataFrame = {
+      val other = if (df eq older) newer else older
+      df.select(allCols.map(c =>
+        (if (df.columns.contains(c)) col(c)
+         else lit(null).cast(other.schema(c).dataType)).as(c)): _*)
+    }
+    diff(align(older), align(newer), keys)
+  }
+
   /** CDC delta rows between two snapshots: +1 rows to APPLY (added keys
     * plus the NEW image of changed keys) and -1 rows to RETRACT (removed
     * keys plus the OLD image of changed keys) — the multiset difference

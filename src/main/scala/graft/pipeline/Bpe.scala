@@ -164,13 +164,20 @@ object Bpe {
     * table train scans), join the word→tokens mapping back (the vocab
     * side is the small one — AQE broadcasts it when it fits), and
     * reassemble per row in word order. Row identity rides on
-    * `monotonically_increasing_id`, deterministic here because both
-    * branches re-derive it from the same scan partitioning.
+    * `monotonically_increasing_id`, which is NONDETERMINISTIC across
+    * re-executions whenever a shuffle sits upstream (post-shuffle row
+    * order within a partition depends on block fetch order) — and the id
+    * frame feeds TWO plan branches (the exploded-words subtree and the
+    * final join), each of which would re-evaluate it independently. So
+    * the id frame is MATERIALIZED once (`localCheckpoint`) before
+    * branching: both branches then read the same pinned ids. Batch-only,
+    * like the rest of this variant.
     */
   def tokenizeDict(df: DataFrame, textCol: String,
       merges: Seq[BpeMerge]): DataFrame = {
     val tokWord = tokenizeWordUdf(df, merges)
     val withId = df.withColumn("__bpe_row", monotonically_increasing_id())
+      .localCheckpoint(true)
     val words = withId.select(col("__bpe_row"),
       posexplode_outer(TextAnalysis.tokensCol(lower(col(textCol))))
         .as(Seq("__bpe_pos", "__bpe_w")))

@@ -33,6 +33,34 @@ object IncrementalAgg {
 
   private val flagCols = Seq("dirty_min", "dirty_max")
 
+  // test seam: invoked after the new state is materialized and before the
+  // old state path is overwritten — a spec simulates executor/block loss
+  // here to prove the reliable-checkpoint option survives it
+  @volatile private[pipeline] var beforeOverwriteHook: () => Unit = () => ()
+
+  /** Materialize the new state BEFORE overwriting the path it was read
+    * from (the read->fold->overwrite cycle's pivot). `localCheckpoint` by
+    * default — the only copy then lives in the current session's executor
+    * memory/disk for the duration of the overwrite; a reliable
+    * `checkpointDir` (the `Graph.pageRank` option) puts it in durable
+    * storage first, so losing an executor — or the whole session — between
+    * the fold and the overwrite cannot lose state. State is bounded
+    * (|groups| rows of fixed-width aggregates), so the durable write is
+    * cheap insurance for the operator's 100 TB ETL billing.
+    */
+  private def materialize(df: DataFrame,
+      checkpointDir: Option[String]): DataFrame = {
+    val out = checkpointDir match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df.checkpoint(true)
+      case None => df.localCheckpoint(true)
+    }
+    beforeOverwriteHook()
+    out
+  }
+
   private def aggregate(df: DataFrame, keys: Seq[String],
       valueCol: String): DataFrame =
     df.groupBy(keys.map(col): _*)
@@ -61,7 +89,8 @@ object IncrementalAgg {
     * pass through: appends can neither repair nor worsen a stale extreme.
     */
   def update(spark: SparkSession, path: String, delta: DataFrame,
-      keys: Seq[String], valueCol: String): Unit = {
+      keys: Seq[String], valueCol: String,
+      checkpointDir: Option[String] = None): Unit = {
     val state = withFlags(spark.read.parquet(path))
     val d = aggregate(delta, keys, valueCol)
       .select(keys.map(col) ++
@@ -78,10 +107,9 @@ object IncrementalAgg {
         greatest(col("max_v"), col("d_max_v")).as("max_v"),
         coalesce(col("dirty_min"), lit(false)).as("dirty_min"),
         coalesce(col("dirty_max"), lit(false)).as("dirty_max")): _*)
-      // lineage truncation before overwriting the path we just read
-      // (bounded: |groups| rows of fixed-width state)
-      .localCheckpoint(true)
-    merged.write.mode("overwrite").parquet(path)
+    // lineage truncation before overwriting the path we just read
+    // (bounded: |groups| rows of fixed-width state)
+    materialize(merged, checkpointDir).write.mode("overwrite").parquet(path)
   }
 
   /** Fold a delta with retractions: `opCol` is +1 (insert) or -1
@@ -92,7 +120,7 @@ object IncrementalAgg {
     */
   def updateWithRetractions(spark: SparkSession, path: String,
       delta: DataFrame, keys: Seq[String], valueCol: String,
-      opCol: String): Unit = {
+      opCol: String, checkpointDir: Option[String] = None): Unit = {
     val state = withFlags(spark.read.parquet(path))
     val v = col(valueCol).cast("double")
     val adds = (c: Column) => when(col(opCol) > 0, c)
@@ -122,8 +150,7 @@ object IncrementalAgg {
           (col("d_del_max").isNotNull && col("d_del_max") >= candMax))
           .as("dirty_max")): _*)
       .filter(col("cnt") > 0)
-      .localCheckpoint(true)
-    merged.write.mode("overwrite").parquet(path)
+    materialize(merged, checkpointDir).write.mode("overwrite").parquet(path)
   }
 
   /** Repair flagged groups' min/max from `net` (the CURRENT raw table —
@@ -131,7 +158,8 @@ object IncrementalAgg {
     * a left-semi prune; clean groups are untouched. Clears the flags.
     */
   def rebuild(spark: SparkSession, path: String, net: DataFrame,
-      keys: Seq[String], valueCol: String): Unit = {
+      keys: Seq[String], valueCol: String,
+      checkpointDir: Option[String] = None): Unit = {
     val state = withFlags(spark.read.parquet(path))
     val flagged = state.filter(col("dirty_min") || col("dirty_max"))
       .select(keys.map(col): _*)
@@ -151,14 +179,40 @@ object IncrementalAgg {
         when(col("dirty_max"), col("f_max")).otherwise(col("max_v"))
           .as("max_v"),
         lit(false).as("dirty_min"), lit(false).as("dirty_max")): _*)
-      .localCheckpoint(true)
-    repaired.write.mode("overwrite").parquet(path)
+    materialize(repaired, checkpointDir).write.mode("overwrite").parquet(path)
   }
 
-  /** The maintained aggregate, sums emitted as doubles for consumers. */
-  def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+  /** The maintained aggregate, sums emitted as doubles for consumers.
+    * FAILS FAST when any group is still flagged dirty — after
+    * [[updateWithRetractions]] a flagged group's min/max are stale until
+    * [[rebuild]] repairs them, and silently returning wrong extremes is
+    * the one failure a maintained aggregate must never have. Pass
+    * `allowDirty = true` (or use [[readWithFlags]]) for consumers that
+    * only need the always-exact cnt/sum and accept unpaired extremes.
+    * The check scans only the bounded state table, never raw data.
+    */
+  def read(spark: SparkSession, path: String,
+      allowDirty: Boolean = false): DataFrame = {
+    val state = withFlags(spark.read.parquet(path))
+    if (!allowDirty) {
+      val dirty = state.filter(col("dirty_min") || col("dirty_max")).count()
+      require(dirty == 0L,
+        s"$dirty group(s) in $path have unrepaired min/max after a " +
+        "retraction — call rebuild(...) first, or read(allowDirty = true) " +
+        "/ readWithFlags(...) if stale extremes are acceptable")
+    }
+    state
       .withColumn("sum_v", col("sum_exact").cast("double"))
       .drop("sum_exact")
       .drop(flagCols: _*)
+  }
+
+  /** The maintained aggregate WITH its dirty_min/dirty_max flags — for
+    * consumers that want to see (rather than refuse or ignore) which
+    * groups' extremes are awaiting [[rebuild]].
+    */
+  def readWithFlags(spark: SparkSession, path: String): DataFrame =
+    withFlags(spark.read.parquet(path))
+      .withColumn("sum_v", col("sum_exact").cast("double"))
+      .drop("sum_exact")
 }

@@ -83,7 +83,7 @@ object Similarity {
     */
   object Ivf {
 
-    private def normalize(v: Array[Double]): Array[Double] = {
+    private[pipeline] def normalize(v: Array[Double]): Array[Double] = {
       var s = 0.0; var i = 0
       while (i < v.length) { s += v(i) * v(i); i += 1 }
       val n = math.sqrt(s)
@@ -91,7 +91,7 @@ object Similarity {
         var j = 0; while (j < v.length) { o(j) = v(j) / n; j += 1 }; o }
     }
 
-    private def dotD(a: Array[Double], b: Array[Double]): Double = {
+    private[pipeline] def dotD(a: Array[Double], b: Array[Double]): Double = {
       var d = 0.0; var i = 0
       val n = math.min(a.length, b.length)
       while (i < n) { d += a(i) * b(i); i += 1 }
@@ -457,11 +457,13 @@ object Similarity {
       Model(m, k, dim, books)
     }
 
-    /** Encode vectors to m byte codes (nearest centroid per subspace). */
-    def encode(df: DataFrame, idCol: String, vecCol: String,
-        model: Model): DataFrame = {
-      val bc = df.sparkSession.sparkContext.broadcast(model)
-      val enc = udf { v: Seq[Double] =>
+    /** Per-row nearest-centroid-per-subspace encoder (vector -> m bytes);
+      * shared by the PQ-only and IVF+PQ paths.
+      */
+    private[pipeline] def encoderUdf(
+        spark: org.apache.spark.sql.SparkSession, model: Model) = {
+      val bc = spark.sparkContext.broadcast(model)
+      udf { v: Seq[Double] =>
         if (v == null || v.length != bc.value.dim) null
         else {
           val mm = bc.value
@@ -479,6 +481,35 @@ object Similarity {
           }
         }
       }
+    }
+
+    /** Per-query exact subspace-distance lookup table (m x k doubles). */
+    private[pipeline] def adcTableUdf(
+        spark: org.apache.spark.sql.SparkSession, model: Model) = {
+      val bc = spark.sparkContext.broadcast(model)
+      udf { qv: Seq[Double] =>
+        val mm = bc.value
+        val sub = mm.dim / mm.m
+        Array.tabulate(mm.m, mm.k) { (s, c) =>
+          sq(qv.slice(s * sub, (s + 1) * sub).toArray, mm.codebooks(s)(c))
+        }.map(_.toSeq).toSeq
+      }
+    }
+
+    /** ADC distance: m table lookups per corpus row, no floats read. */
+    private[pipeline] val adcUdf =
+      udf { (codes: Array[Byte], table: Seq[Seq[Double]]) =>
+        var d = 0.0; var s = 0
+        while (s < codes.length) {
+          d += table(s)(codes(s).toInt & 0xff); s += 1
+        }
+        d
+      }
+
+    /** Encode vectors to m byte codes (nearest centroid per subspace). */
+    def encode(df: DataFrame, idCol: String, vecCol: String,
+        model: Model): DataFrame = {
+      val enc = encoderUdf(df.sparkSession, model)
       df.select(col(idCol).as("neighbor_id"),
         enc(col(vecCol).cast("array<double>")).as("codes"))
         .filter(col("codes").isNotNull)
@@ -489,31 +520,98 @@ object Similarity {
       */
     def topK(encoded: DataFrame, queries: DataFrame, qidCol: String,
         vecCol: String, model: Model, k: Int): DataFrame = {
-      val bc = encoded.sparkSession.sparkContext.broadcast(model)
-      val tableUdf = udf { qv: Seq[Double] =>
-        val mm = bc.value
-        val sub = mm.dim / mm.m
-        Array.tabulate(mm.m, mm.k) { (s, c) =>
-          sq(qv.slice(s * sub, (s + 1) * sub).toArray, mm.codebooks(s)(c))
-        }.map(_.toSeq).toSeq
-      }
-      val adc = udf { (codes: Array[Byte], table: Seq[Seq[Double]]) =>
-        var d = 0.0; var s = 0
-        while (s < codes.length) {
-          d += table(s)(codes(s).toInt & 0xff); s += 1
-        }
-        d
-      }
+      val spark = encoded.sparkSession
       val q = broadcast(queries
         .select(col(qidCol).as("query_id"),
-          tableUdf(col(vecCol).cast("array<double>")).as("__tbl")))
+          adcTableUdf(spark, model)(col(vecCol).cast("array<double>"))
+            .as("__tbl")))
       val scored = encoded.crossJoin(q)
         .filter(col("neighbor_id") =!= col("query_id"))
         .select(col("query_id"), col("neighbor_id"),
-          adc(col("codes"), col("__tbl")).as("adc_dist"))
+          Pq.adcUdf(col("codes"), col("__tbl")).as("adc_dist"))
       val w = Window.partitionBy("query_id")
         .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
       scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
     }
+  }
+
+  /** IVF + PQ composed — the actual 100 TB ANN operating point: probe
+    * `nProbe` of `cells` inverted-file cells (an `nProbe/cells` scan
+    * fraction, a PARTITION FILTER when the code table is cell-partitioned
+    * on disk), then rank INSIDE the probed cells by ADC over m-byte PQ
+    * codes — float vectors are touched only at BUILD time (centroid
+    * training + encoding); a query reads byte codes and nothing else.
+    * Composes [[Ivf]] (train/assign/probe) with [[Pq]] (codebooks/encode/
+    * ADC) — both deterministic bounded-sample trainers.
+    *
+    * Recall structure is the product of the two approximations: the probe
+    * can miss a neighbor's cell (bounded the same way as [[Ivf.topK]] —
+    * a planted exact copy shares the query's cell and its own cell is
+    * always probed) and ADC ranks by quantized distance (an exact copy
+    * encodes identically, so it attains the minimum possible ADC
+    * distance: the query's own quantization residual).
+    */
+  object IvfPq {
+
+    /** The built index: corpus as (cell, neighbor_id, codes) plus both
+      * models. At scale, persist `encoded` partitionBy("cell") exactly
+      * like [[IvfIndex.build]] and the probe prunes storage too.
+      */
+    final case class Index(encoded: DataFrame,
+        centroids: Array[Array[Double]], pq: Pq.Model)
+
+    /** Train both quantizers and encode the corpus — the one pass that
+      * reads float vectors.
+      */
+    def build(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+        cells: Int, m: Int = 8, kSub: Int = 64, sampleN: Int = 10000,
+        iters: Int = 10): Index = {
+      val centroids = Ivf.train(corpus, idCol, vecCol, cells, sampleN, iters)
+      val pq = Pq.train(corpus, idCol, vecCol, dim, m, kSub, sampleN, iters)
+      val enc = Pq.encoderUdf(corpus.sparkSession, pq)
+      val encoded = Ivf.withCell(corpus, vecCol, centroids)
+        .select(col("cell"), col(idCol).as("neighbor_id"),
+          enc(col(vecCol).cast("array<double>")).as("codes"))
+        .filter(col("codes").isNotNull)
+      Index(encoded, centroids, pq)
+    }
+
+    /** Query the index: fan each query out to its nProbe closest cells,
+      * ADC-rank the probed cells' codes. Output (query_id, neighbor_id,
+      * adc_dist, rank) — ascending quantized distance.
+      */
+    def topK(index: Index, queries: DataFrame, qidCol: String,
+        vecCol: String, k: Int, nProbe: Int): DataFrame = {
+      val spark = index.encoded.sparkSession
+      val cents = index.centroids
+      val probes = math.min(nProbe, cents.length)
+      val probeKernel = udf { v: Seq[Double] =>
+        if (v == null) null
+        else {
+          val nv = Ivf.normalize(v.toArray)
+          cents.indices.map(c => (Ivf.dotD(nv, cents(c)), c))
+            .sortBy { case (d, c) => (-d, c) }
+            .take(probes).map(_._2).toArray
+        }
+      }
+      val q = broadcast(queries.select(col(qidCol).as("query_id"),
+        Pq.adcTableUdf(spark, index.pq)(col(vecCol).cast("array<double>"))
+          .as("__tbl"),
+        explode(probeKernel(col(vecCol).cast("array<double>"))).as("cell")))
+      val scored = index.encoded.join(q, Seq("cell"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          Pq.adcUdf(col("codes"), col("__tbl")).as("adc_dist"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    }
+
+    /** build + topK in one call (the gate/one-shot form). */
+    def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
+        qidCol: String, vecCol: String, dim: Int, k: Int, cells: Int,
+        nProbe: Int, m: Int, kSub: Int): DataFrame =
+      topK(build(corpus, idCol, vecCol, dim, cells, m, kSub), queries,
+        qidCol, vecCol, k, nProbe)
   }
 }

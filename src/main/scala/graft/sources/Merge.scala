@@ -3,18 +3,20 @@ package graft.sources
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Copy-on-write MERGE (upsert) for plain-parquet tables — the lakehouse
   * primitive (UPDATE existing keys + INSERT new ones in one atomic
   * commit) that raw `spark.write.parquet` lacks — with a minimal VERSION
-  * LOG giving snapshot reads and time travel.
+  * LOG giving snapshot reads, time travel, schema evolution, and
+  * log-aware compaction.
   *
   * Layout contract: the table is written `partitionBy(__bucket)` where
   * `__bucket = pmod(xxhash64(key), nBuckets)`. Data files are IMMUTABLE:
-  * an upsert only ever APPENDS new files, never deletes or rewrites one.
+  * a commit only ever ADDS new files, never deletes or rewrites one.
   * Which files constitute a version is recorded in a JSON manifest under
-  * `_graft_log/v{N}.json` (version, parent, relative file list). An
-  * upsert:
+  * `_graft_log/v{N}.json` (version, parent, relative file list, data
+  * schema). An upsert:
   *
   *   1. buckets the updates and collects per-bucket row counts (bounded
   *      by nBuckets — a driver-safe collect, and the same job yields the
@@ -22,26 +24,37 @@ import org.apache.spark.sql.functions._
   *   2. reads ONLY the current version's files in those buckets
   *      (manifest-level pruning — the scan cost is proportional to
   *      touched data, not table size);
-  *   3. anti-joins away the replaced keys, unions the updates, appends
-  *      the merged bucket slices as NEW files;
+  *   3. anti-joins away the replaced keys, unions the updates, writes the
+  *      merged bucket slices into a job-scoped STAGING directory, then
+  *      MOVES them (rename — a metadata operation) into the bucket dirs.
+  *      The committer therefore knows its EXACT output file set; a
+  *      concurrent committer's files can never be absorbed into this
+  *      commit's manifest (no before/after listing diff);
   *   4. commits manifest v{N+1} = parent's untouched-bucket files + the
-  *      new files. The manifest create is the atomic commit point
-  *      (create-if-absent — a concurrent committer loses and must retry);
-  *      a crash before it leaves only unreferenced orphan files, cleaned
-  *      by [[vacuum]], never lost or half-visible data.
+  *      moved files. The manifest create is the atomic commit point
+  *      (create-if-absent). A committer that LOSES the race deletes its
+  *      own staged files and RETRIES the whole merge against the new
+  *      parent — two interleaved upserts serialize (MergeSpec pins it
+  *      with a deterministic commit fence). A crash before the commit
+  *      leaves only unreferenced orphan files, cleaned by [[vacuum]],
+  *      never lost or half-visible data.
+  *
+  * Reader-side safety: a crash (or a racing reader) can observe a
+  * claimed-but-not-yet-written manifest, so readers VALIDATE manifests —
+  * [[currentVersion]] resolves to the newest version whose manifest
+  * parses completely and falls back past a truncated one rather than
+  * failing on it.
   *
   * At 100 TB with, say, 4096 buckets, upserting 0.1% of keys touches a
   * few buckets and leaves every other file byte-identical (a MergeSpec
   * assertion). [[readVersion]] reads any retained historical version —
   * pairs with `ops.TableDiff` for "what changed between v3 and v7".
-  * Production table formats (Iceberg/Delta) add schema evolution and
-  * multi-table transactions on top; the I/O shape — immutable files,
-  * manifest swap, prune by manifest — is this one. One bound to respect
-  * at scale: a manifest lists every live file in one JSON document, so
-  * manifest size is ∝ file count — keep files coarse (the bucket layout
-  * writes one file per bucket per commit; `Tables.compact` exists for
-  * the general case). Sharded/tree manifests are the production answer
-  * past millions of files.
+  * Every commit appends one file per touched bucket, so a hot bucket's
+  * dir (and the manifest) grows with commit count — [[compactVersion]]
+  * is the log-aware maintenance pass: it rewrites multi-file buckets
+  * coarse and commits the result as a NEW version (old versions keep
+  * reading the old files until [[vacuum]] reclaims them). Sharded/tree
+  * manifests are the production answer past millions of files.
   */
 object Merge {
 
@@ -54,6 +67,7 @@ object Merge {
   }
 
   private def logPath(root: Path) = new Path(root, "_graft_log")
+  private def stagingRoot(root: Path) = new Path(root, "_graft_staging")
 
   /** Relative paths of all data files currently in the bucket dirs. */
   private def listDataFiles(fs: FileSystem, root: Path,
@@ -75,46 +89,128 @@ object Merge {
     relFile.takeWhile(_ != '/').stripPrefix("__bucket=").toLong
 
   private final case class Manifest(version: Long, parent: Long,
-      files: Seq[String])
+      files: Seq[String], dataSchema: Option[String])
 
-  // hand-rolled JSON (flat schema, known-safe strings: bucket dirs +
-  // spark part-file names never need escaping)
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c    => c.toString
+    }
+
+  /** Thrown when the create-if-absent manifest claim finds the version
+    * already committed by someone else — the caller must re-read the log
+    * and redo its merge against the new parent.
+    */
+  private final class LostCommitRace(version: Long)
+    extends Exception(s"lost commit race for v$version")
+
+  // test seam: invoked between merge-write and manifest claim so a spec
+  // can hold two committers at the same parent deterministically
+  @volatile private[sources] var commitFence: () => Unit = () => ()
+
+  // hand-rolled JSON (flat schema; file names are spark part names and
+  // bucket dirs — never need escaping; the DDL schema string is escaped)
+  private def manifestBody(m: Manifest): Array[Byte] = {
+    val files = m.files.map(f => "\"" + f + "\"").mkString("[", ",", "]")
+    val schemaField = m.dataSchema
+      .map(s => s""","dataSchema":"${jsonEscape(s)}"""").getOrElse("")
+    (s"""{"version":${m.version},"parent":${m.parent},""" +
+      s""""files":$files$schemaField}""").getBytes("UTF-8")
+  }
+
+  /** Create-if-absent manifest commit — THE atomic point of every commit.
+    * A concurrent writer racing to the same version gets [[LostCommitRace]]
+    * and must redo its merge against the new parent.
+    *
+    * On the local filesystem `FileSystem.create(f, overwrite = false)` is
+    * check-THEN-create (two racers can both pass the check), so there the
+    * claim is a hard link of a fully-written temp file — atomic (O_EXCL
+    * semantics) AND all-or-nothing: the manifest appears with its complete
+    * body, no torn window at all. On HDFS and object-store committers the
+    * namenode/conditional-put create is already atomic; readers still
+    * validate bodies ([[readManifestOpt]]) to cover a crash between that
+    * create and the body write.
+    */
   private def writeManifest(fs: FileSystem, root: Path, m: Manifest): Unit = {
     val dir = logPath(root)
     if (!fs.exists(dir)) fs.mkdirs(dir)
     val target = new Path(dir, s"v${m.version}.json")
-    // create-if-absent IS the commit: a concurrent writer racing to the
-    // same version fails here and must re-read the log and retry
-    val out = fs.create(target, false)
-    try {
-      val files = m.files.map(f => "\"" + f + "\"").mkString("[", ",", "]")
-      out.write(
-        s"""{"version":${m.version},"parent":${m.parent},"files":$files}"""
-          .getBytes("UTF-8"))
-    } finally out.close()
+    val body = manifestBody(m)
+    if ("file" == target.getFileSystem(fs.getConf).getScheme) {
+      val tmp = java.nio.file.Paths.get(dir.toUri.getPath,
+        s".tmp_v${m.version}_${java.util.UUID.randomUUID}.json")
+      java.nio.file.Files.write(tmp, body)
+      try java.nio.file.Files.createLink(
+        java.nio.file.Paths.get(target.toUri.getPath), tmp)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new LostCommitRace(m.version)
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    } else {
+      val out =
+        try fs.create(target, false)
+        catch { case _: java.io.IOException => throw new LostCommitRace(m.version) }
+      try out.write(body) finally out.close()
+    }
+  }
+
+  /** Parse one manifest; None when the file is missing, empty, or
+    * truncated (a crashed committer's claim) — readers treat such a
+    * version as never committed.
+    */
+  private def readManifestOpt(spark: SparkSession, root: Path,
+      version: Long): Option[Manifest] = {
+    val p = new Path(logPath(root), s"v$version.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val df = spark.read
+      .schema("version LONG, parent LONG, files ARRAY<STRING>, dataSchema STRING")
+      .json(p.toString)
+    val rows = df.collect()
+    if (rows.length != 1) return None
+    val r = rows(0)
+    // a truncated body parses PERMISSIVE to an all-null row: reject it
+    if (r.isNullAt(0) || r.isNullAt(2)) None
+    else Some(Manifest(r.getLong(0), r.getLong(1), r.getSeq[String](2),
+      if (r.isNullAt(3)) None else Some(r.getString(3))))
   }
 
   private def readManifest(spark: SparkSession, root: Path,
-      version: Long): Manifest = {
-    val df = spark.read
-      .schema("version LONG, parent LONG, files ARRAY<STRING>")
-      .json(new Path(logPath(root), s"v$version.json").toString)
-    val r = df.head()
-    Manifest(r.getLong(0), r.getLong(1),
-      r.getSeq[String](2))
+      version: Long): Manifest =
+    readManifestOpt(spark, root, version).getOrElse {
+      val vs = listVersions(spark, root)
+      if (vs.nonEmpty && version < vs.min)
+        throw new IllegalArgumentException(
+          s"version $version of $root is no longer available — it was " +
+          s"vacuumed (earliest retained version: ${vs.min}, latest: ${vs.max})")
+      throw new IllegalArgumentException(
+        s"version $version of $root does not exist or is not committed" +
+        (if (vs.isEmpty) " (no version log)"
+         else s" (committed versions: ${vs.min}..${vs.max})"))
+    }
+
+  /** All version numbers with a manifest file present (committed or not). */
+  private def listVersions(spark: SparkSession, root: Path): Seq[Long] = {
+    val dir = logPath(root)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(_.stripPrefix("v").stripSuffix(".json").toLong).toSeq.sorted
   }
 
-  /** Latest committed version, or -1 if the table has no version log
+  /** Latest COMMITTED version, or -1 if the table has no version log
     * (pre-versioning layout — [[readKeyed]] falls back to a raw read).
+    * Walks back past claimed-but-unwritten manifests (a crashed or
+    * in-flight committer), so readers never resolve to a torn version.
     */
   def currentVersion(spark: SparkSession, path: String): Long = {
-    val (fs, root) = fsFor(spark, path)
-    val dir = logPath(root)
-    if (!fs.exists(dir)) return -1L
-    val vs = fs.listStatus(dir).map(_.getPath.getName)
-      .filter(n => n.startsWith("v") && n.endsWith(".json"))
-      .map(_.stripPrefix("v").stripSuffix(".json").toLong)
-    if (vs.isEmpty) -1L else vs.max
+    val (_, root) = fsFor(spark, path)
+    listVersions(spark, root).reverse
+      .find(v => readManifestOpt(spark, root, v).isDefined)
+      .getOrElse(-1L)
   }
 
   /** Write `df` hash-bucketed by `keyCol` into `path` (the upsert-able
@@ -128,18 +224,38 @@ object Merge {
     if (fs.exists(root)) fs.delete(root, true) // fresh table, fresh log
     df.withColumn("__bucket", bucketCol(keyCol, nBuckets))
       .write.mode("overwrite").partitionBy("__bucket").parquet(path)
-    writeManifest(fs, root, Manifest(0L, -1L, listDataFiles(fs, root)))
+    writeManifest(fs, root, Manifest(0L, -1L, listDataFiles(fs, root),
+      Some(df.schema.toDDL)))
   }
 
-  /** The rows of one committed version (layout column dropped). */
+  /** Read a manifest's file set with the version's own schema (plus the
+    * __bucket partition column, typed explicitly so files that PREDATE an
+    * added column fill it with nulls instead of failing or being schema-
+    * merged). Without a recorded schema (pre-evolution manifests) falls
+    * back to inference + partition discovery.
+    */
+  private def versionDf(spark: SparkSession, path: String, root: Path,
+      m: Manifest): DataFrame = {
+    require(m.files.nonEmpty, s"version ${m.version} of $path lists no files")
+    val reader = spark.read.option("basePath", path)
+    m.dataSchema
+      .map(ddl => reader.schema(
+        StructType.fromDDL(ddl).add("__bucket", "long")))
+      .getOrElse(reader)
+      .parquet(m.files.map(f => new Path(root, f).toString): _*)
+  }
+
+  /** The rows of one committed version (layout column dropped). Reads
+    * with the version's OWN schema when the manifest records one, so a
+    * version that predates an added column comes back without it, and a
+    * post-evolution version reads pre-evolution files with nulls in the
+    * new columns. Vacuumed versions raise a clear retention error.
+    */
   def readVersion(spark: SparkSession, path: String,
       version: Long): DataFrame = {
     val (_, root) = fsFor(spark, path)
     val m = readManifest(spark, root, version)
-    require(m.files.nonEmpty, s"version $version of $path lists no files")
-    spark.read.option("basePath", path)
-      .parquet(m.files.map(f => new Path(root, f).toString): _*)
-      .drop("__bucket")
+    versionDf(spark, path, root, m).drop("__bucket")
   }
 
   /** The table's current logical rows (latest version; raw directory read
@@ -152,70 +268,243 @@ object Merge {
   }
 
   final case class MergeStats(bucketsTouched: Int, nBuckets: Int,
-      rowsUpserted: Long, version: Long)
+      rowsUpserted: Long, version: Long, retries: Int = 0)
+
+  /** Write `df` partitioned by __bucket into a fresh job-scoped staging
+    * dir, move every produced file into its bucket dir under the root,
+    * and return the moved files' table-relative paths — the committer's
+    * EXACT output set (racing writers' files can never leak in).
+    */
+  private def stageAndMove(spark: SparkSession, fs: FileSystem, root: Path,
+      df: DataFrame): Seq[String] = {
+    val staging = new Path(stagingRoot(root),
+      java.util.UUID.randomUUID.toString)
+    df.write.mode("overwrite").partitionBy("__bucket")
+      .parquet(staging.toString)
+    val moved = Seq.newBuilder[String]
+    fs.listStatus(staging)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__bucket="))
+      .foreach { d =>
+        val destDir = new Path(root, d.getPath.getName)
+        if (!fs.exists(destDir)) fs.mkdirs(destDir)
+        fs.listStatus(d.getPath)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .foreach { f =>
+            val dest = new Path(destDir, f.getPath.getName)
+            // spark part names embed a per-job UUID: collisions impossible
+            require(fs.rename(f.getPath, dest),
+              s"failed to move staged file ${f.getPath} to $dest")
+            moved += s"${d.getPath.getName}/${f.getPath.getName}"
+          }
+      }
+    fs.delete(staging, true)
+    moved.result().sorted
+  }
+
+  private def deleteFiles(fs: FileSystem, root: Path,
+      relFiles: Seq[String]): Unit =
+    relFiles.foreach(f => fs.delete(new Path(root, f), false))
 
   /** Upsert `updates` (one row per key — last-writer-wins across calls,
     * caller guarantees in-batch key uniqueness) into the keyed table at
     * `path`, committing a new version. Returns how much of the table the
     * write actually touched and the committed version number.
+    *
+    * Concurrency: safe under concurrent upserts. Losing the manifest race
+    * deletes this attempt's files and redoes the merge against the winner's
+    * version, up to `maxRetries` times — interleaved committers serialize
+    * into a linear version history (equivalent to SOME sequential order;
+    * disjoint-key batches commute exactly).
+    *
+    * Schema evolution: with `allowEvolution = true`, columns present in
+    * `updates` but not in the table are ADDED — existing rows read back
+    * with nulls in the new columns, and the committed manifest records the
+    * widened schema (older versions keep their own). Updates must always
+    * carry every existing column; column drops/renames are not evolution.
     */
   def upsert(spark: SparkSession, path: String, updates: DataFrame,
-      keyCol: String, nBuckets: Int): MergeStats = {
+      keyCol: String, nBuckets: Int, allowEvolution: Boolean = false,
+      maxRetries: Int = 5): MergeStats = {
     val (fs, root) = fsFor(spark, path)
-    val parentV = currentVersion(spark, path)
-    require(parentV >= 0,
-      s"$path has no version log — write it with writeKeyed first")
-    val parent = readManifest(spark, root, parentV)
-    val withB = updates.withColumn("__bucket", bucketCol(keyCol, nBuckets))
-    // one job: touched bucket ids AND the upserted-row count
-    val perBucket = withB.groupBy("__bucket")
-      .agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))) // bounded by nBuckets
-    if (perBucket.isEmpty)
-      return MergeStats(0, nBuckets, 0L, parentV)
-    val touched = perBucket.map(_._1).toSet
-    val rowsUpserted = perBucket.map(_._2).sum
-    // the current version's files in the touched buckets only — manifest
-    // pruning, no directory listing of the untouched ones
-    val parentTouchedFiles = parent.files.filter(f => touched(bucketOf(f)))
-    val base =
-      if (parentTouchedFiles.isEmpty) // all-new buckets: nothing to merge
-        withB.filter(lit(false))
-      else spark.read.option("basePath", path)
-        .parquet(parentTouchedFiles.map(f => new Path(root, f).toString): _*)
-    val merged = base
-      .join(withB.select(col(keyCol)), Seq(keyCol), "left_anti")
-      .unionByName(withB.select(base.columns.map(col): _*))
-    // APPEND-only write: the files just read stay on disk untouched (old
-    // versions keep reading them); failure before the manifest commit
-    // below leaves only orphans — no delete-then-rewrite window
-    val before = listDataFiles(fs, root, Some(touched)).toSet
-    merged.write.mode("append").partitionBy("__bucket").parquet(path)
-    val newFiles = listDataFiles(fs, root, Some(touched)).filterNot(before)
-    val files = parent.files.filterNot(f => touched(bucketOf(f))) ++ newFiles
-    writeManifest(fs, root,
-      Manifest(parentV + 1, parentV, files.sorted))
-    MergeStats(touched.size, nBuckets, rowsUpserted, parentV + 1)
+    var attempt = 0
+    while (true) {
+      val parentV = currentVersion(spark, path)
+      require(parentV >= 0,
+        s"$path has no version log — write it with writeKeyed first")
+      val parent = readManifest(spark, root, parentV)
+      val parentSchema = parent.dataSchema.map(StructType.fromDDL)
+      val parentCols: Seq[String] = parentSchema.map(_.fieldNames.toSeq)
+        .getOrElse(updates.columns.toSeq)
+      val missing = parentCols.filterNot(updates.columns.contains)
+      require(missing.isEmpty,
+        s"updates must carry every table column; missing: " +
+        missing.mkString(", "))
+      val newCols = updates.columns.toSeq.filterNot(parentCols.contains)
+      require(newCols.isEmpty || allowEvolution,
+        s"updates add columns [${newCols.mkString(", ")}] not in the table " +
+        s"schema — pass allowEvolution = true to add them")
+      // evolution ADDS columns; it never retypes one (old files could not
+      // be read under a changed type)
+      parentSchema.foreach(_.foreach { f =>
+        val u = updates.schema(f.name)
+        require(u.dataType == f.dataType,
+          s"column ${f.name} is ${f.dataType.simpleString} in the table " +
+          s"but ${u.dataType.simpleString} in the updates — type changes " +
+          "are not schema evolution")
+      })
+      val outCols = parentCols ++ newCols
+      val outSchema = StructType(outCols.map(c =>
+        updates.schema.find(_.name == c).getOrElse(
+          parentSchema.get.find(_.name == c).get)))
+      val withB = updates.withColumn("__bucket", bucketCol(keyCol, nBuckets))
+      // one job: touched bucket ids AND the upserted-row count
+      val perBucket = withB.groupBy("__bucket")
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))) // bounded by nBuckets
+      if (perBucket.isEmpty)
+        return MergeStats(0, nBuckets, 0L, parentV, attempt)
+      val touched = perBucket.map(_._1).toSet
+      val rowsUpserted = perBucket.map(_._2).sum
+      // the current version's files in the touched buckets only — manifest
+      // pruning, no directory listing of the untouched ones
+      val parentTouchedFiles = parent.files.filter(f => touched(bucketOf(f)))
+      val base =
+        if (parentTouchedFiles.isEmpty) // all-new buckets: nothing to merge
+          withB.filter(lit(false))
+        else versionDf(spark, path, root,
+          parent.copy(files = parentTouchedFiles))
+      // align both sides to the (possibly widened) output schema: base
+      // rows take null in added columns
+      val baseAligned = base.select(outCols.map(c =>
+        (if (base.columns.contains(c)) col(c)
+         else lit(null).cast(outSchema(c).dataType)).as(c)) :+
+        col("__bucket"): _*)
+      val merged = baseAligned
+        .join(withB.select(col(keyCol)), Seq(keyCol), "left_anti")
+        .unionByName(withB.select((outCols :+ "__bucket").map(col): _*))
+      // APPEND-only: stage to a job-scoped dir, move the exact file set in
+      val newFiles = stageAndMove(spark, fs, root, merged)
+      val files = parent.files.filterNot(f => touched(bucketOf(f))) ++ newFiles
+      commitFence()
+      try {
+        writeManifest(fs, root,
+          Manifest(parentV + 1, parentV, files.sorted,
+            Some(outSchema.toDDL)))
+        return MergeStats(touched.size, nBuckets, rowsUpserted, parentV + 1,
+          attempt)
+      } catch {
+        case _: LostCommitRace =>
+          // someone else committed v{parentV+1}: our merge is stale.
+          // Remove OUR files (exact set — never the winner's) and redo.
+          deleteFiles(fs, root, newFiles)
+          attempt += 1
+          if (attempt > maxRetries)
+            throw new IllegalStateException(
+              s"upsert lost the commit race $attempt times at $path — " +
+              "giving up; retry with less write contention")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  final case class CompactStats(version: Long, bucketsRewritten: Int,
+      filesBefore: Int, filesAfter: Int)
+
+  /** Version-log-aware compaction: rewrite every bucket that has
+    * accumulated more than `targetFilesPerBucket` files into that many
+    * coarse files and commit the result as a NEW version with identical
+    * rows. Buckets already at-or-under the target keep their existing
+    * files BYTE-UNTOUCHED (their manifest entries carry over), older
+    * versions still read the old files, and [[vacuum]] reclaims them once
+    * the horizon passes. This is the maintenance pass that keeps read
+    * amplification and manifest size bounded when a hot bucket takes one
+    * new file per commit forever — run it on the same cadence as vacuum.
+    *
+    * Same commit protocol as [[upsert]] (staging + exact-file move +
+    * create-if-absent manifest, retry on a lost race), so it is safe to
+    * run beside live writers.
+    */
+  def compactVersion(spark: SparkSession, path: String,
+      targetFilesPerBucket: Int = 1, maxRetries: Int = 5): CompactStats = {
+    require(targetFilesPerBucket >= 1, "targetFilesPerBucket must be >= 1")
+    val (fs, root) = fsFor(spark, path)
+    var attempt = 0
+    while (true) {
+      val parentV = currentVersion(spark, path)
+      require(parentV >= 0, s"$path has no version log")
+      val parent = readManifest(spark, root, parentV)
+      val byBucket = parent.files.groupBy(bucketOf)
+      val toRewrite = byBucket.filter(_._2.size > targetFilesPerBucket)
+      if (toRewrite.isEmpty)
+        return CompactStats(parentV, 0, parent.files.size, parent.files.size)
+      val rewriteFiles = toRewrite.values.flatten.toSeq.sorted
+      val rows = versionDf(spark, path, root,
+        parent.copy(files = rewriteFiles))
+      // hash-repartition ON the bucket column: every bucket's rows land in
+      // exactly one task, so partitionBy emits one file per bucket — the
+      // planned coarse layout. targetFilesPerBucket > 1 adds a row-hash
+      // salt so each bucket splits into that many files.
+      val dataCols = rows.columns.filterNot(_ == "__bucket").map(col).toSeq
+      val repart =
+        if (targetFilesPerBucket == 1) rows.repartition(col("__bucket"))
+        else rows.repartition(col("__bucket"),
+          pmod(xxhash64(dataCols: _*), lit(targetFilesPerBucket.toLong)))
+      val newFiles = stageAndMove(spark, fs, root, repart)
+      val files = parent.files.filterNot(f => toRewrite.contains(bucketOf(f))) ++
+        newFiles
+      commitFence()
+      try {
+        writeManifest(fs, root,
+          Manifest(parentV + 1, parentV, files.sorted, parent.dataSchema))
+        return CompactStats(parentV + 1, toRewrite.size, parent.files.size,
+          files.size)
+      } catch {
+        case _: LostCommitRace =>
+          deleteFiles(fs, root, newFiles)
+          attempt += 1
+          if (attempt > maxRetries)
+            throw new IllegalStateException(
+              s"compactVersion lost the commit race $attempt times at $path")
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Drop versions older than the latest `keepVersions` and delete every
-    * data file no retained version references (crash orphans included).
-    * Time travel back past the horizon is gone after this — the storage
-    * reclamation half of the copy-on-write contract.
+    * data file no retained version references (crash orphans and
+    * superseded pre-compaction files included), plus abandoned staging
+    * dirs. Time travel back past the horizon is gone after this — the
+    * storage-reclamation half of the copy-on-write contract.
+    *
+    * `graceMs` spares files/staging dirs modified within the last N ms:
+    * a concurrent committer's just-moved, not-yet-committed files look
+    * exactly like orphans, so when vacuuming beside live writers set it
+    * above the longest expected commit (with the default 0, do not run
+    * vacuum concurrently with writers).
     */
-  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1): Unit = {
+  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1,
+      graceMs: Long = 0L): Unit = {
     require(keepVersions >= 1, "must keep >= 1 version")
     val (fs, root) = fsFor(spark, path)
     val latest = currentVersion(spark, path)
     require(latest >= 0, s"$path has no version log")
     val keepFrom = math.max(0L, latest - keepVersions + 1)
     val live = (keepFrom to latest)
-      .flatMap(v => readManifest(spark, root, v).files).toSet
+      .flatMap(v => readManifestOpt(spark, root, v).toSeq.flatMap(_.files))
+      .toSet
+    val cutoff = System.currentTimeMillis() - graceMs
     listDataFiles(fs, root).filterNot(live).foreach { f =>
-      fs.delete(new Path(root, f), false)
+      val p = new Path(root, f)
+      if (fs.getFileStatus(p).getModificationTime <= cutoff)
+        fs.delete(p, false)
     }
-    (0L until keepFrom).foreach { v =>
+    listVersions(spark, root).filter(_ < keepFrom).foreach { v =>
       fs.delete(new Path(logPath(root), s"v$v.json"), false)
     }
+    val sr = stagingRoot(root)
+    if (fs.exists(sr))
+      fs.listStatus(sr)
+        .filter(_.getModificationTime <= cutoff)
+        .foreach(d => fs.delete(d.getPath, true))
   }
 }

@@ -85,6 +85,67 @@ class IncrementalAggSpec extends SparkSpec {
       !raw.getAs[Boolean]("dirty_max"))
   }
 
+  test("reading dirty state fails fast; flags visible via readWithFlags") {
+    val path = fresh("dirty")
+    IncrementalAgg.init(Seq(("a", 1.0), ("a", 5.0)).toDF("g", "v"),
+      path, Seq("g"), "v")
+    // retract the max -> group flagged dirty_max, NOT yet rebuilt
+    IncrementalAgg.updateWithRetractions(spark, path,
+      Seq(("a", 5.0, -1)).toDF("g", "v", "op"), Seq("g"), "v", "op")
+    val e = intercept[IllegalArgumentException] {
+      IncrementalAgg.read(spark, path).collect()
+    }
+    assert(e.getMessage.contains("rebuild"))
+    // opt-outs: allowDirty serves the always-exact cnt/sum; readWithFlags
+    // shows WHICH extreme is stale
+    assert(IncrementalAgg.read(spark, path, allowDirty = true)
+      .collect()(0).getAs[Long]("cnt") == 1L)
+    val f = IncrementalAgg.readWithFlags(spark, path).collect()(0)
+    assert(f.getAs[Boolean]("dirty_max") && !f.getAs[Boolean]("dirty_min"))
+    // rebuild repairs and read works again
+    IncrementalAgg.rebuild(spark, path, Seq(("a", 1.0)).toDF("g", "v"),
+      Seq("g"), "v")
+    val r = IncrementalAgg.read(spark, path).collect()(0)
+    assert(r.getAs[Double]("max_v") == 1.0)
+  }
+
+  test("checkpointDir state survives executor-block loss; default does not") {
+    // the read->fold->overwrite cycle's window: after the fold is
+    // materialized, before the state path is overwritten, the ONLY copy
+    // under localCheckpoint lives in executor blocks. Simulate losing
+    // them (unpersist every block-backed RDD) inside that window.
+    def blowAwayBlocks(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    val delta = Seq(("a", 2.0), ("b", 3.0)).toDF("g", "v")
+
+    // default localCheckpoint: block loss in the window kills the update
+    val lossy = fresh("lossy")
+    IncrementalAgg.init(Seq(("a", 1.0)).toDF("g", "v"), lossy, Seq("g"), "v")
+    IncrementalAgg.beforeOverwriteHook = blowAwayBlocks
+    try {
+      intercept[org.apache.spark.SparkException] {
+        IncrementalAgg.update(spark, lossy, delta, Seq("g"), "v")
+      }
+    } finally IncrementalAgg.beforeOverwriteHook = () => ()
+
+    // reliable checkpointDir: same loss, update completes and is exact
+    val safe = fresh("safe")
+    val ckpt = Files.createTempDirectory("graft_incr_ckpt").toFile
+    ckpt.deleteOnExit()
+    IncrementalAgg.init(Seq(("a", 1.0)).toDF("g", "v"), safe, Seq("g"), "v")
+    IncrementalAgg.beforeOverwriteHook = blowAwayBlocks
+    try IncrementalAgg.update(spark, safe, delta, Seq("g"), "v",
+      checkpointDir = Some(ckpt.getAbsolutePath))
+    finally IncrementalAgg.beforeOverwriteHook = () => ()
+    val out = IncrementalAgg.read(spark, safe).orderBy("g").collect()
+    assert(out.map(r => (r.getAs[String]("g"), r.getAs[Long]("cnt"),
+      r.getAs[Double]("sum_v"))).toSeq ==
+      Seq(("a", 2L, 3.0), ("b", 1L, 3.0)))
+    // the durable copy actually exists under the checkpoint dir
+    assert(ckpt.listFiles() != null && ckpt.listFiles().nonEmpty)
+  }
+
   test("a delta with only new groups appends them") {
     val path = fresh("newg")
     IncrementalAgg.init(Seq(("a", 1.0)).toDF("g", "v"), path, Seq("g"), "v")

@@ -125,6 +125,146 @@ class MergeSpec extends SparkSpec {
     intercept[Exception] { Merge.readVersion(spark, path, 0).collect() }
   }
 
+  test("compactVersion: coarse files, identical rows, old versions intact") {
+    val path = freshDir("compact")
+    val base = (0L until 200L).map(i => (i, i * 1.0)).toDF("id", "x")
+    Merge.writeKeyed(base, path, "id", nBuckets = 4)
+    // three upserts touching every bucket: bucket dirs accumulate files
+    (1 to 3).foreach { r =>
+      val batch = (0L until 40L).map(i => (i * 5, i * 5 + r * 0.1))
+        .toDF("id", "x")
+      Merge.upsert(spark, path, batch, "id", nBuckets = 4)
+    }
+    val expected = Merge.readKeyed(spark, path).orderBy("id").collect()
+    val vBefore = Merge.currentVersion(spark, path)
+
+    val stats = Merge.compactVersion(spark, path)
+    assert(stats.version == vBefore + 1)
+    // the LIVE version's file list (not disk, which still holds every
+    // older version's files) is what compaction shrinks
+    assert(stats.filesBefore > 4, "upserts must have accumulated live files")
+    // plan: every bucket collapses to exactly one live file
+    val live = Merge.currentVersion(spark, path)
+    assert(live == stats.version)
+    assert(stats.filesAfter == 4, s"want 4 live files, got ${stats.filesAfter}")
+    // row-multiset identity
+    val after = Merge.readKeyed(spark, path).orderBy("id").collect()
+    assert(after.sameElements(expected))
+    // older versions still read their own (uncompacted) files
+    assert(Merge.readVersion(spark, path, 0).count() == 200)
+    assert(Merge.readVersion(spark, path, vBefore).orderBy("id").collect()
+      .sameElements(expected))
+    // a second compact is a no-op (already at target)
+    val again = Merge.compactVersion(spark, path)
+    assert(again.version == live && again.bucketsRewritten == 0)
+    // vacuum now reclaims the superseded small files
+    Merge.vacuum(spark, path, keepVersions = 1)
+    assert(bucketFiles(path).values.map(_.size).sum == 4)
+    assert(Merge.readKeyed(spark, path).orderBy("id").collect()
+      .sameElements(expected))
+  }
+
+  test("two interleaved upserts serialize: both land, linear history") {
+    val path = freshDir("race")
+    val base = (0L until 100L).map(i => (i, i * 1.0)).toDF("id", "x")
+    Merge.writeKeyed(base, path, "id", nBuckets = 8)
+    // hold BOTH committers at the same parent until each has staged its
+    // files, so the manifest claim genuinely races; the loser's RETRY
+    // (third fence call) passes straight through
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    Merge.commitFence = () => {
+      if (calls.incrementAndGet() <= 2) {
+        barrier.await(30, java.util.concurrent.TimeUnit.SECONDS); ()
+      }
+    }
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val a = Future(Merge.upsert(spark, path,
+        Seq((1L, -1.0), (300L, 300.0)).toDF("id", "x"), "id", 8))
+      val b = Future(Merge.upsert(spark, path,
+        Seq((2L, -2.0), (400L, 400.0)).toDF("id", "x"), "id", 8))
+      val (sa, sb) = (Await.result(a, 120.seconds),
+        Await.result(b, 120.seconds))
+      // exactly one of the two lost the first claim and retried
+      assert(Set(sa.version, sb.version) == Set(1L, 2L))
+      assert(sa.retries + sb.retries == 1)
+    } finally Merge.commitFence = () => ()
+    // final state == sequential application of both (disjoint keys)
+    val out = Merge.readKeyed(spark, path)
+    assert(out.count() == 102)
+    assert(out.filter($"id" === 1L).select("x").as[Double].head() == -1.0)
+    assert(out.filter($"id" === 2L).select("x").as[Double].head() == -2.0)
+    assert(out.filter($"id" === 300L).count() == 1)
+    assert(out.filter($"id" === 400L).count() == 1)
+    // no duplicate keys anywhere (the absorbed-files failure mode)
+    assert(out.groupBy("id").count().filter($"count" > 1).isEmpty)
+    // v1 is readable on its own (the loser's retry built on it)
+    assert(Merge.readVersion(spark, path, 1).count() == 101)
+  }
+
+  test("schema evolution: added column, old rows null, per-version schema") {
+    val path = freshDir("evolve")
+    val base = (0L until 50L).map(i => (i, i.toString)).toDF("id", "v")
+    Merge.writeKeyed(base, path, "id", nBuckets = 4)
+    val updates = Seq((3L, "three", 3.5), (60L, "sixty", 60.5))
+      .toDF("id", "v", "score")
+    // without opt-in, adding a column is an error
+    intercept[IllegalArgumentException] {
+      Merge.upsert(spark, path, updates, "id", nBuckets = 4)
+    }
+    Merge.upsert(spark, path, updates, "id", nBuckets = 4,
+      allowEvolution = true)
+    val v1 = Merge.readKeyed(spark, path)
+    assert(v1.columns.toSeq == Seq("id", "v", "score"))
+    assert(v1.count() == 51)
+    assert(v1.filter($"id" === 3L).select("score").as[Double].head() == 3.5)
+    // pre-evolution rows read back with null in the added column —
+    // including rows in buckets the evolving upsert never touched
+    assert(v1.filter($"score".isNull).count() == 49)
+    // the old version keeps its own two-column schema
+    assert(Merge.readVersion(spark, path, 0).columns.toSeq == Seq("id", "v"))
+    // a later non-evolving upsert must now carry the widened schema
+    intercept[IllegalArgumentException] {
+      Merge.upsert(spark, path, Seq((5L, "five")).toDF("id", "v"), "id", 4)
+    }
+    // retyping a column is never evolution
+    intercept[IllegalArgumentException] {
+      Merge.upsert(spark, path,
+        Seq((5L, "five", 1)).toDF("id", "v", "score"), "id", 4,
+        allowEvolution = true)
+    }
+  }
+
+  test("readVersion of a vacuumed version names the retention boundary") {
+    val path = freshDir("expired")
+    val base = (0L until 20L).map(i => (i, i.toString)).toDF("id", "v")
+    Merge.writeKeyed(base, path, "id", nBuckets = 2)
+    Merge.upsert(spark, path, Seq((1L, "a")).toDF("id", "v"), "id", 2)
+    Merge.upsert(spark, path, Seq((1L, "b")).toDF("id", "v"), "id", 2)
+    Merge.vacuum(spark, path, keepVersions = 1)
+    val e = intercept[IllegalArgumentException] {
+      Merge.readVersion(spark, path, 0)
+    }
+    assert(e.getMessage.contains("vacuumed") &&
+      e.getMessage.contains("earliest retained version: 2"))
+  }
+
+  test("readers skip a claimed-but-torn latest manifest") {
+    val path = freshDir("torn")
+    val base = (0L until 20L).map(i => (i, i.toString)).toDF("id", "v")
+    Merge.writeKeyed(base, path, "id", nBuckets = 2)
+    Merge.upsert(spark, path, Seq((1L, "a")).toDF("id", "v"), "id", 2)
+    // simulate a committer that crashed between claim and body write
+    val torn = new File(new File(path, "_graft_log"), "v2.json")
+    assert(torn.createNewFile())
+    assert(Merge.currentVersion(spark, path) == 1L)
+    assert(Merge.readKeyed(spark, path)
+      .filter($"id" === 1L).select("v").as[String].head() == "a")
+  }
+
   test("upsert of the same batch twice is idempotent") {
     val path = freshDir("idem")
     val base = (0L until 50L).map(i => (i, i * 1.0)).toDF("id", "x")

@@ -901,6 +901,106 @@ object SparkEntry {
         graft.sources.Merge.readVersion(s, path, 1), Seq("p_partkey"))
         .orderBy("p_partkey")
     }),
+    "q_merge_compact" -> ((s, dir) => {
+      // VERSION-LOG-AWARE COMPACTION: three upserts leave every bucket
+      // holding one file per commit; compactVersion rewrites multi-file
+      // buckets coarse and COMMITS the result as a new version (same
+      // protocol as upsert — old versions keep reading the old files).
+      // The gate then vacuums down to the compacted version alone and
+      // reads it: the row multiset must equal the sequential replay of
+      // the three upserts (last writer wins per key). File-count and
+      // old-version-readability contracts are pinned in MergeSpec.
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_merge_c_${new java.io.File(dir).getName}").getAbsolutePath
+      val part = t(s, dir, "part")
+        .select("p_partkey", "p_brand", "p_retailprice")
+      graft.sources.Merge.writeKeyed(part, path, "p_partkey", nBuckets = 8)
+      Seq(("7", "1.1"), ("11", "1.2"), ("13", "1.3")).foreach {
+        case (mod, factor) =>
+          val batch = part.filter(col("p_partkey") % mod.toInt === 0)
+            .withColumn("p_retailprice",
+              round(dec("p_retailprice") * lit(factor.toDouble)
+                .cast("decimal(2,1)"), 2).cast("double"))
+          graft.sources.Merge.upsert(s, path, batch, "p_partkey",
+            nBuckets = 8)
+      }
+      val stats = graft.sources.Merge.compactVersion(s, path)
+      require(stats.bucketsRewritten > 0 && stats.filesAfter == 8,
+        s"compaction must hit 1 file/bucket, got $stats")
+      graft.sources.Merge.vacuum(s, path, keepVersions = 1)
+      graft.sources.Merge.readKeyed(s, path)
+        .select("p_partkey", "p_brand", "p_retailprice")
+        .orderBy("p_partkey")
+    }),
+    "q_merge_concurrent" -> ((s, dir) => {
+      // CONCURRENT COMMITTERS: two upserts with disjoint key sets race
+      // from the same parent version; the create-if-absent manifest claim
+      // serializes them and the loser retries against the winner's
+      // version. Disjoint keys commute, so the final table equals the
+      // sequential application the oracle replays — a duplicate key or a
+      // lost batch (the absorbed-files / lost-update failure modes)
+      // breaks the hash. The deterministic same-parent race is pinned in
+      // MergeSpec with a commit fence; here the interleaving is real
+      // thread timing.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_merge_cc_${new java.io.File(dir).getName}").getAbsolutePath
+      val part = t(s, dir, "part")
+        .select("p_partkey", "p_brand", "p_retailprice")
+      graft.sources.Merge.writeKeyed(part, path, "p_partkey", nBuckets = 8)
+      def bump(mod: Int, rem: Int, factor: String, insertBase: Long) =
+        part.filter(col("p_partkey") % mod === rem)
+          .withColumn("p_retailprice",
+            round(dec("p_retailprice") * lit(factor.toDouble)
+              .cast("decimal(2,1)"), 2).cast("double"))
+          .unionByName(part.filter(col("p_partkey") < 5)
+            .withColumn("p_partkey", col("p_partkey") + lit(insertBase)))
+      val a = Future(graft.sources.Merge.upsert(s, path,
+        bump(10, 0, "1.1", 1000000L), "p_partkey", nBuckets = 8))
+      val b = Future(graft.sources.Merge.upsert(s, path,
+        bump(10, 5, "1.2", 2000000L), "p_partkey", nBuckets = 8))
+      val (sa, sb) = (Await.result(a, 300.seconds),
+        Await.result(b, 300.seconds))
+      require(Set(sa.version, sb.version) == Set(1L, 2L),
+        s"history must be linear v1,v2 — got $sa / $sb")
+      graft.sources.Merge.readKeyed(s, path)
+        .select("p_partkey", "p_brand", "p_retailprice")
+        .orderBy("p_partkey")
+    }),
+    "q_merge_evolve" -> ((s, dir) => {
+      // SCHEMA EVOLUTION across versions: an upsert with allowEvolution
+      // adds p_status; v1 reads pre-evolution files (every untouched
+      // bucket) with NULL in the new column, v0 keeps its own narrower
+      // schema, and TableDiff.diffEvolved classifies across the boundary
+      // (null-aligned on the missing column). Output = evolved table +
+      // change classification per key.
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_merge_e_${new java.io.File(dir).getName}").getAbsolutePath
+      val part = t(s, dir, "part")
+        .select("p_partkey", "p_brand", "p_retailprice")
+      graft.sources.Merge.writeKeyed(part, path, "p_partkey", nBuckets = 8)
+      val updates = part.filter(col("p_partkey") % 10 === 0)
+        .withColumn("p_retailprice",
+          round(dec("p_retailprice") * lit(0.9).cast("decimal(2,1)"), 2)
+            .cast("double"))
+        .withColumn("p_status", lit("clearance"))
+      graft.sources.Merge.upsert(s, path, updates, "p_partkey",
+        nBuckets = 8, allowEvolution = true)
+      val v0 = graft.sources.Merge.readVersion(s, path, 0)
+      val v1 = graft.sources.Merge.readVersion(s, path, 1)
+      require(v0.columns.length == 3 && v1.columns.length == 4,
+        "each version must read with its own schema")
+      val d = graft.ops.TableDiff.diffEvolved(v0, v1, Seq("p_partkey"))
+      v1.join(d, Seq("p_partkey"), "left")
+        .select(col("p_partkey"), col("p_retailprice"), col("p_status"),
+          coalesce(col("change"), lit("unchanged")).as("change"))
+        .orderBy("p_partkey")
+    }),
     "q_incremental_cdc" -> ((s, dir) => {
       // INCREMENTAL VIEW MAINTENANCE end to end, composing three
       // primitives: versioned Merge reads (v0 -> v1 of a keyed table),
@@ -1283,6 +1383,73 @@ object SparkEntry {
       graft.pipeline.IncrementalAgg.read(s, statePath)
         .orderBy("user_id", "event_type")
     }),
+    "q_stream_restart" -> ((s, dir) => {
+      // CHECKPOINT RESTART RECOVERY — the part of Structured Streaming
+      // that breaks in production. A checkpointed flatMapGroupsWithState
+      // sessionization processes batch 1 (pre-cut events) and STOPS; a
+      // FRESH SESSION resumes the query from the same checkpointLocation
+      // over batches 2-3. Every session OPEN at the stop (its user's
+      // events straddle the cut) lives only in the state store, so the
+      // final closed-session set equals the uninterrupted batch oracle
+      // ONLY if state and source offsets recover exactly. Sink is the
+      // exactly-once file sink (same checkpoint), read back through its
+      // _spark_metadata log.
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      import org.apache.spark.sql.streaming.Trigger
+      val sfName = new java.io.File(dir).getName
+      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_stream_restart_$sfName")
+      val inDir = base.resolve("in")
+      val outDir = base.resolve("out").toString
+      val ckpt = base.resolve("ckpt").toString
+      def rmTree(p: java.nio.file.Path): Unit =
+        if (Files.exists(p)) {
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.delete(f))
+        }
+      rmTree(base)
+      Files.createDirectories(inDir)
+      val cut1 = 1704844800L * 1000000000L // 2024-01-10 UTC, nanos
+      val cut2 = 1705708800L * 1000000000L // 2024-01-20 UTC, nanos
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("value"),
+          expr("ts div 1000").as("ts_micros"), col("ts"))
+      def stage(name: String, df: DataFrame, i: Int): Unit = {
+        val st = base.resolve(s"stage_$i")
+        df.drop("ts").coalesce(1).write.mode("overwrite").parquet(st.toString)
+        val part = Files.list(st).filter(_.toString.endsWith(".parquet"))
+          .findFirst().get()
+        Files.move(part, inDir.resolve(name),
+          StandardCopyOption.REPLACE_EXISTING)
+        inDir.resolve(name).toFile
+          .setLastModified(1700000000000L + i * 60000L)
+      }
+      stage("b1.parquet", e.filter(col("ts") < cut1), 0)
+      val inSchema = "user_id LONG, event_type STRING, value DOUBLE, " +
+        "ts_micros LONG"
+      def runPhase(sess: SparkSession): Unit =
+        withShufflePartitions(sess, 8) {
+          import sess.implicits._
+          val evs = sess.readStream
+            .schema(org.apache.spark.sql.types.StructType.fromDDL(inSchema))
+            .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+            .as[EventStreams.Event]
+          val q = EventStreams.sessionize(evs,
+              gapMicros = 30L * 60 * 1000 * 1000)(sess)
+            .toDF().writeStream.format("parquet")
+            .option("path", outDir).option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+      runPhase(s) // phase 1: batch 1 only, then the query STOPS
+      stage("b2.parquet", e.filter(col("ts") >= cut1 && col("ts") < cut2), 1)
+      stage("b3.parquet", e.filter(col("ts") >= cut2), 2)
+      runPhase(s.newSession()) // fresh session resumes from the checkpoint
+      s.read.parquet(outDir)
+        .select("user_id", "n_events", "start_micros", "end_micros")
+        .orderBy("user_id", "start_micros")
+    }),
     "q_pagerank" -> ((s, dir) => {
       // bounded-iteration PageRank over the undirected customer-supplier
       // interaction graph (edges = who traded with whom via orders):
@@ -1300,7 +1467,7 @@ object SparkEntry {
         .select(col("node"), round(col("rank"), 3).as("rank"))
         .orderBy("node")
     }),
-    "q_pagerank_deep" -> ((s, dir) => {
+    "q_pagerank_deep" -> ((s0, dir) => {
       // the DEEP-iteration form: 10 rounds over the DIRECTED
       // customer->supplier graph — suppliers have no out-edges, so real
       // dangling mass exists and is redistributed uniformly each round —
@@ -1308,26 +1475,27 @@ object SparkEntry {
       // duplicateClusters pattern; GraphSpec pins the bounded-plan
       // contract). Oracle: the 10x unrolled SQL with the same per-round
       // dangling scalar.
+      //
+      // Conf is scoped to a CHILD SESSION (isolated SQLConf over the
+      // shared SparkContext), never the caller's: anything else running
+      // on s0 keeps its own AQE/shuffle settings for the whole loop.
+      // Rank table is node-sized, so at gate sf a 32-way shuffle is pure
+      // task overhead across 10 materialized rounds; AQE is off for the
+      // loop because 10 rounds of eager micro-jobs pay its per-stage
+      // re-planning without ever benefiting (every stage is already tiny
+      // and the plan is fixed by construction).
+      val s = s0.newSession()
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       val ed = t(s, dir, "lineitem")
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .select(concat(lit("c"), col("o_custkey")).as("src"),
           concat(lit("s"), col("l_suppkey")).as("dst"))
         .distinct()
-      // rank table is node-sized: at gate sf a 32-way shuffle is pure
-      // task overhead across 10 materialized rounds (same right-sizing
-      // the streaming lifecycle gates apply). AQE is off for the loop:
-      // 10 rounds of eager micro-jobs pay its per-stage re-planning
-      // without ever benefiting (every stage is already tiny and the
-      // plan is fixed by construction).
-      val aqe = "spark.sql.adaptive.enabled"
-      val prevAqe = s.conf.get(aqe)
-      s.conf.set(aqe, "false")
-      try withShufflePartitions(s, 8) {
-        graft.pipeline.Graph.pageRank(ed, "src", "dst", iters = 10,
-          redistributeDangling = true, checkpointEvery = 3)
-          .select(col("node"), round(col("rank"), 3).as("rank"))
-          .orderBy("node")
-      } finally s.conf.set(aqe, prevAqe)
+      graft.pipeline.Graph.pageRank(ed, "src", "dst", iters = 10,
+        redistributeDangling = true, checkpointEvery = 3)
+        .select(col("node"), round(col("rank"), 3).as("rank"))
+        .orderBy("node")
     }),
     "q_window_funcs" -> ((s, dir) => {
       // window-function breadth: lag/lead/percent_rank/ntile/cume_dist
@@ -1893,6 +2061,26 @@ object SparkEntry {
       val enc = Similarity.Pq.encode(corpus, "vec_id", "embedding", model)
       Similarity.Pq.topK(enc, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", model, k = 1)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id")
+    }),
+    "q_sim_search_ivfpq" -> ((s, dir) => {
+      // IVF + PQ COMPOSED — the true 100 TB ANN operating point: probe 2
+      // of 8 cells (25% scan fraction), rank inside them by ADC over m=8
+      // byte codes; query time never touches a float vector. Recall gate
+      // is the PROVABLE planted-copy floor through BOTH approximations:
+      // an exact copy lands in the query's own cell (identical vector ->
+      // identical nearest-centroid argmax; own cell always probed) and
+      // encodes to identical codes (ADC distance = the query's own
+      // residual, the attainable minimum) — so top-1 per query MUST be
+      // its planted copy. A broken cell assignment, probe list, codebook,
+      // or ADC kernel all drive hits to zero.
+      val emb = t(s, dir, "embeddings")
+      val planted = emb.filter(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + lit(1000000L))
+      Similarity.IvfPq.topK(emb.union(planted),
+        emb.filter(col("vec_id") < 20), "vec_id", "vec_id", "embedding",
+        dim = 64, k = 1, cells = 8, nProbe = 2, m = 8, kSub = 64)
         .select("query_id", "neighbor_id", "rank")
         .orderBy("query_id")
     }),
@@ -2863,6 +3051,67 @@ object SparkEntry {
            SELECT p_partkey + 1000000 AS p_partkey, 'added' AS change
            FROM part WHERE p_partkey < 10)
          ORDER BY p_partkey""",
+    // sequential replay of the three price-bump upserts (LAST writer wins
+    // per key: %13 then %11 then %7) — compaction + vacuum must preserve
+    // exactly this multiset
+    "q_merge_compact" ->
+      """SELECT p_partkey, p_brand,
+                CASE
+                  WHEN p_partkey % 13 = 0 THEN
+                    CAST(round(CAST(p_retailprice AS DECIMAL(18,2))
+                               * CAST(1.3 AS DECIMAL(2,1)), 2) AS DOUBLE)
+                  WHEN p_partkey % 11 = 0 THEN
+                    CAST(round(CAST(p_retailprice AS DECIMAL(18,2))
+                               * CAST(1.2 AS DECIMAL(2,1)), 2) AS DOUBLE)
+                  WHEN p_partkey % 7 = 0 THEN
+                    CAST(round(CAST(p_retailprice AS DECIMAL(18,2))
+                               * CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE)
+                  ELSE p_retailprice
+                END AS p_retailprice
+         FROM part ORDER BY p_partkey""",
+    // disjoint-key batches commute: the racing committers' final table is
+    // the sequential merge of both
+    "q_merge_concurrent" ->
+      """WITH u AS (
+           SELECT p_partkey, p_brand,
+                  CAST(round(CAST(p_retailprice AS DECIMAL(18,2))
+                             * CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE)
+                    AS p_retailprice
+           FROM part WHERE p_partkey % 10 = 0
+           UNION ALL
+           SELECT p_partkey, p_brand,
+                  CAST(round(CAST(p_retailprice AS DECIMAL(18,2))
+                             * CAST(1.2 AS DECIMAL(2,1)), 2) AS DOUBLE)
+           FROM part WHERE p_partkey % 10 = 5
+           UNION ALL
+           SELECT p_partkey + 1000000, p_brand, p_retailprice
+           FROM part WHERE p_partkey < 5
+           UNION ALL
+           SELECT p_partkey + 2000000, p_brand, p_retailprice
+           FROM part WHERE p_partkey < 5)
+         SELECT p_partkey, p_brand, p_retailprice FROM part
+         WHERE p_partkey NOT IN (SELECT p_partkey FROM u)
+         UNION ALL
+         SELECT * FROM u
+         ORDER BY p_partkey""",
+    // evolved table: touched keys get the bumped price + 'clearance' and
+    // classify 'changed' (non-null in the added column); every other row
+    // reads back with NULL p_status and stays 'unchanged'
+    "q_merge_evolve" ->
+      """WITH upd AS (
+           SELECT p_partkey,
+                  CAST(round(CAST(p_retailprice AS DECIMAL(18,2))
+                             * CAST(0.9 AS DECIMAL(2,1)), 2) AS DOUBLE)
+                    AS newp
+           FROM part WHERE p_partkey % 10 = 0)
+         SELECT p.p_partkey,
+                COALESCE(u.newp, p.p_retailprice) AS p_retailprice,
+                CASE WHEN u.p_partkey IS NOT NULL
+                     THEN 'clearance' END AS p_status,
+                CASE WHEN u.p_partkey IS NOT NULL
+                     THEN 'changed' ELSE 'unchanged' END AS change
+         FROM part p LEFT JOIN upd u ON p.p_partkey = u.p_partkey
+         ORDER BY p.p_partkey""",
     "q_zorder_layout" ->
       """WITH e AS (
            SELECT user_id, epoch_ns(ts) // 1000 AS ts_micros, value
@@ -3893,6 +4142,13 @@ object SparkEntry {
       """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
                 CAST(1 AS INT) AS rank
          FROM embeddings WHERE vec_id < 5 ORDER BY query_id""",
+    // planted copy through BOTH approximations: same IVF cell (own cell
+    // always probed) + identical PQ codes (minimum attainable ADC
+    // distance) -> top-1 is the copy, provably
+    "q_sim_search_ivfpq" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
+                CAST(1 AS INT) AS rank
+         FROM embeddings WHERE vec_id < 20 ORDER BY query_id""",
     "q_salted_join" ->
       """SELECT l_orderkey, l_linenumber, s_name
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
@@ -4131,6 +4387,32 @@ object SparkEntry {
                <= m - INTERVAL 10 MINUTE
          GROUP BY 1, 2 ORDER BY window_start, event_type""",
     "q_stream_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_micros
+                    FROM events),
+              s AS (SELECT user_id, ts_micros,
+                      CASE WHEN lag(ts_micros) OVER w IS NULL
+                             OR ts_micros - lag(ts_micros) OVER w > 1800000000
+                           THEN 1 ELSE 0 END AS new_session
+                    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_micros)),
+              t AS (SELECT user_id, ts_micros,
+                      CAST(sum(new_session) OVER (PARTITION BY user_id
+                        ORDER BY ts_micros ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                        AS session_idx
+                    FROM s),
+              sess AS (SELECT user_id, session_idx,
+                         CAST(count(*) AS INT) AS n_events,
+                         min(ts_micros) AS start_micros,
+                         max(ts_micros) AS end_micros
+                       FROM t GROUP BY user_id, session_idx),
+              mx AS (SELECT user_id, max(session_idx) AS m
+                     FROM sess GROUP BY user_id)
+         SELECT sess.user_id, n_events, start_micros, end_micros
+         FROM sess JOIN mx USING (user_id)
+         WHERE sess.session_idx < mx.m
+         ORDER BY user_id, start_micros""",
+    // restart recovery must land on the SAME closed-session set as the
+    // uninterrupted run: every session but each user's final (open) one
+    "q_stream_restart" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_micros
                     FROM events),
               s AS (SELECT user_id, ts_micros,

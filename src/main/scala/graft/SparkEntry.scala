@@ -2084,6 +2084,32 @@ object SparkEntry {
         .select("query_id", "neighbor_id", "rank")
         .orderBy("query_id")
     }),
+    "q_sim_search_ivfpq_index" -> ((s, dir) => {
+      // the PERSISTED IVF-PQ layout: byte codes on disk partitionBy(cell),
+      // models in bounded side tables; a query partition-prunes to its
+      // probed cells and reads m=8 bytes per row — the scan's ReadSchema
+      // carries NO float column (pinned in PipelineSpec). Planted copies
+      // are built INTO the index, so the provable top-1 floor holds
+      // through persistence too. Index cached by content stamp: repeat
+      // runs measure the PROBE.
+      val emb = t(s, dir, "embeddings")
+      val planted = emb.filter(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + lit(1000000L))
+      val src = new java.io.File(s"$dir/embeddings.parquet")
+      val stamp = java.lang.Long.toHexString(
+        src.lastModified() * 31 + src.length())
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_ivfpq_idx_${new java.io.File(dir).getName}_$stamp")
+        .getAbsolutePath
+      if (!new java.io.File(s"$path/codes/_SUCCESS").exists())
+        Similarity.IvfPq.save(Similarity.IvfPq.build(emb.union(planted),
+          "vec_id", "embedding", dim = 64, cells = 8, m = 8, kSub = 64),
+          path)
+      Similarity.IvfPq.topKPersisted(s, path, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 1, nProbe = 2)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id")
+    }),
     "q_salted_join" -> ((s, dir) => {
       // salted (skew-safe) equi-join: the hot key's rows spread over
       // `salts` tasks; row-for-row identical to the plain join, which is
@@ -4146,6 +4172,11 @@ object SparkEntry {
     // always probed) + identical PQ codes (minimum attainable ADC
     // distance) -> top-1 is the copy, provably
     "q_sim_search_ivfpq" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
+                CAST(1 AS INT) AS rank
+         FROM embeddings WHERE vec_id < 20 ORDER BY query_id""",
+    // same provable floor through the PERSISTED index (copies built in)
+    "q_sim_search_ivfpq_index" ->
       """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
                 CAST(1 AS INT) AS rank
          FROM embeddings WHERE vec_id < 20 ORDER BY query_id""",

@@ -613,5 +613,82 @@ object Similarity {
         nProbe: Int, m: Int, kSub: Int): DataFrame =
       topK(build(corpus, idCol, vecCol, dim, cells, m, kSub), queries,
         qidCol, vecCol, k, nProbe)
+
+    /** Persist the index: byte codes written `partitionBy(cell)` (so a
+      * probe's cell set is a PARTITION FILTER — only nProbe/cells of the
+      * directories are listed and scanned) plus the two bounded model
+      * tables. The codes table carries NO float vectors: at 100 TB the
+      * query-time footprint is m bytes/row in the probed cells, full stop.
+      */
+    def save(index: Index, path: String): Unit = {
+      index.encoded.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$path/codes")
+      val spark = index.encoded.sparkSession
+      import spark.implicits._
+      index.centroids.zipWithIndex.toSeq
+        .map { case (v, i) => (i, v.toSeq) }
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      val books = for {
+        s <- 0 until index.pq.m
+        c <- 0 until index.pq.k
+      } yield (s, c, index.pq.dim, index.pq.codebooks(s)(c).toSeq)
+      books.toDF("subspace", "code", "dim", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    }
+
+    /** Reload both bounded model tables (cells + m*k rows — driver-safe). */
+    def loadModels(spark: org.apache.spark.sql.SparkSession,
+        path: String): (Array[Array[Double]], Pq.Model) = {
+      val centroids = spark.read.parquet(s"$path/centroids")
+        .orderBy("cell").collect()
+        .map(_.getSeq[Double](1).toArray)
+      val rows = spark.read.parquet(s"$path/codebooks")
+        .orderBy("subspace", "code").collect()
+      val m = rows.map(_.getInt(0)).max + 1
+      val k = rows.map(_.getInt(1)).max + 1
+      val dim = rows.head.getInt(2)
+      val books = Array.tabulate(m, k) { (s, c) =>
+        rows(s * k + c).getSeq[Double](3).toArray
+      }
+      (centroids, Pq.Model(m, k, dim, books))
+    }
+
+    /** Query the PERSISTED index. The probe-cell union is a bounded
+      * driver-side set (|queries| * nProbe ids) pushed as an `isin` on
+      * the partition column, so the scan prunes to those directories
+      * before any row is read — and what it reads is byte codes only.
+      */
+    def topKPersisted(spark: org.apache.spark.sql.SparkSession,
+        path: String, queries: DataFrame, qidCol: String, vecCol: String,
+        k: Int, nProbe: Int): DataFrame = {
+      val (centroids, pq) = loadModels(spark, path)
+      val cents = centroids
+      val probes = math.min(nProbe, centroids.length)
+      val probeKernel = udf { v: Seq[Double] =>
+        if (v == null) null
+        else {
+          val nv = Ivf.normalize(v.toArray)
+          cents.indices.map(c => (Ivf.dotD(nv, cents(c)), c))
+            .sortBy { case (d, c) => (-d, c) }
+            .take(probes).map(_._2).toArray
+        }
+      }
+      val q = queries.select(col(qidCol).as("query_id"),
+        Pq.adcTableUdf(spark, pq)(col(vecCol).cast("array<double>"))
+          .as("__tbl"),
+        explode(probeKernel(col(vecCol).cast("array<double>"))).as("cell"))
+      // bounded driver collect: |queries| * nProbe cell ids
+      val cellSet = q.select("cell").distinct().collect().map(_.getInt(0))
+      val codes = spark.read.parquet(s"$path/codes")
+        .filter(col("cell").isin(cellSet.toSeq: _*)) // -> PartitionFilters
+      val scored = codes.join(broadcast(q), Seq("cell"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          Pq.adcUdf(col("codes"), col("__tbl")).as("adc_dist"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    }
   }
 }

@@ -442,6 +442,40 @@ class SimilaritySpec extends SparkSpec {
     assert(m1.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
       m2.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
   }
+
+  test("IvfPq: composed probe+ADC finds the copy; persisted index " +
+      "prunes partitions and reads NO float column") {
+    val pts = Seq(
+      (1L, vec(1, 0, 1, 0)), (2L, vec(0.9, 0, 0.9, 0)),
+      (3L, vec(0, 1, 0, 1)), (4L, vec(0, 0.9, 0, 0.9)),
+      (10L, vec(1, 0, 1, 0))) // exact copy of 1
+      .toDF("vec_id", "embedding")
+    val idx = Similarity.IvfPq.build(pts, "vec_id", "embedding", dim = 4,
+      cells = 2, m = 2, kSub = 4, sampleN = 100, iters = 5)
+    val top = Similarity.IvfPq.topK(idx, pts.filter($"vec_id" === 1L),
+      "vec_id", "embedding", k = 1, nProbe = 1)
+      .select("neighbor_id").as[Long].head()
+    assert(top == 10L, "copy shares the cell and the codes: ADC minimum")
+
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    Similarity.IvfPq.save(idx, path)
+    // reloaded models are bit-identical (the index is fully persistent)
+    val (cents, pq) = Similarity.IvfPq.loadModels(spark, path)
+    assert(cents.map(_.toSeq).toSeq == idx.centroids.map(_.toSeq).toSeq)
+    assert(pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      idx.pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val q = Similarity.IvfPq.topKPersisted(spark, path,
+      pts.filter($"vec_id" === 1L), "vec_id", "embedding", k = 1, nProbe = 1)
+    assert(q.select("neighbor_id").as[Long].head() == 10L)
+    // the codes scan is partition-pruned to the probed cells AND its read
+    // schema is byte codes only — the 100 TB contract: query time never
+    // touches a float vector
+    val scans = q.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("FileScan")).mkString("\n")
+    assert(scans.contains("PartitionFilters") && scans.contains("cell"))
+    assert(!scans.contains("embedding"),
+      s"query-time scan must not read the float column:\n$scans")
+  }
 }
 
 class MultimodalSpec extends SparkSpec {

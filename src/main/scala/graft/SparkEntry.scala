@@ -1001,6 +1001,73 @@ object SparkEntry {
           coalesce(col("change"), lit("unchanged")).as("change"))
         .orderBy("p_partkey")
     }),
+    "q_stream_upsert" -> ((s, dir) => {
+      // EXACTLY-ONCE STREAMING SINK into the versioned lakehouse: three
+      // authored micro-batches of price bumps + inserts stream through
+      // foreachBatch into Merge.upsert, each committing one txn-stamped
+      // version. Then the checkpoint is WIPED and the stream drained
+      // again — a full replay of all three batches — and the txn
+      // watermark must absorb every one (version count unchanged,
+      // required in-gate). Final table ≡ the sequential last-writer-wins
+      // replay the oracle runs. The at-least-once half (resume from a
+      // live checkpoint) is pinned in MergeSpec.
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      import org.apache.spark.sql.streaming.Trigger
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      val sfName = new java.io.File(dir).getName
+      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_stream_upsert_$sfName")
+      def rmTree(p: java.nio.file.Path): Unit =
+        if (Files.exists(p)) {
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.delete(f))
+        }
+      rmTree(base)
+      val inDir = base.resolve("in"); Files.createDirectories(inDir)
+      val tbl = base.resolve("tbl").toString
+      val ckpt = base.resolve("ckpt").toString
+      val part = t(s, dir, "part")
+        .select("p_partkey", "p_brand", "p_retailprice")
+      graft.sources.Merge.writeKeyed(part, tbl, "p_partkey", nBuckets = 8)
+      def bump(mod: Int, factor: String) =
+        part.filter(col("p_partkey") % mod === 0)
+          .withColumn("p_retailprice",
+            round(dec("p_retailprice") * lit(factor.toDouble)
+              .cast("decimal(2,1)"), 2).cast("double"))
+      val slices = Seq(
+        ("b0.parquet", bump(7, "1.1")),
+        ("b1.parquet", bump(11, "1.2")),
+        ("b2.parquet", bump(13, "1.3")
+          .unionByName(part.filter(col("p_partkey") < 5)
+            .withColumn("p_partkey", col("p_partkey") + lit(1000000L)))))
+      slices.zipWithIndex.foreach { case ((name, df), i) =>
+        val stage = base.resolve(s"stage_$i")
+        df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val p = Files.list(stage).filter(_.toString.endsWith(".parquet"))
+          .findFirst().get()
+        Files.move(p, inDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+        inDir.resolve(name).toFile
+          .setLastModified(1700000000000L + i * 60000L)
+      }
+      def drain(): Unit = withShufflePartitions(s, 8) {
+        val q = graft.sources.Merge.streamingUpsert(
+          s.readStream.schema(part.schema)
+            .option("maxFilesPerTrigger", 1).parquet(inDir.toString),
+          tbl, "p_partkey", nBuckets = 8, ckpt, "gate-stream")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      drain()
+      require(graft.sources.Merge.currentVersion(s, tbl) == 3L,
+        "three micro-batches must commit three versions")
+      rmTree(Paths.get(ckpt)) // full replay from scratch
+      drain()
+      require(graft.sources.Merge.currentVersion(s, tbl) == 3L,
+        "replayed batches must hit the txn watermark, not re-commit")
+      graft.sources.Merge.readKeyed(s, tbl)
+        .select("p_partkey", "p_brand", "p_retailprice")
+        .orderBy("p_partkey")
+    }),
     "q_incremental_cdc" -> ((s, dir) => {
       // INCREMENTAL VIEW MAINTENANCE end to end, composing three
       // primitives: versioned Merge reads (v0 -> v1 of a keyed table),
@@ -2110,6 +2177,51 @@ object SparkEntry {
         .select("query_id", "neighbor_id", "rank")
         .orderBy("query_id")
     }),
+    "q_kmeans" -> ((s, dir) => {
+      // distributed Lloyd's k-means over the embedding corpus: 2
+      // assignment passes, seeds = vectors of vec_id 0..3, argmin ties
+      // to the smaller cluster id. The oracle replays the SAME
+      // deterministic rules in SQL (double-cast lists, list_distance,
+      // row_number ordered by (distance, cid)) — per-point assignments
+      // hash-match because both engines fold distances in index order in
+      // double precision and real cluster margins (~1e-4) dwarf
+      // summation-order noise (~1e-13). Integer output only: no float
+      // column rides into the hash.
+      val emb = t(s, dir, "embeddings")
+      graft.pipeline.Clustering.kmeans(emb, "embedding", "vec_id",
+        k = 4, iters = 2, initIds = Seq(0L, 1L, 2L, 3L))
+        .orderBy("vec_id")
+    }),
+    "q_skipping" -> ((s, dir) => {
+      // MANIFEST-LEVEL data skipping: lineitem range-clustered on
+      // l_shipdate into 16 files with a per-file min/max sidecar; a
+      // one-year interval read consults the index and plans a strict
+      // subset of the files (required in-gate) BEFORE any footer is
+      // opened — then the residual filter makes the result identical to
+      // filtering the full table, which is exactly what the oracle runs.
+      import graft.sources.Skipping
+      val li = t(s, dir, "lineitem")
+      val src = new java.io.File(s"$dir/lineitem.parquet")
+      val stamp = java.lang.Long.toHexString(
+        src.lastModified() * 31 + src.length())
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_skip_${new java.io.File(dir).getName}_$stamp")
+        .getAbsolutePath
+      if (!new java.io.File(s"$path/_graft_stats/stats.json").exists())
+        Skipping.writeIndexed(li, path, clusterCols = Seq("l_shipdate"),
+          files = 16)
+      val bounds = Seq(Skipping.Bound("l_shipdate",
+        Some("1997-01-01"), Some("1997-12-31 23:59:59")))
+      val (sel, total) = Skipping.planFiles(s, path, bounds)
+      require(sel.size < total,
+        s"stats index must prune files, planned ${sel.size}/$total")
+      Skipping.readSkipping(s, path, bounds)
+        .groupBy("l_returnflag")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
     "q_salted_join" -> ((s, dir) => {
       // salted (skew-safe) equi-join: the hot key's rows spread over
       // `salts` tasks; row-for-row identical to the plain join, which is
@@ -3095,6 +3207,29 @@ object SparkEntry {
                   ELSE p_retailprice
                 END AS p_retailprice
          FROM part ORDER BY p_partkey""",
+    // sequential last-writer-wins replay of the three streamed batches
+    // (batch 2 = %13 × 1.3 wins over batch 1 = %11 × 1.2 over batch 0 =
+    // %7 × 1.1) plus batch 2's inserts — the txn-absorbed full replay
+    // must leave exactly this
+    "q_stream_upsert" ->
+      """SELECT p_partkey, p_brand,
+                CASE
+                  WHEN p_partkey % 13 = 0 THEN
+                    CAST(round(CAST(p_retailprice AS DECIMAL(18,2))
+                               * CAST(1.3 AS DECIMAL(2,1)), 2) AS DOUBLE)
+                  WHEN p_partkey % 11 = 0 THEN
+                    CAST(round(CAST(p_retailprice AS DECIMAL(18,2))
+                               * CAST(1.2 AS DECIMAL(2,1)), 2) AS DOUBLE)
+                  WHEN p_partkey % 7 = 0 THEN
+                    CAST(round(CAST(p_retailprice AS DECIMAL(18,2))
+                               * CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE)
+                  ELSE p_retailprice
+                END AS p_retailprice
+         FROM part
+         UNION ALL
+         SELECT p_partkey + 1000000, p_brand, p_retailprice
+         FROM part WHERE p_partkey < 5
+         ORDER BY p_partkey""",
     // disjoint-key batches commute: the racing committers' final table is
     // the sequential merge of both
     "q_merge_concurrent" ->
@@ -4180,6 +4315,47 @@ object SparkEntry {
       """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
                 CAST(1 AS INT) AS rank
          FROM embeddings WHERE vec_id < 20 ORDER BY query_id""",
+    // the SAME deterministic Lloyd rules replayed in SQL: double-cast
+    // lists, Euclidean distance folded in index order, argmin tie to the
+    // smaller cluster id, per-dimension avg between the two passes
+    "q_kmeans" ->
+      """WITH e AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         c0 AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < 4),
+         a1 AS (
+           SELECT vec_id, cid AS cluster FROM (
+             SELECT e.vec_id, c.cid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY list_distance(e.v, c.v), c.cid) AS rn
+             FROM e CROSS JOIN c0 c) WHERE rn = 1),
+         c1 AS (
+           SELECT cluster AS cid, list(m ORDER BY pos) AS v FROM (
+             SELECT a1.cluster, u.pos, avg(u.x) AS m FROM a1
+             JOIN e USING (vec_id),
+             LATERAL (SELECT unnest(e.v) AS x,
+                             generate_subscripts(e.v, 1) AS pos) u
+             GROUP BY 1, 2) GROUP BY 1),
+         a2 AS (
+           SELECT vec_id, cid AS cluster FROM (
+             SELECT e.vec_id, c.cid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY list_distance(e.v, c.v), c.cid) AS rn
+             FROM e CROSS JOIN c1 c) WHERE rn = 1)
+         SELECT vec_id, CAST(cluster AS INT) AS cluster FROM a2
+         ORDER BY vec_id""",
+    // index-pruned read ≡ full-table filter (the residual makes pruning
+    // purely a cost decision; the in-gate require pins that it pruned)
+    "q_skipping" ->
+      """SELECT l_returnflag,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_qty,
+                count(*) AS n
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND l_shipdate <= TIMESTAMP '1997-12-31 23:59:59'
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_salted_join" ->
       """SELECT l_orderkey, l_linenumber, s_name
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey

@@ -89,7 +89,8 @@ object Merge {
     relFile.takeWhile(_ != '/').stripPrefix("__bucket=").toLong
 
   private final case class Manifest(version: Long, parent: Long,
-      files: Seq[String], dataSchema: Option[String])
+      files: Seq[String], dataSchema: Option[String],
+      txn: Option[(String, Long)] = None)
 
   private def jsonEscape(s: String): String =
     s.flatMap {
@@ -116,8 +117,11 @@ object Merge {
     val files = m.files.map(f => "\"" + f + "\"").mkString("[", ",", "]")
     val schemaField = m.dataSchema
       .map(s => s""","dataSchema":"${jsonEscape(s)}"""").getOrElse("")
+    val txnField = m.txn.map { case (app, batch) =>
+      s""","txnApp":"${jsonEscape(app)}","txnBatch":$batch"""
+    }.getOrElse("")
     (s"""{"version":${m.version},"parent":${m.parent},""" +
-      s""""files":$files$schemaField}""").getBytes("UTF-8")
+      s""""files":$files$schemaField$txnField}""").getBytes("UTF-8")
   }
 
   /** Create-if-absent manifest commit — THE atomic point of every commit.
@@ -166,7 +170,8 @@ object Merge {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return None
     val df = spark.read
-      .schema("version LONG, parent LONG, files ARRAY<STRING>, dataSchema STRING")
+      .schema("version LONG, parent LONG, files ARRAY<STRING>, " +
+        "dataSchema STRING, txnApp STRING, txnBatch LONG")
       .json(p.toString)
     val rows = df.collect()
     if (rows.length != 1) return None
@@ -174,7 +179,9 @@ object Merge {
     // a truncated body parses PERMISSIVE to an all-null row: reject it
     if (r.isNullAt(0) || r.isNullAt(2)) None
     else Some(Manifest(r.getLong(0), r.getLong(1), r.getSeq[String](2),
-      if (r.isNullAt(3)) None else Some(r.getString(3))))
+      if (r.isNullAt(3)) None else Some(r.getString(3)),
+      if (r.isNullAt(4) || r.isNullAt(5)) None
+      else Some((r.getString(4), r.getLong(5)))))
   }
 
   private def readManifest(spark: SparkSession, root: Path,
@@ -268,7 +275,26 @@ object Merge {
   }
 
   final case class MergeStats(bucketsTouched: Int, nBuckets: Int,
-      rowsUpserted: Long, version: Long, retries: Int = 0)
+      rowsUpserted: Long, version: Long, retries: Int = 0,
+      skippedDupTxn: Boolean = false)
+
+  /** The highest batch id `appId` has committed among the RETAINED
+    * manifests, or None — the idempotence watermark for transactional
+    * writers ([[streamingUpsert]]). Vacuum bounds how far back this can
+    * see: when vacuuming under a live transactional writer, keep enough
+    * versions to cover the longest possible batch replay (Structured
+    * Streaming replays at most the final uncommitted batch, so
+    * `keepVersions >= 2` suffices for one stream into the table).
+    */
+  def latestTxn(spark: SparkSession, path: String,
+      appId: String): Option[Long] = {
+    val (_, root) = fsFor(spark, path)
+    val batches = listVersions(spark, root)
+      .flatMap(v => readManifestOpt(spark, root, v))
+      .flatMap(_.txn)
+      .collect { case (app, batch) if app == appId => batch }
+    if (batches.isEmpty) None else Some(batches.max)
+  }
 
   /** Write `df` partitioned by __bucket into a fresh job-scoped staging
     * dir, move every produced file into its bucket dir under the root,
@@ -321,14 +347,26 @@ object Merge {
     * with nulls in the new columns, and the committed manifest records the
     * widened schema (older versions keep their own). Updates must always
     * carry every existing column; column drops/renames are not evolution.
+    *
+    * Exactly-once: a `txn = (appId, batchId)` stamps the commit; a later
+    * call with the same app and a batch id at or below the committed
+    * watermark is a NO-OP (`skippedDupTxn = true`) — the replay guard
+    * that makes a restarted foreachBatch writer idempotent. The check
+    * re-runs on every commit-race retry, so a replayed batch can never
+    * double-apply even when it races its own first application.
     */
   def upsert(spark: SparkSession, path: String, updates: DataFrame,
       keyCol: String, nBuckets: Int, allowEvolution: Boolean = false,
-      maxRetries: Int = 5): MergeStats = {
+      maxRetries: Int = 5, txn: Option[(String, Long)] = None): MergeStats = {
     val (fs, root) = fsFor(spark, path)
     var attempt = 0
     while (true) {
       val parentV = currentVersion(spark, path)
+      txn.foreach { case (app, batch) =>
+        if (latestTxn(spark, path, app).exists(_ >= batch))
+          return MergeStats(0, nBuckets, 0L, parentV, attempt,
+            skippedDupTxn = true)
+      }
       require(parentV >= 0,
         s"$path has no version log — write it with writeKeyed first")
       val parent = readManifest(spark, root, parentV)
@@ -389,7 +427,7 @@ object Merge {
       try {
         writeManifest(fs, root,
           Manifest(parentV + 1, parentV, files.sorted,
-            Some(outSchema.toDDL)))
+            Some(outSchema.toDDL), txn))
         return MergeStats(touched.size, nBuckets, rowsUpserted, parentV + 1,
           attempt)
       } catch {
@@ -468,6 +506,42 @@ object Merge {
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** EXACTLY-ONCE streaming upsert: sink a stream of updates into the
+    * keyed table, one committed version per micro-batch. Returns the
+    * configured writer — set a trigger and `.start()` it:
+    *
+    * {{{
+    * Merge.streamingUpsert(updates, path, "id", 64, ckpt, "my-app")
+    *   .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    * }}}
+    *
+    * End-to-end exactly-once comes from composing the two halves that
+    * each exist already: Structured Streaming's checkpoint replays a
+    * failed batch with the SAME batch id, and [[upsert]]'s txn stamp
+    * makes the replayed (appId, batchId) a no-op. A crash between the
+    * manifest commit and the checkpoint write — the classic at-least-once
+    * window of foreachBatch sinks — re-delivers the batch, hits the txn
+    * watermark, and changes nothing.
+    *
+    * Within a batch, keys must be unique ([[upsert]]'s contract) — CDC
+    * sources should compact to the last image per key upstream (e.g.
+    * `ops.TableDiff.changeDeltas` output folded per key).
+    */
+  def streamingUpsert(updates: DataFrame, path: String, keyCol: String,
+      nBuckets: Int, checkpointLocation: String, appId: String,
+      allowEvolution: Boolean = false)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] = {
+    require(updates.isStreaming, "streamingUpsert needs a streaming frame")
+    updates.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        upsert(batch.sparkSession, path, batch, keyCol, nBuckets,
+          allowEvolution = allowEvolution, txn = Some((appId, batchId)))
+        ()
+      }
   }
 
   /** Drop versions older than the latest `keepVersions` and delete every

@@ -1,0 +1,272 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** MANIFEST-LEVEL data skipping: per-file min/max column statistics in a
+  * sidecar index, consulted BEFORE Spark ever lists or opens a file.
+  *
+  * Parquet footers already carry row-group min/max, but at 100 TB the
+  * footer is too late: the driver has listed a million files and
+  * scheduled a task per file before the first footer is read. The fix —
+  * the core idea of Delta/Iceberg table formats — is to hoist file-level
+  * stats into table metadata so planning touches ONE small index instead
+  * of N footers. Here the index is a `_graft_stats/stats.json` sidecar
+  * written at cluster time:
+  *
+  *   - [[writeIndexed]] lays the data out range-clustered on the stats
+  *     columns (each file owns a tight range — [[Tables.writeClustered]])
+  *     and records every file's min/max per indexed column in one
+  *     driver-written JSON (size ∝ files × columns, not rows);
+  *   - [[readSkipping]] evaluates interval bounds against the index,
+  *     passes ONLY the surviving files to `spark.read.parquet`, and
+  *     applies the bounds as a residual filter — so the result is
+  *     identical to filtering the full table, while the scan (and the
+  *     file listing itself) is proportional to the selected range.
+  *
+  * Pruning is CONSERVATIVE: a file is skipped only when its recorded
+  * [min, max] provably cannot satisfy every bound (interval disjoint), or
+  * when the bound column is entirely null in the file (interval bounds
+  * never match null). A column with no recorded stats never prunes.
+  *
+  * Values are serialized by type (integrals as exact decimal strings,
+  * floating point via `Double.toString` round-trip, timestamps as epoch
+  * micros, dates as epoch days) so comparison after re-parse is exact —
+  * no lossy text round-trip can over-prune.
+  */
+object Skipping {
+
+  /** Inclusive interval bound on one column; `None` = unbounded on that
+    * side. Timestamp columns accept `java.sql.Timestamp` or a
+    * `"yyyy-MM-dd[ HH:mm:ss]"` string; date columns `java.sql.Date` or
+    * `"yyyy-MM-dd"`; numerics any `Number`; strings `String`.
+    */
+  final case class Bound(column: String, lower: Option[Any],
+      upper: Option[Any])
+
+  private final case class FileStats(file: String, col: String,
+      min: Option[String], max: Option[String])
+
+  private def statsPath(root: Path) = new Path(
+    new Path(root, "_graft_stats"), "stats.json")
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c    => c.toString
+    }
+
+  /** Serialize one typed min/max value to its exact string form. */
+  private def encode(v: Any): String = v match {
+    case null                     => null
+    case t: java.sql.Timestamp    =>
+      (t.getTime / 1000L * 1000000L + t.getNanos / 1000L).toString
+    case i: java.time.Instant     =>
+      (i.getEpochSecond * 1000000L + i.getNano / 1000L).toString
+    case l: java.time.LocalDateTime => // timestamp_ntz: wall-clock micros
+      (l.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        l.getNano / 1000L).toString
+    case d: java.sql.Date         => d.toLocalDate.toEpochDay.toString
+    case d: java.time.LocalDate   => d.toEpochDay.toString
+    case d: java.lang.Double      => d.toString
+    case f: java.lang.Float       => f.doubleValue.toString
+    case n: java.math.BigDecimal  => n.toPlainString
+    case n: scala.math.BigDecimal => n.bigDecimal.toPlainString
+    case other                    => other.toString
+  }
+
+  /** Parse a caller-supplied bound value into the comparison domain of
+    * `dt` (BigDecimal for numerics, micros for timestamps, days for
+    * dates, raw string for strings).
+    */
+  private def boundKey(dt: DataType, v: Any): Any = (dt, v) match {
+    case (_: TimestampType, t: java.sql.Timestamp) =>
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    case (_: TimestampType, s: String) =>
+      val norm = if (s.contains(" ") || s.contains("T")) s.replace('T', ' ')
+                 else s + " 00:00:00"
+      java.sql.Timestamp.valueOf(norm).getTime * 1000L
+    case (TimestampNTZType, l: java.time.LocalDateTime) =>
+      l.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        l.getNano / 1000L
+    case (TimestampNTZType, s: String) =>
+      val norm = if (s.contains(" ") || s.contains("T")) s.replace('T', ' ')
+                 else s + " 00:00:00"
+      val l = java.time.LocalDateTime.parse(norm.replace(' ', 'T'))
+      l.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        l.getNano / 1000L
+    case (_: DateType, d: java.sql.Date) => d.toLocalDate.toEpochDay
+    case (_: DateType, s: String) =>
+      java.time.LocalDate.parse(s).toEpochDay
+    case (_: StringType, s: String) => s
+    case (t, n: Number) if isNumeric(t) => new java.math.BigDecimal(n.toString)
+    case (t, other) => throw new IllegalArgumentException(
+      s"cannot use ${other.getClass.getSimpleName} bound on ${t.simpleString}")
+  }
+
+  /** Parse a stored stats string into the same comparison domain. */
+  private def statKey(dt: DataType, s: String): Any = dt match {
+    case _: TimestampType | TimestampNTZType | _: DateType => s.toLong
+    case _: StringType                  => s
+    case t if isNumeric(t)              => new java.math.BigDecimal(s)
+    case t => throw new IllegalArgumentException(
+      s"no stats comparison for ${t.simpleString}")
+  }
+
+  private def isNumeric(dt: DataType): Boolean = dt match {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+         _: FloatType | _: DoubleType | _: DecimalType => true
+    case _ => false
+  }
+
+  @SuppressWarnings(Array("unchecked"))
+  private def lte(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) =>
+      x.compareTo(y) <= 0
+    case (x: Long, y: Long)     => x <= y
+    case (x: String, y: String) => x <= y
+    case _ => throw new IllegalStateException(s"mixed keys: $a / $b")
+  }
+
+  /** The residual predicate a bound stands for (applied after pruning so
+    * semantics equal a full-table filter regardless of index quality).
+    */
+  private def residual(dt: DataType, b: Bound): Column = {
+    def litOf(v: Any): Column = (dt, v) match {
+      case (_: TimestampType, s: String) =>
+        val norm = if (s.contains(" ") || s.contains("T")) s.replace('T', ' ')
+                   else s + " 00:00:00"
+        lit(java.sql.Timestamp.valueOf(norm))
+      case (TimestampNTZType, s: String) =>
+        val norm = if (s.contains(" ") || s.contains("T")) s.replace('T', ' ')
+                   else s + " 00:00:00"
+        lit(java.time.LocalDateTime.parse(norm.replace(' ', 'T')))
+      case (_: DateType, s: String) => lit(java.sql.Date.valueOf(s))
+      case (_, other)               => lit(other).cast(dt)
+    }
+    val c = col(b.column)
+    val lo = b.lower.map(v => c >= litOf(v))
+    val hi = b.upper.map(v => c <= litOf(v))
+    (lo.toSeq ++ hi.toSeq).reduceOption(_ && _).getOrElse(lit(true))
+  }
+
+  /** Range-cluster `df` on `clusterCols` into `files` files and write the
+    * per-file min/max sidecar for `statsCols` (defaults to the cluster
+    * columns). One extra aggregate job over the just-written data — at
+    * write time, when the data is hot, not at every read.
+    */
+  def writeIndexed(df: DataFrame, path: String, clusterCols: Seq[String],
+      files: Int, statsCols: Seq[String] = Seq.empty): Unit = {
+    val cols = if (statsCols.nonEmpty) statsCols else clusterCols
+    require(cols.nonEmpty, "indexed layout needs >= 1 stats column")
+    Tables.writeClustered(df, path, clusterCols, files)
+    val spark = df.sparkSession
+    writeStats(spark, path, cols)
+  }
+
+  /** (Re)build the sidecar for an existing parquet directory — use after
+    * an external rewrite (e.g. [[Tables.compact]]) invalidates the index.
+    */
+  def writeStats(spark: SparkSession, path: String,
+      statsCols: Seq[String]): Unit = {
+    val data = spark.read.parquet(path)
+    statsCols.foreach(c => require(data.columns.contains(c),
+      s"stats column $c not in ${data.columns.mkString(", ")}"))
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
+    // one row per file — bounded by the file count, a driver-safe collect
+    val rows = data.groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val root = new Path(path)
+    val entries = rows.flatMap { r =>
+      val file = new Path(r.getString(0)).getName
+      statsCols.map { c =>
+        val mn = r.get(r.fieldIndex(s"__min_$c"))
+        val mx = r.get(r.fieldIndex(s"__max_$c"))
+        FileStats(file, c, Option(mn).map(encode), Option(mx).map(encode))
+      }
+    }.sortBy(e => (e.file, e.col))
+    val body = entries.map { e =>
+      val mn = e.min.map(v => "\"" + jsonEscape(v) + "\"").getOrElse("null")
+      val mx = e.max.map(v => "\"" + jsonEscape(v) + "\"").getOrElse("null")
+      s"""{"file":"${jsonEscape(e.file)}","col":"${jsonEscape(e.col)}",""" +
+        s""""min":$mn,"max":$mx}"""
+    }.mkString("[", ",", "]").getBytes("UTF-8")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sp = statsPath(root)
+    if (!fs.exists(sp.getParent)) fs.mkdirs(sp.getParent)
+    val out = fs.create(sp, true)
+    try out.write(body) finally out.close()
+  }
+
+  private def readStats(spark: SparkSession,
+      root: Path): Seq[FileStats] = {
+    val df = spark.read
+      .schema("file STRING, col STRING, min STRING, max STRING")
+      .option("multiLine", true)
+      .json(statsPath(root).toString)
+    df.collect().toSeq.map(r => FileStats(r.getString(0), r.getString(1),
+      Option(r.getString(2)), Option(r.getString(3))))
+  }
+
+  /** The files of `path` that can contain rows satisfying every bound,
+    * plus the total file count — the planning decision, exposed so
+    * callers (and specs) can assert the index actually pruned.
+    */
+  def planFiles(spark: SparkSession, path: String,
+      bounds: Seq[Bound]): (Seq[String], Int) = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val all = fs.listStatus(root)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).sorted.toSeq
+    val schema = spark.read.parquet(path).schema
+    bounds.foreach(b => require(schema.fieldNames.contains(b.column),
+      s"bound column ${b.column} not in ${schema.fieldNames.mkString(", ")}"))
+    val stats = readStats(spark, root)
+      .groupBy(_.file).view.mapValues(_.map(s => s.col -> s).toMap).toMap
+    val selected = all.filter { f =>
+      bounds.forall { b =>
+        val dt = schema(b.column).dataType
+        stats.get(f).flatMap(_.get(b.column)) match {
+          case None => true // no stats recorded for this file/column: keep
+          case Some(s) => (s.min, s.max) match {
+            case (None, _) | (_, None) => false // all-null column: no
+              // non-null value can satisfy an interval bound
+            case (Some(mn), Some(mx)) =>
+              val (lo, hi) = (statKey(dt, mn), statKey(dt, mx))
+              b.lower.forall(v => lte(boundKey(dt, v), hi)) &&
+                b.upper.forall(v => lte(lo, boundKey(dt, v)))
+          }
+        }
+      }
+    }
+    (selected, all.size)
+  }
+
+  /** Read `path` under interval `bounds`: index-pruned file set + the
+    * bounds applied as a residual filter — result ≡ reading the whole
+    * table and filtering, cost ∝ the files whose ranges intersect.
+    */
+  def readSkipping(spark: SparkSession, path: String,
+      bounds: Seq[Bound]): DataFrame = {
+    require(bounds.nonEmpty, "readSkipping needs >= 1 bound")
+    val (selected, _) = planFiles(spark, path, bounds)
+    val schema = spark.read.parquet(path).schema
+    val base =
+      if (selected.isEmpty)
+        spark.createDataFrame(spark.sparkContext
+          .emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema)
+        .parquet(selected.map(f => new Path(path, f).toString): _*)
+    bounds.foldLeft(base)((df, b) =>
+      df.filter(residual(schema(b.column).dataType, b)))
+  }
+}

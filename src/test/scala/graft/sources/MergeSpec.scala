@@ -276,4 +276,86 @@ class MergeSpec extends SparkSpec {
     val second = Merge.readKeyed(spark, path).orderBy("id").collect()
     assert(first.sameElements(second))
   }
+
+  test("txn stamp: a replayed (app, batch) is a no-op, higher batch" +
+      " commits, other apps are independent") {
+    val path = freshDir("txn")
+    val base = (0L until 30L).map(i => (i, i.toString)).toDF("id", "v")
+    Merge.writeKeyed(base, path, "id", nBuckets = 4)
+    val s1 = Merge.upsert(spark, path, Seq((1L, "b0")).toDF("id", "v"),
+      "id", 4, txn = Some(("appA", 0L)))
+    assert(s1.version == 1L && !s1.skippedDupTxn)
+    assert(Merge.latestTxn(spark, path, "appA").contains(0L))
+    // replay of batch 0: must not commit, must not change data
+    val replay = Merge.upsert(spark, path,
+      Seq((1L, "GARBAGE")).toDF("id", "v"), "id", 4,
+      txn = Some(("appA", 0L)))
+    assert(replay.skippedDupTxn && replay.version == 1L)
+    assert(Merge.currentVersion(spark, path) == 1L)
+    assert(Merge.readKeyed(spark, path)
+      .filter($"id" === 1L).select("v").as[String].head() == "b0")
+    // next batch commits; an unrelated app is not blocked by appA's marks
+    val s2 = Merge.upsert(spark, path, Seq((2L, "b1")).toDF("id", "v"),
+      "id", 4, txn = Some(("appA", 1L)))
+    assert(s2.version == 2L && !s2.skippedDupTxn)
+    val other = Merge.upsert(spark, path, Seq((3L, "x")).toDF("id", "v"),
+      "id", 4, txn = Some(("appB", 0L)))
+    assert(other.version == 3L && !other.skippedDupTxn)
+    assert(Merge.latestTxn(spark, path, "appA").contains(1L))
+    assert(Merge.latestTxn(spark, path, "appB").contains(0L))
+  }
+
+  test("streamingUpsert: one version per micro-batch; restarting the" +
+      " drained stream from its checkpoint re-applies nothing") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("graft_merge_stream").toFile
+    dir.deleteOnExit()
+    val path = new File(dir, "tbl").getAbsolutePath
+    val in = new File(dir, "in"); in.mkdirs()
+    val ckpt = new File(dir, "ckpt").getAbsolutePath
+    val base = (0L until 40L).map(i => (i, "base")).toDF("id", "v")
+    Merge.writeKeyed(base, path, "id", nBuckets = 4)
+    // two authored micro-batch files, mtime-ordered
+    Seq((0, Seq((1L, "b0a"), (50L, "b0b"))), (1, Seq((1L, "b1"))))
+      .foreach { case (i, rows) =>
+        val stage = new File(dir, s"stage_$i")
+        rows.toDF("id", "v").coalesce(1)
+          .write.mode("overwrite").parquet(stage.getAbsolutePath)
+        val part = stage.listFiles().filter(_.getName.endsWith(".parquet"))
+          .head
+        val dest = new File(in, s"b$i.parquet")
+        assert(part.renameTo(dest))
+        dest.setLastModified(1700000000000L + i * 60000L)
+      }
+    def drain(): Unit = {
+      val q = Merge.streamingUpsert(
+        spark.readStream.schema(base.schema)
+          .option("maxFilesPerTrigger", 1).parquet(in.getAbsolutePath),
+        path, "id", 4, ckpt, "stream-spec")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(Merge.currentVersion(spark, path) == 2L)
+    val after = Merge.readKeyed(spark, path).orderBy("id").collect()
+    assert(Merge.readKeyed(spark, path)
+      .filter($"id" === 1L).select("v").as[String].head() == "b1")
+    assert(Merge.readKeyed(spark, path).count() == 41)
+    // fresh query, same checkpoint, no new files: nothing re-applies
+    drain()
+    assert(Merge.currentVersion(spark, path) == 2L)
+    assert(Merge.readKeyed(spark, path).orderBy("id").collect()
+      .sameElements(after))
+    // a WIPED checkpoint replays both batches — the txn watermark, not
+    // the checkpoint, is what blocks double-apply
+    def rm(f: File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(new File(ckpt))
+    drain()
+    assert(Merge.currentVersion(spark, path) == 2L,
+      "replayed batches must hit the txn watermark and change nothing")
+    assert(Merge.readKeyed(spark, path).orderBy("id").collect()
+      .sameElements(after))
+  }
 }

@@ -1,0 +1,123 @@
+package graft.sources
+
+import java.io.File
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.sources.Skipping.Bound
+
+/** Sidecar file-stats index: pruning must be real (fewer files planned)
+  * and conservative (pruned read ≡ full filter, always).
+  */
+class SkippingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(tag: String): String = {
+    val d = Files.createTempDirectory(s"graft_skip_spec_$tag").toFile
+    d.deleteOnExit()
+    new File(d, "tbl").getAbsolutePath
+  }
+
+  private val rows = (0 until 1000).map { i =>
+    (i.toLong, i.toDouble / 10.0, f"k$i%04d",
+      java.sql.Timestamp.valueOf(f"2024-01-${i / 40 + 1}%02d 00:00:00"))
+  }
+
+  private def writeTable(tag: String): String = {
+    val path = freshDir(tag)
+    val df = rows.toDF("id", "score", "name", "ts")
+    Skipping.writeIndexed(df, path, clusterCols = Seq("id"), files = 10,
+      statsCols = Seq("id", "score", "name", "ts"))
+    path
+  }
+
+  test("numeric range bound prunes files and matches the full filter") {
+    val path = writeTable("num")
+    val bounds = Seq(Bound("id", Some(120), Some(180)))
+    val (sel, total) = Skipping.planFiles(spark, path, bounds)
+    assert(total == 10)
+    assert(sel.size < total, s"index must prune, planned ${sel.size}/$total")
+    val pruned = Skipping.readSkipping(spark, path, bounds)
+      .select("id").as[Long].collect().sorted
+    assert(pruned.toSeq == (120L to 180L))
+  }
+
+  test("bounds on a non-cluster column still correct (range not tight)") {
+    val path = writeTable("cross")
+    // score tracks id/10 so the clustered layout keeps it tight too, but
+    // correctness must hold regardless of what the planner prunes
+    val bounds = Seq(Bound("score", Some(50.05), Some(55.0)))
+    val expected = rows.filter(r => r._2 >= 50.05 && r._2 <= 55.0).map(_._1)
+    val got = Skipping.readSkipping(spark, path, bounds)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == expected)
+  }
+
+  test("string and timestamp bounds prune and agree with a plain filter") {
+    val path = writeTable("str_ts")
+    val sBounds = Seq(Bound("name", Some("k0100"), Some("k0150")))
+    val (sSel, sTot) = Skipping.planFiles(spark, path, sBounds)
+    assert(sSel.size < sTot)
+    assert(Skipping.readSkipping(spark, path, sBounds).count() == 51)
+
+    val tBounds = Seq(
+      Bound("ts", Some("2024-01-03"), Some("2024-01-04 00:00:00")))
+    val (tSel, tTot) = Skipping.planFiles(spark, path, tBounds)
+    assert(tSel.size < tTot)
+    val expected = rows.count { r =>
+      !r._4.before(java.sql.Timestamp.valueOf("2024-01-03 00:00:00")) &&
+        !r._4.after(java.sql.Timestamp.valueOf("2024-01-04 00:00:00"))
+    }
+    assert(Skipping.readSkipping(spark, path, tBounds).count() == expected)
+  }
+
+  test("open-ended and multi-column bounds compose") {
+    val path = writeTable("multi")
+    val bounds = Seq(Bound("id", Some(900), None),
+      Bound("score", None, Some(95.0)))
+    val got = Skipping.readSkipping(spark, path, bounds)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == (900L to 950L))
+    val (sel, total) = Skipping.planFiles(spark, path, bounds)
+    assert(sel.size < total)
+  }
+
+  test("empty selection returns an empty frame with the table schema") {
+    val path = writeTable("empty")
+    val bounds = Seq(Bound("id", Some(5000), None))
+    val (sel, _) = Skipping.planFiles(spark, path, bounds)
+    assert(sel.isEmpty)
+    val out = Skipping.readSkipping(spark, path, bounds)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("id", "score", "name", "ts"))
+  }
+
+  test("all-null stats column: files skipped under any interval bound") {
+    val path = freshDir("nulls")
+    val df = (0 until 100).map(i => (i.toLong, null: java.lang.Double))
+      .toDF("id", "v")
+    Skipping.writeIndexed(df, path, clusterCols = Seq("id"), files = 4,
+      statsCols = Seq("id", "v"))
+    val (sel, total) = Skipping.planFiles(spark, path,
+      Seq(Bound("v", Some(0.0), Some(1.0))))
+    assert(total == 4 && sel.isEmpty,
+      "an interval bound can never match an all-null column")
+    assert(Skipping.readSkipping(spark, path,
+      Seq(Bound("v", Some(0.0), Some(1.0)))).count() == 0)
+  }
+
+  test("stats survive reread exactly: no lossy round-trip over-prunes") {
+    val path = freshDir("exact")
+    // adversarial doubles: values whose decimal text forms are lossy
+    val df = Seq((1L, 0.1 + 0.2), (2L, 1.0 / 3.0), (3L, -0.0))
+      .toDF("id", "v")
+    Skipping.writeIndexed(df, path, clusterCols = Seq("id"), files = 1,
+      statsCols = Seq("v"))
+    // bound exactly AT the stored max: file must be kept (inclusive)
+    val (sel, _) = Skipping.planFiles(spark, path,
+      Seq(Bound("v", Some(1.0 / 3.0), None)))
+    assert(sel.size == 1)
+    assert(Skipping.readSkipping(spark, path,
+      Seq(Bound("v", Some(1.0 / 3.0), None))).count() == 1)
+  }
+}

@@ -1875,6 +1875,31 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")
     }),
+    "q_target_mix" -> ((s, dir) => {
+      // TARGET-MIXTURE rebalancing: downsample languages toward a
+      // 50/20/15/10/5 mix with maximum retention. The binding stratum
+      // (min n/share) keeps every row; every other stratum filters by an
+      // exact-integer per-10k threshold over the md5 rule — the oracle
+      // recomputes counts, the binding stratum, the thresholds, and the
+      // hash in SQL, so membership matches row for row.
+      graft.pipeline.Sampling.targetMix(t(s, dir, "documents"),
+        "doc_id", "lang",
+        Map("en" -> 50, "de" -> 20, "es" -> 15, "fr" -> 10, "zh" -> 5))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+    "q_bm25" -> ((s, dir) => {
+      // BM25 retrieval kernel over the corpus for a two-term query: the
+      // gate hashes the EXACT integer stats every score is a pure
+      // function of (tf, doc_freq, dl) per matched (doc, term) — the
+      // tfidf precedent: the attached ln()-based doubles stay out of the
+      // cross-engine hash, score arithmetic is pinned against the
+      // hand-computed formula in Bm25Spec.
+      graft.pipeline.Frequency.bm25(t(s, dir, "documents"),
+        "doc_id", "text", Seq("merge", "vector"))
+        .select("doc_id", "term", "tf", "doc_freq", "dl")
+        .orderBy("doc_id", "term")
+    }),
     // ---- dedup (north-star §7 M6) --------------------------------------
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exactGroups(t(s, dir, "documents"), "doc_id",
@@ -3954,6 +3979,59 @@ object SparkEntry {
                   string_split_regex(trim(lower(text)), '\s+'), ' ')
                   AS rebuilt
          FROM documents ORDER BY doc_id""",
+    // the same max-retention mix arithmetic in SQL: per-lang counts, the
+    // binding stratum by min n/share (IEEE-divide, name tiebreak), exact
+    // HUGEINT floor-division thresholds, and the md5 per-10k bucket rule
+    "q_target_mix" ->
+      """WITH counts AS (
+           SELECT lang AS s, count(*) AS n FROM documents
+           WHERE lang IN ('en', 'de', 'es', 'fr', 'zh') GROUP BY 1),
+         shares(s, share) AS (
+           VALUES ('en', 50), ('de', 20), ('es', 15), ('fr', 10), ('zh', 5)),
+         cs AS (
+           SELECT c.s, c.n, sh.share FROM counts c
+           JOIN shares sh ON c.s = sh.s),
+         j AS (
+           SELECT s, n, share FROM cs
+           ORDER BY CAST(n AS DOUBLE) / share, s LIMIT 1),
+         th AS (
+           SELECT cs.s,
+                  LEAST((CAST(10000 AS HUGEINT) * j.n * cs.share)
+                          // (j.share * cs.n), 10000) AS t
+           FROM cs CROSS JOIN j),
+         b AS (
+           SELECT doc_id, lang,
+             (4096 * (strpos('0123456789abcdef',
+                substring(md5(CAST(doc_id AS VARCHAR) || 'graft-mix'), 1, 1)) - 1)
+            + 256 * (strpos('0123456789abcdef',
+                substring(md5(CAST(doc_id AS VARCHAR) || 'graft-mix'), 2, 1)) - 1)
+            + 16 * (strpos('0123456789abcdef',
+                substring(md5(CAST(doc_id AS VARCHAR) || 'graft-mix'), 3, 1)) - 1)
+            + (strpos('0123456789abcdef',
+                substring(md5(CAST(doc_id AS VARCHAR) || 'graft-mix'), 4, 1)) - 1))
+             % 10000 AS bucket
+           FROM documents)
+         SELECT doc_id, lang FROM b JOIN th ON b.lang = th.s
+         WHERE b.bucket < th.t ORDER BY doc_id""",
+    // the integer retrieval stats BM25 is a pure function of: tf per
+    // matched (doc, term), doc_freq among matching docs, and the doc's
+    // token length — replayed with the same whitespace tokenizer
+    "q_bm25" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+           FROM documents WHERE trim(text) <> ''),
+         dl AS (
+           SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+         tf AS (
+           SELECT doc_id, term, count(*) AS tf FROM tok
+           WHERE term IN ('merge', 'vector') GROUP BY 1, 2),
+         dfreq AS (
+           SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1)
+         SELECT tf.doc_id, tf.term, tf.tf, dfreq.doc_freq,
+                CAST(dl.dl AS INT) AS dl
+         FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+         ORDER BY doc_id, term""",
     "q_tfidf" ->
       """WITH tok AS (
            SELECT doc_id,

@@ -109,6 +109,63 @@ object Frequency {
     * window state is one doc's vocabulary, never the corpus. The doc count
     * N rides in as a broadcast scalar.
     */
+  /** BM25 relevance of every document against a bag of query terms — the
+    * classic full-text ranking function (Robertson/Spärck Jones; the
+    * Lucene/Elasticsearch default), as one declarative pipeline:
+    *
+    *   score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) /
+    *                         (tf(t,d) + k1·(1 − b + b·dl(d)/avgdl))
+    *   idf(t)   = ln(1 + (N − df(t) + 0.5) / (df(t) + 0.5))
+    *
+    * Shape at scale: the corpus is scanned ONCE for (tf, dl); rows
+    * explode only to terms that match the query (the filter sits inside
+    * the explode's input), document frequency aggregates over that
+    * already-query-restricted table, and the global (N, avgdl) scalars
+    * ride in as a broadcast one-row frame — no self-join against a full
+    * posting list, no driver loop. Per query-term work is a hash
+    * aggregate; everything else is codegen'd column math.
+    *
+    * Output: one row per (document, matched term) with the exact integer
+    * retrieval stats (tf, doc_freq, dl) plus the double `score`
+    * contribution and the per-document total `doc_score`. Rank/threshold
+    * downstream on doc_score; exact cross-engine comparisons should use
+    * the integer stats (double ln() is engine-faithful but summation
+    * order across >2 terms is not).
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs >= 1 query term")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val toks = TextAnalysis.tokensCol(lower(col(textCol)))
+    val docs = df.select(col(idCol), toks.as("__toks"))
+      .withColumn("__dl", size(col("__toks")))
+    val matched = docs
+      .select(col(idCol), col("__dl"),
+        explode(filter(col("__toks"),
+          t => t.isInCollection(terms))).as("term"))
+      .groupBy(col(idCol), col("__dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = matched.groupBy("term")
+      .agg(count(lit(1)).as("doc_freq"))
+    val globals = docs.agg(count(lit(1)).as("n_docs"),
+      avg(col("__dl")).as("avgdl"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("doc_freq") + lit(0.5)) /
+        (col("doc_freq") + lit(0.5)))
+    val contrib = idf * (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) *
+        (lit(1.0 - b) + lit(b) * col("__dl") / col("avgdl")))
+    val perTerm = matched.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(globals))
+      .withColumn("score", contrib)
+    val perDoc = perTerm.groupBy(idCol)
+      .agg(sum(col("score")).as("doc_score"))
+    perTerm.join(perDoc, Seq(idCol))
+      .select(col(idCol), col("term"), col("tf"), col("doc_freq"),
+        col("__dl").as("dl"), col("score"), col("doc_score"))
+  }
+
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -70,6 +70,63 @@ object Sampling {
     df.filter(hashBucket(col(keyCol), salt) < threshold)
   }
 
+  /** Finer-grained deterministic bucket in [0, 10000): the same md5 rule
+    * as [[hashBucket]] over the first 4 hex chars, mod 10000 — for rates
+    * where 1% granularity is too coarse. Use a DIFFERENT salt than any
+    * percent-level split on the same key: both rules read the same hash
+    * prefix, so same-salt selections are nested, not independent.
+    */
+  def hashBucket10k(key: Column, salt: String): Column =
+    (conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 4), 16, 10)
+      .cast("long") % 10000).cast("int")
+
+  /** Downsample strata to a TARGET MIXTURE with maximum retention — the
+    * "rebalance the corpus to 40% en / 20% de / ..." pass of training-mix
+    * assembly. `targetShares` are relative weights (any positive scale).
+    *
+    * The max-retention solution keeps every row of the BINDING stratum j
+    * (the one minimizing n_i/share_i — already at or below its target
+    * share) and downsamples each other stratum toward
+    * n_j · share_i / share_j rows. Rates are materialized as integer
+    * per-10k thresholds over the [[hashBucket10k]] rule, with the
+    * threshold arithmetic in EXACT integer math
+    * (⌊10000·n_j·share_i / (share_j·n_i)⌋) — reproducible on any engine,
+    * achieved mix within 1/10000 per stratum of target (plus hash
+    * dispersion). Strata absent from `targetShares` are dropped (share
+    * 0); shares naming absent strata are unattainable and ignored.
+    *
+    * Scale shape: one count-by-stratum aggregate (collect bounded by the
+    * stratum cardinality — languages/domains, not rows), then a pure
+    * codegen filter. Deterministic: a row's fate depends only on its key,
+    * the salt, and the stratum counts.
+    */
+  def targetMix(df: DataFrame, keyCol: String, stratumCol: String,
+      targetShares: Map[String, Int], salt: String = "graft-mix")
+      : DataFrame = {
+    require(targetShares.nonEmpty, "targetMix needs >= 1 stratum share")
+    require(targetShares.values.forall(_ > 0),
+      "shares must be positive (omit a stratum to drop it)")
+    val counts = df.filter(col(stratumCol)
+        .isInCollection(targetShares.keys.toSeq))
+      .groupBy(stratumCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "no stratum in targetShares has any rows")
+    // binding stratum: min n/share as an IEEE double (exactly-rounded
+    // division — portable), ties to the smaller name
+    val (js, jn) = counts.toSeq
+      .minBy { case (s, n) => (n.toDouble / targetShares(s), s) }
+    val jShare = targetShares(js)
+    val thresholds = counts.map { case (s, n) =>
+      s -> (BigInt(10000) * jn * targetShares(s) / (BigInt(jShare) * n))
+        .min(10000).toInt
+    }
+    val threshold = thresholds.toSeq.sortBy(_._1)
+      .foldRight(lit(0): Column) { case ((stratum, t), els) =>
+        when(col(stratumCol) === stratum, lit(t)).otherwise(els)
+      }
+    df.filter(hashBucket10k(col(keyCol), salt) < threshold)
+  }
+
   /** Token-budget sequence packing: assign documents to contiguous packs
     * of ~`budget` tokens — the "fill 4k-token training sequences" pass of
     * corpus assembly. Contract: rows are ordered deterministically by

@@ -670,6 +670,34 @@ class FrequencySamplingSpec extends SparkSpec {
     assert(re == got)
   }
 
+  test("targetMix: binding stratum fully kept, others near target ratio," +
+      " deterministic and partition-invariant") {
+    val rows = (0L until 3000L).map { i =>
+      val lang = if (i % 6 < 4) "en" else if (i % 6 == 4) "de" else "fr"
+      (i, lang)
+    }
+    val df = rows.toDF("id", "lang")
+    // counts: en=2000, de=500, fr=500; targets 40/40/20 -> binding = de
+    // (500/40 < 2000/40, 500/20): de kept whole, en -> 500, fr -> 250
+    val shares = Map("en" -> 40, "de" -> 40, "fr" -> 20)
+    val out = Sampling.targetMix(df, "id", "lang", shares)
+      .as[(Long, String)].collect()
+    val byLang = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang("de") == 500, "binding stratum must keep every row")
+    assert(math.abs(byLang("en") - 500) < 60,
+      s"en should land near 500, got ${byLang("en")}")
+    assert(math.abs(byLang("fr") - 250) < 45,
+      s"fr should land near 250, got ${byLang("fr")}")
+    // deterministic + partition-invariant
+    val again = Sampling.targetMix(df.repartition(13), "id", "lang", shares)
+      .as[(Long, String)].collect()
+    assert(out.toSet == again.toSet)
+    // a stratum without a share is dropped entirely
+    val dropped = Sampling.targetMix(df, "id", "lang",
+      Map("en" -> 1, "de" -> 1)).as[(Long, String)].collect()
+    assert(!dropped.exists(_._2 == "fr"))
+  }
+
   test("misraGries is exact when distinct <= k") {
     val df = (1 to 1000).map(i => s"v${i % 4}").toDF("x")
     val got = Frequency.heavyHitters(df, "x", k = 8)

@@ -1001,6 +1001,33 @@ object SparkEntry {
           coalesce(col("change"), lit("unchanged")).as("change"))
         .orderBy("p_partkey")
     }),
+    "q_merge_lookup" -> ((s, dir) => {
+      // O(one-bucket) POINT LOOKUP on the keyed table: the manifest
+      // records (keyCol, nBuckets), lookupKey hashes the literal with
+      // the writer's own expression and reads ONLY that bucket's files —
+      // required in-gate via inputFiles. Three lookups (one post-upsert,
+      // one base, one in a bucket that exists but without the key) union
+      // to the oracle's IN-list read.
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_merge_l_${new java.io.File(dir).getName}").getAbsolutePath
+      val part = t(s, dir, "part")
+        .select("p_partkey", "p_brand", "p_retailprice")
+      graft.sources.Merge.writeKeyed(part, path, "p_partkey", nBuckets = 16)
+      graft.sources.Merge.upsert(s, path,
+        part.filter(col("p_partkey") === 42)
+          .withColumn("p_retailprice",
+            round(dec("p_retailprice") * lit(1.5).cast("decimal(2,1)"), 2)
+              .cast("double")),
+        "p_partkey", nBuckets = 16)
+      val lookups = Seq(1L, 2L, 42L)
+        .map(k => graft.sources.Merge.lookupKey(s, path, k))
+      val total = graft.sources.Merge.readKeyed(s, path).inputFiles.length
+      lookups.foreach(l => require(l.inputFiles.length < total,
+        s"a point lookup must scan one bucket (${l.inputFiles.length} " +
+        s"of $total files)"))
+      lookups.reduce(_ unionByName _).orderBy("p_partkey")
+    }),
     "q_stream_upsert" -> ((s, dir) => {
       // EXACTLY-ONCE STREAMING SINK into the versioned lakehouse: three
       // authored micro-batches of price bumps + inserts stream through
@@ -1874,6 +1901,20 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")
+    }),
+    "q_topk_group" -> ((s, dir) => {
+      // per-group top-k with MAP-SIDE pruning (the grouped
+      // TakeOrderedAndProject): partitions keep their local top-3 per
+      // returnflag before the exchange, the exact window ranks only the
+      // survivors — row-identical to the full window sort the oracle
+      // runs, at shuffle cost partitions × groups × k instead of the
+      // whole table.
+      graft.ops.GroupTopK.topKPerGroup(
+        t(s, dir, "lineitem").select("l_returnflag", "l_orderkey",
+          "l_linenumber", "l_extendedprice"),
+        Seq("l_returnflag"), "l_extendedprice", k = 3,
+        tieCols = Seq("l_orderkey", "l_linenumber"))
+        .orderBy("l_returnflag", "rank")
     }),
     "q_target_mix" -> ((s, dir) => {
       // TARGET-MIXTURE rebalancing: downsample languages toward a
@@ -3232,6 +3273,15 @@ object SparkEntry {
                   ELSE p_retailprice
                 END AS p_retailprice
          FROM part ORDER BY p_partkey""",
+    // the three looked-up keys under last-writer-wins (42 was upserted)
+    "q_merge_lookup" ->
+      """SELECT p_partkey, p_brand,
+                CASE WHEN p_partkey = 42 THEN
+                  CAST(round(CAST(p_retailprice AS DECIMAL(18,2))
+                             * CAST(1.5 AS DECIMAL(2,1)), 2) AS DOUBLE)
+                ELSE p_retailprice END AS p_retailprice
+         FROM part WHERE p_partkey IN (1, 2, 42)
+         ORDER BY p_partkey""",
     // sequential last-writer-wins replay of the three streamed batches
     // (batch 2 = %13 × 1.3 wins over batch 1 = %11 × 1.2 over batch 0 =
     // %7 × 1.1) plus batch 2's inserts — the txn-absorbed full replay
@@ -3979,6 +4029,18 @@ object SparkEntry {
                   string_split_regex(trim(lower(text)), '\s+'), ' ')
                   AS rebuilt
          FROM documents ORDER BY doc_id""",
+    // the full window form: map-side pruning must be invisible in the
+    // result
+    "q_topk_group" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+                CAST(rank AS INT) AS rank
+         FROM (
+           SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+                  row_number() OVER (PARTITION BY l_returnflag
+                    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+                    AS rank
+           FROM lineitem)
+         WHERE rank <= 3 ORDER BY l_returnflag, rank""",
     // the same max-retention mix arithmetic in SQL: per-lang counts, the
     // binding stratum by min n/share (IEEE-divide, name tiebreak), exact
     // HUGEINT floor-division thresholds, and the md5 per-10k bucket rule

@@ -90,7 +90,8 @@ object Merge {
 
   private final case class Manifest(version: Long, parent: Long,
       files: Seq[String], dataSchema: Option[String],
-      txn: Option[(String, Long)] = None)
+      txn: Option[(String, Long)] = None,
+      layout: Option[(String, Int)] = None) // (keyCol, nBuckets)
 
   private def jsonEscape(s: String): String =
     s.flatMap {
@@ -120,8 +121,12 @@ object Merge {
     val txnField = m.txn.map { case (app, batch) =>
       s""","txnApp":"${jsonEscape(app)}","txnBatch":$batch"""
     }.getOrElse("")
+    val layoutField = m.layout.map { case (k, n) =>
+      s""","keyCol":"${jsonEscape(k)}","nBuckets":$n"""
+    }.getOrElse("")
     (s"""{"version":${m.version},"parent":${m.parent},""" +
-      s""""files":$files$schemaField$txnField}""").getBytes("UTF-8")
+      s""""files":$files$schemaField$txnField$layoutField}""")
+      .getBytes("UTF-8")
   }
 
   /** Create-if-absent manifest commit — THE atomic point of every commit.
@@ -171,7 +176,8 @@ object Merge {
     if (!fs.exists(p)) return None
     val df = spark.read
       .schema("version LONG, parent LONG, files ARRAY<STRING>, " +
-        "dataSchema STRING, txnApp STRING, txnBatch LONG")
+        "dataSchema STRING, txnApp STRING, txnBatch LONG, " +
+        "keyCol STRING, nBuckets LONG")
       .json(p.toString)
     val rows = df.collect()
     if (rows.length != 1) return None
@@ -181,7 +187,9 @@ object Merge {
     else Some(Manifest(r.getLong(0), r.getLong(1), r.getSeq[String](2),
       if (r.isNullAt(3)) None else Some(r.getString(3)),
       if (r.isNullAt(4) || r.isNullAt(5)) None
-      else Some((r.getString(4), r.getLong(5)))))
+      else Some((r.getString(4), r.getLong(5))),
+      if (r.isNullAt(6) || r.isNullAt(7)) None
+      else Some((r.getString(6), r.getLong(7).toInt))))
   }
 
   private def readManifest(spark: SparkSession, root: Path,
@@ -232,7 +240,7 @@ object Merge {
     df.withColumn("__bucket", bucketCol(keyCol, nBuckets))
       .write.mode("overwrite").partitionBy("__bucket").parquet(path)
     writeManifest(fs, root, Manifest(0L, -1L, listDataFiles(fs, root),
-      Some(df.schema.toDDL)))
+      Some(df.schema.toDDL), layout = Some((keyCol, nBuckets))))
   }
 
   /** Read a manifest's file set with the version's own schema (plus the
@@ -272,6 +280,42 @@ object Merge {
     val v = currentVersion(spark, path)
     if (v < 0) spark.read.parquet(path).drop("__bucket")
     else readVersion(spark, path, v)
+  }
+
+  /** POINT LOOKUP: the current rows for one key, reading ONLY the files
+    * of the bucket the key hashes to — at 100 TB with 4096 buckets, one
+    * lookup touches 1/4096th of the table's files (and after
+    * [[compactVersion]], typically ONE file) instead of a full scan. The
+    * key column and bucket count come from the manifest's recorded
+    * layout, so the caller cannot mis-hash; `key` is cast to the key
+    * column's own type before hashing (a string "5" against a LONG key
+    * hashes as the long 5).
+    */
+  def lookupKey(spark: SparkSession, path: String, key: Any): DataFrame = {
+    val (_, root) = fsFor(spark, path)
+    val v = currentVersion(spark, path)
+    require(v >= 0, s"$path has no version log — lookupKey needs one")
+    val m = readManifest(spark, root, v)
+    val (keyCol, nBuckets) = m.layout.getOrElse(throw
+      new IllegalArgumentException(s"$path's manifest predates layout " +
+        "recording — rewrite it with writeKeyed to enable lookupKey"))
+    val keyType = m.dataSchema.map(StructType.fromDDL)
+      .map(_(keyCol).dataType)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$path's manifest records no schema"))
+    // evaluate the bucket of the literal key with the SAME expression the
+    // writer used — one local row, no job
+    val bucket = spark.range(1)
+      .select(pmod(xxhash64(lit(key).cast(keyType)), lit(nBuckets.toLong)))
+      .head().getLong(0)
+    val files = m.files.filter(f => bucketOf(f) == bucket)
+    if (files.isEmpty) // bucket never materialized: provably no such key
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        m.dataSchema.map(StructType.fromDDL).get)
+    versionDf(spark, path, root, m.copy(files = files))
+      .drop("__bucket")
+      .filter(col(keyCol) === lit(key).cast(keyType))
   }
 
   final case class MergeStats(bucketsTouched: Int, nBuckets: Int,
@@ -370,6 +414,14 @@ object Merge {
       require(parentV >= 0,
         s"$path has no version log — write it with writeKeyed first")
       val parent = readManifest(spark, root, parentV)
+      // the manifest records the layout: a caller-supplied key/bucketing
+      // that disagrees would scatter keys across buckets and silently
+      // corrupt every later merge — fail fast instead
+      parent.layout.foreach { case (k, n) =>
+        require(k == keyCol && n == nBuckets,
+          s"$path is bucketed as ($k, $n buckets) but the upsert says " +
+          s"($keyCol, $nBuckets) — layout is fixed at writeKeyed time")
+      }
       val parentSchema = parent.dataSchema.map(StructType.fromDDL)
       val parentCols: Seq[String] = parentSchema.map(_.fieldNames.toSeq)
         .getOrElse(updates.columns.toSeq)
@@ -427,7 +479,8 @@ object Merge {
       try {
         writeManifest(fs, root,
           Manifest(parentV + 1, parentV, files.sorted,
-            Some(outSchema.toDDL), txn))
+            Some(outSchema.toDDL), txn,
+            parent.layout.orElse(Some((keyCol, nBuckets)))))
         return MergeStats(touched.size, nBuckets, rowsUpserted, parentV + 1,
           attempt)
       } catch {
@@ -493,7 +546,8 @@ object Merge {
       commitFence()
       try {
         writeManifest(fs, root,
-          Manifest(parentV + 1, parentV, files.sorted, parent.dataSchema))
+          Manifest(parentV + 1, parentV, files.sorted, parent.dataSchema,
+            layout = parent.layout))
         return CompactStats(parentV + 1, toRewrite.size, parent.files.size,
           files.size)
       } catch {

@@ -1,0 +1,77 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Map-side-pruned per-group top-k must be ROW-IDENTICAL to the plain
+  * window form under a total order, in both directions, across
+  * partitionings, with nulls and ties.
+  */
+class GroupTopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rows = (0 until 500).map { i =>
+    (i.toLong, s"g${i % 7}", (i * 37 % 101).toDouble,
+      if (i % 41 == 0) null else s"s${i % 13}")
+  }
+
+  private def df = rows.toDF("id", "grp", "score", "label").repartition(9)
+
+  private def windowForm(asc: Boolean) = {
+    val dir = if (asc) col("score").asc_nulls_last
+              else col("score").desc_nulls_last
+    val w = Window.partitionBy("grp").orderBy(dir, col("id").asc)
+    df.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+  }
+
+  test("equals the window form, descending, ties broken by id") {
+    val got = GroupTopK.topKPerGroup(df, Seq("grp"), "score", 3,
+      tieCols = Seq("id")).orderBy("grp", "rank").collect()
+    val exp = windowForm(asc = false).orderBy("grp", "rank").collect()
+    assert(got.sameElements(exp))
+  }
+
+  test("ascending mode agrees with the ascending window") {
+    val got = GroupTopK.topKPerGroup(df, Seq("grp"), "score", 3,
+      asc = true, tieCols = Seq("id")).orderBy("grp", "rank").collect()
+    val exp = windowForm(asc = true).orderBy("grp", "rank").collect()
+    assert(got.sameElements(exp))
+  }
+
+  test("partition-invariant (1 vs 16 partitions)") {
+    val a = GroupTopK.topKPerGroup(df.coalesce(1), Seq("grp"), "score", 3,
+      tieCols = Seq("id")).orderBy("grp", "rank").collect()
+    val b = GroupTopK.topKPerGroup(df.repartition(16), Seq("grp"), "score",
+      3, tieCols = Seq("id")).orderBy("grp", "rank").collect()
+    assert(a.sameElements(b))
+  }
+
+  test("k larger than the group returns the whole group, ranked") {
+    val small = Seq((1L, "a", 5.0), (2L, "a", 3.0), (3L, "b", 1.0))
+      .toDF("id", "grp", "score")
+    val got = GroupTopK.topKPerGroup(small, Seq("grp"), "score", 10,
+      tieCols = Seq("id")).orderBy("grp", "rank")
+      .select("id", "rank").as[(Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 1), (2L, 2), (3L, 1)))
+  }
+
+  test("string order column with nulls: nulls rank last") {
+    val d = Seq((1L, "a", "zz"), (2L, "a", null), (3L, "a", "aa"))
+      .toDF("id", "grp", "name")
+    val got = GroupTopK.topKPerGroup(d, Seq("grp"), "name", 3,
+      tieCols = Seq("id")).orderBy("rank")
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 3L, 2L), "desc: zz, aa, then the null")
+  }
+
+  test("exact duplicate order+tie keys: both rows survive pruning") {
+    val d = Seq((1L, "a", 5.0), (1L, "a", 5.0), (2L, "a", 1.0))
+      .toDF("id", "grp", "score")
+    val got = GroupTopK.topKPerGroup(d.coalesce(1), Seq("grp"), "score", 2,
+      tieCols = Seq("id"))
+    assert(got.count() == 2)
+    assert(got.filter(col("id") === 1L).count() == 2,
+      "interchangeable duplicates must fill both slots")
+  }
+}

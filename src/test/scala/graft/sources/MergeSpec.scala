@@ -277,6 +277,36 @@ class MergeSpec extends SparkSpec {
     assert(first.sameElements(second))
   }
 
+  test("manifest records the layout: mismatched upsert args fail fast," +
+      " lookupKey reads only the key's bucket") {
+    val path = freshDir("layout")
+    val base = (0L until 200L).map(i => (i, s"v$i")).toDF("id", "v")
+    Merge.writeKeyed(base, path, "id", nBuckets = 16)
+    // wrong bucket count or key column would scatter keys: rejected
+    val e1 = intercept[IllegalArgumentException] {
+      Merge.upsert(spark, path, Seq((1L, "x")).toDF("id", "v"), "id", 8)
+    }
+    assert(e1.getMessage.contains("bucketed as (id, 16 buckets)"))
+    val e2 = intercept[IllegalArgumentException] {
+      Merge.upsert(spark, path, Seq((1L, "x")).toDF("id", "v"), "v", 16)
+    }
+    assert(e2.getMessage.contains("layout is fixed"))
+    // lookup: right row, and ONLY one bucket's files in the scan
+    Merge.upsert(spark, path, Seq((7L, "v7b")).toDF("id", "v"), "id", 16)
+    val hit = Merge.lookupKey(spark, path, 7L)
+    assert(hit.select("v").as[String].collect().toSeq == Seq("v7b"))
+    val perBucket = bucketFiles(path).values.map(_.size).sum
+    assert(hit.inputFiles.length < perBucket,
+      "lookup must scan one bucket, not the table")
+    val allBuckets = bucketFiles(path)
+    val maxOneBucket = allBuckets.values.map(_.size).max
+    assert(hit.inputFiles.length <= maxOneBucket)
+    // absent key in an existing bucket -> empty; string key coerces
+    assert(Merge.lookupKey(spark, path, 100000L).count() == 0)
+    assert(Merge.lookupKey(spark, path, "7")
+      .select("v").as[String].collect().toSeq == Seq("v7b"))
+  }
+
   test("txn stamp: a replayed (app, batch) is a no-op, higher batch" +
       " commits, other apps are independent") {
     val path = freshDir("txn")

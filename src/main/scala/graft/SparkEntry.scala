@@ -2217,6 +2217,26 @@ object SparkEntry {
         .select("query_id", "neighbor_id", "rank")
         .orderBy("query_id")
     }),
+    "q_sim_search_refine" -> ((s, dir) => {
+      // the REFINE finishing step on top of IVF+PQ: ADC shortlists
+      // k×refine candidates from 2/8 probed cells, then the exact-cosine
+      // re-rank (the only float-touching stage, a broadcast-shortlist
+      // semi-join) re-cuts at k. Planted copy: in the shortlist provably
+      // (own cell probed + identical codes = ADC minimum), then exact
+      // cosine ≈ 1.0 tops the re-rank. The COSINE column rides into the
+      // hash — the oracle computes the self-cosine with the identical
+      // fold (zip, double casts, left-to-right sum, sqrt·sqrt), so the
+      // refined values must be bit-faithful, not just the ranks.
+      val emb = t(s, dir, "embeddings")
+      val planted = emb.filter(col("vec_id") < 10)
+        .withColumn("vec_id", col("vec_id") + lit(1000000L))
+      Similarity.IvfPq.topKRefined(emb.union(planted),
+        emb.filter(col("vec_id") < 10), "vec_id", "vec_id", "embedding",
+        dim = 64, k = 1, cells = 8, nProbe = 2, m = 8, kSub = 64,
+        refine = 4)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .orderBy("query_id")
+    }),
     "q_sim_search_ivfpq_index" -> ((s, dir) => {
       // the PERSISTED IVF-PQ layout: byte codes on disk partitionBy(cell),
       // models in bounded side tables; a query partition-prunes to its
@@ -4450,6 +4470,20 @@ object SparkEntry {
       """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
                 CAST(1 AS INT) AS rank
          FROM embeddings WHERE vec_id < 20 ORDER BY query_id""",
+    // the refined top-1 is the planted copy WITH its exact cosine: the
+    // self-cosine under the same fold (x/(sqrt(x)*sqrt(x)) in IEEE
+    // doubles, not literal 1.0)
+    "q_sim_search_refine" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
+                list_sum(list_transform(list_zip(embedding, embedding),
+                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                / (sqrt(list_sum(list_transform(list_zip(embedding, embedding),
+                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))
+                 * sqrt(list_sum(list_transform(list_zip(embedding, embedding),
+                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))))
+                  AS cosine,
+                CAST(1 AS INT) AS rank
+         FROM embeddings WHERE vec_id < 10 ORDER BY query_id""",
     // same provable floor through the PERSISTED index (copies built in)
     "q_sim_search_ivfpq_index" ->
       """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,

@@ -614,6 +614,48 @@ object Similarity {
       topK(build(corpus, idCol, vecCol, dim, cells, m, kSub), queries,
         qidCol, vecCol, k, nProbe)
 
+    /** ADC-rank, then REFINE: exact-cosine re-rank of each query's top
+      * `k × refine` ADC candidates — the standard production finishing
+      * step (FAISS's refine stage). ADC distances carry quantization
+      * error, so the quantized rank near the cut can be wrong order; the
+      * refine pass re-scores only the shortlist with the TRUE vectors
+      * and re-cuts at k. Output matches [[bruteForceTopK]]'s shape:
+      * (query_id, neighbor_id, cosine, rank) — exact cosines, ordered.
+      *
+      * Scale shape: the shortlist (|queries| × k × refine ids) is tiny,
+      * so fetching its float vectors is ONE corpus scan behind a
+      * broadcast-hash semi-join — never a shuffle of the corpus, and the
+      * only stage that touches floats at query time. On a keyed/
+      * clustered corpus layout the broadcast id set additionally prunes
+      * at the scan (bucket/cluster pushdown); the ADC stage still reads
+      * byte codes only.
+      */
+    def topKRefined(index: Index, corpus: DataFrame, queries: DataFrame,
+        idCol: String, qidCol: String, vecCol: String, k: Int,
+        nProbe: Int, refine: Int = 4): DataFrame = {
+      require(refine >= 1, "refine must be >= 1")
+      val cand = topK(index, queries, qidCol, vecCol, k * refine, nProbe)
+        .select(col("query_id"), col("neighbor_id"))
+      val fetched = corpus
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"))
+        .join(broadcast(cand), Seq("neighbor_id"))
+      val qv = broadcast(queries.select(col(qidCol).as("query_id"),
+        col(vecCol).as("__qv")))
+      val exact = fetched.join(qv, Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosine(col("__nv"), col("__qv")).as("cosine"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      exact.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    }
+
+    /** build + topKRefined in one call (the gate/one-shot form). */
+    def topKRefined(corpus: DataFrame, queries: DataFrame, idCol: String,
+        qidCol: String, vecCol: String, dim: Int, k: Int, cells: Int,
+        nProbe: Int, m: Int, kSub: Int, refine: Int): DataFrame =
+      topKRefined(build(corpus, idCol, vecCol, dim, cells, m, kSub),
+        corpus, queries, idCol, qidCol, vecCol, k, nProbe, refine)
+
     /** Persist the index: byte codes written `partitionBy(cell)` (so a
       * probe's cell set is a PARTITION FILTER — only nProbe/cells of the
       * directories are listed and scanned) plus the two bounded model

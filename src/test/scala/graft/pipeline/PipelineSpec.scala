@@ -476,6 +476,43 @@ class SimilaritySpec extends SparkSpec {
     assert(!scans.contains("embedding"),
       s"query-time scan must not read the float column:\n$scans")
   }
+
+  test("IvfPq refine: full probe + full refine equals brute force " +
+      "exactly; shortlist fetch broadcasts, corpus never shuffles") {
+    val pts = (0L until 24L).map { i =>
+      (i, vec((i % 5).toDouble, (i % 7).toDouble, (i * 13 % 11).toDouble,
+        1.0))
+    }.toDF("vec_id", "embedding")
+    val queries = pts.filter($"vec_id" < 3L)
+    val refined = Similarity.IvfPq.topKRefined(pts, queries, "vec_id",
+      "vec_id", "embedding", dim = 4, k = 3, cells = 3, nProbe = 3,
+      m = 2, kSub = 8, refine = 24)
+    val bf = Similarity.bruteForceTopK(pts, queries, "vec_id", "vec_id",
+      "embedding", k = 3)
+    val a = refined.orderBy("query_id", "rank").collect()
+    val b = bf.orderBy("query_id", "rank").collect()
+    assert(a.sameElements(b),
+      "exact re-rank over the full candidate set must be brute force")
+    // the refine fetch joins the corpus against a BROADCAST shortlist
+    val plan = refined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("IvfPq refine fixes an ADC near-tie: copy still top-1 with " +
+      "exact cosine 1-ulp of 1.0") {
+    val pts = Seq(
+      (1L, vec(1, 0, 1, 0)), (2L, vec(0.95, 0.05, 0.95, 0.05)),
+      (3L, vec(0, 1, 0, 1)), (10L, vec(1, 0, 1, 0)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.IvfPq.topKRefined(pts,
+      pts.filter($"vec_id" === 1L), "vec_id", "vec_id", "embedding",
+      dim = 4, k = 2, cells = 2, nProbe = 2, m = 2, kSub = 4, refine = 2)
+      .orderBy("rank")
+      .select("neighbor_id", "cosine").as[(Long, Double)].collect()
+    assert(out.head._1 == 10L)
+    assert(math.abs(out.head._2 - 1.0) < 1e-12)
+    assert(out(1)._1 == 2L && out(1)._2 < out.head._2)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {

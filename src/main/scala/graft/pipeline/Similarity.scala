@@ -26,13 +26,19 @@ object Similarity {
 
   /** Dot product of two float-array columns (double accumulation,
     * deterministic left-to-right order).
+    *
+    * Compiles to the native codegen'd kernel
+    * ([[graft.functions.VectorDot]]): one tight loop over the array
+    * buffers, no intermediate zip array, no higher-order-function
+    * dispatch — the per-row cost that dominates brute-force/refine
+    * cosine scans. The fold is bit-identical to the declarative
+    * `aggregate(zip_with(...))` it replaced: elements widen to double
+    * BEFORE the multiply, accumulation is left-to-right (the
+    * engine-portable order the oracles replay) — pinned in
+    * `VectorMathSpec`.
     */
   def dot(a: Column, b: Column): Column =
-    // cast each element to double BEFORE multiplying: double-precision
-    // products + left-to-right double accumulation is reproducible across
-    // engines (float*float would round twice, engine-dependently)
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorMath.dotNative(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

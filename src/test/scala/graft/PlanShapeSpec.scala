@@ -202,6 +202,27 @@ class PlanShapeSpec extends SparkSpec {
       s"diff must stay an equi-join:\n$p")
   }
 
+  test("skipping reader: residual bounds push into the pruned scan") {
+    import graft.sources.Skipping
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_skip_plan").toString + "/tbl"
+    val df = (0 until 400).map(i => (i.toLong, i * 2.0)).toDF("id", "x")
+    Skipping.writeIndexed(df, path, clusterCols = Seq("id"), files = 8)
+    val out = Skipping.readSkipping(spark, path,
+      Seq(Skipping.Bound("id", Some(100), Some(150))))
+    val scan = out.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("FileScan")).mkString("\n")
+    // manifest pruning cut the file list AND the residual interval still
+    // reaches the parquet reader for row-group pruning inside survivors
+    assert(scan.contains("PushedFilters") &&
+      scan.contains("GreaterThanOrEqual(id,100)") &&
+      scan.contains("LessThanOrEqual(id,150)"),
+      s"residual bounds must push down:\n$scan")
+    assert(out.inputFiles.length < 8,
+      "the sidecar must prune files before the scan")
+  }
+
   test("identically bucketed tables join with zero shuffle") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -2521,6 +2521,19 @@ object SparkEntry {
           col("duration_ms"))
         .orderBy("media_id")
     }),
+    "q_multimodal_resample" -> ((s, dir) => {
+      // REAL audio downsample: decode the rendered WAV, decimate 2:1,
+      // re-encode at 4 kHz, and report the RE-DECODED header truth.
+      // Frames and rate halve together, so duration is preserved — the
+      // oracle predicts all three from the render contract; PCM content
+      // equality is pinned sample-for-sample in MultimodalSpec.
+      val media = Multimodal.syntheticMedia(t(s, dir, "documents"),
+        "doc_id", "text", modality = "audio")
+      Multimodal.resampleAudio(media, factor = 2)
+        .select(col("media_id"), col("rs_frames"), col("rs_rate"),
+          col("rs_duration_ms"))
+        .orderBy("media_id")
+    }),
     "q_multimodal_frames" -> ((s, dir) => {
       // REAL MJPEG decode end to end: syntheticMedia renders concatenated
       // baseline-JPEG frames, sampleFrames splits on real JPEG SOI/EOI
@@ -4671,6 +4684,16 @@ object SparkEntry {
                 CAST(8000 AS INT) AS sample_rate,
                 CAST(100 + octet_length(encode(text)) % 100 AS BIGINT)
                   AS duration_ms
+         FROM documents ORDER BY media_id""",
+    // decimation contract: frames and rate halve, duration is unchanged
+    // (the re-decoded header must say so)
+    "q_multimodal_resample" ->
+      """SELECT doc_id AS media_id,
+                CAST(4 * (100 + octet_length(encode(text)) % 100) AS BIGINT)
+                  AS rs_frames,
+                CAST(4000 AS INT) AS rs_rate,
+                CAST(100 + octet_length(encode(text)) % 100 AS BIGINT)
+                  AS rs_duration_ms
          FROM documents ORDER BY media_id""",
     // the render contract: dims/count are pure functions of the UTF-8
     // source length, so SQL predicts what a REAL JPEG decode must report

@@ -305,6 +305,72 @@ object Multimodal {
     }(enc)
   }
 
+  /** Integer-factor audio DOWNSAMPLE (decimation): decode the real WAV,
+    * keep every `factor`-th 16-bit frame, re-encode a genuine WAV at
+    * rate/factor, and report the RE-DECODED header truth (a broken
+    * resampler or encoder cannot hide behind arithmetic). Duration is
+    * preserved by construction (frames and rate shrink together) — the
+    * oracle checks exactly that. mapPartitions-batched like every media
+    * kernel; blobs never shuffle. Non-decodable/non-PCM payloads yield
+    * the -1 sentinel row, like [[decodeAudio]].
+    */
+  def resampleAudio(media: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, "factor must be >= 1")
+    val outSchema = StructType(media.schema.fields ++ Seq(
+      StructField("rs_content", BinaryType),
+      StructField("rs_frames", LongType),
+      StructField("rs_rate", IntegerType),
+      StructField("rs_duration_ms", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](contentIdx)
+        val out =
+          if (bytes == null || bytes.isEmpty) None
+          else scala.util.Try {
+            val ais = javax.sound.sampled.AudioSystem
+              .getAudioInputStream(new ByteArrayInputStream(bytes))
+            val fmt = ais.getFormat
+            require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+              "resample supports 16-bit mono PCM")
+            val pcm = ais.readAllBytes()
+            val nIn = pcm.length / 2
+            val nOut = (nIn + factor - 1) / factor
+            val dec = new Array[Byte](nOut * 2)
+            var i = 0
+            while (i < nOut) {
+              dec(2 * i) = pcm(2 * i * factor)
+              dec(2 * i + 1) = pcm(2 * i * factor + 1)
+              i += 1
+            }
+            val newRate = fmt.getSampleRate / factor
+            val newFmt = new javax.sound.sampled.AudioFormat(
+              newRate, 16, 1, true, false)
+            val bos = new ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(
+              new javax.sound.sampled.AudioInputStream(
+                new ByteArrayInputStream(dec), newFmt, nOut.toLong),
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+            val wav = bos.toByteArray
+            // RE-DECODE: report what the new file actually says
+            val back = javax.sound.sampled.AudioSystem
+              .getAudioInputStream(new ByteArrayInputStream(wav))
+            val f = back.getFrameLength
+            val sr = back.getFormat.getSampleRate.toInt
+            (wav, f, sr, f * 1000L / sr)
+          }.toOption
+        out match {
+          case Some((wav, f, sr, d)) =>
+            Row.fromSeq(r.toSeq ++ Seq[Any](wav, f, sr, d))
+          case None =>
+            Row.fromSeq(r.toSeq ++ Seq[Any](null, -1L, -1, -1L))
+        }
+      }
+    }(enc)
+  }
+
   /** Decode + feature-extract, batched per partition. `ImageIO.read` parses
     * the actual codec header: `width_px`/`height_px` are TRUE pixel
     * dimensions, and the 16 features are per-cell (8 bands x 2 halves)

@@ -609,6 +609,31 @@ class MultimodalSpec extends SparkSpec {
     assert(twice(0) == twice(1))
   }
 
+  test("resampleAudio decimates 2:1: halved frames/rate, same duration," +
+      " PCM equals the even samples, output standalone-decodable") {
+    val audio = Multimodal.syntheticMedia(
+      Seq((1L, "hello world")).toDF("id", "txt"), "id", "txt",
+      modality = "audio")
+    val rs = Multimodal.resampleAudio(audio, factor = 2)
+      .select("rs_content", "rs_frames", "rs_rate", "rs_duration_ms")
+      .collect().head
+    // 888 frames -> 444 at 4 kHz, still 111 ms
+    assert(rs.getLong(1) == 444 && rs.getInt(2) == 4000 &&
+      rs.getLong(3) == 111)
+    // sample-for-sample: the new PCM is exactly the even-indexed frames
+    def pcmOf(wav: Array[Byte]): Array[Byte] = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      ais.readAllBytes()
+    }
+    val orig = pcmOf(audio.select("content").collect()
+      .head.getAs[Array[Byte]](0))
+    val got = pcmOf(rs.getAs[Array[Byte]](0))
+    val expected = (0 until orig.length / 2 by 2)
+      .flatMap(i => Seq(orig(2 * i), orig(2 * i + 1))).toArray
+    assert(java.util.Arrays.equals(got, expected))
+  }
+
   test("video path renders real MJPEG and decodes true frame dims/count") {
     val vids = Multimodal.syntheticMedia(
       Seq((1L, "hello world"), (2L, "")).toDF("id", "txt"), "id", "txt",

@@ -1815,6 +1815,20 @@ object SparkEntry {
         .overlapCounts(test, "doc_id", "text", train, "text", n = 8)
         .orderBy("doc_id")
     }),
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      // the BLOOM-PREFILTERED decontamination path: a filter over the
+      // train shingle set drops non-matching test shingles before the
+      // exchange, the exact semi join removes false positives — counts
+      // identical to q_decontaminate by construction, which is exactly
+      // what sharing its oracle pins.
+      val docs = t(s, dir, "documents")
+      val test = docs.filter(col("doc_id") % 10 === 0)
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      graft.pipeline.Decontaminate
+        .overlapCountsBloom(test, "doc_id", "text", train, "text", n = 8,
+          expectedShingles = 200000L)
+        .orderBy("doc_id")
+    }),
     "q_decontaminate_filter" -> ((s, dir) => {
       // the filtering form: keep eval docs whose contaminated-8-gram
       // share is <= 5% — exact integer compare (n_cont*1000 <= n_sh*50),
@@ -4000,6 +4014,37 @@ object SparkEntry {
          FROM grams GROUP BY ngram HAVING count(*) >= 20
          ORDER BY ngram""",
     "q_decontaminate" ->
+      """WITH te AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM documents WHERE doc_id % 10 = 0),
+         tr AS (
+           SELECT string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM documents WHERE doc_id % 10 <> 0),
+         tesh AS (
+           SELECT doc_id, unnest(list_distinct(
+             [array_to_string(toks[i:i+7], ' ')
+              for i in generate_series(1, len(toks) - 7)])) AS sh
+           FROM te),
+         trsh AS (
+           SELECT DISTINCT unnest(list_distinct(
+             [array_to_string(toks[i:i+7], ' ')
+              for i in generate_series(1, len(toks) - 7)])) AS sh
+           FROM tr),
+         cont AS (
+           SELECT doc_id, count(*) AS n_contaminated
+           FROM tesh WHERE sh IN (SELECT sh FROM trsh)
+           GROUP BY doc_id)
+         SELECT te.doc_id,
+                CAST(len(list_distinct(
+                  [array_to_string(toks[i:i+7], ' ')
+                   for i in generate_series(1, len(toks) - 7)])) AS BIGINT)
+                  AS n_shingles,
+                COALESCE(n_contaminated, 0) AS n_contaminated
+         FROM te LEFT JOIN cont ON te.doc_id = cont.doc_id
+         ORDER BY te.doc_id""",
+    // bloom prefilter + exact semi join ≡ the plain inverted-index form:
+    // the pruned path must produce the identical counts
+    "q_decontaminate_bloom" ->
       """WITH te AS (
            SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
            FROM documents WHERE doc_id % 10 = 0),

@@ -45,6 +45,38 @@ object Decontaminate {
       .na.fill(0L, Seq("n_contaminated"))
   }
 
+  /** [[overlapCounts]] with a BLOOM PREFILTER on the test side: a filter
+    * built over the train shingle set (size set by `expectedShingles` /
+    * `fpp`, never by corpus size) drops test shingles that cannot match
+    * BEFORE they reach the exchange; the exact semi join then removes
+    * the false positives, so counts are identical by construction
+    * (`ops.BloomJoin` mechanics, native codegen probe).
+    *
+    * This matters because decontamination is usually checked against a
+    * FIXED benchmark suite: train shingles are ~corpus-sized, but the
+    * overlap is tiny — so nearly every test shingle shuffled by the
+    * plain form is wasted motion. With a 1% fpp bloom the test-side
+    * exchange carries ~(true overlap + 1%) of its former volume.
+    */
+  def overlapCountsBloom(test: DataFrame, idCol: String, textCol: String,
+      train: DataFrame, trainTextCol: String, n: Int = 8,
+      expectedShingles: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val sh = TextAnalysis.shinglesUdf(n)(col(textCol))
+    val testSh = test.select(col(idCol),
+      explode(array_distinct(sh)).as("__sh"))
+    val trainSh = train.select(
+      explode(array_distinct(TextAnalysis.shinglesUdf(n)(col(trainTextCol))))
+        .as("__sh"))
+      .distinct()
+    val contaminated = graft.ops.BloomJoin
+      .prunedSemiJoin(testSh, trainSh, "__sh", "__sh", expectedShingles, fpp)
+      .groupBy(idCol).agg(count(lit(1)).as("n_contaminated"))
+    test.select(col(idCol), size(array_distinct(sh)).cast("long")
+        .as("n_shingles"))
+      .join(contaminated, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_contaminated"))
+  }
+
   /** Keep test docs whose contaminated-shingle share is at most `maxFrac`
     * (compared as integers: contaminated * 1000 <= shingles * round(frac *
     * 1000) — exact at any scale). Docs too short to carry any n-gram are

@@ -111,6 +111,21 @@ class DedupSpec extends SparkSpec {
     (5L, "unrelated text mentioning neither foxes nor dogs in any way at all")
   ).toDF("doc_id", "text")
 
+  test("overlapCountsBloom ≡ overlapCounts (prefilter is invisible)") {
+    val test = docs.filter($"doc_id" <= 2L)
+    val train = docs.filter($"doc_id" > 2L)
+    val plain = Decontaminate
+      .overlapCounts(test, "doc_id", "text", train, "text", n = 4)
+      .orderBy("doc_id").collect()
+    val bloom = Decontaminate
+      .overlapCountsBloom(test, "doc_id", "text", train, "text", n = 4,
+        expectedShingles = 1000L)
+      .orderBy("doc_id").collect()
+    assert(plain.sameElements(bloom))
+    // doc 1's 4-grams leak from doc 3 (its exact dup is in train)
+    assert(plain.head.getLong(2) > 0, "planted leakage must be counted")
+  }
+
   test("exactDedup keeps min-id per identical text") {
     val kept = Dedup.exactDedup(docs, "doc_id", TextAnalysis.fingerprint(col("text")))
       .select("doc_id").as[Long].collect().sorted

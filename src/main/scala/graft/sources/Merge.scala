@@ -168,28 +168,46 @@ object Merge {
   /** Parse one manifest; None when the file is missing, empty, or
     * truncated (a crashed committer's claim) — readers treat such a
     * version as never committed.
+    *
+    * Driver-local parse (json4s, which Spark ships): a manifest is a few
+    * KB of metadata, and commit paths read O(versions) of them
+    * ([[latestTxn]], [[currentVersion]] walk-back) — a Spark job per
+    * read would put a scheduler round-trip inside every commit.
     */
   private def readManifestOpt(spark: SparkSession, root: Path,
       version: Long): Option[Manifest] = {
     val p = new Path(logPath(root), s"v$version.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return None
-    val df = spark.read
-      .schema("version LONG, parent LONG, files ARRAY<STRING>, " +
-        "dataSchema STRING, txnApp STRING, txnBatch LONG, " +
-        "keyCol STRING, nBuckets LONG")
-      .json(p.toString)
-    val rows = df.collect()
-    if (rows.length != 1) return None
-    val r = rows(0)
-    // a truncated body parses PERMISSIVE to an all-null row: reject it
-    if (r.isNullAt(0) || r.isNullAt(2)) None
-    else Some(Manifest(r.getLong(0), r.getLong(1), r.getSeq[String](2),
-      if (r.isNullAt(3)) None else Some(r.getString(3)),
-      if (r.isNullAt(4) || r.isNullAt(5)) None
-      else Some((r.getString(4), r.getLong(5))),
-      if (r.isNullAt(6) || r.isNullAt(7)) None
-      else Some((r.getString(6), r.getLong(7).toInt))))
+    val body =
+      try {
+        val in = fs.open(p)
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      } catch { case _: java.io.IOException => return None }
+    import org.json4s._
+    scala.util.Try(org.json4s.jackson.JsonMethods.parse(body)).toOption
+      .flatMap { j =>
+        def str(f: String): Option[String] = j \ f match {
+          case JString(s) => Some(s); case _ => None
+        }
+        def num(f: String): Option[Long] = j \ f match {
+          case JInt(n) => Some(n.toLong); case JLong(n) => Some(n)
+          case _ => None
+        }
+        val files = j \ "files" match {
+          case JArray(xs) if xs.forall(_.isInstanceOf[JString]) =>
+            Some(xs.collect { case JString(s) => s })
+          case _ => None
+        }
+        (num("version"), num("parent"), files) match {
+          case (Some(v), Some(par), Some(fl)) =>
+            Some(Manifest(v, par, fl, str("dataSchema"),
+              for (a <- str("txnApp"); b <- num("txnBatch")) yield (a, b),
+              for (k <- str("keyCol"); n <- num("nBuckets"))
+                yield (k, n.toInt)))
+          case _ => None // truncated or foreign body: not committed
+        }
+      }
   }
 
   private def readManifest(spark: SparkSession, root: Path,

@@ -172,6 +172,8 @@ object Skipping {
 
   /** (Re)build the sidecar for an existing parquet directory — use after
     * an external rewrite (e.g. [[Tables.compact]]) invalidates the index.
+    * The sidecar records the table SCHEMA alongside the per-file stats,
+    * so planning never has to open a data file at all.
     */
   def writeStats(spark: SparkSession, path: String,
       statsCols: Seq[String]): Unit = {
@@ -193,12 +195,14 @@ object Skipping {
         FileStats(file, c, Option(mn).map(encode), Option(mx).map(encode))
       }
     }.sortBy(e => (e.file, e.col))
-    val body = entries.map { e =>
+    val arr = entries.map { e =>
       val mn = e.min.map(v => "\"" + jsonEscape(v) + "\"").getOrElse("null")
       val mx = e.max.map(v => "\"" + jsonEscape(v) + "\"").getOrElse("null")
       s"""{"file":"${jsonEscape(e.file)}","col":"${jsonEscape(e.col)}",""" +
         s""""min":$mn,"max":$mx}"""
-    }.mkString("[", ",", "]").getBytes("UTF-8")
+    }.mkString("[", ",", "]")
+    val body = (s"""{"schema":"${jsonEscape(data.schema.toDDL)}",""" +
+      s""""stats":$arr}""").getBytes("UTF-8")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val sp = statsPath(root)
     if (!fs.exists(sp.getParent)) fs.mkdirs(sp.getParent)
@@ -206,14 +210,40 @@ object Skipping {
     try out.write(body) finally out.close()
   }
 
+  /** Driver-local sidecar parse (json4s — a few KB of metadata; a Spark
+    * job here would put a scheduler round-trip into every planning
+    * call). Returns (recorded schema if present, stats entries);
+    * tolerates the pre-schema array format.
+    */
   private def readStats(spark: SparkSession,
-      root: Path): Seq[FileStats] = {
-    val df = spark.read
-      .schema("file STRING, col STRING, min STRING, max STRING")
-      .option("multiLine", true)
-      .json(statsPath(root).toString)
-    df.collect().toSeq.map(r => FileStats(r.getString(0), r.getString(1),
-      Option(r.getString(2)), Option(r.getString(3))))
+      root: Path): (Option[StructType], Seq[FileStats]) = {
+    val sp = statsPath(root)
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val body = {
+      val in = fs.open(sp)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    import org.json4s._
+    val j = org.json4s.jackson.JsonMethods.parse(body)
+    def entries(ja: JValue): Seq[FileStats] = ja match {
+      case JArray(xs) => xs.flatMap { e =>
+        def f(n: String): Option[String] = e \ n match {
+          case JString(s) => Some(s); case _ => None
+        }
+        for (file <- f("file"); c <- f("col"))
+          yield FileStats(file, c, f("min"), f("max"))
+      }
+      case _ => Seq.empty
+    }
+    j \ "stats" match {
+      case JNothing => (None, entries(j)) // pre-schema array format
+      case st =>
+        val schema = j \ "schema" match {
+          case JString(ddl) => Some(StructType.fromDDL(ddl))
+          case _ => None
+        }
+        (schema, entries(st))
+    }
   }
 
   /** The files of `path` that can contain rows satisfying every bound,
@@ -224,13 +254,17 @@ object Skipping {
       bounds: Seq[Bound]): (Seq[String], Int) = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the directory listing is the freshness source of truth (a file
+    // added outside the index must be READ, just never skipped); the
+    // sidecar's recorded schema keeps planning from opening any footer
     val all = fs.listStatus(root)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.getName).sorted.toSeq
-    val schema = spark.read.parquet(path).schema
+    val (recorded, statEntries) = readStats(spark, root)
+    val schema = recorded.getOrElse(spark.read.parquet(path).schema)
     bounds.foreach(b => require(schema.fieldNames.contains(b.column),
       s"bound column ${b.column} not in ${schema.fieldNames.mkString(", ")}"))
-    val stats = readStats(spark, root)
+    val stats = statEntries
       .groupBy(_.file).view.mapValues(_.map(s => s.col -> s).toMap).toMap
     val selected = all.filter { f =>
       bounds.forall { b =>
@@ -259,7 +293,8 @@ object Skipping {
       bounds: Seq[Bound]): DataFrame = {
     require(bounds.nonEmpty, "readSkipping needs >= 1 bound")
     val (selected, _) = planFiles(spark, path, bounds)
-    val schema = spark.read.parquet(path).schema
+    val schema = readStats(spark, new Path(path))._1
+      .getOrElse(spark.read.parquet(path).schema)
     val base =
       if (selected.isEmpty)
         spark.createDataFrame(spark.sparkContext

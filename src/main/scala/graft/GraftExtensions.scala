@@ -111,8 +111,24 @@ object LevenshteinPrune extends Rule[LogicalPlan] with PredicateHelper {
   * }}}
   *
   * Injects [[LevenshteinPrune]] and [[OracleCostReorder]] and registers
-  * the codegen'd [[graft.functions.MultiContains]] kernel for SQL use:
-  * `multi_contains(text, array('k1','k2'), 'all'|'any'|'none')`.
+  * the engine's pure-column kernels for SQL use, so a `spark.sql`-only
+  * session reaches the pipeline surface without touching the Scala API:
+  *
+  *   - `multi_contains(text, array('k1','k2'), 'all'|'any'|'none')` —
+  *     codegen'd multi-keyword predicate
+  *   - `vector_dot(a, b)` — the native ANN dot-product kernel
+  *   - `graft_token_count(text)` / `graft_subword_count(text)`
+  *   - `graft_quality_score(text)` — the composite quality signal
+  *   - `graft_lang_id(text)` — marker-based language guess
+  *   - `graft_fingerprint(text)` — normalized-content hash
+  *   - `graft_hash_bucket(key, 'salt')` — the deterministic md5 split
+  *     bucket in [0,100) (sampling/train-test splits)
+  *   - `graft_word_shingles(text, n)` — word n-gram shingles (dedup/
+  *     decontamination's unit of comparison)
+  *
+  * Each builder delegates to the SAME Column-level implementation the
+  * DataFrame API uses (via the [[org.apache.spark.sql.GraftColumnBridge]]
+  * accessibility shim), so SQL and Scala results can never drift.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -160,5 +176,54 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MultiContains(children.head, stringLits(children(1), "keywords"),
           matchAny = any, negate = negate)
       }))
+
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    def registerColumnFn(name: String, arity: Int,
+        build: Seq[Expression] => org.apache.spark.sql.Column): Unit =
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        (children: Seq[Expression]) => {
+          require(children.size == arity,
+            s"$name takes $arity argument(s), got ${children.size}")
+          expression(build(children))
+        }))
+    def strLit(e: Expression, what: String): String = e match {
+      case Literal(s: UTF8String, StringType) => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$what must be a string literal, got $other")
+    }
+    def intLit(e: Expression, what: String): Int = e match {
+      case Literal(n: Int, org.apache.spark.sql.types.IntegerType) => n
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+
+    // the native codegen dot-product kernel (ANN hot path) — direct
+    ext.injectFunction((
+      new FunctionIdentifier("vector_dot"),
+      new ExpressionInfo(classOf[graft.functions.VectorDot].getName,
+        "vector_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "usage: vector_dot(a, b)")
+        graft.functions.VectorDot(children.head, children(1))
+      }))
+    // text-analysis kernels: same Column code the DataFrame surface runs
+    registerColumnFn("graft_token_count", 1,
+      c => graft.pipeline.TextAnalysis.tokenCount(column(c.head)))
+    registerColumnFn("graft_subword_count", 1,
+      c => graft.pipeline.TextAnalysis.subwordCount(column(c.head)))
+    registerColumnFn("graft_quality_score", 1,
+      c => graft.pipeline.TextAnalysis.qualityScore(column(c.head)))
+    registerColumnFn("graft_lang_id", 1,
+      c => graft.pipeline.TextAnalysis.langId(column(c.head)))
+    registerColumnFn("graft_fingerprint", 1,
+      c => graft.pipeline.TextAnalysis.fingerprint(column(c.head)))
+    registerColumnFn("graft_hash_bucket", 2,
+      c => graft.pipeline.Sampling.hashBucket(column(c.head),
+        strLit(c(1), "salt")))
+    registerColumnFn("graft_word_shingles", 2,
+      c => graft.pipeline.Shingles.wordShingles(column(c.head),
+        intLit(c(1), "n")))
   }
 }

@@ -63,12 +63,63 @@ object GroupTopK {
     * 1-based `rank`. `tieCols` should complete a total order (unique
     * key) — that is what makes the result deterministic AND the local
     * pruning exact.
+    *
+    * WIDE TABLES: the local prune buffers whole rows (bounded by
+    * groups-per-partition × k ROWS, but scaling with row width). When
+    * the table has a unique id column, pass `idCol = Some(id)`: the
+    * prune then runs on a PROJECTED (group, order, tie, id) view — the
+    * buffer holds a few scalars per row regardless of payload width —
+    * and the surviving ids (≤ partitions × groups × k, a bounded set)
+    * re-select the full rows via a broadcast semi-join: one extra scan
+    * of the input, never a shuffle of it. The id also completes the
+    * total order (appended to the tie columns), so this mode is
+    * deterministic by construction.
     */
   def topKPerGroup(df: DataFrame, groupCols: Seq[String], orderCol: String,
       k: Int, asc: Boolean = false,
-      tieCols: Seq[String] = Seq.empty): DataFrame = {
+      tieCols: Seq[String] = Seq.empty,
+      idCol: Option[String] = None): DataFrame = {
     require(groupCols.nonEmpty, "topKPerGroup needs >= 1 group column")
     require(k >= 1, "k must be >= 1")
+    idCol match {
+      case Some(id) =>
+        // id completes the total order; dedupe in case the caller already
+        // listed it among the tie columns
+        val ties = (tieCols :+ id).distinct.filterNot(_ == orderCol)
+        val narrowCols = (groupCols :+ orderCol) ++ ties
+        val narrow = df.select(narrowCols.distinct.map(col): _*)
+        val survivorIds = localPrune(narrow, groupCols, orderCol, k, asc,
+          ties).select(id).distinct()
+        val survivors = df.join(broadcast(survivorIds), Seq(id), "left_semi")
+        rankAndCut(survivors, groupCols, orderCol, k, asc, ties)
+      case None =>
+        val pruned = localPrune(df, groupCols, orderCol, k, asc, tieCols)
+        rankAndCut(pruned, groupCols, orderCol, k, asc, tieCols)
+    }
+  }
+
+  /** The exact `row_number` window over (already-pruned) survivors —
+    * the same total order the local prune used.
+    */
+  private def rankAndCut(df: DataFrame, groupCols: Seq[String],
+      orderCol: String, k: Int, asc: Boolean,
+      tieCols: Seq[String]): DataFrame = {
+    val dir = if (asc) col(orderCol).asc_nulls_last
+              else col(orderCol).desc_nulls_last
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(dir +: tieCols.map(col(_).asc): _*)
+    df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Per-partition, per-group bounded top-k prune (step 1 of the
+    * operator's contract) — exact under the same total order
+    * [[rankAndCut]] ranks by. Package-visible so specs can pin the
+    * projected-buffer width in wide-table mode.
+    */
+  private[ops] def localPrune(df: DataFrame, groupCols: Seq[String],
+      orderCol: String, k: Int, asc: Boolean,
+      tieCols: Seq[String]): DataFrame = {
     val schema = df.schema
     val gIdx = groupCols.map(schema.fieldIndex)
     val oIdx = schema.fieldIndex(orderCol)
@@ -100,7 +151,7 @@ object GroupTopK {
       }
     }
 
-    val pruned = df.mapPartitions { rows =>
+    df.mapPartitions { rows =>
       // group key -> ordered buffer of its local best ≤ k rows
       val best = scala.collection.mutable.HashMap
         .empty[Seq[Any], java.util.TreeSet[Row]]
@@ -129,12 +180,5 @@ object GroupTopK {
         scala.jdk.CollectionConverters.IteratorHasAsScala(b.iterator)
           .asScala)
     }(Encoders.row(schema))
-
-    val dir = if (asc) col(orderCol).asc_nulls_last
-              else col(orderCol).desc_nulls_last
-    val w = Window.partitionBy(groupCols.map(col): _*)
-      .orderBy(dir +: tieCols.map(col(_).asc): _*)
-    pruned.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
   }
 }

@@ -685,6 +685,40 @@ object Similarity {
         .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
     }
 
+    /** INCREMENTAL index maintenance: encode `newRows` under the
+      * persisted index's FROZEN quantizers (the saved coarse centroids
+      * and PQ codebooks — no retraining) and append the resulting code
+      * files into the cell-partitioned `codes` table. Work ∝ the new
+      * rows: the existing corpus is never re-read, re-encoded, or
+      * rewritten — at 100 TB a corpus refresh costs its delta, not a
+      * rebuild. Appended files land inside the existing `cell=N`
+      * directories, so [[topKPersisted]]'s partition-filtered probe sees
+      * them with zero reader changes.
+      *
+      * Recall for appended vectors has the same provable floor as built
+      * ones: cell assignment uses the same frozen centroids the probe
+      * kernel ranks, so an exact copy of a query lands in the query's own
+      * top-probed cell and encodes to the ADC-minimal codes. Quantizer
+      * drift is the operational caveat — if the data distribution moves,
+      * periodically rebuild (this is FAISS's `add` vs `train` split).
+      *
+      * Concurrency: one appender at a time (parquet dir append is not a
+      * transactional commit); run appends from a single maintenance job,
+      * or put the codes table behind [[graft.sources.Merge]] for full
+      * commit semantics.
+      */
+    def append(newRows: DataFrame, idCol: String, vecCol: String,
+        path: String): Unit = {
+      val spark = newRows.sparkSession
+      val (centroids, pq) = loadModels(spark, path)
+      val enc = Pq.encoderUdf(spark, pq)
+      Ivf.withCell(newRows, vecCol, centroids)
+        .select(col("cell"), col(idCol).as("neighbor_id"),
+          enc(col(vecCol).cast("array<double>")).as("codes"))
+        .filter(col("codes").isNotNull)
+        .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+    }
+
     /** Reload both bounded model tables (cells + m*k rows — driver-safe). */
     def loadModels(spark: org.apache.spark.sql.SparkSession,
         path: String): (Array[Array[Double]], Pq.Model) = {

@@ -61,6 +61,31 @@ object Merge {
   private def bucketCol(keyCol: String, nBuckets: Int) =
     pmod(xxhash64(col(keyCol)), lit(nBuckets.toLong))
 
+  /** Partition a bucket-tagged frame so `partitionBy("__bucket")` emits
+    * exactly `filesPerBucket` file(s) per bucket. Without this, every
+    * task fragments a file into every bucket dir it touches —
+    * tasks × buckets small files per commit, the classic commit-time
+    * file explosion. `filesPerBucket = 1` coalesces each bucket into one
+    * task (right when bucket size ≈ the file-size target — size nBuckets
+    * for that); larger values add a deterministic row-hash salt so a big
+    * bucket's write parallelizes across that many tasks/files, and
+    * [[compactVersion]] re-coarsens later.
+    */
+  private def bucketPartitioned(df: DataFrame, filesPerBucket: Int,
+      buckets: Int): DataFrame = {
+    require(filesPerBucket >= 1, "filesPerBucket must be >= 1")
+    // explicit partition count: REPARTITION_BY_NUM pins the shuffle so
+    // AQE's small-partition coalescing cannot merge the per-file groups
+    // back together (write parallelism here is the POINT, not a cost)
+    val parts = math.max(1, buckets) * filesPerBucket
+    if (filesPerBucket == 1) df.repartition(parts, col("__bucket"))
+    else {
+      val dataCols = df.columns.filterNot(_ == "__bucket").map(col).toSeq
+      df.repartition(parts, col("__bucket"),
+        pmod(xxhash64(dataCols: _*), lit(filesPerBucket.toLong)))
+    }
+  }
+
   private def fsFor(spark: SparkSession, path: String): (FileSystem, Path) = {
     val p = new Path(path)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
@@ -91,7 +116,9 @@ object Merge {
   private final case class Manifest(version: Long, parent: Long,
       files: Seq[String], dataSchema: Option[String],
       txn: Option[(String, Long)] = None,
-      layout: Option[(String, Int)] = None) // (keyCol, nBuckets)
+      layout: Option[(String, Int)] = None, // (keyCol, nBuckets)
+      statsCols: Seq[String] = Seq.empty,
+      stats: Seq[Skipping.FileStats] = Seq.empty)
 
   private def jsonEscape(s: String): String =
     s.flatMap {
@@ -124,8 +151,23 @@ object Merge {
     val layoutField = m.layout.map { case (k, n) =>
       s""","keyCol":"${jsonEscape(k)}","nBuckets":$n"""
     }.getOrElse("")
+    // per-file min/max stats (Delta/Iceberg-style): compact keys, values
+    // in Skipping's type-exact string encoding so re-parse is lossless
+    val statsFields =
+      if (m.statsCols.isEmpty) ""
+      else {
+        val cols = m.statsCols.map(c => "\"" + jsonEscape(c) + "\"")
+          .mkString("[", ",", "]")
+        val entries = m.stats.map { e =>
+          val mn = e.min.map(v => "\"" + jsonEscape(v) + "\"").getOrElse("null")
+          val mx = e.max.map(v => "\"" + jsonEscape(v) + "\"").getOrElse("null")
+          s"""{"f":"${jsonEscape(e.file)}","c":"${jsonEscape(e.col)}",""" +
+            s""""mn":$mn,"mx":$mx}"""
+        }.mkString("[", ",", "]")
+        s""","statsCols":$cols,"stats":$entries"""
+      }
     (s"""{"version":${m.version},"parent":${m.parent},""" +
-      s""""files":$files$schemaField$txnField$layoutField}""")
+      s""""files":$files$schemaField$txnField$layoutField$statsFields}""")
       .getBytes("UTF-8")
   }
 
@@ -199,12 +241,27 @@ object Merge {
             Some(xs.collect { case JString(s) => s })
           case _ => None
         }
+        val statsCols = j \ "statsCols" match {
+          case JArray(xs) => xs.collect { case JString(s) => s }
+          case _ => Nil
+        }
+        val stats = j \ "stats" match {
+          case JArray(xs) => xs.flatMap { e =>
+            def f(n: String): Option[String] = e \ n match {
+              case JString(s) => Some(s); case _ => None
+            }
+            for (file <- f("f"); c <- f("c"))
+              yield Skipping.FileStats(file, c, f("mn"), f("mx"))
+          }
+          case _ => Nil
+        }
         (num("version"), num("parent"), files) match {
           case (Some(v), Some(par), Some(fl)) =>
             Some(Manifest(v, par, fl, str("dataSchema"),
               for (a <- str("txnApp"); b <- num("txnBatch")) yield (a, b),
               for (k <- str("keyCol"); n <- num("nBuckets"))
-                yield (k, n.toInt)))
+                yield (k, n.toInt),
+              statsCols, stats))
           case _ => None // truncated or foreign body: not committed
         }
       }
@@ -246,19 +303,60 @@ object Merge {
       .getOrElse(-1L)
   }
 
+  /** Per-file min/max stats for bucket-partitioned parquet under `dir`,
+    * keyed by the table-relative `__bucket=N/<file>` name — one aggregate
+    * job over just-written (hot) data; result rows bounded by
+    * files × statsCols, a driver-safe collect. Values use [[Skipping]]'s
+    * type-exact string encoding, so re-parse-and-compare is lossless.
+    */
+  private def bucketFileStats(spark: SparkSession, dir: String,
+      statsCols: Seq[String]): Seq[Skipping.FileStats] = {
+    if (statsCols.isEmpty) return Seq.empty
+    val df = spark.read.parquet(dir)
+    statsCols.foreach(c => require(df.columns.contains(c),
+      s"stats column $c not in ${df.columns.mkString(", ")}"))
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
+    val rows = df.groupBy(input_file_name().as("__f"), col("__bucket"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    rows.flatMap { r =>
+      val name = new Path(r.getString(0)).getName
+      val bucket = r.get(1) match { case n: Number => n.longValue }
+      statsCols.map { c =>
+        Skipping.FileStats(s"__bucket=$bucket/$name", c,
+          Option(r.get(r.fieldIndex(s"__mn_$c"))).map(Skipping.encode),
+          Option(r.get(r.fieldIndex(s"__mx_$c"))).map(Skipping.encode))
+      }
+    }.toSeq.sortBy(e => (e.file, e.col))
+  }
+
   /** Write `df` hash-bucketed by `keyCol` into `path` (the upsert-able
     * layout) and commit it as version 0. Bucket count sizes the rewrite
     * granularity: more buckets = finer copy-on-write, more directories.
+    *
+    * `statsCols` opts the table into MANIFEST-LEVEL DATA SKIPPING: every
+    * commit (this one and each later upsert/delete/compaction) records
+    * per-file min/max for these columns in its manifest, and the
+    * `*Skipping` readers prune files by interval bounds before Spark
+    * lists or opens anything — the Delta/Iceberg file-stats idea applied
+    * to the version log. Costs one extra aggregate over each commit's
+    * newly written files; tables that never pass `statsCols` pay nothing.
     */
   def writeKeyed(df: DataFrame, path: String, keyCol: String,
-      nBuckets: Int): Unit = {
+      nBuckets: Int, statsCols: Seq[String] = Seq.empty,
+      filesPerBucket: Int = 1): Unit = {
     require(nBuckets >= 1, "nBuckets must be >= 1")
     val (fs, root) = fsFor(df.sparkSession, path)
     if (fs.exists(root)) fs.delete(root, true) // fresh table, fresh log
-    df.withColumn("__bucket", bucketCol(keyCol, nBuckets))
+    bucketPartitioned(
+      df.withColumn("__bucket", bucketCol(keyCol, nBuckets)),
+      filesPerBucket, nBuckets)
       .write.mode("overwrite").partitionBy("__bucket").parquet(path)
     writeManifest(fs, root, Manifest(0L, -1L, listDataFiles(fs, root),
-      Some(df.schema.toDDL), layout = Some((keyCol, nBuckets))))
+      Some(df.schema.toDDL), layout = Some((keyCol, nBuckets)),
+      statsCols = statsCols,
+      stats = bucketFileStats(df.sparkSession, path, statsCols)))
   }
 
   /** Read a manifest's file set with the version's own schema (plus the
@@ -300,6 +398,63 @@ object Merge {
     else readVersion(spark, path, v)
   }
 
+  /** Files of `version` whose recorded per-file stats admit every bound,
+    * plus the version's total file count — the MANIFEST-LEVEL skipping
+    * plan for a versioned table (the [[Skipping]] sidecar idea composed
+    * with the version log, as Delta/Iceberg record file stats in theirs).
+    * Files without stats (table written before `statsCols`, or a column
+    * not indexed) are conservatively kept. Exposed so callers and specs
+    * can assert the index actually pruned.
+    */
+  def planVersionFiles(spark: SparkSession, path: String, version: Long,
+      bounds: Seq[Skipping.Bound]): (Seq[String], Int) = {
+    val (_, root) = fsFor(spark, path)
+    val m = readManifest(spark, root, version)
+    val schema = m.dataSchema.map(StructType.fromDDL).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path v$version records no schema — cannot type the bounds"))
+    bounds.foreach(b => require(schema.fieldNames.contains(b.column),
+      s"bound column ${b.column} not in ${schema.fieldNames.mkString(", ")}"))
+    val byFile = m.stats.groupBy(_.file).view
+      .mapValues(_.map(s => s.col -> s).toMap).toMap
+    val sel = m.files.filter(f =>
+      Skipping.survives(schema, byFile.getOrElse(f, Map.empty), bounds))
+    (sel, m.files.size)
+  }
+
+  /** Read one committed version under interval `bounds`: manifest-stats
+    * file pruning + the bounds as a residual filter — result ≡ reading
+    * the whole version and filtering, scan cost ∝ the files whose
+    * recorded ranges intersect. At 100 TB this is what makes a filtered
+    * read of a versioned table cheap: planning consults the manifest
+    * alone (no listing, no footers), then reads only surviving files.
+    */
+  def readVersionSkipping(spark: SparkSession, path: String, version: Long,
+      bounds: Seq[Skipping.Bound]): DataFrame = {
+    require(bounds.nonEmpty, "readVersionSkipping needs >= 1 bound")
+    val (_, root) = fsFor(spark, path)
+    val m = readManifest(spark, root, version)
+    val schema = m.dataSchema.map(StructType.fromDDL).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path v$version records no schema — cannot type the bounds"))
+    val (sel, _) = planVersionFiles(spark, path, version, bounds)
+    val base =
+      if (sel.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else versionDf(spark, path, root, m.copy(files = sel)).drop("__bucket")
+    bounds.foldLeft(base)((df, b) =>
+      df.filter(Skipping.residual(schema(b.column).dataType, b)))
+  }
+
+  /** [[readVersionSkipping]] at the latest committed version. */
+  def readKeyedSkipping(spark: SparkSession, path: String,
+      bounds: Seq[Skipping.Bound]): DataFrame = {
+    val v = currentVersion(spark, path)
+    require(v >= 0, s"$path has no version log — readKeyedSkipping needs one")
+    readVersionSkipping(spark, path, v, bounds)
+  }
+
   /** POINT LOOKUP: the current rows for one key, reading ONLY the files
     * of the bucket the key hashes to — at 100 TB with 4096 buckets, one
     * lookup touches 1/4096th of the table's files (and after
@@ -338,7 +493,7 @@ object Merge {
 
   final case class MergeStats(bucketsTouched: Int, nBuckets: Int,
       rowsUpserted: Long, version: Long, retries: Int = 0,
-      skippedDupTxn: Boolean = false)
+      skippedDupTxn: Boolean = false, rowsDeleted: Long = 0L)
 
   /** The highest batch id `appId` has committed among the RETAINED
     * manifests, or None — the idempotence watermark for transactional
@@ -361,14 +516,22 @@ object Merge {
   /** Write `df` partitioned by __bucket into a fresh job-scoped staging
     * dir, move every produced file into its bucket dir under the root,
     * and return the moved files' table-relative paths — the committer's
-    * EXACT output set (racing writers' files can never leak in).
+    * EXACT output set (racing writers' files can never leak in) — plus
+    * their per-file stats for `statsCols` (computed on the staged files
+    * BEFORE the move; the rename preserves both the bucket dir and the
+    * file name, so the relative keys stay valid).
     */
   private def stageAndMove(spark: SparkSession, fs: FileSystem, root: Path,
-      df: DataFrame): Seq[String] = {
+      df: DataFrame, statsCols: Seq[String] = Seq.empty)
+      : (Seq[String], Seq[Skipping.FileStats]) = {
     val staging = new Path(stagingRoot(root),
       java.util.UUID.randomUUID.toString)
     df.write.mode("overwrite").partitionBy("__bucket")
       .parquet(staging.toString)
+    val stats =
+      if (fs.listStatus(staging).exists(_.isDirectory))
+        bucketFileStats(spark, staging.toString, statsCols)
+      else Seq.empty // empty write: no bucket dirs, nothing to stat
     val moved = Seq.newBuilder[String]
     fs.listStatus(staging)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("__bucket="))
@@ -386,7 +549,7 @@ object Merge {
           }
       }
     fs.delete(staging, true)
-    moved.result().sorted
+    (moved.result().sorted, stats)
   }
 
   private def deleteFiles(fs: FileSystem, root: Path,
@@ -416,10 +579,19 @@ object Merge {
     * that makes a restarted foreachBatch writer idempotent. The check
     * re-runs on every commit-race retry, so a replayed batch can never
     * double-apply even when it races its own first application.
+    *
+    * Deletes: with `tombstoneCol = Some(c)`, updates carry an extra
+    * BOOLEAN column `c` (not part of the table schema); rows where it is
+    * true are TOMBSTONES — their key is removed from the table instead of
+    * upserted. This is merge-with-delete: one commit applies updates,
+    * inserts, and deletes, which is exactly the shape a CDC delta stream
+    * (`ops.TableDiff.changeDeltas`) folds into.
     */
   def upsert(spark: SparkSession, path: String, updates: DataFrame,
       keyCol: String, nBuckets: Int, allowEvolution: Boolean = false,
-      maxRetries: Int = 5, txn: Option[(String, Long)] = None): MergeStats = {
+      maxRetries: Int = 5, txn: Option[(String, Long)] = None,
+      tombstoneCol: Option[String] = None,
+      filesPerBucket: Int = 1): MergeStats = {
     val (fs, root) = fsFor(spark, path)
     var attempt = 0
     while (true) {
@@ -440,14 +612,26 @@ object Merge {
           s"$path is bucketed as ($k, $n buckets) but the upsert says " +
           s"($keyCol, $nBuckets) — layout is fixed at writeKeyed time")
       }
+      tombstoneCol.foreach { tc =>
+        require(updates.columns.contains(tc),
+          s"tombstone column $tc not in the updates")
+        require(updates.schema(tc).dataType ==
+          org.apache.spark.sql.types.BooleanType,
+          s"tombstone column $tc must be BOOLEAN")
+      }
       val parentSchema = parent.dataSchema.map(StructType.fromDDL)
+      // the tombstone marker never enters the table schema
+      val updCols = updates.columns.toSeq.filterNot(tombstoneCol.contains)
+      tombstoneCol.foreach(tc => require(
+        !parentSchema.exists(_.fieldNames.contains(tc)),
+        s"tombstone column $tc collides with a table column"))
       val parentCols: Seq[String] = parentSchema.map(_.fieldNames.toSeq)
-        .getOrElse(updates.columns.toSeq)
-      val missing = parentCols.filterNot(updates.columns.contains)
+        .getOrElse(updCols)
+      val missing = parentCols.filterNot(updCols.contains)
       require(missing.isEmpty,
         s"updates must carry every table column; missing: " +
         missing.mkString(", "))
-      val newCols = updates.columns.toSeq.filterNot(parentCols.contains)
+      val newCols = updCols.filterNot(parentCols.contains)
       require(newCols.isEmpty || allowEvolution,
         s"updates add columns [${newCols.mkString(", ")}] not in the table " +
         s"schema — pass allowEvolution = true to add them")
@@ -465,14 +649,19 @@ object Merge {
         updates.schema.find(_.name == c).getOrElse(
           parentSchema.get.find(_.name == c).get)))
       val withB = updates.withColumn("__bucket", bucketCol(keyCol, nBuckets))
-      // one job: touched bucket ids AND the upserted-row count
+      // one job: touched bucket ids AND the upserted/deleted row counts
+      val delAgg = tombstoneCol
+        .map(tc => sum(when(col(tc), 1L).otherwise(0L)))
+        .getOrElse(sum(lit(0L))).as("d")
       val perBucket = withB.groupBy("__bucket")
-        .agg(count(lit(1)).as("n"))
-        .collect().map(r => (r.getLong(0), r.getLong(1))) // bounded by nBuckets
+        .agg(count(lit(1)).as("n"), delAgg)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        // bounded by nBuckets
       if (perBucket.isEmpty)
         return MergeStats(0, nBuckets, 0L, parentV, attempt)
       val touched = perBucket.map(_._1).toSet
-      val rowsUpserted = perBucket.map(_._2).sum
+      val rowsDeleted = perBucket.map(_._3).sum
+      val rowsUpserted = perBucket.map(_._2).sum - rowsDeleted
       // the current version's files in the touched buckets only — manifest
       // pruning, no directory listing of the untouched ones
       val parentTouchedFiles = parent.files.filter(f => touched(bucketOf(f)))
@@ -487,20 +676,31 @@ object Merge {
         (if (base.columns.contains(c)) col(c)
          else lit(null).cast(outSchema(c).dataType)).as(c)) :+
         col("__bucket"): _*)
-      val merged = baseAligned
+      // tombstoned keys are anti-joined away like updated ones (the join
+      // is on ALL update keys) but never re-inserted — that IS the delete
+      val inserts = tombstoneCol
+        .map(tc => withB.filter(!coalesce(col(tc), lit(false))))
+        .getOrElse(withB)
+        .select((outCols :+ "__bucket").map(col): _*)
+      // filesPerBucket file(s) per touched bucket ([[bucketPartitioned]])
+      val merged = bucketPartitioned(baseAligned
         .join(withB.select(col(keyCol)), Seq(keyCol), "left_anti")
-        .unionByName(withB.select((outCols :+ "__bucket").map(col): _*))
+        .unionByName(inserts), filesPerBucket, touched.size)
       // APPEND-only: stage to a job-scoped dir, move the exact file set in
-      val newFiles = stageAndMove(spark, fs, root, merged)
+      val (newFiles, newStats) =
+        stageAndMove(spark, fs, root, merged, parent.statsCols)
       val files = parent.files.filterNot(f => touched(bucketOf(f))) ++ newFiles
       commitFence()
       try {
         writeManifest(fs, root,
           Manifest(parentV + 1, parentV, files.sorted,
             Some(outSchema.toDDL), txn,
-            parent.layout.orElse(Some((keyCol, nBuckets)))))
+            parent.layout.orElse(Some((keyCol, nBuckets))),
+            parent.statsCols,
+            parent.stats.filterNot(e => touched(bucketOf(e.file))) ++
+              newStats))
         return MergeStats(touched.size, nBuckets, rowsUpserted, parentV + 1,
-          attempt)
+          attempt, rowsDeleted = rowsDeleted)
       } catch {
         case _: LostCommitRace =>
           // someone else committed v{parentV+1}: our merge is stale.
@@ -510,6 +710,90 @@ object Merge {
           if (attempt > maxRetries)
             throw new IllegalStateException(
               s"upsert lost the commit race $attempt times at $path — " +
+              "giving up; retry with less write contention")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Row-level DELETE: remove every current row satisfying `predicate`
+    * (SQL DELETE semantics — rows where the predicate is null are KEPT)
+    * and commit the result as a new version. Copy-on-write at BUCKET
+    * granularity: only buckets that actually hold a matching row are
+    * rewritten; every other file carries over byte-untouched, and older
+    * versions still read the pre-delete rows until [[vacuum]]. This is
+    * the compliance-delete / CDC-delete path the insert-only [[upsert]]
+    * could not express (for key-addressed deletes in a mixed batch, use
+    * `upsert(..., tombstoneCol = ...)` instead).
+    *
+    * `bounds` prunes the FIND scan with the manifest's per-file stats
+    * (when the table records them): a 100 TB "delete last month's rows"
+    * should locate its buckets by reading candidate files only, not the
+    * table. The bounds must be implied by the predicate (rows outside
+    * them are never deleted) — correctness does not depend on them, scan
+    * cost does.
+    *
+    * Same commit protocol as [[upsert]] (staging + exact-file move +
+    * create-if-absent manifest + retry on a lost race), and the same
+    * `txn` replay guard for exactly-once streaming appliers.
+    */
+  def deleteWhere(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column,
+      bounds: Seq[Skipping.Bound] = Seq.empty, maxRetries: Int = 5,
+      txn: Option[(String, Long)] = None,
+      filesPerBucket: Int = 1): MergeStats = {
+    val (fs, root) = fsFor(spark, path)
+    var attempt = 0
+    while (true) {
+      val parentV = currentVersion(spark, path)
+      require(parentV >= 0,
+        s"$path has no version log — write it with writeKeyed first")
+      val nB = readManifestOpt(spark, root, parentV)
+        .flatMap(_.layout).map(_._2).getOrElse(-1)
+      txn.foreach { case (app, batch) =>
+        if (latestTxn(spark, path, app).exists(_ >= batch))
+          return MergeStats(0, nB, 0L, parentV, attempt,
+            skippedDupTxn = true)
+      }
+      val parent = readManifest(spark, root, parentV)
+      val candFiles =
+        if (bounds.isEmpty) parent.files
+        else planVersionFiles(spark, path, parentV, bounds)._1
+      if (candFiles.isEmpty)
+        return MergeStats(0, nB, 0L, parentV, attempt)
+      // one bounded job: buckets holding >= 1 doomed row + the doomed count
+      val hits = versionDf(spark, path, root, parent.copy(files = candFiles))
+        .filter(predicate).groupBy("__bucket")
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))) // <= nBuckets rows
+      if (hits.isEmpty)
+        return MergeStats(0, nB, 0L, parentV, attempt)
+      val touched = hits.map(_._1).toSet
+      val rowsDeleted = hits.map(_._2).sum
+      val parentTouchedFiles = parent.files.filter(f => touched(bucketOf(f)))
+      val keep = bucketPartitioned(versionDf(spark, path, root,
+          parent.copy(files = parentTouchedFiles))
+        .filter(!coalesce(predicate, lit(false))), // null predicate: keep
+        filesPerBucket, touched.size)
+      val (newFiles, newStats) =
+        stageAndMove(spark, fs, root, keep, parent.statsCols)
+      val files = parent.files.filterNot(f => touched(bucketOf(f))) ++ newFiles
+      commitFence()
+      try {
+        writeManifest(fs, root,
+          Manifest(parentV + 1, parentV, files.sorted, parent.dataSchema,
+            txn, parent.layout, parent.statsCols,
+            parent.stats.filterNot(e => touched(bucketOf(e.file))) ++
+              newStats))
+        return MergeStats(touched.size, nB, 0L, parentV + 1, attempt,
+          rowsDeleted = rowsDeleted)
+      } catch {
+        case _: LostCommitRace =>
+          deleteFiles(fs, root, newFiles)
+          attempt += 1
+          if (attempt > maxRetries)
+            throw new IllegalStateException(
+              s"deleteWhere lost the commit race $attempt times at $path — " +
               "giving up; retry with less write contention")
       }
     }
@@ -549,23 +833,21 @@ object Merge {
       val rewriteFiles = toRewrite.values.flatten.toSeq.sorted
       val rows = versionDf(spark, path, root,
         parent.copy(files = rewriteFiles))
-      // hash-repartition ON the bucket column: every bucket's rows land in
-      // exactly one task, so partitionBy emits one file per bucket — the
-      // planned coarse layout. targetFilesPerBucket > 1 adds a row-hash
-      // salt so each bucket splits into that many files.
-      val dataCols = rows.columns.filterNot(_ == "__bucket").map(col).toSeq
-      val repart =
-        if (targetFilesPerBucket == 1) rows.repartition(col("__bucket"))
-        else rows.repartition(col("__bucket"),
-          pmod(xxhash64(dataCols: _*), lit(targetFilesPerBucket.toLong)))
-      val newFiles = stageAndMove(spark, fs, root, repart)
+      // the planned coarse layout: exactly targetFilesPerBucket file(s)
+      // per rewritten bucket ([[bucketPartitioned]])
+      val repart = bucketPartitioned(rows, targetFilesPerBucket,
+        toRewrite.size)
+      val (newFiles, newStats) =
+        stageAndMove(spark, fs, root, repart, parent.statsCols)
       val files = parent.files.filterNot(f => toRewrite.contains(bucketOf(f))) ++
         newFiles
       commitFence()
       try {
         writeManifest(fs, root,
           Manifest(parentV + 1, parentV, files.sorted, parent.dataSchema,
-            layout = parent.layout))
+            layout = parent.layout, statsCols = parent.statsCols,
+            stats = parent.stats.filterNot(e =>
+              toRewrite.contains(bucketOf(e.file))) ++ newStats))
         return CompactStats(parentV + 1, toRewrite.size, parent.files.size,
           files.size)
       } catch {
@@ -603,7 +885,8 @@ object Merge {
     */
   def streamingUpsert(updates: DataFrame, path: String, keyCol: String,
       nBuckets: Int, checkpointLocation: String, appId: String,
-      allowEvolution: Boolean = false)
+      allowEvolution: Boolean = false,
+      tombstoneCol: Option[String] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[
           org.apache.spark.sql.Row] = {
     require(updates.isStreaming, "streamingUpsert needs a streaming frame")
@@ -611,7 +894,8 @@ object Merge {
       .option("checkpointLocation", checkpointLocation)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         upsert(batch.sparkSession, path, batch, keyCol, nBuckets,
-          allowEvolution = allowEvolution, txn = Some((appId, batchId)))
+          allowEvolution = allowEvolution, txn = Some((appId, batchId)),
+          tombstoneCol = tombstoneCol)
         ()
       }
   }

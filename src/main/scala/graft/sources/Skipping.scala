@@ -46,7 +46,7 @@ object Skipping {
   final case class Bound(column: String, lower: Option[Any],
       upper: Option[Any])
 
-  private final case class FileStats(file: String, col: String,
+  private[sources] final case class FileStats(file: String, col: String,
       min: Option[String], max: Option[String])
 
   private def statsPath(root: Path) = new Path(
@@ -63,7 +63,7 @@ object Skipping {
     }
 
   /** Serialize one typed min/max value to its exact string form. */
-  private def encode(v: Any): String = v match {
+  private[sources] def encode(v: Any): String = v match {
     case null                     => null
     case t: java.sql.Timestamp    =>
       (t.getTime / 1000L * 1000000L + t.getNanos / 1000L).toString
@@ -85,7 +85,7 @@ object Skipping {
     * `dt` (BigDecimal for numerics, micros for timestamps, days for
     * dates, raw string for strings).
     */
-  private def boundKey(dt: DataType, v: Any): Any = (dt, v) match {
+  private[sources] def boundKey(dt: DataType, v: Any): Any = (dt, v) match {
     case (_: TimestampType, t: java.sql.Timestamp) =>
       t.getTime / 1000L * 1000000L + t.getNanos / 1000L
     case (_: TimestampType, s: String) =>
@@ -111,7 +111,7 @@ object Skipping {
   }
 
   /** Parse a stored stats string into the same comparison domain. */
-  private def statKey(dt: DataType, s: String): Any = dt match {
+  private[sources] def statKey(dt: DataType, s: String): Any = dt match {
     case _: TimestampType | TimestampNTZType | _: DateType => s.toLong
     case _: StringType                  => s
     case t if isNumeric(t)              => new java.math.BigDecimal(s)
@@ -137,7 +137,7 @@ object Skipping {
   /** The residual predicate a bound stands for (applied after pruning so
     * semantics equal a full-table filter regardless of index quality).
     */
-  private def residual(dt: DataType, b: Bound): Column = {
+  private[sources] def residual(dt: DataType, b: Bound): Column = {
     def litOf(v: Any): Column = (dt, v) match {
       case (_: TimestampType, s: String) =>
         val norm = if (s.contains(" ") || s.contains("T")) s.replace('T', ' ')
@@ -246,6 +246,30 @@ object Skipping {
     }
   }
 
+  /** The conservative pruning decision for ONE file: can it contain a row
+    * satisfying every bound, given its recorded per-column stats? Shared
+    * with [[Merge]]'s manifest-level skipping so both prune identically:
+    * a column with no stats never prunes; an all-null column always does
+    * (interval bounds never match null); otherwise keep iff the recorded
+    * [min, max] intersects every bound interval.
+    */
+  private[sources] def survives(schema: StructType,
+      colStats: Map[String, FileStats], bounds: Seq[Bound]): Boolean =
+    bounds.forall { b =>
+      val dt = schema(b.column).dataType
+      colStats.get(b.column) match {
+        case None => true // no stats recorded for this file/column: keep
+        case Some(s) => (s.min, s.max) match {
+          case (None, _) | (_, None) => false // all-null column: no
+            // non-null value can satisfy an interval bound
+          case (Some(mn), Some(mx)) =>
+            val (lo, hi) = (statKey(dt, mn), statKey(dt, mx))
+            b.lower.forall(v => lte(boundKey(dt, v), hi)) &&
+              b.upper.forall(v => lte(lo, boundKey(dt, v)))
+        }
+      }
+    }
+
   /** The files of `path` that can contain rows satisfying every bound,
     * plus the total file count — the planning decision, exposed so
     * callers (and specs) can assert the index actually pruned.
@@ -266,22 +290,8 @@ object Skipping {
       s"bound column ${b.column} not in ${schema.fieldNames.mkString(", ")}"))
     val stats = statEntries
       .groupBy(_.file).view.mapValues(_.map(s => s.col -> s).toMap).toMap
-    val selected = all.filter { f =>
-      bounds.forall { b =>
-        val dt = schema(b.column).dataType
-        stats.get(f).flatMap(_.get(b.column)) match {
-          case None => true // no stats recorded for this file/column: keep
-          case Some(s) => (s.min, s.max) match {
-            case (None, _) | (_, None) => false // all-null column: no
-              // non-null value can satisfy an interval bound
-            case (Some(mn), Some(mx)) =>
-              val (lo, hi) = (statKey(dt, mn), statKey(dt, mx))
-              b.lower.forall(v => lte(boundKey(dt, v), hi)) &&
-                b.upper.forall(v => lte(lo, boundKey(dt, v)))
-          }
-        }
-      }
-    }
+    val selected = all.filter(f =>
+      survives(schema, stats.getOrElse(f, Map.empty), bounds))
     (selected, all.size)
   }
 

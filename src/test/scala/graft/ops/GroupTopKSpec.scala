@@ -74,4 +74,36 @@ class GroupTopKSpec extends SparkSpec {
     assert(got.filter(col("id") === 1L).count() == 2,
       "interchangeable duplicates must fill both slots")
   }
+
+  test("idCol mode: wide payload never enters the prune buffer; result " +
+      "equals the window form; survivors re-join broadcast") {
+    val payload = "x" * 10000
+    val wide = rows.map { case (id, g, sc, lb) => (id, g, sc, lb, payload) }
+      .toDF("id", "grp", "score", "label", "payload").repartition(9)
+    val got = GroupTopK.topKPerGroup(wide, Seq("grp"), "score", 3,
+      tieCols = Seq("id"), idCol = Some("id"))
+    // identical rows to the plain-window form over the wide table
+    val dirW = Window.partitionBy("grp")
+      .orderBy(col("score").desc_nulls_last, col("id").asc)
+    val want = wide.withColumn("rank", row_number().over(dirW))
+      .filter(col("rank") <= 3)
+      .orderBy("grp", "rank").collect()
+    assert(got.orderBy("grp", "rank").collect().sameElements(want))
+    // the full rows come back via a BROADCAST semi-join of the bounded
+    // survivor-id set — the wide table is scanned, never shuffled
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"expected a broadcast left-semi survivor fetch:\n$plan")
+    // the prune itself runs on the PROJECTED view: a few scalars per
+    // row, independent of payload width — the buffered schema is the
+    // narrow one
+    val narrow = wide.select("grp", "score", "id")
+    val pruned = GroupTopK.localPrune(narrow, Seq("grp"), "score", 3,
+      asc = false, Seq("id"))
+    assert(pruned.schema.fieldNames.toSeq == Seq("grp", "score", "id"),
+      "prune buffer must hold only group/order/tie/id columns")
+    assert(!got.queryExecution.analyzed.toString.linesIterator
+      .exists(l => l.contains("MapPartitions") && l.contains("payload")),
+      "the payload column must not flow through the mapPartitions prune")
+  }
 }

@@ -492,6 +492,44 @@ class SimilaritySpec extends SparkSpec {
       s"query-time scan must not read the float column:\n$scans")
   }
 
+  test("IvfPq append: delta encoded under frozen quantizers, existing " +
+      "code files untouched, appended copy found top-1") {
+    val pts = Seq(
+      (1L, vec(1, 0, 1, 0)), (2L, vec(0.9, 0, 0.9, 0)),
+      (3L, vec(0, 1, 0, 1)), (4L, vec(0, 0.9, 0, 0.9)))
+      .toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_app").toString
+    Similarity.IvfPq.save(Similarity.IvfPq.build(pts, "vec_id", "embedding",
+      dim = 4, cells = 2, m = 2, kSub = 4, sampleN = 100, iters = 5), path)
+    val (centsBefore, pqBefore) = Similarity.IvfPq.loadModels(spark, path)
+    def codeFiles(): Map[String, Long] = {
+      val d = new java.io.File(s"$path/codes")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(d).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+    }
+    val before = codeFiles()
+    // append an exact copy of vector 1 (id 10), post-build
+    Similarity.IvfPq.append(Seq((10L, vec(1, 0, 1, 0)))
+      .toDF("vec_id", "embedding"), "vec_id", "embedding", path)
+    val after = codeFiles()
+    assert(before.keySet.subsetOf(after.keySet) &&
+      before.forall { case (f, m) => after(f) == m },
+      "append must only ADD files — never rewrite or remove existing codes")
+    assert(after.size > before.size, "the delta must land in new files")
+    // models are frozen: append trains nothing
+    val (centsAfter, pqAfter) = Similarity.IvfPq.loadModels(spark, path)
+    assert(centsAfter.map(_.toSeq).toSeq == centsBefore.map(_.toSeq).toSeq)
+    assert(pqAfter.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      pqBefore.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    // the appended copy is reachable with the provable top-1 floor
+    val top = Similarity.IvfPq.topKPersisted(spark, path,
+      pts.filter($"vec_id" === 1L), "vec_id", "embedding", k = 1, nProbe = 1)
+      .select("neighbor_id").as[Long].head()
+    assert(top == 10L, "appended exact copy must rank top-1")
+  }
+
   test("IvfPq refine: full probe + full refine equals brute force " +
       "exactly; shortlist fetch broadcasts, corpus never shuffles") {
     val pts = (0L until 24L).map { i =>

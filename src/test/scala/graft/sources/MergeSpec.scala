@@ -129,11 +129,14 @@ class MergeSpec extends SparkSpec {
     val path = freshDir("compact")
     val base = (0L until 200L).map(i => (i, i * 1.0)).toDF("id", "x")
     Merge.writeKeyed(base, path, "id", nBuckets = 4)
-    // three upserts touching every bucket: bucket dirs accumulate files
+    // three scale-style upserts (filesPerBucket = 3: parallel bucket
+    // writes): the live version accumulates multiple files per bucket —
+    // the state compaction re-coarsens
     (1 to 3).foreach { r =>
       val batch = (0L until 40L).map(i => (i * 5, i * 5 + r * 0.1))
         .toDF("id", "x")
-      Merge.upsert(spark, path, batch, "id", nBuckets = 4)
+      Merge.upsert(spark, path, batch, "id", nBuckets = 4,
+        filesPerBucket = 3)
     }
     val expected = Merge.readKeyed(spark, path).orderBy("id").collect()
     val vBefore = Merge.currentVersion(spark, path)
@@ -387,5 +390,104 @@ class MergeSpec extends SparkSpec {
       "replayed batches must hit the txn watermark and change nothing")
     assert(Merge.readKeyed(spark, path).orderBy("id").collect()
       .sameElements(after))
+  }
+
+  test("tombstone upsert: one commit applies updates, inserts, deletes") {
+    val path = freshDir("tomb")
+    val base = (0L until 100L).map(i => (i, i * 10.0)).toDF("id", "score")
+    Merge.writeKeyed(base, path, "id", nBuckets = 8)
+    val batch = Seq(
+      (7L, 777.0, false),   // update
+      (200L, 1.0, false),   // insert
+      (3L, 0.0, true),      // delete (payload ignored)
+      (9L, 0.0, true))      // delete
+      .toDF("id", "score", "__del")
+    val st = Merge.upsert(spark, path, batch, "id", nBuckets = 8,
+      tombstoneCol = Some("__del"))
+    assert(st.rowsUpserted == 2 && st.rowsDeleted == 2)
+    val out = Merge.readKeyed(spark, path)
+    assert(out.count() == 99) // 100 - 2 deleted + 1 insert
+    assert(out.filter($"id".isin(3L, 9L)).count() == 0)
+    assert(out.filter($"id" === 7L).select("score").as[Double].head()
+      == 777.0)
+    assert(out.columns.toSeq == Seq("id", "score"),
+      "the tombstone marker must never enter the table schema")
+    // v0 still has the deleted rows — deletes are copy-on-write too
+    assert(Merge.readVersion(spark, path, 0).filter($"id" === 3L)
+      .count() == 1)
+  }
+
+  test("deleteWhere: bucket-granular rewrite, null predicate keeps rows") {
+    val path = freshDir("delw")
+    // value v is null for id 50 — SQL DELETE keeps null-predicate rows
+    val base = (0L until 200L)
+      .map(i => (i, if (i == 50) null else s"g${i % 5}"))
+      .toDF("id", "v")
+    Merge.writeKeyed(base, path, "id", nBuckets = 16)
+    val before = bucketFiles(path)
+    // delete one single key's rows via a data-column predicate
+    val st = Merge.deleteWhere(spark, path, $"v" === "g0" && $"id" < 5L)
+    assert(st.rowsDeleted == 1 && st.bucketsTouched == 1) // only id 0
+    val after = bucketFiles(path)
+    val touched = after.keys.filter(k => before(k) != after(k))
+    assert(touched.size == 1,
+      s"exactly one bucket dir may change, got $touched")
+    val out = Merge.readKeyed(spark, path)
+    assert(out.count() == 199)
+    assert(out.filter($"id" === 50L).count() == 1,
+      "null-predicate rows are KEPT (SQL DELETE semantics)")
+    // v1 parent intact for time travel
+    assert(Merge.readVersion(spark, path, 0).count() == 200)
+  }
+
+  test("manifest stats: recorded at writeKeyed, carried over commits, " +
+      "pruned reads stay exact") {
+    val path = freshDir("stats")
+    val base = (0L until 400L).map(i => (i, i % 97, s"r$i"))
+      .toDF("id", "ts", "v")
+    Merge.writeKeyed(base, path, "id", nBuckets = 8,
+      statsCols = Seq("ts"))
+    // commit 1: an update (stats recomputed for its rewritten bucket)
+    Merge.upsert(spark, path, Seq((3L, 3L, "r3b")).toDF("id", "ts", "v"),
+      "id", nBuckets = 8)
+    // commit 2: inserts with out-of-band ts values 1000..1009
+    Merge.upsert(spark, path,
+      (1000L until 1010L).map(i => (i, i, s"n$i")).toDF("id", "ts", "v"),
+      "id", nBuckets = 8)
+    val bounds = Seq(Skipping.Bound("ts", Some(1000L), None))
+    val v = Merge.currentVersion(spark, path)
+    val (sel, total) = Merge.planVersionFiles(spark, path, v, bounds)
+    assert(sel.nonEmpty && sel.size < total,
+      s"stats must prune the old-ts files, planned ${sel.size}/$total")
+    val out = Merge.readKeyedSkipping(spark, path, bounds)
+    assert(out.count() == 10)
+    assert(out.columns.toSeq == Seq("id", "ts", "v"))
+    // pruned read ≡ full read + filter (the residual guarantee)
+    val full = Merge.readKeyed(spark, path).filter($"ts" >= 1000L)
+      .orderBy("id").collect()
+    assert(out.orderBy("id").collect().sameElements(full))
+    // deleteWhere with implied bounds prunes its find scan AND keeps
+    // stats consistent afterwards
+    val st = Merge.deleteWhere(spark, path, $"ts" >= 1005L,
+      bounds = Seq(Skipping.Bound("ts", Some(1005L), None)))
+    assert(st.rowsDeleted == 5)
+    assert(Merge.readKeyedSkipping(spark, path, bounds).count() == 5)
+    // compaction rewrites multi-file buckets and recomputes their stats
+    Merge.compactVersion(spark, path)
+    val v2 = Merge.currentVersion(spark, path)
+    val (sel2, total2) = Merge.planVersionFiles(spark, path, v2, bounds)
+    assert(sel2.nonEmpty && sel2.size < total2,
+      s"post-compaction stats must still prune, planned ${sel2.size}/$total2")
+    assert(Merge.readKeyedSkipping(spark, path, bounds).count() == 5)
+  }
+
+  test("stats on a table without statsCols: no pruning, reads still work") {
+    val path = freshDir("nostats")
+    Merge.writeKeyed((0L until 50L).map(i => (i, i)).toDF("id", "ts"),
+      path, "id", nBuckets = 4)
+    val bounds = Seq(Skipping.Bound("ts", Some(40L), None))
+    val (sel, total) = Merge.planVersionFiles(spark, path, 0L, bounds)
+    assert(sel.size == total, "no stats: conservative keep-everything")
+    assert(Merge.readKeyedSkipping(spark, path, bounds).count() == 10)
   }
 }

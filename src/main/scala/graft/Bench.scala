@@ -20,26 +20,58 @@ object Bench {
     // not a per-query property of the engine).
     try {
       spark.range(1000).selectExpr("sum(id)").collect()
-      SparkEntry.queries.foreach { case (_, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
         try fn(spark, sfDir).count() catch { case _: Throwable => }
       }
     } catch { case _: Throwable => }
-    // two timed passes, best per query: single-run numbers on a shared box
-    // carry GC/scheduler noise; the min is the steady-state capability
-    def timedPass(): Map[String, Double] = SparkEntry.queries.map {
-      case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+    // SELF-CALIBRATION anchor: a fixed synthetic aggregate+join (pure
+    // spark.range — no data dependency, no disk) timed in this same JVM.
+    // Cross-round bench comparisons divide by it to cancel box-speed
+    // drift — round 6's "1.43x regression" was environment, and proving
+    // that took two controlled re-runs; this makes the harness answer it.
+    def anchorOnce(): Double = {
+      val t0 = System.nanoTime()
+      val fact = spark.range(0L, 20000000L, 1L, 32)
+        .selectExpr("id % 100000 AS k", "(id * 2654435761) % 1000 AS v")
+      val dim = spark.range(0L, 100000L, 1L, 8)
+        .selectExpr("id AS k", "id % 7 AS w")
+      fact.join(dim, "k")
+        .selectExpr("k % 1024 AS g", "v * w AS x")
+        .groupBy("g").sum("x").count()
+      (System.nanoTime() - t0) / 1e9
     }
+    anchorOnce() // warm the anchor's own codegen before timing it
+    // two timed passes, best per query: single-run numbers on a shared box
+    // carry GC/scheduler noise; the min is the steady-state capability.
+    // SORTED execution order: the map's hash order shifts whenever a gate
+    // is added, silently changing every query's predecessor (GC and page-
+    // cache state) — round 6's two phantom "regressions" were exactly
+    // that. Name order is stable across rounds, so per-query comparisons
+    // stay like-for-like.
+    def timedPass(): Map[String, Double] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map {
+        case (name, fn) =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+    val a1 = anchorOnce()
     val p1 = timedPass()
+    val a2 = anchorOnce()
     val p2 = timedPass()
+    val anchor = math.min(a1, a2)
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4 decimals (0.1 ms): full doubles balloon the line past consumer
+    // truncation limits (round 6 lost 103 of 169 timings that way)
+    def fmt(v: Double): String = "%.4f".format(v)
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""anchor_sec":${fmt(anchor)},"n_queries":${results.size},""" +
+        s""""queries":$qs,"sf":"$sfDir"}"""
     spark.stop()
     // emit AFTER spark.stop() on stdout, stderr, and a file: the consumer
     // greps one JSON line out of sbt+log4j noise, so redundancy is cheap

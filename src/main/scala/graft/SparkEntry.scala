@@ -24,6 +24,28 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Per-process scratch root for gates that REBUILD their tables every
+    * run (merge/stream/cdc/incremental/...). Uniquified per JVM so two
+    * concurrent harness runs can never corrupt each other's tables or
+    * checkpoints; a shutdown hook removes the whole tree (the gates'
+    * DataFrames are fully drained by then — Verify/Bench consume them
+    * before the JVM exits). Content-stamped CACHE dirs (q_clustered,
+    * q_skipping, the persisted ANN indexes) intentionally stay shared:
+    * they are build-once-read-many across runs.
+    */
+  private lazy val scratchRoot: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_run_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(f =>
+          try java.nio.file.Files.deleteIfExists(f)
+          catch { case _: Throwable => () })
+      catch { case _: Throwable => () }
+    }))
+    p.toFile.getAbsolutePath
+  }
+
   /** Run `body` with `spark.sql.shuffle.partitions` temporarily lowered and
     * trailing no-data micro-batches disabled. For the authored micro-batch
     * LIFECYCLE gates (a dozen rows over 3-4 triggers): stateful streaming
@@ -860,7 +882,7 @@ object SparkEntry {
       // merge semantics in SQL. Rebuilt fresh every run — the gate must
       // re-exercise the write path, not a cache.
       val dec = (c: String) => col(c).cast("decimal(18,2)")
-      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      val path = new java.io.File(scratchRoot,
         s"graft_merge_${new java.io.File(dir).getName}").getAbsolutePath
       val part = t(s, dir, "part")
       graft.sources.Merge.writeKeyed(part, path, "p_partkey", nBuckets = 16)
@@ -884,7 +906,7 @@ object SparkEntry {
       // the version log. Rebuilt fresh every run (the manifest commit
       // path must be exercised, not a cache).
       val dec = (c: String) => col(c).cast("decimal(18,2)")
-      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      val path = new java.io.File(scratchRoot,
         s"graft_merge_v_${new java.io.File(dir).getName}").getAbsolutePath
       val part = t(s, dir, "part")
       graft.sources.Merge.writeKeyed(part, path, "p_partkey", nBuckets = 16)
@@ -911,11 +933,14 @@ object SparkEntry {
       // the three upserts (last writer wins per key). File-count and
       // old-version-readability contracts are pinned in MergeSpec.
       val dec = (c: String) => col(c).cast("decimal(18,2)")
-      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      val path = new java.io.File(scratchRoot,
         s"graft_merge_c_${new java.io.File(dir).getName}").getAbsolutePath
       val part = t(s, dir, "part")
         .select("p_partkey", "p_brand", "p_retailprice")
       graft.sources.Merge.writeKeyed(part, path, "p_partkey", nBuckets = 8)
+      // filesPerBucket = 2 mimics the scale layout (parallel bucket
+      // writes) so the live version genuinely accumulates multi-file
+      // buckets for compaction to re-coarsen
       Seq(("7", "1.1"), ("11", "1.2"), ("13", "1.3")).foreach {
         case (mod, factor) =>
           val batch = part.filter(col("p_partkey") % mod.toInt === 0)
@@ -923,7 +948,7 @@ object SparkEntry {
               round(dec("p_retailprice") * lit(factor.toDouble)
                 .cast("decimal(2,1)"), 2).cast("double"))
           graft.sources.Merge.upsert(s, path, batch, "p_partkey",
-            nBuckets = 8)
+            nBuckets = 8, filesPerBucket = 2)
       }
       val stats = graft.sources.Merge.compactVersion(s, path)
       require(stats.bucketsRewritten > 0 && stats.filesAfter == 8,
@@ -947,7 +972,7 @@ object SparkEntry {
       import scala.concurrent.duration._
       import scala.concurrent.ExecutionContext.Implicits.global
       val dec = (c: String) => col(c).cast("decimal(18,2)")
-      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      val path = new java.io.File(scratchRoot,
         s"graft_merge_cc_${new java.io.File(dir).getName}").getAbsolutePath
       val part = t(s, dir, "part")
         .select("p_partkey", "p_brand", "p_retailprice")
@@ -979,7 +1004,7 @@ object SparkEntry {
       // (null-aligned on the missing column). Output = evolved table +
       // change classification per key.
       val dec = (c: String) => col(c).cast("decimal(18,2)")
-      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      val path = new java.io.File(scratchRoot,
         s"graft_merge_e_${new java.io.File(dir).getName}").getAbsolutePath
       val part = t(s, dir, "part")
         .select("p_partkey", "p_brand", "p_retailprice")
@@ -1009,7 +1034,7 @@ object SparkEntry {
       // one base, one in a bucket that exists but without the key) union
       // to the oracle's IN-list read.
       val dec = (c: String) => col(c).cast("decimal(18,2)")
-      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      val path = new java.io.File(scratchRoot,
         s"graft_merge_l_${new java.io.File(dir).getName}").getAbsolutePath
       val part = t(s, dir, "part")
         .select("p_partkey", "p_brand", "p_retailprice")
@@ -1028,6 +1053,86 @@ object SparkEntry {
         s"of $total files)"))
       lookups.reduce(_ unionByName _).orderBy("p_partkey")
     }),
+    "q_merge_skipping" -> ((s, dir) => {
+      // MANIFEST-LEVEL DATA SKIPPING ON THE VERSIONED TABLE: writeKeyed
+      // with statsCols records per-file o_orderdate min/max in every
+      // manifest; two commits later (a price-bump update with old dates,
+      // then an insert batch carrying only 1997+ dates) a bounded read
+      // consults v2's manifest alone and plans a STRICT SUBSET of the
+      // files (required in-gate) — the untouched old-date buckets are
+      // never listed or opened. The residual filter then makes the
+      // result identical to filtering the full table, which is what the
+      // oracle runs. This is the Delta/Iceberg file-stats feature
+      // composed with the version log; stats carry-over across commits
+      // is pinned in MergeSpec.
+      import graft.sources.{Merge, Skipping}
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      val path = new java.io.File(scratchRoot,
+        s"graft_merge_s_${new java.io.File(dir).getName}").getAbsolutePath
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice",
+          "o_orderdate")
+      val base = orders.filter(col("o_orderdate") < lit("1996-01-01"))
+      Merge.writeKeyed(base, path, "o_orderkey", nBuckets = 64,
+        statsCols = Seq("o_orderdate"))
+      // commit 1: update — old dates only; its rewritten files still
+      // prune under a 1997 bound (stats recomputed per new file)
+      Merge.upsert(s, path,
+        base.filter(col("o_orderkey") % 100 === 1)
+          .withColumn("o_totalprice",
+            round(dec("o_totalprice") * lit(1.1).cast("decimal(2,1)"), 2)
+              .cast("double")),
+        "o_orderkey", nBuckets = 64)
+      // commit 2: insert — disjoint keys, 1997+ dates, few buckets
+      Merge.upsert(s, path,
+        orders.filter(col("o_orderdate") >= lit("1997-01-01") &&
+          col("o_orderkey") % 200 === 0),
+        "o_orderkey", nBuckets = 64)
+      val bounds = Seq(Skipping.Bound("o_orderdate",
+        Some("1997-01-01"), Some("1997-12-31 23:59:59")))
+      val v = Merge.currentVersion(s, path)
+      val (sel, total) = Merge.planVersionFiles(s, path, v, bounds)
+      require(sel.size < total,
+        s"manifest stats must prune files, planned ${sel.size}/$total")
+      Merge.readKeyedSkipping(s, path, bounds)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(dec("o_totalprice")).cast("double").as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+    "q_merge_delete" -> ((s, dir) => {
+      // ROW-LEVEL DELETE on the versioned table, both shapes in one
+      // lineage: (1) merge-with-delete — one upsert batch carrying a
+      // boolean tombstone column applies price updates (%10=1) and key
+      // deletes (%10=2) in a single commit; (2) predicate delete —
+      // deleteWhere removes every Brand#13 row, rewriting only buckets
+      // that hold one (copy-on-write; v1 still reads the pre-delete
+      // rows). Final table ≡ the oracle's sequential UPDATE + DELETE
+      // replay; retention of old versions + bucket granularity are
+      // pinned in MergeSpec.
+      import graft.sources.Merge
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      val path = new java.io.File(scratchRoot,
+        s"graft_merge_d_${new java.io.File(dir).getName}").getAbsolutePath
+      val part = t(s, dir, "part")
+        .select("p_partkey", "p_brand", "p_retailprice")
+      Merge.writeKeyed(part, path, "p_partkey", nBuckets = 16)
+      val batch = part.filter(col("p_partkey") % 10 === 1)
+        .withColumn("p_retailprice",
+          round(dec("p_retailprice") * lit(1.1).cast("decimal(2,1)"), 2)
+            .cast("double"))
+        .withColumn("__del", lit(false))
+        .unionByName(part.filter(col("p_partkey") % 10 === 2)
+          .withColumn("__del", lit(true)))
+      val st = Merge.upsert(s, path, batch, "p_partkey", nBuckets = 16,
+        tombstoneCol = Some("__del"))
+      require(st.rowsDeleted > 0, s"tombstones must delete rows, got $st")
+      val dl = Merge.deleteWhere(s, path, col("p_brand") === "Brand#13")
+      require(dl.rowsDeleted > 0, s"predicate delete removed nothing: $dl")
+      Merge.readKeyed(s, path)
+        .select("p_partkey", "p_brand", "p_retailprice")
+        .orderBy("p_partkey")
+    }),
     "q_stream_upsert" -> ((s, dir) => {
       // EXACTLY-ONCE STREAMING SINK into the versioned lakehouse: three
       // authored micro-batches of price bumps + inserts stream through
@@ -1042,7 +1147,7 @@ object SparkEntry {
       import org.apache.spark.sql.streaming.Trigger
       val dec = (c: String) => col(c).cast("decimal(18,2)")
       val sfName = new java.io.File(dir).getName
-      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+      val base = Paths.get(scratchRoot,
         s"graft_stream_upsert_$sfName")
       def rmTree(p: java.nio.file.Path): Unit =
         if (Files.exists(p)) {
@@ -1106,9 +1211,9 @@ object SparkEntry {
       // the from-scratch aggregate over v1 — never rescanning v0's
       // unchanged rows. Rebuilt fresh every run.
       val dec = (c: String) => col(c).cast("decimal(18,2)")
-      val tbl = new java.io.File(System.getProperty("java.io.tmpdir"),
+      val tbl = new java.io.File(scratchRoot,
         s"graft_cdc_tbl_${new java.io.File(dir).getName}").getAbsolutePath
-      val st = new java.io.File(System.getProperty("java.io.tmpdir"),
+      val st = new java.io.File(scratchRoot,
         s"graft_cdc_state_${new java.io.File(dir).getName}").getAbsolutePath
       val part = t(s, dir, "part")
         .select("p_partkey", "p_brand", "p_retailprice")
@@ -1312,7 +1417,7 @@ object SparkEntry {
       // is the from-scratch aggregation over everything: incremental ==
       // full recompute, exactly. Rebuilt fresh every run (the gate must
       // exercise the merge path, not a cached table).
-      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      val path = new java.io.File(scratchRoot,
         s"graft_incr_${new java.io.File(dir).getName}").getAbsolutePath
       val cut1 = 1704844800L * 1000000000L // 2024-01-10 UTC, nanos
       val cut2 = 1705708800L * 1000000000L // 2024-01-20 UTC, nanos
@@ -1336,7 +1441,7 @@ object SparkEntry {
       // min/max get flagged and repaired from the net table (a left-semi
       // prune of only the flagged groups). Oracle: from-scratch over the
       // NET data. Rebuilt fresh every run.
-      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      val path = new java.io.File(scratchRoot,
         s"graft_incr_ret_${new java.io.File(dir).getName}").getAbsolutePath
       val cut1 = 1704844800L * 1000000000L // 2024-01-10 UTC, nanos
       val e = t(s, dir, "events").select("user_id", "event_type", "ts",
@@ -1364,7 +1469,7 @@ object SparkEntry {
       // from-scratch aggregation over everything.
       import java.nio.file.{Files, Paths, StandardCopyOption}
       val sfName = new java.io.File(dir).getName
-      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+      val base = Paths.get(scratchRoot,
         s"graft_stream_incr_$sfName")
       val inDir = base.resolve("in")
       val statePath = base.resolve("state").toString
@@ -1425,7 +1530,7 @@ object SparkEntry {
       // from-scratch over the net data (same as q_incremental_retract).
       import java.nio.file.{Files, Paths, StandardCopyOption}
       val sfName = new java.io.File(dir).getName
-      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+      val base = Paths.get(scratchRoot,
         s"graft_stream_retr_$sfName")
       val inDir = base.resolve("in")
       val statePath = base.resolve("state").toString
@@ -1491,7 +1596,7 @@ object SparkEntry {
       import java.nio.file.{Files, Paths, StandardCopyOption}
       import org.apache.spark.sql.streaming.Trigger
       val sfName = new java.io.File(dir).getName
-      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+      val base = Paths.get(scratchRoot,
         s"graft_stream_restart_$sfName")
       val inDir = base.resolve("in")
       val outDir = base.resolve("out").toString
@@ -2277,6 +2382,37 @@ object SparkEntry {
         .select("query_id", "neighbor_id", "rank")
         .orderBy("query_id")
     }),
+    "q_ann_append" -> ((s, dir) => {
+      // INCREMENTAL INDEX MAINTENANCE: the persisted IVF-PQ index is
+      // built WITHOUT the planted copies; append() then encodes them
+      // under the FROZEN quantizers into new cell files — work ∝ the
+      // delta, the existing corpus never re-read or re-encoded
+      // (required in-gate: code-table row count grows by exactly the
+      // delta). The probe must find each post-build copy as top-1:
+      // frozen-centroid assignment lands the copy in its query's own
+      // (always-probed) cell, and identical codes attain the ADC
+      // minimum — the provable-recall floor holds THROUGH the append
+      // path. Rebuilt fresh every run (save() overwrites), so append is
+      // exercised, not a cache.
+      val emb = t(s, dir, "embeddings")
+      val planted = emb.filter(col("vec_id") < 10)
+        .withColumn("vec_id", col("vec_id") + lit(1000000L))
+      val path = new java.io.File(scratchRoot,
+        s"graft_ann_append_${new java.io.File(dir).getName}")
+        .getAbsolutePath
+      Similarity.IvfPq.save(Similarity.IvfPq.build(emb,
+        "vec_id", "embedding", dim = 64, cells = 8, m = 8, kSub = 64),
+        path)
+      val before = s.read.parquet(s"$path/codes").count()
+      Similarity.IvfPq.append(planted, "vec_id", "embedding", path)
+      val after = s.read.parquet(s"$path/codes").count()
+      require(after == before + 10,
+        s"append must add exactly the delta ($before -> $after)")
+      Similarity.IvfPq.topKPersisted(s, path, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 1, nProbe = 2)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id")
+    }),
     "q_kmeans" -> ((s, dir) => {
       // distributed Lloyd's k-means over the embedding corpus: 2
       // assignment passes, seeds = vectors of vec_id 0..3, argmin ties
@@ -2428,7 +2564,7 @@ object SparkEntry {
       cat.filterQuery("spark docs",
         Seq(LogicalOp.KeywordFilter(Seq("text"), Seq("spark"), "and", "contains")))
       val path = new java.io.File(
-        System.getProperty("java.io.tmpdir"),
+        scratchRoot,
         s"graft_cube_${new java.io.File(dir).getName}").getAbsolutePath
       graft.cube.CatalogStore.save(cat, path)
       val fresh = graft.cube.CatalogStore.load(s, docs, path, oracle)
@@ -2443,7 +2579,7 @@ object SparkEntry {
       // against the parquet oracle: any loss in the JSON round-trip or the
       // all-text view breaks the hash
       val out = new java.io.File(
-        System.getProperty("java.io.tmpdir"),
+        scratchRoot,
         s"graft_json_rt_${new java.io.File(dir).getName}").getAbsolutePath
       val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
       graft.sources.JsonSource.writeJson(docs, out)
@@ -2459,7 +2595,7 @@ object SparkEntry {
       // corrupt rows carry their raw text in _corrupt (never dropped,
       // never fatal), and the gate counts both streams per lang
       val f = new java.io.File(
-        System.getProperty("java.io.tmpdir"),
+        scratchRoot,
         s"graft_json_corrupt_${new java.io.File(dir).getName}.json")
       java.nio.file.Files.writeString(f.toPath, Seq(
         """{"doc_id": 1, "lang": "en"}""",
@@ -2485,7 +2621,7 @@ object SparkEntry {
       // schema (no inference drift), then the same aggregation contract
       // as the JSON round-trip — any quoting/typing loss breaks the hash
       val out = new java.io.File(
-        System.getProperty("java.io.tmpdir"),
+        scratchRoot,
         s"graft_csv_rt_${new java.io.File(dir).getName}").getAbsolutePath
       val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
       docs.write.mode("overwrite").option("header", "true").csv(out)
@@ -2504,7 +2640,7 @@ object SparkEntry {
       // per-sf file name: concurrent gate runs across sf dirs must not
       // race on one shared tmp path
       val f = new java.io.File(
-        System.getProperty("java.io.tmpdir"),
+        scratchRoot,
         s"graft_region_array_${new java.io.File(dir).getName}.json")
       java.nio.file.Files.writeString(f.toPath,
         rows.mkString("[\n", ",\n", "\n]"))
@@ -2571,6 +2707,21 @@ object SparkEntry {
                WHERE multi_contains(text, array('spark', 'join'), 'all')
                ORDER BY doc_id""")
     }),
+    "q_sql_pipeline" -> ((s, dir) => {
+      // the SQL-ONLY pipeline surface: a spark.sql session reaches token
+      // counting, quality scoring, content fingerprinting, and the
+      // deterministic md5 split bucket through the GraftExtensions-
+      // registered functions. Each SQL builder DELEGATES to the same
+      // Column kernel the DataFrame API runs (via the Column bridge), so
+      // this gate pins SQL ≡ Scala ≡ DuckDB in one hash.
+      t(s, dir, "documents").createOrReplaceTempView("__docs_sql")
+      s.sql("""SELECT doc_id,
+                      graft_token_count(text) AS n_tokens,
+                      graft_quality_score(text) AS quality,
+                      graft_fingerprint(text) AS fingerprint,
+                      graft_hash_bucket(doc_id, 'graft') AS bucket
+               FROM __docs_sql ORDER BY doc_id""")
+    }),
     // ---- streaming-shape operators on batch input (SURVEY §2f ext) -----
     "q_stream_dedup" -> ((s, dir) => {
       // REAL Structured Streaming execution: a file-source stream over the
@@ -2599,7 +2750,7 @@ object SparkEntry {
       // show); user 2's in-window duplicate is suppressed. The oracle is
       // the authored expectation (VALUES), exact by construction.
       import java.nio.file.{Files, Paths}
-      val in = Paths.get(System.getProperty("java.io.tmpdir"),
+      val in = Paths.get(scratchRoot,
         s"graft_wm_dedup_${new java.io.File(dir).getName}", "in")
       Files.createDirectories(in)
       def row(u: Long, minutes: Long): String =
@@ -2689,7 +2840,7 @@ object SparkEntry {
       // never matches -> null row flushed in batch 3; everyone else
       // matches inside their own batch.
       import java.nio.file.{Files, Paths}
-      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+      val base = Paths.get(scratchRoot,
         s"graft_sj_outer_${new java.io.File(dir).getName}")
       val cDir = base.resolve("clicks"); val pDir = base.resolve("purchases")
       Files.createDirectories(cDir); Files.createDirectories(pDir)
@@ -3328,6 +3479,38 @@ object SparkEntry {
                              * CAST(1.5 AS DECIMAL(2,1)), 2) AS DOUBLE)
                 ELSE p_retailprice END AS p_retailprice
          FROM part WHERE p_partkey IN (1, 2, 42)
+         ORDER BY p_partkey""",
+    // pruned+residual read of the versioned table ≡ filtering its full
+    // logical rows: base (<1996, price bumps excluded by the date bound)
+    // plus the inserted 1997+ batch, cut to calendar 1997
+    "q_merge_skipping" ->
+      """WITH merged AS (
+           SELECT o_orderkey, o_orderpriority, o_totalprice, o_orderdate
+           FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+           UNION ALL
+           SELECT o_orderkey, o_orderpriority, o_totalprice, o_orderdate
+           FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+             AND o_orderkey % 200 = 0)
+         SELECT o_orderpriority, count(*) AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_price
+         FROM merged
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND o_orderdate <= TIMESTAMP '1997-12-31 23:59:59'
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // sequential replay: tombstone batch (bump %10=1, delete %10=2) then
+    // the predicate delete of every Brand#13 row
+    "q_merge_delete" ->
+      """WITH m1 AS (
+           SELECT p_partkey, p_brand,
+                  CASE WHEN p_partkey % 10 = 1 THEN
+                    CAST(round(CAST(p_retailprice AS DECIMAL(18,2))
+                               * CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE)
+                  ELSE p_retailprice END AS p_retailprice
+           FROM part WHERE p_partkey % 10 <> 2)
+         SELECT p_partkey, p_brand, p_retailprice FROM m1
+         WHERE p_brand <> 'Brand#13'
          ORDER BY p_partkey""",
     // sequential last-writer-wins replay of the three streamed batches
     // (batch 2 = %13 × 1.3 wins over batch 1 = %11 × 1.2 over batch 0 =
@@ -4547,6 +4730,13 @@ object SparkEntry {
       """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
                 CAST(1 AS INT) AS rank
          FROM embeddings WHERE vec_id < 20 ORDER BY query_id""",
+    // same provable floor for copies APPENDED after the build: frozen
+    // quantizers assign a copy to its query's own probed cell with
+    // ADC-minimal codes, so top-1 per query is its appended copy
+    "q_ann_append" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
+                CAST(1 AS INT) AS rank
+         FROM embeddings WHERE vec_id < 10 ORDER BY query_id""",
     // the SAME deterministic Lloyd rules replayed in SQL: double-cast
     // lists, Euclidean distance folded in index order, argmin tie to the
     // smaller cluster id, per-dimension avg between the two passes
@@ -4768,6 +4958,31 @@ object SparkEntry {
       """SELECT doc_id FROM documents
          WHERE contains(lower(text), 'spark') AND contains(lower(text), 'join')
          ORDER BY doc_id""",
+    // the SQL-registered kernels replayed in DuckDB: whitespace tokens,
+    // the composite quality formula, the normalized-content md5, and the
+    // 4-hex-digit md5 bucket rule (q_text_stats / q_hash_split fragments)
+    "q_sql_pipeline" ->
+      """SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN 0
+                     ELSE length(string_split_regex(trim(text), '\s+')) END
+                  AS n_tokens,
+                (least(length(text) / 500.0, 1.0) +
+                 CASE WHEN length(text) = 0 THEN 0.0
+                      ELSE CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                           / CAST(length(text) AS DOUBLE) END) / 2.0
+                  AS quality,
+                md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+                  AS fingerprint,
+                CAST((4096 * (strpos('0123456789abcdef',
+                        substring(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 1)) - 1)
+                    + 256 * (strpos('0123456789abcdef',
+                        substring(md5(CAST(doc_id AS VARCHAR) || 'graft'), 2, 1)) - 1)
+                    + 16 * (strpos('0123456789abcdef',
+                        substring(md5(CAST(doc_id AS VARCHAR) || 'graft'), 3, 1)) - 1)
+                    + (strpos('0123456789abcdef',
+                        substring(md5(CAST(doc_id AS VARCHAR) || 'graft'), 4, 1)) - 1))
+                   % 100 AS INT) AS bucket
+         FROM documents ORDER BY doc_id""",
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id FROM events ORDER BY user_id""",
     // the authored outer-join expectation: u1/u9/u8 match inside their

@@ -1238,6 +1238,71 @@ object SparkEntry {
         "p_retailprice")
       graft.pipeline.IncrementalAgg.read(s, st).orderBy("p_brand")
     }),
+    "q_cdc_delete_fold" -> ((s, dir) => {
+      // CDC DELETE consumption end to end: ONE changeDeltas stream with
+      // genuine deletions (plus updates and inserts) drives BOTH
+      // downstream consumers — the lakehouse replica (per-key fold into
+      // a single tombstone-upsert commit: delete-only keys become
+      // tombstones, keys with a +1 image upsert it) and the maintained
+      // per-brand aggregate (retraction fold + dirty-extreme rebuild).
+      // The gate emits the aggregate computed from EACH consumer,
+      // tagged, so the oracle's single from-scratch truth must match
+      // twice — the composition VERDICT r6 task 2 called for.
+      import org.apache.spark.sql.expressions.Window
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      val sfx = new java.io.File(dir).getName
+      val repl = new java.io.File(scratchRoot,
+        s"graft_cdcdel_repl_$sfx").getAbsolutePath
+      val st = new java.io.File(scratchRoot,
+        s"graft_cdcdel_state_$sfx").getAbsolutePath
+      val part = t(s, dir, "part")
+        .select("p_partkey", "p_brand", "p_retailprice")
+      // new image: delete %7==3, bump %10==1 survivors, insert clones
+      val newer = part.filter(col("p_partkey") % 7 =!= 3)
+        .withColumn("p_retailprice",
+          when(col("p_partkey") % 10 === 1,
+            round(dec("p_retailprice") * lit(1.2).cast("decimal(2,1)"), 2)
+              .cast("double"))
+            .otherwise(col("p_retailprice")))
+        .unionByName(part.filter(col("p_partkey") < 5)
+          .withColumn("p_partkey", col("p_partkey") + lit(2000000L)))
+      // the CDC stream: +1/-1 row images, output ∝ churn
+      val deltas = graft.ops.TableDiff.changeDeltas(part, newer,
+        Seq("p_partkey"))
+      // consumer 1: lakehouse replica. Fold to one image per key —
+      // delete-only keys (no +1 row) keep their -1 image as a tombstone
+      val w = Window.partitionBy("p_partkey")
+      val batch = deltas
+        .withColumn("__ins",
+          max(when(col("op") > 0, 1).otherwise(0)).over(w))
+        .filter(col("op") > 0 || col("__ins") === 0)
+        .withColumn("__del", col("__ins") === 0)
+        .drop("__ins", "op")
+      graft.sources.Merge.writeKeyed(part, repl, "p_partkey",
+        nBuckets = 16)
+      val ms = graft.sources.Merge.upsert(s, repl, batch, "p_partkey",
+        nBuckets = 16, tombstoneCol = Some("__del"))
+      require(ms.rowsDeleted > 0, s"CDC deletes must tombstone rows: $ms")
+      // consumer 2: maintained aggregate, retractions folded then
+      // dirty extremes rebuilt from the new image
+      graft.pipeline.IncrementalAgg.init(part, st, Seq("p_brand"),
+        "p_retailprice")
+      graft.pipeline.IncrementalAgg.updateWithRetractions(s, st, deltas,
+        Seq("p_brand"), "p_retailprice", "op")
+      graft.pipeline.IncrementalAgg.rebuild(s, st, newer, Seq("p_brand"),
+        "p_retailprice")
+      val fromReplica = graft.sources.Merge.readKeyed(s, repl)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("cnt"),
+          min(col("p_retailprice").cast("double")).as("min_v"),
+          max(col("p_retailprice").cast("double")).as("max_v"),
+          sum(col("p_retailprice").cast("decimal(28,2)"))
+            .cast("double").as("sum_v"))
+        .withColumn("consumer", lit("replica"))
+      val fromState = graft.pipeline.IncrementalAgg.read(s, st)
+        .withColumn("consumer", lit("state"))
+      fromReplica.unionByName(fromState).orderBy("consumer", "p_brand")
+    }),
     "q_zorder_layout" -> ((s, dir) => {
       // Z-order (Morton) layout on (user_id, time): each parquet file is
       // a small rectangle in BOTH dimensions, so selective predicates on
@@ -3437,6 +3502,31 @@ object SparkEntry {
                 CAST(sum(CAST(p_retailprice AS DECIMAL(28,2))) AS DOUBLE)
                   AS sum_v
          FROM merged GROUP BY p_brand ORDER BY p_brand""",
+    // one CDC stream with deletes feeds two consumers; both must equal
+    // the from-scratch aggregate over the new image
+    "q_cdc_delete_fold" ->
+      """WITH newer AS (
+           SELECT p_partkey, p_brand,
+                  CASE WHEN p_partkey % 10 = 1 THEN
+                    CAST(round(CAST(p_retailprice AS DECIMAL(18,2))
+                               * CAST(1.2 AS DECIMAL(2,1)), 2) AS DOUBLE)
+                  ELSE p_retailprice END AS p_retailprice
+           FROM part WHERE p_partkey % 7 <> 3
+           UNION ALL
+           SELECT p_partkey + 2000000, p_brand, p_retailprice
+           FROM part WHERE p_partkey < 5),
+         agg AS (
+           SELECT p_brand, count(*) AS cnt,
+                  min(p_retailprice) AS min_v, max(p_retailprice) AS max_v,
+                  CAST(sum(CAST(p_retailprice AS DECIMAL(28,2))) AS DOUBLE)
+                    AS sum_v
+           FROM newer GROUP BY p_brand)
+         SELECT p_brand, cnt, min_v, max_v, sum_v,
+                'replica' AS consumer FROM agg
+         UNION ALL
+         SELECT p_brand, cnt, min_v, max_v, sum_v,
+                'state' AS consumer FROM agg
+         ORDER BY consumer, p_brand""",
     // diff(v0, v1) must recover exactly the upsert batch: changed keys
     // where the price bump actually changed the value, plus the inserts
     "q_merge_versions" ->

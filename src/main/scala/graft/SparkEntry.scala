@@ -1133,6 +1133,40 @@ object SparkEntry {
         .select("p_partkey", "p_brand", "p_retailprice")
         .orderBy("p_partkey")
     }),
+    "q_merge_timetravel" -> ((s, dir) => {
+      // TIME TRAVEL by wall clock: manifests record a strictly
+      // increasing commit timestamp; readAsOf resolves the latest
+      // version at or before the instant (Delta's timestampAsOf rule)
+      // and reads that snapshot. The gate reads AS OF v1's own commit
+      // stamp after a LATER v2 commit landed — the result must be
+      // exactly v1's image (price bump applied, v2's inserts absent),
+      // proving resolution, not just version reads. In-gate requires
+      // pin the stamp ordering and the too-early error path.
+      import graft.sources.Merge
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      val path = new java.io.File(scratchRoot,
+        s"graft_merge_tt_${new java.io.File(dir).getName}").getAbsolutePath
+      val part = t(s, dir, "part")
+        .select("p_partkey", "p_brand", "p_retailprice")
+      Merge.writeKeyed(part, path, "p_partkey", nBuckets = 16)
+      Merge.upsert(s, path, part.filter(col("p_partkey") % 10 === 4)
+        .withColumn("p_retailprice",
+          round(dec("p_retailprice") * lit(1.3).cast("decimal(2,1)"), 2)
+            .cast("double")),
+        "p_partkey", nBuckets = 16)
+      Merge.upsert(s, path, part.filter(col("p_partkey") < 8)
+        .withColumn("p_partkey", col("p_partkey") + lit(3000000L)),
+        "p_partkey", nBuckets = 16)
+      val (t0, t1, t2) = (Merge.commitTime(s, path, 0),
+        Merge.commitTime(s, path, 1), Merge.commitTime(s, path, 2))
+      require(t0 < t1 && t1 < t2, s"stamps must increase: $t0 $t1 $t2")
+      require(Merge.versionAsOf(s, path, t2) == 2L, "latest at its stamp")
+      require(scala.util.Try(Merge.versionAsOf(s, path, t0 - 1)).isFailure,
+        "pre-history timestamp must error, never silently snapshot")
+      Merge.readAsOf(s, path, t1)
+        .select("p_partkey", "p_brand", "p_retailprice")
+        .orderBy("p_partkey")
+    }),
     "q_stream_upsert" -> ((s, dir) => {
       // EXACTLY-ONCE STREAMING SINK into the versioned lakehouse: three
       // authored micro-batches of price bumps + inserts stream through
@@ -3601,6 +3635,16 @@ object SparkEntry {
            FROM part WHERE p_partkey % 10 <> 2)
          SELECT p_partkey, p_brand, p_retailprice FROM m1
          WHERE p_brand <> 'Brand#13'
+         ORDER BY p_partkey""",
+    // AS OF v1's commit stamp: the %10==4 bump applied, v2's +3000000
+    // inserts absent
+    "q_merge_timetravel" ->
+      """SELECT p_partkey, p_brand,
+                CASE WHEN p_partkey % 10 = 4 THEN
+                  CAST(round(CAST(p_retailprice AS DECIMAL(18,2))
+                             * CAST(1.3 AS DECIMAL(2,1)), 2) AS DOUBLE)
+                ELSE p_retailprice END AS p_retailprice
+         FROM part
          ORDER BY p_partkey""",
     // sequential last-writer-wins replay of the three streamed batches
     // (batch 2 = %13 × 1.3 wins over batch 1 = %11 × 1.2 over batch 0 =

@@ -118,7 +118,16 @@ object Merge {
       txn: Option[(String, Long)] = None,
       layout: Option[(String, Int)] = None, // (keyCol, nBuckets)
       statsCols: Seq[String] = Seq.empty,
-      stats: Seq[Skipping.FileStats] = Seq.empty)
+      stats: Seq[Skipping.FileStats] = Seq.empty,
+      ts: Long = -1L) // commit wall-clock millis; -1 = pre-ts manifest
+
+  /** The commit timestamp for a child of `parent`: wall clock, forced
+    * STRICTLY increasing along the version chain (max(parent+1, now)) so
+    * [[versionAsOf]] is well-defined even when two commits land within
+    * one clock tick (or the clock steps backwards across a restart).
+    */
+  private def nextTs(parent: Manifest): Long =
+    math.max(parent.ts + 1L, System.currentTimeMillis())
 
   private def jsonEscape(s: String): String =
     s.flatMap {
@@ -166,9 +175,10 @@ object Merge {
         }.mkString("[", ",", "]")
         s""","statsCols":$cols,"stats":$entries"""
       }
+    val tsField = if (m.ts >= 0) s""","ts":${m.ts}""" else ""
     (s"""{"version":${m.version},"parent":${m.parent},""" +
-      s""""files":$files$schemaField$txnField$layoutField$statsFields}""")
-      .getBytes("UTF-8")
+      s""""files":$files$schemaField$txnField$layoutField$statsFields""" +
+      s"""$tsField}""").getBytes("UTF-8")
   }
 
   /** Create-if-absent manifest commit — THE atomic point of every commit.
@@ -261,7 +271,7 @@ object Merge {
               for (a <- str("txnApp"); b <- num("txnBatch")) yield (a, b),
               for (k <- str("keyCol"); n <- num("nBuckets"))
                 yield (k, n.toInt),
-              statsCols, stats))
+              statsCols, stats, num("ts").getOrElse(-1L)))
           case _ => None // truncated or foreign body: not committed
         }
       }
@@ -356,7 +366,8 @@ object Merge {
     writeManifest(fs, root, Manifest(0L, -1L, listDataFiles(fs, root),
       Some(df.schema.toDDL), layout = Some((keyCol, nBuckets)),
       statsCols = statsCols,
-      stats = bucketFileStats(df.sparkSession, path, statsCols)))
+      stats = bucketFileStats(df.sparkSession, path, statsCols),
+      ts = System.currentTimeMillis()))
   }
 
   /** Read a manifest's file set with the version's own schema (plus the
@@ -388,6 +399,60 @@ object Merge {
     val m = readManifest(spark, root, version)
     versionDf(spark, path, root, m).drop("__bucket")
   }
+
+  /** The recorded commit wall-clock (epoch millis) of one version —
+    * strictly increasing along the chain by construction.
+    */
+  def commitTime(spark: SparkSession, path: String, version: Long): Long = {
+    val (_, root) = fsFor(spark, path)
+    val ts = readManifest(spark, root, version).ts
+    require(ts >= 0,
+      s"$path v$version predates commit timestamps (manifest has no ts)")
+    ts
+  }
+
+  /** TIME TRAVEL resolution: the version whose commit is the LATEST at
+    * or before `timestampMillis` (Delta's `timestampAsOf` rule). Errors
+    * if the timestamp predates the oldest RETAINED commit — after a
+    * vacuum, history before the retention horizon is gone and silently
+    * answering with a later snapshot would be wrong. Planning walks the
+    * retained manifest chain driver-locally: O(versions) small JSON
+    * reads, no data touched.
+    */
+  def versionAsOf(spark: SparkSession, path: String,
+      timestampMillis: Long): Long = {
+    val (_, root) = fsFor(spark, path)
+    val cur = currentVersion(spark, path)
+    require(cur >= 0, s"$path has no version log")
+    var v = cur
+    var oldestSeen = Long.MaxValue
+    while (v >= 0) {
+      readManifestOpt(spark, root, v) match {
+        case Some(m) if m.ts >= 0 =>
+          if (m.ts <= timestampMillis) return v
+          oldestSeen = m.ts
+        case _ => // vacuumed or pre-ts manifest: retention horizon
+          throw new IllegalArgumentException(
+            s"timestamp $timestampMillis predates $path's retained " +
+            s"history (oldest retained commit: " +
+            (if (oldestSeen == Long.MaxValue) "none with a timestamp"
+             else s"$oldestSeen") +
+            ") — older snapshots were vacuumed or predate commit stamps")
+      }
+      v -= 1
+    }
+    throw new IllegalArgumentException(
+      s"timestamp $timestampMillis predates $path's first commit " +
+      s"(v0 at $oldestSeen)")
+  }
+
+  /** Read the table AS OF a wall-clock instant ([[versionAsOf]] +
+    * [[readVersion]]) — `SELECT ... TIMESTAMP AS OF` for the version
+    * log.
+    */
+  def readAsOf(spark: SparkSession, path: String,
+      timestampMillis: Long): DataFrame =
+    readVersion(spark, path, versionAsOf(spark, path, timestampMillis))
 
   /** The table's current logical rows (latest version; raw directory read
     * for pre-versioning tables without a log).
@@ -698,7 +763,8 @@ object Merge {
             parent.layout.orElse(Some((keyCol, nBuckets))),
             parent.statsCols,
             parent.stats.filterNot(e => touched(bucketOf(e.file))) ++
-              newStats))
+              newStats,
+            ts = nextTs(parent)))
         return MergeStats(touched.size, nBuckets, rowsUpserted, parentV + 1,
           attempt, rowsDeleted = rowsDeleted)
       } catch {
@@ -784,7 +850,8 @@ object Merge {
           Manifest(parentV + 1, parentV, files.sorted, parent.dataSchema,
             txn, parent.layout, parent.statsCols,
             parent.stats.filterNot(e => touched(bucketOf(e.file))) ++
-              newStats))
+              newStats,
+            ts = nextTs(parent)))
         return MergeStats(touched.size, nB, 0L, parentV + 1, attempt,
           rowsDeleted = rowsDeleted)
       } catch {
@@ -847,7 +914,8 @@ object Merge {
           Manifest(parentV + 1, parentV, files.sorted, parent.dataSchema,
             layout = parent.layout, statsCols = parent.statsCols,
             stats = parent.stats.filterNot(e =>
-              toRewrite.contains(bucketOf(e.file))) ++ newStats))
+              toRewrite.contains(bucketOf(e.file))) ++ newStats,
+            ts = nextTs(parent)))
         return CompactStats(parentV + 1, toRewrite.size, parent.files.size,
           files.size)
       } catch {

@@ -490,4 +490,36 @@ class MergeSpec extends SparkSpec {
     assert(sel.size == total, "no stats: conservative keep-everything")
     assert(Merge.readKeyedSkipping(spark, path, bounds).count() == 10)
   }
+
+  test("time travel: versionAsOf resolves latest-at-or-before; vacuum " +
+      "moves the retention horizon") {
+    val path = freshDir("asof")
+    Merge.writeKeyed((0L until 50L).map(i => (i, "v0")).toDF("id", "v"),
+      path, "id", nBuckets = 4)
+    Merge.upsert(spark, path, Seq((1L, "v1")).toDF("id", "v"), "id", 4)
+    Merge.upsert(spark, path, Seq((2L, "v2")).toDF("id", "v"), "id", 4)
+    val (t0, t1, t2) = (Merge.commitTime(spark, path, 0),
+      Merge.commitTime(spark, path, 1), Merge.commitTime(spark, path, 2))
+    assert(t0 < t1 && t1 < t2, "commit stamps strictly increase")
+    assert(Merge.versionAsOf(spark, path, t0) == 0L)
+    assert(Merge.versionAsOf(spark, path, t1) == 1L)
+    // between two commits: the EARLIER one is current at that instant
+    assert(Merge.versionAsOf(spark, path, t2 - 1) == 1L)
+    assert(Merge.versionAsOf(spark, path, t2 + 60000L) == 2L)
+    val asOf1 = Merge.readAsOf(spark, path, t1)
+    assert(asOf1.filter($"id" === 1L).select("v").as[String].head() == "v1")
+    assert(asOf1.filter($"id" === 2L).select("v").as[String].head() == "v0")
+    // before the first commit: explicit error, never a silent snapshot
+    val e1 = intercept[IllegalArgumentException] {
+      Merge.versionAsOf(spark, path, t0 - 1)
+    }
+    assert(e1.getMessage.contains("first commit"))
+    // vacuum to the last 2 versions: t0 now predates retained history
+    Merge.vacuum(spark, path, keepVersions = 2)
+    assert(Merge.versionAsOf(spark, path, t1) == 1L, "retained: still fine")
+    val e2 = intercept[IllegalArgumentException] {
+      Merge.versionAsOf(spark, path, t0)
+    }
+    assert(e2.getMessage.contains("retained"))
+  }
 }

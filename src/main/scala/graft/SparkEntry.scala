@@ -1167,6 +1167,43 @@ object SparkEntry {
         .select("p_partkey", "p_brand", "p_retailprice")
         .orderBy("p_partkey")
     }),
+    "q_merge_optimize" -> ((s, dir) => {
+      // STATS-CLUSTERED COMPACTION (OPTIMIZE ... ZORDER BY for the
+      // version log): a key-bucketed table salt-written 4 files per
+      // bucket has every file spanning the FULL date range — a date
+      // bound provably prunes nothing (required in-gate). One
+      // clusterBy compaction range-partitions each bucket's rows on
+      // o_orderdate, after which the SAME bound plans < half the files
+      // (also required in-gate) — within-bucket skipping a key-hash
+      // layout can never offer. The residual filter keeps the result ≡
+      // the full-table filter the oracle runs; disjoint per-file
+      // ranges and row identity are pinned in MergeSpec.
+      import graft.sources.{Merge, Skipping}
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      val path = new java.io.File(scratchRoot,
+        s"graft_merge_o_${new java.io.File(dir).getName}").getAbsolutePath
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice",
+          "o_orderdate")
+      Merge.writeKeyed(orders, path, "o_orderkey", nBuckets = 8,
+        statsCols = Seq("o_orderdate"), filesPerBucket = 4)
+      val bounds = Seq(Skipping.Bound("o_orderdate",
+        Some("1997-01-01"), Some("1997-12-31 23:59:59")))
+      val (sel0, total0) = Merge.planVersionFiles(s, path, 0L, bounds)
+      require(sel0.size == total0,
+        s"salted layout must be unprunable, got ${sel0.size}/$total0")
+      Merge.compactVersion(s, path, targetFilesPerBucket = 4,
+        clusterBy = Seq("o_orderdate"))
+      val v = Merge.currentVersion(s, path)
+      val (sel1, total1) = Merge.planVersionFiles(s, path, v, bounds)
+      require(sel1.size < total1 / 2,
+        s"clustered layout must prune, got ${sel1.size}/$total1")
+      Merge.readKeyedSkipping(s, path, bounds)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(dec("o_totalprice")).cast("double").as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
     "q_stream_upsert" -> ((s, dir) => {
       // EXACTLY-ONCE STREAMING SINK into the versioned lakehouse: three
       // authored micro-batches of price bumps + inserts stream through
@@ -3646,6 +3683,16 @@ object SparkEntry {
                 ELSE p_retailprice END AS p_retailprice
          FROM part
          ORDER BY p_partkey""",
+    // the clustered skipping read ≡ a plain filtered aggregate
+    "q_merge_optimize" ->
+      """SELECT o_orderpriority, count(*) AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_price
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND o_orderdate <= TIMESTAMP '1997-12-31 23:59:59'
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
     // sequential last-writer-wins replay of the three streamed batches
     // (batch 2 = %13 × 1.3 wins over batch 1 = %11 × 1.2 over batch 0 =
     // %7 × 1.1) plus batch 2's inserts — the txn-absorbed full replay

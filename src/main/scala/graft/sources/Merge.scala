@@ -487,6 +487,17 @@ object Merge {
     (sel, m.files.size)
   }
 
+  /** One version's recorded per-file stats entries (table-relative file,
+    * column, min/max in [[Skipping]]'s encoding) — the observability
+    * hook for layout tooling and specs: what can this version's manifest
+    * prune on, and how tight are the per-file ranges?
+    */
+  def versionFileStats(spark: SparkSession, path: String,
+      version: Long): Seq[Skipping.FileStats] = {
+    val (_, root) = fsFor(spark, path)
+    readManifest(spark, root, version).stats
+  }
+
   /** Read one committed version under interval `bounds`: manifest-stats
     * file pruning + the bounds as a residual filter — result ≡ reading
     * the whole version and filtering, scan cost ∝ the files whose
@@ -883,9 +894,25 @@ object Merge {
     * Same commit protocol as [[upsert]] (staging + exact-file move +
     * create-if-absent manifest, retry on a lost race), so it is safe to
     * run beside live writers.
+    *
+    * STATS CLUSTERING (the OPTIMIZE ... ZORDER BY analogue): with
+    * `clusterBy` non-empty, EVERY bucket is rewritten and each bucket's
+    * rows are RANGE-partitioned on the cluster columns — sibling files
+    * inside one bucket then hold contiguous, disjoint cluster ranges
+    * (range boundaries follow the (bucket, cluster...) sort order), so
+    * the manifest's per-file min/max over those columns actually prune
+    * WITHIN buckets. A keyed table's bucket hash randomizes every
+    * non-key dimension; after clustering, a time-range read of a
+    * key-bucketed 100 TB table touches ~1/targetFilesPerBucket of each
+    * bucket instead of all of it. Rows are additionally sorted within
+    * files for parquet row-group locality. File counts per bucket are
+    * approximate under `clusterBy` (range boundaries need not land on
+    * bucket edges); list `clusterBy` columns in the table's `statsCols`
+    * for the manifest to record what the layout now offers.
     */
   def compactVersion(spark: SparkSession, path: String,
-      targetFilesPerBucket: Int = 1, maxRetries: Int = 5): CompactStats = {
+      targetFilesPerBucket: Int = 1, maxRetries: Int = 5,
+      clusterBy: Seq[String] = Seq.empty): CompactStats = {
     require(targetFilesPerBucket >= 1, "targetFilesPerBucket must be >= 1")
     val (fs, root) = fsFor(spark, path)
     var attempt = 0
@@ -894,16 +921,30 @@ object Merge {
       require(parentV >= 0, s"$path has no version log")
       val parent = readManifest(spark, root, parentV)
       val byBucket = parent.files.groupBy(bucketOf)
-      val toRewrite = byBucket.filter(_._2.size > targetFilesPerBucket)
+      // clustering is a layout change: existing files are NOT clustered,
+      // so every bucket rewrites regardless of its file count
+      val toRewrite =
+        if (clusterBy.nonEmpty) byBucket
+        else byBucket.filter(_._2.size > targetFilesPerBucket)
       if (toRewrite.isEmpty)
         return CompactStats(parentV, 0, parent.files.size, parent.files.size)
       val rewriteFiles = toRewrite.values.flatten.toSeq.sorted
       val rows = versionDf(spark, path, root,
         parent.copy(files = rewriteFiles))
+      clusterBy.foreach(c => require(rows.columns.contains(c),
+        s"clusterBy column $c not in ${rows.columns.mkString(", ")}"))
       // the planned coarse layout: exactly targetFilesPerBucket file(s)
-      // per rewritten bucket ([[bucketPartitioned]])
-      val repart = bucketPartitioned(rows, targetFilesPerBucket,
-        toRewrite.size)
+      // per rewritten bucket ([[bucketPartitioned]]); under clusterBy,
+      // a (bucket, cluster...) range partition instead — bucket leads
+      // the range order, so each file's cluster range is contiguous and
+      // disjoint from its siblings'
+      val repart =
+        if (clusterBy.isEmpty)
+          bucketPartitioned(rows, targetFilesPerBucket, toRewrite.size)
+        else rows
+          .repartitionByRange(toRewrite.size * targetFilesPerBucket,
+            col("__bucket") +: clusterBy.map(col): _*)
+          .sortWithinPartitions(clusterBy.map(col): _*)
       val (newFiles, newStats) =
         stageAndMove(spark, fs, root, repart, parent.statsCols)
       val files = parent.files.filterNot(f => toRewrite.contains(bucketOf(f))) ++

@@ -491,6 +491,53 @@ class MergeSpec extends SparkSpec {
     assert(Merge.readKeyedSkipping(spark, path, bounds).count() == 10)
   }
 
+  test("clusterBy compaction: per-bucket files get disjoint cluster " +
+      "ranges, manifest skipping prunes within buckets") {
+    val path = freshDir("optimize")
+    val base = (0L until 2000L).map(i => (i, i % 250, s"r$i"))
+      .toDF("id", "ts", "v")
+    // salted 4-files-per-bucket write: every file spans the full ts
+    // range, so a ts bound can prune nothing
+    Merge.writeKeyed(base, path, "id", nBuckets = 4,
+      statsCols = Seq("ts"), filesPerBucket = 4)
+    val bounds = Seq(Skipping.Bound("ts", Some(200L), None))
+    val (sel0, total0) = Merge.planVersionFiles(spark, path, 0L, bounds)
+    assert(total0 == 16 && sel0.size == total0,
+      s"salted layout must be unprunable, got ${sel0.size}/$total0")
+    val cs = Merge.compactVersion(spark, path, targetFilesPerBucket = 4,
+      clusterBy = Seq("ts"))
+    assert(cs.bucketsRewritten == 4, "clusterBy rewrites every bucket")
+    // identical rows, old version intact
+    val out = Merge.readKeyed(spark, path)
+    assert(out.count() == 2000 &&
+      out.exceptAll(base).isEmpty && base.exceptAll(out).isEmpty)
+    assert(Merge.readVersion(spark, path, 0).count() == 2000)
+    // within-bucket pruning now works: the >=200 range is ~1/5 of each
+    // bucket's span, so most files drop
+    val v = Merge.currentVersion(spark, path)
+    val (sel1, total1) = Merge.planVersionFiles(spark, path, v, bounds)
+    assert(sel1.size < total1 / 2,
+      s"clustered layout must prune within buckets, got " +
+      s"${sel1.size}/$total1")
+    assert(Merge.readKeyedSkipping(spark, path, bounds).count() ==
+      base.filter($"ts" >= 200L).count())
+    // sibling files inside one bucket: disjoint [min, max] ts ranges
+    val stats = Merge.versionFileStats(spark, path, v)
+      .filter(_.col == "ts")
+    assert(stats.nonEmpty)
+    stats.groupBy(_.file.takeWhile(_ != '/')).foreach { case (b, fs) =>
+      val ranges = fs
+        .flatMap(e => for (mn <- e.min; mx <- e.max)
+          yield (mn.toLong, mx.toLong))
+        .sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Seq((_, hi), (lo, _)) =>
+          assert(hi <= lo, s"bucket $b files overlap: $ranges")
+        case _ =>
+      }
+    }
+  }
+
   test("time travel: versionAsOf resolves latest-at-or-before; vacuum " +
       "moves the retention horizon") {
     val path = freshDir("asof")

@@ -2549,6 +2549,36 @@ object SparkEntry {
         .select("query_id", "neighbor_id", "rank")
         .orderBy("query_id")
     }),
+    "q_ann_remove" -> ((s, dir) => {
+      // SOFT DELETE from the persisted index: TWO exact copies of each
+      // query are built in (+1e6 ranks first by the deterministic ADC
+      // tie-break on neighbor_id); remove() tombstones the +1e6 set
+      // WITHOUT touching any cell file (required in-gate: codes table
+      // byte-count unchanged), and the probe must now return the +2e6
+      // copy as top-1 — tombstones filter BEFORE ranking, so the
+      // next-best neighbor takes the freed rank, with the same provable
+      // floor. Completes the index-maintenance triad build/append/
+      // remove; compaction = periodic rebuild.
+      val emb = t(s, dir, "embeddings")
+      val copies = (off: Long) => emb.filter(col("vec_id") < 10)
+        .withColumn("vec_id", col("vec_id") + lit(off))
+      val path = new java.io.File(scratchRoot,
+        s"graft_ann_remove_${new java.io.File(dir).getName}")
+        .getAbsolutePath
+      Similarity.IvfPq.save(Similarity.IvfPq.build(
+        emb.union(copies(1000000L)).union(copies(2000000L)),
+        "vec_id", "embedding", dim = 64, cells = 8, m = 8, kSub = 64),
+        path)
+      val rows = s.read.parquet(s"$path/codes").count()
+      Similarity.IvfPq.remove(copies(1000000L).select("vec_id"),
+        "vec_id", path)
+      require(s.read.parquet(s"$path/codes").count() == rows,
+        "remove must never rewrite cell files")
+      Similarity.IvfPq.topKPersisted(s, path, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 1, nProbe = 2)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id")
+    }),
     "q_kmeans" -> ((s, dir) => {
       // distributed Lloyd's k-means over the embedding corpus: 2
       // assignment passes, seeds = vectors of vec_id 0..3, argmin ties
@@ -4916,6 +4946,11 @@ object SparkEntry {
     // ADC-minimal codes, so top-1 per query is its appended copy
     "q_ann_append" ->
       """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
+                CAST(1 AS INT) AS rank
+         FROM embeddings WHERE vec_id < 10 ORDER BY query_id""",
+    // with the +1e6 copies tombstoned, the +2e6 copies take rank 1
+    "q_ann_remove" ->
+      """SELECT vec_id AS query_id, vec_id + 2000000 AS neighbor_id,
                 CAST(1 AS INT) AS rank
          FROM embeddings WHERE vec_id < 10 ORDER BY query_id""",
     // the SAME deterministic Lloyd rules replayed in SQL: double-cast

@@ -719,6 +719,29 @@ object Similarity {
         .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
     }
 
+    /** SOFT DELETE from the persisted index (FAISS `remove_ids` /
+      * Lucene-style tombstones): record the ids in a `deletes/` sidecar;
+      * [[topKPersisted]] anti-joins them out of every probe's candidate
+      * set BEFORE ranking, so the next-best neighbor takes the freed
+      * rank. Cell files are never rewritten — a remove costs one small
+      * append regardless of corpus size, and the read-side cost is a
+      * broadcast anti-join against the (small) tombstone set. Compact
+      * tombstones away with a periodic full [[build]]+[[save]] rebuild,
+      * the same cadence that re-trains drifted quantizers. Same
+      * single-maintainer contract as [[append]].
+      */
+    def remove(ids: DataFrame, idCol: String, path: String): Unit =
+      ids.select(col(idCol).as("neighbor_id")).distinct()
+        .coalesce(1).write.mode("append").parquet(s"$path/deletes")
+
+    /** The tombstone sidecar, if any remove() has run. */
+    private def tombstones(spark: org.apache.spark.sql.SparkSession,
+        path: String): Option[DataFrame] = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/deletes")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    }
+
     /** Reload both bounded model tables (cells + m*k rows — driver-safe). */
     def loadModels(spark: org.apache.spark.sql.SparkSession,
         path: String): (Array[Array[Double]], Pq.Model) = {
@@ -762,9 +785,12 @@ object Similarity {
         explode(probeKernel(col(vecCol).cast("array<double>"))).as("cell"))
       // bounded driver collect: |queries| * nProbe cell ids
       val cellSet = q.select("cell").distinct().collect().map(_.getInt(0))
-      val codes = spark.read.parquet(s"$path/codes")
-        .filter(col("cell").isin(cellSet.toSeq: _*)) // -> PartitionFilters
-      val scored = codes.join(broadcast(q), Seq("cell"))
+      val live = tombstones(spark, path).foldLeft(
+        spark.read.parquet(s"$path/codes")
+          .filter(col("cell").isin(cellSet.toSeq: _*))) // -> PartitionFilters
+        { (c, dead) => c.join(broadcast(dead), Seq("neighbor_id"),
+            "left_anti") } // removed ids drop BEFORE ranking
+      val scored = live.join(broadcast(q), Seq("cell"))
         .filter(col("neighbor_id") =!= col("query_id"))
         .select(col("query_id"), col("neighbor_id"),
           Pq.adcUdf(col("codes"), col("__tbl")).as("adc_dist"))

@@ -530,6 +530,38 @@ class SimilaritySpec extends SparkSpec {
     assert(top == 10L, "appended exact copy must rank top-1")
   }
 
+  test("IvfPq remove: tombstoned ids vanish from every probe, cell " +
+      "files untouched, next-best takes the freed rank") {
+    val pts = Seq(
+      (1L, vec(1, 0, 1, 0)), (2L, vec(0.9, 0, 0.9, 0)),
+      (3L, vec(0, 1, 0, 1)), (4L, vec(0, 0.9, 0, 0.9)),
+      (10L, vec(1, 0, 1, 0))) // exact copy of 1
+      .toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_rm").toString
+    Similarity.IvfPq.save(Similarity.IvfPq.build(pts, "vec_id", "embedding",
+      dim = 4, cells = 2, m = 2, kSub = 4, sampleN = 100, iters = 5), path)
+    val q = pts.filter($"vec_id" === 1L)
+    assert(Similarity.IvfPq.topKPersisted(spark, path, q, "vec_id",
+      "embedding", k = 1, nProbe = 2).select("neighbor_id").as[Long]
+      .head() == 10L, "exact copy ranks first before the remove")
+    val codesBefore = spark.read.parquet(s"$path/codes").count()
+    Similarity.IvfPq.remove(Seq(10L).toDF("vec_id"), "vec_id", path)
+    assert(spark.read.parquet(s"$path/codes").count() == codesBefore,
+      "remove must append tombstones, never touch cell files")
+    val after = Similarity.IvfPq.topKPersisted(spark, path, q, "vec_id",
+      "embedding", k = 3, nProbe = 2)
+    assert(!after.select("neighbor_id").as[Long].collect().contains(10L),
+      "a tombstoned id must never surface at any k")
+    assert(after.filter($"rank" === 1).select("neighbor_id").as[Long]
+      .head() == 2L, "the next-best neighbor takes rank 1")
+    // idempotent + accumulative: removing more ids composes
+    Similarity.IvfPq.remove(Seq(10L, 2L).toDF("vec_id"), "vec_id", path)
+    val third = Similarity.IvfPq.topKPersisted(spark, path, q, "vec_id",
+      "embedding", k = 3, nProbe = 2).filter($"rank" === 1)
+      .select("neighbor_id").as[Long].head()
+    assert(third != 10L && third != 2L)
+  }
+
   test("IvfPq refine: full probe + full refine equals brute force " +
       "exactly; shortlist fetch broadcasts, corpus never shuffles") {
     val pts = (0L until 24L).map { i =>

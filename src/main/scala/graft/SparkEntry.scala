@@ -1167,6 +1167,43 @@ object SparkEntry {
         .select("p_partkey", "p_brand", "p_retailprice")
         .orderBy("p_partkey")
     }),
+    "q_merge_cdf" -> ((s, dir) => {
+      // CHANGE DATA FEED from the commit log: one tombstone-upsert
+      // commit (updates %100==7 × 1.5, deletes %100==13, inserts
+      // clones of <5), then changesBetween(v0, v1) reads ONLY the
+      // buckets whose file sets changed (required in-gate: touched <
+      // nBuckets) and emits the exact +1/-1 row images — updates as
+      // old@-1 + new@+1, deletes as -1, inserts as +1. Work ∝ touched
+      // buckets at both versions, never the table: data files are
+      // immutable, so an untouched bucket is byte-identical by
+      // construction. Output composes directly with IncrementalAgg
+      // retractions (q_cdc_delete_fold) — this gate pins the feed
+      // itself against a full SQL replay.
+      import graft.sources.Merge
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      val path = new java.io.File(scratchRoot,
+        s"graft_merge_cdf_${new java.io.File(dir).getName}").getAbsolutePath
+      val part = t(s, dir, "part")
+        .select("p_partkey", "p_brand", "p_retailprice")
+      Merge.writeKeyed(part, path, "p_partkey", nBuckets = 64)
+      val batch = part.filter(col("p_partkey") % 100 === 7)
+        .withColumn("p_retailprice",
+          round(dec("p_retailprice") * lit(1.5).cast("decimal(2,1)"), 2)
+            .cast("double"))
+        .withColumn("__del", lit(false))
+        .unionByName(part.filter(col("p_partkey") % 100 === 13)
+          .withColumn("__del", lit(true)))
+        .unionByName(part.filter(col("p_partkey") < 5)
+          .withColumn("p_partkey", col("p_partkey") + lit(4000000L))
+          .withColumn("__del", lit(false)))
+      Merge.upsert(s, path, batch, "p_partkey", nBuckets = 64,
+        tombstoneCol = Some("__del"))
+      val touched = Merge.changedBuckets(s, path, 0L, 1L)
+      require(touched.nonEmpty && touched.size < 64,
+        s"the feed must plan a strict bucket subset, got ${touched.size}")
+      Merge.changesBetween(s, path, 0L, 1L)
+        .orderBy("p_partkey", "op")
+    }),
     "q_merge_optimize" -> ((s, dir) => {
       // STATS-CLUSTERED COMPACTION (OPTIMIZE ... ZORDER BY for the
       // version log): a key-bucketed table salt-written 4 files per
@@ -3713,6 +3750,33 @@ object SparkEntry {
                 ELSE p_retailprice END AS p_retailprice
          FROM part
          ORDER BY p_partkey""",
+    // the change feed ≡ its SQL replay: updates old@-1 + new@+1,
+    // deletes -1, inserts +1
+    "q_merge_cdf" ->
+      """WITH upd AS (
+           SELECT p_partkey, p_brand, p_retailprice FROM part
+           WHERE p_partkey % 100 = 7),
+         del AS (
+           SELECT p_partkey, p_brand, p_retailprice FROM part
+           WHERE p_partkey % 100 = 13),
+         ins AS (
+           SELECT p_partkey + 4000000 AS p_partkey, p_brand,
+                  p_retailprice
+           FROM part WHERE p_partkey < 5)
+         SELECT p_partkey, p_brand, p_retailprice,
+                CAST(-1 AS INT) AS op FROM upd
+         UNION ALL
+         SELECT p_partkey, p_brand,
+                CAST(round(CAST(p_retailprice AS DECIMAL(18,2))
+                           * CAST(1.5 AS DECIMAL(2,1)), 2) AS DOUBLE),
+                CAST(1 AS INT) FROM upd
+         UNION ALL
+         SELECT p_partkey, p_brand, p_retailprice,
+                CAST(-1 AS INT) FROM del
+         UNION ALL
+         SELECT p_partkey, p_brand, p_retailprice,
+                CAST(1 AS INT) FROM ins
+         ORDER BY p_partkey, op""",
     // the clustered skipping read ≡ a plain filtered aggregate
     "q_merge_optimize" ->
       """SELECT o_orderpriority, count(*) AS n,

@@ -487,6 +487,69 @@ object Merge {
     (sel, m.files.size)
   }
 
+  /** The bucket ids whose FILE SETS differ between two committed
+    * versions — the commit log's record of where change can possibly
+    * live (files are immutable, so an untouched bucket is byte-identical
+    * by construction). Planning is manifest-only: two small JSON reads,
+    * no listing, no data.
+    */
+  def changedBuckets(spark: SparkSession, path: String, fromVersion: Long,
+      toVersion: Long): Seq[Long] = {
+    val (_, root) = fsFor(spark, path)
+    val o = readManifest(spark, root, fromVersion).files.groupBy(bucketOf)
+    val n = readManifest(spark, root, toVersion).files.groupBy(bucketOf)
+    (o.keySet ++ n.keySet).toSeq.sorted
+      .filter(b => o.get(b).map(_.sorted) != n.get(b).map(_.sorted))
+  }
+
+  /** CHANGE DATA FEED between two committed versions: the +1/-1 row
+    * deltas ([[graft.ops.TableDiff.changeDeltas]] semantics — updates
+    * emit their old image at -1 and new image at +1) computed by reading
+    * ONLY the buckets whose file sets changed between the manifests.
+    * At 100 TB this is the difference between diffing the table and
+    * diffing the commits: a 10-key upsert touches ≤ 10 buckets, and the
+    * feed's scan cost is those buckets at both versions — everything
+    * else is provably unchanged because data files are immutable.
+    * Compaction-only commits rewrite buckets without changing rows; they
+    * cost a scan of those buckets and emit zero deltas. Under schema
+    * evolution, pre-evolution rows align with nulls in added columns
+    * (the same convention [[readVersion]] applies). The output feeds
+    * [[graft.pipeline.IncrementalAgg.updateWithRetractions]] or a
+    * tombstone-fold into a downstream [[upsert]] directly.
+    */
+  def changesBetween(spark: SparkSession, path: String, fromVersion: Long,
+      toVersion: Long, opCol: String = "op"): DataFrame = {
+    require(fromVersion < toVersion,
+      s"changesBetween needs fromVersion < toVersion, got " +
+      s"$fromVersion >= $toVersion")
+    val (_, root) = fsFor(spark, path)
+    val o = readManifest(spark, root, fromVersion)
+    val n = readManifest(spark, root, toVersion)
+    val keyCol = n.layout.orElse(o.layout).map(_._1).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path records no (keyCol, nBuckets) layout — changesBetween " +
+        "needs the key to diff on"))
+    val touched = changedBuckets(spark, path, fromVersion, toVersion).toSet
+    val newSchema = n.dataSchema.map(StructType.fromDDL).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path v$toVersion records no schema"))
+    def side(m: Manifest): DataFrame = {
+      val picked = m.files.filter(f => touched(bucketOf(f)))
+      val base =
+        if (picked.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            m.dataSchema.map(StructType.fromDDL).getOrElse(newSchema))
+        else versionDf(spark, path, root, m.copy(files = picked))
+          .drop("__bucket")
+      // align to the newer schema: evolution only ever ADDS columns
+      base.select(newSchema.fieldNames.map(c =>
+        (if (base.columns.contains(c)) col(c)
+         else lit(null).cast(newSchema(c).dataType)).as(c)).toSeq: _*)
+    }
+    graft.ops.TableDiff.changeDeltas(side(o), side(n), Seq(keyCol), opCol)
+  }
+
   /** One version's recorded per-file stats entries (table-relative file,
     * column, min/max in [[Skipping]]'s encoding) — the observability
     * hook for layout tooling and specs: what can this version's manifest

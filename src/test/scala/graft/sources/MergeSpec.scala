@@ -491,6 +491,47 @@ class MergeSpec extends SparkSpec {
     assert(Merge.readKeyedSkipping(spark, path, bounds).count() == 10)
   }
 
+  test("changesBetween: deltas from touched buckets only; compaction " +
+      "emits none; evolution aligns with nulls") {
+    val path = freshDir("cdf")
+    val base = (0L until 200L).map(i => (i, i * 1.0)).toDF("id", "score")
+    Merge.writeKeyed(base, path, "id", nBuckets = 16)
+    val batch = Seq((7L, 700.0, false), (300L, 3.0, false),
+      (9L, 0.0, true)).toDF("id", "score", "__del")
+    Merge.upsert(spark, path, batch, "id", nBuckets = 16,
+      tombstoneCol = Some("__del"))
+    val touched = Merge.changedBuckets(spark, path, 0L, 1L)
+    assert(touched.nonEmpty && touched.size <= 3,
+      s"3 keys touch <= 3 buckets, got $touched")
+    val cdf = Merge.changesBetween(spark, path, 0L, 1L)
+      .orderBy("id", "op").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(cdf.toSeq == Seq((7L, 7.0, -1), (7L, 700.0, 1),
+      (9L, 9.0, -1), (300L, 3.0, 1)),
+      s"update = old@-1 + new@+1, delete = -1, insert = +1; got " +
+      cdf.mkString(", "))
+    // compaction: rows identical, zero deltas (and only its rewritten
+    // buckets scanned). filesPerBucket = 3 fragments the touched bucket
+    // so the compaction actually has work
+    Merge.upsert(spark, path,
+      (0L until 50L).map(i => (i, i + 0.5)).toDF("id", "score"),
+      "id", 16, filesPerBucket = 3)
+    val cs = Merge.compactVersion(spark, path)
+    assert(cs.bucketsRewritten >= 1, "fragmented bucket must compact")
+    val v = Merge.currentVersion(spark, path)
+    assert(Merge.changesBetween(spark, path, v - 1, v).count() == 0,
+      "a compaction-only commit must emit no deltas")
+    // evolution: the pre-evolution side aligns its missing column as null
+    Merge.upsert(spark, path, Seq((7L, 702.0, "x")).toDF("id", "score",
+      "tag"), "id", 16, allowEvolution = true)
+    val ev = Merge.changesBetween(spark, path, v, v + 1)
+      .orderBy("op").collect()
+    assert(ev.length == 2)
+    assert(ev(0).getInt(ev(0).fieldIndex("op")) == -1 &&
+      ev(0).isNullAt(ev(0).fieldIndex("tag")))
+    assert(ev(1).getString(ev(1).fieldIndex("tag")) == "x")
+  }
+
   test("clusterBy compaction: per-bucket files get disjoint cluster " +
       "ranges, manifest skipping prunes within buckets") {
     val path = freshDir("optimize")

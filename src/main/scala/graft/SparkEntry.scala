@@ -1167,6 +1167,43 @@ object SparkEntry {
         .select("p_partkey", "p_brand", "p_retailprice")
         .orderBy("p_partkey")
     }),
+    "q_merge_where" -> ((s, dir) => {
+      // PREDICATE-DRIVEN SKIPPING READ: the user writes the filter they
+      // mean; impliedBounds extracts the conjunct intervals (>= / <=
+      // on o_orderdate here, the %-conjunct contributes nothing), the
+      // manifest prunes files by them (strict subset required in-gate),
+      // and the FULL predicate re-applies as the residual — result ≡
+      // read-everything-then-filter no matter what the extraction
+      // found. This is the API a query layer calls; hand-authored
+      // Bound lists (q_merge_skipping) stay for planners that know
+      // their intervals.
+      import graft.sources.{Merge, Skipping}
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      val path = new java.io.File(scratchRoot,
+        s"graft_merge_w_${new java.io.File(dir).getName}").getAbsolutePath
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice",
+          "o_orderdate")
+      Merge.writeKeyed(orders, path, "o_orderkey", nBuckets = 8,
+        statsCols = Seq("o_orderdate"), filesPerBucket = 4)
+      Merge.compactVersion(s, path, targetFilesPerBucket = 4,
+        clusterBy = Seq("o_orderdate"))
+      val pred = col("o_orderdate") >= "1996-01-01" &&
+        col("o_orderdate") <= "1996-12-31 23:59:59" &&
+        col("o_orderkey") % 2 === 0
+      val bounds = Skipping.impliedBounds(pred)
+      require(bounds.exists(_.column == "o_orderdate"),
+        s"date conjuncts must extract, got $bounds")
+      val v = Merge.currentVersion(s, path)
+      val (sel, total) = Merge.planVersionFiles(s, path, v, bounds)
+      require(sel.size < total,
+        s"extracted bounds must prune, got ${sel.size}/$total")
+      Merge.readKeyedWhere(s, path, pred)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(dec("o_totalprice")).cast("double").as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
     "q_merge_cdf" -> ((s, dir) => {
       // CHANGE DATA FEED from the commit log: one tombstone-upsert
       // commit (updates %100==7 × 1.5, deletes %100==13, inserts
@@ -3750,6 +3787,17 @@ object SparkEntry {
                 ELSE p_retailprice END AS p_retailprice
          FROM part
          ORDER BY p_partkey""",
+    // the predicate-driven skipping read ≡ a plain filtered aggregate
+    "q_merge_where" ->
+      """SELECT o_orderpriority, count(*) AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_price
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate <= TIMESTAMP '1996-12-31 23:59:59'
+           AND o_orderkey % 2 = 0
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
     // the change feed ≡ its SQL replay: updates old@-1 + new@+1,
     // deletes -1, inserts +1
     "q_merge_cdf" ->

@@ -594,6 +594,30 @@ object Merge {
     readVersionSkipping(spark, path, v, bounds)
   }
 
+  /** Filtered read of one version driven by a plain predicate: bounds
+    * auto-extracted via [[Skipping.impliedBounds]] prune files from the
+    * manifest, the FULL predicate applies after — result ≡
+    * `readVersion(...).filter(pred)` whatever the extraction found.
+    * This is the API a query layer should call: the user writes the
+    * filter they mean, the manifest stats do what they can.
+    */
+  def readVersionWhere(spark: SparkSession, path: String, version: Long,
+      pred: org.apache.spark.sql.Column): DataFrame = {
+    val bounds = Skipping.impliedBounds(pred)
+    val base =
+      if (bounds.isEmpty) readVersion(spark, path, version)
+      else readVersionSkipping(spark, path, version, bounds)
+    base.filter(pred)
+  }
+
+  /** [[readVersionWhere]] at the latest committed version. */
+  def readKeyedWhere(spark: SparkSession, path: String,
+      pred: org.apache.spark.sql.Column): DataFrame = {
+    val v = currentVersion(spark, path)
+    require(v >= 0, s"$path has no version log — readKeyedWhere needs one")
+    readVersionWhere(spark, path, v, pred)
+  }
+
   /** POINT LOOKUP: the current rows for one key, reading ONLY the files
     * of the bucket the key hashes to — at 100 TB with 4096 buckets, one
     * lookup touches 1/4096th of the table's files (and after

@@ -246,6 +246,106 @@ object Skipping {
     }
   }
 
+  /** The interval bounds IMPLIED by a `Column` predicate — the bridge
+    * that makes skipping automatic: users write the filter they mean,
+    * planning extracts what the stats can use. Walks the (unresolved)
+    * expression tree collecting `attr op literal` conjuncts
+    * (>, >=, <, <=, = — either operand order); everything else — OR
+    * branches, function calls, casts, IS NULL — contributes NOTHING,
+    * which is always sound because every extracted bound is implied by
+    * its conjunct alone and the CALLER re-applies the full predicate as
+    * the residual. Strict inequalities widen to inclusive bounds (may
+    * keep a boundary file, never drops a wrong one). Multiple bounds on
+    * one column all apply ([[survives]] is a forall).
+    */
+  def impliedBounds(pred: Column): Seq[Bound] = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      And, AttributeReference, EqualTo, Expression, GreaterThan,
+      GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    // catalyst literals carry INTERNAL values; convert by the literal's
+    // own type to the external forms boundKey/statKey already compare
+    def ext(l: Literal): Option[Any] = (l.dataType, l.value) match {
+      case (_, null) => None // null comparisons match nothing; no bound
+      case (StringType, u) => Some(u.toString)
+      case (_: TimestampType, m: java.lang.Long) =>
+        val t = new java.sql.Timestamp(m / 1000000L * 1000L)
+        t.setNanos(((m % 1000000L + 1000000L) % 1000000L).toInt * 1000)
+        Some(t)
+      case (TimestampNTZType, m: java.lang.Long) =>
+        Some(java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(m, 1000000L),
+          (Math.floorMod(m, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC))
+      case (_: DateType, d: java.lang.Integer) =>
+        Some(java.time.LocalDate.ofEpochDay(d.toLong).toString)
+      case (t: DecimalType, d: org.apache.spark.sql.types.Decimal) =>
+        Some(d.toJavaBigDecimal)
+      case (t, v) if isNumeric(t) => Some(v)
+      case _ => None // binary, arrays, ...: stats never recorded anyway
+    }
+    def attrName(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def bound(a: Expression, l: Literal, isLower: Boolean,
+        isEq: Boolean = false): Seq[Bound] =
+      (attrName(a), ext(l)) match {
+        case (Some(c), Some(v)) =>
+          if (isEq) Seq(Bound(c, Some(v), Some(v)))
+          else if (isLower) Seq(Bound(c, Some(v), None))
+          else Seq(Bound(c, None, Some(v)))
+        case _ => Nil
+      }
+    // one comparison leaf; `flip` when the literal was on the LEFT
+    def leaf(op: String, a: Expression, l: Literal,
+        flip: Boolean): Seq[Bound] = op match {
+      case ">" | ">=" => bound(a, l, isLower = !flip)
+      case "<" | "<=" => bound(a, l, isLower = flip)
+      case "=" | "==" => bound(a, l, isLower = false, isEq = true)
+      case _          => Nil
+    }
+    def walk(e: Expression): Seq[Bound] = e match {
+      // the Column DSL converts to UNRESOLVED function nodes ("and",
+      // ">=", ...) — the analyzer hasn't run on a bare predicate
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+        (f.nameParts.last.toLowerCase, f.arguments) match {
+          case ("and", Seq(x, y))       => walk(x) ++ walk(y)
+          case (op, Seq(a, l: Literal)) => leaf(op, a, l, flip = false)
+          case (op, Seq(l: Literal, a)) => leaf(op, a, l, flip = true)
+          case _                        => Nil
+        }
+      // typed fallbacks for predicates built from resolved plans
+      case And(x, y)                          => walk(x) ++ walk(y)
+      case GreaterThan(a, l: Literal)         => leaf(">", a, l, false)
+      case GreaterThanOrEqual(a, l: Literal)  => leaf(">=", a, l, false)
+      case LessThan(a, l: Literal)            => leaf("<", a, l, false)
+      case LessThanOrEqual(a, l: Literal)     => leaf("<=", a, l, false)
+      case GreaterThan(l: Literal, a)         => leaf(">", a, l, true)
+      case GreaterThanOrEqual(l: Literal, a)  => leaf(">=", a, l, true)
+      case LessThan(l: Literal, a)            => leaf("<", a, l, true)
+      case LessThanOrEqual(l: Literal, a)     => leaf("<=", a, l, true)
+      case EqualTo(a, l: Literal)             => leaf("=", a, l, false)
+      case EqualTo(l: Literal, a)             => leaf("=", a, l, true)
+      case _                                  => Nil
+    }
+    walk(org.apache.spark.sql.GraftColumnBridge.expression(pred))
+  }
+
+  /** [[readSkipping]] driven by a plain predicate: prune with
+    * [[impliedBounds]], then apply the FULL predicate — result ≡
+    * `read.filter(pred)` whatever the extraction found.
+    */
+  def readWhere(spark: SparkSession, path: String,
+      pred: Column): DataFrame = {
+    val bounds = impliedBounds(pred)
+    val base =
+      if (bounds.isEmpty) spark.read.parquet(path)
+      else readSkipping(spark, path, bounds)
+    base.filter(pred)
+  }
+
   /** The conservative pruning decision for ONE file: can it contain a row
     * satisfying every bound, given its recorded per-column stats? Shared
     * with [[Merge]]'s manifest-level skipping so both prune identically:

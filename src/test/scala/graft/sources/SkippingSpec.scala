@@ -120,4 +120,44 @@ class SkippingSpec extends SparkSpec {
     assert(Skipping.readSkipping(spark, path,
       Seq(Bound("v", Some(1.0 / 3.0), None))).count() == 1)
   }
+
+  test("impliedBounds extracts conjunct intervals; OR and functions " +
+      "contribute nothing; strict widens to inclusive") {
+    import org.apache.spark.sql.functions.{col, length, lit}
+    val b1 = Skipping.impliedBounds(
+      col("id") >= 100L && col("id") < 300L && col("name") === "k0042")
+    assert(b1.contains(Bound("id", Some(100L), None)))
+    assert(b1.contains(Bound("id", None, Some(300L)))) // widened, sound
+    assert(b1.contains(Bound("name", Some("k0042"), Some("k0042"))))
+    // flipped operand order
+    assert(Skipping.impliedBounds(lit(5L) < col("id")) ==
+      Seq(Bound("id", Some(5L), None)))
+    // OR and function calls: nothing extracted (the residual covers it)
+    assert(Skipping.impliedBounds(
+      col("id") > 5L || col("id") < 2L).isEmpty)
+    assert(Skipping.impliedBounds(length(col("name")) > 3).isEmpty)
+    // but an AND sibling of an OR still contributes
+    val b2 = Skipping.impliedBounds(
+      (col("id") > 5L || col("score") < 2.0) && col("id") <= 700L)
+    assert(b2 == Seq(Bound("id", None, Some(700L))))
+  }
+
+  test("readWhere ≡ read.filter(pred) and prunes when it can") {
+    import org.apache.spark.sql.functions.col
+    val path = writeTable("where")
+    val pred = col("id") >= 800L &&
+      col("ts") >= java.sql.Timestamp.valueOf("2024-01-21 00:00:00")
+    val got = Skipping.readWhere(spark, path, pred)
+      .orderBy("id").collect()
+    val want = spark.read.parquet(path).filter(pred)
+      .orderBy("id").collect()
+    assert(got.sameElements(want))
+    val (sel, total) = Skipping.planFiles(spark, path,
+      Skipping.impliedBounds(pred))
+    assert(sel.size < total, s"must prune, got ${sel.size}/$total")
+    // a predicate the extractor can't use still reads correctly
+    val hard = (col("id") % 7) === 3L
+    assert(Skipping.readWhere(spark, path, hard).count() ==
+      spark.read.parquet(path).filter(hard).count())
+  }
 }

@@ -225,5 +225,58 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     registerColumnFn("graft_word_shingles", 2,
       c => graft.pipeline.Shingles.wordShingles(column(c.head),
         intLit(c(1), "n")))
+
+    // TABLE-VALUED functions: the lakehouse from a pure-SQL session.
+    // The builder returns the SAME analyzed plan the Scala API builds
+    // (manifest-pruned file set, version resolution, CDF bucket
+    // pruning) — FROM graft_table('/p') is readKeyed, not a re-
+    // implementation. Literal-only args: these resolve at analysis
+    // time, before any row exists to evaluate an expression against.
+    def longLit(e: Expression, what: String): Long = e match {
+      case Literal(n: Int, org.apache.spark.sql.types.IntegerType) =>
+        n.toLong
+      case Literal(n: Long, org.apache.spark.sql.types.LongType) => n
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+    def registerTableFn(name: String, usage: String,
+        build: Seq[Expression] => org.apache.spark.sql.DataFrame)
+        : Unit =
+      ext.injectTableFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        (children: Seq[Expression]) =>
+          try build(children).queryExecution.logical
+          catch {
+            case e: IllegalArgumentException =>
+              throw new IllegalArgumentException(s"$usage — ${e.getMessage}")
+          }))
+    registerTableFn("graft_table", "usage: graft_table('path')", c => {
+      require(c.size == 1, "takes 1 argument")
+      graft.sources.Merge.readKeyed(
+        org.apache.spark.sql.SparkSession.active, strLit(c.head, "path"))
+    })
+    registerTableFn("graft_table_version",
+      "usage: graft_table_version('path', v)", c => {
+        require(c.size == 2, "takes 2 arguments")
+        graft.sources.Merge.readVersion(
+          org.apache.spark.sql.SparkSession.active,
+          strLit(c.head, "path"), longLit(c(1), "version"))
+      })
+    registerTableFn("graft_table_asof",
+      "usage: graft_table_asof('path', epochMillis)", c => {
+        require(c.size == 2, "takes 2 arguments")
+        graft.sources.Merge.readAsOf(
+          org.apache.spark.sql.SparkSession.active,
+          strLit(c.head, "path"), longLit(c(1), "epochMillis"))
+      })
+    registerTableFn("graft_changes",
+      "usage: graft_changes('path', fromV, toV)", c => {
+        require(c.size == 3, "takes 3 arguments")
+        graft.sources.Merge.changesBetween(
+          org.apache.spark.sql.SparkSession.active,
+          strLit(c.head, "path"), longLit(c(1), "fromVersion"),
+          longLit(c(2), "toVersion"))
+      })
   }
 }

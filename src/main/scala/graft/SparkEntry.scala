@@ -1167,6 +1167,49 @@ object SparkEntry {
         .select("p_partkey", "p_brand", "p_retailprice")
         .orderBy("p_partkey")
     }),
+    "q_sql_table" -> ((s, dir) => {
+      // the LAKEHOUSE from a pure-SQL session: FROM graft_table('p')
+      // resolves through the SAME readKeyed plan the Scala API builds
+      // (manifest file set, no re-implementation) via
+      // injectTableFunction; graft_table_version time-travels in SQL.
+      // One tombstone commit (update %10==3 × 1.4, delete %10==6,
+      // insert clones), then ONE SQL statement aggregates the current
+      // snapshot AND v0 — both must match the oracle's replay, so the
+      // commit is visible and the old version readable without any
+      // Scala in the query path.
+      import graft.sources.Merge
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      val path = new java.io.File(scratchRoot,
+        s"graft_sql_tbl_${new java.io.File(dir).getName}").getAbsolutePath
+      val part = t(s, dir, "part")
+        .select("p_partkey", "p_brand", "p_retailprice")
+      Merge.writeKeyed(part, path, "p_partkey", nBuckets = 16)
+      val batch = part.filter(col("p_partkey") % 10 === 3)
+        .withColumn("p_retailprice",
+          round(dec("p_retailprice") * lit(1.4).cast("decimal(2,1)"), 2)
+            .cast("double"))
+        .withColumn("__del", lit(false))
+        .unionByName(part.filter(col("p_partkey") % 10 === 6)
+          .withColumn("__del", lit(true)))
+        .unionByName(part.filter(col("p_partkey") < 5)
+          .withColumn("p_partkey", col("p_partkey") + lit(5000000L))
+          .withColumn("__del", lit(false)))
+      Merge.upsert(s, path, batch, "p_partkey", nBuckets = 16,
+        tombstoneCol = Some("__del"))
+      s.sql(
+        s"""SELECT p_brand, cnt, sum_price, 'current' AS snap FROM (
+           |  SELECT p_brand, count(*) AS cnt,
+           |         CAST(sum(CAST(p_retailprice AS DECIMAL(28,2)))
+           |              AS DOUBLE) AS sum_price
+           |  FROM graft_table('$path') GROUP BY p_brand)
+           |UNION ALL
+           |SELECT p_brand, cnt, sum_price, 'v0' AS snap FROM (
+           |  SELECT p_brand, count(*) AS cnt,
+           |         CAST(sum(CAST(p_retailprice AS DECIMAL(28,2)))
+           |              AS DOUBLE) AS sum_price
+           |  FROM graft_table_version('$path', 0) GROUP BY p_brand)
+           |ORDER BY snap, p_brand""".stripMargin)
+    }),
     "q_merge_where" -> ((s, dir) => {
       // PREDICATE-DRIVEN SKIPPING READ: the user writes the filter they
       // mean; impliedBounds extracts the conjunct intervals (>= / <=
@@ -3787,6 +3830,33 @@ object SparkEntry {
                 ELSE p_retailprice END AS p_retailprice
          FROM part
          ORDER BY p_partkey""",
+    // both SQL-TVF snapshots ≡ their replays: v0 is the raw table, the
+    // current version applies the update/delete/insert commit
+    "q_sql_table" ->
+      """WITH cur AS (
+           SELECT p_partkey, p_brand,
+                  CASE WHEN p_partkey % 10 = 3 THEN
+                    CAST(round(CAST(p_retailprice AS DECIMAL(18,2))
+                               * CAST(1.4 AS DECIMAL(2,1)), 2) AS DOUBLE)
+                  ELSE p_retailprice END AS p_retailprice
+           FROM part WHERE p_partkey % 10 <> 6
+           UNION ALL
+           SELECT p_partkey + 5000000, p_brand, p_retailprice
+           FROM part WHERE p_partkey < 5),
+         a1 AS (
+           SELECT p_brand, count(*) AS cnt,
+                  CAST(sum(CAST(p_retailprice AS DECIMAL(28,2)))
+                       AS DOUBLE) AS sum_price
+           FROM cur GROUP BY p_brand),
+         a0 AS (
+           SELECT p_brand, count(*) AS cnt,
+                  CAST(sum(CAST(p_retailprice AS DECIMAL(28,2)))
+                       AS DOUBLE) AS sum_price
+           FROM part GROUP BY p_brand)
+         SELECT p_brand, cnt, sum_price, 'current' AS snap FROM a1
+         UNION ALL
+         SELECT p_brand, cnt, sum_price, 'v0' AS snap FROM a0
+         ORDER BY snap, p_brand""",
     // the predicate-driven skipping read ≡ a plain filtered aggregate
     "q_merge_where" ->
       """SELECT o_orderpriority, count(*) AS n,

@@ -106,4 +106,44 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .as[String].collect().toSet
     assert(none == Set("spark joins fast"))
   }
+
+  test("table functions: graft_table / _version / _asof / graft_changes " +
+      "reach the version log from SQL") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ext_tvf").toFile
+    dir.deleteOnExit()
+    val path = new java.io.File(dir, "tbl").getAbsolutePath
+    // the TVF builder calls SparkSession.active — set it as a SQL
+    // session would have it
+    SparkSession.setActiveSession(spark)
+    try {
+      val base = (0L until 40L).map(i => (i, i * 1.0)).toDF("id", "v")
+      graft.sources.Merge.writeKeyed(base, path, "id", nBuckets = 4)
+      graft.sources.Merge.upsert(spark, path,
+        Seq((1L, 100.0), (50L, 5.0)).toDF("id", "v"), "id", 4)
+      assert(spark.sql(s"SELECT count(*) AS n FROM graft_table('$path')")
+        .as[Long].head() == 41L)
+      assert(spark.sql(
+        s"SELECT v FROM graft_table('$path') WHERE id = 1")
+        .as[Double].head() == 100.0)
+      assert(spark.sql(
+        s"SELECT count(*) AS n FROM graft_table_version('$path', 0)")
+        .as[Long].head() == 40L)
+      val t1 = graft.sources.Merge.commitTime(spark, path, 1)
+      assert(spark.sql(
+        s"SELECT count(*) AS n FROM graft_table_asof('$path', ${t1}L)")
+        .as[Long].head() == 41L)
+      val ops = spark.sql(
+        s"SELECT op, count(*) AS n FROM graft_changes('$path', 0, 1) " +
+        "GROUP BY op ORDER BY op")
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+      assert(ops == Seq((-1, 1L), (1, 2L)),
+        s"update old@-1 + new@+1 + insert@+1, got $ops")
+      val err = intercept[Exception] {
+        spark.sql("SELECT * FROM graft_table('/nope', 2)").collect()
+      }
+      assert(err.getMessage.contains("graft_table"))
+    } finally SparkSession.clearActiveSession()
+  }
 }

@@ -46,6 +46,35 @@ object SparkEntry {
     p.toFile.getAbsolutePath
   }
 
+  /** Shared fixture for the clustered-layout gates (q_merge_optimize /
+    * q_merge_where): ONE stats-clustered orders table per (JVM, sf dir).
+    * Builds the salted 4-files-per-bucket layout, PROVES it unprunable
+    * under a date bound (every file spans the full range — part of
+    * q_merge_optimize's contract), then runs the clusterBy compaction.
+    * Memoized so the second gate measures its read path, not a rebuild.
+    */
+  private val clusteredOrdersMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def clusteredOrdersTable(s: SparkSession, dir: String): String =
+    clusteredOrdersMemo.getOrElseUpdate(dir, {
+      import graft.sources.{Merge, Skipping}
+      val path = new java.io.File(scratchRoot,
+        s"graft_merge_cl_${new java.io.File(dir).getName}").getAbsolutePath
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice",
+          "o_orderdate")
+      Merge.writeKeyed(orders, path, "o_orderkey", nBuckets = 8,
+        statsCols = Seq("o_orderdate"), filesPerBucket = 4)
+      val bounds = Seq(Skipping.Bound("o_orderdate",
+        Some("1997-01-01"), Some("1997-12-31 23:59:59")))
+      val (sel0, total0) = Merge.planVersionFiles(s, path, 0L, bounds)
+      require(sel0.size == total0,
+        s"salted layout must be unprunable, got ${sel0.size}/$total0")
+      Merge.compactVersion(s, path, targetFilesPerBucket = 4,
+        clusterBy = Seq("o_orderdate"))
+      path
+    })
+
   /** Run `body` with `spark.sql.shuffle.partitions` temporarily lowered and
     * trailing no-data micro-batches disabled. For the authored micro-batch
     * LIFECYCLE gates (a dozen rows over 3-4 triggers): stateful streaming
@@ -1222,15 +1251,7 @@ object SparkEntry {
       // their intervals.
       import graft.sources.{Merge, Skipping}
       val dec = (c: String) => col(c).cast("decimal(18,2)")
-      val path = new java.io.File(scratchRoot,
-        s"graft_merge_w_${new java.io.File(dir).getName}").getAbsolutePath
-      val orders = t(s, dir, "orders")
-        .select("o_orderkey", "o_orderpriority", "o_totalprice",
-          "o_orderdate")
-      Merge.writeKeyed(orders, path, "o_orderkey", nBuckets = 8,
-        statsCols = Seq("o_orderdate"), filesPerBucket = 4)
-      Merge.compactVersion(s, path, targetFilesPerBucket = 4,
-        clusterBy = Seq("o_orderdate"))
+      val path = clusteredOrdersTable(s, dir) // shared clustered fixture
       val pred = col("o_orderdate") >= "1996-01-01" &&
         col("o_orderdate") <= "1996-12-31 23:59:59" &&
         col("o_orderkey") % 2 === 0
@@ -1297,20 +1318,12 @@ object SparkEntry {
       // ranges and row identity are pinned in MergeSpec.
       import graft.sources.{Merge, Skipping}
       val dec = (c: String) => col(c).cast("decimal(18,2)")
-      val path = new java.io.File(scratchRoot,
-        s"graft_merge_o_${new java.io.File(dir).getName}").getAbsolutePath
-      val orders = t(s, dir, "orders")
-        .select("o_orderkey", "o_orderpriority", "o_totalprice",
-          "o_orderdate")
-      Merge.writeKeyed(orders, path, "o_orderkey", nBuckets = 8,
-        statsCols = Seq("o_orderdate"), filesPerBucket = 4)
+      // shared fixture: build + pre-compaction unprunability proof +
+      // clusterBy compaction happen in clusteredOrdersTable (once per
+      // JVM); this gate pins the post-compaction layout and result
+      val path = clusteredOrdersTable(s, dir)
       val bounds = Seq(Skipping.Bound("o_orderdate",
         Some("1997-01-01"), Some("1997-12-31 23:59:59")))
-      val (sel0, total0) = Merge.planVersionFiles(s, path, 0L, bounds)
-      require(sel0.size == total0,
-        s"salted layout must be unprunable, got ${sel0.size}/$total0")
-      Merge.compactVersion(s, path, targetFilesPerBucket = 4,
-        clusterBy = Seq("o_orderdate"))
       val v = Merge.currentVersion(s, path)
       val (sel1, total1) = Merge.planVersionFiles(s, path, v, bounds)
       require(sel1.size < total1 / 2,

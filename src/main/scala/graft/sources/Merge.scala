@@ -1133,4 +1133,37 @@ object Merge {
         .filter(_.getModificationTime <= cutoff)
         .foreach(d => fs.delete(d.getPath, true))
   }
+
+  /** Time-based retention (Delta's `delete retention period` shape):
+    * keep every version committed within the last `retainMillis` PLUS
+    * the newest version at or before that horizon — so [[readAsOf]] /
+    * [[versionAsOf]] stay answerable for every instant inside the
+    * retention window (the snapshot current at the window's start is
+    * the one a horizon-edge timestamp resolves to). Translates to a
+    * version count and delegates to [[vacuum]]. Versions without a
+    * commit stamp (pre-ts manifests) count as infinitely old.
+    */
+  def vacuumRetain(spark: SparkSession, path: String,
+      retainMillis: Long, graceMs: Long = 0L): Unit = {
+    require(retainMillis >= 0, "retainMillis must be >= 0")
+    val (_, root) = fsFor(spark, path)
+    val latest = currentVersion(spark, path)
+    require(latest >= 0, s"$path has no version log")
+    val horizon = System.currentTimeMillis() - retainMillis
+    // newest version at or before the horizon (or the oldest retained,
+    // when every commit is inside the window)
+    var keepFrom = latest
+    var v = latest
+    var done = false
+    while (v >= 0 && !done) {
+      readManifestOpt(spark, root, v) match {
+        case Some(m) =>
+          keepFrom = v
+          if (m.ts < 0 || m.ts <= horizon) done = true else v -= 1
+        case None => done = true // already vacuumed below here
+      }
+    }
+    vacuum(spark, path, keepVersions = (latest - keepFrom + 1).toInt,
+      graceMs = graceMs)
+  }
 }

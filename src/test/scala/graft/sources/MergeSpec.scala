@@ -579,6 +579,32 @@ class MergeSpec extends SparkSpec {
     }
   }
 
+  test("vacuumRetain keeps the window plus the horizon-edge snapshot") {
+    val path = freshDir("retain")
+    Merge.writeKeyed((0L until 30L).map(i => (i, "v0")).toDF("id", "v"),
+      path, "id", nBuckets = 4)
+    Merge.upsert(spark, path, Seq((1L, "v1")).toDF("id", "v"), "id", 4)
+    // wide t1→t2 gap so the horizon (computed against a fresh clock
+    // inside vacuumRetain) still lands strictly between them
+    Thread.sleep(300)
+    Merge.upsert(spark, path, Seq((2L, "v2")).toDF("id", "v"), "id", 4)
+    val t0 = Merge.commitTime(spark, path, 0)
+    val t1 = Merge.commitTime(spark, path, 1)
+    // horizon lands strictly between t1 and t2: the window holds v2,
+    // and v1 is the snapshot current at the window's start — keep both
+    Merge.vacuumRetain(spark, path,
+      retainMillis = System.currentTimeMillis() - t1 - 2)
+    assert(Merge.versionAsOf(spark, path, t1) == 1L,
+      "horizon-edge snapshot must stay readable")
+    assert(Merge.readVersion(spark, path, 1).count() == 30)
+    val e = intercept[Exception] { Merge.readVersion(spark, path, 0) }
+    assert(e.getMessage.toLowerCase.contains("retention") ||
+      e.getMessage.contains("vacuum"), s"got: ${e.getMessage}")
+    assert(intercept[IllegalArgumentException] {
+      Merge.versionAsOf(spark, path, t0)
+    }.getMessage.contains("retained"))
+  }
+
   test("time travel: versionAsOf resolves latest-at-or-before; vacuum " +
       "moves the retention horizon") {
     val path = freshDir("asof")

@@ -2301,6 +2301,26 @@ object SparkEntry {
         tieCols = Seq("l_orderkey", "l_linenumber"))
         .orderBy("l_returnflag", "rank")
     }),
+    "q_topk_group_wide" -> ((s, dir) => {
+      // the WIDE-TABLE mode of the same operator: the prune runs on a
+      // projected (group, order, id) view — per-group buffers hold a
+      // few scalars however wide the payload — and the bounded
+      // survivor-id set re-selects full rows via a broadcast semi-join
+      // (one extra scan, never a table shuffle). Same result as the
+      // full window the oracle runs, payload columns carried through
+      // untouched; the narrow-buffer schema and join shape are pinned
+      // in GroupTopKSpec. The synthetic unique lid doubles as the
+      // final tie-breaker.
+      graft.ops.GroupTopK.topKPerGroup(
+        t(s, dir, "lineitem").select("l_returnflag", "l_orderkey",
+          "l_linenumber", "l_extendedprice", "l_quantity", "l_discount",
+          "l_tax", "l_shipdate", "l_linestatus")
+          .withColumn("lid",
+            col("l_orderkey") * lit(10L) + col("l_linenumber")),
+        Seq("l_returnflag"), "l_extendedprice", k = 3,
+        idCol = Some("lid"))
+        .orderBy("l_returnflag", "rank")
+    }),
     "q_target_mix" -> ((s, dir) => {
       // TARGET-MIXTURE rebalancing: downsample languages toward a
       // 50/20/15/10/5 mix with maximum retention. The binding stratum
@@ -4707,6 +4727,21 @@ object SparkEntry {
                     ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
                     AS rank
            FROM lineitem)
+         WHERE rank <= 3 ORDER BY l_returnflag, rank""",
+    // wide mode ≡ the same window, payload columns carried through
+    "q_topk_group_wide" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+                l_quantity, l_discount, l_tax, l_shipdate, l_linestatus,
+                lid, CAST(rank AS INT) AS rank
+         FROM (
+           SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                  ORDER BY l_extendedprice DESC, lid) AS rank
+           FROM (
+             SELECT l_returnflag, l_orderkey, l_linenumber,
+                    l_extendedprice, l_quantity, l_discount, l_tax,
+                    l_shipdate, l_linestatus,
+                    l_orderkey * 10 + l_linenumber AS lid
+             FROM lineitem))
          WHERE rank <= 3 ORDER BY l_returnflag, rank""",
     // the same max-retention mix arithmetic in SQL: per-lang counts, the
     // binding stratum by min n/share (IEEE-divide, name tiebreak), exact

@@ -552,6 +552,12 @@ class SimilaritySpec extends SparkSpec {
       "embedding", k = 3, nProbe = 2)
     assert(!after.select("neighbor_id").as[Long].collect().contains(10L),
       "a tombstoned id must never surface at any k")
+    // the tombstone filter is a BROADCAST anti-join — the codes scan
+    // must never shuffle for it
+    val plan = after.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti") &&
+      plan.contains("BroadcastHashJoin"),
+      s"tombstones must broadcast-anti-join, plan:\n$plan")
     assert(after.filter($"rank" === 1).select("neighbor_id").as[Long]
       .head() == 2L, "the next-best neighbor takes rank 1")
     // idempotent + accumulative: removing more ids composes

@@ -1196,6 +1196,32 @@ object SparkEntry {
         .select("p_partkey", "p_brand", "p_retailprice")
         .orderBy("p_partkey")
     }),
+    "q_corpus_curate" -> ((s, dir) => {
+      // THE CANONICAL PRETRAINING CURATION PIPELINE in one lineage:
+      // enrich (token count / quality / content fingerprint) → quality
+      // floor → exact dedup (keep lowest id per normalized content) →
+      // deterministic md5 train/val split → per-split corpus
+      // accounting. Every stage is the individually-gated kernel; here
+      // the COMPOSITION is hash-checked — the oracle replays the whole
+      // pipeline in SQL. Outputs are integers only (counts, token
+      // sums): cross-engine double summation stays out of the hash.
+      // All stages are codegen'd column kernels + one hash aggregate +
+      // one semi-join — at 100 TB this is two shuffles end to end.
+      import graft.pipeline.{Dedup, Sampling, TextAnalysis}
+      val enriched = t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.qualityScore(col("text")).as("q"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+        .filter(col("q") >= 0.5)
+      Dedup.exactDedup(enriched, "doc_id", col("fp"))
+        .withColumn("split",
+          when(Sampling.hashBucket(col("doc_id"), "graft") < 90,
+            "train").otherwise("val"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("tok_total"))
+        .orderBy("split")
+    }),
     "q_sql_table" -> ((s, dir) => {
       // the LAKEHOUSE from a pure-SQL session: FROM graft_table('p')
       // resolves through the SAME readKeyed plan the Scala API builds
@@ -3863,6 +3889,45 @@ object SparkEntry {
                 ELSE p_retailprice END AS p_retailprice
          FROM part
          ORDER BY p_partkey""",
+    // the whole curation pipeline replayed in SQL: same quality formula,
+    // same normalized-content md5, same min-id dedup, same md5 split
+    "q_corpus_curate" ->
+      """WITH enr AS (
+           SELECT doc_id,
+                  CASE WHEN trim(text) = '' THEN 0
+                       ELSE length(string_split_regex(trim(text), '\s+'))
+                  END AS n_tokens,
+                  (least(length(text) / 500.0, 1.0) +
+                   CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE CAST(length(regexp_replace(text,
+                               '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                             / CAST(length(text) AS DOUBLE) END) / 2.0
+                    AS q,
+                  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+                    AS fp
+           FROM documents),
+         flt AS (SELECT * FROM enr WHERE q >= 0.5),
+         ded AS (
+           SELECT f.* FROM flt f
+           JOIN (SELECT fp, min(doc_id) AS doc_id FROM flt GROUP BY fp) w
+             ON f.doc_id = w.doc_id),
+         spl AS (
+           SELECT *,
+                  CASE WHEN
+                    (4096 * (strpos('0123456789abcdef', substring(
+                       md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 1)) - 1)
+                   + 256 * (strpos('0123456789abcdef', substring(
+                       md5(CAST(doc_id AS VARCHAR) || 'graft'), 2, 1)) - 1)
+                   + 16 * (strpos('0123456789abcdef', substring(
+                       md5(CAST(doc_id AS VARCHAR) || 'graft'), 3, 1)) - 1)
+                   + (strpos('0123456789abcdef', substring(
+                       md5(CAST(doc_id AS VARCHAR) || 'graft'), 4, 1)) - 1))
+                    % 100 < 90
+                  THEN 'train' ELSE 'val' END AS split
+           FROM ded)
+         SELECT split, count(*) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS tok_total
+         FROM spl GROUP BY split ORDER BY split""",
     // both SQL-TVF snapshots ≡ their replays: v0 is the raw table, the
     // current version applies the update/delete/insert commit
     "q_sql_table" ->

@@ -1102,7 +1102,7 @@ object SparkEntry {
         .select("o_orderkey", "o_orderpriority", "o_totalprice",
           "o_orderdate")
       val base = orders.filter(col("o_orderdate") < lit("1996-01-01"))
-      Merge.writeKeyed(base, path, "o_orderkey", nBuckets = 64,
+      Merge.writeKeyed(base, path, "o_orderkey", nBuckets = 32,
         statsCols = Seq("o_orderdate"))
       // commit 1: update — old dates only; its rewritten files still
       // prune under a 1997 bound (stats recomputed per new file)
@@ -1111,12 +1111,12 @@ object SparkEntry {
           .withColumn("o_totalprice",
             round(dec("o_totalprice") * lit(1.1).cast("decimal(2,1)"), 2)
               .cast("double")),
-        "o_orderkey", nBuckets = 64)
+        "o_orderkey", nBuckets = 32)
       // commit 2: insert — disjoint keys, 1997+ dates, few buckets
       Merge.upsert(s, path,
         orders.filter(col("o_orderdate") >= lit("1997-01-01") &&
           col("o_orderkey") % 200 === 0),
-        "o_orderkey", nBuckets = 64)
+        "o_orderkey", nBuckets = 32)
       val bounds = Seq(Skipping.Bound("o_orderdate",
         Some("1997-01-01"), Some("1997-12-31 23:59:59")))
       val v = Merge.currentVersion(s, path)

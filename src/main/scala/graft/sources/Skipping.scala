@@ -306,16 +306,57 @@ object Skipping {
       case "=" | "==" => bound(a, l, isLower = false, isEq = true)
       case _          => Nil
     }
+    // IN-list: sound interval = [min literal, max literal]. Ordering
+    // needs a common comparison domain WITHOUT the column's type
+    // (unresolved tree): numbers via BigDecimal, strings/dates lexical
+    // (date/timestamp TEXT literals are ISO — lexical == chronological).
+    def inBounds(a: Expression, ls: Seq[Expression]): Seq[Bound] = {
+      val vs = ls.map { case l: Literal => ext(l); case _ => None }
+      if (vs.exists(_.isEmpty) || vs.isEmpty) Nil
+      else attrName(a) match {
+        case None => Nil
+        case Some(c) =>
+          val xs = vs.flatten
+          if (xs.forall(_.isInstanceOf[Number])) {
+            val ks = xs.map(x => new java.math.BigDecimal(x.toString))
+            Seq(Bound(c, Some(xs(ks.indexOf(ks.min))),
+              Some(xs(ks.indexOf(ks.max)))))
+          } else if (xs.forall(_.isInstanceOf[String])) {
+            val ss = xs.map(_.asInstanceOf[String])
+            Seq(Bound(c, Some(ss.min), Some(ss.max)))
+          } else Nil
+      }
+    }
+    // startsWith: every string extending prefix p lies in
+    // [p, nextPrefix(p)) where nextPrefix increments p's rightmost
+    // non-MaxValue char (an inclusive upper on a superset stays sound;
+    // a p+MAX suffix bound would NOT be — p+MAX+MAX
+    // escapes it and a matching file could be wrongly dropped)
+    def prefixBounds(a: Expression, l: Literal): Seq[Bound] =
+      (attrName(a), ext(l)) match {
+        case (Some(c), Some(p: String)) if p.nonEmpty =>
+          val i = p.lastIndexWhere(_ != '\uffff')
+          if (i < 0) Seq(Bound(c, Some(p), None))
+          else Seq(Bound(c, Some(p),
+            Some(p.substring(0, i) + (p(i) + 1).toChar)))
+        case _ => Nil
+      }
     def walk(e: Expression): Seq[Bound] = e match {
       // the Column DSL converts to UNRESOLVED function nodes ("and",
       // ">=", ...) — the analyzer hasn't run on a bare predicate
       case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
         (f.nameParts.last.toLowerCase, f.arguments) match {
-          case ("and", Seq(x, y))       => walk(x) ++ walk(y)
-          case (op, Seq(a, l: Literal)) => leaf(op, a, l, flip = false)
-          case (op, Seq(l: Literal, a)) => leaf(op, a, l, flip = true)
-          case _                        => Nil
+          case ("and", Seq(x, y))        => walk(x) ++ walk(y)
+          case ("in", a +: ls)           => inBounds(a, ls)
+          case ("startswith", Seq(a, l: Literal)) => prefixBounds(a, l)
+          case (op, Seq(a, l: Literal))  => leaf(op, a, l, flip = false)
+          case (op, Seq(l: Literal, a))  => leaf(op, a, l, flip = true)
+          case _                         => Nil
         }
+      case org.apache.spark.sql.catalyst.expressions.In(a, ls) =>
+        inBounds(a, ls)
+      case org.apache.spark.sql.catalyst.expressions.StartsWith(
+          a, l: Literal) => prefixBounds(a, l)
       // typed fallbacks for predicates built from resolved plans
       case And(x, y)                          => walk(x) ++ walk(y)
       case GreaterThan(a, l: Literal)         => leaf(">", a, l, false)

@@ -223,6 +223,30 @@ class PlanShapeSpec extends SparkSpec {
       "the sidecar must prune files before the scan")
   }
 
+  test("predicate-driven version read: extracted interval pushes into " +
+      "the pruned scan") {
+    import graft.sources.Merge
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_where_plan").toString + "/tbl"
+    val df = (0 until 400).map(i => (i.toLong, i % 100)).toDF("id", "ts")
+    Merge.writeKeyed(df, path, "id", nBuckets = 2,
+      statsCols = Seq("ts"), filesPerBucket = 4)
+    Merge.compactVersion(spark, path, targetFilesPerBucket = 4,
+      clusterBy = Seq("ts"))
+    val out = Merge.readKeyedWhere(spark, path,
+      col("ts") >= 90 && (col("id") % 3) === 0L)
+    val scan = out.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("FileScan")).mkString("\n")
+    assert(scan.contains("GreaterThanOrEqual(ts,90)"),
+      s"the extracted interval must reach the parquet reader:\n$scan")
+    assert(out.inputFiles.length < 8,
+      "manifest stats must prune files before the scan")
+    assert(out.count() ==
+      df.filter($"ts" >= 90 && ($"id" % 3) === 0L).count())
+  }
+
   test("identically bucketed tables join with zero shuffle") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -142,6 +142,33 @@ class SkippingSpec extends SparkSpec {
     assert(b2 == Seq(Bound("id", None, Some(700L))))
   }
 
+  test("impliedBounds: IN-lists become [min,max]; startsWith becomes " +
+      "a sound prefix interval") {
+    import org.apache.spark.sql.functions.col
+    val in = Skipping.impliedBounds(col("id").isin(250L, 20L, 700L))
+    assert(in == Seq(Bound("id", Some(20L), Some(700L))))
+    val ins = Skipping.impliedBounds(col("name").isin("k05", "k02", "k09"))
+    assert(ins == Seq(Bound("name", Some("k02"), Some("k09"))))
+    val pre = Skipping.impliedBounds(col("name").startsWith("k00"))
+    assert(pre == Seq(Bound("name", Some("k00"), Some("k01"))))
+    // the prefix interval must CONTAIN every extension of the prefix —
+    // including ones past a naive prefix+MAX bound
+    val weird = "k00" + "\uffff\uffff"
+    assert("k00" <= weird && weird <= "k01")
+    // MAX-char prefix: upper side drops rather than lying
+    assert(Skipping.impliedBounds(col("name").startsWith("\uffff")) ==
+      Seq(Bound("name", Some("\uffff"), None)))
+    // correctness through the read path: IN + prefix prune and match
+    val path = writeTable("inpre")
+    val pred = col("id").isin(10L, 20L, 30L) && col("name").startsWith("k00")
+    val got = Skipping.readWhere(spark, path, pred).orderBy("id").collect()
+    val want = spark.read.parquet(path).filter(pred).orderBy("id").collect()
+    assert(got.sameElements(want) && got.length == 3)
+    val (sel, total) = Skipping.planFiles(spark, path,
+      Skipping.impliedBounds(pred))
+    assert(sel.size < total)
+  }
+
   test("readWhere ≡ read.filter(pred) and prunes when it can") {
     import org.apache.spark.sql.functions.col
     val path = writeTable("where")

@@ -169,6 +169,59 @@ class SkippingSpec extends SparkSpec {
     assert(sel.size < total)
   }
 
+  test("PROPERTY: readWhere ≡ read.filter for random predicate trees " +
+      "(extraction + pruning never lose a row)") {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.col
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val path = writeTable("prop")
+    val full = spark.read.parquet(path).cache()
+    full.count()
+    val genCmp: Gen[Column] = for {
+      c <- Gen.oneOf("id", "score", "name")
+      op <- Gen.choose(0, 4)
+      idV <- Gen.choose(-50L, 1100L)
+      scV <- Gen.choose(-5.0, 110.0)
+      nmV <- Gen.choose(0, 1100).map(i => f"k$i%04d")
+    } yield {
+      val (cc, v): (Column, Any) = c match {
+        case "id"    => (col("id"), idV)
+        case "score" => (col("score"), scV)
+        case _       => (col("name"), nmV)
+      }
+      op match {
+        case 0 => cc > org.apache.spark.sql.functions.lit(v)
+        case 1 => cc >= org.apache.spark.sql.functions.lit(v)
+        case 2 => cc < org.apache.spark.sql.functions.lit(v)
+        case 3 => cc <= org.apache.spark.sql.functions.lit(v)
+        case 4 => cc === org.apache.spark.sql.functions.lit(v)
+      }
+    }
+    val genIn: Gen[Column] = Gen.listOfN(3, Gen.choose(0L, 1100L))
+      .map(vs => col("id").isin(vs: _*))
+    val genPre: Gen[Column] = Gen.choose(0, 99)
+      .map(i => col("name").startsWith(f"k$i%02d"))
+    def genPred(depth: Int): Gen[Column] =
+      if (depth == 0) Gen.frequency(4 -> genCmp, 1 -> genIn, 1 -> genPre)
+      else Gen.frequency(
+        2 -> genCmp,
+        2 -> (for {a <- genPred(depth - 1); b <- genPred(depth - 1)}
+          yield a && b),
+        1 -> (for {a <- genPred(depth - 1); b <- genPred(depth - 1)}
+          yield a || b))
+    (1 to 40).foreach { i =>
+      genPred(2).apply(Gen.Parameters.default, Seed(i.toLong))
+        .foreach { pred =>
+          val want = full.filter(pred).count()
+          val got = Skipping.readWhere(spark, path, pred).count()
+          assert(got == want,
+            s"seed $i: pruned read lost rows ($got != $want) for $pred")
+        }
+    }
+    full.unpersist()
+  }
+
   test("readWhere ≡ read.filter(pred) and prunes when it can") {
     import org.apache.spark.sql.functions.col
     val path = writeTable("where")

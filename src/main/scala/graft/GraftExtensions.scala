@@ -270,6 +270,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           org.apache.spark.sql.SparkSession.active,
           strLit(c.head, "path"), longLit(c(1), "epochMillis"))
       })
+    registerTableFn("graft_history", "usage: graft_history('path')", c => {
+      require(c.size == 1, "takes 1 argument")
+      graft.sources.Merge.history(
+        org.apache.spark.sql.SparkSession.active, strLit(c.head, "path"))
+    })
     registerTableFn("graft_changes",
       "usage: graft_changes('path', fromV, toV)", c => {
         require(c.size == 3, "takes 3 arguments")

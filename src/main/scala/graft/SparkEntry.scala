@@ -1162,6 +1162,38 @@ object SparkEntry {
         .select("p_partkey", "p_brand", "p_retailprice")
         .orderBy("p_partkey")
     }),
+    "q_merge_history" -> ((s, dir) => {
+      // DESCRIBE HISTORY: manifests record the operation and row deltas
+      // at commit time, and history() lists the retained chain driver-
+      // locally. The lineage here exercises all four op kinds — write,
+      // tombstone upsert, predicate delete, compaction — with row
+      // deltas the oracle derives from the same rules; the wall-clock
+      // stamp stays OUT of the hash (monotonicity is pinned in
+      // MergeSpec, and in-gate by a require).
+      import graft.sources.Merge
+      val path = new java.io.File(scratchRoot,
+        s"graft_merge_h_${new java.io.File(dir).getName}").getAbsolutePath
+      val part = t(s, dir, "part")
+        .select("p_partkey", "p_brand", "p_retailprice")
+      Merge.writeKeyed(part, path, "p_partkey", nBuckets = 16)
+      Merge.deleteWhere(s, path, col("p_brand") === "Brand#13")
+      // fragmented (2 files/bucket) so the compaction provably has work
+      Merge.upsert(s, path,
+        part.filter(col("p_partkey") % 10 === 1)
+          .withColumn("__del", lit(false))
+          .unionByName(part.filter(col("p_partkey") % 10 === 2)
+            .withColumn("__del", lit(true))),
+        "p_partkey", nBuckets = 16, tombstoneCol = Some("__del"),
+        filesPerBucket = 2)
+      Merge.compactVersion(s, path)
+      val h = Merge.history(s, path)
+      val stamps = h.orderBy("version").select("ts")
+        .collect().map(_.getLong(0))
+      require(stamps.sliding(2).forall { case Array(a, b) => a < b },
+        s"commit stamps must strictly increase: ${stamps.toSeq}")
+      h.select("version", "parent", "op", "rows_upserted", "rows_deleted")
+        .orderBy("version")
+    }),
     "q_merge_timetravel" -> ((s, dir) => {
       // TIME TRAVEL by wall clock: manifests record a strictly
       // increasing commit timestamp; readAsOf resolves the latest
@@ -3879,6 +3911,23 @@ object SparkEntry {
          SELECT p_partkey, p_brand, p_retailprice FROM m1
          WHERE p_brand <> 'Brand#13'
          ORDER BY p_partkey""",
+    // the history rows derive from the same commit rules: delete counts
+    // Brand#13 rows, the tombstone upsert counts its batch split, the
+    // compaction moves no rows
+    "q_merge_history" ->
+      """SELECT CAST(0 AS BIGINT) AS version, CAST(-1 AS BIGINT) AS parent,
+                'write' AS op, CAST(-1 AS BIGINT) AS rows_upserted,
+                CAST(-1 AS BIGINT) AS rows_deleted
+         UNION ALL
+         SELECT 1, 0, 'delete', 0,
+                (SELECT count(*) FROM part WHERE p_brand = 'Brand#13')
+         UNION ALL
+         SELECT 2, 1, 'upsert',
+                (SELECT count(*) FROM part WHERE p_partkey % 10 = 1),
+                (SELECT count(*) FROM part WHERE p_partkey % 10 = 2)
+         UNION ALL
+         SELECT 3, 2, 'compact', 0, 0
+         ORDER BY version""",
     // AS OF v1's commit stamp: the %10==4 bump applied, v2's +3000000
     // inserts absent
     "q_merge_timetravel" ->

@@ -119,7 +119,9 @@ object Merge {
       layout: Option[(String, Int)] = None, // (keyCol, nBuckets)
       statsCols: Seq[String] = Seq.empty,
       stats: Seq[Skipping.FileStats] = Seq.empty,
-      ts: Long = -1L) // commit wall-clock millis; -1 = pre-ts manifest
+      ts: Long = -1L, // commit wall-clock millis; -1 = pre-ts manifest
+      op: Option[String] = None, // write/upsert/delete/compact
+      rowsUpserted: Long = -1L, rowsDeleted: Long = -1L) // -1 = unknown
 
   /** The commit timestamp for a child of `parent`: wall clock, forced
     * STRICTLY increasing along the version chain (max(parent+1, now)) so
@@ -176,9 +178,13 @@ object Merge {
         s""","statsCols":$cols,"stats":$entries"""
       }
     val tsField = if (m.ts >= 0) s""","ts":${m.ts}""" else ""
+    val opField = m.op.map(o => s""","op":"${jsonEscape(o)}"""")
+      .getOrElse("") +
+      (if (m.rowsUpserted >= 0) s""","rowsUp":${m.rowsUpserted}""" else "") +
+      (if (m.rowsDeleted >= 0) s""","rowsDel":${m.rowsDeleted}""" else "")
     (s"""{"version":${m.version},"parent":${m.parent},""" +
       s""""files":$files$schemaField$txnField$layoutField$statsFields""" +
-      s"""$tsField}""").getBytes("UTF-8")
+      s"""$tsField$opField}""").getBytes("UTF-8")
   }
 
   /** Create-if-absent manifest commit — THE atomic point of every commit.
@@ -271,7 +277,9 @@ object Merge {
               for (a <- str("txnApp"); b <- num("txnBatch")) yield (a, b),
               for (k <- str("keyCol"); n <- num("nBuckets"))
                 yield (k, n.toInt),
-              statsCols, stats, num("ts").getOrElse(-1L)))
+              statsCols, stats, num("ts").getOrElse(-1L),
+              str("op"), num("rowsUp").getOrElse(-1L),
+              num("rowsDel").getOrElse(-1L)))
           case _ => None // truncated or foreign body: not committed
         }
       }
@@ -367,7 +375,7 @@ object Merge {
       Some(df.schema.toDDL), layout = Some((keyCol, nBuckets)),
       statsCols = statsCols,
       stats = bucketFileStats(df.sparkSession, path, statsCols),
-      ts = System.currentTimeMillis()))
+      ts = System.currentTimeMillis(), op = Some("write")))
   }
 
   /** Read a manifest's file set with the version's own schema (plus the
@@ -548,6 +556,24 @@ object Merge {
          else lit(null).cast(newSchema(c).dataType)).as(c)).toSeq: _*)
     }
     graft.ops.TableDiff.changeDeltas(side(o), side(n), Seq(keyCol), opCol)
+  }
+
+  /** Commit history of the RETAINED versions (DESCRIBE HISTORY): one
+    * row per manifest — version, parent, operation, commit timestamp,
+    * file count, row deltas (-1 where a pre-metadata manifest didn't
+    * record them). Driver-local manifest reads; rows bounded by the
+    * retained version count.
+    */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val (_, root) = fsFor(spark, path)
+    val latest = currentVersion(spark, path)
+    require(latest >= 0, s"$path has no version log")
+    (0L to latest).flatMap(v => readManifestOpt(spark, root, v)).map { m =>
+      (m.version, m.parent, m.op.getOrElse("unknown"), m.ts,
+        m.files.size, m.rowsUpserted, m.rowsDeleted)
+    }.toDF("version", "parent", "op", "ts", "n_files",
+      "rows_upserted", "rows_deleted")
   }
 
   /** One version's recorded per-file stats entries (table-relative file,
@@ -862,7 +888,8 @@ object Merge {
             parent.statsCols,
             parent.stats.filterNot(e => touched(bucketOf(e.file))) ++
               newStats,
-            ts = nextTs(parent)))
+            ts = nextTs(parent), op = Some("upsert"),
+            rowsUpserted = rowsUpserted, rowsDeleted = rowsDeleted))
         return MergeStats(touched.size, nBuckets, rowsUpserted, parentV + 1,
           attempt, rowsDeleted = rowsDeleted)
       } catch {
@@ -949,7 +976,8 @@ object Merge {
             txn, parent.layout, parent.statsCols,
             parent.stats.filterNot(e => touched(bucketOf(e.file))) ++
               newStats,
-            ts = nextTs(parent)))
+            ts = nextTs(parent), op = Some("delete"),
+            rowsUpserted = 0L, rowsDeleted = rowsDeleted))
         return MergeStats(touched.size, nB, 0L, parentV + 1, attempt,
           rowsDeleted = rowsDeleted)
       } catch {
@@ -1043,7 +1071,8 @@ object Merge {
             layout = parent.layout, statsCols = parent.statsCols,
             stats = parent.stats.filterNot(e =>
               toRewrite.contains(bucketOf(e.file))) ++ newStats,
-            ts = nextTs(parent)))
+            ts = nextTs(parent), op = Some("compact"),
+            rowsUpserted = 0L, rowsDeleted = 0L))
         return CompactStats(parentV + 1, toRewrite.size, parent.files.size,
           files.size)
       } catch {

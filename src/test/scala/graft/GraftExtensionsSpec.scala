@@ -140,6 +140,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
       assert(ops == Seq((-1, 1L), (1, 2L)),
         s"update old@-1 + new@+1 + insert@+1, got $ops")
+      val hist = spark.sql(
+        s"SELECT version, op FROM graft_history('$path') ORDER BY version")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(hist == Seq((0L, "write"), (1L, "upsert")))
       val err = intercept[Exception] {
         spark.sql("SELECT * FROM graft_table('/nope', 2)").collect()
       }

@@ -208,6 +208,46 @@ class MergeSpec extends SparkSpec {
     assert(Merge.readVersion(spark, path, 1).count() == 101)
   }
 
+  test("upsert racing deleteWhere serializes: the loser re-plans " +
+      "against the winner's commit") {
+    val path = freshDir("xrace")
+    val base = (0L until 100L).map(i => (i, i % 5, i * 1.0))
+      .toDF("id", "g", "x")
+    Merge.writeKeyed(base, path, "id", nBuckets = 8)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    Merge.commitFence = () => {
+      if (calls.incrementAndGet() <= 2) {
+        barrier.await(30, java.util.concurrent.TimeUnit.SECONDS); ()
+      }
+    }
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      // upsert updates id 7 (g=2); delete removes group g=3 — keys
+      // disjoint, so the serialized outcome is order-independent
+      val a = Future(Merge.upsert(spark, path,
+        Seq((7L, 2L, 700.0)).toDF("id", "g", "x"), "id", 8))
+      val b = Future(Merge.deleteWhere(spark, path, $"g" === 3L))
+      val (sa, sb) = (Await.result(a, 120.seconds),
+        Await.result(b, 120.seconds))
+      assert(Set(sa.version, sb.version) == Set(1L, 2L),
+        s"linear history, got $sa / $sb")
+      assert(sa.retries + sb.retries == 1, "exactly one loser retried")
+      assert(sb.rowsDeleted == 20L)
+    } finally Merge.commitFence = () => ()
+    val out = Merge.readKeyed(spark, path)
+    assert(out.count() == 80, "100 - 20 deleted, update replaces in place")
+    assert(out.filter($"g" === 3L).isEmpty)
+    assert(out.filter($"id" === 7L).select("x").as[Double].head() == 700.0)
+    assert(out.groupBy("id").count().filter($"count" > 1).isEmpty)
+    // history records both ops whatever the serialization order
+    val ops = Merge.history(spark, path).orderBy("version")
+      .select("op").as[String].collect().toSeq
+    assert(ops.head == "write" && ops.tail.toSet == Set("upsert", "delete"))
+  }
+
   test("schema evolution: added column, old rows null, per-version schema") {
     val path = freshDir("evolve")
     val base = (0L until 50L).map(i => (i, i.toString)).toDF("id", "v")

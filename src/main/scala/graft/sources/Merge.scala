@@ -72,17 +72,28 @@ object Merge {
     * [[compactVersion]] re-coarsens later.
     */
   private def bucketPartitioned(df: DataFrame, filesPerBucket: Int,
-      buckets: Int): DataFrame = {
+      buckets: Int, sortKey: Option[String] = None): DataFrame = {
     require(filesPerBucket >= 1, "filesPerBucket must be >= 1")
     // explicit partition count: REPARTITION_BY_NUM pins the shuffle so
     // AQE's small-partition coalescing cannot merge the per-file groups
     // back together (write parallelism here is the POINT, not a cost)
     val parts = math.max(1, buckets) * filesPerBucket
-    if (filesPerBucket == 1) df.repartition(parts, col("__bucket"))
-    else {
-      val dataCols = df.columns.filterNot(_ == "__bucket").map(col).toSeq
-      df.repartition(parts, col("__bucket"),
-        pmod(xxhash64(dataCols: _*), lit(filesPerBucket.toLong)))
+    val repart =
+      if (filesPerBucket == 1) df.repartition(parts, col("__bucket"))
+      else {
+        val dataCols = df.columns.filterNot(_ == "__bucket").map(col).toSeq
+        df.repartition(parts, col("__bucket"),
+          pmod(xxhash64(dataCols: _*), lit(filesPerBucket.toLong)))
+      }
+    // KEY-SORTED FILES: leading with __bucket satisfies the writer's
+    // required partition ordering (its own sort is elided — this local
+    // sort replaces it, not adds to it), and the key order inside every
+    // file turns parquet row-group/page stats into a binary search for
+    // point lookups — at a 256 MB bucket file, a lookup decodes one
+    // row group instead of all of them
+    sortKey match {
+      case Some(k) => repart.sortWithinPartitions(col("__bucket"), col(k))
+      case None    => repart
     }
   }
 
@@ -369,7 +380,7 @@ object Merge {
     if (fs.exists(root)) fs.delete(root, true) // fresh table, fresh log
     bucketPartitioned(
       df.withColumn("__bucket", bucketCol(keyCol, nBuckets)),
-      filesPerBucket, nBuckets)
+      filesPerBucket, nBuckets, sortKey = Some(keyCol))
       .write.mode("overwrite").partitionBy("__bucket").parquet(path)
     writeManifest(fs, root, Manifest(0L, -1L, listDataFiles(fs, root),
       Some(df.schema.toDDL), layout = Some((keyCol, nBuckets)),
@@ -670,8 +681,22 @@ object Merge {
     val bucket = spark.range(1)
       .select(pmod(xxhash64(lit(key).cast(keyType)), lit(nBuckets.toLong)))
       .head().getLong(0)
-    val files = m.files.filter(f => bucketOf(f) == bucket)
-    if (files.isEmpty) // bucket never materialized: provably no such key
+    val bucketFiles = m.files.filter(f => bucketOf(f) == bucket)
+    // when the key column is in statsCols, the manifest's per-file
+    // [min, max] prunes WITHIN the bucket too — a hot multi-file bucket
+    // costs one file, not its whole history of commits
+    val files =
+      if (!m.statsCols.contains(keyCol)) bucketFiles
+      else {
+        val schema = m.dataSchema.map(StructType.fromDDL).get
+        val byFile = m.stats.groupBy(_.file).view
+          .mapValues(_.map(s => s.col -> s).toMap).toMap
+        val kb = Seq(Skipping.Bound(keyCol, Some(key), Some(key)))
+        bucketFiles.filter(f =>
+          Skipping.survives(schema, byFile.getOrElse(f, Map.empty), kb))
+      }
+    if (files.isEmpty) // bucket never materialized (or every file's key
+      // range excludes it): provably no such key
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         m.dataSchema.map(StructType.fromDDL).get)
@@ -874,7 +899,8 @@ object Merge {
       // filesPerBucket file(s) per touched bucket ([[bucketPartitioned]])
       val merged = bucketPartitioned(baseAligned
         .join(withB.select(col(keyCol)), Seq(keyCol), "left_anti")
-        .unionByName(inserts), filesPerBucket, touched.size)
+        .unionByName(inserts), filesPerBucket, touched.size,
+        sortKey = Some(keyCol))
       // APPEND-only: stage to a job-scoped dir, move the exact file set in
       val (newFiles, newStats) =
         stageAndMove(spark, fs, root, merged, parent.statsCols)
@@ -965,7 +991,8 @@ object Merge {
       val keep = bucketPartitioned(versionDf(spark, path, root,
           parent.copy(files = parentTouchedFiles))
         .filter(!coalesce(predicate, lit(false))), // null predicate: keep
-        filesPerBucket, touched.size)
+        filesPerBucket, touched.size,
+        sortKey = parent.layout.map(_._1))
       val (newFiles, newStats) =
         stageAndMove(spark, fs, root, keep, parent.statsCols)
       val files = parent.files.filterNot(f => touched(bucketOf(f))) ++ newFiles
@@ -1055,7 +1082,8 @@ object Merge {
       // disjoint from its siblings'
       val repart =
         if (clusterBy.isEmpty)
-          bucketPartitioned(rows, targetFilesPerBucket, toRewrite.size)
+          bucketPartitioned(rows, targetFilesPerBucket, toRewrite.size,
+            sortKey = parent.layout.map(_._1))
         else rows
           .repartitionByRange(toRewrite.size * targetFilesPerBucket,
             col("__bucket") +: clusterBy.map(col): _*)

@@ -619,6 +619,34 @@ class MergeSpec extends SparkSpec {
     }
   }
 
+  test("bucket files are key-sorted; lookupKey prunes within a " +
+      "key-clustered bucket via manifest stats") {
+    val path = freshDir("keysort")
+    val base = (0L until 2000L).map(i => (i, s"r$i")).toDF("id", "v")
+    Merge.writeKeyed(base, path, "id", nBuckets = 4,
+      statsCols = Seq("id"), filesPerBucket = 4)
+    // in-file key order: every data file individually sorted by id
+    val aFile = new File(path).listFiles()
+      .filter(_.getName.startsWith("__bucket=")).head.listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val ids = spark.read.parquet(aFile.getAbsolutePath)
+      .select("id").as[Long].collect()
+    assert(ids.sameElements(ids.sorted), "files must be key-sorted")
+    // salted files overlap in key range: lookup reads the whole bucket
+    val pre = Merge.lookupKey(spark, path, 777L)
+    assert(pre.count() == 1)
+    // key-clustered compaction makes sibling ranges disjoint: the SAME
+    // lookup now reads exactly one of the bucket's 4 files
+    Merge.compactVersion(spark, path, targetFilesPerBucket = 4,
+      clusterBy = Seq("id"))
+    val post = Merge.lookupKey(spark, path, 777L)
+    assert(post.count() == 1)
+    assert(post.inputFiles.length == 1,
+      s"stats must prune to one file, read ${post.inputFiles.length}")
+    // a key provably outside every file's range: empty without a scan
+    assert(Merge.lookupKey(spark, path, 999999L).count() == 0)
+  }
+
   test("vacuumRetain keeps the window plus the horizon-edge snapshot") {
     val path = freshDir("retain")
     Merge.writeKeyed((0L until 30L).map(i => (i, "v0")).toDF("id", "v"),

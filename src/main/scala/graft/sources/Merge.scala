@@ -354,8 +354,10 @@ object Merge {
       val bucket = r.get(1) match { case n: Number => n.longValue }
       statsCols.map { c =>
         Skipping.FileStats(s"__bucket=$bucket/$name", c,
-          Option(r.get(r.fieldIndex(s"__mn_$c"))).map(Skipping.encode),
-          Option(r.get(r.fieldIndex(s"__mx_$c"))).map(Skipping.encode))
+          Option(r.get(r.fieldIndex(s"__mn_$c")))
+            .map(v => Skipping.encode(Skipping.statMin(v))),
+          Option(r.get(r.fieldIndex(s"__mx_$c")))
+            .map(v => Skipping.encode(Skipping.statMax(v))))
       }
     }.toSeq.sortBy(e => (e.file, e.col))
   }

@@ -62,6 +62,29 @@ object Skipping {
       case c    => c.toString
     }
 
+  /** Cap on stored STRING stats (the Delta move): a long text column in
+    * statsCols must not bloat every manifest/sidecar with full values.
+    * Truncation stays SOUND by direction — a prefix is always a valid
+    * lower bound; for the upper bound the prefix's rightmost
+    * non-MAX char is incremented (prefix alone would be BELOW values it
+    * must bound). The all-MAX-prefix pathology keeps the full value
+    * rather than lying. Non-string types are fixed-width — never
+    * truncated.
+    */
+  private[sources] val MaxStatStringLen = 64
+  private[sources] def statMin(v: Any): Any = v match {
+    case s: String if s.length > MaxStatStringLen =>
+      s.substring(0, MaxStatStringLen)
+    case x => x
+  }
+  private[sources] def statMax(v: Any): Any = v match {
+    case s: String if s.length > MaxStatStringLen =>
+      val p = s.substring(0, MaxStatStringLen)
+      val i = p.lastIndexWhere(_ != '\uffff')
+      if (i < 0) s else p.substring(0, i) + (p(i) + 1).toChar
+    case x => x
+  }
+
   /** Serialize one typed min/max value to its exact string form. */
   private[sources] def encode(v: Any): String = v match {
     case null                     => null
@@ -192,7 +215,8 @@ object Skipping {
       statsCols.map { c =>
         val mn = r.get(r.fieldIndex(s"__min_$c"))
         val mx = r.get(r.fieldIndex(s"__max_$c"))
-        FileStats(file, c, Option(mn).map(encode), Option(mx).map(encode))
+        FileStats(file, c, Option(mn).map(v => encode(statMin(v))),
+          Option(mx).map(v => encode(statMax(v))))
       }
     }.sortBy(e => (e.file, e.col))
     val arr = entries.map { e =>

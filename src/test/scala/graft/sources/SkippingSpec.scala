@@ -169,6 +169,33 @@ class SkippingSpec extends SparkSpec {
     assert(sel.size < total)
   }
 
+  test("long string stats truncate soundly: bounded size, never " +
+      "over-prune") {
+    val path = freshDir("longstr")
+    // values that differ ONLY past the 64-char truncation point
+    val base = "x" * 64
+    val df = Seq((1L, base + "aaa"), (2L, base + "zzz"), (3L, "short"))
+      .toDF("id", "v")
+    Skipping.writeIndexed(df, path, clusterCols = Seq("id"), files = 1,
+      statsCols = Seq("v"))
+    // stored stats are bounded, whatever the data
+    val entries = Skipping.planFiles(spark, path,
+      Seq(Bound("v", Some(base), None)))
+    assert(Skipping.statMin(base + "y" * 100).toString.length <= 65)
+    assert(Skipping.statMax(base + "y" * 100).toString.length <= 65)
+    // a bound past the truncated max must still KEEP the file — the
+    // incremented upper bound covers every value the prefix cut off
+    val (sel, _) = Skipping.planFiles(spark, path,
+      Seq(Bound("v", Some(base + "zz"), None)))
+    assert(sel.size == 1, "truncated max must not over-prune")
+    assert(Skipping.readSkipping(spark, path,
+      Seq(Bound("v", Some(base + "zz"), None))).count() == 1)
+    // and the truncated MIN stays a valid lower bound: an upper-bounded
+    // read below every real value prunes or filters to empty, never errs
+    assert(Skipping.readSkipping(spark, path,
+      Seq(Bound("v", None, Some("a")))).count() == 0)
+  }
+
   test("PROPERTY: readWhere ≡ read.filter for random predicate trees " +
       "(extraction + pruning never lose a row)") {
     import org.apache.spark.sql.Column

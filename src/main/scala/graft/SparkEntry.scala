@@ -3005,6 +3005,22 @@ object SparkEntry {
           sum(col("n_chars").cast("decimal(18,2)")).cast("double").as("sum_chars"))
         .orderBy("lang")
     }),
+    "q_orc_roundtrip" -> ((s, dir) => {
+      // ORC sink -> source round-trip (Spark-native columnar format a
+      // switching user may arrive with): write, read back, and run the
+      // same aggregation contract as the CSV/JSON round-trips — any
+      // type-mapping loss in either direction breaks the hash
+      val out = new java.io.File(
+        scratchRoot,
+        s"graft_orc_rt_${new java.io.File(dir).getName}").getAbsolutePath
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      docs.write.mode("overwrite").orc(out)
+      s.read.orc(out).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("decimal(18,2)")).cast("double")
+            .as("sum_chars"))
+        .orderBy("lang")
+    }),
     "q_json_array_source" -> ((s, dir) => {
       // the reference's ACTUAL ingestion format: one multiLine JSON array
       // file -> loadJson -> stringified all-text view (main.py:5-22).
@@ -5465,6 +5481,10 @@ object SparkEntry {
            AS t(lang, n_parsed, n_corrupt)
          ORDER BY lang""",
     "q_csv_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+                CAST(sum(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS sum_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q_orc_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
                 CAST(sum(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS sum_chars
          FROM documents GROUP BY lang ORDER BY lang""",

@@ -1363,6 +1363,42 @@ object SparkEntry {
       Merge.changesBetween(s, path, 0L, 1L)
         .orderBy("p_partkey", "op")
     }),
+    "q_merge_zorder" -> ((s, dir) => {
+      // OPTIMIZE ZORDER BY for the version log: Morton-interleave
+      // (o_totalprice, o_orderdate) inside each bucket so every file is
+      // a small rectangle in BOTH dims — the manifest stats then prune
+      // on EITHER dim alone (required in-gate for each), which the
+      // linear clusterBy layout can only do for its leading column.
+      // The gated read composes both bounds; residual filtering keeps
+      // it ≡ the plain filtered aggregate. Dim independence + the
+      // linear-layout contrast are pinned in MergeSpec.
+      import graft.sources.{Merge, Skipping}
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      val path = new java.io.File(scratchRoot,
+        s"graft_merge_z_${new java.io.File(dir).getName}").getAbsolutePath
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice",
+          "o_orderdate")
+      Merge.writeKeyed(orders, path, "o_orderkey", nBuckets = 4,
+        statsCols = Seq("o_totalprice", "o_orderdate"), filesPerBucket = 8)
+      Merge.compactVersion(s, path, targetFilesPerBucket = 8,
+        zOrderBy = Seq("o_totalprice", "o_orderdate"))
+      val bPrice = Seq(Skipping.Bound("o_totalprice",
+        Some(0.0), Some(50000.0)))
+      val bDate = Seq(Skipping.Bound("o_orderdate",
+        Some("1997-01-01"), Some("1997-12-31 23:59:59")))
+      val v = Merge.currentVersion(s, path)
+      val (sp, total) = Merge.planVersionFiles(s, path, v, bPrice)
+      val (sd, _) = Merge.planVersionFiles(s, path, v, bDate)
+      require(sp.size < total && sd.size < total,
+        s"z-order must prune both dims: price ${sp.size}, " +
+        s"date ${sd.size} of $total")
+      Merge.readKeyedSkipping(s, path, bPrice ++ bDate)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(dec("o_totalprice")).cast("double").as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
     "q_merge_optimize" -> ((s, dir) => {
       // STATS-CLUSTERED COMPACTION (OPTIMIZE ... ZORDER BY for the
       // version log): a key-bucketed table salt-written 4 files per
@@ -4058,6 +4094,17 @@ object SparkEntry {
          SELECT p_partkey, p_brand, p_retailprice,
                 CAST(1 AS INT) FROM ins
          ORDER BY p_partkey, op""",
+    // the z-ordered skipping read ≡ a plain two-dim filtered aggregate
+    "q_merge_zorder" ->
+      """SELECT o_orderpriority, count(*) AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_price
+         FROM orders
+         WHERE o_totalprice >= 0.0 AND o_totalprice <= 50000.0
+           AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND o_orderdate <= TIMESTAMP '1997-12-31 23:59:59'
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
     // the clustered skipping read ≡ a plain filtered aggregate
     "q_merge_optimize" ->
       """SELECT o_orderpriority, count(*) AS n,

@@ -1056,8 +1056,12 @@ object Merge {
     */
   def compactVersion(spark: SparkSession, path: String,
       targetFilesPerBucket: Int = 1, maxRetries: Int = 5,
-      clusterBy: Seq[String] = Seq.empty): CompactStats = {
+      clusterBy: Seq[String] = Seq.empty,
+      zOrderBy: Seq[String] = Seq.empty, zBits: Int = 16): CompactStats = {
     require(targetFilesPerBucket >= 1, "targetFilesPerBucket must be >= 1")
+    require(clusterBy.isEmpty || zOrderBy.isEmpty,
+      "clusterBy (linear) and zOrderBy (Morton) are exclusive — pick the " +
+      "layout that matches the query mix")
     val (fs, root) = fsFor(spark, path)
     var attempt = 0
     while (true) {
@@ -1068,7 +1072,7 @@ object Merge {
       // clustering is a layout change: existing files are NOT clustered,
       // so every bucket rewrites regardless of its file count
       val toRewrite =
-        if (clusterBy.nonEmpty) byBucket
+        if (clusterBy.nonEmpty || zOrderBy.nonEmpty) byBucket
         else byBucket.filter(_._2.size > targetFilesPerBucket)
       if (toRewrite.isEmpty)
         return CompactStats(parentV, 0, parent.files.size, parent.files.size)
@@ -1083,7 +1087,39 @@ object Merge {
       // the range order, so each file's cluster range is contiguous and
       // disjoint from its siblings'
       val repart =
-        if (clusterBy.isEmpty)
+        if (zOrderBy.nonEmpty) {
+          // MULTI-DIMENSIONAL layout (OPTIMIZE ZORDER BY): Morton-
+          // interleave the dims and range-partition each bucket on the
+          // z-value — every file becomes a small hyper-rectangle in ALL
+          // dims, so the manifest stats prune on ANY of them (linear
+          // clusterBy prunes only its leading column). One tiny global
+          // min/max aggregate scales the dims.
+          zOrderBy.foreach(c => require(rows.columns.contains(c),
+            s"zOrderBy column $c not in ${rows.columns.mkString(", ")}"))
+          // time types need a numeric projection before scaling (epoch
+          // seconds — layout quality only, correctness never depends on it)
+          def dim(k: String): org.apache.spark.sql.Column =
+            rows.schema(k).dataType match {
+              case org.apache.spark.sql.types.TimestampNTZType =>
+                col(k).cast("timestamp").cast("double")
+              case _: org.apache.spark.sql.types.TimestampType |
+                   _: org.apache.spark.sql.types.DateType =>
+                col(k).cast("timestamp").cast("double")
+              case _ => col(k).cast("double")
+            }
+          val aggs = zOrderBy.flatMap(k => Seq(
+            min(dim(k)).as(s"mn_$k"), max(dim(k)).as(s"mx_$k")))
+          val r = rows.agg(aggs.head, aggs.tail: _*).collect()(0)
+          val scaled = zOrderBy.zipWithIndex.map { case (k, i) =>
+            ZOrder.scale(dim(k), r.getDouble(2 * i), r.getDouble(2 * i + 1),
+              zBits)
+          }
+          rows.withColumn("__z", ZOrder.interleave(scaled, zBits))
+            .repartitionByRange(toRewrite.size * targetFilesPerBucket,
+              col("__bucket"), col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        } else if (clusterBy.isEmpty)
           bucketPartitioned(rows, targetFilesPerBucket, toRewrite.size,
             sortKey = parent.layout.map(_._1))
         else rows

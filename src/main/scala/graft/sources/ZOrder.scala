@@ -40,7 +40,7 @@ object ZOrder {
   /** Scale a numeric column into [0, 2^bits) against [mn, mx] (double
     * scaling — exactness is irrelevant for layout, overflow is not).
     */
-  private def scale(c: Column, mn: Double, mx: Double, bits: Int): Column = {
+  private[sources] def scale(c: Column, mn: Double, mx: Double, bits: Int): Column = {
     val span = math.max(mx - mn, java.lang.Double.MIN_VALUE)
     val top = (1L << bits) - 1
     least(greatest(

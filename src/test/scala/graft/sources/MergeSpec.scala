@@ -673,6 +673,44 @@ class MergeSpec extends SparkSpec {
     }.getMessage.contains("retained"))
   }
 
+  test("zOrderBy compaction: BOTH independent dims prune within " +
+      "buckets; linear clusterBy only its leading one") {
+    val path = freshDir("zorder")
+    // x and y independent: linear order on x scatters y completely
+    val base = (0L until 4000L)
+      .map(i => (i, i % 64, (i * 31) % 64, s"r$i"))
+      .toDF("id", "x", "y", "v")
+    Merge.writeKeyed(base, path, "id", nBuckets = 4,
+      statsCols = Seq("x", "y"), filesPerBucket = 8)
+    Merge.compactVersion(spark, path, targetFilesPerBucket = 8,
+      zOrderBy = Seq("x", "y"), zBits = 8)
+    val v = Merge.currentVersion(spark, path)
+    val bx = Seq(Skipping.Bound("x", Some(0L), Some(7L)))
+    val by = Seq(Skipping.Bound("y", Some(0L), Some(7L)))
+    val (sx, total) = Merge.planVersionFiles(spark, path, v, bx)
+    val (sy, _) = Merge.planVersionFiles(spark, path, v, by)
+    assert(sx.size < total / 2 && sy.size < total / 2,
+      s"z-order must prune BOTH dims, got x=${sx.size} y=${sy.size} " +
+      s"of $total")
+    // rows identical; bounded reads exact
+    assert(Merge.readKeyed(spark, path).count() == 4000)
+    assert(Merge.readKeyedSkipping(spark, path, bx).count() ==
+      base.filter($"x" <= 7L).count())
+    assert(Merge.readKeyedSkipping(spark, path, by).count() ==
+      base.filter($"y" <= 7L).count())
+    // contrast: LINEAR clustering on (x, y) leaves y unprunable
+    val lin = freshDir("zorder_lin")
+    Merge.writeKeyed(base, lin, "id", nBuckets = 4,
+      statsCols = Seq("x", "y"), filesPerBucket = 8)
+    Merge.compactVersion(spark, lin, targetFilesPerBucket = 8,
+      clusterBy = Seq("x", "y"))
+    val vl = Merge.currentVersion(spark, lin)
+    val (ly, ltot) = Merge.planVersionFiles(spark, lin, vl, by)
+    assert(ly.size > ltot / 2,
+      s"independent y should NOT prune under linear x-first order, " +
+      s"got ${ly.size}/$ltot — if this fails the fixture dims correlate")
+  }
+
   test("time travel: versionAsOf resolves latest-at-or-before; vacuum " +
       "moves the retention horizon") {
     val path = freshDir("asof")

@@ -270,6 +270,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           org.apache.spark.sql.SparkSession.active,
           strLit(c.head, "path"), longLit(c(1), "epochMillis"))
       })
+    registerTableFn("graft_table_where",
+      "usage: graft_table_where('path', 'sql predicate')", c => {
+        require(c.size == 2, "takes 2 arguments")
+        val s = org.apache.spark.sql.SparkSession.active
+        // parse the predicate with the session's own SQL parser, then
+        // run it through the SAME bounds-extraction read the Scala API
+        // uses — a SQL session gets manifest-stats pruning, not just
+        // parquet-footer pushdown
+        val pred = column(s.sessionState.sqlParser
+          .parseExpression(strLit(c(1), "predicate")))
+        graft.sources.Merge.readKeyedWhere(s, strLit(c.head, "path"), pred)
+      })
     registerTableFn("graft_history", "usage: graft_history('path')", c => {
       require(c.size == 1, "takes 1 argument")
       graft.sources.Merge.history(

@@ -144,6 +144,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
         s"SELECT version, op FROM graft_history('$path') ORDER BY version")
         .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
       assert(hist == Seq((0L, "write"), (1L, "upsert")))
+      // predicate string → parsed → bounds-extracted skipping read
+      val whr = spark.sql(
+        s"SELECT count(*) AS n FROM graft_table_where('$path', " +
+        "'id >= 10 AND id <= 12')").as[Long].head()
+      assert(whr == 3L)
       val err = intercept[Exception] {
         spark.sql("SELECT * FROM graft_table('/nope', 2)").collect()
       }

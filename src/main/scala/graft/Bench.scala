@@ -40,7 +40,32 @@ object Bench {
         .groupBy("g").sum("x").count()
       (System.nanoTime() - t0) / 1e9
     }
+    // IO anchor: the CPU anchor cannot see fsync/metadata contention on
+    // a shared box, but the streaming gates are state-store-commit bound
+    // (many small writes + renames). Time exactly that access pattern —
+    // 200 × 16 KiB create/write/force/rename/delete — so a round where
+    // streaming gates drift while CPU gates hold can be attributed
+    // without controlled re-runs.
+    def anchorIoOnce(): Double = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_io_anchor")
+      val buf = java.nio.ByteBuffer.wrap(Array.fill(16384)(7.toByte))
+      val t0 = System.nanoTime()
+      (0 until 200).foreach { i =>
+        val tmp = dir.resolve(s"t$i")
+        val ch = java.nio.channels.FileChannel.open(tmp,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        buf.rewind(); ch.write(buf); ch.force(true); ch.close()
+        java.nio.file.Files.move(tmp, dir.resolve(s"f$i"))
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      (0 until 200).foreach(i =>
+        java.nio.file.Files.deleteIfExists(dir.resolve(s"f$i")))
+      java.nio.file.Files.deleteIfExists(dir)
+      dt
+    }
     anchorOnce() // warm the anchor's own codegen before timing it
+    anchorIoOnce()
     // two timed passes, best per query: single-run numbers on a shared box
     // carry GC/scheduler noise; the min is the steady-state capability.
     // SORTED execution order: the map's hash order shifts whenever a gate
@@ -56,10 +81,13 @@ object Bench {
           name -> (System.nanoTime() - t0) / 1e9
       }.toMap
     val a1 = anchorOnce()
+    val io1 = anchorIoOnce()
     val p1 = timedPass()
     val a2 = anchorOnce()
+    val io2 = anchorIoOnce()
     val p2 = timedPass()
     val anchor = math.min(a1, a2)
+    val anchorIo = math.min(io1, io2)
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
     // 4 decimals (0.1 ms): full doubles balloon the line past consumer
     // truncation limits (round 6 lost 103 of 169 timings that way)
@@ -70,7 +98,8 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-        s""""anchor_sec":${fmt(anchor)},"n_queries":${results.size},""" +
+        s""""anchor_sec":${fmt(anchor)},"anchor_io_sec":${fmt(anchorIo)},""" +
+        s""""n_queries":${results.size},""" +
         s""""queries":$qs,"sf":"$sfDir"}"""
     spark.stop()
     // emit AFTER spark.stop() on stdout, stderr, and a file: the consumer

@@ -1228,6 +1228,22 @@ object SparkEntry {
         .select("p_partkey", "p_brand", "p_retailprice")
         .orderBy("p_partkey")
     }),
+    "q_percentile" -> ((s, dir) => {
+      // EXACT percentiles (Spark's `percentile`, a sort-based exact
+      // aggregate — not percentile_approx): per-brand median and p90,
+      // hash-checked against DuckDB's quantile_cont. Both engines use
+      // the same (n-1)*q linear-interpolation definition and the same
+      // IEEE arithmetic, so values agree to the last bit — the profiler
+      // story's distribution summary, oracle-gated. For 100 TB use the
+      // mergeable approx sketch; this gate pins the exact semantics the
+      // sketch is judged against.
+      t(s, dir, "part")
+        .groupBy("p_brand")
+        .agg(expr("percentile(p_retailprice, 0.5D)").as("med_price"),
+          expr("percentile(p_retailprice, 0.9D)").as("p90_price"),
+          count(lit(1)).as("n"))
+        .orderBy("p_brand")
+    }),
     "q_corpus_curate" -> ((s, dir) => {
       // THE CANONICAL PRETRAINING CURATION PIPELINE in one lineage:
       // enrich (token count / quality / content fingerprint) → quality
@@ -3990,6 +4006,13 @@ object SparkEntry {
                 ELSE p_retailprice END AS p_retailprice
          FROM part
          ORDER BY p_partkey""",
+    // exact interpolated percentiles: same (n-1)*q definition both engines
+    "q_percentile" ->
+      """SELECT p_brand,
+                quantile_cont(p_retailprice, 0.5) AS med_price,
+                quantile_cont(p_retailprice, 0.9) AS p90_price,
+                count(*) AS n
+         FROM part GROUP BY p_brand ORDER BY p_brand""",
     // the whole curation pipeline replayed in SQL: same quality formula,
     // same normalized-content md5, same min-id dedup, same md5 split
     "q_corpus_curate" ->

@@ -285,7 +285,7 @@ object Skipping {
   def impliedBounds(pred: Column): Seq[Bound] = {
     import org.apache.spark.sql.catalyst.expressions.{
       And, AttributeReference, EqualTo, Expression, GreaterThan,
-      GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+      GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, Or}
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     // catalyst literals carry INTERNAL values; convert by the literal's
     // own type to the external forms boundKey/statKey already compare
@@ -365,12 +365,64 @@ object Skipping {
             Some(p.substring(0, i) + (p(i) + 1).toChar)))
         case _ => Nil
       }
+    // OR: a sound bound must hold for EVERY branch, so only the HULL of
+    // per-branch intervals on a column qualifies — and only when every
+    // branch actually bounds that column (one unbounded branch kills
+    // it). `name LIKE 'a%' OR name LIKE 'b%'` → name ∈ [a, c); mixed
+    // value classes (can't order across types without the column's
+    // dtype) bail to nothing, which is always sound.
+    def hull(x: Expression, y: Expression): Seq[Bound] = {
+      val (bx, by) = (walk(x), walk(y))
+      val cols = bx.map(_.column).toSet intersect by.map(_.column).toSet
+      cols.toSeq.sorted.flatMap { c =>
+        val (xs, ys) = (bx.filter(_.column == c), by.filter(_.column == c))
+        // per branch: the tightest interval it implies for c — the
+        // branch's bounds INTERSECT, so a side is defined when ANY
+        // bound defines it, and the tightest wins (max lower, min upper)
+        def side(bs: Seq[Bound], lower: Boolean): Option[Any] = {
+          val xs = bs.flatMap(b => if (lower) b.lower else b.upper)
+          if (xs.isEmpty) None
+          else if (xs.forall(_.isInstanceOf[Number])) {
+            val ks = xs.map(v => new java.math.BigDecimal(v.toString))
+            Some(xs(if (lower) ks.indexOf(ks.max) else ks.indexOf(ks.min)))
+          } else if (xs.forall(_.isInstanceOf[String])) {
+            val ss = xs.map(_.asInstanceOf[String])
+            Some(if (lower) ss.max else ss.min)
+          } else None
+        }
+        def branchIv(bs: Seq[Bound]): Option[(Option[Any], Option[Any])] =
+          Some((side(bs, lower = true), side(bs, lower = false)))
+        (branchIv(xs), branchIv(ys)) match {
+          case (Some((lx, ux)), Some((ly, uy))) =>
+            // hull: min of lowers (None = unbounded wins), max of uppers
+            def outer(a: Option[Any], b: Option[Any],
+                takeMin: Boolean): Option[Any] = (a, b) match {
+              case (Some(va), Some(vb)) =>
+                val vs = Seq(va, vb)
+                if (vs.forall(_.isInstanceOf[Number])) {
+                  val ks = vs.map(v => new java.math.BigDecimal(v.toString))
+                  Some(vs(if (takeMin) ks.indexOf(ks.min)
+                          else ks.indexOf(ks.max)))
+                } else if (vs.forall(_.isInstanceOf[String])) {
+                  val ss = vs.map(_.asInstanceOf[String])
+                  Some(if (takeMin) ss.min else ss.max)
+                } else None
+              case _ => None
+            }
+            val lo = outer(lx, ly, takeMin = true)
+            val hi = outer(ux, uy, takeMin = false)
+            if (lo.isEmpty && hi.isEmpty) Nil else Seq(Bound(c, lo, hi))
+          case _ => Nil
+        }
+      }
+    }
     def walk(e: Expression): Seq[Bound] = e match {
       // the Column DSL converts to UNRESOLVED function nodes ("and",
       // ">=", ...) — the analyzer hasn't run on a bare predicate
       case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
         (f.nameParts.last.toLowerCase, f.arguments) match {
           case ("and", Seq(x, y))        => walk(x) ++ walk(y)
+          case ("or", Seq(x, y))         => hull(x, y)
           case ("in", a +: ls)           => inBounds(a, ls)
           case ("startswith", Seq(a, l: Literal)) => prefixBounds(a, l)
           case (op, Seq(a, l: Literal))  => leaf(op, a, l, flip = false)
@@ -383,6 +435,7 @@ object Skipping {
           a, l: Literal) => prefixBounds(a, l)
       // typed fallbacks for predicates built from resolved plans
       case And(x, y)                          => walk(x) ++ walk(y)
+      case Or(x, y)                           => hull(x, y)
       case GreaterThan(a, l: Literal)         => leaf(">", a, l, false)
       case GreaterThanOrEqual(a, l: Literal)  => leaf(">=", a, l, false)
       case LessThan(a, l: Literal)            => leaf("<", a, l, false)

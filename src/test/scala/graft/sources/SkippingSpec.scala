@@ -132,10 +132,26 @@ class SkippingSpec extends SparkSpec {
     // flipped operand order
     assert(Skipping.impliedBounds(lit(5L) < col("id")) ==
       Seq(Bound("id", Some(5L), None)))
-    // OR and function calls: nothing extracted (the residual covers it)
+    // unbounded-union OR and function calls: nothing extracted (the
+    // residual covers it)
     assert(Skipping.impliedBounds(
       col("id") > 5L || col("id") < 2L).isEmpty)
     assert(Skipping.impliedBounds(length(col("name")) > 3).isEmpty)
+    // OR hull: both branches bound the same column → the union interval
+    assert(Skipping.impliedBounds(
+      (col("id") >= 10L && col("id") <= 20L) ||
+        (col("id") >= 50L && col("id") <= 60L)) ==
+      Seq(Bound("id", Some(10L), Some(60L))))
+    assert(Skipping.impliedBounds(
+      col("name").startsWith("a") || col("name").startsWith("b")) ==
+      Seq(Bound("name", Some("a"), Some("c"))))
+    // one branch unbounded above: the hull keeps the shared lower bound
+    assert(Skipping.impliedBounds(
+      (col("id") >= 10L && col("id") <= 20L) || col("id") >= 50L) ==
+      Seq(Bound("id", Some(10L), None)))
+    // different columns across branches: no shared column, nothing
+    assert(Skipping.impliedBounds(
+      col("id") <= 20L || col("score") <= 2.0).isEmpty)
     // but an AND sibling of an OR still contributes
     val b2 = Skipping.impliedBounds(
       (col("id") > 5L || col("score") < 2.0) && col("id") <= 700L)

@@ -1614,6 +1614,42 @@ object SparkEntry {
         .withColumn("consumer", lit("state"))
       fromReplica.unionByName(fromState).orderBy("consumer", "p_brand")
     }),
+    "q_mv_sync" -> ((s, dir) => {
+      // ONE-CALL MATERIALIZED-VIEW MAINTENANCE: syncFromTable tracks
+      // the versioned table through a price-bump commit and a whole-
+      // brand predicate delete, folding ONLY the bucket-pruned change
+      // feed at each refresh (never rescanning unchanged history) and
+      // repairing delete-dirtied extremes from dirty groups only —
+      // read() would fail fast on unrepaired extremes, so the gate
+      // passing proves the repair ran. Final maintained state ≡ the
+      // oracle's from-scratch aggregate over the final table, deleted
+      // brand absent.
+      import graft.pipeline.IncrementalAgg
+      import graft.sources.Merge
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      val sfx = new java.io.File(dir).getName
+      val tbl = new java.io.File(scratchRoot,
+        s"graft_mv_tbl_$sfx").getAbsolutePath
+      val st = new java.io.File(scratchRoot,
+        s"graft_mv_st_$sfx").getAbsolutePath
+      val part = t(s, dir, "part")
+        .select("p_partkey", "p_brand", "p_retailprice")
+      Merge.writeKeyed(part, tbl, "p_partkey", nBuckets = 16)
+      IncrementalAgg.syncFromTable(s, st, tbl, Seq("p_brand"),
+        "p_retailprice")
+      Merge.upsert(s, tbl, part.filter(col("p_partkey") % 10 === 6)
+        .withColumn("p_retailprice",
+          round(dec("p_retailprice") * lit(1.2).cast("decimal(2,1)"), 2)
+            .cast("double")),
+        "p_partkey", nBuckets = 16)
+      IncrementalAgg.syncFromTable(s, st, tbl, Seq("p_brand"),
+        "p_retailprice")
+      Merge.deleteWhere(s, tbl, col("p_brand") === "Brand#21")
+      val v = IncrementalAgg.syncFromTable(s, st, tbl, Seq("p_brand"),
+        "p_retailprice")
+      require(v == 2L, s"three commits -> watermark v2, got $v")
+      IncrementalAgg.read(s, st).orderBy("p_brand")
+    }),
     "q_zorder_layout" -> ((s, dir) => {
       // Z-order (Morton) layout on (user_id, time): each parquet file is
       // a small rectangle in BOTH dimensions, so selective predicates on
@@ -3879,6 +3915,21 @@ object SparkEntry {
                 CAST(sum(CAST(p_retailprice AS DECIMAL(28,2))) AS DOUBLE)
                   AS sum_v
          FROM merged GROUP BY p_brand ORDER BY p_brand""",
+    // the maintained view after three synced commits ≡ from scratch
+    // over the final table, deleted brand absent
+    "q_mv_sync" ->
+      """WITH cur AS (
+           SELECT p_partkey, p_brand,
+                  CASE WHEN p_partkey % 10 = 6 THEN
+                    CAST(round(CAST(p_retailprice AS DECIMAL(18,2))
+                               * CAST(1.2 AS DECIMAL(2,1)), 2) AS DOUBLE)
+                  ELSE p_retailprice END AS p_retailprice
+           FROM part WHERE p_brand <> 'Brand#21')
+         SELECT p_brand, count(*) AS cnt,
+                min(p_retailprice) AS min_v, max(p_retailprice) AS max_v,
+                CAST(sum(CAST(p_retailprice AS DECIMAL(28,2))) AS DOUBLE)
+                  AS sum_v
+         FROM cur GROUP BY p_brand ORDER BY p_brand""",
     // one CDC stream with deletes feeds two consumers; both must equal
     // the from-scratch aggregate over the new image
     "q_cdc_delete_fold" ->

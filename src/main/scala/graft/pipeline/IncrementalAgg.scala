@@ -182,6 +182,65 @@ object IncrementalAgg {
     materialize(repaired, checkpointDir).write.mode("overwrite").parquet(path)
   }
 
+  /** MATERIALIZED-VIEW SYNC over a versioned [[graft.sources.Merge]]
+    * table: one call brings the maintained aggregate up to the table's
+    * current version and returns it. First call initializes state from
+    * the current snapshot; later calls fold ONLY the bucket-pruned
+    * change feed between the recorded watermark version and now
+    * ([[graft.sources.Merge.changesBetween]] — work ∝ the commits, not
+    * the table), repair any delete-dirtied extremes from the current
+    * snapshot (dirty groups only), and advance the watermark. The
+    * watermark lives in an underscore-prefixed sidecar inside the state
+    * dir (invisible to the parquet reader), moved into place atomically
+    * AFTER the fold. Crash posture matches the rest of IncrementalAgg:
+    * the state overwrite itself is not atomic, so a crash ANYWHERE
+    * mid-sync (fold or mark) leaves state that must not be re-folded —
+    * recover by deleting the state dir and letting the next sync
+    * re-initialize from the current snapshot (cheap relative to the
+    * history the sync otherwise never rescans). The caller keeps enough
+    * retained versions for the feed (vacuum `keepVersions` > commits
+    * between syncs).
+    */
+  def syncFromTable(spark: SparkSession, statePath: String,
+      tablePath: String, keys: Seq[String], valueCol: String,
+      checkpointDir: Option[String] = None): Long = {
+    import graft.sources.Merge
+    val cur = Merge.currentVersion(spark, tablePath)
+    require(cur >= 0, s"$tablePath has no version log")
+    val mark = new org.apache.hadoop.fs.Path(statePath, "_graft_synced")
+    val fs = mark.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def writeMark(v: Long): Unit = {
+      val tmp = new org.apache.hadoop.fs.Path(statePath,
+        s"._graft_synced_tmp_${java.util.UUID.randomUUID}")
+      val out = fs.create(tmp, true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      fs.delete(mark, false); fs.rename(tmp, mark)
+    }
+    val last: Option[Long] =
+      if (!fs.exists(mark)) None
+      else {
+        val in = fs.open(mark)
+        try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
+        finally in.close()
+      }
+    last match {
+      case None =>
+        init(Merge.readVersion(spark, tablePath, cur), statePath, keys,
+          valueCol)
+        writeMark(cur)
+      case Some(v) if v == cur => () // already current
+      case Some(v) =>
+        val feed = Merge.changesBetween(spark, tablePath, v, cur)
+        updateWithRetractions(spark, statePath, feed, keys, valueCol,
+          "op", checkpointDir)
+        rebuild(spark, statePath,
+          Merge.readVersion(spark, tablePath, cur), keys, valueCol,
+          checkpointDir)
+        writeMark(cur)
+    }
+    cur
+  }
+
   /** The maintained aggregate, sums emitted as doubles for consumers.
     * FAILS FAST when any group is still flagged dirty — after
     * [[updateWithRetractions]] a flagged group's min/max are stale until

@@ -156,4 +156,42 @@ class IncrementalAggSpec extends SparkSpec {
     assert(out(1).getAs[Long]("cnt") == 2L)
     assert(out(1).getAs[Double]("sum_v") == 12.0)
   }
+
+  test("syncFromTable: one call per refresh tracks the versioned table " +
+      "through upserts and deletes; no-op when current") {
+    import graft.sources.Merge
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mv_sync").toFile
+    dir.deleteOnExit()
+    val tbl = new java.io.File(dir, "tbl").getAbsolutePath
+    val st = new java.io.File(dir, "state").getAbsolutePath
+    def truth() = Merge.readKeyed(spark, tbl).groupBy("g")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("cnt"))
+      .orderBy("g").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    def state() = IncrementalAgg.read(spark, st).orderBy("g")
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Long]("cnt"))).toSeq
+    val base = (0L until 100L).map(i => (i, s"g${i % 4}", i * 1.0))
+      .toDF("id", "g", "v")
+    Merge.writeKeyed(base, tbl, "id", nBuckets = 8)
+    // sync 1: initializes from the snapshot
+    assert(IncrementalAgg.syncFromTable(spark, st, tbl, Seq("g"), "v") == 0L)
+    assert(state() == truth())
+    // sync 2: upsert (update + insert) folds through the change feed
+    Merge.upsert(spark, tbl,
+      Seq((3L, "g3", 300.0), (200L, "g0", 1.0)).toDF("id", "g", "v"),
+      "id", 8)
+    assert(IncrementalAgg.syncFromTable(spark, st, tbl, Seq("g"), "v") == 1L)
+    assert(state() == truth())
+    // sync 3: deletes retract and dirty extremes repair (read() would
+    // fail fast if they didn't)
+    Merge.deleteWhere(spark, tbl, $"g" === "g1")
+    assert(IncrementalAgg.syncFromTable(spark, st, tbl, Seq("g"), "v") == 2L)
+    assert(state() == truth())
+    assert(!state().exists(_._1 == "g1"))
+    // already current: a sync is a cheap no-op that changes nothing
+    val before = state()
+    assert(IncrementalAgg.syncFromTable(spark, st, tbl, Seq("g"), "v") == 2L)
+    assert(state() == before)
+  }
 }

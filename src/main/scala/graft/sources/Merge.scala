@@ -399,7 +399,18 @@ object Merge {
     */
   private def versionDf(spark: SparkSession, path: String, root: Path,
       m: Manifest): DataFrame = {
-    require(m.files.nonEmpty, s"version ${m.version} of $path lists no files")
+    if (m.files.isEmpty) {
+      // a legitimate state, not an error: a delete can empty the table
+      // (found by MergeSpec's model property test). Only pre-schema
+      // manifests have nothing to type an empty frame with.
+      val schema = m.dataSchema.map(StructType.fromDDL).getOrElse(
+        throw new IllegalArgumentException(
+          s"version ${m.version} of $path is empty and records no " +
+          "schema — cannot type the empty frame"))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema.add("__bucket", "long"))
+    }
     val reader = spark.read.option("basePath", path)
     m.dataSchema
       .map(ddl => reader.schema(

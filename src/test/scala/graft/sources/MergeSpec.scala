@@ -208,6 +208,59 @@ class MergeSpec extends SparkSpec {
     assert(Merge.readVersion(spark, path, 1).count() == 101)
   }
 
+  test("PROPERTY: random upsert/tombstone/delete/compact sequences " +
+      "match a reference map model, at every version") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genOp: Gen[(Int, Long, Double)] = for {
+      kind <- Gen.choose(0, 3)
+      key <- Gen.choose(0L, 60L)
+      v <- Gen.choose(-100.0, 100.0)
+    } yield (kind, key, v)
+    (1 to 6).foreach { seed =>
+      val path = freshDir(s"model$seed")
+      val model = scala.collection.mutable.Map.empty[Long, Double]
+      (0L until 40L).foreach(i => model(i) = i * 1.0)
+      Merge.writeKeyed(model.toSeq.toDF("id", "v"), path, "id",
+        nBuckets = 4)
+      val snapshots = scala.collection.mutable.ArrayBuffer(
+        (0L, model.toMap))
+      val ops = Gen.listOfN(6, genOp)
+        .apply(Gen.Parameters.default, Seed(seed.toLong)).get
+      ops.foreach { case (kind, key, v) =>
+        kind match {
+          case 0 => // plain upsert (update-or-insert two keys)
+            Merge.upsert(spark, path,
+              Seq((key, v), (key + 7L, v + 1.0)).toDF("id", "v"), "id", 4)
+            model(key) = v; model(key + 7L) = v + 1.0
+          case 1 => // tombstone batch: one write, one delete
+            Merge.upsert(spark, path,
+              Seq((key, v, false), (key + 3L, 0.0, true))
+                .toDF("id", "v", "__del"),
+              "id", 4, tombstoneCol = Some("__del"))
+            model(key) = v; model.remove(key + 3L)
+          case 2 => // predicate delete
+            Merge.deleteWhere(spark, path, $"v" > v)
+            model.filterInPlace((_, mv) => !(mv > v))
+          case 3 => // compaction: never changes rows
+            Merge.compactVersion(spark, path, targetFilesPerBucket = 1)
+        }
+        snapshots += ((Merge.currentVersion(spark, path), model.toMap))
+      }
+      def rows(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+        df.select("id", "v").collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(rows(Merge.readKeyed(spark, path)) == model.toMap,
+        s"seed $seed: final state diverged after $ops")
+      // every retained version still reads its own historical snapshot
+      snapshots.toSeq.groupBy(_._1).map(_._2.last).foreach {
+        case (ver, snap) =>
+          assert(rows(Merge.readVersion(spark, path, ver)) == snap,
+            s"seed $seed: v$ver diverged")
+      }
+    }
+  }
+
   test("upsert racing deleteWhere serializes: the loser re-plans " +
       "against the winner's commit") {
     val path = freshDir("xrace")

@@ -221,8 +221,10 @@ class MergeSpec extends SparkSpec {
       val path = freshDir(s"model$seed")
       val model = scala.collection.mutable.Map.empty[Long, Double]
       (0L until 40L).foreach(i => model(i) = i * 1.0)
+      // statsCols on v: every commit must keep per-file stats consistent
+      // with its data, whatever the op interleaving
       Merge.writeKeyed(model.toSeq.toDF("id", "v"), path, "id",
-        nBuckets = 4)
+        nBuckets = 4, statsCols = Seq("v"))
       val snapshots = scala.collection.mutable.ArrayBuffer(
         (0L, model.toMap))
       val ops = Gen.listOfN(6, genOp)
@@ -246,6 +248,15 @@ class MergeSpec extends SparkSpec {
             Merge.compactVersion(spark, path, targetFilesPerBucket = 1)
         }
         snapshots += ((Merge.currentVersion(spark, path), model.toMap))
+        // stats-pruned read vs model after EVERY op — stale per-file
+        // stats would silently drop or over-keep rows here
+        val b = Seq(Skipping.Bound("v", Some(0.0), Some(50.0)))
+        val pruned = Merge.readKeyedSkipping(spark, path, b)
+          .select("id").collect().map(_.getLong(0)).toSet
+        val want = model.filter { case (_, mv) => mv >= 0.0 && mv <= 50.0 }
+          .keySet.toSet
+        assert(pruned == want,
+          s"seed $seed: stats-pruned read diverged after $ops")
       }
       def rows(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
         df.select("id", "v").collect()

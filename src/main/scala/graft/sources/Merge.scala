@@ -53,8 +53,20 @@ import org.apache.spark.sql.types.StructType
   * dir (and the manifest) grows with commit count — [[compactVersion]]
   * is the log-aware maintenance pass: it rewrites multi-file buckets
   * coarse and commits the result as a NEW version (old versions keep
-  * reading the old files until [[vacuum]] reclaims them). Sharded/tree
-  * manifests are the production answer past millions of files.
+  * reading the old files until [[vacuum]] reclaims them).
+  *
+  * Past ~millions of files a single manifest JSON becomes the bottleneck
+  * (every commit rewrites O(table files) of metadata): `writeKeyed
+  * (manifestShardSpan = S)` opts into SHARDED manifests — the file/stats
+  * lists split into content-addressed shard files of S buckets each
+  * (`_graft_log/shards/s{idx}_{md5}.json`), the root manifest holds only
+  * the refs, and a commit rewrites ONLY the shards its touched buckets
+  * fall in; every other shard ref carries over verbatim (no
+  * serialization, no write). Commit metadata cost is O(touched shards) —
+  * the same copy-on-write granularity as the data files. Shards are
+  * written before the root claim (orphans from lost races are
+  * vacuum-reclaimed like staged data files), and content addressing
+  * means racing committers producing identical content share one file.
   */
 object Merge {
 
@@ -103,6 +115,7 @@ object Merge {
   }
 
   private def logPath(root: Path) = new Path(root, "_graft_log")
+  private def shardsPath(root: Path) = new Path(logPath(root), "shards")
   private def stagingRoot(root: Path) = new Path(root, "_graft_staging")
 
   /** Relative paths of all data files currently in the bucket dirs. */
@@ -132,7 +145,14 @@ object Merge {
       stats: Seq[Skipping.FileStats] = Seq.empty,
       ts: Long = -1L, // commit wall-clock millis; -1 = pre-ts manifest
       op: Option[String] = None, // write/upsert/delete/compact
-      rowsUpserted: Long = -1L, rowsDeleted: Long = -1L) // -1 = unknown
+      rowsUpserted: Long = -1L, rowsDeleted: Long = -1L, // -1 = unknown
+      // SHARDED manifests (production posture past ~millions of files):
+      // shardSpan = buckets per shard (0 = inline files, the small-table
+      // format); shardIds = (shardIdx -> content-addressed shard file)
+      // as READ from / WRITTEN to the log — in memory `files`/`stats`
+      // are always the fully resolved view either way.
+      shardSpan: Int = 0,
+      shardIds: Seq[(Long, String)] = Seq.empty)
 
   /** The commit timestamp for a child of `parent`: wall clock, forced
     * STRICTLY increasing along the version chain (max(parent+1, now)) so
@@ -161,10 +181,29 @@ object Merge {
   // can hold two committers at the same parent deterministically
   @volatile private[sources] var commitFence: () => Unit = () => ()
 
+  private def statsEntriesJson(stats: Seq[Skipping.FileStats]): String =
+    stats.map { e =>
+      val mn = e.min.map(v => "\"" + jsonEscape(v) + "\"").getOrElse("null")
+      val mx = e.max.map(v => "\"" + jsonEscape(v) + "\"").getOrElse("null")
+      s"""{"f":"${jsonEscape(e.file)}","c":"${jsonEscape(e.col)}",""" +
+        s""""mn":$mn,"mx":$mx}"""
+    }.mkString("[", ",", "]")
+
   // hand-rolled JSON (flat schema; file names are spark part names and
   // bucket dirs — never need escaping; the DDL schema string is escaped)
   private def manifestBody(m: Manifest): Array[Byte] = {
-    val files = m.files.map(f => "\"" + f + "\"").mkString("[", ",", "]")
+    val filesField =
+      if (m.shardSpan > 0)
+        // sharded root: the file/stats lists live in content-addressed
+        // shard files; the root carries refs only, so its size is
+        // O(shards), not O(files)
+        s""""shardSpan":${m.shardSpan},"shards":""" +
+          m.shardIds.sortBy(_._1).map { case (i, id) =>
+            s"""{"i":$i,"id":"${jsonEscape(id)}"}"""
+          }.mkString("[", ",", "]")
+      else
+        s""""files":""" +
+          m.files.map(f => "\"" + f + "\"").mkString("[", ",", "]")
     val schemaField = m.dataSchema
       .map(s => s""","dataSchema":"${jsonEscape(s)}"""").getOrElse("")
     val txnField = m.txn.map { case (app, batch) =>
@@ -174,19 +213,17 @@ object Merge {
       s""","keyCol":"${jsonEscape(k)}","nBuckets":$n"""
     }.getOrElse("")
     // per-file min/max stats (Delta/Iceberg-style): compact keys, values
-    // in Skipping's type-exact string encoding so re-parse is lossless
+    // in Skipping's type-exact string encoding so re-parse is lossless.
+    // Sharded roots keep statsCols (the table's skipping contract) but
+    // their stats entries live in the shards.
     val statsFields =
       if (m.statsCols.isEmpty) ""
       else {
         val cols = m.statsCols.map(c => "\"" + jsonEscape(c) + "\"")
           .mkString("[", ",", "]")
-        val entries = m.stats.map { e =>
-          val mn = e.min.map(v => "\"" + jsonEscape(v) + "\"").getOrElse("null")
-          val mx = e.max.map(v => "\"" + jsonEscape(v) + "\"").getOrElse("null")
-          s"""{"f":"${jsonEscape(e.file)}","c":"${jsonEscape(e.col)}",""" +
-            s""""mn":$mn,"mx":$mx}"""
-        }.mkString("[", ",", "]")
-        s""","statsCols":$cols,"stats":$entries"""
+        s""","statsCols":$cols""" +
+          (if (m.shardSpan > 0) ""
+           else s""","stats":${statsEntriesJson(m.stats)}""")
       }
     val tsField = if (m.ts >= 0) s""","ts":${m.ts}""" else ""
     val opField = m.op.map(o => s""","op":"${jsonEscape(o)}"""")
@@ -194,8 +231,48 @@ object Merge {
       (if (m.rowsUpserted >= 0) s""","rowsUp":${m.rowsUpserted}""" else "") +
       (if (m.rowsDeleted >= 0) s""","rowsDel":${m.rowsDeleted}""" else "")
     (s"""{"version":${m.version},"parent":${m.parent},""" +
-      s""""files":$files$schemaField$txnField$layoutField$statsFields""" +
+      s"""$filesField$schemaField$txnField$layoutField$statsFields""" +
       s"""$tsField$opField}""").getBytes("UTF-8")
+  }
+
+  /** One shard's body: the files of its bucket range plus their stats
+    * entries, both sorted so identical content serializes to identical
+    * bytes (content addressing relies on it).
+    */
+  private def shardBody(files: Seq[String],
+      stats: Seq[Skipping.FileStats]): Array[Byte] = {
+    val fs = files.sorted.map(f => "\"" + f + "\"").mkString("[", ",", "]")
+    val st =
+      if (stats.isEmpty) ""
+      else s""","stats":${statsEntriesJson(
+        stats.sortBy(e => (e.file, e.col)))}"""
+    (s"""{"files":$fs$st}""").getBytes("UTF-8")
+  }
+
+  private def md5Hex(body: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(body)
+      .map("%02x".format(_)).mkString
+
+  /** Write one shard file content-addressed (`s{idx}_{md5}.json`),
+    * create-if-absent: two committers racing to the same content write
+    * identical bytes, so whoever loses simply reuses the winner's file.
+    * Returns the shard id. Shards are written BEFORE the root claim —
+    * like staged data files, an orphan shard from a crashed commit is
+    * invisible until a root references it (vacuum reclaims it).
+    */
+  private def writeShard(fs: FileSystem, root: Path, idx: Long,
+      body: Array[Byte]): String = {
+    val dir = shardsPath(root)
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val id = s"s${idx}_${md5Hex(body)}.json"
+    val target = new Path(dir, id)
+    if (!fs.exists(target)) {
+      try {
+        val out = fs.create(target, false)
+        try out.write(body) finally out.close()
+      } catch { case _: java.io.IOException => () /* racer wrote it */ }
+    }
+    id
   }
 
   /** Create-if-absent manifest commit — THE atomic point of every commit.
@@ -211,7 +288,33 @@ object Merge {
     * validate bodies ([[readManifestOpt]]) to cover a crash between that
     * create and the body write.
     */
-  private def writeManifest(fs: FileSystem, root: Path, m: Manifest): Unit = {
+  private def writeManifest(fs: FileSystem, root: Path, m0: Manifest,
+      parent: Option[Manifest] = None,
+      touched: Option[Set[Long]] = None): Unit = {
+    // sharded table: materialize this version's shard files first. A
+    // shard whose bucket range the commit did not touch REUSES the
+    // parent's shard ref verbatim — no serialization, no write: commit
+    // metadata cost is O(touched shards), never O(table files).
+    val m =
+      if (m0.shardSpan <= 0) m0
+      else {
+        val span = m0.shardSpan
+        val byShard = m0.files.groupBy(f => bucketOf(f) / span)
+        val statsByShard = m0.stats.groupBy(e => bucketOf(e.file) / span)
+        val parentIds: Map[Long, String] = parent
+          .filter(_.shardSpan == span).map(_.shardIds.toMap)
+          .getOrElse(Map.empty)
+        val refs = byShard.keys.toSeq.sorted.map { idx =>
+          val reusable = touched.exists(t =>
+            !t.exists(b => b / span == idx)) && parentIds.contains(idx)
+          val id =
+            if (reusable) parentIds(idx)
+            else writeShard(fs, root, idx, shardBody(byShard(idx),
+              statsByShard.getOrElse(idx, Seq.empty)))
+          idx -> id
+        }
+        m0.copy(shardIds = refs)
+      }
     val dir = logPath(root)
     if (!fs.exists(dir)) fs.mkdirs(dir)
     val target = new Path(dir, s"v${m.version}.json")
@@ -243,8 +346,15 @@ object Merge {
     * ([[latestTxn]], [[currentVersion]] walk-back) — a Spark job per
     * read would put a scheduler round-trip inside every commit.
     */
+  /** `resolveShards = false` skips loading a sharded manifest's shard
+    * files (files/stats come back EMPTY): for validity walk-backs and
+    * txn/ts scans that never touch the file list, it keeps metadata
+    * reads O(1) per version instead of O(shards). Root-parse validity
+    * is the correct commit criterion either way — shards are complete
+    * before the root claim, exactly like data files.
+    */
   private def readManifestOpt(spark: SparkSession, root: Path,
-      version: Long): Option[Manifest] = {
+      version: Long, resolveShards: Boolean = true): Option[Manifest] = {
     val p = new Path(logPath(root), s"v$version.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return None
@@ -263,16 +373,7 @@ object Merge {
           case JInt(n) => Some(n.toLong); case JLong(n) => Some(n)
           case _ => None
         }
-        val files = j \ "files" match {
-          case JArray(xs) if xs.forall(_.isInstanceOf[JString]) =>
-            Some(xs.collect { case JString(s) => s })
-          case _ => None
-        }
-        val statsCols = j \ "statsCols" match {
-          case JArray(xs) => xs.collect { case JString(s) => s }
-          case _ => Nil
-        }
-        val stats = j \ "stats" match {
+        def parseStats(jv: JValue): Seq[Skipping.FileStats] = jv match {
           case JArray(xs) => xs.flatMap { e =>
             def f(n: String): Option[String] = e \ n match {
               case JString(s) => Some(s); case _ => None
@@ -282,15 +383,81 @@ object Merge {
           }
           case _ => Nil
         }
-        (num("version"), num("parent"), files) match {
-          case (Some(v), Some(par), Some(fl)) =>
+        val statsCols = j \ "statsCols" match {
+          case JArray(xs) => xs.collect { case JString(s) => s }
+          case _ => Nil
+        }
+        val shardSpan = num("shardSpan").map(_.toInt).getOrElse(0)
+        // resolved (files, stats, shardIds): inline form reads them off
+        // the root; sharded form loads each referenced shard (shards are
+        // complete before the root claim, so a parsed root implies
+        // readable shards — any miss means external damage and the
+        // version reads as not committed)
+        val resolved: Option[(Seq[String], Seq[Skipping.FileStats],
+            Seq[(Long, String)])] =
+          if (shardSpan > 0) {
+            val refs = j \ "shards" match {
+              case JArray(xs) =>
+                val rs = xs.flatMap { e =>
+                  val i = e \ "i" match {
+                    case JInt(n) => Some(n.toLong)
+                    case JLong(n) => Some(n); case _ => None
+                  }
+                  val id = e \ "id" match {
+                    case JString(s) => Some(s); case _ => None
+                  }
+                  for (a <- i; b <- id) yield (a, b)
+                }
+                if (rs.length == xs.length) Some(rs) else None
+              case _ => None
+            }
+            if (!resolveShards)
+              refs.map(rs => (Seq.empty[String],
+                Seq.empty[Skipping.FileStats], rs))
+            else refs.flatMap { rs =>
+              val loaded = rs.map { case (idx, id) =>
+                val sp = new Path(shardsPath(root), id)
+                val sbody =
+                  try {
+                    if (!fs.exists(sp)) return None
+                    val in = fs.open(sp)
+                    try new String(in.readAllBytes(), "UTF-8")
+                    finally in.close()
+                  } catch { case _: java.io.IOException => return None }
+                scala.util.Try(
+                  org.json4s.jackson.JsonMethods.parse(sbody)).toOption
+                  .flatMap { sj =>
+                    sj \ "files" match {
+                      case JArray(xs) if xs.forall(_.isInstanceOf[JString]) =>
+                        Some((xs.collect { case JString(s) => s },
+                          parseStats(sj \ "stats"), idx, id))
+                      case _ => None
+                    }
+                  }
+              }
+              if (loaded.exists(_.isEmpty)) None
+              else {
+                val ls = loaded.flatten.sortBy(_._3)
+                Some((ls.flatMap(_._1), ls.flatMap(_._2),
+                  ls.map(l => (l._3, l._4))))
+              }
+            }
+          } else j \ "files" match {
+            case JArray(xs) if xs.forall(_.isInstanceOf[JString]) =>
+              Some((xs.collect { case JString(s) => s },
+                parseStats(j \ "stats"), Seq.empty))
+            case _ => None
+          }
+        (num("version"), num("parent"), resolved) match {
+          case (Some(v), Some(par), Some((fl, stats, shardIds))) =>
             Some(Manifest(v, par, fl, str("dataSchema"),
               for (a <- str("txnApp"); b <- num("txnBatch")) yield (a, b),
               for (k <- str("keyCol"); n <- num("nBuckets"))
                 yield (k, n.toInt),
               statsCols, stats, num("ts").getOrElse(-1L),
               str("op"), num("rowsUp").getOrElse(-1L),
-              num("rowsDel").getOrElse(-1L)))
+              num("rowsDel").getOrElse(-1L),
+              shardSpan = shardSpan, shardIds = shardIds))
           case _ => None // truncated or foreign body: not committed
         }
       }
@@ -328,7 +495,8 @@ object Merge {
   def currentVersion(spark: SparkSession, path: String): Long = {
     val (_, root) = fsFor(spark, path)
     listVersions(spark, root).reverse
-      .find(v => readManifestOpt(spark, root, v).isDefined)
+      .find(v => readManifestOpt(spark, root, v,
+        resolveShards = false).isDefined)
       .getOrElse(-1L)
   }
 
@@ -373,11 +541,23 @@ object Merge {
     * lists or opens anything — the Delta/Iceberg file-stats idea applied
     * to the version log. Costs one extra aggregate over each commit's
     * newly written files; tables that never pass `statsCols` pay nothing.
+    *
+    * `manifestShardSpan` opts the table into SHARDED manifests (the
+    * production posture past ~millions of files): the version log's
+    * file/stats lists are split into content-addressed shard files of
+    * `manifestShardSpan` buckets each, the root manifest holds only the
+    * shard refs, and every later commit rewrites ONLY the shards whose
+    * bucket range it touched — commit metadata cost and write
+    * amplification become O(touched data), matching the data files'
+    * copy-on-write granularity. 0 (default) keeps the single-file
+    * manifest, right for small tables. The span is part of the table
+    * layout: later commits inherit it from the parent manifest.
     */
   def writeKeyed(df: DataFrame, path: String, keyCol: String,
       nBuckets: Int, statsCols: Seq[String] = Seq.empty,
-      filesPerBucket: Int = 1): Unit = {
+      filesPerBucket: Int = 1, manifestShardSpan: Int = 0): Unit = {
     require(nBuckets >= 1, "nBuckets must be >= 1")
+    require(manifestShardSpan >= 0, "manifestShardSpan must be >= 0")
     val (fs, root) = fsFor(df.sparkSession, path)
     if (fs.exists(root)) fs.delete(root, true) // fresh table, fresh log
     bucketPartitioned(
@@ -388,7 +568,8 @@ object Merge {
       Some(df.schema.toDDL), layout = Some((keyCol, nBuckets)),
       statsCols = statsCols,
       stats = bucketFileStats(df.sparkSession, path, statsCols),
-      ts = System.currentTimeMillis(), op = Some("write")))
+      ts = System.currentTimeMillis(), op = Some("write"),
+      shardSpan = manifestShardSpan))
   }
 
   /** Read a manifest's file set with the version's own schema (plus the
@@ -459,7 +640,7 @@ object Merge {
     var v = cur
     var oldestSeen = Long.MaxValue
     while (v >= 0) {
-      readManifestOpt(spark, root, v) match {
+      readManifestOpt(spark, root, v, resolveShards = false) match {
         case Some(m) if m.ts >= 0 =>
           if (m.ts <= timestampMillis) return v
           oldestSeen = m.ts
@@ -611,6 +792,18 @@ object Merge {
     readManifest(spark, root, version).stats
   }
 
+  /** A version's (shardIdx → shard file id) manifest refs — empty for
+    * inline-manifest tables. The inspection hook sharding specs and
+    * gates pin REUSE with: an untouched shard must carry the same
+    * content-addressed id across commits (the O(touched) commit
+    * contract), and a touched one must get a new id.
+    */
+  def manifestShardRefs(spark: SparkSession, path: String,
+      version: Long): Seq[(Long, String)] = {
+    val (_, root) = fsFor(spark, path)
+    readManifest(spark, root, version).shardIds
+  }
+
   /** Read one committed version under interval `bounds`: manifest-stats
     * file pruning + the bounds as a residual filter — result ≡ reading
     * the whole version and filtering, scan cost ∝ the files whose
@@ -734,7 +927,8 @@ object Merge {
       appId: String): Option[Long] = {
     val (_, root) = fsFor(spark, path)
     val batches = listVersions(spark, root)
-      .flatMap(v => readManifestOpt(spark, root, v))
+      .flatMap(v => readManifestOpt(spark, root, v,
+        resolveShards = false))
       .flatMap(_.txn)
       .collect { case (app, batch) if app == appId => batch }
     if (batches.isEmpty) None else Some(batches.max)
@@ -928,7 +1122,9 @@ object Merge {
             parent.stats.filterNot(e => touched(bucketOf(e.file))) ++
               newStats,
             ts = nextTs(parent), op = Some("upsert"),
-            rowsUpserted = rowsUpserted, rowsDeleted = rowsDeleted))
+            rowsUpserted = rowsUpserted, rowsDeleted = rowsDeleted,
+            shardSpan = parent.shardSpan),
+          parent = Some(parent), touched = Some(touched))
         return MergeStats(touched.size, nBuckets, rowsUpserted, parentV + 1,
           attempt, rowsDeleted = rowsDeleted)
       } catch {
@@ -978,7 +1174,8 @@ object Merge {
       val parentV = currentVersion(spark, path)
       require(parentV >= 0,
         s"$path has no version log — write it with writeKeyed first")
-      val nB = readManifestOpt(spark, root, parentV)
+      val nB = readManifestOpt(spark, root, parentV,
+          resolveShards = false)
         .flatMap(_.layout).map(_._2).getOrElse(-1)
       txn.foreach { case (app, batch) =>
         if (latestTxn(spark, path, app).exists(_ >= batch))
@@ -1017,7 +1214,9 @@ object Merge {
             parent.stats.filterNot(e => touched(bucketOf(e.file))) ++
               newStats,
             ts = nextTs(parent), op = Some("delete"),
-            rowsUpserted = 0L, rowsDeleted = rowsDeleted))
+            rowsUpserted = 0L, rowsDeleted = rowsDeleted,
+            shardSpan = parent.shardSpan),
+          parent = Some(parent), touched = Some(touched))
         return MergeStats(touched.size, nB, 0L, parentV + 1, attempt,
           rowsDeleted = rowsDeleted)
       } catch {
@@ -1149,7 +1348,9 @@ object Merge {
             stats = parent.stats.filterNot(e =>
               toRewrite.contains(bucketOf(e.file))) ++ newStats,
             ts = nextTs(parent), op = Some("compact"),
-            rowsUpserted = 0L, rowsDeleted = 0L))
+            rowsUpserted = 0L, rowsDeleted = 0L,
+            shardSpan = parent.shardSpan),
+          parent = Some(parent), touched = Some(toRewrite.keySet.toSet))
         return CompactStats(parentV + 1, toRewrite.size, parent.files.size,
           files.size)
       } catch {
@@ -1233,6 +1434,22 @@ object Merge {
     listVersions(spark, root).filter(_ < keepFrom).foreach { v =>
       fs.delete(new Path(logPath(root), s"v$v.json"), false)
     }
+    // sharded-manifest tables: reclaim shard files no retained version
+    // references (content addressing means a shard can serve many
+    // versions — it dies only when its last referencing root is gone;
+    // crash-orphan shards from never-committed claims die here too)
+    val sp = shardsPath(root)
+    if (fs.exists(sp)) {
+      val liveShards = (keepFrom to latest)
+        .flatMap(v => readManifestOpt(spark, root, v,
+            resolveShards = false).toSeq
+          .flatMap(_.shardIds.map(_._2)))
+        .toSet
+      fs.listStatus(sp)
+        .filterNot(s => liveShards(s.getPath.getName))
+        .filter(_.getModificationTime <= cutoff)
+        .foreach(s => fs.delete(s.getPath, false))
+    }
     val sr = stagingRoot(root)
     if (fs.exists(sr))
       fs.listStatus(sr)
@@ -1262,7 +1479,7 @@ object Merge {
     var v = latest
     var done = false
     while (v >= 0 && !done) {
-      readManifestOpt(spark, root, v) match {
+      readManifestOpt(spark, root, v, resolveShards = false) match {
         case Some(m) =>
           keepFrom = v
           if (m.ts < 0 || m.ts <= horizon) done = true else v -= 1

@@ -222,9 +222,13 @@ class MergeSpec extends SparkSpec {
       val model = scala.collection.mutable.Map.empty[Long, Double]
       (0L until 40L).foreach(i => model(i) = i * 1.0)
       // statsCols on v: every commit must keep per-file stats consistent
-      // with its data, whatever the op interleaving
+      // with its data, whatever the op interleaving. Even seeds run with
+      // SHARDED manifests (2 buckets/shard): the same sequences must
+      // behave identically under the split log — resolution, stats
+      // placement, shard reuse and all
       Merge.writeKeyed(model.toSeq.toDF("id", "v"), path, "id",
-        nBuckets = 4, statsCols = Seq("v"))
+        nBuckets = 4, statsCols = Seq("v"),
+        manifestShardSpan = if (seed % 2 == 0) 2 else 0)
       val snapshots = scala.collection.mutable.ArrayBuffer(
         (0L, model.toMap))
       val ops = Gen.listOfN(6, genOp)
@@ -270,6 +274,51 @@ class MergeSpec extends SparkSpec {
             s"seed $seed: v$ver diverged")
       }
     }
+  }
+
+  test("sharded manifests: untouched shards reuse the parent's shard id," +
+      " touched ones get a new one, reads resolve identically") {
+    val path = freshDir("shard")
+    val base = (0L until 400L).map(i => (i, i * 1.0)).toDF("id", "v")
+    // 16 buckets, 4 buckets/shard -> 4 shard files
+    Merge.writeKeyed(base, path, "id", nBuckets = 16,
+      statsCols = Seq("v"), manifestShardSpan = 4)
+    val refs0 = Merge.manifestShardRefs(spark, path, 0L).toMap
+    assert(refs0.size == 4, s"expected 4 shards, got $refs0")
+    // one-key upsert touches ONE bucket -> exactly one shard rewritten
+    Merge.upsert(spark, path, Seq((3L, 333.0)).toDF("id", "v"), "id", 16)
+    val refs1 = Merge.manifestShardRefs(spark, path, 1L).toMap
+    assert(refs1.size == 4)
+    val changed = refs1.filter { case (i, id) => refs0(i) != id }
+    assert(changed.size == 1,
+      s"one-bucket upsert must rewrite exactly one shard: $refs0 -> $refs1")
+    // resolution: current read sees the update + everything else; v0
+    // still reads its own snapshot through its own shard set
+    val cur = Merge.readKeyed(spark, path)
+    assert(cur.count() == 400)
+    assert(cur.filter($"id" === 3L).select("v").as[Double].head() == 333.0)
+    assert(Merge.readVersion(spark, path, 0L)
+      .filter($"id" === 3L).select("v").as[Double].head() == 3.0)
+    // stats live in the shards: a bounded read still prunes + matches
+    val b = Seq(Skipping.Bound("v", Some(0.0), Some(50.0)))
+    val ids = Merge.readKeyedSkipping(spark, path, b)
+      .select("id").as[Long].collect().toSet
+    assert(ids == (0L until 400L).filter(i =>
+      (if (i == 3L) 333.0 else i * 1.0) <= 50.0).toSet)
+    // vacuum to 1 version: v0's exclusive shard (the superseded one) is
+    // reclaimed, the 3 shared ones survive (content addressing: a shard
+    // lives while ANY retained root references it)
+    val shardDir = new File(path, "_graft_log/shards")
+    // drop Hadoop's .crc checksum sidecars from the raw listing
+    def shardFiles() = shardDir.listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).toSet
+    val before = shardFiles()
+    assert(before == (refs0.values.toSet ++ refs1.values.toSet))
+    Merge.vacuum(spark, path, keepVersions = 1)
+    val after = shardFiles()
+    assert(after == refs1.values.toSet,
+      s"vacuum must keep exactly v1's shards: kept $after")
+    assert(Merge.readKeyed(spark, path).count() == 400)
   }
 
   test("upsert racing deleteWhere serializes: the loser re-plans " +

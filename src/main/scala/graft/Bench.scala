@@ -13,6 +13,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // engine-assumption preflight (see EventTs.preflight)
+    System.err.println(EventTs.preflight(spark, sfDir))
     // Untimed warmup pass: run every query once first so JVM JIT, Janino
     // codegen, encoder resolution, and parquet footer caches are hot before
     // measurement — the timed pass below reports steady-state throughput
@@ -73,12 +75,20 @@ object Bench {
     // cache state) — round 6's two phantom "regressions" were exactly
     // that. Name order is stable across rounds, so per-query comparisons
     // stay like-for-like.
+    // A thrown query must surface as a FAILURE, never as elapsed-to-throw:
+    // round 7's 17 analysis-time breakages timed at ~0.06 s each and
+    // IMPROVED the total. Failures record NaN here and are emitted in a
+    // separate "failed" list (omitted from "queries" and the total).
     def timedPass(): Map[String, Double] =
       SparkEntry.queries.toSeq.sortBy(_._1).map {
         case (name, fn) =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          name -> (System.nanoTime() - t0) / 1e9
+          val ok = try { fn(spark, sfDir).count(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              false
+            }
+          name -> (if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN)
       }.toMap
     val a1 = anchorOnce()
     val io1 = anchorIoOnce()
@@ -88,7 +98,16 @@ object Bench {
     val p2 = timedPass()
     val anchor = math.min(a1, a2)
     val anchorIo = math.min(io1, io2)
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+    // min of the two passes; NaN-poisoning keeps a query that failed in
+    // EITHER pass out of the timed set (math.min(NaN, x) propagates only
+    // via the explicit isNaN check — java's min returns NaN already, but
+    // be explicit about the contract)
+    val all = p1.map { case (k, v) =>
+      val w = p2(k)
+      k -> (if (v.isNaN || w.isNaN) Double.NaN else math.min(v, w))
+    }
+    val failedQs = all.filter(_._2.isNaN).keys.toSeq.sorted
+    val results = all.filter(!_._2.isNaN)
     // 4 decimals (0.1 ms): full doubles balloon the line past consumer
     // truncation limits (round 6 lost 103 of 169 timings that way)
     def fmt(v: Double): String = "%.4f".format(v)
@@ -96,10 +115,12 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val failedJson = failedQs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""anchor_sec":${fmt(anchor)},"anchor_io_sec":${fmt(anchorIo)},""" +
         s""""n_queries":${results.size},""" +
+        s""""n_failed":${failedQs.size},"failed":$failedJson,""" +
         s""""queries":$qs,"sf":"$sfDir"}"""
     spark.stop()
     // emit AFTER spark.stop() on stdout, stderr, and a file: the consumer

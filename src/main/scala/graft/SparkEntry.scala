@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.oracle.{DeterministicOracle, TagRule}
 import graft.plan.{LogicalOp, NumCondition}
@@ -830,7 +830,7 @@ object SparkEntry {
       // plain BETWEEN join in DuckDB.
       val e = t(s, dir, "events")
       val evs = e.select(col("event_id"), col("user_id"),
-        expr("ts div 1000").as("t"))
+        EventTs.micros(e).as("t"))
       val sess = EventStreams
         .sessionizeBatch(e, gapMicros = 30L * 60 * 1000 * 1000)
         .select(col("user_id"), col("session_idx"),
@@ -1112,10 +1112,14 @@ object SparkEntry {
             round(dec("o_totalprice") * lit(1.1).cast("decimal(2,1)"), 2)
               .cast("double")),
         "o_orderkey", nBuckets = 32)
-      // commit 2: insert — disjoint keys, 1997+ dates, few buckets
+      // commit 2: insert — disjoint keys, 1997+ dates, few buckets.
+      // Key set capped ABSOLUTELY (<= 12000, ~60 keys at any sf): a pure
+      // ratio sample eventually inserts a 1997 row into EVERY bucket's
+      // merged file and nothing prunes (bit us at sf0.1 while the bench
+      // still swallowed the throw)
       Merge.upsert(s, path,
         orders.filter(col("o_orderdate") >= lit("1997-01-01") &&
-          col("o_orderkey") % 200 === 0),
+          col("o_orderkey") % 200 === 0 && col("o_orderkey") <= 12000),
         "o_orderkey", nBuckets = 32)
       val bounds = Seq(Skipping.Bound("o_orderdate",
         Some("1997-01-01"), Some("1997-12-31 23:59:59")))
@@ -1361,12 +1365,19 @@ object SparkEntry {
       val part = t(s, dir, "part")
         .select("p_partkey", "p_brand", "p_retailprice")
       Merge.writeKeyed(part, path, "p_partkey", nBuckets = 64)
-      val batch = part.filter(col("p_partkey") % 100 === 7)
+      // the churn key set is capped ABSOLUTELY (<= 2000), not by ratio:
+      // a %100 sample alone grows with sf until it covers all 64 buckets
+      // and the strict-subset pin below fails (it did at sf0.1 — masked
+      // while the bench still timed exceptions). ~44 fixed keys leave
+      // most buckets untouched at every scale factor.
+      val batch = part.filter(col("p_partkey") % 100 === 7 &&
+          col("p_partkey") <= 2000)
         .withColumn("p_retailprice",
           round(dec("p_retailprice") * lit(1.5).cast("decimal(2,1)"), 2)
             .cast("double"))
         .withColumn("__del", lit(false))
-        .unionByName(part.filter(col("p_partkey") % 100 === 13)
+        .unionByName(part.filter(col("p_partkey") % 100 === 13 &&
+            col("p_partkey") <= 2000)
           .withColumn("__del", lit(true)))
         .unionByName(part.filter(col("p_partkey") < 5)
           .withColumn("p_partkey", col("p_partkey") + lit(4000000L))
@@ -1378,6 +1389,39 @@ object SparkEntry {
         s"the feed must plan a strict bucket subset, got ${touched.size}")
       Merge.changesBetween(s, path, 0L, 1L)
         .orderBy("p_partkey", "op")
+    }),
+    "q_merge_sharded" -> ((s, dir) => {
+      // SHARDED MANIFESTS end-to-end (the Iceberg manifest-list move):
+      // a 32-bucket table with 2-bucket manifest shards (16 shard
+      // files); a 4-key commit (one update + clones of keys 0,1,2 as
+      // inserts) can touch at most 4 buckets, so AT LEAST 12 of the 16
+      // shard refs must carry over VERBATIM from v0 (required in-gate —
+      // the O(touched) commit-metadata contract, deterministic, no hash
+      // luck). The merged read then hash-matches the declarative SQL
+      // merge, proving resolution through the split log loses nothing.
+      import graft.sources.Merge
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      val path = new java.io.File(scratchRoot,
+        s"graft_merge_sh_${new java.io.File(dir).getName}").getAbsolutePath
+      val part = t(s, dir, "part")
+        .select("p_partkey", "p_brand", "p_retailprice")
+      Merge.writeKeyed(part, path, "p_partkey", nBuckets = 32,
+        manifestShardSpan = 2)
+      val batch = part.filter(col("p_partkey") === 97)
+        .withColumn("p_retailprice",
+          round(dec("p_retailprice") * lit(1.3).cast("decimal(2,1)"), 2)
+            .cast("double"))
+        .unionByName(part.filter(col("p_partkey") < 3)
+          .withColumn("p_partkey", col("p_partkey") + lit(5000000L)))
+      Merge.upsert(s, path, batch, "p_partkey", nBuckets = 32)
+      val r0 = Merge.manifestShardRefs(s, path, 0L).toMap
+      val r1 = Merge.manifestShardRefs(s, path, 1L).toMap
+      require(r0.size == 16 && r1.size == 16,
+        s"expected 16 manifest shards, got ${r0.size}/${r1.size}")
+      val reused = r1.count { case (i, id) => r0.get(i).contains(id) }
+      require(reused >= 12,
+        s"a 4-key commit must reuse >= 12 of 16 shard refs, got $reused")
+      Merge.readKeyed(s, path).orderBy("p_partkey")
     }),
     "q_merge_zorder" -> ((s, dir) => {
       // OPTIMIZE ZORDER BY for the version log: Morton-interleave
@@ -1632,6 +1676,15 @@ object SparkEntry {
         s"graft_mv_tbl_$sfx").getAbsolutePath
       val st = new java.io.File(scratchRoot,
         s"graft_mv_st_$sfx").getAbsolutePath
+      // fresh state EVERY run: writeKeyed below rebuilds the table at
+      // v0, and a leftover sync watermark (v2 from a previous run in
+      // this JVM — the bench runs every gate three times) would ask for
+      // changesBetween(2, 0) and throw
+      def rmTree(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmTree)
+        f.delete(); ()
+      }
+      rmTree(new java.io.File(st))
       val part = t(s, dir, "part")
         .select("p_partkey", "p_brand", "p_retailprice")
       Merge.writeKeyed(part, tbl, "p_partkey", nBuckets = 16)
@@ -1662,11 +1715,13 @@ object SparkEntry {
       val path = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_zorder_${new java.io.File(dir).getName}_$stamp")
         .getAbsolutePath
-      if (!new java.io.File(s"$path/_SUCCESS").exists())
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        val e = t(s, dir, "events")
         graft.sources.ZOrder.writeZOrdered(
-          t(s, dir, "events").select(col("event_id"), col("user_id"),
-            expr("ts div 1000").as("ts_micros"), col("value")),
+          e.select(col("event_id"), col("user_id"),
+            EventTs.micros(e).as("ts_micros"), col("value")),
           path, Seq("user_id", "ts_micros"), files = 8)
+      }
       s.read.parquet(path)
         .filter(col("user_id").between(50, 149) &&
           col("ts_micros") < 1717200000000000L)
@@ -1690,20 +1745,24 @@ object SparkEntry {
       // TIME-BOUNDED funnel: a step counts only within 2 days of the
       // earliest qualifying previous step (greedy earliest-chain
       // semantics — deterministic and window-SQL-expressible; see
-      // Behavior.windowedFunnel). ts is epoch-nanos, so the gap is a
-      // plain long literal; gated against the identically-greedy SQL.
-      graft.pipeline.Behavior.windowedFunnel(t(s, dir, "events"),
-        "user_id", "event_type", "ts",
+      // Behavior.windowedFunnel). The gap compares in the ts column's
+      // own units, so derive epoch micros and bound in micros; gated
+      // against the identically-greedy SQL (nanos — same instants).
+      val e0 = t(s, dir, "events")
+      graft.pipeline.Behavior.windowedFunnel(
+        e0.withColumn("ts_u", EventTs.micros(e0)),
+        "user_id", "event_type", "ts_u",
         steps = Seq("view", "click", "purchase"), tiebreak = "event_id",
-        maxGap = lit(172800L * 1000000000L))
+        maxGap = lit(172800L * 1000000L))
         .orderBy("step")
     }),
     "q_retention_cohorts" -> ((s, dir) => {
       // weekly retention cohorts: users bucketed by first-seen week,
       // counted in every week they were active. Weeks emitted as ISO
       // date strings (engine-portable — no DATE dtype skew)
-      graft.pipeline.Behavior.retentionCohorts(t(s, dir, "events"),
-        "user_id", timestamp_seconds(expr("ts div 1000000000")))
+      val ev = t(s, dir, "events")
+      graft.pipeline.Behavior.retentionCohorts(ev,
+        "user_id", EventTs.time(ev))
         .orderBy("cohort_week", "active_week")
     }),
     "q_profile_numeric" -> ((s, dir) => {
@@ -1724,13 +1783,14 @@ object SparkEntry {
       // time, valid_to the next change's time (null while current). One
       // window pass; (ts, event_id) ordering makes ties deterministic.
       // Completes the temporal pair with q_asof_join.
-      // micros on both sides: DuckDB reads TIMESTAMP(NANOS) at micro
+      // micros on both sides: DuckDB reads the same parquet at micro
       // precision, so the shared unit (and the shared window ordering)
       // is epoch micros + event_id tiebreak
-      val log = t(s, dir, "events")
+      val ev = t(s, dir, "events")
+      val log = ev
         .filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"),
-          expr("ts div 1000").as("ts_micros"), col("value"))
+          EventTs.micros(ev).as("ts_micros"), col("value"))
       graft.ops.Scd.buildType2(log, "user_id", "ts_micros", "event_id")
         .select("event_id", "user_id", "ts_micros", "value", "valid_to",
           "is_current")
@@ -1753,10 +1813,11 @@ object SparkEntry {
       // value) after every purchase, collapse them with the null-safe
       // consecutive dedupe, THEN build Type-2 intervals — a dropped
       // redelivery that still split an interval would break the hash
-      val base = t(s, dir, "events")
+      val ev = t(s, dir, "events")
+      val base = ev
         .filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"),
-          expr("ts div 1000").as("ts_micros"), col("value"))
+          EventTs.micros(ev).as("ts_micros"), col("value"))
       val redelivered = base
         .withColumn("ts_micros", col("ts_micros") + 1)
         .withColumn("event_id", col("event_id") + lit(10000000L))
@@ -1831,10 +1892,12 @@ object SparkEntry {
       // exercise the merge path, not a cached table).
       val path = new java.io.File(scratchRoot,
         s"graft_incr_${new java.io.File(dir).getName}").getAbsolutePath
-      val cut1 = 1704844800L * 1000000000L // 2024-01-10 UTC, nanos
-      val cut2 = 1705708800L * 1000000000L // 2024-01-20 UTC, nanos
       val e = t(s, dir, "events").select("user_id", "event_type", "ts",
         "value")
+      // ts-typed literals (2024-01-10 / 2024-01-20 UTC): the cut stays on
+      // the raw column, whatever its physical dtype (EventTs)
+      val cut1 = EventTs.atNanos(e, 1704844800L * 1000000000L)
+      val cut2 = EventTs.atNanos(e, 1705708800L * 1000000000L)
       val keys = Seq("user_id", "event_type")
       graft.pipeline.IncrementalAgg.init(
         e.filter(col("ts") < cut1), path, keys, "value")
@@ -1855,9 +1918,9 @@ object SparkEntry {
       // NET data. Rebuilt fresh every run.
       val path = new java.io.File(scratchRoot,
         s"graft_incr_ret_${new java.io.File(dir).getName}").getAbsolutePath
-      val cut1 = 1704844800L * 1000000000L // 2024-01-10 UTC, nanos
       val e = t(s, dir, "events").select("user_id", "event_type", "ts",
         "value", "event_id")
+      val cut1 = EventTs.atNanos(e, 1704844800L * 1000000000L) // 2024-01-10
       val keys = Seq("user_id", "event_type")
       val batch1 = e.filter(col("ts") < cut1)
       graft.pipeline.IncrementalAgg.init(batch1, path, keys, "value")
@@ -1893,10 +1956,10 @@ object SparkEntry {
         }
       rmTree(base)
       Files.createDirectories(inDir)
-      val cut1 = 1704844800L * 1000000000L // 2024-01-10 UTC, nanos
-      val cut2 = 1705708800L * 1000000000L // 2024-01-20 UTC, nanos
       val e = t(s, dir, "events").select("user_id", "event_type", "ts",
         "value")
+      val cut1 = EventTs.atNanos(e, 1704844800L * 1000000000L) // 2024-01-10
+      val cut2 = EventTs.atNanos(e, 1705708800L * 1000000000L) // 2024-01-20
       val slices = Seq(
         ("b1.parquet", e.filter(col("ts") < cut1)),
         ("b2.parquet", e.filter(col("ts") >= cut1 && col("ts") < cut2)),
@@ -1953,9 +2016,9 @@ object SparkEntry {
         }
       rmTree(base)
       Files.createDirectories(inDir)
-      val cut1 = 1704844800L * 1000000000L // 2024-01-10 UTC, nanos
       val e = t(s, dir, "events").select("user_id", "event_type", "ts",
         "value", "event_id")
+      val cut1 = EventTs.atNanos(e, 1704844800L * 1000000000L) // 2024-01-10
       val batch1 = e.filter(col("ts") < cut1)
       val slices = Seq(
         ("b1.parquet", batch1.withColumn("op", lit(1))),
@@ -2020,11 +2083,12 @@ object SparkEntry {
         }
       rmTree(base)
       Files.createDirectories(inDir)
-      val cut1 = 1704844800L * 1000000000L // 2024-01-10 UTC, nanos
-      val cut2 = 1705708800L * 1000000000L // 2024-01-20 UTC, nanos
-      val e = t(s, dir, "events")
+      val ev = t(s, dir, "events")
+      val cut1 = EventTs.atNanos(ev, 1704844800L * 1000000000L) // 2024-01-10
+      val cut2 = EventTs.atNanos(ev, 1705708800L * 1000000000L) // 2024-01-20
+      val e = ev
         .select(col("user_id"), col("event_type"), col("value"),
-          expr("ts div 1000").as("ts_micros"), col("ts"))
+          EventTs.micros(ev).as("ts_micros"), col("ts"))
       def stage(name: String, df: DataFrame, i: Int): Unit = {
         val st = base.resolve(s"stage_$i")
         df.drop("ts").coalesce(1).write.mode("overwrite").parquet(st.toString)
@@ -2230,17 +2294,17 @@ object SparkEntry {
     // ---- date/timestamp filtering (SURVEY §1: dates via year()/
     //      to_timestamp instead of the reference's LLM text judgment) ----
     "q_date_filter" -> ((s, dir) => {
-      // events.ts reads as long nanos (nanosAsLong); integer `div` keeps
-      // full precision (a double division would round above 2^53)
       val e = t(s, dir, "events")
-      val tsc = timestamp_seconds(expr("ts div 1000000000"))
-      // redundant coarse bound on the RAW column: year()/day() of a derived
-      // timestamp cannot push to parquet, but this range does — row-group
-      // min/max pruning skips whole chunks at scale (result unchanged)
+      val tsc = EventTs.time(e)
+      // redundant coarse bound on the RAW column in its own dtype:
+      // year()/day() of a derived timestamp cannot push to parquet, but
+      // this range does — row-group min/max pruning skips whole chunks
+      // at scale (result unchanged)
       val y2024 = java.time.Instant.parse("2024-01-01T00:00:00Z")
       val y2025 = java.time.Instant.parse("2025-01-01T00:00:00Z")
-      def nanos(i: java.time.Instant): Long = i.getEpochSecond * 1000000000L
-      e.filter(col("ts") >= nanos(y2024) && col("ts") < nanos(y2025) &&
+      def bound(i: java.time.Instant): Column =
+        EventTs.atNanos(e, i.getEpochSecond * 1000000000L)
+      e.filter(col("ts") >= bound(y2024) && col("ts") < bound(y2025) &&
           year(tsc) === 2024 && dayofmonth(tsc).between(10, 19))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
@@ -3441,7 +3505,7 @@ object SparkEntry {
       val stream = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
       val evs = stream.select(col("user_id"), col("event_type"),
-          col("value"), expr("ts div 1000").as("ts_micros"))
+          col("value"), EventTs.micros(stream).as("ts_micros"))
         .as[EventStreams.Event]
       val sess = EventStreams.sessionize(evs,
         gapMicros = 30L * 60 * 1000 * 1000)(s)
@@ -4009,7 +4073,7 @@ object SparkEntry {
            SELECT o_orderkey, o_orderpriority, o_totalprice, o_orderdate
            FROM orders
            WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
-             AND o_orderkey % 200 = 0)
+             AND o_orderkey % 200 = 0 AND o_orderkey <= 12000)
          SELECT o_orderpriority, count(*) AS n,
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                   AS sum_price
@@ -4146,10 +4210,10 @@ object SparkEntry {
     "q_merge_cdf" ->
       """WITH upd AS (
            SELECT p_partkey, p_brand, p_retailprice FROM part
-           WHERE p_partkey % 100 = 7),
+           WHERE p_partkey % 100 = 7 AND p_partkey <= 2000),
          del AS (
            SELECT p_partkey, p_brand, p_retailprice FROM part
-           WHERE p_partkey % 100 = 13),
+           WHERE p_partkey % 100 = 13 AND p_partkey <= 2000),
          ins AS (
            SELECT p_partkey + 4000000 AS p_partkey, p_brand,
                   p_retailprice
@@ -4168,6 +4232,19 @@ object SparkEntry {
          SELECT p_partkey, p_brand, p_retailprice,
                 CAST(1 AS INT) FROM ins
          ORDER BY p_partkey, op""",
+    // sharded-manifest merge ≡ the plain declarative merge (the log
+    // structure must be invisible to the data)
+    "q_merge_sharded" ->
+      """SELECT p_partkey, p_brand,
+                CASE WHEN p_partkey = 97 THEN
+                  CAST(round(CAST(p_retailprice AS DECIMAL(18,2))
+                             * CAST(1.3 AS DECIMAL(2,1)), 2) AS DOUBLE)
+                ELSE p_retailprice END AS p_retailprice
+         FROM part
+         UNION ALL
+         SELECT p_partkey + 5000000, p_brand, p_retailprice
+         FROM part WHERE p_partkey < 3
+         ORDER BY p_partkey""",
     // the z-ordered skipping read ≡ a plain two-dim filtered aggregate
     "q_merge_zorder" ->
       """SELECT o_orderpriority, count(*) AS n,

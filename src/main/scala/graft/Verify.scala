@@ -15,14 +15,23 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
-      // rejects; read as long (ns since epoch) for engine-portable compares
+      // no-op on Spark 4.x (events.parquet is TIMESTAMP(MICROS) now) but
+      // restores the legacy long-nanos read if the data ever reverts to
+      // TIMESTAMP(NANOS); EventTs handles either dtype
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // engine-assumption preflight: if the environment shifts under the
+    // repo again (round 7: ts dtype), the run's first line says so
+    System.err.println(EventTs.preflight(spark, sfDir))
     new java.io.File(outDir).mkdirs()
+    // a dump failure must be LOUD: round 7's driver silently omitted
+    // failed queries from CORRECTNESS, so 17 breakages read as a green
+    // round. Collect name → error and publish _failed.json beside
+    // oracle_sql.json (empty object when all dumps succeed).
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -30,6 +39,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed(name) = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -47,6 +57,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/_failed.json"),
+      failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[verify] ${failed.size} FAILED dumps: ${failed.keys.mkString(",")}")
     spark.stop()
   }
 }

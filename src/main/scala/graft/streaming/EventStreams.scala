@@ -16,15 +16,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
-  /** events.parquet stores ts as TIMESTAMP(NANOS); sessions read it as long
-    * nanos (spark.sql.legacy.parquet.nanosAsLong). Convert to a proper
-    * timestamp column for windowing.
+  /** Attach a native TimestampType `event_time` column for windowing,
+    * whatever the physical ts dtype is (long nanos on legacy data,
+    * TIMESTAMP_NTZ on current parquet — see [[graft.EventTs]]).
     */
   def withEventTime(events: DataFrame, tsCol: String = "ts"): DataFrame =
-    // integer `div`, NOT `/`: long/int goes through double and loses
-    // precision for epoch-nanos (~1.7e18 > 2^53)
-    events.withColumn("event_time",
-      timestamp_micros(expr(s"$tsCol div 1000")))
+    events.withColumn("event_time", graft.EventTs.time(events, tsCol))
 
   /** Tumbling-window counts + exact sums per event type. On a stream, add
     * `withWatermark` upstream; on batch input it computes the final answer.
@@ -118,7 +115,7 @@ object EventStreams {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("ts_micros")
     events
-      .withColumn("ts_micros", expr("ts div 1000"))
+      .withColumn("ts_micros", graft.EventTs.micros(events))
       .withColumn("prev_ts", lag("ts_micros", 1).over(w))
       .withColumn("new_session",
         when(col("prev_ts").isNull ||

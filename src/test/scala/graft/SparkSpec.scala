@@ -3,8 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Shared session base for all suites: one local SparkSession, UTC,
-  * nanos-tolerant parquet reads (events.parquet is TIMESTAMP(NANOS)).
+/** Shared session base for all suites: one local SparkSession, UTC.
+  * The nanosAsLong conf is a no-op on Spark 4.x (events.parquet ships
+  * TIMESTAMP(MICROS) now) but restores legacy long-nanos reads if the
+  * testdata ever reverts; EventTs handles either dtype.
   */
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session

@@ -2606,6 +2606,30 @@ object SparkEntry {
           (sum(coalesce(col("hit"), lit(0))) >= count(lit(1)) * 0.95)
             .as("recall_ok"))
     }),
+    "q_dedup_incremental" -> ((s, dir) => {
+      // PERSISTED-INDEX dedup for continuous ingestion: the corpus
+      // (doc_id < 300) is LSH-indexed ONCE; a new batch (doc_id 300-499
+      // plus exact copies of five corpus docs at +1e6) is admitted by
+      // probing the index and one in-batch pass — the corpus is never
+      // rescanned, and the corpus-sized tables are only scanned, never
+      // shuffled (DedupIndexSpec pins the broadcast-probe plan). Gated
+      // against the exact-Jaccard replay of the same greedy rule (the
+      // q_dedup_minhash device: estimate-set vs exact-set agreement at
+      // J>=0.8; q_dedup_minhash_recall pins the recall contract).
+      import graft.pipeline.DedupIndex
+      val path = new java.io.File(scratchRoot,
+        s"graft_dedup_idx_${new java.io.File(dir).getName}")
+        .getAbsolutePath
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.filter(col("doc_id") < 300)
+      val batch = docs.filter(col("doc_id") >= 300 && col("doc_id") < 500)
+        .unionByName(docs.filter(col("doc_id") < 5)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      DedupIndex.build(corpus, "doc_id", col("text"), path,
+        threshold = 0.8)
+      DedupIndex.dedupAgainst(s, path, batch, "doc_id", col("text"))
+        .select("doc_id").orderBy("doc_id")
+    }),
     "q_dedup_clustered" -> ((s, dir) => {
       // transitive duplicate components over the LSH pair graph; planted
       // copies (two per source row) guarantee non-trivial chains
@@ -5318,6 +5342,39 @@ object SparkEntry {
                  JOIN sizes sb ON co.ib = sb.doc_id
          WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8
          ORDER BY id_a, id_b""",
+    // the incremental admit rule replayed exactly: a batch doc is
+    // dominated by ANY J>=0.8 partner with a smaller id (corpus ids are
+    // all smaller than batch ids, so corpus domination and the greedy
+    // in-batch smaller-id rule collapse to one predicate on pair (ia<ib))
+    "q_dedup_incremental" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents WHERE doc_id < 300),
+         batch AS (
+           SELECT doc_id, text FROM documents
+           WHERE doc_id >= 300 AND doc_id < 500
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 5),
+         alld AS (SELECT * FROM corpus UNION ALL SELECT * FROM batch),
+         toks AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+           FROM alld),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingles
+           FROM toks WHERE len(tk) >= 3),
+         sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+         inv AS (SELECT doc_id, unnest(shingles) AS h FROM sh),
+         co AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+                FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         dominated AS (
+           SELECT DISTINCT ib AS doc_id
+           FROM co JOIN sizes sa ON co.ia = sa.doc_id
+                   JOIN sizes sb ON co.ib = sb.doc_id
+           WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8)
+         SELECT doc_id FROM batch
+         WHERE doc_id NOT IN (SELECT doc_id FROM dominated)
+         ORDER BY doc_id""",
     "q_fuzzy_join" ->
       """WITH toks AS (
            SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk

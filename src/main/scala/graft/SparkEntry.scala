@@ -2630,6 +2630,60 @@ object SparkEntry {
       DedupIndex.dedupAgainst(s, path, batch, "doc_id", col("text"))
         .select("doc_id").orderBy("doc_id")
     }),
+    "q_stream_dedup_index" -> ((s, dir) => {
+      // STREAMING admission against the persisted LSH index: authored
+      // micro-batches (mtime-ordered, one file per trigger) flow through
+      // streamingAdmit — batch 1's survivor is appended to the index, so
+      // batch 2's copy of it is caught (the cross-batch catch plain
+      // streaming dropDuplicates state cannot express at corpus scale:
+      // the state lives in the INDEX, not the state store). Exact copies
+      // only, so the expectation is authored: 102 and 202 admitted; 101
+      // (copy of indexed 1), 201 (copy of admitted 102), and 203
+      // (in-batch dup of 202) dropped.
+      import graft.pipeline.DedupIndex
+      import java.nio.file.{Files, Paths}
+      val sfx = new java.io.File(dir).getName
+      val base = Paths.get(scratchRoot, s"graft_sdi_$sfx")
+      def rmTree(p: java.nio.file.Path): Unit =
+        if (Files.exists(p)) {
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.delete(f))
+        }
+      rmTree(base)
+      val inDir = base.resolve("in"); Files.createDirectories(inDir)
+      val idxPath = base.resolve("idx").toString
+      val outDir = base.resolve("out").toString
+      def text(tag: String): String =
+        (0 until 12).map(j => s"${tag}_w$j").mkString(" ")
+      import s.implicits._
+      DedupIndex.build(
+        Seq((1L, text("t1")), (2L, text("t2"))).toDF("doc_id", "text"),
+        "doc_id", col("text"), idxPath, threshold = 0.8)
+      def row(id: Long, t: String) = s"""{"doc_id": $id, "text": "$t"}"""
+      val batches = Seq(
+        "b1.json" -> Seq(row(101, text("t1")), row(102, text("t3"))),
+        "b2.json" -> Seq(row(201, text("t3")), row(202, text("t4")),
+          row(203, text("t4"))))
+      batches.zipWithIndex.foreach { case ((name, rows), i) =>
+        val f = inDir.resolve(name)
+        Files.writeString(f, rows.mkString("\n"))
+        f.toFile.setLastModified(1700000000000L + i * 60000L)
+      }
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id LONG, text STRING")
+      withShufflePartitions(s, 4) {
+        val q = DedupIndex.streamingAdmit(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .json(inDir.toString),
+          idxPath, "doc_id", "text") { surv =>
+            surv.write.mode("append").parquet(outDir)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.read.parquet(outDir).select("doc_id").orderBy("doc_id")
+    }),
     "q_dedup_clustered" -> ((s, dir) => {
       // transitive duplicate components over the LSH pair graph; planted
       // copies (two per source row) guarantee non-trivial chains
@@ -5342,6 +5396,12 @@ object SparkEntry {
                  JOIN sizes sb ON co.ib = sb.doc_id
          WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8
          ORDER BY id_a, id_b""",
+    // streaming admission: authored expectation (exact copies only) —
+    // 102 and 202 survive, the three copies drop
+    "q_stream_dedup_index" ->
+      """SELECT * FROM (VALUES (CAST(102 AS BIGINT)), (CAST(202 AS BIGINT)))
+           AS t(doc_id)
+         ORDER BY doc_id""",
     // the incremental admit rule replayed exactly: a batch doc is
     // dominated by ANY J>=0.8 partner with a smaller id (corpus ids are
     // all smaller than batch ids, so corpus domination and the greedy

@@ -154,4 +154,38 @@ object DedupIndex {
     b.write.mode("append").parquet(s"$path/bands")
     s.write.mode("append").parquet(s"$path/sigs")
   }
+
+  /** STREAMING admission: every micro-batch is deduped against the
+    * index (and itself), survivors are handed to `sink`, then appended
+    * to the index — so batch N+1's probe sees everything batch N
+    * admitted. The index IS the stream's state, which is what makes a
+    * restart safe: a replayed batch re-probes against the grown index
+    * and its already-admitted rows drop as self-duplicates.
+    *
+    * Ordering contract: survivors are MATERIALIZED (localCheckpoint)
+    * before anything else — the probe plan reads the index, so an
+    * append before evaluation would make every survivor a duplicate of
+    * itself — then `sink` runs BEFORE `append`. With an idempotent sink
+    * (e.g. [[graft.sources.Merge.upsert]] with a txn stamp keyed on the
+    * batch id) the pair is exactly-once under crash-replay: a crash
+    * after sink, before append, replays into a txn no-op sink and a
+    * fresh append; a crash after append replays into an empty survivor
+    * set and touches nothing. A non-idempotent sink degrades to
+    * at-least-once.
+    */
+  def streamingAdmit(stream: DataFrame, indexPath: String, idCol: String,
+      textCol: String)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] = {
+    require(stream.isStreaming, "streamingAdmit needs a streaming frame")
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val survivors = dedupAgainst(batch.sparkSession, indexPath,
+          batch, idCol, col(textCol)).localCheckpoint(true)
+        sink(survivors)
+        append(batch.sparkSession, indexPath, survivors, idCol,
+          col(textCol))
+        ()
+    }
+  }
 }

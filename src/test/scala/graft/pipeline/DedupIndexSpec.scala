@@ -66,6 +66,81 @@ class DedupIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("_meta.json"))
   }
 
+  test("PROPERTY: incremental admit == one-shot dedup over the union " +
+      "(random corpora with planted cross/in-batch duplicates)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // random docs from a small word pool so natural near-dups occur,
+    // plus planted exact copies across the corpus/batch boundary
+    val word = Gen.oneOf((0 until 30).map(i => s"tok$i"))
+    val docGen = Gen.listOfN(10, word).map(_.mkString(" "))
+    (1 to 4).foreach { seed =>
+      def docs(n: Int, seedOff: Int): Seq[String] =
+        (0 until n).map(i => docGen(Gen.Parameters.default,
+          Seed((seed * 1000 + seedOff * 100 + i).toLong)).get)
+      val corpusDocs = docs(25, 0)
+      val batchDocs = docs(15, 1) ++
+        Seq(corpusDocs(3), corpusDocs(7)) ++ // cross-boundary copies
+        Seq(docs(1, 2).head, docs(1, 2).head) // in-batch copy pair
+      val corpus = corpusDocs.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val batch = batchDocs.zipWithIndex
+        .map { case (t, i) => (1000L + i, t) }.toDF("doc_id", "text")
+      val path = freshDir()
+      DedupIndex.build(corpus, "doc_id", col("text"), path,
+        threshold = 0.8)
+      val incremental = DedupIndex.dedupAgainst(spark, path, batch,
+        "doc_id", col("text")).select("doc_id").as[Long].collect().toSet
+      // one-shot truth: greedy smaller-id dedup over corpus ∪ batch,
+      // restricted to batch ids (corpus ids are all smaller, so corpus
+      // domination and the in-batch rule collapse to the same predicate)
+      val oneShot = Dedup.minhashDedup(corpus.unionByName(batch),
+          "doc_id", col("text"), threshold = 0.8)
+        .filter($"doc_id" >= 1000L)
+        .select("doc_id").as[Long].collect().toSet
+      assert(incremental == oneShot,
+        s"seed $seed: incremental $incremental != one-shot $oneShot")
+    }
+  }
+
+  test("streamingAdmit replay: re-processing admitted rows is a no-op " +
+      "(the index is the state; no checkpoint needed for idempotence)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory("graft_sdi_spec")
+    val inDir = base.resolve("in"); Files.createDirectories(inDir)
+    val idx = base.resolve("idx").toString
+    DedupIndex.build(corpus, "doc_id", col("text"), idx)
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def runAll(): Unit = {
+      val q = DedupIndex.streamingAdmit(
+        spark.readStream
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id LONG, text STRING"))
+          .option("maxFilesPerTrigger", 1).json(inDir.toString),
+        idx, "doc_id", "text") { surv =>
+          admitted ++= surv.select("doc_id").as[Long].collect()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def write(name: String, rows: Seq[(Long, String)], i: Int): Unit = {
+      val f = inDir.resolve(name)
+      Files.writeString(f, rows.map { case (id, t) =>
+        s"""{"doc_id": $id, "text": "$t"}""" }.mkString("\n"))
+      f.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    write("b1.json", Seq(doc(600L)), 0)
+    runAll()
+    assert(admitted.toSeq == Seq(600L))
+    // NO checkpoint: the second run replays b1 (600 is now in the index
+    // -> self-duplicate, dropped) plus the new file
+    write("b2.json", Seq((601L, doc(600L)._2), doc(602L)), 1)
+    admitted.clear()
+    runAll()
+    assert(admitted.toSeq.sorted == Seq(602L),
+      s"replayed 600 must drop as its own duplicate, got $admitted")
+  }
+
   test("probe plan: corpus tables broadcast-joined, never sort-merged") {
     val path = freshDir()
     DedupIndex.build(corpus, "doc_id", col("text"), path)

@@ -2791,6 +2791,30 @@ object SparkEntry {
         "embedding", dim = 64, threshold = 0.99, planes = 6)
         .select("id_a", "id_b").orderBy("id_a", "id_b")
     }),
+    "q_dedup_embed_incremental" -> ((s, dir) => {
+      // EMBEDDING-SIDE incremental admission: the vector corpus
+      // (vec_id < 400) is IVF-indexed once; a new batch (400-499 plus
+      // exact copies of ten corpus vectors at +1e6) probes the
+      // cell-pruned index — never rescanning the corpus. Deterministic
+      // at threshold 0.99: an exact copy lands in its source's cell
+      // (recall 1 at any nProbe) with cosine ~1, and the synthetic
+      // embeddings are near-orthogonal (max natural pair ~0.46), so
+      // EXACTLY the planted copies drop. Authored oracle; same
+      // expectation device as q_dedup_embed.
+      val path = new java.io.File(scratchRoot,
+        s"graft_embed_idx_${new java.io.File(dir).getName}")
+        .getAbsolutePath
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") < 400)
+      val batch = emb.filter(col("vec_id") >= 400 && col("vec_id") < 500)
+        .unionByName(emb.filter(col("vec_id") < 10)
+          .withColumn("vec_id", col("vec_id") + lit(1000000L)))
+      Similarity.IvfIndex.build(corpus, "vec_id", "embedding",
+        cells = 4, path)
+      Similarity.IvfIndex.dedupAgainst(s, path, batch, "vec_id",
+        "embedding", dim = 64, threshold = 0.99, nProbe = 2)
+        .select("vec_id").orderBy("vec_id")
+    }),
     // ---- similarity search (north-star §7 M6) --------------------------
     "q_sim_search" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -5396,6 +5420,12 @@ object SparkEntry {
                  JOIN sizes sb ON co.ib = sb.doc_id
          WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8
          ORDER BY id_a, id_b""",
+    // embedding admission: only the ten planted copies drop (max natural
+    // cosine ~0.46 << 0.99), so the survivors are the plain batch
+    "q_dedup_embed_incremental" ->
+      """SELECT vec_id FROM embeddings
+         WHERE vec_id >= 400 AND vec_id < 500
+         ORDER BY vec_id""",
     // streaming admission: authored expectation (exact copies only) —
     // 102 and 202 survive, the three copies drop
     "q_stream_dedup_index" ->

@@ -276,6 +276,49 @@ object Similarity {
         .orderBy(col("cosine").desc, col("neighbor_id").asc)
       scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
     }
+
+    /** Append vectors under the FROZEN centroids (cells assigned by the
+      * persisted model, no retrain — the [[IvfPq.append]] posture):
+      * new cell-partitioned files land beside the existing ones, and
+      * [[topK]] probes see them with zero reader changes. Centroid
+      * drift under sustained appends is repaired by a periodic rebuild.
+      */
+    def append(spark: org.apache.spark.sql.SparkSession, path: String,
+        newRows: DataFrame, idCol: String, vecCol: String): Unit =
+      withCell(newRows, vecCol, loadCentroids(spark, path))
+        .write.mode("append").partitionBy("cell").parquet(s"$path/corpus")
+
+    /** Batch ids with an INDEXED near-duplicate: best probed cosine >=
+      * `threshold`. An exact copy assigns to the same cell as its source
+      * (identical vector, deterministic centroid tie-break), so copies
+      * are caught at any nProbe >= 1; probing only ever REMOVES
+      * candidates, so no sub-threshold pair can be admitted wrongly.
+      */
+    def dominatedBy(spark: org.apache.spark.sql.SparkSession,
+        path: String, newDf: DataFrame, idCol: String, vecCol: String,
+        threshold: Double, nProbe: Int): DataFrame =
+      topK(spark, path, newDf, idCol, idCol, vecCol, k = 1, nProbe)
+        .filter(col("cosine") >= threshold)
+        .select(col("query_id").as(idCol), col("cosine"))
+
+    /** EMBEDDING-SIDE incremental dedup (the [[graft.pipeline.DedupIndex]]
+      * admission flow over vectors): drop batch rows dominated by the
+      * index or by a smaller-id in-batch near-duplicate, return the
+      * survivors. Pair with [[append]] to admit them — the corpus is
+      * probed (cell-pruned scan), never rescanned or shuffled.
+      */
+    def dedupAgainst(spark: org.apache.spark.sql.SparkSession,
+        path: String, newDf: DataFrame, idCol: String, vecCol: String,
+        dim: Int, threshold: Double, nProbe: Int,
+        planes: Int = 6): DataFrame = {
+      val inBatch = graft.pipeline.Dedup.embeddingNearDupPairs(
+        newDf, idCol, vecCol, dim, threshold, planes)
+        .select(col("id_b").as(idCol)).distinct()
+      val vsCorpus = dominatedBy(spark, path, newDf, idCol, vecCol,
+        threshold, nProbe).select(col(idCol))
+      newDf.join(inBatch.unionByName(vsCorpus).distinct(),
+        Seq(idCol), "left_anti")
+    }
   }
 
   /** Int8-quantized similarity — the storage/shuffle lever at 100 TB:

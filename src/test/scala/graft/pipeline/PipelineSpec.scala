@@ -399,6 +399,29 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("cell"))
   }
 
+  test("IvfIndex admission: indexed copies drop, fresh vectors admit, " +
+      "append grows the catchable set") {
+    val path = java.nio.file.Files.createTempDirectory("ivf_adm").toString
+    Similarity.IvfIndex.build(corpus, "vec_id", "embedding", cells = 2,
+      path, sampleN = 100, iters = 5)
+    // copy of indexed 3L, one genuinely fresh direction
+    val fresh = vec(0.577, 0.577, 0.577)
+    val batch = Seq((100L, vec(0, 1, 0)), (101L, fresh))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.IvfIndex.dedupAgainst(spark, path, batch,
+      "vec_id", "embedding", dim = 3, threshold = 0.99, nProbe = 2)
+    val ids = out.select("vec_id").as[Long].collect().toSet
+    assert(ids == Set(101L), s"copy of vec 3 must drop, got $ids")
+    Similarity.IvfIndex.append(spark, path, out, "vec_id", "embedding")
+    // a copy of the APPENDED vector is now caught too
+    val batch2 = Seq((200L, fresh), (201L, vec(0.5, -0.5, 0.2)))
+      .toDF("vec_id", "embedding")
+    val ids2 = Similarity.IvfIndex.dedupAgainst(spark, path, batch2,
+      "vec_id", "embedding", dim = 3, threshold = 0.99, nProbe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ids2 == Set(201L), s"copy of appended vec must drop, got $ids2")
+  }
+
   test("Int8 quantized top-k approximates exact ranking, exact on copies") {
     val exact = Similarity.bruteForceTopK(corpus,
       corpus.filter(col("vec_id") === 1L), "vec_id", "vec_id", "embedding", 1)

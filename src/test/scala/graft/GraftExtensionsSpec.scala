@@ -31,7 +31,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     // don't leave this session as the process default: other suites'
-    // getOrCreate must build their own (nanos-tolerant, extension-less) one
+    // getOrCreate must build their own (UTC, extension-less) SparkSpec
+    // session — leaking this one would silently change their tz and
+    // extension surface (suite-ordering footgun, round-7 verdict #3)
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     s

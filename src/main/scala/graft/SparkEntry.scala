@@ -2684,6 +2684,78 @@ object SparkEntry {
       }
       s.read.parquet(outDir).select("doc_id").orderBy("doc_id")
     }),
+    "q_stream_admit_upsert" -> ((s, dir) => {
+      // THE CONTINUOUS-INGESTION CAPSTONE: authored micro-batches flow
+      // through the persisted dedup index into a txn-stamped lakehouse
+      // table — three round-8 pieces composed end-to-end. After the
+      // first drain the CHECKPOINT IS WIPED and every batch replayed:
+      // replayed rows drop as self-duplicates in the index AND the
+      // replayed (app, batch) stamps no-op in the sink, so the version
+      // history must not move (required in-gate) — the exactly-once
+      // contract documented on streamingAdmitBatches, proven under the
+      // worst recovery path. Final table: corpus + the two genuinely
+      // fresh docs; authored VALUES oracle.
+      import graft.pipeline.DedupIndex
+      import graft.sources.Merge
+      import java.nio.file.{Files, Paths}
+      import org.apache.spark.sql.streaming.Trigger
+      val sfx = new java.io.File(dir).getName
+      val base = Paths.get(scratchRoot, s"graft_sau_$sfx")
+      def rmTree(p: java.nio.file.Path): Unit =
+        if (Files.exists(p)) {
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.delete(f))
+        }
+      rmTree(base)
+      val inDir = base.resolve("in"); Files.createDirectories(inDir)
+      val idxPath = base.resolve("idx").toString
+      val tbl = base.resolve("tbl").toString
+      val ckpt = base.resolve("ckpt")
+      def text(tag: String): String =
+        (0 until 12).map(j => s"${tag}_w$j").mkString(" ")
+      import s.implicits._
+      val corpus = Seq((1L, text("t1")), (2L, text("t2")))
+        .toDF("doc_id", "text")
+      DedupIndex.build(corpus, "doc_id", col("text"), idxPath,
+        threshold = 0.8)
+      Merge.writeKeyed(corpus, tbl, "doc_id", nBuckets = 4)
+      def row(id: Long, t: String) = s"""{"doc_id": $id, "text": "$t"}"""
+      val batches = Seq(
+        "b1.json" -> Seq(row(101, text("t1")), row(102, text("t3"))),
+        "b2.json" -> Seq(row(201, text("t3")), row(202, text("t4"))))
+      batches.zipWithIndex.foreach { case ((name, rows), i) =>
+        val f = inDir.resolve(name)
+        Files.writeString(f, rows.mkString("\n"))
+        f.toFile.setLastModified(1700000000000L + i * 60000L)
+      }
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id LONG, text STRING")
+      def drain(): Unit = withShufflePartitions(s, 4) {
+        val q = DedupIndex.streamingAdmitBatches(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .json(inDir.toString),
+          idxPath, "doc_id", "text") { (surv, bid) =>
+            // unconditional: on replay BOTH defenses engage — empty
+            // survivors (index self-dups) and the txn stamp no-op —
+            // and the gate's require holds if either does its job
+            Merge.upsert(s, tbl, surv, "doc_id", nBuckets = 4,
+              txn = Some(("graft-admit", bid)))
+            ()
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain()
+      val vAfterFirst = Merge.currentVersion(s, tbl)
+      rmTree(ckpt) // the worst recovery path: all progress forgotten
+      drain()      // full replay
+      require(Merge.currentVersion(s, tbl) == vAfterFirst,
+        s"replay must not commit: v$vAfterFirst -> " +
+        s"v${Merge.currentVersion(s, tbl)}")
+      Merge.readKeyed(s, tbl).select("doc_id").orderBy("doc_id")
+    }),
     "q_dedup_clustered" -> ((s, dir) => {
       // transitive duplicate components over the LSH pair graph; planted
       // copies (two per source row) guarantee non-trivial chains
@@ -5426,6 +5498,12 @@ object SparkEntry {
       """SELECT vec_id FROM embeddings
          WHERE vec_id >= 400 AND vec_id < 500
          ORDER BY vec_id""",
+    // admitted corpus after dedup + exactly-once replay: the two corpus
+    // docs plus the two genuinely fresh admissions
+    "q_stream_admit_upsert" ->
+      """SELECT * FROM (VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT)),
+           (CAST(102 AS BIGINT)), (CAST(202 AS BIGINT))) AS t(doc_id)
+         ORDER BY doc_id""",
     // streaming admission: authored expectation (exact copies only) —
     // 102 and 202 survive, the three copies drop
     "q_stream_dedup_index" ->

@@ -176,13 +176,27 @@ object DedupIndex {
   def streamingAdmit(stream: DataFrame, indexPath: String, idCol: String,
       textCol: String)(sink: DataFrame => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] =
+    streamingAdmitBatches(stream, indexPath, idCol, textCol)(
+      (surv, _) => sink(surv))
+
+  /** [[streamingAdmit]] variant handing the sink the micro-batch id —
+    * the hook an exactly-once sink needs for its txn stamp (e.g.
+    * `Merge.upsert(..., txn = Some((appId, batchId)))`): after a
+    * checkpoint loss the replayed batch's survivors are empty (self
+    * duplicates) AND the stamp no-ops, so the sink table's history is
+    * untouched on every replay path.
+    */
+  def streamingAdmitBatches(stream: DataFrame, indexPath: String,
+      idCol: String, textCol: String)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
           org.apache.spark.sql.Row] = {
     require(stream.isStreaming, "streamingAdmit needs a streaming frame")
     stream.writeStream.foreachBatch {
-      (batch: DataFrame, _: Long) =>
+      (batch: DataFrame, batchId: Long) =>
         val survivors = dedupAgainst(batch.sparkSession, indexPath,
           batch, idCol, col(textCol)).localCheckpoint(true)
-        sink(survivors)
+        sink(survivors, batchId)
         append(batch.sparkSession, indexPath, survivors, idCol,
           col(textCol))
         ()

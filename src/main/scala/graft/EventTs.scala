@@ -85,11 +85,11 @@ object EventTs {
       spark.read.parquet(s"$sfDir/events.parquet")
         .schema("ts").dataType.simpleString
     } catch { case e: Throwable => s"UNREADABLE(${e.getClass.getSimpleName})" }
-    val ext = try {
-      spark.sessionState.sqlParser.parseExpression(
-        "graft_multi_contains(x, array('a'))")
-      "registered"
-    } catch { case _: Throwable => "MISSING" }
+    // catalog lookup, NOT parseExpression: parsing builds an unresolved
+    // function without consulting the registry, so it cannot fail
+    val ext =
+      if (spark.catalog.functionExists("multi_contains")) "registered"
+      else "MISSING"
     s"[graft-preflight] spark=${spark.version} events.ts=$ts " +
       s"extensions=$ext tz=${spark.conf.get("spark.sql.session.timeZone")}"
   }

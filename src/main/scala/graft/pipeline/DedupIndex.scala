@@ -107,12 +107,19 @@ object DedupIndex {
     val (nb, ns) = bandRows(newDf, idCol, text, m)
     val indexBands = spark.read.parquet(s"$path/bands")
     val indexSigs = spark.read.parquet(s"$path/sigs")
-    // candidate (corpus id, new id) pairs: any shared band key
-    val cand = indexBands
+    // candidate (corpus id, new id) pairs: any shared band key;
+    // tombstoned corpus ids ([[remove]]) no longer suppress anything
+    val cand0 = indexBands
       .join(broadcast(nb.select(col("band"), col("key"),
         col("id").as("new_id"))), Seq("band", "key"))
       .select(col("id").as("corpus_id"), col("new_id"))
       .distinct()
+    val cand = tombstones(spark, path) match {
+      case Some(d) => cand0.join(
+        broadcast(d.withColumnRenamed("id", "__del_id")),
+        cand0("corpus_id") === col("__del_id"), "left_anti")
+      case None => cand0
+    }
     // verify on true signatures; both small sides broadcast
     cand.join(indexSigs, cand("corpus_id") === indexSigs("id"))
       .select(col("corpus_id"), col("new_id"),
@@ -153,6 +160,59 @@ object DedupIndex {
     val (b, s) = bandRows(survivors, idCol, text, m)
     b.write.mode("append").parquet(s"$path/bands")
     s.write.mode("append").parquet(s"$path/sigs")
+  }
+
+  /** Tombstone corpus ids OUT of the index (the compliance-delete path:
+    * a document removed from the corpus must stop suppressing its
+    * near-duplicates): one small append to `deletes/`, no index file
+    * rewritten. Probes anti-join the tombstones out of the candidate
+    * set, so a copy of a removed document is admissible again
+    * immediately; [[compact]] later drops the rows physically. Mirrors
+    * [[Similarity.IvfPq.remove]].
+    */
+  def remove(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: String): Unit = {
+    readMeta(spark, path) // fail fast on a non-index path
+    ids.select(col(idCol).cast("long").as("id")).distinct()
+      .write.mode("append").parquet(s"$path/deletes")
+  }
+
+  private def tombstones(spark: SparkSession,
+      path: String): Option[DataFrame] = {
+    val p = new Path(s"$path/deletes")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString).distinct())
+    else None
+  }
+
+  /** Maintenance rewrite: fold accumulated per-batch append files (and
+    * drop tombstoned rows) into `targetFiles` coarse files per table,
+    * then clear `deletes/`. Probe results are identical before and
+    * after. Single-maintainer contract: the swap (write-new, delete-old,
+    * rename) is not atomic for a concurrent reader — run it like
+    * vacuum, not beside live probes.
+    */
+  def compact(spark: SparkSession, path: String,
+      targetFiles: Int = 16): Unit = {
+    readMeta(spark, path)
+    val del = tombstones(spark, path)
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    Seq("bands", "sigs").foreach { sub =>
+      val cur = spark.read.parquet(s"$path/$sub")
+      val kept = del match {
+        case Some(d) => cur.join(
+          broadcast(d.withColumnRenamed("id", "__del_id")),
+          cur("id") === col("__del_id"), "left_anti")
+        case None => cur
+      }
+      val tmp = s"$path/${sub}_compacting"
+      kept.repartition(targetFiles).write.mode("overwrite").parquet(tmp)
+      fs.delete(new Path(s"$path/$sub"), true)
+      fs.rename(new Path(tmp), new Path(s"$path/$sub"))
+    }
+    fs.delete(new Path(s"$path/deletes"), true)
+    ()
   }
 
   /** STREAMING admission: every micro-batch is deduped against the

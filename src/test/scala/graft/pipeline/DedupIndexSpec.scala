@@ -141,6 +141,35 @@ class DedupIndexSpec extends SparkSpec {
       s"replayed 600 must drop as its own duplicate, got $admitted")
   }
 
+  test("remove: a tombstoned doc stops suppressing its copies; " +
+      "compact drops it physically and preserves probe results") {
+    val path = freshDir()
+    DedupIndex.build(corpus, "doc_id", col("text"), path)
+    val copyOf5 = Seq((700L, corpus.filter($"doc_id" === 5L)
+      .select("text").as[String].head())).toDF("doc_id", "text")
+    // suppressed while 5 is in the corpus
+    assert(DedupIndex.dedupAgainst(spark, path, copyOf5, "doc_id",
+      col("text")).count() == 0)
+    DedupIndex.remove(spark, path, Seq(5L).toDF("doc_id"), "doc_id")
+    // admissible the moment the tombstone lands
+    assert(DedupIndex.dedupAgainst(spark, path, copyOf5, "doc_id",
+      col("text")).count() == 1)
+    // other docs still suppress
+    val copyOf6 = Seq((701L, corpus.filter($"doc_id" === 6L)
+      .select("text").as[String].head())).toDF("doc_id", "text")
+    assert(DedupIndex.dedupAgainst(spark, path, copyOf6, "doc_id",
+      col("text")).count() == 0)
+    // compact: physical drop, identical probe behavior, deletes cleared
+    DedupIndex.compact(spark, path, targetFiles = 2)
+    assert(!new java.io.File(path, "deletes").exists())
+    assert(DedupIndex.dedupAgainst(spark, path, copyOf5, "doc_id",
+      col("text")).count() == 1)
+    assert(DedupIndex.dedupAgainst(spark, path, copyOf6, "doc_id",
+      col("text")).count() == 0)
+    assert(spark.read.parquet(s"$path/sigs")
+      .filter($"id" === 5L).count() == 0, "compact must drop the rows")
+  }
+
   test("probe plan: corpus tables broadcast-joined, never sort-merged") {
     val path = freshDir()
     DedupIndex.build(corpus, "doc_id", col("text"), path)

@@ -1390,6 +1390,36 @@ object SparkEntry {
       Merge.changesBetween(s, path, 0L, 1L)
         .orderBy("p_partkey", "op")
     }),
+    "q_merge_restore" -> ((s, dir) => {
+      // RESTORE (Delta's recovery verb): an errant whole-brand delete is
+      // rolled back by committing v1's exact image as v3 — the manifest
+      // references v1's files directly, so NO data moves at any table
+      // size, and both the mistake (v2) and the recovery stay in
+      // history (required in-gate). Read-back ≡ the oracle's replay of
+      // only the legitimate price bump.
+      import graft.sources.Merge
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      val path = new java.io.File(scratchRoot,
+        s"graft_merge_rs_${new java.io.File(dir).getName}").getAbsolutePath
+      val part = t(s, dir, "part")
+        .select("p_partkey", "p_brand", "p_retailprice")
+      Merge.writeKeyed(part, path, "p_partkey", nBuckets = 16)
+      Merge.upsert(s, path, part.filter(col("p_partkey") % 10 === 1)
+        .withColumn("p_retailprice",
+          round(dec("p_retailprice") * lit(1.1).cast("decimal(2,1)"), 2)
+            .cast("double")),
+        "p_partkey", nBuckets = 16)
+      Merge.deleteWhere(s, path, col("p_brand") === "Brand#13")
+      val rv = Merge.restore(s, path, 1L)
+      require(rv == 3L && Merge.currentVersion(s, path) == 3L,
+        s"restore must commit v3, got v$rv")
+      val ops = Merge.history(s, path).orderBy("version")
+        .select("op").as(org.apache.spark.sql.Encoders.STRING)
+        .collect().toSeq
+      require(ops == Seq("write", "upsert", "delete", "restore"),
+        s"history must keep the mistake and the recovery: $ops")
+      Merge.readKeyed(s, path).orderBy("p_partkey")
+    }),
     "q_merge_sharded" -> ((s, dir) => {
       // SHARDED MANIFESTS end-to-end (the Iceberg manifest-list move):
       // a 32-bucket table with 2-bucket manifest shards (16 shard
@@ -4406,6 +4436,16 @@ object SparkEntry {
          SELECT p_partkey, p_brand, p_retailprice,
                 CAST(1 AS INT) FROM ins
          ORDER BY p_partkey, op""",
+    // restore rolls the delete back: the final image is v1's — the
+    // price bump applied, every brand present
+    "q_merge_restore" ->
+      """SELECT p_partkey, p_brand,
+                CASE WHEN p_partkey % 10 = 1 THEN
+                  CAST(round(CAST(p_retailprice AS DECIMAL(18,2))
+                             * CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE)
+                ELSE p_retailprice END AS p_retailprice
+         FROM part
+         ORDER BY p_partkey""",
     // sharded-manifest merge ≡ the plain declarative merge (the log
     // structure must be invisible to the data)
     "q_merge_sharded" ->

@@ -763,6 +763,50 @@ object Merge {
     graft.ops.TableDiff.changeDeltas(side(o), side(n), Seq(keyCol), opCol)
   }
 
+  /** RESTORE: roll the table back to `version`'s exact image as a NEW
+    * commit (Delta's RESTORE verb) — the new manifest references the
+    * historical version's files directly, so no data moves at ANY table
+    * size, and both the mistake and the recovery stay in history (a
+    * later vacuum reclaims whatever the restored chain no longer
+    * references). The restored version must still be retained
+    * (readManifest raises the retention error otherwise). Same
+    * create-if-absent commit point as every other commit; on a lost
+    * race the restore re-reads the log and re-targets the SAME
+    * historical image over the new parent. On a sharded-manifest table
+    * the shard bodies are content-addressed, so the restore commit
+    * reuses the historical version's shard files byte-for-byte without
+    * writing anything.
+    *
+    * Returns the new (restore) version number.
+    */
+  def restore(spark: SparkSession, path: String, version: Long,
+      maxRetries: Int = 5): Long = {
+    val (fs, root) = fsFor(spark, path)
+    val target = readManifest(spark, root, version)
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val parentV = currentVersion(spark, path)
+      require(parentV >= 0, s"$path has no version log")
+      if (parentV == version) return parentV // already there: no-op
+      val parent = readManifest(spark, root, parentV)
+      try {
+        writeManifest(fs, root,
+          Manifest(parentV + 1, parentV, target.files, target.dataSchema,
+            layout = target.layout.orElse(parent.layout),
+            statsCols = target.statsCols, stats = target.stats,
+            ts = nextTs(parent), op = Some("restore"),
+            rowsUpserted = 0L, rowsDeleted = 0L,
+            shardSpan = parent.shardSpan),
+          parent = Some(parent), touched = None)
+        return parentV + 1
+      } catch {
+        case _: LostCommitRace => attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"restore lost the commit race $attempt times at $path")
+  }
+
   /** Commit history of the RETAINED versions (DESCRIBE HISTORY): one
     * row per manifest — version, parent, operation, commit timestamp,
     * file count, row deltas (-1 where a pre-metadata manifest didn't

@@ -213,7 +213,7 @@ class MergeSpec extends SparkSpec {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
     val genOp: Gen[(Int, Long, Double)] = for {
-      kind <- Gen.choose(0, 3)
+      kind <- Gen.choose(0, 4)
       key <- Gen.choose(0L, 60L)
       v <- Gen.choose(-100.0, 100.0)
     } yield (kind, key, v)
@@ -250,6 +250,10 @@ class MergeSpec extends SparkSpec {
             model.filterInPlace((_, mv) => !(mv > v))
           case 3 => // compaction: never changes rows
             Merge.compactVersion(spark, path, targetFilesPerBucket = 1)
+          case 4 => // restore: roll back to a random retained snapshot
+            val (tv, snap) = snapshots(key.toInt % snapshots.length)
+            Merge.restore(spark, path, tv)
+            model.clear(); snap.foreach { case (k2, v2) => model(k2) = v2 }
         }
         snapshots += ((Merge.currentVersion(spark, path), model.toMap))
         // stats-pruned read vs model after EVERY op — stale per-file
@@ -274,6 +278,36 @@ class MergeSpec extends SparkSpec {
             s"seed $seed: v$ver diverged")
       }
     }
+  }
+
+  test("restore: rolls back to a historical image as a new zero-copy " +
+      "commit; history keeps both; later writes build on the restored state") {
+    val path = freshDir("restore")
+    val base = (0L until 100L).map(i => (i, i * 1.0)).toDF("id", "v")
+    Merge.writeKeyed(base, path, "id", nBuckets = 4)
+    Merge.upsert(spark, path, Seq((7L, 777.0)).toDF("id", "v"), "id", 4)
+    Merge.deleteWhere(spark, path, $"id" >= 90L)
+    assert(Merge.readKeyed(spark, path).count() == 90)
+    val dataFilesBefore = bucketFiles(path)
+    val rv = Merge.restore(spark, path, 1L)
+    assert(rv == 3L)
+    // zero-copy: no data file created, moved, or deleted by the restore
+    assert(bucketFiles(path) == dataFilesBefore)
+    val restored = Merge.readKeyed(spark, path)
+    assert(restored.count() == 100)
+    assert(restored.filter($"id" === 7L).select("v").as[Double].head()
+      == 777.0)
+    // the mistake (v2) is still readable; history records the restore
+    assert(Merge.readVersion(spark, path, 2L).count() == 90)
+    val ops = Merge.history(spark, path).orderBy("version")
+      .select("op").as[String].collect().toSeq
+    assert(ops == Seq("write", "upsert", "delete", "restore"), ops)
+    // restoring to the current version is a no-op, not a new commit
+    assert(Merge.restore(spark, path, 3L) == 3L)
+    assert(Merge.currentVersion(spark, path) == 3L)
+    // later writes build on the restored image
+    Merge.upsert(spark, path, Seq((200L, 1.0)).toDF("id", "v"), "id", 4)
+    assert(Merge.readKeyed(spark, path).count() == 101)
   }
 
   test("sharded manifests: untouched shards reuse the parent's shard id," +

@@ -4,6 +4,8 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.sources.TxLog
+
 /** PERSISTED MinHash-LSH dedup index — near-duplicate detection for
   * CONTINUOUS INGESTION. The one-shot [[Dedup.minhashDedup]] rescans the
   * whole corpus per batch; at 100 TB that is a full-corpus job to admit
@@ -18,10 +20,32 @@ import org.apache.spark.sql.functions._
   *     existing index files are immutable (the [[Similarity.IvfPq]]
   *     append posture).
   *
+  * Large batches ([[dedupAgainst]]'s `maxProbeBroadcastBytes`): the
+  * broadcast-probe plan assumes batch ≪ corpus. A backfill-sized batch
+  * switches automatically to plain equi-joins on the same keys — the
+  * corpus tables shuffle once, which is the correct plan when the batch
+  * is itself corpus-sized; admissions are identical either way
+  * (DedupIndexSpec pins both plans and their agreement).
+  *
   * Layout under `path`:
-  *   bands/  (band INT, key LONG, id LONG)   — parquet, the probe table
-  *   sigs/   (id LONG, sig ARRAY<LONG>)       — parquet, the verify table
-  *   _meta.json                               — frozen parameters
+  *   bands/   (band INT, key LONG, id LONG)  — parquet, the probe table
+  *   sigs/    (id LONG, sig ARRAY<LONG>)     — parquet, the verify table
+  *   deletes/ (id LONG)                      — parquet, tombstones
+  *   _idx_log/v{N}.json                      — [[TxLog]] version manifests
+  *   _meta.json                              — frozen parameters
+  *
+  * COMMIT PROTOCOL (the [[graft.sources.Merge]] discipline via
+  * [[TxLog]]): which files constitute each table is recorded in an
+  * atomically-committed manifest; data files are immutable and only ever
+  * added. A probe resolves the newest committed manifest ONCE, so every
+  * maintenance operation is SNAPSHOT-ISOLATED from live probes:
+  * [[compact]] commits a manifest referencing only its rewritten files
+  * while probes that resolved earlier keep reading the old ones (still
+  * on disk until [[vacuum]]), and a crash at any point — including
+  * mid-compaction — leaves the last committed state fully readable plus
+  * unreferenced orphans for vacuum. Concurrent [[append]]/[[remove]]/
+  * [[compact]] serialize through the create-if-absent claim with
+  * optimistic retry; no operation can present a torn index.
   *
   * Parameters (shingleN, k, bands, threshold) are FROZEN at [[build]]:
   * a probe or append under different parameters would silently miss
@@ -30,14 +54,27 @@ import org.apache.spark.sql.functions._
   * threshold contract as [[Dedup.minhashCandidates]] — the estimate-set
   * vs exact-set agreement argument of `q_dedup_minhash` carries over.
   *
-  * Single-appender contract (like IvfPq.append): concurrent appends can
-  * both admit one member of a cross-batch duplicate pair. Serialize
-  * appends, or dedup across recent batches downstream.
+  * Admission races: concurrent appends commit safely (the file-list
+  * union is conflict-free), but two batches admitted in parallel can
+  * both keep one member of a cross-batch duplicate pair — admission
+  * order is application-level state the log cannot see. Serialize
+  * admissions (the [[streamingAdmit]] pattern), or dedup across recent
+  * batches downstream.
   */
 object DedupIndex {
 
   final case class Meta(shingleN: Int, k: Int, bands: Int,
       threshold: Double)
+
+  private val Tables = Seq("bands", "sigs", "deletes")
+
+  /** Above this ESTIMATED batch input size (Catalyst plan stats — a
+    * conservative proxy: the broadcast payload is the batch's band keys
+    * and signatures, a fraction of its text bytes), probes switch from
+    * broadcast-probe to shuffle equi-join. 256 MiB of batch text keeps
+    * the derived broadcast comfortably inside executor memory.
+    */
+  val DefaultProbeBroadcastBytes: Long = 256L << 20
 
   private def metaPath(path: String) = new Path(path, "_meta.json")
 
@@ -82,49 +119,119 @@ object DedupIndex {
   }
 
   /** Build the index over `df` (the corpus) at `path`, replacing any
-    * existing index there.
+    * existing index there (old files, tombstones, and log included).
     */
   def build(df: DataFrame, idCol: String, text: Column, path: String,
       shingleN: Int = 3, k: Int = 64, bands: Int = 16,
       threshold: Double = 0.7): Unit = {
     require(k % bands == 0, "bands must divide k")
+    val spark = df.sparkSession
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.delete(root, true) // fresh index, fresh log
     val m = Meta(shingleN, k, bands, threshold)
     val (b, s) = bandRows(df, idCol, text, m)
-    b.write.mode("overwrite").parquet(s"$path/bands")
-    s.write.mode("overwrite").parquet(s"$path/sigs")
-    writeMeta(df.sparkSession, path, m)
+    val bandFiles = TxLog.stageInto(b, path, "bands")
+    val sigFiles = TxLog.stageInto(s, path, "sigs")
+    TxLog.commit(spark, path, TxLog.State(0L, -1L,
+      Map("bands" -> bandFiles, "sigs" -> sigFiles)))
+    writeMeta(spark, path, m)
   }
+
+  /** The index's newest committed state. Pre-protocol layouts (a
+    * directory tree without `_idx_log/`, built by an older version of
+    * this object) resolve to None and fall back to raw directory reads —
+    * correct for reads, but maintenance ops commit a log, so the first
+    * [[append]]/[[remove]]/[[compact]] on a legacy index migrates it.
+    */
+  private def state(spark: SparkSession, path: String): Option[TxLog.State] =
+    TxLog.currentState(spark, path)
+
+  /** One sub-table at a resolved state (legacy fallback: raw dir). */
+  private def table(spark: SparkSession, path: String,
+      st: Option[TxLog.State], name: String): Option[DataFrame] =
+    st match {
+      case Some(s) => TxLog.readTable(spark, path, s, name)
+      case None =>
+        val p = new Path(path, name)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    }
+
+  /** A legacy (pre-log) index's table files, for the migration commit. */
+  private def legacyFiles(spark: SparkSession, path: String,
+      name: String): Seq[String] = {
+    val p = new Path(path, name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(f => s"$name/${f.getPath.getName}").toSeq.sorted
+  }
+
+  /** The tables map to commit against: the parent state's lists, or (on
+    * a legacy index) a listing-derived snapshot of the raw dirs.
+    */
+  private def parentTables(spark: SparkSession, path: String,
+      parent: Option[TxLog.State]): Map[String, Seq[String]] =
+    parent.map(_.tables).getOrElse(
+      Tables.map(t => t -> legacyFiles(spark, path, t)).toMap)
 
   /** Batch ids dominated by an INDEXED document (estimated Jaccard >=
     * the index's frozen threshold), with the best estimate per id.
-    * Plan shape: bands scan + broadcast probe, sigs scan + broadcast
-    * candidates — the corpus-sized tables are read once and never
-    * shuffled (pinned in DedupIndexSpec).
+    * Plan shape: for a normal (small) batch, bands scan + broadcast
+    * probe, sigs scan + broadcast candidates — the corpus-sized tables
+    * are read once and never shuffled (pinned in DedupIndexSpec). Above
+    * `maxProbeBroadcastBytes` (estimated batch input bytes) the same
+    * joins run as shuffle equi-joins instead — identical admissions,
+    * the right plan for a corpus-sized backfill batch.
     */
   def dominatedBy(spark: SparkSession, path: String, newDf: DataFrame,
-      idCol: String, text: Column): DataFrame = {
+      idCol: String, text: Column,
+      maxProbeBroadcastBytes: Long = DefaultProbeBroadcastBytes)
+      : DataFrame = {
     val m = readMeta(spark, path)
+    dominatedByAt(spark, path, state(spark, path), m, newDf, idCol, text,
+      maxProbeBroadcastBytes)
+  }
+
+  private def dominatedByAt(spark: SparkSession, path: String,
+      st: Option[TxLog.State], m: Meta, newDf: DataFrame, idCol: String,
+      text: Column, maxProbeBroadcastBytes: Long): DataFrame = {
     val (nb, ns) = bandRows(newDf, idCol, text, m)
-    val indexBands = spark.read.parquet(s"$path/bands")
-    val indexSigs = spark.read.parquet(s"$path/sigs")
+    val est = newDf.queryExecution.optimizedPlan.stats.sizeInBytes
+    val useBroadcast = est <= BigInt(maxProbeBroadcastBytes)
+    // small-side wrapper: broadcast the batch-derived sides on the
+    // normal path; let them shuffle on the large-batch path
+    def small(df: DataFrame): DataFrame =
+      if (useBroadcast) broadcast(df) else df
+    val bandsOpt = table(spark, path, st, "bands")
+    val sigsOpt = table(spark, path, st, "sigs")
+    if (bandsOpt.isEmpty || sigsOpt.isEmpty)
+      // empty index: nothing can dominate
+      return newDf.select(col(idCol)).limit(0)
+        .withColumn("est", lit(0.0))
+    val indexBands = bandsOpt.get
+    val indexSigs = sigsOpt.get
     // candidate (corpus id, new id) pairs: any shared band key;
     // tombstoned corpus ids ([[remove]]) no longer suppress anything
     val cand0 = indexBands
-      .join(broadcast(nb.select(col("band"), col("key"),
+      .join(small(nb.select(col("band"), col("key"),
         col("id").as("new_id"))), Seq("band", "key"))
       .select(col("id").as("corpus_id"), col("new_id"))
       .distinct()
-    val cand = tombstones(spark, path) match {
+    val cand = table(spark, path, st, "deletes") match {
       case Some(d) => cand0.join(
-        broadcast(d.withColumnRenamed("id", "__del_id")),
+        broadcast(d.distinct().withColumnRenamed("id", "__del_id")),
         cand0("corpus_id") === col("__del_id"), "left_anti")
       case None => cand0
     }
-    // verify on true signatures; both small sides broadcast
-    cand.join(indexSigs, cand("corpus_id") === indexSigs("id"))
+    // verify on true signatures; candidate set is batch-bounded, so it
+    // rides the same small-side rule as the other probe joins
+    small(cand).join(indexSigs, cand("corpus_id") === indexSigs("id"))
       .select(col("corpus_id"), col("new_id"),
         col("sig").as("corpus_sig"))
-      .join(broadcast(ns.select(col("id").as("new_id"),
+      .join(small(ns.select(col("id").as("new_id"),
         col("sig").as("new_sig"))), Seq("new_id"))
       .select(col("new_id"),
         Dedup.estJaccard(col("corpus_sig"), col("new_sig")).as("est"))
@@ -136,84 +243,137 @@ object DedupIndex {
   /** Dedup `newDf` against the index AND within itself (smaller id wins,
     * [[Dedup.minhashDedup]] semantics), returning the surviving rows.
     * The batch-internal pass uses the index's frozen parameters so one
-    * threshold governs both halves.
+    * threshold governs both halves. Resolves the index state ONCE, so
+    * the whole admission sees a single snapshot even beside a
+    * concurrent compaction.
     */
   def dedupAgainst(spark: SparkSession, path: String, newDf: DataFrame,
-      idCol: String, text: Column): DataFrame = {
+      idCol: String, text: Column,
+      maxProbeBroadcastBytes: Long = DefaultProbeBroadcastBytes)
+      : DataFrame = {
     val m = readMeta(spark, path)
+    val st = state(spark, path)
     val inBatch = Dedup.minhashCandidates(newDf, idCol, text,
       m.shingleN, m.k, m.bands, m.threshold)
       .select(col("id_b").as(idCol)).distinct()
-    val vsCorpus = dominatedBy(spark, path, newDf, idCol, text)
-      .select(col(idCol))
+    val vsCorpus = dominatedByAt(spark, path, st, m, newDf, idCol, text,
+      maxProbeBroadcastBytes).select(col(idCol))
     newDf.join(inBatch.unionByName(vsCorpus).distinct(),
       Seq(idCol), "left_anti")
   }
 
   /** Append `survivors` (rows already admitted by [[dedupAgainst]]) to
     * the index: their band/sig rows land as new parquet files, existing
-    * files untouched. Later probes see them with zero reader changes.
+    * files untouched, then one log commit publishes them. Later probes
+    * see them with zero reader changes; probes in flight keep their
+    * snapshot. A lost commit race (concurrent maintenance) retries the
+    * COMMIT only — the staged files are already in place and the
+    * file-list union is conflict-free.
     */
   def append(spark: SparkSession, path: String, survivors: DataFrame,
       idCol: String, text: Column): Unit = {
     val m = readMeta(spark, path)
     val (b, s) = bandRows(survivors, idCol, text, m)
-    b.write.mode("append").parquet(s"$path/bands")
-    s.write.mode("append").parquet(s"$path/sigs")
+    val bandFiles = TxLog.stageInto(b, path, "bands")
+    val sigFiles = TxLog.stageInto(s, path, "sigs")
+    TxLog.commitRetrying(spark, path) { parent =>
+      val t = parentTables(spark, path, parent)
+      t + ("bands" -> (t.getOrElse("bands", Nil) ++ bandFiles)) +
+        ("sigs" -> (t.getOrElse("sigs", Nil) ++ sigFiles))
+    }
+    ()
   }
 
   /** Tombstone corpus ids OUT of the index (the compliance-delete path:
     * a document removed from the corpus must stop suppressing its
-    * near-duplicates): one small append to `deletes/`, no index file
-    * rewritten. Probes anti-join the tombstones out of the candidate
-    * set, so a copy of a removed document is admissible again
-    * immediately; [[compact]] later drops the rows physically. Mirrors
-    * [[Similarity.IvfPq.remove]].
+    * near-duplicates): one small file append to `deletes/` plus a log
+    * commit, no index file rewritten. Probes anti-join the tombstones
+    * out of the candidate set, so a copy of a removed document is
+    * admissible again immediately; [[compact]] later drops the rows
+    * physically. Mirrors [[Similarity.IvfPq.remove]].
     */
   def remove(spark: SparkSession, path: String, ids: DataFrame,
       idCol: String): Unit = {
     readMeta(spark, path) // fail fast on a non-index path
-    ids.select(col(idCol).cast("long").as("id")).distinct()
-      .write.mode("append").parquet(s"$path/deletes")
+    val delFiles = TxLog.stageInto(
+      ids.select(col(idCol).cast("long").as("id")).distinct(),
+      path, "deletes")
+    TxLog.commitRetrying(spark, path) { parent =>
+      val t = parentTables(spark, path, parent)
+      t + ("deletes" -> (t.getOrElse("deletes", Nil) ++ delFiles))
+    }
+    ()
   }
 
-  private def tombstones(spark: SparkSession,
-      path: String): Option[DataFrame] = {
-    val p = new Path(s"$path/deletes")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString).distinct())
-    else None
-  }
+  // test seam: invoked between the compaction's stage and its commit so
+  // a spec can simulate a crash (throw) or a race (conflicting commit)
+  // at the protocol's only interesting instant
+  @volatile private[graft] var compactFence: () => Unit = () => ()
 
   /** Maintenance rewrite: fold accumulated per-batch append files (and
     * drop tombstoned rows) into `targetFiles` coarse files per table,
-    * then clear `deletes/`. Probe results are identical before and
-    * after. Single-maintainer contract: the swap (write-new, delete-old,
-    * rename) is not atomic for a concurrent reader — run it like
-    * vacuum, not beside live probes.
+    * committed as a NEW log version whose manifest references ONLY the
+    * rewritten files (tombstones cleared). Probe results are identical
+    * before and after, and the swap is SAFE BESIDE LIVE PROBES: a probe
+    * that resolved the pre-compact manifest keeps reading the old files
+    * (still on disk until [[vacuum]]); one that resolves after sees the
+    * new ones; no interleaving reads a torn mix. A crash mid-compaction
+    * leaves the old manifest current and the half-written files as
+    * unreferenced orphans — the index never needs manual recovery. A
+    * lost commit race (a concurrent append/remove landed first) redoes
+    * the compaction against the new state so nothing it added is lost.
     */
   def compact(spark: SparkSession, path: String,
-      targetFiles: Int = 16): Unit = {
+      targetFiles: Int = 16, maxRetries: Int = 5): Unit = {
     readMeta(spark, path)
-    val del = tombstones(spark, path)
-    val fs = new Path(path).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    Seq("bands", "sigs").foreach { sub =>
-      val cur = spark.read.parquet(s"$path/$sub")
-      val kept = del match {
-        case Some(d) => cur.join(
-          broadcast(d.withColumnRenamed("id", "__del_id")),
-          cur("id") === col("__del_id"), "left_anti")
-        case None => cur
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val parent = state(spark, path)
+      val tables = parentTables(spark, path, parent)
+      val parentV = parent.map(_.version).getOrElse(-1L)
+      val del = table(spark, path, parent, "deletes").map(_.distinct())
+      def kept(name: String): Option[DataFrame] =
+        table(spark, path, parent, name).map { cur =>
+          del match {
+            case Some(d) => cur.join(
+              broadcast(d.withColumnRenamed("id", "__del_id")),
+              cur("id") === col("__del_id"), "left_anti")
+            case None => cur
+          }
+        }
+      val newFiles = Seq("bands", "sigs").flatMap { sub =>
+        kept(sub).toSeq.map(df =>
+          sub -> TxLog.stageInto(df.repartition(targetFiles), path, sub))
+      }.toMap
+      try {
+        compactFence()
+        TxLog.commit(spark, path, TxLog.State(parentV + 1, parentV,
+          Map("bands" -> newFiles.getOrElse("bands", Nil),
+            "sigs" -> newFiles.getOrElse("sigs", Nil),
+            "deletes" -> Nil)))
+        return
+      } catch {
+        case _: TxLog.LostRace =>
+          // a concurrent append/remove won the version: our rewrite is
+          // stale (it lacks their rows). Drop OUR files, redo against
+          // the new state.
+          TxLog.deleteFiles(spark, path, newFiles.values.flatten.toSeq)
+          attempt += 1
       }
-      val tmp = s"$path/${sub}_compacting"
-      kept.repartition(targetFiles).write.mode("overwrite").parquet(tmp)
-      fs.delete(new Path(s"$path/$sub"), true)
-      fs.rename(new Path(tmp), new Path(s"$path/$sub"))
     }
-    fs.delete(new Path(s"$path/deletes"), true)
-    ()
+    throw new IllegalStateException(
+      s"compact lost the commit race $attempt times at $path — giving up")
   }
+
+  /** Reclaim files no retained log version references — superseded
+    * pre-compaction files, cleared tombstones, and crash orphans — plus
+    * stale staging dirs. Keep enough versions (or grace) to cover the
+    * longest-running concurrent probe: a probe holds its resolved file
+    * set for its whole job, exactly like a Merge reader.
+    */
+  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1,
+      graceMs: Long = 0L): Unit =
+    TxLog.vacuum(spark, path, Tables, keepVersions, graceMs)
 
   /** STREAMING admission: every micro-batch is deduped against the
     * index (and itself), survivors are handed to `sink`, then appended

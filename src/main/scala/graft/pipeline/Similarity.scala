@@ -209,21 +209,34 @@ object Similarity {
     */
   object IvfIndex {
     import Ivf.{train, withCell}
+    import graft.sources.TxLog
 
-    /** Train centroids and write `<path>/corpus` (cell-partitioned parquet)
-      * and `<path>/centroids`.
+    /** Train centroids and write `<path>/corpus` (cell-partitioned
+      * parquet) and `<path>/centroids`, REPLACING any index at `path`.
+      * The corpus table is committed through a [[TxLog]] version log
+      * (the [[graft.sources.Merge]] commit discipline): probes resolve
+      * one committed manifest, so [[append]] and [[compact]] are
+      * snapshot-isolated beside them and a crashed maintenance op
+      * leaves only vacuum-able orphans. Build itself replaces the whole
+      * index (model tables included) — rebuild into a NEW path and swap
+      * a pointer when probes must stay live through it.
       */
     def build(corpus: DataFrame, idCol: String, vecCol: String, cells: Int,
         path: String, sampleN: Int = 10000, iters: Int = 10): Unit = {
-      val centroids = train(corpus, idCol, vecCol, cells, sampleN, iters)
-      withCell(corpus, vecCol, centroids)
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
       val spark = corpus.sparkSession
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) fs.delete(root, true) // fresh index, fresh log
+      val centroids = train(corpus, idCol, vecCol, cells, sampleN, iters)
       import spark.implicits._
       centroids.zipWithIndex.toSeq
         .map { case (v, i) => (i, v.toSeq) }
         .toDF("cell", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      val files = TxLog.stagePartitionedInto(
+        withCell(corpus, vecCol, centroids), path, "corpus", Seq("cell"))
+      TxLog.commit(spark, path, TxLog.State(0L, -1L,
+        Map("corpus" -> files)))
     }
 
     def loadCentroids(spark: org.apache.spark.sql.SparkSession,
@@ -231,6 +244,15 @@ object Similarity {
       spark.read.parquet(s"$path/centroids")
         .orderBy("cell").collect()
         .map(_.getSeq[Double](1).toArray)
+
+    /** The committed corpus table (legacy pre-log layouts fall back to
+      * a raw directory read).
+      */
+    private def corpusTable(spark: org.apache.spark.sql.SparkSession,
+        path: String): DataFrame =
+      TxLog.currentState(spark, path)
+        .flatMap(st => TxLog.readPartitioned(spark, path, st, "corpus"))
+        .getOrElse(spark.read.parquet(s"$path/corpus"))
 
     /** Probe the persisted index. The union of the queries' probe cells is
       * a driver-side set bounded by |queries| * nProbe; pushing it as an
@@ -264,7 +286,7 @@ object Similarity {
           explode(probeKernel(col(vecCol).cast("array<double>"))).as("cell"))
       // bounded driver collect: |queries| * nProbe cell ids
       val cellSet = q.select("cell").distinct().collect().map(_.getInt(0))
-      val c = spark.read.parquet(s"$path/corpus")
+      val c = corpusTable(spark, path)
         .filter(col("cell").isin(cellSet.toSeq: _*)) // -> PartitionFilters
         .select(col("cell"), col(idCol).as("neighbor_id"),
           col(vecCol).as("__cvec"))
@@ -279,14 +301,61 @@ object Similarity {
 
     /** Append vectors under the FROZEN centroids (cells assigned by the
       * persisted model, no retrain — the [[IvfPq.append]] posture):
-      * new cell-partitioned files land beside the existing ones, and
-      * [[topK]] probes see them with zero reader changes. Centroid
-      * drift under sustained appends is repaired by a periodic rebuild.
+      * new cell-partitioned files land beside the existing ones and one
+      * log commit publishes them; [[topK]] probes see them with zero
+      * reader changes, and in-flight probes keep their snapshot. A lost
+      * commit race retries the commit only (the file-list union is
+      * conflict-free). Centroid drift under sustained appends is
+      * repaired by a periodic rebuild.
       */
     def append(spark: org.apache.spark.sql.SparkSession, path: String,
-        newRows: DataFrame, idCol: String, vecCol: String): Unit =
-      withCell(newRows, vecCol, loadCentroids(spark, path))
-        .write.mode("append").partitionBy("cell").parquet(s"$path/corpus")
+        newRows: DataFrame, idCol: String, vecCol: String): Unit = {
+      val files = TxLog.stagePartitionedInto(
+        withCell(newRows, vecCol, loadCentroids(spark, path)),
+        path, "corpus", Seq("cell"))
+      TxLog.commitRetrying(spark, path) { parent =>
+        val t = parent.map(_.tables).getOrElse(Map.empty)
+        t + ("corpus" -> (t.getOrElse("corpus", Nil) ++ files))
+      }
+      ()
+    }
+
+    /** Maintenance rewrite: fold accumulated per-append files into ~one
+      * file per cell, committed as a new log version — probes in flight
+      * keep reading the superseded files until [[vacuum]] reclaims
+      * them; a crash mid-compaction leaves the old state current.
+      */
+    def compact(spark: org.apache.spark.sql.SparkSession,
+        path: String, maxRetries: Int = 5): Unit = {
+      var attempt = 0
+      while (attempt <= maxRetries) {
+        val parent = TxLog.currentState(spark, path)
+        val parentV = parent.map(_.version).getOrElse(-1L)
+        val cur = corpusTable(spark, path)
+        val nCells = loadCentroids(spark, path).length
+        val files = TxLog.stagePartitionedInto(
+          cur.repartition(math.max(1, nCells), col("cell")),
+          path, "corpus", Seq("cell"))
+        try {
+          TxLog.commit(spark, path, TxLog.State(parentV + 1, parentV,
+            Map("corpus" -> files)))
+          return
+        } catch {
+          case _: TxLog.LostRace =>
+            TxLog.deleteFiles(spark, path, files)
+            attempt += 1
+        }
+      }
+      throw new IllegalStateException(
+        s"IvfIndex.compact lost the commit race $attempt times at $path")
+    }
+
+    /** Reclaim files no retained log version references. Same contract
+      * as [[graft.pipeline.DedupIndex.vacuum]].
+      */
+    def vacuum(spark: org.apache.spark.sql.SparkSession, path: String,
+        keepVersions: Int = 1, graceMs: Long = 0L): Unit =
+      TxLog.vacuum(spark, path, Seq("corpus"), keepVersions, graceMs)
 
     /** Batch ids with an INDEXED near-duplicate: best probed cosine >=
       * `threshold`. An exact copy assigns to the same cell as its source
@@ -710,11 +779,21 @@ object Similarity {
       * directories are listed and scanned) plus the two bounded model
       * tables. The codes table carries NO float vectors: at 100 TB the
       * query-time footprint is m bytes/row in the probed cells, full stop.
+      *
+      * The codes (and tombstone) tables are committed through a
+      * [[graft.sources.TxLog]] version log — the [[graft.sources.Merge]]
+      * commit discipline — so [[append]]/[[remove]]/[[compact]] are
+      * snapshot-isolated beside live [[topKPersisted]] probes and
+      * crash-safe (a crashed maintenance op leaves the last committed
+      * state current plus vacuum-able orphans). `save` itself REPLACES
+      * any index at `path`; rebuild into a new path to keep probes live
+      * through a retrain.
       */
     def save(index: Index, path: String): Unit = {
-      index.encoded.write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$path/codes")
       val spark = index.encoded.sparkSession
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) fs.delete(root, true) // fresh index, fresh log
       import spark.implicits._
       index.centroids.zipWithIndex.toSeq
         .map { case (v, i) => (i, v.toSeq) }
@@ -726,7 +805,20 @@ object Similarity {
       } yield (s, c, index.pq.dim, index.pq.codebooks(s)(c).toSeq)
       books.toDF("subspace", "code", "dim", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+      val files = graft.sources.TxLog.stagePartitionedInto(
+        index.encoded, path, "codes", Seq("cell"))
+      graft.sources.TxLog.commit(spark, path,
+        graft.sources.TxLog.State(0L, -1L, Map("codes" -> files)))
     }
+
+    /** The committed codes table (legacy pre-log layouts fall back to a
+      * raw directory read).
+      */
+    private def codesTable(spark: org.apache.spark.sql.SparkSession,
+        path: String, st: Option[graft.sources.TxLog.State]): DataFrame =
+      st.flatMap(s =>
+          graft.sources.TxLog.readPartitioned(spark, path, s, "codes"))
+        .getOrElse(spark.read.parquet(s"$path/codes"))
 
     /** INCREMENTAL index maintenance: encode `newRows` under the
       * persisted index's FROZEN quantizers (the saved coarse centroids
@@ -745,21 +837,27 @@ object Similarity {
       * drift is the operational caveat — if the data distribution moves,
       * periodically rebuild (this is FAISS's `add` vs `train` split).
       *
-      * Concurrency: one appender at a time (parquet dir append is not a
-      * transactional commit); run appends from a single maintenance job,
-      * or put the codes table behind [[graft.sources.Merge]] for full
-      * commit semantics.
+      * Concurrency: appends commit through the version log with
+      * optimistic retry, so concurrent appends/removes serialize and a
+      * crash mid-append leaves only unreferenced orphans — never a torn
+      * codes table.
       */
     def append(newRows: DataFrame, idCol: String, vecCol: String,
         path: String): Unit = {
       val spark = newRows.sparkSession
       val (centroids, pq) = loadModels(spark, path)
       val enc = Pq.encoderUdf(spark, pq)
-      Ivf.withCell(newRows, vecCol, centroids)
-        .select(col("cell"), col(idCol).as("neighbor_id"),
-          enc(col(vecCol).cast("array<double>")).as("codes"))
-        .filter(col("codes").isNotNull)
-        .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+      val files = graft.sources.TxLog.stagePartitionedInto(
+        Ivf.withCell(newRows, vecCol, centroids)
+          .select(col("cell"), col(idCol).as("neighbor_id"),
+            enc(col(vecCol).cast("array<double>")).as("codes"))
+          .filter(col("codes").isNotNull),
+        path, "codes", Seq("cell"))
+      graft.sources.TxLog.commitRetrying(spark, path) { parent =>
+        val t = parent.map(_.tables).getOrElse(Map.empty)
+        t + ("codes" -> (t.getOrElse("codes", Nil) ++ files))
+      }
+      ()
     }
 
     /** SOFT DELETE from the persisted index (FAISS `remove_ids` /
@@ -768,22 +866,80 @@ object Similarity {
       * set BEFORE ranking, so the next-best neighbor takes the freed
       * rank. Cell files are never rewritten — a remove costs one small
       * append regardless of corpus size, and the read-side cost is a
-      * broadcast anti-join against the (small) tombstone set. Compact
-      * tombstones away with a periodic full [[build]]+[[save]] rebuild,
-      * the same cadence that re-trains drifted quantizers. Same
-      * single-maintainer contract as [[append]].
+      * broadcast anti-join against the (small) tombstone set. [[compact]]
+      * folds tombstones away physically without retraining; a full
+      * [[build]]+[[save]] rebuild remains the cadence for drifted
+      * quantizers. Commits through the version log like [[append]].
       */
-    def remove(ids: DataFrame, idCol: String, path: String): Unit =
-      ids.select(col(idCol).as("neighbor_id")).distinct()
-        .coalesce(1).write.mode("append").parquet(s"$path/deletes")
-
-    /** The tombstone sidecar, if any remove() has run. */
-    private def tombstones(spark: org.apache.spark.sql.SparkSession,
-        path: String): Option[DataFrame] = {
-      val p = new org.apache.hadoop.fs.Path(s"$path/deletes")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    def remove(ids: DataFrame, idCol: String, path: String): Unit = {
+      val spark = ids.sparkSession
+      val files = graft.sources.TxLog.stageInto(
+        ids.select(col(idCol).as("neighbor_id")).distinct().coalesce(1),
+        path, "deletes")
+      graft.sources.TxLog.commitRetrying(spark, path) { parent =>
+        val t = parent.map(_.tables).getOrElse(Map.empty)
+        t + ("deletes" -> (t.getOrElse("deletes", Nil) ++ files))
+      }
+      ()
     }
+
+    /** The tombstone table at a resolved state (legacy: raw sidecar dir). */
+    private def tombstones(spark: org.apache.spark.sql.SparkSession,
+        path: String, st: Option[graft.sources.TxLog.State])
+        : Option[DataFrame] =
+      st match {
+        case Some(s) => graft.sources.TxLog.readTable(spark, path, s,
+          "deletes")
+        case None =>
+          val p = new org.apache.hadoop.fs.Path(s"$path/deletes")
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+      }
+
+    /** Maintenance rewrite: fold the accumulated per-append code files
+      * into ~one file per cell and drop tombstoned rows physically,
+      * committed as a new log version with the tombstones cleared.
+      * Snapshot-isolated beside live probes (they keep reading the
+      * superseded files until [[vacuum]]); a crash mid-compaction
+      * leaves the old committed state current; a lost race against a
+      * concurrent append/remove redoes the rewrite so nothing they
+      * added is lost.
+      */
+    def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+        maxRetries: Int = 5): Unit = {
+      var attempt = 0
+      while (attempt <= maxRetries) {
+        val parent = graft.sources.TxLog.currentState(spark, path)
+        val parentV = parent.map(_.version).getOrElse(-1L)
+        val dead = tombstones(spark, path, parent).map(_.distinct())
+        val live = dead.foldLeft(codesTable(spark, path, parent))(
+          (c, d) => c.join(broadcast(d), Seq("neighbor_id"), "left_anti"))
+        val nCells = loadModels(spark, path)._1.length
+        val files = graft.sources.TxLog.stagePartitionedInto(
+          live.repartition(math.max(1, nCells), col("cell")),
+          path, "codes", Seq("cell"))
+        try {
+          graft.sources.TxLog.commit(spark, path,
+            graft.sources.TxLog.State(parentV + 1, parentV,
+              Map("codes" -> files, "deletes" -> Nil)))
+          return
+        } catch {
+          case _: graft.sources.TxLog.LostRace =>
+            graft.sources.TxLog.deleteFiles(spark, path, files)
+            attempt += 1
+        }
+      }
+      throw new IllegalStateException(
+        s"IvfPq.compact lost the commit race $attempt times at $path")
+    }
+
+    /** Reclaim files no retained log version references — superseded
+      * pre-compaction code files, cleared tombstones, crash orphans.
+      */
+    def vacuum(spark: org.apache.spark.sql.SparkSession, path: String,
+        keepVersions: Int = 1, graceMs: Long = 0L): Unit =
+      graft.sources.TxLog.vacuum(spark, path, Seq("codes", "deletes"),
+        keepVersions, graceMs)
 
     /** Reload both bounded model tables (cells + m*k rows — driver-safe). */
     def loadModels(spark: org.apache.spark.sql.SparkSession,
@@ -828,8 +984,11 @@ object Similarity {
         explode(probeKernel(col(vecCol).cast("array<double>"))).as("cell"))
       // bounded driver collect: |queries| * nProbe cell ids
       val cellSet = q.select("cell").distinct().collect().map(_.getInt(0))
-      val live = tombstones(spark, path).foldLeft(
-        spark.read.parquet(s"$path/codes")
+      // ONE state resolution for codes + tombstones: the probe sees a
+      // single committed snapshot even beside concurrent maintenance
+      val st = graft.sources.TxLog.currentState(spark, path)
+      val live = tombstones(spark, path, st).foldLeft(
+        codesTable(spark, path, st)
           .filter(col("cell").isin(cellSet.toSeq: _*))) // -> PartitionFilters
         { (c, dead) => c.join(broadcast(dead), Seq("neighbor_id"),
             "left_anti") } // removed ids drop BEFORE ranking

@@ -266,11 +266,27 @@ object Merge {
     if (!fs.exists(dir)) fs.mkdirs(dir)
     val id = s"s${idx}_${md5Hex(body)}.json"
     val target = new Path(dir, id)
+    // content addressing makes the complete file's size known, so "a
+    // racer wrote it" is VERIFIABLE: only a same-length existing file is
+    // reused. A truncated occupant (a crashed writer's orphan) is
+    // replaced, and a genuine I/O failure (disk full, transient error)
+    // propagates — it must fail THIS commit, not let it publish a root
+    // referencing a missing/corrupt shard.
+    def complete(): Boolean =
+      try fs.getFileStatus(target).getLen == body.length.toLong
+      catch { case _: java.io.IOException => false }
+    if (fs.exists(target) && !complete())
+      fs.delete(target, false) // truncated orphan occupying the address
     if (!fs.exists(target)) {
       try {
         val out = fs.create(target, false)
         try out.write(body) finally out.close()
-      } catch { case _: java.io.IOException => () /* racer wrote it */ }
+      } catch {
+        case race: java.io.IOException =>
+          // reuse the racer's file only if it is verifiably complete;
+          // anything else was a real write failure
+          if (!complete()) throw race
+      }
     }
     id
   }
@@ -1457,7 +1473,14 @@ object Merge {
     * a concurrent committer's just-moved, not-yet-committed files look
     * exactly like orphans, so when vacuuming beside live writers set it
     * above the longest expected commit (with the default 0, do not run
-    * vacuum concurrently with writers).
+    * vacuum concurrently with writers). This applies with EXTRA force to
+    * SHARDED-manifest tables: a shard file is written BEFORE the root
+    * that references it, so a graceMs=0 vacuum racing an in-flight
+    * commit can reclaim a shard moments before its root lands — the
+    * commit still succeeds but the version is unreadable. The rule is
+    * one rule, not two: vacuum beside live writers ONLY with graceMs
+    * greater than the longest possible commit duration; graceMs = 0 is
+    * for quiesced tables.
     */
   def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1,
       graceMs: Long = 0L): Unit = {

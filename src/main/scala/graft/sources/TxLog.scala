@@ -1,0 +1,341 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal VERSIONED FILE LOG for persisted index layouts (the
+  * [[graft.pipeline.DedupIndex]] LSH tables, the
+  * [[graft.pipeline.Similarity.IvfPq]] codes table): the same commit
+  * protocol [[Merge]] gives keyed data tables, reduced to what an index
+  * needs — a set of NAMED sub-tables, each a list of immutable parquet
+  * files, with an atomic create-if-absent manifest as the commit point.
+  *
+  * Why indexes need this: a live probe resolves "the index" to a
+  * concrete file set. Directory-read layouts make that resolution racy —
+  * a maintenance compaction that deletes-then-renames directories can
+  * present a torn index (half old files, half new) or, after a crash
+  * between the delete and the rename, NO index at all. Under the log:
+  *
+  *   - data files are IMMUTABLE and only ever ADDED; which files
+  *     constitute the index is a manifest under `_idx_log/v{N}.json`;
+  *   - a probe resolves the newest committed manifest ONCE and reads
+  *     exactly its files — snapshot isolation for free, because a later
+  *     commit only adds files and a new manifest;
+  *   - a compaction stages its rewritten files, then commits a manifest
+  *     referencing ONLY them; old files stay on disk (still served to
+  *     probes that resolved earlier) until [[vacuum]] reclaims them;
+  *   - a crash at ANY point leaves either the old committed state or the
+  *     new one, plus unreferenced orphan files — never a torn or missing
+  *     table. Recovery is "nothing": the next reader resolves the last
+  *     good manifest; the next vacuum sweeps the orphans.
+  *
+  * Concurrency: the manifest claim is create-if-absent (hard link on the
+  * local filesystem — atomic AND all-or-nothing; namenode/conditional-put
+  * atomicity on HDFS/object stores), so two writers racing to v{N+1}
+  * serialize: the loser gets [[LostRace]] and must re-resolve and retry
+  * ([[commitRetrying]] wraps the loop). Readers validate manifests and
+  * walk back past a claimed-but-unwritten one, mirroring
+  * `Merge.currentVersion`.
+  *
+  * At 100 TB the cost model matches Merge's: a commit writes one small
+  * JSON (O(index files) entries — index tables are a compressed fraction
+  * of the corpus, so file counts stay far below the data table's; a
+  * table that outgrows this wants Merge's sharded-manifest move) and
+  * the data I/O is exactly the files the operation itself produced.
+  */
+object TxLog {
+
+  /** One committed index state: for each named sub-table, the relative
+    * paths (under the index root) of the parquet files that constitute
+    * it. A table absent from the map (or mapped to Nil) is empty at
+    * this version.
+    */
+  final case class State(version: Long, parent: Long,
+      tables: Map[String, Seq[String]])
+
+  /** The create-if-absent claim found the version already committed —
+    * re-resolve the log and retry against the new parent.
+    */
+  final class LostRace(version: Long)
+    extends Exception(s"lost index-log commit race for v$version")
+
+  // test seam: invoked immediately before each commit attempt so a spec
+  // can inject a conflicting commit deterministically
+  @volatile private[graft] var commitFence: () => Unit = () => ()
+
+  private def logDir(root: Path) = new Path(root, "_idx_log")
+  private def stagingDir(root: Path) = new Path(root, "_idx_staging")
+
+  private def fsFor(spark: SparkSession, root: String): (FileSystem, Path) = {
+    val p = new Path(root)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c    => c.toString
+    }
+
+  private def body(s: State): Array[Byte] = {
+    val tables = s.tables.toSeq.sortBy(_._1).map { case (name, files) =>
+      s""""${jsonEscape(name)}":""" +
+        files.sorted.map(f => "\"" + jsonEscape(f) + "\"")
+          .mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    (s"""{"version":${s.version},"parent":${s.parent},""" +
+      s""""tables":$tables}""").getBytes("UTF-8")
+  }
+
+  /** Parse one manifest; None when missing/truncated (a crashed claim). */
+  private def readState(spark: SparkSession, root: Path,
+      version: Long): Option[State] = {
+    val p = new Path(logDir(root), s"v$version.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val text =
+      try {
+        val in = fs.open(p)
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      } catch { case _: java.io.IOException => return None }
+    import org.json4s._
+    scala.util.Try(org.json4s.jackson.JsonMethods.parse(text)).toOption
+      .flatMap { j =>
+        def num(f: String): Option[Long] = j \ f match {
+          case JInt(n) => Some(n.toLong); case JLong(n) => Some(n)
+          case _ => None
+        }
+        val tables = j \ "tables" match {
+          case JObject(fields) =>
+            val parsed = fields.map { case (name, v) =>
+              v match {
+                case JArray(xs) if xs.forall(_.isInstanceOf[JString]) =>
+                  Some(name -> xs.collect { case JString(f) => f })
+                case _ => None
+              }
+            }
+            if (parsed.exists(_.isEmpty)) None
+            else Some(parsed.flatten.toMap)
+          case _ => None
+        }
+        for (v <- num("version"); p <- num("parent"); t <- tables)
+          yield State(v, p, t)
+      }
+  }
+
+  private def listVersions(fs: FileSystem, root: Path): Seq[Long] = {
+    val dir = logDir(root)
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(_.stripPrefix("v").stripSuffix(".json").toLong).toSeq.sorted
+  }
+
+  /** Newest COMMITTED state, walking back past torn manifests; None when
+    * the root carries no log (a pre-protocol layout or a fresh path).
+    */
+  def currentState(spark: SparkSession, root: String): Option[State] = {
+    val (fs, r) = fsFor(spark, root)
+    listVersions(fs, r).reverse.iterator
+      .map(v => readState(spark, r, v))
+      .collectFirst { case Some(s) => s }
+  }
+
+  /** Atomic create-if-absent commit of `s` (the Merge manifest claim):
+    * throws [[LostRace]] when v{s.version} is already claimed.
+    */
+  def commit(spark: SparkSession, root: String, s: State): Unit = {
+    val (fs, r) = fsFor(spark, root)
+    val dir = logDir(r)
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val target = new Path(dir, s"v${s.version}.json")
+    val bytes = body(s)
+    if ("file" == target.getFileSystem(fs.getConf).getScheme) {
+      // local fs: create(overwrite=false) is check-then-create; hard-link
+      // a fully written temp file instead — atomic and all-or-nothing
+      val tmp = java.nio.file.Paths.get(dir.toUri.getPath,
+        s".tmp_v${s.version}_${java.util.UUID.randomUUID}.json")
+      java.nio.file.Files.write(tmp, bytes)
+      try java.nio.file.Files.createLink(
+        java.nio.file.Paths.get(target.toUri.getPath), tmp)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new LostRace(s.version)
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    } else {
+      val out =
+        try fs.create(target, false)
+        catch { case _: java.io.IOException => throw new LostRace(s.version) }
+      try out.write(bytes) finally out.close()
+    }
+  }
+
+  /** Optimistic-concurrency loop: resolve the current state, build the
+    * next one with `step`, commit; on [[LostRace]] re-resolve and redo,
+    * up to `maxRetries` times. `step` gets None on a fresh (un-logged)
+    * root and must return the state to commit — its version is forced to
+    * parent+1, so steps only describe the table contents.
+    */
+  def commitRetrying(spark: SparkSession, root: String, maxRetries: Int = 5)
+      (step: Option[State] => Map[String, Seq[String]]): State = {
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val parent = currentState(spark, root)
+      val next = State(parent.map(_.version + 1).getOrElse(0L),
+        parent.map(_.version).getOrElse(-1L), step(parent))
+      commitFence()
+      try { commit(spark, root, next); return next }
+      catch { case _: LostRace => attempt += 1 }
+    }
+    throw new IllegalStateException(
+      s"index commit lost the race $attempt times at $root — giving up")
+  }
+
+  /** Write `df`'s rows as new parquet files under `<root>/<table>/` via
+    * a job-scoped staging dir + rename, returning the EXACT relative
+    * paths produced — a racing writer's files can never leak into this
+    * committer's manifest (the Merge stage-and-move discipline). The
+    * files are invisible to probes until a commit references them.
+    */
+  def stageInto(df: DataFrame, root: String, table: String): Seq[String] = {
+    val spark = df.sparkSession
+    val (fs, r) = fsFor(spark, root)
+    val staging = new Path(stagingDir(r), java.util.UUID.randomUUID.toString)
+    df.write.mode("overwrite").parquet(staging.toString)
+    val destDir = new Path(r, table)
+    if (!fs.exists(destDir)) fs.mkdirs(destDir)
+    val moved = Seq.newBuilder[String]
+    fs.listStatus(staging)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .foreach { f =>
+        val dest = new Path(destDir, f.getPath.getName)
+        // spark part names embed a per-job UUID: collisions impossible
+        require(fs.rename(f.getPath, dest),
+          s"failed to move staged file ${f.getPath} to $dest")
+        moved += s"$table/${f.getPath.getName}"
+      }
+    fs.delete(staging, true)
+    moved.result().sorted
+  }
+
+  /** [[stageInto]] for a PARTITIONED sub-table (e.g. an ANN codes table
+    * `partitionBy(cell)`): staged partition dirs are merged into the
+    * table's, and the returned relative paths keep the `col=value/`
+    * segments — [[readPartitioned]] recovers the partition column (and
+    * its pruning) through `basePath`.
+    */
+  def stagePartitionedInto(df: DataFrame, root: String, table: String,
+      partitionCols: Seq[String]): Seq[String] = {
+    require(partitionCols.nonEmpty, "use stageInto for unpartitioned tables")
+    val spark = df.sparkSession
+    val (fs, r) = fsFor(spark, root)
+    val staging = new Path(stagingDir(r), java.util.UUID.randomUUID.toString)
+    df.write.mode("overwrite").partitionBy(partitionCols: _*)
+      .parquet(staging.toString)
+    val tableDir = new Path(r, table)
+    val moved = Seq.newBuilder[String]
+    // walk the staged partition tree; move leaf files preserving the
+    // col=value dir chain (nested partitions supported)
+    def walk(dir: Path, rel: String): Unit =
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && name.contains("=")) {
+          walk(st.getPath, s"$rel$name/")
+        } else if (st.isFile && name.endsWith(".parquet")) {
+          val destDir = if (rel.isEmpty) tableDir else new Path(tableDir, rel)
+          if (!fs.exists(destDir)) fs.mkdirs(destDir)
+          val dest = new Path(destDir, name)
+          require(fs.rename(st.getPath, dest),
+            s"failed to move staged file ${st.getPath} to $dest")
+          moved += s"$table/$rel$name"
+        }
+      }
+    walk(staging, "")
+    fs.delete(staging, true)
+    moved.result().sorted
+  }
+
+  /** [[readTable]] for a partitioned sub-table: reads the state's exact
+    * files with `basePath = <root>/<table>` so the partition columns
+    * come back (and partition-filter pruning still applies to the file
+    * list).
+    */
+  def readPartitioned(spark: SparkSession, root: String, state: State,
+      table: String): Option[DataFrame] = {
+    val files = state.tables.getOrElse(table, Seq.empty)
+    if (files.isEmpty) None
+    else {
+      val base = new Path(new Path(root), table)
+      Some(spark.read.option("basePath", base.toString).parquet(
+        files.map(f => new Path(new Path(root), f).toString): _*))
+    }
+  }
+
+  /** One sub-table of a resolved state: exactly its files, or None when
+    * the table is empty at that version (callers supply the empty-frame
+    * semantics — for an index that is usually "no candidates").
+    */
+  def readTable(spark: SparkSession, root: String, state: State,
+      table: String): Option[DataFrame] = {
+    val files = state.tables.getOrElse(table, Seq.empty)
+    if (files.isEmpty) None
+    else Some(spark.read.parquet(
+      files.map(f => new Path(new Path(root), f).toString): _*))
+  }
+
+  /** Delete files no retained version references (compaction leftovers
+    * and crash orphans), manifests older than the horizon, and stale
+    * staging dirs. `graceMs` spares recently-modified files — when
+    * vacuuming beside live writers set it above the longest expected
+    * commit, exactly as with [[Merge.vacuum]].
+    */
+  def vacuum(spark: SparkSession, root: String, tables: Seq[String],
+      keepVersions: Int = 1, graceMs: Long = 0L): Unit = {
+    require(keepVersions >= 1, "must keep >= 1 version")
+    val (fs, r) = fsFor(spark, root)
+    val versions = listVersions(fs, r)
+    if (versions.isEmpty) return
+    val latest = versions.max
+    val keepFrom = math.max(0L, latest - keepVersions + 1)
+    val live = (keepFrom to latest)
+      .flatMap(v => readState(spark, r, v).toSeq.flatMap(_.tables.values))
+      .flatten.toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    tables.foreach { t =>
+      val dir = new Path(r, t)
+      if (fs.exists(dir)) {
+        // walk partition subdirs too (`cell=N/part-*.parquet`)
+        def sweep(d: Path, rel: String): Unit =
+          fs.listStatus(d).foreach { st =>
+            val name = st.getPath.getName
+            if (st.isDirectory && name.contains("="))
+              sweep(st.getPath, s"$rel$name/")
+            else if (st.isFile && name.endsWith(".parquet") &&
+                !live(s"$t/$rel$name") &&
+                st.getModificationTime <= cutoff)
+              fs.delete(st.getPath, false)
+          }
+        sweep(dir, "")
+      }
+    }
+    versions.filter(_ < keepFrom).foreach { v =>
+      fs.delete(new Path(logDir(r), s"v$v.json"), false)
+    }
+    val sd = stagingDir(r)
+    if (fs.exists(sd))
+      fs.listStatus(sd)
+        .filter(_.getModificationTime <= cutoff)
+        .foreach(d => fs.delete(d.getPath, true))
+  }
+
+  /** Delete the exact relative files `rels` (a failed committer cleaning
+    * up its own staged-and-moved output after a lost race).
+    */
+  def deleteFiles(spark: SparkSession, root: String,
+      rels: Seq[String]): Unit = {
+    val (fs, r) = fsFor(spark, root)
+    rels.foreach(f => fs.delete(new Path(r, f), false))
+  }
+}

@@ -159,15 +159,131 @@ class DedupIndexSpec extends SparkSpec {
       .select("text").as[String].head())).toDF("doc_id", "text")
     assert(DedupIndex.dedupAgainst(spark, path, copyOf6, "doc_id",
       col("text")).count() == 0)
-    // compact: physical drop, identical probe behavior, deletes cleared
+    // compact: identical probe behavior; vacuum then drops the
+    // superseded pre-compaction files (and the cleared tombstones)
+    // physically — the copy-on-write contract split across the two ops
     DedupIndex.compact(spark, path, targetFiles = 2)
-    assert(!new java.io.File(path, "deletes").exists())
     assert(DedupIndex.dedupAgainst(spark, path, copyOf5, "doc_id",
       col("text")).count() == 1)
     assert(DedupIndex.dedupAgainst(spark, path, copyOf6, "doc_id",
       col("text")).count() == 0)
+    DedupIndex.vacuum(spark, path)
+    assert(new java.io.File(path, "deletes").listFiles() == null ||
+      !new java.io.File(path, "deletes").listFiles()
+        .exists(_.getName.endsWith(".parquet")),
+      "vacuum must reclaim the cleared tombstone files")
     assert(spark.read.parquet(s"$path/sigs")
-      .filter($"id" === 5L).count() == 0, "compact must drop the rows")
+      .filter($"id" === 5L).count() == 0,
+      "compact+vacuum must drop the rows physically")
+    // probes still work off the vacuumed (single-version) index
+    assert(DedupIndex.dedupAgainst(spark, path, copyOf6, "doc_id",
+      col("text")).count() == 0)
+  }
+
+  test("compact is snapshot-isolated: a probe resolved pre-compact " +
+      "reads the pre-compact files and agrees with a fresh probe") {
+    val path = freshDir()
+    DedupIndex.build(corpus, "doc_id", col("text"), path)
+    val batch = Seq(
+      (800L, corpus.filter($"doc_id" === 9L).select("text").as[String]
+        .head()), doc(801L)).toDF("doc_id", "text")
+    // resolve the probe plan (and its file set) BEFORE the compaction
+    val preResolved = DedupIndex.dedupAgainst(spark, path, batch,
+      "doc_id", col("text"))
+    DedupIndex.compact(spark, path, targetFiles = 1)
+    // old files are still on disk (no vacuum yet): the pre-resolved
+    // plan evaluates against its snapshot — never a torn mix
+    assert(preResolved.select("doc_id").as[Long].collect().toSet ==
+      Set(801L))
+    assert(DedupIndex.dedupAgainst(spark, path, batch, "doc_id",
+      col("text")).select("doc_id").as[Long].collect().toSet == Set(801L))
+  }
+
+  test("crash mid-compact (after stage, before commit) leaves the " +
+      "index fully readable; vacuum reclaims the orphans") {
+    val path = freshDir()
+    DedupIndex.build(corpus, "doc_id", col("text"), path)
+    val batch = Seq(
+      (900L, corpus.filter($"doc_id" === 2L).select("text").as[String]
+        .head()), doc(901L)).toDF("doc_id", "text")
+    val sigFilesBefore = new java.io.File(path, "sigs").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    DedupIndex.compactFence = () => throw new RuntimeException("boom")
+    try intercept[RuntimeException] {
+      DedupIndex.compact(spark, path, targetFiles = 2)
+    } finally DedupIndex.compactFence = () => ()
+    // the staged-but-uncommitted files are orphans; the committed state
+    // is untouched and probes behave exactly as before the crash
+    assert(DedupIndex.dedupAgainst(spark, path, batch, "doc_id",
+      col("text")).select("doc_id").as[Long].collect().toSet == Set(901L))
+    // a later compact succeeds; vacuum sweeps both the orphans and the
+    // superseded originals
+    DedupIndex.compact(spark, path, targetFiles = 2)
+    DedupIndex.vacuum(spark, path)
+    val sigFilesAfter = new java.io.File(path, "sigs").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(sigFilesAfter <= 2,
+      s"vacuum must leave only the compacted files " +
+        s"($sigFilesBefore before, $sigFilesAfter after)")
+    assert(DedupIndex.dedupAgainst(spark, path, batch, "doc_id",
+      col("text")).select("doc_id").as[Long].collect().toSet == Set(901L))
+  }
+
+  test("compact racing a concurrent append retries and loses nothing") {
+    val path = freshDir()
+    DedupIndex.build(corpus, "doc_id", col("text"), path)
+    // the fence fires between compact's stage and its commit: an append
+    // lands first, so compact's first claim loses and it must redo the
+    // rewrite INCLUDING the appended rows
+    var fired = false
+    DedupIndex.compactFence = () => {
+      if (!fired) {
+        fired = true
+        DedupIndex.append(spark, path,
+          Seq(doc(950L)).toDF("doc_id", "text"), "doc_id", col("text"))
+      }
+    }
+    try DedupIndex.compact(spark, path, targetFiles = 2)
+    finally DedupIndex.compactFence = () => ()
+    assert(fired)
+    DedupIndex.vacuum(spark, path)
+    // the appended doc survived the race: its copy is still suppressed
+    val copyOf950 = Seq((951L, doc(950L)._2)).toDF("doc_id", "text")
+    assert(DedupIndex.dedupAgainst(spark, path, copyOf950, "doc_id",
+      col("text")).count() == 0,
+      "append that won the race must not be lost by the compaction")
+  }
+
+  test("large-batch fallback: shuffle-join probe admits exactly what " +
+      "the broadcast probe admits") {
+    val path = freshDir()
+    DedupIndex.build(corpus, "doc_id", col("text"), path)
+    val batch = Seq(
+      (850L, corpus.filter($"doc_id" === 4L).select("text").as[String]
+        .head()),
+      doc(851L), (852L, doc(851L)._2), doc(853L)).toDF("doc_id", "text")
+    val auto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bc = DedupIndex.dedupAgainst(spark, path, batch, "doc_id",
+        col("text"))
+      val sh = DedupIndex.dedupAgainst(spark, path, batch, "doc_id",
+        col("text"), maxProbeBroadcastBytes = 0L)
+      // the explicit hints keep the normal path broadcast even with the
+      // auto threshold off; the gated path must NOT broadcast the batch
+      val bcPlan = DedupIndex.dominatedBy(spark, path, batch, "doc_id",
+        col("text")).queryExecution.executedPlan.toString
+      val shPlan = DedupIndex.dominatedBy(spark, path, batch, "doc_id",
+        col("text"), maxProbeBroadcastBytes = 0L)
+        .queryExecution.executedPlan.toString
+      assert(bcPlan.contains("BroadcastHashJoin"), s"\n$bcPlan")
+      assert(!shPlan.contains("BroadcastHashJoin"),
+        s"gated path must not broadcast:\n$shPlan")
+      assert(bc.select("doc_id").as[Long].collect().toSet ==
+        sh.select("doc_id").as[Long].collect().toSet)
+      assert(sh.select("doc_id").as[Long].collect().toSet ==
+        Set(851L, 853L))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", auto)
   }
 
   test("probe plan: corpus tables broadcast-joined, never sort-merged") {

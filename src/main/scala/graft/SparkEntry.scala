@@ -2399,6 +2399,54 @@ object SparkEntry {
         historyQuery = "docs mentioning spark")
         .select("doc_id").orderBy("doc_id")
     }),
+    "q_agent_corpus" -> ((s, dir) => {
+      // the FULL progressive-corpus shape (the reference's 20-session x
+      // 4-query evaluation, OLAP_Memory.py:137-187) as a driver-checked
+      // gate: 20 sessions, each query extending the previous one's
+      // filter conjunction by one step. REUSE IS REQUIRED IN-GATE —
+      // every Q2-Q4 must execute as a delta on the session's cached
+      // node (a from-root rescan or a lost/wrong delta trips the
+      // require, and any unsound reuse changes the row set the oracle
+      // hashes). The reference corpus itself (with its sem_map-derived
+      // columns) runs in AgentCorpusSpec; this gate pins the same
+      // session mechanics on oracle-checkable keyword semantics.
+      val docs = t(s, dir, "documents")
+      val frames = AgentCorpusGate.sessions.zipWithIndex.map {
+        case (words, sess) =>
+          val cat = new graft.cube.CubeCatalog(docs, oracle)
+          (1 to words.length).map { qn =>
+            val steps = words.take(qn)
+            val ops = steps.zipWithIndex.map { case (w, i) =>
+              s"""{"id": ${i + 1}, "agent": "dice", "field": "text",
+                 | "action": "$w"}""".stripMargin
+            }.mkString("[", ",", "]")
+            val logic = (Seq("\"AND\"") ++ steps.indices.map(i =>
+              (i + 1).toString)).mkString("[", ",", "]")
+            val script = Iterator(
+              """{"filter_query": "keyword docs", "analysis_query": ""}""",
+              s"""{"operations": $ops, "logic": $logic}""",
+              """{"has_topk": false}""")
+            val agent = new graft.agent.OlapAgent(_ => script.next(), oracle)
+            val out = agent.runSession(cat, s"s$sess q$qn",
+              historyQuery = if (qn == 1) "" else s"s$sess q${qn - 1}")
+            val node = cat.all.last
+            if (qn > 1) {
+              // delta execution stacks a Filter on the cached node's
+              // frame; a root rescan folds the conjunction into one
+              require("Filter ".r.findAllIn(
+                node.df.queryExecution.analyzed.toString).length >= 2,
+                s"session $sess q$qn did not delta-execute on the " +
+                  "cached node")
+              require(node.plan.length == qn,
+                s"session $sess q$qn plan lineage has " +
+                  s"${node.plan.length} ops, expected $qn")
+            }
+            out.select(lit(sess).cast("int").as("sess"),
+              lit(qn).cast("int").as("q"), col("doc_id"))
+          }.reduce(_.unionByName(_))
+      }
+      frames.reduce(_.unionByName(_)).orderBy("sess", "q", "doc_id")
+    }),
     "q_clean_pipeline" -> ((s, dir) => {
       // the COMPOSED cleaning flow (redact -> quality filter -> exact
       // dedup -> split), every stage of which is also individually gated
@@ -5407,6 +5455,9 @@ object SparkEntry {
       """SELECT doc_id FROM documents
          WHERE contains(lower(text), 'spark') AND contains(lower(text), 'join')
          ORDER BY doc_id""",
+    // 20 sessions x 4 progressive queries; every delta-executed answer
+    // must equal its full conjunction from the base table
+    "q_agent_corpus" -> AgentCorpusGate.oracleSql,
     "q_agent_plan" ->
       """SELECT l_linestatus, count(*) AS count_of_l_linestatus
          FROM lineitem
@@ -6164,4 +6215,35 @@ object SparkEntry {
                 min(ts_micros) AS start_micros, max(ts_micros) AS end_micros
          FROM t GROUP BY user_id, session_idx ORDER BY user_id, session_idx"""
   )
+}
+
+/** The q_agent_corpus session definitions, shared between the Spark gate
+  * and its generated DuckDB oracle: 20 progressive sessions, each query
+  * extending the previous conjunction by one keyword (the reference's
+  * 20x4 evaluation shape, with dice-on-text steps whose semantics the
+  * oracle can express as `contains(lower(text), w)`).
+  */
+private[graft] object AgentCorpusGate {
+  private val vocab =
+    Seq("spark", "join", "stream", "window", "query", "data", "batch")
+
+  /** Session i's four keywords: consecutive vocab entries — distinct
+    * within a session by construction.
+    */
+  val sessions: Seq[Seq[String]] =
+    (0 until 20).map(i => (0 until 4).map(k => vocab((i + k) % vocab.length)))
+
+  /** The UNION ALL oracle over the same conjunctions. */
+  def oracleSql: String = {
+    val selects = sessions.zipWithIndex.flatMap { case (words, sess) =>
+      (1 to words.length).map { qn =>
+        val conds = words.take(qn)
+          .map(w => s"contains(lower(text), '$w')").mkString(" AND ")
+        s"""SELECT CAST($sess AS INTEGER) AS sess,
+           | CAST($qn AS INTEGER) AS q, doc_id
+           | FROM documents WHERE $conds""".stripMargin.replace("\n", "")
+      }
+    }
+    selects.mkString("", " UNION ALL ", " ORDER BY sess, q, doc_id")
+  }
 }

@@ -39,9 +39,14 @@ object OlapAgent {
     */
   def apply(oracle: graft.oracle.PromptingOracle): OlapAgent =
     new OlapAgent(oracle.complete _, oracle)
+
+  final case class FilterStep(id: Int, agent: String, field: Option[String],
+      action: String)
+  final case class FilterPlan(steps: Seq[FilterStep], logic: LogicTree)
 }
 
 class OlapAgent(complete: String => String, oracle: SemanticOracle) {
+  import OlapAgent.{FilterStep, FilterPlan}
 
   // ----------------------------------------------------------- prompts
 
@@ -149,10 +154,6 @@ class OlapAgent(complete: String => String, oracle: SemanticOracle) {
 
   // ----------------------------------------------------- filter planning
 
-  final case class FilterStep(id: Int, agent: String, field: Option[String],
-      action: String)
-  final case class FilterPlan(steps: Seq[FilterStep], logic: LogicTree)
-
   /** Plan the delta filters for `nowQuery` over `historyQuery`. */
   def planFilter(columns: Seq[String], historyQuery: String,
       nowQuery: String): FilterPlan = {
@@ -172,15 +173,26 @@ class OlapAgent(complete: String => String, oracle: SemanticOracle) {
     * (dice strategy selection / slice keyword+sem), folded under the
     * plan's logic tree — the mask combination of Exection_Agent.py:181-210
     * as one codegen'd Column.
+    *
+    * `statsDf` (default: `df` itself) is the frame the dice/slice
+    * STRATEGY CHOICE profiles. Predicates are name-resolved Columns, so
+    * a session's delta execution passes the session BASE table here
+    * while filtering the cached node's frame: the column profile is the
+    * table's (the reference's Dice agent profiles table columns, not
+    * intermediate results), and the profile memo hits across every
+    * query of every session instead of re-profiling each distinct
+    * filtered frame — 1 stats job per (table, column), not per step.
     */
-  def executeFilter(df: DataFrame, plan: FilterPlan): DataFrame = {
+  def executeFilter(df: DataFrame, plan: FilterPlan,
+      statsDf: DataFrame = null): DataFrame = {
+    val sdf = Option(statsDf).getOrElse(df)
     val preds: Map[Int, Column] = plan.steps.map { s =>
       val p = s.agent match {
         case "dice" =>
           val field = s.field.getOrElse(
             sys.error(s"dice step ${s.id} without field"))
-          Dice.predicate(df, field, s.action, oracle)
-        case "slice" => Slice.predicate(df, df.columns.toSeq, s.action, oracle)
+          Dice.predicate(sdf, field, s.action, oracle)
+        case "slice" => Slice.predicate(sdf, sdf.columns.toSeq, s.action, oracle)
         case other   => sys.error(s"unknown agent '$other'")
       }
       s.id -> p
@@ -366,7 +378,8 @@ class OlapAgent(complete: String => String, oracle: SemanticOracle) {
                 val d =
                   if (deltaSteps.isEmpty) cached.df
                   else executeFilter(cached.df, FilterPlan(deltaSteps,
-                    LogicTree.Node("AND", deltaSteps.map(s => LogicTree.Leaf(s.id)))))
+                    LogicTree.Node("AND", deltaSteps.map(s => LogicTree.Leaf(s.id)))),
+                    statsDf = base)
                 (d, cached.plan ++ deltaSteps.map(s =>
                   LogicalOp.SemFilter(s.field.toSeq, s.action): LogicalOp))
               } else (executeFilter(base, plan), asOps)

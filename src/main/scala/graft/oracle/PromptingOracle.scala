@@ -14,8 +14,11 @@ package graft.oracle
   */
 abstract class PromptingOracle extends BatchedOracle {
 
-  /** One completion. Implementations own transport, retry, and rate
+  /** One completion. Implementations own the transport and rate
     * limiting; they see already-batched traffic from [[BatchedExec]].
+    * Retry/backoff and row-level failure fallback live HERE (see the
+    * resilience section below) — a transport may simply throw on
+    * failure and the oracle degrades per row, never per job.
     */
   def complete(prompt: String): String
 
@@ -61,6 +64,83 @@ abstract class PromptingOracle extends BatchedOracle {
        |Text: $text
        |Answer with a single number.""".stripMargin
 
+  // ---- transport resilience -------------------------------------------
+
+  /** Per-completion attempts before a row is given up on (>= 1). */
+  protected def maxAttempts: Int = 3
+
+  /** Base backoff between attempts; doubles per retry (50, 100, 200...). */
+  protected def retryBackoffMs: Long = 50L
+
+  /** Which failures are worth retrying. Default: every non-fatal
+    * throwable (timeouts, 5xx-shaped transport errors); fatal JVM errors
+    * always propagate.
+    */
+  protected def isTransient(e: Throwable): Boolean =
+    scala.util.control.NonFatal(e)
+
+  /** Overridable for tests (no real sleeping in specs). */
+  protected def sleep(ms: Long): Unit = Thread.sleep(ms)
+
+  /** Completions given up on after retry, per JVM (driver or executor —
+    * in local mode one process, so specs can read it directly). A
+    * non-zero value means some rows carry their CONSERVATIVE defaults
+    * (judge false / extract None / score 0.0 / summarize "") rather than
+    * an oracle answer — visible, bounded degradation instead of a failed
+    * 100 TB job over one flaky row.
+    */
+  val failedCompletions = new java.util.concurrent.atomic.LongAdder
+
+  /** One prompt with bounded retry + exponential backoff. Left = gave up
+    * (transient failures exhausted attempts, or a non-transient failure
+    * immediately).
+    */
+  private def attemptOne(prompt: String): Either[Throwable, String] = {
+    var last: Throwable = null
+    var i = 0
+    while (i < math.max(1, maxAttempts)) {
+      try return Right(complete(prompt))
+      catch {
+        case e: Throwable if isTransient(e) =>
+          last = e; i += 1
+          if (i < maxAttempts) sleep(retryBackoffMs << (i - 1))
+        case e: Throwable => return Left(e) // non-transient: no retry
+      }
+    }
+    Left(last)
+  }
+
+  /** Scalar call with ROW-level failure semantics: retry, then fall back
+    * to `default` and count it — one poisoned row must not kill the
+    * stage it rides in.
+    */
+  private def callOr[R](default: R)(prompt: String)(parse: String => R): R =
+    attemptOne(prompt) match {
+      case Right(s) => parse(s)
+      case Left(_)  => failedCompletions.increment(); default
+    }
+
+  /** Batched call with PARTIAL-BATCH failure semantics: one
+    * [[completeBatch]] attempt; if the RPC throws (or returns the wrong
+    * cardinality — a malformed batched response), fall back to per-prompt
+    * [[attemptOne]] so only the genuinely failing prompts take defaults.
+    * The whole-batch RPC is not itself retried: re-sending N prompts to
+    * retry one poisoned row is the wrong cost model; the per-row path
+    * carries the retries.
+    */
+  private def resilientBatch[R](prompts: Seq[String], default: R)(
+      parse: String => R): Seq[R] = {
+    val whole =
+      try {
+        val rs = completeBatch(prompts)
+        if (rs.length == prompts.length) Some(rs) else None
+      } catch { case e: Throwable if isTransient(e) => None }
+    whole match {
+      case Some(rs) => rs.map(parse)
+      case None => prompts.map(p => callOr(default)(p)(parse))
+    }
+  }
+
   // ---- SemanticOracle implementation over complete() ----
 
   private def yes(s: String): Boolean =
@@ -72,20 +152,21 @@ abstract class PromptingOracle extends BatchedOracle {
   }
 
   override def judge(text: String, condition: String): Boolean =
-    yes(complete(judgePrompt(text, condition)))
+    callOr(false)(judgePrompt(text, condition))(yes)
 
   override def extract(text: String, desc: String): Option[String] =
-    na(complete(extractPrompt(text, desc)))
+    callOr(Option.empty[String])(extractPrompt(text, desc))(na)
 
   override def classify(text: String, vocab: Seq[TagRule]): Option[String] =
-    na(complete(classifyPrompt(text, vocab)))
-      .filter(t => vocab.exists(_.tag == t))
+    callOr(Option.empty[String])(classifyPrompt(text, vocab))(
+      na(_).filter(t => vocab.exists(_.tag == t)))
 
   override def summarize(values: Seq[String], desc: String): String =
-    complete(summarizePrompt(values, desc)).trim
+    callOr("")(summarizePrompt(values, desc))(_.trim)
 
   override def duel(a: String, b: String, query: String): Boolean =
-    complete(duelPrompt(a, b, query)).trim.toUpperCase.startsWith("A")
+    callOr(false)(duelPrompt(a, b, query))(
+      _.trim.toUpperCase.startsWith("A"))
 
   private def parseScore(s: String): Double =
     try s.trim.toDouble match {
@@ -98,7 +179,7 @@ abstract class PromptingOracle extends BatchedOracle {
     } catch { case _: NumberFormatException => 0.0 }
 
   override def score(text: String, query: String): Double =
-    parseScore(complete(scorePrompt(text, query)))
+    callOr(0.0)(scorePrompt(text, query))(parseScore)
 
   // batched variants route through completeBatch (one RPC per batch)
 
@@ -119,25 +200,26 @@ abstract class PromptingOracle extends BatchedOracle {
 
   override def judgeBatch(texts: Seq[String], condition: String): Seq[Boolean] =
     batchNonNull(texts, false)(ts =>
-      completeBatch(ts.map(judgePrompt(_, condition))).map(yes))
+      resilientBatch(ts.map(judgePrompt(_, condition)), false)(yes))
 
   override def extractBatch(texts: Seq[String], desc: String): Seq[Option[String]] =
     batchNonNull(texts, Option.empty[String])(ts =>
-      completeBatch(ts.map(extractPrompt(_, desc))).map(na))
+      resilientBatch(ts.map(extractPrompt(_, desc)),
+        Option.empty[String])(na))
 
   override def classifyBatch(texts: Seq[String],
       vocab: Seq[TagRule]): Seq[Option[String]] =
     batchNonNull(texts, Option.empty[String])(ts =>
-      completeBatch(ts.map(classifyPrompt(_, vocab)))
-        .map(na(_).filter(t => vocab.exists(_.tag == t))))
+      resilientBatch(ts.map(classifyPrompt(_, vocab)),
+        Option.empty[String])(na(_).filter(t => vocab.exists(_.tag == t))))
 
   override def scoreBatch(texts: Seq[String], query: String): Seq[Double] =
     batchNonNull(texts, 0.0)(ts =>
-      completeBatch(ts.map(scorePrompt(_, query))).map(parseScore))
+      resilientBatch(ts.map(scorePrompt(_, query)), 0.0)(parseScore))
 
   override def duelBatch(pairs: Seq[(String, String)],
       query: String): Seq[Boolean] =
-    completeBatch(pairs.map { case (a, b) =>
+    resilientBatch(pairs.map { case (a, b) =>
       duelPrompt(Option(a).getOrElse(""), Option(b).getOrElse(""), query)
-    }).map(_.trim.toUpperCase.startsWith("A"))
+    }, false)(_.trim.toUpperCase.startsWith("A"))
 }

@@ -59,6 +59,88 @@ class PromptingOracleSpec extends SparkSpec {
     assert(!o.duel("a", "spark b", "q"))
   }
 
+  test("transient failures retry with backoff and then succeed") {
+    val attempts = new AtomicInteger(0)
+    val slept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val flaky = new PromptingOracle {
+      override def complete(prompt: String): String = {
+        if (attempts.incrementAndGet() <= 2)
+          throw new RuntimeException("transient 503")
+        "Yes"
+      }
+      override protected def sleep(ms: Long): Unit = slept += ms
+    }
+    assert(flaky.judge("text", "cond"))
+    assert(attempts.get() == 3)
+    assert(slept.toSeq == Seq(50L, 100L)) // exponential backoff
+    assert(flaky.failedCompletions.sum() == 0)
+  }
+
+  test("give-up after maxAttempts: the ROW takes its conservative " +
+      "default and is counted, the caller never sees the throw") {
+    val attempts = new AtomicInteger(0)
+    val dead = new PromptingOracle {
+      override def complete(prompt: String): String = {
+        attempts.incrementAndGet(); throw new RuntimeException("down")
+      }
+      override protected def sleep(ms: Long): Unit = ()
+    }
+    assert(!dead.judge("text", "cond"))
+    assert(attempts.get() == 3)
+    assert(dead.extract("text", "d").isEmpty)
+    assert(dead.score("text", "q") == 0.0)
+    assert(dead.summarize(Seq("a"), "d") == "")
+    assert(dead.failedCompletions.sum() == 4)
+  }
+
+  test("non-transient failures do not retry") {
+    val attempts = new AtomicInteger(0)
+    val fatal = new PromptingOracle {
+      override def complete(prompt: String): String = {
+        attempts.incrementAndGet()
+        throw new IllegalStateException("bad API key")
+      }
+      override protected def isTransient(e: Throwable): Boolean =
+        !e.isInstanceOf[IllegalStateException]
+      override protected def sleep(ms: Long): Unit = ()
+    }
+    assert(!fatal.judge("text", "cond"))
+    assert(attempts.get() == 1) // no retry on a non-transient failure
+    assert(fatal.failedCompletions.sum() == 1)
+  }
+
+  test("partial-batch: a failed batch RPC degrades to per-row calls; " +
+      "only the poisoned rows take defaults") {
+    val poisoned = new PromptingOracle {
+      override def complete(prompt: String): String =
+        if (prompt.contains("poison")) throw new RuntimeException("boom")
+        else if (prompt.linesIterator.exists(l =>
+          l.startsWith("Text:") && l.contains("spark"))) "Yes" else "No"
+      override def completeBatch(prompts: Seq[String]): Seq[String] =
+        throw new RuntimeException("batch endpoint down")
+      override protected def sleep(ms: Long): Unit = ()
+    }
+    val got = poisoned.judgeBatch(
+      Seq("spark doc", "poison doc", "flink doc"), "cond")
+    assert(got == Seq(true, false, false))
+    assert(poisoned.failedCompletions.sum() == 1) // exactly the poisoned row
+  }
+
+  test("a wrong-cardinality batched response degrades to per-row calls " +
+      "with no lost answers") {
+    val truncating = new PromptingOracle {
+      override def complete(prompt: String): String =
+        if (prompt.linesIterator.exists(l =>
+          l.startsWith("Text:") && l.contains("spark"))) "Yes" else "No"
+      override def completeBatch(prompts: Seq[String]): Seq[String] =
+        prompts.take(1).map(complete) // malformed: drops rows
+      override protected def sleep(ms: Long): Unit = ()
+    }
+    assert(truncating.judgeBatch(Seq("spark a", "b", "spark c"), "cond") ==
+      Seq(true, false, true))
+    assert(truncating.failedCompletions.sum() == 0)
+  }
+
   test("operators route a PromptingOracle through batched completions") {
     ScriptedOracle.batchCalls.set(0)
     val docs = (1 to 100).map(i =>

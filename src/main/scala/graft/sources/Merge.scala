@@ -369,18 +369,44 @@ object Merge {
     * is the correct commit criterion either way — shards are complete
     * before the root claim, exactly like data files.
     */
+  /** Parsed-manifest memo. Committed manifests are IMMUTABLE by the
+    * create-if-absent protocol, so a successful parse can be reused; the
+    * (mtime, length) of the manifest file guard the one legitimate way
+    * content changes under the same key — [[writeKeyed]] replacing the
+    * whole table (which also purges the path's entries explicitly).
+    * Commit paths walk O(versions) manifests ([[currentVersion]],
+    * [[latestTxn]]) and multi-read SQL sessions re-resolve per read;
+    * the memo turns each re-walk into one getFileStatus per version
+    * instead of a read+JSON-parse. Bounded; whole-map eviction.
+    */
+  private val manifestCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Boolean, Long, Long), Manifest]
+  private val maxManifestCacheEntries = 8192
+
+  private def dropCachedManifests(root: Path): Unit = {
+    val prefix = root.toString
+    manifestCache.keySet.removeIf(_._1.startsWith(prefix))
+  }
+
   private def readManifestOpt(spark: SparkSession, root: Path,
       version: Long, resolveShards: Boolean = true): Option[Manifest] = {
     val p = new Path(logPath(root), s"v$version.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return None
+    val stat =
+      try fs.getFileStatus(p)
+      catch { case _: java.io.FileNotFoundException => return None }
+    val cacheKey = (root.toString, version, resolveShards,
+      stat.getModificationTime, stat.getLen)
+    val cached = manifestCache.get(cacheKey)
+    if (cached != null) return Some(cached)
     val body =
       try {
         val in = fs.open(p)
         try new String(in.readAllBytes(), "UTF-8") finally in.close()
       } catch { case _: java.io.IOException => return None }
     import org.json4s._
-    scala.util.Try(org.json4s.jackson.JsonMethods.parse(body)).toOption
+    val parsed = scala.util.Try(
+      org.json4s.jackson.JsonMethods.parse(body)).toOption
       .flatMap { j =>
         def str(f: String): Option[String] = j \ f match {
           case JString(s) => Some(s); case _ => None
@@ -477,6 +503,11 @@ object Merge {
           case _ => None // truncated or foreign body: not committed
         }
       }
+    parsed.foreach { m =>
+      if (manifestCache.size > maxManifestCacheEntries) manifestCache.clear()
+      manifestCache.put(cacheKey, m)
+    }
+    parsed
   }
 
   private def readManifest(spark: SparkSession, root: Path,
@@ -576,6 +607,7 @@ object Merge {
     require(manifestShardSpan >= 0, "manifestShardSpan must be >= 0")
     val (fs, root) = fsFor(df.sparkSession, path)
     if (fs.exists(root)) fs.delete(root, true) // fresh table, fresh log
+    dropCachedManifests(root) // replaced table: stale memo entries out
     bucketPartitioned(
       df.withColumn("__bucket", bucketCol(keyCol, nBuckets)),
       filesPerBucket, nBuckets, sortKey = Some(keyCol))

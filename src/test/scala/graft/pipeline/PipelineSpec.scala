@@ -591,6 +591,79 @@ class SimilaritySpec extends SparkSpec {
     assert(third != 10L && third != 2L)
   }
 
+  test("IvfPq compact folds tombstones physically, is snapshot-isolated " +
+      "from a probe in flight, and vacuum reclaims superseded files") {
+    val pts = Seq(
+      (1L, vec(1, 0, 1, 0)), (2L, vec(0.9, 0, 0.9, 0)),
+      (3L, vec(0, 1, 0, 1)), (4L, vec(0, 0.9, 0, 0.9)),
+      (10L, vec(1, 0, 1, 0))) // exact copy of 1
+      .toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_cmp").toString
+    Similarity.IvfPq.save(Similarity.IvfPq.build(pts, "vec_id", "embedding",
+      dim = 4, cells = 2, m = 2, kSub = 4, sampleN = 100, iters = 5), path)
+    Similarity.IvfPq.append(Seq((20L, vec(0, 1, 0, 0.9)))
+      .toDF("vec_id", "embedding"), "vec_id", "embedding", path)
+    Similarity.IvfPq.remove(Seq(10L).toDF("vec_id"), "vec_id", path)
+    val q = pts.filter($"vec_id" === 1L)
+    // a probe RESOLVED before the compaction (pre-compact snapshot)
+    val inFlight = Similarity.IvfPq.topKPersisted(spark, path, q,
+      "vec_id", "embedding", k = 3, nProbe = 2)
+    val want = inFlight.select("neighbor_id").as[Long].collect().toSet
+    Similarity.IvfPq.compact(spark, path)
+    // snapshot isolation: the in-flight probe still reads its file set
+    assert(inFlight.select("neighbor_id").as[Long].collect().toSet == want)
+    // post-compact probes agree, and the tombstoned row is GONE from
+    // the committed codes (physically folded, deletes cleared)
+    val after = Similarity.IvfPq.topKPersisted(spark, path, q,
+      "vec_id", "embedding", k = 3, nProbe = 2)
+    assert(after.select("neighbor_id").as[Long].collect().toSet == want)
+    Similarity.IvfPq.vacuum(spark, path)
+    assert(spark.read.parquet(s"$path/codes")
+      .filter($"neighbor_id" === 10L).count() == 0,
+      "compact+vacuum must drop tombstoned rows physically")
+    // still probed correctly off the compacted single version; the
+    // appended vector survived the rewrite
+    val q3 = pts.filter($"vec_id" === 3L)
+    assert(Similarity.IvfPq.topKPersisted(spark, path, q3, "vec_id",
+      "embedding", k = 3, nProbe = 2).select("neighbor_id").as[Long]
+      .collect().contains(20L))
+  }
+
+  test("IvfIndex compact coarsens append files; probes identical; " +
+      "vacuum reclaims") {
+    val path = java.nio.file.Files.createTempDirectory("ivf_cmp").toString
+    Similarity.IvfIndex.build(corpus, "vec_id", "embedding", cells = 2,
+      path, sampleN = 100, iters = 5)
+    // several small appends -> file accumulation per cell
+    (0 until 3).foreach { i =>
+      Similarity.IvfIndex.append(spark, path,
+        Seq((300L + i, vec(0.1 * i + 0.2, 1 - 0.1 * i, 0.3)))
+          .toDF("vec_id", "embedding"), "vec_id", "embedding")
+    }
+    val queries = corpus.filter(col("vec_id") <= 2L)
+    val before = Similarity.IvfIndex.topK(spark, path, queries,
+      "vec_id", "vec_id", "embedding", k = 3, nProbe = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().sortBy(t => (t._1, t._3)).toSeq
+    Similarity.IvfIndex.compact(spark, path)
+    Similarity.IvfIndex.vacuum(spark, path)
+    val after = Similarity.IvfIndex.topK(spark, path, queries,
+      "vec_id", "vec_id", "embedding", k = 3, nProbe = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().sortBy(t => (t._1, t._3)).toSeq
+    assert(after == before, "compact+vacuum must not change probe results")
+    // the corpus dir holds only the compacted files now
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val files = walk(new java.io.File(s"$path/corpus"))
+      .filter(_.getName.endsWith(".parquet"))
+    // repartition(nCells, cell) + partitionBy(cell): at most one file
+    // per (shuffle partition, cell) pair — far below the 1 build + 3
+    // append file sets it replaced
+    assert(files.size <= 4, s"expected <=4 compacted files, got " +
+      s"${files.size}")
+  }
+
   test("IvfPq refine: full probe + full refine equals brute force " +
       "exactly; shortlist fetch broadcasts, corpus never shuffles") {
     val pts = (0L until 24L).map { i =>

@@ -295,5 +295,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           strLit(c.head, "path"), longLit(c(1), "fromVersion"),
           longLit(c(2), "toVersion"))
       })
+    // multi-table catalog reads: every graft_catalog_table() call in one
+    // statement that names the same catalog resolves its OWN latest
+    // state — for a guaranteed single snapshot across members, pin the
+    // catalog version explicitly with graft_catalog_table_at
+    registerTableFn("graft_catalog_table",
+      "usage: graft_catalog_table('catRoot', 'table')", c => {
+        require(c.size == 2, "takes 2 arguments")
+        graft.sources.TableCatalog.readTable(
+          org.apache.spark.sql.SparkSession.active,
+          strLit(c.head, "catRoot"), strLit(c(1), "table"))
+      })
+    registerTableFn("graft_catalog_table_at",
+      "usage: graft_catalog_table_at('catRoot', 'table', catVersion)", c => {
+        require(c.size == 3, "takes 3 arguments")
+        val s = org.apache.spark.sql.SparkSession.active
+        val root = strLit(c.head, "catRoot")
+        graft.sources.TableCatalog.readTable(s, root, strLit(c(1), "table"),
+          Some(graft.sources.TableCatalog.stateAt(s, root,
+            longLit(c(2), "catVersion"))))
+      })
+    registerTableFn("graft_catalog_history",
+      "usage: graft_catalog_history('catRoot')", c => {
+        require(c.size == 1, "takes 1 argument")
+        graft.sources.TableCatalog.history(
+          org.apache.spark.sql.SparkSession.active, strLit(c.head, "catRoot"))
+      })
   }
 }

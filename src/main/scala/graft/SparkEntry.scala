@@ -1420,6 +1420,71 @@ object SparkEntry {
         s"history must keep the mistake and the recovery: $ops")
       Merge.readKeyed(s, path).orderBy("p_partkey")
     }),
+    "q_txn_catalog" -> ((s, dir) => {
+      // MULTI-TABLE ATOMIC TRANSACTION (the Iceberg-REST-catalog move;
+      // Delta lacks it): an order batch and its per-customer rollup
+      // commit to TWO Merge tables behind ONE catalog claim. Required
+      // in-gate: (1) a transaction crashed between its table commits is
+      // invisible through the catalog — both members still read the
+      // pre-crash state — and recover() rolls the half-applied member
+      // back; (2) the published snapshot is cross-table consistent —
+      // re-aggregating the pinned fact table reproduces the pinned
+      // rollup exactly. Final state ≡ the oracle's replay of base+batch.
+      import graft.sources.{Merge, TableCatalog}
+      val root = new java.io.File(scratchRoot,
+        s"graft_txn_cat_${new java.io.File(dir).getName}")
+      // the gate REBUILDS its world each run (bench reruns it in one
+      // JVM): a leftover catalog log would refuse create
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      val ordPath = new java.io.File(root, "ord").getAbsolutePath
+      val statsPath = new java.io.File(root, "stats").getAbsolutePath
+      val catPath = new java.io.File(root, "cat").getAbsolutePath
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      def rollup(of: DataFrame): DataFrame = of.groupBy("o_custkey")
+        .agg(count(lit(1)).as("order_cnt"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total_spend"))
+      Merge.writeKeyed(orders, ordPath, "o_orderkey", nBuckets = 16)
+      Merge.writeKeyed(rollup(orders), statsPath, "o_custkey", nBuckets = 16)
+      TableCatalog.create(s, catPath,
+        Map("ord" -> ordPath, "stats" -> statsPath))
+      val batch = orders.filter(col("o_orderkey") % 100 === 7)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val affected = batch.select("o_custkey").distinct()
+      val statsDelta = rollup(orders.unionByName(batch)
+        .join(affected, Seq("o_custkey")))
+      TableCatalog.transact(s, catPath, Seq(
+        TableCatalog.TxnUpsert("ord", batch),
+        TableCatalog.TxnUpsert("stats", statsDelta)))
+      // a transaction that dies between its two table commits must be
+      // invisible: both members still read the committed snapshot
+      val before = TableCatalog.state(s, catPath)
+      TableCatalog.opFence =
+        tbl => if (tbl == "ord") throw new RuntimeException("crash")
+      val crashed =
+        try {
+          TableCatalog.transact(s, catPath, Seq(
+            TableCatalog.TxnDelete("ord", col("o_custkey").isNotNull),
+            TableCatalog.TxnUpsert("stats",
+              statsDelta.limit(1).withColumn("order_cnt", lit(-1L)))))
+          false
+        } catch { case _: RuntimeException => true }
+        finally TableCatalog.opFence = _ => ()
+      require(crashed, "the injected crash must abort the transaction")
+      require(TableCatalog.state(s, catPath).version == before.version,
+        "a crashed transaction must not advance the catalog")
+      require(TableCatalog.recover(s, catPath) == Seq("ord"),
+        "recover must roll the half-applied member back to its pin")
+      val snap = TableCatalog.state(s, catPath)
+      val ordRead = TableCatalog.readTable(s, catPath, "ord", Some(snap))
+      val statsRead = TableCatalog.readTable(s, catPath, "stats", Some(snap))
+      require(statsRead.except(rollup(ordRead)).count() == 0 &&
+        rollup(ordRead).except(statsRead).count() == 0,
+        "the pinned rollup must equal the pinned fact table's aggregate")
+      statsRead.orderBy("o_custkey")
+    }),
     "q_merge_sharded" -> ((s, dir) => {
       // SHARDED MANIFESTS end-to-end (the Iceberg manifest-list move):
       // a 32-bucket table with 2-bucket manifest shards (16 shard
@@ -4486,6 +4551,21 @@ object SparkEntry {
          ORDER BY p_partkey, op""",
     // restore rolls the delete back: the final image is v1's — the
     // price bump applied, every brand present
+    // the catalog-published snapshot ≡ replaying base + the ingested
+    // batch (the crashed transaction's delete must contribute NOTHING)
+    "q_txn_catalog" ->
+      """WITH batch AS (
+           SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey,
+                  o_totalprice * 2 AS o_totalprice
+           FROM orders WHERE o_orderkey % 100 = 7
+         ), allord AS (
+           SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+           UNION ALL SELECT o_orderkey, o_custkey, o_totalprice FROM batch
+         )
+         SELECT o_custkey, COUNT(*) AS order_cnt,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS total_spend
+         FROM allord GROUP BY o_custkey ORDER BY o_custkey""",
     "q_merge_restore" ->
       """SELECT p_partkey, p_brand,
                 CASE WHEN p_partkey % 10 = 1 THEN

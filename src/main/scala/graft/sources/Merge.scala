@@ -547,6 +547,20 @@ object Merge {
       .getOrElse(-1L)
   }
 
+  /** The table's recorded bucketing layout `(keyCol, nBuckets)`, fixed at
+    * [[writeKeyed]] time — None for a pre-layout manifest. Lets a caller
+    * (e.g. [[TableCatalog.transact]]) build an upsert without re-stating
+    * the layout it cannot legally change anyway.
+    */
+  def tableLayout(spark: SparkSession, path: String): Option[(String, Int)] = {
+    val (_, root) = fsFor(spark, path)
+    val v = currentVersion(spark, path)
+    require(v >= 0, s"$path has no version log")
+    readManifestOpt(spark, root, v, resolveShards = false)
+      .flatMap(_.layout)
+  }
+
+
   /** Per-file min/max stats for bucket-partitioned parquet under `dir`,
     * keyed by the table-relative `__bucket=N/<file>` name — one aggregate
     * job over just-written (hot) data; result rows bounded by

@@ -148,26 +148,34 @@ object TxLog {
     */
   def commit(spark: SparkSession, root: String, s: State): Unit = {
     val (fs, r) = fsFor(spark, root)
-    val dir = logDir(r)
+    claimVersion(fs, logDir(r), s.version, body(s))
+  }
+
+  /** The create-if-absent version claim itself, shared with every other
+    * versioned log in the engine ([[TableCatalog]]'s catalog log): write
+    * `bytes` as `<dir>/v<version>.json` atomically-and-all-or-nothing,
+    * throwing [[LostRace]] when the version is already claimed.
+    */
+  private[sources] def claimVersion(fs: FileSystem, dir: Path,
+      version: Long, bytes: Array[Byte]): Unit = {
     if (!fs.exists(dir)) fs.mkdirs(dir)
-    val target = new Path(dir, s"v${s.version}.json")
-    val bytes = body(s)
+    val target = new Path(dir, s"v$version.json")
     if ("file" == target.getFileSystem(fs.getConf).getScheme) {
       // local fs: create(overwrite=false) is check-then-create; hard-link
       // a fully written temp file instead — atomic and all-or-nothing
       val tmp = java.nio.file.Paths.get(dir.toUri.getPath,
-        s".tmp_v${s.version}_${java.util.UUID.randomUUID}.json")
+        s".tmp_v${version}_${java.util.UUID.randomUUID}.json")
       java.nio.file.Files.write(tmp, bytes)
       try java.nio.file.Files.createLink(
         java.nio.file.Paths.get(target.toUri.getPath), tmp)
       catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          throw new LostRace(s.version)
+          throw new LostRace(version)
       } finally java.nio.file.Files.deleteIfExists(tmp)
     } else {
       val out =
         try fs.create(target, false)
-        catch { case _: java.io.IOException => throw new LostRace(s.version) }
+        catch { case _: java.io.IOException => throw new LostRace(version) }
       try out.write(bytes) finally out.close()
     }
   }

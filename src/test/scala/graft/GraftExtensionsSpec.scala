@@ -157,4 +157,41 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(err.getMessage.contains("graft_table"))
     } finally SparkSession.clearActiveSession()
   }
+
+  test("catalog table functions read the pinned snapshot from SQL") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ext_cat").toFile
+    dir.deleteOnExit()
+    val aPath = new java.io.File(dir, "a").getAbsolutePath
+    val cat = new java.io.File(dir, "cat").getAbsolutePath
+    SparkSession.setActiveSession(spark)
+    try {
+      graft.sources.Merge.writeKeyed(
+        (0L until 10L).map(i => (i, i * 1.0)).toDF("id", "v"),
+        aPath, "id", nBuckets = 2)
+      graft.sources.TableCatalog.create(spark, cat, Map("a" -> aPath))
+      graft.sources.TableCatalog.transact(spark, cat, Seq(
+        graft.sources.TableCatalog.TxnUpsert("a",
+          Seq((1L, 111.0)).toDF("id", "v"))))
+      // an orphan above the pin (a crashed transaction's leftovers)
+      // must stay invisible to the SQL surface
+      graft.sources.Merge.upsert(spark, aPath,
+        Seq((2L, -2.0)).toDF("id", "v"), "id", 2)
+      assert(spark.sql(
+        s"SELECT v FROM graft_catalog_table('$cat', 'a') WHERE id = 1")
+        .as[Double].head() == 111.0)
+      assert(spark.sql(
+        s"SELECT v FROM graft_catalog_table('$cat', 'a') WHERE id = 2")
+        .as[Double].head() == 2.0, "the orphan write must not show")
+      assert(spark.sql(
+        s"SELECT v FROM graft_catalog_table_at('$cat', 'a', 0) WHERE id = 1")
+        .as[Double].head() == 1.0)
+      val hist = spark.sql(
+        s"SELECT cat_version, op FROM graft_catalog_history('$cat') " +
+        "ORDER BY cat_version")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(hist == Seq((0L, "create"), (1L, "transact")))
+    } finally SparkSession.clearActiveSession()
+  }
 }

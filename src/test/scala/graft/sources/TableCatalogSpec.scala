@@ -1,0 +1,217 @@
+package graft.sources
+
+import java.io.File
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Multi-table atomic transactions: all-or-nothing visibility through
+  * the catalog, crash-orphan rollback, optimistic serialization of
+  * racing transactions, and pin-safe vacuum — the cross-table
+  * guarantees no single member log can give.
+  */
+class TableCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(tag: String): File = {
+    val d = Files.createTempDirectory(s"graft_cat_spec_$tag").toFile
+    d.deleteOnExit()
+    d
+  }
+
+  /** Two members: accounts(id, balance) and audit(id, total_moves). */
+  private def fixture(tag: String): (String, String, String) = {
+    val root = freshRoot(tag)
+    val accounts = new File(root, "accounts").getAbsolutePath
+    val audit = new File(root, "audit").getAbsolutePath
+    val cat = new File(root, "cat").getAbsolutePath
+    Merge.writeKeyed((0L until 20L).map(i => (i, 100.0 * i))
+      .toDF("id", "balance"), accounts, "id", nBuckets = 4)
+    Merge.writeKeyed(Seq((0L, 0L)).toDF("id", "total_moves"),
+      audit, "id", nBuckets = 2)
+    TableCatalog.create(spark, cat,
+      Map("accounts" -> accounts, "audit" -> audit))
+    (cat, accounts, audit)
+  }
+
+  private def balances(cat: String): Map[Long, Double] =
+    TableCatalog.readTable(spark, cat, "accounts")
+      .select("id", "balance").as[(Long, Double)].collect().toMap
+
+  private def moves(cat: String): Long =
+    TableCatalog.readTable(spark, cat, "audit")
+      .filter($"id" === 0L).select("total_moves").as[Long].head()
+
+  test("transact applies every op and publishes them together") {
+    val (cat, _, _) = fixture("apply")
+    val st = TableCatalog.transact(spark, cat, Seq(
+      TableCatalog.TxnUpsert("accounts",
+        Seq((3L, 999.0), (50L, 42.0)).toDF("id", "balance")),
+      TableCatalog.TxnUpsert("audit", Seq((0L, 1L)).toDF("id", "total_moves")),
+      TableCatalog.TxnDelete("accounts", col("id") === 7L)))
+    assert(st.version == 1L && st.op == "transact")
+    val b = balances(cat)
+    assert(b(3L) == 999.0 && b(50L) == 42.0 && !b.contains(7L) &&
+      b.size == 20 && moves(cat) == 1L)
+    // one snapshot resolution serves multiple members consistently
+    val snap = TableCatalog.state(spark, cat)
+    assert(TableCatalog.readTable(spark, cat, "audit", Some(snap))
+      .count() == 1L)
+  }
+
+  test("a crash between table commits stays invisible; recover rolls back") {
+    val (cat, accounts, _) = fixture("crash")
+    val boom = new RuntimeException("crash after first table op")
+    TableCatalog.opFence = t => if (t == "accounts") throw boom
+    val thrown = intercept[RuntimeException] {
+      TableCatalog.transact(spark, cat, Seq(
+        TableCatalog.TxnUpsert("accounts",
+          Seq((1L, -1.0)).toDF("id", "balance")),
+        TableCatalog.TxnUpsert("audit",
+          Seq((0L, 99L)).toDF("id", "total_moves"))))
+    }
+    TableCatalog.opFence = _ => ()
+    assert(thrown eq boom)
+    // the half-applied accounts version exists on the member log...
+    assert(Merge.currentVersion(spark, accounts) == 1L)
+    assert(Merge.readKeyed(spark, accounts).filter($"id" === 1L)
+      .select("balance").as[Double].head() == -1.0)
+    // ...but the catalog shows the pre-transaction state of BOTH tables
+    assert(TableCatalog.state(spark, cat).version == 0L)
+    assert(balances(cat)(1L) == 100.0 && moves(cat) == 0L)
+    // recover restores the member log to the pin (direct readers converge)
+    assert(TableCatalog.recover(spark, cat) == Seq("accounts"))
+    assert(Merge.readKeyed(spark, accounts).filter($"id" === 1L)
+      .select("balance").as[Double].head() == 100.0)
+    // and a later transaction applies cleanly on the published state
+    TableCatalog.transact(spark, cat, Seq(
+      TableCatalog.TxnUpsert("accounts",
+        Seq((1L, 111.0)).toDF("id", "balance")),
+      TableCatalog.TxnUpsert("audit",
+        Seq((0L, 1L)).toDF("id", "total_moves"))))
+    assert(balances(cat)(1L) == 111.0 && moves(cat) == 1L)
+  }
+
+  test("an orphan from a crashed transact is discarded by the next one") {
+    val (cat, accounts, _) = fixture("orphan")
+    // simulate the crash by mutating the member directly (what a dead
+    // transaction leaves behind): NOT a catalog write
+    Merge.upsert(spark, accounts, Seq((2L, -2.0)).toDF("id", "balance"),
+      "id", nBuckets = 4)
+    assert(balances(cat)(2L) == 200.0, "catalog read must ignore the orphan")
+    TableCatalog.transact(spark, cat, Seq(
+      TableCatalog.TxnUpsert("accounts",
+        Seq((5L, 555.0)).toDF("id", "balance"))))
+    val b = balances(cat)
+    assert(b(5L) == 555.0)
+    assert(b(2L) == 200.0,
+      "the published pin must not smuggle the orphan's write")
+  }
+
+  test("racing transactions serialize: loser redoes on the winner's pins") {
+    val (cat, _, _) = fixture("race")
+    // the first claim attempt loses: a competing transaction commits the
+    // same catalog version underneath it
+    var injected = false
+    TableCatalog.catFence = () => {
+      if (!injected) {
+        injected = true
+        val fence = TableCatalog.catFence
+        TableCatalog.catFence = () => ()
+        try TableCatalog.transact(spark, cat, Seq(
+          TableCatalog.TxnUpsert("accounts",
+            Seq((10L, 1010.0)).toDF("id", "balance"))))
+        finally TableCatalog.catFence = fence
+      }
+    }
+    try {
+      TableCatalog.transact(spark, cat, Seq(
+        TableCatalog.TxnUpsert("accounts",
+          Seq((11L, 1111.0)).toDF("id", "balance")),
+        TableCatalog.TxnUpsert("audit",
+          Seq((0L, 1L)).toDF("id", "total_moves"))))
+    } finally TableCatalog.catFence = () => ()
+    val b = balances(cat)
+    assert(b(10L) == 1010.0, "the winner's write survives")
+    assert(b(11L) == 1111.0 && moves(cat) == 1L,
+      "the loser's whole transaction lands after redo")
+    assert(TableCatalog.state(spark, cat).version == 2L)
+  }
+
+  test("catalog time travel: stateAt/stateAsOf pin every member at once") {
+    val (cat, _, _) = fixture("tt")
+    TableCatalog.transact(spark, cat, Seq(
+      TableCatalog.TxnUpsert("accounts",
+        Seq((4L, 4.0)).toDF("id", "balance")),
+      TableCatalog.TxnUpsert("audit",
+        Seq((0L, 1L)).toDF("id", "total_moves"))))
+    val v0 = TableCatalog.stateAt(spark, cat, 0L)
+    assert(TableCatalog.readTable(spark, cat, "accounts", Some(v0))
+      .filter($"id" === 4L).select("balance").as[Double].head() == 400.0)
+    assert(TableCatalog.readTable(spark, cat, "audit", Some(v0))
+      .select("total_moves").as[Long].head() == 0L)
+    val t1 = TableCatalog.state(spark, cat).ts
+    assert(TableCatalog.stateAsOf(spark, cat, t1).version == 1L)
+    assert(TableCatalog.stateAsOf(spark, cat, t1 - 1).version == 0L)
+    val h = TableCatalog.history(spark, cat)
+    assert(h.count() == 4L) // 2 catalog versions x 2 member pins
+    assert(h.filter($"cat_version" === 1L && $"table" === "accounts")
+      .select("table_version").as[Long].head() == 1L)
+  }
+
+  test("vacuum keeps every pinned member version readable") {
+    val (cat, accounts, _) = fixture("vac")
+    for (i <- 1 to 3)
+      TableCatalog.transact(spark, cat, Seq(
+        TableCatalog.TxnUpsert("accounts",
+          Seq((i.toLong, i * 1.0)).toDF("id", "balance"))))
+    // leave an orphan ABOVE the pin, then vacuum: the pinned version's
+    // files must survive even though the member log's latest is the orphan
+    Merge.upsert(spark, accounts, Seq((0L, -0.5)).toDF("id", "balance"),
+      "id", nBuckets = 4)
+    TableCatalog.vacuum(spark, cat, keepCatalogVersions = 2)
+    val b = balances(cat)
+    assert(b(3L) == 3.0 && b(0L) == 0.0 && b.size == 20)
+    // the retained previous catalog version still reads consistently
+    val prev = TableCatalog.stateAt(spark, cat,
+      TableCatalog.state(spark, cat).version - 1)
+    assert(TableCatalog.readTable(spark, cat, "accounts", Some(prev))
+      .filter($"id" === 3L).select("balance").as[Double].head() == 300.0)
+  }
+
+  test("txn-stamped transactions are exactly-once under replay") {
+    val (cat, _, _) = fixture("txn")
+    def applyBatch(batch: Long): Unit =
+      TableCatalog.transact(spark, cat, Seq(
+        TableCatalog.TxnUpsert("accounts",
+          Seq((batch, batch * 1.0)).toDF("id", "balance")),
+        TableCatalog.TxnUpsert("audit",
+          Seq((0L, batch)).toDF("id", "total_moves"))),
+        txn = Some(("app", batch)))
+    applyBatch(1); applyBatch(2)
+    val v = TableCatalog.state(spark, cat).version
+    val balBefore = balances(cat)
+    // checkpoint-lost replay: both batches re-arrive and must no-op on
+    // EVERY member at once
+    applyBatch(1); applyBatch(2)
+    assert(TableCatalog.state(spark, cat).version == v &&
+      balances(cat) == balBefore && moves(cat) == 2L)
+    assert(TableCatalog.latestTxn(spark, cat, "app").contains(2L))
+    assert(TableCatalog.latestTxn(spark, cat, "other").isEmpty)
+    applyBatch(3) // the next genuine batch still lands
+    assert(TableCatalog.state(spark, cat).version == v + 1 &&
+      moves(cat) == 3L)
+  }
+
+  test("readTableWhere prunes through the pin; layout drives the upsert") {
+    val (cat, accounts, _) = fixture("where")
+    assert(Merge.tableLayout(spark, accounts).contains(("id", 4)))
+    val got = TableCatalog.readTableWhere(spark, cat, "accounts",
+      col("id") === 13L)
+    assert(got.select("balance").as[Double].head() == 1300.0)
+    intercept[IllegalArgumentException] {
+      TableCatalog.readTable(spark, cat, "nope")
+    }
+  }
+}

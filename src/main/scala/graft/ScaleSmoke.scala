@@ -133,6 +133,42 @@ object ScaleSmoke {
         time(s"ivfpq_probe")(graft.pipeline.Similarity.IvfPq.topKPersisted(
           spark, path, queries, "qid", "embedding", k = 10, nProbe = 2))
     }
+
+    // ---- TableCatalog (r9): a FIXED-SIZE cross-table transaction (fact
+    // batch + its rollup, CHECK-constrained) must stay flat across table
+    // sizes — its cost is the two members' touched buckets plus one
+    // catalog JSON claim; nothing scales with the corpus.
+    Seq(("1x", docs, 64), (s"${factor}x", inflated, 64 * factor)).foreach {
+      case (tag, d, buckets) =>
+        println(s"--- $tag txn_catalog (nBuckets=$buckets)")
+        val factPath = s"/tmp/graft_scale_cat_fact_$tag"
+        val statPath = s"/tmp/graft_scale_cat_stat_$tag"
+        val catPath = s"/tmp/graft_scale_cat_log_$tag"
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(catPath))
+        timed(s"cat_members_write")({
+          graft.sources.Merge.writeKeyed(d, factPath, "doc_id", buckets,
+            constraints = Seq(("id_notnull", "doc_id IS NOT NULL")))
+          graft.sources.Merge.writeKeyed(
+            d.groupBy((col("doc_id") % 997).as("grp"))
+              .agg(count(lit(1)).as("cnt")), statPath, "grp", 64)
+          graft.sources.TableCatalog.create(spark, catPath,
+            Map("fact" -> factPath, "stats" -> statPath))
+        })
+        val batch = d.limit(500)
+          .withColumn("text", concat(col("text"), lit(" upd")))
+          .localCheckpoint(true)
+        timed(s"cat_transact")({
+          val st = graft.sources.TableCatalog.transact(spark, catPath, Seq(
+            graft.sources.TableCatalog.TxnUpsert("fact", batch),
+            graft.sources.TableCatalog.TxnUpsert("stats",
+              batch.groupBy((col("doc_id") % 997).as("grp"))
+                .agg(count(lit(1)).as("cnt")))))
+          println(s"SCALE   catalog v${st.version} pins " +
+            st.pins.toSeq.sortBy(_._1)
+              .map { case (n, p) => s"$n@v${p.version}" }.mkString(", "))
+        })
+    }
     spark.stop()
   }
 }

@@ -1420,6 +1420,54 @@ object SparkEntry {
         s"history must keep the mistake and the recovery: $ops")
       Merge.readKeyed(s, path).orderBy("p_partkey")
     }),
+    "q_merge_constraints" -> ((s, dir) => {
+      // CHECK CONSTRAINTS (Delta's ALTER TABLE ... ADD CONSTRAINT): the
+      // table refuses, at COMMIT time, any batch that breaks a recorded
+      // invariant — enforcement costs one pass over the batch, never
+      // the table. Required in-gate: (1) the violating batch throws and
+      // the version does not advance — even its valid rows are rolled
+      // back with it; (2) addConstraint validates the whole existing
+      // table before committing metadata-only. Final state ≡ base +
+      // the one clean batch.
+      import graft.sources.Merge
+      val path = new java.io.File(scratchRoot,
+        s"graft_merge_ck_${new java.io.File(dir).getName}").getAbsolutePath
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      Merge.writeKeyed(orders, path, "o_orderkey", nBuckets = 16,
+        constraints = Seq(("price_pos", "o_totalprice > 0")))
+      val good = orders.filter(col("o_orderkey") % 50 === 3)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(2000000000L))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      Merge.upsert(s, path, good, "o_orderkey", nBuckets = 16)
+      val vBefore = Merge.currentVersion(s, path)
+      val bad = orders.limit(5)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(3000000000L))
+        .withColumn("o_totalprice", lit(-1.0))
+        .unionByName(orders.limit(1)) // a valid row rides the bad batch
+      val refused =
+        try { Merge.upsert(s, path, bad, "o_orderkey", nBuckets = 16); false }
+        catch { case _: Merge.ConstraintViolation => true }
+      require(refused, "a violating batch must be refused")
+      require(Merge.currentVersion(s, path) == vBefore,
+        "a refused batch must not advance the version — not even its " +
+        "valid rows")
+      val v2 = Merge.addConstraint(s, path, "cust_notnull",
+        "o_custkey IS NOT NULL") // validates all current rows: they pass
+      require(v2 == vBefore + 1, "addConstraint commits metadata-only")
+      val badNull = orders.limit(3)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(4000000000L))
+        .withColumn("o_custkey", lit(null).cast("long"))
+      val refusedNull =
+        try {
+          Merge.upsert(s, path, badNull, "o_orderkey", nBuckets = 16); false
+        } catch { case _: Merge.ConstraintViolation => true }
+      require(refusedNull, "the NOT NULL constraint must bite")
+      require(Merge.tableConstraints(s, path).map(_._1) ==
+        Seq("price_pos", "cust_notnull"),
+        "both constraints must be recorded in the manifest")
+      Merge.readKeyed(s, path).orderBy("o_orderkey")
+    }),
     "q_txn_catalog" -> ((s, dir) => {
       // MULTI-TABLE ATOMIC TRANSACTION (the Iceberg-REST-catalog move;
       // Delta lacks it): an order batch and its per-customer rollup
@@ -4551,6 +4599,14 @@ object SparkEntry {
          ORDER BY p_partkey, op""",
     // restore rolls the delete back: the final image is v1's — the
     // price bump applied, every brand present
+    // final table ≡ base + the one clean batch: both refused batches
+    // (negative price, null custkey) must contribute NOTHING
+    "q_merge_constraints" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         UNION ALL
+         SELECT o_orderkey + 2000000000, o_custkey, o_totalprice * 2
+         FROM orders WHERE o_orderkey % 50 = 3
+         ORDER BY o_orderkey""",
     // the catalog-published snapshot ≡ replaying base + the ingested
     // batch (the crashed transaction's delete must contribute NOTHING)
     "q_txn_catalog" ->

@@ -152,7 +152,11 @@ object Merge {
       // as READ from / WRITTEN to the log — in memory `files`/`stats`
       // are always the fully resolved view either way.
       shardSpan: Int = 0,
-      shardIds: Seq[(Long, String)] = Seq.empty)
+      shardIds: Seq[(Long, String)] = Seq.empty,
+      // CHECK constraints (name -> SQL boolean expression) every row of
+      // the table satisfies — enforced on each incoming batch at commit
+      // time (see [[upsert]]) and on the whole table at [[addConstraint]]
+      constraints: Seq[(String, String)] = Seq.empty)
 
   /** The commit timestamp for a child of `parent`: wall clock, forced
     * STRICTLY increasing along the version chain (max(parent+1, now)) so
@@ -230,9 +234,14 @@ object Merge {
       .getOrElse("") +
       (if (m.rowsUpserted >= 0) s""","rowsUp":${m.rowsUpserted}""" else "") +
       (if (m.rowsDeleted >= 0) s""","rowsDel":${m.rowsDeleted}""" else "")
+    val constraintsField =
+      if (m.constraints.isEmpty) ""
+      else s""","constraints":""" + m.constraints.map { case (n, e) =>
+        s"""{"n":"${jsonEscape(n)}","e":"${jsonEscape(e)}"}"""
+      }.mkString("[", ",", "]")
     (s"""{"version":${m.version},"parent":${m.parent},""" +
       s"""$filesField$schemaField$txnField$layoutField$statsFields""" +
-      s"""$tsField$opField}""").getBytes("UTF-8")
+      s"""$tsField$opField$constraintsField}""").getBytes("UTF-8")
   }
 
   /** One shard's body: the files of its bucket range plus their stats
@@ -490,6 +499,15 @@ object Merge {
                 parseStats(j \ "stats"), Seq.empty))
             case _ => None
           }
+        val constraints = j \ "constraints" match {
+          case JArray(xs) => xs.flatMap { e =>
+            (e \ "n", e \ "e") match {
+              case (JString(n), JString(ex)) => Some((n, ex))
+              case _ => None
+            }
+          }
+          case _ => Nil
+        }
         (num("version"), num("parent"), resolved) match {
           case (Some(v), Some(par), Some((fl, stats, shardIds))) =>
             Some(Manifest(v, par, fl, str("dataSchema"),
@@ -499,7 +517,8 @@ object Merge {
               statsCols, stats, num("ts").getOrElse(-1L),
               str("op"), num("rowsUp").getOrElse(-1L),
               num("rowsDel").getOrElse(-1L),
-              shardSpan = shardSpan, shardIds = shardIds))
+              shardSpan = shardSpan, shardIds = shardIds,
+              constraints = constraints))
           case _ => None // truncated or foreign body: not committed
         }
       }
@@ -560,6 +579,107 @@ object Merge {
       .flatMap(_.layout)
   }
 
+  /** A batch (or the table, at [[addConstraint]] time) holds rows that
+    * fail a recorded CHECK constraint — the commit was REFUSED, the
+    * table is unchanged.
+    */
+  final class ConstraintViolation(msg: String)
+    extends IllegalArgumentException(msg)
+
+  /** SQL-CHECK evaluation (Delta semantics): a row VIOLATES a constraint
+    * only when the expression evaluates to literal false — null passes
+    * (that's what `x IS NOT NULL` constraints are for). One aggregate
+    * job counts violations of EVERY constraint at once; throws
+    * [[ConstraintViolation]] naming each failing constraint and its
+    * count. `what` labels the batch in the error.
+    */
+  private def enforceConstraints(df: DataFrame,
+      constraints: Seq[(String, String)], what: String): Unit = {
+    if (constraints.isEmpty) return
+    val aggs = constraints.map { case (_, e) =>
+      sum(when(not(coalesce(expr(e).cast("boolean"), lit(true))), 1L)
+        .otherwise(0L))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val violated = constraints.zipWithIndex.flatMap { case ((n, e), i) =>
+      val c = if (row.isNullAt(i)) 0L else row.getLong(i)
+      if (c > 0) Some(s"$n (CHECK $e): $c row(s)") else None
+    }
+    if (violated.nonEmpty)
+      throw new ConstraintViolation(
+        s"$what violates ${violated.size} constraint(s) — commit refused: " +
+        violated.mkString("; "))
+  }
+
+  /** The table's recorded CHECK constraints (name -> SQL expression). */
+  def tableConstraints(spark: SparkSession,
+      path: String): Seq[(String, String)] = {
+    val (_, root) = fsFor(spark, path)
+    val v = currentVersion(spark, path)
+    require(v >= 0, s"$path has no version log")
+    readManifestOpt(spark, root, v, resolveShards = false)
+      .map(_.constraints).getOrElse(Seq.empty)
+  }
+
+  /** ADD CONSTRAINT (Delta's `ALTER TABLE ... ADD CONSTRAINT ... CHECK`):
+    * validate every CURRENT row against `exprSql` (one scan — at 100 TB
+    * this is the unavoidable full validation Delta performs too), then
+    * commit a METADATA-ONLY version recording it; every later [[upsert]]
+    * batch is checked against it at commit time. Refuses (and commits
+    * nothing) when existing rows violate. NOT NULL is the special case
+    * `col IS NOT NULL`.
+    */
+  def addConstraint(spark: SparkSession, path: String, name: String,
+      exprSql: String, maxRetries: Int = 5): Long = {
+    val (fs, root) = fsFor(spark, path)
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val parentV = currentVersion(spark, path)
+      require(parentV >= 0, s"$path has no version log")
+      val parent = readManifest(spark, root, parentV)
+      require(!parent.constraints.exists(_._1 == name),
+        s"constraint $name already exists on $path")
+      enforceConstraints(versionDf(spark, path, root, parent),
+        Seq((name, exprSql)), s"the existing rows of $path")
+      try {
+        writeManifest(fs, root,
+          parent.copy(version = parentV + 1, parent = parentV,
+            txn = None, ts = nextTs(parent), op = Some("addConstraint"),
+            rowsUpserted = 0L, rowsDeleted = 0L,
+            constraints = parent.constraints :+ ((name, exprSql))),
+          parent = Some(parent), touched = Some(Set.empty))
+        return parentV + 1
+      } catch { case _: LostCommitRace => attempt += 1 }
+    }
+    throw new IllegalStateException(
+      s"addConstraint lost the commit race $attempt times at $path")
+  }
+
+  /** DROP CONSTRAINT: metadata-only commit removing `name`. */
+  def dropConstraint(spark: SparkSession, path: String, name: String,
+      maxRetries: Int = 5): Long = {
+    val (fs, root) = fsFor(spark, path)
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val parentV = currentVersion(spark, path)
+      require(parentV >= 0, s"$path has no version log")
+      val parent = readManifest(spark, root, parentV)
+      require(parent.constraints.exists(_._1 == name),
+        s"no constraint $name on $path (have: " +
+        s"${parent.constraints.map(_._1).mkString(", ")})")
+      try {
+        writeManifest(fs, root,
+          parent.copy(version = parentV + 1, parent = parentV,
+            txn = None, ts = nextTs(parent), op = Some("dropConstraint"),
+            rowsUpserted = 0L, rowsDeleted = 0L,
+            constraints = parent.constraints.filterNot(_._1 == name)),
+          parent = Some(parent), touched = Some(Set.empty))
+        return parentV + 1
+      } catch { case _: LostCommitRace => attempt += 1 }
+    }
+    throw new IllegalStateException(
+      s"dropConstraint lost the commit race $attempt times at $path")
+  }
 
   /** Per-file min/max stats for bucket-partitioned parquet under `dir`,
     * keyed by the table-relative `__bucket=N/<file>` name — one aggregate
@@ -616,9 +736,15 @@ object Merge {
     */
   def writeKeyed(df: DataFrame, path: String, keyCol: String,
       nBuckets: Int, statsCols: Seq[String] = Seq.empty,
-      filesPerBucket: Int = 1, manifestShardSpan: Int = 0): Unit = {
+      filesPerBucket: Int = 1, manifestShardSpan: Int = 0,
+      constraints: Seq[(String, String)] = Seq.empty): Unit = {
     require(nBuckets >= 1, "nBuckets must be >= 1")
     require(manifestShardSpan >= 0, "manifestShardSpan must be >= 0")
+    require(constraints.map(_._1).distinct.size == constraints.size,
+      "constraint names must be unique")
+    // validate the initial load BEFORE any write: a refused table leaves
+    // no files behind
+    enforceConstraints(df, constraints, "the initial load")
     val (fs, root) = fsFor(df.sparkSession, path)
     if (fs.exists(root)) fs.delete(root, true) // fresh table, fresh log
     dropCachedManifests(root) // replaced table: stale memo entries out
@@ -631,7 +757,7 @@ object Merge {
       statsCols = statsCols,
       stats = bucketFileStats(df.sparkSession, path, statsCols),
       ts = System.currentTimeMillis(), op = Some("write"),
-      shardSpan = manifestShardSpan))
+      shardSpan = manifestShardSpan, constraints = constraints))
   }
 
   /** Read a manifest's file set with the version's own schema (plus the
@@ -858,7 +984,10 @@ object Merge {
             statsCols = target.statsCols, stats = target.stats,
             ts = nextTs(parent), op = Some("restore"),
             rowsUpserted = 0L, rowsDeleted = 0L,
-            shardSpan = parent.shardSpan),
+            shardSpan = parent.shardSpan,
+            // full state rollback includes table metadata: the restored
+            // rows satisfied the TARGET version's constraint set
+            constraints = target.constraints),
           parent = Some(parent), touched = None)
         return parentV + 1
       } catch {
@@ -1175,6 +1304,15 @@ object Merge {
       val outSchema = StructType(outCols.map(c =>
         updates.schema.find(_.name == c).getOrElse(
           parentSchema.get.find(_.name == c).get)))
+      // CHECK constraints gate the commit: every surviving (non-
+      // tombstoned) incoming row must satisfy them. Existing rows were
+      // validated at their own commit (or at addConstraint), so checking
+      // the batch alone keeps the whole-table invariant — at any scale,
+      // enforcement costs one pass over the BATCH, never the table.
+      enforceConstraints(
+        tombstoneCol.map(tc =>
+          updates.filter(!coalesce(col(tc), lit(false)))).getOrElse(updates),
+        parent.constraints, "the update batch")
       val withB = updates.withColumn("__bucket", bucketCol(keyCol, nBuckets))
       // one job: touched bucket ids AND the upserted/deleted row counts
       val delAgg = tombstoneCol
@@ -1229,7 +1367,8 @@ object Merge {
               newStats,
             ts = nextTs(parent), op = Some("upsert"),
             rowsUpserted = rowsUpserted, rowsDeleted = rowsDeleted,
-            shardSpan = parent.shardSpan),
+            shardSpan = parent.shardSpan,
+            constraints = parent.constraints),
           parent = Some(parent), touched = Some(touched))
         return MergeStats(touched.size, nBuckets, rowsUpserted, parentV + 1,
           attempt, rowsDeleted = rowsDeleted)
@@ -1321,7 +1460,8 @@ object Merge {
               newStats,
             ts = nextTs(parent), op = Some("delete"),
             rowsUpserted = 0L, rowsDeleted = rowsDeleted,
-            shardSpan = parent.shardSpan),
+            shardSpan = parent.shardSpan,
+            constraints = parent.constraints),
           parent = Some(parent), touched = Some(touched))
         return MergeStats(touched.size, nB, 0L, parentV + 1, attempt,
           rowsDeleted = rowsDeleted)
@@ -1455,7 +1595,8 @@ object Merge {
               toRewrite.contains(bucketOf(e.file))) ++ newStats,
             ts = nextTs(parent), op = Some("compact"),
             rowsUpserted = 0L, rowsDeleted = 0L,
-            shardSpan = parent.shardSpan),
+            shardSpan = parent.shardSpan,
+            constraints = parent.constraints),
           parent = Some(parent), touched = Some(toRewrite.keySet.toSet))
         return CompactStats(parentV + 1, toRewrite.size, parent.files.size,
           files.size)

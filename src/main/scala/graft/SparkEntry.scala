@@ -2947,6 +2947,94 @@ object SparkEntry {
         s"v${Merge.currentVersion(s, tbl)}")
       Merge.readKeyed(s, tbl).select("doc_id").orderBy("doc_id")
     }),
+    "q_stream_txn_catalog" -> ((s, dir) => {
+      // STREAMING EXACTLY-ONCE ACROSS TABLES: each micro-batch lands in
+      // the fact table AND its per-group rollup behind ONE catalog claim
+      // (TableCatalog.streamingTransact). The rollup is a read-modify-
+      // write INSIDE the transaction: it reads the stats member at the
+      // pre-batch pins and publishes the merged rows with the fact rows
+      // atomically. After the first drain the CHECKPOINT IS WIPED and
+      // every batch replayed — the catalog-level (app, batch) stamp
+      // no-ops each replayed transaction before any member write, so
+      // the catalog version must not move (required in-gate), and the
+      // pinned rollup must equal the re-aggregated pinned fact table
+      // (required in-gate: the cross-table invariant survived the worst
+      // recovery path). Authored VALUES oracle.
+      import graft.sources.{Merge, TableCatalog}
+      import java.nio.file.{Files, Paths}
+      import org.apache.spark.sql.streaming.Trigger
+      val sfx = new java.io.File(dir).getName
+      val base = Paths.get(scratchRoot, s"graft_stc_$sfx")
+      def rmTree(p: java.nio.file.Path): Unit =
+        if (Files.exists(p)) {
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.delete(f))
+        }
+      rmTree(base)
+      val inDir = base.resolve("in"); Files.createDirectories(inDir)
+      val factPath = base.resolve("fact").toString
+      val statsPath = base.resolve("stats").toString
+      val catPath = base.resolve("cat").toString
+      val ckpt = base.resolve("ckpt")
+      import s.implicits._
+      def rollup(of: DataFrame): DataFrame = of.groupBy("grp")
+        .agg(count(lit(1)).as("cnt"), sum($"amount").as("total"))
+      val seed = Seq((1L, "A", 100.0), (2L, "B", 50.0))
+        .toDF("order_id", "grp", "amount")
+      Merge.writeKeyed(seed, factPath, "order_id", nBuckets = 4)
+      Merge.writeKeyed(rollup(seed), statsPath, "grp", nBuckets = 4)
+      TableCatalog.create(s, catPath,
+        Map("fact" -> factPath, "stats" -> statsPath))
+      def row(id: Long, g: String, a: Double) =
+        s"""{"order_id": $id, "grp": "$g", "amount": $a}"""
+      val batches = Seq(
+        "b1.json" -> Seq(row(101, "A", 10.0), row(102, "B", 5.0)),
+        "b2.json" -> Seq(row(201, "A", 7.0), row(202, "C", 3.0)))
+      batches.zipWithIndex.foreach { case ((name, rows), i) =>
+        val f = inDir.resolve(name)
+        Files.writeString(f, rows.mkString("\n"))
+        f.toFile.setLastModified(1700000000000L + i * 60000L)
+      }
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "order_id LONG, grp STRING, amount DOUBLE")
+      def drain(): Unit = withShufflePartitions(s, 4) {
+        val q = TableCatalog.streamingTransact(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .json(inDir.toString),
+          catPath, "graft-stc") { (b, _) =>
+            val cur = TableCatalog.readTable(s, catPath, "stats")
+              .select(col("grp"), col("cnt").as("cur_cnt"),
+                col("total").as("cur_total"))
+            val merged = rollup(b).join(cur, Seq("grp"), "left")
+              .select(col("grp"),
+                (coalesce(col("cur_cnt"), lit(0L)) + col("cnt")).as("cnt"),
+                (coalesce(col("cur_total"), lit(0.0)) + col("total"))
+                  .as("total"))
+            Seq(
+              TableCatalog.TxnUpsert("fact",
+                b.select("order_id", "grp", "amount")),
+              TableCatalog.TxnUpsert("stats", merged))
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain()
+      val vAfterFirst = TableCatalog.state(s, catPath).version
+      rmTree(ckpt) // the worst recovery path: all progress forgotten
+      drain()      // full replay
+      require(TableCatalog.state(s, catPath).version == vAfterFirst,
+        s"replayed transactions must no-op: v$vAfterFirst -> " +
+        s"v${TableCatalog.state(s, catPath).version}")
+      val snap = TableCatalog.state(s, catPath)
+      val fact = TableCatalog.readTable(s, catPath, "fact", Some(snap))
+      val stats = TableCatalog.readTable(s, catPath, "stats", Some(snap))
+      require(stats.except(rollup(fact)).count() == 0 &&
+        rollup(fact).except(stats).count() == 0,
+        "the pinned rollup must equal the re-aggregated pinned fact table")
+      stats.orderBy("grp")
+    }),
     "q_dedup_clustered" -> ((s, dir) => {
       // transitive duplicate components over the LSH pair graph; planted
       // copies (two per source row) guarantee non-trivial chains
@@ -5731,6 +5819,15 @@ object SparkEntry {
       """SELECT * FROM (VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT)),
            (CAST(102 AS BIGINT)), (CAST(202 AS BIGINT))) AS t(doc_id)
          ORDER BY doc_id""",
+    // streaming cross-table exactly-once: authored rollup after both
+    // batches, replay contributing nothing
+    "q_stream_txn_catalog" ->
+      """SELECT * FROM (VALUES
+           ('A', CAST(3 AS BIGINT), CAST(117.0 AS DOUBLE)),
+           ('B', CAST(2 AS BIGINT), CAST(55.0 AS DOUBLE)),
+           ('C', CAST(1 AS BIGINT), CAST(3.0 AS DOUBLE)))
+           AS t(grp, cnt, total)
+         ORDER BY grp""",
     // streaming admission: authored expectation (exact copies only) —
     // 102 and 202 survive, the three copies drop
     "q_stream_dedup_index" ->

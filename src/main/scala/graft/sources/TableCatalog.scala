@@ -364,6 +364,26 @@ object TableCatalog {
       "giving up; retry with less write contention")
   }
 
+  /** Streaming sink: apply each micro-batch as ONE exactly-once
+    * cross-table transaction. `mkOps` builds the batch's ops and may
+    * read members through the catalog (a read-modify-write rollup reads
+    * the pre-batch pins); the micro-batch id becomes the txn stamp
+    * under `appId`, so a checkpoint-lost replay no-ops on EVERY member
+    * at once — the cross-table form of [[Merge.streamingUpsert]]'s
+    * guarantee. The batch is materialized once (localCheckpoint) so the
+    * ops can consume it repeatedly without re-reading the source.
+    */
+  def streamingTransact(stream: DataFrame, catRoot: String, appId: String)
+      (mkOps: (DataFrame, Long) => Seq[TxnOp])
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val b = batch.localCheckpoint(true)
+      transact(b.sparkSession, catRoot, mkOps(b, batchId),
+        txn = Some((appId, batchId)))
+      ()
+    }
+
   /** Roll every member whose table log has advanced past its pin back to
     * the pin (zero-copy restores): explicit cleanup of crashed
     * transactions' orphan versions, so direct (non-catalog) readers of

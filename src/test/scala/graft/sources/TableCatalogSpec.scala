@@ -204,6 +204,92 @@ class TableCatalogSpec extends SparkSpec {
       moves(cat) == 3L)
   }
 
+  test("PROPERTY: random transact/crash/orphan/replay/recover sequences " +
+      "match a two-member reference model, at every catalog version") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genOp: Gen[(Int, Long, Double)] = for {
+      kind <- Gen.choose(0, 4)
+      key <- Gen.choose(0L, 30L)
+      v <- Gen.choose(-100.0, 100.0)
+    } yield (kind, key, v)
+    (1 to 4).foreach { seed =>
+      val root = freshRoot(s"model$seed")
+      val aPath = new java.io.File(root, "a").getAbsolutePath
+      val bPath = new java.io.File(root, "b").getAbsolutePath
+      val cat = new java.io.File(root, "cat").getAbsolutePath
+      val ma = scala.collection.mutable.Map.empty[Long, Double]
+      val mb = scala.collection.mutable.Map.empty[Long, Double]
+      (0L until 20L).foreach { i => ma(i) = i * 1.0; mb(i) = i * 10.0 }
+      Merge.writeKeyed(ma.toSeq.toDF("id", "v"), aPath, "id", nBuckets = 4)
+      Merge.writeKeyed(mb.toSeq.toDF("id", "v"), bPath, "id", nBuckets = 4)
+      TableCatalog.create(spark, cat, Map("a" -> aPath, "b" -> bPath))
+      val snapshots = scala.collection.mutable.ArrayBuffer(
+        (0L, ma.toMap, mb.toMap))
+      var nextBatch = 0L
+      val ops = Gen.listOfN(8, genOp)
+        .apply(Gen.Parameters.default, Seed(seed.toLong)).get
+      ops.foreach { case (kind, key, v) =>
+        kind match {
+          case 0 => // cross-table upsert, txn-stamped
+            TableCatalog.transact(spark, cat, Seq(
+              TableCatalog.TxnUpsert("a", Seq((key, v)).toDF("id", "v")),
+              TableCatalog.TxnUpsert("b",
+                Seq((key + 1L, v * 2)).toDF("id", "v"))),
+              txn = Some(("app", nextBatch)))
+            nextBatch += 1
+            ma(key) = v; mb(key + 1L) = v * 2
+          case 1 => // predicate delete on a + upsert on b, one txn
+            TableCatalog.transact(spark, cat, Seq(
+              TableCatalog.TxnDelete("a", $"v" > v),
+              TableCatalog.TxnUpsert("b", Seq((key, v)).toDF("id", "v"))))
+            ma.filterInPlace((_, mv) => !(mv > v))
+            mb(key) = v
+          case 2 => // crash between the two table commits: no effect
+            TableCatalog.opFence =
+              t => if (t == "a") throw new RuntimeException("boom")
+            try intercept[RuntimeException] {
+              TableCatalog.transact(spark, cat, Seq(
+                TableCatalog.TxnUpsert("a",
+                  Seq((key, -555.0)).toDF("id", "v")),
+                TableCatalog.TxnUpsert("b",
+                  Seq((key, -555.0)).toDF("id", "v"))))
+            } finally TableCatalog.opFence = _ => ()
+            if (v > 0) TableCatalog.recover(spark, cat) // sometimes clean up
+          case 3 => // direct (non-catalog) orphan write: invisible
+            Merge.upsert(spark, aPath,
+              Seq((key, -777.0)).toDF("id", "v"), "id", nBuckets = 4)
+          case 4 => // replay of an already-committed batch: no-op
+            if (nextBatch > 0) {
+              TableCatalog.transact(spark, cat, Seq(
+                TableCatalog.TxnUpsert("a",
+                  Seq((key, -999.0)).toDF("id", "v"))),
+                txn = Some(("app", (key % nextBatch))))
+            }
+        }
+        val st = TableCatalog.state(spark, cat)
+        if (st.version != snapshots.last._1)
+          snapshots += ((st.version, ma.toMap, mb.toMap))
+        def rows(name: String): Map[Long, Double] =
+          TableCatalog.readTable(spark, cat, name, Some(st))
+            .select("id", "v").as[(Long, Double)].collect().toMap
+        assert(rows("a") == ma.toMap,
+          s"seed $seed: member a diverged after ($kind,$key,$v) in $ops")
+        assert(rows("b") == mb.toMap,
+          s"seed $seed: member b diverged after ($kind,$key,$v) in $ops")
+      }
+      // every catalog version still reads its own cross-table snapshot
+      snapshots.foreach { case (cv, sa, sb) =>
+        val st = TableCatalog.stateAt(spark, cat, cv)
+        def rows(name: String): Map[Long, Double] =
+          TableCatalog.readTable(spark, cat, name, Some(st))
+            .select("id", "v").as[(Long, Double)].collect().toMap
+        assert(rows("a") == sa && rows("b") == sb,
+          s"seed $seed: catalog v$cv diverged")
+      }
+    }
+  }
+
   test("readTableWhere prunes through the pin; layout drives the upsert") {
     val (cat, accounts, _) = fixture("where")
     assert(Merge.tableLayout(spark, accounts).contains(("id", 4)))

@@ -3035,6 +3035,96 @@ object SparkEntry {
         "the pinned rollup must equal the re-aggregated pinned fact table")
       stats.orderBy("grp")
     }),
+    "q_stream_catalog_ingest" -> ((s, dir) => {
+      // THE INGESTION CAPSTONE, MADE STRUCTURAL: round 8's
+      // q_stream_admit_upsert coordinated corpus sink and dedup index
+      // by ORDERING (materialize → sink → append); here both are
+      // members of one catalog and each micro-batch's survivors publish
+      // to corpus AND index behind ONE claim — the two can never
+      // disagree, at any crash point, by construction. Admission probes
+      // the CATALOG-PINNED index state (indexState + dedupAgainst(at)),
+      // exactly-once comes from the catalog txn stamp alone. After the
+      // first drain the CHECKPOINT IS WIPED and everything replayed:
+      // the catalog version must not move (required in-gate), and a
+      // shifted copy of every corpus row must be dominated by the
+      // published index (required in-gate: index coverage == corpus
+      // content survived the worst recovery path). Batch 2 carries a
+      // copy of batch 1's survivor, so cross-batch suppression proves
+      // the index append is live. Authored VALUES oracle.
+      import graft.pipeline.DedupIndex
+      import graft.sources.{Merge, TableCatalog}
+      import java.nio.file.{Files, Paths}
+      import org.apache.spark.sql.streaming.Trigger
+      val sfx = new java.io.File(dir).getName
+      val base = Paths.get(scratchRoot, s"graft_sci_$sfx")
+      def rmTree(p: java.nio.file.Path): Unit =
+        if (Files.exists(p)) {
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.delete(f))
+        }
+      rmTree(base)
+      val inDir = base.resolve("in"); Files.createDirectories(inDir)
+      val corpusPath = base.resolve("corpus").toString
+      val idxPath = base.resolve("idx").toString
+      val catPath = base.resolve("cat").toString
+      val ckpt = base.resolve("ckpt")
+      import s.implicits._
+      def text(tag: String): String =
+        (0 until 12).map(j => s"${tag}_w$j").mkString(" ")
+      val corpus0 = Seq((1L, text("t1")), (2L, text("t2")))
+        .toDF("doc_id", "text")
+      Merge.writeKeyed(corpus0, corpusPath, "doc_id", nBuckets = 4)
+      DedupIndex.build(corpus0, "doc_id", col("text"), idxPath,
+        threshold = 0.8)
+      TableCatalog.create(s, catPath, Map("corpus" -> corpusPath),
+        indexes = Map("idx" -> idxPath))
+      def row(id: Long, t: String): String =
+        s"""{"doc_id": $id, "text": "$t"}"""
+      val batches = Seq(
+        "b1.json" -> Seq(row(101, text("t1")), row(102, text("t3"))),
+        "b2.json" -> Seq(row(201, text("t3")), row(202, text("t4"))))
+      batches.zipWithIndex.foreach { case ((name, rows), i) =>
+        val f = inDir.resolve(name)
+        Files.writeString(f, rows.mkString("\n"))
+        f.toFile.setLastModified(1700000000000L + i * 60000L)
+      }
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id LONG, text STRING")
+      def drain(): Unit = withShufflePartitions(s, 4) {
+        val q = TableCatalog.streamingTransact(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .json(inDir.toString),
+          catPath, "graft-sci") { (b, _) =>
+            val pinned = TableCatalog.indexState(s, catPath, "idx")
+            val surv = DedupIndex.dedupAgainst(s, idxPath, b,
+              "doc_id", col("text"), at = Some(pinned))
+              .localCheckpoint(true)
+            Seq(
+              TableCatalog.TxnUpsert("corpus", surv),
+              TableCatalog.TxnIndex("idx", (s2, p) =>
+                DedupIndex.append(s2, p, surv, "doc_id", col("text"))))
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain()
+      val vAfterFirst = TableCatalog.state(s, catPath).version
+      rmTree(ckpt) // the worst recovery path: all progress forgotten
+      drain()      // full replay: catalog txn stamps no-op everything
+      require(TableCatalog.state(s, catPath).version == vAfterFirst,
+        s"replayed ingestion must no-op: v$vAfterFirst -> " +
+        s"v${TableCatalog.state(s, catPath).version}")
+      val snap = TableCatalog.state(s, catPath)
+      val corpus = TableCatalog.readTable(s, catPath, "corpus", Some(snap))
+      val copies = corpus
+        .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+      require(DedupIndex.dominatedBy(s, idxPath, copies,
+          "doc_id", col("text")).count() == corpus.count(),
+        "every published corpus doc must be covered by the published index")
+      corpus.select("doc_id").orderBy("doc_id")
+    }),
     "q_dedup_clustered" -> ((s, dir) => {
       // transitive duplicate components over the LSH pair graph; planted
       // copies (two per source row) guarantee non-trivial chains
@@ -5828,6 +5918,13 @@ object SparkEntry {
            ('C', CAST(1 AS BIGINT), CAST(3.0 AS DOUBLE)))
            AS t(grp, cnt, total)
          ORDER BY grp""",
+    // catalog-coordinated ingestion: seeds + the two genuinely fresh
+    // docs; copies (101 of t1, 201 of batch-1-survivor t3) drop, and
+    // the replay contributes nothing
+    "q_stream_catalog_ingest" ->
+      """SELECT * FROM (VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT)),
+           (CAST(102 AS BIGINT)), (CAST(202 AS BIGINT))) AS t(doc_id)
+         ORDER BY doc_id""",
     // streaming admission: authored expectation (exact copies only) —
     // 102 and 202 survive, the three copies drop
     "q_stream_dedup_index" ->

@@ -249,10 +249,12 @@ object DedupIndex {
     */
   def dedupAgainst(spark: SparkSession, path: String, newDf: DataFrame,
       idCol: String, text: Column,
-      maxProbeBroadcastBytes: Long = DefaultProbeBroadcastBytes)
-      : DataFrame = {
+      maxProbeBroadcastBytes: Long = DefaultProbeBroadcastBytes,
+      at: Option[TxLog.State] = None): DataFrame = {
     val m = readMeta(spark, path)
-    val st = state(spark, path)
+    // an explicit state pins the probe (how a TableCatalog admission
+    // reads the index at the catalog's published version)
+    val st = if (at.isDefined) at else state(spark, path)
     val inBatch = Dedup.minhashCandidates(newDf, idCol, text,
       m.shingleN, m.k, m.bands, m.threshold)
       .select(col("id_b").as(idCol)).distinct()
@@ -271,7 +273,7 @@ object DedupIndex {
     * file-list union is conflict-free.
     */
   def append(spark: SparkSession, path: String, survivors: DataFrame,
-      idCol: String, text: Column): Unit = {
+      idCol: String, text: Column): Long = {
     val m = readMeta(spark, path)
     val (b, s) = bandRows(survivors, idCol, text, m)
     val bandFiles = TxLog.stageInto(b, path, "bands")
@@ -280,8 +282,7 @@ object DedupIndex {
       val t = parentTables(spark, path, parent)
       t + ("bands" -> (t.getOrElse("bands", Nil) ++ bandFiles)) +
         ("sigs" -> (t.getOrElse("sigs", Nil) ++ sigFiles))
-    }
-    ()
+    }.version
   }
 
   /** Tombstone corpus ids OUT of the index (the compliance-delete path:
@@ -293,7 +294,7 @@ object DedupIndex {
     * physically. Mirrors [[Similarity.IvfPq.remove]].
     */
   def remove(spark: SparkSession, path: String, ids: DataFrame,
-      idCol: String): Unit = {
+      idCol: String): Long = {
     readMeta(spark, path) // fail fast on a non-index path
     val delFiles = TxLog.stageInto(
       ids.select(col(idCol).cast("long").as("id")).distinct(),
@@ -301,8 +302,7 @@ object DedupIndex {
     TxLog.commitRetrying(spark, path) { parent =>
       val t = parentTables(spark, path, parent)
       t + ("deletes" -> (t.getOrElse("deletes", Nil) ++ delFiles))
-    }
-    ()
+    }.version
   }
 
   // test seam: invoked between the compaction's stage and its commit so

@@ -54,8 +54,12 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object TableCatalog {
 
-  /** One member's pinned state at a catalog version. */
-  final case class Pin(path: String, version: Long)
+  /** One member's pinned state at a catalog version. `kind` is "merge"
+    * (a [[Merge]] version log) or "idx" (a [[TxLog]]-rooted index
+    * layout — the persisted dedup/ANN indexes); the kind picks the
+    * restore/version machinery, the atomicity story is identical.
+    */
+  final case class Pin(path: String, version: Long, kind: String = "merge")
 
   /** One committed catalog version: every member's pin. `ts` is commit
     * wall-clock millis, strictly increasing along the chain (the Merge
@@ -84,6 +88,15 @@ object TableCatalog {
     */
   final case class TxnDelete(table: String, predicate: Column,
       bounds: Seq[Skipping.Bound] = Seq.empty) extends TxnOp
+
+  /** An op on an INDEX member ("idx" kind): `run(spark, path)` must
+    * perform EXACTLY ONE [[TxLog]] commit on the member and return the
+    * committed version — e.g. `DedupIndex.append(...)` or
+    * `DedupIndex.remove(...)` (both do). The one-commit contract is what
+    * lets the catalog's contiguity check hold for index members too.
+    */
+  final case class TxnIndex(table: String,
+      run: (SparkSession, String) => Long) extends TxnOp
 
   // test seams: catFence runs immediately before each catalog claim
   // attempt; opFence runs after each applied table op (crash injection
@@ -114,7 +127,7 @@ object TableCatalog {
   private def body(s: CatState): Array[Byte] = {
     val pins = s.pins.toSeq.sortBy(_._1).map { case (name, p) =>
       s""""${jsonEscape(name)}":{"path":"${jsonEscape(p.path)}",""" +
-        s""""version":${p.version}}"""
+        s""""version":${p.version},"kind":"${jsonEscape(p.kind)}"}"""
     }.mkString("{", ",", "}")
     val txnField = s.txn.map { case (app, batch) =>
       s""","txnApp":"${jsonEscape(app)}","txnBatch":$batch"""
@@ -149,7 +162,11 @@ object TableCatalog {
             val parsed = fields.map { case (name, v) =>
               ((v \ "path"), num(v \ "version")) match {
                 case (JString(path), Some(ver)) =>
-                  Some(name -> Pin(path, ver))
+                  val kind = v \ "kind" match {
+                    case JString(k) => k
+                    case _ => "merge" // pre-kind catalogs were all-Merge
+                  }
+                  Some(name -> Pin(path, ver, kind))
                 case _ => None
               }
             }
@@ -184,8 +201,12 @@ object TableCatalog {
     * already hold one.
     */
   def create(spark: SparkSession, catRoot: String,
-      tables: Map[String, String]): CatState = {
-    require(tables.nonEmpty, "a catalog needs >= 1 member table")
+      tables: Map[String, String],
+      indexes: Map[String, String] = Map.empty): CatState = {
+    require(tables.nonEmpty || indexes.nonEmpty,
+      "a catalog needs >= 1 member")
+    require((tables.keySet & indexes.keySet).isEmpty,
+      "a member name cannot be both a table and an index")
     val (fs, root) = fsFor(spark, catRoot)
     require(listVersions(fs, root).isEmpty,
       s"$catRoot already holds a catalog log")
@@ -194,6 +215,11 @@ object TableCatalog {
       require(v >= 0,
         s"member $name at $path has no version log — writeKeyed it first")
       name -> Pin(path, v)
+    } ++ indexes.map { case (name, path) =>
+      val v = TxLog.currentVersion(spark, path)
+      require(v >= 0,
+        s"index member $name at $path has no _idx_log — build it first")
+      name -> Pin(path, v, kind = "idx")
     }
     val s = CatState(0L, -1L, System.currentTimeMillis(), "create", pins)
     TxLog.claimVersion(fs, logDir(root), 0L, body(s))
@@ -243,7 +269,28 @@ object TableCatalog {
     val pin = st.pins.getOrElse(name, throw new IllegalArgumentException(
       s"$name is not a member of the catalog at $catRoot " +
       s"(members: ${st.pins.keys.toSeq.sorted.mkString(", ")})"))
+    require(pin.kind == "merge",
+      s"$name is an index member — resolve it with indexState instead")
     Merge.readVersion(spark, pin.path, pin.version)
+  }
+
+  /** The pinned [[TxLog.State]] of an index member — pass it to the
+    * index's probe API (e.g. `DedupIndex.dedupAgainst(..., at = ...)`)
+    * so the probe reads the CATALOG-PUBLISHED index, not whatever the
+    * member log's latest happens to be (a crashed transaction's orphan
+    * append stays invisible to admissions exactly like a data orphan).
+    */
+  def indexState(spark: SparkSession, catRoot: String, name: String,
+      at: Option[CatState] = None): TxLog.State = {
+    val st = at.getOrElse(state(spark, catRoot))
+    val pin = st.pins.getOrElse(name, throw new IllegalArgumentException(
+      s"$name is not a member of the catalog at $catRoot"))
+    require(pin.kind == "idx",
+      s"$name is a table member — read it with readTable instead")
+    TxLog.stateAt(spark, pin.path, pin.version).getOrElse(
+      throw new IllegalStateException(
+        s"pinned index version ${pin.version} of ${pin.path} is missing " +
+        "— was the member vacuumed outside TableCatalog.vacuum?"))
   }
 
   /** [[readTable]] with a predicate: manifest-stats file skipping at the
@@ -299,8 +346,16 @@ object TableCatalog {
         if (latestTxn(spark, catRoot, app).exists(_ >= batch))
           return st // replay of a committed batch: exactly-once no-op
       }
-      ops.foreach(o => require(st.pins.contains(o.table),
-        s"${o.table} is not a member of the catalog at $catRoot"))
+      ops.foreach { o =>
+        val pin = st.pins.getOrElse(o.table,
+          throw new IllegalArgumentException(
+            s"${o.table} is not a member of the catalog at $catRoot"))
+        val wantIdx = o.isInstanceOf[TxnIndex]
+        require((pin.kind == "idx") == wantIdx,
+          s"${o.table} is a ${pin.kind} member — " +
+          (if (wantIdx) "TxnIndex ops need an index member"
+           else "use TxnIndex ops for index members"))
+      }
       try {
         val touched = ops.map(_.table).distinct
         // roll each touched member back to its pin: discards orphans of
@@ -308,9 +363,17 @@ object TableCatalog {
         // contiguity baseline R below
         val baseV: Map[String, Long] = touched.map { t =>
           val pin = st.pins(t)
-          val cur = Merge.currentVersion(spark, pin.path)
-          t -> (if (cur == pin.version) cur
-                else Merge.restore(spark, pin.path, pin.version))
+          val restored = pin.kind match {
+            case "idx" =>
+              if (TxLog.currentVersion(spark, pin.path) == pin.version)
+                pin.version
+              else TxLog.restore(spark, pin.path, pin.version)
+            case _ =>
+              val cur = Merge.currentVersion(spark, pin.path)
+              if (cur == pin.version) cur
+              else Merge.restore(spark, pin.path, pin.version)
+          }
+          t -> restored
         }.toMap
         // apply in order; every op must land exactly one version above
         // the last state THIS attempt produced for its table — any gap
@@ -333,6 +396,7 @@ object TableCatalog {
             case d: TxnDelete =>
               Merge.deleteWhere(spark, pin.path, d.predicate, d.bounds,
                 maxRetries = 0).version
+            case i: TxnIndex => i.run(spark, pin.path)
           }
           // a no-op (empty batch / no matching rows) commits nothing and
           // reports the unchanged version — contiguity allows both
@@ -393,8 +457,15 @@ object TableCatalog {
   def recover(spark: SparkSession, catRoot: String): Seq[String] = {
     val st = state(spark, catRoot)
     st.pins.toSeq.sortBy(_._1).flatMap { case (name, pin) =>
-      if (Merge.currentVersion(spark, pin.path) != pin.version) {
-        Merge.restore(spark, pin.path, pin.version)
+      val cur = pin.kind match {
+        case "idx" => TxLog.currentVersion(spark, pin.path)
+        case _ => Merge.currentVersion(spark, pin.path)
+      }
+      if (cur != pin.version) {
+        pin.kind match {
+          case "idx" => TxLog.restore(spark, pin.path, pin.version)
+          case _ => Merge.restore(spark, pin.path, pin.version)
+        }
         Some(name)
       } else None
     }
@@ -409,10 +480,11 @@ object TableCatalog {
     val rows = listVersions(fs, root).reverse
       .flatMap(v => readState(spark, root, v))
       .flatMap(s => s.pins.toSeq.sortBy(_._1).map { case (name, p) =>
-        (s.version, s.parent, s.ts, s.op, name, p.version)
+        (s.version, s.parent, s.ts, s.op, name, p.version, p.kind)
       })
     import spark.implicits._
-    rows.toDF("cat_version", "parent", "ts", "op", "table", "table_version")
+    rows.toDF("cat_version", "parent", "ts", "op", "table",
+      "table_version", "kind")
   }
 
   /** Reclaim history: drop catalog manifests older than the newest
@@ -433,16 +505,29 @@ object TableCatalog {
     val keepFrom = math.max(0L, latest - keepCatalogVersions + 1)
     val retained = (keepFrom to latest)
       .flatMap(v => readState(spark, root, v))
-    val minPin: Map[String, (String, Long)] = retained
+    val minPin: Map[String, (Pin, Long)] = retained
       .flatMap(_.pins.toSeq)
       .groupBy(_._1)
       .map { case (name, pins) =>
-        name -> (pins.head._2.path, pins.map(_._2.version).min)
+        name -> (pins.head._2, pins.map(_._2.version).min)
       }
-    minPin.values.foreach { case (path, oldestPinned) =>
-      val cur = Merge.currentVersion(spark, path)
-      val keep = math.max(1L, cur - oldestPinned + 1L)
-      Merge.vacuum(spark, path, keepVersions = keep.toInt, graceMs = graceMs)
+    minPin.values.foreach { case (pin, oldestPinned) =>
+      pin.kind match {
+        case "idx" =>
+          val cur = TxLog.currentVersion(spark, pin.path)
+          val keep = math.max(1L, cur - oldestPinned + 1L)
+          // sweep every sub-table any retained state references
+          val subs = (oldestPinned to cur)
+            .flatMap(v => TxLog.stateAt(spark, pin.path, v))
+            .flatMap(_.tables.keys).distinct
+          TxLog.vacuum(spark, pin.path, subs, keepVersions = keep.toInt,
+            graceMs = graceMs)
+        case _ =>
+          val cur = Merge.currentVersion(spark, pin.path)
+          val keep = math.max(1L, cur - oldestPinned + 1L)
+          Merge.vacuum(spark, pin.path, keepVersions = keep.toInt,
+            graceMs = graceMs)
+      }
     }
     versions.filter(_ < keepFrom).foreach { v =>
       fs.delete(new Path(logDir(root), s"v$v.json"), false)

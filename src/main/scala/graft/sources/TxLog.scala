@@ -143,6 +143,44 @@ object TxLog {
       .collectFirst { case Some(s) => s }
   }
 
+  /** Newest committed version; -1 when the root carries no log. */
+  def currentVersion(spark: SparkSession, root: String): Long =
+    currentState(spark, root).map(_.version).getOrElse(-1L)
+
+  /** The committed state at an exact version (how a [[TableCatalog]]
+    * pin resolves an index member); None when that version is missing
+    * or torn.
+    */
+  def stateAt(spark: SparkSession, root: String,
+      version: Long): Option[State] = {
+    val (_, r) = fsFor(spark, root)
+    readState(spark, r, version)
+  }
+
+  /** Zero-copy rollback (the index-side [[Merge.restore]]): commit the
+    * target version's exact table map as a NEW version — no data file
+    * moves; later probes resolve the restored file set. No-op (returns
+    * the current version) when already there. A [[TableCatalog]] uses
+    * this to discard a crashed transaction's orphan index commits.
+    */
+  def restore(spark: SparkSession, root: String, version: Long,
+      maxRetries: Int = 5): Long = {
+    val target = stateAt(spark, root, version).getOrElse(
+      throw new IllegalArgumentException(
+        s"$root has no committed index version $version"))
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val cur = currentState(spark, root).getOrElse(
+        throw new IllegalStateException(s"$root lost its log"))
+      if (cur.version == version) return cur.version
+      val next = State(cur.version + 1, cur.version, target.tables)
+      try { commit(spark, root, next); return next.version }
+      catch { case _: LostRace => attempt += 1 }
+    }
+    throw new IllegalStateException(
+      s"index restore lost the commit race $attempt times at $root")
+  }
+
   /** Atomic create-if-absent commit of `s` (the Merge manifest claim):
     * throws [[LostRace]] when v{s.version} is already claimed.
     */

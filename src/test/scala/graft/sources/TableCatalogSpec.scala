@@ -204,6 +204,73 @@ class TableCatalogSpec extends SparkSpec {
       moves(cat) == 3L)
   }
 
+  test("index members: corpus and dedup index publish atomically") {
+    import graft.pipeline.DedupIndex
+    val root = freshRoot("idx")
+    val corpusPath = new java.io.File(root, "corpus").getAbsolutePath
+    val idxPath = new java.io.File(root, "idx").getAbsolutePath
+    val cat = new java.io.File(root, "cat").getAbsolutePath
+    def text(tag: String): String =
+      (0 until 12).map(j => s"${tag}_w$j").mkString(" ")
+    val corpus0 = Seq((1L, text("t1")), (2L, text("t2")))
+      .toDF("doc_id", "text")
+    Merge.writeKeyed(corpus0, corpusPath, "doc_id", nBuckets = 4)
+    DedupIndex.build(corpus0, "doc_id", col("text"), idxPath,
+      threshold = 0.8)
+    TableCatalog.create(spark, cat, Map("corpus" -> corpusPath),
+      indexes = Map("idx" -> idxPath))
+
+    def admit(batch: org.apache.spark.sql.DataFrame): Unit = {
+      val st = TableCatalog.indexState(spark, cat, "idx")
+      val surv = DedupIndex.dedupAgainst(spark, idxPath, batch,
+        "doc_id", col("text"), at = Some(st)).localCheckpoint(true)
+      TableCatalog.transact(spark, cat, Seq(
+        TableCatalog.TxnUpsert("corpus", surv),
+        TableCatalog.TxnIndex("idx", (s, p) =>
+          DedupIndex.append(s, p, surv, "doc_id", col("text")))))
+    }
+    // batch 1: a copy of doc 1 (drops) + fresh t3 (admitted)
+    admit(Seq((101L, text("t1")), (102L, text("t3"))).toDF("doc_id", "text"))
+    def corpusIds: Set[Long] =
+      TableCatalog.readTable(spark, cat, "corpus")
+        .select("doc_id").as[Long].collect().toSet
+    assert(corpusIds == Set(1L, 2L, 102L))
+    // batch 2: a copy of batch 1's SURVIVOR must now be dominated —
+    // proof the index append published with the corpus rows
+    admit(Seq((201L, text("t3")), (202L, text("t4"))).toDF("doc_id", "text"))
+    assert(corpusIds == Set(1L, 2L, 102L, 202L))
+
+    // a crash between the corpus commit and the index commit leaves the
+    // catalog unchanged; recover rolls the corpus member back
+    TableCatalog.opFence =
+      t => if (t == "corpus") throw new RuntimeException("boom")
+    val before = TableCatalog.state(spark, cat).version
+    try intercept[RuntimeException] {
+      admit(Seq((301L, text("t5"))).toDF("doc_id", "text"))
+    } finally TableCatalog.opFence = _ => ()
+    assert(TableCatalog.state(spark, cat).version == before &&
+      corpusIds == Set(1L, 2L, 102L, 202L))
+    assert(TableCatalog.recover(spark, cat) == Seq("corpus"))
+
+    // an orphan index append (outside the catalog) must not suppress
+    // admissions: the pinned probe ignores it, and the next transact
+    // rolls the index member back to its pin
+    DedupIndex.append(spark, idxPath,
+      Seq((999L, text("t6"))).toDF("doc_id", "text"), "doc_id", col("text"))
+    admit(Seq((401L, text("t6"))).toDF("doc_id", "text"))
+    assert(corpusIds == Set(1L, 2L, 102L, 202L, 401L),
+      "the orphan append must not have suppressed t6's admission")
+
+    // structural consistency: a shifted copy of EVERY corpus row is
+    // dominated by the pinned index — index coverage == corpus content
+    val copies = TableCatalog.readTable(spark, cat, "corpus")
+      .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+    val dominated = DedupIndex.dominatedBy(spark, idxPath, copies,
+      "doc_id", col("text"))
+    assert(dominated.count() == 5L,
+      "every corpus doc must be covered by the published index")
+  }
+
   test("PROPERTY: random transact/crash/orphan/replay/recover sequences " +
       "match a two-member reference model, at every catalog version") {
     import org.scalacheck.Gen

@@ -2657,6 +2657,19 @@ object SparkEntry {
         TextAnalysis.meanTokenLength(col("text")).as("mean_token_len"))
         .orderBy("doc_id")
     }),
+    "q_text_dup_ngrams" -> ((s, dir) => {
+      // the FULL Gopher repetition rules: top-n-gram char fraction
+      // (occurrences x gram char length / total token chars, longest
+      // gram winning count ties) and duplicate-n-gram char fraction
+      // (occurrence-weighted chars of grams seen more than once) —
+      // the signals MassiveText filters on (top-2 > 0.20, dup-5 >
+      // 0.15). Row-local kernels, oracle re-derives both from list
+      // ops over the same tokenization
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.topNgramCharFraction(2)(col("text")).as("top2_frac"),
+        TextAnalysis.dupNgramCharFraction(5)(col("text")).as("dup5_frac"))
+        .orderBy("doc_id")
+    }),
     "q_redact" -> ((s, dir) => {
       // the PII scrub pass (emails/URLs to placeholder tokens); output is
       // the full redacted text, so any pattern divergence breaks the hash
@@ -5725,6 +5738,61 @@ object SparkEntry {
            SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part)
          WHERE p_partkey <= 100
          ORDER BY p_partkey, metric""",
+    // Gopher repetition: same tokenization, grams re-derived with list
+    // ops; value = integer (cnt x gramChars) converted to double, one
+    // division — bit-identical to the Scala kernel
+    "q_text_dup_ngrams" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  CASE WHEN trim(text) = '' THEN []
+                       ELSE string_split_regex(trim(lower(text)), '\s+')
+                  END AS ts
+           FROM documents),
+         base AS (
+           SELECT doc_id, ts,
+                  COALESCE(list_sum(list_transform(ts, t -> length(t))), 0)
+                    AS total
+           FROM toks),
+         g2 AS (
+           SELECT doc_id, total,
+                  array_to_string(list_slice(ts, i, i + 1), ' ') AS g,
+                  list_sum(list_transform(list_slice(ts, i, i + 1),
+                                          t -> length(t))) AS glen,
+                  count(*) AS cnt
+           FROM (SELECT doc_id, total, ts,
+                        unnest(generate_series(1, len(ts) - 1)) AS i
+                 FROM base)
+           GROUP BY ALL),
+         top2 AS (
+           SELECT doc_id,
+                  CAST(cnt * glen AS DOUBLE) / CAST(total AS DOUBLE) AS f,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY cnt DESC, glen DESC) AS rn
+           FROM g2 WHERE total > 0),
+         g5 AS (
+           SELECT doc_id, total,
+                  array_to_string(list_slice(ts, i, i + 4), ' ') AS g,
+                  list_sum(list_transform(list_slice(ts, i, i + 4),
+                                          t -> length(t))) AS glen,
+                  count(*) AS cnt
+           FROM (SELECT doc_id, total, ts,
+                        unnest(generate_series(1, len(ts) - 4)) AS i
+                 FROM base)
+           GROUP BY ALL),
+         d5 AS (
+           SELECT doc_id,
+                  CAST(COALESCE(sum(CASE WHEN cnt > 1 THEN cnt * glen END),
+                                0) AS DOUBLE)
+                    / CAST(max(total) AS DOUBLE) AS f
+           FROM g5 WHERE total > 0 GROUP BY doc_id)
+         SELECT b.doc_id,
+                COALESCE(t2.f, 0.0) AS top2_frac,
+                COALESCE(d5.f, 0.0) AS dup5_frac
+         FROM base b
+         LEFT JOIN (SELECT doc_id, f FROM top2 WHERE rn = 1) t2
+           USING (doc_id)
+         LEFT JOIN d5 USING (doc_id)
+         ORDER BY b.doc_id""",
     "q_text_repetition" ->
       """WITH t AS (
            SELECT doc_id,

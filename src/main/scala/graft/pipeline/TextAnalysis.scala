@@ -221,6 +221,84 @@ object TextAnalysis {
     .withColumn("quality", qualityScore(col(textCol)))
     .withColumn("lang_pred", langId(col(textCol)))
     .withColumn("fingerprint", fingerprint(col(textCol)))
+
+  /** Per-row word-n-gram counts with their character lengths —
+    * (count, gramCharLen = sum of token lengths, gram) per DISTINCT
+    * n-gram of the lowercased whitespace-tokenized text — shared by the
+    * two Gopher repetition rules below. Row-local, no shuffle.
+    */
+  private def ngramStats(text: String, n: Int)
+      : (Array[(Int, Int, String)], Long) = {
+    if (text == null) return (Array.empty, 0L)
+    val t = text.toLowerCase.trim
+    if (t.isEmpty) return (Array.empty, 0L)
+    val toks = t.split("\\s+")
+    var totalChars = 0L
+    var i = 0
+    while (i < toks.length) { totalChars += toks(i).length; i += 1 }
+    if (toks.length < n) return (Array.empty, totalChars)
+    val counts = new java.util.HashMap[String, Array[Int]]()
+    i = 0
+    while (i <= toks.length - n) {
+      var len = 0
+      var j = 0
+      while (j < n) { len += toks(i + j).length; j += 1 }
+      val g = toks.slice(i, i + n).mkString(" ")
+      val e = counts.computeIfAbsent(g, _ => Array(0, len))
+      e(0) += 1
+      i += 1
+    }
+    val out = new Array[(Int, Int, String)](counts.size)
+    val it = counts.entrySet().iterator()
+    i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(i) = (e.getValue()(0), e.getValue()(1), e.getKey)
+      i += 1
+    }
+    (out, totalChars)
+  }
+
+  /** Gopher "top n-gram" repetition rule: the fraction of the document's
+    * token characters accounted for by its MOST FREQUENT word n-gram —
+    * occurrences x n-gram char length / total token chars (separators
+    * excluded on both sides so the formula is engine-portable). Among
+    * tied max-count grams the longest wins, so the VALUE is
+    * max(count x charLen) over max-count grams — deterministic in any
+    * engine without needing a gram-identity tie-break. Gopher flags docs with
+    * top-2-gram frac > 0.20, top-3 > 0.18, top-4 > 0.16. 0 for blank
+    * or shorter-than-n docs.
+    */
+  def topNgramCharFraction(n: Int) = udf { text: String =>
+    val (stats, totalChars) = ngramStats(text, n)
+    if (stats.isEmpty || totalChars == 0L) 0.0
+    else {
+      val maxCount = stats.map(_._1).max
+      val best = stats.filter(_._1 == maxCount).maxBy(_._2)
+      maxCount.toLong * best._2 / totalChars.toDouble
+    }
+  }
+
+  /** Gopher "duplicate n-gram" repetition rule (occurrence-weighted
+    * variant): sum over n-grams occurring MORE THAN ONCE of
+    * occurrences x char length, over total token chars. Overlapping
+    * occurrences each count, so heavily looped text can exceed 1 —
+    * Gopher flags dup-5-gram frac > 0.15 down to dup-10-gram > 0.10.
+    * 0 for blank or shorter-than-n docs.
+    */
+  def dupNgramCharFraction(n: Int) = udf { text: String =>
+    val (stats, totalChars) = ngramStats(text, n)
+    if (stats.isEmpty || totalChars == 0L) 0.0
+    else {
+      var dupChars = 0L
+      var i = 0
+      while (i < stats.length) {
+        if (stats(i)._1 > 1) dupChars += stats(i)._1.toLong * stats(i)._2
+        i += 1
+      }
+      dupChars / totalChars.toDouble
+    }
+  }
 }
 
 /** Shingle (n-gram) construction shared by dedup/similarity operators. */

@@ -77,6 +77,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(4L)._4 == "mail me at <EMAIL> or <URL> now")
   }
 
+  test("Gopher n-gram repetition: top fraction and duplicate fraction " +
+      "on authored cases (overlaps counted, ties to the longest gram)") {
+    import spark.implicits._
+    val df = Seq(
+      // "a b a b a b": 2-grams = [a b, b a, a b, b a, a b] ->
+      //   top2 = 3 x 2 chars / 6 total chars = 1.0
+      (1L, "a b a b a b"),
+      // distinct tokens: every 2-gram unique; top2 = 1 x 2 / 4 = 0.5,
+      // dup2 would be 0 (we query dup5 on a 4-token doc -> 0)
+      (2L, "w x y z"),
+      // tie-break: "aa bb" and "cc ddd" both appear once at n=2 in
+      // "aa bb cc ddd": counts all 1 -> longest gram wins: "cc ddd"
+      //   top2 = 1 x 5 / 9
+      (3L, "aa bb cc ddd"),
+      // looped text: every 5-window phase repeats (period 5), so ALL
+      // 11 windows are occurrences of duplicated grams — phase 0
+      // appears 3x, phases 1-4 twice each: dup5 = (3+2*4) x 5 / 15 =
+      // 55/15 — the documented occurrence-weighted > 1 case
+      (4L, "p q r s t p q r s t p q r s t"),
+      (5L, ""), (6L, "one two three four") // shorter than 5 -> dup5 = 0
+    ).toDF("id", "t")
+    val got = df.select(col("id"),
+      TextAnalysis.topNgramCharFraction(2)(col("t")).as("top2"),
+      TextAnalysis.dupNgramCharFraction(5)(col("t")).as("dup5"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got(1L)._1 == 1.0)
+    assert(got(2L)._1 == 0.5 && got(2L)._2 == 0.0)
+    assert(got(3L)._1 == 5.0 / 9)
+    assert(got(4L)._2 == 55.0 / 15)
+    assert(got(5L) == ((0.0, 0.0)))
+    assert(got(6L)._2 == 0.0)
+  }
+
   test("quality score bounds and components") {
     val df = Seq(("a" * 500) + "", "ab1", "").toDF("t")
     val got = df.select(TextAnalysis.qualityScore(col("t"))).as[Double].collect()

@@ -309,15 +309,14 @@ object Similarity {
       * repaired by a periodic rebuild.
       */
     def append(spark: org.apache.spark.sql.SparkSession, path: String,
-        newRows: DataFrame, idCol: String, vecCol: String): Unit = {
+        newRows: DataFrame, idCol: String, vecCol: String): Long = {
       val files = TxLog.stagePartitionedInto(
         withCell(newRows, vecCol, loadCentroids(spark, path)),
         path, "corpus", Seq("cell"))
       TxLog.commitRetrying(spark, path) { parent =>
         val t = parent.map(_.tables).getOrElse(Map.empty)
         t + ("corpus" -> (t.getOrElse("corpus", Nil) ++ files))
-      }
-      ()
+      }.version
     }
 
     /** Maintenance rewrite: fold accumulated per-append files into ~one
@@ -843,7 +842,7 @@ object Similarity {
       * codes table.
       */
     def append(newRows: DataFrame, idCol: String, vecCol: String,
-        path: String): Unit = {
+        path: String): Long = {
       val spark = newRows.sparkSession
       val (centroids, pq) = loadModels(spark, path)
       val enc = Pq.encoderUdf(spark, pq)
@@ -856,8 +855,7 @@ object Similarity {
       graft.sources.TxLog.commitRetrying(spark, path) { parent =>
         val t = parent.map(_.tables).getOrElse(Map.empty)
         t + ("codes" -> (t.getOrElse("codes", Nil) ++ files))
-      }
-      ()
+      }.version
     }
 
     /** SOFT DELETE from the persisted index (FAISS `remove_ids` /
@@ -871,7 +869,7 @@ object Similarity {
       * [[build]]+[[save]] rebuild remains the cadence for drifted
       * quantizers. Commits through the version log like [[append]].
       */
-    def remove(ids: DataFrame, idCol: String, path: String): Unit = {
+    def remove(ids: DataFrame, idCol: String, path: String): Long = {
       val spark = ids.sparkSession
       val files = graft.sources.TxLog.stageInto(
         ids.select(col(idCol).as("neighbor_id")).distinct().coalesce(1),
@@ -879,8 +877,7 @@ object Similarity {
       graft.sources.TxLog.commitRetrying(spark, path) { parent =>
         val t = parent.map(_.tables).getOrElse(Map.empty)
         t + ("deletes" -> (t.getOrElse("deletes", Nil) ++ files))
-      }
-      ()
+      }.version
     }
 
     /** The tombstone table at a resolved state (legacy: raw sidecar dir). */
@@ -965,7 +962,8 @@ object Similarity {
       */
     def topKPersisted(spark: org.apache.spark.sql.SparkSession,
         path: String, queries: DataFrame, qidCol: String, vecCol: String,
-        k: Int, nProbe: Int): DataFrame = {
+        k: Int, nProbe: Int,
+        at: Option[graft.sources.TxLog.State] = None): DataFrame = {
       val (centroids, pq) = loadModels(spark, path)
       val cents = centroids
       val probes = math.min(nProbe, centroids.length)
@@ -986,7 +984,11 @@ object Similarity {
       val cellSet = q.select("cell").distinct().collect().map(_.getInt(0))
       // ONE state resolution for codes + tombstones: the probe sees a
       // single committed snapshot even beside concurrent maintenance
-      val st = graft.sources.TxLog.currentState(spark, path)
+      // an explicit state pins the probe to a TableCatalog-published
+      // index version; default resolves the newest committed state
+      val st =
+        if (at.isDefined) at
+        else graft.sources.TxLog.currentState(spark, path)
       val live = tombstones(spark, path, st).foldLeft(
         codesTable(spark, path, st)
           .filter(col("cell").isin(cellSet.toSeq: _*))) // -> PartitionFilters

@@ -1292,10 +1292,14 @@ object Merge {
         s"updates add columns [${newCols.mkString(", ")}] not in the table " +
         s"schema — pass allowEvolution = true to add them")
       // evolution ADDS columns; it never retypes one (old files could not
-      // be read under a changed type)
+      // be read under a changed type). Compare by catalogString: the
+      // manifest stores the schema as DDL, which cannot carry nested
+      // nullability (containsNull/valueContainsNull), so a strict
+      // DataType equality would spuriously reject e.g. an
+      // array<float> batch against its own table after one round trip.
       parentSchema.foreach(_.foreach { f =>
         val u = updates.schema(f.name)
-        require(u.dataType == f.dataType,
+        require(u.dataType.catalogString == f.dataType.catalogString,
           s"column ${f.name} is ${f.dataType.simpleString} in the table " +
           s"but ${u.dataType.simpleString} in the updates — type changes " +
           "are not schema evolution")

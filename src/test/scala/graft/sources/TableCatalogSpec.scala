@@ -271,6 +271,55 @@ class TableCatalogSpec extends SparkSpec {
       "every corpus doc must be covered by the published index")
   }
 
+  test("an ANN index member: vectors and IVF-PQ codes publish atomically") {
+    import graft.pipeline.Similarity
+    def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val root = freshRoot("ann")
+    val vecPath = new java.io.File(root, "vecs").getAbsolutePath
+    val annPath = new java.io.File(root, "ann").getAbsolutePath
+    val cat = new java.io.File(root, "cat").getAbsolutePath
+    val pts = Seq(
+      (1L, vec(1, 0, 1, 0)), (2L, vec(0.9, 0, 0.9, 0)),
+      (3L, vec(0, 1, 0, 1)), (4L, vec(0, 0.9, 0, 0.9)))
+      .toDF("vec_id", "embedding")
+    Merge.writeKeyed(pts, vecPath, "vec_id", nBuckets = 2)
+    Similarity.IvfPq.save(Similarity.IvfPq.build(pts, "vec_id",
+      "embedding", dim = 4, cells = 2, m = 2, kSub = 4, sampleN = 100,
+      iters = 5), annPath)
+    TableCatalog.create(spark, cat, Map("vecs" -> vecPath),
+      indexes = Map("ann" -> annPath))
+    val q1 = pts.filter($"vec_id" === 1L)
+    def probe(k: Int): Seq[Long] = {
+      val st = TableCatalog.indexState(spark, cat, "ann")
+      Similarity.IvfPq.topKPersisted(spark, annPath, q1, "vec_id",
+        "embedding", k = k, nProbe = 2, at = Some(st))
+        .orderBy(col("rank")).select("neighbor_id").as[Long].collect().toSeq
+    }
+    // a new vector lands in the Merge table AND the codes table behind
+    // one claim (the same TxnIndex contract as the dedup index)
+    val batch = Seq((10L, vec(1, 0, 1, 0))).toDF("vec_id", "embedding")
+    TableCatalog.transact(spark, cat, Seq(
+      TableCatalog.TxnUpsert("vecs", batch),
+      TableCatalog.TxnIndex("ann", (s, p) =>
+        Similarity.IvfPq.append(batch, "vec_id", "embedding", p))))
+    assert(probe(1).head == 10L, "the appended exact copy must rank first")
+    // an orphan append outside the catalog stays invisible to pinned probes
+    Similarity.IvfPq.append(Seq((99L, vec(1, 0, 1, 0)))
+      .toDF("vec_id", "embedding"), "vec_id", "embedding", annPath)
+    assert(!probe(10).contains(99L), "the orphan append must not show")
+    // atomic retire: delete the vector row + tombstone its codes in ONE
+    // transaction (the orphan is rolled back by the same transact)
+    TableCatalog.transact(spark, cat, Seq(
+      TableCatalog.TxnDelete("vecs", col("vec_id") === 10L),
+      TableCatalog.TxnIndex("ann", (s, p) =>
+        Similarity.IvfPq.remove(Seq(10L).toDF("vec_id"), "vec_id", p))))
+    val ids = probe(10)
+    assert(!ids.contains(10L) && !ids.contains(99L))
+    assert(ids.head == 1L || ids.head == 2L)
+    assert(TableCatalog.readTable(spark, cat, "vecs")
+      .select("vec_id").as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
+  }
+
   test("PROPERTY: random transact/crash/orphan/replay/recover sequences " +
       "match a two-member reference model, at every catalog version") {
     import org.scalacheck.Gen

@@ -336,12 +336,29 @@ object TableCatalog {
     */
   def transact(spark: SparkSession, catRoot: String, ops: Seq[TxnOp],
       maxRetries: Int = 5, opName: String = "transact",
+      txn: Option[(String, Long)] = None): CatState =
+    transactWith(spark, catRoot, _ => ops, maxRetries, opName, txn)
+
+  /** [[transact]] with the ops REBUILT from the current catalog state on
+    * every claim attempt — the read-modify-write form. A transaction
+    * whose new rows derive from a catalog read (e.g. "stats = stats +
+    * batch") must use this: a static op list computed before a lost
+    * race would republish values read from the pre-race snapshot,
+    * silently dropping the racing transaction's update (classic OCC
+    * lost-update). `opsOf` runs once per attempt; reads made through
+    * [[readTable]]/[[indexState]] inside it resolve the attempt's fresh
+    * pins, so the retry recomputes against the winner's state.
+    */
+  def transactWith(spark: SparkSession, catRoot: String,
+      opsOf: CatState => Seq[TxnOp],
+      maxRetries: Int = 5, opName: String = "transact",
       txn: Option[(String, Long)] = None): CatState = {
-    require(ops.nonEmpty, "a transaction needs >= 1 op")
     val (fs, root) = fsFor(spark, catRoot)
     var attempt = 0
     while (attempt <= maxRetries) {
       val st = state(spark, catRoot)
+      val ops = opsOf(st)
+      require(ops.nonEmpty, "a transaction needs >= 1 op")
       txn.foreach { case (app, batch) =>
         if (latestTxn(spark, catRoot, app).exists(_ >= batch))
           return st // replay of a committed batch: exactly-once no-op
@@ -436,6 +453,12 @@ object TableCatalog {
     * at once — the cross-table form of [[Merge.streamingUpsert]]'s
     * guarantee. The batch is materialized once (localCheckpoint) so the
     * ops can consume it repeatedly without re-reading the source.
+    *
+    * `mkOps` may run once per claim attempt ([[transactWith]]): catalog
+    * reads inside it resolve each attempt's fresh pins, so a
+    * read-modify-write rollup recomputes correctly after a lost race
+    * beside another writer. It must therefore be effect-free apart from
+    * building the ops.
     */
   def streamingTransact(stream: DataFrame, catRoot: String, appId: String)
       (mkOps: (DataFrame, Long) => Seq[TxnOp])
@@ -443,10 +466,66 @@ object TableCatalog {
           org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val b = batch.localCheckpoint(true)
-      transact(b.sparkSession, catRoot, mkOps(b, batchId),
+      transactWith(b.sparkSession, catRoot, _ => mkOps(b, batchId),
         txn = Some((appId, batchId)))
       ()
     }
+
+  /** Register an additional member in a LIVE catalog (a catalog commit:
+    * readers at older catalog versions don't see it, time travel works).
+    * The member joins pinned at its current version; "merge" kind needs
+    * a [[Merge]] log, "idx" a [[TxLog]] one.
+    */
+  def addMember(spark: SparkSession, catRoot: String, name: String,
+      path: String, kind: String = "merge",
+      maxRetries: Int = 5): CatState = {
+    require(kind == "merge" || kind == "idx", s"unknown member kind $kind")
+    val (fs, root) = fsFor(spark, catRoot)
+    val v = kind match {
+      case "idx" => TxLog.currentVersion(spark, path)
+      case _ => Merge.currentVersion(spark, path)
+    }
+    require(v >= 0, s"member $name at $path has no $kind version log")
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val st = state(spark, catRoot)
+      require(!st.pins.contains(name),
+        s"$name is already a member of the catalog at $catRoot")
+      val next = CatState(st.version + 1, st.version,
+        math.max(st.ts + 1, System.currentTimeMillis()), "addMember",
+        st.pins + (name -> Pin(path, v, kind)))
+      try { TxLog.claimVersion(fs, logDir(root), next.version, body(next))
+            return next }
+      catch { case _: TxLog.LostRace => attempt += 1 }
+    }
+    throw new IllegalStateException(
+      s"addMember lost the catalog race $attempt times at $catRoot")
+  }
+
+  /** Drop a member from the catalog (a catalog commit). The member's
+    * own log and files are untouched — it simply leaves the catalog's
+    * consistency domain; retained older catalog versions still resolve
+    * its historical pins.
+    */
+  def removeMember(spark: SparkSession, catRoot: String, name: String,
+      maxRetries: Int = 5): CatState = {
+    val (fs, root) = fsFor(spark, catRoot)
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val st = state(spark, catRoot)
+      require(st.pins.contains(name),
+        s"$name is not a member of the catalog at $catRoot")
+      require(st.pins.size > 1, "a catalog cannot drop its last member")
+      val next = CatState(st.version + 1, st.version,
+        math.max(st.ts + 1, System.currentTimeMillis()), "removeMember",
+        st.pins - name)
+      try { TxLog.claimVersion(fs, logDir(root), next.version, body(next))
+            return next }
+      catch { case _: TxLog.LostRace => attempt += 1 }
+    }
+    throw new IllegalStateException(
+      s"removeMember lost the catalog race $attempt times at $catRoot")
+  }
 
   /** Roll every member whose table log has advanced past its pin back to
     * the pin (zero-copy restores): explicit cleanup of crashed

@@ -271,6 +271,91 @@ class TableCatalogSpec extends SparkSpec {
       "every corpus doc must be covered by the published index")
   }
 
+  test("read-modify-write transactions recompute after a lost race " +
+      "(no lost update)") {
+    val (cat, _, _) = fixture("rmw")
+    def incOps(st: TableCatalog.CatState): Seq[TableCatalog.TxnOp] = {
+      val cur = TableCatalog.readTable(spark, cat, "audit", Some(st))
+        .filter($"id" === 0L).select("total_moves").as[Long].head()
+      Seq(TableCatalog.TxnUpsert("audit",
+        Seq((0L, cur + 1L)).toDF("id", "total_moves")))
+    }
+    // a competing increment lands between this transaction's read and
+    // its claim: the loser must RE-READ and re-derive, not republish
+    // its stale cur+1
+    var injected = false
+    TableCatalog.catFence = () => {
+      if (!injected) {
+        injected = true
+        val fence = TableCatalog.catFence
+        TableCatalog.catFence = () => ()
+        try TableCatalog.transactWith(spark, cat, incOps)
+        finally TableCatalog.catFence = fence
+      }
+    }
+    try TableCatalog.transactWith(spark, cat, incOps)
+    finally TableCatalog.catFence = () => ()
+    assert(moves(cat) == 2L,
+      "both increments must land — a lost race may not lose an update")
+  }
+
+  test("member evolution: addMember/removeMember are catalog commits " +
+      "with working time travel") {
+    val (cat, _, _) = fixture("evolve")
+    val extra = new File(freshRoot("evolve_extra"), "extra").getAbsolutePath
+    Merge.writeKeyed(Seq((1L, "x")).toDF("id", "tag"), extra, "id",
+      nBuckets = 2)
+    val vBefore = TableCatalog.state(spark, cat).version
+    TableCatalog.addMember(spark, cat, "extra", extra)
+    intercept[IllegalArgumentException] {
+      TableCatalog.addMember(spark, cat, "extra", extra) // duplicate
+    }
+    // the new member participates in transactions with the old ones
+    TableCatalog.transact(spark, cat, Seq(
+      TableCatalog.TxnUpsert("extra", Seq((2L, "y")).toDF("id", "tag")),
+      TableCatalog.TxnUpsert("audit",
+        Seq((0L, 1L)).toDF("id", "total_moves"))))
+    assert(TableCatalog.readTable(spark, cat, "extra").count() == 2L)
+    // time travel to before the add: the member does not exist there
+    val old = TableCatalog.stateAt(spark, cat, vBefore)
+    intercept[IllegalArgumentException] {
+      TableCatalog.readTable(spark, cat, "extra", Some(old))
+    }
+    TableCatalog.removeMember(spark, cat, "extra")
+    intercept[IllegalArgumentException] {
+      TableCatalog.readTable(spark, cat, "extra")
+    }
+    // the dropped member's own data is untouched, and the retained
+    // pre-remove catalog version still resolves it
+    assert(Merge.readKeyed(spark, extra).count() == 2L)
+    val preRemove = TableCatalog.stateAt(spark, cat,
+      TableCatalog.state(spark, cat).version - 1)
+    assert(TableCatalog.readTable(spark, cat, "extra", Some(preRemove))
+      .count() == 2L)
+  }
+
+  test("STRESS: genuinely concurrent read-modify-write transactions " +
+      "serialize (threads, not fences)") {
+    val (cat, _, _) = fixture("stress")
+    def incOps(st: TableCatalog.CatState): Seq[TableCatalog.TxnOp] = {
+      val cur = TableCatalog.readTable(spark, cat, "audit", Some(st))
+        .filter($"id" === 0L).select("total_moves").as[Long].head()
+      Seq(TableCatalog.TxnUpsert("audit",
+        Seq((0L, cur + 1L)).toDF("id", "total_moves")))
+    }
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 3).map(_ => new Thread(() => {
+      try (1 to 3).foreach { _ =>
+        TableCatalog.transactWith(spark, cat, incOps, maxRetries = 300)
+      } catch { case t: Throwable => errs.add(t) }
+    }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"no transaction may fail: ${errs.peek()}")
+    assert(moves(cat) == 9L, "every increment lands exactly once")
+    assert(TableCatalog.state(spark, cat).version == 9L,
+      "nine transactions -> nine catalog versions")
+  }
+
   test("an ANN index member: vectors and IVF-PQ codes publish atomically") {
     import graft.pipeline.Similarity
     def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray

@@ -98,6 +98,19 @@ object TableCatalog {
   final case class TxnIndex(table: String,
       run: (SparkSession, String) => Long) extends TxnOp
 
+  /** The escape hatch for every OTHER Merge verb on a "merge" member —
+    * maintenance included. A direct `Merge.compactVersion` /
+    * `addConstraint` / `restore` against a member outside a transaction
+    * is indistinguishable from a crashed transaction's orphan and gets
+    * ROLLED BACK by the next transact, so maintenance must ride a
+    * transaction too: `run(spark, path)` performs exactly one Merge
+    * commit and returns its version, e.g.
+    * `TxnTable("t", (s, p) => Merge.compactVersion(s, p).version)` or
+    * `TxnTable("t", (s, p) => Merge.addConstraint(s, p, n, expr))`.
+    */
+  final case class TxnTable(table: String,
+      run: (SparkSession, String) => Long) extends TxnOp
+
   // test seams: catFence runs immediately before each catalog claim
   // attempt; opFence runs after each applied table op (crash injection
   // between a transaction's table commits)
@@ -413,6 +426,7 @@ object TableCatalog {
             case d: TxnDelete =>
               Merge.deleteWhere(spark, pin.path, d.predicate, d.bounds,
                 maxRetries = 0).version
+            case tv: TxnTable => tv.run(spark, pin.path)
             case i: TxnIndex => i.run(spark, pin.path)
           }
           // a no-op (empty batch / no matching rows) commits nothing and

@@ -299,6 +299,52 @@ class TableCatalogSpec extends SparkSpec {
       "both increments must land — a lost race may not lose an update")
   }
 
+  test("member maintenance rides a transaction (TxnTable); direct " +
+      "maintenance is discarded as an orphan") {
+    val (cat, accounts, _) = fixture("maint")
+    (1 to 3).foreach { i =>
+      TableCatalog.transact(spark, cat, Seq(
+        TableCatalog.TxnUpsert("accounts",
+          Seq((1L, i * 1.0)).toDF("id", "balance"))))
+    }
+    val before = balances(cat)
+    // a clustering OPTIMIZE always rewrites — the maintenance commit
+    // rides the transaction like any data commit
+    TableCatalog.transact(spark, cat, Seq(
+      TableCatalog.TxnTable("accounts", (s, p) =>
+        Merge.compactVersion(s, p, targetFilesPerBucket = 1,
+          clusterBy = Seq("balance")).version)))
+    assert(balances(cat) == before, "compaction never changes rows")
+    assert(Merge.history(spark, accounts).orderBy(desc("version"))
+      .select("op").as[String].head() == "compact")
+    // DIRECT maintenance outside a transaction is an orphan: the next
+    // transact rolls it back (that is the documented contract)
+    Merge.addConstraint(spark, accounts, "bal_notnull",
+      "balance IS NOT NULL")
+    TableCatalog.transact(spark, cat, Seq(
+      TableCatalog.TxnUpsert("accounts",
+        Seq((2L, 2.0)).toDF("id", "balance"))))
+    assert(Merge.tableConstraints(spark, accounts).isEmpty,
+      "the direct addConstraint must have been rolled back")
+    // through a transaction it sticks — and then gates later
+    // transactions: a violating batch fails the WHOLE transaction
+    TableCatalog.transact(spark, cat, Seq(
+      TableCatalog.TxnTable("accounts", (s, p) =>
+        Merge.addConstraint(s, p, "bal_notnull", "balance IS NOT NULL"))))
+    assert(Merge.tableConstraints(spark, accounts).nonEmpty)
+    val vBefore = TableCatalog.state(spark, cat).version
+    intercept[Merge.ConstraintViolation] {
+      TableCatalog.transact(spark, cat, Seq(
+        TableCatalog.TxnUpsert("accounts",
+          Seq((3L, Option.empty[Double])).toDF("id", "balance")),
+        TableCatalog.TxnUpsert("audit",
+          Seq((0L, 99L)).toDF("id", "total_moves"))))
+    }
+    assert(TableCatalog.state(spark, cat).version == vBefore &&
+      moves(cat) == 0L,
+      "a constraint violation aborts the whole transaction")
+  }
+
   test("member evolution: addMember/removeMember are catalog commits " +
       "with working time travel") {
     val (cat, _, _) = fixture("evolve")

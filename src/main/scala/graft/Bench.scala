@@ -22,10 +22,19 @@ object Bench {
     // not a per-query property of the engine).
     try {
       spark.range(1000).selectExpr("sum(id)").collect()
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-        try fn(spark, sfDir).count() catch { case _: Throwable => }
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        try fn(spark, sfDir).count() catch {
+          case t: Throwable =>
+            // the timed pass will record the failure; this line just
+            // keeps the first diagnosis one run shorter
+            System.err.println(s"[bench] warmup: $name threw " +
+              s"${t.getClass.getSimpleName}: " +
+              String.valueOf(t.getMessage).take(200))
+        }
       }
-    } catch { case _: Throwable => }
+    } catch { case t: Throwable =>
+      System.err.println(s"[bench] warmup aborted: $t")
+    }
     // SELF-CALIBRATION anchor: a fixed synthetic aggregate+join (pure
     // spark.range — no data dependency, no disk) timed in this same JVM.
     // Cross-round bench comparisons divide by it to cancel box-speed

@@ -2657,6 +2657,15 @@ object SparkEntry {
         TextAnalysis.meanTokenLength(col("text")).as("mean_token_len"))
         .orderBy("doc_id")
     }),
+    "q_dedup_lines_doc" -> ((s, dir) => {
+      // WITHIN-document line dedup (C4-style intra-page boilerplate):
+      // first occurrence of every line survives in document order —
+      // pure codegen array_distinct, vs the oracle's windowed rn = 1
+      // reassembly
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.dedupLines(col("text")).as("clean"))
+        .orderBy("doc_id")
+    }),
     "q_text_dup_ngrams" -> ((s, dir) => {
       // the FULL Gopher repetition rules: top-n-gram char fraction
       // (occurrences x gram char length / total token chars, longest
@@ -5738,6 +5747,21 @@ object SparkEntry {
            SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part)
          WHERE p_partkey <= 100
          ORDER BY p_partkey, metric""",
+    // intra-doc line dedup: windowed first-occurrence reassembly
+    "q_dedup_lines_doc" ->
+      """WITH lines AS (
+           SELECT doc_id, line, pos,
+                  row_number() OVER (PARTITION BY doc_id, line
+                                     ORDER BY pos) AS rn
+           FROM (SELECT doc_id,
+                        unnest(string_split(text, chr(10))) AS line,
+                        unnest(generate_series(1,
+                          len(string_split(text, chr(10))))) AS pos
+                 FROM documents))
+         SELECT doc_id,
+                string_agg(line, chr(10) ORDER BY pos) AS clean
+         FROM lines WHERE rn = 1 GROUP BY doc_id
+         ORDER BY doc_id""",
     // Gopher repetition: same tokenization, grams re-derived with list
     // ops; value = integer (cnt x gramChars) converted to double, one
     // division — bit-identical to the Scala kernel

@@ -259,6 +259,16 @@ object TextAnalysis {
     (out, totalChars)
   }
 
+  /** WITHIN-document line dedup: keep the FIRST occurrence of every
+    * line (C4-style intra-doc boilerplate removal — nav menus and
+    * footers repeated inside one page), preserving document order.
+    * Pure codegen (`array_distinct` keeps first-occurrence order), no
+    * UDF, no shuffle — the corpus-level cross-document variant is
+    * [[graft.pipeline.Dedup.removeDuplicateLines]].
+    */
+  def dedupLines(c: Column): Column =
+    array_join(array_distinct(split(c, "\n", -1)), "\n")
+
   /** Gopher "top n-gram" repetition rule: the fraction of the document's
     * token characters accounted for by its MOST FREQUENT word n-gram —
     * occurrences x n-gram char length / total token chars (separators

@@ -2657,6 +2657,19 @@ object SparkEntry {
         TextAnalysis.meanTokenLength(col("text")).as("mean_token_len"))
         .orderBy("doc_id")
     }),
+    "q_token_rank_quality" -> ((s, dir) => {
+      // corpus-frequency token-rank scoring — the deterministic stand-in
+      // for CCNet's KenLM perplexity filter (the corpus IS the model):
+      // per doc, mean corpus-frequency rank over token occurrences
+      // (total order: count desc, token asc; OOV beyond the top-1000
+      // vocabulary takes rank 1001) + the OOV occurrence count. The
+      // score is an exact integer rank sum divided once, so it
+      // hash-matches the oracle's replay bit-for-bit
+      graft.pipeline.Frequency.tokenRankScore(
+        t(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", vocabSize = 1000)
+        .orderBy("doc_id")
+    }),
     "q_dedup_lines_doc" -> ((s, dir) => {
       // WITHIN-document line dedup (C4-style intra-page boilerplate):
       // first occurrence of every line survives in document order —
@@ -5747,6 +5760,34 @@ object SparkEntry {
            SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part)
          WHERE p_partkey <= 100
          ORDER BY p_partkey, metric""",
+    // token-rank quality: the corpus-model replay — same tokenization,
+    // same total rank order, exact integer sums, one division
+    "q_token_rank_quality" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  unnest(CASE WHEN trim(text) = '' THEN []
+                         ELSE string_split_regex(trim(lower(text)), '\s+')
+                         END) AS tok
+           FROM documents),
+         counts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+         ranked AS (
+           SELECT tok, rnk FROM (
+             SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok ASC)
+                      AS rnk
+             FROM counts) WHERE rnk <= 1000),
+         scored AS (
+           SELECT t.doc_id,
+                  CAST(sum(COALESCE(r.rnk, 1001)) AS DOUBLE) / count(*)
+                    AS mean_rank,
+                  CAST(sum(CASE WHEN r.rnk IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS oov_cnt
+           FROM toks t LEFT JOIN ranked r USING (tok)
+           GROUP BY t.doc_id)
+         SELECT d.doc_id,
+                COALESCE(s.mean_rank, 0.0) AS mean_rank,
+                COALESCE(s.oov_cnt, 0) AS oov_cnt
+         FROM documents d LEFT JOIN scored s USING (doc_id)
+         ORDER BY d.doc_id""",
     // intra-doc line dedup: windowed first-occurrence reassembly
     "q_dedup_lines_doc" ->
       """WITH lines AS (

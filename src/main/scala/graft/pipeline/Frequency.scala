@@ -90,6 +90,56 @@ object Frequency {
     * One explode + two hash aggregates; shuffle volume is bounded by the
     * vocabulary, not the corpus (map-side partials collapse repeats).
     */
+  /** Corpus-frequency TOKEN-RANK quality score — the deterministic
+    * stand-in for CCNet's KenLM perplexity filter, the same way
+    * DeterministicOracle stands in for the LLM: a document built from
+    * common language scores low, rare-token/garbage-heavy text scores
+    * high, and the corpus itself is the model. Per document:
+    *
+    *   - `mean_rank`: mean over its token OCCURRENCES of the token's
+    *     corpus frequency rank (1 = most frequent; ties break count
+    *     desc then token asc, so the ranking is total and
+    *     reproducible); out-of-vocabulary tokens take rank
+    *     vocabSize + 1;
+    *   - `oov_cnt`: how many occurrences fell outside the top
+    *     `vocabSize` vocabulary.
+    *
+    * Exactness: the score is an exact integer rank sum divided once —
+    * no float accumulation — so it hash-matches any engine that
+    * replays the definition (the gate's DuckDB oracle does).
+    *
+    * Scale shape: one token-count aggregate (map-side combined), a
+    * driver-bounded top-`vocabSize` collect broadcast back as a lookup
+    * (the vocabulary is a PARAMETER, never corpus-sized), one
+    * broadcast join from the exploded tokens, one per-doc aggregate.
+    * The corpus shuffles token COUNTS once; raw text never re-shuffles.
+    * Documents with no tokens score 0 with 0 OOV.
+    */
+  def tokenRankScore(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, "vocabSize must be >= 1")
+    val spark = df.sparkSession
+    val toks = df.select(col(idCol),
+      explode(TextAnalysis.tokensCol(lower(col(textCol)))).as("__tok"))
+    val vocab: Array[(String, Long)] = toks.groupBy("__tok")
+      .agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col("__tok").asc)
+      .limit(vocabSize) // TakeOrdered: driver collect bounded by the param
+      .collect().zipWithIndex
+      .map { case (r, i) => (r.getString(0), i + 1L) }
+    val ranks = spark.createDataFrame(vocab.toSeq).toDF("__tok", "__rank")
+    val oovRank = vocabSize + 1L
+    toks.join(broadcast(ranks), Seq("__tok"), "left")
+      .groupBy(idCol)
+      .agg(
+        (sum(coalesce(col("__rank"), lit(oovRank))).cast("double") /
+          count(lit(1)).cast("double")).as("mean_rank"),
+        sum(when(col("__rank").isNull, 1L).otherwise(0L)).as("oov_cnt"))
+      // blank docs have no token rows: restore them at score 0
+      .join(df.select(col(idCol)), Seq(idCol), "right")
+      .na.fill(Map("mean_rank" -> 0.0, "oov_cnt" -> 0L))
+  }
+
   def documentFrequency(df: DataFrame, idCol: String,
       textCol: String): DataFrame =
     df.select(col(idCol),

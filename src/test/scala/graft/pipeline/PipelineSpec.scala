@@ -77,6 +77,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(4L)._4 == "mail me at <EMAIL> or <URL> now")
   }
 
+  test("tokenRankScore: total rank order, OOV takes vocabSize+1, " +
+      "blank docs score 0") {
+    val df = Seq((1L, "a a a b b c"), (2L, "c z"), (3L, ""))
+      .toDF("id", "t")
+    // corpus counts: a=3, b=2, c=2 (docs 1+2), z=1 -> order (count desc,
+    // token asc — the tie-break decides b vs c): a=1, b=2, c=3;
+    // vocabSize=3 keeps {a, b, c}; z is OOV at rank 4
+    val got = Frequency.tokenRankScore(df, "id", "t", vocabSize = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getLong(2))).toMap
+    assert(got(1L) == (((1 + 1 + 1 + 2 + 2 + 3) / 6.0, 0L)))
+    assert(got(2L) == (((3 + 4) / 2.0, 1L)))
+    assert(got(3L) == ((0.0, 0L)))
+  }
+
   test("Gopher n-gram repetition: top fraction and duplicate fraction " +
       "on authored cases (overlaps counted, ties to the longest gram)") {
     import spark.implicits._

@@ -1,0 +1,279 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{IntegerType, StructType}
+
+/** Version-log offset for [[GraftTableSource]]: `version` means "every
+  * commit with version <= this has been emitted downstream". Serialized
+  * to the checkpoint's offset log as the bare number; on restart the
+  * engine hands back a `SerializedOffset` whose `json` is that same
+  * string, so consumers parse via `json.toLong` and never pattern-match
+  * on the class.
+  */
+case class GraftVersionOffset(version: Long) extends V1Offset {
+  override def json: String = version.toString
+}
+
+/** STREAMING READS of a versioned [[Merge]] table — the Delta-style
+  * streaming source, the half of the lakehouse streaming story the
+  * exactly-once [[Merge.streamingUpsert]] sink left open:
+  *
+  * {{{
+  *   spark.readStream.format("graft-table").option("path", p).load()
+  * }}}
+  *
+  * Offsets are COMMIT VERSIONS. Each micro-batch is a change feed over
+  * a version range `(start, end]` computed by [[Merge.changesBetween]]
+  * — so a batch's scan cost is the buckets those commits touched at the
+  * two endpoint versions, planned entirely from the (memoized)
+  * manifests. At 100 TB that is the property that makes tailing a table
+  * viable at all: a 10-key upsert produces a micro-batch that reads ~10
+  * buckets, never the table, with no directory listing anywhere (the
+  * manifest IS the listing). Rows carry the data schema plus an
+  * `op INT` column (+1 insert / new image, -1 delete / old image) — the
+  * same dialect [[graft.pipeline.IncrementalAgg.updateWithRetractions]]
+  * and a tombstone-fold into a downstream [[Merge.upsert]] consume, so
+  * table-to-table incremental ETL is `readStream -> foreachBatch(fold)`.
+  *
+  * Start modes (option `startingVersion`):
+  *  - absent (default): first batch is the FULL SNAPSHOT of the version
+  *    current when the stream FIRST starts (all rows `op = +1`), then
+  *    deltas — Delta's default semantics;
+  *  - `"latest"`: no snapshot, only commits that land after the stream
+  *    first starts;
+  *  - `N`: no snapshot, the change feed from version N (inclusive)
+  *    onward; `0` is the snapshot of v0 plus every delta since (v0 IS
+  *    the first commit, so its "changes" are its full image).
+  * "First starts" is literal: the resolved anchor is persisted
+  * create-if-absent in the checkpoint's source-metadata directory, so a
+  * restarted stream keeps its original anchor (and its rate-limit
+  * floor) instead of re-resolving `latest`/the snapshot version against
+  * whatever the table has moved to — the same discipline Spark's Kafka
+  * source applies to its initial offsets.
+  *
+  * Rate limiting: `maxVersionsPerTrigger` caps how many commits one
+  * micro-batch may cover (the version-log analogue of the file source's
+  * `maxFilesPerTrigger`), via [[SupportsAdmissionControl]] so the cap
+  * holds under every trigger including [[SupportsTriggerAvailableNow
+  * Trigger.AvailableNow]] — a backlog drains across multiple capped
+  * batches and then terminates, and a mid-backlog restart resumes from
+  * the checkpoint exactly.
+  *
+  * Contracts: the emitted schema is pinned when the stream is defined —
+  * a mid-stream schema evolution keeps flowing (added columns are simply
+  * not visible until the stream restarts, Delta's rule); the versions a
+  * stopped stream still has to read must be retained (`vacuum
+  * keepVersions` / [[Merge.vacuumRetain]] must outlast the longest
+  * expected downtime, or restart raises the retention error rather than
+  * silently skipping); `commit(offset)` is deliberately a no-op — the
+  * reader does not drive retention.
+  *
+  * Registered as `graft-table` via META-INF/services.
+  */
+class GraftTableStreamProvider extends StreamSourceProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft-table"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-table stream needs .option(\"path\", <table root>)"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    require(schema.isEmpty,
+      "graft-table is self-describing: the schema comes from the " +
+      "table's manifest, do not pass one")
+    val spark = sqlContext.sparkSession
+    val opCol = parameters.getOrElse("opCol", "op")
+    val data = Merge.readKeyed(spark, pathOf(parameters)).schema
+    require(!data.fieldNames.contains(opCol),
+      s"table already has a '$opCol' column — rename the change-type " +
+      "column via .option(\"opCol\", ...)")
+    (shortName(), data.add(opCol, IntegerType, nullable = false))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val spark = sqlContext.sparkSession
+    val path = pathOf(parameters)
+    val opCol = parameters.getOrElse("opCol", "op")
+    val resolved = sourceSchema(sqlContext, None, providerName, parameters)._2
+    val startAt = parameters.get("startingVersion")
+    val maxPerTrigger = parameters.get("maxVersionsPerTrigger").map { s =>
+      val n = s.toLong
+      require(n >= 1, s"maxVersionsPerTrigger must be >= 1, got $n")
+      n
+    }
+    new GraftTableSource(spark, path, metadataPath, resolved, opCol,
+      startAt, maxPerTrigger)
+  }
+}
+
+/** See [[GraftTableStreamProvider]] for the user-facing contract. */
+class GraftTableSource(spark: SparkSession, path: String,
+    metadataPath: String, resolvedSchema: StructType, opCol: String,
+    startingVersion: Option[String], maxVersionsPerTrigger: Option[Long])
+    extends Source with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  /** (offset floor before any batch, version whose full snapshot opens
+    * the stream — None for delta-only starts, emitted schema). Resolved
+    * once per CHECKPOINT, not once per process: persisted
+    * create-if-absent under `metadataPath` so every restart replays the
+    * same anchor — `latest` does not re-resolve against a moved table,
+    * the rate-limit floor survives, and a post-evolution restart of the
+    * SAME query object keeps emitting the shape its sink was wired for
+    * (a new `.load()` with a fresh checkpoint picks up the new schema).
+    */
+  private val (baseOffset: Long, snapshotAt: Option[Long],
+      declared: StructType) = {
+    val fs = new Path(metadataPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val anchorFile = new Path(metadataPath, "anchor")
+    def stored(): Option[(Long, Option[Long], StructType)] =
+      if (!fs.exists(anchorFile)) None
+      else {
+        val in = fs.open(anchorFile)
+        val body = try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](4096)
+          var n = in.read(tmp)
+          while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+          new String(buf.toByteArray, StandardCharsets.UTF_8)
+        } finally in.close()
+        val Array(head, ddl) = body.split("\n", 2)
+        val parts = head.trim.split(",", -1)
+        Some((parts(0).toLong,
+          if (parts(1).isEmpty) None else Some(parts(1).toLong),
+          StructType.fromDDL(ddl)))
+      }
+    stored().getOrElse {
+      val current = Merge.currentVersion(spark, path)
+      require(current >= 0, s"$path is not a committed graft table")
+      val (b, snap) = startingVersion match {
+        case None           => (current, Some(current))
+        case Some("latest") => (current, None)
+        case Some(n) =>
+          val v = n.toLong
+          require(v >= 0, s"startingVersion must be >= 0, got $v")
+          if (v == 0L) (0L, Some(0L)) else (v - 1, None)
+      }
+      if (!fs.exists(anchorFile.getParent)) fs.mkdirs(anchorFile.getParent)
+      try {
+        val out = fs.create(anchorFile, false)
+        try out.write(
+          (s"$b,${snap.map(_.toString).getOrElse("")}\n" +
+            resolvedSchema.toDDL).getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        (b, snap, resolvedSchema)
+      } catch {
+        // lost the create race to a parallel restart: its anchor wins
+        case _: java.io.IOException =>
+          stored().getOrElse((b, snap, resolvedSchema))
+      }
+    }
+  }
+
+  /** Highest version this source has reserved or emitted — the floor
+    * for the next rate-limited reservation. Re-seeded by getBatch on
+    * restart, so a rebuilt source resumes its cap from the checkpoint.
+    */
+  private var maxSeen: Long = baseOffset
+
+  /** Target fixed by prepareForTriggerAvailableNow: AvailableNow drains
+    * up to here in capped chunks, then flat-lines and terminates.
+    */
+  private var availableNowCap: Option[Long] = None
+
+  override def schema: StructType = declared
+
+  private def versionOf(o: V2Offset): Long = o.json.toLong
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger
+      .map(n => ReadLimit.maxFiles(math.min(n, Int.MaxValue).toInt))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def prepareForTriggerAvailableNow(): Unit = synchronized {
+    availableNowCap = Some(Merge.currentVersion(spark, path))
+  }
+
+  /** Admission control: one reservation per trigger, floored at the
+    * highest version already reserved/emitted and capped by the read
+    * limit (versions, carried in ReadMaxFiles) and any AvailableNow
+    * target.
+    */
+  override def latestOffset(start: V2Offset, limit: ReadLimit): V2Offset =
+    synchronized {
+      val cur = availableNowCap
+        .getOrElse(Merge.currentVersion(spark, path))
+      val floor = math.max(maxSeen,
+        Option(start).map(versionOf).getOrElse(baseOffset))
+      val target = limit match {
+        case l: ReadMaxFiles => math.min(cur, floor + l.maxFiles())
+        case _               => cur
+      }
+      if (target > maxSeen) maxSeen = target
+      GraftVersionOffset(math.max(floor, target))
+    }
+
+  override def reportLatestOffset(): V2Offset =
+    GraftVersionOffset(Merge.currentVersion(spark, path))
+
+  /** Legacy (non-admission) path — same reservation logic. */
+  override def getOffset: Option[V1Offset] = {
+    val o = latestOffset(null, getDefaultReadLimit)
+    Some(GraftVersionOffset(versionOf(o)))
+  }
+
+  /** Align an arbitrary change-feed frame to the schema declared at
+    * stream definition: columns added by a later evolution are dropped,
+    * columns the older endpoint lacks surface as nulls — so every batch
+    * of a running stream has the one shape its sink was wired for.
+    */
+  private def aligned(df: DataFrame): DataFrame =
+    df.select(declared.fields.toSeq.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val endV = versionOf(end)
+    val startV = start.map(o => versionOf(o)).getOrElse(baseOffset)
+    synchronized { maxSeen = math.max(maxSeen, endV) }
+    val snapshot = if (start.isEmpty) snapshotAt.map { v =>
+      Merge.readVersion(spark, path, v)
+        .withColumn(opCol, lit(1).cast(IntegerType))
+    } else None
+    val deltas =
+      if (endV > startV)
+        Some(Merge.changesBetween(spark, path, startV, endV, opCol))
+      else None
+    val batch = (snapshot, deltas) match {
+      case (Some(s), Some(d)) => aligned(s).unionByName(aligned(d))
+      case (Some(s), None)    => aligned(s)
+      case (None, Some(d))    => aligned(d)
+      case (None, None)       =>
+        aligned(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared))
+    }
+    org.apache.spark.sql.graftshim.StreamShim.asStreaming(batch)
+  }
+
+  override def commit(end: V1Offset): Unit = ()
+
+  override def stop(): Unit = ()
+
+  override def toString: String =
+    s"GraftTableSource[$path, start=${startingVersion.getOrElse("snapshot")}]"
+}

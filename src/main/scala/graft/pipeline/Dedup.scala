@@ -860,6 +860,205 @@ object Dedup {
       .distinct()
   }
 
+  // ---------------------------------- repeated spans (ExactSubstr-ish)
+
+  /** Remove REPEATED TOKEN SPANS across (and within) documents — the
+    * distributed form of exact-substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499: the ExactSubstr pass that removes 50-token
+    * substrings shared between documents). Every `windowTokens`-token
+    * window is fingerprinted with a polynomial rolling hash (one pass
+    * per document); a fingerprint that occurs more than once in the
+    * corpus marks a duplicated span, and every occurrence EXCEPT the
+    * first — smallest (doc, position) — is cut from its document.
+    * Overlapping cut windows merge, so a long shared paragraph
+    * disappears as one span while its first occurrence survives whole;
+    * a span repeated WITHIN one document keeps only its first
+    * occurrence too. Surviving tokens are reassembled in order,
+    * single-space separated (documents with no cut keep their text
+    * byte-identical).
+    *
+    * The reference algorithm builds a corpus-wide suffix array — the
+    * part that does not distribute at 100 TB. Fixed-width window
+    * fingerprints are the standard scalable surrogate (they find
+    * exactly the duplicated substrings of length >= windowTokens): one
+    * explode (≈ one row per token), one aggregate for each
+    * fingerprint's owner, one join back on the fingerprint, one
+    * per-document reassembly — all hash-partitioned, nothing quadratic,
+    * no driver state; the collect_list payload is bounded by a single
+    * document's cut-window count. A 64-bit fingerprint collision
+    * (~2^-64 per pair) could cut a non-duplicate span — the same
+    * accepted trade MinHash dedup makes.
+    *
+    * @return `df` with `textCol` rewritten to the cleaned text.
+    */
+  def dedupSpans(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int): DataFrame = {
+    require(windowTokens >= 2, "windowTokens must be >= 2")
+    requireIntegralId(df, idCol)
+    val w = windowTokens
+    val winUdf = udf { text: String =>
+      val toks =
+        if (text == null || text.trim.isEmpty) Array.empty[String]
+        else text.trim.split("\\s+")
+      if (toks.length < w) Array.empty[Long]
+      else {
+        val th = toks.map(fnv1a)
+        val b = 1000000007L
+        var pw = 1L
+        var i = 1
+        while (i < w) { pw *= b; i += 1 } // b^(w-1), wrapping like the hash
+        val out = new Array[Long](toks.length - w + 1)
+        var h = 0L
+        i = 0
+        while (i < w) { h = h * b + th(i); i += 1 }
+        out(0) = h
+        i = w
+        while (i < toks.length) {
+          h = (h - th(i - w) * pw) * b + th(i)
+          out(i - w + 1) = h
+          i += 1
+        }
+        out
+      }
+    }
+    val wins = df
+      .select(col(idCol).cast("long").as("id"), winUdf(col(textCol)).as("__h"))
+      .select(col("id"), posexplode(col("__h")).as(Seq("pos", "h")))
+    val owners = wins.groupBy("h")
+      .agg(count(lit(1)).as("n"), min(struct(col("id"), col("pos"))).as("o"))
+      .filter(col("n") > 1)
+      .select(col("h"), col("o").getField("id").as("oid"),
+        col("o").getField("pos").as("opos"))
+    val cuts = wins.join(owners, "h")
+      .filter(!(col("id") === col("oid") && col("pos") === col("opos")))
+      .select(col("id"), col("pos"))
+    val spans = cuts.groupBy("id")
+      .agg(collect_list(col("pos")).as("__ps"))
+      .select(col("id").as(idCol), col("__ps"))
+    val cut = udf { (text: String, ps: Seq[Int]) =>
+      val toks = text.trim.split("\\s+")
+      val drop = new Array[Boolean](toks.length)
+      ps.foreach { p =>
+        var i = p
+        val end = math.min(p + w, toks.length)
+        while (i < end) { drop(i) = true; i += 1 }
+      }
+      val keep = new scala.collection.mutable.ArrayBuffer[String]
+      var i = 0
+      while (i < toks.length) { if (!drop(i)) keep += toks(i); i += 1 }
+      keep.mkString(" ")
+    }
+    df.join(spans, Seq(idCol), "left")
+      .withColumn(textCol, when(col("__ps").isNull, col(textCol))
+        .otherwise(cut(col(textCol), col("__ps"))))
+      .drop("__ps")
+  }
+
+  // ------------------------------------------------------------ SemDeDup
+
+  /** SEMANTIC deduplication over an embedding column — SemDeDup (Abbas
+    * et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication", arXiv:2303.09540). k-means the
+    * vectors, generate candidate pairs ONLY within a cluster, connect
+    * pairs with cosine >= `threshold` into duplicate groups, and keep
+    * per group the member LEAST similar to its cluster centroid — the
+    * paper's keep-the-outlier rule (low-centroid-similarity
+    * representatives preserve the most training signal). Ties (exact
+    * copies are colinear, so their centroid cosines are bit-equal) and
+    * zero-norm members fall back to the smallest id, so the pass is
+    * fully deterministic and replayable.
+    *
+    * 100 TB shape: clustering bounds candidate generation the way LSH
+    * bands do for text — one k-means assignment (centroids are a
+    * k × dim broadcast), one shuffle into cluster buckets, in-bucket
+    * pairing through the bounded [[bucketPairs]] kernel (clusters above
+    * `maxCluster` are dropped with a counted warning — pick k so
+    * corpus/k stays under the cap; the paper runs k = 110,000 on LAION
+    * for exactly this reason), connected components at one job per
+    * round, survivor choice as one aggregation. Nothing is all-pairs;
+    * nothing collects beyond k × dim.
+    *
+    * @return the surviving rows of `df` (semantic duplicates removed).
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      k: Int, kmeansIters: Int = 3, threshold: Double = 0.95,
+      maxCluster: Int = 10000): DataFrame = {
+    requireIntegralId(df, idCol)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val assign = Clustering.kmeans(df, vecCol, idCol, k, kmeansIters)
+      .select(col(idCol).cast("long").as("id"), col("cluster"))
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("__vec"))
+      .join(assign, "id")
+    // per-cluster mean vector — what the keep rule scores against (one
+    // partial-agg'd shuffle, k × dim collect: bounded by construction)
+    val centroids: Map[Int, Array[Double]] = base
+      .select(col("cluster"), posexplode(col("__vec")).as(Seq("__p", "__x")))
+      .groupBy("cluster", "__p").agg(avg("__x").as("__m"))
+      .collect()
+      .groupBy(_.getInt(0)).view
+      .mapValues(_.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray).toMap
+    val bc = spark.sparkContext.broadcast(centroids)
+    val centroidCos = udf { (cluster: Int, vec: Seq[Double]) =>
+      val c = bc.value(cluster)
+      var d = 0.0
+      var i = 0
+      val n = math.min(c.length, vec.length)
+      while (i < n) { d += vec(i) * c(i); i += 1 }
+      var na = 0.0
+      i = 0
+      while (i < vec.length) { na += vec(i) * vec(i); i += 1 }
+      var nc = 0.0
+      i = 0
+      while (i < c.length) { nc += c(i) * c(i); i += 1 }
+      if (na == 0.0 || nc == 0.0) 0.0
+      else d / (math.sqrt(na) * math.sqrt(nc))
+    }
+    val dropped = newDropAcc(df)
+    val pairs = base.select(col("cluster"), col("id"), col("__vec"))
+      .as[(Int, Long, Array[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_: Int, it: Iterator[(Int, Long, Array[Double])]) =>
+        // same in-bucket cosine kernel as embeddingNearDupPairs: norm
+        // once per row at fill time, never a second join
+        bucketPairs(maxCluster, dropped,
+          (a: (Array[Double], Double), b: (Array[Double], Double)) => {
+            val cos =
+              if (a._2 == 0.0 || b._2 == 0.0) 0.0
+              else {
+                val va = a._1; val vb = b._1
+                var d = 0.0; var p = 0
+                val n = math.min(va.length, vb.length)
+                while (p < n) { d += va(p) * vb(p); p += 1 }
+                d / (a._2 * b._2)
+              }
+            if (cos >= threshold) Some(cos) else None
+          })(it.map { t =>
+            val v = t._3
+            var s = 0.0; var i = 0
+            while (i < v.length) { s += v(i) * v(i); i += 1 }
+            (t._2, (v, math.sqrt(s)))
+          })
+      }
+      .toDF("id_a", "id_b", "cosine")
+      .select("id_a", "id_b").distinct()
+    val groups = duplicateClusters(pairs)
+    // keep-the-outlier: per duplicate group the (centroid-cosine, id)
+    // struct minimum — lowest similarity wins, ties to the smallest id
+    val scored = groups.withColumnRenamed("cluster", "grp")
+      .join(base, "id")
+      .withColumn("__cc", centroidCos(col("cluster"), col("__vec")))
+    val keepers = scored.groupBy("grp")
+      .agg(min(struct(col("__cc"), col("id"))).as("__k"))
+      .select(col("__k").getField("id").as("id"))
+    val losers = scored.select("id")
+      .join(keepers, Seq("id"), "left_anti")
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ----------------------------------------------- line-level (CCNet-ish)
 
   /** Remove LINES that repeat across the corpus — the boilerplate pass of

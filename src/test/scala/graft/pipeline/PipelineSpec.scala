@@ -355,6 +355,164 @@ class DedupSpec extends SparkSpec {
     val got = df.select(Dedup.estJaccard(col("a"), col("b"))).as[Double].collect()
     assert(got(0) == 0.75)
   }
+
+  // ---------------------------------------------- repeated-span dedup
+
+  test("dedupSpans cuts later occurrences, merged overlaps, first kept") {
+    val docs = Seq(
+      (10L, "u1 u2 s1 s2 s3 s4 s5 s6 u3 u4"),
+      (11L, "v1 v2 s1 s2 s3 s4 s5 s6 v3"),
+      (13L, "x1 r1 r2 r3 r4 x2 r1 r2 r3 r4")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(docs, "doc_id", "text", windowTokens = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(10L) == "u1 u2 s1 s2 s3 s4 s5 s6 u3 u4") // owner whole
+    assert(out(11L) == "v1 v2 v3")                       // run folded
+    assert(out(13L) == "x1 r1 r2 r3 r4 x2")              // intra-doc
+  }
+
+  test("dedupSpans: short docs and no-repeat docs are byte-identical") {
+    val docs = Seq(
+      (1L, "a b c"),                     // shorter than the window
+      (2L, "plain text with  no repeats") // double space preserved
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(docs, "doc_id", "text", windowTokens = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "a b c")
+    assert(out(2L) == "plain text with  no repeats")
+  }
+
+  test("dedupSpans ownership is (doc, pos) lexicographic") {
+    // the same span sits EARLIER in the larger-id doc; the smaller doc
+    // id still owns it
+    val docs = Seq(
+      (5L, "z1 z2 z3 q1 q2 q3 q4"),
+      (6L, "q1 q2 q3 q4 z9")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(docs, "doc_id", "text", windowTokens = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(5L) == "z1 z2 z3 q1 q2 q3 q4")
+    assert(out(6L) == "z9")
+  }
+
+  // -------------------------------------------------------- SemDeDup
+
+  private def rot(deg: Double): Seq[Double] = {
+    val r = math.toRadians(deg)
+    Seq(math.cos(r), math.sin(r))
+  }
+
+  test("semDedup keeps the least-centroid-similar member, not min id") {
+    // cluster A (seeded by id 1 at 0°): 1~10 are near-dups (5° apart,
+    // cos ≈ 0.996), 20 at -40° is no one's dup but drags the centroid
+    // to ≈ -11°, making 10 the outlier of group {1, 10};
+    // cluster B (seeded by id 2 at 90°): 2~12 near-dups, 22 at 130°
+    // drags the centroid to ≈ 101°, making 12 the outlier (without 22
+    // the centroid would bisect 84°/90° and the cosines would tie).
+    // Both groups must keep the LARGER id — min-id greedy would keep
+    // 1 and 2.
+    val df = Seq(
+      1L -> rot(0), 2L -> rot(90), 10L -> rot(5), 12L -> rot(84),
+      20L -> rot(-40), 22L -> rot(130)
+    ).toDF("vid", "vec")
+    val kept = Dedup.semDedup(df, "vid", "vec", dim = 2, k = 2,
+      kmeansIters = 1, threshold = 0.95)
+      .select("vid").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(10L, 12L, 20L, 22L))
+  }
+
+  test("semDedup ties (colinear copies) fall to the smallest id") {
+    // (1,0) and (2,0): cosine 1 to each other AND to any centroid on
+    // their ray — centroid cosines are bit-equal, id breaks the tie
+    val df = Seq(1L -> Seq(1.0, 0.0), 9L -> Seq(2.0, 0.0))
+      .toDF("vid", "vec")
+    val kept = Dedup.semDedup(df, "vid", "vec", dim = 2, k = 1,
+      kmeansIters = 1, threshold = 0.99)
+      .select("vid").as[Long].collect().toSeq
+    assert(kept == Seq(1L))
+  }
+
+  test("semDedup pairs only within a cluster; cross-cluster dups survive") {
+    // 5 and 6 are near-dups but land in DIFFERENT clusters (each seeds
+    // its own): no candidate pair is ever generated, both survive —
+    // the documented trade of cluster-bounded candidate generation
+    val df = Seq(5L -> rot(45), 6L -> rot(47)).toDF("vid", "vec")
+    val kept = Dedup.semDedup(df, "vid", "vec", dim = 2, k = 2,
+      kmeansIters = 1, threshold = 0.95)
+      .select("vid").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(5L, 6L))
+  }
+
+  test("semDedup cluster overflow drops pairs loudly, never silently") {
+    val df = Seq(1L -> Seq(1.0, 0.0), 2L -> Seq(1.0, 1e-8),
+      3L -> Seq(1.0, -1e-8)).toDF("vid", "vec")
+    val kept = Dedup.semDedup(df, "vid", "vec", dim = 2, k = 1,
+      kmeansIters = 1, threshold = 0.99, maxCluster = 2)
+      .select("vid").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L, 3L)) // pairs lost to the cap
+    assert(Dedup.lastDroppedBuckets >= 1L)
+  }
+}
+
+class DsirSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val target = Seq(Tuple1("aa aa bb")).toDF("text")
+  private lazy val raw = Seq(
+    (1L, "aa aa"),   // pure target vocabulary
+    (2L, "bb cc"),   // half in
+    (3L, "cc cc"),   // pure raw-only vocabulary
+    (4L, "")         // blank: weight exactly 0
+  ).toDF("doc_id", "text")
+
+  test("exact-mode weights order by target-likeness; blank doc is 0") {
+    val lambda = Dsir.logRatios(target, raw, "text", n = 1, buckets = 0)
+    val w = Dsir.importanceWeights(raw, "doc_id", "text", lambda,
+      n = 1, buckets = 0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w(1) > w(2) && w(2) > w(3), s"ordering broke: $w")
+    assert(w(4) == 0.0)
+    assert(w.size == 4)
+  }
+
+  test("resample top-k picks the most target-like ids") {
+    // the blank doc's neutral 0 outranks the negatively-weighted
+    // raw-vocabulary docs — correct DSIR behavior, worth pinning
+    val picked = Dsir.resample(raw, "doc_id", "text", target, k = 2,
+      n = 1, buckets = 0)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(picked == Seq(1L, 4L))
+    val noBlank = Dsir.resample(raw.filter($"doc_id" =!= 4L), "doc_id",
+      "text", target, k = 2, n = 1, buckets = 0)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(noBlank == Seq(1L, 2L))
+  }
+
+  test("hashed mode selects like exact mode when buckets don't collide") {
+    val hashed = Dsir.resample(raw, "doc_id", "text", target, k = 2,
+      n = 1, buckets = 1 << 20)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(hashed == Seq(1L, 4L))
+  }
+
+  test("featuresCol n=2 emits unigrams then bigrams in order") {
+    val fs = Seq(Tuple1("A b  c")).toDF("t")
+      .select(Dsir.featuresCol(col("t"), 2)).as[Seq[String]].head()
+    assert(fs == Seq("a", "b", "c", "a_b", "b_c"))
+    val one = Seq(Tuple1("solo")).toDF("t")
+      .select(Dsir.featuresCol(col("t"), 2)).as[Seq[String]].head()
+    assert(one == Seq("solo")) // no bigram from a 1-token doc
+  }
+
+  test("seeded Gumbel resample is reproducible and returns k rows") {
+    val a = Dsir.resample(raw, "doc_id", "text", target, k = 2, n = 1,
+      buckets = 0, seed = Some(7L))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Dsir.resample(raw, "doc_id", "text", target, k = 2, n = 1,
+      buckets = 0, seed = Some(7L))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b && a.size == 2)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {

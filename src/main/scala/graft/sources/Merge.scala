@@ -134,8 +134,15 @@ object Merge {
     }.toSeq.sorted
   }
 
-  private def bucketOf(relFile: String): Long =
-    relFile.takeWhile(_ != '/').stripPrefix("__bucket=").toLong
+  private def bucketOf(file: String): Long = {
+    // data file refs are "__bucket=N/part-..." for the table's own files
+    // and ABSOLUTE ".../__bucket=N/part-..." for a shallow clone's
+    // foreign refs — locate the bucket segment wherever it sits
+    val seg = file.split('/').find(_.startsWith("__bucket="))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no __bucket= segment in data file path $file"))
+    seg.stripPrefix("__bucket=").toLong
+  }
 
   private final case class Manifest(version: Long, parent: Long,
       files: Seq[String], dataSchema: Option[String],
@@ -780,12 +787,27 @@ object Merge {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schema.add("__bucket", "long"))
     }
-    val reader = spark.read.option("basePath", path)
-    m.dataSchema
-      .map(ddl => reader.schema(
-        StructType.fromDDL(ddl).add("__bucket", "long")))
-      .getOrElse(reader)
-      .parquet(m.files.map(f => new Path(root, f).toString): _*)
+    val schemaOpt = m.dataSchema.map(ddl =>
+      StructType.fromDDL(ddl).add("__bucket", "long"))
+    // a shallow CLONE's manifest references files under OTHER table
+    // roots by absolute path; each source root is its own basePath so
+    // the __bucket partition column still derives from the dir name
+    val (foreign, local) = m.files.partition(f => new Path(f).isAbsolute)
+    require(foreign.isEmpty || schemaOpt.isDefined,
+      s"version ${m.version} of $path references clone-source files " +
+      "but records no schema — cannot align the groups")
+    def read(base: String, files: Seq[String]) = {
+      val reader = spark.read.option("basePath", base)
+      schemaOpt.map(reader.schema).getOrElse(reader).parquet(files: _*)
+    }
+    val parts =
+      (if (local.nonEmpty)
+        Seq(read(path, local.map(f => new Path(root, f).toString)))
+      else Nil) ++
+        foreign.groupBy(f => new Path(f).getParent.getParent.toString)
+          .toSeq.sortBy(_._1)
+          .map { case (base, fs) => read(base, fs) }
+    parts.reduce(_.unionByName(_))
   }
 
   /** The rows of one committed version (layout column dropped). Reads
@@ -996,6 +1018,149 @@ object Merge {
     }
     throw new IllegalStateException(
       s"restore lost the commit race $attempt times at $path")
+  }
+
+  /** SHALLOW CLONE (Delta's `CREATE TABLE dst SHALLOW CLONE src`):
+    * start a NEW versioned table at `dst` whose v0 is `src`'s image at
+    * `version` — the clone's manifest references the source's data
+    * files by ABSOLUTE path, so no data moves at any table size and
+    * the clone costs one manifest write. From there the tables diverge
+    * by ordinary copy-on-write: an upsert on the clone rewrites only
+    * its touched buckets into the clone's own directory (the manifest
+    * then mixes local and foreign refs; readers group by source root),
+    * and the source never sees any of it. [[compactVersion]] on the
+    * clone rewrites every referenced file locally — Delta's
+    * "materialize the clone" move — after which no foreign ref remains.
+    *
+    * The one cross-table hazard is Delta's too, and it is documented
+    * there as it is here: [[vacuum]] on the SOURCE does not know about
+    * clones, so it can reclaim files a clone still references. Keep the
+    * cloned version tagged ([[tagVersion]]) on the source for as long
+    * as un-materialized clones of it exist — tag-aware vacuum then
+    * provably never deletes what the clone reads.
+    *
+    * Layout, schema, stats (re-anchored to the absolute refs, so
+    * data skipping and [[lookupKey]] prune on the clone exactly as on
+    * the source), CHECK constraints, and the manifest shard span all
+    * carry over. Replaces any existing table at `dst`.
+    */
+  def cloneTableAt(spark: SparkSession, src: String, dst: String,
+      version: Long): Unit = {
+    val (sfs, sroot) = fsFor(spark, src)
+    val m = readManifest(spark, sroot, version)
+    require(m.dataSchema.isDefined,
+      s"$src v$version records no schema — a clone could not align " +
+      "foreign and local reads; rewrite the source with writeKeyed first")
+    val abs = m.files.map(f =>
+      sfs.makeQualified(new Path(sroot, f)).toString)
+    val byRel = m.files.zip(abs).toMap
+    val (dfs, droot) = fsFor(spark, dst)
+    if (dfs.exists(droot)) dfs.delete(droot, true)
+    dropCachedManifests(droot)
+    writeManifest(dfs, droot,
+      Manifest(0L, -1L, abs.sorted, m.dataSchema,
+        layout = m.layout, statsCols = m.statsCols,
+        stats = m.stats.map(e => e.copy(file =
+          byRel.getOrElse(e.file, e.file))),
+        ts = System.currentTimeMillis(), op = Some("clone"),
+        rowsUpserted = 0L, rowsDeleted = 0L,
+        shardSpan = m.shardSpan, constraints = m.constraints))
+  }
+
+  /** [[cloneTableAt]] of the source's current version. */
+  def cloneTable(spark: SparkSession, src: String, dst: String): Unit =
+    cloneTableAt(spark, src, dst, currentVersion(spark, src))
+
+  // ------------------------------------------------------------- tags
+
+  private def tagsPath(root: Path) = new Path(logPath(root), "tags")
+
+  private def requireValidTag(tag: String): Unit =
+    require(tag.nonEmpty &&
+      tag.forall(c => c.isLetterOrDigit || c == '.' || c == '_' ||
+        c == '-'),
+      s"tag names are [A-Za-z0-9._-]+, got '$tag'")
+
+  /** TAG a committed version with an immutable name — Iceberg's tags,
+    * git tags for tables: `readTag(spark, path, "v2026-08-release")`
+    * stays answerable forever, because [[vacuum]] keeps tagged
+    * versions (manifest, data files, shards) alive regardless of
+    * `keepVersions` until the tag is dropped. Tags are create-if-absent
+    * and never repointed: re-tagging an existing name throws — delete
+    * and re-create to move it, so a reader can cache what a tag meant.
+    */
+  def tagVersion(spark: SparkSession, path: String, tag: String,
+      version: Long): Unit = {
+    requireValidTag(tag)
+    val (fs, root) = fsFor(spark, path)
+    readManifest(spark, root, version) // must exist and be retained
+    val dir = tagsPath(root)
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val f = new Path(dir, tag)
+    try {
+      val out = fs.create(f, false)
+      try out.write(version.toString.getBytes("UTF-8"))
+      finally out.close()
+    } catch {
+      case e: java.io.IOException =>
+        if (fs.exists(f)) throw new IllegalArgumentException(
+          s"tag '$tag' already exists on $path (tags are immutable — " +
+          "deleteTag first to repoint)")
+        else throw e
+    }
+  }
+
+  /** The version a tag names; throws on an unknown tag. */
+  def tagVersionOf(spark: SparkSession, path: String, tag: String): Long = {
+    requireValidTag(tag)
+    val (fs, root) = fsFor(spark, path)
+    val f = new Path(tagsPath(root), tag)
+    require(fs.exists(f), s"no tag '$tag' on $path")
+    val in = fs.open(f)
+    try {
+      val buf = new Array[Byte](32)
+      val n = in.read(buf)
+      new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLong
+    } finally in.close()
+  }
+
+  /** All tags: (tag, version), driver-local listing of the tags dir. */
+  def tags(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val (fs, root) = fsFor(spark, path)
+    val dir = tagsPath(root)
+    val rows =
+      if (!fs.exists(dir)) Seq.empty[(String, Long)]
+      else fs.listStatus(dir).toSeq.map(_.getPath.getName).sorted
+        .map(t => t -> tagVersionOf(spark, path, t))
+    rows.toDF("tag", "version")
+  }
+
+  /** Drop a tag (the version becomes vacuumable like any other). */
+  def deleteTag(spark: SparkSession, path: String, tag: String): Unit = {
+    requireValidTag(tag)
+    val (fs, root) = fsFor(spark, path)
+    val f = new Path(tagsPath(root), tag)
+    require(fs.exists(f), s"no tag '$tag' on $path")
+    fs.delete(f, false)
+  }
+
+  /** The rows of the version a tag names (`VERSION AS OF 'tag'`). */
+  def readTag(spark: SparkSession, path: String, tag: String): DataFrame =
+    readVersion(spark, path, tagVersionOf(spark, path, tag))
+
+  private def taggedVersions(spark: SparkSession, root: Path): Set[Long] = {
+    val (fs) = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = tagsPath(root)
+    if (!fs.exists(dir)) Set.empty
+    else fs.listStatus(dir).toSeq.map { s =>
+      val in = fs.open(s.getPath)
+      try {
+        val buf = new Array[Byte](32)
+        val n = in.read(buf)
+        new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLong
+      } finally in.close()
+    }.toSet
   }
 
   /** Commit history of the RETAINED versions (DESCRIBE HISTORY): one
@@ -1530,10 +1695,16 @@ object Merge {
       val parent = readManifest(spark, root, parentV)
       val byBucket = parent.files.groupBy(bucketOf)
       // clustering is a layout change: existing files are NOT clustered,
-      // so every bucket rewrites regardless of its file count
+      // so every bucket rewrites regardless of its file count. A bucket
+      // holding FOREIGN (clone-source) refs also always rewrites —
+      // compaction is how a shallow clone materializes, so "compact to
+      // target" must leave every live ref local.
       val toRewrite =
         if (clusterBy.nonEmpty || zOrderBy.nonEmpty) byBucket
-        else byBucket.filter(_._2.size > targetFilesPerBucket)
+        else byBucket.filter { case (_, fls) =>
+          fls.size > targetFilesPerBucket ||
+            fls.exists(f => new Path(f).isAbsolute)
+        }
       if (toRewrite.isEmpty)
         return CompactStats(parentV, 0, parent.files.size, parent.files.size)
       val rewriteFiles = toRewrite.values.flatten.toSeq.sorted
@@ -1680,7 +1851,12 @@ object Merge {
     val latest = currentVersion(spark, path)
     require(latest >= 0, s"$path has no version log")
     val keepFrom = math.max(0L, latest - keepVersions + 1)
-    val live = (keepFrom to latest)
+    // TAGGED versions survive any keepVersions (Iceberg semantics):
+    // their manifests, files, and shards live until the tag is dropped
+    val tagged = taggedVersions(spark, root)
+    val keepSet: Seq[Long] =
+      ((keepFrom to latest) ++ tagged.filter(_ < keepFrom)).sorted
+    val live = keepSet
       .flatMap(v => readManifestOpt(spark, root, v).toSeq.flatMap(_.files))
       .toSet
     val cutoff = System.currentTimeMillis() - graceMs
@@ -1689,16 +1865,17 @@ object Merge {
       if (fs.getFileStatus(p).getModificationTime <= cutoff)
         fs.delete(p, false)
     }
-    listVersions(spark, root).filter(_ < keepFrom).foreach { v =>
-      fs.delete(new Path(logPath(root), s"v$v.json"), false)
-    }
+    listVersions(spark, root)
+      .filter(v => v < keepFrom && !tagged(v)).foreach { v =>
+        fs.delete(new Path(logPath(root), s"v$v.json"), false)
+      }
     // sharded-manifest tables: reclaim shard files no retained version
     // references (content addressing means a shard can serve many
     // versions — it dies only when its last referencing root is gone;
     // crash-orphan shards from never-committed claims die here too)
     val sp = shardsPath(root)
     if (fs.exists(sp)) {
-      val liveShards = (keepFrom to latest)
+      val liveShards = keepSet
         .flatMap(v => readManifestOpt(spark, root, v,
             resolveShards = false).toSeq
           .flatMap(_.shardIds.map(_._2)))

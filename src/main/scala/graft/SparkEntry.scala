@@ -1390,6 +1390,88 @@ object SparkEntry {
       Merge.changesBetween(s, path, 0L, 1L)
         .orderBy("p_partkey", "op")
     }),
+    "q_merge_clone" -> ((s, dir) => {
+      // SHALLOW CLONE (Delta's CREATE TABLE ... SHALLOW CLONE): fork
+      // the part table with ONE manifest write — required in-gate: the
+      // clone directory holds ZERO parquet files after the clone — then
+      // diverge it with a price bump; copy-on-write writes only the
+      // touched buckets locally (required in-gate: local files <
+      // nBuckets) and the SOURCE must not move (required in-gate:
+      // still v0, full count). Read-back of the clone ≡ the oracle's
+      // replay of base + bump.
+      import graft.sources.Merge
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      val sfx = new java.io.File(dir).getName
+      val base = java.nio.file.Paths.get(scratchRoot, s"graft_clone_$sfx")
+      def rmTree(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.delete(f))
+        }
+      rmTree(base)
+      val src = base.resolve("src").toString
+      val dst = base.resolve("dst").toString
+      val part = t(s, dir, "part")
+        .select("p_partkey", "p_brand", "p_retailprice")
+      Merge.writeKeyed(part, src, "p_partkey", nBuckets = 64)
+      Merge.cloneTable(s, src, dst)
+      def localParquet(dir: String): Long =
+        java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+          .filter(f => f.toString.endsWith(".parquet")).count()
+      require(localParquet(dst) == 0L,
+        "a shallow clone must move no data")
+      val bump = part.filter(col("p_partkey") % 100 === 7 &&
+          col("p_partkey") <= 2000)
+        .withColumn("p_retailprice",
+          round(dec("p_retailprice") * lit(1.5).cast("decimal(2,1)"), 2)
+            .cast("double"))
+      Merge.upsert(s, dst, bump, "p_partkey", nBuckets = 64)
+      require(localParquet(dst) > 0L && localParquet(dst) < 64L,
+        "divergence must write only the touched buckets locally")
+      require(Merge.currentVersion(s, src) == 0L,
+        "the source must not move when the clone diverges")
+      require(Merge.readKeyed(s, src).count() == part.count(),
+        "the source image must be untouched")
+      Merge.readKeyed(s, dst).orderBy("p_partkey")
+    }),
+    "q_merge_tag" -> ((s, dir) => {
+      // VERSION TAGS (Iceberg tags): v0 of the orders table is tagged,
+      // the table churns two upserts, then vacuum(keepVersions = 1)
+      // runs — the untagged middle version must be GONE (required
+      // in-gate) while the tagged v0 still answers completely: tag
+      // retention is vacuum policy, not luck. Read-back of the tag ≡
+      // the raw orders slice.
+      import graft.sources.Merge
+      val sfx = new java.io.File(dir).getName
+      val base = java.nio.file.Paths.get(scratchRoot, s"graft_tag_$sfx")
+      def rmTree(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.delete(f))
+        }
+      rmTree(base)
+      val path = base.resolve("tbl").toString
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      Merge.writeKeyed(orders, path, "o_orderkey", nBuckets = 64)
+      Merge.tagVersion(s, path, "baseline", 0L)
+      Merge.upsert(s, path,
+        orders.filter(col("o_orderkey") % 100 === 7)
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        "o_orderkey", nBuckets = 64)
+      Merge.upsert(s, path,
+        orders.filter(col("o_orderkey") % 100 === 13)
+          .withColumn("o_totalprice", col("o_totalprice") * 3),
+        "o_orderkey", nBuckets = 64)
+      Merge.vacuum(s, path, keepVersions = 1)
+      val v1Gone =
+        try { Merge.readVersion(s, path, 1L).count(); false }
+        catch { case _: Exception => true }
+      require(v1Gone, "the untagged v1 must be vacuumed")
+      Merge.readTag(s, path, "baseline").orderBy("o_orderkey")
+    }),
     "q_merge_restore" -> ((s, dir) => {
       // RESTORE (Delta's recovery verb): an errant whole-brand delete is
       // rolled back by committing v1's exact image as v3 — the manifest
@@ -3070,6 +3152,87 @@ object SparkEntry {
         "the pinned rollup must equal the re-aggregated pinned fact table")
       stats.orderBy("grp")
     }),
+    "q_stream_table_source" -> ((s, dir) => {
+      // STREAMING READS of a versioned table — the Delta-style
+      // streaming source, the read half of the lakehouse streaming
+      // story (q_exactly_once_sink / streamingUpsert is the write
+      // half): spark.readStream.format("graft-table") tails the Merge
+      // version log with COMMIT VERSIONS as offsets. The stream opens
+      // with the v0 snapshot (startingVersion=0); then a tombstone
+      // upsert commit (updates %100==7 × 1.5, deletes %100==13,
+      // inserts clones of <5) lands WHILE THE STREAM IS DOWN, and a
+      // checkpoint restart delivers exactly that commit as a
+      // change-feed micro-batch planned from the touched buckets only
+      // (required in-gate: the delta batch is strictly smaller than
+      // the snapshot). A third, idle restart must emit NOTHING
+      // (required in-gate): offsets live in the checkpoint, not the
+      // process. Result: the net fold of every emitted (row image, op)
+      // — sum(op) = +1 keeps the image — ≡ the oracle's SQL replay of
+      // the final table state, which is exactly the readStream →
+      // foreachBatch(fold) contract a downstream table consumes.
+      import graft.sources.Merge
+      import org.apache.spark.sql.streaming.Trigger
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      val sfx = new java.io.File(dir).getName
+      val base = java.nio.file.Paths.get(scratchRoot, s"graft_tss_$sfx")
+      def rmTree(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.delete(f))
+        }
+      rmTree(base)
+      val path = base.resolve("tbl").toString
+      val ckpt = base.resolve("ckpt").toString
+      val outDir = base.resolve("out").toString
+      val part = t(s, dir, "part")
+        .select("p_partkey", "p_brand", "p_retailprice")
+      Merge.writeKeyed(part, path, "p_partkey", nBuckets = 64)
+      def drain(): Long = {
+        val n = new java.util.concurrent.atomic.AtomicLong(0)
+        val q = s.readStream.format("graft-table").option("path", path)
+          .option("startingVersion", "0").load()
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            val cached = b.cache()
+            n.addAndGet(cached.count())
+            cached.write.mode("append").parquet(outDir)
+            cached.unpersist()
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        n.get()
+      }
+      val snapRows = drain()
+      val batch = part.filter(col("p_partkey") % 100 === 7 &&
+          col("p_partkey") <= 2000)
+        .withColumn("p_retailprice",
+          round(dec("p_retailprice") * lit(1.5).cast("decimal(2,1)"), 2)
+            .cast("double"))
+        .withColumn("__del", lit(false))
+        .unionByName(part.filter(col("p_partkey") % 100 === 13 &&
+            col("p_partkey") <= 2000)
+          .withColumn("__del", lit(true)))
+        .unionByName(part.filter(col("p_partkey") < 5)
+          .withColumn("p_partkey", col("p_partkey") + lit(4000000L))
+          .withColumn("__del", lit(false)))
+      Merge.upsert(s, path, batch, "p_partkey", nBuckets = 64,
+        tombstoneCol = Some("__del"))
+      val deltaRows = drain()
+      require(deltaRows > 0 && deltaRows < snapRows,
+        s"the restart batch must be the commit's delta, not a rescan: " +
+        s"$deltaRows vs snapshot $snapRows")
+      val idleRows = drain()
+      require(idleRows == 0,
+        s"an idle restart must emit nothing, got $idleRows rows")
+      s.read.parquet(outDir)
+        .groupBy("p_partkey", "p_brand", "p_retailprice")
+        .agg(sum(col("op")).as("net"))
+        .filter(col("net") === 1)
+        .select("p_partkey", "p_brand", "p_retailprice")
+        .orderBy("p_partkey")
+    }),
     "q_stream_catalog_ingest" -> ((s, dir) => {
       // THE INGESTION CAPSTONE, MADE STRUCTURAL: round 8's
       // q_stream_admit_upsert coordinated corpus sink and dedup index
@@ -3266,6 +3429,63 @@ object SparkEntry {
       Dedup.embeddingNearDupPairs(emb.union(planted), "vec_id",
         "embedding", dim = 64, threshold = 0.99, planes = 6)
         .select("id_a", "id_b").orderBy("id_a", "id_b")
+    }),
+    "q_dedup_spans" -> ((s, dir) => {
+      // EXACT-SUBSTRING span dedup (Lee et al. 2022, ExactSubstr):
+      // repeated >= 4-token spans keep their first occurrence
+      // (smallest doc, position) and are cut everywhere else —
+      // overlapping windows merge, so doc 11's whole 6-token shared
+      // run folds away while owner doc 10 keeps it; doc 12 shares only
+      // a 4-token prefix of the run; doc 13 repeats a span WITHIN
+      // itself; doc 14 is untouched and must stay byte-identical
+      // (double space preserved). Authored VALUES oracle.
+      import s.implicits._
+      val docs = Seq(
+        (10L, "u1 u2 s1 s2 s3 s4 s5 s6 u3 u4"),
+        (11L, "v1 v2 s1 s2 s3 s4 s5 s6 v3"),
+        (12L, "w1 s1 s2 s3 s4 w2 w3 w4"),
+        (13L, "x1 r1 r2 r3 r4 x2 r1 r2 r3 r4"),
+        (14L, "plain text with  no repeats at all")
+      ).toDF("doc_id", "text")
+      Dedup.dedupSpans(docs, "doc_id", "text", windowTokens = 4)
+        .orderBy("doc_id")
+    }),
+    "q_dsir_select" -> ((s, dir) => {
+      // DSIR (Xie et al. 2023): importance-resample raw documents
+      // toward a target distribution — here "look German": target =
+      // the de docs, raw = the even-id half of the corpus, weights =
+      // per-token log p_target − log p_raw with add-1 smoothing over
+      // the union vocabulary (exact-token mode, buckets = 0, so the
+      // oracle replays the identical arithmetic in SQL; hashing is the
+      // scale path and is spec-gated). Plain top-k (temperature → 0);
+      // exact-duplicate docs tie bit-for-bit in BOTH engines and break
+      // by doc_id, so the selection is deterministic. Output: the
+      // selected ids.
+      import graft.pipeline.Dsir
+      val docs = t(s, dir, "documents")
+      val target = docs.filter(col("lang") === "de")
+      val raw = docs.filter(col("doc_id") % 2 === 0)
+      Dsir.resample(raw, "doc_id", "text", target, k = 25, n = 1,
+        buckets = 0)
+        .select("doc_id").orderBy("doc_id")
+    }),
+    "q_sem_dedup" -> ((s, dir) => {
+      // SemDeDup (Abbas et al. 2023): k-means-clustered semantic dedup
+      // — candidate pairs are generated ONLY within a cluster, duplicate
+      // groups keep their least-centroid-similar member. Planted exact
+      // copies are colinear with their source (cosine 1.0, SAME cluster
+      // by construction — identical vectors assign identically), tie on
+      // centroid cosine bit-for-bit, and fall to the smaller id, so the
+      // original survives and the +1e6 copy drops; the synthetic corpus
+      // is near-orthogonal (max natural pair ~0.46), so at threshold
+      // 0.99 EXACTLY the planted copies drop. Same authored-expectation
+      // device as q_dedup_embed.
+      val emb = t(s, dir, "embeddings")
+      val planted = emb.filter(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + lit(1000000L))
+      Dedup.semDedup(emb.unionByName(planted), "vec_id", "embedding",
+        dim = 64, k = 8, kmeansIters = 2, threshold = 0.99)
+        .select("vec_id").orderBy("vec_id")
     }),
     "q_dedup_embed_incremental" -> ((s, dir) => {
       // EMBEDDING-SIDE incremental admission: the vector corpus
@@ -4810,6 +5030,20 @@ object SparkEntry {
          SELECT p_partkey, p_brand, p_retailprice,
                 CAST(1 AS INT) FROM ins
          ORDER BY p_partkey, op""",
+    // the diverged clone ≡ base + price bump; the source's own gate
+    // requires it unmoved
+    "q_merge_clone" ->
+      """SELECT p_partkey, p_brand,
+                CASE WHEN p_partkey % 100 = 7 AND p_partkey <= 2000
+                     THEN CAST(round(CAST(p_retailprice AS DECIMAL(18,2))
+                                     * CAST(1.5 AS DECIMAL(2,1)), 2)
+                               AS DOUBLE)
+                     ELSE p_retailprice END AS p_retailprice
+         FROM part ORDER BY p_partkey""",
+    // the tagged v0 survives vacuum byte-complete: the raw base image
+    "q_merge_tag" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_orderkey""",
     // restore rolls the delete back: the final image is v1's — the
     // price bump applied, every brand present
     // final table ≡ base + the one clean batch: both refused batches
@@ -6051,6 +6285,22 @@ object SparkEntry {
            ('C', CAST(1 AS BIGINT), CAST(3.0 AS DOUBLE)))
            AS t(grp, cnt, total)
          ORDER BY grp""",
+    // the net fold of everything the table stream emitted ≡ the final
+    // table state replayed in SQL: updates carry the bumped price,
+    // deleted keys fold away (+1 snapshot, -1 delta), inserts survive
+    "q_stream_table_source" ->
+      """SELECT p_partkey, p_brand,
+                CASE WHEN p_partkey % 100 = 7 AND p_partkey <= 2000
+                     THEN CAST(round(CAST(p_retailprice AS DECIMAL(18,2))
+                                     * CAST(1.5 AS DECIMAL(2,1)), 2)
+                               AS DOUBLE)
+                     ELSE p_retailprice END AS p_retailprice
+         FROM part
+         WHERE NOT (p_partkey % 100 = 13 AND p_partkey <= 2000)
+         UNION ALL
+         SELECT p_partkey + 4000000 AS p_partkey, p_brand, p_retailprice
+         FROM part WHERE p_partkey < 5
+         ORDER BY p_partkey""",
     // catalog-coordinated ingestion: seeds + the two genuinely fresh
     // docs; copies (101 of t1, 201 of batch-1-survivor t3) drop, and
     // the replay contributes nothing
@@ -6238,6 +6488,62 @@ object SparkEntry {
     "q_dedup_embed" ->
       """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b FROM embeddings
          WHERE vec_id < 20 ORDER BY id_a, id_b""",
+    // SemDeDup: every planted colinear copy ties its source on centroid
+    // cosine and loses to the smaller id — the original corpus survives
+    // intact
+    "q_sem_dedup" ->
+      """SELECT vec_id FROM embeddings ORDER BY vec_id""",
+    // ExactSubstr span dedup: authored expectation — first occurrence
+    // survives, copies cut with merged overlaps, untouched text
+    // byte-identical
+    "q_dedup_spans" ->
+      """SELECT * FROM (VALUES
+           (CAST(10 AS BIGINT), 'u1 u2 s1 s2 s3 s4 s5 s6 u3 u4'),
+           (CAST(11 AS BIGINT), 'v1 v2 v3'),
+           (CAST(12 AS BIGINT), 'w1 w2 w3 w4'),
+           (CAST(13 AS BIGINT), 'x1 r1 r2 r3 r4 x2'),
+           (CAST(14 AS BIGINT), 'plain text with  no repeats at all'))
+           AS t(doc_id, text)
+         ORDER BY doc_id""",
+    // DSIR replay: identical smoothed log-ratio arithmetic over the
+    // union vocabulary, top-25 by weight with id tiebreak
+    "q_dsir_select" ->
+      """WITH tgt AS (SELECT text FROM documents WHERE lang = 'de'),
+         raw AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+         ttok AS (
+           SELECT unnest(CASE WHEN trim(text) = '' THEN []
+                         ELSE string_split_regex(trim(lower(text)), '\s+')
+                         END) AS feature
+           FROM tgt),
+         rtok AS (
+           SELECT doc_id,
+                  unnest(CASE WHEN trim(text) = '' THEN []
+                         ELSE string_split_regex(trim(lower(text)), '\s+')
+                         END) AS feature
+           FROM raw),
+         tc AS (SELECT feature, count(*) AS ct FROM ttok GROUP BY 1),
+         rc AS (SELECT feature, count(*) AS cr FROM rtok GROUP BY 1),
+         j AS (
+           SELECT COALESCE(tc.feature, rc.feature) AS feature,
+                  COALESCE(ct, 0) AS ct, COALESCE(cr, 0) AS cr
+           FROM tc FULL OUTER JOIN rc ON tc.feature = rc.feature),
+         tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr, count(*) AS b
+                 FROM j),
+         lam AS (
+           SELECT feature,
+                  ln((ct + 1.0) / (nt + b)) - ln((cr + 1.0) / (nr + b))
+                    AS lambda
+           FROM j, tot),
+         w AS (
+           SELECT doc_id, sum(lambda) AS logw
+           FROM rtok LEFT JOIN lam USING (feature) GROUP BY doc_id),
+         scored AS (
+           SELECT r.doc_id, COALESCE(w.logw, 0.0) AS logw
+           FROM raw r LEFT JOIN w USING (doc_id)),
+         picked AS (
+           SELECT doc_id FROM scored
+           ORDER BY logw DESC, doc_id ASC LIMIT 25)
+         SELECT doc_id FROM picked ORDER BY doc_id""",
     // planted-dupe expectation: top-1 neighbor of each query is its exact
     // copy (same bucket by construction, cosine ~1.0 vs natural ~0.46)
     "q_sim_search_int8" ->

@@ -1020,6 +1020,70 @@ object Merge {
       s"restore lost the commit race $attempt times at $path")
   }
 
+  /** APPLY CHANGES (Delta's `APPLY CHANGES INTO`): fold one batch of
+    * change-feed rows — the [[changesBetween]] / graft-table streaming
+    * dialect, data columns + `opCol` INT with updates as old@-1 +
+    * new@+1 — into this keyed table as ONE tombstone upsert. The key
+    * and bucketing come from the table's recorded layout, so a caller
+    * cannot mis-fold.
+    *
+    * The fold is a NET fold over full row images (`sum(op)` per
+    * image): a batch that spans several commits — or a snapshot union
+    * — telescopes correctly, because intermediate images cancel and
+    * only each key's final image stays net-positive, while a key whose
+    * images all net to <= 0 is a delete. One aggregate + one
+    * anti-join, both batch-sized; the table-side cost is the upsert's
+    * (touched buckets only). A batch yielding two net-positive images
+    * for one key is ill-formed (flattened unordered history) and is
+    * refused loudly.
+    *
+    * With `txn = (appId, batchId)` the apply is EXACTLY-ONCE under
+    * streaming replay (the [[upsert]] stamp) — so
+    *
+    * {{{
+    *   spark.readStream.format("graft-table").option("path", src).load()
+    *     .writeStream.foreachBatch { (b, id) =>
+    *       Merge.applyChanges(spark, replica, b, txn = Some(("rep", id)))
+    *     }
+    * }}}
+    *
+    * is complete, checkpoint-recoverable TABLE REPLICATION: initial
+    * snapshot, every subsequent commit, deletes included, no double
+    * apply on any recovery path.
+    *
+    * @return the upsert's [[MergeStats]] (zero-row batches no-op).
+    */
+  def applyChanges(spark: SparkSession, path: String, changes: DataFrame,
+      opCol: String = "op", txn: Option[(String, Long)] = None,
+      maxRetries: Int = 5, filesPerBucket: Int = 1): MergeStats = {
+    require(changes.columns.contains(opCol),
+      s"changes carry no '$opCol' column — not a change feed")
+    val (keyCol, nBuckets) = tableLayout(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path records no (keyCol, nBuckets) layout — applyChanges " +
+        "folds by the table's own key"))
+    val dataCols = changes.columns.filterNot(_ == opCol).toSeq
+    require(dataCols.contains(keyCol),
+      s"changes lack the table key '$keyCol'")
+    val net = changes.groupBy(dataCols.map(col): _*)
+      .agg(sum(col(opCol).cast("long")).as("__net"))
+    val pos = net.filter(col("__net") > 0).drop("__net")
+    val dupKeys = pos.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).count()
+    require(dupKeys == 0L,
+      s"$dupKeys key(s) have more than one net-positive image — the " +
+      "batch flattens unordered history; feed commit-shaped batches " +
+      "(changesBetween output or graft-table micro-batches)")
+    val delRows = net.filter(col("__net") <= 0).drop("__net")
+      .join(pos.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .dropDuplicates(keyCol)
+    val batch = pos.withColumn("__apply_del", lit(false))
+      .unionByName(delRows.withColumn("__apply_del", lit(true)))
+    upsert(spark, path, batch, keyCol, nBuckets,
+      maxRetries = maxRetries, txn = txn,
+      tombstoneCol = Some("__apply_del"), filesPerBucket = filesPerBucket)
+  }
+
   /** SHALLOW CLONE (Delta's `CREATE TABLE dst SHALLOW CLONE src`):
     * start a NEW versioned table at `dst` whose v0 is `src`'s image at
     * `version` — the clone's manifest references the source's data

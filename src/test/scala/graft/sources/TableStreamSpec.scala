@@ -200,6 +200,96 @@ class TableStreamSpec extends SparkSpec {
     assert(evolved.schema.fieldNames.contains("lang"))
   }
 
+  test("applyChanges folds a change feed into a keyed table") {
+    val base = freshBase("apply")
+    val src = new File(base, "src").getAbsolutePath
+    val rep = new File(base, "rep").getAbsolutePath
+    Merge.writeKeyed(baseDf, src, "id", nBuckets = 4)
+    Merge.writeKeyed(baseDf, rep, "id", nBuckets = 4) // replica at v0
+    Merge.upsert(spark, src,
+      Seq((3L, "upd", 333.0, false), (7L, "gone", 0.0, true),
+        (50L, "new", 500.0, false)).toDF("id", "name", "score", "__del"),
+      "id", nBuckets = 4, tombstoneCol = Some("__del"))
+    Merge.applyChanges(spark, rep, Merge.changesBetween(spark, src, 0L, 1L))
+    val a = Merge.readKeyed(spark, src).orderBy("id").collect()
+    val b = Merge.readKeyed(spark, rep).orderBy("id").collect()
+    assert(a.sameElements(b))
+    // ill-formed: two net-positive images for one key is refused
+    import spark.implicits._
+    val bad = Seq((3L, "x", 1.0, 1), (3L, "y", 2.0, 1))
+      .toDF("id", "name", "score", "op")
+    val e = intercept[IllegalArgumentException] {
+      Merge.applyChanges(spark, rep, bad)
+    }
+    assert(e.getMessage.contains("net-positive"))
+  }
+
+  test("streaming replication: snapshot + commits + exactly-once replay") {
+    val base = freshBase("repl")
+    val src = new File(base, "src").getAbsolutePath
+    val rep = new File(base, "rep").getAbsolutePath
+    val ckpt = new File(base, "ckpt")
+    Merge.writeKeyed(baseDf, src, "id", nBuckets = 4)
+    Merge.writeKeyed(baseDf.limit(0), rep, "id", nBuckets = 4) // empty
+    def replicate(): Unit = {
+      val q = readTableStream(src).writeStream
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          Merge.applyChanges(spark, rep, b, txn = Some(("rep-test", id)))
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    replicate() // snapshot lands
+    assert(Merge.readKeyed(spark, rep).count() == 20)
+    Merge.upsert(spark, src,
+      Seq((3L, "upd", 333.0, false), (7L, "x", 0.0, true))
+        .toDF("id", "name", "score", "__del"),
+      "id", nBuckets = 4, tombstoneCol = Some("__del"))
+    replicate() // the commit flows
+    val a = Merge.readKeyed(spark, src).orderBy("id").collect()
+    assert(Merge.readKeyed(spark, rep).orderBy("id").collect()
+      .sameElements(a))
+    // the worst recovery path: checkpoint wiped, full replay
+    val vBefore = Merge.currentVersion(spark, rep)
+    def rm(f: File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(ckpt)
+    replicate()
+    assert(Merge.currentVersion(spark, rep) == vBefore,
+      "replayed batches must no-op via the txn stamp")
+    assert(Merge.readKeyed(spark, rep).orderBy("id").collect()
+      .sameElements(a))
+  }
+
+  test("PROPERTY: per-commit applyChanges replays any random history") {
+    val rnd = new scala.util.Random(20260814L)
+    val base = freshBase("prop")
+    val src = new File(base, "src").getAbsolutePath
+    val rep = new File(base, "rep").getAbsolutePath
+    Merge.writeKeyed(baseDf, src, "id", nBuckets = 4)
+    Merge.writeKeyed(baseDf, rep, "id", nBuckets = 4)
+    (1 to 6).foreach { v =>
+      // each commit: random updates, deletes, inserts over a 40-key space
+      val rows = (0 until (1 + rnd.nextInt(6))).map { _ =>
+        val id = rnd.nextInt(40).toLong
+        val del = rnd.nextInt(4) == 0
+        (id, s"v${v}_$id", rnd.nextInt(1000).toDouble, del)
+      }.groupBy(_._1).map(_._2.head).toSeq // one op per key per commit
+      Merge.upsert(spark, src,
+        rows.toDF("id", "name", "score", "__del"),
+        "id", nBuckets = 4, tombstoneCol = Some("__del"))
+      Merge.applyChanges(spark, rep,
+        Merge.changesBetween(spark, src, v - 1L, v.toLong))
+      val a = Merge.readKeyed(spark, src).orderBy("id").collect()
+      val b = Merge.readKeyed(spark, rep).orderBy("id").collect()
+      assert(a.sameElements(b), s"replica diverged after commit $v")
+    }
+  }
+
   test("op column collision is rejected, opCol renames it") {
     val base = freshBase("opcol")
     val path = new File(base, "tbl").getAbsolutePath

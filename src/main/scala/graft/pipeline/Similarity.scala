@@ -261,7 +261,8 @@ object Similarity {
       */
     def topK(spark: org.apache.spark.sql.SparkSession, path: String,
         queries: DataFrame, qidCol: String, idCol: String, vecCol: String,
-        k: Int, nProbe: Int): DataFrame = {
+        k: Int, nProbe: Int,
+        maxProbeBroadcastBytes: Long = 256L << 20): DataFrame = {
       val centroids = loadCentroids(spark, path)
       val cents = centroids
       val probes = math.min(nProbe, centroids.length)
@@ -290,7 +291,14 @@ object Similarity {
         .filter(col("cell").isin(cellSet.toSeq: _*)) // -> PartitionFilters
         .select(col("cell"), col(idCol).as("neighbor_id"),
           col(vecCol).as("__cvec"))
-      val scored = c.join(broadcast(q), Seq("cell"))
+      // broadcast the query side only while its ESTIMATED size is
+      // broadcastable (the DedupIndex probe contract, gated by size
+      // rather than hope): a corpus-sized backfill "batch" probes via
+      // a plain shuffle equi-join on the cell — identical results
+      val est = queries.queryExecution.optimizedPlan.stats.sizeInBytes
+      val qSide =
+        if (est <= BigInt(maxProbeBroadcastBytes)) broadcast(q) else q
+      val scored = c.join(qSide, Seq("cell"))
         .filter(col("neighbor_id") =!= col("query_id"))
         .select(col("query_id"), col("neighbor_id"),
           cosine(col("__cvec"), col("__qvec")).as("cosine"))

@@ -604,6 +604,20 @@ class SimilaritySpec extends SparkSpec {
       "vec_id", "vec_id", "embedding", k = 2, nProbe = 1)
     val plan = one.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("cell"))
+    // corpus-sized batch: the size gate drops the broadcast HINT (the
+    // engine may still auto-broadcast a side its own stats deem small —
+    // exactly right; a genuinely huge batch won't pass that test) and
+    // the rows are IDENTICAL either way
+    val shuffled = Similarity.IvfIndex.topK(spark, path, queries,
+      "vec_id", "vec_id", "embedding", k = 2, nProbe = 2,
+      maxProbeBroadcastBytes = 0L)
+    assert(shuffled.select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().sortBy(t => (t._1, t._3)).toSeq ==
+      exact)
+    assert(!shuffled.queryExecution.optimizedPlan.toString
+      .contains("strategy=broadcast"))
+    assert(probed.queryExecution.optimizedPlan.toString
+      .contains("strategy=broadcast"))
   }
 
   test("IvfIndex admission: indexed copies drop, fresh vectors admit, " +

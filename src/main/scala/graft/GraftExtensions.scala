@@ -282,6 +282,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .parseExpression(strLit(c(1), "predicate")))
         graft.sources.Merge.readKeyedWhere(s, strLit(c.head, "path"), pred)
       })
+    registerTableFn("graft_table_tag",
+      "usage: graft_table_tag('path', 'tag')", c => {
+        require(c.size == 2, "takes 2 arguments")
+        graft.sources.Merge.readTag(
+          org.apache.spark.sql.SparkSession.active,
+          strLit(c.head, "path"), strLit(c(1), "tag"))
+      })
+    registerTableFn("graft_tags", "usage: graft_tags('path')", c => {
+      require(c.size == 1, "takes 1 argument")
+      graft.sources.Merge.tags(
+        org.apache.spark.sql.SparkSession.active, strLit(c.head, "path"))
+    })
     registerTableFn("graft_history", "usage: graft_history('path')", c => {
       require(c.size == 1, "takes 1 argument")
       graft.sources.Merge.history(

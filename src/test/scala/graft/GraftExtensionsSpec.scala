@@ -155,6 +155,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
         spark.sql("SELECT * FROM graft_table('/nope', 2)").collect()
       }
       assert(err.getMessage.contains("graft_table"))
+      // tags from SQL: list them, read through one
+      graft.sources.Merge.tagVersion(spark, path, "base", 0L)
+      assert(spark.sql(s"SELECT tag, version FROM graft_tags('$path')")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("base", 0L)))
+      assert(spark.sql(
+        s"SELECT count(*) AS n FROM graft_table_tag('$path', 'base')")
+        .as[Long].head() == 40L)
     } finally SparkSession.clearActiveSession()
   }
 

@@ -86,6 +86,19 @@ object ScaleSmoke {
       // corpus-curation chain, Merge upsert, IVF-PQ build + probe
       time(s"curation_chain")(graft.pipeline.Clean.standardPipeline(
         d, "doc_id", "text"))
+      // ExactSubstr spans: one explode ≈ one row per token, one owner
+      // aggregate, one join back — must scale with token count (the
+      // copy inflation multiplies dup spans, so cut work grows too).
+      // The filter references the rewritten text so count() cannot
+      // eliminate the join and skip the work.
+      time(s"dedup_spans")(Dedup.dedupSpans(d, "doc_id", "text",
+        windowTokens = 8).where(length(col("text")) >= 0))
+      // DSIR hashed mode: two feature aggregates + ONE broadcast array
+      // + a row-local weigh scan + TakeOrdered — nothing joins the
+      // corpus
+      time(s"dsir_resample")(graft.pipeline.Dsir.resample(
+        d, "doc_id", "text", d.filter(col("doc_id") % 11 === 0),
+        k = 100, n = 2, buckets = 10000))
     }
 
     // ---- Merge upsert at 1x vs factor x. The honest scale story: the
@@ -103,6 +116,25 @@ object ScaleSmoke {
         val path = s"/tmp/graft_scale_merge_$tag"
         timed(s"merge_write")(
           graft.sources.Merge.writeKeyed(d, path, "doc_id", buckets))
+        // anchor a graft-table stream at "latest" BEFORE the upsert so
+        // the post-upsert tail drains exactly one commit
+        val ckpt = s"${path}_tail_ckpt"
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(ckpt))
+        def tail(): Long = {
+          val n = new java.util.concurrent.atomic.AtomicLong(0)
+          val q = spark.readStream.format("graft-table")
+            .option("path", path).option("startingVersion", "latest")
+            .load().writeStream.option("checkpointLocation", ckpt)
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              n.addAndGet(b.count()); ()
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          n.get()
+        }
+        tail() // writes the anchor, drains nothing
         val batch = d.filter(col("doc_id") % 997 === 0)
           .withColumn("text", concat(col("text"), lit(" upd")))
         timed(s"merge_upsert")({
@@ -111,6 +143,15 @@ object ScaleSmoke {
           println(s"SCALE   upsert touched ${st.bucketsTouched}/$buckets " +
             s"buckets, ${st.rowsUpserted} rows")
         })
+        // the stream's micro-batch reads the commit's touched buckets,
+        // never the table: flat across table sizes
+        timed(s"table_stream_tail")({
+          val rows = tail()
+          println(s"SCALE   tailed $rows change rows")
+        })
+        // shallow clone: one manifest write at ANY table size
+        timed(s"merge_clone")(graft.sources.Merge.cloneTable(spark, path,
+          s"${path}_clone"))
     }
 
     // ---- IVF-PQ: build+save and probe at 1x vs factor x (cells ∝ size
@@ -132,6 +173,11 @@ object ScaleSmoke {
             dim = 64, cells = cells, m = 8, kSub = 64), path))
         time(s"ivfpq_probe")(graft.pipeline.Similarity.IvfPq.topKPersisted(
           spark, path, queries, "qid", "embedding", k = 10, nProbe = 2))
+        // SemDeDup: k ∝ corpus keeps cluster size ~constant (the
+        // paper's own scaling rule); exact copies make the dup-group
+        // structure real, so CC + survivor work grows with copies
+        time(s"sem_dedup")(Dedup.semDedup(e, "vec_id", "embedding",
+          dim = 64, k = cells * 2, kmeansIters = 1, threshold = 0.99))
     }
 
     // ---- TableCatalog (r9): a FIXED-SIZE cross-table transaction (fact

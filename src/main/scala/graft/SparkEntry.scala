@@ -3188,7 +3188,7 @@ object SparkEntry {
       val part = t(s, dir, "part")
         .select("p_partkey", "p_brand", "p_retailprice")
       Merge.writeKeyed(part, path, "p_partkey", nBuckets = 64)
-      def drain(): Long = {
+      def drain(): Long = withShufflePartitions(s, 8) {
         val n = new java.util.concurrent.atomic.AtomicLong(0)
         val q = s.readStream.format("graft-table").option("path", path)
           .option("startingVersion", "0").load()
@@ -3232,6 +3232,137 @@ object SparkEntry {
         .filter(col("net") === 1)
         .select("p_partkey", "p_brand", "p_retailprice")
         .orderBy("p_partkey")
+    }),
+    "q_stream_table_mv" -> ((s, dir) => {
+      // THE COMPOSITION the streaming source exists for: table-to-table
+      // incremental ETL entirely inside Structured Streaming.
+      // readStream("graft-table") tails the orders table's version log;
+      // foreachBatch folds each change-feed micro-batch into an
+      // IncrementalAgg materialized view (per-custkey count / exact
+      // decimal sum / min / max). The MV starts EMPTY — the v0 snapshot
+      // arrives as the first micro-batch (all op = +1), so creation and
+      // maintenance are ONE mechanism. Churn (price bump %100==7,
+      // deletes %100==13, inserted clones of <5) lands WHILE THE STREAM
+      // IS DOWN; the checkpoint restart folds exactly that commit's
+      // deltas (work ∝ the commit, never the table). Deletes can
+      // strand a group's min/max, so the documented rebuild(net) repair
+      // runs before the read — exercising the full maintain/repair
+      // lifecycle. Final MV ≡ the from-scratch SQL aggregation.
+      import graft.sources.Merge
+      import graft.pipeline.IncrementalAgg
+      import org.apache.spark.sql.streaming.Trigger
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      val sfx = new java.io.File(dir).getName
+      val base = java.nio.file.Paths.get(scratchRoot, s"graft_tmv_$sfx")
+      def rmTree(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.delete(f))
+        }
+      rmTree(base)
+      val tbl = base.resolve("tbl").toString
+      val ckpt = base.resolve("ckpt").toString
+      val statePath = base.resolve("state").toString
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      Merge.writeKeyed(orders, tbl, "o_orderkey", nBuckets = 64)
+      IncrementalAgg.init(orders.limit(0), statePath,
+        Seq("o_custkey"), "o_totalprice")
+      def drain(): Unit = withShufflePartitions(s, 8) {
+        val q = s.readStream.format("graft-table").option("path", tbl)
+          .option("startingVersion", "0").load()
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            IncrementalAgg.updateWithRetractions(s, statePath, b,
+              Seq("o_custkey"), "o_totalprice", "op")
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      drain() // snapshot: the MV materializes from the stream itself
+      val batch = orders.filter(col("o_orderkey") % 100 === 7)
+        .withColumn("o_totalprice",
+          round(dec("o_totalprice") * lit(1.5).cast("decimal(2,1)"), 2)
+            .cast("double"))
+        .withColumn("__del", lit(false))
+        .unionByName(orders.filter(col("o_orderkey") % 100 === 13)
+          .withColumn("__del", lit(true)))
+        .unionByName(orders.filter(col("o_orderkey") < 5)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(2000000000L))
+          .withColumn("__del", lit(false)))
+      Merge.upsert(s, tbl, batch, "o_orderkey", nBuckets = 64,
+        tombstoneCol = Some("__del"))
+      drain() // restart folds exactly the commit's change feed
+      IncrementalAgg.rebuild(s, statePath, Merge.readKeyed(s, tbl),
+        Seq("o_custkey"), "o_totalprice")
+      IncrementalAgg.read(s, statePath).orderBy("o_custkey")
+    }),
+    "q_stream_replicate" -> ((s, dir) => {
+      // TABLE REPLICATION: readStream("graft-table") over the source's
+      // version log, APPLY CHANGES (net image fold) into the replica,
+      // txn-stamped per micro-batch. The replica starts EMPTY and is
+      // built by the stream's own snapshot batch; a churn commit
+      // (update + delete + insert) lands WHILE THE STREAM IS DOWN and
+      // the restart folds it; then the CHECKPOINT IS WIPED and the
+      // whole stream replayed — the replica's version history must not
+      // move (required in-gate: the (app, batch) stamp no-ops every
+      // replayed apply). Final replica ≡ source ≡ the oracle's SQL
+      // replay of the churn.
+      import graft.sources.Merge
+      import org.apache.spark.sql.streaming.Trigger
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      val sfx = new java.io.File(dir).getName
+      val base = java.nio.file.Paths.get(scratchRoot, s"graft_repl_$sfx")
+      def rmTree(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.delete(f))
+        }
+      rmTree(base)
+      val src = base.resolve("src").toString
+      val rep = base.resolve("rep").toString
+      val ckpt = base.resolve("ckpt")
+      val part = t(s, dir, "part")
+        .select("p_partkey", "p_brand", "p_retailprice")
+      Merge.writeKeyed(part, src, "p_partkey", nBuckets = 16)
+      Merge.writeKeyed(part.limit(0), rep, "p_partkey", nBuckets = 16)
+      def replicate(): Unit = withShufflePartitions(s, 8) {
+        val q = s.readStream.format("graft-table").option("path", src)
+          .load().writeStream
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            Merge.applyChanges(s, rep, b, txn = Some(("graft-repl", id)))
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      replicate() // the snapshot batch builds the replica
+      val batch = part.filter(col("p_partkey") % 100 === 7 &&
+          col("p_partkey") <= 2000)
+        .withColumn("p_retailprice",
+          round(dec("p_retailprice") * lit(1.5).cast("decimal(2,1)"), 2)
+            .cast("double"))
+        .withColumn("__del", lit(false))
+        .unionByName(part.filter(col("p_partkey") % 100 === 13 &&
+            col("p_partkey") <= 2000)
+          .withColumn("__del", lit(true)))
+        .unionByName(part.filter(col("p_partkey") < 5)
+          .withColumn("p_partkey", col("p_partkey") + lit(4000000L))
+          .withColumn("__del", lit(false)))
+      Merge.upsert(s, src, batch, "p_partkey", nBuckets = 16,
+        tombstoneCol = Some("__del"))
+      replicate() // the commit flows through as its change feed
+      val vBefore = Merge.currentVersion(s, rep)
+      rmTree(ckpt) // the worst recovery path: all progress forgotten
+      replicate() // full replay
+      require(Merge.currentVersion(s, rep) == vBefore,
+        s"replayed applies must no-op: v$vBefore -> " +
+        s"v${Merge.currentVersion(s, rep)}")
+      Merge.readKeyed(s, rep).orderBy("p_partkey")
     }),
     "q_stream_catalog_ingest" -> ((s, dir) => {
       // THE INGESTION CAPSTONE, MADE STRUCTURAL: round 8's
@@ -6301,6 +6432,40 @@ object SparkEntry {
          SELECT p_partkey + 4000000 AS p_partkey, p_brand, p_retailprice
          FROM part WHERE p_partkey < 5
          ORDER BY p_partkey""",
+    // the replicated table ≡ the churned source replayed in SQL
+    "q_stream_replicate" ->
+      """SELECT p_partkey, p_brand,
+                CASE WHEN p_partkey % 100 = 7 AND p_partkey <= 2000
+                     THEN CAST(round(CAST(p_retailprice AS DECIMAL(18,2))
+                                     * CAST(1.5 AS DECIMAL(2,1)), 2)
+                               AS DOUBLE)
+                     ELSE p_retailprice END AS p_retailprice
+         FROM part
+         WHERE NOT (p_partkey % 100 = 13 AND p_partkey <= 2000)
+         UNION ALL
+         SELECT p_partkey + 4000000 AS p_partkey, p_brand, p_retailprice
+         FROM part WHERE p_partkey < 5
+         ORDER BY p_partkey""",
+    // the stream-maintained MV ≡ the from-scratch aggregation over the
+    // churned base (bump applied, deletes gone, clones in)
+    "q_stream_table_mv" ->
+      """WITH churned AS (
+           SELECT o_orderkey, o_custkey,
+                  CASE WHEN o_orderkey % 100 = 7
+                       THEN CAST(round(CAST(o_totalprice
+                                            AS DECIMAL(18,2))
+                                       * CAST(1.5 AS DECIMAL(2,1)), 2)
+                                 AS DOUBLE)
+                       ELSE o_totalprice END AS o_totalprice
+           FROM orders WHERE o_orderkey % 100 <> 13
+           UNION ALL
+           SELECT o_orderkey + 2000000000, o_custkey, o_totalprice
+           FROM orders WHERE o_orderkey < 5)
+         SELECT o_custkey, count(*) AS cnt,
+                min(o_totalprice) AS min_v, max(o_totalprice) AS max_v,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+                  AS sum_v
+         FROM churned GROUP BY o_custkey ORDER BY o_custkey""",
     // catalog-coordinated ingestion: seeds + the two genuinely fresh
     // docs; copies (101 of t1, 201 of batch-1-survivor t3) drop, and
     // the replay contributes nothing

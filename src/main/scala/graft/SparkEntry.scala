@@ -1615,6 +1615,60 @@ object SparkEntry {
         "the pinned rollup must equal the pinned fact table's aggregate")
       statsRead.orderBy("o_custkey")
     }),
+    "q_catalog_tag" -> ((s, dir) => {
+      // CATALOG RELEASE TAGS: one immutable name pins EVERY member's
+      // version at once — "the fact table + its rollup, as shipped".
+      // v1 (base + the doubled %100==7 batch) is tagged, the catalog
+      // churns one more transaction, then vacuum(keep 1) runs —
+      // required in-gate: the untagged middle state is GONE while BOTH
+      // members still answer at the tagged pins. Read-back of the
+      // tagged fact table ≡ the oracle's replay of base + batch 1.
+      import graft.sources.{Merge, TableCatalog}
+      val root = new java.io.File(scratchRoot,
+        s"graft_cat_tag_${new java.io.File(dir).getName}")
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      val ordPath = new java.io.File(root, "ord").getAbsolutePath
+      val statsPath = new java.io.File(root, "stats").getAbsolutePath
+      val catPath = new java.io.File(root, "cat").getAbsolutePath
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      def rollup(of: DataFrame): DataFrame = of.groupBy("o_custkey")
+        .agg(count(lit(1)).as("order_cnt"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total_spend"))
+      Merge.writeKeyed(orders, ordPath, "o_orderkey", nBuckets = 16)
+      Merge.writeKeyed(rollup(orders), statsPath, "o_custkey",
+        nBuckets = 16)
+      TableCatalog.create(s, catPath,
+        Map("ord" -> ordPath, "stats" -> statsPath))
+      def applyBatch(batch: DataFrame): Unit = {
+        val affected = batch.select("o_custkey").distinct()
+        val statsDelta = rollup(Merge.readKeyed(s, ordPath)
+          .unionByName(batch).join(affected, Seq("o_custkey")))
+        TableCatalog.transact(s, catPath, Seq(
+          TableCatalog.TxnUpsert("ord", batch),
+          TableCatalog.TxnUpsert("stats", statsDelta)))
+      }
+      applyBatch(orders.filter(col("o_orderkey") % 100 === 7)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      TableCatalog.tag(s, catPath, "release", 1L)
+      applyBatch(orders.filter(col("o_orderkey") % 100 === 13)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(2000000000L))
+        .withColumn("o_totalprice", col("o_totalprice") * 3))
+      TableCatalog.vacuum(s, catPath, keepCatalogVersions = 1)
+      val midGone =
+        try { TableCatalog.stateAt(s, catPath, 0L); false }
+        catch { case _: Exception => true }
+      require(midGone, "the untagged v0 must be vacuumed")
+      val rel = TableCatalog.stateAtTag(s, catPath, "release")
+      val ordRel = TableCatalog.readTable(s, catPath, "ord", Some(rel))
+      val statsRel = TableCatalog.readTable(s, catPath, "stats", Some(rel))
+      require(statsRel.except(rollup(ordRel)).count() == 0 &&
+        rollup(ordRel).except(statsRel).count() == 0,
+        "the tagged rollup must equal the tagged fact table's aggregate")
+      ordRel.orderBy("o_orderkey")
+    }),
     "q_merge_sharded" -> ((s, dir) => {
       // SHARDED MANIFESTS end-to-end (the Iceberg manifest-list move):
       // a 32-bucket table with 2-bucket manifest shards (16 shard
@@ -5174,6 +5228,15 @@ object SparkEntry {
     // the tagged v0 survives vacuum byte-complete: the raw base image
     "q_merge_tag" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_orderkey""",
+    // the tagged catalog snapshot's fact member ≡ base + the first
+    // (doubled) batch — the later batch and vacuum must not leak in
+    "q_catalog_tag" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         UNION ALL
+         SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey,
+                o_totalprice * 2 AS o_totalprice
+         FROM orders WHERE o_orderkey % 100 = 7
          ORDER BY o_orderkey""",
     // restore rolls the delete back: the final image is v1's — the
     // price bump applied, every brand present

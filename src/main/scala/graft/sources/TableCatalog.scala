@@ -588,6 +588,101 @@ object TableCatalog {
     * it here, from the pins. `graceMs` as in [[Merge.vacuum]]: beside
     * live transactions, set it above the longest expected commit.
     */
+  // ------------------------------------------------- catalog tags
+
+  private def tagsDir(root: Path) = new Path(logDir(root), "tags")
+
+  private def requireValidTag(tag: String): Unit =
+    require(tag.nonEmpty &&
+      tag.forall(c => c.isLetterOrDigit || c == '.' || c == '_' ||
+        c == '-'),
+      s"tag names are [A-Za-z0-9._-]+, got '$tag'")
+
+  /** RELEASE TAGS at the catalog level: an immutable name for one
+    * catalog version — which pins EVERY member's version at once, so
+    * `readTable(..., Some(stateAtTag(...)))` is a named, permanent cross-table
+    * snapshot ("the corpus + its dedup index + the stats rollup, as
+    * shipped in rel-2026-08"). Same discipline as [[Merge.tagVersion]]:
+    * create-if-absent, never repointed (delete and re-create to move),
+    * and [[vacuum]] keeps a tagged catalog version AND everything its
+    * pins reference alive until the tag is dropped.
+    */
+  def tag(spark: SparkSession, catRoot: String, name: String,
+      version: Long): Unit = {
+    requireValidTag(name)
+    val (fs, root) = fsFor(spark, catRoot)
+    stateAt(spark, catRoot, version) // must exist and be retained
+    val dir = tagsDir(root)
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val f = new Path(dir, name)
+    try {
+      val out = fs.create(f, false)
+      try out.write(version.toString.getBytes("UTF-8"))
+      finally out.close()
+    } catch {
+      case e: java.io.IOException =>
+        if (fs.exists(f)) throw new IllegalArgumentException(
+          s"tag '$name' already exists on $catRoot (tags are immutable " +
+          "— deleteTag first to repoint)")
+        else throw e
+    }
+  }
+
+  /** The catalog version a tag names; throws on an unknown tag. */
+  def tagVersionOf(spark: SparkSession, catRoot: String,
+      name: String): Long = {
+    requireValidTag(name)
+    val (fs, root) = fsFor(spark, catRoot)
+    val f = new Path(tagsDir(root), name)
+    require(fs.exists(f), s"no tag '$name' on $catRoot")
+    val in = fs.open(f)
+    try {
+      val buf = new Array[Byte](32)
+      val n = in.read(buf)
+      new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLong
+    } finally in.close()
+  }
+
+  /** The pinned cross-table snapshot a tag names. */
+  def stateAtTag(spark: SparkSession, catRoot: String,
+      name: String): CatState =
+    stateAt(spark, catRoot, tagVersionOf(spark, catRoot, name))
+
+  /** All tags: (tag, version), driver-local. */
+  def tags(spark: SparkSession, catRoot: String): DataFrame = {
+    import spark.implicits._
+    val (fs, root) = fsFor(spark, catRoot)
+    val dir = tagsDir(root)
+    val rows =
+      if (!fs.exists(dir)) Seq.empty[(String, Long)]
+      else fs.listStatus(dir).toSeq.map(_.getPath.getName).sorted
+        .map(t => t -> tagVersionOf(spark, catRoot, t))
+    rows.toDF("tag", "version")
+  }
+
+  /** Drop a tag (its catalog version becomes vacuumable again). */
+  def deleteTag(spark: SparkSession, catRoot: String,
+      name: String): Unit = {
+    requireValidTag(name)
+    val (fs, root) = fsFor(spark, catRoot)
+    val f = new Path(tagsDir(root), name)
+    require(fs.exists(f), s"no tag '$name' on $catRoot")
+    fs.delete(f, false)
+  }
+
+  private def taggedVersions(fs: FileSystem, root: Path): Set[Long] = {
+    val dir = tagsDir(root)
+    if (!fs.exists(dir)) Set.empty
+    else fs.listStatus(dir).toSeq.map { s =>
+      val in = fs.open(s.getPath)
+      try {
+        val buf = new Array[Byte](32)
+        val n = in.read(buf)
+        new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLong
+      } finally in.close()
+    }.toSet
+  }
+
   def vacuum(spark: SparkSession, catRoot: String,
       keepCatalogVersions: Int = 1, graceMs: Long = 0L): Unit = {
     require(keepCatalogVersions >= 1, "must keep >= 1 catalog version")
@@ -596,7 +691,12 @@ object TableCatalog {
     if (versions.isEmpty) return
     val latest = versions.max
     val keepFrom = math.max(0L, latest - keepCatalogVersions + 1)
-    val retained = (keepFrom to latest)
+    // tagged catalog versions survive any keepCatalogVersions: their
+    // state files stay, and their pins join the per-member floor below
+    // so member vacuums never reclaim what a tagged snapshot reads
+    val tagged = taggedVersions(fs, root)
+    val retained =
+      ((keepFrom to latest) ++ tagged.filter(_ < keepFrom)).sorted
       .flatMap(v => readState(spark, root, v))
     val minPin: Map[String, (Pin, Long)] = retained
       .flatMap(_.pins.toSeq)
@@ -622,7 +722,7 @@ object TableCatalog {
             graceMs = graceMs)
       }
     }
-    versions.filter(_ < keepFrom).foreach { v =>
+    versions.filter(v => v < keepFrom && !tagged(v)).foreach { v =>
       fs.delete(new Path(logDir(root), s"v$v.json"), false)
     }
   }

@@ -180,6 +180,50 @@ class TableCatalogSpec extends SparkSpec {
       .filter($"id" === 3L).select("balance").as[Double].head() == 300.0)
   }
 
+  test("catalog tags: named cross-table snapshots survive vacuum") {
+    val (cat, _, _) = fixture("tags")
+    TableCatalog.transact(spark, cat, Seq(
+      TableCatalog.TxnUpsert("accounts",
+        Seq((3L, 999.0)).toDF("id", "balance")),
+      TableCatalog.TxnUpsert("audit",
+        Seq((0L, 1L)).toDF("id", "total_moves"))))
+    TableCatalog.tag(spark, cat, "rel-1", 1L)
+    intercept[IllegalArgumentException] {
+      TableCatalog.tag(spark, cat, "rel-1", 0L) // immutable
+    }
+    intercept[IllegalArgumentException] {
+      TableCatalog.tag(spark, cat, "bad name", 1L)
+    }
+    TableCatalog.transact(spark, cat, Seq(
+      TableCatalog.TxnUpsert("accounts",
+        Seq((3L, 111.0)).toDF("id", "balance")),
+      TableCatalog.TxnUpsert("audit",
+        Seq((0L, 2L)).toDF("id", "total_moves"))))
+    TableCatalog.transact(spark, cat, Seq(
+      TableCatalog.TxnUpsert("accounts",
+        Seq((4L, 222.0)).toDF("id", "balance")),
+      TableCatalog.TxnUpsert("audit",
+        Seq((0L, 3L)).toDF("id", "total_moves"))))
+    assert(TableCatalog.tags(spark, cat).as[(String, Long)]
+      .collect().toSeq == Seq(("rel-1", 1L)))
+    TableCatalog.vacuum(spark, cat, keepCatalogVersions = 1)
+    // untagged v2 is unreadable, the tagged snapshot answers — BOTH
+    // members, at their tagged pins
+    intercept[Exception] { TableCatalog.stateAt(spark, cat, 2L) }
+    val rel = TableCatalog.stateAtTag(spark, cat, "rel-1")
+    val b = TableCatalog.readTable(spark, cat, "accounts", Some(rel))
+      .select("id", "balance").as[(Long, Double)].collect().toMap
+    assert(b(3L) == 999.0)
+    assert(TableCatalog.readTable(spark, cat, "audit", Some(rel))
+      .filter($"id" === 0L).select("total_moves").as[Long].head() == 1L)
+    // drop the tag: the next vacuum reclaims the snapshot
+    TableCatalog.deleteTag(spark, cat, "rel-1")
+    TableCatalog.vacuum(spark, cat, keepCatalogVersions = 1)
+    intercept[Exception] {
+      TableCatalog.stateAtTag(spark, cat, "rel-1")
+    }
+  }
+
   test("txn-stamped transactions are exactly-once under replay") {
     val (cat, _, _) = fixture("txn")
     def applyBatch(batch: Long): Unit =

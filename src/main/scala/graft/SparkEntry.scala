@@ -1390,6 +1390,58 @@ object SparkEntry {
       Merge.changesBetween(s, path, 0L, 1L)
         .orderBy("p_partkey", "op")
     }),
+    "q_merge_wap" -> ((s, dir) => {
+      // WRITE-AUDIT-PUBLISH (Iceberg's WAP pattern), composed from the
+      // primitives: ingest a raw batch into a ZERO-COPY staging clone,
+      // audit the staged snapshot (two poison clones carry negative
+      // prices — checks that are not table invariants, the whole point
+      // of WAP), repair the stage with a row-level delete, and PUBLISH
+      // by folding the stage's net delta (endpoint change feed: the
+      // poison rows inserted-then-deleted telescope to NOTHING) into
+      // prod with applyChanges. Required in-gate: the audit catches
+      // the poison; prod gains exactly ONE version; NO prod version
+      // ever held a bad row. Final prod ≡ base + the clean batch.
+      import graft.sources.Merge
+      val sfx = new java.io.File(dir).getName
+      val base = java.nio.file.Paths.get(scratchRoot, s"graft_wap_$sfx")
+      def rmTree(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.delete(f))
+        }
+      rmTree(base)
+      val prod = base.resolve("prod").toString
+      val stage = base.resolve("stage").toString
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      Merge.writeKeyed(orders, prod, "o_orderkey", nBuckets = 16)
+      Merge.cloneTable(s, prod, stage) // WRITE side: zero-copy fork
+      val clean = orders.filter(col("o_orderkey") % 100 === 7)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val poison = orders.filter(col("o_orderkey") % 100 === 21 &&
+          col("o_orderkey") <= 2000)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(3000000000L))
+        .withColumn("o_totalprice", col("o_totalprice") * -1)
+      Merge.upsert(s, stage, clean.unionByName(poison), "o_orderkey",
+        nBuckets = 16)
+      // AUDIT: quality checks against the staged snapshot only
+      val bad = Merge.readKeyed(s, stage)
+        .filter(col("o_totalprice") <= 0).count()
+      require(bad > 0, "the audit must catch the poison rows")
+      Merge.deleteWhere(s, stage, col("o_totalprice") <= 0)
+      // PUBLISH: the audited net delta folds into prod atomically
+      Merge.applyChanges(s, prod, Merge.changesBetween(s, stage, 0L, 2L))
+      require(Merge.currentVersion(s, prod) == 1L,
+        "publish must be exactly one prod commit")
+      (0L to 1L).foreach { v =>
+        require(Merge.readVersion(s, prod, v)
+          .filter(col("o_totalprice") <= 0).count() == 0L,
+          s"prod v$v must never hold an unaudited row")
+      }
+      Merge.readKeyed(s, prod).orderBy("o_orderkey")
+    }),
     "q_merge_clone" -> ((s, dir) => {
       // SHALLOW CLONE (Delta's CREATE TABLE ... SHALLOW CLONE): fork
       // the part table with ONE manifest write — required in-gate: the
@@ -5215,6 +5267,15 @@ object SparkEntry {
          SELECT p_partkey, p_brand, p_retailprice,
                 CAST(1 AS INT) FROM ins
          ORDER BY p_partkey, op""",
+    // WAP: prod ≡ base + only the audited batch — the poison rows
+    // (inserted then deleted on the stage) telescope away entirely
+    "q_merge_wap" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         UNION ALL
+         SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey,
+                o_totalprice * 2 AS o_totalprice
+         FROM orders WHERE o_orderkey % 100 = 7
+         ORDER BY o_orderkey""",
     // the diverged clone ≡ base + price bump; the source's own gate
     // requires it unmoved
     "q_merge_clone" ->

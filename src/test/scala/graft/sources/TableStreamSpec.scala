@@ -290,6 +290,38 @@ class TableStreamSpec extends SparkSpec {
     }
   }
 
+  test("a stream racing a live writer sees each commit exactly once") {
+    val base = freshBase("race")
+    val path = new File(base, "tbl").getAbsolutePath
+    val ckpt = new File(base, "ckpt").getAbsolutePath
+    Merge.writeKeyed(baseDf, path, "id", nBuckets = 4)
+    val sink = scala.collection.mutable.ArrayBuffer.empty[(Long, Row)]
+    drain(readTableStream(path, Map("startingVersion" -> "latest")),
+      ckpt, sink)
+    // writer thread commits while the reader drains repeatedly; offsets
+    // are committed versions, manifests are immutable — every insert
+    // must arrive exactly once, in some batch, with none duplicated
+    val writer = new Thread(() => {
+      (1 to 8).foreach { i =>
+        Merge.upsert(spark, path,
+          Seq((1000L + i, s"w$i", i.toDouble)).toDF("id", "name", "score"),
+          "id", nBuckets = 4)
+        Thread.sleep(30)
+      }
+    })
+    writer.start()
+    while (writer.isAlive) {
+      drain(readTableStream(path, Map("startingVersion" -> "latest")),
+        ckpt, sink)
+    }
+    writer.join()
+    drain(readTableStream(path, Map("startingVersion" -> "latest")),
+      ckpt, sink)
+    val got = sink.map(_._2.getAs[Long]("id")).sorted.toSeq
+    assert(got == (1L to 8L).map(1000L + _),
+      s"each commit exactly once, got $got")
+  }
+
   test("op column collision is rejected, opCol renames it") {
     val base = freshBase("opcol")
     val path = new File(base, "tbl").getAbsolutePath

@@ -973,6 +973,46 @@ object Merge {
     graft.ops.TableDiff.changeDeltas(side(o), side(n), Seq(keyCol), opCol)
   }
 
+  /** Delta-DIALECT change data feed: [[changesBetween]] resolved per
+    * COMMIT and labeled with Delta CDF's column contract —
+    * `_change_type` in {insert, update_preimage, update_postimage,
+    * delete}, `_commit_version`, `_commit_timestamp` — so consumers
+    * written against `table_changes(...)` / Delta's CDF read port
+    * without translation. Work: one bucket-pruned [[changesBetween]]
+    * per commit in `(fromVersion, toVersion]` (each costs its own
+    * commit's touched buckets) plus a per-key count window WITHIN each
+    * commit's slim feed to tell updates (a key with both a -1 and a +1
+    * image in one commit) from plain inserts/deletes. Commit
+    * timestamps come from the manifests, so the feed is replayable
+    * from the log alone.
+    */
+  def changesBetweenCdf(spark: SparkSession, path: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion < toVersion,
+      s"changesBetweenCdf needs fromVersion < toVersion, got " +
+      s"$fromVersion >= $toVersion")
+    val keyCol = tableLayout(spark, path).map(_._1).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path records no layout — the CDF dialect classifies " +
+        "updates by key"))
+    val feeds = ((fromVersion + 1) to toVersion).map { v =>
+      val ts = commitTime(spark, path, v)
+      val f = changesBetween(spark, path, v - 1, v, opCol = "__op")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
+      f.withColumn("__n", count(lit(1)).over(w))
+        .withColumn("_change_type",
+          when(col("__op") < 0 && col("__n") === 2, "update_preimage")
+            .when(col("__op") > 0 && col("__n") === 2, "update_postimage")
+            .when(col("__op") > 0, "insert")
+            .otherwise("delete"))
+        .withColumn("_commit_version", lit(v))
+        .withColumn("_commit_timestamp",
+          (lit(ts) / lit(1000.0)).cast("timestamp"))
+        .drop("__op", "__n")
+    }
+    feeds.reduce(_.unionByName(_))
+  }
+
   /** RESTORE: roll the table back to `version`'s exact image as a NEW
     * commit (Delta's RESTORE verb) — the new manifest references the
     * historical version's files directly, so no data moves at ANY table

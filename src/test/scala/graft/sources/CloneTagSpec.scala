@@ -164,6 +164,32 @@ class CloneTagSpec extends SparkSpec {
     }
   }
 
+  test("Delta-dialect CDF labels per-commit changes and stamps versions") {
+    val d = freshDir("cdfd")
+    val path = new File(d, "tbl").getAbsolutePath
+    Merge.writeKeyed(baseDf, path, "id", nBuckets = 4)
+    Merge.upsert(spark, path,
+      Seq((3L, "upd", 333.0)).toDF("id", "name", "score"),
+      "id", nBuckets = 4)
+    Merge.upsert(spark, path,
+      Seq((7L, "x", 0.0, true), (150L, "new", 500.0, false))
+        .toDF("id", "name", "score", "__del"),
+      "id", nBuckets = 4, tombstoneCol = Some("__del"))
+    val feed = Merge.changesBetweenCdf(spark, path, 0L, 2L)
+      .select("id", "name", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().sorted.toSeq
+    assert(feed == Seq(
+      (3L, "name_3", "update_preimage", 1L),
+      (3L, "upd", "update_postimage", 1L),
+      (7L, "name_7", "delete", 2L),
+      (150L, "new", "insert", 2L)))
+    // commit timestamps ride along and are strictly increasing
+    val ts = Merge.changesBetweenCdf(spark, path, 0L, 2L)
+      .select("_commit_version", "_commit_timestamp").distinct()
+      .as[(Long, java.sql.Timestamp)].collect().sortBy(_._1)
+    assert(ts.length == 2 && ts(0)._2.before(ts(1)._2))
+  }
+
   test("nested types round-trip: array and struct columns through " +
       "writeKeyed, upsert, time travel, and the change feed") {
     val d = freshDir("nested")

@@ -1390,6 +1390,53 @@ object SparkEntry {
       Merge.changesBetween(s, path, 0L, 1L)
         .orderBy("p_partkey", "op")
     }),
+    "q_merge_delete_dv" -> ((s, dir) => {
+      // MERGE-ON-READ DELETE via DELETION VECTORS (Delta's DV
+      // feature): two stacked deletes record (file, row position)
+      // sidecars and rewrite NOTHING — required in-gate: the data file
+      // set is byte-identical (same paths, same mtimes) after both
+      // deletes, which copy-on-write deleteWhere could never satisfy.
+      // Reads subtract the vectors; OPTIMIZE then folds them
+      // physically and the read-back must not change (required
+      // in-gate). Final state ≡ the oracle's filtered base.
+      import graft.sources.Merge
+      val sfx = new java.io.File(dir).getName
+      val base = java.nio.file.Paths.get(scratchRoot, s"graft_dv_$sfx")
+      def rmTree(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.delete(f))
+        }
+      rmTree(base)
+      val path = base.resolve("tbl").toString
+      val part = t(s, dir, "part")
+        .select("p_partkey", "p_brand", "p_retailprice")
+      Merge.writeKeyed(part, path, "p_partkey", nBuckets = 64)
+      def dataFiles(): Map[String, Long] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(path))
+          .filter(f => f.getPath.contains("__bucket=") &&
+            f.getName.endsWith(".parquet"))
+          .map(f => f.getPath -> f.lastModified()).toMap
+      }
+      val before = dataFiles()
+      val s1 = Merge.deleteWhereDV(s, path,
+        col("p_partkey") % 100 === 13 && col("p_partkey") <= 2000)
+      val s2 = Merge.deleteWhereDV(s, path, col("p_partkey") < 3)
+      require(s1.rowsDeleted > 0 && s2.rowsDeleted > 0,
+        "both DV deletes must match rows")
+      require(dataFiles() == before,
+        "deletion vectors must not touch any data file")
+      val preFold = Merge.readKeyed(s, path).orderBy("p_partkey")
+        .collect()
+      Merge.compactVersion(s, path, targetFilesPerBucket = 1)
+      val folded = Merge.readKeyed(s, path).orderBy("p_partkey")
+      require(folded.collect().sameElements(preFold),
+        "folding the vectors must not change the read")
+      folded
+    }),
     "q_merge_cdf_dialect" -> ((s, dir) => {
       // Delta's CDF COLUMN DIALECT over the version log: per-commit
       // attribution with _change_type strings (update_preimage /
@@ -5312,6 +5359,13 @@ object SparkEntry {
          SELECT p_partkey, p_brand, p_retailprice,
                 CAST(1 AS INT) FROM ins
          ORDER BY p_partkey, op""",
+    // merge-on-read deletes ≡ the filtered base — before AND after the
+    // physical fold (the gate requires them identical)
+    "q_merge_delete_dv" ->
+      """SELECT p_partkey, p_brand, p_retailprice FROM part
+         WHERE NOT (p_partkey % 100 = 13 AND p_partkey <= 2000)
+           AND p_partkey >= 3
+         ORDER BY p_partkey""",
     // the Delta-dialect feed ≡ its labeled SQL replay: the bump as
     // v1's pre/post pairs, the delete and clones as v2's rows
     "q_merge_cdf_dialect" ->

@@ -163,7 +163,12 @@ object Merge {
       // CHECK constraints (name -> SQL boolean expression) every row of
       // the table satisfies — enforced on each incoming batch at commit
       // time (see [[upsert]]) and on the whole table at [[addConstraint]]
-      constraints: Seq[(String, String)] = Seq.empty)
+      constraints: Seq[(String, String)] = Seq.empty,
+      // DELETION VECTORS (merge-on-read delete): parquet sidecar files
+      // of (file, pos) row positions readers subtract from the data
+      // files — a [[deleteWhereDV]] commit adds sidecars and rewrites
+      // NOTHING; [[compactVersion]] folds them physically
+      dvFiles: Seq[String] = Seq.empty)
 
   /** The commit timestamp for a child of `parent`: wall clock, forced
     * STRICTLY increasing along the version chain (max(parent+1, now)) so
@@ -246,9 +251,13 @@ object Merge {
       else s""","constraints":""" + m.constraints.map { case (n, e) =>
         s"""{"n":"${jsonEscape(n)}","e":"${jsonEscape(e)}"}"""
       }.mkString("[", ",", "]")
+    val dvField =
+      if (m.dvFiles.isEmpty) ""
+      else s""","dvFiles":""" + m.dvFiles.sorted
+        .map(f => "\"" + jsonEscape(f) + "\"").mkString("[", ",", "]")
     (s"""{"version":${m.version},"parent":${m.parent},""" +
       s"""$filesField$schemaField$txnField$layoutField$statsFields""" +
-      s"""$tsField$opField$constraintsField}""").getBytes("UTF-8")
+      s"""$tsField$opField$constraintsField$dvField}""").getBytes("UTF-8")
   }
 
   /** One shard's body: the files of its bucket range plus their stats
@@ -515,6 +524,10 @@ object Merge {
           }
           case _ => Nil
         }
+        val dvFiles = j \ "dvFiles" match {
+          case JArray(xs) => xs.collect { case JString(f) => f }
+          case _ => Nil
+        }
         (num("version"), num("parent"), resolved) match {
           case (Some(v), Some(par), Some((fl, stats, shardIds))) =>
             Some(Manifest(v, par, fl, str("dataSchema"),
@@ -525,7 +538,7 @@ object Merge {
               str("op"), num("rowsUp").getOrElse(-1L),
               num("rowsDel").getOrElse(-1L),
               shardSpan = shardSpan, shardIds = shardIds,
-              constraints = constraints))
+              constraints = constraints, dvFiles = dvFiles))
           case _ => None // truncated or foreign body: not committed
         }
       }
@@ -774,7 +787,7 @@ object Merge {
     * back to inference + partition discovery.
     */
   private def versionDf(spark: SparkSession, path: String, root: Path,
-      m: Manifest): DataFrame = {
+      m: Manifest, keepPos: Boolean = false): DataFrame = {
     if (m.files.isEmpty) {
       // a legitimate state, not an error: a delete can empty the table
       // (found by MergeSpec's model property test). Only pre-schema
@@ -783,12 +796,18 @@ object Merge {
         throw new IllegalArgumentException(
           s"version ${m.version} of $path is empty and records no " +
           "schema — cannot type the empty frame"))
-      return spark.createDataFrame(
+      val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schema.add("__bucket", "long"))
+      return if (!keepPos) empty
+        else empty.withColumn("__dv_file", lit(null).cast("string"))
+          .withColumn("__dv_pos", lit(null).cast("long"))
     }
     val schemaOpt = m.dataSchema.map(ddl =>
       StructType.fromDDL(ddl).add("__bucket", "long"))
+    // deletion vectors (and position-keeping callers) need each row's
+    // (file, position) identity from the scan's metadata columns
+    val withPos = keepPos || m.dvFiles.nonEmpty
     // a shallow CLONE's manifest references files under OTHER table
     // roots by absolute path; each source root is its own basePath so
     // the __bucket partition column still derives from the dir name
@@ -798,7 +817,11 @@ object Merge {
       "but records no schema — cannot align the groups")
     def read(base: String, files: Seq[String]) = {
       val reader = spark.read.option("basePath", base)
-      schemaOpt.map(reader.schema).getOrElse(reader).parquet(files: _*)
+      val df = schemaOpt.map(reader.schema).getOrElse(reader)
+        .parquet(files: _*)
+      if (!withPos) df
+      else df.withColumn("__dv_file", col("_metadata.file_path"))
+        .withColumn("__dv_pos", col("_metadata.row_index"))
     }
     val parts =
       (if (local.nonEmpty)
@@ -807,7 +830,22 @@ object Merge {
         foreign.groupBy(f => new Path(f).getParent.getParent.toString)
           .toSeq.sortBy(_._1)
           .map { case (base, fs) => read(base, fs) }
-    parts.reduce(_.unionByName(_))
+    val base = parts.reduce(_.unionByName(_))
+    // MERGE-ON-READ: subtract the deletion vectors' (file, pos) rows.
+    // The DV side is deleted-row-count sized; the anti-join broadcasts
+    // it under the engine's own size estimate like any small side.
+    val dvApplied =
+      if (m.dvFiles.isEmpty) base
+      else {
+        val dv = spark.read
+          .schema(StructType.fromDDL("file STRING, pos BIGINT"))
+          .parquet(m.dvFiles.map(f => new Path(root, f).toString): _*)
+        base.join(dv, base("__dv_file") === dv("file") &&
+          base("__dv_pos") === dv("pos"), "left_anti")
+      }
+    if (keepPos) dvApplied
+    else if (withPos) dvApplied.drop("__dv_file", "__dv_pos")
+    else dvApplied
   }
 
   /** The rows of one committed version (layout column dropped). Reads
@@ -952,7 +990,23 @@ object Merge {
       throw new IllegalArgumentException(
         s"$path records no (keyCol, nBuckets) layout — changesBetween " +
         "needs the key to diff on"))
-    val touched = changedBuckets(spark, path, fromVersion, toVersion).toSet
+    // a deletion-vector commit changes NO data file, so the file-set
+    // diff alone would miss it: buckets whose rows a changed vector
+    // references are touched too (one footer-cheap distinct over the
+    // delta sidecars, bounded by the referenced file count)
+    val dvDelta = (n.dvFiles.toSet diff o.dvFiles.toSet) ++
+      (o.dvFiles.toSet diff n.dvFiles.toSet)
+    val dvTouched: Set[Long] =
+      if (dvDelta.isEmpty) Set.empty
+      else spark.read
+        .schema(StructType.fromDDL("file STRING, pos BIGINT"))
+        .parquet(dvDelta.toSeq.sorted
+          .map(f => new Path(root, f).toString): _*)
+        .select("file").distinct().collect()
+        .map(r => bucketOf(r.getString(0))).toSet
+    val touched =
+      changedBuckets(spark, path, fromVersion, toVersion).toSet ++
+        dvTouched
     val newSchema = n.dataSchema.map(StructType.fromDDL).getOrElse(
       throw new IllegalArgumentException(
         s"$path v$toVersion records no schema"))
@@ -1049,7 +1103,8 @@ object Merge {
             shardSpan = parent.shardSpan,
             // full state rollback includes table metadata: the restored
             // rows satisfied the TARGET version's constraint set
-            constraints = target.constraints),
+            constraints = target.constraints,
+            dvFiles = target.dvFiles),
           parent = Some(parent), touched = None)
         return parentV + 1
       } catch {
@@ -1168,7 +1223,9 @@ object Merge {
           byRel.getOrElse(e.file, e.file))),
         ts = System.currentTimeMillis(), op = Some("clone"),
         rowsUpserted = 0L, rowsDeleted = 0L,
-        shardSpan = m.shardSpan, constraints = m.constraints))
+        shardSpan = m.shardSpan, constraints = m.constraints,
+        dvFiles = m.dvFiles.map(f =>
+          sfs.makeQualified(new Path(sroot, f)).toString)))
   }
 
   /** [[cloneTableAt]] of the source's current version. */
@@ -1641,7 +1698,8 @@ object Merge {
             ts = nextTs(parent), op = Some("upsert"),
             rowsUpserted = rowsUpserted, rowsDeleted = rowsDeleted,
             shardSpan = parent.shardSpan,
-            constraints = parent.constraints),
+            constraints = parent.constraints,
+            dvFiles = parent.dvFiles),
           parent = Some(parent), touched = Some(touched))
         return MergeStats(touched.size, nBuckets, rowsUpserted, parentV + 1,
           attempt, rowsDeleted = rowsDeleted)
@@ -1734,7 +1792,8 @@ object Merge {
             ts = nextTs(parent), op = Some("delete"),
             rowsUpserted = 0L, rowsDeleted = rowsDeleted,
             shardSpan = parent.shardSpan,
-            constraints = parent.constraints),
+            constraints = parent.constraints,
+            dvFiles = parent.dvFiles),
           parent = Some(parent), touched = Some(touched))
         return MergeStats(touched.size, nB, 0L, parentV + 1, attempt,
           rowsDeleted = rowsDeleted)
@@ -1783,6 +1842,96 @@ object Merge {
     * bucket edges); list `clusterBy` columns in the table's `statsCols`
     * for the manifest to record what the layout now offers.
     */
+  /** MERGE-ON-READ DELETE via DELETION VECTORS (Delta's DV feature):
+    * record the (file, row position) of every matching CURRENT row in
+    * parquet sidecars under `_graft_dv/` and commit a manifest that
+    * references them — NO data file is rewritten at any table size, so
+    * a selective compliance delete costs its find scan plus a sidecar
+    * proportional to the MATCHED rows (copy-on-write [[deleteWhere]]
+    * rewrites whole buckets and stays the right tool when a large
+    * fraction of the table dies). Readers subtract the vectors with
+    * one anti-join against the deleted-row-count-sized DV table, and
+    * EVERY read path resolves through the same reader — versioned
+    * reads, skipping reads, lookupKey, change feeds, and the base side
+    * of later upserts all see the deletes at once. Per-file stats stay
+    * untouched (they only over-approximate, so pruning remains sound).
+    * [[compactVersion]] folds live DVs physically — vectors force a
+    * full rewrite — and clears the sidecar list; [[vacuum]] reclaims
+    * sidecars no retained version references.
+    *
+    * Positions are `_metadata.row_index` within each immutable data
+    * file, captured and matched through the same scan machinery.
+    * `bounds` prune the find scan via manifest stats exactly as in
+    * [[deleteWhere]]; SQL DELETE null semantics (null-predicate rows
+    * are kept); same commit protocol (lost-race retry, `txn` replay
+    * guard); a no-match delete commits nothing. Deleting an
+    * already-DV-deleted row is naturally a no-op: the find scan itself
+    * is DV-filtered.
+    */
+  def deleteWhereDV(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column,
+      bounds: Seq[Skipping.Bound] = Seq.empty, maxRetries: Int = 5,
+      txn: Option[(String, Long)] = None): MergeStats = {
+    val (fs, root) = fsFor(spark, path)
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val parentV = currentVersion(spark, path)
+      require(parentV >= 0,
+        s"$path has no version log — write it with writeKeyed first")
+      val nB = readManifestOpt(spark, root, parentV,
+          resolveShards = false)
+        .flatMap(_.layout).map(_._2).getOrElse(-1)
+      txn.foreach { case (app, batch) =>
+        if (latestTxn(spark, path, app).exists(_ >= batch))
+          return MergeStats(0, nB, 0L, parentV, attempt,
+            skippedDupTxn = true)
+      }
+      val parent = readManifest(spark, root, parentV)
+      val candFiles =
+        if (bounds.isEmpty) parent.files
+        else planVersionFiles(spark, path, parentV, bounds)._1
+      if (candFiles.isEmpty)
+        return MergeStats(0, nB, 0L, parentV, attempt)
+      val matched = versionDf(spark, path, root,
+          parent.copy(files = candFiles), keepPos = true)
+        .filter(predicate)
+        .select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
+      val dvDir = "_graft_dv/" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+      val dvPath = new Path(root, dvDir)
+      matched.coalesce(4).write.mode("overwrite").parquet(dvPath.toString)
+      // footer-only count of what was actually recorded
+      val n = spark.read.parquet(dvPath.toString).count()
+      if (n == 0L) {
+        fs.delete(dvPath, true)
+        return MergeStats(0, nB, 0L, parentV, attempt)
+      }
+      val dvRefs = fs.listStatus(dvPath)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(st => s"$dvDir/${st.getPath.getName}").toSeq.sorted
+      commitFence()
+      try {
+        writeManifest(fs, root,
+          Manifest(parentV + 1, parentV, parent.files, parent.dataSchema,
+            txn, parent.layout, parent.statsCols, parent.stats,
+            ts = nextTs(parent), op = Some("delete-dv"),
+            rowsUpserted = 0L, rowsDeleted = n,
+            shardSpan = parent.shardSpan,
+            constraints = parent.constraints,
+            dvFiles = parent.dvFiles ++ dvRefs),
+          parent = Some(parent), touched = Some(Set.empty))
+        return MergeStats(0, nB, 0L, parentV + 1, attempt,
+          rowsDeleted = n)
+      } catch {
+        case _: LostCommitRace =>
+          fs.delete(dvPath, true)
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"deleteWhereDV lost the commit race $attempt times at $path")
+  }
+
   def compactVersion(spark: SparkSession, path: String,
       targetFilesPerBucket: Int = 1, maxRetries: Int = 5,
       clusterBy: Seq[String] = Seq.empty,
@@ -1803,8 +1952,11 @@ object Merge {
       // holding FOREIGN (clone-source) refs also always rewrites —
       // compaction is how a shallow clone materializes, so "compact to
       // target" must leave every live ref local.
+      // live deletion vectors also force a full rewrite: compaction is
+      // how merge-on-read deletes fold back to pure data files
       val toRewrite =
-        if (clusterBy.nonEmpty || zOrderBy.nonEmpty) byBucket
+        if (clusterBy.nonEmpty || zOrderBy.nonEmpty ||
+            parent.dvFiles.nonEmpty) byBucket
         else byBucket.filter { case (_, fls) =>
           fls.size > targetFilesPerBucket ||
             fls.exists(f => new Path(f).isAbsolute)
@@ -1875,7 +2027,8 @@ object Merge {
             ts = nextTs(parent), op = Some("compact"),
             rowsUpserted = 0L, rowsDeleted = 0L,
             shardSpan = parent.shardSpan,
-            constraints = parent.constraints),
+            constraints = parent.constraints,
+            dvFiles = Seq.empty), // full rewrite under DVs: folded
           parent = Some(parent), touched = Some(toRewrite.keySet.toSet))
         return CompactStats(parentV + 1, toRewrite.size, parent.files.size,
           files.size)
@@ -1988,6 +2141,24 @@ object Merge {
         .filterNot(s => liveShards(s.getPath.getName))
         .filter(_.getModificationTime <= cutoff)
         .foreach(s => fs.delete(s.getPath, false))
+    }
+    // deletion-vector sidecars: a DV file lives while any retained
+    // version references it; crash-orphans from never-committed
+    // deleteWhereDV attempts die here too
+    val dvRoot = new Path(root, "_graft_dv")
+    if (fs.exists(dvRoot)) {
+      val liveDv = keepSet
+        .flatMap(v => readManifestOpt(spark, root, v).toSeq
+          .flatMap(_.dvFiles))
+        .toSet
+      fs.listStatus(dvRoot).filter(_.isDirectory).foreach { d =>
+        fs.listStatus(d.getPath).foreach { f =>
+          val rel = s"_graft_dv/${d.getPath.getName}/${f.getPath.getName}"
+          if (!liveDv(rel) && f.getModificationTime <= cutoff)
+            fs.delete(f.getPath, false)
+        }
+        if (fs.listStatus(d.getPath).isEmpty) fs.delete(d.getPath, true)
+      }
     }
     val sr = stagingRoot(root)
     if (fs.exists(sr))

@@ -1390,6 +1390,50 @@ object SparkEntry {
       Merge.changesBetween(s, path, 0L, 1L)
         .orderBy("p_partkey", "op")
     }),
+    "q_merge_relayout" -> ((s, dir) => {
+      // BUCKET-COUNT EVOLUTION: the part table outgrows its 8-bucket
+      // layout and relayouts to 64 in one commit. Required in-gate:
+      // the new layout is RECORDED (upserts with the old count fail
+      // fast), a post-relayout upsert touches ≤ its keys' buckets of
+      // 64 (proving routing switched), and the pre-relayout version
+      // still reads its own files. Final state ≡ base + both churn
+      // batches replayed in SQL.
+      import graft.sources.Merge
+      val sfx = new java.io.File(dir).getName
+      val base = java.nio.file.Paths.get(scratchRoot, s"graft_rl_$sfx")
+      def rmTree(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.delete(f))
+        }
+      rmTree(base)
+      val path = base.resolve("tbl").toString
+      val part = t(s, dir, "part")
+        .select("p_partkey", "p_brand", "p_retailprice")
+      Merge.writeKeyed(part, path, "p_partkey", nBuckets = 8)
+      Merge.upsert(s, path, part.filter(col("p_partkey") < 5)
+          .withColumn("p_partkey", col("p_partkey") + lit(4000000L)),
+        "p_partkey", nBuckets = 8)
+      Merge.relayout(s, path, newBuckets = 64)
+      require(Merge.tableLayout(s, path).contains(("p_partkey", 64)),
+        "the new layout must be recorded")
+      val oldFails =
+        try { Merge.upsert(s, path, part.limit(1), "p_partkey",
+          nBuckets = 8); false }
+        catch { case _: IllegalArgumentException => true }
+      require(oldFails, "the old bucket count must fail fast")
+      val st = Merge.upsert(s, path,
+        part.filter(col("p_partkey") < 3)
+          .withColumn("p_partkey", col("p_partkey") + lit(8000000L)),
+        "p_partkey", nBuckets = 64)
+      require(st.nBuckets == 64 && st.bucketsTouched <= 3,
+        s"post-relayout upserts must route by the new layout, " +
+        s"touched ${st.bucketsTouched}")
+      require(Merge.readVersion(s, path, 1L).count() == part.count() + 5,
+        "pre-relayout versions must still read")
+      Merge.readKeyed(s, path).orderBy("p_partkey")
+    }),
     "q_merge_delete_dv" -> ((s, dir) => {
       // MERGE-ON-READ DELETE via DELETION VECTORS (Delta's DV
       // feature): two stacked deletes record (file, row position)
@@ -5359,6 +5403,17 @@ object SparkEntry {
          SELECT p_partkey, p_brand, p_retailprice,
                 CAST(1 AS INT) FROM ins
          ORDER BY p_partkey, op""",
+    // relayouted table ≡ base + the pre- and post-relayout clone
+    // batches: a layout change moves no rows, only their buckets
+    "q_merge_relayout" ->
+      """SELECT p_partkey, p_brand, p_retailprice FROM part
+         UNION ALL
+         SELECT p_partkey + 4000000 AS p_partkey, p_brand, p_retailprice
+         FROM part WHERE p_partkey < 5
+         UNION ALL
+         SELECT p_partkey + 8000000 AS p_partkey, p_brand, p_retailprice
+         FROM part WHERE p_partkey < 3
+         ORDER BY p_partkey""",
     // merge-on-read deletes ≡ the filtered base — before AND after the
     // physical fold (the gate requires them identical)
     "q_merge_delete_dv" ->

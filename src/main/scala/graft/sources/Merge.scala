@@ -1842,6 +1842,66 @@ object Merge {
     * bucket edges); list `clusterBy` columns in the table's `statsCols`
     * for the manifest to record what the layout now offers.
     */
+  /** RE-LAYOUT: change the table's bucket count in ONE commit — the
+    * operational escape hatch when a table outgrows the layout
+    * [[writeKeyed]] fixed (a 64-bucket table that grew 100× has
+    * gigabyte buckets; point lookups and upserts want 4096). Every
+    * current row rewrites under the new hash — a full shuffle BY
+    * DESIGN, priced like a whole-table OPTIMIZE and run as rarely.
+    * History is untouched: older versions keep reading their own
+    * files; only the new manifest records the new layout, and because
+    * [[lookupKey]] and the layout-driven upsert paths route by the
+    * CURRENT manifest's layout, every consumer switches automatically
+    * (a caller still passing the old bucket count to [[upsert]] gets
+    * the fail-fast layout error, exactly as intended). Live deletion
+    * vectors fold during the rewrite like compaction. Same
+    * create-if-absent commit + lost-race retry as every other commit.
+    *
+    * @return the new version number.
+    */
+  def relayout(spark: SparkSession, path: String, newBuckets: Int,
+      filesPerBucket: Int = 1, maxRetries: Int = 5): Long = {
+    require(newBuckets >= 1, "newBuckets must be >= 1")
+    val (fs, root) = fsFor(spark, path)
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val parentV = currentVersion(spark, path)
+      require(parentV >= 0, s"$path has no version log")
+      val parent = readManifest(spark, root, parentV)
+      val (keyCol, oldBuckets) = parent.layout.getOrElse(
+        throw new IllegalArgumentException(
+          s"$path records no layout — relayout needs the key column"))
+      if (oldBuckets == newBuckets) return parentV // already there
+      val rows = versionDf(spark, path, root, parent).drop("__bucket")
+        .withColumn("__bucket", bucketCol(keyCol, newBuckets))
+      val repart = bucketPartitioned(rows, filesPerBucket, newBuckets,
+        sortKey = Some(keyCol))
+      val (newFiles, newStats) =
+        stageAndMove(spark, fs, root, repart, parent.statsCols)
+      commitFence()
+      try {
+        writeManifest(fs, root,
+          Manifest(parentV + 1, parentV, newFiles.sorted,
+            parent.dataSchema,
+            layout = Some((keyCol, newBuckets)),
+            statsCols = parent.statsCols, stats = newStats,
+            ts = nextTs(parent), op = Some("relayout"),
+            rowsUpserted = 0L, rowsDeleted = 0L,
+            shardSpan = parent.shardSpan,
+            constraints = parent.constraints,
+            dvFiles = Seq.empty), // the rewrite folded them
+          parent = Some(parent), touched = None)
+        return parentV + 1
+      } catch {
+        case _: LostCommitRace =>
+          deleteFiles(fs, root, newFiles)
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"relayout lost the commit race $attempt times at $path")
+  }
+
   /** MERGE-ON-READ DELETE via DELETION VECTORS (Delta's DV feature):
     * record the (file, row position) of every matching CURRENT row in
     * parquet sidecars under `_graft_dv/` and commit a manifest that

@@ -152,6 +152,18 @@ object ScaleSmoke {
         // shallow clone: one manifest write at ANY table size
         timed(s"merge_clone")(graft.sources.Merge.cloneTable(spark, path,
           s"${path}_clone"))
+        // merge-on-read delete: find scan + matched-rows-sized sidecar,
+        // ZERO data files rewritten — contrast with the copy-on-write
+        // delete's bucket rewrites
+        timed(s"merge_delete_dv")({
+          val st = graft.sources.Merge.deleteWhereDV(spark, path,
+            col("doc_id") % 499 === 0)
+          println(s"SCALE   dv deleted ${st.rowsDeleted} rows, " +
+            "0 files rewritten")
+        })
+        // relayout: the honest full-shuffle cost of bucket evolution
+        timed(s"merge_relayout")(
+          graft.sources.Merge.relayout(spark, path, buckets * 2))
     }
 
     // ---- IVF-PQ: build+save and probe at 1x vs factor x (cells ∝ size

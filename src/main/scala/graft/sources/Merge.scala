@@ -137,10 +137,13 @@ object Merge {
   private def bucketOf(file: String): Long = {
     // data file refs are "__bucket=N/part-..." for the table's own files
     // and ABSOLUTE ".../__bucket=N/part-..." for a shallow clone's
-    // foreign refs — locate the bucket segment wherever it sits
-    val seg = file.split('/').find(_.startsWith("__bucket="))
-      .getOrElse(throw new IllegalArgumentException(
-        s"no __bucket= segment in data file path $file"))
+    // foreign refs — the bucket is always the data file's PARENT
+    // directory (an ancestor directory that happens to be named
+    // "__bucket=..." must not win, so take the last segment, not the
+    // first)
+    val seg = new Path(file).getParent.getName
+    require(seg.startsWith("__bucket="),
+      s"data file path $file has no __bucket= parent directory")
     seg.stripPrefix("__bucket=").toLong
   }
 
@@ -1125,8 +1128,12 @@ object Merge {
     * The fold is a NET fold over full row images (`sum(op)` per
     * image): a batch that spans several commits — or a snapshot union
     * — telescopes correctly, because intermediate images cancel and
-    * only each key's final image stays net-positive, while a key whose
-    * images all net to <= 0 is a delete. One aggregate + one
+    * only each key's final image stays net-positive, while a key with
+    * a strictly NEGATIVE net image is a delete. A key whose images ALL
+    * net to exactly zero (an update applied and then reverted inside
+    * the batch, A→B→A) is a NO-OP — it ends the batch where it
+    * started, so deleting it would diverge a replica. One aggregate +
+    * one
     * anti-join, both batch-sized; the table-side cost is the upsert's
     * (touched buckets only). A batch yielding two net-positive images
     * for one key is ill-formed (flattened unordered history) and is
@@ -1169,7 +1176,10 @@ object Merge {
       s"$dupKeys key(s) have more than one net-positive image — the " +
       "batch flattens unordered history; feed commit-shaped batches " +
       "(changesBetween output or graft-table micro-batches)")
-    val delRows = net.filter(col("__net") <= 0).drop("__net")
+    // strictly-negative net only: an image netting to exactly zero was
+    // applied and reverted within the batch (A→B→A across commits) and
+    // must be a no-op, not a delete — see the contract above
+    val delRows = net.filter(col("__net") < 0).drop("__net")
       .join(pos.select(col(keyCol)), Seq(keyCol), "left_anti")
       .dropDuplicates(keyCol)
     val batch = pos.withColumn("__apply_del", lit(false))
@@ -1206,6 +1216,16 @@ object Merge {
   def cloneTableAt(spark: SparkSession, src: String, dst: String,
       version: Long): Unit = {
     val (sfs, sroot) = fsFor(spark, src)
+    // the clone REPLACES dst (recursive delete) — refuse any overlap
+    // with the source, or a one-argument mistake (src == dst, or one
+    // nested in the other) deletes the source's data and log before
+    // the manifest referencing them is written: unrecoverable loss
+    val (dfs0, droot0) = fsFor(spark, dst)
+    val sq = sfs.makeQualified(sroot).toString.stripSuffix("/")
+    val dq = dfs0.makeQualified(droot0).toString.stripSuffix("/")
+    require(sq != dq && !sq.startsWith(dq + "/") && !dq.startsWith(sq + "/"),
+      s"clone destination $dq overlaps source $sq — a clone recursively " +
+      "replaces its destination, which here would delete source data")
     val m = readManifest(spark, sroot, version)
     require(m.dataSchema.isDefined,
       s"$src v$version records no schema — a clone could not align " +
@@ -1235,6 +1255,22 @@ object Merge {
   // ------------------------------------------------------------- tags
 
   private def tagsPath(root: Path) = new Path(logPath(root), "tags")
+
+  /** Read a small metadata file fully to EOF. A single
+    * `InputStream.read` may return fewer bytes than available on
+    * remote filesystems — truncating, say, a tag's version string and
+    * letting vacuum compute a wrong keep-set — so loop until -1.
+    */
+  private[sources] def readSmallUtf8(fs: FileSystem, f: Path): String = {
+    val in = fs.open(f)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, "UTF-8")
+    } finally in.close()
+  }
 
   private def requireValidTag(tag: String): Unit =
     require(tag.nonEmpty &&
@@ -1277,12 +1313,7 @@ object Merge {
     val (fs, root) = fsFor(spark, path)
     val f = new Path(tagsPath(root), tag)
     require(fs.exists(f), s"no tag '$tag' on $path")
-    val in = fs.open(f)
-    try {
-      val buf = new Array[Byte](32)
-      val n = in.read(buf)
-      new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLong
-    } finally in.close()
+    readSmallUtf8(fs, f).trim.toLong
   }
 
   /** All tags: (tag, version), driver-local listing of the tags dir. */
@@ -1314,14 +1345,8 @@ object Merge {
     val (fs) = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = tagsPath(root)
     if (!fs.exists(dir)) Set.empty
-    else fs.listStatus(dir).toSeq.map { s =>
-      val in = fs.open(s.getPath)
-      try {
-        val buf = new Array[Byte](32)
-        val n = in.read(buf)
-        new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLong
-      } finally in.close()
-    }.toSet
+    else fs.listStatus(dir).toSeq
+      .map(s => readSmallUtf8(fs, s.getPath).trim.toLong).toSet
   }
 
   /** Commit history of the RETAINED versions (DESCRIBE HISTORY): one

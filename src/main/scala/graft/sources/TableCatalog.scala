@@ -635,12 +635,7 @@ object TableCatalog {
     val (fs, root) = fsFor(spark, catRoot)
     val f = new Path(tagsDir(root), name)
     require(fs.exists(f), s"no tag '$name' on $catRoot")
-    val in = fs.open(f)
-    try {
-      val buf = new Array[Byte](32)
-      val n = in.read(buf)
-      new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLong
-    } finally in.close()
+    Merge.readSmallUtf8(fs, f).trim.toLong
   }
 
   /** The pinned cross-table snapshot a tag names. */
@@ -673,14 +668,8 @@ object TableCatalog {
   private def taggedVersions(fs: FileSystem, root: Path): Set[Long] = {
     val dir = tagsDir(root)
     if (!fs.exists(dir)) Set.empty
-    else fs.listStatus(dir).toSeq.map { s =>
-      val in = fs.open(s.getPath)
-      try {
-        val buf = new Array[Byte](32)
-        val n = in.read(buf)
-        new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLong
-      } finally in.close()
-    }.toSet
+    else fs.listStatus(dir).toSeq
+      .map(s => Merge.readSmallUtf8(fs, s.getPath).trim.toLong).toSet
   }
 
   def vacuum(spark: SparkSession, catRoot: String,

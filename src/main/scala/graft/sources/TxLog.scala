@@ -89,12 +89,32 @@ object TxLog {
       s""""tables":$tables}""").getBytes("UTF-8")
   }
 
+  /** Parsed-state memo (the [[Merge]] manifest memo, mirrored).
+    * Committed index manifests are IMMUTABLE under the create-if-absent
+    * protocol, so a successful parse is reusable; (mtime, length) guard
+    * the only way bytes could legitimately change under the same
+    * (root, version) key — an index root wholesale rebuilt at the same
+    * path. Probes resolve [[currentState]] per query (a walk over the
+    * log tail), so without the memo every probe re-reads and re-parses
+    * JSON it has seen before; with it, resolution is one getFileStatus
+    * per version. Bounded; whole-map eviction.
+    */
+  private val stateCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long, Long), State]
+  private val maxStateCacheEntries = 8192
+
   /** Parse one manifest; None when missing/truncated (a crashed claim). */
   private def readState(spark: SparkSession, root: Path,
       version: Long): Option[State] = {
     val p = new Path(logDir(root), s"v$version.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return None
+    val stat =
+      try fs.getFileStatus(p)
+      catch { case _: java.io.FileNotFoundException => return None }
+    val cacheKey = (root.toString, version,
+      stat.getModificationTime, stat.getLen)
+    val cached = stateCache.get(cacheKey)
+    if (cached != null) return Some(cached)
     val text =
       try {
         val in = fs.open(p)
@@ -122,6 +142,12 @@ object TxLog {
         }
         for (v <- num("version"); p <- num("parent"); t <- tables)
           yield State(v, p, t)
+      } match {
+        case some @ Some(s) =>
+          if (stateCache.size >= maxStateCacheEntries) stateCache.clear()
+          stateCache.put(cacheKey, s)
+          some
+        case None => None
       }
   }
 

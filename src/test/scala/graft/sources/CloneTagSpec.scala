@@ -33,6 +33,49 @@ class CloneTagSpec extends SparkSpec {
     (0L until 100L).map(i => (i, s"name_$i", i * 10.0))
       .toDF("id", "name", "score")
 
+  test("clone refuses overlapping src/dst — a self-clone would delete " +
+      "the source before referencing it") {
+    val d = freshDir("guard")
+    val src = new File(d, "src").getAbsolutePath
+    Merge.writeKeyed(baseDf, src, "id", nBuckets = 4)
+    for (dst <- Seq(src, new File(src, "nested").getAbsolutePath,
+        d.getAbsolutePath)) {
+      val e = intercept[IllegalArgumentException] {
+        Merge.cloneTable(spark, src, dst)
+      }
+      assert(e.getMessage.contains("overlaps"))
+    }
+    // the source survived every refused attempt
+    assert(Merge.readKeyed(spark, src).count() == 100)
+  }
+
+  test("clone of a source rooted under a directory named __bucket=N " +
+      "still routes buckets by the file's parent dir") {
+    // foreign refs are absolute; an ancestor path segment that happens
+    // to be called __bucket=5 must not hijack bucket resolution
+    val d = freshDir("bseg")
+    val src = new File(new File(d, "__bucket=5"), "src").getAbsolutePath
+    val dst = new File(d, "dst").getAbsolutePath
+    Merge.writeKeyed(baseDf, src, "id", nBuckets = 8, statsCols = Seq("id"))
+    Merge.cloneTable(spark, src, dst)
+    val a = Merge.readKeyed(spark, src).orderBy("id").collect()
+    val b = Merge.readKeyed(spark, dst).orderBy("id").collect()
+    assert(a.sameElements(b))
+    // copy-on-write on the clone touches the RIGHT bucket: the updated
+    // key must come back updated, others untouched
+    val stats = Merge.upsert(spark, dst,
+      Seq((7L, "clone_7", 777.0)).toDF("id", "name", "score"),
+      "id", nBuckets = 8)
+    assert(stats.bucketsTouched == 1)
+    val out = Merge.readKeyed(spark, dst)
+    assert(out.filter($"id" === 7L).select("name").as[String].head() ==
+      "clone_7")
+    assert(out.count() == 100)
+    // and point lookup (stats-pruned) resolves on the clone
+    val row = Merge.lookupKey(spark, dst, 13L).collect()
+    assert(row.length == 1 && row(0).getAs[String]("name") == "name_13")
+  }
+
   test("clone is zero-copy and reads the source image") {
     val d = freshDir("zc")
     val src = new File(d, "src").getAbsolutePath

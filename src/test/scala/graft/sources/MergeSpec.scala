@@ -27,6 +27,17 @@ class MergeSpec extends SparkSpec {
       }.toMap
   }
 
+  test("readSmallUtf8 reads metadata files past one buffer to EOF") {
+    val d = Files.createTempDirectory("graft_readsmall").toFile
+    d.deleteOnExit()
+    val f = new File(d, "meta.txt")
+    val content = "x" * 10000 + "42"
+    Files.write(f.toPath, content.getBytes("UTF-8"))
+    val p = new org.apache.hadoop.fs.Path(f.getAbsolutePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(Merge.readSmallUtf8(fs, p) == content)
+  }
+
   test("upsert replaces updated keys, appends new ones, leaves rest") {
     val path = freshDir("sem")
     val base = (0L until 100L).map(i => (i, s"name_$i", i * 10.0))

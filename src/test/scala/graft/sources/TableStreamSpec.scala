@@ -224,6 +224,33 @@ class TableStreamSpec extends SparkSpec {
     assert(e.getMessage.contains("net-positive"))
   }
 
+  test("applyChanges: a batch whose images cancel (A→B then B→A) is a " +
+      "no-op, not a delete") {
+    import spark.implicits._
+    val base = freshBase("cancel")
+    val rep = new File(base, "rep").getAbsolutePath
+    Merge.writeKeyed(baseDf, rep, "id", nBuckets = 4)
+    val before = Merge.readKeyed(spark, rep).orderBy("id").collect()
+    // a union of two per-commit feeds for key 3: update A→B, revert B→A.
+    // every image of key 3 nets to zero — the key ends where it started,
+    // so the fold must leave it alone (deleting it would diverge a
+    // replica); key 9 is a genuine delete in the same batch
+    val imgA = (3L, "name_3", 30.0)
+    val imgB = (3L, "name_3_v2", 333.0)
+    val feed = Seq(
+      (imgA._1, imgA._2, imgA._3, -1), (imgB._1, imgB._2, imgB._3, 1),
+      (imgB._1, imgB._2, imgB._3, -1), (imgA._1, imgA._2, imgA._3, 1),
+      (9L, "name_9", 90.0, -1)
+    ).toDF("id", "name", "score", "op")
+    Merge.applyChanges(spark, rep, feed)
+    val after = Merge.readKeyed(spark, rep).orderBy("id").collect()
+    assert(after.length == before.length - 1, "only key 9 is deleted")
+    val k3 = after.filter(_.getAs[Long]("id") == 3L)
+    assert(k3.length == 1 && k3(0).getAs[String]("name") == "name_3",
+      "the reverted key keeps its original image")
+    assert(!after.exists(_.getAs[Long]("id") == 9L))
+  }
+
   test("streaming replication: snapshot + commits + exactly-once replay") {
     val base = freshBase("repl")
     val src = new File(base, "src").getAbsolutePath

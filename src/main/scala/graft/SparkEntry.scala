@@ -927,6 +927,58 @@ object SparkEntry {
           "p_retailprice")
         .orderBy("p_partkey")
     }),
+    "q_dsv2_batch" -> ((s, dir) => {
+      // DSv2 DOORWAY: the same versioned table read through
+      // spark.read.format("graft-table") — version log resolved by the
+      // connector, the filter pushed down and pruned against manifest
+      // stats (GraftTableV2Spec pins sel < total), result ≡ the Scala
+      // API ≡ the oracle's declarative merge. Rebuilt fresh every run.
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      val path = new java.io.File(scratchRoot,
+        s"graft_dsv2_${new java.io.File(dir).getName}").getAbsolutePath
+      val part = t(s, dir, "part")
+      graft.sources.Merge.writeKeyed(part, path, "p_partkey",
+        nBuckets = 16, statsCols = Seq("p_partkey"))
+      val updates = part.filter(col("p_partkey") % 20 === 0)
+        .withColumn("p_retailprice",
+          round(dec("p_retailprice") * lit(1.1).cast("decimal(2,1)"), 2)
+            .cast("double"))
+      graft.sources.Merge.upsert(s, path, updates, "p_partkey",
+        nBuckets = 16)
+      s.read.format("graft-table").option("path", path).load()
+        .filter(col("p_partkey") <= 2000L)
+        .select("p_partkey", "p_name", "p_retailprice")
+        .orderBy("p_partkey")
+    }),
+    "q_dsv2_sql" -> ((s, dir) => {
+      // SESSION-CATALOG doorway: plain SQL resolves the graft table by
+      // NAME through GraftCatalog (dir mode here; the pinned catalog
+      // mode is spec-covered), with time travel — the query aggregates
+      // the table VERSION AS OF 0, proving SQL readers see the version
+      // log, not the directory. Catalog name embeds the sf dir so a
+      // multi-sf JVM never reuses a cached catalog across roots.
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val root = new java.io.File(scratchRoot, s"graft_dsv2cat_$sf")
+      val path = new java.io.File(root, "part").getAbsolutePath
+      val part = t(s, dir, "part")
+      graft.sources.Merge.writeKeyed(part, path, "p_partkey",
+        nBuckets = 16, statsCols = Seq("p_partkey"))
+      // a v1 commit the time-travel read must NOT see
+      graft.sources.Merge.upsert(s, path,
+        part.filter(col("p_partkey") < 100)
+          .withColumn("p_size", col("p_size") + 1000),
+        "p_partkey", nBuckets = 16)
+      val cat = s"gv2_$sf"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root.getAbsolutePath)
+      s.sql(
+        s"""SELECT p_brand, count(*) AS n_parts,
+                   CAST(sum(p_size) AS BIGINT) AS sum_size
+            FROM $cat.part VERSION AS OF 0
+            WHERE p_partkey <= 5000
+            GROUP BY p_brand ORDER BY p_brand""")
+    }),
     "q_merge_versions" -> ((s, dir) => {
       // VERSIONED lakehouse reads: writeKeyed commits v0, one upsert
       // appends immutable files and commits manifest v1, and TableDiff
@@ -3180,6 +3232,58 @@ object SparkEntry {
       DedupIndex.dedupAgainst(s, path, batch, "doc_id", col("text"))
         .select("doc_id").orderBy("doc_id")
     }),
+    "q_dedup_index_race" -> ((s, dir) => {
+      // MULTI-WRITER persisted index: two REAL threads append through
+      // the TxLog optimistic-commit loop, genuinely racing on the same
+      // parent version (a barrier on the commit fence holds both until
+      // each has staged its files); both must land on a linear history
+      // — required in-gate — and a probe then catches copies from BOTH
+      // batches, proving neither clobbered the other. Exact copies
+      // only, so the admission decision table is authored.
+      import graft.pipeline.DedupIndex
+      import s.implicits._
+      val path = new java.io.File(scratchRoot,
+        s"graft_didx_race_${new java.io.File(dir).getName}")
+        .getAbsolutePath
+      def text(tag: String): String =
+        (0 until 12).map(j => s"${tag}_w$j").mkString(" ")
+      DedupIndex.build(
+        Seq((1L, text("t1")), (2L, text("t2"))).toDF("doc_id", "text"),
+        "doc_id", col("text"), path, threshold = 0.8)
+      val survA = Seq((11L, text("a1")), (12L, text("a2")))
+        .toDF("doc_id", "text")
+      val survB = Seq((21L, text("b1")), (22L, text("b2")))
+        .toDF("doc_id", "text")
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+      graft.sources.TxLog.commitFence = () => {
+        if (calls.incrementAndGet() <= 2) {
+          barrier.await(60, java.util.concurrent.TimeUnit.SECONDS); ()
+        }
+      }
+      val (va, vb) =
+        try {
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration._
+          import scala.concurrent.ExecutionContext.Implicits.global
+          val a = Future(DedupIndex.append(s, path, survA, "doc_id",
+            col("text")))
+          val b = Future(DedupIndex.append(s, path, survB, "doc_id",
+            col("text")))
+          (Await.result(a, 120.seconds), Await.result(b, 120.seconds))
+        } finally graft.sources.TxLog.commitFence = () => ()
+      require(Set(va, vb) == Set(1L, 2L),
+        s"racing appends must both land on a linear history, got " +
+        s"($va, $vb)")
+      val probe = Seq((101L, text("t1")), (111L, text("a1")),
+        (121L, text("b2")), (131L, text("c1"))).toDF("doc_id", "text")
+      val admitted = DedupIndex.dedupAgainst(s, path, probe, "doc_id",
+        col("text")).select("doc_id").withColumn("adm", lit(true))
+      probe.select("doc_id").join(admitted, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("adm"), lit(false)).as("admitted"))
+        .orderBy("doc_id")
+    }),
     "q_stream_dedup_index" -> ((s, dir) => {
       // STREAMING admission against the persisted LSH index: authored
       // micro-batches (mtime-ordered, one file per trigger) flow through
@@ -5190,6 +5294,22 @@ object SparkEntry {
          SELECT p_brand, cnt, min_v, max_v, sum_v,
                 'state' AS consumer FROM agg
          ORDER BY consumer, p_brand""",
+    // the DSv2 read of the upserted table: update-only merge, filtered
+    "q_dsv2_batch" ->
+      """SELECT p_partkey, p_name,
+                CASE WHEN p_partkey % 20 = 0
+                     THEN CAST(round(CAST(p_retailprice AS DECIMAL(18,2))
+                                     * CAST(1.1 AS DECIMAL(2,1)), 2)
+                               AS DOUBLE)
+                     ELSE p_retailprice END AS p_retailprice
+         FROM part WHERE p_partkey <= 2000
+         ORDER BY p_partkey""",
+    // VERSION AS OF 0 through the session catalog: the pre-upsert image
+    "q_dsv2_sql" ->
+      """SELECT p_brand, count(*) AS n_parts,
+                CAST(sum(p_size) AS BIGINT) AS sum_size
+         FROM part WHERE p_partkey <= 5000
+         GROUP BY p_brand ORDER BY p_brand""",
     // diff(v0, v1) must recover exactly the upsert batch: changed keys
     // where the price bump actually changed the value, plus the inserts
     "q_merge_versions" ->
@@ -6784,6 +6904,14 @@ object SparkEntry {
     "q_stream_dedup_index" ->
       """SELECT * FROM (VALUES (CAST(102 AS BIGINT)), (CAST(202 AS BIGINT)))
            AS t(doc_id)
+         ORDER BY doc_id""",
+    // the authored decision table: copies of an indexed doc and of each
+    // racing batch's appends are dropped, the novel doc is admitted
+    "q_dedup_index_race" ->
+      """SELECT * FROM (VALUES
+           (CAST(101 AS BIGINT), false), (CAST(111 AS BIGINT), false),
+           (CAST(121 AS BIGINT), false), (CAST(131 AS BIGINT), true))
+           AS t(doc_id, admitted)
          ORDER BY doc_id""",
     // the incremental admit rule replayed exactly: a batch doc is
     // dominated by ANY J>=0.8 partner with a smaller id (corpus ids are

@@ -129,6 +129,7 @@ object DedupIndex {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(root)) fs.delete(root, true) // fresh index, fresh log
+    TxLog.dropCachedStates(path) // rebuilt in place: stale memo out
     val m = Meta(shingleN, k, bands, threshold)
     val (b, s) = bandRows(df, idCol, text, m)
     val bandFiles = TxLog.stageInto(b, path, "bands")

@@ -227,6 +227,7 @@ object Similarity {
       val root = new org.apache.hadoop.fs.Path(path)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(root)) fs.delete(root, true) // fresh index, fresh log
+      graft.sources.TxLog.dropCachedStates(path) // rebuilt in place: stale memo out
       val centroids = train(corpus, idCol, vecCol, cells, sampleN, iters)
       import spark.implicits._
       centroids.zipWithIndex.toSeq
@@ -801,6 +802,7 @@ object Similarity {
       val root = new org.apache.hadoop.fs.Path(path)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(root)) fs.delete(root, true) // fresh index, fresh log
+      graft.sources.TxLog.dropCachedStates(path) // rebuilt in place: stale memo out
       import spark.implicits._
       index.centroids.zipWithIndex.toSeq
         .map { case (v, i) => (i, v.toSeq) }

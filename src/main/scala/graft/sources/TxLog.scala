@@ -103,6 +103,18 @@ object TxLog {
     (String, Long, Long, Long), State]
   private val maxStateCacheEntries = 8192
 
+  /** Purge memoized states under `root` — call when an index is
+    * wholesale REBUILT at the same path (delete + re-commit v0): the
+    * (mtime, length) guard can collide across a same-millisecond
+    * rebuild whose manifest bytes have identical length (staged file
+    * names are fixed-width UUIDs), so the rebuild site purges
+    * explicitly, exactly as [[Merge]]'s writeKeyed purges its memo.
+    */
+  def dropCachedStates(root: String): Unit = {
+    val prefix = new Path(root).toString
+    stateCache.keySet.removeIf(_._1.startsWith(prefix))
+  }
+
   /** Parse one manifest; None when missing/truncated (a crashed claim). */
   private def readState(spark: SparkSession, root: Path,
       version: Long): Option[State] = {

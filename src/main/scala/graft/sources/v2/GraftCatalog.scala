@@ -1,0 +1,159 @@
+package graft.sources.v2
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import graft.sources.{Merge, TableCatalog => GraftCat}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog => V2TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** SESSION-CATALOG integration: name resolution for graft tables from
+  * plain SQL —
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft",
+  *     "graft.sources.v2.GraftCatalog")
+  *   spark.conf.set("spark.sql.catalog.graft.root", "/data/catalog")
+  *   spark.sql("SELECT * FROM graft.orders WHERE id = 7")
+  *   spark.sql("SELECT * FROM graft.orders VERSION AS OF 3")
+  *   spark.sql("SELECT * FROM graft.orders VERSION AS OF 'release-1'")
+  *   spark.sql("SELECT * FROM graft.orders TIMESTAMP AS OF '...'")
+  * }}}
+  *
+  * Two layouts under `root`, auto-detected:
+  *
+  *   - a [[GraftCat]] CATALOG LOG (`_cat_log/` present): table names are
+  *     the catalog's members, and — the property that matters — each
+  *     name resolves to the member's PINNED version in the newest
+  *     catalog state, so one SQL statement joining two members reads a
+  *     cross-table-consistent transaction snapshot, never a torn one.
+  *     Index members (kind `idx`) are not SQL tables and are hidden.
+  *   - a plain DIRECTORY of [[Merge]] tables (no catalog log): each
+  *     child directory with a version log is a table at its own newest
+  *     version.
+  *
+  * Every load returns the DSv2 [[GraftTable]], so the full scan stack
+  * (manifest-stats file pruning, column pruning, snapshot pinning)
+  * applies to SQL exactly as to `spark.read`. Time travel arrives
+  * through the standard `loadTable(ident, version/timestamp)` hooks:
+  * a numeric version string resolves as a table version, anything else
+  * as a [[Merge]] tag; timestamps are Catalyst micros resolved through
+  * [[Merge.versionAsOf]]. The catalog is READ-ONLY by design — writes
+  * go through [[Merge]] / [[GraftCat.transact]], whose commit
+  * protocols (fenced manifests, multi-table pins) have no DDL
+  * equivalent this surface could honor atomically.
+  */
+class GraftCatalog extends V2TableCatalog {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog '$name' needs spark.sql.catalog.$name.root=<dir>"))
+  }
+
+  override def name(): String = catalogName
+
+  override def defaultNamespace(): Array[String] = Array.empty
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def isCatalogMode: Boolean = {
+    val p = new Path(root, "_cat_log")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** name -> (path, pinned version or None for "newest"). */
+  private def members(): Map[String, (String, Option[Long])] =
+    if (isCatalogMode) {
+      GraftCat.state(spark, root).pins.collect {
+        case (name, pin) if pin.kind == "merge" =>
+          name -> (pin.path, Some(pin.version))
+      }
+    } else {
+      val p = new Path(root)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Map.empty
+      else fs.listStatus(p).toSeq.filter(_.isDirectory)
+        .filter(d => fs.exists(new Path(d.getPath, "_graft_log")))
+        .map(d => d.getPath.getName ->
+          (d.getPath.toString, None: Option[Long]))
+        .toMap
+    }
+
+  private def requireRootNamespace(namespace: Array[String]): Unit =
+    if (!(namespace.isEmpty || namespace.sameElements(Array("default"))))
+      throw new NoSuchNamespaceException(namespace)
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    requireRootNamespace(namespace)
+    members().keys.toArray.sorted.map(Identifier.of(Array.empty, _))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    (ident.namespace().isEmpty ||
+      ident.namespace().sameElements(Array("default"))) &&
+      members().contains(ident.name())
+
+  private def pathOf(ident: Identifier): (String, Option[Long]) = {
+    requireRootNamespace(ident.namespace())
+    members().getOrElse(ident.name(),
+      throw new NoSuchTableException(ident))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val (path, pinned) = pathOf(ident)
+    GraftTable.resolve(spark, path, pinned, None, None)
+  }
+
+  /** `VERSION AS OF` — numeric strings are table versions, anything
+    * else resolves as a [[Merge.tagVersionOf]] tag.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val (path, _) = pathOf(ident)
+    version.toLongOption match {
+      case Some(v) => GraftTable.resolve(spark, path, Some(v), None, None)
+      case None    => GraftTable.resolve(spark, path, None, None, Some(version))
+    }
+  }
+
+  /** `TIMESTAMP AS OF` — Spark hands Catalyst micros. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val (path, _) = pathOf(ident)
+    GraftTable.resolve(spark, path, None, Some(timestamp / 1000L), None)
+  }
+
+  override def invalidateTable(ident: Identifier): Unit = ()
+
+  private def readOnly(op: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"graft catalog '$catalogName' is read-only: $op goes through " +
+      "Merge.writeKeyed/upsert or TableCatalog.transact, whose commit " +
+      "protocols SQL DDL cannot honor atomically")
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    readOnly(s"CREATE TABLE $ident")
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table =
+    readOnly(s"ALTER TABLE $ident")
+
+  override def dropTable(ident: Identifier): Boolean =
+    readOnly(s"DROP TABLE $ident")
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit =
+    readOnly(s"RENAME TABLE $oldIdent")
+}

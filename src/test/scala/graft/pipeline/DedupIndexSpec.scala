@@ -296,4 +296,87 @@ class DedupIndexSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"corpus-sized side must not shuffle:\n$plan")
   }
+
+  test("two REAL-THREAD racing appends both land; probes see the union") {
+    val path = freshDir()
+    DedupIndex.build(corpus, "doc_id", col("text"), path)
+    val survA = Seq(doc(200L), doc(201L)).toDF("doc_id", "text")
+    val survB = Seq(doc(300L), doc(301L)).toDF("doc_id", "text")
+    // hold BOTH committers at the same parent until each has staged its
+    // files, so the manifest claim genuinely races (the MergeSpec
+    // commit-fence pattern); the loser's retry passes straight through
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    graft.sources.TxLog.commitFence = () => {
+      if (calls.incrementAndGet() <= 2) {
+        barrier.await(30, java.util.concurrent.TimeUnit.SECONDS); ()
+      }
+    }
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val a = Future(DedupIndex.append(spark, path, survA, "doc_id",
+        col("text")))
+      val b = Future(DedupIndex.append(spark, path, survB, "doc_id",
+        col("text")))
+      val (va, vb) = (Await.result(a, 120.seconds),
+        Await.result(b, 120.seconds))
+      // one claimed v1, the loser re-resolved and claimed v2 — a
+      // linear history containing BOTH appends
+      assert(Set(va, vb) == Set(1L, 2L), s"got versions ($va, $vb)")
+    } finally graft.sources.TxLog.commitFence = () => ()
+    // a probe against the final state catches copies from BOTH racing
+    // batches — neither append clobbered the other's files
+    val probe = Seq(
+      (1200L, doc(200L)._2), (1301L, doc(301L)._2), doc(999L))
+      .toDF("doc_id", "text")
+    val admitted = DedupIndex.dedupAgainst(spark, path, probe,
+      "doc_id", col("text")).select("doc_id").as[Long].collect().sorted
+    assert(admitted.toSeq == Seq(999L),
+      s"both appends must be visible, admitted $admitted")
+  }
+
+  test("IvfPq: racing appends both land; a persisted probe sees both") {
+    import graft.pipeline.Similarity
+    val dir = Files.createTempDirectory("graft_ivfpq_race").toString
+    val path = s"$dir/idx"
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(8)(d => math.sin(seed * 31 + d).toFloat)
+    val corpus = (0 until 64).map(i => (i.toLong, vec(i)))
+      .toDF("id", "emb")
+    Similarity.IvfPq.save(
+      Similarity.IvfPq.build(corpus, "id", "emb", dim = 8, cells = 4,
+        m = 4, kSub = 16),
+      path)
+    val addA = Seq((1000L, vec(1000))).toDF("id", "emb")
+    val addB = Seq((2000L, vec(2000))).toDF("id", "emb")
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    graft.sources.TxLog.commitFence = () => {
+      if (calls.incrementAndGet() <= 2) {
+        barrier.await(30, java.util.concurrent.TimeUnit.SECONDS); ()
+      }
+    }
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val a = Future(Similarity.IvfPq.append(addA, "id", "emb", path))
+      val b = Future(Similarity.IvfPq.append(addB, "id", "emb", path))
+      val (va, vb) = (Await.result(a, 120.seconds),
+        Await.result(b, 120.seconds))
+      assert(Set(va, vb) == Set(1L, 2L), s"got versions ($va, $vb)")
+    } finally graft.sources.TxLog.commitFence = () => ()
+    // probing AT each appended vector must surface it: PQ quantizes,
+    // but an exact resident vector is its own nearest code word
+    for (id <- Seq(1000L, 2000L)) {
+      val q = Seq((0L, vec(id.toInt))).toDF("qid", "emb")
+      val got = Similarity.IvfPq.topKPersisted(spark, path, q, "qid",
+        "emb", k = 3, nProbe = 4)
+        .select("neighbor_id").as[Long].collect()
+      assert(got.contains(id),
+        s"append of $id must be probe-visible, got ${got.toSeq}")
+    }
+  }
 }

@@ -1,0 +1,193 @@
+package graft.sources
+
+import java.io.File
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.sources.v2.GraftTable
+import org.apache.spark.sql.functions._
+
+/** The DSv2 doorway: `spark.read.format("graft-table")` and the
+  * `GraftCatalog` session catalog must resolve the version log with
+  * manifest-stats pruning, and the one registered name must still fall
+  * back to the v1 streaming source for `readStream`.
+  */
+class GraftTableV2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(tag: String): File = {
+    val d = Files.createTempDirectory(s"graft_v2_spec_$tag").toFile
+    d.deleteOnExit()
+    d
+  }
+
+  private def baseDf =
+    (0L until 200L).map(i => (i, s"name_$i", i * 10.0))
+      .toDF("id", "name", "score")
+
+  test("format(graft-table) batch read equals readKeyed") {
+    val path = new File(freshDir("eq"), "tbl").getAbsolutePath
+    Merge.writeKeyed(baseDf, path, "id", nBuckets = 8)
+    val v2 = spark.read.format("graft-table").option("path", path).load()
+    assert(v2.schema == Merge.readKeyed(spark, path).schema)
+    val a = v2.orderBy("id").collect()
+    val b = Merge.readKeyed(spark, path).orderBy("id").collect()
+    assert(a.sameElements(b))
+  }
+
+  test("pushed filters prune the file plan via manifest stats") {
+    val path = new File(freshDir("prune"), "tbl").getAbsolutePath
+    Merge.writeKeyed(baseDf, path, "id", nBuckets = 8,
+      statsCols = Seq("id"))
+    GraftTable.lastScanFiles = None
+    val df = spark.read.format("graft-table").option("path", path).load()
+      .filter($"id" === 7L)
+    // the DSv2 negotiation reports the pushed filter in the plan
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters") && plan.contains("id"),
+      s"expected pushed filters in plan:\n$plan")
+    val rows = df.collect()
+    assert(rows.length == 1 && rows(0).getAs[String]("name") == "name_7")
+    val Some((sel, total)) = GraftTable.lastScanFiles
+    assert(sel < total && sel >= 1,
+      s"stats pruning must drop files: selected $sel of $total")
+  }
+
+  test("column pruning reaches the scan: one required column") {
+    val path = new File(freshDir("prunecol"), "tbl").getAbsolutePath
+    Merge.writeKeyed(baseDf, path, "id", nBuckets = 4)
+    val df = spark.read.format("graft-table").option("path", path).load()
+      .select("name")
+    val leafOutputs = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.output.map(_.name))
+    assert(leafOutputs.exists(_ == Seq("name")),
+      s"scan should output only 'name', got $leafOutputs")
+    assert(df.distinct().count() == 200L)
+  }
+
+  test("time travel options: versionAsOf, tagAsOf, timestampAsOf; " +
+      "snapshot pinned at load") {
+    val path = new File(freshDir("tt"), "tbl").getAbsolutePath
+    Merge.writeKeyed(baseDf, path, "id", nBuckets = 4)
+    val t0 = Merge.commitTime(spark, path, 0L)
+    Merge.tagVersion(spark, path, "v-zero", 0L)
+    Merge.upsert(spark, path,
+      Seq((7L, "v1", 7.0)).toDF("id", "name", "score"), "id", nBuckets = 4)
+    def nameOf7(df: org.apache.spark.sql.DataFrame): String =
+      df.filter($"id" === 7L).select("name").as[String].head()
+    val rd = spark.read.format("graft-table").option("path", path)
+    assert(nameOf7(rd.load()) == "v1")
+    assert(nameOf7(rd.option("versionAsOf", "0").load()) == "name_7")
+    val rd2 = spark.read.format("graft-table").option("path", path)
+    assert(nameOf7(rd2.option("tagAsOf", "v-zero").load()) == "name_7")
+    val rd3 = spark.read.format("graft-table").option("path", path)
+    assert(nameOf7(rd3.option("timestampAsOf", t0.toString).load())
+      == "name_7")
+    // pinned snapshot: a frame loaded BEFORE a commit still reads its
+    // own version after the commit lands
+    val pinned = spark.read.format("graft-table").option("path", path).load()
+    Merge.upsert(spark, path,
+      Seq((7L, "v2", 7.0)).toDF("id", "name", "score"), "id", nBuckets = 4)
+    assert(nameOf7(pinned) == "v1")
+  }
+
+  test("merge-on-read deletion vectors apply through the DSv2 read") {
+    val path = new File(freshDir("dv"), "tbl").getAbsolutePath
+    Merge.writeKeyed(baseDf, path, "id", nBuckets = 4)
+    Merge.deleteWhereDV(spark, path, $"id" < 50L)
+    val v2 = spark.read.format("graft-table").option("path", path).load()
+    assert(v2.count() == 150L && v2.agg(min("id")).as[Long].head() == 50L)
+  }
+
+  test("readStream on the same registered name still rides the v1 " +
+      "streaming source") {
+    val base = freshDir("stream")
+    val path = new File(base, "tbl").getAbsolutePath
+    Merge.writeKeyed(baseDf.limit(5), path, "id", nBuckets = 2)
+    val q = spark.readStream.format("graft-table").option("path", path)
+      .load()
+      .writeStream.format("memory").queryName("v2_fallback_sink")
+      .option("checkpointLocation",
+        new File(base, "ckpt").getAbsolutePath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("v2_fallback_sink").collect()
+    assert(got.length == 5 && got.forall(_.getAs[Int]("op") == 1))
+  }
+
+  test("GraftCatalog dir mode: SELECT from plain SQL with pruning") {
+    val root = freshDir("cat_dir")
+    val p1 = new File(root, "orders").getAbsolutePath
+    val p2 = new File(root, "items").getAbsolutePath
+    Merge.writeKeyed(baseDf, p1, "id", nBuckets = 8, statsCols = Seq("id"))
+    Merge.writeKeyed(
+      (0L until 50L).map(i => (i, s"item_$i")).toDF("id", "item"),
+      p2, "id", nBuckets = 4)
+    spark.conf.set("spark.sql.catalog.gdir",
+      "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gdir.root", root.getAbsolutePath)
+    val got = spark.sql(
+      "SELECT o.id, o.name, i.item FROM gdir.orders o " +
+      "JOIN gdir.items i ON o.id = i.id WHERE o.id = 7")
+      .collect()
+    assert(got.length == 1 && got(0).getString(2) == "item_7")
+    assert(spark.sql("SHOW TABLES IN gdir").collect()
+      .map(_.getAs[String]("tableName")).toSet == Set("orders", "items"))
+  }
+
+  test("GraftCatalog catalog mode: SQL reads the PINNED cross-table " +
+      "snapshot, not the members' drifted heads") {
+    val root = freshDir("cat_pin")
+    val catRoot = new File(root, "cat").getAbsolutePath
+    val p1 = new File(root, "t1").getAbsolutePath
+    Merge.writeKeyed(baseDf, p1, "id", nBuckets = 4)
+    TableCatalog.create(spark, catRoot, Map("t1" -> p1))
+    // an out-of-band commit above the pin must stay invisible to SQL
+    Merge.upsert(spark, p1,
+      Seq((7L, "drifted", 0.0)).toDF("id", "name", "score"),
+      "id", nBuckets = 4)
+    spark.conf.set("spark.sql.catalog.gpin",
+      "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gpin.root", catRoot)
+    val got = spark.sql("SELECT name FROM gpin.t1 WHERE id = 7")
+      .as[String].collect()
+    assert(got.toSeq == Seq("name_7"),
+      "catalog SQL must read the pinned version")
+  }
+
+  test("SQL time travel: VERSION AS OF number and tag") {
+    val root = freshDir("cat_tt")
+    val p1 = new File(root, "t").getAbsolutePath
+    Merge.writeKeyed(baseDf, p1, "id", nBuckets = 4)
+    Merge.tagVersion(spark, p1, "first", 0L)
+    Merge.upsert(spark, p1,
+      Seq((7L, "now", 0.0)).toDF("id", "name", "score"), "id", nBuckets = 4)
+    spark.conf.set("spark.sql.catalog.gtt", "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gtt.root", root.getAbsolutePath)
+    assert(spark.sql("SELECT name FROM gtt.t WHERE id = 7")
+      .as[String].head() == "now")
+    assert(spark.sql("SELECT name FROM gtt.t VERSION AS OF 0 WHERE id = 7")
+      .as[String].head() == "name_7")
+    assert(spark.sql(
+      "SELECT name FROM gtt.t VERSION AS OF 'first' WHERE id = 7")
+      .as[String].head() == "name_7")
+  }
+
+  test("read-only catalog: DDL is refused loudly") {
+    val root = freshDir("cat_ro")
+    val p1 = new File(root, "t").getAbsolutePath
+    Merge.writeKeyed(baseDf, p1, "id", nBuckets = 4)
+    spark.conf.set("spark.sql.catalog.gro", "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gro.root", root.getAbsolutePath)
+    val e = intercept[Exception] {
+      spark.sql("DROP TABLE gro.t")
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(_.getMessage != null) &&
+      chain(e).exists(t => Option(t.getMessage).exists(
+        _.contains("read-only"))))
+  }
+}

@@ -950,6 +950,32 @@ object SparkEntry {
         .select("p_partkey", "p_name", "p_retailprice")
         .orderBy("p_partkey")
     }),
+    "q_dsv2_insert" -> ((s, dir) => {
+      // DSv2 WRITE doorway: df.write.format("graft-table").mode(
+      // "append") lands as ONE keyed upsert commit under the table's
+      // recorded layout (required in-gate: exactly one new version),
+      // and the read-back matches the declarative merge. The SQL
+      // INSERT INTO / OVERWRITE forms ride the same WriteBuilder
+      // (GraftTableV2Spec covers them).
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      val path = new java.io.File(scratchRoot,
+        s"graft_dsv2w_${new java.io.File(dir).getName}").getAbsolutePath
+      val part = t(s, dir, "part")
+        .select("p_partkey", "p_name", "p_retailprice")
+      graft.sources.Merge.writeKeyed(part, path, "p_partkey",
+        nBuckets = 16)
+      part.filter(col("p_partkey") % 20 === 0)
+        .withColumn("p_retailprice",
+          round(dec("p_retailprice") * lit(1.1).cast("decimal(2,1)"), 2)
+            .cast("double"))
+        .write.format("graft-table").option("path", path)
+        .mode("append").save()
+      require(graft.sources.Merge.currentVersion(s, path) == 1L,
+        "the DSv2 append must land as exactly one commit")
+      graft.sources.Merge.readKeyed(s, path)
+        .filter(col("p_partkey") <= 2000L)
+        .orderBy("p_partkey")
+    }),
     "q_dsv2_sql" -> ((s, dir) => {
       // SESSION-CATALOG doorway: plain SQL resolves the graft table by
       // NAME through GraftCatalog (dir mode here; the pinned catalog
@@ -978,6 +1004,67 @@ object SparkEntry {
             FROM $cat.part VERSION AS OF 0
             WHERE p_partkey <= 5000
             GROUP BY p_brand ORDER BY p_brand""")
+    }),
+    "q_merge_rename" -> ((s, dir) => {
+      // COLUMN MAPPING: rename is a metadata-only commit (no data file
+      // moves — ColumnMappingSpec pins the mtimes); an upsert after the
+      // rename speaks the new name and merges correctly with pre-rename
+      // files (which store the physical name); the pre-rename version
+      // still answers under ITS schema. Output = current (new name)
+      // UNION the v0 image, both vs the oracle's replay.
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      val path = new java.io.File(scratchRoot,
+        s"graft_rename_${new java.io.File(dir).getName}").getAbsolutePath
+      val part = t(s, dir, "part")
+        .select("p_partkey", "p_name", "p_retailprice")
+      graft.sources.Merge.writeKeyed(part, path, "p_partkey",
+        nBuckets = 16)
+      graft.sources.Merge.renameColumn(s, path, "p_retailprice", "price")
+      val updates = part.filter(col("p_partkey") % 20 === 0)
+        .withColumn("p_retailprice",
+          round(dec("p_retailprice") * lit(1.1).cast("decimal(2,1)"), 2)
+            .cast("double"))
+        .withColumnRenamed("p_retailprice", "price")
+      graft.sources.Merge.upsert(s, path, updates, "p_partkey",
+        nBuckets = 16)
+      val cur = graft.sources.Merge.readKeyed(s, path)
+        .select(col("p_partkey"), col("price"),
+          lit("current").as("src"))
+      val v0 = graft.sources.Merge.readVersion(s, path, 0L)
+        .select(col("p_partkey"), col("p_retailprice").as("price"),
+          lit("v0").as("src"))
+      cur.unionByName(v0).filter(col("p_partkey") <= 2000L)
+        .orderBy("src", "p_partkey")
+    }),
+    "q_merge_widen" -> ((s, dir) => {
+      // TYPE WIDENING: an int column widens to long in one evolution
+      // upsert (values beyond int range prove it's real); pre-widen
+      // FILES read correctly under the widened schema (the Spark 4
+      // parquet promotion), while the pre-widen VERSION still reads
+      // under its own narrower schema — required in-gate.
+      val path = new java.io.File(scratchRoot,
+        s"graft_widen_${new java.io.File(dir).getName}").getAbsolutePath
+      val part = t(s, dir, "part")
+        .select("p_partkey", "p_name", "p_size")
+      graft.sources.Merge.writeKeyed(part, path, "p_partkey",
+        nBuckets = 16)
+      val updates = part.filter(col("p_partkey") % 20 === 0)
+        .withColumn("p_size", col("p_size").cast("long") +
+          lit(5000000000L))
+      graft.sources.Merge.upsert(s, path, updates, "p_partkey",
+        nBuckets = 16, allowEvolution = true)
+      val v0 = graft.sources.Merge.readVersion(s, path, 0L)
+      require(v0.schema("p_size").dataType.simpleString == "int",
+        "pre-widen version must keep its own narrower schema")
+      val cur = graft.sources.Merge.readKeyed(s, path)
+      require(cur.schema("p_size").dataType.simpleString == "bigint",
+        "current version must read under the widened schema")
+      cur.select(col("p_partkey"), col("p_size"),
+          lit("current").as("src"))
+        .unionByName(v0.select(col("p_partkey"),
+          col("p_size").cast("long").as("p_size"), lit("v0").as("src")))
+        .filter(col("p_partkey") <= 2000L)
+        .orderBy("src", "p_partkey")
     }),
     "q_merge_versions" -> ((s, dir) => {
       // VERSIONED lakehouse reads: writeKeyed commits v0, one upsert
@@ -5304,12 +5391,48 @@ object SparkEntry {
                      ELSE p_retailprice END AS p_retailprice
          FROM part WHERE p_partkey <= 2000
          ORDER BY p_partkey""",
+    // the DSv2 append is the same declarative merge, 3 columns
+    "q_dsv2_insert" ->
+      """SELECT p_partkey, p_name,
+                CASE WHEN p_partkey % 20 = 0
+                     THEN CAST(round(CAST(p_retailprice AS DECIMAL(18,2))
+                                     * CAST(1.1 AS DECIMAL(2,1)), 2)
+                               AS DOUBLE)
+                     ELSE p_retailprice END AS p_retailprice
+         FROM part WHERE p_partkey <= 2000
+         ORDER BY p_partkey""",
     // VERSION AS OF 0 through the session catalog: the pre-upsert image
     "q_dsv2_sql" ->
       """SELECT p_brand, count(*) AS n_parts,
                 CAST(sum(p_size) AS BIGINT) AS sum_size
          FROM part WHERE p_partkey <= 5000
          GROUP BY p_brand ORDER BY p_brand""",
+    // current image under the renamed column + the pre-rename v0 image
+    "q_merge_rename" ->
+      """SELECT p_partkey,
+                CASE WHEN p_partkey % 20 = 0
+                     THEN CAST(round(CAST(p_retailprice AS DECIMAL(18,2))
+                                     * CAST(1.1 AS DECIMAL(2,1)), 2)
+                               AS DOUBLE)
+                     ELSE p_retailprice END AS price,
+                'current' AS src
+         FROM part WHERE p_partkey <= 2000
+         UNION ALL
+         SELECT p_partkey, p_retailprice AS price, 'v0' AS src
+         FROM part WHERE p_partkey <= 2000
+         ORDER BY src, p_partkey""",
+    // widened current image + the pre-widen v0 image (cast for compare)
+    "q_merge_widen" ->
+      """SELECT p_partkey,
+                CASE WHEN p_partkey % 20 = 0
+                     THEN CAST(p_size AS BIGINT) + 5000000000
+                     ELSE CAST(p_size AS BIGINT) END AS p_size,
+                'current' AS src
+         FROM part WHERE p_partkey <= 2000
+         UNION ALL
+         SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size, 'v0' AS src
+         FROM part WHERE p_partkey <= 2000
+         ORDER BY src, p_partkey""",
     // diff(v0, v1) must recover exactly the upsert batch: changed keys
     // where the price bump actually changed the value, plus the inserts
     "q_merge_versions" ->

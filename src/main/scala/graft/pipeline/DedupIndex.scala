@@ -373,8 +373,11 @@ object DedupIndex {
     * set for its whole job, exactly like a Merge reader.
     */
   def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1,
-      graceMs: Long = 0L): Unit =
-    TxLog.vacuum(spark, path, Tables, keepVersions, graceMs)
+      graceMs: Long = 0L,
+      orphanGraceMs: Long = graft.sources.Merge.DefaultOrphanGraceMs)
+      : Unit =
+    TxLog.vacuum(spark, path, Tables, keepVersions, graceMs,
+      orphanGraceMs)
 
   /** STREAMING admission: every micro-batch is deduped against the
     * index (and itself), survivors are handed to `sink`, then appended

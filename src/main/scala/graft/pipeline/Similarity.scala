@@ -362,8 +362,11 @@ object Similarity {
       * as [[graft.pipeline.DedupIndex.vacuum]].
       */
     def vacuum(spark: org.apache.spark.sql.SparkSession, path: String,
-        keepVersions: Int = 1, graceMs: Long = 0L): Unit =
-      TxLog.vacuum(spark, path, Seq("corpus"), keepVersions, graceMs)
+        keepVersions: Int = 1, graceMs: Long = 0L,
+        orphanGraceMs: Long = graft.sources.Merge.DefaultOrphanGraceMs)
+        : Unit =
+      TxLog.vacuum(spark, path, Seq("corpus"), keepVersions, graceMs,
+        orphanGraceMs)
 
     /** Batch ids with an INDEXED near-duplicate: best probed cosine >=
       * `threshold`. An exact copy assigns to the same cell as its source
@@ -944,9 +947,11 @@ object Similarity {
       * pre-compaction code files, cleared tombstones, crash orphans.
       */
     def vacuum(spark: org.apache.spark.sql.SparkSession, path: String,
-        keepVersions: Int = 1, graceMs: Long = 0L): Unit =
+        keepVersions: Int = 1, graceMs: Long = 0L,
+        orphanGraceMs: Long = graft.sources.Merge.DefaultOrphanGraceMs)
+        : Unit =
       graft.sources.TxLog.vacuum(spark, path, Seq("codes", "deletes"),
-        keepVersions, graceMs)
+        keepVersions, graceMs, orphanGraceMs)
 
     /** Reload both bounded model tables (cells + m*k rows — driver-safe). */
     def loadModels(spark: org.apache.spark.sql.SparkSession,

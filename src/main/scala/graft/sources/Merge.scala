@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructType}
 
 /** Copy-on-write MERGE (upsert) for plain-parquet tables — the lakehouse
   * primitive (UPDATE existing keys + INSERT new ones in one atomic
@@ -171,7 +171,19 @@ object Merge {
       // of (file, pos) row positions readers subtract from the data
       // files — a [[deleteWhereDV]] commit adds sidecars and rewrites
       // NOTHING; [[compactVersion]] folds them physically
-      dvFiles: Seq[String] = Seq.empty)
+      dvFiles: Seq[String] = Seq.empty,
+      // COLUMN MAPPING (Delta's column-mapping idea, name mode): data
+      // files always store PHYSICAL column names; the manifest's
+      // dataSchema/layout/statsCols/stats speak LOGICAL names; colMap
+      // records the non-identity logical->physical entries a
+      // [[renameColumn]] created. Translation happens ONLY at the
+      // parquet boundary (versionDf read, stageAndMove write), so
+      // every metadata consumer stays logical. physRetired lists
+      // physical names old files may still contain after a
+      // [[dropColumn]] — re-adding such a name would resurrect the old
+      // files' values, so evolution refuses it.
+      colMap: Seq[(String, String)] = Seq.empty,
+      physRetired: Seq[String] = Seq.empty)
 
   /** The commit timestamp for a child of `parent`: wall clock, forced
     * STRICTLY increasing along the version chain (max(parent+1, now)) so
@@ -258,9 +270,19 @@ object Merge {
       if (m.dvFiles.isEmpty) ""
       else s""","dvFiles":""" + m.dvFiles.sorted
         .map(f => "\"" + jsonEscape(f) + "\"").mkString("[", ",", "]")
+    val colMapField =
+      if (m.colMap.isEmpty) ""
+      else s""","colMap":""" + m.colMap.sortBy(_._1).map { case (l, p) =>
+        s"""{"l":"${jsonEscape(l)}","p":"${jsonEscape(p)}"}"""
+      }.mkString("[", ",", "]")
+    val retiredField =
+      if (m.physRetired.isEmpty) ""
+      else s""","physRetired":""" + m.physRetired.sorted
+        .map(f => "\"" + jsonEscape(f) + "\"").mkString("[", ",", "]")
     (s"""{"version":${m.version},"parent":${m.parent},""" +
       s"""$filesField$schemaField$txnField$layoutField$statsFields""" +
-      s"""$tsField$opField$constraintsField$dvField}""").getBytes("UTF-8")
+      s"""$tsField$opField$constraintsField$dvField$colMapField""" +
+      s"""$retiredField}""").getBytes("UTF-8")
   }
 
   /** One shard's body: the files of its bucket range plus their stats
@@ -531,6 +553,19 @@ object Merge {
           case JArray(xs) => xs.collect { case JString(f) => f }
           case _ => Nil
         }
+        val colMap = j \ "colMap" match {
+          case JArray(xs) => xs.flatMap { e =>
+            (e \ "l", e \ "p") match {
+              case (JString(l), JString(p)) => Some((l, p))
+              case _ => None
+            }
+          }
+          case _ => Nil
+        }
+        val physRetired = j \ "physRetired" match {
+          case JArray(xs) => xs.collect { case JString(f) => f }
+          case _ => Nil
+        }
         (num("version"), num("parent"), resolved) match {
           case (Some(v), Some(par), Some((fl, stats, shardIds))) =>
             Some(Manifest(v, par, fl, str("dataSchema"),
@@ -541,7 +576,8 @@ object Merge {
               str("op"), num("rowsUp").getOrElse(-1L),
               num("rowsDel").getOrElse(-1L),
               shardSpan = shardSpan, shardIds = shardIds,
-              constraints = constraints, dvFiles = dvFiles))
+              constraints = constraints, dvFiles = dvFiles,
+              colMap = colMap, physRetired = physRetired))
           case _ => None // truncated or foreign body: not committed
         }
       }
@@ -704,6 +740,166 @@ object Merge {
       s"dropConstraint lost the commit race $attempt times at $path")
   }
 
+  /** TYPE WIDENING (Delta's type-widening table, the subset whose
+    * narrower values embed LOSSLESSLY in the wider type and whose
+    * parquet physical encodings the Spark 4 readers promote): integral
+    * up-chain, byte/short/int into double (53-bit mantissa holds every
+    * int), float into double, and decimal growth that loses neither
+    * scale nor integer digits. Widened commits record the wider schema;
+    * older versions keep — and read under — their own narrower one.
+    */
+  private def canWiden(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType | DoubleType) =>
+        true
+      case (ShortType, IntegerType | LongType | DoubleType) => true
+      case (IntegerType, LongType | DoubleType)             => true
+      case (FloatType, DoubleType)                          => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale >= f.scale &&
+          t.precision - t.scale >= f.precision - f.scale &&
+          (t.precision != f.precision || t.scale != f.scale)
+      case _ => false
+    }
+
+  /** The column names a CHECK constraint's SQL expression references —
+    * a rename/drop of one of them would silently invalidate the
+    * recorded expression, so those operations refuse first.
+    */
+  private def constraintColumns(spark: SparkSession,
+      exprSql: String): Set[String] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    spark.sessionState.sqlParser.parseExpression(exprSql).collect {
+      case a: UnresolvedAttribute => a.nameParts.head
+    }.toSet
+  }
+
+  /** RENAME COLUMN — metadata-only, Delta's column-mapping (name mode):
+    * no data file is touched at any table size. The manifest's LOGICAL
+    * schema renames the field; `colMap` records that the new logical
+    * name still reads the column's original PHYSICAL name, which every
+    * file — past and future — stores ([[stageAndMove]] translates
+    * writes, [[versionDf]] translates reads). Time travel is exact:
+    * each version reads under its OWN mapping, so pre-rename versions
+    * answer with the old name; change feeds and diffs spanning the
+    * rename align on the logical name. Layout key and statsCols follow
+    * the rename (they are logical); CHECK constraints referencing the
+    * column refuse the rename rather than silently break.
+    *
+    * The new name must be free: not an existing logical column, not a
+    * physical name some OTHER column's data still occupies (colMap
+    * values and [[dropColumn]]'s retired names) — re-using such a name
+    * would make old files' values resurface under the wrong column.
+    */
+  def renameColumn(spark: SparkSession, path: String, from: String,
+      to: String, maxRetries: Int = 5): Long = {
+    require(from != to, s"rename to the same name '$from' is a no-op")
+    val (fs, root) = fsFor(spark, path)
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val parentV = currentVersion(spark, path)
+      require(parentV >= 0, s"$path has no version log")
+      val parent = readManifest(spark, root, parentV)
+      val schema = parent.dataSchema.map(StructType.fromDDL).getOrElse(
+        throw new IllegalArgumentException(
+          s"$path records no schema — rewrite with writeKeyed first"))
+      require(schema.fieldNames.contains(from),
+        s"no column '$from' in ${schema.fieldNames.mkString(", ")}")
+      require(!schema.fieldNames.contains(to),
+        s"column '$to' already exists")
+      val l2p = parent.colMap.toMap
+      val physInUse = schema.fieldNames.toSeq.filterNot(_ == from)
+        .map(c => l2p.getOrElse(c, c)).toSet ++ parent.physRetired
+      require(!physInUse.contains(to),
+        s"'$to' is still a PHYSICAL column name in this table's files " +
+        "(held by another column or retired by a drop) — re-using it " +
+        "would resurrect old file data under the new name; pick " +
+        "another name or rewrite the table")
+      parent.constraints.foreach { case (n, e) =>
+        require(!constraintColumns(spark, e).contains(from),
+          s"CHECK constraint '$n' ($e) references '$from' — drop the " +
+          "constraint first, then rename and re-add it")
+      }
+      val physical = l2p.getOrElse(from, from)
+      val newMap = parent.colMap.filterNot(_._1 == from) :+
+        ((to, physical))
+      val newSchema = StructType(schema.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f))
+      try {
+        writeManifest(fs, root,
+          parent.copy(version = parentV + 1, parent = parentV,
+            txn = None, ts = nextTs(parent), op = Some("renameColumn"),
+            rowsUpserted = 0L, rowsDeleted = 0L,
+            dataSchema = Some(newSchema.toDDL),
+            layout = parent.layout.map { case (k, n) =>
+              (if (k == from) to else k, n)
+            },
+            statsCols = parent.statsCols.map(c =>
+              if (c == from) to else c),
+            stats = parent.stats.map(e =>
+              if (e.col == from) e.copy(col = to) else e),
+            colMap = newMap.filter { case (l, p) => l != p }),
+          parent = Some(parent), touched = Some(Set.empty))
+        return parentV + 1
+      } catch { case _: LostCommitRace => attempt += 1 }
+    }
+    throw new IllegalStateException(
+      s"renameColumn lost the commit race $attempt times at $path")
+  }
+
+  /** DROP COLUMN — metadata-only, like [[renameColumn]]: the column
+    * leaves the logical schema and every read projects it away; old
+    * files keep the physical bytes until their buckets naturally
+    * rewrite. Its physical name is RETIRED (recorded in the manifest)
+    * so a later add-column cannot collide with it and resurrect stale
+    * values. Time travel still reads the column at pre-drop versions.
+    * The layout key cannot be dropped; CHECK constraints referencing
+    * the column refuse the drop.
+    */
+  def dropColumn(spark: SparkSession, path: String, name: String,
+      maxRetries: Int = 5): Long = {
+    val (fs, root) = fsFor(spark, path)
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val parentV = currentVersion(spark, path)
+      require(parentV >= 0, s"$path has no version log")
+      val parent = readManifest(spark, root, parentV)
+      val schema = parent.dataSchema.map(StructType.fromDDL).getOrElse(
+        throw new IllegalArgumentException(
+          s"$path records no schema — rewrite with writeKeyed first"))
+      require(schema.fieldNames.contains(name),
+        s"no column '$name' in ${schema.fieldNames.mkString(", ")}")
+      require(schema.fields.length > 1,
+        s"cannot drop the last column of $path")
+      parent.layout.foreach { case (k, _) =>
+        require(k != name,
+          s"'$name' is the table's bucketing key — relayout first")
+      }
+      parent.constraints.foreach { case (n, e) =>
+        require(!constraintColumns(spark, e).contains(name),
+          s"CHECK constraint '$n' ($e) references '$name' — drop the " +
+          "constraint first")
+      }
+      val physical = parent.colMap.toMap.getOrElse(name, name)
+      try {
+        writeManifest(fs, root,
+          parent.copy(version = parentV + 1, parent = parentV,
+            txn = None, ts = nextTs(parent), op = Some("dropColumn"),
+            rowsUpserted = 0L, rowsDeleted = 0L,
+            dataSchema = Some(StructType(
+              schema.fields.filterNot(_.name == name)).toDDL),
+            statsCols = parent.statsCols.filterNot(_ == name),
+            stats = parent.stats.filterNot(_.col == name),
+            colMap = parent.colMap.filterNot(_._1 == name),
+            physRetired = (parent.physRetired :+ physical).distinct),
+          parent = Some(parent), touched = Some(Set.empty))
+        return parentV + 1
+      } catch { case _: LostCommitRace => attempt += 1 }
+    }
+    throw new IllegalStateException(
+      s"dropColumn lost the commit race $attempt times at $path")
+  }
+
   /** Per-file min/max stats for bucket-partitioned parquet under `dir`,
     * keyed by the table-relative `__bucket=N/<file>` name — one aggregate
     * job over just-written (hot) data; result rows bounded by
@@ -806,8 +1002,13 @@ object Merge {
         else empty.withColumn("__dv_file", lit(null).cast("string"))
           .withColumn("__dv_pos", lit(null).cast("long"))
     }
+    // COLUMN MAPPING: files store PHYSICAL names — read under them,
+    // rename back to the version's logical names at the end
+    val l2p = m.colMap.toMap
     val schemaOpt = m.dataSchema.map(ddl =>
-      StructType.fromDDL(ddl).add("__bucket", "long"))
+      StructType(StructType.fromDDL(ddl).fields.map(f =>
+        f.copy(name = l2p.getOrElse(f.name, f.name))))
+        .add("__bucket", "long"))
     // deletion vectors (and position-keeping callers) need each row's
     // (file, position) identity from the scan's metadata columns
     val withPos = keepPos || m.dvFiles.nonEmpty
@@ -846,9 +1047,12 @@ object Merge {
         base.join(dv, base("__dv_file") === dv("file") &&
           base("__dv_pos") === dv("pos"), "left_anti")
       }
-    if (keepPos) dvApplied
-    else if (withPos) dvApplied.drop("__dv_file", "__dv_pos")
-    else dvApplied
+    val logical = m.colMap.foldLeft(dvApplied) { case (df, (l, p)) =>
+      if (l == p) df else df.withColumnRenamed(p, l)
+    }
+    if (keepPos) logical
+    else if (withPos) logical.drop("__dv_file", "__dv_pos")
+    else logical
   }
 
   /** The rows of one committed version (layout column dropped). Reads
@@ -1022,10 +1226,22 @@ object Merge {
             m.dataSchema.map(StructType.fromDDL).getOrElse(newSchema))
         else versionDf(spark, path, root, m.copy(files = picked))
           .drop("__bucket")
-      // align to the newer schema: evolution only ever ADDS columns
-      base.select(newSchema.fieldNames.map(c =>
-        (if (base.columns.contains(c)) col(c)
-         else lit(null).cast(newSchema(c).dataType)).as(c)).toSeq: _*)
+      // align to the newer schema: evolution ADDS columns (older side
+      // takes nulls), WIDENS types (older side casts exactly up), or
+      // RENAMES — the PHYSICAL name is the column's identity across
+      // versions, so correlate each new logical name through it to
+      // whatever the old version called the same column
+      val oldP2L = m.colMap.map(_.swap).toMap
+      val newL2P = n.colMap.toMap
+      base.select(newSchema.fieldNames.map { c =>
+        val phys = newL2P.getOrElse(c, c)
+        val oldName = oldP2L.getOrElse(phys, phys)
+        (if (base.columns.contains(oldName)) {
+          if (base.schema(oldName).dataType.catalogString ==
+              newSchema(c).dataType.catalogString) col(oldName)
+          else col(oldName).cast(newSchema(c).dataType)
+        } else lit(null).cast(newSchema(c).dataType)).as(c)
+      }.toSeq: _*)
     }
     graft.ops.TableDiff.changeDeltas(side(o), side(n), Seq(keyCol), opCol)
   }
@@ -1107,7 +1323,8 @@ object Merge {
             // full state rollback includes table metadata: the restored
             // rows satisfied the TARGET version's constraint set
             constraints = target.constraints,
-            dvFiles = target.dvFiles),
+            dvFiles = target.dvFiles,
+            colMap = target.colMap, physRetired = target.physRetired),
           parent = Some(parent), touched = None)
         return parentV + 1
       } catch {
@@ -1245,7 +1462,8 @@ object Merge {
         rowsUpserted = 0L, rowsDeleted = 0L,
         shardSpan = m.shardSpan, constraints = m.constraints,
         dvFiles = m.dvFiles.map(f =>
-          sfs.makeQualified(new Path(sroot, f)).toString)))
+          sfs.makeQualified(new Path(sroot, f)).toString),
+        colMap = m.colMap, physRetired = m.physRetired))
   }
 
   /** [[cloneTableAt]] of the source's current version. */
@@ -1529,15 +1747,26 @@ object Merge {
     * file name, so the relative keys stay valid).
     */
   private def stageAndMove(spark: SparkSession, fs: FileSystem, root: Path,
-      df: DataFrame, statsCols: Seq[String] = Seq.empty)
+      df: DataFrame, statsCols: Seq[String] = Seq.empty,
+      colMap: Seq[(String, String)] = Seq.empty)
       : (Seq[String], Seq[Skipping.FileStats]) = {
     val staging = new Path(stagingRoot(root),
       java.util.UUID.randomUUID.toString)
-    df.write.mode("overwrite").partitionBy("__bucket")
+    // COLUMN MAPPING: every data file stores PHYSICAL names, whatever
+    // renames happened — the one invariant that lets a single read
+    // schema span pre- and post-rename files
+    val phys = colMap.foldLeft(df) { case (d, (l, p)) =>
+      if (l == p) d else d.withColumnRenamed(l, p)
+    }
+    phys.write.mode("overwrite").partitionBy("__bucket")
       .parquet(staging.toString)
+    val l2p = colMap.toMap
+    val p2l = colMap.map(_.swap).toMap
     val stats =
       if (fs.listStatus(staging).exists(_.isDirectory))
-        bucketFileStats(spark, staging.toString, statsCols)
+        bucketFileStats(spark, staging.toString,
+          statsCols.map(c => l2p.getOrElse(c, c)))
+          .map(e => e.copy(col = p2l.getOrElse(e.col, e.col)))
       else Seq.empty // empty write: no bucket dirs, nothing to stat
     val moved = Seq.newBuilder[String]
     fs.listStatus(staging)
@@ -1642,18 +1871,43 @@ object Merge {
       require(newCols.isEmpty || allowEvolution,
         s"updates add columns [${newCols.mkString(", ")}] not in the table " +
         s"schema — pass allowEvolution = true to add them")
-      // evolution ADDS columns; it never retypes one (old files could not
-      // be read under a changed type). Compare by catalogString: the
-      // manifest stores the schema as DDL, which cannot carry nested
-      // nullability (containsNull/valueContainsNull), so a strict
-      // DataType equality would spuriously reject e.g. an
-      // array<float> batch against its own table after one round trip.
+      // under column mapping, an added column's physical name is its own
+      // name: refuse names old files still carry physically (another
+      // column's pre-rename name, or a dropped column) — the read
+      // schema would resurrect those files' stale values into it
+      if (newCols.nonEmpty &&
+          (parent.colMap.nonEmpty || parent.physRetired.nonEmpty)) {
+        val l2p = parent.colMap.toMap
+        val physInUse = parentCols.map(c => l2p.getOrElse(c, c)).toSet ++
+          parent.physRetired
+        val clash = newCols.filter(physInUse.contains)
+        require(clash.isEmpty,
+          s"added columns [${clash.mkString(", ")}] collide with " +
+          "PHYSICAL names still present in this table's files (a " +
+          "renamed-away or dropped column) — pick different names or " +
+          "rewrite the table")
+      }
+      // evolution ADDS columns or WIDENS types (Delta's type-widening
+      // table: the narrower physical values embed losslessly, and the
+      // Spark 4 parquet readers read a narrower file under the wider
+      // schema) — any other retype is refused, old files could not be
+      // read under it. Compare by catalogString: the manifest stores
+      // the schema as DDL, which cannot carry nested nullability
+      // (containsNull/valueContainsNull), so a strict DataType equality
+      // would spuriously reject e.g. an array<float> batch against its
+      // own table after one round trip.
       parentSchema.foreach(_.foreach { f =>
         val u = updates.schema(f.name)
-        require(u.dataType.catalogString == f.dataType.catalogString,
-          s"column ${f.name} is ${f.dataType.simpleString} in the table " +
-          s"but ${u.dataType.simpleString} in the updates — type changes " +
-          "are not schema evolution")
+        val widens = canWiden(f.dataType, u.dataType)
+        require(u.dataType.catalogString == f.dataType.catalogString ||
+            (widens && allowEvolution),
+          if (widens)
+            s"column ${f.name} widens ${f.dataType.simpleString} -> " +
+            s"${u.dataType.simpleString} — pass allowEvolution = true"
+          else
+            s"column ${f.name} is ${f.dataType.simpleString} in the " +
+            s"table but ${u.dataType.simpleString} in the updates — " +
+            "only widening type changes are schema evolution")
       })
       val outCols = parentCols ++ newCols
       val outSchema = StructType(outCols.map(c =>
@@ -1691,10 +1945,16 @@ object Merge {
         else versionDf(spark, path, root,
           parent.copy(files = parentTouchedFiles))
       // align both sides to the (possibly widened) output schema: base
-      // rows take null in added columns
+      // rows take null in added columns and CAST to widened types
+      // (exact by canWiden's construction). Cast ONLY on a real type
+      // change — nested nullability (containsNull) can differ across a
+      // DDL round trip and a same-type cast would be refused.
       val baseAligned = base.select(outCols.map(c =>
-        (if (base.columns.contains(c)) col(c)
-         else lit(null).cast(outSchema(c).dataType)).as(c)) :+
+        (if (base.columns.contains(c)) {
+          if (base.schema(c).dataType.catalogString ==
+              outSchema(c).dataType.catalogString) col(c)
+          else col(c).cast(outSchema(c).dataType)
+        } else lit(null).cast(outSchema(c).dataType)).as(c)) :+
         col("__bucket"): _*)
       // tombstoned keys are anti-joined away like updated ones (the join
       // is on ALL update keys) but never re-inserted — that IS the delete
@@ -1709,7 +1969,8 @@ object Merge {
         sortKey = Some(keyCol))
       // APPEND-only: stage to a job-scoped dir, move the exact file set in
       val (newFiles, newStats) =
-        stageAndMove(spark, fs, root, merged, parent.statsCols)
+        stageAndMove(spark, fs, root, merged, parent.statsCols,
+          parent.colMap)
       val files = parent.files.filterNot(f => touched(bucketOf(f))) ++ newFiles
       commitFence()
       try {
@@ -1724,7 +1985,8 @@ object Merge {
             rowsUpserted = rowsUpserted, rowsDeleted = rowsDeleted,
             shardSpan = parent.shardSpan,
             constraints = parent.constraints,
-            dvFiles = parent.dvFiles),
+            dvFiles = parent.dvFiles,
+            colMap = parent.colMap, physRetired = parent.physRetired),
           parent = Some(parent), touched = Some(touched))
         return MergeStats(touched.size, nBuckets, rowsUpserted, parentV + 1,
           attempt, rowsDeleted = rowsDeleted)
@@ -1741,6 +2003,85 @@ object Merge {
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** INSERT OVERWRITE (full replace) as ONE versioned commit: the new
+    * rows land under the table's recorded layout, the manifest
+    * references ONLY them, and — unlike a `writeKeyed` re-write — the
+    * version log, retained history, tags, layout, statsCols,
+    * constraints and column mapping all survive: readers that resolved
+    * earlier keep their snapshot, time travel still answers, vacuum
+    * reclaims the replaced files on its normal schedule. This is the
+    * write the DSv2 `SaveMode.Overwrite` / `INSERT OVERWRITE` doorway
+    * needs; the replaced rows' cost is one write of the NEW data (old
+    * files are not touched, just no longer referenced).
+    */
+  def replaceAll(spark: SparkSession, path: String, df: DataFrame,
+      maxRetries: Int = 5, txn: Option[(String, Long)] = None)
+      : MergeStats = {
+    val (fs, root) = fsFor(spark, path)
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val parentV = currentVersion(spark, path)
+      require(parentV >= 0,
+        s"$path has no version log — write it with writeKeyed first")
+      txn.foreach { case (app, batch) =>
+        if (latestTxn(spark, path, app).exists(_ >= batch))
+          return MergeStats(0, 0, 0L, parentV, attempt,
+            skippedDupTxn = true)
+      }
+      val parent = readManifest(spark, root, parentV)
+      val (keyCol, nBuckets) = parent.layout.getOrElse(
+        throw new IllegalArgumentException(
+          s"$path records no (keyCol, nBuckets) layout"))
+      val parentSchema = parent.dataSchema.map(StructType.fromDDL)
+      parentSchema.foreach { sch =>
+        require(df.columns.toSet == sch.fieldNames.toSet,
+          s"replace must carry exactly the table columns " +
+          s"[${sch.fieldNames.mkString(", ")}], got " +
+          s"[${df.columns.mkString(", ")}]")
+        sch.foreach { f =>
+          require(df.schema(f.name).dataType.catalogString ==
+              f.dataType.catalogString,
+            s"column ${f.name} is ${f.dataType.simpleString} in the " +
+            s"table but ${df.schema(f.name).dataType.simpleString} in " +
+            "the replacement")
+        }
+      }
+      enforceConstraints(df, parent.constraints, "the replacement rows")
+      val ordered = parentSchema
+        .map(sch => df.select(sch.fieldNames.map(col).toSeq: _*))
+        .getOrElse(df)
+      val withB = ordered.withColumn("__bucket",
+        bucketCol(keyCol, nBuckets))
+      val rows = withB.count()
+      val merged = bucketPartitioned(withB, 1, nBuckets,
+        sortKey = Some(keyCol))
+      val (newFiles, newStats) =
+        stageAndMove(spark, fs, root, merged, parent.statsCols,
+          parent.colMap)
+      commitFence()
+      try {
+        writeManifest(fs, root,
+          Manifest(parentV + 1, parentV, newFiles.sorted,
+            parent.dataSchema, txn, parent.layout,
+            parent.statsCols, newStats,
+            ts = nextTs(parent), op = Some("replace"),
+            rowsUpserted = rows, rowsDeleted = -1L,
+            shardSpan = parent.shardSpan,
+            constraints = parent.constraints,
+            dvFiles = Seq.empty, // replaced rows: vectors are history
+            colMap = parent.colMap, physRetired = parent.physRetired),
+          parent = Some(parent), touched = None)
+        return MergeStats(nBuckets, nBuckets, rows, parentV + 1, attempt)
+      } catch {
+        case _: LostCommitRace =>
+          deleteFiles(fs, root, newFiles)
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"replaceAll lost the commit race $attempt times at $path")
   }
 
   /** Row-level DELETE: remove every current row satisfying `predicate`
@@ -1805,7 +2146,8 @@ object Merge {
         filesPerBucket, touched.size,
         sortKey = parent.layout.map(_._1))
       val (newFiles, newStats) =
-        stageAndMove(spark, fs, root, keep, parent.statsCols)
+        stageAndMove(spark, fs, root, keep, parent.statsCols,
+          parent.colMap)
       val files = parent.files.filterNot(f => touched(bucketOf(f))) ++ newFiles
       commitFence()
       try {
@@ -1818,7 +2160,8 @@ object Merge {
             rowsUpserted = 0L, rowsDeleted = rowsDeleted,
             shardSpan = parent.shardSpan,
             constraints = parent.constraints,
-            dvFiles = parent.dvFiles),
+            dvFiles = parent.dvFiles,
+            colMap = parent.colMap, physRetired = parent.physRetired),
           parent = Some(parent), touched = Some(touched))
         return MergeStats(touched.size, nB, 0L, parentV + 1, attempt,
           rowsDeleted = rowsDeleted)
@@ -1902,7 +2245,8 @@ object Merge {
       val repart = bucketPartitioned(rows, filesPerBucket, newBuckets,
         sortKey = Some(keyCol))
       val (newFiles, newStats) =
-        stageAndMove(spark, fs, root, repart, parent.statsCols)
+        stageAndMove(spark, fs, root, repart, parent.statsCols,
+          parent.colMap)
       commitFence()
       try {
         writeManifest(fs, root,
@@ -1914,7 +2258,8 @@ object Merge {
             rowsUpserted = 0L, rowsDeleted = 0L,
             shardSpan = parent.shardSpan,
             constraints = parent.constraints,
-            dvFiles = Seq.empty), // the rewrite folded them
+            dvFiles = Seq.empty, // the rewrite folded them
+            colMap = parent.colMap, physRetired = parent.physRetired),
           parent = Some(parent), touched = None)
         return parentV + 1
       } catch {
@@ -2003,7 +2348,8 @@ object Merge {
             rowsUpserted = 0L, rowsDeleted = n,
             shardSpan = parent.shardSpan,
             constraints = parent.constraints,
-            dvFiles = parent.dvFiles ++ dvRefs),
+            dvFiles = parent.dvFiles ++ dvRefs,
+            colMap = parent.colMap, physRetired = parent.physRetired),
           parent = Some(parent), touched = Some(Set.empty))
         return MergeStats(0, nB, 0L, parentV + 1, attempt,
           rowsDeleted = n)
@@ -2099,7 +2445,8 @@ object Merge {
             col("__bucket") +: clusterBy.map(col): _*)
           .sortWithinPartitions(clusterBy.map(col): _*)
       val (newFiles, newStats) =
-        stageAndMove(spark, fs, root, repart, parent.statsCols)
+        stageAndMove(spark, fs, root, repart, parent.statsCols,
+          parent.colMap)
       val files = parent.files.filterNot(f => toRewrite.contains(bucketOf(f))) ++
         newFiles
       commitFence()
@@ -2113,7 +2460,8 @@ object Merge {
             rowsUpserted = 0L, rowsDeleted = 0L,
             shardSpan = parent.shardSpan,
             constraints = parent.constraints,
-            dvFiles = Seq.empty), // full rewrite under DVs: folded
+            dvFiles = Seq.empty, // full rewrite under DVs: folded
+            colMap = parent.colMap, physRetired = parent.physRetired),
           parent = Some(parent), touched = Some(toRewrite.keySet.toSet))
         return CompactStats(parentV + 1, toRewrite.size, parent.files.size,
           files.size)
@@ -2186,8 +2534,18 @@ object Merge {
     * greater than the longest possible commit duration; graceMs = 0 is
     * for quiesced tables.
     */
+  /** Default grace for NEVER-REFERENCED files (possible mid-commit
+    * state): a live committer moves its staged files into the bucket
+    * dirs BEFORE the manifest claim, so for a short window they are
+    * indistinguishable from crash orphans. 10 minutes dwarfs any real
+    * commit's stage-to-claim gap; a crash's true orphans simply wait
+    * one floor before a later vacuum reclaims them.
+    */
+  val DefaultOrphanGraceMs: Long = 10L * 60L * 1000L
+
   def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1,
-      graceMs: Long = 0L): Unit = {
+      graceMs: Long = 0L,
+      orphanGraceMs: Long = DefaultOrphanGraceMs): Unit = {
     require(keepVersions >= 1, "must keep >= 1 version")
     val (fs, root) = fsFor(spark, path)
     val latest = currentVersion(spark, path)
@@ -2198,23 +2556,39 @@ object Merge {
     val tagged = taggedVersions(spark, root)
     val keepSet: Seq[Long] =
       ((keepFrom to latest) ++ tagged.filter(_ < keepFrom)).sorted
+    val allVersions = listVersions(spark, root)
+    val allManifests = allVersions
+      .flatMap(v => readManifestOpt(spark, root, v).toSeq)
     val live = keepSet
       .flatMap(v => readManifestOpt(spark, root, v).toSeq.flatMap(_.files))
       .toSet
-    val cutoff = System.currentTimeMillis() - graceMs
+    // files some manifest — retained or expired — DID commit: those are
+    // provably superseded history and reclaim under the caller's
+    // graceMs. A file NO manifest ever referenced is either a crash
+    // orphan or a commit IN FLIGHT RIGHT NOW (staged-and-moved, claim
+    // pending) — the two are indistinguishable, so it waits out the
+    // orphan floor instead (the structural fix for the vacuum/live-
+    // writer race: a graceMs=0 vacuum can no longer eat a commit that
+    // is mid-publish).
+    val everReferenced = allManifests.flatMap(_.files).toSet
+    val now = System.currentTimeMillis()
+    val cutoff = now - graceMs
+    val orphanCutoff = now - math.max(graceMs, orphanGraceMs)
     listDataFiles(fs, root).filterNot(live).foreach { f =>
       val p = new Path(root, f)
-      if (fs.getFileStatus(p).getModificationTime <= cutoff)
+      val limit = if (everReferenced(f)) cutoff else orphanCutoff
+      if (fs.getFileStatus(p).getModificationTime <= limit)
         fs.delete(p, false)
     }
-    listVersions(spark, root)
+    allVersions
       .filter(v => v < keepFrom && !tagged(v)).foreach { v =>
         fs.delete(new Path(logPath(root), s"v$v.json"), false)
       }
     // sharded-manifest tables: reclaim shard files no retained version
     // references (content addressing means a shard can serve many
-    // versions — it dies only when its last referencing root is gone;
-    // crash-orphan shards from never-committed claims die here too)
+    // versions — it dies only when its last referencing root is gone);
+    // a shard NO root ever referenced is a mid-commit/crash orphan and
+    // waits out the orphan floor like a data file
     val sp = shardsPath(root)
     if (fs.exists(sp)) {
       val liveShards = keepSet
@@ -2222,33 +2596,38 @@ object Merge {
             resolveShards = false).toSeq
           .flatMap(_.shardIds.map(_._2)))
         .toSet
+      val everShards = allManifests.flatMap(_.shardIds.map(_._2)).toSet
       fs.listStatus(sp)
         .filterNot(s => liveShards(s.getPath.getName))
-        .filter(_.getModificationTime <= cutoff)
+        .filter(s => s.getModificationTime <=
+          (if (everShards(s.getPath.getName)) cutoff else orphanCutoff))
         .foreach(s => fs.delete(s.getPath, false))
     }
     // deletion-vector sidecars: a DV file lives while any retained
-    // version references it; crash-orphans from never-committed
-    // deleteWhereDV attempts die here too
+    // version references it; never-referenced sidecars (a crashed OR
+    // in-flight deleteWhereDV) wait out the orphan floor
     val dvRoot = new Path(root, "_graft_dv")
     if (fs.exists(dvRoot)) {
       val liveDv = keepSet
         .flatMap(v => readManifestOpt(spark, root, v).toSeq
           .flatMap(_.dvFiles))
         .toSet
+      val everDv = allManifests.flatMap(_.dvFiles).toSet
       fs.listStatus(dvRoot).filter(_.isDirectory).foreach { d =>
         fs.listStatus(d.getPath).foreach { f =>
           val rel = s"_graft_dv/${d.getPath.getName}/${f.getPath.getName}"
-          if (!liveDv(rel) && f.getModificationTime <= cutoff)
+          val limit = if (everDv(rel)) cutoff else orphanCutoff
+          if (!liveDv(rel) && f.getModificationTime <= limit)
             fs.delete(f.getPath, false)
         }
         if (fs.listStatus(d.getPath).isEmpty) fs.delete(d.getPath, true)
       }
     }
+    // staging dirs are never referenced by construction: orphan floor
     val sr = stagingRoot(root)
     if (fs.exists(sr))
       fs.listStatus(sr)
-        .filter(_.getModificationTime <= cutoff)
+        .filter(_.getModificationTime <= orphanCutoff)
         .foreach(d => fs.delete(d.getPath, true))
   }
 

@@ -376,17 +376,29 @@ object TxLog {
     * commit, exactly as with [[Merge.vacuum]].
     */
   def vacuum(spark: SparkSession, root: String, tables: Seq[String],
-      keepVersions: Int = 1, graceMs: Long = 0L): Unit = {
+      keepVersions: Int = 1, graceMs: Long = 0L,
+      orphanGraceMs: Long = Merge.DefaultOrphanGraceMs): Unit = {
     require(keepVersions >= 1, "must keep >= 1 version")
     val (fs, r) = fsFor(spark, root)
     val versions = listVersions(fs, r)
     if (versions.isEmpty) return
     val latest = versions.max
     val keepFrom = math.max(0L, latest - keepVersions + 1)
+    val states = versions
+      .map(v => v -> readState(spark, r, v)).toMap
     val live = (keepFrom to latest)
-      .flatMap(v => readState(spark, r, v).toSeq.flatMap(_.tables.values))
+      .flatMap(v => states.getOrElse(v, None).toSeq.flatMap(_.tables.values))
       .flatten.toSet
-    val cutoff = System.currentTimeMillis() - graceMs
+    // the Merge.vacuum distinction: a file some manifest committed is
+    // superseded history (caller's graceMs); a file NO manifest ever
+    // referenced is a crash orphan OR an append mid-publish — it waits
+    // out the orphan floor, so a graceMs=0 vacuum cannot eat a commit
+    // between its stage-and-move and its claim
+    val everReferenced = states.values.flatten
+      .flatMap(_.tables.values).flatten.toSet
+    val now = System.currentTimeMillis()
+    val cutoff = now - graceMs
+    val orphanCutoff = now - math.max(graceMs, orphanGraceMs)
     tables.foreach { t =>
       val dir = new Path(r, t)
       if (fs.exists(dir)) {
@@ -398,7 +410,8 @@ object TxLog {
               sweep(st.getPath, s"$rel$name/")
             else if (st.isFile && name.endsWith(".parquet") &&
                 !live(s"$t/$rel$name") &&
-                st.getModificationTime <= cutoff)
+                st.getModificationTime <= (if (everReferenced(
+                  s"$t/$rel$name")) cutoff else orphanCutoff))
               fs.delete(st.getPath, false)
           }
         sweep(dir, "")
@@ -407,10 +420,11 @@ object TxLog {
     versions.filter(_ < keepFrom).foreach { v =>
       fs.delete(new Path(logDir(r), s"v$v.json"), false)
     }
+    // staging dirs are never referenced by construction: orphan floor
     val sd = stagingDir(r)
     if (fs.exists(sd))
       fs.listStatus(sd)
-        .filter(_.getModificationTime <= cutoff)
+        .filter(_.getModificationTime <= orphanCutoff)
         .foreach(d => fs.delete(d.getPath, true))
   }
 

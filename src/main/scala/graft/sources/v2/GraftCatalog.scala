@@ -44,10 +44,18 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * through the standard `loadTable(ident, version/timestamp)` hooks:
   * a numeric version string resolves as a table version, anything else
   * as a [[Merge]] tag; timestamps are Catalyst micros resolved through
-  * [[Merge.versionAsOf]]. The catalog is READ-ONLY by design — writes
-  * go through [[Merge]] / [[GraftCat.transact]], whose commit
-  * protocols (fenced manifests, multi-table pins) have no DDL
-  * equivalent this surface could honor atomically.
+  * [[Merge.versionAsOf]]. DML writes work — `INSERT INTO` /
+  * `INSERT OVERWRITE` resolve to the loaded [[GraftTable]]'s
+  * SupportsWrite and land as ordinary fenced Merge commits — but DDL
+  * (CREATE/ALTER/DROP/RENAME) is refused: table creation and schema
+  * change belong to [[Merge.writeKeyed]] / [[Merge.renameColumn]] /
+  * [[GraftCat.transact]], whose commit protocols (fenced manifests,
+  * multi-table pins) have no DDL equivalent this surface could honor
+  * atomically. In DIRECTORY mode DML lands on the table's head and is
+  * immediately visible; in PINNED-CATALOG mode DML is refused (the
+  * load resolves a pinned version, which is not writable) — exactly
+  * the catalog's own contract: members are written only through
+  * [[GraftCat.transact]], which also moves the pins.
   */
 class GraftCatalog extends V2TableCatalog {
 
@@ -137,9 +145,10 @@ class GraftCatalog extends V2TableCatalog {
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(
-      s"graft catalog '$catalogName' is read-only: $op goes through " +
-      "Merge.writeKeyed/upsert or TableCatalog.transact, whose commit " +
-      "protocols SQL DDL cannot honor atomically")
+      s"graft catalog '$catalogName' is read-only for DDL: $op goes " +
+      "through Merge.writeKeyed/renameColumn or TableCatalog.transact, " +
+      "whose commit protocols SQL DDL cannot honor atomically (DML " +
+      "INSERT INTO / INSERT OVERWRITE work)")
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],

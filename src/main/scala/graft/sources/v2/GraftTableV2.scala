@@ -7,9 +7,10 @@ import scala.jdk.CollectionConverters._
 import graft.sources.{GraftTableStreamProvider, Merge, Skipping}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, Row, SQLContext, SparkSession}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit, not}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
@@ -112,7 +113,8 @@ object GraftTable {
         v
       }
     new GraftTable(path, version,
-      Merge.readVersion(spark, path, version).schema)
+      Merge.readVersion(spark, path, version).schema,
+      writable = travel == 0)
   }
 
   /** Test seam: (files selected, files total) of the most recent batch
@@ -149,9 +151,20 @@ object GraftTable {
   }
 }
 
-/** One version-pinned [[Merge]] table as a DSv2 [[Table]]. */
+/** One version-pinned [[Merge]] table as a DSv2 [[Table]]. Reads scan
+  * the pinned version; writes (refused on a time-traveled resolution,
+  * Delta's rule) go to the HEAD through the Merge commit protocol:
+  * append = [[Merge.upsert]] under the recorded layout (key-addressed
+  * last-writer-wins — the only append a keyed table can honor),
+  * overwrite/truncate = [[Merge.replaceAll]] (one versioned commit,
+  * history preserved). So `INSERT INTO graft.t`, `INSERT OVERWRITE`,
+  * `df.writeTo(...).append()` and `df.write.format("graft-table")`
+  * all land as ordinary fenced commits that racing writers serialize
+  * against.
+  */
 class GraftTable(val path: String, val pinnedVersion: Long,
-    dataSchema: StructType) extends Table with SupportsRead {
+    dataSchema: StructType, writable: Boolean = true)
+    extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"graft.`$path`"
 
@@ -160,13 +173,53 @@ class GraftTable(val path: String, val pinnedVersion: Long,
   override def version(): String = pinnedVersion.toString
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
 
   override def properties(): util.Map[String, String] =
     Map("path" -> path, "version" -> pinnedVersion.toString).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(path, pinnedVersion, dataSchema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(writable,
+      s"cannot write to a time-traveled resolution of $path — load " +
+      "the table without versionAsOf/timestampAsOf/tagAsOf to write")
+    new GraftWriteBuilder(path)
+  }
+}
+
+/** Append (upsert) or truncate-overwrite (replaceAll), executed through
+  * the public [[V1Write]] bridge like the read side's [[V1Scan]].
+  */
+class GraftWriteBuilder(path: String) extends WriteBuilder
+    with SupportsTruncate {
+
+  private var overwriteAll = false
+
+  override def truncate(): WriteBuilder = { overwriteAll = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation(): InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: org.apache.spark.sql.DataFrame,
+            overwrite: Boolean): Unit = {
+          val spark = data.sparkSession
+          if (overwriteAll || overwrite) {
+            Merge.replaceAll(spark, path, data)
+          } else {
+            val (keyCol, nBuckets) =
+              Merge.tableLayout(spark, path).getOrElse(
+                throw new IllegalArgumentException(
+                  s"$path records no (keyCol, nBuckets) layout"))
+            Merge.upsert(spark, path, data, keyCol, nBuckets)
+          }
+          ()
+        }
+      }
+  }
 }
 
 class GraftScanBuilder(path: String, version: Long, dataSchema: StructType)

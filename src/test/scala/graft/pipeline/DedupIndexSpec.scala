@@ -217,9 +217,11 @@ class DedupIndexSpec extends SparkSpec {
     assert(DedupIndex.dedupAgainst(spark, path, batch, "doc_id",
       col("text")).select("doc_id").as[Long].collect().toSet == Set(901L))
     // a later compact succeeds; vacuum sweeps both the orphans and the
-    // superseded originals
+    // superseded originals. Never-referenced files normally wait out
+    // the orphan floor (they could be a commit mid-publish) —
+    // orphanGraceMs = 0 is the operator's "no writer is live" assertion
     DedupIndex.compact(spark, path, targetFiles = 2)
-    DedupIndex.vacuum(spark, path)
+    DedupIndex.vacuum(spark, path, orphanGraceMs = 0L)
     val sigFilesAfter = new java.io.File(path, "sigs").listFiles()
       .count(_.getName.endsWith(".parquet"))
     assert(sigFilesAfter <= 2,
@@ -368,12 +370,13 @@ class DedupIndexSpec extends SparkSpec {
         Await.result(b, 120.seconds))
       assert(Set(va, vb) == Set(1L, 2L), s"got versions ($va, $vb)")
     } finally graft.sources.TxLog.commitFence = () => ()
-    // probing AT each appended vector must surface it: PQ quantizes,
-    // but an exact resident vector is its own nearest code word
+    // the race test asserts VISIBILITY (both appends' files are read by
+    // a post-race probe), not PQ ranking quality — which its own specs
+    // pin — so probe every cell with k covering the whole index
     for (id <- Seq(1000L, 2000L)) {
       val q = Seq((0L, vec(id.toInt))).toDF("qid", "emb")
       val got = Similarity.IvfPq.topKPersisted(spark, path, q, "qid",
-        "emb", k = 3, nProbe = 4)
+        "emb", k = 100, nProbe = 4)
         .select("neighbor_id").as[Long].collect()
       assert(got.contains(id),
         s"append of $id must be probe-visible, got ${got.toSeq}")

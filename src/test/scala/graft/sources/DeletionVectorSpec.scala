@@ -119,11 +119,15 @@ class DeletionVectorSpec extends SparkSpec {
     val path = freshDir("vac")
     Merge.writeKeyed(baseDf, path, "id", nBuckets = 4)
     Merge.deleteWhereDV(spark, path, $"id" < 10)
-    // a crashed deleteWhereDV attempt: sidecar written, never committed
+    // a crashed deleteWhereDV attempt: sidecar written, never committed.
+    // Never-referenced files wait out the ORPHAN floor (they are
+    // indistinguishable from an in-flight commit), so age it past it.
     val orphan = new File(path, "_graft_dv/orphan123")
     orphan.mkdirs()
-    Files.write(new File(orphan, "part-0.parquet").toPath,
-      Array[Byte](1, 2, 3))
+    val of = new File(orphan, "part-0.parquet")
+    Files.write(of.toPath, Array[Byte](1, 2, 3))
+    of.setLastModified(
+      System.currentTimeMillis() - Merge.DefaultOrphanGraceMs - 60000L)
     Merge.vacuum(spark, path, keepVersions = 2) // retains v0 and v1
     assert(!new File(orphan, "part-0.parquet").exists(),
       "the orphan sidecar must be reclaimed")

@@ -175,6 +175,71 @@ class GraftTableV2Spec extends SparkSpec {
       .as[String].head() == "name_7")
   }
 
+  test("DSv2 writes: append upserts under the recorded layout; " +
+      "overwrite replaces in ONE versioned commit; history survives") {
+    val path = new File(freshDir("wr"), "tbl").getAbsolutePath
+    Merge.writeKeyed(baseDf, path, "id", nBuckets = 4)
+    // append via the DataFrameWriter doorway = keyed upsert
+    Seq((7L, "w7", 7.7), (500L, "w500", 5.0)).toDF("id", "name", "score")
+      .write.format("graft-table").option("path", path)
+      .mode("append").save()
+    val afterAppend = Merge.readKeyed(spark, path)
+    assert(afterAppend.count() == 201)
+    assert(afterAppend.filter($"id" === 7L).select("name").as[String]
+      .head() == "w7")
+    // overwrite = one replace commit; the log and history survive
+    Seq((1L, "only", 1.0)).toDF("id", "name", "score")
+      .write.format("graft-table").option("path", path)
+      .mode("overwrite").save()
+    assert(Merge.readKeyed(spark, path).count() == 1)
+    assert(Merge.currentVersion(spark, path) == 2L)
+    assert(Merge.readVersion(spark, path, 1L).count() == 201,
+      "overwrite must preserve history, not reset the log")
+    // a time-traveled resolution refuses writes (Delta's rule)
+    val e = intercept[Exception] {
+      Seq((2L, "x", 2.0)).toDF("id", "name", "score")
+        .write.format("graft-table").option("path", path)
+        .option("versionAsOf", "0").mode("append").save()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(t => Option(t.getMessage).exists(
+      _.contains("time-traveled"))))
+  }
+
+  test("SQL INSERT INTO / INSERT OVERWRITE through the catalog " +
+      "(directory mode); pinned-catalog DML is refused") {
+    val root = freshDir("cat_ins")
+    val p1 = new File(root, "t").getAbsolutePath
+    Merge.writeKeyed(baseDf, p1, "id", nBuckets = 4)
+    spark.conf.set("spark.sql.catalog.gins", "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gins.root", root.getAbsolutePath)
+    spark.sql("INSERT INTO gins.t VALUES (7, 'sql7', 77.0), " +
+      "(900, 'sql900', 9.0)")
+    val after = spark.sql("SELECT count(*) FROM gins.t").as[Long].head()
+    assert(after == 201L)
+    assert(spark.sql("SELECT name FROM gins.t WHERE id = 7")
+      .as[String].head() == "sql7")
+    spark.sql("INSERT OVERWRITE gins.t VALUES (1, 'only', 1.0)")
+    assert(spark.sql("SELECT count(*) FROM gins.t").as[Long].head() == 1L)
+    assert(Merge.readVersion(spark, p1, 1L).count() == 201L)
+    // pinned-catalog mode: members are written only through transact —
+    // the catalog resolves a PINNED (non-writable) version
+    val cat = new File(root, "cat").getAbsolutePath
+    val p2 = new File(root, "m").getAbsolutePath
+    Merge.writeKeyed(baseDf, p2, "id", nBuckets = 4)
+    TableCatalog.create(spark, cat, Map("m" -> p2))
+    spark.conf.set("spark.sql.catalog.gpc", "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gpc.root", cat)
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO gpc.m VALUES (1, 'x', 1.0)")
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(t => Option(t.getMessage).exists(
+      _.contains("time-traveled"))))
+  }
+
   test("read-only catalog: DDL is refused loudly") {
     val root = freshDir("cat_ro")
     val p1 = new File(root, "t").getAbsolutePath

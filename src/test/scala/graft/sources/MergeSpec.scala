@@ -178,6 +178,48 @@ class MergeSpec extends SparkSpec {
       .sameElements(expected))
   }
 
+  test("vacuum racing a staged-but-uncommitted commit cannot delete " +
+      "its files, even at graceMs = 0") {
+    val path = freshDir("vacrace")
+    val base = (0L until 100L).map(i => (i, i * 1.0)).toDF("id", "x")
+    Merge.writeKeyed(base, path, "id", nBuckets = 8)
+    Merge.upsert(spark, path, Seq((1L, -1.0)).toDF("id", "x"), "id", 8)
+    // hold a committer BETWEEN its stage-and-move and its manifest
+    // claim — the exact window where its files are on disk but no
+    // manifest references them — and vacuum as aggressively as the API
+    // allows while it hangs there
+    val staged = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    Merge.commitFence = () => {
+      if (calls.incrementAndGet() == 1) {
+        staged.countDown()
+        release.await(60, java.util.concurrent.TimeUnit.SECONDS); ()
+      }
+    }
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val commit = Future(Merge.upsert(spark, path,
+        Seq((2L, -2.0), (300L, 300.0)).toDF("id", "x"), "id", 8))
+      assert(staged.await(60, java.util.concurrent.TimeUnit.SECONDS))
+      // mid-publish: superseded v0 files reclaim as ever, but the
+      // hung commit's just-moved files must survive the orphan floor
+      Merge.vacuum(spark, path, keepVersions = 1, graceMs = 0L)
+      release.countDown()
+      val stats = Await.result(commit, 120.seconds)
+      assert(stats.rowsUpserted == 2L)
+    } finally {
+      Merge.commitFence = () => ()
+      release.countDown()
+    }
+    val out = Merge.readKeyed(spark, path)
+    assert(out.count() == 101)
+    assert(out.filter($"id" === 2L).select("x").as[Double].head() == -2.0)
+    assert(out.filter($"id" === 300L).count() == 1)
+  }
+
   test("two interleaved upserts serialize: both land, linear history") {
     val path = freshDir("race")
     val base = (0L until 100L).map(i => (i, i * 1.0)).toDF("id", "x")

@@ -950,6 +950,32 @@ object SparkEntry {
         .select("p_partkey", "p_name", "p_retailprice")
         .orderBy("p_partkey")
     }),
+    "q_dsv2_agg" -> ((s, dir) => {
+      // MANIFEST-ANSWERED AGGREGATES: COUNT(*)/MIN/MAX push into the
+      // DSv2 scan and resolve from the version's recorded per-file
+      // stats — required in-gate: the plan carries PushedAggregates
+      // and NO aggregate node, i.e. the answer costs zero data I/O at
+      // any table size. Values ≡ the oracle's real aggregation.
+      val path = new java.io.File(scratchRoot,
+        s"graft_dsv2agg_${new java.io.File(dir).getName}")
+        .getAbsolutePath
+      val part = t(s, dir, "part")
+        .select("p_partkey", "p_name", "p_retailprice")
+      graft.sources.Merge.writeKeyed(part, path, "p_partkey",
+        nBuckets = 16, statsCols = Seq("p_partkey", "p_retailprice"))
+      val agg = s.read.format("graft-table").option("path", path).load()
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("p_partkey")).as("min_key"),
+          max(col("p_partkey")).as("max_key"),
+          min(col("p_retailprice")).as("min_price"),
+          max(col("p_retailprice")).as("max_price"))
+      val plan = agg.queryExecution.executedPlan.toString
+      require(plan.contains("PushedAggregates: [COUNT(*)") &&
+          !plan.contains("HashAggregate") &&
+          !plan.contains("SortAggregate"),
+        s"aggregates must be manifest-answered, got plan:\n$plan")
+      agg
+    }),
     "q_dsv2_insert" -> ((s, dir) => {
       // DSv2 WRITE doorway: df.write.format("graft-table").mode(
       // "append") lands as ONE keyed upsert commit under the table's
@@ -5391,6 +5417,13 @@ object SparkEntry {
                      ELSE p_retailprice END AS p_retailprice
          FROM part WHERE p_partkey <= 2000
          ORDER BY p_partkey""",
+    // the manifest-answered aggregates equal the real aggregation
+    "q_dsv2_agg" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                min(p_partkey) AS min_key, max(p_partkey) AS max_key,
+                min(p_retailprice) AS min_price,
+                max(p_retailprice) AS max_price
+         FROM part""",
     // the DSv2 append is the same declarative merge, 3 columns
     "q_dsv2_insert" ->
       """SELECT p_partkey, p_name,

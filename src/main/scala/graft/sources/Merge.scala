@@ -216,8 +216,9 @@ object Merge {
     stats.map { e =>
       val mn = e.min.map(v => "\"" + jsonEscape(v) + "\"").getOrElse("null")
       val mx = e.max.map(v => "\"" + jsonEscape(v) + "\"").getOrElse("null")
+      val r = if (e.rows >= 0) s""","r":${e.rows}""" else ""
       s"""{"f":"${jsonEscape(e.file)}","c":"${jsonEscape(e.col)}",""" +
-        s""""mn":$mn,"mx":$mx}"""
+        s""""mn":$mn,"mx":$mx$r}"""
     }.mkString("[", ",", "]")
 
   // hand-rolled JSON (flat schema; file names are spark part names and
@@ -470,8 +471,11 @@ object Merge {
             def f(n: String): Option[String] = e \ n match {
               case JString(s) => Some(s); case _ => None
             }
+            val rows = e \ "r" match {
+              case JInt(n) => n.toLong; case JLong(n) => n; case _ => -1L
+            }
             for (file <- f("f"); c <- f("c"))
-              yield Skipping.FileStats(file, c, f("mn"), f("mx"))
+              yield Skipping.FileStats(file, c, f("mn"), f("mx"), rows)
           }
           case _ => Nil
         }
@@ -913,19 +917,22 @@ object Merge {
     statsCols.foreach(c => require(df.columns.contains(c),
       s"stats column $c not in ${df.columns.mkString(", ")}"))
     val aggs = statsCols.flatMap(c =>
-      Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
+      Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c"))) :+
+      count(lit(1)).as("__rows")
     val rows = df.groupBy(input_file_name().as("__f"), col("__bucket"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
     rows.flatMap { r =>
       val name = new Path(r.getString(0)).getName
       val bucket = r.get(1) match { case n: Number => n.longValue }
+      val nRows = r.getLong(r.fieldIndex("__rows"))
       statsCols.map { c =>
         Skipping.FileStats(s"__bucket=$bucket/$name", c,
           Option(r.get(r.fieldIndex(s"__mn_$c")))
             .map(v => Skipping.encode(Skipping.statMin(v))),
           Option(r.get(r.fieldIndex(s"__mx_$c")))
-            .map(v => Skipping.encode(Skipping.statMax(v))))
+            .map(v => Skipping.encode(Skipping.statMax(v))),
+          rows = nRows)
       }
     }.toSeq.sortBy(e => (e.file, e.col))
   }
@@ -1153,6 +1160,92 @@ object Merge {
     val sel = m.files.filter(f =>
       Skipping.survives(schema, byFile.getOrElse(f, Map.empty), bounds))
     (sel, m.files.size)
+  }
+
+  /** The version's EXACT row count from the manifest alone — Some only
+    * when every file carries a recorded row count (stats written since
+    * r10) and no deletion vectors are live (a DV subtracts rows the
+    * counts cannot see). Costs zero data I/O: this is what lets a
+    * `SELECT count(*)` answer at any table size without touching a
+    * file.
+    */
+  def versionRowCount(spark: SparkSession, path: String,
+      version: Long): Option[Long] = {
+    val (_, root) = fsFor(spark, path)
+    val m = readManifest(spark, root, version)
+    if (m.dvFiles.nonEmpty) return None
+    if (m.files.isEmpty) return Some(0L)
+    val byFile = m.stats.filter(_.rows >= 0L)
+      .groupBy(_.file).view.mapValues(_.head.rows).toMap
+    if (m.files.forall(byFile.contains))
+      Some(m.files.map(byFile).sum)
+    else None
+  }
+
+  /** The version's EXACT global (min, max) for one column from the
+    * manifest stats — Some only when the stats are provably exact:
+    * the column is indexed on every file, its type's encoding is
+    * lossless (strings are truncated — excluded), and no deletion
+    * vectors are live (a deleted row could be the extreme). Inner
+    * Nones mean the column is null in every row. Values come back in
+    * the column's external (Row) type.
+    */
+  def versionColumnBounds(spark: SparkSession, path: String,
+      version: Long, column: String): Option[(Option[Any], Option[Any])] = {
+    val (_, root) = fsFor(spark, path)
+    val m = readManifest(spark, root, version)
+    if (m.dvFiles.nonEmpty || !m.statsCols.contains(column)) return None
+    val schema = m.dataSchema.map(StructType.fromDDL).getOrElse(
+      return None)
+    val dt = schema.find(_.name == column).map(_.dataType).getOrElse(
+      return None)
+    if (m.files.isEmpty) return Some((None, None))
+    val entries = m.stats.filter(_.col == column)
+      .groupBy(_.file).view.mapValues(_.head).toMap
+    if (!m.files.forall(entries.contains)) return None
+    val perFile = m.files.map(entries)
+    // an entry with no bounds = that file is all-null in the column;
+    // files with bounds must BOTH decode or the type is unsupported
+    val bounded = perFile.filter(e => e.min.isDefined || e.max.isDefined)
+    if (bounded.exists(e => e.min.isEmpty || e.max.isEmpty)) return None
+    if (bounded.isEmpty) return Some((None, None))
+    val decoded = bounded.map { e =>
+      for (mn <- Skipping.decodeStat(dt, e.min.get);
+           mx <- Skipping.decodeStat(dt, e.max.get)) yield (mn, mx)
+    }
+    if (decoded.exists(_.isEmpty)) return None
+    val key = (s: String) => Skipping.statKey(dt, s)
+    val minEntry = bounded.minBy(e => key(e.min.get))(
+      Ordering.fromLessThan[Any]((a, b) => Skipping.ltKey(a, b)))
+    val maxEntry = bounded.maxBy(e => key(e.max.get))(
+      Ordering.fromLessThan[Any]((a, b) => Skipping.ltKey(a, b)))
+    Some((Skipping.decodeStat(dt, minEntry.min.get),
+      Skipping.decodeStat(dt, maxEntry.max.get)))
+  }
+
+  /** Read at most enough FILES of `version` to cover `limit` rows —
+    * the LIMIT-pushdown plan: when every file records its row count
+    * and no deletion vectors are live, a `LIMIT n` reads the shortest
+    * file prefix whose counts reach n instead of the whole version
+    * (the caller still applies the row-exact limit on top). Falls back
+    * to the full version otherwise.
+    */
+  def readVersionLimited(spark: SparkSession, path: String,
+      version: Long, limit: Int): DataFrame = {
+    val (_, root) = fsFor(spark, path)
+    val m = readManifest(spark, root, version)
+    val byFile = m.stats.filter(_.rows >= 0L)
+      .groupBy(_.file).view.mapValues(_.head.rows).toMap
+    if (m.dvFiles.nonEmpty || m.files.isEmpty ||
+        !m.files.forall(byFile.contains))
+      return versionDf(spark, path, root, m).drop("__bucket")
+    var acc = 0L
+    val prefix = m.files.takeWhile { f =>
+      val need = acc < limit
+      acc += byFile(f)
+      need
+    }
+    versionDf(spark, path, root, m.copy(files = prefix)).drop("__bucket")
   }
 
   /** The bucket ids whose FILE SETS differ between two committed

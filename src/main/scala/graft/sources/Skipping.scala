@@ -47,7 +47,11 @@ object Skipping {
       upper: Option[Any])
 
   private[sources] final case class FileStats(file: String, col: String,
-      min: Option[String], max: Option[String])
+      min: Option[String], max: Option[String],
+      // the file's ROW COUNT, recorded since r10 alongside the bounds
+      // (the same aggregate computes both); -1 on entries written
+      // before then. Lets COUNT(*) and LIMIT plan from the manifest.
+      rows: Long = -1L)
 
   private def statsPath(root: Path) = new Path(
     new Path(root, "_graft_stats"), "stats.json")
@@ -133,6 +137,37 @@ object Skipping {
       s"cannot use ${other.getClass.getSimpleName} bound on ${t.simpleString}")
   }
 
+  /** Decode a stored stats string back to the column's EXTERNAL value
+    * (the type a Row carries) — the reverse of [[encode]], defined for
+    * exactly the types whose stats are EXACT (numerics, decimals,
+    * dates, timestamps; strings are truncated/over-approximate and
+    * deliberately excluded). Backs manifest-answered MIN/MAX pushdown.
+    */
+  private[sources] def decodeStat(dt: DataType, s: String): Option[Any] =
+    dt match {
+      case _: ByteType    => Some(new java.math.BigDecimal(s).byteValue)
+      case _: ShortType   => Some(new java.math.BigDecimal(s).shortValue)
+      case _: IntegerType => Some(new java.math.BigDecimal(s).intValue)
+      case _: LongType    => Some(new java.math.BigDecimal(s).longValue)
+      case _: FloatType   => Some(s.toFloat)
+      case _: DoubleType  => Some(s.toDouble)
+      case _: DecimalType => Some(new java.math.BigDecimal(s))
+      case _: DateType    =>
+        Some(java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(s.toLong)))
+      case _: TimestampType =>
+        val micros = s.toLong
+        val t = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+        t.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+        Some(t)
+      case TimestampNTZType =>
+        val micros = s.toLong
+        Some(java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC))
+      case _ => None
+    }
+
   /** Parse a stored stats string into the same comparison domain. */
   private[sources] def statKey(dt: DataType, s: String): Any = dt match {
     case _: TimestampType | TimestampNTZType | _: DateType => s.toLong
@@ -146,6 +181,15 @@ object Skipping {
     case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
          _: FloatType | _: DoubleType | _: DecimalType => true
     case _ => false
+  }
+
+  /** Strict order over [[statKey]]/[[boundKey]] comparison keys. */
+  private[sources] def ltKey(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) =>
+      x.compareTo(y) < 0
+    case (x: Long, y: Long)     => x < y
+    case (x: String, y: String) => x < y
+    case _ => throw new IllegalStateException(s"mixed keys: $a / $b")
   }
 
   @SuppressWarnings(Array("unchecked"))

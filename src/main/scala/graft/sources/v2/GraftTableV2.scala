@@ -9,11 +9,13 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit, not}
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DataSourceV2 BATCH CONNECTOR for versioned [[Merge]] tables — the
@@ -224,10 +226,13 @@ class GraftWriteBuilder(path: String) extends WriteBuilder
 
 class GraftScanBuilder(path: String, version: Long, dataSchema: StructType)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = dataSchema
+  private var aggResult: Option[(StructType, Seq[Any])] = None
+  private var limit: Option[Int] = None
 
   /** Accept the exactly-translatable filters (they drive manifest-stats
     * file pruning and a pre-filter inside the relation) and return ALL
@@ -246,26 +251,124 @@ class GraftScanBuilder(path: String, version: Long, dataSchema: StructType)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new GraftScan(path, version, pushed, required)
+  /** MANIFEST-ANSWERED AGGREGATES: COUNT(*)/MIN/MAX resolve from the
+    * version's recorded per-file stats with ZERO data I/O — at any
+    * table size the scan becomes one driver-side manifest read and a
+    * one-row result. Pushed only when provably exact: no residual
+    * filters, no grouping, every file carries the stat, the column's
+    * encoding is lossless (strings are truncated — declined), and no
+    * deletion vectors are live. Anything short of that declines and
+    * the ordinary scan runs.
+    */
+  private def tryAggregation(agg: Aggregation)
+      : Option[(StructType, Seq[Any])] = {
+    if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty) return None
+    val spark = SparkSession.active
+    def nameOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        Some(r.fieldNames()(0))
+      case _ => None
+    }
+    val resolved = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar =>
+        Merge.versionRowCount(spark, path, version)
+          .map(n => (StructField("count(*)", LongType, nullable = false),
+            n: Any))
+      case m: Min =>
+        nameOf(m.column()).flatMap { c =>
+          Merge.versionColumnBounds(spark, path, version, c).map { b =>
+            (StructField(s"min($c)", dataSchema(c).dataType), b._1.orNull)
+          }
+        }
+      case m: Max =>
+        nameOf(m.column()).flatMap { c =>
+          Merge.versionColumnBounds(spark, path, version, c).map { b =>
+            (StructField(s"max($c)", dataSchema(c).dataType), b._2.orNull)
+          }
+        }
+      case _ => None
+    }
+    if (resolved.exists(_.isEmpty)) None
+    else {
+      val rs = resolved.flatten
+      // duplicate agg expressions would collide on field name
+      val named = rs.zipWithIndex.map { case ((f, v), i) =>
+        (f.copy(name = s"${f.name}#$i"), v)
+      }
+      Some((StructType(named.map(_._1)), named.map(_._2)))
+    }
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    tryAggregation(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    aggResult = tryAggregation(agg)
+    aggResult.isDefined
+  }
+
+  /** LIMIT pushdown as a FILE-PREFIX prune: with per-file row counts
+    * recorded and no deletion vectors, `LIMIT n` reads the shortest
+    * file prefix covering n rows instead of the whole version. Spark
+    * still applies the row-exact limit on top (partial pushdown).
+    */
+  override def pushLimit(n: Int): Boolean = {
+    val spark = SparkSession.active
+    if (pushed.isEmpty &&
+        Merge.versionRowCount(spark, path, version).isDefined) {
+      limit = Some(n); true
+    } else false
+  }
+
+  override def isPartiallyPushed(): Boolean = true
+
+  override def build(): Scan = aggResult match {
+    case Some((schema, values)) =>
+      new GraftAggScan(path, version, schema, values)
+    case None =>
+      new GraftScan(path, version, pushed, required, limit)
+  }
+}
+
+/** A completely-pushed aggregate: one row, straight off the manifest. */
+class GraftAggScan(path: String, version: Long, aggSchema: StructType,
+    values: Seq[Any]) extends V1Scan {
+
+  override def readSchema(): StructType = aggSchema
+
+  override def description(): String =
+    s"GraftAggScan path=$path, version=$version, manifest-answered: " +
+      aggSchema.fieldNames.mkString(", ")
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new BaseRelation with TableScan {
+      override val sqlContext: SQLContext = context
+      override def schema: StructType = aggSchema
+      override def buildScan(): RDD[Row] =
+        context.sparkSession.sparkContext
+          .parallelize(Seq(Row(values: _*)), 1)
+    }.asInstanceOf[T]
 }
 
 /** The negotiated scan: executes through the public [[V1Scan]] bridge. */
 class GraftScan(path: String, version: Long, pushed: Array[Filter],
-    required: StructType) extends V1Scan {
+    required: StructType, limit: Option[Int] = None) extends V1Scan {
 
   override def readSchema(): StructType = required
 
   override def description(): String = {
     val fs = pushed.map(_.toString).mkString("[", ", ", "]")
     s"GraftScan path=$path, version=$version, PushedFilters: $fs, " +
+      limit.map(n => s"PushedLimit: $n, ").getOrElse("") +
       s"ReadSchema: ${required.catalogString}"
   }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =
-    new GraftBatchRelation(context, path, version, pushed, required)
-      .asInstanceOf[T]
+    new GraftBatchRelation(context, path, version, pushed, required,
+      limit).asInstanceOf[T]
 }
 
 /** V1 execution of a DSv2-negotiated graft scan. `buildScan` plans the
@@ -276,7 +379,8 @@ class GraftScan(path: String, version: Long, pushed: Array[Filter],
   * predicate on top (row-group pruning inside the surviving files).
   */
 class GraftBatchRelation(val sqlContext: SQLContext, path: String,
-    version: Long, pushed: Array[Filter], required: StructType)
+    version: Long, pushed: Array[Filter], required: StructType,
+    limit: Option[Int] = None)
     extends BaseRelation with TableScan {
 
   override def schema: StructType = required
@@ -293,9 +397,11 @@ class GraftBatchRelation(val sqlContext: SQLContext, path: String,
         Merge.planVersionFiles(spark, path, version, bounds)
       GraftTable.lastScanFiles = Some((sel.size, total))
     } else GraftTable.lastScanFiles = None
-    val base = pred match {
-      case Some(p) => Merge.readVersionWhere(spark, path, version, p)
-      case None    => Merge.readVersion(spark, path, version)
+    val base = (pred, limit) match {
+      case (Some(p), _) => Merge.readVersionWhere(spark, path, version, p)
+      case (None, Some(n)) =>
+        Merge.readVersionLimited(spark, path, version, n)
+      case _ => Merge.readVersion(spark, path, version)
     }
     base.select(required.fieldNames.toSeq.map(col): _*).rdd
   }

@@ -175,6 +175,58 @@ class GraftTableV2Spec extends SparkSpec {
       .as[String].head() == "name_7")
   }
 
+  test("aggregate pushdown: COUNT(*)/MIN/MAX answer from the manifest " +
+      "with no aggregate node and no data I/O; inexact cases fall back") {
+    val path = new File(freshDir("agg"), "tbl").getAbsolutePath
+    Merge.writeKeyed(baseDf, path, "id", nBuckets = 4,
+      statsCols = Seq("id", "score"))
+    val rd = spark.read.format("graft-table").option("path", path).load()
+    val agg = rd.agg(count(lit(1)).as("n"), min("id").as("mn"),
+      max("score").as("mx"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") &&
+      !plan.contains("SortAggregate") &&
+      plan.contains("PushedAggregates: [COUNT(*)"),
+      s"a manifest-answered aggregate must have NO aggregate node:\n$plan")
+    val row = agg.collect()(0)
+    assert(row.getAs[Long]("n") == 200L &&
+      row.getAs[Long]("mn") == 0L &&
+      row.getAs[Double]("mx") == 1990.0)
+    // strings are truncated in stats — MIN(name) must NOT push
+    val sAgg = rd.agg(min("name"))
+    assert(sAgg.queryExecution.executedPlan.toString
+      .matches("(?s).*(Hash|Sort)Aggregate.*"))
+    assert(sAgg.as[String].head() == "name_0")
+    // live deletion vectors make counts/extremes stale — must fall back
+    Merge.deleteWhereDV(spark, path, $"id" >= 100L)
+    val rd2 = spark.read.format("graft-table").option("path", path).load()
+    val agg2 = rd2.agg(count(lit(1)).as("n"), max("id").as("mx"))
+    assert(agg2.queryExecution.executedPlan.toString
+      .matches("(?s).*(Hash|Sort)Aggregate.*"),
+      "DV tables must not push aggregates")
+    val row2 = agg2.collect()(0)
+    assert(row2.getAs[Long]("n") == 100L && row2.getAs[Long]("mx") == 99L)
+    // a filtered aggregate keeps the ordinary (pruned) scan
+    val agg3 = rd.filter($"id" < 50L).agg(count(lit(1)))
+    assert(agg3.queryExecution.executedPlan.toString
+      .matches("(?s).*(Hash|Sort)Aggregate.*"))
+    assert(agg3.as[Long].head() == 50L)
+  }
+
+  test("LIMIT pushdown prunes to a file prefix covering the limit") {
+    val path = new File(freshDir("lim"), "tbl").getAbsolutePath
+    Merge.writeKeyed(baseDf, path, "id", nBuckets = 4,
+      statsCols = Seq("id"))
+    // the prefix plan: covering 5 rows needs one ~50-row file, not 4
+    val prefix = Merge.readVersionLimited(spark, path, 0L, 5)
+    val n = prefix.count()
+    assert(n < 200L && n >= 5L, s"prefix must cover 5 of 200, got $n")
+    val got = spark.read.format("graft-table").option("path", path)
+      .load().limit(5).collect()
+    assert(got.length == 5 &&
+      got.forall(_.getAs[String]("name").startsWith("name_")))
+  }
+
   test("DSv2 writes: append upserts under the recorded layout; " +
       "overwrite replaces in ONE versioned commit; history survives") {
     val path = new File(freshDir("wr"), "tbl").getAbsolutePath

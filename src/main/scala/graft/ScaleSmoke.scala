@@ -115,7 +115,8 @@ object ScaleSmoke {
         println(s"--- $tag merge (nBuckets=$buckets)")
         val path = s"/tmp/graft_scale_merge_$tag"
         timed(s"merge_write")(
-          graft.sources.Merge.writeKeyed(d, path, "doc_id", buckets))
+          graft.sources.Merge.writeKeyed(d, path, "doc_id", buckets,
+            statsCols = Seq("doc_id"))) // r10: stats carry row counts
         // anchor a graft-table stream at "latest" BEFORE the upsert so
         // the post-upsert tail drains exactly one commit
         val ckpt = s"${path}_tail_ckpt"
@@ -152,6 +153,21 @@ object ScaleSmoke {
         // shallow clone: one manifest write at ANY table size
         timed(s"merge_clone")(graft.sources.Merge.cloneTable(spark, path,
           s"${path}_clone"))
+        // r10: column rename is ONE manifest write at any table size
+        // (column mapping is metadata), and the DSv2 manifest-answered
+        // aggregate is one driver-side manifest read — both must be
+        // flat across table sizes
+        timed(s"col_rename")(
+          graft.sources.Merge.renameColumn(spark, path, "text", "body"))
+        timed(s"dsv2_agg")({
+          val r = spark.read.format("graft-table").option("path", path)
+            .load()
+            .agg(count(lit(1)), min(col("doc_id")), max(col("doc_id")))
+            .collect()(0)
+          println(s"SCALE   manifest agg -> ${r.mkString(", ")}")
+        })
+        timed(s"col_rename_back")(
+          graft.sources.Merge.renameColumn(spark, path, "body", "text"))
         // merge-on-read delete: find scan + matched-rows-sized sidecar,
         // ZERO data files rewritten — contrast with the copy-on-write
         // delete's bucket rewrites

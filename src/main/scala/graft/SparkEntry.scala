@@ -3611,6 +3611,66 @@ object SparkEntry {
         "the pinned rollup must equal the re-aggregated pinned fact table")
       stats.orderBy("grp")
     }),
+    "q_stream_table_sink" -> ((s, dir) => {
+      // STREAMING SINK doorway: df.writeStream.format("graft-table")
+      // folds each micro-batch as ONE exactly-once keyed upsert under
+      // the table's recorded layout (txn = (appId, batchId)). Two
+      // authored micro-batches (update+insert, then a tombstone
+      // delete) drain AvailableNow; then the CHECKPOINT IS WIPED and
+      // the whole input replays — the version history must not move
+      // (required in-gate): the commit stamp makes every replayed
+      // batch a no-op. Final table ≡ the authored VALUES oracle.
+      import graft.sources.Merge
+      import org.apache.spark.sql.streaming.Trigger
+      import java.nio.file.{Files, Paths}
+      import s.implicits._
+      val sfx = new java.io.File(dir).getName
+      val base = Paths.get(scratchRoot, s"graft_tsink_$sfx")
+      def rmTree(p: java.nio.file.Path): Unit =
+        if (Files.exists(p)) {
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.delete(f))
+        }
+      rmTree(base)
+      val inDir = base.resolve("in"); Files.createDirectories(inDir)
+      val tbl = base.resolve("tbl").toString
+      val ckpt = base.resolve("ckpt").toString
+      Merge.writeKeyed(
+        (0L until 10L).map(i => (i, s"name_$i", i * 10.0))
+          .toDF("id", "name", "score"),
+        tbl, "id", nBuckets = 4)
+      def row(id: Long, name: String, score: Double, del: Boolean) =
+        s"""{"id": $id, "name": "$name", "score": $score, """ +
+          s""""__del": $del}"""
+      Seq("b1.json" -> Seq(row(3, "upd3", 333.0, false),
+            row(100, "new100", 1.0, false)),
+          "b2.json" -> Seq(row(7, "name_7", 70.0, true)))
+        .zipWithIndex.foreach { case ((name, rows), i) =>
+          val f = inDir.resolve(name)
+          Files.writeString(f, rows.mkString("\n"))
+          f.toFile.setLastModified(1700000000000L + i * 60000L)
+        }
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "id LONG, name STRING, score DOUBLE, __del BOOLEAN")
+      def run(): Unit = {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).json(inDir.toString)
+          .writeStream.format("graft-table").option("path", tbl)
+          .option("appId", "gate-sink").option("tombstoneCol", "__del")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000); ()
+      }
+      run()
+      val v = Merge.currentVersion(s, tbl)
+      require(v == 2L, s"two micro-batches = two commits, got v$v")
+      rmTree(Paths.get(ckpt))
+      run() // full replay against the wiped checkpoint
+      require(Merge.currentVersion(s, tbl) == v,
+        "replayed batches must be exactly-once no-ops")
+      Merge.readKeyed(s, tbl).select("id", "name", "score").orderBy("id")
+    }),
     "q_stream_table_source" -> ((s, dir) => {
       // STREAMING READS of a versioned table — the Delta-style
       // streaming source, the read half of the lakehouse streaming
@@ -6998,6 +7058,19 @@ object SparkEntry {
            ('C', CAST(1 AS BIGINT), CAST(3.0 AS DOUBLE)))
            AS t(grp, cnt, total)
          ORDER BY grp""",
+    // the sink's final table: base ids 0..9 with 3 updated, 7 deleted,
+    // 100 inserted — authored VALUES (the replay is checked in-gate)
+    "q_stream_table_sink" ->
+      """SELECT * FROM (
+           SELECT CAST(i AS BIGINT) AS id,
+                  CASE WHEN i = 3 THEN 'upd3'
+                       ELSE 'name_' || CAST(i AS VARCHAR) END AS name,
+                  CASE WHEN i = 3 THEN CAST(333.0 AS DOUBLE)
+                       ELSE CAST(i * 10.0 AS DOUBLE) END AS score
+           FROM range(0, 10) AS t(i) WHERE i <> 7
+           UNION ALL
+           SELECT CAST(100 AS BIGINT), 'new100', CAST(1.0 AS DOUBLE))
+         ORDER BY id""",
     // the net fold of everything the table stream emitted ≡ the final
     // table state replayed in SQL: updates carry the bumped price,
     // deleted keys fold away (+1 snapshot, -1 delta), inserts survive

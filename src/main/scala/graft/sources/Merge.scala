@@ -1162,6 +1162,22 @@ object Merge {
     (sel, m.files.size)
   }
 
+  /** The version's LOGICAL schema straight off the manifest — the
+    * planning-cost path for connectors: resolving a table's shape must
+    * not construct a DataFrame over its (possibly millions of) files.
+    * None for pre-schema manifests.
+    */
+  def versionSchema(spark: SparkSession, path: String,
+      version: Long): Option[StructType] = {
+    val (_, root) = fsFor(spark, path)
+    // all-nullable, deliberately: a column ADDED by evolution reads as
+    // null on pre-evolution rows whatever the batch that added it
+    // declared, and the parquet read path reports nullable anyway
+    readManifest(spark, root, version).dataSchema
+      .map(ddl => StructType(StructType.fromDDL(ddl).fields
+        .map(_.copy(nullable = true))))
+  }
+
   /** The version's EXACT row count from the manifest alone — Some only
     * when every file carries a recorded row count (stats written since
     * r10) and no deletion vectors are live (a DV subtracts rows the

@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
 import org.apache.spark.sql.functions.{col, lit}
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.{IntegerType, StructType}
 
 /** Version-log offset for [[GraftTableSource]]: `version` means "every
@@ -78,13 +78,50 @@ case class GraftVersionOffset(version: Long) extends V1Offset {
   * Registered as `graft-table` via META-INF/services.
   */
 class GraftTableStreamProvider extends StreamSourceProvider
-    with DataSourceRegister {
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-table"
 
   private def pathOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-table stream needs .option(\"path\", <table root>)"))
+
+  /** STREAMING SINK — the write half of the streaming doorway:
+    *
+    * {{{
+    *   df.writeStream.format("graft-table")
+    *     .option("path", p).option("appId", "my-etl")
+    *     .option("checkpointLocation", c).start()
+    * }}}
+    *
+    * Every micro-batch folds into the versioned table as ONE keyed
+    * upsert under the table's RECORDED layout (the [[Merge
+    * .streamingUpsert]] semantics behind the standard writeStream
+    * API): exactly-once via the `(appId, batchId)` commit stamp — a
+    * replayed batch is a no-op on every recovery path — and
+    * tombstone deletes via `.option("tombstoneCol", c)`. The table
+    * must exist ([[Merge.writeKeyed]] first): auto-creating on batch 0
+    * would make a replayed batch 0 wipe later commits, so it is
+    * refused rather than footgunned. `appId` defaults to
+    * `graft-table-sink`; set it explicitly when more than one query
+    * writes the same table, or their batch-id watermarks collide.
+    */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "graft-table bucketing comes from the table's recorded layout — " +
+      "partitionBy is not supported")
+    val path = pathOf(parameters)
+    require(Merge.currentVersion(sqlContext.sparkSession, path) >= 0,
+      s"$path is not a committed graft table — writeKeyed it first " +
+      "(auto-create on batch 0 would let a replayed batch 0 wipe " +
+      "later commits)")
+    new GraftTableSink(path,
+      parameters.getOrElse("appId", "graft-table-sink"),
+      parameters.get("tombstoneCol"))
+  }
 
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
@@ -117,6 +154,33 @@ class GraftTableStreamProvider extends StreamSourceProvider
     new GraftTableSource(spark, path, metadataPath, resolved, opCol,
       startAt, maxPerTrigger)
   }
+}
+
+/** See [[GraftTableStreamProvider.createSink]] for the contract. */
+class GraftTableSink(path: String, appId: String,
+    tombstoneCol: Option[String])
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val spark = data.sparkSession
+    val (keyCol, nBuckets) = Merge.tableLayout(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path records no (keyCol, nBuckets) layout"))
+    // the DataFrame addBatch receives is still streaming-flagged and
+    // the upsert runs several jobs over it (bucket counts, the merge
+    // itself) — pin the micro-batch's rows once and re-issue them as
+    // a plain batch frame (the sink-side twin of the source's
+    // asStreaming doorway)
+    val (batch, pinned) =
+      org.apache.spark.sql.graftshim.StreamShim.pinBatch(data)
+    try {
+      Merge.upsert(spark, path, batch, keyCol, nBuckets,
+        txn = Some((appId, batchId)), tombstoneCol = tombstoneCol)
+    } finally pinned.unpersist(blocking = false)
+    ()
+  }
+
+  override def toString: String = s"GraftTableSink[$path, app=$appId]"
 }
 
 /** See [[GraftTableStreamProvider]] for the user-facing contract. */

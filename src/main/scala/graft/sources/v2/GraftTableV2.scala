@@ -114,8 +114,11 @@ object GraftTable {
         require(v >= 0, s"$path is not a committed graft table")
         v
       }
+    // schema from the manifest DDL — resolution must stay O(manifest),
+    // never construct a frame over the version's files
     new GraftTable(path, version,
-      Merge.readVersion(spark, path, version).schema,
+      Merge.versionSchema(spark, path, version).getOrElse(
+        Merge.readVersion(spark, path, version).schema),
       writable = travel == 0)
   }
 

@@ -26,4 +26,22 @@ object StreamShim {
     ss.internalCreateDataFrame(cdf.queryExecution.toRdd, df.schema,
       isStreaming = true)
   }
+
+  /** The inverse doorway, for a v1 streaming
+    * [[org.apache.spark.sql.execution.streaming.Sink]]: the DataFrame
+    * `addBatch` receives is still streaming-flagged, so feeding it to
+    * an ordinary multi-action batch computation (a keyed merge) trips
+    * the "streaming sources must be executed with writeStream" check.
+    * Pin the micro-batch's rows ONCE (copy + cache — the incremental
+    * plan must not re-execute per downstream job) and re-issue them as
+    * a plain batch frame; `unpin` releases the cache after the fold.
+    */
+  def pinBatch(df: DataFrame)
+      : (DataFrame, org.apache.spark.rdd.RDD[_]) = {
+    val cdf = df.asInstanceOf[ClassicDataset[Row]]
+    val ss = cdf.sparkSession.asInstanceOf[ClassicSession]
+    val rdd = cdf.queryExecution.toRdd.map(_.copy()).cache()
+    (ss.internalCreateDataFrame(rdd, df.schema, isStreaming = false),
+      rdd)
+  }
 }

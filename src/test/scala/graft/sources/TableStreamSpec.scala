@@ -200,6 +200,72 @@ class TableStreamSpec extends SparkSpec {
     assert(evolved.schema.fieldNames.contains("lang"))
   }
 
+  test("writeStream SINK: micro-batches fold as exactly-once keyed " +
+      "upserts with tombstone deletes; checkpoint wipe replays as no-ops") {
+    val base = freshBase("sink")
+    val tbl = new File(base, "tbl").getAbsolutePath
+    Merge.writeKeyed(baseDf, tbl, "id", nBuckets = 4) // ids 0..19, v0
+    val inDir = new File(base, "in"); inDir.mkdirs()
+    val ckpt = new File(base, "ckpt").getAbsolutePath
+    def row(id: Long, name: String, score: Double, del: Boolean) =
+      s"""{"id": $id, "name": "$name", "score": $score, "__del": $del}"""
+    // batch 1: update id 3 + insert id 100; batch 2: delete id 7
+    Files.writeString(new File(inDir, "b1.json").toPath,
+      Seq(row(3, "upd3", 333.0, false),
+        row(100, "new100", 1.0, false)).mkString("\n"))
+    new File(inDir, "b1.json").setLastModified(1700000000000L)
+    Files.writeString(new File(inDir, "b2.json").toPath,
+      row(7, "name_7", 70.0, true))
+    new File(inDir, "b2.json").setLastModified(1700000060000L)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id LONG, name STRING, score DOUBLE, __del BOOLEAN")
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(inDir.getAbsolutePath)
+        .writeStream.format("graft-table").option("path", tbl)
+        .option("appId", "sink-spec").option("tombstoneCol", "__del")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    run()
+    val afterV = Merge.currentVersion(spark, tbl)
+    assert(afterV == 2L, s"two micro-batches = two commits, got v$afterV")
+    val out = Merge.readKeyed(spark, tbl)
+    assert(out.count() == 20) // 20 - deleted 7 + inserted 100
+    assert(out.filter($"id" === 3L).select("name").as[String].head()
+      == "upd3")
+    assert(out.filter($"id" === 100L).count() == 1)
+    assert(out.filter($"id" === 7L).count() == 0, "tombstone delete")
+    // restart on the intact checkpoint, no new input: nothing commits
+    run()
+    assert(Merge.currentVersion(spark, tbl) == afterV)
+    // checkpoint WIPED: the file source replays both batches from
+    // scratch — the (appId, batchId) stamp makes each a no-op
+    def rmTree(f: File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree); f.delete(); ()
+    }
+    rmTree(new File(ckpt))
+    run()
+    assert(Merge.currentVersion(spark, tbl) == afterV,
+      "replayed batches must be exactly-once no-ops")
+    assert(Merge.readKeyed(spark, tbl).count() == 20)
+    // a sink on a non-table path is refused loudly
+    val e = intercept[Exception] {
+      spark.readStream.schema(schema).json(inDir.getAbsolutePath)
+        .writeStream.format("graft-table")
+        .option("path", new File(base, "nope").getAbsolutePath)
+        .option("checkpointLocation",
+          new File(base, "ckpt2").getAbsolutePath)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination(60000)
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(t => Option(t.getMessage).exists(
+      _.contains("not a committed graft table"))))
+  }
+
   test("applyChanges folds a change feed into a keyed table") {
     val base = freshBase("apply")
     val src = new File(base, "src").getAbsolutePath

@@ -1646,6 +1646,50 @@ object SparkEntry {
         "folding the vectors must not change the read")
       folded
     }),
+    "q_dsv2_cdf" -> ((s, dir) => {
+      // BATCH CDF through the DSv2 doorway — Delta's readChangeFeed
+      // options over the same version log: the q_merge_cdf_dialect
+      // history (bump commit, then delete+clones commit) read back via
+      // spark.read.format("graft-table").option("readChangeFeed") with
+      // the INCLUSIVE startingVersion dialect. Each commit's feed
+      // plans only its touched buckets; wall-clock _commit_timestamp
+      // stays out of the hash.
+      import graft.sources.Merge
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      val sfx = new java.io.File(dir).getName
+      val base = java.nio.file.Paths.get(scratchRoot, s"graft_v2cdf_$sfx")
+      def rmTree(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.delete(f))
+        }
+      rmTree(base)
+      val path = base.resolve("tbl").toString
+      val part = t(s, dir, "part")
+        .select("p_partkey", "p_brand", "p_retailprice")
+      Merge.writeKeyed(part, path, "p_partkey", nBuckets = 64)
+      Merge.upsert(s, path, part.filter(col("p_partkey") % 100 === 7 &&
+          col("p_partkey") <= 2000)
+        .withColumn("p_retailprice",
+          round(dec("p_retailprice") * lit(1.5).cast("decimal(2,1)"), 2)
+            .cast("double")),
+        "p_partkey", nBuckets = 64)
+      Merge.upsert(s, path,
+        part.filter(col("p_partkey") % 100 === 13 &&
+            col("p_partkey") <= 2000)
+          .withColumn("__del", lit(true))
+          .unionByName(part.filter(col("p_partkey") < 5)
+            .withColumn("p_partkey", col("p_partkey") + lit(4000000L))
+            .withColumn("__del", lit(false))),
+        "p_partkey", nBuckets = 64, tombstoneCol = Some("__del"))
+      s.read.format("graft-table").option("path", path)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1").load()
+        .select("p_partkey", "p_brand", "p_retailprice",
+          "_change_type", "_commit_version")
+        .orderBy("p_partkey", "_commit_version", "_change_type")
+    }),
     "q_merge_cdf_dialect" -> ((s, dir) => {
       // Delta's CDF COLUMN DIALECT over the version log: per-commit
       // attribution with _change_type strings (update_preimage /
@@ -5759,6 +5803,34 @@ object SparkEntry {
          ORDER BY p_partkey""",
     // the Delta-dialect feed ≡ its labeled SQL replay: the bump as
     // v1's pre/post pairs, the delete and clones as v2's rows
+    // same labeled replay as q_merge_cdf_dialect — the DSv2 CDF read
+    // must produce the identical feed
+    "q_dsv2_cdf" ->
+      """WITH upd AS (
+           SELECT p_partkey, p_brand, p_retailprice FROM part
+           WHERE p_partkey % 100 = 7 AND p_partkey <= 2000),
+         del AS (
+           SELECT p_partkey, p_brand, p_retailprice FROM part
+           WHERE p_partkey % 100 = 13 AND p_partkey <= 2000),
+         ins AS (
+           SELECT p_partkey + 4000000 AS p_partkey, p_brand,
+                  p_retailprice
+           FROM part WHERE p_partkey < 5)
+         SELECT p_partkey, p_brand, p_retailprice,
+                'update_preimage' AS _change_type,
+                CAST(1 AS BIGINT) AS _commit_version FROM upd
+         UNION ALL
+         SELECT p_partkey, p_brand,
+                CAST(round(CAST(p_retailprice AS DECIMAL(18,2))
+                           * CAST(1.5 AS DECIMAL(2,1)), 2) AS DOUBLE),
+                'update_postimage', CAST(1 AS BIGINT) FROM upd
+         UNION ALL
+         SELECT p_partkey, p_brand, p_retailprice, 'delete',
+                CAST(2 AS BIGINT) FROM del
+         UNION ALL
+         SELECT p_partkey, p_brand, p_retailprice, 'insert',
+                CAST(2 AS BIGINT) FROM ins
+         ORDER BY p_partkey, _commit_version, _change_type""",
     "q_merge_cdf_dialect" ->
       """WITH upd AS (
            SELECT p_partkey, p_brand, p_retailprice FROM part

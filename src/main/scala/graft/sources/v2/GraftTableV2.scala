@@ -76,13 +76,29 @@ class GraftTableProvider extends GraftTableStreamProvider
 
   override def supportsExternalMetadata(): Boolean = false
 
-  private def resolve(options: util.Map[String, String]): GraftTable = {
+  private def resolve(options: util.Map[String, String]): Table = {
     val spark = SparkSession.active
     val opts = new CaseInsensitiveStringMap(options)
     val path = Option(opts.get("path")).getOrElse(
       throw new IllegalArgumentException(
         "graft-table needs .option(\"path\", <table root>)"))
-    GraftTable.resolve(spark, path,
+    if (Option(opts.get("readChangeFeed")).exists(_.toBoolean)) {
+      // Delta's batch CDF dialect: option startingVersion is INCLUSIVE
+      // of that commit's changes (>= 1; v0 has no "changes" — read the
+      // snapshot), endingVersion defaults to the current head
+      require(opts.get("versionAsOf") == null &&
+          opts.get("timestampAsOf") == null && opts.get("tagAsOf") == null,
+        "readChangeFeed takes startingVersion/endingVersion, not the " +
+        "snapshot time-travel options")
+      val from = Option(opts.get("startingVersion")).map(_.toLong)
+        .getOrElse(throw new IllegalArgumentException(
+          "readChangeFeed needs .option(\"startingVersion\", n >= 1)"))
+      val to = Option(opts.get("endingVersion")).map(_.toLong)
+        .getOrElse(Merge.currentVersion(spark, path))
+      require(from >= 1 && from <= to,
+        s"startingVersion must be in [1, $to], got $from")
+      new GraftCdfTable(spark, path, from, to)
+    } else GraftTable.resolve(spark, path,
       Option(opts.get("versionAsOf")).map(_.toLong),
       Option(opts.get("timestampAsOf")).map(_.toLong),
       Option(opts.get("tagAsOf")))
@@ -407,5 +423,60 @@ class GraftBatchRelation(val sqlContext: SQLContext, path: String,
       case _ => Merge.readVersion(spark, path, version)
     }
     base.select(required.fieldNames.toSeq.map(col): _*).rdd
+  }
+}
+
+/** BATCH CHANGE-DATA-FEED read (Delta's `readChangeFeed` dialect):
+  *
+  * {{{
+  *   spark.read.format("graft-table").option("path", p)
+  *     .option("readChangeFeed", "true")
+  *     .option("startingVersion", "1")      // inclusive, like Delta
+  *     .option("endingVersion", "3")        // default: current head
+  *     .load()
+  * }}}
+  *
+  * Rows are [[Merge.changesBetweenCdf]]'s — the data schema at the
+  * range's end plus `_change_type` (insert / update_preimage /
+  * update_postimage / delete), `_commit_version`, `_commit_timestamp`
+  * — and each commit's feed plans only its touched buckets, so a
+  * CDF read costs the CHANGES, never the table.
+  */
+class GraftCdfTable(spark: SparkSession, path: String, fromInclusive: Long,
+    to: Long) extends Table with SupportsRead {
+
+  private val cdfSchema: StructType = {
+    val data = Merge.versionSchema(spark, path, to).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path v$to records no schema — rewrite with writeKeyed first"))
+    data.add("_change_type", org.apache.spark.sql.types.StringType)
+      .add("_commit_version", LongType)
+      .add("_commit_timestamp", org.apache.spark.sql.types.TimestampType)
+  }
+
+  override def name(): String = s"graft.`$path`@changes[$fromInclusive,$to]"
+
+  override def schema(): StructType = cdfSchema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new ScanBuilder {
+    override def build(): Scan = new V1Scan {
+      override def readSchema(): StructType = cdfSchema
+      override def description(): String =
+        s"GraftCdfScan path=$path, versions=($fromInclusive..$to]"
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          context: SQLContext): T =
+        new BaseRelation with TableScan {
+          override val sqlContext: SQLContext = context
+          override def schema: StructType = cdfSchema
+          override def buildScan(): RDD[Row] =
+            Merge.changesBetweenCdf(context.sparkSession, path,
+              fromInclusive - 1, to)
+              .select(cdfSchema.fieldNames.toSeq.map(col): _*).rdd
+        }.asInstanceOf[T]
+    }
   }
 }

@@ -175,6 +175,46 @@ class GraftTableV2Spec extends SparkSpec {
       .as[String].head() == "name_7")
   }
 
+  test("batch CDF read: readChangeFeed with inclusive startingVersion " +
+      "and endingVersion; misuse refused") {
+    val path = new File(freshDir("cdf"), "tbl").getAbsolutePath
+    Merge.writeKeyed(baseDf, path, "id", nBuckets = 4)          // v0
+    Merge.upsert(spark, path,
+      Seq((3L, "upd3", 333.0)).toDF("id", "name", "score"), "id", 4) // v1
+    Merge.upsert(spark, path,
+      Seq((5L, "name_5", 50.0, true), (500L, "new", 5.0, false))
+        .toDF("id", "name", "score", "__d"),
+      "id", 4, tombstoneCol = Some("__d"))                       // v2
+    val all = spark.read.format("graft-table").option("path", path)
+      .option("readChangeFeed", "true").option("startingVersion", "1")
+      .load()
+    assert(all.columns.takeRight(3).toSeq ==
+      Seq("_change_type", "_commit_version", "_commit_timestamp"))
+    val got = all.select("id", "_change_type", "_commit_version")
+      .orderBy("_commit_version", "_change_type", "id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((3L, "update_postimage", 1L),
+      (3L, "update_preimage", 1L), (5L, "delete", 2L),
+      (500L, "insert", 2L)))
+    // bounded range: only v1's changes
+    val v1only = spark.read.format("graft-table").option("path", path)
+      .option("readChangeFeed", "true").option("startingVersion", "1")
+      .option("endingVersion", "1").load()
+    assert(v1only.select("_commit_version").distinct()
+      .as[Long].collect().toSeq == Seq(1L))
+    // misuse is refused loudly
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-table").option("path", path)
+        .option("readChangeFeed", "true").option("startingVersion", "0")
+        .load()
+    }
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-table").option("path", path)
+        .option("readChangeFeed", "true").option("startingVersion", "1")
+        .option("versionAsOf", "1").load()
+    }
+  }
+
   test("aggregate pushdown: COUNT(*)/MIN/MAX answer from the manifest " +
       "with no aggregate node and no data I/O; inexact cases fall back") {
     val path = new File(freshDir("agg"), "tbl").getAbsolutePath

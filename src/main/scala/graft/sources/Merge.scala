@@ -1239,6 +1239,39 @@ object Merge {
       Skipping.decodeStat(dt, maxEntry.max.get)))
   }
 
+  /** Driver-side (bytes, rows) estimate for a version's — optionally
+    * bounds-pruned — file set, for the optimizer's JOIN planning: a
+    * small graft table must look small, or it never broadcasts. Bytes
+    * come from one getFileStatus per file (skipped above a file-count
+    * cap — at that size the answer is "not broadcastable" anyway);
+    * rows from the recorded per-file counts when complete and no
+    * deletion vectors are live.
+    */
+  def estimateVersionSize(spark: SparkSession, path: String,
+      version: Long, bounds: Seq[Skipping.Bound] = Seq.empty,
+      maxStatFiles: Int = 4096): (Option[Long], Option[Long]) = {
+    val (fs, root) = fsFor(spark, path)
+    val m = readManifest(spark, root, version)
+    val files =
+      if (bounds.isEmpty) m.files
+      else planVersionFiles(spark, path, version, bounds)._1
+    if (files.size > maxStatFiles) return (None, None)
+    val bytes =
+      try Some(files.map { f =>
+        val p = new Path(f)
+        fs.getFileStatus(
+          if (p.isAbsolute) p else new Path(root, f)).getLen
+      }.sum)
+      catch { case _: java.io.IOException => None }
+    val byFile = m.stats.filter(_.rows >= 0L)
+      .groupBy(_.file).view.mapValues(_.head.rows).toMap
+    val rows =
+      if (m.dvFiles.isEmpty && files.forall(byFile.contains))
+        Some(files.map(byFile).sum)
+      else None
+    (bytes, rows)
+  }
+
   /** Read at most enough FILES of `version` to cover `limit` rows —
     * the LIMIT-pushdown plan: when every file records its row count
     * and no deletion vectors are live, a `LIMIT n` reads the shortest

@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit, not}
 import org.apache.spark.sql.sources._
@@ -373,9 +373,30 @@ class GraftAggScan(path: String, version: Long, aggSchema: StructType,
 
 /** The negotiated scan: executes through the public [[V1Scan]] bridge. */
 class GraftScan(path: String, version: Long, pushed: Array[Filter],
-    required: StructType, limit: Option[Int] = None) extends V1Scan {
+    required: StructType, limit: Option[Int] = None)
+    extends V1Scan with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** Manifest-derived (bytes, rows) so the optimizer's JOIN planning
+    * sees the table's — and, after stats pruning, the scan's — real
+    * size: a small graft table broadcasts like any parquet table
+    * instead of defaulting to "huge, never broadcast".
+    */
+  override def estimateStatistics(): Statistics = {
+    val spark = SparkSession.active
+    val bounds = pushed.flatMap(GraftTable.filterToColumn)
+      .reduceOption(_ && _)
+      .map(Skipping.impliedBounds).getOrElse(Seq.empty)
+    val (bytes, rows) =
+      Merge.estimateVersionSize(spark, path, version, bounds)
+    new Statistics {
+      override def sizeInBytes(): util.OptionalLong =
+        bytes.map(util.OptionalLong.of).getOrElse(util.OptionalLong.empty)
+      override def numRows(): util.OptionalLong =
+        rows.map(util.OptionalLong.of).getOrElse(util.OptionalLong.empty)
+    }
+  }
 
   override def description(): String = {
     val fs = pushed.map(_.toString).mkString("[", ", ", "]")

@@ -253,6 +253,19 @@ class GraftTableV2Spec extends SparkSpec {
     assert(agg3.as[Long].head() == 50L)
   }
 
+  test("reported statistics drive join planning: a small graft table " +
+      "broadcasts instead of shuffle-joining") {
+    val path = new File(freshDir("stats"), "tbl").getAbsolutePath
+    Merge.writeKeyed(baseDf, path, "id", nBuckets = 4,
+      statsCols = Seq("id"))
+    val small = spark.read.format("graft-table").option("path", path)
+      .load()
+    val big = spark.range(0L, 1000000L).toDF("id")
+    val plan = big.join(small, "id").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"a KB-sized graft table must broadcast, got:\n$plan")
+  }
+
   test("LIMIT pushdown prunes to a file prefix covering the limit") {
     val path = new File(freshDir("lim"), "tbl").getAbsolutePath
     Merge.writeKeyed(baseDf, path, "id", nBuckets = 4,

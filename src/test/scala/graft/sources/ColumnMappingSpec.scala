@@ -265,6 +265,52 @@ class ColumnMappingSpec extends SparkSpec {
       rows(1).getAs[Double]("points") == 333.0)
   }
 
+  test("an upsert racing a rename loses the commit and fails FAST on " +
+      "the stale column name — never a silent mis-merge") {
+    val path = freshDir("renrace")
+    Merge.writeKeyed((0L until 50L).map(i => (i, i * 1.0)).toDF("id", "v"),
+      path, "id", nBuckets = 4)
+    // hold the upsert between its stage and its claim; land the rename
+    // in that window, then release — the upsert's retry re-reads the
+    // renamed schema and must refuse its now-stale batch loudly
+    val staged = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    Merge.commitFence = () => {
+      if (calls.incrementAndGet() == 1) {
+        staged.countDown()
+        release.await(60, java.util.concurrent.TimeUnit.SECONDS); ()
+      }
+    }
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val up = Future(Merge.upsert(spark, path,
+        Seq((3L, -3.0)).toDF("id", "v"), "id", 4))
+      assert(staged.await(60, java.util.concurrent.TimeUnit.SECONDS))
+      Merge.renameColumn(spark, path, "v", "w")
+      release.countDown()
+      val e = intercept[IllegalArgumentException] {
+        Await.result(up, 120.seconds)
+      }
+      assert(e.getMessage.contains("missing") &&
+        e.getMessage.contains("w"),
+        s"stale-name retry must fail fast, got: ${e.getMessage}")
+    } finally {
+      Merge.commitFence = () => ()
+      release.countDown()
+    }
+    // the rename won cleanly; rows untouched, new name everywhere
+    val out = Merge.readKeyed(spark, path)
+    assert(out.columns.toSeq == Seq("id", "w") && out.count() == 50)
+    assert(out.filter($"id" === 3L).select("w").as[Double].head() == 3.0)
+    // and the same upsert under the NEW name goes through
+    Merge.upsert(spark, path, Seq((3L, -3.0)).toDF("id", "w"), "id", 4)
+    assert(Merge.readKeyed(spark, path)
+      .filter($"id" === 3L).select("w").as[Double].head() == -3.0)
+  }
+
   test("clone carries the mapping; compaction folds files while " +
       "keeping logical names") {
     val path = freshDir("clonemap")

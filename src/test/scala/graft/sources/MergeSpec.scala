@@ -261,12 +261,12 @@ class MergeSpec extends SparkSpec {
     assert(Merge.readVersion(spark, path, 1).count() == 101)
   }
 
-  test("PROPERTY: random upsert/tombstone/delete/compact sequences " +
-      "match a reference map model, at every version") {
+  test("PROPERTY: random upsert/tombstone/delete/compact/restore/RENAME " +
+      "sequences match a reference map model, at every version") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
     val genOp: Gen[(Int, Long, Double)] = for {
-      kind <- Gen.choose(0, 4)
+      kind <- Gen.choose(0, 5)
       key <- Gen.choose(0L, 60L)
       v <- Gen.choose(-100.0, 100.0)
     } yield (kind, key, v)
@@ -274,6 +274,10 @@ class MergeSpec extends SparkSpec {
       val path = freshDir(s"model$seed")
       val model = scala.collection.mutable.Map.empty[Long, Double]
       (0L until 40L).foreach(i => model(i) = i * 1.0)
+      // the value column's CURRENT logical name: renames cycle it
+      // v <-> w while the physical name stays "v" in every file —
+      // every other op must keep working under whichever name is live
+      var vCol = "v"
       // statsCols on v: every commit must keep per-file stats consistent
       // with its data, whatever the op interleaving. Even seeds run with
       // SHARDED manifests (2 buckets/shard): the same sequences must
@@ -283,35 +287,43 @@ class MergeSpec extends SparkSpec {
         nBuckets = 4, statsCols = Seq("v"),
         manifestShardSpan = if (seed % 2 == 0) 2 else 0)
       val snapshots = scala.collection.mutable.ArrayBuffer(
-        (0L, model.toMap))
-      val ops = Gen.listOfN(6, genOp)
+        (0L, model.toMap, "v"))
+      val ops = Gen.listOfN(8, genOp)
         .apply(Gen.Parameters.default, Seed(seed.toLong)).get
       ops.foreach { case (kind, key, v) =>
         kind match {
           case 0 => // plain upsert (update-or-insert two keys)
             Merge.upsert(spark, path,
-              Seq((key, v), (key + 7L, v + 1.0)).toDF("id", "v"), "id", 4)
+              Seq((key, v), (key + 7L, v + 1.0)).toDF("id", vCol), "id", 4)
             model(key) = v; model(key + 7L) = v + 1.0
           case 1 => // tombstone batch: one write, one delete
             Merge.upsert(spark, path,
               Seq((key, v, false), (key + 3L, 0.0, true))
-                .toDF("id", "v", "__del"),
+                .toDF("id", vCol, "__del"),
               "id", 4, tombstoneCol = Some("__del"))
             model(key) = v; model.remove(key + 3L)
-          case 2 => // predicate delete
-            Merge.deleteWhere(spark, path, $"v" > v)
+          case 2 => // predicate delete (under the LIVE column name)
+            Merge.deleteWhere(spark, path, col(vCol) > v)
             model.filterInPlace((_, mv) => !(mv > v))
           case 3 => // compaction: never changes rows
             Merge.compactVersion(spark, path, targetFilesPerBucket = 1)
           case 4 => // restore: roll back to a random retained snapshot
-            val (tv, snap) = snapshots(key.toInt % snapshots.length)
+            // (incl. ITS column name — restore is full-state)
+            val (tv, snap, name) = snapshots(key.toInt % snapshots.length)
             Merge.restore(spark, path, tv)
             model.clear(); snap.foreach { case (k2, v2) => model(k2) = v2 }
+            vCol = name
+          case 5 => // metadata-only rename; later ops speak the new name
+            val to = if (vCol == "v") "w" else "v"
+            Merge.renameColumn(spark, path, vCol, to)
+            vCol = to
         }
-        snapshots += ((Merge.currentVersion(spark, path), model.toMap))
+        snapshots += ((Merge.currentVersion(spark, path), model.toMap,
+          vCol))
         // stats-pruned read vs model after EVERY op — stale per-file
-        // stats would silently drop or over-keep rows here
-        val b = Seq(Skipping.Bound("v", Some(0.0), Some(50.0)))
+        // stats (or a mapping that lost them) would silently drop or
+        // over-keep rows here
+        val b = Seq(Skipping.Bound(vCol, Some(0.0), Some(50.0)))
         val pruned = Merge.readKeyedSkipping(spark, path, b)
           .select("id").collect().map(_.getLong(0)).toSet
         val want = model.filter { case (_, mv) => mv >= 0.0 && mv <= 50.0 }
@@ -319,15 +331,17 @@ class MergeSpec extends SparkSpec {
         assert(pruned == want,
           s"seed $seed: stats-pruned read diverged after $ops")
       }
-      def rows(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
-        df.select("id", "v").collect()
+      def rows(df: org.apache.spark.sql.DataFrame,
+          name: String): Map[Long, Double] =
+        df.select("id", name).collect()
           .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-      assert(rows(Merge.readKeyed(spark, path)) == model.toMap,
+      assert(rows(Merge.readKeyed(spark, path), vCol) == model.toMap,
         s"seed $seed: final state diverged after $ops")
       // every retained version still reads its own historical snapshot
+      // UNDER ITS OWN column mapping
       snapshots.toSeq.groupBy(_._1).map(_._2.last).foreach {
-        case (ver, snap) =>
-          assert(rows(Merge.readVersion(spark, path, ver)) == snap,
+        case (ver, snap, name) =>
+          assert(rows(Merge.readVersion(spark, path, ver), name) == snap,
             s"seed $seed: v$ver diverged")
       }
     }

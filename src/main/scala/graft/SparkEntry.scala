@@ -976,6 +976,34 @@ object SparkEntry {
         s"aggregates must be manifest-answered, got plan:\n$plan")
       agg
     }),
+    "q_dsv2_alter" -> ((s, dir) => {
+      // SQL COLUMN DDL through the catalog: RENAME COLUMN and ADD
+      // COLUMN land as metadata-only commits (GraftTableV2Spec pins
+      // zero data files touched), an INSERT then speaks the ALTERed
+      // shape, and the read-back aligns old rows (null in the added
+      // column) ≡ the oracle. Catalog name embeds the sf dir so a
+      // multi-sf JVM never reuses a cached catalog across roots.
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val root = new java.io.File(scratchRoot, s"graft_v2alter_$sf")
+      val path = new java.io.File(root, "part").getAbsolutePath
+      val part = t(s, dir, "part")
+        .select("p_partkey", "p_name", "p_retailprice")
+      graft.sources.Merge.writeKeyed(part, path, "p_partkey",
+        nBuckets = 16)
+      val cat = s"galt_$sf"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root.getAbsolutePath)
+      s.sql(s"ALTER TABLE $cat.part RENAME COLUMN p_retailprice TO price")
+      s.sql(s"ALTER TABLE $cat.part ADD COLUMN discounted DOUBLE")
+      s.sql(s"INSERT INTO $cat.part VALUES " +
+        "(9000001, 'sentinel', 1.5, 0.5)")
+      s.sql(
+        s"""SELECT p_partkey, p_name, price, discounted
+            FROM $cat.part
+            WHERE p_partkey <= 2000 OR p_partkey = 9000001
+            ORDER BY p_partkey""")
+    }),
     "q_dsv2_insert" -> ((s, dir) => {
       // DSv2 WRITE doorway: df.write.format("graft-table").mode(
       // "append") lands as ONE keyed upsert commit under the table's
@@ -5528,6 +5556,16 @@ object SparkEntry {
                 min(p_retailprice) AS min_price,
                 max(p_retailprice) AS max_price
          FROM part""",
+    // post-DDL shape: renamed price, added column null on old rows,
+    // plus the inserted sentinel
+    "q_dsv2_alter" ->
+      """SELECT p_partkey, p_name, p_retailprice AS price,
+                CAST(NULL AS DOUBLE) AS discounted
+         FROM part WHERE p_partkey <= 2000
+         UNION ALL
+         SELECT CAST(9000001 AS BIGINT), 'sentinel',
+                CAST(1.5 AS DOUBLE), CAST(0.5 AS DOUBLE)
+         ORDER BY p_partkey""",
     // the DSv2 append is the same declarative merge, 3 columns
     "q_dsv2_insert" ->
       """SELECT p_partkey, p_name,

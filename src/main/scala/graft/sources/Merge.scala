@@ -851,6 +851,50 @@ object Merge {
       s"renameColumn lost the commit race $attempt times at $path")
   }
 
+  /** ADD COLUMN — metadata-only (`ALTER TABLE ... ADD COLUMN`): the
+    * logical schema gains a NULLABLE column; no file is touched at any
+    * table size, existing rows read as null (the same alignment the
+    * upsert-driven evolution path uses), and later upserts carry it
+    * like any other column. The name must be free of the PHYSICAL
+    * collisions [[renameColumn]] documents — a name old files still
+    * hold (renamed-away or dropped) would resurrect their stale
+    * values.
+    */
+  def addColumn(spark: SparkSession, path: String, name: String,
+      dataType: DataType, maxRetries: Int = 5): Long = {
+    val (fs, root) = fsFor(spark, path)
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val parentV = currentVersion(spark, path)
+      require(parentV >= 0, s"$path has no version log")
+      val parent = readManifest(spark, root, parentV)
+      val schema = parent.dataSchema.map(StructType.fromDDL).getOrElse(
+        throw new IllegalArgumentException(
+          s"$path records no schema — rewrite with writeKeyed first"))
+      require(!schema.fieldNames.contains(name),
+        s"column '$name' already exists")
+      val l2p = parent.colMap.toMap
+      val physInUse = schema.fieldNames.toSeq
+        .map(c => l2p.getOrElse(c, c)).toSet ++ parent.physRetired
+      require(!physInUse.contains(name),
+        s"'$name' is still a PHYSICAL column name in this table's " +
+        "files (held by a renamed column or retired by a drop) — " +
+        "re-using it would resurrect old file data; pick another name")
+      try {
+        writeManifest(fs, root,
+          parent.copy(version = parentV + 1, parent = parentV,
+            txn = None, ts = nextTs(parent), op = Some("addColumn"),
+            rowsUpserted = 0L, rowsDeleted = 0L,
+            dataSchema = Some(schema.add(name, dataType,
+              nullable = true).toDDL)),
+          parent = Some(parent), touched = Some(Set.empty))
+        return parentV + 1
+      } catch { case _: LostCommitRace => attempt += 1 }
+    }
+    throw new IllegalStateException(
+      s"addColumn lost the commit race $attempt times at $path")
+  }
+
   /** DROP COLUMN — metadata-only, like [[renameColumn]]: the column
     * leaves the logical schema and every read projects it away; old
     * files keep the physical bytes until their buckets naturally

@@ -155,9 +155,47 @@ class GraftCatalog extends V2TableCatalog {
       properties: util.Map[String, String]): Table =
     readOnly(s"CREATE TABLE $ident")
 
+  /** The column-level DDL the table format CAN honor atomically —
+    * metadata-only single-table commits:
+    *
+    * {{{
+    *   ALTER TABLE g.t RENAME COLUMN a TO b
+    *   ALTER TABLE g.t ADD COLUMN c BIGINT
+    *   ALTER TABLE g.t DROP COLUMN c
+    * }}}
+    *
+    * map onto [[Merge.renameColumn]]/[[Merge.addColumn]]/
+    * [[Merge.dropColumn]]. Directory mode only: a PINNED-catalog
+    * member changes shape through [[GraftCat.transact]], like its
+    * data. Nested fields, positions, defaults, and every other change
+    * kind stay refused.
+    */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    readOnly(s"ALTER TABLE $ident")
+      changes: TableChange*): Table = {
+    val (path, pinned) = pathOf(ident)
+    if (pinned.isDefined)
+      readOnly(s"ALTER TABLE $ident (pinned-catalog member)")
+    changes.foreach {
+      case c: TableChange.RenameColumn =>
+        require(c.fieldNames().length == 1,
+          "only top-level columns can be renamed")
+        Merge.renameColumn(spark, path, c.fieldNames()(0), c.newName())
+      case c: TableChange.DeleteColumn =>
+        require(c.fieldNames().length == 1,
+          "only top-level columns can be dropped")
+        Merge.dropColumn(spark, path, c.fieldNames()(0))
+      case c: TableChange.AddColumn =>
+        require(c.fieldNames().length == 1,
+          "only top-level columns can be added")
+        require(c.position() == null && c.defaultValue() == null,
+          "column position and default values are not supported")
+        Merge.addColumn(spark, path, c.fieldNames()(0), c.dataType())
+      case other =>
+        readOnly(s"ALTER TABLE $ident ${other.getClass.getSimpleName}")
+    }
+    invalidateTable(ident)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     readOnly(s"DROP TABLE $ident")

@@ -345,6 +345,49 @@ class GraftTableV2Spec extends SparkSpec {
       _.contains("time-traveled"))))
   }
 
+  test("SQL ALTER TABLE: rename/add/drop column land as metadata-only " +
+      "commits; other DDL and pinned members stay refused") {
+    val root = freshDir("cat_alter")
+    val p1 = new File(root, "t").getAbsolutePath
+    Merge.writeKeyed(baseDf, p1, "id", nBuckets = 4)
+    spark.conf.set("spark.sql.catalog.galt", "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.galt.root", root.getAbsolutePath)
+    val files = {
+      def walk(f: File): Seq[File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new File(p1)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    spark.sql("ALTER TABLE galt.t RENAME COLUMN score TO points")
+    spark.sql("ALTER TABLE galt.t ADD COLUMN rank BIGINT")
+    assert(spark.sql("SELECT id, name, points, rank FROM galt.t " +
+      "WHERE id = 7").collect().head.isNullAt(3),
+      "added column reads null on existing rows")
+    assert(spark.sql("SELECT points FROM galt.t WHERE id = 7")
+      .as[Double].head() == 70.0)
+    spark.sql("ALTER TABLE galt.t DROP COLUMN rank")
+    assert(!spark.table("galt.t").columns.contains("rank"))
+    // three DDL statements, zero data files touched
+    def walk2(f: File): Seq[File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk2) else Seq(f)
+    val after = walk2(new File(p1))
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getPath -> f.lastModified()).toMap
+    assert(after == files, "column DDL must touch no data file")
+    // time travel still answers pre-DDL shapes
+    assert(spark.sql("SELECT score FROM galt.t VERSION AS OF 0 " +
+      "WHERE id = 7").as[Double].head() == 70.0)
+    // unsupported change kinds stay refused
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE galt.t ALTER COLUMN points TYPE STRING")
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(t => Option(t.getMessage).exists(m =>
+      m.contains("read-only") || m.contains("not supported") ||
+      m.contains("NOT_SUPPORTED"))))
+  }
+
   test("read-only catalog: DDL is refused loudly") {
     val root = freshDir("cat_ro")
     val p1 = new File(root, "t").getAbsolutePath

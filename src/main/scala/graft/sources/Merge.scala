@@ -2755,7 +2755,11 @@ object Merge {
     // pending) — the two are indistinguishable, so it waits out the
     // orphan floor instead (the structural fix for the vacuum/live-
     // writer race: a graceMs=0 vacuum can no longer eat a commit that
-    // is mid-publish).
+    // is mid-publish). One consequence, deliberately conservative: a
+    // grace-spared file whose last referencing manifest THIS vacuum
+    // deletes reads as never-referenced to the NEXT vacuum and waits
+    // the floor too — reclamation can only ever be delayed, never
+    // early.
     val everReferenced = allManifests.flatMap(_.files).toSet
     val now = System.currentTimeMillis()
     val cutoff = now - graceMs

@@ -57,7 +57,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the catalog's own contract: members are written only through
   * [[GraftCat.transact]], which also moves the pins.
   */
-class GraftCatalog extends V2TableCatalog {
+class GraftCatalog extends V2TableCatalog
+    with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
 
   private var catalogName: String = _
   private var root: String = _
@@ -142,6 +143,39 @@ class GraftCatalog extends V2TableCatalog {
   }
 
   override def invalidateTable(ident: Identifier): Unit = ()
+
+  // one flat namespace ("default"), so SHOW NAMESPACES / USE work;
+  // namespace DDL is refused like table DDL
+  override def listNamespaces(): Array[Array[String]] =
+    Array(Array("default"))
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] = {
+    requireRootNamespace(namespace)
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || namespace.sameElements(Array("default"))
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] = {
+    requireRootNamespace(namespace)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit =
+    readOnly(s"CREATE NAMESPACE ${namespace.mkString(".")}")
+
+  override def alterNamespace(namespace: Array[String],
+      changes: org.apache.spark.sql.connector.catalog.NamespaceChange*)
+      : Unit =
+    readOnly(s"ALTER NAMESPACE ${namespace.mkString(".")}")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean =
+    readOnly(s"DROP NAMESPACE ${namespace.mkString(".")}")
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(

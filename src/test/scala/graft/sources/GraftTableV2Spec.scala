@@ -388,6 +388,22 @@ class GraftTableV2Spec extends SparkSpec {
       m.contains("NOT_SUPPORTED"))))
   }
 
+  test("namespaces: SHOW NAMESPACES and USE work; namespace DDL refused") {
+    val root = freshDir("cat_ns")
+    val p1 = new File(root, "t").getAbsolutePath
+    Merge.writeKeyed(baseDf, p1, "id", nBuckets = 4)
+    spark.conf.set("spark.sql.catalog.gns", "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gns.root", root.getAbsolutePath)
+    assert(spark.sql("SHOW NAMESPACES IN gns").collect()
+      .map(_.getString(0)).toSeq == Seq("default"))
+    spark.sql("USE gns.default")
+    try assert(spark.sql("SELECT count(*) FROM t").as[Long].head() == 200L)
+    finally spark.sql("USE spark_catalog.default")
+    intercept[Exception] {
+      spark.sql("CREATE NAMESPACE gns.extra")
+    }
+  }
+
   test("read-only catalog: DDL is refused loudly") {
     val root = freshDir("cat_ro")
     val p1 = new File(root, "t").getAbsolutePath

@@ -976,6 +976,31 @@ object SparkEntry {
         s"aggregates must be manifest-answered, got plan:\n$plan")
       agg
     }),
+    "q_dsv2_delete" -> ((s, dir) => {
+      // SQL DELETE FROM through the catalog: bucket-granular
+      // copy-on-write behind the standard SupportsDelete hook, the
+      // translated predicate's implied bounds pruning the find scan —
+      // required in-gate to land as exactly one commit (history
+      // preserved, not a reset). Read-back ≡ the oracle's surviving
+      // rows.
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val root = new java.io.File(scratchRoot, s"graft_v2del_$sf")
+      val path = new java.io.File(root, "part").getAbsolutePath
+      val part = t(s, dir, "part")
+        .select("p_partkey", "p_name", "p_retailprice")
+      graft.sources.Merge.writeKeyed(part, path, "p_partkey",
+        nBuckets = 16, statsCols = Seq("p_partkey"))
+      val cat = s"gdelg_$sf"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root.getAbsolutePath)
+      s.sql(s"DELETE FROM $cat.part WHERE p_partkey <= 1000")
+      require(graft.sources.Merge.currentVersion(s, path) == 1L,
+        "the SQL delete must land as exactly one commit")
+      s.sql(
+        s"""SELECT p_partkey, p_name FROM $cat.part
+            WHERE p_partkey <= 3000 ORDER BY p_partkey""")
+    }),
     "q_dsv2_alter" -> ((s, dir) => {
       // SQL COLUMN DDL through the catalog: RENAME COLUMN and ADD
       // COLUMN land as metadata-only commits (GraftTableV2Spec pins
@@ -5556,6 +5581,11 @@ object SparkEntry {
                 min(p_retailprice) AS min_price,
                 max(p_retailprice) AS max_price
          FROM part""",
+    // the surviving rows after the SQL delete
+    "q_dsv2_delete" ->
+      """SELECT p_partkey, p_name FROM part
+         WHERE p_partkey > 1000 AND p_partkey <= 3000
+         ORDER BY p_partkey""",
     // post-DDL shape: renamed price, added column null on old rows,
     // plus the inserted sentinel
     "q_dsv2_alter" ->

@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import graft.sources.{GraftTableStreamProvider, Merge, Skipping}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, Row, SQLContext, SparkSession}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
@@ -185,7 +185,8 @@ object GraftTable {
   */
 class GraftTable(val path: String, val pinnedVersion: Long,
     dataSchema: StructType, writable: Boolean = true)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsDelete {
 
   override def name(): String = s"graft.`$path`"
 
@@ -209,6 +210,39 @@ class GraftTable(val path: String, val pinnedVersion: Long,
       s"cannot write to a time-traveled resolution of $path — load " +
       "the table without versionAsOf/timestampAsOf/tagAsOf to write")
     new GraftWriteBuilder(path)
+  }
+
+  /** `DELETE FROM` — [[Merge.deleteWhere]] behind the standard DSv2
+    * hook: bucket-granular copy-on-write, SQL DELETE null semantics,
+    * one fenced commit, history preserved; the translated predicate's
+    * implied bounds prune the FIND scan against the manifest stats.
+    * Only exactly-translatable filters are accepted ([[GraftTable
+    * .filterToColumn]]); Spark falls back to an error, never to a
+    * silent approximation.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    writable && filters.forall(f => GraftTable.filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(writable,
+      s"cannot delete from a time-traveled resolution of $path")
+    val spark = SparkSession.active
+    val pred = filters.flatMap(GraftTable.filterToColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    Merge.deleteWhere(spark, path, pred,
+      bounds = Skipping.impliedBounds(pred))
+    ()
+  }
+
+  /** `TRUNCATE TABLE` — one commit emptying the table; the version
+    * log, layout, constraints and mapping survive, so the truncation
+    * itself time-travels like any other commit.
+    */
+  override def truncateTable(): Boolean = {
+    require(writable,
+      s"cannot truncate a time-traveled resolution of $path")
+    Merge.deleteWhere(SparkSession.active, path, lit(true))
+    true
   }
 }
 

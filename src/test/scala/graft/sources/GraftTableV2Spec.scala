@@ -388,6 +388,38 @@ class GraftTableV2Spec extends SparkSpec {
       m.contains("NOT_SUPPORTED"))))
   }
 
+  test("SQL DELETE FROM and TRUNCATE TABLE: fenced commits, history " +
+      "preserved; pinned members refused") {
+    val root = freshDir("cat_del")
+    val p1 = new File(root, "t").getAbsolutePath
+    Merge.writeKeyed(baseDf, p1, "id", nBuckets = 4)
+    spark.conf.set("spark.sql.catalog.gdel", "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gdel.root", root.getAbsolutePath)
+    spark.sql("DELETE FROM gdel.t WHERE id < 50")
+    assert(spark.sql("SELECT count(*) FROM gdel.t").as[Long].head()
+      == 150L)
+    assert(spark.sql("SELECT min(id) FROM gdel.t").as[Long].head() == 50L)
+    assert(Merge.currentVersion(spark, p1) == 1L)
+    assert(Merge.readVersion(spark, p1, 0L).count() == 200L,
+      "the delete must be a commit, not a reset")
+    spark.sql("TRUNCATE TABLE gdel.t")
+    assert(spark.sql("SELECT count(*) FROM gdel.t").as[Long].head() == 0L)
+    assert(Merge.readVersion(spark, p1, 1L).count() == 150L,
+      "truncation time-travels like any other commit")
+    // a pinned-catalog member refuses SQL DML (transact-only contract)
+    val cat = new File(root, "cat").getAbsolutePath
+    val p2 = new File(root, "m").getAbsolutePath
+    Merge.writeKeyed(baseDf, p2, "id", nBuckets = 4)
+    TableCatalog.create(spark, cat, Map("m" -> p2))
+    spark.conf.set("spark.sql.catalog.gdel2", "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gdel2.root", cat)
+    intercept[Exception] {
+      spark.sql("DELETE FROM gdel2.m WHERE id < 10")
+    }
+    assert(Merge.readKeyed(spark, p2).count() == 200L,
+      "the refused delete must not have touched the pinned member")
+  }
+
   test("namespaces: SHOW NAMESPACES and USE work; namespace DDL refused") {
     val root = freshDir("cat_ns")
     val p1 = new File(root, "t").getAbsolutePath

@@ -299,6 +299,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.sources.Merge.history(
         org.apache.spark.sql.SparkSession.active, strLit(c.head, "path"))
     })
+    registerTableFn("graft_files", "usage: graft_files('path')", c => {
+      require(c.size == 1, "takes 1 argument")
+      graft.sources.Merge.filesInfo(
+        org.apache.spark.sql.SparkSession.active, strLit(c.head, "path"))
+    })
     registerTableFn("graft_changes",
       "usage: graft_changes('path', fromV, toV)", c => {
         require(c.size == 3, "takes 3 arguments")

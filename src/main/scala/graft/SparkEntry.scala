@@ -976,6 +976,29 @@ object SparkEntry {
         s"aggregates must be manifest-answered, got plan:\n$plan")
       agg
     }),
+    "q_files_info" -> ((s, dir) => {
+      // FILE INVENTORY observability (DESCRIBE DETAIL at file
+      // granularity): graft_files('path') lists the current version's
+      // files with bucket, recorded row count, and bytes — manifest +
+      // one stat per file, no scan. The aggregate over it must agree
+      // with the table's real shape: 16 buckets × 1 file, every file
+      // carrying a row count, counts summing to the table.
+      val path = new java.io.File(scratchRoot,
+        s"graft_finfo_${new java.io.File(dir).getName}").getAbsolutePath
+      val part = t(s, dir, "part")
+        .select("p_partkey", "p_name", "p_retailprice")
+      graft.sources.Merge.writeKeyed(part, path, "p_partkey",
+        nBuckets = 16, statsCols = Seq("p_partkey"))
+      s.sql(
+        s"""SELECT CAST(count(*) AS BIGINT) AS n_files,
+                   CAST(sum(CASE WHEN rows >= 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS files_with_rows,
+                   CAST(sum(rows) AS BIGINT) AS total_rows,
+                   CAST(count(DISTINCT bucket) AS BIGINT) AS n_buckets,
+                   CAST(min(CASE WHEN bytes > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS all_have_bytes
+            FROM graft_files('$path')""")
+    }),
     "q_dsv2_delete" -> ((s, dir) => {
       // SQL DELETE FROM through the catalog: bucket-granular
       // copy-on-write behind the standard SupportsDelete hook, the
@@ -5580,6 +5603,14 @@ object SparkEntry {
                 min(p_partkey) AS min_key, max(p_partkey) AS max_key,
                 min(p_retailprice) AS min_price,
                 max(p_retailprice) AS max_price
+         FROM part""",
+    // the inventory aggregate ≡ the table's real shape
+    "q_files_info" ->
+      """SELECT CAST(16 AS BIGINT) AS n_files,
+                CAST(16 AS BIGINT) AS files_with_rows,
+                CAST(count(*) AS BIGINT) AS total_rows,
+                CAST(16 AS BIGINT) AS n_buckets,
+                CAST(1 AS BIGINT) AS all_have_bytes
          FROM part""",
     // the surviving rows after the SQL delete
     "q_dsv2_delete" ->

@@ -1283,6 +1283,31 @@ object Merge {
       Skipping.decodeStat(dt, maxEntry.max.get)))
   }
 
+  /** Per-file inventory of the CURRENT version (`DESCRIBE DETAIL` at
+    * file granularity): relative path, bucket, recorded row count (-1
+    * where stats predate row recording), and on-disk bytes. Driver
+    * reads the manifest plus one getFileStatus per file; rows bounded
+    * by the version's file count. The operator's first question —
+    * "is this table's layout healthy, and where did the bytes go?" —
+    * answered without a scan.
+    */
+  def filesInfo(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val (fs, root) = fsFor(spark, path)
+    val v = currentVersion(spark, path)
+    require(v >= 0, s"$path has no version log")
+    val m = readManifest(spark, root, v)
+    val byFile = m.stats.filter(_.rows >= 0L)
+      .groupBy(_.file).view.mapValues(_.head.rows).toMap
+    m.files.map { f =>
+      val p = new Path(f)
+      val abs = if (p.isAbsolute) p else new Path(root, f)
+      val len = try fs.getFileStatus(abs).getLen
+                catch { case _: java.io.IOException => -1L }
+      (f, bucketOf(f), byFile.getOrElse(f, -1L), len)
+    }.toDF("file", "bucket", "rows", "bytes")
+  }
+
   /** Driver-side (bytes, rows) estimate for a version's — optionally
     * bounds-pruned — file set, for the optimizer's JOIN planning: a
     * small graft table must look small, or it never broadcasts. Bytes

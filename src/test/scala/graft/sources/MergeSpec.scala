@@ -38,6 +38,28 @@ class MergeSpec extends SparkSpec {
     assert(Merge.readSmallUtf8(fs, p) == content)
   }
 
+  test("filesInfo inventories the current version: bucket, rows, bytes") {
+    val path = freshDir("finfo")
+    val base = (0L until 100L).map(i => (i, i * 1.0)).toDF("id", "v")
+    Merge.writeKeyed(base, path, "id", nBuckets = 4, statsCols = Seq("id"))
+    val info = Merge.filesInfo(spark, path).collect()
+    assert(info.length == 4)
+    assert(info.map(_.getAs[Long]("bucket")).toSet == Set(0L, 1L, 2L, 3L))
+    assert(info.map(_.getAs[Long]("rows")).sum == 100L)
+    assert(info.forall(_.getAs[Long]("bytes") > 0L))
+    // after an upsert the inventory follows the NEW version: still one
+    // live file per bucket, the touched bucket's file REPLACED
+    val namesBefore = info.map(r =>
+      r.getAs[Long]("bucket") -> r.getAs[String]("file")).toMap
+    Merge.upsert(spark, path, Seq((3L, -3.0)).toDF("id", "v"), "id", 4)
+    val after = Merge.filesInfo(spark, path).collect()
+    assert(after.length == 4)
+    assert(after.map(_.getAs[Long]("rows")).sum == 100L)
+    val changed = after.count(r =>
+      namesBefore(r.getAs[Long]("bucket")) != r.getAs[String]("file"))
+    assert(changed == 1, s"exactly the touched bucket's file changes")
+  }
+
   test("upsert replaces updated keys, appends new ones, leaves rest") {
     val path = freshDir("sem")
     val base = (0L until 100L).map(i => (i, s"name_$i", i * 10.0))

@@ -241,9 +241,15 @@ class GraftTableSource(spark: SparkSession, path: String,
         finally out.close()
         (b, snap, resolvedSchema)
       } catch {
-        // lost the create race to a parallel restart: its anchor wins
-        case _: java.io.IOException =>
-          stored().getOrElse((b, snap, resolvedSchema))
+        // Swallow the failure ONLY when the anchor now exists — we lost
+        // the create race to a parallel restart and its anchor wins.
+        // Any other IOException (permissions, parent-is-a-file, remote
+        // FS fault) must propagate: proceeding would run the source on
+        // an UNPERSISTED anchor, and a later restart would re-resolve
+        // `latest` against the moved table, skipping or re-emitting
+        // commits contrary to the once-per-checkpoint anchor contract.
+        case e: java.io.IOException =>
+          stored().getOrElse(throw e)
       }
     }
   }

@@ -427,4 +427,43 @@ class TableStreamSpec extends SparkSpec {
     val renamed = readTableStream(path, Map("opCol" -> "_change"))
     assert(renamed.schema.fieldNames.toSeq == Seq("id", "op", "_change"))
   }
+
+  test("a non-race anchor create failure fails loudly, not silently") {
+    // If persisting the once-per-checkpoint anchor fails for any reason
+    // OTHER than losing the create race (here: an injected FS fault),
+    // the source must propagate the error — running on an unpersisted
+    // anchor would let a restart re-resolve `latest` against the moved
+    // table, violating the anchor contract.
+    val base = freshBase("anchorfail")
+    val path = new File(base, "tbl").getAbsolutePath
+    Merge.writeKeyed(baseDf, path, "id", nBuckets = 2)
+    spark.sparkContext.hadoopConfiguration.setClass(
+      "fs.faultyanchor.impl", classOf[FaultyAnchorFs],
+      classOf[org.apache.hadoop.fs.FileSystem])
+    val meta = s"faultyanchor://${new File(base, "meta").getAbsolutePath}"
+    val e = intercept[java.io.IOException] {
+      new GraftTableStreamProvider().createSource(spark.sqlContext, meta,
+        None, "graft-table", Map("path" -> path))
+    }
+    assert(e.getMessage.contains("injected anchor create failure"))
+    // and nothing half-written: the anchor does not exist afterwards
+    assert(!new File(new File(base, "meta"), "anchor").exists())
+  }
+}
+
+/** Local FS that fails every `create` of a file named `anchor` — the
+  * injection seam for the non-race anchor-persist failure test above.
+  * Everything else (exists, mkdirs, open) behaves like the local disk.
+  */
+class FaultyAnchorFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("faultyanchor:///")
+  // every RawLocalFileSystem create overload funnels through this seam
+  override protected def createOutputStreamWithMode(
+      f: org.apache.hadoop.fs.Path, append: Boolean,
+      permission: org.apache.hadoop.fs.permission.FsPermission)
+      : java.io.OutputStream = {
+    if (f.getName == "anchor")
+      throw new java.io.IOException("injected anchor create failure")
+    super.createOutputStreamWithMode(f, append, permission)
+  }
 }

@@ -155,6 +155,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // so the reorder keeps it left of the quadratic kernel)
     ext.injectOptimizerRule(_ => LevenshteinPrune)
     ext.injectOptimizerRule(_ => OracleCostReorder)
+    // SQL UPDATE / MERGE INTO on graft tables (Delta's analysis-rule
+    // doorway): resolved statements become one-commit Merge upserts
+    ext.injectResolutionRule(_ => graft.sources.v2.GraftDmlRule)
     ext.injectFunction((
       new FunctionIdentifier("multi_contains"),
       new ExpressionInfo(classOf[MultiContains].getName, "multi_contains"),

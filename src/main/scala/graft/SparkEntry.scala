@@ -1107,6 +1107,78 @@ object SparkEntry {
             WHERE p_partkey <= 5000
             GROUP BY p_brand ORDER BY p_brand""")
     }),
+    "q_sql_update" -> ((s, dir) => {
+      // SQL UPDATE through the injected DML rule: the resolved
+      // statement becomes ONE bucket-granular Merge.upsert commit
+      // (required in-gate), the WHERE predicate rides the DSv2 scan's
+      // manifest pruning, and the read-back ≡ the oracle's CASE image.
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val root = new java.io.File(scratchRoot, s"graft_sqlupd_$sf")
+      val path = new java.io.File(root, "part").getAbsolutePath
+      val part = t(s, dir, "part")
+        .select("p_partkey", "p_name", "p_retailprice")
+      graft.sources.Merge.writeKeyed(part, path, "p_partkey",
+        nBuckets = 16, statsCols = Seq("p_partkey"))
+      val cat = s"gsqlu_$sf"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root.getAbsolutePath)
+      s.sql(s"""UPDATE $cat.part
+                SET p_name = concat(p_name, '!'),
+                    p_retailprice = p_retailprice * 2
+                WHERE p_partkey <= 1000""")
+      require(graft.sources.Merge.currentVersion(s, path) == 1L,
+        "the SQL UPDATE must land as exactly one commit")
+      s.sql(
+        s"""SELECT p_partkey, p_name, p_retailprice FROM $cat.part
+            WHERE p_partkey <= 3000 ORDER BY p_partkey""")
+    }),
+    "q_sql_merge" -> ((s, dir) => {
+      // SQL MERGE INTO, all three branches in ONE commit (required
+      // in-gate): matched deletes (op='del'), matched updates, not-
+      // matched inserts (shifted keys), and a conditional NOT MATCHED
+      // BY SOURCE delete — folded through Merge.upsert's tombstone
+      // dialect, read back ≡ the oracle's relational emulation.
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val root = new java.io.File(scratchRoot, s"graft_sqlmrg_$sf")
+      val path = new java.io.File(root, "part").getAbsolutePath
+      val part = t(s, dir, "part")
+        .select("p_partkey", "p_name", "p_retailprice")
+      graft.sources.Merge.writeKeyed(part, path, "p_partkey",
+        nBuckets = 16, statsCols = Seq("p_partkey"))
+      val cat = s"gsqlm_$sf"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root.getAbsolutePath)
+      val view = s"graft_sqlmrg_src_$sf"
+      part.filter(col("p_partkey") <= 1500)
+        .select(col("p_partkey"),
+          concat(col("p_name"), lit("_m")).as("p_name"),
+          (col("p_retailprice") + lit(1.0)).as("p_retailprice"),
+          when(col("p_partkey") % 3 === 0, "del").otherwise("upd")
+            .as("op"))
+        .unionByName(part.filter(col("p_partkey") <= 200)
+          .select((col("p_partkey") + 10000000L).as("p_partkey"),
+            concat(lit("ins_"), col("p_partkey")).as("p_name"),
+            lit(1.0).as("p_retailprice"), lit("upd").as("op")))
+        .createOrReplaceTempView(view)
+      s.sql(s"""
+        MERGE INTO $cat.part t USING $view s
+        ON t.p_partkey = s.p_partkey
+        WHEN MATCHED AND s.op = 'del' THEN DELETE
+        WHEN MATCHED THEN UPDATE
+          SET p_name = s.p_name, p_retailprice = s.p_retailprice
+        WHEN NOT MATCHED THEN INSERT (p_partkey, p_name, p_retailprice)
+          VALUES (s.p_partkey, s.p_name, s.p_retailprice)
+        WHEN NOT MATCHED BY SOURCE AND t.p_partkey > 1900 THEN DELETE
+      """)
+      require(graft.sources.Merge.currentVersion(s, path) == 1L,
+        "the whole SQL MERGE must land as exactly one commit")
+      s.sql(
+        s"""SELECT p_partkey, p_name, p_retailprice FROM $cat.part
+            WHERE p_partkey <= 2500 OR p_partkey > 10000000
+            ORDER BY p_partkey""")
+    }),
     "q_merge_rename" -> ((s, dir) => {
       // COLUMN MAPPING: rename is a metadata-only commit (no data file
       // moves — ColumnMappingSpec pins the mtimes); an upsert after the
@@ -5643,6 +5715,44 @@ object SparkEntry {
                 CAST(sum(p_size) AS BIGINT) AS sum_size
          FROM part WHERE p_partkey <= 5000
          GROUP BY p_brand ORDER BY p_brand""",
+    // the SQL UPDATE's CASE image over the matched range
+    "q_sql_update" ->
+      """SELECT p_partkey,
+                CASE WHEN p_partkey <= 1000 THEN p_name || '!'
+                     ELSE p_name END AS p_name,
+                CASE WHEN p_partkey <= 1000 THEN p_retailprice * 2
+                     ELSE p_retailprice END AS p_retailprice
+         FROM part WHERE p_partkey <= 3000
+         ORDER BY p_partkey""",
+    // relational emulation of the three-branch MERGE: matched rows take
+    // the source image (op='del' rows die), unmatched target rows die
+    // above 1900, shifted-key inserts append
+    "q_sql_merge" ->
+      """WITH src AS (
+           SELECT p_partkey, p_name || '_m' AS p_name,
+                  p_retailprice + 1.0 AS p_retailprice,
+                  CASE WHEN p_partkey % 3 = 0 THEN 'del' ELSE 'upd' END
+                    AS op
+           FROM part WHERE p_partkey <= 1500
+         ),
+         merged AS (
+           SELECT t.p_partkey,
+                  CASE WHEN s.p_partkey IS NOT NULL THEN s.p_name
+                       ELSE t.p_name END AS p_name,
+                  CASE WHEN s.p_partkey IS NOT NULL THEN s.p_retailprice
+                       ELSE t.p_retailprice END AS p_retailprice,
+                  CASE WHEN s.op = 'del' THEN 1
+                       WHEN s.p_partkey IS NULL AND t.p_partkey > 1900
+                         THEN 1
+                       ELSE 0 END AS dead
+           FROM part t LEFT JOIN src s ON t.p_partkey = s.p_partkey
+           UNION ALL
+           SELECT p_partkey + 10000000, 'ins_' || p_partkey, 1.0, 0
+           FROM part WHERE p_partkey <= 200
+         )
+         SELECT p_partkey, p_name, p_retailprice FROM merged
+         WHERE dead = 0 AND (p_partkey <= 2500 OR p_partkey > 10000000)
+         ORDER BY p_partkey""",
     // current image under the renamed column + the pre-rename v0 image
     "q_merge_rename" ->
       """SELECT p_partkey,

@@ -1,0 +1,295 @@
+package graft.sources.v2
+
+import org.apache.spark.sql.{Column, DataFrame, GraftShim, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, ExprId, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, LogicalPlan, MergeAction, MergeIntoTable, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+
+import graft.sources.Merge
+
+/** SQL `UPDATE` and `MERGE INTO` for versioned graft tables — the two
+  * DML verbs the DSv2 hooks don't carry (`DELETE FROM`/`TRUNCATE` ride
+  * [[org.apache.spark.sql.connector.catalog.SupportsDelete]];
+  * INSERT/OVERWRITE ride SupportsWrite):
+  *
+  * {{{
+  *   spark.sql("UPDATE gcat.t SET name = 'x', score = score + 1 WHERE id < 7")
+  *   spark.sql("""
+  *     MERGE INTO gcat.t USING updates u ON t.id = u.id
+  *     WHEN MATCHED AND u.op = 'del' THEN DELETE
+  *     WHEN MATCHED THEN UPDATE SET name = u.name, score = u.score
+  *     WHEN NOT MATCHED THEN INSERT (id, name, score) VALUES (u.id, u.name, u.score)
+  *     WHEN NOT MATCHED BY SOURCE THEN DELETE
+  *   """)
+  * }}}
+  *
+  * Doorway: an injected analyzer RESOLUTION rule ([[GraftDmlRule]],
+  * registered by [[graft.GraftExtensions]]) converts the resolved
+  * [[UpdateTable]]/[[MergeIntoTable]] statement into a runnable command
+  * — the integration pattern Delta Lake ships (DeltaAnalysis →
+  * Update/MergeIntoCommand), chosen over DSv2
+  * `SupportsRowLevelOperations` deliberately: Spark's group-based
+  * rewrite replaces whole SCANNED GROUPS through a raw executor-side
+  * `BatchWrite`, which would bypass the Merge commit protocol (staged
+  * bucketed files, manifest stats, fenced retries) and rewrite the
+  * whole table per statement, while the command below folds the
+  * statement into ONE bucket-granular [[Merge.upsert]] commit that
+  * only touches the buckets the changed keys hash into.
+  *
+  * Both commands build their row sets as DataFrames OVER THE RESOLVED
+  * PLANS the statement already carries (via [[GraftShim.ofRows]]), so
+  * the statement's own condition/assignment expressions bind by
+  * attribute id — no name-based re-resolution — and Catalyst pushes
+  * the WHERE/ON predicates into the DSv2 scan where the manifest
+  * stats prune data files before any I/O.
+  *
+  * Semantics (Delta/ANSI):
+  *   - snapshot-read, head-write: rows are read from the version the
+  *     statement's table name RESOLVED to, the commit lands on the
+  *     current head (last-writer-wins, like every Merge upsert).
+  *   - UPDATE of the bucketing key column is refused — the key is the
+  *     row's identity; "changing" it is DELETE + INSERT, which MERGE
+  *     expresses directly.
+  *   - a MERGE that modifies the same target key twice (two source
+  *     rows matching one target row, or an INSERT colliding with an
+  *     updated key under a non-key ON condition) fails loudly with the
+  *     offending key, like Delta's multiple-source-rows-matched error.
+  *   - WHEN clauses apply FIRST-MATCH-WINS in statement order; rows
+  *     where no clause applies are left untouched (and cost nothing:
+  *     they never enter the change set, so their buckets are not
+  *     rewritten unless a changed key shares them).
+  *   - `WITH SCHEMA EVOLUTION` is refused (schema change is
+  *     [[Merge.addColumn]]'s job).
+  */
+object GraftDmlRule extends Rule[LogicalPlan] {
+
+  private[v2] def graftTarget(plan: LogicalPlan): Option[GraftTable] =
+    plan.collectFirst {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
+        r.table.asInstanceOf[GraftTable]
+    }
+
+  private def concrete(as: Seq[MergeAction]): Boolean = as.forall {
+    case _: UpdateAction | _: DeleteAction | _: InsertAction => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperators {
+      case u @ UpdateTable(table, assignments, condition)
+          if u.resolved && graftTarget(table).isDefined =>
+        GraftUpdateCommand(table, graftTarget(table).get, assignments,
+          condition)
+      case m: MergeIntoTable if m.resolved &&
+          concrete(m.matchedActions ++ m.notMatchedActions ++
+            m.notMatchedBySourceActions) &&
+          graftTarget(m.targetTable).isDefined =>
+        GraftMergeCommand(m, graftTarget(m.targetTable).get)
+    }
+}
+
+private[v2] object GraftDml {
+
+  /** Assignment keys by target-attribute id; nested-field assignment
+    * (`SET s.a = 1`) is refused — graft schema evolution and column
+    * semantics are top-level.
+    */
+  def assignmentMap(as: Seq[Assignment]): Map[ExprId, Expression] =
+    as.map { a =>
+      a.key match {
+        case ar: AttributeReference => ar.exprId -> a.value
+        case other => throw new UnsupportedOperationException(
+          s"only top-level column assignment is supported, got: $other")
+      }
+    }.toMap
+
+  /** The assigned value as a Column, cast to the column's declared type
+    * when it differs (store-assignment; non-rewritable DML skips
+    * Spark's own assignment alignment, so the cast is ours to add).
+    */
+  def valueFor(a: Attribute, v: Expression): Column = {
+    val c = GraftShim.column(v)
+    if (v.dataType.catalogString == a.dataType.catalogString) c
+    else c.cast(a.dataType)
+  }
+
+  def layoutOf(spark: SparkSession, graft: GraftTable): (String, Int) = {
+    require(graft.writable,
+      s"cannot write to a time-traveled or pinned-catalog resolution " +
+      s"of ${graft.path} — DML goes to the table head (directory-mode " +
+      "catalog or spark.read without time travel)")
+    Merge.tableLayout(spark, graft.path).getOrElse(
+      throw new IllegalArgumentException(
+        s"${graft.path} records no (keyCol, nBuckets) layout — " +
+        "write it with writeKeyed first"))
+  }
+}
+
+/** `UPDATE t SET ... [WHERE ...]` — one bucket-granular copy-on-write
+  * [[Merge.upsert]] commit of exactly the matched rows' new images.
+  */
+case class GraftUpdateCommand(table: LogicalPlan, graft: GraftTable,
+    assignments: Seq[Assignment], condition: Option[Expression])
+    extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (keyCol, nBuckets) = GraftDml.layoutOf(spark, graft)
+    val byId = GraftDml.assignmentMap(assignments)
+    val attrs = table.output
+    attrs.find(_.name == keyCol).foreach { k =>
+      require(!byId.contains(k.exprId),
+        s"UPDATE of the key column '$keyCol' is refused — the key is " +
+        "the row's identity; express a key change as MERGE's " +
+        "DELETE + INSERT")
+    }
+    val target = GraftShim.ofRows(spark, table)
+    val matched = condition
+      .map(c => target.filter(GraftShim.column(c))).getOrElse(target)
+    val updated = matched.select(attrs.map { a =>
+      byId.get(a.exprId)
+        .map(GraftDml.valueFor(a, _))
+        .getOrElse(GraftShim.column(a))
+        .as(a.name)
+    }: _*)
+    Merge.upsert(spark, graft.path, updated, keyCol, nBuckets)
+    Seq.empty
+  }
+}
+
+/** `MERGE INTO t USING s ON ... WHEN ...` — the full three-branch
+  * statement folded into ONE commit: matched updates/deletes,
+  * not-matched inserts, and not-matched-by-source updates/deletes
+  * land together through [[Merge.upsert]]'s tombstone dialect
+  * (updates+inserts as images, deletes as tombstoned keys), so a
+  * reader sees the whole MERGE or none of it.
+  */
+case class GraftMergeCommand(m: MergeIntoTable, graft: GraftTable)
+    extends LeafRunnableCommand {
+
+  private val DEL = "__graft_merge_del"
+  private val KCH = "__graft_key_changed"
+
+  /** First-match-wins fold of a branch's WHEN clauses over `rows`:
+    * emits one change row per input row where SOME clause applies
+    * (action conditions are 3VL — null means not applicable), with
+    * every target column materialized, the tombstone flag set by the
+    * winning clause's kind, and a key-identity flag — true when an
+    * UPDATE image carries a key different from the row's own (only a
+    * star expansion can express that; it is checked and refused at
+    * runtime). Rows no clause claims are dropped — they are the
+    * statement's explicit no-ops.
+    */
+  private def branch(rows: DataFrame, actions: Seq[MergeAction],
+      attrs: Seq[Attribute], keyAttr: Attribute,
+      insertBranch: Boolean): DataFrame = {
+    val applies = {
+      val raw = actions.map(_.condition
+        .map(c => coalesce(GraftShim.column(c), lit(false)))
+        .getOrElse(lit(true)))
+      raw.zipWithIndex.map { case (p, i) =>
+        raw.take(i).foldLeft(p)((acc, prev) => acc && !prev)
+      }
+    }
+    def image(action: MergeAction, a: Attribute): Column = action match {
+      case UpdateAction(_, as, _) =>
+        GraftDml.assignmentMap(as).get(a.exprId)
+          .map(GraftDml.valueFor(a, _)).getOrElse(GraftShim.column(a))
+      case _: DeleteAction => GraftShim.column(a)
+      case InsertAction(_, as) =>
+        GraftDml.assignmentMap(as).get(a.exprId)
+          .map(GraftDml.valueFor(a, _))
+          .getOrElse(lit(null).cast(a.dataType))
+      case other => throw new UnsupportedOperationException(
+        s"unsupported MERGE action: $other")
+    }
+    def fold(values: Seq[Column], fallback: Column): Column =
+      applies.zip(values).tail
+        .foldLeft(when(applies.head, values.head)) {
+          case (acc, (p, v)) => acc.when(p, v)
+        }.otherwise(fallback)
+    val unaliased = attrs.map { a =>
+      fold(actions.map(image(_, a)),
+        if (insertBranch) lit(null).cast(a.dataType)
+        else GraftShim.column(a))
+    }
+    val delFlag = fold(
+      actions.map(a => lit(a.isInstanceOf[DeleteAction])), lit(false))
+    val keyChanged =
+      if (insertBranch) lit(false)
+      else !(unaliased(attrs.indexOf(keyAttr)) <=> GraftShim.column(keyAttr))
+    rows.filter(applies.reduceLeft(_ || _)).select(
+      attrs.zip(unaliased).map { case (a, c) => c.as(a.name) } :+
+        delFlag.as(DEL) :+ keyChanged.as(KCH): _*)
+  }
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(!m.withSchemaEvolution,
+      "MERGE ... WITH SCHEMA EVOLUTION is refused — evolve the table " +
+      "explicitly with Merge.addColumn / ALTER TABLE ADD COLUMN first")
+    val (keyCol, nBuckets) = GraftDml.layoutOf(spark, graft)
+    val tAttrs = m.targetTable.output
+    val keyAttr = tAttrs.find(_.name == keyCol).getOrElse(
+      throw new IllegalStateException(
+        s"target resolution lost the key column '$keyCol'"))
+    // an EXPLICIT `UPDATE SET key = ...` is refused statically; a star
+    // expansion (`UPDATE SET *`) assigns the key by construction and is
+    // allowed, guarded at runtime — the assigned key must equal the
+    // row's own (always true when ON is key-equality)
+    (m.matchedActions ++ m.notMatchedBySourceActions).foreach {
+      case UpdateAction(_, as, fromStar) if !fromStar =>
+        require(!GraftDml.assignmentMap(as).contains(keyAttr.exprId),
+          s"MERGE UPDATE of the key column '$keyCol' is refused — " +
+          "express a key change as DELETE + INSERT")
+      case _ => ()
+    }
+    m.notMatchedActions.foreach {
+      case InsertAction(_, as) =>
+        require(GraftDml.assignmentMap(as).contains(keyAttr.exprId),
+          s"MERGE INSERT must assign the key column '$keyCol'")
+      case other => throw new UnsupportedOperationException(
+        s"unsupported NOT MATCHED action: $other")
+    }
+
+    val target = GraftShim.ofRows(spark, m.targetTable)
+    val source = GraftShim.ofRows(spark, m.sourceTable)
+    val cond = GraftShim.column(m.mergeCondition)
+
+    val branches = Seq.newBuilder[DataFrame]
+    if (m.matchedActions.nonEmpty)
+      branches += branch(target.join(source, cond, "inner"),
+        m.matchedActions, tAttrs, keyAttr, insertBranch = false)
+    if (m.notMatchedActions.nonEmpty)
+      branches += branch(source.join(target, cond, "left_anti"),
+        m.notMatchedActions, tAttrs, keyAttr, insertBranch = true)
+    if (m.notMatchedBySourceActions.nonEmpty)
+      branches += branch(target.join(source, cond, "left_anti"),
+        m.notMatchedBySourceActions, tAttrs, keyAttr, insertBranch = false)
+    val built = branches.result()
+    if (built.isEmpty) return Seq.empty
+
+    // the change set is change-sized, and it is read three times (the
+    // key-identity guard, the cardinality check, the commit) — pin it
+    val changes = built.reduceLeft(_ union _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val kch = changes.filter(col(KCH)).limit(1).collect()
+      require(kch.isEmpty,
+        s"MERGE UPDATE SET * changed the key column '$keyCol' for " +
+        s"target key ${kch.headOption.map(_.get(0)).orNull} — the key " +
+        "is the row's identity; express a key change as DELETE + INSERT")
+      val dup = changes.groupBy(col(keyCol)).count()
+        .filter(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"MERGE modifies target key ${dup.headOption.map(_.get(0)).orNull} " +
+        "more than once (multiple source rows matched one target row, " +
+        "or an INSERT collides with an updated key) — deduplicate the " +
+        "source or tighten the ON condition")
+      Merge.upsert(spark, graft.path, changes.drop(KCH), keyCol, nBuckets,
+        tombstoneCol = Some(DEL))
+    } finally changes.unpersist(blocking = false)
+    Seq.empty
+  }
+}

@@ -184,7 +184,7 @@ object GraftTable {
   * against.
   */
 class GraftTable(val path: String, val pinnedVersion: Long,
-    dataSchema: StructType, writable: Boolean = true)
+    dataSchema: StructType, val writable: Boolean = true)
     extends Table with SupportsRead with SupportsWrite
     with SupportsDelete {
 

@@ -28,4 +28,15 @@ object GraftShim {
     * (ExpectsInputTypes / ImplicitCastInputTypes).
     */
   type AbstractDT = org.apache.spark.sql.types.AbstractDataType
+
+  /** `Dataset.ofRows` is `private[sql]`; the SQL DML commands
+    * (graft.sources.v2.GraftDml) need it to re-issue the ALREADY
+    * RESOLVED relation/source plans a DML statement carries as
+    * DataFrames — keeping the original attribute ids, so the
+    * statement's own resolved condition and assignment expressions
+    * bind against them without any name-based re-resolution.
+    */
+  def ofRows(spark: SparkSession,
+      plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

@@ -1,0 +1,220 @@
+package graft.sources
+
+import java.io.File
+import java.nio.file.Files
+
+import graft.GraftExtensions
+import graft.sources.v2.GraftTable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL `UPDATE` / `MERGE INTO` on graft tables through the injected
+  * analyzer rule: one bucket-granular commit per statement, key-column
+  * identity enforced, first-match-wins WHEN clauses, double-touch
+  * detection, and the scan side still manifest-pruned.
+  *
+  * Builds its own session: the DML rule arrives via GraftExtensions,
+  * which must be present at session construction.
+  */
+class GraftDmlSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-dml-test")
+      .config("spark.sql.shuffle.partitions", 2)
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    s
+  }
+
+  /** A fresh table named `t` under a fresh dir-mode catalog named
+    * `g<tag>` — one catalog PER TEST, because Spark's CatalogManager
+    * caches plugin instances by name and would ignore a re-pointed
+    * root. Returns the table path. 200 rows (id, name, score),
+    * 8 buckets, id stats recorded.
+    */
+  private def freshTable(tag: String): String = {
+    import spark.implicits._
+    val root = Files.createTempDirectory(s"graft_dml_$tag").toFile
+    root.deleteOnExit()
+    val path = new File(root, "t").getAbsolutePath
+    Merge.writeKeyed(
+      (0L until 200L).map(i => (i, s"name_$i", i * 10.0))
+        .toDF("id", "name", "score"),
+      path, "id", nBuckets = 8, statsCols = Seq("id"))
+    spark.conf.set(s"spark.sql.catalog.g$tag",
+      "graft.sources.v2.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.g$tag.root", root.getAbsolutePath)
+    path
+  }
+
+  test("UPDATE with WHERE: matched rows rewritten, one commit, " +
+      "history preserved") {
+    import spark.implicits._
+    val path = freshTable("upd")
+    val v0 = Merge.currentVersion(spark, path)
+    spark.sql(
+      "UPDATE gupd.t SET name = 'boosted', score = score + 0.5 " +
+      "WHERE id < 3")
+    assert(Merge.currentVersion(spark, path) == v0 + 1)
+    val now = Merge.readKeyed(spark, path)
+    assert(now.count() == 200L)
+    val hit = now.filter($"id" < 3).orderBy("id")
+      .select("name", "score").as[(String, Double)].collect().toSeq
+    assert(hit == Seq(("boosted", 0.5), ("boosted", 10.5),
+      ("boosted", 20.5)))
+    assert(now.filter($"id" === 5L).select("name").as[String].head()
+      == "name_5")
+    // the pre-update version still answers
+    assert(Merge.readVersion(spark, path, v0).filter($"id" === 0L)
+      .select("name").as[String].head() == "name_0")
+  }
+
+  test("UPDATE without WHERE touches every row; key assignment refused") {
+    import spark.implicits._
+    val path = freshTable("updall")
+    spark.sql("UPDATE gupdall.t SET score = 0.0")
+    val now = Merge.readKeyed(spark, path)
+    assert(now.agg(sum("score")).as[Double].head() == 0.0)
+    assert(now.count() == 200L)
+    val e = intercept[Exception] {
+      spark.sql("UPDATE gupdall.t SET id = id + 1")
+    }
+    assert(e.getMessage.contains("key column"))
+  }
+
+  test("UPDATE value of a different numeric type is store-assigned " +
+      "to the column type") {
+    import spark.implicits._
+    val path = freshTable("updcast")
+    spark.sql("UPDATE gupdcast.t SET score = 7 WHERE id = 1")
+    val got = Merge.readKeyed(spark, path).filter($"id" === 1L)
+      .select("score").as[Double].head()
+    assert(got == 7.0)
+    assert(Merge.readKeyed(spark, path).schema("score").dataType
+      == org.apache.spark.sql.types.DoubleType)
+  }
+
+  test("MERGE INTO: update + conditional delete + insert + " +
+      "not-matched-by-source, ONE commit") {
+    import spark.implicits._
+    val path = freshTable("merge")
+    // keep only ids 0..9 in the target's source-matched world:
+    //  - id 0: matched, op=del  -> deleted
+    //  - id 1: matched, op=upd  -> updated
+    //  - id 500: not matched    -> inserted
+    //  - ids 2..199: not matched by source, id >= 100 -> deleted
+    Seq((0L, "z", 0.0, "del"), (1L, "one_v2", 11.0, "upd"),
+      (500L, "fresh", 5.0, "upd"))
+      .toDF("id", "name", "score", "op")
+      .createOrReplaceTempView("dml_src")
+    val v0 = Merge.currentVersion(spark, path)
+    spark.sql("""
+      MERGE INTO gmerge.t AS t USING dml_src AS s ON t.id = s.id
+      WHEN MATCHED AND s.op = 'del' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET name = s.name, score = s.score
+      WHEN NOT MATCHED THEN INSERT (id, name, score)
+        VALUES (s.id, s.name, s.score)
+      WHEN NOT MATCHED BY SOURCE AND t.id >= 100 THEN DELETE
+    """)
+    assert(Merge.currentVersion(spark, path) == v0 + 1,
+      "the whole MERGE must be one commit")
+    val now = Merge.readKeyed(spark, path)
+    // 200 - 1 (id 0) - 100 (ids 100..199) + 1 (id 500) = 100
+    assert(now.count() == 100L)
+    assert(now.filter($"id" === 0L).isEmpty)
+    assert(now.filter($"id" === 1L).select("name", "score")
+      .as[(String, Double)].head() == ("one_v2", 11.0))
+    assert(now.filter($"id" === 500L).select("name", "score")
+      .as[(String, Double)].head() == ("fresh", 5.0))
+    assert(now.filter($"id" >= 100L && $"id" < 500L).isEmpty)
+    assert(now.filter($"id" === 50L).select("name").as[String].head()
+      == "name_50")
+  }
+
+  test("MERGE star forms: UPDATE SET * / INSERT *") {
+    import spark.implicits._
+    val path = freshTable("star")
+    Seq((3L, "starred", 33.0), (777L, "new_star", 77.0))
+      .toDF("id", "name", "score")
+      .createOrReplaceTempView("dml_star_src")
+    spark.sql("""
+      MERGE INTO gstar.t t USING dml_star_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *
+    """)
+    val now = Merge.readKeyed(spark, path)
+    assert(now.count() == 201L)
+    assert(now.filter($"id" === 3L).select("name").as[String].head()
+      == "starred")
+    assert(now.filter($"id" === 777L).select("name", "score")
+      .as[(String, Double)].head() == ("new_star", 77.0))
+  }
+
+  test("MERGE unassigned insert columns become NULL; WHEN clause " +
+      "order is first-match-wins") {
+    import spark.implicits._
+    val path = freshTable("order")
+    Seq((1L, "a"), (900L, "b")).toDF("id", "tag")
+      .createOrReplaceTempView("dml_ord_src")
+    spark.sql("""
+      MERGE INTO gorder.t t USING dml_ord_src s ON t.id = s.id
+      WHEN MATCHED AND s.tag = 'a' THEN UPDATE SET name = 'first'
+      WHEN MATCHED THEN UPDATE SET name = 'second'
+      WHEN NOT MATCHED THEN INSERT (id, name) VALUES (s.id, 'inserted')
+    """)
+    val now = Merge.readKeyed(spark, path)
+    assert(now.filter($"id" === 1L).select("name").as[String].head()
+      == "first")
+    val ins = now.filter($"id" === 900L)
+      .select("name", "score").collect().head
+    assert(ins.getString(0) == "inserted" && ins.isNullAt(1),
+      "unassigned insert column must be NULL")
+  }
+
+  test("MERGE that touches one target key twice fails loudly") {
+    import spark.implicits._
+    freshTable("dup")
+    Seq((1L, "x"), (1L, "y")).toDF("id", "name")
+      .createOrReplaceTempView("dml_dup_src")
+    val e = intercept[Exception] {
+      spark.sql("""
+        MERGE INTO gdup.t t USING dml_dup_src s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET name = s.name
+      """)
+    }
+    assert(e.getMessage.contains("more than once"))
+  }
+
+  test("UPDATE WHERE on the key is manifest-pruned at the scan") {
+    val path = freshTable("prune")
+    GraftTable.lastScanFiles = None
+    spark.sql("UPDATE gprune.t SET name = 'pruned' WHERE id = 7")
+    val Some((sel, total)) = GraftTable.lastScanFiles
+    assert(sel < total && sel >= 1,
+      s"the UPDATE's find-scan must prune files: selected $sel of $total")
+    import spark.implicits._
+    assert(Merge.readKeyed(spark, path).filter($"id" === 7L)
+      .select("name").as[String].head() == "pruned")
+  }
+
+  test("UPDATE/MERGE on a non-graft relation still gets Spark's error") {
+    import spark.implicits._
+    Seq((1, "a")).toDF("id", "v").createOrReplaceTempView("plain_view")
+    // Spark's own refusal (the exact exception type is Spark's
+    // business — 4.1 throws SparkUnsupportedOperationException); what
+    // matters is that OUR rule left the statement alone
+    val e = intercept[Exception] {
+      spark.sql("UPDATE plain_view SET v = 'x' WHERE id = 1")
+    }
+    assert(!e.getMessage.contains("graft"))
+  }
+}

@@ -1179,6 +1179,45 @@ object SparkEntry {
             WHERE p_partkey <= 2500 OR p_partkey > 10000000
             ORDER BY p_partkey""")
     }),
+    "q_sql_call" -> ((s, dir) => {
+      // DSv2 STORED PROCEDURES: the maintenance lifecycle from pure
+      // SQL — CALL create_tag pins v0, CALL compact folds the upsert
+      // fragmentation (rows must not change), CALL vacuum reclaims
+      // superseded files while the tagged v0 provably still answers
+      // (read back VERSION AS OF the tag). Result = current CASE image
+      // ∪ tagged raw image ≡ oracle.
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val root = new java.io.File(scratchRoot, s"graft_sqlcall_$sf")
+      val path = new java.io.File(root, "part").getAbsolutePath
+      val part = t(s, dir, "part")
+        .select("p_partkey", "p_name", "p_retailprice")
+      graft.sources.Merge.writeKeyed(part, path, "p_partkey",
+        nBuckets = 16, statsCols = Seq("p_partkey"))
+      graft.sources.Merge.upsert(s, path,
+        part.filter(col("p_partkey") <= 500)
+          .withColumn("p_retailprice", col("p_retailprice") + lit(1.0)),
+        "p_partkey", nBuckets = 16)
+      val cat = s"gcall_$sf"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root.getAbsolutePath)
+      val tagged = s.sql(s"CALL $cat.system.create_tag(" +
+        "table => 'part', tag => 'pre', version => 0)").collect()
+      require(tagged.head.getLong(0) == 0L, "tag must pin v0")
+      s.sql(s"CALL $cat.system.compact(table => 'part')").collect()
+      val vac = s.sql(s"CALL $cat.system.vacuum(table => 'part')")
+        .collect()
+      require(vac.head.getLong(0) ==
+        graft.sources.Merge.currentVersion(s, path),
+        "vacuum must report the committed head")
+      s.sql(
+        s"""SELECT p_partkey, p_retailprice AS price, 'current' AS src
+            FROM $cat.part WHERE p_partkey <= 2000
+            UNION ALL
+            SELECT p_partkey, p_retailprice AS price, 'tagged' AS src
+            FROM $cat.part VERSION AS OF 'pre' WHERE p_partkey <= 2000
+            ORDER BY src, p_partkey""")
+    }),
     "q_merge_rename" -> ((s, dir) => {
       // COLUMN MAPPING: rename is a metadata-only commit (no data file
       // moves — ColumnMappingSpec pins the mtimes); an upsert after the
@@ -5715,6 +5754,18 @@ object SparkEntry {
                 CAST(sum(p_size) AS BIGINT) AS sum_size
          FROM part WHERE p_partkey <= 5000
          GROUP BY p_brand ORDER BY p_brand""",
+    // the procedure lifecycle: current image (upsert survived compact
+    // and vacuum) beside the tagged v0 image (survived vacuum)
+    "q_sql_call" ->
+      """SELECT p_partkey,
+                CASE WHEN p_partkey <= 500 THEN p_retailprice + 1.0
+                     ELSE p_retailprice END AS price,
+                'current' AS src
+         FROM part WHERE p_partkey <= 2000
+         UNION ALL
+         SELECT p_partkey, p_retailprice AS price, 'tagged' AS src
+         FROM part WHERE p_partkey <= 2000
+         ORDER BY src, p_partkey""",
     // the SQL UPDATE's CASE image over the matched range
     "q_sql_update" ->
       """SELECT p_partkey,

@@ -58,7 +58,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * [[GraftCat.transact]], which also moves the pins.
   */
 class GraftCatalog extends V2TableCatalog
-    with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
+    with org.apache.spark.sql.connector.catalog.SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -237,4 +238,27 @@ class GraftCatalog extends V2TableCatalog
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit =
     readOnly(s"RENAME TABLE $oldIdent")
+
+  // ---- stored procedures: `CALL <cat>.system.<proc>(...)` ----------
+
+  private lazy val procedures =
+    new GraftProcedures(name(), t => pathOf(Identifier.of(Array.empty, t)))
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"procedures live in the 'system' namespace: " +
+      s"CALL ${name()}.system.${ident.name()}(...)")
+    procedures.all.getOrElse(ident.name().toLowerCase(java.util.Locale.ROOT),
+      throw new IllegalArgumentException(
+        s"unknown procedure '${ident.name()}' — available: " +
+        procedures.all.keys.toSeq.sorted.mkString(", ")))
+  }
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      procedures.all.keys.toSeq.sorted
+        .map(Identifier.of(Array("system"), _)).toArray
+    else Array.empty
 }

@@ -1,0 +1,168 @@
+package graft.sources.v2
+
+import java.util.{Collections, Iterator => JIterator}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.Merge
+
+/** DSv2 STORED PROCEDURES — table maintenance from plain SQL, the
+  * Iceberg `CALL` surface on the graft catalog:
+  *
+  * {{{
+  *   CALL gcat.system.compact(table => 't', zorder_by => 'a,b')
+  *   CALL gcat.system.vacuum(table => 't', keep_versions => 3)
+  *   CALL gcat.system.restore(table => 't', version => 2)
+  *   CALL gcat.system.create_tag(table => 't', tag => 'release-1')
+  *   CALL gcat.system.delete_tag(table => 't', tag => 'release-1')
+  *   CALL gcat.system.relayout(table => 't', buckets => 64)
+  * }}}
+  *
+  * Each procedure resolves its table BY NAME through the owning
+  * catalog (so `CALL` composes with `SELECT` on the same names),
+  * delegates to the one Scala implementation of the verb
+  * ([[Merge.compactVersion]], [[Merge.vacuum]], [[Merge.restore]],
+  * [[Merge.tagVersion]]/[[Merge.deleteTag]], [[Merge.relayout]] — no
+  * re-implementation that could drift), and returns a one-row result
+  * scan describing what happened. MUTATING procedures are refused on
+  * PINNED-catalog members, exactly like DML: members change through
+  * `TableCatalog.transact`, which also moves the pins.
+  *
+  * Spark 4's procedure binding handles named arguments and declared
+  * defaults; every parameter is IN-mode.
+  */
+private[v2] class GraftProcedures(
+    catalogName: String, resolve: String => (String, Option[Long])) {
+
+  private def in(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+  private def inDefault(name: String, dt: DataType,
+      default: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+  /** (path, pinned) of a member; mutating verbs refuse pinned members. */
+  private def mutablePath(table: String): String = {
+    val (path, pinned) = resolve(table)
+    require(pinned.isEmpty,
+      s"table '$table' is a PINNED member of catalog '$catalogName' — " +
+      "maintenance goes through TableCatalog.transact, which also " +
+      "moves the pins")
+    path
+  }
+
+  private abstract class Proc(val name: String, val describe: String,
+      params: Seq[ProcedureParameter], result: StructType)
+      extends UnboundProcedure with BoundProcedure {
+    override def description(): String = describe
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params.toArray
+    override def isDeterministic: Boolean = false
+    protected def exec(spark: SparkSession, args: InternalRow): Seq[Any]
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val out = new GenericInternalRow(
+        exec(SparkSession.active, input).toArray)
+      Collections.singletonList[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = Array(out)
+        override def readSchema(): StructType = result
+        override def description(): String = s"graft procedure $name"
+      }).iterator()
+    }
+  }
+
+  private val compact = new Proc("compact",
+    "Rewrite over-fragmented buckets (optionally Z-ORDER clustering " +
+    "them) into one new version with identical rows",
+    Seq(in("table", StringType),
+      inDefault("files_per_bucket", IntegerType, "1"),
+      inDefault("zorder_by", StringType, "''")),
+    StructType(Seq(StructField("version", LongType),
+      StructField("buckets_rewritten", LongType),
+      StructField("files_before", LongType),
+      StructField("files_after", LongType)))) {
+    override def exec(spark: SparkSession, a: InternalRow): Seq[Any] = {
+      val z = Option(a.getUTF8String(2)).map(_.toString).getOrElse("")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val st = Merge.compactVersion(spark,
+        mutablePath(a.getUTF8String(0).toString),
+        targetFilesPerBucket = a.getInt(1), zOrderBy = z)
+      Seq(st.version, st.bucketsRewritten.toLong, st.filesBefore.toLong,
+        st.filesAfter.toLong)
+    }
+  }
+
+  private val vacuum = new Proc("vacuum",
+    "Reclaim files only unreachable versions reference (tagged " +
+    "versions always survive; never-referenced files wait out the " +
+    "orphan grace floor)",
+    Seq(in("table", StringType),
+      inDefault("keep_versions", IntegerType, "1"),
+      inDefault("grace_ms", LongType, "0")),
+    StructType(Seq(StructField("current_version", LongType)))) {
+    override def exec(spark: SparkSession, a: InternalRow): Seq[Any] = {
+      val path = mutablePath(a.getUTF8String(0).toString)
+      Merge.vacuum(spark, path, keepVersions = a.getInt(1),
+        graceMs = a.getLong(2))
+      Seq(Merge.currentVersion(spark, path))
+    }
+  }
+
+  private val restore = new Proc("restore",
+    "Commit a NEW head whose content is an earlier version's — " +
+    "time travel made durable, history preserved",
+    Seq(in("table", StringType), in("version", LongType)),
+    StructType(Seq(StructField("restored_version", LongType)))) {
+    override def exec(spark: SparkSession, a: InternalRow): Seq[Any] =
+      Seq(Merge.restore(spark, mutablePath(a.getUTF8String(0).toString),
+        a.getLong(1)))
+  }
+
+  private val createTag = new Proc("create_tag",
+    "Name a version immutably (version => -1 tags the current head); " +
+    "tagged versions survive vacuum until the tag is dropped",
+    Seq(in("table", StringType), in("tag", StringType),
+      inDefault("version", LongType, "-1")),
+    StructType(Seq(StructField("tagged_version", LongType)))) {
+    override def exec(spark: SparkSession, a: InternalRow): Seq[Any] = {
+      // tags are reads of history, not mutations — allowed on pinned
+      // members too (they cannot move the member)
+      val (path, _) = resolve(a.getUTF8String(0).toString)
+      val v = a.getLong(2) match {
+        case -1L => Merge.currentVersion(spark, path)
+        case n   => n
+      }
+      Merge.tagVersion(spark, path, a.getUTF8String(1).toString, v)
+      Seq(v)
+    }
+  }
+
+  private val deleteTag = new Proc("delete_tag",
+    "Drop a version tag (its version rejoins normal retention)",
+    Seq(in("table", StringType), in("tag", StringType)),
+    StructType(Seq(StructField("deleted", BooleanType)))) {
+    override def exec(spark: SparkSession, a: InternalRow): Seq[Any] = {
+      val (path, _) = resolve(a.getUTF8String(0).toString)
+      Merge.deleteTag(spark, path, a.getUTF8String(1).toString)
+      Seq(true)
+    }
+  }
+
+  private val relayout = new Proc("relayout",
+    "Rewrite the table under a new bucket count in ONE commit (a " +
+    "deliberate full shuffle — the escape hatch for outgrown layouts)",
+    Seq(in("table", StringType), in("buckets", IntegerType)),
+    StructType(Seq(StructField("version", LongType)))) {
+    override def exec(spark: SparkSession, a: InternalRow): Seq[Any] =
+      Seq(Merge.relayout(spark, mutablePath(a.getUTF8String(0).toString),
+        a.getInt(1)))
+  }
+
+  val all: Map[String, UnboundProcedure] =
+    Seq(compact, vacuum, restore, createTag, deleteTag, relayout)
+      .map(p => p.name -> (p: UnboundProcedure)).toMap
+}

@@ -1,0 +1,154 @@
+package graft.sources
+
+import java.io.File
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.functions._
+
+/** `CALL <cat>.system.<proc>(...)` — the DSv2 stored-procedure surface
+  * for table maintenance: compact (with Z-order), vacuum, restore,
+  * tags, relayout. Each must delegate to the one Scala implementation
+  * and return its one-row result; mutating verbs refuse pinned-catalog
+  * members.
+  */
+class GraftProceduresSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(tag: String): File = {
+    val d = Files.createTempDirectory(s"graft_proc_$tag").toFile
+    d.deleteOnExit()
+    d
+  }
+
+  private def mkCatalog(tag: String, root: File): String = {
+    val cat = s"gproc_$tag"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.v2.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root.getAbsolutePath)
+    cat
+  }
+
+  private def baseDf =
+    (0L until 200L).map(i => (i, s"name_$i", i * 10.0))
+      .toDF("id", "name", "score")
+
+  test("CALL compact: fragmented buckets fold, named args + defaults") {
+    val root = freshRoot("compact")
+    val path = new File(root, "t").getAbsolutePath
+    Merge.writeKeyed(baseDf, path, "id", nBuckets = 4)
+    // two upserts fragment every touched bucket
+    Merge.upsert(spark, path,
+      Seq((1L, "x", 1.0)).toDF("id", "name", "score"), "id", 4)
+    Merge.upsert(spark, path,
+      Seq((2L, "y", 2.0)).toDF("id", "name", "score"), "id", 4)
+    val cat = mkCatalog("compact", root)
+    val r = spark.sql(s"CALL $cat.system.compact(table => 't')").collect()
+    assert(r.length == 1)
+    // the returned version is the table's committed head (v3 when the
+    // upserts fragmented a bucket past the target, v2 if the compact
+    // correctly no-oped)
+    assert(r(0).getAs[Long]("version")
+      == Merge.currentVersion(spark, path))
+    assert(r(0).getAs[Long]("files_after") <=
+      r(0).getAs[Long]("files_before"))
+    val now = Merge.readKeyed(spark, path)
+    assert(now.count() == 200L)
+    assert(now.filter($"id" === 1L).select("name").as[String].head() == "x")
+  }
+
+  test("CALL compact with zorder_by records the clustered layout") {
+    val root = freshRoot("zorder")
+    val path = new File(root, "t").getAbsolutePath
+    Merge.writeKeyed(baseDf, path, "id", nBuckets = 2,
+      statsCols = Seq("id", "score"))
+    val cat = mkCatalog("zorder", root)
+    val r = spark.sql(
+      s"CALL $cat.system.compact(table => 't', zorder_by => 'id,score')")
+      .collect()
+    assert(r(0).getAs[Long]("version") == 1L)
+    assert(Merge.readKeyed(spark, path).count() == 200L)
+  }
+
+  test("CALL vacuum reclaims superseded files; tagged versions survive") {
+    val root = freshRoot("vacuum")
+    val path = new File(root, "t").getAbsolutePath
+    Merge.writeKeyed(baseDf, path, "id", nBuckets = 2)
+    Merge.upsert(spark, path,
+      Seq((1L, "x", 1.0)).toDF("id", "name", "score"), "id", 2)
+    val cat = mkCatalog("vacuum", root)
+    spark.sql(s"CALL $cat.system.create_tag(table => 't', tag => 'keep0', " +
+      "version => 0)")
+    Merge.upsert(spark, path,
+      Seq((2L, "y", 2.0)).toDF("id", "name", "score"), "id", 2)
+    val r = spark.sql(s"CALL $cat.system.vacuum(table => 't')").collect()
+    assert(r(0).getAs[Long]("current_version") == 2L)
+    // v1 is vacuumed away, the tagged v0 still answers
+    intercept[Exception] { Merge.readVersion(spark, path, 1L).count() }
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t VERSION AS OF " +
+      "'keep0'").as[Long].head() == 200L)
+    // delete_tag releases it
+    assert(spark.sql(s"CALL $cat.system.delete_tag('t', 'keep0')")
+      .collect()(0).getAs[Boolean]("deleted"))
+  }
+
+  test("CALL restore commits a new head with an old version's content") {
+    val root = freshRoot("restore")
+    val path = new File(root, "t").getAbsolutePath
+    Merge.writeKeyed(baseDf, path, "id", nBuckets = 2)
+    Merge.upsert(spark, path,
+      Seq((1L, "clobbered", 0.0)).toDF("id", "name", "score"), "id", 2)
+    val cat = mkCatalog("restore", root)
+    val r = spark.sql(s"CALL $cat.system.restore('t', 0)").collect()
+    assert(r(0).getAs[Long]("restored_version") == 2L)
+    assert(Merge.readKeyed(spark, path).filter($"id" === 1L)
+      .select("name").as[String].head() == "name_1")
+    // history preserved: the clobbering v1 still reads
+    assert(Merge.readVersion(spark, path, 1L).filter($"id" === 1L)
+      .select("name").as[String].head() == "clobbered")
+  }
+
+  test("CALL relayout rewrites under the new bucket count") {
+    val root = freshRoot("relayout")
+    val path = new File(root, "t").getAbsolutePath
+    Merge.writeKeyed(baseDf, path, "id", nBuckets = 2)
+    val cat = mkCatalog("relayout", root)
+    val r = spark.sql(s"CALL $cat.system.relayout(table => 't', " +
+      "buckets => 8)").collect()
+    assert(r(0).getAs[Long]("version") == 1L)
+    assert(Merge.tableLayout(spark, path).contains(("id", 8)))
+    assert(Merge.readKeyed(spark, path).count() == 200L)
+  }
+
+  test("mutating procedures refuse PINNED catalog members") {
+    val root = freshRoot("pinned")
+    val catRoot = new File(root, "cat").getAbsolutePath
+    val p1 = new File(root, "t1").getAbsolutePath
+    Merge.writeKeyed(baseDf, p1, "id", nBuckets = 2)
+    TableCatalog.create(spark, catRoot, Map("t1" -> p1))
+    val cat = mkCatalog("pinned", new File(catRoot))
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.compact(table => 't1')").collect()
+    }
+    assert(e.getMessage.contains("PINNED"))
+  }
+
+  test("unknown procedure and listProcedures") {
+    val root = freshRoot("list")
+    Merge.writeKeyed(baseDf, new File(root, "t").getAbsolutePath,
+      "id", nBuckets = 2)
+    val cat = mkCatalog("list", root)
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.frobnicate('t')").collect()
+    }
+    assert(e.getMessage.contains("frobnicate"))
+    val plugin = new graft.sources.v2.GraftCatalog
+    plugin.initialize(cat, new org.apache.spark.sql.util
+      .CaseInsensitiveStringMap(java.util.Map.of(
+        "root", root.getAbsolutePath)))
+    val names = plugin.listProcedures(Array("system")).map(_.name()).toSet
+    assert(names == Set("compact", "vacuum", "restore", "create_tag",
+      "delete_tag", "relayout"))
+  }
+}

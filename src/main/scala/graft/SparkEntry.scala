@@ -1179,6 +1179,37 @@ object SparkEntry {
             WHERE p_partkey <= 2500 OR p_partkey > 10000000
             ORDER BY p_partkey""")
     }),
+    "q_sql_create" -> ((s, dir) => {
+      // SQL TABLE LIFECYCLE on the directory catalog: CTAS creates the
+      // keyed table under a bucket(16, key) transform and populates it
+      // in one statement, INSERT INTO appends a sentinel through the
+      // recorded layout, DROP TABLE removes a throwaway sibling
+      // (required in-gate), and the read-back ≡ source + sentinel.
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val root = new java.io.File(scratchRoot, s"graft_sqlcreate_$sf")
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      val cat = s"gcre_$sf"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root.getAbsolutePath)
+      val view = s"graft_sqlcreate_src_$sf"
+      t(s, dir, "part").select("p_partkey", "p_name", "p_retailprice")
+        .createOrReplaceTempView(view)
+      s.sql(s"CREATE TABLE $cat.part2 " +
+        "PARTITIONED BY (bucket(16, p_partkey)) " +
+        s"AS SELECT * FROM $view")
+      s.sql(s"INSERT INTO $cat.part2 VALUES (9000001, 'sentinel', 1.5)")
+      s.sql(s"CREATE TABLE $cat.throwaway (id BIGINT) " +
+        "PARTITIONED BY (bucket(2, id))")
+      s.sql(s"DROP TABLE $cat.throwaway")
+      require(s.sql(s"SHOW TABLES IN $cat").collect()
+        .map(_.getAs[String]("tableName")).toSet == Set("part2"),
+        "DROP TABLE must remove the throwaway table")
+      s.sql(
+        s"""SELECT p_partkey, p_name, p_retailprice FROM $cat.part2
+            WHERE p_partkey <= 2000 OR p_partkey = 9000001
+            ORDER BY p_partkey""")
+    }),
     "q_sql_call" -> ((s, dir) => {
       // DSv2 STORED PROCEDURES: the maintenance lifecycle from pure
       // SQL — CALL create_tag pins v0, CALL compact folds the upsert
@@ -5754,6 +5785,13 @@ object SparkEntry {
                 CAST(sum(p_size) AS BIGINT) AS sum_size
          FROM part WHERE p_partkey <= 5000
          GROUP BY p_brand ORDER BY p_brand""",
+    // CTAS image + the inserted sentinel
+    "q_sql_create" ->
+      """SELECT p_partkey, p_name, p_retailprice
+         FROM part WHERE p_partkey <= 2000
+         UNION ALL
+         SELECT CAST(9000001 AS BIGINT), 'sentinel', CAST(1.5 AS DOUBLE)
+         ORDER BY p_partkey""",
     // the procedure lifecycle: current image (upsert survived compact
     // and vacuum) beside the tagged v0 image (survived vacuum)
     "q_sql_call" ->

@@ -957,6 +957,13 @@ object Merge {
   private def bucketFileStats(spark: SparkSession, dir: String,
       statsCols: Seq[String]): Seq[Skipping.FileStats] = {
     if (statsCols.isEmpty) return Seq.empty
+    // an EMPTY initial commit (CREATE TABLE before any INSERT) wrote no
+    // data files — nothing to collect stats over; later commits record
+    // stats for the files they write, statsCols persists in the manifest
+    if (listDataFiles(new Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration),
+        new Path(dir)).isEmpty)
+      return Seq.empty
     val df = spark.read.parquet(dir)
     statsCols.foreach(c => require(df.columns.contains(c),
       s"stats column $c not in ${df.columns.mkString(", ")}"))

@@ -185,10 +185,72 @@ class GraftCatalog extends V2TableCatalog
       "whose commit protocols SQL DDL cannot honor atomically (DML " +
       "INSERT INTO / INSERT OVERWRITE work)")
 
+  /** `CREATE TABLE` (and therefore CTAS) in DIRECTORY mode: commits an
+    * EMPTY v0 under the declared layout, after which INSERT INTO /
+    * DSv2 writes / DML all work on the name. The layout comes from
+    * either an Iceberg-style bucket transform or table properties:
+    *
+    * {{{
+    *   CREATE TABLE gcat.t (id BIGINT, name STRING)
+    *     PARTITIONED BY (bucket(8, id))
+    *   CREATE TABLE gcat.t (id BIGINT, name STRING)
+    *     TBLPROPERTIES ('key' = 'id', 'buckets' = '8')
+    *   CREATE TABLE gcat.t PARTITIONED BY (bucket(8, id)) AS SELECT ...
+    * }}}
+    *
+    * CTAS on this catalog is the standard NON-ATOMIC DSv2 sequence
+    * (create empty, then append): a reader can observe the empty table
+    * for the write's duration, and a failed write leaves it — Spark's
+    * documented behavior for non-staging catalogs. PINNED-catalog mode
+    * refuses: members join through `TableCatalog.create`/`addMember`.
+    */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    readOnly(s"CREATE TABLE $ident")
+      properties: util.Map[String, String]): Table = {
+    if (isCatalogMode)
+      readOnly(s"CREATE TABLE $ident (pinned-catalog mode — members " +
+        "join through TableCatalog.create/addMember)")
+    requireRootNamespace(ident.namespace())
+    if (members().contains(ident.name()))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    val props = properties.asScala
+    val fromTransform: Option[(String, Int)] = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) if t.name == "bucket" =>
+        val refs = t.references().flatMap(_.fieldNames())
+        val n = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.value().isInstanceOf[Number] =>
+            l.value().asInstanceOf[Number].intValue()
+        }
+        require(refs.length == 1 && n.isDefined,
+          s"bucket transform must be bucket(n, col), got $t")
+        Some((refs.head, n.get))
+      case other => throw new UnsupportedOperationException(
+        "graft tables are bucketed by ONE key column: PARTITIONED BY " +
+        s"(bucket(n, col)), got ${other.mkString(", ")}")
+    }
+    val (key, nBuckets) = fromTransform.getOrElse {
+      val k = props.getOrElse("key",
+        throw new IllegalArgumentException(
+          "declare the layout: PARTITIONED BY (bucket(n, col)) or " +
+          "TBLPROPERTIES ('key' = 'col'[, 'buckets' = 'n'])"))
+      (k, props.get("buckets").map(_.toInt).getOrElse(16))
+    }
+    require(schema.fieldNames.contains(key),
+      s"key column '$key' is not in the schema " +
+      s"(${schema.fieldNames.mkString(", ")})")
+    val statsCols = props.get("statsCols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    val path = new Path(root, ident.name()).toString
+    Merge.writeKeyed(
+      spark.createDataFrame(util.Collections.emptyList[org.apache.spark
+        .sql.Row](), schema),
+      path, key, nBuckets, statsCols = statsCols)
+    GraftTable.resolve(spark, path, None, None, None)
+  }
 
   /** The column-level DDL the table format CAN honor atomically —
     * metadata-only single-table commits:
@@ -232,8 +294,20 @@ class GraftCatalog extends V2TableCatalog
     loadTable(ident)
   }
 
-  override def dropTable(ident: Identifier): Boolean =
-    readOnly(s"DROP TABLE $ident")
+  /** `DROP TABLE` in DIRECTORY mode deletes the table root — data,
+    * version log, tags; there is no undrop (time travel needs the
+    * log). PINNED-catalog members are not droppable here: removing a
+    * member is a catalog commit, not a directory delete.
+    */
+  override def dropTable(ident: Identifier): Boolean = {
+    if (isCatalogMode)
+      readOnly(s"DROP TABLE $ident (pinned-catalog mode)")
+    if (!tableExists(ident)) return false
+    val (path, _) = pathOf(ident)
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, true)
+  }
 
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit =

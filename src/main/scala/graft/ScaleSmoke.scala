@@ -113,7 +113,10 @@ object ScaleSmoke {
     Seq(("1x", docs, 64), (s"${factor}x", inflated, 64 * factor)).foreach {
       case (tag, d, buckets) =>
         println(s"--- $tag merge (nBuckets=$buckets)")
-        val path = s"/tmp/graft_scale_merge_$tag"
+        // the table lives INSIDE a per-tag dir so a directory-mode
+        // catalog can resolve it by name for the SQL DML measurements
+        val catRoot = s"/tmp/graft_scale_merge_$tag"
+        val path = s"$catRoot/t"
         timed(s"merge_write")(
           graft.sources.Merge.writeKeyed(d, path, "doc_id", buckets,
             statsCols = Seq("doc_id"))) // r10: stats carry row counts
@@ -180,6 +183,28 @@ object ScaleSmoke {
         // relayout: the honest full-shuffle cost of bucket evolution
         timed(s"merge_relayout")(
           graft.sources.Merge.relayout(spark, path, buckets * 2))
+        // r10: SQL UPDATE / MERGE INTO — the same ~0.1% key slice as
+        // merge_upsert, through the analyzer-rule doorway; must cost
+        // ∝ touched buckets (the statements' change sets), never the
+        // table
+        val cat = s"gscale_$tag"
+        spark.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.v2.GraftCatalog")
+        spark.conf.set(s"spark.sql.catalog.$cat.root", catRoot)
+        timed(s"sql_update")(
+          spark.sql(s"UPDATE $cat.t SET text = concat(text, ' squ') " +
+            "WHERE doc_id % 997 = 1").collect())
+        val mrgSrc = s"graft_scale_mrg_src_$tag"
+        d.filter(col("doc_id") % 997 === 2)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" sqm")).as("text"))
+          .createOrReplaceTempView(mrgSrc)
+        timed(s"sql_merge")(
+          spark.sql(s"""MERGE INTO $cat.t t USING $mrgSrc s
+            ON t.doc_id = s.doc_id
+            WHEN MATCHED THEN UPDATE SET text = s.text
+            WHEN NOT MATCHED THEN INSERT (doc_id, text)
+              VALUES (s.doc_id, s.text)""").collect())
     }
 
     // ---- IVF-PQ: build+save and probe at 1x vs factor x (cells ∝ size

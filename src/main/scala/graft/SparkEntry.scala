@@ -1210,6 +1210,44 @@ object SparkEntry {
             WHERE p_partkey <= 2000 OR p_partkey = 9000001
             ORDER BY p_partkey""")
     }),
+    "q_sql_constraint" -> ((s, dir) => {
+      // SQL CONSTRAINT DDL: ADD CONSTRAINT validates the existing rows
+      // then every later commit enforces the CHECK — the violating
+      // INSERT is required in-gate to be refused (and to leave no
+      // commit behind), the conforming sentinel lands, DROP CONSTRAINT
+      // releases the rule. Read-back ≡ part + both sentinels.
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val root = new java.io.File(scratchRoot, s"graft_sqlck_$sf")
+      val path = new java.io.File(root, "part").getAbsolutePath
+      val part = t(s, dir, "part")
+        .select("p_partkey", "p_name", "p_retailprice")
+      graft.sources.Merge.writeKeyed(part, path, "p_partkey",
+        nBuckets = 16)
+      val cat = s"gck_$sf"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root.getAbsolutePath)
+      s.sql(s"ALTER TABLE $cat.part ADD CONSTRAINT price_pos " +
+        "CHECK (p_retailprice > 0)")
+      val vBefore = graft.sources.Merge.currentVersion(s, path)
+      val refused = try {
+        s.sql(s"INSERT INTO $cat.part VALUES (9000001, 'bad', -1.0)")
+        false
+      } catch { case e: Exception =>
+        e.getMessage.contains("price_pos") ||
+          Option(e.getCause).exists(_.getMessage.contains("price_pos"))
+      }
+      require(refused, "the violating INSERT must be refused by name")
+      require(graft.sources.Merge.currentVersion(s, path) == vBefore,
+        "a refused INSERT must leave no commit behind")
+      s.sql(s"INSERT INTO $cat.part VALUES (9000001, 'good', 1.0)")
+      s.sql(s"ALTER TABLE $cat.part DROP CONSTRAINT price_pos")
+      s.sql(s"INSERT INTO $cat.part VALUES (9000002, 'freed', -2.0)")
+      s.sql(
+        s"""SELECT p_partkey, p_name, p_retailprice FROM $cat.part
+            WHERE p_partkey <= 2000 OR p_partkey >= 9000001
+            ORDER BY p_partkey""")
+    }),
     "q_sql_call" -> ((s, dir) => {
       // DSv2 STORED PROCEDURES: the maintenance lifecycle from pure
       // SQL — CALL create_tag pins v0, CALL compact folds the upsert
@@ -5791,6 +5829,16 @@ object SparkEntry {
          FROM part WHERE p_partkey <= 2000
          UNION ALL
          SELECT CAST(9000001 AS BIGINT), 'sentinel', CAST(1.5 AS DOUBLE)
+         ORDER BY p_partkey""",
+    // part + the conforming sentinel + the post-DROP freed sentinel
+    // (the violating insert left nothing)
+    "q_sql_constraint" ->
+      """SELECT p_partkey, p_name, p_retailprice
+         FROM part WHERE p_partkey <= 2000
+         UNION ALL
+         SELECT CAST(9000001 AS BIGINT), 'good', CAST(1.0 AS DOUBLE)
+         UNION ALL
+         SELECT CAST(9000002 AS BIGINT), 'freed', CAST(-2.0 AS DOUBLE)
          ORDER BY p_partkey""",
     // the procedure lifecycle: current image (upsert survived compact
     // and vacuum) beside the tagged v0 image (survived vacuum)

@@ -44,18 +44,20 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * through the standard `loadTable(ident, version/timestamp)` hooks:
   * a numeric version string resolves as a table version, anything else
   * as a [[Merge]] tag; timestamps are Catalyst micros resolved through
-  * [[Merge.versionAsOf]]. DML writes work — `INSERT INTO` /
-  * `INSERT OVERWRITE` resolve to the loaded [[GraftTable]]'s
-  * SupportsWrite and land as ordinary fenced Merge commits — but DDL
-  * (CREATE/ALTER/DROP/RENAME) is refused: table creation and schema
-  * change belong to [[Merge.writeKeyed]] / [[Merge.renameColumn]] /
-  * [[GraftCat.transact]], whose commit protocols (fenced manifests,
-  * multi-table pins) have no DDL equivalent this surface could honor
-  * atomically. In DIRECTORY mode DML lands on the table's head and is
-  * immediately visible; in PINNED-CATALOG mode DML is refused (the
-  * load resolves a pinned version, which is not writable) — exactly
-  * the catalog's own contract: members are written only through
-  * [[GraftCat.transact]], which also moves the pins.
+  * [[Merge.versionAsOf]].
+  *
+  * In DIRECTORY mode the full SQL lifecycle works: CREATE TABLE/CTAS
+  * (empty v0 under the declared layout), INSERT INTO / INSERT
+  * OVERWRITE (fenced Merge commits through the loaded [[GraftTable]]'s
+  * SupportsWrite), UPDATE/MERGE/DELETE (the DML rule + SupportsDelete),
+  * column and CHECK-constraint ALTERs (metadata-only commits), DROP
+  * TABLE, and `CALL <cat>.system.*` maintenance procedures. RENAME
+  * TABLE stays refused in every mode — shallow clones hold absolute
+  * foreign refs into the table root, so a directory rename would
+  * silently corrupt them. In PINNED-CATALOG mode every mutation is
+  * refused (loads resolve pinned versions, which are not writable) —
+  * exactly the catalog's own contract: members are written only
+  * through [[GraftCat.transact]], which also moves the pins.
   */
 class GraftCatalog extends V2TableCatalog
     with org.apache.spark.sql.connector.catalog.SupportsNamespaces
@@ -252,20 +254,35 @@ class GraftCatalog extends V2TableCatalog
     GraftTable.resolve(spark, path, None, None, None)
   }
 
-  /** The column-level DDL the table format CAN honor atomically —
+  /** The catalog-capability switch Spark's analyzer checks before it
+    * will even parse-plan constraint DDL against this catalog.
+    */
+  override def capabilities()
+      : util.Set[org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
+  /** The table-level DDL the table format CAN honor atomically —
     * metadata-only single-table commits:
     *
     * {{{
     *   ALTER TABLE g.t RENAME COLUMN a TO b
     *   ALTER TABLE g.t ADD COLUMN c BIGINT
     *   ALTER TABLE g.t DROP COLUMN c
+    *   ALTER TABLE g.t ADD CONSTRAINT ck CHECK (c > 0)
+    *   ALTER TABLE g.t DROP CONSTRAINT ck
     * }}}
     *
     * map onto [[Merge.renameColumn]]/[[Merge.addColumn]]/
-    * [[Merge.dropColumn]]. Directory mode only: a PINNED-catalog
-    * member changes shape through [[GraftCat.transact]], like its
-    * data. Nested fields, positions, defaults, and every other change
-    * kind stay refused.
+    * [[Merge.dropColumn]]/[[Merge.addConstraint]]/
+    * [[Merge.dropConstraint]] (ADD CONSTRAINT validates the EXISTING
+    * rows before committing, then every later write enforces it at
+    * commit time — batch-sized cost, the whole-table invariant holds
+    * inductively). Directory mode only: a PINNED-catalog member
+    * changes shape through [[GraftCat.transact]], like its data.
+    * Nested fields, positions, defaults, non-CHECK constraints and
+    * every other change kind stay refused.
     */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
@@ -273,6 +290,19 @@ class GraftCatalog extends V2TableCatalog
     if (pinned.isDefined)
       readOnly(s"ALTER TABLE $ident (pinned-catalog member)")
     changes.foreach {
+      case c: TableChange.AddConstraint => c.constraint() match {
+        case chk: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          Merge.addConstraint(spark, path, chk.name(), chk.predicateSql())
+        case other => readOnly(
+          s"ALTER TABLE $ident ADD non-CHECK constraint $other")
+      }
+      case c: TableChange.DropConstraint =>
+        val known = Merge.tableConstraints(spark, path)
+          .exists(_._1 == c.name())
+        if (known) Merge.dropConstraint(spark, path, c.name())
+        else if (!c.ifExists())
+          throw new IllegalArgumentException(
+            s"no constraint named '${c.name()}' on $ident")
       case c: TableChange.RenameColumn =>
         require(c.fieldNames().length == 1,
           "only top-level columns can be renamed")

@@ -202,6 +202,20 @@ class GraftTable(val path: String, val pinnedVersion: Long,
   override def properties(): util.Map[String, String] =
     Map("path" -> path, "version" -> pinnedVersion.toString).asJava
 
+  /** The table's CHECK constraints (recorded in the manifest, enforced
+    * at every commit), reported through the standard DSv2 hook so
+    * DESCRIBE and the analyzer see them.
+    */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints
+        .Constraint] =
+    Merge.tableConstraints(SparkSession.active, path).map {
+      case (n, sql) =>
+        org.apache.spark.sql.connector.catalog.constraints.Constraint
+          .check(n).predicateSql(sql).build()
+          : org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(path, pinnedVersion, dataSchema)
 

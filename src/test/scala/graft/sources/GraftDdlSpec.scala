@@ -97,6 +97,37 @@ class GraftDdlSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $cat.t") // no error
   }
 
+  test("ALTER TABLE ADD/DROP CONSTRAINT: commit-time CHECK from SQL") {
+    val (cat, root) = mkCatalog("ck")
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (bucket(4, id))")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1, 1.5), (2, 2.5)")
+    spark.sql(s"ALTER TABLE $cat.t ADD CONSTRAINT v_pos CHECK (v > 0)")
+    // the constraint is recorded on the table and reported via DSv2
+    val path = new File(root, "t").getAbsolutePath
+    assert(Merge.tableConstraints(spark, path) == Seq(("v_pos", "v > 0")))
+    // a violating write is refused at commit time...
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.t VALUES (3, -1.0)")
+    }
+    assert(e.getMessage.contains("v_pos"))
+    // ...a conforming one lands
+    spark.sql(s"INSERT INTO $cat.t VALUES (3, 3.5)")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t")
+      .as[Long].head() == 3L)
+    // adding a constraint the EXISTING rows violate is refused
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.t ADD CONSTRAINT v_big CHECK (v > 2)")
+    }
+    // DROP releases it; IF EXISTS tolerates a missing name
+    spark.sql(s"ALTER TABLE $cat.t DROP CONSTRAINT v_pos")
+    spark.sql(s"INSERT INTO $cat.t VALUES (4, -4.0)")
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.t DROP CONSTRAINT nope")
+    }
+    spark.sql(s"ALTER TABLE $cat.t DROP CONSTRAINT IF EXISTS nope")
+  }
+
   test("pinned-catalog mode refuses CREATE and DROP") {
     val base = Files.createTempDirectory("graft_ddl_pinned").toFile
     base.deleteOnExit()

@@ -436,19 +436,23 @@ class GraftTableV2Spec extends SparkSpec {
     }
   }
 
-  test("read-only catalog: DDL is refused loudly") {
+  test("unsupported DDL is refused loudly (RENAME TABLE breaks clone " +
+      "foreign refs, so it stays out even in directory mode)") {
     val root = freshDir("cat_ro")
     val p1 = new File(root, "t").getAbsolutePath
     Merge.writeKeyed(baseDf, p1, "id", nBuckets = 4)
     spark.conf.set("spark.sql.catalog.gro", "graft.sources.v2.GraftCatalog")
     spark.conf.set("spark.sql.catalog.gro.root", root.getAbsolutePath)
     val e = intercept[Exception] {
-      spark.sql("DROP TABLE gro.t")
+      spark.sql("ALTER TABLE gro.t RENAME TO t2")
     }
     def chain(t: Throwable): Seq[Throwable] =
       if (t == null) Nil else t +: chain(t.getCause)
     assert(chain(e).exists(_.getMessage != null) &&
       chain(e).exists(t => Option(t.getMessage).exists(
         _.contains("read-only"))))
+    // the table is untouched and still resolves
+    assert(spark.sql("SELECT count(*) AS n FROM gro.t").as[Long].head()
+      == 200L)
   }
 }

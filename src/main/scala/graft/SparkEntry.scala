@@ -1210,6 +1210,30 @@ object SparkEntry {
             WHERE p_partkey <= 2000 OR p_partkey = 9000001
             ORDER BY p_partkey""")
     }),
+    "q_bloom_skip" -> ((s, dir) => {
+      // PER-FILE BLOOM FILTER SKIPPING: `bloom:p_name` records a Bloom
+      // filter per data file, so an EQUALITY lookup on the
+      // high-cardinality unsorted name column prunes files min/max
+      // never could (file pruning required in-gate); the pruned read
+      // ≡ the oracle's full filter.
+      val path = new java.io.File(scratchRoot,
+        s"graft_bloom_${new java.io.File(dir).getName}").getAbsolutePath
+      val part = t(s, dir, "part")
+        .select("p_partkey", "p_name", "p_retailprice")
+      graft.sources.Merge.writeKeyed(part, path, "p_partkey",
+        nBuckets = 16, statsCols = Seq("p_partkey", "bloom:p_name"))
+      val target = part.filter(col("p_partkey") === 77L)
+        .select("p_name").collect()(0).getString(0)
+      val v = graft.sources.Merge.currentVersion(s, path)
+      val (sel, total) = graft.sources.Merge.planVersionFiles(s, path, v,
+        Seq(graft.sources.Skipping.Bound("p_name",
+          Some(target), Some(target))))
+      require(sel.size < total && sel.nonEmpty,
+        s"the bloom index must prune files: kept ${sel.size} of $total")
+      graft.sources.Merge.readKeyedWhere(s, path,
+          col("p_name") === lit(target))
+        .select("p_partkey", "p_name").orderBy("p_partkey")
+    }),
     "q_sql_constraint" -> ((s, dir) => {
       // SQL CONSTRAINT DDL: ADD CONSTRAINT validates the existing rows
       // then every later commit enforces the CHECK — the violating
@@ -5829,6 +5853,11 @@ object SparkEntry {
          FROM part WHERE p_partkey <= 2000
          UNION ALL
          SELECT CAST(9000001 AS BIGINT), 'sentinel', CAST(1.5 AS DOUBLE)
+         ORDER BY p_partkey""",
+    // the bloom-pruned equality read ≡ the full filter
+    "q_bloom_skip" ->
+      """SELECT p_partkey, p_name FROM part
+         WHERE p_name = (SELECT p_name FROM part WHERE p_partkey = 77)
          ORDER BY p_partkey""",
     // part + the conforming sentinel + the post-DROP freed sentinel
     // (the violating insert left nothing)

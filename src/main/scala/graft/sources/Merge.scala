@@ -217,8 +217,10 @@ object Merge {
       val mn = e.min.map(v => "\"" + jsonEscape(v) + "\"").getOrElse("null")
       val mx = e.max.map(v => "\"" + jsonEscape(v) + "\"").getOrElse("null")
       val r = if (e.rows >= 0) s""","r":${e.rows}""" else ""
+      val bf = e.bloom.map(v => s""","bf":"$v"""").getOrElse("") // base64:
+        // no JSON-special characters by construction
       s"""{"f":"${jsonEscape(e.file)}","c":"${jsonEscape(e.col)}",""" +
-        s""""mn":$mn,"mx":$mx$r}"""
+        s""""mn":$mn,"mx":$mx$r$bf}"""
     }.mkString("[", ",", "]")
 
   // hand-rolled JSON (flat schema; file names are spark part names and
@@ -475,7 +477,8 @@ object Merge {
               case JInt(n) => n.toLong; case JLong(n) => n; case _ => -1L
             }
             for (file <- f("f"); c <- f("c"))
-              yield Skipping.FileStats(file, c, f("mn"), f("mx"), rows)
+              yield Skipping.FileStats(file, c, f("mn"), f("mx"), rows,
+                bloom = f("bf"))
           }
           case _ => Nil
         }
@@ -838,10 +841,20 @@ object Merge {
             layout = parent.layout.map { case (k, n) =>
               (if (k == from) to else k, n)
             },
-            statsCols = parent.statsCols.map(c =>
-              if (c == from) to else c),
-            stats = parent.stats.map(e =>
-              if (e.col == from) e.copy(col = to) else e),
+            statsCols = parent.statsCols.map {
+              case c if c == from => to
+              case c if Skipping.isBloomSpec(c) &&
+                  Skipping.bloomBase(c) == from =>
+                Skipping.BloomPrefix + to
+              case c => c
+            },
+            stats = parent.stats.map {
+              case e if e.col == from => e.copy(col = to)
+              case e if Skipping.isBloomSpec(e.col) &&
+                  Skipping.bloomBase(e.col) == from =>
+                e.copy(col = Skipping.BloomPrefix + to)
+              case e => e
+            },
             colMap = newMap.filter { case (l, p) => l != p }),
           parent = Some(parent), touched = Some(Set.empty))
         return parentV + 1
@@ -936,8 +949,11 @@ object Merge {
             rowsUpserted = 0L, rowsDeleted = 0L,
             dataSchema = Some(StructType(
               schema.fields.filterNot(_.name == name)).toDDL),
-            statsCols = parent.statsCols.filterNot(_ == name),
-            stats = parent.stats.filterNot(_.col == name),
+            statsCols = parent.statsCols.filterNot(c => c == name ||
+              (Skipping.isBloomSpec(c) && Skipping.bloomBase(c) == name)),
+            stats = parent.stats.filterNot(e => e.col == name ||
+              (Skipping.isBloomSpec(e.col) &&
+                Skipping.bloomBase(e.col) == name)),
             colMap = parent.colMap.filterNot(_._1 == name),
             physRetired = (parent.physRetired :+ physical).distinct),
           parent = Some(parent), touched = Some(Set.empty))
@@ -965,10 +981,18 @@ object Merge {
         new Path(dir)).isEmpty)
       return Seq.empty
     val df = spark.read.parquet(dir)
-    statsCols.foreach(c => require(df.columns.contains(c),
+    // `bloom:c` specs index column c with a per-file Bloom filter
+    // (point-lookup pruning); plain names record min/max intervals.
+    // One aggregate pass computes all of it.
+    val (bloomSpecs, rangeCols) = statsCols.partition(Skipping.isBloomSpec)
+    val bloomCols = bloomSpecs.map(Skipping.bloomBase).distinct
+    (rangeCols ++ bloomCols).foreach(c => require(df.columns.contains(c),
       s"stats column $c not in ${df.columns.mkString(", ")}"))
-    val aggs = statsCols.flatMap(c =>
-      Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c"))) :+
+    val aggs = rangeCols.flatMap(c =>
+      Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c"))) ++
+      bloomCols.map(c => org.apache.spark.sql.GraftShim.bloomAgg(
+        xxhash64(col(c)), Skipping.BloomExpectedItems,
+        Skipping.BloomNumBits).as(s"__bf_$c")) :+
       count(lit(1)).as("__rows")
     val rows = df.groupBy(input_file_name().as("__f"), col("__bucket"))
       .agg(aggs.head, aggs.tail: _*)
@@ -977,13 +1001,18 @@ object Merge {
       val name = new Path(r.getString(0)).getName
       val bucket = r.get(1) match { case n: Number => n.longValue }
       val nRows = r.getLong(r.fieldIndex("__rows"))
-      statsCols.map { c =>
+      rangeCols.map { c =>
         Skipping.FileStats(s"__bucket=$bucket/$name", c,
           Option(r.get(r.fieldIndex(s"__mn_$c")))
             .map(v => Skipping.encode(Skipping.statMin(v))),
           Option(r.get(r.fieldIndex(s"__mx_$c")))
             .map(v => Skipping.encode(Skipping.statMax(v))),
           rows = nRows)
+      } ++ bloomCols.flatMap { c =>
+        Option(r.getAs[Array[Byte]](r.fieldIndex(s"__bf_$c"))).map(b =>
+          Skipping.FileStats(s"__bucket=$bucket/$name",
+            Skipping.BloomPrefix + c, None, None, rows = nRows,
+            bloom = Some(java.util.Base64.getEncoder.encodeToString(b))))
       }
     }.toSeq.sortBy(e => (e.file, e.col))
   }
@@ -1914,7 +1943,8 @@ object Merge {
     // [min, max] prunes WITHIN the bucket too — a hot multi-file bucket
     // costs one file, not its whole history of commits
     val files =
-      if (!m.statsCols.contains(keyCol)) bucketFiles
+      if (!m.statsCols.contains(keyCol) &&
+          !m.statsCols.contains(Skipping.BloomPrefix + keyCol)) bucketFiles
       else {
         val schema = m.dataSchema.map(StructType.fromDDL).get
         val byFile = m.stats.groupBy(_.file).view
@@ -1980,11 +2010,18 @@ object Merge {
       .parquet(staging.toString)
     val l2p = colMap.toMap
     val p2l = colMap.map(_.swap).toMap
+    // stats specs and entries speak LOGICAL names; translate through
+    // the mapping prefix-aware (`bloom:c` renames with c)
+    def mapCol(c: String, m: Map[String, String]): String =
+      if (Skipping.isBloomSpec(c))
+        Skipping.BloomPrefix +
+          m.getOrElse(Skipping.bloomBase(c), Skipping.bloomBase(c))
+      else m.getOrElse(c, c)
     val stats =
       if (fs.listStatus(staging).exists(_.isDirectory))
         bucketFileStats(spark, staging.toString,
-          statsCols.map(c => l2p.getOrElse(c, c)))
-          .map(e => e.copy(col = p2l.getOrElse(e.col, e.col)))
+          statsCols.map(mapCol(_, l2p)))
+          .map(e => e.copy(col = mapCol(e.col, p2l)))
       else Seq.empty // empty write: no bucket dirs, nothing to stat
     val moved = Seq.newBuilder[String]
     fs.listStatus(staging)

@@ -51,7 +51,66 @@ object Skipping {
       // the file's ROW COUNT, recorded since r10 alongside the bounds
       // (the same aggregate computes both); -1 on entries written
       // before then. Lets COUNT(*) and LIMIT plan from the manifest.
-      rows: Long = -1L)
+      rows: Long = -1L,
+      // base64 of a serialized per-file Bloom filter over
+      // xxhash64(column) — recorded for `bloom:c` stats columns, under
+      // the entry name `bloom:c` so the interval logic never reads it.
+      // Lets EQUALITY predicates prune files on high-cardinality
+      // unsorted columns whose [min, max] spans everything.
+      bloom: Option[String] = None)
+
+  /** `statsCols` entries are either plain column names (per-file
+    * min/max interval stats) or `bloom:col` (a per-file Bloom filter
+    * for point-lookup pruning — the Delta bloom-filter-index idea in
+    * the manifest). One column may appear in both forms.
+    */
+  private[sources] val BloomPrefix = "bloom:"
+  private[sources] def isBloomSpec(c: String): Boolean =
+    c.startsWith(BloomPrefix)
+  private[sources] def bloomBase(c: String): String =
+    c.stripPrefix(BloomPrefix)
+
+  /** Bloom sizing: fixed per-file capacity. ~12 KB per file·column at
+    * a ~1% false-positive rate up to this many distinct values; files
+    * holding more merely degrade toward "never prunes", never toward
+    * wrong pruning.
+    */
+  private[sources] val BloomExpectedItems = 10000L
+  private[sources] val BloomNumBits = 96000L
+
+  /** Conservative driver-side probe: Some(hash) only for types whose
+    * catalyst-internal form (what `xxhash64(col)` hashed on the write
+    * side) is reconstructible exactly from the bound value; None
+    * declines and the file is kept.
+    */
+  private[sources] def bloomHashOf(dt: DataType, v: Any): Option[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val internal: Option[Literal] = (dt, v) match {
+      case (LongType, n: Number)    => Some(Literal(n.longValue, dt))
+      case (IntegerType, n: Number) => Some(Literal(n.intValue, dt))
+      case (ShortType, n: Number)   => Some(Literal(n.shortValue, dt))
+      case (ByteType, n: Number)    => Some(Literal(n.byteValue, dt))
+      case (DoubleType, n: Number)  => Some(Literal(n.doubleValue, dt))
+      case (FloatType, n: Number)   => Some(Literal(n.floatValue, dt))
+      case (StringType, s: String)  => Some(Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), dt))
+      case (BooleanType, b: Boolean) => Some(Literal(b, dt))
+      case _ => None
+    }
+    internal.map(l => new XxHash64(Seq(l)).eval(null).asInstanceOf[Long])
+  }
+
+  private[sources] def bloomMightContain(dt: DataType, v: Any,
+      b64: String): Boolean =
+    bloomHashOf(dt, v) match {
+      case None => true // untyped probe: keep the file
+      case Some(h) =>
+        val in = new java.io.ByteArrayInputStream(
+          java.util.Base64.getDecoder.decode(b64))
+        try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+          .mightContainLong(h)
+        catch { case _: Exception => true } // unreadable filter: keep
+    }
 
   private def statsPath(root: Path) = new Path(
     new Path(root, "_graft_stats"), "stats.json")
@@ -519,7 +578,7 @@ object Skipping {
       colStats: Map[String, FileStats], bounds: Seq[Bound]): Boolean =
     bounds.forall { b =>
       val dt = schema(b.column).dataType
-      colStats.get(b.column) match {
+      val interval = colStats.get(b.column) match {
         case None => true // no stats recorded for this file/column: keep
         case Some(s) => (s.min, s.max) match {
           case (None, _) | (_, None) => false // all-null column: no
@@ -530,6 +589,17 @@ object Skipping {
               b.upper.forall(v => lte(lo, boundKey(dt, v)))
         }
       }
+      // an EQUALITY bound additionally probes the file's Bloom filter
+      // when one was recorded for this column — the point-lookup prune
+      // min/max cannot give on high-cardinality unsorted columns
+      val bloomOk = (b.lower, b.upper) match {
+        case (Some(lo), Some(hi)) if lo == hi =>
+          colStats.get(BloomPrefix + b.column)
+            .flatMap(_.bloom)
+            .forall(bf => bloomMightContain(dt, lo, bf))
+        case _ => true
+      }
+      interval && bloomOk
     }
 
   /** The files of `path` that can contain rows satisfying every bound,

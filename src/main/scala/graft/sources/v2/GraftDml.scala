@@ -154,7 +154,13 @@ case class GraftUpdateCommand(table: LogicalPlan, graft: GraftTable,
         .getOrElse(GraftShim.column(a))
         .as(a.name)
     }: _*)
-    Merge.upsert(spark, graft.path, updated, keyCol, nBuckets)
+      // MATERIALIZE the change set once (Delta's materializeSource
+      // move): the commit protocol evaluates its input several times
+      // (bucket counts, the anti-join, the staged write), and each
+      // evaluation would otherwise re-run the full find scan
+      .localCheckpoint()
+    try Merge.upsert(spark, graft.path, updated, keyCol, nBuckets)
+    finally updated.unpersist(blocking = false)
     Seq.empty
   }
 }
@@ -270,10 +276,12 @@ case class GraftMergeCommand(m: MergeIntoTable, graft: GraftTable)
     val built = branches.result()
     if (built.isEmpty) return Seq.empty
 
-    // the change set is change-sized, and it is read three times (the
-    // key-identity guard, the cardinality check, the commit) — pin it
-    val changes = built.reduceLeft(_ union _)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // MATERIALIZE the change set once (Delta's materializeSource
+    // move). A lazy persist is NOT enough: the guards' limit(1) only
+    // computes a partition or two, so the cardinality check and the
+    // commit protocol (which evaluates its input several times) would
+    // each re-run the join-heavy change plan against the full table.
+    val changes = built.reduceLeft(_ union _).localCheckpoint()
     try {
       val kch = changes.filter(col(KCH)).limit(1).collect()
       require(kch.isEmpty,

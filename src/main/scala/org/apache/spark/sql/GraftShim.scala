@@ -23,6 +23,18 @@ object GraftShim {
       catalyst.expressions.Literal.create(bloomBytes, types.BinaryType),
       expression(value)))
 
+  /** The matching BUILD side — Spark's native `BloomFilterAggregate`
+    * (what AQE's runtime row-level filtering builds), as a Column so
+    * the manifest-stats pass can fold a per-file Bloom filter in the
+    * same aggregate that computes min/max. `value` must be a LongType
+    * column (xxhash64 the indexed column); the result is the
+    * serialized `org.apache.spark.util.sketch.BloomFilter` bytes.
+    */
+  def bloomAgg(value: Column, expectedItems: Long, numBits: Long): Column =
+    column(new catalyst.expressions.aggregate.BloomFilterAggregate(
+      expression(value), catalyst.expressions.Literal(expectedItems),
+      catalyst.expressions.Literal(numBits)).toAggregateExpression())
+
   /** `types.AbstractDataType` is `private[sql]`; expressions outside the
     * sql package need this alias to declare `inputTypes` contracts
     * (ExpectsInputTypes / ImplicitCastInputTypes).

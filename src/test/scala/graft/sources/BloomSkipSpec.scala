@@ -1,0 +1,134 @@
+package graft.sources
+
+import java.io.File
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.sources.v2.GraftTable
+import org.apache.spark.sql.functions._
+
+/** Per-file BLOOM FILTER skipping (`bloom:col` stats specs): equality
+  * predicates prune data files on high-cardinality unsorted columns
+  * whose [min, max] interval spans everything — the Delta
+  * bloom-filter-index idea carried in the manifest stats. Pruning must
+  * be conservative (results identical to an unpruned filter), survive
+  * upserts and renames, and reach the DSv2 scan.
+  */
+class BloomSkipSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(tag: String): String = {
+    val d = Files.createTempDirectory(s"graft_bloom_$tag").toFile
+    d.deleteOnExit()
+    val path = new File(d, "t").getAbsolutePath
+    // `name` is high-cardinality and UNSORTED within each bucket file
+    // (files sort by id), so min/max alone could never prune it
+    Merge.writeKeyed(
+      (0L until 200L).map(i => (i, s"name_${i * 7919 % 200}", i * 10.0))
+        .toDF("id", "name", "score"),
+      path, "id", nBuckets = 8,
+      statsCols = Seq("id", "bloom:name"))
+    path
+  }
+
+  private def eqBound(c: String, v: Any) =
+    Seq(Skipping.Bound(c, Some(v), Some(v)))
+
+  test("equality on a bloom-indexed column prunes files; results " +
+      "stay identical to the unpruned filter") {
+    val path = freshTable("eq")
+    val v = Merge.currentVersion(spark, path)
+    val (sel, total) = Merge.planVersionFiles(spark, path, v,
+      eqBound("name", "name_77"))
+    assert(total == 8 && sel.size < total && sel.nonEmpty,
+      s"bloom must prune: selected ${sel.size} of $total")
+    val got = Merge.readKeyedWhere(spark, path, $"name" === "name_77")
+      .select("id").as[Long].collect().sorted.toSeq
+    val want = Merge.readKeyed(spark, path)
+      .filter($"name" === "name_77")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("equality on an ABSENT value prunes every file") {
+    val path = freshTable("absent")
+    val v = Merge.currentVersion(spark, path)
+    val (sel, total) = Merge.planVersionFiles(spark, path, v,
+      eqBound("name", "no_such_name"))
+    assert(total == 8 && sel.isEmpty,
+      s"an absent value must prune all files, kept $sel")
+    assert(Merge.readKeyedWhere(spark, path,
+      $"name" === "no_such_name").isEmpty)
+  }
+
+  test("RANGE bounds on a bloom-only column never prune (no interval " +
+      "stats recorded), and never error") {
+    val path = freshTable("range")
+    val v = Merge.currentVersion(spark, path)
+    val (sel, total) = Merge.planVersionFiles(spark, path, v,
+      Seq(Skipping.Bound("name", Some("name_0"), None)))
+    assert(sel.size == total, "no min/max for a bloom-only column: keep")
+  }
+
+  test("upsert refreshes the touched bucket's bloom and keeps the rest") {
+    val path = freshTable("upsert")
+    Merge.upsert(spark, path,
+      Seq((1000L, "brand_new", 1.0)).toDF("id", "name", "score"),
+      "id", nBuckets = 8)
+    val v = Merge.currentVersion(spark, path)
+    // the new value is findable and prunes to (at most) its own file
+    val (sel, total) = Merge.planVersionFiles(spark, path, v,
+      eqBound("name", "brand_new"))
+    assert(sel.size < total && sel.nonEmpty)
+    assert(Merge.readKeyedWhere(spark, path, $"name" === "brand_new")
+      .select("id").as[Long].head() == 1000L)
+    // pre-upsert values still probe correctly through carried blooms
+    assert(Merge.readKeyedWhere(spark, path, $"name" === "name_77")
+      .count() ==
+      Merge.readKeyed(spark, path).filter($"name" === "name_77").count())
+  }
+
+  test("column rename carries the bloom index to the new name") {
+    val path = freshTable("rename")
+    Merge.renameColumn(spark, path, "name", "title")
+    val v = Merge.currentVersion(spark, path)
+    val (sel, total) = Merge.planVersionFiles(spark, path, v,
+      eqBound("title", "name_77"))
+    assert(sel.size < total && sel.nonEmpty,
+      s"bloom must follow the rename: selected ${sel.size} of $total")
+    assert(Merge.readKeyedWhere(spark, path, $"title" === "name_77")
+      .count() > 0)
+  }
+
+  test("the DSv2 scan prunes on a pushed equality over the bloom column") {
+    val path = freshTable("dsv2")
+    GraftTable.lastScanFiles = None
+    val rows = spark.read.format("graft-table").option("path", path)
+      .load().filter($"name" === "name_77").collect()
+    assert(rows.nonEmpty)
+    val Some((sel, total)) = GraftTable.lastScanFiles
+    assert(sel < total && sel >= 1,
+      s"pushed equality must bloom-prune: selected $sel of $total")
+  }
+
+  test("integer equality probes the bloom exactly (internal-form hash)") {
+    val d = Files.createTempDirectory("graft_bloom_int").toFile
+    d.deleteOnExit()
+    val path = new File(d, "t").getAbsolutePath
+    // bloom over a LONG column whose values are unsorted per file
+    Merge.writeKeyed(
+      (0L until 200L).map(i => (i, (i * 7919) % 1000)).toDF("id", "code"),
+      path, "id", nBuckets = 8, statsCols = Seq("bloom:code"))
+    val v = Merge.currentVersion(spark, path)
+    val present = (7L * 7919) % 1000
+    val (sel, total) = Merge.planVersionFiles(spark, path, v,
+      eqBound("code", present))
+    assert(sel.nonEmpty && sel.size < total)
+    val (selAbsent, _) = Merge.planVersionFiles(spark, path, v,
+      eqBound("code", 999999L))
+    assert(selAbsent.isEmpty)
+    assert(Merge.readKeyedWhere(spark, path, $"code" === present)
+      .count() ==
+      Merge.readKeyed(spark, path).filter($"code" === present).count())
+  }
+}

@@ -1235,9 +1235,30 @@ object Merge {
         s"$path v$version records no schema — cannot type the bounds"))
     bounds.foreach(b => require(schema.fieldNames.contains(b.column),
       s"bound column ${b.column} not in ${schema.fieldNames.mkString(", ")}"))
+    // BUCKET-HASH pruning: an equality bound on the LAYOUT KEY names
+    // exactly one bucket (the same local-row hash the writer used), so
+    // a point lookup keeps 1/nBuckets of the files even on a table
+    // with NO stats recorded — structural, not statistical
+    val candidates = m.layout match {
+      case Some((keyCol, n)) =>
+        bounds.collectFirst {
+          case Skipping.Bound(c, Some(lo), Some(hi))
+              if c == keyCol && lo == hi => lo
+        } match {
+          case Some(k) =>
+            val row = spark.range(1).select(pmod(
+              xxhash64(lit(k).cast(schema(keyCol).dataType)),
+              lit(n.toLong))).head()
+            if (row.isNullAt(0)) m.files // uncastable literal: keep all
+            else { val b = row.getLong(0)
+              m.files.filter(f => bucketOf(f) == b) }
+          case None => m.files
+        }
+      case None => m.files
+    }
     val byFile = m.stats.groupBy(_.file).view
       .mapValues(_.map(s => s.col -> s).toMap).toMap
-    val sel = m.files.filter(f =>
+    val sel = candidates.filter(f =>
       Skipping.survives(schema, byFile.getOrElse(f, Map.empty), bounds))
     (sel, m.files.size)
   }

@@ -111,6 +111,33 @@ class BloomSkipSpec extends SparkSpec {
       s"pushed equality must bloom-prune: selected $sel of $total")
   }
 
+  test("key equality bucket-hash prunes files with NO stats recorded") {
+    val d = Files.createTempDirectory("graft_bloom_nostats").toFile
+    d.deleteOnExit()
+    val path = new File(d, "t").getAbsolutePath
+    Merge.writeKeyed( // no statsCols at all
+      (0L until 200L).map(i => (i, s"n_$i")).toDF("id", "v"),
+      path, "id", nBuckets = 8)
+    val v = Merge.currentVersion(spark, path)
+    // an equality on the LAYOUT KEY names one bucket structurally
+    val (sel, total) = Merge.planVersionFiles(spark, path, v,
+      eqBound("id", 7L))
+    assert(total == 8 && sel.size == 1,
+      s"key equality must keep exactly the key's bucket, kept $sel")
+    assert(Merge.readKeyedWhere(spark, path, $"id" === 7L)
+      .select("v").as[String].head() == "n_7")
+    // a RANGE on the key cannot bucket-prune (hash scatters ranges)
+    val (selR, _) = Merge.planVersionFiles(spark, path, v,
+      Seq(Skipping.Bound("id", Some(0L), Some(10L))))
+    assert(selR.size == total)
+    // and the DSv2 pushed key equality rides the same pruning
+    GraftTable.lastScanFiles = None
+    assert(spark.read.format("graft-table").option("path", path).load()
+      .filter($"id" === 7L).count() == 1L)
+    assert(GraftTable.lastScanFiles.exists { case (s, t) =>
+      s == 1 && t == 8 })
+  }
+
   test("integer equality probes the bloom exactly (internal-form hash)") {
     val d = Files.createTempDirectory("graft_bloom_int").toFile
     d.deleteOnExit()

@@ -1210,6 +1210,36 @@ object SparkEntry {
             WHERE p_partkey <= 2000 OR p_partkey = 9000001
             ORDER BY p_partkey""")
     }),
+    "q_sql_delete_any" -> ((s, dir) => {
+      // SQL DELETE beyond pushable predicates: a subquery condition
+      // (impossible for the SupportsDelete hook) runs through the DML
+      // command — doomed rows found by the full predicate, keys
+      // tombstoned in ONE commit (required in-gate). Survivors ≡ the
+      // oracle's anti-subquery filter.
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val root = new java.io.File(scratchRoot, s"graft_sqldel_$sf")
+      val path = new java.io.File(root, "part").getAbsolutePath
+      val part = t(s, dir, "part")
+        .select("p_partkey", "p_name", "p_retailprice")
+      graft.sources.Merge.writeKeyed(part, path, "p_partkey",
+        nBuckets = 16, statsCols = Seq("p_partkey"))
+      val cat = s"gdla_$sf"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root.getAbsolutePath)
+      val view = s"graft_sqldel_src_$sf"
+      part.filter(col("p_partkey") % 7 === 0)
+        .select(col("p_partkey").as("bad_key"))
+        .createOrReplaceTempView(view)
+      val v0 = graft.sources.Merge.currentVersion(s, path)
+      s.sql(s"DELETE FROM $cat.part WHERE p_partkey IN " +
+        s"(SELECT bad_key FROM $view) AND p_retailprice > 910")
+      require(graft.sources.Merge.currentVersion(s, path) == v0 + 1,
+        "the subquery DELETE must land as exactly one commit")
+      s.sql(
+        s"""SELECT p_partkey, p_name FROM $cat.part
+            WHERE p_partkey <= 2000 ORDER BY p_partkey""")
+    }),
     "q_bloom_skip" -> ((s, dir) => {
       // PER-FILE BLOOM FILTER SKIPPING: `bloom:p_name` records a Bloom
       // filter per data file, so an EQUALITY lookup on the
@@ -5853,6 +5883,12 @@ object SparkEntry {
          FROM part WHERE p_partkey <= 2000
          UNION ALL
          SELECT CAST(9000001 AS BIGINT), 'sentinel', CAST(1.5 AS DOUBLE)
+         ORDER BY p_partkey""",
+    // survivors of the subquery + predicate delete
+    "q_sql_delete_any" ->
+      """SELECT p_partkey, p_name FROM part
+         WHERE NOT (p_partkey % 7 = 0 AND p_retailprice > 910)
+           AND p_partkey <= 2000
          ORDER BY p_partkey""",
     // the bloom-pruned equality read ≡ the full filter
     "q_bloom_skip" ->

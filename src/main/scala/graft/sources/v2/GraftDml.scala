@@ -77,6 +77,43 @@ object GraftDmlRule extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** Is the whole condition expressible as DSv2-pushable v1 filters
+    * the [[GraftTable.canDeleteWhere]] hook will accept? Then Spark's
+    * own `DELETE FROM` route handles it; anything beyond (subqueries,
+    * arbitrary expressions like `%`) is OURS to run, or the statement
+    * fails outright. The check is a conservative STRUCTURAL mirror of
+    * the hook's filter set — drift in either direction is safe: a
+    * false "pushable" keeps Spark's own refusal, a false "not
+    * pushable" merely routes through our command.
+    */
+  private def deletableViaHook(cond: Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def attrLit(a: Expression, b: Expression): Boolean =
+      (a.isInstanceOf[AttributeReference] && b.isInstanceOf[Literal]) ||
+        (b.isInstanceOf[AttributeReference] && a.isInstanceOf[Literal])
+    def pushable(e: Expression): Boolean = e match {
+      case EqualTo(a, b)            => attrLit(a, b)
+      case EqualNullSafe(a, b)      => attrLit(a, b)
+      case GreaterThan(a, b)        => attrLit(a, b)
+      case GreaterThanOrEqual(a, b) => attrLit(a, b)
+      case LessThan(a, b)           => attrLit(a, b)
+      case LessThanOrEqual(a, b)    => attrLit(a, b)
+      case In(_: AttributeReference, vs) => vs.forall(_.isInstanceOf[Literal])
+      case InSet(_: AttributeReference, _) => true
+      case IsNull(_: AttributeReference) => true
+      case IsNotNull(_: AttributeReference) => true
+      case StartsWith(_: AttributeReference, _: Literal) => true
+      case EndsWith(_: AttributeReference, _: Literal) => true
+      case Contains(_: AttributeReference, _: Literal) => true
+      case And(l, r) => pushable(l) && pushable(r)
+      case Or(l, r)  => pushable(l) && pushable(r)
+      case Not(c)    => pushable(c)
+      case _: Literal => true // TRUE / FALSE conditions
+      case _ => false
+    }
+    pushable(cond)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperators {
       case u @ UpdateTable(table, assignments, condition)
@@ -88,7 +125,47 @@ object GraftDmlRule extends Rule[LogicalPlan] {
             m.notMatchedBySourceActions) &&
           graftTarget(m.targetTable).isDefined =>
         GraftMergeCommand(m, graftTarget(m.targetTable).get)
+      // DELETE stays on the standard SupportsDelete route when every
+      // conjunct translates (one less custom path); the statements
+      // that route REFUSES — subqueries, arbitrary expressions —
+      // become a command over Merge.deleteWhere, which evaluates any
+      // predicate (find scan still bounds-pruned where possible)
+      case d @ org.apache.spark.sql.catalyst.plans.logical
+          .DeleteFromTable(table, condition)
+          if d.resolved && graftTarget(table).isDefined &&
+            !deletableViaHook(condition) =>
+        GraftDeleteCommand(table, graftTarget(table).get, condition)
     }
+}
+
+/** `DELETE FROM t WHERE <anything>` — the conditions the DSv2
+  * SupportsDelete hook cannot carry (subqueries, non-translatable
+  * expressions): the doomed rows are found by evaluating the FULL
+  * predicate over the statement's resolved relation, then their keys
+  * tombstone in ONE bucket-granular [[Merge.upsert]] commit.
+  */
+case class GraftDeleteCommand(table: LogicalPlan, graft: GraftTable,
+    condition: Expression) extends LeafRunnableCommand
+    with org.apache.spark.sql.catalyst.plans.logical.SupportsSubquery {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (keyCol, nBuckets) = GraftDml.layoutOf(spark, graft)
+    // evaluate the predicate over the statement's own resolved
+    // relation (subqueries keep their embedded plans — exactly what
+    // deleteWhere's re-resolved frame could not bind), collect the
+    // DOOMED rows once, and tombstone their keys in one commit: SQL
+    // DELETE 3VL for free (null-condition rows are not matched, so
+    // they survive)
+    val target = GraftShim.ofRows(spark, table)
+    val doomed = target.filter(GraftShim.column(condition))
+      .localCheckpoint() // one evaluation, several commit-protocol reads
+    try {
+      val changes = doomed.withColumn("__graft_del", lit(true))
+      Merge.upsert(spark, graft.path, changes, keyCol, nBuckets,
+        tombstoneCol = Some("__graft_del"))
+    } finally doomed.unpersist(blocking = false)
+    Seq.empty
+  }
 }
 
 private[v2] object GraftDml {
@@ -133,7 +210,8 @@ private[v2] object GraftDml {
   */
 case class GraftUpdateCommand(table: LogicalPlan, graft: GraftTable,
     assignments: Seq[Assignment], condition: Option[Expression])
-    extends LeafRunnableCommand {
+    extends LeafRunnableCommand
+    with org.apache.spark.sql.catalyst.plans.logical.SupportsSubquery {
 
   override def run(spark: SparkSession): Seq[Row] = {
     val (keyCol, nBuckets) = GraftDml.layoutOf(spark, graft)
@@ -173,7 +251,8 @@ case class GraftUpdateCommand(table: LogicalPlan, graft: GraftTable,
   * reader sees the whole MERGE or none of it.
   */
 case class GraftMergeCommand(m: MergeIntoTable, graft: GraftTable)
-    extends LeafRunnableCommand {
+    extends LeafRunnableCommand
+    with org.apache.spark.sql.catalyst.plans.logical.SupportsSubquery {
 
   private val DEL = "__graft_merge_del"
   private val KCH = "__graft_key_changed"

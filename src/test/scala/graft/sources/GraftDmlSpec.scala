@@ -206,6 +206,42 @@ class GraftDmlSpec extends AnyFunSuite {
       .select("name").as[String].head() == "pruned")
   }
 
+  test("DELETE with a subquery or an untranslatable predicate runs " +
+      "through the command; translatable DELETE stays on the hook") {
+    import spark.implicits._
+    val path = freshTable("del")
+    Seq(3L, 5L).toDF("bad_id").createOrReplaceTempView("dml_del_src")
+    val v0 = Merge.currentVersion(spark, path)
+    // subquery: impossible for SupportsDelete, handled by the command
+    spark.sql(
+      "DELETE FROM gdel.t WHERE id IN (SELECT bad_id FROM dml_del_src)")
+    assert(Merge.currentVersion(spark, path) == v0 + 1)
+    assert(Merge.readKeyed(spark, path).count() == 198L)
+    assert(Merge.readKeyed(spark, path)
+      .filter($"id" === 3L || $"id" === 5L).isEmpty)
+    // arbitrary expression: also the command
+    spark.sql("DELETE FROM gdel.t WHERE id % 97 = 1")
+    // survivors of {0..199} \ {3,5}: remove 1, 98, 195
+    assert(Merge.readKeyed(spark, path).count() == 195L)
+    // plainly translatable: the SupportsDelete hook (deleteWhere) —
+    // same observable contract, one commit
+    val vh = Merge.currentVersion(spark, path)
+    spark.sql("DELETE FROM gdel.t WHERE id >= 190")
+    assert(Merge.currentVersion(spark, path) == vh + 1)
+    assert(Merge.readKeyed(spark, path).agg(max("id")).as[Long].head()
+      < 190L)
+  }
+
+  test("UPDATE with a subquery condition binds the embedded plan") {
+    import spark.implicits._
+    val path = freshTable("updsub")
+    Seq(7L, 9L).toDF("hot_id").createOrReplaceTempView("dml_upd_src")
+    spark.sql("UPDATE gupdsub.t SET name = 'hot' " +
+      "WHERE id IN (SELECT hot_id FROM dml_upd_src)")
+    assert(Merge.readKeyed(spark, path).filter($"name" === "hot")
+      .select("id").as[Long].collect().sorted.toSeq == Seq(7L, 9L))
+  }
+
   test("UPDATE/MERGE on a non-graft relation still gets Spark's error") {
     import spark.implicits._
     Seq((1, "a")).toDF("id", "v").createOrReplaceTempView("plain_view")

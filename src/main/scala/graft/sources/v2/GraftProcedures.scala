@@ -162,7 +162,32 @@ private[v2] class GraftProcedures(
         a.getInt(1)))
   }
 
+  private val clone_ = new Proc("clone",
+    "Shallow-clone a table to a NEW name in this directory catalog — " +
+    "one manifest write at any table size (version => -1 clones the " +
+    "current head); the clone is immediately a queryable member",
+    Seq(in("table", StringType), in("new_table", StringType),
+      inDefault("version", LongType, "-1")),
+    StructType(Seq(StructField("cloned_version", LongType)))) {
+    override def exec(spark: SparkSession, a: InternalRow): Seq[Any] = {
+      val srcPath = mutablePath(a.getUTF8String(0).toString)
+      val newName = a.getUTF8String(1).toString
+      require(newName.nonEmpty && !newName.contains("/"),
+        s"new_table must be a plain member name, got '$newName'")
+      val dst = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(srcPath).getParent, newName)
+      require(!dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(dst), s"member '$newName' already exists")
+      val v = a.getLong(2) match {
+        case -1L => Merge.currentVersion(spark, srcPath)
+        case n   => n
+      }
+      Merge.cloneTableAt(spark, srcPath, dst.toString, v)
+      Seq(v)
+    }
+  }
+
   val all: Map[String, UnboundProcedure] =
-    Seq(compact, vacuum, restore, createTag, deleteTag, relayout)
+    Seq(compact, vacuum, restore, createTag, deleteTag, relayout, clone_)
       .map(p => p.name -> (p: UnboundProcedure)).toMap
 }

@@ -121,6 +121,28 @@ class GraftProceduresSpec extends SparkSpec {
     assert(Merge.readKeyed(spark, path).count() == 200L)
   }
 
+  test("CALL clone forks a queryable member with one manifest write") {
+    val root = freshRoot("clone")
+    val path = new File(root, "t").getAbsolutePath
+    Merge.writeKeyed(baseDf, path, "id", nBuckets = 2)
+    Merge.upsert(spark, path,
+      Seq((1L, "x", 1.0)).toDF("id", "name", "score"), "id", 2)
+    val cat = mkCatalog("clone", root)
+    val r = spark.sql(s"CALL $cat.system.clone(table => 't', " +
+      "new_table => 't_dev', version => 0)").collect()
+    assert(r(0).getAs[Long]("cloned_version") == 0L)
+    // the clone is a member, reads the PRE-upsert image, and writes to
+    // it do not touch the source
+    assert(spark.sql(s"SELECT name FROM $cat.t_dev WHERE id = 1")
+      .as[String].head() == "name_1")
+    spark.sql(s"INSERT INTO $cat.t_dev VALUES (999, 'dev', 9.9)")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t").as[Long].head()
+      == 200L)
+    intercept[Exception] {
+      spark.sql(s"CALL $cat.system.clone('t', 't_dev')") // exists
+    }
+  }
+
   test("mutating procedures refuse PINNED catalog members") {
     val root = freshRoot("pinned")
     val catRoot = new File(root, "cat").getAbsolutePath
@@ -149,6 +171,6 @@ class GraftProceduresSpec extends SparkSpec {
         "root", root.getAbsolutePath)))
     val names = plugin.listProcedures(Array("system")).map(_.name()).toSet
     assert(names == Set("compact", "vacuum", "restore", "create_tag",
-      "delete_tag", "relayout"))
+      "delete_tag", "relayout", "clone"))
   }
 }

@@ -1235,24 +1235,28 @@ object Merge {
         s"$path v$version records no schema — cannot type the bounds"))
     bounds.foreach(b => require(schema.fieldNames.contains(b.column),
       s"bound column ${b.column} not in ${schema.fieldNames.mkString(", ")}"))
-    // BUCKET-HASH pruning: an equality bound on the LAYOUT KEY names
-    // exactly one bucket (the same local-row hash the writer used), so
-    // a point lookup keeps 1/nBuckets of the files even on a table
-    // with NO stats recorded — structural, not statistical
+    // BUCKET-HASH pruning: a point or point-SET bound on the LAYOUT
+    // KEY (equality, IN-list, equality-OR) names its buckets — the
+    // same local-row hash the writer used — so a point lookup keeps
+    // its keys' buckets even on a table with NO stats recorded:
+    // structural, not statistical. A value whose hash is null cannot
+    // equal any key of the column's type, so dropping it from the
+    // bucket set is sound; huge IN-lists (pruning power gone anyway)
+    // keep everything.
     val candidates = m.layout match {
       case Some((keyCol, n)) =>
         bounds.collectFirst {
-          case Skipping.Bound(c, Some(lo), Some(hi))
-              if c == keyCol && lo == hi => lo
+          case b if b.column == keyCol &&
+              Skipping.pointsOf(b).isDefined => Skipping.pointsOf(b).get
         } match {
-          case Some(k) =>
-            val row = spark.range(1).select(pmod(
-              xxhash64(lit(k).cast(schema(keyCol).dataType)),
-              lit(n.toLong))).head()
-            if (row.isNullAt(0)) m.files // uncastable literal: keep all
-            else { val b = row.getLong(0)
-              m.files.filter(f => bucketOf(f) == b) }
-          case None => m.files
+          case Some(ps) if ps.nonEmpty && ps.size <= 1024 =>
+            val dt = schema(keyCol).dataType
+            val row = spark.range(1).select(ps.map(p =>
+              pmod(xxhash64(lit(p).cast(dt)), lit(n.toLong))): _*).head()
+            val keep = ps.indices
+              .filterNot(row.isNullAt).map(row.getLong).toSet
+            m.files.filter(f => keep.contains(bucketOf(f)))
+          case _ => m.files
         }
       case None => m.files
     }

@@ -44,7 +44,21 @@ object Skipping {
     * `"yyyy-MM-dd"`; numerics any `Number`; strings `String`.
     */
   final case class Bound(column: String, lower: Option[Any],
-      upper: Option[Any])
+      upper: Option[Any],
+      // the EXACT value set when the predicate is a point or point
+      // set (equality, IN-list, equality-OR chains): lets the bucket
+      // hash and the Bloom probe check each value individually where
+      // the [lower, upper] hull would keep everything between them
+      points: Option[Seq[Any]] = None)
+
+  /** The bound's exact value set, if it has one: explicit `points`,
+    * or the degenerate single-point interval.
+    */
+  private[sources] def pointsOf(b: Bound): Option[Seq[Any]] =
+    b.points.orElse((b.lower, b.upper) match {
+      case (Some(lo), Some(hi)) if lo == hi => Some(Seq(lo))
+      case _ => None
+    })
 
   private[sources] final case class FileStats(file: String, col: String,
       min: Option[String], max: Option[String],
@@ -447,10 +461,10 @@ object Skipping {
           if (xs.forall(_.isInstanceOf[Number])) {
             val ks = xs.map(x => new java.math.BigDecimal(x.toString))
             Seq(Bound(c, Some(xs(ks.indexOf(ks.min))),
-              Some(xs(ks.indexOf(ks.max)))))
+              Some(xs(ks.indexOf(ks.max))), points = Some(xs)))
           } else if (xs.forall(_.isInstanceOf[String])) {
             val ss = xs.map(_.asInstanceOf[String])
-            Seq(Bound(c, Some(ss.min), Some(ss.max)))
+            Seq(Bound(c, Some(ss.min), Some(ss.max), points = Some(xs)))
           } else Nil
       }
     }
@@ -514,7 +528,14 @@ object Skipping {
             }
             val lo = outer(lx, ly, takeMin = true)
             val hi = outer(ux, uy, takeMin = false)
-            if (lo.isEmpty && hi.isEmpty) Nil else Seq(Bound(c, lo, hi))
+            // point sets UNION across OR branches (c = 1 OR c IN (5, 9)
+            // stays a point set); a branch without one kills it
+            def branchPts(bs: Seq[Bound]): Option[Seq[Any]] =
+              if (bs.size == 1) pointsOf(bs.head) else None
+            val pts = for (px <- branchPts(xs); py <- branchPts(ys))
+              yield px ++ py
+            if (lo.isEmpty && hi.isEmpty) Nil
+            else Seq(Bound(c, lo, hi, points = pts))
           case _ => Nil
         }
       }
@@ -578,6 +599,7 @@ object Skipping {
       colStats: Map[String, FileStats], bounds: Seq[Bound]): Boolean =
     bounds.forall { b =>
       val dt = schema(b.column).dataType
+      val pts = pointsOf(b)
       val interval = colStats.get(b.column) match {
         case None => true // no stats recorded for this file/column: keep
         case Some(s) => (s.min, s.max) match {
@@ -585,19 +607,28 @@ object Skipping {
             // non-null value can satisfy an interval bound
           case (Some(mn), Some(mx)) =>
             val (lo, hi) = (statKey(dt, mn), statKey(dt, mx))
-            b.lower.forall(v => lte(boundKey(dt, v), hi)) &&
-              b.upper.forall(v => lte(lo, boundKey(dt, v)))
+            pts match {
+              // a point SET checks each value: keep iff ANY lies in
+              // [min, max] — strictly tighter than the hull interval
+              case Some(ps) => ps.exists { p =>
+                val k = boundKey(dt, p)
+                lte(lo, k) && lte(k, hi)
+              }
+              case None =>
+                b.lower.forall(v => lte(boundKey(dt, v), hi)) &&
+                  b.upper.forall(v => lte(lo, boundKey(dt, v)))
+            }
         }
       }
-      // an EQUALITY bound additionally probes the file's Bloom filter
+      // point predicates additionally probe the file's Bloom filter
       // when one was recorded for this column — the point-lookup prune
       // min/max cannot give on high-cardinality unsorted columns
-      val bloomOk = (b.lower, b.upper) match {
-        case (Some(lo), Some(hi)) if lo == hi =>
+      val bloomOk = pts match {
+        case Some(ps) =>
           colStats.get(BloomPrefix + b.column)
             .flatMap(_.bloom)
-            .forall(bf => bloomMightContain(dt, lo, bf))
-        case _ => true
+            .forall(bf => ps.exists(p => bloomMightContain(dt, p, bf)))
+        case None => true
       }
       interval && bloomOk
     }

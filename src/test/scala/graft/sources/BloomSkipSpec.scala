@@ -138,6 +138,49 @@ class BloomSkipSpec extends SparkSpec {
       s == 1 && t == 8 })
   }
 
+  test("IN-lists and equality-OR chains prune as POINT SETS: buckets " +
+      "by key hash, files by per-value bloom probes") {
+    val d = Files.createTempDirectory("graft_bloom_in").toFile
+    d.deleteOnExit()
+    val path = new File(d, "t").getAbsolutePath
+    Merge.writeKeyed(
+      (0L until 200L).map(i => (i, s"name_${i * 7919 % 200}"))
+        .toDF("id", "name"),
+      path, "id", nBuckets = 8, statsCols = Seq("bloom:name"))
+    val v = Merge.currentVersion(spark, path)
+    // key IN-list: keeps at most the two keys' buckets (no key stats)
+    val inBounds = Skipping.impliedBounds($"id".isin(3L, 7L))
+    val (selIn, total) = Merge.planVersionFiles(spark, path, v, inBounds)
+    assert(total == 8 && selIn.size <= 2 && selIn.nonEmpty,
+      s"IN on the key must keep its buckets only: ${selIn.size} of $total")
+    assert(Merge.readKeyedWhere(spark, path, $"id".isin(3L, 7L))
+      .count() == 2L)
+    // equality-OR chain carries the union point set
+    val orBounds = Skipping.impliedBounds($"id" === 3L || $"id" === 7L)
+    val (selOr, _) = Merge.planVersionFiles(spark, path, v, orBounds)
+    assert(selOr.size <= 2 && selOr.nonEmpty)
+    // bloom IN-list: one present + one absent value keeps only the
+    // present value's file(s); the interval HULL alone could not
+    val present = s"name_${3 * 7919 % 200}"
+    val bBounds = Skipping.impliedBounds(
+      $"name".isin(present, "zz_nope"))
+    val (selB, _) = Merge.planVersionFiles(spark, path, v, bBounds)
+    assert(selB.size < total && selB.nonEmpty,
+      s"per-value bloom probes must prune: ${selB.size} of $total")
+    assert(Merge.readKeyedWhere(spark, path,
+      $"name".isin(present, "zz_nope")).count() == 1L)
+    // all-absent IN prunes everything
+    val (selNone, _) = Merge.planVersionFiles(spark, path, v,
+      Skipping.impliedBounds($"name".isin("zz_a", "zz_b")))
+    assert(selNone.isEmpty)
+    // DSv2 pushed In rides the same pruning
+    GraftTable.lastScanFiles = None
+    assert(spark.read.format("graft-table").option("path", path).load()
+      .filter($"id".isin(3L, 7L)).count() == 2L)
+    assert(GraftTable.lastScanFiles.exists { case (s, t) =>
+      s <= 2 && t == 8 })
+  }
+
   test("integer equality probes the bloom exactly (internal-form hash)") {
     val d = Files.createTempDirectory("graft_bloom_int").toFile
     d.deleteOnExit()

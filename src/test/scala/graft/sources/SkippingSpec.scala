@@ -158,13 +158,17 @@ class SkippingSpec extends SparkSpec {
     assert(b2 == Seq(Bound("id", None, Some(700L))))
   }
 
-  test("impliedBounds: IN-lists become [min,max]; startsWith becomes " +
-      "a sound prefix interval") {
+  test("impliedBounds: IN-lists become [min,max] hulls CARRYING their " +
+      "point sets; startsWith becomes a sound prefix interval") {
     import org.apache.spark.sql.functions.col
     val in = Skipping.impliedBounds(col("id").isin(250L, 20L, 700L))
-    assert(in == Seq(Bound("id", Some(20L), Some(700L))))
+    assert(in.map(b => (b.column, b.lower, b.upper)) ==
+      Seq(("id", Some(20L), Some(700L))))
+    assert(in.head.points.map(_.toSet) == Some(Set(250L, 20L, 700L)))
     val ins = Skipping.impliedBounds(col("name").isin("k05", "k02", "k09"))
-    assert(ins == Seq(Bound("name", Some("k02"), Some("k09"))))
+    assert(ins.map(b => (b.column, b.lower, b.upper)) ==
+      Seq(("name", Some("k02"), Some("k09"))))
+    assert(ins.head.points.map(_.toSet) == Some(Set("k05", "k02", "k09")))
     val pre = Skipping.impliedBounds(col("name").startsWith("k00"))
     assert(pre == Seq(Bound("name", Some("k00"), Some("k01"))))
     // the prefix interval must CONTAIN every extension of the prefix —

@@ -645,6 +645,18 @@ object Merge {
       .flatMap(_.layout)
   }
 
+  /** The table's recorded stats specs (plain min/max columns and
+    * `bloom:c` entries) — the skipping contract, for observability
+    * surfaces like DESCRIBE EXTENDED.
+    */
+  def tableStatsCols(spark: SparkSession, path: String): Seq[String] = {
+    val (_, root) = fsFor(spark, path)
+    val v = currentVersion(spark, path)
+    require(v >= 0, s"$path has no version log")
+    readManifestOpt(spark, root, v, resolveShards = false)
+      .map(_.statsCols).getOrElse(Seq.empty)
+  }
+
   /** A batch (or the table, at [[addConstraint]] time) holds rows that
     * fail a recorded CHECK constraint — the commit was REFUSED, the
     * table is unchanged.

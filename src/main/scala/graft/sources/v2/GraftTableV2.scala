@@ -199,8 +199,30 @@ class GraftTable(val path: String, val pinnedVersion: Long,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
 
-  override def properties(): util.Map[String, String] =
-    Map("path" -> path, "version" -> pinnedVersion.toString).asJava
+  /** Surfaced by `DESCRIBE TABLE EXTENDED` / `SHOW TBLPROPERTIES`:
+    * the pinned version and the recorded layout, skipping and
+    * constraint contracts — the operator's first questions, answered
+    * from one manifest read.
+    */
+  override def properties(): util.Map[String, String] = {
+    val base = Map("path" -> path, "version" -> pinnedVersion.toString)
+    // observability only — a property lookup must never fail a read
+    val extras = try {
+      val spark = SparkSession.active
+      val layout = Merge.tableLayout(spark, path).map { case (k, n) =>
+        Map("key" -> k, "buckets" -> n.toString)
+      }.getOrElse(Map.empty)
+      val cs = Merge.tableStatsCols(spark, path)
+      val stats = if (cs.isEmpty) Map.empty[String, String]
+        else Map("statsCols" -> cs.mkString(","))
+      val cks = Merge.tableConstraints(spark, path)
+      val ck = if (cks.isEmpty) Map.empty[String, String]
+        else Map("constraints" ->
+          cks.map { case (n, e) => s"$n CHECK ($e)" }.mkString("; "))
+      layout ++ stats ++ ck
+    } catch { case _: Exception => Map.empty[String, String] }
+    (base ++ extras).asJava
+  }
 
   /** The table's CHECK constraints (recorded in the manifest, enforced
     * at every commit), reported through the standard DSv2 hook so

@@ -128,6 +128,22 @@ class GraftDdlSpec extends SparkSpec {
     spark.sql(s"ALTER TABLE $cat.t DROP CONSTRAINT IF EXISTS nope")
   }
 
+  test("SHOW TBLPROPERTIES / DESCRIBE EXTENDED surface the layout, " +
+      "stats and constraint contracts") {
+    val (cat, _) = mkCatalog("props2")
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('key' = 'id', 'buckets' = '4', " +
+      "'statsCols' = 'id,bloom:v')")
+    spark.sql(s"ALTER TABLE $cat.t ADD CONSTRAINT v_pos CHECK (v > 0)")
+    val props = spark.sql(s"SHOW TBLPROPERTIES $cat.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("key").contains("id"))
+    assert(props.get("buckets").contains("4"))
+    assert(props.get("statsCols").contains("id,bloom:v"))
+    assert(props.get("constraints").exists(_.contains("v_pos")))
+    assert(props.contains("version"))
+  }
+
   test("pinned-catalog mode refuses CREATE and DROP") {
     val base = Files.createTempDirectory("graft_ddl_pinned").toFile
     base.deleteOnExit()

@@ -242,6 +242,21 @@ class GraftDmlSpec extends AnyFunSuite {
       .select("id").as[Long].collect().sorted.toSeq == Seq(7L, 9L))
   }
 
+  test("UPDATE with a SCALAR-subquery value; DELETE with correlated " +
+      "EXISTS") {
+    import spark.implicits._
+    val path = freshTable("subx")
+    Seq((1L, 111.0)).toDF("k", "s").createOrReplaceTempView("dml_subx")
+    spark.sql("UPDATE gsubx.t SET score = " +
+      "(SELECT max(s) FROM dml_subx) WHERE id = 2")
+    assert(Merge.readKeyed(spark, path).filter($"id" === 2L)
+      .select("score").as[Double].head() == 111.0)
+    spark.sql("DELETE FROM gsubx.t WHERE EXISTS " +
+      "(SELECT 1 FROM dml_subx x WHERE x.k = t.id)")
+    assert(Merge.readKeyed(spark, path).filter($"id" === 1L).isEmpty)
+    assert(Merge.readKeyed(spark, path).count() == 199L)
+  }
+
   test("UPDATE/MERGE on a non-graft relation still gets Spark's error") {
     import spark.implicits._
     Seq((1, "a")).toDF("id", "v").createOrReplaceTempView("plain_view")

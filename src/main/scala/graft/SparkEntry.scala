@@ -1210,6 +1210,30 @@ object SparkEntry {
             WHERE p_partkey <= 2000 OR p_partkey = 9000001
             ORDER BY p_partkey""")
     }),
+    "q_replace_where" -> ((s, dir) => {
+      // SELECTIVE OVERWRITE (Delta's replaceWhere): the batch replaces
+      // exactly the predicate's slice in ONE tombstone-dialect commit
+      // (required in-gate) — matched keys the batch re-supplies take
+      // the new image, matched keys it doesn't die, rows outside the
+      // predicate are untouched. Read-back ≡ the oracle's union.
+      val path = new java.io.File(scratchRoot,
+        s"graft_rw_${new java.io.File(dir).getName}").getAbsolutePath
+      val part = t(s, dir, "part")
+        .select("p_partkey", "p_name", "p_retailprice")
+      graft.sources.Merge.writeKeyed(part, path, "p_partkey",
+        nBuckets = 16, statsCols = Seq("p_partkey"))
+      val v0 = graft.sources.Merge.currentVersion(s, path)
+      part.filter(col("p_partkey") <= 300)
+        .withColumn("p_retailprice", col("p_retailprice") * 2)
+        .write.format("graft-table").option("path", path)
+        .option("replaceWhere", "p_partkey <= 500")
+        .mode("overwrite").save()
+      require(graft.sources.Merge.currentVersion(s, path) == v0 + 1,
+        "the selective overwrite must land as exactly one commit")
+      graft.sources.Merge.readKeyed(s, path)
+        .filter(col("p_partkey") <= 1000)
+        .select("p_partkey", "p_retailprice").orderBy("p_partkey")
+    }),
     "q_sql_delete_any" -> ((s, dir) => {
       // SQL DELETE beyond pushable predicates: a subquery condition
       // (impossible for the SupportsDelete hook) runs through the DML
@@ -1241,28 +1265,29 @@ object SparkEntry {
             WHERE p_partkey <= 2000 ORDER BY p_partkey""")
     }),
     "q_bloom_skip" -> ((s, dir) => {
-      // PER-FILE BLOOM FILTER SKIPPING: `bloom:p_name` records a Bloom
-      // filter per data file, so an EQUALITY lookup on the
-      // high-cardinality unsorted name column prunes files min/max
-      // never could (file pruning required in-gate); the pruned read
-      // ≡ the oracle's full filter.
+      // PER-FILE BLOOM FILTER SKIPPING: `bloom:p_label` records a
+      // Bloom filter per data file over a HIGH-CARDINALITY derived
+      // label (p_name repeats hundreds of times at sf0.1 — every file
+      // legitimately contains the common values, which is exactly why
+      // the gate needs a unique-valued column), so an equality lookup
+      // prunes files min/max never could (file pruning required
+      // in-gate); the pruned read ≡ the oracle's full filter.
       val path = new java.io.File(scratchRoot,
         s"graft_bloom_${new java.io.File(dir).getName}").getAbsolutePath
       val part = t(s, dir, "part")
-        .select("p_partkey", "p_name", "p_retailprice")
+        .select(col("p_partkey"), col("p_name"),
+          concat(lit("label_"), col("p_partkey")).as("p_label"))
       graft.sources.Merge.writeKeyed(part, path, "p_partkey",
-        nBuckets = 16, statsCols = Seq("p_partkey", "bloom:p_name"))
-      val target = part.filter(col("p_partkey") === 77L)
-        .select("p_name").collect()(0).getString(0)
+        nBuckets = 16, statsCols = Seq("p_partkey", "bloom:p_label"))
       val v = graft.sources.Merge.currentVersion(s, path)
       val (sel, total) = graft.sources.Merge.planVersionFiles(s, path, v,
-        Seq(graft.sources.Skipping.Bound("p_name",
-          Some(target), Some(target))))
+        Seq(graft.sources.Skipping.Bound("p_label",
+          Some("label_77"), Some("label_77"))))
       require(sel.size < total && sel.nonEmpty,
         s"the bloom index must prune files: kept ${sel.size} of $total")
       graft.sources.Merge.readKeyedWhere(s, path,
-          col("p_name") === lit(target))
-        .select("p_partkey", "p_name").orderBy("p_partkey")
+          col("p_label") === lit("label_77"))
+        .select("p_partkey", "p_name", "p_label").orderBy("p_partkey")
     }),
     "q_sql_constraint" -> ((s, dir) => {
       // SQL CONSTRAINT DDL: ADD CONSTRAINT validates the existing rows
@@ -5884,6 +5909,15 @@ object SparkEntry {
          UNION ALL
          SELECT CAST(9000001 AS BIGINT), 'sentinel', CAST(1.5 AS DOUBLE)
          ORDER BY p_partkey""",
+    // the replaced slice takes the batch image, the unsupplied part of
+    // the slice dies, everything outside survives
+    "q_replace_where" ->
+      """SELECT p_partkey, p_retailprice * 2 AS p_retailprice
+         FROM part WHERE p_partkey <= 300
+         UNION ALL
+         SELECT p_partkey, p_retailprice
+         FROM part WHERE p_partkey > 500 AND p_partkey <= 1000
+         ORDER BY p_partkey""",
     // survivors of the subquery + predicate delete
     "q_sql_delete_any" ->
       """SELECT p_partkey, p_name FROM part
@@ -5892,8 +5926,10 @@ object SparkEntry {
          ORDER BY p_partkey""",
     // the bloom-pruned equality read ≡ the full filter
     "q_bloom_skip" ->
-      """SELECT p_partkey, p_name FROM part
-         WHERE p_name = (SELECT p_name FROM part WHERE p_partkey = 77)
+      """SELECT p_partkey, p_name,
+                'label_' || CAST(p_partkey AS VARCHAR) AS p_label
+         FROM part
+         WHERE 'label_' || CAST(p_partkey AS VARCHAR) = 'label_77'
          ORDER BY p_partkey""",
     // part + the conforming sentinel + the post-DROP freed sentinel
     // (the violating insert left nothing)

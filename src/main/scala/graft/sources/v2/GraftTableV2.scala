@@ -245,7 +245,8 @@ class GraftTable(val path: String, val pinnedVersion: Long,
     require(writable,
       s"cannot write to a time-traveled resolution of $path — load " +
       "the table without versionAsOf/timestampAsOf/tagAsOf to write")
-    new GraftWriteBuilder(path)
+    new GraftWriteBuilder(path,
+      Option(info.options.get("replaceWhere")))
   }
 
   /** `DELETE FROM` — [[Merge.deleteWhere]] behind the standard DSv2
@@ -282,15 +283,56 @@ class GraftTable(val path: String, val pinnedVersion: Long,
   }
 }
 
-/** Append (upsert) or truncate-overwrite (replaceAll), executed through
+/** Append (upsert), truncate-overwrite (replaceAll), or SELECTIVE
+  * overwrite (Delta's `replaceWhere` option: rows matching the
+  * predicate are replaced by the batch in ONE commit — the batch must
+  * itself satisfy the predicate, refused otherwise), executed through
   * the public [[V1Write]] bridge like the read side's [[V1Scan]].
+  *
+  * {{{
+  *   df.write.format("graft-table").option("path", p)
+  *     .option("replaceWhere", "region = 'eu'")
+  *     .mode("overwrite").save()
+  * }}}
   */
-class GraftWriteBuilder(path: String) extends WriteBuilder
+class GraftWriteBuilder(path: String,
+    replaceWhere: Option[String] = None) extends WriteBuilder
     with SupportsTruncate {
 
   private var overwriteAll = false
 
   override def truncate(): WriteBuilder = { overwriteAll = true; this }
+
+  private def replaceMatching(spark: org.apache.spark.sql.SparkSession,
+      data: org.apache.spark.sql.DataFrame, predSql: String): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val (keyCol, nBuckets) = Merge.tableLayout(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path records no (keyCol, nBuckets) layout"))
+    val pred = org.apache.spark.sql.GraftColumnBridge.column(
+      spark.sessionState.sqlParser.parseExpression(predSql))
+    // Delta's contract: every incoming row must satisfy the predicate
+    // — otherwise "replace this region" could silently write outside it
+    val stray = data.filter(!coalesce(pred, lit(false))).limit(1)
+      .collect()
+    require(stray.isEmpty,
+      s"replaceWhere [$predSql]: the batch contains rows that do not " +
+      s"satisfy the predicate (e.g. ${stray.headOption.orNull}) — " +
+      "every written row must match what it replaces")
+    val DEL = "__graft_rw_del"
+    // matched old rows whose key the batch does not re-supply die;
+    // batch rows upsert — one tombstone-dialect commit, find scan
+    // bounds-pruned by the predicate
+    val doomed = Merge.readKeyedWhere(spark, path, pred)
+      .join(data.select(col(keyCol)), Seq(keyCol), "left_anti")
+    val changes = doomed.withColumn(DEL, lit(true))
+      .unionByName(data.withColumn(DEL, lit(false)))
+      .localCheckpoint()
+    try Merge.upsert(spark, path, changes, keyCol, nBuckets,
+      tombstoneCol = Some(DEL))
+    finally changes.unpersist(blocking = false)
+    ()
+  }
 
   override def build(): Write = new V1Write {
     override def toInsertableRelation(): InsertableRelation =
@@ -298,16 +340,20 @@ class GraftWriteBuilder(path: String) extends WriteBuilder
         override def insert(data: org.apache.spark.sql.DataFrame,
             overwrite: Boolean): Unit = {
           val spark = data.sparkSession
-          if (overwriteAll || overwrite) {
-            Merge.replaceAll(spark, path, data)
-          } else {
-            val (keyCol, nBuckets) =
-              Merge.tableLayout(spark, path).getOrElse(
-                throw new IllegalArgumentException(
-                  s"$path records no (keyCol, nBuckets) layout"))
-            Merge.upsert(spark, path, data, keyCol, nBuckets)
+          (replaceWhere, overwriteAll || overwrite) match {
+            case (Some(rw), true) => replaceMatching(spark, data, rw)
+            case (Some(_), false) => throw new IllegalArgumentException(
+              "replaceWhere needs mode(\"overwrite\") — an append " +
+              "cannot replace anything")
+            case (None, true)  => Merge.replaceAll(spark, path, data); ()
+            case (None, false) =>
+              val (keyCol, nBuckets) =
+                Merge.tableLayout(spark, path).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"$path records no (keyCol, nBuckets) layout"))
+              Merge.upsert(spark, path, data, keyCol, nBuckets)
+              ()
           }
-          ()
         }
       }
   }

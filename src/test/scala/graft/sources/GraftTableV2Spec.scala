@@ -436,6 +436,47 @@ class GraftTableV2Spec extends SparkSpec {
     }
   }
 
+  test("replaceWhere: selective overwrite in ONE commit; stray rows " +
+      "and append mode refused") {
+    val path = new File(freshDir("rw"), "tbl").getAbsolutePath
+    Merge.writeKeyed(baseDf, path, "id", nBuckets = 8)
+    val v0 = Merge.currentVersion(spark, path)
+    // replace ids < 50 with a 3-row batch (one key kept, two new)
+    val batch = Seq((7L, "kept_new", 7.7), (300L, "oops", 1.0))
+      .toDF("id", "name", "score")
+    // a batch row OUTSIDE the predicate is refused, nothing committed
+    val e = intercept[Exception] {
+      batch.write.format("graft-table").option("path", path)
+        .option("replaceWhere", "id < 50").mode("overwrite").save()
+    }
+    assert(e.getMessage.contains("replaceWhere"))
+    assert(Merge.currentVersion(spark, path) == v0)
+    // a conforming batch replaces exactly the matched slice
+    Seq((7L, "kept_new", 7.7), (8L, "added", 8.8))
+      .toDF("id", "name", "score")
+      .write.format("graft-table").option("path", path)
+      .option("replaceWhere", "id < 50").mode("overwrite").save()
+    assert(Merge.currentVersion(spark, path) == v0 + 1,
+      "the selective overwrite must be one commit")
+    val now = Merge.readKeyed(spark, path)
+    // 200 - 50 (matched) + 2 (batch) = 152
+    assert(now.count() == 152L)
+    assert(now.filter($"id" === 7L).select("name").as[String].head()
+      == "kept_new")
+    assert(now.filter($"id" === 8L).select("name").as[String].head()
+      == "added")
+    assert(now.filter($"id" === 10L).isEmpty, "unreplaced matched row dies")
+    assert(now.filter($"id" === 150L).select("name").as[String].head()
+      == "name_150", "rows outside the predicate are untouched")
+    // append mode cannot replace
+    intercept[Exception] {
+      Seq((1L, "x", 1.0)).toDF("id", "name", "score")
+        .write.format("graft-table").option("path", path)
+        .option("replaceWhere", "id < 50").mode("append").save()
+    }
+    ()
+  }
+
   test("unsupported DDL is refused loudly (RENAME TABLE breaks clone " +
       "foreign refs, so it stays out even in directory mode)") {
     val root = freshDir("cat_ro")

@@ -180,6 +180,26 @@ class GraftDmlSpec extends AnyFunSuite {
       "unassigned insert column must be NULL")
   }
 
+  test("MERGE NOT MATCHED BY SOURCE can UPDATE, not just DELETE") {
+    import spark.implicits._
+    val path = freshTable("nmbsu")
+    Seq(1L, 2L).toDF("id").createOrReplaceTempView("dml_nmbs_src")
+    spark.sql("""
+      MERGE INTO gnmbsu.t t USING dml_nmbs_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET name = 'seen'
+      WHEN NOT MATCHED BY SOURCE AND t.id < 5 THEN UPDATE
+        SET name = 'stale'
+    """)
+    val now = Merge.readKeyed(spark, path)
+    assert(now.filter($"name" === "seen").select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L))
+    assert(now.filter($"name" === "stale").select("id").as[Long]
+      .collect().sorted.toSeq == Seq(0L, 3L, 4L))
+    assert(now.filter($"id" === 7L).select("name").as[String].head()
+      == "name_7")
+    assert(now.count() == 200L)
+  }
+
   test("MERGE that touches one target key twice fails loudly") {
     import spark.implicits._
     freshTable("dup")

@@ -277,6 +277,66 @@ class GraftDmlSpec extends AnyFunSuite {
     assert(Merge.readKeyed(spark, path).count() == 199L)
   }
 
+  test("DML composes with column mapping: UPDATE and MERGE speak the " +
+      "RENAMED column over pre-rename files") {
+    import spark.implicits._
+    val path = freshTable("ren")
+    spark.sql("ALTER TABLE gren.t RENAME COLUMN name TO title")
+    spark.sql("UPDATE gren.t SET title = 'renamed' WHERE id = 1")
+    assert(Merge.readKeyed(spark, path).filter($"id" === 1L)
+      .select("title").as[String].head() == "renamed")
+    Seq((2L, "merged")).toDF("id", "title")
+      .createOrReplaceTempView("dml_ren_src")
+    spark.sql("""
+      MERGE INTO gren.t t USING dml_ren_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET title = s.title
+    """)
+    val now = Merge.readKeyed(spark, path)
+    assert(now.filter($"id" === 2L).select("title").as[String].head()
+      == "merged")
+    // untouched pre-rename files still read under the new name
+    assert(now.filter($"id" === 9L).select("title").as[String].head()
+      == "name_9")
+  }
+
+  test("two racing UPDATEs on disjoint keys both land (commit-fence " +
+      "serialization)") {
+    import spark.implicits._
+    val path = freshTable("race")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val ts = Seq("id < 10", "id >= 190").map { where =>
+      new Thread(() => {
+        try spark.sql(s"UPDATE grace.t SET name = 'raced' WHERE $where")
+        catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(errs.isEmpty, s"racing UPDATEs must serialize: ${errs.peek}")
+    assert(Merge.currentVersion(spark, path) == 2L)
+    assert(Merge.readKeyed(spark, path).filter($"name" === "raced")
+      .count() == 20L)
+  }
+
+  test("DML refuses PINNED catalog members") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_dml_pin")
+      .toFile
+    base.deleteOnExit()
+    val catRoot = new java.io.File(base, "cat").getAbsolutePath
+    val p1 = new java.io.File(base, "t1").getAbsolutePath
+    Merge.writeKeyed(Seq((1L, "a")).toDF("id", "v"), p1, "id", 2)
+    TableCatalog.create(spark, catRoot, Map("t1" -> p1))
+    spark.conf.set("spark.sql.catalog.gdmlpin",
+      "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gdmlpin.root", catRoot)
+    val e = intercept[Exception] {
+      spark.sql("UPDATE gdmlpin.t1 SET v = 'x' WHERE id = 1")
+    }
+    assert(e.getMessage.contains("pinned"))
+    assert(spark.sql("SELECT v FROM gdmlpin.t1 WHERE id = 1")
+      .as[String].head() == "a")
+  }
+
   test("UPDATE/MERGE on a non-graft relation still gets Spark's error") {
     import spark.implicits._
     Seq((1, "a")).toDF("id", "v").createOrReplaceTempView("plain_view")

@@ -114,17 +114,25 @@ object Skipping {
     internal.map(l => new XxHash64(Seq(l)).eval(null).asInstanceOf[Long])
   }
 
+  /** Deserialize once, probe many: a point SET probes every value
+    * against one parsed filter (k base64-decodes per file would dwarf
+    * the probe itself). A value whose hash cannot be reconstructed —
+    * or an unreadable filter — keeps the file.
+    */
+  private[sources] def bloomAnyMightContain(dt: DataType, vs: Seq[Any],
+      b64: String): Boolean = {
+    val hs = vs.map(bloomHashOf(dt, _))
+    if (hs.exists(_.isEmpty)) return true // an untyped probe: keep
+    val bf =
+      try org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(
+          java.util.Base64.getDecoder.decode(b64)))
+      catch { case _: Exception => return true } // unreadable: keep
+    hs.exists(h => bf.mightContainLong(h.get))
+  }
+
   private[sources] def bloomMightContain(dt: DataType, v: Any,
-      b64: String): Boolean =
-    bloomHashOf(dt, v) match {
-      case None => true // untyped probe: keep the file
-      case Some(h) =>
-        val in = new java.io.ByteArrayInputStream(
-          java.util.Base64.getDecoder.decode(b64))
-        try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
-          .mightContainLong(h)
-        catch { case _: Exception => true } // unreadable filter: keep
-    }
+      b64: String): Boolean = bloomAnyMightContain(dt, Seq(v), b64)
 
   private def statsPath(root: Path) = new Path(
     new Path(root, "_graft_stats"), "stats.json")
@@ -627,7 +635,7 @@ object Skipping {
         case Some(ps) =>
           colStats.get(BloomPrefix + b.column)
             .flatMap(_.bloom)
-            .forall(bf => ps.exists(p => bloomMightContain(dt, p, bf)))
+            .forall(bf => bloomAnyMightContain(dt, ps, bf))
         case None => true
       }
       interval && bloomOk

@@ -150,6 +150,9 @@ object GraftTable {
     * never approximated.
     */
   private[v2] def filterToColumn(f: Filter): Option[Column] = f match {
+    // a bare `DELETE FROM t` pushes the TRUE literal
+    case _: AlwaysTrue            => Some(lit(true))
+    case _: AlwaysFalse           => Some(lit(false))
     case EqualTo(a, v)            => Some(col(a) === lit(v))
     case EqualNullSafe(a, v) if v != null => Some(col(a) <=> lit(v))
     case GreaterThan(a, v)        => Some(col(a) > lit(v))

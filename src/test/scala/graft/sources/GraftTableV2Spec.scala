@@ -477,6 +477,20 @@ class GraftTableV2Spec extends SparkSpec {
     ()
   }
 
+  test("bare DELETE FROM (no WHERE) empties the table as one commit " +
+      "with history intact") {
+    val path = new File(freshDir("delall"), "tbl").getAbsolutePath
+    Merge.writeKeyed(baseDf, path, "id", nBuckets = 4)
+    spark.conf.set("spark.sql.catalog.gdall",
+      "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gdall.root",
+      new File(path).getParent)
+    spark.sql("DELETE FROM gdall.tbl")
+    assert(Merge.readKeyed(spark, path).count() == 0L)
+    assert(Merge.currentVersion(spark, path) == 1L)
+    assert(Merge.readVersion(spark, path, 0L).count() == 200L)
+  }
+
   test("unsupported DDL is refused loudly (RENAME TABLE breaks clone " +
       "foreign refs, so it stays out even in directory mode)") {
     val root = freshDir("cat_ro")

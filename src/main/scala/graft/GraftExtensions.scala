@@ -341,5 +341,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.sources.TableCatalog.history(
           org.apache.spark.sql.SparkSession.active, strLit(c.head, "catRoot"))
       })
+    // ANN from pure SQL: probe a persisted IVF-PQ index with the
+    // queries in a view/table (or a parquet path) — the partition-
+    // pruned probe the Scala API runs, so a SQL session gets top-k
+    // similarity search without touching the pipeline API:
+    //   SELECT * FROM graft_ann_topk('/idx', 'queries_view',
+    //                                'qid', 'embedding', 10, 2)
+    registerTableFn("graft_ann_topk",
+      "usage: graft_ann_topk('indexPath', 'queriesViewOrPath', " +
+      "'qidCol', 'vecCol', k, nProbe)", c => {
+        require(c.size == 6, "takes 6 arguments")
+        val s = org.apache.spark.sql.SparkSession.active
+        val src = strLit(c(1), "queries")
+        val queries =
+          try s.table(src)
+          catch { case _: Exception => s.read.parquet(src) }
+        graft.pipeline.Similarity.IvfPq.topKPersisted(s,
+          strLit(c.head, "indexPath"), queries,
+          strLit(c(2), "qidCol"), strLit(c(3), "vecCol"),
+          intLit(c(4), "k"), intLit(c(5), "nProbe"))
+      })
   }
 }

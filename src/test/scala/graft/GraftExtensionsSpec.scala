@@ -202,4 +202,32 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(hist == Seq((0L, "create"), (1L, "transact")))
     } finally SparkSession.clearActiveSession()
   }
+  test("graft_ann_topk: persisted IVF-PQ search from pure SQL") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 64L).map { i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2f - 1f))
+    }.toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ext_ann")
+      .toFile
+    idx.deleteOnExit()
+    val path = new java.io.File(idx, "ivfpq").getAbsolutePath
+    graft.pipeline.Similarity.IvfPq.save(
+      graft.pipeline.Similarity.IvfPq.build(vecs, "vec_id", "embedding",
+        dim = 8, cells = 2, m = 2, kSub = 8), path)
+    vecs.filter($"vec_id" < 3).toDF("qid", "embedding")
+      .createOrReplaceTempView("ext_ann_queries")
+    val sql = spark.sql(
+      s"SELECT * FROM graft_ann_topk('$path', 'ext_ann_queries', " +
+      "'qid', 'embedding', 5, 2)")
+    val api = graft.pipeline.Similarity.IvfPq.topKPersisted(spark, path,
+      spark.table("ext_ann_queries"), "qid", "embedding", k = 5,
+      nProbe = 2)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.get(2).toString)).toSet
+    assert(key(sql) == key(api) && key(sql).nonEmpty,
+      "the SQL TVF must return exactly the Scala probe's results")
+  }
+
 }

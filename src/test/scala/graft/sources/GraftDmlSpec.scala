@@ -337,6 +337,39 @@ class GraftDmlSpec extends AnyFunSuite {
       .as[String].head() == "a")
   }
 
+  test("the streaming MERGE idiom: foreachBatch + SQL MERGE INTO " +
+      "(Delta's streaming-upsert pattern)") {
+    import spark.implicits._
+    val path = freshTable("smerge")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_dml_smerge_ckpt").toFile
+    ckpt.deleteOnExit()
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    in.addData((1L, "s1"), (300L, "s300"))
+    val q = in.toDF().toDF("id", "name")
+      .writeStream
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.createOrReplaceTempView("dml_smerge_batch")
+        b.sparkSession.sql("""
+          MERGE INTO gsmerge.t t USING dml_smerge_batch s ON t.id = s.id
+          WHEN MATCHED THEN UPDATE SET name = s.name
+          WHEN NOT MATCHED THEN INSERT (id, name) VALUES (s.id, s.name)
+        """)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val now = Merge.readKeyed(spark, path)
+    assert(now.filter($"id" === 1L).select("name").as[String].head()
+      == "s1")
+    assert(now.filter($"id" === 300L).select("name").as[String].head()
+      == "s300")
+    assert(now.count() == 201L)
+  }
+
   test("UPDATE/MERGE on a non-graft relation still gets Spark's error") {
     import spark.implicits._
     Seq((1, "a")).toDF("id", "v").createOrReplaceTempView("plain_view")

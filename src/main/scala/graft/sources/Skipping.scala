@@ -109,6 +109,16 @@ object Skipping {
       case (StringType, s: String)  => Some(Literal(
         org.apache.spark.unsafe.types.UTF8String.fromString(s), dt))
       case (BooleanType, b: Boolean) => Some(Literal(b, dt))
+      // temporal internals are exact integers (micros / epoch days)
+      case (_: TimestampType, t: java.sql.Timestamp) => Some(Literal(
+        t.getTime / 1000L * 1000000L + t.getNanos / 1000L, dt))
+      case (TimestampNTZType, l: java.time.LocalDateTime) => Some(Literal(
+        l.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          l.getNano / 1000L, dt))
+      case (_: DateType, d: java.sql.Date) =>
+        Some(Literal(d.toLocalDate.toEpochDay.toInt, dt))
+      case (_: DateType, d: java.time.LocalDate) =>
+        Some(Literal(d.toEpochDay.toInt, dt))
       case _ => None
     }
     internal.map(l => new XxHash64(Seq(l)).eval(null).asInstanceOf[Long])

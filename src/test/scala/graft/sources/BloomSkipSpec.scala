@@ -181,6 +181,30 @@ class BloomSkipSpec extends SparkSpec {
       s <= 2 && t == 8 })
   }
 
+  test("DATE equality probes the bloom (epoch-day internal form)") {
+    val d = Files.createTempDirectory("graft_bloom_date").toFile
+    d.deleteOnExit()
+    val path = new File(d, "t").getAbsolutePath
+    Merge.writeKeyed(
+      (0L until 200L).map(i => (i,
+        java.sql.Date.valueOf(java.time.LocalDate.of(2026, 1, 1)
+          .plusDays((i * 37) % 365)))).toDF("id", "day"),
+      path, "id", nBuckets = 8, statsCols = Seq("bloom:day"))
+    val v = Merge.currentVersion(spark, path)
+    val present = java.sql.Date.valueOf(java.time.LocalDate.of(2026, 1, 1)
+      .plusDays((7 * 37) % 365))
+    val (sel, total) = Merge.planVersionFiles(spark, path, v,
+      eqBound("day", present))
+    assert(sel.nonEmpty && sel.size < total,
+      s"date bloom must prune: ${sel.size} of $total")
+    val absent = java.sql.Date.valueOf("1999-01-01")
+    val (selA, _) = Merge.planVersionFiles(spark, path, v,
+      eqBound("day", absent))
+    assert(selA.isEmpty)
+    assert(Merge.readKeyedWhere(spark, path, $"day" === present).count()
+      == Merge.readKeyed(spark, path).filter($"day" === present).count())
+  }
+
   test("integer equality probes the bloom exactly (internal-form hash)") {
     val d = Files.createTempDirectory("graft_bloom_int").toFile
     d.deleteOnExit()

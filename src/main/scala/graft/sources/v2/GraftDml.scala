@@ -10,8 +10,8 @@ import org.apache.spark.sql.functions.{coalesce, col, lit, when}
 
 import graft.sources.Merge
 
-/** SQL `UPDATE` and `MERGE INTO` for versioned graft tables — the two
-  * DML verbs the DSv2 hooks don't carry (`DELETE FROM`/`TRUNCATE` ride
+/** SQL `UPDATE`, `MERGE INTO`, and the `DELETE FROM` shapes the DSv2
+  * hooks don't carry (plainly-translatable deletes stay on
   * [[org.apache.spark.sql.connector.catalog.SupportsDelete]];
   * INSERT/OVERWRITE ride SupportsWrite):
   *

@@ -347,6 +347,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // similarity search without touching the pipeline API:
     //   SELECT * FROM graft_ann_topk('/idx', 'queries_view',
     //                                'qid', 'embedding', 10, 2)
+    // Near-duplicate discovery from pure SQL: MinHash-LSH candidate
+    // pairs over a view/table (or parquet path) — banded bucketing,
+    // never all-pairs, exactly the Scala kernel. threshold_pct is an
+    // integer percent (TVF arguments are literals):
+    //   SELECT * FROM graft_dedup_pairs('docs_view', 'doc_id', 'text', 80)
+    registerTableFn("graft_dedup_pairs",
+      "usage: graft_dedup_pairs('viewOrPath', 'idCol', 'textCol', " +
+      "thresholdPct)", c => {
+        require(c.size == 4, "takes 4 arguments")
+        val s = org.apache.spark.sql.SparkSession.active
+        val src = strLit(c.head, "source")
+        val df = try s.table(src)
+          catch { case _: Exception => s.read.parquet(src) }
+        val pct = intLit(c(3), "thresholdPct")
+        require(pct > 0 && pct <= 100,
+          s"thresholdPct must be in (0, 100], got $pct")
+        graft.pipeline.Dedup.minhashCandidates(df,
+          strLit(c(1), "idCol"),
+          org.apache.spark.sql.functions.col(strLit(c(2), "textCol")),
+          threshold = pct / 100.0)
+      })
     registerTableFn("graft_ann_topk",
       "usage: graft_ann_topk('indexPath', 'queriesViewOrPath', " +
       "'qidCol', 'vecCol', k, nProbe)", c => {

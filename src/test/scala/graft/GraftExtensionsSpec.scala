@@ -230,4 +230,26 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "the SQL TVF must return exactly the Scala probe's results")
   }
 
+  test("graft_dedup_pairs: MinHash-LSH candidates from pure SQL") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content about spark sql table formats"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("ext_dedup_docs")
+    val sql = spark.sql(
+      "SELECT * FROM graft_dedup_pairs('ext_dedup_docs', 'doc_id', " +
+      "'text', 80)")
+    val api = graft.pipeline.Dedup.minhashCandidates(docs, "doc_id",
+      col("text"), threshold = 0.8)
+    assert(sql.columns.toSeq == api.columns.toSeq)
+    val key = (df: org.apache.spark.sql.DataFrame) => df
+      .select(df.columns.take(2).map(col): _*).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(key(sql) == key(api))
+    assert(key(sql).contains((1L, 2L)) || key(sql).contains((2L, 1L)),
+      s"the planted near-dup pair must surface, got ${key(sql)}")
+  }
+
 }

@@ -2835,11 +2835,22 @@ object Merge {
     */
   val DefaultOrphanGraceMs: Long = 10L * 60L * 1000L
 
+  /** Returns the reclaimed (or, with `dryRun = true`, the reclaimABLE
+    * — nothing is touched) file paths, table-root-relative where they
+    * live under it. Dry run is the operator's pre-flight: the same
+    * retention/tag/grace/orphan rules decide the set either way.
+    */
   def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1,
       graceMs: Long = 0L,
-      orphanGraceMs: Long = DefaultOrphanGraceMs): Unit = {
+      orphanGraceMs: Long = DefaultOrphanGraceMs,
+      dryRun: Boolean = false): Seq[String] = {
     require(keepVersions >= 1, "must keep >= 1 version")
     val (fs, root) = fsFor(spark, path)
+    val planned = Seq.newBuilder[String]
+    def reclaim(p: Path, recursive: Boolean): Unit = {
+      planned += p.toString.stripPrefix(root.toString).stripPrefix("/")
+      if (!dryRun) { fs.delete(p, recursive); () }
+    }
     val latest = currentVersion(spark, path)
     require(latest >= 0, s"$path has no version log")
     val keepFrom = math.max(0L, latest - keepVersions + 1)
@@ -2874,11 +2885,11 @@ object Merge {
       val p = new Path(root, f)
       val limit = if (everReferenced(f)) cutoff else orphanCutoff
       if (fs.getFileStatus(p).getModificationTime <= limit)
-        fs.delete(p, false)
+        reclaim(p, recursive = false)
     }
     allVersions
       .filter(v => v < keepFrom && !tagged(v)).foreach { v =>
-        fs.delete(new Path(logPath(root), s"v$v.json"), false)
+        reclaim(new Path(logPath(root), s"v$v.json"), recursive = false)
       }
     // sharded-manifest tables: reclaim shard files no retained version
     // references (content addressing means a shard can serve many
@@ -2897,7 +2908,7 @@ object Merge {
         .filterNot(s => liveShards(s.getPath.getName))
         .filter(s => s.getModificationTime <=
           (if (everShards(s.getPath.getName)) cutoff else orphanCutoff))
-        .foreach(s => fs.delete(s.getPath, false))
+        .foreach(s => reclaim(s.getPath, recursive = false))
     }
     // deletion-vector sidecars: a DV file lives while any retained
     // version references it; never-referenced sidecars (a crashed OR
@@ -2914,9 +2925,10 @@ object Merge {
           val rel = s"_graft_dv/${d.getPath.getName}/${f.getPath.getName}"
           val limit = if (everDv(rel)) cutoff else orphanCutoff
           if (!liveDv(rel) && f.getModificationTime <= limit)
-            fs.delete(f.getPath, false)
+            reclaim(f.getPath, recursive = false)
         }
-        if (fs.listStatus(d.getPath).isEmpty) fs.delete(d.getPath, true)
+        if (!dryRun && fs.listStatus(d.getPath).isEmpty)
+          fs.delete(d.getPath, true)
       }
     }
     // staging dirs are never referenced by construction: orphan floor
@@ -2924,7 +2936,8 @@ object Merge {
     if (fs.exists(sr))
       fs.listStatus(sr)
         .filter(_.getModificationTime <= orphanCutoff)
-        .foreach(d => fs.delete(d.getPath, true))
+        .foreach(d => reclaim(d.getPath, recursive = true))
+    planned.result()
   }
 
   /** Time-based retention (Delta's `delete retention period` shape):
@@ -2937,7 +2950,7 @@ object Merge {
     * commit stamp (pre-ts manifests) count as infinitely old.
     */
   def vacuumRetain(spark: SparkSession, path: String,
-      retainMillis: Long, graceMs: Long = 0L): Unit = {
+      retainMillis: Long, graceMs: Long = 0L): Seq[String] = {
     require(retainMillis >= 0, "retainMillis must be >= 0")
     val (_, root) = fsFor(spark, path)
     val latest = currentVersion(spark, path)

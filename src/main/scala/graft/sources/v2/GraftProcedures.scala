@@ -99,16 +99,21 @@ private[v2] class GraftProcedures(
   private val vacuum = new Proc("vacuum",
     "Reclaim files only unreachable versions reference (tagged " +
     "versions always survive; never-referenced files wait out the " +
-    "orphan grace floor)",
+    "orphan grace floor); dry_run => true reports the reclaimable " +
+    "set without touching anything",
     Seq(in("table", StringType),
       inDefault("keep_versions", IntegerType, "1"),
-      inDefault("grace_ms", LongType, "0")),
-    StructType(Seq(StructField("current_version", LongType)))) {
+      inDefault("grace_ms", LongType, "0"),
+      inDefault("dry_run", BooleanType, "false")),
+    StructType(Seq(StructField("current_version", LongType),
+      StructField("files_reclaimed", LongType),
+      StructField("dry_run", BooleanType)))) {
     override def exec(spark: SparkSession, a: InternalRow): Seq[Any] = {
       val path = mutablePath(a.getUTF8String(0).toString)
-      Merge.vacuum(spark, path, keepVersions = a.getInt(1),
-        graceMs = a.getLong(2))
-      Seq(Merge.currentVersion(spark, path))
+      val dry = a.getBoolean(3)
+      val reclaimed = Merge.vacuum(spark, path,
+        keepVersions = a.getInt(1), graceMs = a.getLong(2), dryRun = dry)
+      Seq(Merge.currentVersion(spark, path), reclaimed.size.toLong, dry)
     }
   }
 

@@ -93,6 +93,34 @@ class GraftProceduresSpec extends SparkSpec {
       .collect()(0).getAs[Boolean]("deleted"))
   }
 
+  test("CALL vacuum dry_run reports the reclaimable set, touches " +
+      "nothing; the real run then reclaims exactly it") {
+    val root = freshRoot("vacdry")
+    val path = new File(root, "t").getAbsolutePath
+    Merge.writeKeyed(baseDf, path, "id", nBuckets = 2)
+    Merge.upsert(spark, path,
+      Seq((1L, "x", 1.0)).toDF("id", "name", "score"), "id", 2)
+    val cat = mkCatalog("vacdry", root)
+    def dataFiles(): Int =
+      org.apache.commons.io.FileUtils.listFiles(new File(path),
+        Array("parquet"), true).size
+    val before = dataFiles()
+    val dry = spark.sql(s"CALL $cat.system.vacuum(table => 't', " +
+      "dry_run => true)").collect()(0)
+    assert(dry.getAs[Boolean]("dry_run"))
+    val planned = dry.getAs[Long]("files_reclaimed")
+    assert(planned > 0L, "the superseded v0 bucket file must be planned")
+    assert(dataFiles() == before, "dry run must not touch the table")
+    assert(Merge.readVersion(spark, path, 0L).count() == 200L,
+      "dry run must leave v0 readable")
+    val real = spark.sql(s"CALL $cat.system.vacuum(table => 't')")
+      .collect()(0)
+    assert(!real.getAs[Boolean]("dry_run"))
+    assert(real.getAs[Long]("files_reclaimed") == planned,
+      "the real run must reclaim exactly the dry run's plan")
+    assert(dataFiles() < before)
+  }
+
   test("CALL restore commits a new head with an old version's content") {
     val root = freshRoot("restore")
     val path = new File(root, "t").getAbsolutePath

@@ -117,6 +117,23 @@ private[v2] class GraftProcedures(
     }
   }
 
+  private val vacuumRetain = new Proc("vacuum_retain",
+    "Time-based retention (Delta's shape): keep every version " +
+    "committed within retain_ms plus the newest one at or before the " +
+    "horizon, so time travel stays answerable for every instant " +
+    "inside the window",
+    Seq(in("table", StringType), in("retain_ms", LongType),
+      inDefault("grace_ms", LongType, "0")),
+    StructType(Seq(StructField("current_version", LongType),
+      StructField("files_reclaimed", LongType)))) {
+    override def exec(spark: SparkSession, a: InternalRow): Seq[Any] = {
+      val path = mutablePath(a.getUTF8String(0).toString)
+      val reclaimed = Merge.vacuumRetain(spark, path,
+        retainMillis = a.getLong(1), graceMs = a.getLong(2))
+      Seq(Merge.currentVersion(spark, path), reclaimed.size.toLong)
+    }
+  }
+
   private val restore = new Proc("restore",
     "Commit a NEW head whose content is an earlier version's — " +
     "time travel made durable, history preserved",
@@ -193,6 +210,7 @@ private[v2] class GraftProcedures(
   }
 
   val all: Map[String, UnboundProcedure] =
-    Seq(compact, vacuum, restore, createTag, deleteTag, relayout, clone_)
+    Seq(compact, vacuum, vacuumRetain, restore, createTag, deleteTag,
+        relayout, clone_)
       .map(p => p.name -> (p: UnboundProcedure)).toMap
 }

@@ -91,6 +91,14 @@ class GraftProceduresSpec extends SparkSpec {
     // delete_tag releases it
     assert(spark.sql(s"CALL $cat.system.delete_tag('t', 'keep0')")
       .collect()(0).getAs[Boolean]("deleted"))
+    // the time-based twin: the released tag's leftovers reclaim, the
+    // retained head is untouched
+    val vr = spark.sql(s"CALL $cat.system.vacuum_retain(table => 't', " +
+      "retain_ms => 86400000)").collect()(0)
+    assert(vr.getAs[Long]("current_version") == 2L)
+    assert(vr.getAs[Long]("files_reclaimed") > 0L,
+      "the untagged v0 leftovers must reclaim")
+    assert(Merge.readKeyed(spark, path).count() == 200L)
   }
 
   test("CALL vacuum dry_run reports the reclaimable set, touches " +
@@ -196,7 +204,7 @@ class GraftProceduresSpec extends SparkSpec {
     // the standard SQL listing rides listProcedures
     val names = spark.sql(s"SHOW PROCEDURES IN $cat.system").collect()
       .map(_.getAs[String]("procedure_name")).toSet
-    assert(names == Set("compact", "vacuum", "restore", "create_tag",
-      "delete_tag", "relayout", "clone"))
+    assert(names == Set("compact", "vacuum", "vacuum_retain", "restore",
+      "create_tag", "delete_tag", "relayout", "clone"))
   }
 }

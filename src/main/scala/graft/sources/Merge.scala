@@ -920,6 +920,57 @@ object Merge {
       s"addColumn lost the commit race $attempt times at $path")
   }
 
+  /** WIDEN a column's type — metadata-only (`ALTER TABLE ... ALTER
+    * COLUMN c TYPE t`): the logical schema takes the wider type, NO
+    * file is touched at any table size (the Spark 4 parquet readers
+    * promote the narrower physical values — the same mechanism the
+    * upsert-driven widening rides), older versions keep their own
+    * narrower schema, and later upserts speak the wide type without
+    * allowEvolution. Only [[canWiden]] changes are accepted; the
+    * LAYOUT KEY's type is part of the layout (its hash routes
+    * buckets) and cannot change.
+    */
+  def widenColumn(spark: SparkSession, path: String, name: String,
+      to: DataType, maxRetries: Int = 5): Long = {
+    val (fs, root) = fsFor(spark, path)
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val parentV = currentVersion(spark, path)
+      require(parentV >= 0, s"$path has no version log")
+      val parent = readManifest(spark, root, parentV)
+      val schema = parent.dataSchema.map(StructType.fromDDL).getOrElse(
+        throw new IllegalArgumentException(
+          s"$path records no schema — rewrite with writeKeyed first"))
+      require(schema.fieldNames.contains(name),
+        s"no column '$name' in ${schema.fieldNames.mkString(", ")}")
+      val f = schema(name)
+      if (f.dataType.catalogString == to.catalogString)
+        return parentV // no-op: already that type
+      require(canWiden(f.dataType, to),
+        s"column '$name' cannot change ${f.dataType.simpleString} -> " +
+        s"${to.simpleString} — only lossless widening " +
+        "(integral up-chain, float->double, decimal growth) is " +
+        "metadata-only; anything else needs a rewrite")
+      parent.layout.foreach { case (k, _) =>
+        require(name != k,
+          s"the layout key '$k' cannot change type — its hash routes " +
+          "buckets; rewrite via relayout/writeKeyed")
+      }
+      try {
+        writeManifest(fs, root,
+          parent.copy(version = parentV + 1, parent = parentV,
+            txn = None, ts = nextTs(parent), op = Some("widenColumn"),
+            rowsUpserted = 0L, rowsDeleted = 0L,
+            dataSchema = Some(StructType(schema.fields.map(x =>
+              if (x.name == name) x.copy(dataType = to) else x)).toDDL)),
+          parent = Some(parent), touched = Some(Set.empty))
+        return parentV + 1
+      } catch { case _: LostCommitRace => attempt += 1 }
+    }
+    throw new IllegalStateException(
+      s"widenColumn lost the commit race $attempt times at $path")
+  }
+
   /** DROP COLUMN — metadata-only, like [[renameColumn]]: the column
     * leaves the logical schema and every read projects it away; old
     * files keep the physical bytes until their buckets naturally
@@ -2200,6 +2251,18 @@ object Merge {
             s"column ${f.name} is ${f.dataType.simpleString} in the " +
             s"table but ${u.dataType.simpleString} in the updates — " +
             "only widening type changes are schema evolution")
+        // the LAYOUT KEY's type feeds the bucket hash (xxhash64 of an
+        // int and of the same value as a long DIFFER): widening it
+        // would route new keys into different buckets than the files
+        // holding their current rows hold — silent corruption. The key
+        // type is part of the layout; relayout is the escape.
+        if (u.dataType.catalogString != f.dataType.catalogString)
+          parent.layout.foreach { case (k, _) =>
+            require(f.name != k,
+              s"the layout key '$k' cannot change type " +
+              s"(${f.dataType.simpleString} -> ${u.dataType.simpleString})" +
+              " — its hash routes buckets; rewrite via relayout/writeKeyed")
+          }
       })
       val outCols = parentCols ++ newCols
       val outSchema = StructType(outCols.map(c =>

@@ -317,6 +317,10 @@ class GraftCatalog extends V2TableCatalog
         require(c.position() == null && c.defaultValue() == null,
           "column position and default values are not supported")
         Merge.addColumn(spark, path, c.fieldNames()(0), c.dataType())
+      case c: TableChange.UpdateColumnType =>
+        require(c.fieldNames().length == 1,
+          "only top-level columns can change type")
+        Merge.widenColumn(spark, path, c.fieldNames()(0), c.newDataType())
       case other =>
         readOnly(s"ALTER TABLE $ident ${other.getClass.getSimpleName}")
     }

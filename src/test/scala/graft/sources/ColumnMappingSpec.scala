@@ -334,4 +334,29 @@ class ColumnMappingSpec extends SparkSpec {
     assert(Merge.readKeyed(spark, path)
       .filter($"id" === 3L).select("score2").as[Double].head() == 3.0)
   }
+  test("the LAYOUT KEY cannot change type: its hash routes buckets") {
+    val path = freshDir("keywiden")
+    Merge.writeKeyed((0 until 50).map(i => (i, s"v_$i"))
+      .toDF("id", "v"), path, "id", nBuckets = 4)
+    // id is INT; a LONG-keyed batch would hash to different buckets
+    // than the files holding the current rows — refused even with
+    // allowEvolution
+    val e = intercept[IllegalArgumentException] {
+      Merge.upsert(spark, path,
+        Seq((1L, "boom")).toDF("id", "v"), "id", nBuckets = 4,
+        allowEvolution = true)
+    }
+    assert(e.getMessage.contains("layout key"))
+    // the metadata-only widen refuses it identically
+    val e2 = intercept[IllegalArgumentException] {
+      Merge.widenColumn(spark, path, "id",
+        org.apache.spark.sql.types.LongType)
+    }
+    assert(e2.getMessage.contains("layout key"))
+    // and a NON-key widen on the same table is fine
+    Merge.widenColumn(spark, path, "v",
+      org.apache.spark.sql.types.StringType) // no-op same type
+    assert(Merge.readKeyed(spark, path).count() == 50L)
+  }
+
 }

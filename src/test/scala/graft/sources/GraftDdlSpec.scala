@@ -128,6 +128,41 @@ class GraftDdlSpec extends SparkSpec {
     spark.sql(s"ALTER TABLE $cat.t DROP CONSTRAINT IF EXISTS nope")
   }
 
+  test("ALTER COLUMN TYPE: metadata-only widening; narrowing and the " +
+      "layout key refused") {
+    import spark.implicits._
+    val (cat, root) = mkCatalog("widen")
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT, n INT, x FLOAT) " +
+      "PARTITIONED BY (bucket(4, id))")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1, 7, CAST(1.5 AS FLOAT))")
+    val path = new File(root, "t").getAbsolutePath
+    val dataMtimes = org.apache.commons.io.FileUtils
+      .listFiles(new File(path), Array("parquet"), true)
+      .toArray.map(_.asInstanceOf[File]).map(f => f.getName -> f
+        .lastModified).toMap
+    spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN n TYPE BIGINT")
+    spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN x TYPE DOUBLE")
+    // no data file moved: metadata-only at any table size
+    val after = org.apache.commons.io.FileUtils
+      .listFiles(new File(path), Array("parquet"), true)
+      .toArray.map(_.asInstanceOf[File]).map(f => f.getName -> f
+        .lastModified).toMap
+    assert(after == dataMtimes, "widening must not touch data files")
+    // pre-widen file reads under the wider schema; wide inserts land
+    assert(spark.sql(s"SELECT n, x FROM $cat.t WHERE id = 1")
+      .as[(Long, Double)].head() == ((7L, 1.5)))
+    spark.sql(s"INSERT INTO $cat.t VALUES (2, 7000000000, 2.5)")
+    assert(spark.sql(s"SELECT n FROM $cat.t WHERE id = 2")
+      .as[Long].head() == 7000000000L)
+    // narrowing and key retyping stay refused
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN n TYPE INT")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN id TYPE INT")
+    }
+  }
+
   test("SHOW TBLPROPERTIES / DESCRIBE EXTENDED surface the layout, " +
       "stats and constraint contracts") {
     val (cat, _) = mkCatalog("props2")

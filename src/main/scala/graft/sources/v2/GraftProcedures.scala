@@ -21,7 +21,10 @@ import graft.sources.Merge
   *   CALL gcat.system.restore(table => 't', version => 2)
   *   CALL gcat.system.create_tag(table => 't', tag => 'release-1')
   *   CALL gcat.system.delete_tag(table => 't', tag => 'release-1')
-  *   CALL gcat.system.relayout(table => 't', buckets => 64)
+  *   CALL gcat.system.vacuum(table => 't', dry_run => true)
+ *   CALL gcat.system.vacuum_retain(table => 't', retain_ms => 604800000)
+ *   CALL gcat.system.relayout(table => 't', buckets => 64)
+ *   CALL gcat.system.clone(table => 't', new_table => 't_dev')
   * }}}
   *
   * Each procedure resolves its table BY NAME through the owning

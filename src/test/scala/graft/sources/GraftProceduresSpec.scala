@@ -8,10 +8,10 @@ import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.functions._
 
 /** `CALL <cat>.system.<proc>(...)` — the DSv2 stored-procedure surface
-  * for table maintenance: compact (with Z-order), vacuum, restore,
-  * tags, relayout. Each must delegate to the one Scala implementation
-  * and return its one-row result; mutating verbs refuse pinned-catalog
-  * members.
+  * for table maintenance: compact (with Z-order), vacuum (with
+  * dry_run), vacuum_retain, restore, tags, relayout, clone. Each must
+  * delegate to the one Scala implementation and return its one-row
+  * result; mutating verbs refuse pinned-catalog members.
   */
 class GraftProceduresSpec extends SparkSpec {
   import spark.implicits._

@@ -1289,6 +1289,34 @@ object SparkEntry {
           col("p_label") === lit("label_77"))
         .select("p_partkey", "p_name", "p_label").orderBy("p_partkey")
     }),
+    "q_sql_widen" -> ((s, dir) => {
+      // SQL ALTER COLUMN TYPE: the int column widens to BIGINT in ONE
+      // metadata-only commit (required in-gate), pre-widen files read
+      // under the wider schema via parquet promotion, and a beyond-int
+      // insert lands without evolution flags. Read-back ≡ the oracle's
+      // cast image + sentinel.
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val root = new java.io.File(scratchRoot, s"graft_sqlwiden_$sf")
+      val path = new java.io.File(root, "part").getAbsolutePath
+      val part = t(s, dir, "part")
+        .select("p_partkey", "p_name", "p_size")
+      graft.sources.Merge.writeKeyed(part, path, "p_partkey",
+        nBuckets = 16)
+      val cat = s"gwid_$sf"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root.getAbsolutePath)
+      val v0 = graft.sources.Merge.currentVersion(s, path)
+      s.sql(s"ALTER TABLE $cat.part ALTER COLUMN p_size TYPE BIGINT")
+      require(graft.sources.Merge.currentVersion(s, path) == v0 + 1,
+        "the widen must be ONE metadata-only commit")
+      s.sql(s"INSERT INTO $cat.part VALUES " +
+        "(9000001, 'sentinel', 7000000000)")
+      s.sql(
+        s"""SELECT p_partkey, p_name, p_size FROM $cat.part
+            WHERE p_partkey <= 2000 OR p_partkey = 9000001
+            ORDER BY p_partkey""")
+    }),
     "q_sql_constraint" -> ((s, dir) => {
       // SQL CONSTRAINT DDL: ADD CONSTRAINT validates the existing rows
       // then every later commit enforces the CHECK — the violating
@@ -5930,6 +5958,14 @@ object SparkEntry {
                 'label_' || CAST(p_partkey AS VARCHAR) AS p_label
          FROM part
          WHERE 'label_' || CAST(p_partkey AS VARCHAR) = 'label_77'
+         ORDER BY p_partkey""",
+    // the widened image (cast exact) + the beyond-int sentinel
+    "q_sql_widen" ->
+      """SELECT p_partkey, p_name, CAST(p_size AS BIGINT) AS p_size
+         FROM part WHERE p_partkey <= 2000
+         UNION ALL
+         SELECT CAST(9000001 AS BIGINT), 'sentinel',
+                CAST(7000000000 AS BIGINT)
          ORDER BY p_partkey""",
     // part + the conforming sentinel + the post-DROP freed sentinel
     // (the violating insert left nothing)

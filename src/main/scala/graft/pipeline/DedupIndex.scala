@@ -374,10 +374,10 @@ object DedupIndex {
     */
   def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1,
       graceMs: Long = 0L,
-      orphanGraceMs: Long = graft.sources.Merge.DefaultOrphanGraceMs)
-      : Unit =
+      orphanGraceMs: Long = graft.sources.Merge.DefaultOrphanGraceMs,
+      dryRun: Boolean = false): Seq[String] =
     TxLog.vacuum(spark, path, Tables, keepVersions, graceMs,
-      orphanGraceMs)
+      orphanGraceMs, dryRun)
 
   /** STREAMING admission: every micro-batch is deduped against the
     * index (and itself), survivors are handed to `sink`, then appended

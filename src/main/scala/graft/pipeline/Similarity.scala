@@ -363,10 +363,10 @@ object Similarity {
       */
     def vacuum(spark: org.apache.spark.sql.SparkSession, path: String,
         keepVersions: Int = 1, graceMs: Long = 0L,
-        orphanGraceMs: Long = graft.sources.Merge.DefaultOrphanGraceMs)
-        : Unit =
+        orphanGraceMs: Long = graft.sources.Merge.DefaultOrphanGraceMs,
+        dryRun: Boolean = false): Seq[String] =
       TxLog.vacuum(spark, path, Seq("corpus"), keepVersions, graceMs,
-        orphanGraceMs)
+        orphanGraceMs, dryRun)
 
     /** Batch ids with an INDEXED near-duplicate: best probed cosine >=
       * `threshold`. An exact copy assigns to the same cell as its source
@@ -948,10 +948,10 @@ object Similarity {
       */
     def vacuum(spark: org.apache.spark.sql.SparkSession, path: String,
         keepVersions: Int = 1, graceMs: Long = 0L,
-        orphanGraceMs: Long = graft.sources.Merge.DefaultOrphanGraceMs)
-        : Unit =
+        orphanGraceMs: Long = graft.sources.Merge.DefaultOrphanGraceMs,
+        dryRun: Boolean = false): Seq[String] =
       graft.sources.TxLog.vacuum(spark, path, Seq("codes", "deletes"),
-        keepVersions, graceMs, orphanGraceMs)
+        keepVersions, graceMs, orphanGraceMs, dryRun)
 
     /** Reload both bounded model tables (cells + m*k rows — driver-safe). */
     def loadModels(spark: org.apache.spark.sql.SparkSession,

@@ -375,13 +375,23 @@ object TxLog {
     * vacuuming beside live writers set it above the longest expected
     * commit, exactly as with [[Merge.vacuum]].
     */
+  /** Returns the reclaimed (or, with `dryRun = true`, the reclaimABLE
+    * — nothing touched) root-relative paths, mirroring
+    * [[Merge.vacuum]]'s pre-flight contract.
+    */
   def vacuum(spark: SparkSession, root: String, tables: Seq[String],
       keepVersions: Int = 1, graceMs: Long = 0L,
-      orphanGraceMs: Long = Merge.DefaultOrphanGraceMs): Unit = {
+      orphanGraceMs: Long = Merge.DefaultOrphanGraceMs,
+      dryRun: Boolean = false): Seq[String] = {
     require(keepVersions >= 1, "must keep >= 1 version")
     val (fs, r) = fsFor(spark, root)
+    val planned = Seq.newBuilder[String]
+    def reclaim(p: Path, recursive: Boolean): Unit = {
+      planned += p.toString.stripPrefix(r.toString).stripPrefix("/")
+      if (!dryRun) { fs.delete(p, recursive); () }
+    }
     val versions = listVersions(fs, r)
-    if (versions.isEmpty) return
+    if (versions.isEmpty) return Seq.empty
     val latest = versions.max
     val keepFrom = math.max(0L, latest - keepVersions + 1)
     val states = versions
@@ -412,20 +422,21 @@ object TxLog {
                 !live(s"$t/$rel$name") &&
                 st.getModificationTime <= (if (everReferenced(
                   s"$t/$rel$name")) cutoff else orphanCutoff))
-              fs.delete(st.getPath, false)
+              reclaim(st.getPath, recursive = false)
           }
         sweep(dir, "")
       }
     }
     versions.filter(_ < keepFrom).foreach { v =>
-      fs.delete(new Path(logDir(r), s"v$v.json"), false)
+      reclaim(new Path(logDir(r), s"v$v.json"), recursive = false)
     }
     // staging dirs are never referenced by construction: orphan floor
     val sd = stagingDir(r)
     if (fs.exists(sd))
       fs.listStatus(sd)
         .filter(_.getModificationTime <= orphanCutoff)
-        .foreach(d => fs.delete(d.getPath, true))
+        .foreach(d => reclaim(d.getPath, recursive = true))
+    planned.result()
   }
 
   /** Delete the exact relative files `rels` (a failed committer cleaning

@@ -167,7 +167,13 @@ class DedupIndexSpec extends SparkSpec {
       col("text")).count() == 1)
     assert(DedupIndex.dedupAgainst(spark, path, copyOf6, "doc_id",
       col("text")).count() == 0)
-    DedupIndex.vacuum(spark, path)
+    // dry run first: the plan is reported, nothing moves
+    val planned = DedupIndex.vacuum(spark, path, dryRun = true)
+    assert(planned.nonEmpty, "superseded pre-compaction files expected")
+    assert(spark.read.parquet(s"$path/sigs").count() > 0)
+    val reclaimed = DedupIndex.vacuum(spark, path)
+    assert(reclaimed == planned,
+      "the real vacuum must reclaim exactly the dry run's plan")
     assert(new java.io.File(path, "deletes").listFiles() == null ||
       !new java.io.File(path, "deletes").listFiles()
         .exists(_.getName.endsWith(".parquet")),

@@ -46,7 +46,10 @@ object GroupTopK {
         v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay)
       case _: TimestampType => java.lang.Long.valueOf {
         val t = v.asInstanceOf[java.sql.Timestamp]
-        t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+        // floorDiv: plain `/` truncates toward zero, so a PRE-EPOCH
+        // fractional second (-0.5 s) would map to +500000 micros and
+        // order AFTER the epoch
+        Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
       }
       case TimestampNTZType => java.lang.Long.valueOf {
         val l = v.asInstanceOf[java.time.LocalDateTime]

@@ -962,7 +962,20 @@ object Merge {
             txn = None, ts = nextTs(parent), op = Some("widenColumn"),
             rowsUpserted = 0L, rowsDeleted = 0L,
             dataSchema = Some(StructType(schema.fields.map(x =>
-              if (x.name == name) x.copy(dataType = to) else x)).toDDL)),
+              if (x.name == name) x.copy(dataType = to) else x)).toDDL),
+            // the existing files' `bloom:name` filters hashed the
+            // NARROW internal form (xxhash64(int) != xxhash64(long) for
+            // the same value): probed under the wide type they would
+            // report "absent" for present values and silently drop
+            // files. Drop those stale entries (old files fall back to
+            // never-prunes, which is sound); the spec stays in
+            // statsCols so files written AFTER the widen index under
+            // the wide type. Min/max interval entries survive: the
+            // encoded domain (exact decimal strings; floats stored as
+            // their exact double image) is widening-invariant.
+            stats = parent.stats.filterNot(e =>
+              Skipping.isBloomSpec(e.col) &&
+                Skipping.bloomBase(e.col) == name)),
           parent = Some(parent), touched = Some(Set.empty))
         return parentV + 1
       } catch { case _: LostCommitRace => attempt += 1 }
@@ -2239,6 +2252,7 @@ object Merge {
       // (containsNull/valueContainsNull), so a strict DataType equality
       // would spuriously reject e.g. an array<float> batch against its
       // own table after one round trip.
+      val widenedCols = scala.collection.mutable.HashSet.empty[String]
       parentSchema.foreach(_.foreach { f =>
         val u = updates.schema(f.name)
         val widens = canWiden(f.dataType, u.dataType)
@@ -2256,13 +2270,15 @@ object Merge {
         // would route new keys into different buckets than the files
         // holding their current rows hold — silent corruption. The key
         // type is part of the layout; relayout is the escape.
-        if (u.dataType.catalogString != f.dataType.catalogString)
+        if (u.dataType.catalogString != f.dataType.catalogString) {
+          widenedCols += f.name
           parent.layout.foreach { case (k, _) =>
             require(f.name != k,
               s"the layout key '$k' cannot change type " +
               s"(${f.dataType.simpleString} -> ${u.dataType.simpleString})" +
               " — its hash routes buckets; rewrite via relayout/writeKeyed")
           }
+        }
       })
       val outCols = parentCols ++ newCols
       val outSchema = StructType(outCols.map(c =>
@@ -2334,7 +2350,13 @@ object Merge {
             Some(outSchema.toDDL), txn,
             parent.layout.orElse(Some((keyCol, nBuckets))),
             parent.statsCols,
-            parent.stats.filterNot(e => touched(bucketOf(e.file))) ++
+            // untouched buckets keep their stats, EXCEPT bloom filters
+            // on a column this commit widened: those hashed the narrow
+            // internal form and would wrongly prune under the wide
+            // probe type (rewritten buckets' newStats hashed wide)
+            parent.stats.filterNot(e => touched(bucketOf(e.file)))
+              .filterNot(e => Skipping.isBloomSpec(e.col) &&
+                widenedCols.contains(Skipping.bloomBase(e.col))) ++
               newStats,
             ts = nextTs(parent), op = Some("upsert"),
             rowsUpserted = rowsUpserted, rowsDeleted = rowsDeleted,

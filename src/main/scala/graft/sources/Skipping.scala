@@ -92,6 +92,18 @@ object Skipping {
   private[sources] val BloomExpectedItems = 10000L
   private[sources] val BloomNumBits = 96000L
 
+  /** `java.sql.Timestamp` → Catalyst-internal epoch micros, matching
+    * the write side's conversion EXACTLY. `getTime` already carries the
+    * millis of the fractional second, and `Math.floorDiv` (never plain
+    * `/`, which truncates toward zero) keeps PRE-EPOCH values right:
+    * for −0.5 s, getTime = −500 and nanos = 500000000, so
+    * floorDiv(−500,1000)·1e6 + 500000 = −500000 micros — truncating
+    * division would produce +500000 and diverge from what
+    * `xxhash64(col)` hashed / what the stats encoded at write time.
+    */
+  private[sources] def tsMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
   /** Conservative driver-side probe: Some(hash) only for types whose
     * catalyst-internal form (what `xxhash64(col)` hashed on the write
     * side) is reconstructible exactly from the bound value; None
@@ -111,7 +123,7 @@ object Skipping {
       case (BooleanType, b: Boolean) => Some(Literal(b, dt))
       // temporal internals are exact integers (micros / epoch days)
       case (_: TimestampType, t: java.sql.Timestamp) => Some(Literal(
-        t.getTime / 1000L * 1000000L + t.getNanos / 1000L, dt))
+        tsMicros(t), dt))
       case (TimestampNTZType, l: java.time.LocalDateTime) => Some(Literal(
         l.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
           l.getNano / 1000L, dt))
@@ -183,8 +195,7 @@ object Skipping {
   /** Serialize one typed min/max value to its exact string form. */
   private[sources] def encode(v: Any): String = v match {
     case null                     => null
-    case t: java.sql.Timestamp    =>
-      (t.getTime / 1000L * 1000000L + t.getNanos / 1000L).toString
+    case t: java.sql.Timestamp    => tsMicros(t).toString
     case i: java.time.Instant     =>
       (i.getEpochSecond * 1000000L + i.getNano / 1000L).toString
     case l: java.time.LocalDateTime => // timestamp_ntz: wall-clock micros
@@ -204,12 +215,13 @@ object Skipping {
     * dates, raw string for strings).
     */
   private[sources] def boundKey(dt: DataType, v: Any): Any = (dt, v) match {
-    case (_: TimestampType, t: java.sql.Timestamp) =>
-      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    case (_: TimestampType, t: java.sql.Timestamp) => tsMicros(t)
     case (_: TimestampType, s: String) =>
       val norm = if (s.contains(" ") || s.contains("T")) s.replace('T', ' ')
                  else s + " 00:00:00"
-      java.sql.Timestamp.valueOf(norm).getTime * 1000L
+      // via tsMicros, not getTime*1000: keeps sub-milli fractions in
+      // the string AND the pre-epoch floor
+      tsMicros(java.sql.Timestamp.valueOf(norm))
     case (TimestampNTZType, l: java.time.LocalDateTime) =>
       l.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
         l.getNano / 1000L
@@ -428,8 +440,10 @@ object Skipping {
       case (_, null) => None // null comparisons match nothing; no bound
       case (StringType, u) => Some(u.toString)
       case (_: TimestampType, m: java.lang.Long) =>
-        val t = new java.sql.Timestamp(m / 1000000L * 1000L)
-        t.setNanos(((m % 1000000L + 1000000L) % 1000000L).toInt * 1000)
+        // floorDiv/floorMod: truncation would shift a PRE-EPOCH
+        // fractional second up a whole second (−4.589 s → −3.589 s)
+        val t = new java.sql.Timestamp(Math.floorDiv(m, 1000000L) * 1000L)
+        t.setNanos((Math.floorMod(m, 1000000L) * 1000L).toInt)
         Some(t)
       case (TimestampNTZType, m: java.lang.Long) =>
         Some(java.time.LocalDateTime.ofEpochSecond(

@@ -112,7 +112,11 @@ object TxLog {
     */
   def dropCachedStates(root: String): Unit = {
     val prefix = new Path(root).toString
-    stateCache.keySet.removeIf(_._1.startsWith(prefix))
+    // exact root or a path COMPONENT under it — a bare startsWith
+    // would also evict the sibling `/a/bc` when purging `/a/b`
+    // (over-purge: benign but wasteful)
+    stateCache.keySet.removeIf(k =>
+      k._1 == prefix || k._1.startsWith(prefix + "/"))
   }
 
   /** Parse one manifest; None when missing/truncated (a crashed claim). */

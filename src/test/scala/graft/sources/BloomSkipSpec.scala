@@ -225,4 +225,74 @@ class BloomSkipSpec extends SparkSpec {
       .count() ==
       Merge.readKeyed(spark, path).filter($"code" === present).count())
   }
+
+  test("widenColumn drops the STALE narrow-hash blooms: point lookups " +
+      "on the widened column still find pre-widen rows") {
+    import org.apache.spark.sql.types.LongType
+    val d = Files.createTempDirectory("graft_bloom_widen").toFile
+    d.deleteOnExit()
+    val path = new File(d, "t").getAbsolutePath
+    // v is INT at write time: every file's bloom hashed xxhash64(int)
+    Merge.writeKeyed(
+      (0 until 200).map(i => (i.toLong, (i * 7919) % 1000))
+        .toDF("id", "v"),
+      path, "id", nBuckets = 8, statsCols = Seq("bloom:v"))
+    Merge.widenColumn(spark, path, "v", LongType)
+    // probes now hash xxhash64(long) — with the stale int-hash blooms
+    // still in the manifest, every file would report "absent" and the
+    // matching rows would silently vanish
+    val target = (3 * 7919) % 1000
+    val v1 = Merge.currentVersion(spark, path)
+    val (sel, _) = Merge.planVersionFiles(spark, path, v1,
+      eqBound("v", target))
+    assert(sel.nonEmpty,
+      "stale narrow-hash blooms must not prune pre-widen files")
+    val got = Merge.readKeyedWhere(spark, path, $"v" === target)
+      .select("id").as[Long].collect().toSeq.sorted
+    val want = Merge.readKeyed(spark, path).filter($"v" === target)
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(got == want && got.contains(3L), s"lost rows: $got vs $want")
+    // the `bloom:v` SPEC survives the widen: files written after it
+    // index under the wide type. Pre-widen files now carry NO bloom
+    // (conservative keep); the post-widen file's wide-hash bloom still
+    // prunes — an absent-value probe drops exactly that file.
+    Merge.upsert(spark, path,
+      Seq((1000L, 7000000000L)).toDF("id", "v"), "id", nBuckets = 8)
+    val v2 = Merge.currentVersion(spark, path)
+    val (selAbsent, totalNew) = Merge.planVersionFiles(spark, path, v2,
+      eqBound("v", 999999999L))
+    assert(selAbsent.size == totalNew - 1,
+      s"the post-widen file's wide bloom must prune the absent probe: " +
+      s"kept ${selAbsent.size} of $totalNew")
+    assert(Merge.readKeyedWhere(spark, path, $"v" === 7000000000L)
+      .select("id").as[Long].collect().toSeq == Seq(1000L))
+  }
+
+  test("upsert(allowEvolution) widening drops untouched buckets' " +
+      "stale blooms too") {
+    val d = Files.createTempDirectory("graft_bloom_widen_up").toFile
+    d.deleteOnExit()
+    val path = new File(d, "t").getAbsolutePath
+    Merge.writeKeyed(
+      (0 until 200).map(i => (i.toLong, (i * 7919) % 1000))
+        .toDF("id", "v"),
+      path, "id", nBuckets = 8, statsCols = Seq("bloom:v"))
+    // the batch speaks LONG for v: evolution widens the table schema
+    // but rewrites only id=5000's bucket — the other 7 buckets keep
+    // their files, whose blooms hashed the narrow type
+    Merge.upsert(spark, path,
+      Seq((5000L, 123456789L)).toDF("id", "v"), "id", nBuckets = 8,
+      allowEvolution = true)
+    // every original value must remain findable — ids 0..9 span more
+    // buckets than the one the upsert touched
+    for (i <- 0 until 10) {
+      val target = (i * 7919) % 1000
+      val got = Merge.readKeyedWhere(spark, path, $"v" === target)
+        .select("id").as[Long].collect().toSeq
+      assert(got.contains(i.toLong),
+        s"id=$i (v=$target) vanished after evolution-widening upsert")
+    }
+    assert(Merge.readKeyedWhere(spark, path, $"v" === 123456789L)
+      .select("id").as[Long].collect().toSeq == Seq(5000L))
+  }
 }

@@ -287,4 +287,56 @@ class SkippingSpec extends SparkSpec {
     assert(Skipping.readWhere(spark, path, hard).count() ==
       spark.read.parquet(path).filter(hard).count())
   }
+
+  test("pre-epoch fractional-second timestamps convert exactly: " +
+      "floor-division micros, Catalyst-identical bloom hash") {
+    import org.apache.spark.sql.functions.{lit, xxhash64}
+    import org.apache.spark.sql.types.TimestampType
+    // −0.5 s is −500000 micros; truncating division said +500000
+    val half = java.sql.Timestamp.valueOf("1969-12-31 23:59:59.5")
+    assert(Skipping.tsMicros(half) == -500000L)
+    assert(Skipping.encode(half) == "-500000")
+    assert(Skipping.boundKey(TimestampType, half) == -500000L)
+    // string-form bounds take the same path
+    assert(Skipping.boundKey(TimestampType, "1969-12-31 23:59:59.5") ==
+      -500000L)
+    // encoded-domain ordering is monotone ACROSS the epoch (the old
+    // fold put −0.5 s at +500000, above +0.2 s)
+    val plus = java.sql.Timestamp.valueOf("1970-01-01 00:00:00.2")
+    assert(Skipping.encode(half).toLong < Skipping.encode(plus).toLong)
+    // the driver-side probe hash must equal what `xxhash64(col)`
+    // produced on the write side (the bloom's contents)
+    for (t <- Seq(half, plus,
+        java.sql.Timestamp.valueOf("1969-06-15 07:08:09.123456"),
+        java.sql.Timestamp.valueOf("2024-03-01 10:00:00.000001"))) {
+      val sparkHash = spark.range(1)
+        .select(xxhash64(lit(t)).as("h")).head().getLong(0)
+      assert(Skipping.bloomHashOf(TimestampType, t).contains(sparkHash),
+        s"driver hash diverges from Catalyst for $t")
+    }
+  }
+
+  test("a pre-epoch fractional timestamp row survives bloom and " +
+      "interval pruning end-to-end") {
+    import org.apache.spark.sql.functions.lit
+    val d = Files.createTempDirectory("graft_skip_preepoch").toFile
+    d.deleteOnExit()
+    val path = new File(d, "t").getAbsolutePath
+    // millisecond-grain timestamps straddling the epoch: most rows are
+    // pre-1970 with fractional seconds
+    val df = (0 until 200).map(i =>
+        (i.toLong, new java.sql.Timestamp(i * 137L - 5000L)))
+      .toDF("id", "ts")
+    Merge.writeKeyed(df, path, "id", nBuckets = 8,
+      statsCols = Seq("ts", "bloom:ts"))
+    val target = new java.sql.Timestamp(3 * 137L - 5000L) // −4.589 s
+    val v = Merge.currentVersion(spark, path)
+    val (sel, _) = Merge.planVersionFiles(spark, path, v,
+      Seq(Bound("ts", Some(target), Some(target))))
+    assert(sel.nonEmpty,
+      "the file holding the pre-epoch row must survive pruning")
+    val got = Merge.readKeyedWhere(spark, path, $"ts" === lit(target))
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(3L), s"lost the pre-epoch row: got $got")
+  }
 }

@@ -1,5 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import java.util.concurrent.atomic.AtomicLong
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -13,6 +15,27 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Per-gate attribution counters: cumulative task GC time and
+    // scheduler-side overhead (task duration minus executor run /
+    // deserialize / result-serialize time). A gate whose wall time moves
+    // while its gc+sched share moves with it drifted with the BOX, not
+    // the code — the per-gate analogue of the two global anchors below.
+    // Listener events can lag the blocking action by a beat, so a gate's
+    // delta may smear slightly into its successor; attribution is for
+    // diagnosis, not scoring, and the smear is noise at that granularity.
+    val gcMsAcc = new AtomicLong(0L)
+    val schedMsAcc = new AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null && te.taskInfo != null) {
+          gcMsAcc.addAndGet(m.jvmGCTime)
+          val sched = te.taskInfo.duration - m.executorRunTime -
+            m.executorDeserializeTime - m.resultSerializationTime
+          if (sched > 0) schedMsAcc.addAndGet(sched)
+        }
+      }
+    })
     // engine-assumption preflight (see EventTs.preflight)
     System.err.println(EventTs.preflight(spark, sfDir))
     // Untimed warmup pass: run every query once first so JVM JIT, Janino
@@ -88,16 +111,20 @@ object Bench {
     // round 7's 17 analysis-time breakages timed at ~0.06 s each and
     // IMPROVED the total. Failures record NaN here and are emitted in a
     // separate "failed" list (omitted from "queries" and the total).
-    def timedPass(): Map[String, Double] =
+    // (seconds, gcMsDelta, schedMsDelta) per gate — the counter deltas
+    // bracket the same interval the wall clock does
+    def timedPass(): Map[String, (Double, Long, Long)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map {
         case (name, fn) =>
+          val gc0 = gcMsAcc.get(); val sd0 = schedMsAcc.get()
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true }
             catch { case e: Throwable =>
               System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
               false
             }
-          name -> (if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN)
+          val sec = if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
+          name -> ((sec, gcMsAcc.get() - gc0, schedMsAcc.get() - sd0))
       }.toMap
     val a1 = anchorOnce()
     val io1 = anchorIoOnce()
@@ -110,13 +137,16 @@ object Bench {
     // min of the two passes; NaN-poisoning keeps a query that failed in
     // EITHER pass out of the timed set (math.min(NaN, x) propagates only
     // via the explicit isNaN check — java's min returns NaN already, but
-    // be explicit about the contract)
-    val all = p1.map { case (k, v) =>
-      val w = p2(k)
-      k -> (if (v.isNaN || w.isNaN) Double.NaN else math.min(v, w))
+    // be explicit about the contract). Attribution follows the pass that
+    // supplied the reported (min) time so gc/sched describe the same run.
+    val all = p1.map { case (k, (v, g1, s1)) =>
+      val (w, g2, s2) = p2(k)
+      k -> (if (v.isNaN || w.isNaN) (Double.NaN, 0L, 0L)
+            else if (v <= w) (v, g1, s1) else (w, g2, s2))
     }
-    val failedQs = all.filter(_._2.isNaN).keys.toSeq.sorted
-    val results = all.filter(!_._2.isNaN)
+    val failedQs = all.filter(_._2._1.isNaN).keys.toSeq.sorted
+    val attrs = all.collect { case (k, (v, g, s)) if !v.isNaN => k -> (g, s) }
+    val results = all.collect { case (k, (v, _, _)) if !v.isNaN => k -> v }
     // 4 decimals (0.1 ms): full doubles balloon the line past consumer
     // truncation limits (round 6 lost 103 of 169 timings that way)
     def fmt(v: Double): String = "%.4f".format(v)
@@ -125,12 +155,17 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failedQs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // per-gate [gcMs, schedulerMs] for the reported run — integers and a
+    // separate field so the "queries" consumer format stays untouched
+    val attrJson = attrs.toSeq.sortBy(_._1)
+      .map { case (k, (g, s)) => "\"" + k + s"\":[$g,$s]" }
+      .mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""anchor_sec":${fmt(anchor)},"anchor_io_sec":${fmt(anchorIo)},""" +
         s""""n_queries":${results.size},""" +
         s""""n_failed":${failedQs.size},"failed":$failedJson,""" +
-        s""""queries":$qs,"sf":"$sfDir"}"""
+        s""""queries":$qs,"attr":$attrJson,"sf":"$sfDir"}"""
     spark.stop()
     // emit AFTER spark.stop() on stdout, stderr, and a file: the consumer
     // greps one JSON line out of sbt+log4j noise, so redundancy is cheap

@@ -1300,8 +1300,10 @@ object SparkEntry {
       val path = new java.io.File(root, "part").getAbsolutePath
       val part = t(s, dir, "part")
         .select("p_partkey", "p_name", "p_size")
+      // bloom-indexed p_size: the blooms are built while the column is
+      // INT, so they are exactly the stats a widen must invalidate
       graft.sources.Merge.writeKeyed(part, path, "p_partkey",
-        nBuckets = 16)
+        nBuckets = 16, statsCols = Seq("bloom:p_size"))
       val cat = s"gwid_$sf"
       s.conf.set(s"spark.sql.catalog.$cat",
         "graft.sources.v2.GraftCatalog")
@@ -1310,6 +1312,18 @@ object SparkEntry {
       s.sql(s"ALTER TABLE $cat.part ALTER COLUMN p_size TYPE BIGINT")
       require(graft.sources.Merge.currentVersion(s, path) == v0 + 1,
         "the widen must be ONE metadata-only commit")
+      // the silent-wrong-results hazard the r12 fix closed, driver-
+      // visible: a stale bloom:p_size entry would probe the widened
+      // BIGINT value against int-hashed bloom bits and silently prune
+      // files that DO hold matching rows. The widen drops the column's
+      // blooms, so a pre-widen point value must still find every row.
+      val preWiden = part.filter(col("p_size") === 7).count()
+      require(preWiden > 0, "testdata must hold p_size=7 rows")
+      val found = graft.sources.Merge.readKeyedWhere(s, path,
+        col("p_size") === lit(7L)).count()
+      require(found == preWiden,
+        s"stale bloom stats survived the widen: point lookup found " +
+          s"$found of $preWiden pre-widen rows")
       s.sql(s"INSERT INTO $cat.part VALUES " +
         "(9000001, 'sentinel', 7000000000)")
       s.sql(
@@ -3205,7 +3219,10 @@ object SparkEntry {
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .select(concat(lit("c"), col("o_custkey")).as("src"),
           concat(lit("s"), col("l_suppkey")).as("dst"))
-        .distinct()
+        // repartition BEFORE distinct: hash(src) satisfies the distinct's
+        // (src, dst) clustering, so the dedupe aggregates without a second
+        // exchange and pageRank detects + reuses the src partitioning
+        .repartition(col("src")).distinct()
       graft.pipeline.Graph.pageRank(ed, "src", "dst", iters = 10,
         redistributeDangling = true, checkpointEvery = 3)
         .select(col("node"), round(col("rank"), 3).as("rank"))

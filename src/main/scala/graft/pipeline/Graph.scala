@@ -1,6 +1,8 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
 import org.apache.spark.sql.functions._
 
 /** Bounded-iteration graph analytics on edge lists — PageRank as the
@@ -12,7 +14,10 @@ import org.apache.spark.sql.functions._
   * aggregate — the same two-shuffle round as the connected-components
   * operator in Dedup). Iteration count is FIXED by the caller: bounded
   * work, deterministic result, no driver-side convergence polling in the
-  * hot path. Out-degrees are computed once and reused every round.
+  * hot path. Out-degrees ride IN the node/rank table (computed once in the
+  * same aggregate that discovers the node set), so the per-round join is
+  * edges⋈ranks directly — no separate degree-annotated edge copy to build
+  * or store.
   *
   * LINEAGE: each round's plan otherwise contains every prior round's, so
   * at the 20-50 iterations real graphs need, optimizer time and plan size
@@ -61,31 +66,66 @@ object Graph {
     // materialize them ONCE instead of re-deriving the scan+join subtree
     // every round — localCheckpoint spills to executor disk, so this is
     // "cache the edge list for the iteration", not a driver collect.
-    // The raw edge list is pinned FIRST so nodes/degrees/eDeg below all
-    // read the materialized edges rather than re-running the caller's
-    // upstream plan once each.
+    val iterating = checkpointEvery > 0 || redistributeDangling
     def pin(df: DataFrame): DataFrame =
-      if (checkpointEvery > 0 || redistributeDangling) {
+      if (iterating) {
         if (checkpointDir.isDefined) df.checkpoint(true)
         else df.localCheckpoint(true)
       } else df
-    val e = pin(edges.select(col(srcCol).cast("string").as("src"),
-      col(dstCol).cast("string").as("dst")))
-    val nodes = pin(e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct())
-    val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    // reused every round: edges annotated with the source's out-degree
-    val eDeg = pin(e.join(outDeg, "src"))
-    // redistribute mode: the node table carries a has-out-edge flag, so
-    // the per-round dangling mass is a FILTER + global agg over the
-    // already-materialized ranks — no join in the scalar's path
-    val nodesF =
-      if (redistributeDangling)
-        pin(nodes
-          .join(outDeg.withColumnRenamed("src", "node"), Seq("node"), "left")
-          .select(col("node"), col("deg").isNotNull.as("__has_out")))
-      else nodes
-    val nNodes = if (redistributeDangling) nodesF.count().toDouble else 0.0
+    // the edge list is pinned PRE-PARTITIONED AND PRE-SORTED BY src
+    // (localCheckpoint's LogicalRDD preserves both) so every round's
+    // contribution merge join reads co-located, already-ordered edges:
+    // no re-shuffle AND no re-sort of the (much larger) edge side, ever
+    // — only the node-sized rank table moves per round. Sort-once,
+    // merge-every-round is the shape that survives a 100× scale-up.
+    // When the caller's edges already arrive hash-partitioned by src
+    // (e.g. `repartition(col(src))` placed BEFORE an upstream distinct,
+    // whose clustering the src partitioning satisfies), the extra
+    // exchange is skipped — detected from the planned input, not trusted
+    // from a flag.
+    val eRaw = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst"))
+    def alreadyBySrc: Boolean =
+      eRaw.queryExecution.executedPlan.outputPartitioning match {
+        case h: HashPartitioning => h.expressions.nonEmpty &&
+          h.expressions.forall {
+            case a: Attribute => a.name == "src"
+            case _ => false
+          }
+        case _ => false
+      }
+    val e = pin(if (iterating) {
+      val placed = if (alreadyBySrc) eRaw else eRaw.repartition(col("src"))
+      placed.sortWithinPartitions("src")
+    } else eRaw)
+    // the node table — node set, out-degree (duplicate edges count, as
+    // documented), and has-out-edge flag — from ONE aggregate over the
+    // pinned edges: src rows contribute 1 to the degree, dst rows 0.
+    // Pinned node-sorted for the same reason as the edges. The per-round
+    // dangling mass is then a FILTER + global agg over the
+    // already-materialized ranks — no join in the scalar's path.
+    val nodesF = pin(
+      e.select(col("src").as("node"), lit(1L).as("f"))
+        .union(e.select(col("dst").as("node"), lit(0L).as("f")))
+        .groupBy("node")
+        .agg(sum("f").as("__deg"), (sum(col("f")) > 0).as("__has_out"))
+        .sortWithinPartitions("node"))
+    // one setup job yields BOTH the node count and the initial dangling
+    // mass (every rank starts at 1.0, so round 1's dangling mass is just
+    // the dangling-node count — no separate first-round scalar job)
+    val (nNodes, dangling0) =
+      if (redistributeDangling) {
+        val r = nodesF.agg(count(lit(1)).as("n"),
+          coalesce(sum(when(!col("__has_out"), 1.0).otherwise(0.0)), lit(0.0))
+            .as("d")).head()
+        (r.getLong(0).toDouble, r.getDouble(1))
+      } else (0.0, 0.0)
+    // INVARIANT: every materialized rank table stays hash(node)-
+    // partitioned and node-sorted (checkpoint preserves both, and both
+    // survive the round's alias node→src), so each round's two merge
+    // joins are exchange-free AND sort-free on every pre-pinned side —
+    // the only per-round exchange is the map-side-combined contribution
+    // aggregation, and the only per-round sort is its node-sized output.
     def materialize(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true)
       else df.localCheckpoint(true)
@@ -94,52 +134,63 @@ object Graph {
     // pays the same — its per-iteration graph is materialized), so
     // materializing makes each round execute exactly once instead of
     // re-deriving the chain for the scalar AND again for the next join.
+    // The scalar itself is collected to the driver (one bounded double)
+    // from the already-materialized node-sized ranks — a tiny filter+agg
+    // job — and folded into the round as a literal, keeping the round's
+    // plan a join + one aggregate with no broadcast exchange to build.
     var ranks = nodesF.withColumn("rank", lit(1.0))
     if (redistributeDangling) ranks = materialize(ranks)
     for (i <- 1 to iters) {
       ranks =
-        if (redistributeDangling)
-          materialize(redistributeRound(eDeg, nodesF, ranks, damping, nNodes))
-        else {
-          val next = plainRound(eDeg, nodesF, ranks, damping)
+        if (redistributeDangling) {
+          val dmass =
+            if (i == 1) dangling0
+            else ranks.filter(!col("__has_out"))
+              .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+          materialize(redistributeRound(e, nodesF, ranks, damping,
+            dmass / nNodes))
+        } else {
+          val next = plainRound(e, nodesF, ranks, damping)
           if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
             materialize(next)
           else next
         }
     }
-    if (redistributeDangling) ranks.drop("__has_out") else ranks
+    ranks.select("node", "rank")
   }
 
-  private def contributions(eDeg: DataFrame, ranks: DataFrame): DataFrame =
-    eDeg
-      .join(ranks.select(col("node").as("src"), col("rank")), "src")
-      .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
+  /** In-contribution per node: each edge row sends rank(src)/deg(src) to
+    * its dst. Degrees ride in the rank table, so this is the round's only
+    * edge-sized work: one join on the src-partitioned pinned edges + one
+    * partial-aggregated shuffle of node-sized output. Dangling nodes have
+    * deg 0 but never appear as src, so no division by zero arises.
+    */
+  private def contributions(e: DataFrame, ranks: DataFrame): DataFrame =
+    e.join(ranks.select(col("node").as("src"), col("__deg"), col("rank")),
+        "src")
+      .select(col("dst").as("node"), (col("rank") / col("__deg")).as("c"))
       .groupBy("node").agg(sum("c").as("contrib"))
 
-  private[pipeline] def plainRound(eDeg: DataFrame, nodes: DataFrame,
+  private[pipeline] def plainRound(e: DataFrame, nodesF: DataFrame,
       ranks: DataFrame, damping: Double): DataFrame =
-    nodes.join(contributions(eDeg, ranks), Seq("node"), "left")
-      .select(col("node"),
+    nodesF.join(contributions(e, ranks), Seq("node"), "left")
+      .select(col("node"), col("__deg"), col("__has_out"),
         (lit(1.0 - damping) +
           lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
 
   /** One redistribute-mode round over MATERIALIZED inputs. The dangling
-    * mass rides in the same job as the round (a broadcast scalar whose
-    * subtree is a filter+agg over the already-materialized previous
-    * ranks — no chain re-execution, no second driver action), and both
-    * joins reuse the hash partitioning localCheckpoint preserved, so the
-    * round's ONLY shuffle is the contribution aggregation — pinned in
-    * GraphSpec.
+    * mass arrives pre-collected (`dmassPerNode` = danglingMass / N — a
+    * tiny driver scalar over the materialized previous ranks) as a
+    * codegen-stable scalar, so every round generates byte-identical code
+    * (Janino cache hit from round 2 on) and the round's plan is exactly
+    * one node-sized shuffle (the contribution aggregation) — no
+    * broadcast exchange, no cross join — pinned in GraphSpec.
     */
-  private[pipeline] def redistributeRound(eDeg: DataFrame, nodesF: DataFrame,
-      ranks: DataFrame, damping: Double, nNodes: Double): DataFrame = {
-    val dmass = ranks.filter(!col("__has_out"))
-      .agg(coalesce(sum("rank"), lit(0.0)).as("__dmass"))
-    nodesF.join(contributions(eDeg, ranks), Seq("node"), "left")
-      .crossJoin(broadcast(dmass))
-      .select(col("node"), col("__has_out"),
+  private[pipeline] def redistributeRound(e: DataFrame, nodesF: DataFrame,
+      ranks: DataFrame, damping: Double, dmassPerNode: Double): DataFrame =
+    nodesF.join(contributions(e, ranks), Seq("node"), "left")
+      .select(col("node"), col("__deg"), col("__has_out"),
         (lit(1.0 - damping) + lit(damping) *
           (coalesce(col("contrib"), lit(0.0)) +
-            col("__dmass") / nNodes)).as("rank"))
-  }
+            graft.functions.StableScalar.column(dmassPerNode))).as("rank"))
 }

@@ -65,6 +65,30 @@ class GroupTopKSpec extends SparkSpec {
     assert(got == Seq(1L, 3L, 2L), "desc: zz, aa, then the null")
   }
 
+  test("pre-epoch fractional-second timestamps order correctly") {
+    // the floorDiv fix in keyOf: -0.5 s must map to -500000 micros and
+    // order BEFORE the epoch, not +500000 micros after it (plain `/`
+    // truncates toward zero). Top-1 descending per group must therefore
+    // pick the epoch row, never the pre-epoch one.
+    val ts = Seq(
+      (1L, "g", java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(0, -500000000L))), // -0.5 s
+      (2L, "g", java.sql.Timestamp.from(
+        java.time.Instant.EPOCH)),
+      (3L, "g", java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(-1, 250000000L)))  // -0.75 s
+    ).toDF("id", "grp", "t")
+    val top = GroupTopK.topKPerGroup(ts, Seq("grp"), "t", 1,
+      tieCols = Seq("id")).collect()
+    assert(top.length == 1 && top.head.getLong(0) == 2L,
+      s"descending top-1 must be the epoch row, got ${top.toSeq}")
+    val bottom = GroupTopK.topKPerGroup(ts, Seq("grp"), "t", 3,
+      asc = true, tieCols = Seq("id"))
+      .orderBy("rank").collect().map(_.getLong(0)).toSeq
+    assert(bottom == Seq(3L, 1L, 2L),
+      s"ascending order must be -0.75s, -0.5s, epoch; got $bottom")
+  }
+
   test("exact duplicate order+tie keys: both rows survive pruning") {
     val d = Seq((1L, "a", 5.0), (1L, "a", 5.0), (2L, "a", 1.0))
       .toDF("id", "grp", "score")

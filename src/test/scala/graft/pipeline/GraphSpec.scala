@@ -67,36 +67,44 @@ class GraphSpec extends SparkSpec {
       s"lineage not truncated: $chkNodes vs $plainNodes plan lines")
   }
 
-  test("a materialized redistribute round shuffles exactly once") {
-    // localCheckpoint preserves hash partitioning, so with materialized
-    // round inputs both joins (eDeg x ranks on src, nodesF x contribs on
-    // node) are co-partitioned and shuffle-free: the round's only
-    // Exchange is the contribution aggregation. AQE off so the static
-    // plan is inspectable.
+  test("a materialized redistribute round never shuffles edge-sized data") {
+    // Production round inputs: edges pinned pre-partitioned by src,
+    // nodesF pinned hash-partitioned by node (its groupBy output), ranks
+    // materialized coalesced by node count. The round's plan then has
+    // exactly TWO hash exchanges, both node-sized: the coalesced rank
+    // table re-spreading to the edges' src partitioning, and the
+    // map-side-combined contribution aggregation. The edge list itself —
+    // the only input that is big at scale — feeds its join with no
+    // Exchange above its scan. AQE off so the static plan is inspectable.
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       import org.apache.spark.sql.functions._
       val e = (0 until 40).map(i =>
         (s"n${i % 10}", s"n${(i * 7 + 3) % 10}")).toDF("src", "dst")
-        .distinct().localCheckpoint(true)
-      val nodes = e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node"))).distinct()
+        .distinct().repartition(col("src")).localCheckpoint(true)
+      val nodesF = e.select(col("src").as("node"), lit(1L).as("f"))
+        .union(e.select(col("dst").as("node"), lit(0L).as("f")))
+        .groupBy("node")
+        .agg(sum("f").as("__deg"), (sum(col("f")) > 0).as("__has_out"))
         .localCheckpoint(true)
-      val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-      val eDeg = e.join(outDeg, "src").localCheckpoint(true)
-      val nodesF = nodes
-        .join(outDeg.withColumnRenamed("src", "node"), Seq("node"), "left")
-        .select(col("node"), col("deg").isNotNull.as("__has_out"))
-        .localCheckpoint(true)
-      val ranks = nodesF.withColumn("rank", lit(1.0)).localCheckpoint(true)
-      val round = Graph.redistributeRound(eDeg, nodesF, ranks, 0.85, 10.0)
+      val ranks = nodesF.withColumn("rank", lit(1.0))
+        .coalesce(1).localCheckpoint(true)
+      val round = Graph.redistributeRound(e, nodesF, ranks, 0.85, 0.1)
       val p = round.queryExecution.executedPlan.toString
       val hashExchanges = "Exchange hashpartitioning".r
         .findAllMatchIn(p).size
-      assert(hashExchanges == 1,
-        s"a round must shuffle once (the contribution agg), saw " +
-          s"$hashExchanges:\n$p")
+      assert(hashExchanges <= 2,
+        s"a round may move only node-sized tables (rank re-spread + " +
+          s"contribution agg), saw $hashExchanges exchanges:\n$p")
+      // neither exchange may move the edge list: every hash exchange in
+      // the round partitions a node-sized table, so none of them may
+      // carry the dst column that only edge rows have pre-aggregation
+      // (the contribution agg's exchange runs AFTER map-side combine,
+      // on (node, partial-sum) rows)
+      p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+        .foreach(l => assert(!l.contains("dst"),
+          s"an exchange is moving raw edge rows:\n$l\n$p"))
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 

@@ -1331,6 +1331,47 @@ object SparkEntry {
             WHERE p_partkey <= 2000 OR p_partkey = 9000001
             ORDER BY p_partkey""")
     }),
+    "q_sql_ctas" -> ((s, dir) => {
+      // ATOMIC CTAS (StagingTableCatalog): a FAILING CTAS is required
+      // in-gate to leave neither a table nor files (the staged write
+      // aborts into the hidden _staging dir, never the catalog root),
+      // then the real CTAS publishes with one rename. Read-back ≡ the
+      // SELECT the statement ran.
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val root = new java.io.File(scratchRoot, s"graft_sqlctas_$sf")
+      val cat = s"gctas_$sf"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root.getAbsolutePath)
+      root.mkdirs()
+      // bench runs each gate multiple times in one JVM — reset first
+      s.sql(s"DROP TABLE IF EXISTS $cat.part")
+      t(s, dir, "part").select("p_partkey", "p_name", "p_size")
+        .createOrReplaceTempView(s"ctas_src_$sf")
+      s.udf.register(s"ctas_boom_$sf", (i: Long) =>
+        if (i >= 0) throw new RuntimeException("ctas abort probe") else i)
+      val aborted =
+        try {
+          s.sql(s"CREATE TABLE $cat.part " +
+            "PARTITIONED BY (bucket(8, p_partkey)) " +
+            s"AS SELECT ctas_boom_$sf(p_partkey) AS p_partkey " +
+            s"FROM ctas_src_$sf")
+          false
+        } catch { case _: Exception => true }
+      require(aborted, "the boom CTAS must fail")
+      require(s.sql(s"SHOW TABLES IN $cat").isEmpty &&
+        !new java.io.File(root, "part").exists(),
+        "an aborted CTAS must leave neither table nor files")
+      s.sql(s"CREATE TABLE $cat.part " +
+        "PARTITIONED BY (bucket(8, p_partkey)) " +
+        s"AS SELECT * FROM ctas_src_$sf WHERE p_partkey <= 2000")
+      val staging = new java.io.File(root, "_staging")
+      require(!staging.exists() ||
+        Option(staging.listFiles()).forall(_.isEmpty),
+        "CTAS must clean its staging directory")
+      s.sql(s"SELECT p_partkey, p_name, p_size FROM $cat.part " +
+        "ORDER BY p_partkey")
+    }),
     "q_sql_constraint" -> ((s, dir) => {
       // SQL CONSTRAINT DDL: ADD CONSTRAINT validates the existing rows
       // then every later commit enforces the CHECK — the violating
@@ -5983,6 +6024,11 @@ object SparkEntry {
          UNION ALL
          SELECT CAST(9000001 AS BIGINT), 'sentinel',
                 CAST(7000000000 AS BIGINT)
+         ORDER BY p_partkey""",
+    // the published CTAS image (the aborted attempt left nothing)
+    "q_sql_ctas" ->
+      """SELECT p_partkey, p_name, p_size
+         FROM part WHERE p_partkey <= 2000
          ORDER BY p_partkey""",
     // part + the conforming sentinel + the post-DROP freed sentinel
     // (the violating insert left nothing)

@@ -61,6 +61,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class GraftCatalog extends V2TableCatalog
     with org.apache.spark.sql.connector.catalog.SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
@@ -206,9 +207,13 @@ class GraftCatalog extends V2TableCatalog
     * documented behavior for non-staging catalogs. PINNED-catalog mode
     * refuses: members join through `TableCatalog.create`/`addMember`.
     */
-  override def createTable(ident: Identifier, schema: StructType,
+  /** Shared CREATE/CTAS front door: refusals, layout parsing, and the
+    * empty-v0 write at `path` — the only difference between the plain
+    * and the STAGED create is which directory `path` points at.
+    */
+  private def createAt(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: util.Map[String, String]): Table = {
+      properties: util.Map[String, String], path: String): Unit = {
     if (isCatalogMode)
       readOnly(s"CREATE TABLE $ident (pinned-catalog mode — members " +
         "join through TableCatalog.create/addMember)")
@@ -246,13 +251,60 @@ class GraftCatalog extends V2TableCatalog
     val statsCols = props.get("statsCols")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
-    val path = new Path(root, ident.name()).toString
     Merge.writeKeyed(
       spark.createDataFrame(util.Collections.emptyList[org.apache.spark
         .sql.Row](), schema),
       path, key, nBuckets, statsCols = statsCols)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val path = new Path(root, ident.name()).toString
+    createAt(ident, schema, partitions, properties, path)
     GraftTable.resolve(spark, path, None, None, None)
   }
+
+  /** ATOMIC CTAS (`CREATE TABLE ... AS SELECT`): the staged table is a
+    * REAL graft table under `root/_staging/<uuid>/<name>` — invisible
+    * to [[members]] (the staging parent carries no version log), so the
+    * SELECT's write runs against it with the full commit protocol while
+    * readers of the catalog see nothing. Commit is one directory RENAME
+    * into the catalog root (the newly created table has no clones, so
+    * the no-rename rule for live tables does not apply); abort deletes
+    * the staging directory. Either way the catalog never exposes a
+    * half-written table — the non-atomic create-then-append window the
+    * plain [[createTable]] route has is closed.
+    */
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val staging = new Path(new Path(root, "_staging"),
+      java.util.UUID.randomUUID().toString)
+    val stagedPath = new Path(staging, ident.name()).toString
+    createAt(ident, schema, partitions, properties, stagedPath)
+    val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    new GraftStagedTable(
+      GraftTable.resolve(spark, stagedPath, None, None, None)
+        .asInstanceOf[GraftTable],
+      fs, staging, new Path(root, ident.name()),
+      exists = () => members().contains(ident.name()), ident)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    readOnly(s"REPLACE TABLE $ident — graft history is append-only: " +
+      "DROP TABLE then CTAS, or INSERT OVERWRITE to keep the log")
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    readOnly(s"CREATE OR REPLACE TABLE $ident — graft history is " +
+      "append-only: DROP TABLE then CTAS, or INSERT OVERWRITE")
 
   /** The catalog-capability switch Spark's analyzer checks before it
     * will even parse-plan constraint DDL against this catalog.
@@ -369,4 +421,48 @@ class GraftCatalog extends V2TableCatalog
       procedures.all.keys.toSeq.sorted
         .map(Identifier.of(Array("system"), _)).toArray
     else Array.empty
+}
+
+/** The CTAS staging handle: a real [[GraftTable]] rooted in the hidden
+  * staging directory, published (one rename) or discarded (one delete)
+  * when Spark's atomic CTAS exec reports the SELECT's outcome. The
+  * commit re-checks the name — a racing CREATE that landed first wins
+  * and this staging attempt cleans itself up and fails loudly.
+  */
+private[v2] class GraftStagedTable(staged: GraftTable,
+    fs: org.apache.hadoop.fs.FileSystem, stagingDir: Path,
+    finalPath: Path, exists: () => Boolean, ident: Identifier)
+    extends org.apache.spark.sql.connector.catalog.StagedTable
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  override def name(): String = staged.name()
+  override def schema(): StructType = staged.schema()
+  override def capabilities()
+      : util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    staged.capabilities()
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    staged.newWriteBuilder(info)
+
+  override def commitStagedChanges(): Unit = {
+    if (exists()) {
+      fs.delete(stagingDir, true)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    }
+    val src = new Path(stagingDir, finalPath.getName)
+    if (!fs.rename(src, finalPath)) {
+      fs.delete(stagingDir, true)
+      throw new IllegalStateException(
+        s"CTAS publish rename $src -> $finalPath failed — the staged " +
+        "data was discarded, the catalog is unchanged")
+    }
+    fs.delete(stagingDir, true)
+  }
+
+  override def abortStagedChanges(): Unit = {
+    fs.delete(stagingDir, true)
+    ()
+  }
 }

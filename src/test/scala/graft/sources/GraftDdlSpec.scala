@@ -56,8 +56,8 @@ class GraftDdlSpec extends SparkSpec {
       .as[Double].head() == 1.5)
   }
 
-  test("CTAS: create + populate in one statement (non-atomic contract)") {
-    val (cat, _) = mkCatalog("ctas")
+  test("CTAS: create + populate in one ATOMIC statement") {
+    val (cat, root) = mkCatalog("ctas")
     (0L until 50L).map(i => (i, s"n_$i")).toDF("id", "name")
       .createOrReplaceTempView("ddl_ctas_src")
     spark.sql(s"CREATE TABLE $cat.t PARTITIONED BY (bucket(4, id)) " +
@@ -66,6 +66,41 @@ class GraftDdlSpec extends SparkSpec {
       .as[Long].head() == 50L)
     assert(spark.sql(s"SELECT name FROM $cat.t WHERE id = 7")
       .as[String].head() == "n_7")
+    // the staged write published by RENAME and cleaned its staging dir
+    val staging = new File(root, "_staging")
+    assert(!staging.exists() || staging.listFiles().isEmpty,
+      s"staging not cleaned: ${Option(staging.listFiles()).map(_.toSeq)}")
+  }
+
+  test("ABORTED CTAS leaves neither table nor files (atomicity)") {
+    val (cat, root) = mkCatalog("ctas_abort")
+    spark.udf.register("ddl_ctas_boom", (i: Long) =>
+      if (i == 25L) throw new RuntimeException("boom at 25") else i)
+    (0L until 50L).toDF("id").createOrReplaceTempView("ddl_abort_src")
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.t PARTITIONED BY (bucket(4, id)) " +
+        "AS SELECT ddl_ctas_boom(id) AS id FROM ddl_abort_src")
+    }
+    // no table in the catalog, no directory in the root, no staging junk
+    assert(spark.sql(s"SHOW TABLES IN $cat").isEmpty)
+    assert(!new File(root, "t").exists(),
+      "aborted CTAS must not leave a table directory")
+    val staging = new File(root, "_staging")
+    assert(!staging.exists() || staging.listFiles().isEmpty,
+      s"staging not cleaned: ${Option(staging.listFiles()).map(_.toSeq)}")
+  }
+
+  test("REPLACE TABLE AS SELECT is refused (history is append-only)") {
+    val (cat, _) = mkCatalog("rtas")
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT) " +
+      "PARTITIONED BY (bucket(2, id))")
+    Seq(1L).toDF("id").createOrReplaceTempView("ddl_rtas_src")
+    val e = intercept[Exception] {
+      spark.sql(s"REPLACE TABLE $cat.t PARTITIONED BY (bucket(2, id)) " +
+        "AS SELECT * FROM ddl_rtas_src")
+    }
+    assert(e.getMessage.contains("append-only"),
+      s"unexpected refusal: ${e.getMessage}")
   }
 
   test("duplicate CREATE refused; IF NOT EXISTS no-ops; missing key " +

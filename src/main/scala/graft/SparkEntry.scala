@@ -1331,6 +1331,49 @@ object SparkEntry {
             WHERE p_partkey <= 2000 OR p_partkey = 9000001
             ORDER BY p_partkey""")
     }),
+    "q_sql_merge_evolve" -> ((s, dir) => {
+      // MERGE ... WITH SCHEMA EVOLUTION: the source carries a column
+      // the target lacks; the analyzer evolves the table through the
+      // catalog (one addColumn commit), then the merge lands (one
+      // upsert commit) — required in-gate to be exactly two commits.
+      // Pre-evolution rows read null in the added column; matched and
+      // inserted rows carry the source's values.
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val root = new java.io.File(scratchRoot, s"graft_sqlmev_$sf")
+      val path = new java.io.File(root, "part").getAbsolutePath
+      val part = t(s, dir, "part")
+        .select("p_partkey", "p_name", "p_retailprice")
+      graft.sources.Merge.writeKeyed(part, path, "p_partkey",
+        nBuckets = 16, statsCols = Seq("p_partkey"))
+      val cat = s"gsqlme_$sf"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root.getAbsolutePath)
+      val view = s"graft_sqlmev_src_$sf"
+      part.filter(col("p_partkey") <= 1200)
+        .select(col("p_partkey"),
+          concat(col("p_name"), lit("_ev")).as("p_name"),
+          (col("p_retailprice") + lit(2.0)).as("p_retailprice"),
+          concat(lit("grade_"), col("p_partkey") % 5).as("p_grade"))
+        .unionByName(part.filter(col("p_partkey") <= 300)
+          .select((col("p_partkey") + 20000000L).as("p_partkey"),
+            concat(lit("new_"), col("p_partkey")).as("p_name"),
+            lit(3.0).as("p_retailprice"), lit("grade_x").as("p_grade")))
+        .createOrReplaceTempView(view)
+      s.sql(s"""
+        MERGE WITH SCHEMA EVOLUTION INTO $cat.part t USING $view s
+        ON t.p_partkey = s.p_partkey
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+      """)
+      require(graft.sources.Merge.currentVersion(s, path) == 2L,
+        "evolution (addColumn) + merge must be exactly two commits")
+      s.sql(
+        s"""SELECT p_partkey, p_name, p_retailprice, p_grade
+            FROM $cat.part
+            WHERE p_partkey <= 2500 OR p_partkey >= 20000000
+            ORDER BY p_partkey""")
+    }),
     "q_sql_ctas" -> ((s, dir) => {
       // ATOMIC CTAS (StagingTableCatalog): a FAILING CTAS is required
       // in-gate to leave neither a table nor files (the staged write
@@ -6024,6 +6067,23 @@ object SparkEntry {
          UNION ALL
          SELECT CAST(9000001 AS BIGINT), 'sentinel',
                 CAST(7000000000 AS BIGINT)
+         ORDER BY p_partkey""",
+    // the evolved-merge image: matched rows updated + graded, inserts
+    // shifted, untouched pre-evolution rows null in the added column
+    "q_sql_merge_evolve" ->
+      """SELECT p.p_partkey,
+                CASE WHEN p.p_partkey <= 1200 THEN p.p_name || '_ev'
+                     ELSE p.p_name END AS p_name,
+                CASE WHEN p.p_partkey <= 1200 THEN p.p_retailprice + 2.0
+                     ELSE p.p_retailprice END AS p_retailprice,
+                CASE WHEN p.p_partkey <= 1200
+                     THEN 'grade_' || CAST(p.p_partkey % 5 AS VARCHAR)
+                     ELSE NULL END AS p_grade
+         FROM part p WHERE p.p_partkey <= 2500
+         UNION ALL
+         SELECT p.p_partkey + 20000000, 'new_' || CAST(p.p_partkey AS VARCHAR),
+                3.0, 'grade_x'
+         FROM part p WHERE p.p_partkey <= 300
          ORDER BY p_partkey""",
     // the published CTAS image (the aborted attempt left nothing)
     "q_sql_ctas" ->

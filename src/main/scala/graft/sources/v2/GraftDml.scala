@@ -61,8 +61,17 @@ import graft.sources.Merge
   *     where no clause applies are left untouched (and cost nothing:
   *     they never enter the change set, so their buckets are not
   *     rewritten unless a changed key shares them).
-  *   - `WITH SCHEMA EVOLUTION` is refused (schema change is
-  *     [[Merge.addColumn]]'s job).
+  *   - `WITH SCHEMA EVOLUTION` rides Spark's own analysis
+  *     (ResolveMergeIntoSchemaEvolution, opted into by the table's
+  *     AUTOMATIC_SCHEMA_EVOLUTION capability): the analyzer derives
+  *     the schema changes from the source, applies them through the
+  *     catalog's alterTable ([[Merge.addColumn]]/[[Merge.widenColumn]]
+  *     commits — key-type guard and bloom invalidation included),
+  *     refreshes the target relation, and only then does this rule
+  *     convert the evolved statement. Evolution commits land BEFORE
+  *     the merge commit (two commits total, like ALTER + MERGE run by
+  *     hand) — readers between them see the evolved schema with the
+  *     old rows null-aligned, never a torn merge.
   */
 object GraftDmlRule extends Rule[LogicalPlan] {
 
@@ -121,6 +130,13 @@ object GraftDmlRule extends Rule[LogicalPlan] {
         GraftUpdateCommand(table, graftTarget(table).get, assignments,
           condition)
       case m: MergeIntoTable if m.resolved &&
+          // WITH SCHEMA EVOLUTION: while changes are still pending,
+          // leave the statement to Spark's own
+          // ResolveMergeIntoSchemaEvolution (it alterTables the target
+          // through the catalog — Merge.addColumn/widenColumn commits —
+          // and refreshes the relation); the evolved merge comes back
+          // through this rule on the next fixed-point pass
+          !m.needSchemaEvolution &&
           concrete(m.matchedActions ++ m.notMatchedActions ++
             m.notMatchedBySourceActions) &&
           graftTarget(m.targetTable).isDefined =>
@@ -311,9 +327,10 @@ case class GraftMergeCommand(m: MergeIntoTable, graft: GraftTable)
   }
 
   override def run(spark: SparkSession): Seq[Row] = {
-    require(!m.withSchemaEvolution,
-      "MERGE ... WITH SCHEMA EVOLUTION is refused — evolve the table " +
-      "explicitly with Merge.addColumn / ALTER TABLE ADD COLUMN first")
+    // WITH SCHEMA EVOLUTION arrives here AFTER the analyzer applied the
+    // schema changes (see GraftDmlRule's needSchemaEvolution guard) —
+    // the target attributes already carry the evolved shape, so the
+    // command itself is evolution-agnostic
     val (keyCol, nBuckets) = GraftDml.layoutOf(spark, graft)
     val tAttrs = m.targetTable.output
     val keyAttr = tAttrs.find(_.name == keyCol).getOrElse(

@@ -198,9 +198,20 @@ class GraftTable(val path: String, val pinnedVersion: Long,
   override def version(): String = pinnedVersion.toString
 
   override def capabilities(): util.Set[TableCapability] =
+    // AUTOMATIC_SCHEMA_EVOLUTION opts into Spark's OWN
+    // `MERGE ... WITH SCHEMA EVOLUTION` analysis
+    // (ResolveMergeIntoSchemaEvolution): the analyzer derives the
+    // TableChanges from the source schema and routes them through the
+    // owning catalog's alterTable — i.e. Merge.addColumn /
+    // Merge.widenColumn commits, with the key-type guard and stale-
+    // bloom invalidation those paths already enforce — then refreshes
+    // the target relation before the merge itself plans. Only MERGE
+    // consults this capability (Spark 4.1: DataSourceV2Relation
+    // .autoSchemaEvolution's sole caller is MergeIntoTable).
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   /** Surfaced by `DESCRIBE TABLE EXTENDED` / `SHOW TBLPROPERTIES`:
     * the pinned version and the recorded layout, skipping and

@@ -159,6 +159,43 @@ class GraftDmlSpec extends AnyFunSuite {
       .as[(String, Double)].head() == ("new_star", 77.0))
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: new source columns evolve the " +
+      "table, pre-evolution rows align null") {
+    import spark.implicits._
+    val path = freshTable("evolve")
+    val v0 = Merge.currentVersion(spark, path)
+    Seq((3L, "evolved", 33.0, "eu"), (777L, "fresh", 77.0, "us"))
+      .toDF("id", "name", "score", "region")
+      .createOrReplaceTempView("dml_evolve_src")
+    spark.sql("""
+      MERGE WITH SCHEMA EVOLUTION INTO gevolve.t t
+      USING dml_evolve_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *
+    """)
+    val now = Merge.readKeyed(spark, path)
+    assert(now.columns.toSeq == Seq("id", "name", "score", "region"),
+      s"the table must have evolved, got ${now.columns.toSeq}")
+    assert(now.count() == 201L)
+    assert(now.filter($"id" === 3L).select("name", "region")
+      .as[(String, String)].head() == ("evolved", "eu"))
+    assert(now.filter($"id" === 777L).select("region").as[String].head()
+      == "us")
+    // untouched pre-evolution rows read null in the added column
+    assert(now.filter($"id" === 5L).select("region").head().isNullAt(0))
+    // two commits: the addColumn evolution, then the merge
+    assert(Merge.currentVersion(spark, path) == v0 + 2,
+      "evolution + merge must be exactly two commits")
+    // WITHOUT the clause the same statement keeps failing resolution
+    val e = intercept[Exception] {
+      spark.sql("""
+        MERGE INTO gevolve.t t USING dml_evolve_src s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET t.extra_only = s.id
+      """)
+    }
+    assert(e.getMessage != null)
+  }
+
   test("MERGE unassigned insert columns become NULL; WHEN clause " +
       "order is first-match-wins") {
     import spark.implicits._

@@ -1331,6 +1331,54 @@ object SparkEntry {
             WHERE p_partkey <= 2000 OR p_partkey = 9000001
             ORDER BY p_partkey""")
     }),
+    "q_sql_call_txn" -> ((s, dir) => {
+      // PINNED-member maintenance from pure SQL: a fragmenting upsert
+      // lands through TableCatalog.transact, then
+      // CALL transact_compact compacts the member INSIDE one catalog
+      // transaction — required in-gate: exactly one catalog commit,
+      // the pin moves to the member's compacted head, and the plain
+      // compact verb keeps refusing the pinned member. Read-back (via
+      // the pinned catalog name) ≡ the oracle's upsert replay.
+      import graft.sources.{Merge, TableCatalog}
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val root = new java.io.File(scratchRoot, s"graft_sqlcalltx_$sf")
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      val p1 = new java.io.File(root, "part").getAbsolutePath
+      val catPath = new java.io.File(root, "cat").getAbsolutePath
+      val part = t(s, dir, "part")
+        .select("p_partkey", "p_name", "p_retailprice")
+      Merge.writeKeyed(part, p1, "p_partkey", nBuckets = 8)
+      TableCatalog.create(s, catPath, Map("part" -> p1))
+      val batch = part.filter(col("p_partkey") <= 500)
+        .withColumn("p_name", concat(lit("tx_"), col("p_name")))
+      TableCatalog.transact(s, catPath, Seq(
+        TableCatalog.TxnUpsert("part", batch, filesPerBucket = 3)))
+      val before = TableCatalog.state(s, catPath)
+      val cat = s"gcalltx_$sf"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", catPath)
+      val r = s.sql(
+        s"CALL $cat.system.transact_compact(table => 'part')").collect()
+      val after = TableCatalog.state(s, catPath)
+      require(after.version == before.version + 1,
+        "the maintenance must be exactly ONE catalog commit")
+      require(r(0).getAs[Long]("catalog_version") == after.version &&
+        r(0).getAs[Long]("member_version") == after.pins("part").version,
+        "the procedure must report the committed catalog/member versions")
+      require(after.pins("part").version == Merge.currentVersion(s, p1),
+        "the pin must point at the member's compacted head")
+      val refused =
+        try {
+          s.sql(s"CALL $cat.system.compact(table => 'part')").collect()
+          false
+        } catch { case e: Exception =>
+          e.getMessage != null && e.getMessage.contains("PINNED") }
+      require(refused,
+        "the non-transactional compact must keep refusing pinned members")
+      s.sql(s"SELECT p_partkey, p_name, p_retailprice FROM $cat.part " +
+        "ORDER BY p_partkey")
+    }),
     "q_sql_merge_evolve" -> ((s, dir) => {
       // MERGE ... WITH SCHEMA EVOLUTION: the source carries a column
       // the target lacks; the analyzer evolves the table through the
@@ -6068,6 +6116,14 @@ object SparkEntry {
          SELECT CAST(9000001 AS BIGINT), 'sentinel',
                 CAST(7000000000 AS BIGINT)
          ORDER BY p_partkey""",
+    // the transacted-upsert image read through the compacted pin
+    // (compaction preserves rows exactly)
+    "q_sql_call_txn" ->
+      """SELECT p_partkey,
+                CASE WHEN p_partkey <= 500 THEN 'tx_' || p_name
+                     ELSE p_name END AS p_name,
+                p_retailprice
+         FROM part ORDER BY p_partkey""",
     // the evolved-merge image: matched rows updated + graded, inserts
     // shifted, untouched pre-evolution rows null in the added column
     "q_sql_merge_evolve" ->

@@ -402,7 +402,8 @@ class GraftCatalog extends V2TableCatalog
   // ---- stored procedures: `CALL <cat>.system.<proc>(...)` ----------
 
   private lazy val procedures =
-    new GraftProcedures(name(), t => pathOf(Identifier.of(Array.empty, t)))
+    new GraftProcedures(name(), root, () => isCatalogMode,
+      t => pathOf(Identifier.of(Array.empty, t)))
 
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {

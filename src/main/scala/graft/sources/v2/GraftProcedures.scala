@@ -41,7 +41,8 @@ import graft.sources.Merge
   * defaults; every parameter is IN-mode.
   */
 private[v2] class GraftProcedures(
-    catalogName: String, resolve: String => (String, Option[Long])) {
+    catalogName: String, root: String, catalogMode: () => Boolean,
+    resolve: String => (String, Option[Long])) {
 
   private def in(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
@@ -212,8 +213,45 @@ private[v2] class GraftProcedures(
     }
   }
 
+  /** PINNED-member maintenance from pure SQL: the catalog-mode twin of
+    * [[compact]]. A pinned member may only change through
+    * [[graft.sources.TableCatalog.transact]] (a direct Merge commit is
+    * indistinguishable from a crashed transaction's orphan and gets
+    * rolled back), so this procedure runs the compaction AS a one-op
+    * catalog transaction: the member compacts, the catalog commits a
+    * new version whose pin points at the compacted image, and every
+    * other member's pin rides along unchanged — readers at the old
+    * catalog version keep their exact snapshot.
+    */
+  private val transactCompact = new Proc("transact_compact",
+    "Compact (optionally Z-ORDER) a PINNED catalog member inside one " +
+    "catalog transaction: the member's pin moves to the compacted " +
+    "version atomically with the catalog commit",
+    Seq(in("table", StringType),
+      inDefault("files_per_bucket", IntegerType, "1"),
+      inDefault("zorder_by", StringType, "''")),
+    StructType(Seq(StructField("catalog_version", LongType),
+      StructField("member_version", LongType)))) {
+    override def exec(spark: SparkSession, a: InternalRow): Seq[Any] = {
+      require(catalogMode(),
+        s"catalog '$catalogName' is in DIRECTORY mode — use " +
+        s"CALL $catalogName.system.compact(...) there; transact_* " +
+        "procedures are for pinned-catalog members")
+      val table = a.getUTF8String(0).toString
+      val fpb = a.getInt(1)
+      val z = Option(a.getUTF8String(2)).map(_.toString).getOrElse("")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val st = graft.sources.TableCatalog.transact(spark, root,
+        Seq(graft.sources.TableCatalog.TxnTable(table, (s, p) =>
+          Merge.compactVersion(s, p, targetFilesPerBucket = fpb,
+            zOrderBy = z).version)),
+        opName = "transact_compact")
+      Seq(st.version, st.pins(table).version)
+    }
+  }
+
   val all: Map[String, UnboundProcedure] =
     Seq(compact, vacuum, vacuumRetain, restore, createTag, deleteTag,
-        relayout, clone_)
+        relayout, clone_, transactCompact)
       .map(p => p.name -> (p: UnboundProcedure)).toMap
 }

@@ -205,6 +205,64 @@ class GraftProceduresSpec extends SparkSpec {
     val names = spark.sql(s"SHOW PROCEDURES IN $cat.system").collect()
       .map(_.getAs[String]("procedure_name")).toSet
     assert(names == Set("compact", "vacuum", "vacuum_retain", "restore",
-      "create_tag", "delete_tag", "relayout", "clone"))
+      "create_tag", "delete_tag", "relayout", "clone",
+      "transact_compact"))
+  }
+
+  test("CALL transact_compact maintains a PINNED member atomically: " +
+      "catalog version +1, pins consistent") {
+    val root = freshRoot("txcompact")
+    val catRoot = new File(root, "cat").getAbsolutePath
+    val p1 = new File(root, "t1").getAbsolutePath
+    val p2 = new File(root, "t2").getAbsolutePath
+    Merge.writeKeyed(baseDf, p1, "id", nBuckets = 4)
+    Merge.writeKeyed(baseDf.select($"id", $"score"), p2, "id",
+      nBuckets = 2)
+    TableCatalog.create(spark, catRoot, Map("t1" -> p1, "t2" -> p2))
+    // fragment t1 THROUGH transactions (the only legal write path);
+    // filesPerBucket = 3 fragments the touched buckets deterministically
+    TableCatalog.transact(spark, catRoot, Seq(TableCatalog.TxnUpsert(
+      "t1", Seq((1L, "x", 1.0)).toDF("id", "name", "score"),
+      filesPerBucket = 3)))
+    TableCatalog.transact(spark, catRoot, Seq(TableCatalog.TxnUpsert(
+      "t1", Seq((2L, "y", 2.0)).toDF("id", "name", "score"),
+      filesPerBucket = 3)))
+    val before = TableCatalog.state(spark, catRoot)
+    val cat = mkCatalog("txcompact", new File(catRoot))
+    val r = spark.sql(
+      s"CALL $cat.system.transact_compact(table => 't1')").collect()
+    assert(r.length == 1)
+    val after = TableCatalog.state(spark, catRoot)
+    assert(after.version == before.version + 1,
+      "the maintenance must be ONE catalog commit")
+    assert(r(0).getAs[Long]("catalog_version") == after.version)
+    assert(r(0).getAs[Long]("member_version")
+      == after.pins("t1").version)
+    assert(after.pins("t1").version == before.pins("t1").version + 1,
+      "the member's pin must move to the compacted version")
+    assert(after.pins("t2") == before.pins("t2"),
+      "an untouched member's pin must ride along unchanged")
+    // content identical through the catalog, rows preserved
+    val now = TableCatalog.readTable(spark, catRoot, "t1")
+    assert(now.count() == 200L)
+    assert(now.filter($"id" === 1L).select("name").as[String].head()
+      == "x")
+    // and the plain compact verb still refuses the pinned member
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.compact(table => 't1')").collect()
+    }
+    assert(e.getMessage.contains("PINNED"))
+  }
+
+  test("CALL transact_compact refuses a DIRECTORY-mode catalog") {
+    val root = freshRoot("txdir")
+    Merge.writeKeyed(baseDf, new File(root, "t").getAbsolutePath,
+      "id", nBuckets = 2)
+    val cat = mkCatalog("txdir", root)
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.transact_compact(table => 't')")
+        .collect()
+    }
+    assert(e.getMessage.contains("DIRECTORY mode"))
   }
 }

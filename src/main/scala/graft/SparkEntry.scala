@@ -4227,6 +4227,81 @@ object SparkEntry {
         "replayed batches must be exactly-once no-ops")
       Merge.readKeyed(s, tbl).select("id", "name", "score").orderBy("id")
     }),
+    "q_stream_rowcap" -> ((s, dir) => {
+      // ROW-CAPPED streaming admission (maxRowsPerTrigger): a FAT
+      // commit splits across micro-batches bucket by bucket, admitted
+      // on the manifests' per-file row counts, with offsets parked
+      // MID-COMMIT as version:units. Required in-gate: the one fat
+      // commit spans >= 2 batches, some checkpointed offset carries
+      // the mid-commit form, and the union of the split batches is
+      // the commit's feed exactly once ≡ the oracle's shifted-insert
+      // image.
+      import graft.sources.Merge
+      import org.apache.spark.sql.streaming.Trigger
+      val sfx = new java.io.File(dir).getName
+      val base = java.nio.file.Paths.get(scratchRoot, s"graft_rowcap_$sfx")
+      def rmTree(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.delete(f))
+        }
+      rmTree(base)
+      val path = base.resolve("tbl").toString
+      val ckpt = base.resolve("ckpt").toString
+      val outDir = base.resolve("out").toString
+      val part = t(s, dir, "part")
+        .select("p_partkey", "p_brand", "p_retailprice")
+      Merge.writeKeyed(part, path, "p_partkey", nBuckets = 16,
+        statsCols = Seq("p_partkey"))
+      val cap = part.count() // sf-scaled: a few buckets per trigger
+      val batches = new java.util.concurrent.atomic.AtomicLong(0)
+      def drain(): Long = withShufflePartitions(s, 8) {
+        val n = new java.util.concurrent.atomic.AtomicLong(0)
+        val q = s.readStream.format("graft-table").option("path", path)
+          .option("startingVersion", "latest")
+          .option("maxRowsPerTrigger", cap.toString).load()
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            val cached = b.cache()
+            val got = cached.count()
+            n.addAndGet(got)
+            if (got > 0) {
+              batches.incrementAndGet()
+              cached.write.mode("append").parquet(outDir)
+            }
+            cached.unpersist()
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        n.get()
+      }
+      require(drain() == 0, "latest: nothing precedes the anchor")
+      // ONE fat commit: shifted clones of every key <= 1000 land in
+      // (nearly) every bucket at once
+      Merge.upsert(s, path,
+        part.filter(col("p_partkey") <= 1000)
+          .withColumn("p_partkey", col("p_partkey") + lit(5000000L)),
+        "p_partkey", nBuckets = 16)
+      drain()
+      require(batches.get() >= 2,
+        s"the fat commit must split under the row cap, got " +
+          s"${batches.get()} batch(es)")
+      // the split is driver-visible in the checkpoint: some offset
+      // parked mid-commit as version:units
+      val offDir = java.nio.file.Paths.get(ckpt, "offsets")
+      val midCommit = java.nio.file.Files.list(offDir).toArray.exists {
+        case p: java.nio.file.Path =>
+          new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+            .linesIterator.exists(_.matches("[0-9]+:[0-9]+"))
+      }
+      require(midCommit,
+        "a checkpointed offset must park mid-commit (version:units)")
+      s.read.parquet(outDir)
+        .select("p_partkey", "p_brand", "p_retailprice")
+        .orderBy("p_partkey")
+    }),
     "q_stream_table_source" -> ((s, dir) => {
       // STREAMING READS of a versioned table — the Delta-style
       // streaming source, the read half of the lakehouse streaming
@@ -7805,6 +7880,12 @@ object SparkEntry {
            UNION ALL
            SELECT CAST(100 AS BIGINT), 'new100', CAST(1.0 AS DOUBLE))
          ORDER BY id""",
+    // the row-capped split batches reassemble the fat commit's feed
+    // exactly once: the shifted-insert image, nothing else
+    "q_stream_rowcap" ->
+      """SELECT p_partkey + 5000000 AS p_partkey, p_brand, p_retailprice
+         FROM part WHERE p_partkey <= 1000
+         ORDER BY p_partkey""",
     // the net fold of everything the table stream emitted ≡ the final
     // table state replayed in SQL: updates carry the bumped price,
     // deleted keys fold away (+1 snapshot, -1 delta), inserts survive

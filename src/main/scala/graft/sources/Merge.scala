@@ -1533,22 +1533,18 @@ object Merge {
     * [[graft.pipeline.IncrementalAgg.updateWithRetractions]] or a
     * tombstone-fold into a downstream [[upsert]] directly.
     */
-  def changesBetween(spark: SparkSession, path: String, fromVersion: Long,
-      toVersion: Long, opCol: String = "op"): DataFrame = {
-    require(fromVersion < toVersion,
-      s"changesBetween needs fromVersion < toVersion, got " +
-      s"$fromVersion >= $toVersion")
-    val (_, root) = fsFor(spark, path)
-    val o = readManifest(spark, root, fromVersion)
-    val n = readManifest(spark, root, toVersion)
-    val keyCol = n.layout.orElse(o.layout).map(_._1).getOrElse(
-      throw new IllegalArgumentException(
-        s"$path records no (keyCol, nBuckets) layout — changesBetween " +
-        "needs the key to diff on"))
-    // a deletion-vector commit changes NO data file, so the file-set
-    // diff alone would miss it: buckets whose rows a changed vector
-    // references are touched too (one footer-cheap distinct over the
-    // delta sidecars, bounded by the referenced file count)
+  /** The buckets a manifest PAIR can differ in: the file-set diff plus
+    * the buckets referenced by CHANGED deletion vectors (a dv commit
+    * changes no data file, so the file diff alone would miss it — one
+    * footer-cheap distinct over the delta sidecars, bounded by the
+    * referenced file count).
+    */
+  private def touchedBucketsOf(spark: SparkSession, root: Path,
+      o: Manifest, n: Manifest): Set[Long] = {
+    val om = o.files.groupBy(bucketOf)
+    val nm = n.files.groupBy(bucketOf)
+    val fileDiff = (om.keySet ++ nm.keySet)
+      .filter(b => om.get(b).map(_.sorted) != nm.get(b).map(_.sorted))
     val dvDelta = (n.dvFiles.toSet diff o.dvFiles.toSet) ++
       (o.dvFiles.toSet diff n.dvFiles.toSet)
     val dvTouched: Set[Long] =
@@ -1559,9 +1555,61 @@ object Merge {
           .map(f => new Path(root, f).toString): _*)
         .select("file").distinct().collect()
         .map(r => bucketOf(r.getString(0))).toSet
-    val touched =
-      changedBuckets(spark, path, fromVersion, toVersion).toSet ++
-        dvTouched
+    fileDiff ++ dvTouched
+  }
+
+  /** One COMMIT's touched buckets (sorted — the deterministic unit
+    * order streaming admission splits on) paired with a CHANGE-FEED
+    * row estimate per bucket: the sum of the manifest per-file row
+    * counts of that bucket's files at BOTH endpoint versions (the feed
+    * emits old images at -1 and new at +1, so the pair sum bounds it).
+    * `None` when any of the bucket's files predates row-count stats —
+    * consumers must treat unknown as "big". Planning is manifest-only
+    * except when the commit changed deletion vectors (their sidecars
+    * are read to find the referenced buckets).
+    */
+  def commitBucketRows(spark: SparkSession, path: String,
+      version: Long): Seq[(Long, Option[Long])] = {
+    require(version >= 1,
+      s"commitBucketRows describes a DELTA commit, got v$version")
+    val (_, root) = fsFor(spark, path)
+    val o = readManifest(spark, root, version - 1)
+    val n = readManifest(spark, root, version)
+    def rowsOf(m: Manifest): Map[String, Long] =
+      m.stats.collect { case e if e.rows >= 0 => e.file -> e.rows }.toMap
+    val or = rowsOf(o)
+    val nr = rowsOf(n)
+    touchedBucketsOf(spark, root, o, n).toSeq.sorted.map { b =>
+      val of = o.files.filter(f => bucketOf(f) == b)
+      val nf = n.files.filter(f => bucketOf(f) == b)
+      val est =
+        if (of.forall(or.contains) && nf.forall(nr.contains))
+          Some(of.map(or).sum + nf.map(nr).sum)
+        else None
+      b -> est
+    }
+  }
+
+  def changesBetween(spark: SparkSession, path: String, fromVersion: Long,
+      toVersion: Long, opCol: String = "op",
+      bucketSubset: Option[Set[Long]] = None): DataFrame = {
+    require(fromVersion < toVersion,
+      s"changesBetween needs fromVersion < toVersion, got " +
+      s"$fromVersion >= $toVersion")
+    val (_, root) = fsFor(spark, path)
+    val o = readManifest(spark, root, fromVersion)
+    val n = readManifest(spark, root, toVersion)
+    val keyCol = n.layout.orElse(o.layout).map(_._1).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path records no (keyCol, nBuckets) layout — changesBetween " +
+        "needs the key to diff on"))
+    // `bucketSubset` restricts the feed to a SLICE of the touched
+    // buckets (the streaming rate limit's unit of admission) — sound
+    // because buckets are disjoint by construction: the key-hash
+    // routing means a key's whole history lives in one bucket, so a
+    // bucket slice of the diff is the exact feed for those keys
+    val touched0 = touchedBucketsOf(spark, root, o, n)
+    val touched = bucketSubset.map(touched0.intersect).getOrElse(touched0)
     val newSchema = n.dataSchema.map(StructType.fromDDL).getOrElse(
       throw new IllegalArgumentException(
         s"$path v$toVersion records no schema"))

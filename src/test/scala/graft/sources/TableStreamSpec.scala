@@ -156,6 +156,126 @@ class TableStreamSpec extends SparkSpec {
     assert(sink.map(_._1).distinct.size == 3)
   }
 
+  test("maxRowsPerTrigger splits a FAT COMMIT across triggers, " +
+      "exactly-once preserved") {
+    val base = freshBase("rowcap")
+    val path = new File(base, "tbl").getAbsolutePath
+    val ckpt = new File(base, "ckpt").getAbsolutePath
+    // statsCols opts the manifest into per-file row counts — the
+    // estimates the row cap admits on
+    Merge.writeKeyed(baseDf, path, "id", nBuckets = 4,
+      statsCols = Seq("id"))
+    // anchor the checkpoint FIRST (latest resolves at first start) so
+    // the fat commit lands in the stream's future
+    val sink = scala.collection.mutable.ArrayBuffer.empty[(Long, Row)]
+    drain(readTableStream(path, Map(
+      "startingVersion" -> "latest",
+      "maxRowsPerTrigger" -> "25")), ckpt, sink)
+    assert(sink.isEmpty)
+    val anchor = Merge.currentVersion(spark, path)
+    // ONE fat commit: 40 new keys spread over all 4 buckets
+    Merge.upsert(spark, path,
+      (100L until 140L).map(i => (i, s"fat_$i", i * 1.0))
+        .toDF("id", "name", "score"),
+      "id", nBuckets = 4)
+    assert(Merge.currentVersion(spark, path) == anchor + 1)
+    // every touched bucket's feed estimate is ~(5 old + 15 new) rows;
+    // a 25-row cap admits at most two buckets per trigger, so the one
+    // commit MUST span >= 2 micro-batches
+    val units = Merge.commitBucketRows(spark, path, anchor + 1)
+    assert(units.size == 4 && units.forall(_._2.isDefined),
+      s"stats-backed table must estimate every bucket, got $units")
+    drain(readTableStream(path, Map(
+      "startingVersion" -> "latest",
+      "maxRowsPerTrigger" -> "25")), ckpt, sink)
+    assert(sink.map(_._2.getAs[Long]("id")).sorted
+      == (100L until 140L).toSeq,
+      "every inserted key exactly once across the split batches")
+    assert(sink.forall(_._2.getAs[Int]("op") == 1))
+    val batches = sink.map(_._1).distinct.size
+    assert(batches >= 2,
+      s"a 4-bucket fat commit under a 2-bucket row cap must split, " +
+        s"got $batches batch(es)")
+    // re-drain: the mid-commit offsets checkpointed and normalized —
+    // nothing replays
+    val before = sink.size
+    drain(readTableStream(path, Map(
+      "startingVersion" -> "latest",
+      "maxRowsPerTrigger" -> "25")), ckpt, sink)
+    assert(sink.size == before, "a drained stream must not replay")
+    // and with a roomy cap the next fat commit lands in ONE batch
+    Merge.upsert(spark, path,
+      (200L until 220L).map(i => (i, s"fat2_$i", i * 1.0))
+        .toDF("id", "name", "score"),
+      "id", nBuckets = 4)
+    val sink2 = scala.collection.mutable.ArrayBuffer.empty[(Long, Row)]
+    drain(readTableStream(path, Map(
+      "startingVersion" -> "latest",
+      "maxRowsPerTrigger" -> "100000")), ckpt, sink2)
+    assert(sink2.map(_._2.getAs[Long]("id")).sorted
+      == (200L until 220L).toSeq)
+    assert(sink2.map(_._1).distinct.size == 1,
+      "a roomy cap must not split")
+  }
+
+  test("maxRowsPerTrigger composes with maxVersionsPerTrigger and " +
+      "survives a RESTART parked mid-commit") {
+    import org.apache.spark.sql.execution.streaming.runtime.SerializedOffset
+    val base = freshBase("rowcap2")
+    val path = new File(base, "tbl").getAbsolutePath
+    val meta = new File(base, "meta").getAbsolutePath
+    Merge.writeKeyed(baseDf, path, "id", nBuckets = 4,
+      statsCols = Seq("id"))
+    // backlog: one fat commit + one slim commit
+    Merge.upsert(spark, path,
+      (300L until 340L).map(i => (i, s"a_$i", 1.0))
+        .toDF("id", "name", "score"), "id", nBuckets = 4)
+    Merge.upsert(spark, path,
+      Seq((400L, "b", 2.0)).toDF("id", "name", "score"),
+      "id", nBuckets = 4)
+    // drive the SOURCE directly with a FRESH instance per step — every
+    // micro-batch is a full stop/start, so the parked version:units
+    // offset must round-trip the checkpoint json and resume exactly
+    val params0 = Map("path" -> path, "startingVersion" -> "0",
+      "maxRowsPerTrigger" -> "25", "maxVersionsPerTrigger" -> "1")
+    var prev: Option[String] = None
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    var batches = 0
+    var sawMidCommitOffset = false
+    var done = false
+    while (!done && batches < 30) {
+      val src = new GraftTableStreamProvider().createSource(
+        spark.sqlContext, meta, None, "graft-table", params0)
+        .asInstanceOf[GraftTableSource]
+      val end = src.latestOffset(
+        prev.map(j => new SerializedOffset(j): org.apache.spark.sql
+          .connector.read.streaming.Offset).orNull,
+        src.getDefaultReadLimit)
+      if (prev.contains(end.json)) done = true
+      else {
+        if (end.json.contains(":")) sawMidCommitOffset = true
+        val batch = src.batchFor(
+          prev.map(GraftVersionOffset.parse),
+          GraftVersionOffset.parse(end.json))
+        got ++= batch.collect().map(r =>
+          (r.getAs[Long]("id"), r.getAs[Int]("op")))
+        prev = Some(end.json)
+        batches += 1
+      }
+      src.stop()
+    }
+    assert(done, s"the backlog must drain, stuck after $batches batches")
+    assert(sawMidCommitOffset,
+      "a 25-row cap over a 4-bucket fat commit must park mid-commit")
+    assert(batches >= 4,
+      s"version cap (1) x row cap (25) must take >= 4 batches, " +
+        s"got $batches")
+    assert(got.map(_._1).sorted.toSeq ==
+      ((0L until 20L) ++ (300L until 340L) ++ Seq(400L)).sorted,
+      "the full history exactly once across restarts")
+    assert(got.forall(_._2 == 1), "pure-insert history: all +1 images")
+  }
+
   test("checkpoint restart resumes at the stored version, no replays") {
     val base = freshBase("restart")
     val path = new File(base, "tbl").getAbsolutePath

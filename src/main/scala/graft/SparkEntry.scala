@@ -4852,8 +4852,11 @@ object SparkEntry {
         s"graft_ivf_idx_${new java.io.File(dir).getName}_$stamp")
         .getAbsolutePath
       // build once per content stamp (testdata is static): repeat
-      // gate/bench runs measure the PROBE, not parquet write throughput
-      if (!new java.io.File(s"$path/corpus/_SUCCESS").exists())
+      // gate/bench runs measure the PROBE, not parquet write throughput.
+      // The committed-index probe is the TxLog v0 manifest — staged
+      // corpus files MOVE into place, so _SUCCESS never lands there
+      // (the old check silently rebuilt every run)
+      if (!new java.io.File(s"$path/_idx_log/v0.json").exists())
         Similarity.IvfIndex.build(emb, "vec_id", "embedding", cells = 4, path)
       Similarity.IvfIndex.topK(s, path, emb.filter(col("vec_id") < 5),
         "vec_id", "vec_id", "embedding", k = 3, nProbe = 4)
@@ -4948,7 +4951,9 @@ object SparkEntry {
       val path = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_ivfpq_idx_${new java.io.File(dir).getName}_$stamp")
         .getAbsolutePath
-      if (!new java.io.File(s"$path/codes/_SUCCESS").exists())
+      // committed-index probe = the TxLog v0 manifest (see
+      // q_sim_search_ivf_index: staged files move, _SUCCESS never lands)
+      if (!new java.io.File(s"$path/_idx_log/v0.json").exists())
         Similarity.IvfPq.save(Similarity.IvfPq.build(emb.union(planted),
           "vec_id", "embedding", dim = 64, cells = 8, m = 8, kSub = 64),
           path)

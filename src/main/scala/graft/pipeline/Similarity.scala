@@ -228,6 +228,7 @@ object Similarity {
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(root)) fs.delete(root, true) // fresh index, fresh log
       graft.sources.TxLog.dropCachedStates(path) // rebuilt in place: stale memo out
+      centroidMemo.remove(path) // ditto for the frozen-centroid memo
       val centroids = train(corpus, idCol, vecCol, cells, sampleN, iters)
       import spark.implicits._
       centroids.zipWithIndex.toSeq
@@ -240,11 +241,18 @@ object Similarity {
         Map("corpus" -> files)))
     }
 
+    // frozen per index lifetime (append reuses them; only build
+    // replaces them, and it invalidates) — one scan+collect per (JVM,
+    // path) instead of one per probe
+    private val centroidMemo = scala.collection.concurrent.TrieMap
+      .empty[String, Array[Array[Double]]]
+
     def loadCentroids(spark: org.apache.spark.sql.SparkSession,
         path: String): Array[Array[Double]] =
-      spark.read.parquet(s"$path/centroids")
-        .orderBy("cell").collect()
-        .map(_.getSeq[Double](1).toArray)
+      centroidMemo.getOrElseUpdate(path,
+        spark.read.parquet(s"$path/centroids")
+          .orderBy("cell").collect()
+          .map(_.getSeq[Double](1).toArray))
 
     /** The committed corpus table (legacy pre-log layouts fall back to
       * a raw directory read).
@@ -806,6 +814,7 @@ object Similarity {
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(root)) fs.delete(root, true) // fresh index, fresh log
       graft.sources.TxLog.dropCachedStates(path) // rebuilt in place: stale memo out
+      modelMemo.remove(path) // ditto for the frozen-model memo
       import spark.implicits._
       index.centroids.zipWithIndex.toSeq
         .map { case (v, i) => (i, v.toSeq) }
@@ -953,22 +962,35 @@ object Similarity {
       graft.sources.TxLog.vacuum(spark, path, Seq("codes", "deletes"),
         keepVersions, graceMs, orphanGraceMs, dryRun)
 
-    /** Reload both bounded model tables (cells + m*k rows — driver-safe). */
+    // The quantizer models are FROZEN per index (append/remove reuse
+    // them; only a fresh save replaces them), so one load per (JVM,
+    // path) serves every later probe — without this, each topKPersisted
+    // re-ran two scan+collect jobs for tables whose content cannot have
+    // changed. save() invalidates, mirroring TxLog.dropCachedStates for
+    // the same rebuild-in-place hazard.
+    private val modelMemo = scala.collection.concurrent.TrieMap
+      .empty[String, (Array[Array[Double]], Pq.Model)]
+
+    /** Reload both bounded model tables (cells + m*k rows — driver-safe,
+      * memoized per path: the models are immutable for an index's
+      * lifetime).
+      */
     def loadModels(spark: org.apache.spark.sql.SparkSession,
-        path: String): (Array[Array[Double]], Pq.Model) = {
-      val centroids = spark.read.parquet(s"$path/centroids")
-        .orderBy("cell").collect()
-        .map(_.getSeq[Double](1).toArray)
-      val rows = spark.read.parquet(s"$path/codebooks")
-        .orderBy("subspace", "code").collect()
-      val m = rows.map(_.getInt(0)).max + 1
-      val k = rows.map(_.getInt(1)).max + 1
-      val dim = rows.head.getInt(2)
-      val books = Array.tabulate(m, k) { (s, c) =>
-        rows(s * k + c).getSeq[Double](3).toArray
-      }
-      (centroids, Pq.Model(m, k, dim, books))
-    }
+        path: String): (Array[Array[Double]], Pq.Model) =
+      modelMemo.getOrElseUpdate(path, {
+        val centroids = spark.read.parquet(s"$path/centroids")
+          .orderBy("cell").collect()
+          .map(_.getSeq[Double](1).toArray)
+        val rows = spark.read.parquet(s"$path/codebooks")
+          .orderBy("subspace", "code").collect()
+        val m = rows.map(_.getInt(0)).max + 1
+        val k = rows.map(_.getInt(1)).max + 1
+        val dim = rows.head.getInt(2)
+        val books = Array.tabulate(m, k) { (s, c) =>
+          rows(s * k + c).getSeq[Double](3).toArray
+        }
+        (centroids, Pq.Model(m, k, dim, books))
+      })
 
     /** Query the PERSISTED index. The probe-cell union is a bounded
       * driver-side set (|queries| * nProbe ids) pushed as an `isin` on
@@ -995,8 +1017,14 @@ object Similarity {
         Pq.adcTableUdf(spark, pq)(col(vecCol).cast("array<double>"))
           .as("__tbl"),
         explode(probeKernel(col(vecCol).cast("array<double>"))).as("cell"))
-      // bounded driver collect: |queries| * nProbe cell ids
-      val cellSet = q.select("cell").distinct().collect().map(_.getInt(0))
+      // bounded driver collect: |queries| * nProbe cell ids — computed
+      // from the slim probe-kernel plan, NOT from q, so the (much
+      // heavier) per-query ADC tables are never built just to be
+      // dropped by this projection
+      val cellSet = queries.select(
+          explode(probeKernel(col(vecCol).cast("array<double>")))
+            .as("cell"))
+        .distinct().collect().map(_.getInt(0))
       // ONE state resolution for codes + tombstones: the probe sees a
       // single committed snapshot even beside concurrent maintenance
       // an explicit state pins the probe to a TableCatalog-published

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
 import org.apache.spark.sql.SparkSession
 
 /** Scratch profiler for the IvfPq persisted-index gate (round-13 task:
@@ -19,11 +19,18 @@ object ProfileIvf {
     spark.sparkContext.setLogLevel("WARN")
     val jobs = new java.util.concurrent.atomic.AtomicLong(0)
     val descs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
-        descs.add(j.stageInfos.map(_.name.takeWhile(_ != '\n'))
-          .mkString(" | ").take(180))
+        val d = j.stageInfos.map(_.name.takeWhile(_ != '\n'))
+          .mkString(" | ").take(120)
+        starts.put(j.jobId, (j.time, d))
+      }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+        val st = starts.remove(j.jobId)
+        if (st != null)
+          descs.add(f"${(j.time - st._1) / 1000.0}%6.2fs  ${st._2}")
       }
     })
     def timed[T](tag: String)(f: => T): T = {
@@ -34,7 +41,17 @@ object ProfileIvf {
       Thread.sleep(300)
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[$tag] ${sec}%.2f s, jobs=${jobs.get() - j0}")
+      if (sys.env.contains("PROFILE_JOBS")) {
+        val it = descs.iterator()
+        while (it.hasNext) println("  job: " + it.next())
+      }
       r
+    }
+    args.drop(1).foreach { name =>
+      val g = SparkEntry.queries(name)
+      timed(s"$name cold")(g(spark, sfDir).count())
+      timed(s"$name warm1")(g(spark, sfDir).count())
+      timed(s"$name warm2")(g(spark, sfDir).count())
     }
     val q = SparkEntry.queries("q_sim_search_ivfpq_index")
     timed("gate cold")(q(spark, sfDir).count())

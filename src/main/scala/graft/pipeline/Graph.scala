@@ -129,26 +129,36 @@ object Graph {
     def materialize(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true)
       else df.localCheckpoint(true)
+    // LAZY pin: the checkpoint computes (and caches) when the FIRST
+    // action touches it — redistribute mode makes that action the next
+    // round's dangling-mass scalar, so each round is exactly ONE job
+    // that both materializes the round's ranks and returns the scalar
+    // the round after needs (the eager form ran a separate tiny agg job
+    // per round — pure scheduling overhead at 10-50 iterations).
+    def materializeLazy(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(false)
+      else df.localCheckpoint(false)
     // redistribute mode materializes the rank table EVERY round: the
     // dangling scalar forces a full evaluation per round anyway (GraphX
-    // pays the same — its per-iteration graph is materialized), so
-    // materializing makes each round execute exactly once instead of
-    // re-deriving the chain for the scalar AND again for the next join.
-    // The scalar itself is collected to the driver (one bounded double)
-    // from the already-materialized node-sized ranks — a tiny filter+agg
-    // job — and folded into the round as a literal, keeping the round's
-    // plan a join + one aggregate with no broadcast exchange to build.
+    // pays the same — its per-iteration graph is materialized). The
+    // scalar is a driver double folded into the next round as a
+    // codegen-stable literal, keeping each round's plan a join + one
+    // aggregate with no broadcast exchange to build.
     var ranks = nodesF.withColumn("rank", lit(1.0))
-    if (redistributeDangling) ranks = materialize(ranks)
+    var dmassNext = dangling0
     for (i <- 1 to iters) {
       ranks =
         if (redistributeDangling) {
-          val dmass =
-            if (i == 1) dangling0
-            else ranks.filter(!col("__has_out"))
+          val next = materializeLazy(redistributeRound(e, nodesF, ranks,
+            damping, dmassNext / nNodes))
+          // the ONE action of round i: materializes `next` and hands
+          // round i+1 its scalar. The last round skips it — the
+          // caller's own terminal action materializes a one-round-deep
+          // plan over pinned inputs.
+          if (i < iters)
+            dmassNext = next.filter(!col("__has_out"))
               .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
-          materialize(redistributeRound(e, nodesF, ranks, damping,
-            dmass / nNodes))
+          next
         } else {
           val next = plainRound(e, nodesF, ranks, damping)
           if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)

@@ -315,6 +315,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           strLit(c.head, "path"), longLit(c(1), "fromVersion"),
           longLit(c(2), "toVersion"))
       })
+    // Delta's `table_changes(...)` dialect from pure SQL: per-commit
+    // resolution with _change_type in {insert, update_preimage,
+    // update_postimage, delete}, _commit_version, _commit_timestamp —
+    // consumers written against Delta CDF port without translation
+    registerTableFn("graft_table_changes",
+      "usage: graft_table_changes('path', fromV, toV)", c => {
+        require(c.size == 3, "takes 3 arguments")
+        graft.sources.Merge.changesBetweenCdf(
+          org.apache.spark.sql.SparkSession.active,
+          strLit(c.head, "path"), longLit(c(1), "fromVersion"),
+          longLit(c(2), "toVersion"))
+      })
     // multi-table catalog reads: every graft_catalog_table() call in one
     // statement that names the same catalog resolves its OWN latest
     // state — for a guaranteed single snapshot across members, pin the

@@ -2239,10 +2239,14 @@ object SparkEntry {
             .withColumn("p_partkey", col("p_partkey") + lit(4000000L))
             .withColumn("__del", lit(false))),
         "p_partkey", nBuckets = 64, tombstoneCol = Some("__del"))
-      Merge.changesBetweenCdf(s, path, 0L, 2L)
-        .select("p_partkey", "p_brand", "p_retailprice",
-          "_change_type", "_commit_version")
-        .orderBy("p_partkey", "_commit_version", "_change_type")
+      // read back through the SQL doorway (r13): the graft_table_changes
+      // TVF is the same changesBetweenCdf kernel registered for pure-SQL
+      // sessions — Delta's table_changes(...) shape exactly
+      s.sql(s"""
+        SELECT p_partkey, p_brand, p_retailprice,
+               _change_type, _commit_version
+        FROM graft_table_changes('$path', 0, 2)
+        ORDER BY p_partkey, _commit_version, _change_type""")
     }),
     "q_merge_wap" -> ((s, dir) => {
       // WRITE-AUDIT-PUBLISH (Iceberg's WAP pattern), composed from the
@@ -4382,6 +4386,88 @@ object SparkEntry {
         .filter(col("net") === 1)
         .select("p_partkey", "p_brand", "p_retailprice")
         .orderBy("p_partkey")
+    }),
+    "q_stream_cdf" -> ((s, dir) => {
+      // STREAMING CHANGE DATA FEED — readChangeFeed=true on the
+      // graft-table source switches the emitted dialect from the slim
+      // op INT to Delta CDF's column contract (_change_type in
+      // {insert, update_preimage, update_postimage, delete} +
+      // _commit_version), resolved per commit by changesBetweenCdf so
+      // consumers written against Delta's streaming readChangeFeed
+      // port without translation. startingVersion=0 opens with the v0
+      // snapshot labeled all-insert@v0; a churn commit (price bump
+      // %100==7, deletes %100==13, inserted clones of <5) lands WHILE
+      // THE STREAM IS DOWN and the checkpoint restart delivers exactly
+      // that commit's labeled images — an update key emits BOTH its
+      // preimage and postimage (required in-gate), planned from the
+      // touched buckets only. An idle third restart emits nothing
+      // (required in-gate). Result: every emitted (row, label) — the
+      // oracle replays the same feed as SQL unions over part.
+      import graft.sources.Merge
+      import org.apache.spark.sql.streaming.Trigger
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      val sfx = new java.io.File(dir).getName
+      val base = java.nio.file.Paths.get(scratchRoot, s"graft_cdf_$sfx")
+      def rmTree(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.delete(f))
+        }
+      rmTree(base)
+      val path = base.resolve("tbl").toString
+      val ckpt = base.resolve("ckpt").toString
+      val outDir = base.resolve("out").toString
+      val part = t(s, dir, "part")
+        .select("p_partkey", "p_brand", "p_retailprice")
+      Merge.writeKeyed(part, path, "p_partkey", nBuckets = 64)
+      def drain(): Long = withShufflePartitions(s, 8) {
+        val n = new java.util.concurrent.atomic.AtomicLong(0)
+        val q = s.readStream.format("graft-table").option("path", path)
+          .option("readChangeFeed", "true")
+          .option("startingVersion", "0").load()
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            val cached = b.cache()
+            n.addAndGet(cached.count())
+            cached.drop("_commit_timestamp")
+              .write.mode("append").parquet(outDir)
+            cached.unpersist()
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        n.get()
+      }
+      val snapRows = drain()
+      val batch = part.filter(col("p_partkey") % 100 === 7 &&
+          col("p_partkey") <= 2000)
+        .withColumn("p_retailprice",
+          round(dec("p_retailprice") * lit(1.5).cast("decimal(2,1)"), 2)
+            .cast("double"))
+        .withColumn("__del", lit(false))
+        .unionByName(part.filter(col("p_partkey") % 100 === 13 &&
+            col("p_partkey") <= 2000)
+          .withColumn("__del", lit(true)))
+        .unionByName(part.filter(col("p_partkey") < 5)
+          .withColumn("p_partkey", col("p_partkey") + lit(4000000L))
+          .withColumn("__del", lit(false)))
+      Merge.upsert(s, path, batch, "p_partkey", nBuckets = 64,
+        tombstoneCol = Some("__del"))
+      val deltaRows = drain()
+      require(deltaRows > 0 && deltaRows < snapRows,
+        s"the restart batch must be the commit's labeled delta, not a " +
+        s"rescan: $deltaRows vs snapshot $snapRows")
+      require(drain() == 0, "an idle restart must emit nothing")
+      val feed = s.read.parquet(outDir)
+      val pairs = feed.filter(col("_change_type")
+          .isin("update_preimage", "update_postimage"))
+        .groupBy("p_partkey").agg(countDistinct("_change_type").as("n"))
+      require(pairs.filter(col("n") =!= 2).isEmpty,
+        "every updated key must emit both its pre- and post-image")
+      feed.select("p_partkey", "p_retailprice", "_change_type",
+          "_commit_version")
+        .orderBy("_commit_version", "p_partkey", "_change_type")
     }),
     "q_stream_table_mv" -> ((s, dir) => {
       // THE COMPOSITION the streaming source exists for: table-to-table
@@ -7907,6 +7993,32 @@ object SparkEntry {
          SELECT p_partkey + 4000000 AS p_partkey, p_brand, p_retailprice
          FROM part WHERE p_partkey < 5
          ORDER BY p_partkey""",
+    // the labeled CDF stream ≡ its SQL replay: v0 snapshot all-insert,
+    // then the churn commit's images under Delta's _change_type dialect
+    "q_stream_cdf" ->
+      """SELECT p_partkey, p_retailprice,
+                'insert' AS _change_type, 0 AS _commit_version
+         FROM part
+         UNION ALL
+         SELECT p_partkey, p_retailprice,
+                'update_preimage' AS _change_type, 1 AS _commit_version
+         FROM part WHERE p_partkey % 100 = 7 AND p_partkey <= 2000
+         UNION ALL
+         SELECT p_partkey,
+                CAST(round(CAST(p_retailprice AS DECIMAL(18,2))
+                           * CAST(1.5 AS DECIMAL(2,1)), 2) AS DOUBLE)
+                  AS p_retailprice,
+                'update_postimage' AS _change_type, 1 AS _commit_version
+         FROM part WHERE p_partkey % 100 = 7 AND p_partkey <= 2000
+         UNION ALL
+         SELECT p_partkey, p_retailprice,
+                'delete' AS _change_type, 1 AS _commit_version
+         FROM part WHERE p_partkey % 100 = 13 AND p_partkey <= 2000
+         UNION ALL
+         SELECT p_partkey + 4000000 AS p_partkey, p_retailprice,
+                'insert' AS _change_type, 1 AS _commit_version
+         FROM part WHERE p_partkey < 5
+         ORDER BY _commit_version, p_partkey, _change_type""",
     // the replicated table ≡ the churned source replayed in SQL
     "q_stream_replicate" ->
       """SELECT p_partkey, p_brand,

@@ -1656,7 +1656,8 @@ object Merge {
     * from the log alone.
     */
   def changesBetweenCdf(spark: SparkSession, path: String,
-      fromVersion: Long, toVersion: Long): DataFrame = {
+      fromVersion: Long, toVersion: Long,
+      bucketSubset: Option[Set[Long]] = None): DataFrame = {
     require(fromVersion < toVersion,
       s"changesBetweenCdf needs fromVersion < toVersion, got " +
       s"$fromVersion >= $toVersion")
@@ -1666,7 +1667,11 @@ object Merge {
         "updates by key"))
     val feeds = ((fromVersion + 1) to toVersion).map { v =>
       val ts = commitTime(spark, path, v)
-      val f = changesBetween(spark, path, v - 1, v, opCol = "__op")
+      // the per-key update classification below stays exact under a
+      // bucket slice: a key's whole history (both update images) lives
+      // in one bucket, so no slice can split a pre/post pair
+      val f = changesBetween(spark, path, v - 1, v, opCol = "__op",
+        bucketSubset = bucketSubset)
       val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
       f.withColumn("__n", count(lit(1)).over(w))
         .withColumn("_change_type",

@@ -8,7 +8,7 @@ import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset, ReadLi
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
-import org.apache.spark.sql.types.{IntegerType, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType, TimestampType}
 
 /** Version-log offset for [[GraftTableSource]]: `version` means "every
   * commit with version <= this has been emitted downstream", and
@@ -56,6 +56,17 @@ object GraftVersionOffset {
   * same dialect [[graft.pipeline.IncrementalAgg.updateWithRetractions]]
   * and a tombstone-fold into a downstream [[Merge.upsert]] consume, so
   * table-to-table incremental ETL is `readStream -> foreachBatch(fold)`.
+  *
+  * `.option("readChangeFeed", "true")` switches the emitted dialect to
+  * Delta CDF's column contract — `_change_type` in {insert,
+  * update_preimage, update_postimage, delete} plus `_commit_version` /
+  * `_commit_timestamp` — resolved per COMMIT by
+  * [[Merge.changesBetweenCdf]], so consumers written against Delta's
+  * streaming `readChangeFeed` port without translation. The opening
+  * snapshot arrives all-`insert` stamped with the snapshot version
+  * (Delta's rule); rate limits compose unchanged (a key's update
+  * pre/post images share a bucket, so even a mid-commit row-capped
+  * slice can never split a pair or misclassify it).
   *
   * Start modes (option `startingVersion`):
   *  - absent (default): first batch is the FULL SNAPSHOT of the version
@@ -153,13 +164,34 @@ class GraftTableStreamProvider extends StreamSourceProvider
       "graft-table is self-describing: the schema comes from the " +
       "table's manifest, do not pass one")
     val spark = sqlContext.sparkSession
-    val opCol = parameters.getOrElse("opCol", "op")
-    val data = Merge.readKeyed(spark, pathOf(parameters)).schema
-    require(!data.fieldNames.contains(opCol),
-      s"table already has a '$opCol' column — rename the change-type " +
-      "column via .option(\"opCol\", ...)")
-    (shortName(), data.add(opCol, IntegerType, nullable = false))
+    val path = pathOf(parameters)
+    val data = Merge.readKeyed(spark, path).schema
+    if (cdfMode(parameters)) {
+      // Delta's readChangeFeed dialect: rows labeled with the CDF
+      // column contract instead of the slim op INT
+      val taken = GraftTableStreamProvider.CdfCols.filter(
+        data.fieldNames.contains(_))
+      require(taken.isEmpty,
+        s"table columns collide with the CDF contract: " +
+        taken.mkString(", "))
+      require(Merge.tableLayout(spark, path).nonEmpty,
+        s"$path records no layout — the CDF dialect classifies " +
+        "updates by key")
+      (shortName(), data
+        .add("_change_type", StringType, nullable = false)
+        .add("_commit_version", LongType, nullable = false)
+        .add("_commit_timestamp", TimestampType, nullable = true))
+    } else {
+      val opCol = parameters.getOrElse("opCol", "op")
+      require(!data.fieldNames.contains(opCol),
+        s"table already has a '$opCol' column — rename the change-type " +
+        "column via .option(\"opCol\", ...)")
+      (shortName(), data.add(opCol, IntegerType, nullable = false))
+    }
   }
+
+  private def cdfMode(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.toBoolean)
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
@@ -180,8 +212,14 @@ class GraftTableStreamProvider extends StreamSourceProvider
       n
     }
     new GraftTableSource(spark, path, metadataPath, resolved, opCol,
-      startAt, maxPerTrigger, maxRows)
+      startAt, maxPerTrigger, maxRows, cdf = cdfMode(parameters))
   }
+}
+
+object GraftTableStreamProvider {
+  /** The CDF dialect's reserved column names (Delta's contract). */
+  val CdfCols: Seq[String] =
+    Seq("_change_type", "_commit_version", "_commit_timestamp")
 }
 
 /** See [[GraftTableStreamProvider.createSink]] for the contract. */
@@ -215,7 +253,7 @@ class GraftTableSink(path: String, appId: String,
 class GraftTableSource(spark: SparkSession, path: String,
     metadataPath: String, resolvedSchema: StructType, opCol: String,
     startingVersion: Option[String], maxVersionsPerTrigger: Option[Long],
-    maxRowsPerTrigger: Option[Long] = None)
+    maxRowsPerTrigger: Option[Long] = None, cdf: Boolean = false)
     extends Source with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -439,9 +477,21 @@ class GraftTableSource(spark: SparkSession, path: String,
     val (startV, startK) = startPos.getOrElse((baseOffset, 0))
     synchronized { maxSeen = maxPos(maxSeen, (endV, endK)) }
     val snapshot = if (startPos.isEmpty) snapshotAt.map { v =>
-      Merge.readVersion(spark, path, v)
-        .withColumn(opCol, lit(1).cast(IntegerType))
+      val snap = Merge.readVersion(spark, path, v)
+      if (cdf) {
+        // Delta's rule for the opening snapshot under readChangeFeed:
+        // every row is an insert stamped with the snapshot's commit
+        val ts = Merge.commitTime(spark, path, v)
+        snap.withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(v))
+          .withColumn("_commit_timestamp",
+            (lit(ts) / lit(1000.0)).cast(TimestampType))
+      } else snap.withColumn(opCol, lit(1).cast(IntegerType))
     } else None
+    def feed(from: Long, to: Long,
+        slice: Option[Set[Long]]): DataFrame =
+      if (cdf) Merge.changesBetweenCdf(spark, path, from, to, slice)
+      else Merge.changesBetween(spark, path, from, to, opCol, slice)
     // up to three pieces, each a bucket-exact change feed (buckets are
     // disjoint — a key's whole history lives in one bucket — so the
     // concatenation of slices over a version equals its full feed):
@@ -455,17 +505,15 @@ class GraftTableSource(spark: SparkSession, path: String,
         if (endV == startV) units.slice(startK, endK)
         else units.drop(startK)
       if (slice.nonEmpty)
-        deltas += Merge.changesBetween(spark, path, startV, startV + 1,
-          opCol, bucketSubset = Some(slice.toSet))
+        deltas += feed(startV, startV + 1, Some(slice.toSet))
     }
     val fullFrom = if (startK > 0) startV + 1 else startV
     if (endV > fullFrom)
-      deltas += Merge.changesBetween(spark, path, fullFrom, endV, opCol)
+      deltas += feed(fullFrom, endV, None)
     if (endK > 0 && endV >= fullFrom) {
       val slice = unitsOf(endV + 1).map(_._1).take(endK)
       if (slice.nonEmpty)
-        deltas += Merge.changesBetween(spark, path, endV, endV + 1,
-          opCol, bucketSubset = Some(slice.toSet))
+        deltas += feed(endV, endV + 1, Some(slice.toSet))
     }
     val pieces = snapshot.map(aligned).toSeq ++
       deltas.result().map(aligned)

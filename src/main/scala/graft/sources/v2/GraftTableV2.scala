@@ -90,14 +90,22 @@ class GraftTableProvider extends GraftTableStreamProvider
           opts.get("timestampAsOf") == null && opts.get("tagAsOf") == null,
         "readChangeFeed takes startingVersion/endingVersion, not the " +
         "snapshot time-travel options")
-      val from = Option(opts.get("startingVersion")).map(_.toLong)
-        .getOrElse(throw new IllegalArgumentException(
-          "readChangeFeed needs .option(\"startingVersion\", n >= 1)"))
+      val from = Option(opts.get("startingVersion"))
       val to = Option(opts.get("endingVersion")).map(_.toLong)
         .getOrElse(Merge.currentVersion(spark, path))
-      require(from >= 1 && from <= to,
-        s"startingVersion must be in [1, $to], got $from")
-      new GraftCdfTable(spark, path, from, to)
+      from.map(_.toLowerCase).filter(s => s != "latest" && s.toLong >= 1 &&
+          s.toLong <= to) match {
+        case Some(f) => new GraftCdfTable(spark, path, f.toLong, to)
+        case None =>
+          // the stream-only start shapes (absent => snapshot-then-tail,
+          // "latest", "0") have no batch meaning — resolve to a
+          // schema-only table so `readStream` falls back to the v1
+          // source; a batch `load()` of it fails at the capability check
+          require(Option(opts.get("endingVersion")).isEmpty,
+            "a batch readChangeFeed needs .option(\"startingVersion\", " +
+            s"n in [1, $to]); endingVersion never applies to a stream")
+          new GraftCdfStreamOnlyTable(spark, path)
+      }
     } else GraftTable.resolve(spark, path,
       Option(opts.get("versionAsOf")).map(_.toLong),
       Option(opts.get("timestampAsOf")).map(_.toLong),
@@ -593,6 +601,29 @@ class GraftBatchRelation(val sqlContext: SQLContext, path: String,
   * — and each commit's feed plans only its touched buckets, so a
   * CDF read costs the CHANGES, never the table.
   */
+/** The CDF dialect resolved with a STREAM-ONLY start shape (absent /
+  * `latest` / `0` / beyond-head `startingVersion`): schema-only, no
+  * batch capability — `readStream` falls back to the v1
+  * [[graft.sources.GraftTableSource]] (which owns those start modes),
+  * and a batch `load()` fails Spark's capability check by design.
+  */
+class GraftCdfStreamOnlyTable(spark: SparkSession, path: String)
+    extends Table {
+  private val cdfSchema: StructType = {
+    val data = Merge.versionSchema(spark, path,
+      Merge.currentVersion(spark, path)).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path records no schema — rewrite with writeKeyed first"))
+    data.add("_change_type", org.apache.spark.sql.types.StringType)
+      .add("_commit_version", LongType)
+      .add("_commit_timestamp", org.apache.spark.sql.types.TimestampType)
+  }
+  override def name(): String = s"graft.`$path`@changes[stream]"
+  override def schema(): StructType = cdfSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.noneOf(classOf[TableCapability])
+}
+
 class GraftCdfTable(spark: SparkSession, path: String, fromInclusive: Long,
     to: Long) extends Table with SupportsRead {
 

@@ -146,6 +146,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
         s"SELECT version, op FROM graft_history('$path') ORDER BY version")
         .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
       assert(hist == Seq((0L, "write"), (1L, "upsert")))
+      // Delta's table_changes(...) dialect: the same commit reads as
+      // update pre/post images for the touched key + insert for the new
+      val cdf = spark.sql(
+        s"SELECT id, v, _change_type, _commit_version " +
+        s"FROM graft_table_changes('$path', 0, 1) " +
+        "ORDER BY id, _change_type")
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2),
+          r.getLong(3))).toSeq
+      assert(cdf == Seq(
+        (1L, 100.0, "update_postimage", 1L),
+        (1L, 1.0, "update_preimage", 1L),
+        (50L, 5.0, "insert", 1L)), s"got $cdf")
       // predicate string → parsed → bounds-extracted skipping read
       val whr = spark.sql(
         s"SELECT count(*) AS n FROM graft_table_where('$path', " +

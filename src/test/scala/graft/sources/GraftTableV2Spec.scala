@@ -202,11 +202,20 @@ class GraftTableV2Spec extends SparkSpec {
       .option("endingVersion", "1").load()
     assert(v1only.select("_commit_version").distinct()
       .as[Long].collect().toSeq == Seq(1L))
-    // misuse is refused loudly
-    intercept[IllegalArgumentException] {
+    // misuse is refused loudly: startingVersion=0 is a STREAM start
+    // shape (snapshot of v0 + deltas), so a batch load resolves to the
+    // stream-only table and fails Spark's batch-capability check
+    intercept[org.apache.spark.sql.AnalysisException] {
       spark.read.format("graft-table").option("path", path)
         .option("readChangeFeed", "true").option("startingVersion", "0")
         .load()
+    }
+    // ...and a stream-shaped start combined with endingVersion is
+    // contradictory whichever surface was meant
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-table").option("path", path)
+        .option("readChangeFeed", "true").option("startingVersion", "0")
+        .option("endingVersion", "1").load()
     }
     intercept[IllegalArgumentException] {
       spark.read.format("graft-table").option("path", path)

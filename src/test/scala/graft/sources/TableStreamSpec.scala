@@ -276,6 +276,97 @@ class TableStreamSpec extends SparkSpec {
     assert(got.forall(_._2 == 1), "pure-insert history: all +1 images")
   }
 
+  test("readChangeFeed emits Delta's CDF dialect: all-insert snapshot, " +
+      "then per-commit labeled changes") {
+    val base = freshBase("cdf")
+    val path = new File(base, "tbl").getAbsolutePath
+    val ckpt = new File(base, "ckpt").getAbsolutePath
+    Merge.writeKeyed(baseDf, path, "id", nBuckets = 4)
+    // v1: update key 3, delete key 7, insert key 50
+    Merge.upsert(spark, path,
+      Seq((3L, "name_3_v2", 333.0, false), (7L, "x", 0.0, true),
+        (50L, "name_50", 500.0, false))
+        .toDF("id", "name", "score", "__del"),
+      "id", nBuckets = 4, tombstoneCol = Some("__del"))
+
+    val sink = scala.collection.mutable.ArrayBuffer.empty[(Long, Row)]
+    val stream = readTableStream(path, Map("readChangeFeed" -> "true"))
+    assert(stream.schema.fieldNames.toSeq == Seq("id", "name", "score",
+      "_change_type", "_commit_version", "_commit_timestamp"))
+    drain(stream, ckpt, sink)
+    // opening snapshot of v1: every live row an insert stamped v1
+    assert(sink.size == 20)
+    assert(sink.forall { case (_, r) =>
+      r.getAs[String]("_change_type") == "insert" &&
+        r.getAs[Long]("_commit_version") == 1L &&
+        r.getAs[java.sql.Timestamp]("_commit_timestamp") != null })
+    assert(sink.exists(_._2.getAs[Long]("id") == 50L))
+    assert(!sink.exists(_._2.getAs[Long]("id") == 7L))
+
+    // a commit landing while the stream is down replays labeled:
+    // update pre/post for key 5, delete for key 11
+    Merge.upsert(spark, path,
+      Seq((5L, "name_5_v2", 555.0, false), (11L, "x", 0.0, true))
+        .toDF("id", "name", "score", "__del"),
+      "id", nBuckets = 4, tombstoneCol = Some("__del"))
+    sink.clear()
+    drain(readTableStream(path, Map("readChangeFeed" -> "true")),
+      ckpt, sink)
+    val labeled = sink.map(_._2).map(r => (r.getAs[Long]("id"),
+      r.getAs[String]("name"), r.getAs[String]("_change_type"),
+      r.getAs[Long]("_commit_version"))).sortBy(t => (t._1, t._3))
+    assert(labeled == Seq(
+      (5L, "name_5_v2", "update_postimage", 2L),
+      (5L, "name_5", "update_preimage", 2L),
+      (11L, "name_11", "delete", 2L)), s"got $labeled")
+  }
+
+  test("readChangeFeed composes with maxRowsPerTrigger: a sliced fat " +
+      "commit never splits or misclassifies an update pair") {
+    val base = freshBase("cdfcap")
+    val path = new File(base, "tbl").getAbsolutePath
+    val ckpt = new File(base, "ckpt").getAbsolutePath
+    Merge.writeKeyed(baseDf, path, "id", nBuckets = 4,
+      statsCols = Seq("id"))
+    val sink = scala.collection.mutable.ArrayBuffer.empty[(Long, Row)]
+    val opts = Map("readChangeFeed" -> "true",
+      "startingVersion" -> "latest", "maxRowsPerTrigger" -> "12")
+    drain(readTableStream(path, opts), ckpt, sink)
+    assert(sink.isEmpty)
+    // ONE fat commit updating every key — 40 change images over 4
+    // buckets; a 12-row cap forces a multi-batch split
+    Merge.upsert(spark, path,
+      (0L until 20L).map(i => (i, s"v2_$i", i * 2.0))
+        .toDF("id", "name", "score"),
+      "id", nBuckets = 4)
+    drain(readTableStream(path, opts), ckpt, sink)
+    assert(sink.map(_._1).distinct.size >= 2,
+      "a 4-bucket fat commit under a 12-row cap must split")
+    // every key: exactly one preimage + one postimage, in the SAME batch
+    val byKey = sink.groupBy(_._2.getAs[Long]("id"))
+    assert(byKey.keySet == (0L until 20L).toSet)
+    byKey.foreach { case (k, rows) =>
+      val types = rows.map(_._2.getAs[String]("_change_type")).sorted
+      assert(types == Seq("update_postimage", "update_preimage"),
+        s"key $k labeled $types")
+      assert(rows.map(_._1).distinct.size == 1,
+        s"key $k's update pair split across batches ${rows.map(_._1)}")
+    }
+  }
+
+  test("readChangeFeed rejects tables whose columns collide with the " +
+      "CDF contract") {
+    val base = freshBase("cdfcol")
+    val path = new File(base, "tbl").getAbsolutePath
+    Merge.writeKeyed(
+      (0L until 5L).map(i => (i, s"t_$i")).toDF("id", "_change_type"),
+      path, "id", nBuckets = 2)
+    val err = intercept[IllegalArgumentException] {
+      readTableStream(path, Map("readChangeFeed" -> "true"))
+    }
+    assert(err.getMessage.contains("_change_type"))
+  }
+
   test("checkpoint restart resumes at the stored version, no replays") {
     val base = freshBase("restart")
     val path = new File(base, "tbl").getAbsolutePath

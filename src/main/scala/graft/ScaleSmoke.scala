@@ -99,6 +99,20 @@ object ScaleSmoke {
       time(s"dsir_resample")(graft.pipeline.Dsir.resample(
         d, "doc_id", "text", d.filter(col("doc_id") % 11 === 0),
         k = 100, n = 2, buckets = 10000))
+      // r13: PageRank redistribute mode — the graph (nodes AND edges)
+      // grows with the corpus; 10 one-job rounds over the pinned
+      // sort-once edge list must scale ~linearly in |E|. pageRank does
+      // its eager pinning when CALLED, so time the whole call by name.
+      locally {
+        val nNodes = d.count()
+        val edges = d.select(col("doc_id").as("src"),
+          ((col("doc_id") * 31 + 7) % lit(nNodes)).as("dst"))
+        val t0 = System.nanoTime()
+        val rows = graft.pipeline.Graph.pageRank(edges, "src", "dst",
+          iters = 10, redistributeDangling = true).count()
+        println(f"SCALE pagerank_redistrib   " +
+          f"${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$rows")
+      }
     }
 
     // ---- Merge upsert at 1x vs factor x. The honest scale story: the

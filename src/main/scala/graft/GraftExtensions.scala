@@ -382,17 +382,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       })
     registerTableFn("graft_ann_topk",
       "usage: graft_ann_topk('indexPath', 'queriesViewOrPath', " +
-      "'qidCol', 'vecCol', k, nProbe)", c => {
-        require(c.size == 6, "takes 6 arguments")
+      "'qidCol', 'vecCol', k, nProbe [, 'allowedViewOrPath'])", c => {
+        require(c.size == 6 || c.size == 7, "takes 6 or 7 arguments")
         val s = org.apache.spark.sql.SparkSession.active
-        val src = strLit(c(1), "queries")
-        val queries =
+        def frame(src: String) =
           try s.table(src)
           catch { case _: Exception => s.read.parquet(src) }
+        // optional 7th arg: FILTERED search — a view/table/path whose
+        // FIRST column is the allowed neighbor-id set (selective
+        // filters want a higher nProbe; see IvfIndex.topK)
         graft.pipeline.Similarity.IvfPq.topKPersisted(s,
-          strLit(c.head, "indexPath"), queries,
+          strLit(c.head, "indexPath"), frame(strLit(c(1), "queries")),
           strLit(c(2), "qidCol"), strLit(c(3), "vecCol"),
-          intLit(c(4), "k"), intLit(c(5), "nProbe"))
+          intLit(c(4), "k"), intLit(c(5), "nProbe"),
+          allowed = c.drop(6).headOption
+            .map(a => frame(strLit(a, "allowed"))))
       })
   }
 }

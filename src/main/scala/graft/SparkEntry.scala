@@ -4949,6 +4949,36 @@ object SparkEntry {
         .select("query_id", "neighbor_id", "cosine", "rank")
         .orderBy("query_id", "rank")
     }),
+    "q_sim_search_filtered" -> ((s, dir) => {
+      // FILTERED vector search — the production shape "nearest neighbors
+      // among the rows matching a metadata predicate" (Milvus/pgvector's
+      // filtered query). The allowlist (here: even vec_ids, standing in
+      // for any predicate's id projection) gates candidates BEFORE
+      // ranking via a LEFT SEMI join inside the persisted probe, after
+      // cell partition pruning — never a post-cut of the top-k, which
+      // would return fewer than k. nProbe == cells makes it exact, so
+      // the oracle is brute force over exactly the allowed subset;
+      // production sets nProbe < cells and raises it under selective
+      // filters (the documented recall trade).
+      val emb = t(s, dir, "embeddings")
+      val src = new java.io.File(s"$dir/embeddings.parquet")
+      val stamp = java.lang.Long.toHexString(
+        src.lastModified() * 31 + src.length())
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_ivf_idx_${new java.io.File(dir).getName}_$stamp")
+        .getAbsolutePath
+      // shares q_sim_search_ivf_index's content-stamped index: the
+      // filter is probe-time, the index is filter-agnostic
+      if (!new java.io.File(s"$path/_idx_log/v0.json").exists())
+        Similarity.IvfIndex.build(emb, "vec_id", "embedding", cells = 4, path)
+      Similarity.IvfIndex.topK(s, path, emb.filter(col("vec_id") < 5),
+        "vec_id", "vec_id", "embedding", k = 3, nProbe = 4,
+        allowed = Some(emb.filter(col("vec_id") % 2 === 0)
+          .select("vec_id")))
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    }),
     "q_sim_search_int8" -> ((s, dir) => {
       // planted top-1 through the int8-quantized path: identical vectors
       // quantize identically (cosine 1.0 exactly), far above the
@@ -8467,6 +8497,26 @@ object SparkEntry {
                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))))
                     AS cosine
                 FROM embeddings c, q WHERE c.vec_id <> q.query_id)
+         SELECT query_id, neighbor_id, cosine, rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+         WHERE rank <= 3 ORDER BY query_id, rank""",
+    // filtered search at nProbe == cells is exact over the ALLOWED
+    // subset -> brute force with the predicate on the corpus side only
+    "q_sim_search_filtered" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                    FROM embeddings WHERE vec_id < 5),
+              scored AS (
+                SELECT q.query_id, c.vec_id AS neighbor_id,
+                  list_sum(list_transform(list_zip(c.embedding, q.qv),
+                    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                  / (sqrt(list_sum(list_transform(list_zip(c.embedding, c.embedding),
+                       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))
+                   * sqrt(list_sum(list_transform(list_zip(q.qv, q.qv),
+                       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))))
+                    AS cosine
+                FROM embeddings c, q
+                WHERE c.vec_id <> q.query_id AND c.vec_id % 2 = 0)
          SELECT query_id, neighbor_id, cosine, rank FROM (
            SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)

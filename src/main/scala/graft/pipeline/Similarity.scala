@@ -267,11 +267,24 @@ object Similarity {
       * a driver-side set bounded by |queries| * nProbe; pushing it as an
       * `isin` filter on the partition column prunes the scan to those
       * directories before any row is read.
+      *
+      * `allowed` (FILTERED vector search): a one-column frame of
+      * candidate ids — typically the id projection of a metadata
+      * predicate over the source table, where it rides that table's
+      * manifest-stats file pruning. Ids outside the set drop BEFORE
+      * scoring via a LEFT SEMI join (AQE picks broadcast vs shuffle by
+      * the set's real size, so a 10-row allowlist and a
+      * billion-row one both plan sensibly). Pre-filtering changes
+      * RECALL, not correctness: the probed cells must still contain k
+      * allowed candidates — under a selective filter raise `nProbe`
+      * (the FAISS/Milvus guidance) or fall back to nProbe == cells for
+      * an exact filtered scan.
       */
     def topK(spark: org.apache.spark.sql.SparkSession, path: String,
         queries: DataFrame, qidCol: String, idCol: String, vecCol: String,
         k: Int, nProbe: Int,
-        maxProbeBroadcastBytes: Long = 256L << 20): DataFrame = {
+        maxProbeBroadcastBytes: Long = 256L << 20,
+        allowed: Option[DataFrame] = None): DataFrame = {
       val centroids = loadCentroids(spark, path)
       val cents = centroids
       val probes = math.min(nProbe, centroids.length)
@@ -296,10 +309,14 @@ object Similarity {
           explode(probeKernel(col(vecCol).cast("array<double>"))).as("cell"))
       // bounded driver collect: |queries| * nProbe cell ids
       val cellSet = q.select("cell").distinct().collect().map(_.getInt(0))
-      val c = corpusTable(spark, path)
+      val c0 = corpusTable(spark, path)
         .filter(col("cell").isin(cellSet.toSeq: _*)) // -> PartitionFilters
         .select(col("cell"), col(idCol).as("neighbor_id"),
           col(vecCol).as("__cvec"))
+      val c = allowed.foldLeft(c0) { (cf, a) =>
+        cf.join(a.select(col(a.columns.head).as("neighbor_id")).distinct(),
+          Seq("neighbor_id"), "left_semi")
+      }
       // broadcast the query side only while its ESTIMATED size is
       // broadcastable (the DedupIndex probe contract, gated by size
       // rather than hope): a corpus-sized backfill "batch" probes via
@@ -1000,7 +1017,8 @@ object Similarity {
     def topKPersisted(spark: org.apache.spark.sql.SparkSession,
         path: String, queries: DataFrame, qidCol: String, vecCol: String,
         k: Int, nProbe: Int,
-        at: Option[graft.sources.TxLog.State] = None): DataFrame = {
+        at: Option[graft.sources.TxLog.State] = None,
+        allowed: Option[DataFrame] = None): DataFrame = {
       val (centroids, pq) = loadModels(spark, path)
       val cents = centroids
       val probes = math.min(nProbe, centroids.length)
@@ -1032,11 +1050,18 @@ object Similarity {
       val st =
         if (at.isDefined) at
         else graft.sources.TxLog.currentState(spark, path)
-      val live = tombstones(spark, path, st).foldLeft(
+      val live0 = tombstones(spark, path, st).foldLeft(
         codesTable(spark, path, st)
           .filter(col("cell").isin(cellSet.toSeq: _*))) // -> PartitionFilters
         { (c, dead) => c.join(broadcast(dead), Seq("neighbor_id"),
             "left_anti") } // removed ids drop BEFORE ranking
+      // FILTERED search: ids outside `allowed` drop before ADC ranking
+      // via LEFT SEMI (AQE sizes the join); selective filters want a
+      // higher nProbe — see [[IvfIndex.topK]]'s recall note
+      val live = allowed.foldLeft(live0) { (cf, a) =>
+        cf.join(a.select(col(a.columns.head).as("neighbor_id")).distinct(),
+          Seq("neighbor_id"), "left_semi")
+      }
       val scored = live.join(broadcast(q), Seq("cell"))
         .filter(col("neighbor_id") =!= col("query_id"))
         .select(col("query_id"), col("neighbor_id"),

@@ -241,6 +241,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1), r.get(2).toString)).toSet
     assert(key(sql) == key(api) && key(sql).nonEmpty,
       "the SQL TVF must return exactly the Scala probe's results")
+    // 7-arg FILTERED form: the allowlist view's first column gates ids
+    vecs.filter($"vec_id" % 2 === 0).select("vec_id")
+      .createOrReplaceTempView("ext_ann_allowed")
+    val fsql = spark.sql(
+      s"SELECT * FROM graft_ann_topk('$path', 'ext_ann_queries', " +
+      "'qid', 'embedding', 5, 2, 'ext_ann_allowed')")
+    val fapi = graft.pipeline.Similarity.IvfPq.topKPersisted(spark, path,
+      spark.table("ext_ann_queries"), "qid", "embedding", k = 5,
+      nProbe = 2,
+      allowed = Some(spark.table("ext_ann_allowed")))
+    assert(key(fsql) == key(fapi) && key(fsql).nonEmpty)
+    assert(key(fsql).forall(_._2 % 2 == 0),
+      "a disallowed id survived the TVF filter")
   }
 
   test("graft_dedup_pairs: MinHash-LSH candidates from pure SQL") {

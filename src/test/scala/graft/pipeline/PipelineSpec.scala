@@ -736,6 +736,54 @@ class SimilaritySpec extends SparkSpec {
       s"query-time scan must not read the float column:\n$scans")
   }
 
+  test("FILTERED search: allowed ids gate candidates before ranking on " +
+      "both persisted probes") {
+    // float probe: filtered persisted top-k == brute force over exactly
+    // the allowed subset (nProbe == cells -> no recall caveat in play)
+    val path = java.nio.file.Files.createTempDirectory("ivf_filt").toString
+    Similarity.IvfIndex.build(corpus, "vec_id", "embedding", cells = 2,
+      path, sampleN = 100, iters = 5)
+    val queries = corpus.filter(col("vec_id") <= 2L)
+    val allowed = corpus.filter(col("vec_id") % 2 === 0).select("vec_id")
+    val exact = Similarity.bruteForceTopK(
+      corpus.filter(col("vec_id") % 2 === 0), queries,
+      "vec_id", "vec_id", "embedding", 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().sortBy(t => (t._1, t._3)).toSeq
+    val filtered = Similarity.IvfIndex.topK(spark, path, queries,
+      "vec_id", "vec_id", "embedding", k = 2, nProbe = 2,
+      allowed = Some(allowed))
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().sortBy(t => (t._1, t._3)).toSeq
+    assert(filtered == exact)
+    assert(filtered.forall(_._2 % 2 == 0),
+      s"a disallowed id survived the filter: $filtered")
+
+    // ADC probe: two exact copies of the query; the allowlist excludes
+    // the tie-winner, so the other copy must take top-1 and the
+    // excluded id must be absent entirely
+    val pts = Seq(
+      (1L, vec(1, 0, 1, 0)), (3L, vec(0, 1, 0, 1)), (4L, vec(0, 0.9, 0, 0.9)),
+      (10L, vec(1, 0, 1, 0)), (11L, vec(1, 0, 1, 0)))
+      .toDF("vec_id", "embedding")
+    val pqPath = java.nio.file.Files.createTempDirectory("ivfpq_filt").toString
+    Similarity.IvfPq.save(Similarity.IvfPq.build(pts, "vec_id", "embedding",
+      dim = 4, cells = 2, m = 2, kSub = 4, sampleN = 100, iters = 5), pqPath)
+    val q1 = pts.filter($"vec_id" === 1L)
+    val unfiltered = Similarity.IvfPq.topKPersisted(spark, pqPath, q1,
+      "vec_id", "embedding", k = 1, nProbe = 2)
+      .select("neighbor_id").as[Long].head()
+    assert(unfiltered == 10L, "tie on ADC distance breaks to the lower id")
+    val got = Similarity.IvfPq.topKPersisted(spark, pqPath, q1,
+      "vec_id", "embedding", k = 3, nProbe = 2,
+      allowed = Some(Seq(11L, 3L, 4L).toDF("vec_id")))
+      .select("neighbor_id", "rank").as[(Long, Int)].collect()
+      .sortBy(_._2).toSeq
+    assert(got.head._1 == 11L, s"the allowed copy must win, got $got")
+    assert(!got.exists(_._1 == 10L),
+      s"excluded id 10 must not be ranked, got $got")
+  }
+
   test("IvfPq append: delta encoded under frozen quantizers, existing " +
       "code files untouched, appended copy found top-1") {
     val pts = Seq(

@@ -1179,6 +1179,94 @@ object SparkEntry {
             WHERE p_partkey <= 2500 OR p_partkey > 10000000
             ORDER BY p_partkey""")
     }),
+    "q_copy_into" -> ((s, dir) => {
+      // COPY INTO — idempotent landing-zone ingestion, the production
+      // loading pattern: an external system drops files, a scheduled
+      // sweep loads each EXACTLY ONCE however often it runs, because
+      // the loaded-file mark commits ATOMICALLY with the data (the
+      // manifest records the commit's source URIs; the already-loaded
+      // set is the union over retained manifests). Required in-gate:
+      // the first sweep loads both landed files, a re-sweep loads
+      // nothing and commits nothing, a later file sweeps in alone.
+      // Read-back ≡ the oracle's union of the base slice + all landed
+      // slices.
+      import graft.sources.Merge
+      val sfx = new java.io.File(dir).getName
+      val base = java.nio.file.Paths.get(scratchRoot, s"graft_cpi_$sfx")
+      def rmTree(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.delete(f))
+        }
+      rmTree(base)
+      val path = base.resolve("tbl").toString
+      val landing = base.resolve("landing")
+      java.nio.file.Files.createDirectories(landing)
+      def land(name: String, df: DataFrame): Unit = {
+        val tmp = base.resolve(s"tmp_$name").toString
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath, landing.resolve(name))
+        ()
+      }
+      val part = t(s, dir, "part")
+        .select("p_partkey", "p_name", "p_retailprice")
+      Merge.writeKeyed(part.filter(col("p_partkey") > 500), path,
+        "p_partkey", nBuckets = 16)
+      land("even.parquet", part.filter(
+        col("p_partkey") <= 500 && col("p_partkey") % 2 === 0))
+      land("odd.parquet", part.filter(
+        col("p_partkey") <= 500 && col("p_partkey") % 2 === 1))
+      val c1 = Merge.copyInto(s, path, landing.toString)
+      require(c1.filesCopied == 2,
+        s"first sweep must load both files, got $c1")
+      val c2 = Merge.copyInto(s, path, landing.toString)
+      require(c2.filesCopied == 0 && c2.version == c1.version,
+        s"a re-sweep must load nothing and commit nothing, got $c2")
+      land("late.parquet", part.filter(col("p_partkey") < 5)
+        .withColumn("p_partkey", col("p_partkey") + lit(4000000L)))
+      val c3 = Merge.copyInto(s, path, landing.toString)
+      require(c3.filesCopied == 1 && c3.filesSkipped == 2,
+        s"only the late file may sweep in, got $c3")
+      Merge.readKeyed(s, path)
+        .select("p_partkey", "p_name", "p_retailprice")
+        .orderBy("p_partkey")
+    }),
+    "q_sql_default" -> ((s, dir) => {
+      // COLUMN DEFAULT VALUES (Delta/ANSI parity): CREATE TABLE declares
+      // per-column DEFAULTs; INSERTs may omit the columns or write the
+      // DEFAULT keyword and the declared values fill in — Spark's own
+      // ResolveDefaultColumns does the filling once the catalog declares
+      // SUPPORT_COLUMN_DEFAULT_VALUE and the table REPORTS the defaults
+      // back (they ride StructField metadata, which the manifest now
+      // stores in the lossless JSON schema form — DDL-form manifests
+      // cannot round-trip a DEFAULT clause). A bare-column INSERT, an
+      // omitted-column INSERT and DEFAULT-keyword rows all land; the
+      // read-back ≡ the oracle's replay with the defaults inlined.
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val root = new java.io.File(scratchRoot, s"graft_sqldef_$sf")
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      val cat = s"gdef_$sf"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root.getAbsolutePath)
+      val view = s"graft_sqldef_src_$sf"
+      t(s, dir, "part").select("p_partkey", "p_name", "p_retailprice")
+        .createOrReplaceTempView(view)
+      s.sql(s"CREATE TABLE $cat.t (id BIGINT, " +
+        "price DOUBLE DEFAULT 0.99, status STRING DEFAULT 'new') " +
+        "PARTITIONED BY (bucket(16, id))")
+      s.sql(s"INSERT INTO $cat.t " +
+        s"SELECT p_partkey, p_retailprice, p_name FROM $view " +
+        "WHERE p_partkey <= 500")
+      s.sql(s"INSERT INTO $cat.t (id) " +
+        s"SELECT p_partkey + 1000000 FROM $view WHERE p_partkey <= 200")
+      s.sql(s"INSERT INTO $cat.t VALUES " +
+        "(9000001, DEFAULT, 'manual'), (9000002, 3.5, DEFAULT)")
+      s.sql(s"SELECT id, price, status FROM $cat.t ORDER BY id")
+    }),
     "q_sql_create" -> ((s, dir) => {
       // SQL TABLE LIFECYCLE on the directory catalog: CTAS creates the
       // keyed table under a bucket(16, key) transform and populates it
@@ -6282,6 +6370,26 @@ object SparkEntry {
          UNION ALL
          SELECT CAST(9000001 AS BIGINT), 'sentinel', CAST(1.5 AS DOUBLE)
          ORDER BY p_partkey""",
+    // base slice + every landed slice exactly once
+    "q_copy_into" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+         UNION ALL
+         SELECT p_partkey + 4000000 AS p_partkey, p_name, p_retailprice
+         FROM part WHERE p_partkey < 5
+         ORDER BY p_partkey""",
+    // defaults inlined: omitted columns and DEFAULT-keyword rows take
+    // the declared values
+    "q_sql_default" ->
+      """SELECT p_partkey AS id, p_retailprice AS price, p_name AS status
+         FROM part WHERE p_partkey <= 500
+         UNION ALL
+         SELECT p_partkey + 1000000, CAST(0.99 AS DOUBLE), 'new'
+         FROM part WHERE p_partkey <= 200
+         UNION ALL
+         SELECT CAST(9000001 AS BIGINT), CAST(0.99 AS DOUBLE), 'manual'
+         UNION ALL
+         SELECT CAST(9000002 AS BIGINT), CAST(3.5 AS DOUBLE), 'new'
+         ORDER BY id""",
     // the replaced slice takes the batch image, the unsupplied part of
     // the slice dies, everything outside survives
     "q_replace_where" ->

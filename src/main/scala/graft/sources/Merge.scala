@@ -134,6 +134,24 @@ object Merge {
     }.toSeq.sorted
   }
 
+  /** Schema codec for manifests/anchors: DDL for plain schemas (keeps
+    * the version log human-readable), Spark's lossless JSON form when
+    * any field carries metadata — column DEFAULT values live in field
+    * metadata, and `toDDL` renders a `DEFAULT` clause that `fromDDL`
+    * cannot parse back. The reader sniffs the format, so every
+    * pre-existing DDL manifest reads unchanged.
+    */
+  private[sources] def schemaToString(s: StructType): String =
+    if (s.fields.exists(_.metadata !=
+        org.apache.spark.sql.types.Metadata.empty)) s.json
+    else s.toDDL
+
+  private[sources] def schemaFromString(str: String): StructType =
+    if (str.trim.startsWith("{"))
+      org.apache.spark.sql.types.DataType.fromJson(str)
+        .asInstanceOf[StructType]
+    else StructType.fromDDL(str)
+
   private def bucketOf(file: String): Long = {
     // data file refs are "__bucket=N/part-..." for the table's own files
     // and ABSOLUTE ".../__bucket=N/part-..." for a shallow clone's
@@ -183,7 +201,12 @@ object Merge {
       // [[dropColumn]] — re-adding such a name would resurrect the old
       // files' values, so evolution refuses it.
       colMap: Seq[(String, String)] = Seq.empty,
-      physRetired: Seq[String] = Seq.empty)
+      physRetired: Seq[String] = Seq.empty,
+      // COPY INTO bookkeeping: the SOURCE file URIs THIS commit
+      // ingested (per-commit delta, never cumulative — manifests stay
+      // O(commit)); the already-loaded set is the union over retained
+      // manifests, with the same retention caveat as the txn watermark
+      copied: Seq[String] = Seq.empty)
 
   /** The commit timestamp for a child of `parent`: wall clock, forced
     * STRICTLY increasing along the version chain (max(parent+1, now)) so
@@ -282,10 +305,14 @@ object Merge {
       if (m.physRetired.isEmpty) ""
       else s""","physRetired":""" + m.physRetired.sorted
         .map(f => "\"" + jsonEscape(f) + "\"").mkString("[", ",", "]")
+    val copiedField =
+      if (m.copied.isEmpty) ""
+      else s""","copied":""" + m.copied.sorted
+        .map(f => "\"" + jsonEscape(f) + "\"").mkString("[", ",", "]")
     (s"""{"version":${m.version},"parent":${m.parent},""" +
       s"""$filesField$schemaField$txnField$layoutField$statsFields""" +
       s"""$tsField$opField$constraintsField$dvField$colMapField""" +
-      s"""$retiredField}""").getBytes("UTF-8")
+      s"""$retiredField$copiedField}""").getBytes("UTF-8")
   }
 
   /** One shard's body: the files of its bucket range plus their stats
@@ -573,6 +600,10 @@ object Merge {
           case JArray(xs) => xs.collect { case JString(f) => f }
           case _ => Nil
         }
+        val copied = j \ "copied" match {
+          case JArray(xs) => xs.collect { case JString(f) => f }
+          case _ => Nil
+        }
         (num("version"), num("parent"), resolved) match {
           case (Some(v), Some(par), Some((fl, stats, shardIds))) =>
             Some(Manifest(v, par, fl, str("dataSchema"),
@@ -584,7 +615,8 @@ object Merge {
               num("rowsDel").getOrElse(-1L),
               shardSpan = shardSpan, shardIds = shardIds,
               constraints = constraints, dvFiles = dvFiles,
-              colMap = colMap, physRetired = physRetired))
+              colMap = colMap, physRetired = physRetired,
+              copied = copied))
           case _ => None // truncated or foreign body: not committed
         }
       }
@@ -819,7 +851,7 @@ object Merge {
       val parentV = currentVersion(spark, path)
       require(parentV >= 0, s"$path has no version log")
       val parent = readManifest(spark, root, parentV)
-      val schema = parent.dataSchema.map(StructType.fromDDL).getOrElse(
+      val schema = parent.dataSchema.map(schemaFromString).getOrElse(
         throw new IllegalArgumentException(
           s"$path records no schema — rewrite with writeKeyed first"))
       require(schema.fieldNames.contains(from),
@@ -849,7 +881,7 @@ object Merge {
           parent.copy(version = parentV + 1, parent = parentV,
             txn = None, ts = nextTs(parent), op = Some("renameColumn"),
             rowsUpserted = 0L, rowsDeleted = 0L,
-            dataSchema = Some(newSchema.toDDL),
+            dataSchema = Some(schemaToString(newSchema)),
             layout = parent.layout.map { case (k, n) =>
               (if (k == from) to else k, n)
             },
@@ -893,7 +925,7 @@ object Merge {
       val parentV = currentVersion(spark, path)
       require(parentV >= 0, s"$path has no version log")
       val parent = readManifest(spark, root, parentV)
-      val schema = parent.dataSchema.map(StructType.fromDDL).getOrElse(
+      val schema = parent.dataSchema.map(schemaFromString).getOrElse(
         throw new IllegalArgumentException(
           s"$path records no schema — rewrite with writeKeyed first"))
       require(!schema.fieldNames.contains(name),
@@ -910,8 +942,8 @@ object Merge {
           parent.copy(version = parentV + 1, parent = parentV,
             txn = None, ts = nextTs(parent), op = Some("addColumn"),
             rowsUpserted = 0L, rowsDeleted = 0L,
-            dataSchema = Some(schema.add(name, dataType,
-              nullable = true).toDDL)),
+            dataSchema = Some(schemaToString(schema.add(name, dataType,
+              nullable = true)))),
           parent = Some(parent), touched = Some(Set.empty))
         return parentV + 1
       } catch { case _: LostCommitRace => attempt += 1 }
@@ -938,7 +970,7 @@ object Merge {
       val parentV = currentVersion(spark, path)
       require(parentV >= 0, s"$path has no version log")
       val parent = readManifest(spark, root, parentV)
-      val schema = parent.dataSchema.map(StructType.fromDDL).getOrElse(
+      val schema = parent.dataSchema.map(schemaFromString).getOrElse(
         throw new IllegalArgumentException(
           s"$path records no schema — rewrite with writeKeyed first"))
       require(schema.fieldNames.contains(name),
@@ -961,8 +993,8 @@ object Merge {
           parent.copy(version = parentV + 1, parent = parentV,
             txn = None, ts = nextTs(parent), op = Some("widenColumn"),
             rowsUpserted = 0L, rowsDeleted = 0L,
-            dataSchema = Some(StructType(schema.fields.map(x =>
-              if (x.name == name) x.copy(dataType = to) else x)).toDDL),
+            dataSchema = Some(schemaToString(StructType(schema.fields.map(x =>
+              if (x.name == name) x.copy(dataType = to) else x)))),
             // the existing files' `bloom:name` filters hashed the
             // NARROW internal form (xxhash64(int) != xxhash64(long) for
             // the same value): probed under the wide type they would
@@ -1001,7 +1033,7 @@ object Merge {
       val parentV = currentVersion(spark, path)
       require(parentV >= 0, s"$path has no version log")
       val parent = readManifest(spark, root, parentV)
-      val schema = parent.dataSchema.map(StructType.fromDDL).getOrElse(
+      val schema = parent.dataSchema.map(schemaFromString).getOrElse(
         throw new IllegalArgumentException(
           s"$path records no schema — rewrite with writeKeyed first"))
       require(schema.fieldNames.contains(name),
@@ -1023,8 +1055,8 @@ object Merge {
           parent.copy(version = parentV + 1, parent = parentV,
             txn = None, ts = nextTs(parent), op = Some("dropColumn"),
             rowsUpserted = 0L, rowsDeleted = 0L,
-            dataSchema = Some(StructType(
-              schema.fields.filterNot(_.name == name)).toDDL),
+            dataSchema = Some(schemaToString(StructType(
+              schema.fields.filterNot(_.name == name)))),
             statsCols = parent.statsCols.filterNot(c => c == name ||
               (Skipping.isBloomSpec(c) && Skipping.bloomBase(c) == name)),
             stats = parent.stats.filterNot(e => e.col == name ||
@@ -1135,7 +1167,7 @@ object Merge {
       filesPerBucket, nBuckets, sortKey = Some(keyCol))
       .write.mode("overwrite").partitionBy("__bucket").parquet(path)
     writeManifest(fs, root, Manifest(0L, -1L, listDataFiles(fs, root),
-      Some(df.schema.toDDL), layout = Some((keyCol, nBuckets)),
+      Some(schemaToString(df.schema)), layout = Some((keyCol, nBuckets)),
       statsCols = statsCols,
       stats = bucketFileStats(df.sparkSession, path, statsCols),
       ts = System.currentTimeMillis(), op = Some("write"),
@@ -1154,7 +1186,7 @@ object Merge {
       // a legitimate state, not an error: a delete can empty the table
       // (found by MergeSpec's model property test). Only pre-schema
       // manifests have nothing to type an empty frame with.
-      val schema = m.dataSchema.map(StructType.fromDDL).getOrElse(
+      val schema = m.dataSchema.map(schemaFromString).getOrElse(
         throw new IllegalArgumentException(
           s"version ${m.version} of $path is empty and records no " +
           "schema — cannot type the empty frame"))
@@ -1169,7 +1201,7 @@ object Merge {
     // rename back to the version's logical names at the end
     val l2p = m.colMap.toMap
     val schemaOpt = m.dataSchema.map(ddl =>
-      StructType(StructType.fromDDL(ddl).fields.map(f =>
+      StructType(schemaFromString(ddl).fields.map(f =>
         f.copy(name = l2p.getOrElse(f.name, f.name))))
         .add("__bucket", "long"))
     // deletion vectors (and position-keeping callers) need each row's
@@ -1306,7 +1338,7 @@ object Merge {
       bounds: Seq[Skipping.Bound]): (Seq[String], Int) = {
     val (_, root) = fsFor(spark, path)
     val m = readManifest(spark, root, version)
-    val schema = m.dataSchema.map(StructType.fromDDL).getOrElse(
+    val schema = m.dataSchema.map(schemaFromString).getOrElse(
       throw new IllegalArgumentException(
         s"$path v$version records no schema — cannot type the bounds"))
     bounds.foreach(b => require(schema.fieldNames.contains(b.column),
@@ -1355,7 +1387,7 @@ object Merge {
     // null on pre-evolution rows whatever the batch that added it
     // declared, and the parquet read path reports nullable anyway
     readManifest(spark, root, version).dataSchema
-      .map(ddl => StructType(StructType.fromDDL(ddl).fields
+      .map(ddl => StructType(schemaFromString(ddl).fields
         .map(_.copy(nullable = true))))
   }
 
@@ -1392,7 +1424,7 @@ object Merge {
     val (_, root) = fsFor(spark, path)
     val m = readManifest(spark, root, version)
     if (m.dvFiles.nonEmpty || !m.statsCols.contains(column)) return None
-    val schema = m.dataSchema.map(StructType.fromDDL).getOrElse(
+    val schema = m.dataSchema.map(schemaFromString).getOrElse(
       return None)
     val dt = schema.find(_.name == column).map(_.dataType).getOrElse(
       return None)
@@ -1610,7 +1642,7 @@ object Merge {
     // bucket slice of the diff is the exact feed for those keys
     val touched0 = touchedBucketsOf(spark, root, o, n)
     val touched = bucketSubset.map(touched0.intersect).getOrElse(touched0)
-    val newSchema = n.dataSchema.map(StructType.fromDDL).getOrElse(
+    val newSchema = n.dataSchema.map(schemaFromString).getOrElse(
       throw new IllegalArgumentException(
         s"$path v$toVersion records no schema"))
     def side(m: Manifest): DataFrame = {
@@ -1619,7 +1651,7 @@ object Merge {
         if (picked.isEmpty)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            m.dataSchema.map(StructType.fromDDL).getOrElse(newSchema))
+            m.dataSchema.map(schemaFromString).getOrElse(newSchema))
         else versionDf(spark, path, root, m.copy(files = picked))
           .drop("__bucket")
       // align to the newer schema: evolution ADDS columns (older side
@@ -2021,7 +2053,7 @@ object Merge {
     require(bounds.nonEmpty, "readVersionSkipping needs >= 1 bound")
     val (_, root) = fsFor(spark, path)
     val m = readManifest(spark, root, version)
-    val schema = m.dataSchema.map(StructType.fromDDL).getOrElse(
+    val schema = m.dataSchema.map(schemaFromString).getOrElse(
       throw new IllegalArgumentException(
         s"$path v$version records no schema — cannot type the bounds"))
     val (sel, _) = planVersionFiles(spark, path, version, bounds)
@@ -2083,7 +2115,7 @@ object Merge {
     val (keyCol, nBuckets) = m.layout.getOrElse(throw
       new IllegalArgumentException(s"$path's manifest predates layout " +
         "recording — rewrite it with writeKeyed to enable lookupKey"))
-    val keyType = m.dataSchema.map(StructType.fromDDL)
+    val keyType = m.dataSchema.map(schemaFromString)
       .map(_(keyCol).dataType)
       .getOrElse(throw new IllegalArgumentException(
         s"$path's manifest records no schema"))
@@ -2100,7 +2132,7 @@ object Merge {
       if (!m.statsCols.contains(keyCol) &&
           !m.statsCols.contains(Skipping.BloomPrefix + keyCol)) bucketFiles
       else {
-        val schema = m.dataSchema.map(StructType.fromDDL).get
+        val schema = m.dataSchema.map(schemaFromString).get
         val byFile = m.stats.groupBy(_.file).view
           .mapValues(_.map(s => s.col -> s).toMap).toMap
         val kb = Seq(Skipping.Bound(keyCol, Some(key), Some(key)))
@@ -2111,7 +2143,7 @@ object Merge {
       // range excludes it): provably no such key
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        m.dataSchema.map(StructType.fromDDL).get)
+        m.dataSchema.map(schemaFromString).get)
     versionDf(spark, path, root, m.copy(files = files))
       .drop("__bucket")
       .filter(col(keyCol) === lit(key).cast(keyType))
@@ -2138,6 +2170,91 @@ object Merge {
       .flatMap(_.txn)
       .collect { case (app, batch) if app == appId => batch }
     if (batches.isEmpty) None else Some(batches.max)
+  }
+
+  /** The source-file URIs every retained commit has already COPY'd
+    * INTO this table — [[copyInto]]'s idempotence set, read from the
+    * version log alone (each manifest records only ITS commit's delta,
+    * so manifests stay O(commit) however many files ever loaded). Same
+    * retention caveat as [[latestTxn]]: vacuum bounds how far back
+    * this sees — keep enough versions to cover the landing zone's
+    * lifetime, or move loaded files out of it.
+    */
+  def ingestedFiles(spark: SparkSession, path: String): Set[String] = {
+    val (_, root) = fsFor(spark, path)
+    listVersions(spark, root)
+      .flatMap(v => readManifestOpt(spark, root, v, resolveShards = false))
+      .flatMap(_.copied).toSet
+  }
+
+  final case class CopyStats(version: Long, filesCopied: Int,
+      filesSkipped: Int, rowsCopied: Long)
+
+  /** COPY INTO (the lakehouse idempotent-ingestion verb): load the
+    * data files under `source` into the keyed table, EXACTLY ONCE PER
+    * FILE across any number of calls — the landing-zone pattern, where
+    * an external system keeps dropping files and a scheduled loader
+    * sweeps them in. Each call lists the source, subtracts the already-
+    * loaded set ([[ingestedFiles]]), and folds ONLY the fresh files
+    * through one [[upsert]] commit whose manifest atomically records
+    * their URIs — so the data and the "loaded" mark commit together:
+    * a crash at any point either loaded a file and remembers it, or
+    * neither. Re-running after a partial failure resumes exactly.
+    *
+    * Contracts: the table's layout key must be present in the source
+    * rows (COPY INTO folds through the keyed upsert — a key seen twice
+    * across the fresh files is refused loudly rather than resolved by
+    * file-listing order); source columns must match the table schema
+    * by name (castable types align; project upstream otherwise);
+    * sub-directories and `_`/`.`-prefixed files are ignored, exactly
+    * like Spark's own file listing. A fresh file with ZERO rows
+    * commits nothing and is therefore re-examined (and re-skipped as
+    * empty) by later calls — documented cost of keeping the loaded
+    * mark inside the data commit. Racing loaders may both load the
+    * same fresh batch: the second's keyed re-merge of identical rows
+    * is a no-op image-wise and the duplicate `copied` entries are
+    * harmless (the idempotence set is a union).
+    */
+  def copyInto(spark: SparkSession, path: String, source: String,
+      format: String = "parquet",
+      options: Map[String, String] = Map.empty): CopyStats = {
+    val (keyCol, nBuckets) = tableLayout(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path records no (keyCol, nBuckets) layout — COPY INTO " +
+        "folds through the keyed upsert"))
+    val src = new Path(source)
+    val sfs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(sfs.exists(src), s"COPY INTO source $source does not exist")
+    val listed = sfs.listStatus(src)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(_.getPath.toString).sorted.toSeq
+    val fresh = listed.filterNot(ingestedFiles(spark, path))
+    val head = currentVersion(spark, path)
+    if (fresh.isEmpty) return CopyStats(head, 0, listed.size, 0L)
+    val raw = spark.read.format(format).options(options)
+      .load(fresh: _*)
+    val schema = versionSchema(spark, path, head).getOrElse(raw.schema)
+    val missing = schema.fieldNames.filterNot(raw.columns.contains)
+    require(missing.isEmpty,
+      s"source files lack table column(s) ${missing.mkString(", ")} — " +
+      "project them in upstream (defaults do not apply to COPY INTO)")
+    val extra = raw.columns.filterNot(schema.fieldNames.contains)
+    require(extra.isEmpty,
+      s"source files carry extra column(s) ${extra.mkString(", ")} — " +
+      "COPY INTO matches the table schema by name; project upstream")
+    val df = raw.select(schema.fields.toSeq.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
+    val dups = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).count()
+    require(dups == 0L,
+      s"$dups key(s) appear more than once across the fresh source " +
+      "files — COPY INTO is append-shaped; dedupe upstream or fold " +
+      "through upsert batches in a chosen order")
+    val st = upsert(spark, path, df, keyCol, nBuckets,
+      copiedFiles = fresh)
+    CopyStats(st.version, fresh.size, listed.size - fresh.size,
+      st.rowsUpserted)
   }
 
   /** Write `df` partitioned by __bucket into a fresh job-scoped staging
@@ -2236,7 +2353,8 @@ object Merge {
       keyCol: String, nBuckets: Int, allowEvolution: Boolean = false,
       maxRetries: Int = 5, txn: Option[(String, Long)] = None,
       tombstoneCol: Option[String] = None,
-      filesPerBucket: Int = 1): MergeStats = {
+      filesPerBucket: Int = 1,
+      copiedFiles: Seq[String] = Seq.empty): MergeStats = {
     val (fs, root) = fsFor(spark, path)
     var attempt = 0
     while (true) {
@@ -2264,7 +2382,7 @@ object Merge {
           org.apache.spark.sql.types.BooleanType,
           s"tombstone column $tc must be BOOLEAN")
       }
-      val parentSchema = parent.dataSchema.map(StructType.fromDDL)
+      val parentSchema = parent.dataSchema.map(schemaFromString)
       // the tombstone marker never enters the table schema
       val updCols = updates.columns.toSeq.filterNot(tombstoneCol.contains)
       tombstoneCol.foreach(tc => require(
@@ -2334,9 +2452,17 @@ object Merge {
         }
       })
       val outCols = parentCols ++ newCols
-      val outSchema = StructType(outCols.map(c =>
-        updates.schema.find(_.name == c).getOrElse(
-          parentSchema.get.find(_.name == c).get)))
+      // existing columns keep the TABLE's field (metadata rides along —
+      // column DEFAULT values live there and a batch frame never
+      // carries them) under the batch's possibly-widened type; genuinely
+      // new columns take the batch's field
+      val outSchema = StructType(outCols.map { c =>
+        val u = updates.schema.find(_.name == c)
+        parentSchema.flatMap(_.find(_.name == c)) match {
+          case Some(pf) => pf.copy(dataType = u.getOrElse(pf).dataType)
+          case None => u.get
+        }
+      })
       // CHECK constraints gate the commit: every surviving (non-
       // tombstoned) incoming row must satisfy them. Existing rows were
       // validated at their own commit (or at addConstraint), so checking
@@ -2400,7 +2526,7 @@ object Merge {
       try {
         writeManifest(fs, root,
           Manifest(parentV + 1, parentV, files.sorted,
-            Some(outSchema.toDDL), txn,
+            Some(schemaToString(outSchema)), txn,
             parent.layout.orElse(Some((keyCol, nBuckets))),
             parent.statsCols,
             // untouched buckets keep their stats, EXCEPT bloom filters
@@ -2411,12 +2537,14 @@ object Merge {
               .filterNot(e => Skipping.isBloomSpec(e.col) &&
                 widenedCols.contains(Skipping.bloomBase(e.col))) ++
               newStats,
-            ts = nextTs(parent), op = Some("upsert"),
+            ts = nextTs(parent),
+            op = Some(if (copiedFiles.nonEmpty) "copyInto" else "upsert"),
             rowsUpserted = rowsUpserted, rowsDeleted = rowsDeleted,
             shardSpan = parent.shardSpan,
             constraints = parent.constraints,
             dvFiles = parent.dvFiles,
-            colMap = parent.colMap, physRetired = parent.physRetired),
+            colMap = parent.colMap, physRetired = parent.physRetired,
+            copied = copiedFiles),
           parent = Some(parent), touched = Some(touched))
         return MergeStats(touched.size, nBuckets, rowsUpserted, parentV + 1,
           attempt, rowsDeleted = rowsDeleted)
@@ -2464,7 +2592,7 @@ object Merge {
       val (keyCol, nBuckets) = parent.layout.getOrElse(
         throw new IllegalArgumentException(
           s"$path records no (keyCol, nBuckets) layout"))
-      val parentSchema = parent.dataSchema.map(StructType.fromDDL)
+      val parentSchema = parent.dataSchema.map(schemaFromString)
       parentSchema.foreach { sch =>
         require(df.columns.toSet == sch.fieldNames.toSet,
           s"replace must carry exactly the table columns " +

@@ -372,7 +372,7 @@ object Skipping {
       s"""{"file":"${jsonEscape(e.file)}","col":"${jsonEscape(e.col)}",""" +
         s""""min":$mn,"max":$mx}"""
     }.mkString("[", ",", "]")
-    val body = (s"""{"schema":"${jsonEscape(data.schema.toDDL)}",""" +
+    val body = (s"""{"schema":"${jsonEscape(graft.sources.Merge.schemaToString(data.schema))}",""" +
       s""""stats":$arr}""").getBytes("UTF-8")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val sp = statsPath(root)
@@ -410,7 +410,8 @@ object Skipping {
       case JNothing => (None, entries(j)) // pre-schema array format
       case st =>
         val schema = j \ "schema" match {
-          case JString(ddl) => Some(StructType.fromDDL(ddl))
+          case JString(ddl) =>
+            Some(graft.sources.Merge.schemaFromString(ddl))
           case _ => None
         }
         (schema, entries(st))

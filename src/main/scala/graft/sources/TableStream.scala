@@ -286,7 +286,7 @@ class GraftTableSource(spark: SparkSession, path: String,
         val parts = head.trim.split(",", -1)
         Some((parts(0).toLong,
           if (parts(1).isEmpty) None else Some(parts(1).toLong),
-          StructType.fromDDL(ddl)))
+          Merge.schemaFromString(ddl)))
       }
     stored().getOrElse {
       val current = Merge.currentVersion(spark, path)
@@ -304,7 +304,8 @@ class GraftTableSource(spark: SparkSession, path: String,
         val out = fs.create(anchorFile, false)
         try out.write(
           (s"$b,${snap.map(_.toString).getOrElse("")}\n" +
-            resolvedSchema.toDDL).getBytes(StandardCharsets.UTF_8))
+            Merge.schemaToString(resolvedSchema))
+            .getBytes(StandardCharsets.UTF_8))
         finally out.close()
         (b, snap, resolvedSchema)
       } catch {

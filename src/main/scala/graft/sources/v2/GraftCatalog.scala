@@ -306,14 +306,27 @@ class GraftCatalog extends V2TableCatalog
     readOnly(s"CREATE OR REPLACE TABLE $ident — graft history is " +
       "append-only: DROP TABLE then CTAS, or INSERT OVERWRITE")
 
-  /** The catalog-capability switch Spark's analyzer checks before it
-    * will even parse-plan constraint DDL against this catalog.
+  /** The catalog-capability switches Spark's analyzer checks before it
+    * will even parse-plan constraint DDL / column DEFAULT clauses
+    * against this catalog. Declaring SUPPORT_COLUMN_DEFAULT_VALUE lets
+    * `CREATE TABLE t (c INT DEFAULT 5)` through: Spark records the
+    * default in the column's StructField metadata, the manifest stores
+    * the metadata-bearing schema in its lossless JSON form
+    * ([[Merge.schemaToString]]), the table reports it back through
+    * `schema()`, and Spark's own ResolveDefaultColumns then fills
+    * omitted columns and `DEFAULT` keywords on every INSERT — the
+    * engine never evaluates a default itself. ADD COLUMN with a
+    * default stays refused (an exists-default would need read-path
+    * backfill semantics on pre-existing rows).
     */
   override def capabilities()
       : util.Set[org.apache.spark.sql.connector.catalog
         .TableCatalogCapability] =
-    util.EnumSet.of(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+    util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   /** The table-level DDL the table format CAN honor atomically —
     * metadata-only single-table commits:

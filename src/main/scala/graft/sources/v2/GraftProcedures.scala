@@ -121,6 +121,25 @@ private[v2] class GraftProcedures(
     }
   }
 
+  private val copyInto = new Proc("copy_into",
+    "Idempotently load data files from a landing directory into the " +
+    "keyed table — exactly once per source file across any number of " +
+    "calls (the loaded mark commits atomically with the data)",
+    Seq(in("table", StringType), in("source", StringType),
+      inDefault("format", StringType, "'parquet'")),
+    StructType(Seq(StructField("version", LongType),
+      StructField("files_copied", LongType),
+      StructField("files_skipped", LongType),
+      StructField("rows_copied", LongType)))) {
+    override def exec(spark: SparkSession, a: InternalRow): Seq[Any] = {
+      val st = Merge.copyInto(spark,
+        mutablePath(a.getUTF8String(0).toString),
+        a.getUTF8String(1).toString, a.getUTF8String(2).toString)
+      Seq(st.version, st.filesCopied.toLong, st.filesSkipped.toLong,
+        st.rowsCopied)
+    }
+  }
+
   private val vacuumRetain = new Proc("vacuum_retain",
     "Time-based retention (Delta's shape): keep every version " +
     "committed within retain_ms plus the newest one at or before the " +
@@ -252,6 +271,6 @@ private[v2] class GraftProcedures(
 
   val all: Map[String, UnboundProcedure] =
     Seq(compact, vacuum, vacuumRetain, restore, createTag, deleteTag,
-        relayout, clone_, transactCompact)
+        relayout, clone_, transactCompact, copyInto)
       .map(p => p.name -> (p: UnboundProcedure)).toMap
 }

@@ -44,6 +44,34 @@ class GraftDdlSpec extends SparkSpec {
       .as[Long].head() == 1L)
   }
 
+  test("column DEFAULT values: omitted columns and the DEFAULT keyword " +
+      "fill from the declared defaults") {
+    val (cat, root) = mkCatalog("defv")
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT, v DOUBLE DEFAULT 2.5, " +
+      "tag STRING DEFAULT 'none') PARTITIONED BY (bucket(4, id))")
+    spark.sql(s"INSERT INTO $cat.t (id) VALUES (1)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (2, DEFAULT, DEFAULT)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (3, 9.0, 'x')")
+    assert(spark.sql(s"SELECT * FROM $cat.t ORDER BY id")
+      .as[(Long, Double, String)].collect().toSeq == Seq(
+      (1L, 2.5, "none"), (2L, 2.5, "none"), (3L, 9.0, "x")))
+    val path = new File(root, "t").getAbsolutePath
+    assert(Merge.currentVersion(spark, path) == 3L)
+    // the defaults SURVIVE commits: a Scala upsert (whose batch frame
+    // carries no metadata) must not strip them from the manifest schema
+    Merge.upsert(spark, path,
+      Seq((10L, 1.0, "up")).toDF("id", "v", "tag"), "id", nBuckets = 4)
+    spark.sql(s"INSERT INTO $cat.t (id) VALUES (11)")
+    assert(spark.sql(s"SELECT v, tag FROM $cat.t WHERE id = 11")
+      .as[(Double, String)].head() == ((2.5, "none")))
+    // the manifest stores the metadata-bearing schema in the lossless
+    // JSON form; plain tables keep the human-readable DDL form
+    val stored = Merge.versionSchema(spark, path,
+      Merge.currentVersion(spark, path)).get
+    assert(stored.fields.exists(_.metadata.contains("CURRENT_DEFAULT")),
+      s"defaults lost from the stored schema: $stored")
+  }
+
   test("CREATE TABLE with TBLPROPERTIES layout + statsCols") {
     val (cat, root) = mkCatalog("props")
     spark.sql(s"CREATE TABLE $cat.t (id BIGINT, v DOUBLE) " +

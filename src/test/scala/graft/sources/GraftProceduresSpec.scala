@@ -179,6 +179,32 @@ class GraftProceduresSpec extends SparkSpec {
     }
   }
 
+  test("CALL copy_into loads a landing directory exactly once per file") {
+    val root = freshRoot("copyinto")
+    val path = new File(root, "t").getAbsolutePath
+    Merge.writeKeyed(baseDf, path, "id", nBuckets = 4)
+    val landing = Files.createTempDirectory("graft_proc_landing").toFile
+    landing.deleteOnExit()
+    val tmp = Files.createTempDirectory("graft_proc_land_tmp").toFile
+    (1000L until 1020L).map(i => (i, s"new_$i", i * 1.0))
+      .toDF("id", "name", "score")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    Files.move(
+      tmp.listFiles().find(_.getName.endsWith(".parquet")).get.toPath,
+      new File(landing, "batch1.parquet").toPath)
+    val cat = mkCatalog("copyinto", root)
+    val r = spark.sql(s"CALL $cat.system.copy_into(table => 't', " +
+      s"source => '${landing.getAbsolutePath}')").collect()
+    assert(r(0).getAs[Long]("files_copied") == 1L)
+    assert(r(0).getAs[Long]("rows_copied") == 20L)
+    assert(Merge.readKeyed(spark, path).count() == 220L)
+    val again = spark.sql(s"CALL $cat.system.copy_into(table => 't', " +
+      s"source => '${landing.getAbsolutePath}')").collect()
+    assert(again(0).getAs[Long]("files_copied") == 0L)
+    assert(again(0).getAs[Long]("files_skipped") == 1L)
+    assert(Merge.readKeyed(spark, path).count() == 220L)
+  }
+
   test("mutating procedures refuse PINNED catalog members") {
     val root = freshRoot("pinned")
     val catRoot = new File(root, "cat").getAbsolutePath

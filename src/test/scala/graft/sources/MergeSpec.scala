@@ -978,4 +978,63 @@ class MergeSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("retained"))
   }
+
+  test("COPY INTO: exactly-once per source file; new files sweep in; " +
+      "misuse refused") {
+    val path = freshDir("copyinto")
+    val landing = Files.createTempDirectory("graft_landing").toFile
+    landing.deleteOnExit()
+    def land(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = Files.createTempDirectory("graft_land_tmp").toFile
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, new File(landing, name).toPath)
+      ()
+    }
+    Merge.writeKeyed((0L until 10L).map(i => (i, "base")).toDF("id", "v"),
+      path, "id", nBuckets = 4)
+    land("a.parquet", (100L until 120L).map(i => (i, "a")).toDF("id", "v"))
+    land("b.parquet", (200L until 230L).map(i => (i, "b")).toDF("id", "v"))
+    // _/.-prefixed entries are ignored like Spark's own listing
+    Files.write(new File(landing, "_SUCCESS").toPath, Array.empty[Byte])
+
+    val c1 = Merge.copyInto(spark, path, landing.getAbsolutePath)
+    assert(c1.filesCopied == 2 && c1.filesSkipped == 0 &&
+      c1.rowsCopied == 50)
+    assert(Merge.readKeyed(spark, path).count() == 60)
+    // idempotent: the second sweep loads nothing and commits nothing
+    val c2 = Merge.copyInto(spark, path, landing.getAbsolutePath)
+    assert(c2.filesCopied == 0 && c2.filesSkipped == 2 &&
+      c2.version == c1.version)
+    // a NEW file sweeps in alone; an updated image of an EXISTING key
+    // folds as the keyed upsert it is
+    land("c.parquet", Seq((300L, "c"), (5L, "updated")).toDF("id", "v"))
+    val c3 = Merge.copyInto(spark, path, landing.getAbsolutePath)
+    assert(c3.filesCopied == 1 && c3.filesSkipped == 2)
+    val t = Merge.readKeyed(spark, path)
+    assert(t.count() == 61)
+    assert(t.filter($"id" === 5L).select("v").as[String].head() ==
+      "updated")
+    // the loaded mark rides the data commit: op records copyInto
+    assert(Merge.history(spark, path).select("op").as[String]
+      .collect().contains("copyInto"))
+    // duplicate keys ACROSS fresh files: refused loudly, nothing lands
+    land("d1.parquet", Seq((400L, "d1")).toDF("id", "v"))
+    land("d2.parquet", Seq((400L, "d2")).toDF("id", "v"))
+    val vBefore = Merge.currentVersion(spark, path)
+    val dupErr = intercept[IllegalArgumentException] {
+      Merge.copyInto(spark, path, landing.getAbsolutePath)
+    }
+    assert(dupErr.getMessage.contains("more than once"))
+    assert(Merge.currentVersion(spark, path) == vBefore)
+    new File(landing, "d1.parquet").delete()
+    new File(landing, "d2.parquet").delete()
+    // schema mismatch: missing and extra columns both name themselves
+    land("e.parquet", Seq((500L, 1.0)).toDF("id", "other"))
+    val missErr = intercept[IllegalArgumentException] {
+      Merge.copyInto(spark, path, landing.getAbsolutePath)
+    }
+    assert(missErr.getMessage.contains("v") ||
+      missErr.getMessage.contains("other"))
+  }
 }

@@ -4688,6 +4688,72 @@ object SparkEntry {
         s"v${Merge.currentVersion(s, rep)}")
       Merge.readKeyed(s, rep).orderBy("p_partkey")
     }),
+    "q_stream_replicate_cdf" -> ((s, dir) => {
+      // TABLE REPLICATION IN THE DELTA CDF DIALECT — the same
+      // snapshot/churn/wiped-checkpoint lifecycle as q_stream_replicate,
+      // but the stream reads readChangeFeed=true (labeled
+      // _change_type rows) and the replica folds via applyChangesCdf:
+      // consumers built for Delta's CDC shape replicate graft tables
+      // without translation. Required in-gate: a full checkpoint-wipe
+      // replay leaves the replica's version history unmoved (the txn
+      // stamp no-ops every replayed apply, labels included). Final
+      // replica ≡ the oracle's SQL replay of the churn.
+      import graft.sources.Merge
+      import org.apache.spark.sql.streaming.Trigger
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      val sfx = new java.io.File(dir).getName
+      val base = java.nio.file.Paths.get(scratchRoot, s"graft_replc_$sfx")
+      def rmTree(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.delete(f))
+        }
+      rmTree(base)
+      val src = base.resolve("src").toString
+      val rep = base.resolve("rep").toString
+      val ckpt = base.resolve("ckpt")
+      val part = t(s, dir, "part")
+        .select("p_partkey", "p_brand", "p_retailprice")
+      Merge.writeKeyed(part, src, "p_partkey", nBuckets = 16)
+      Merge.writeKeyed(part.limit(0), rep, "p_partkey", nBuckets = 16)
+      def replicate(): Unit = withShufflePartitions(s, 8) {
+        val q = s.readStream.format("graft-table").option("path", src)
+          .option("readChangeFeed", "true")
+          .load().writeStream
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            Merge.applyChangesCdf(s, rep, b,
+              txn = Some(("graft-repl-cdf", id)))
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      replicate() // the all-insert snapshot builds the replica
+      val batch = part.filter(col("p_partkey") % 100 === 7 &&
+          col("p_partkey") <= 2000)
+        .withColumn("p_retailprice",
+          round(dec("p_retailprice") * lit(1.5).cast("decimal(2,1)"), 2)
+            .cast("double"))
+        .withColumn("__del", lit(false))
+        .unionByName(part.filter(col("p_partkey") % 100 === 13 &&
+            col("p_partkey") <= 2000)
+          .withColumn("__del", lit(true)))
+        .unionByName(part.filter(col("p_partkey") < 5)
+          .withColumn("p_partkey", col("p_partkey") + lit(4000000L))
+          .withColumn("__del", lit(false)))
+      Merge.upsert(s, src, batch, "p_partkey", nBuckets = 16,
+        tombstoneCol = Some("__del"))
+      replicate() // the labeled churn folds
+      val vBefore = Merge.currentVersion(s, rep)
+      rmTree(ckpt)
+      replicate() // full replay from nothing
+      require(Merge.currentVersion(s, rep) == vBefore,
+        s"replayed CDF applies must no-op: v$vBefore -> " +
+        s"v${Merge.currentVersion(s, rep)}")
+      Merge.readKeyed(s, rep).orderBy("p_partkey")
+    }),
     "q_stream_catalog_ingest" -> ((s, dir) => {
       // THE INGESTION CAPSTONE, MADE STRUCTURAL: round 8's
       // q_stream_admit_upsert coordinated corpus sink and dedup index
@@ -8157,6 +8223,20 @@ object SparkEntry {
                 'insert' AS _change_type, 1 AS _commit_version
          FROM part WHERE p_partkey < 5
          ORDER BY _commit_version, p_partkey, _change_type""",
+    // the CDF-dialect replica ≡ the same churned source replay
+    "q_stream_replicate_cdf" ->
+      """SELECT p_partkey, p_brand,
+                CASE WHEN p_partkey % 100 = 7 AND p_partkey <= 2000
+                     THEN CAST(round(CAST(p_retailprice AS DECIMAL(18,2))
+                                     * CAST(1.5 AS DECIMAL(2,1)), 2)
+                               AS DOUBLE)
+                     ELSE p_retailprice END AS p_retailprice
+         FROM part
+         WHERE NOT (p_partkey % 100 = 13 AND p_partkey <= 2000)
+         UNION ALL
+         SELECT p_partkey + 4000000 AS p_partkey, p_brand, p_retailprice
+         FROM part WHERE p_partkey < 5
+         ORDER BY p_partkey""",
     // the replicated table ≡ the churned source replayed in SQL
     "q_stream_replicate" ->
       """SELECT p_partkey, p_brand,

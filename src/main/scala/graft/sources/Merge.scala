@@ -1839,6 +1839,44 @@ object Merge {
       tombstoneCol = Some("__apply_del"), filesPerBucket = filesPerBucket)
   }
 
+  /** [[applyChanges]] for DELTA CDF-DIALECT feeds: fold a batch labeled
+    * with `_change_type` (the shape `readChangeFeed` streams and
+    * [[changesBetweenCdf]] / the `graft_table_changes` TVF return) into
+    * this keyed table — so CDC replication in the Delta dialect is
+    *
+    * {{{
+    *   spark.readStream.format("graft-table").option("path", src)
+    *     .option("readChangeFeed", "true").load()
+    *     .writeStream.foreachBatch { (b, id) =>
+    *       Merge.applyChangesCdf(spark, replica, b,
+    *         txn = Some(("rep", id))); ()
+    *     }
+    * }}}
+    *
+    * Labels map to the op dialect (insert/update_postimage → +1,
+    * delete/update_preimage → -1; anything else fails loudly), the CDF
+    * bookkeeping columns drop, and [[applyChanges]]'s net-image fold
+    * does the rest — a multi-commit batch (A→B then B→C) nets B to
+    * zero and applies C, exactly once under the same txn stamp.
+    */
+  def applyChangesCdf(spark: SparkSession, path: String,
+      changes: DataFrame, txn: Option[(String, Long)] = None,
+      maxRetries: Int = 5, filesPerBucket: Int = 1): MergeStats = {
+    require(changes.columns.contains("_change_type"),
+      "changes carry no '_change_type' column — not a CDF-dialect feed " +
+      "(for the slim op INT dialect use applyChanges)")
+    val op = when(col("_change_type").isin("insert", "update_postimage"),
+        1)
+      .when(col("_change_type").isin("delete", "update_preimage"), -1)
+    val labeled = changes
+      .withColumn("__cdf_op", coalesce(op,
+        raise_error(concat(lit("unknown _change_type '"),
+          col("_change_type"), lit("'")))))
+      .drop("_change_type", "_commit_version", "_commit_timestamp")
+    applyChanges(spark, path, labeled, opCol = "__cdf_op", txn = txn,
+      maxRetries = maxRetries, filesPerBucket = filesPerBucket)
+  }
+
   /** SHALLOW CLONE (Delta's `CREATE TABLE dst SHALLOW CLONE src`):
     * start a NEW versioned table at `dst` whose v0 is `src`'s image at
     * `version` — the clone's manifest references the source's data

@@ -569,6 +569,52 @@ class TableStreamSpec extends SparkSpec {
       .sameElements(a))
   }
 
+  test("CDC replication in the CDF dialect: readChangeFeed stream -> " +
+      "applyChangesCdf replica") {
+    val base = freshBase("cdfrepl")
+    val src = new File(base, "src").getAbsolutePath
+    val rep = new File(base, "rep").getAbsolutePath
+    val ckpt = new File(base, "ckpt").getAbsolutePath
+    Merge.writeKeyed(baseDf, src, "id", nBuckets = 4)
+    Merge.writeKeyed(baseDf.limit(0), rep, "id", nBuckets = 4)
+    def replicate(): Unit = {
+      val q = readTableStream(src, Map("readChangeFeed" -> "true"))
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          Merge.applyChangesCdf(spark, rep, b,
+            txn = Some(("cdf-rep-test", id)))
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    replicate() // the all-insert snapshot lands
+    assert(Merge.readKeyed(spark, rep).count() == 20)
+    // update + delete + insert while the stream is down
+    Merge.upsert(spark, src,
+      Seq((3L, "upd", 333.0, false), (7L, "x", 0.0, true),
+        (50L, "new", 500.0, false))
+        .toDF("id", "name", "score", "__del"),
+      "id", nBuckets = 4, tombstoneCol = Some("__del"))
+    replicate()
+    val a = Merge.readKeyed(spark, src).orderBy("id").collect()
+    assert(Merge.readKeyed(spark, rep).orderBy("id").collect()
+      .sameElements(a))
+    // a replayed batch no-ops via the txn stamp even in the CDF dialect
+    val vBefore = Merge.currentVersion(spark, rep)
+    replicate()
+    assert(Merge.currentVersion(spark, rep) == vBefore)
+    // unknown labels fail loudly, never silently drop
+    val bad = Seq((1L, "z", 0.0, "upsert"))
+      .toDF("id", "name", "score", "_change_type")
+    val err = intercept[Exception] {
+      Merge.applyChangesCdf(spark, rep, bad)
+    }
+    assert(err.getMessage.contains("unknown _change_type") ||
+      Option(err.getCause).exists(
+        _.getMessage.contains("unknown _change_type")))
+  }
+
   test("PROPERTY: per-commit applyChanges replays any random history") {
     val rnd = new scala.util.Random(20260814L)
     val base = freshBase("prop")

@@ -77,6 +77,11 @@ object GraftVersionOffset {
   *  - `N`: no snapshot, the change feed from version N (inclusive)
   *    onward; `0` is the snapshot of v0 plus every delta since (v0 IS
   *    the first commit, so its "changes" are its full image).
+  * Option `startingTimestamp` (exclusive with `startingVersion`;
+  * epoch millis or a `"yyyy-mm-dd hh:mm:ss"` literal) starts at the
+  * first commit stamped AT OR AFTER the timestamp — at-or-before the
+  * first commit means the whole history, beyond the head means
+  * tail-only, past the retention horizon raises loudly.
   * "First starts" is literal: the resolved anchor is persisted
   * create-if-absent in the checkpoint's source-metadata directory, so a
   * restarted stream keeps its original anchor (and its rate-limit
@@ -211,8 +216,18 @@ class GraftTableStreamProvider extends StreamSourceProvider
       require(n >= 1, s"maxRowsPerTrigger must be >= 1, got $n")
       n
     }
+    // Delta's startingTimestamp: epoch millis or a
+    // "yyyy-mm-dd hh:mm:ss[.f...]" literal
+    val startTs = parameters.get("startingTimestamp").map { s =>
+      try s.toLong
+      catch {
+        case _: NumberFormatException =>
+          java.sql.Timestamp.valueOf(s).getTime
+      }
+    }
     new GraftTableSource(spark, path, metadataPath, resolved, opCol,
-      startAt, maxPerTrigger, maxRows, cdf = cdfMode(parameters))
+      startAt, maxPerTrigger, maxRows, cdf = cdfMode(parameters),
+      startingTimestamp = startTs)
   }
 }
 
@@ -253,7 +268,8 @@ class GraftTableSink(path: String, appId: String,
 class GraftTableSource(spark: SparkSession, path: String,
     metadataPath: String, resolvedSchema: StructType, opCol: String,
     startingVersion: Option[String], maxVersionsPerTrigger: Option[Long],
-    maxRowsPerTrigger: Option[Long] = None, cdf: Boolean = false)
+    maxRowsPerTrigger: Option[Long] = None, cdf: Boolean = false,
+    startingTimestamp: Option[Long] = None)
     extends Source with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -291,13 +307,38 @@ class GraftTableSource(spark: SparkSession, path: String,
     stored().getOrElse {
       val current = Merge.currentVersion(spark, path)
       require(current >= 0, s"$path is not a committed graft table")
-      val (b, snap) = startingVersion match {
-        case None           => (current, Some(current))
-        case Some("latest") => (current, None)
-        case Some(n) =>
+      require(startingVersion.isEmpty || startingTimestamp.isEmpty,
+        "set at most one of startingVersion / startingTimestamp")
+      val (b, snap) = (startingVersion, startingTimestamp) match {
+        case (None, None)           => (current, Some(current))
+        case (Some("latest"), _)    => (current, None)
+        case (Some(n), _) =>
           val v = n.toLong
           require(v >= 0, s"startingVersion must be >= 0, got $v")
           if (v == 0L) (0L, Some(0L)) else (v - 1, None)
+        case (None, Some(ts)) =>
+          // every commit whose stamp is AT OR AFTER ts (Delta's
+          // startingTimestamp contract, resolved against the version
+          // log's strictly-increasing commit times):
+          //  - ts at or before the first commit => the whole history
+          //    (v0's image + every delta — startingVersion=0 semantics);
+          //  - ts beyond the head => tail-only (a commit landing later
+          //    with time >= ts flows; nothing is replayed);
+          //  - ts past the retention horizon raises versionAsOf's own
+          //    loud retention error, never a silent partial replay.
+          if (ts > Merge.commitTime(spark, path, current))
+            (current, None)
+          else {
+            val t0 = try Some(Merge.commitTime(spark, path, 0))
+              catch { case _: Exception => None } // v0 vacuumed
+            if (t0.exists(ts <= _)) (0L, Some(0L))
+            else {
+              val w = Merge.versionAsOf(spark, path, ts)
+              val first =
+                if (Merge.commitTime(spark, path, w) == ts) w else w + 1
+              (first - 1, None)
+            }
+          }
       }
       if (!fs.exists(anchorFile.getParent)) fs.mkdirs(anchorFile.getParent)
       try {

@@ -109,6 +109,51 @@ class TableStreamSpec extends SparkSpec {
     assert(alive == expect)
   }
 
+  test("startingTimestamp starts at the first commit at-or-after the " +
+      "stamp; edges map to whole-history and tail-only") {
+    val base = freshBase("ts")
+    val path = new File(base, "tbl").getAbsolutePath
+    Merge.writeKeyed(baseDf, path, "id", nBuckets = 4)
+    Merge.upsert(spark, path,
+      Seq((100L, "c1", 1.0)).toDF("id", "name", "score"), "id", 4)
+    Merge.upsert(spark, path,
+      Seq((200L, "c2", 2.0)).toDF("id", "name", "score"), "id", 4)
+    val (t0, t1, t2) = (Merge.commitTime(spark, path, 0),
+      Merge.commitTime(spark, path, 1), Merge.commitTime(spark, path, 2))
+    def drainFrom(opts: Map[String, String], tag: String): Seq[Long] = {
+      val sink = scala.collection.mutable.ArrayBuffer.empty[(Long, Row)]
+      drain(readTableStream(path, opts),
+        new File(base, s"ckpt_$tag").getAbsolutePath, sink)
+      sink.map(_._2.getAs[Long]("id")).sorted.toSeq
+    }
+    // exactly at t1: commits 1 and 2
+    assert(drainFrom(Map("startingTimestamp" -> t1.toString), "at1")
+      == Seq(100L, 200L))
+    // strictly inside (t1, t2]: commit 2 only
+    assert(drainFrom(Map("startingTimestamp" -> (t1 + 1).toString), "in12")
+      == Seq(200L))
+    // at or before the first commit: the whole history (v0 snapshot
+    // semantics: 20 base rows + both deltas)
+    assert(drainFrom(Map("startingTimestamp" -> t0.toString), "all")
+      .size == 22)
+    // beyond the head: tail-only — nothing replays, a later commit flows
+    val fut = Map("startingTimestamp" -> (t2 + 60000L).toString)
+    assert(drainFrom(fut, "fut").isEmpty)
+    Merge.upsert(spark, path,
+      Seq((300L, "c3", 3.0)).toDF("id", "name", "score"), "id", 4)
+    val sink = scala.collection.mutable.ArrayBuffer.empty[(Long, Row)]
+    drain(readTableStream(path, fut),
+      new File(base, "ckpt_fut").getAbsolutePath, sink)
+    assert(sink.map(_._2.getAs[Long]("id")).toSeq == Seq(300L))
+    // both start options at once: refused
+    val err = intercept[Exception] {
+      drainFrom(Map("startingTimestamp" -> t1.toString,
+        "startingVersion" -> "0"), "both")
+    }
+    assert(err.getMessage.contains("at most one") ||
+      Option(err.getCause).exists(_.getMessage.contains("at most one")))
+  }
+
   test("startingVersion=latest skips history entirely") {
     val base = freshBase("latest")
     val path = new File(base, "tbl").getAbsolutePath

@@ -1179,6 +1179,36 @@ object SparkEntry {
             WHERE p_partkey <= 2500 OR p_partkey > 10000000
             ORDER BY p_partkey""")
     }),
+    "q_sql_generated" -> ((s, dir) => {
+      // GENERATED COLUMNS (Delta parity): CREATE TABLE declares
+      // `GENERATED ALWAYS AS (expr)`; the ENGINE computes the value on
+      // every write path (the expression rides the field metadata in
+      // the manifest's lossless JSON schema, and upsert computes /
+      // validates it before bucketing — an explicit mismatching value
+      // fails per-row by name rather than silently winning). The
+      // INSERT ... SELECT below omits the generated column entirely;
+      // read-back ≡ the oracle computing the same expression in SQL.
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val root = new java.io.File(scratchRoot, s"graft_sqlgen_$sf")
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      val cat = s"ggen_$sf"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root.getAbsolutePath)
+      val view = s"graft_sqlgen_src_$sf"
+      t(s, dir, "part").select("p_partkey", "p_name", "p_retailprice")
+        .createOrReplaceTempView(view)
+      s.sql(s"CREATE TABLE $cat.t (id BIGINT, price DOUBLE, " +
+        "price_cents BIGINT GENERATED ALWAYS AS " +
+        "(CAST(round(price * 100, 0) AS BIGINT)), " +
+        "name_len INT GENERATED ALWAYS AS (length(name)), " +
+        "name STRING) PARTITIONED BY (bucket(16, id))")
+      s.sql(s"INSERT INTO $cat.t (id, price, name) " +
+        s"SELECT p_partkey, p_retailprice, p_name FROM $view " +
+        "WHERE p_partkey <= 1000")
+      s.sql(s"SELECT id, price, price_cents, name_len, name " +
+        s"FROM $cat.t ORDER BY id")
+    }),
     "q_copy_into" -> ((s, dir) => {
       // COPY INTO — idempotent landing-zone ingestion, the production
       // loading pattern: an external system drops files, a scheduled
@@ -6436,6 +6466,15 @@ object SparkEntry {
          UNION ALL
          SELECT CAST(9000001 AS BIGINT), 'sentinel', CAST(1.5 AS DOUBLE)
          ORDER BY p_partkey""",
+    // the engine-computed generated columns ≡ the same expressions in SQL
+    "q_sql_generated" ->
+      """SELECT p_partkey AS id, p_retailprice AS price,
+                CAST(round(p_retailprice * 100, 0) AS BIGINT)
+                  AS price_cents,
+                CAST(length(p_name) AS INT) AS name_len,
+                p_name AS name
+         FROM part WHERE p_partkey <= 1000
+         ORDER BY id""",
     // base slice + every landed slice exactly once
     "q_copy_into" ->
       """SELECT p_partkey, p_name, p_retailprice FROM part

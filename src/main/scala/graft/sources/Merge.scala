@@ -2501,6 +2501,29 @@ object Merge {
           case None => u.get
         }
       })
+      // GENERATED columns (`GENERATED ALWAYS AS (expr)`): the ENGINE
+      // owns the value — an omitted/null incoming value computes from
+      // the row, an explicit value must MATCH the computation or the
+      // write fails per-row by name (Delta's contract; silent overwrite
+      // would mask a caller bug). Applied before constraints and
+      // bucketing so both see the final images; recomputation is
+      // idempotent for replayed change feeds.
+      val genApplied = outSchema.fields.toSeq
+        .filter(_.metadata.contains(org.apache.spark.sql.catalyst.util
+          .GeneratedColumn.GENERATION_EXPRESSION_METADATA_KEY))
+        .foldLeft(updates) { (d, f) =>
+          val computed = expr(f.metadata.getString(
+            org.apache.spark.sql.catalyst.util.GeneratedColumn
+              .GENERATION_EXPRESSION_METADATA_KEY)).cast(f.dataType)
+          d.withColumn(f.name,
+            when(col(f.name).isNotNull && !(col(f.name) <=> computed),
+              raise_error(concat(
+                lit(s"generated column ${f.name}: explicit value "),
+                col(f.name).cast("string"),
+                lit(" does not match GENERATED ALWAYS AS value "),
+                computed.cast("string"))).cast(f.dataType))
+              .otherwise(computed))
+        }
       // CHECK constraints gate the commit: every surviving (non-
       // tombstoned) incoming row must satisfy them. Existing rows were
       // validated at their own commit (or at addConstraint), so checking
@@ -2508,9 +2531,11 @@ object Merge {
       // enforcement costs one pass over the BATCH, never the table.
       enforceConstraints(
         tombstoneCol.map(tc =>
-          updates.filter(!coalesce(col(tc), lit(false)))).getOrElse(updates),
+          genApplied.filter(!coalesce(col(tc), lit(false))))
+          .getOrElse(genApplied),
         parent.constraints, "the update batch")
-      val withB = updates.withColumn("__bucket", bucketCol(keyCol, nBuckets))
+      val withB = genApplied
+        .withColumn("__bucket", bucketCol(keyCol, nBuckets))
       // one job: touched bucket ids AND the upserted/deleted row counts
       val delAgg = tombstoneCol
         .map(tc => sum(when(col(tc), 1L).otherwise(0L)))

@@ -265,6 +265,49 @@ class GraftCatalog extends V2TableCatalog
     GraftTable.resolve(spark, path, None, None, None)
   }
 
+  /** The Column[] overload is the one CREATE TABLE statements with
+    * GENERATED ALWAYS AS columns reach — the default Column[]→schema
+    * conversion DROPS generation expressions, so rebuild the schema
+    * with each expression riding its field's metadata (the same key
+    * Spark's own GeneratedColumn util reads), where the manifest's
+    * lossless JSON schema form persists it and [[Merge.upsert]]
+    * computes/validates it on every write. The expression is
+    * validated HERE by resolving it against the non-generated columns
+    * (self- or cross-generated references and unknown names fail the
+    * CREATE, not the first INSERT).
+    */
+  override def createTable(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val key = org.apache.spark.sql.catalyst.util.GeneratedColumn
+      .GENERATION_EXPRESSION_METADATA_KEY
+    val base =
+      org.apache.spark.sql.GraftShim.v2ColumnsToStructType(columns)
+    val schema = StructType(base.fields.zip(columns).map { case (f, c) =>
+      Option(c.generationExpression()) match {
+        case Some(g) => f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putString(key, g).build())
+        case None => f
+      }
+    })
+    val plain = StructType(schema.fields.filterNot(_.metadata.contains(key)))
+    schema.fields.filter(_.metadata.contains(key)).foreach { f =>
+      val g = f.metadata.getString(key)
+      try spark.createDataFrame(
+          util.Collections.emptyList[org.apache.spark.sql.Row](), plain)
+        .select(org.apache.spark.sql.functions.expr(g)
+          .cast(f.dataType)).schema
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"generated column ${f.name}: expression ($g) must resolve " +
+          "against the table's non-generated columns", e)
+      }
+    }
+    createTable(ident, schema, partitions, properties)
+  }
+
   /** ATOMIC CTAS (`CREATE TABLE ... AS SELECT`): the staged table is a
     * REAL graft table under `root/_staging/<uuid>/<name>` — invisible
     * to [[members]] (the staging parent carries no version log), so the
@@ -326,7 +369,9 @@ class GraftCatalog extends V2TableCatalog
       org.apache.spark.sql.connector.catalog
         .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
       org.apache.spark.sql.connector.catalog
-        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
 
   /** The table-level DDL the table format CAN honor atomically —
     * metadata-only single-table commits:

@@ -51,4 +51,13 @@ object GraftShim {
   def ofRows(spark: SparkSession,
       plan: catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** `CatalogV2Util.v2ColumnsToStructType` is `private[sql]`; the
+    * catalog's Column[] createTable overload needs the one canonical
+    * Column→StructField conversion (defaults ride field metadata) so
+    * its generated-column handling can't drift from Spark's own.
+    */
+  def v2ColumnsToStructType(
+      columns: Array[connector.catalog.Column]): types.StructType =
+    connector.catalog.CatalogV2Util.v2ColumnsToStructType(columns)
 }

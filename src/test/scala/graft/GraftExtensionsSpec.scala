@@ -31,11 +31,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     // don't leave this session as the process default: other suites'
-    // getOrCreate must build their own (UTC, extension-less) SparkSpec
+    // getOrCreate must see their own (UTC, extension-less) SparkSpec
     // session — leaking this one would silently change their tz and
-    // extension surface (suite-ordering footgun, round-7 verdict #3)
+    // extension surface (suite-ordering footgun, round-7 verdict #3).
+    // RESTORE the shared session rather than clearing to NOTHING:
+    // a no-default world strands parallel suites whose code paths
+    // reach SparkSession.active from threads with no active set
+    // (the streaming sink's provider resolution, r13).
     SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
+    SparkSession.setDefaultSession(graft.SparkSpec.session)
     s
   }
 

@@ -72,6 +72,60 @@ class GraftDdlSpec extends SparkSpec {
       s"defaults lost from the stored schema: $stored")
   }
 
+  test("GENERATED ALWAYS AS columns: the engine computes on write, " +
+      "validates explicit values, refuses bad expressions at CREATE") {
+    val (cat, root) = mkCatalog("genc")
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT, " +
+      "twice BIGINT GENERATED ALWAYS AS (id * 2), " +
+      "tag STRING) PARTITIONED BY (bucket(4, id))")
+    // omitted -> computed; explicit MATCHING value -> kept
+    spark.sql(s"INSERT INTO $cat.t (id, tag) VALUES (1, 'a')")
+    spark.sql(s"INSERT INTO $cat.t VALUES (2, 4, 'b')")
+    assert(spark.sql(s"SELECT id, twice, tag FROM $cat.t ORDER BY id")
+      .as[(Long, Long, String)].collect().toSeq ==
+      Seq((1L, 2L, "a"), (2L, 4L, "b")))
+    // explicit MISMATCHED value: refused per-row by name, no commit
+    val path = new File(root, "t").getAbsolutePath
+    val vBefore = Merge.currentVersion(spark, path)
+    val err = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.t VALUES (3, 99, 'c')")
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++
+        messages(t.getCause)
+    assert(messages(err).exists(_.contains("generated column twice")),
+      s"got ${messages(err)}")
+    assert(Merge.currentVersion(spark, path) == vBefore)
+    // a Scala upsert recomputes too — the engine owns the value on
+    // every write path, not just SQL INSERT
+    Merge.upsert(spark, path,
+      Seq((10L, null.asInstanceOf[java.lang.Long], "up"))
+        .toDF("id", "twice", "tag"),
+      "id", nBuckets = 4)
+    assert(spark.sql(s"SELECT twice FROM $cat.t WHERE id = 10")
+      .as[Long].head() == 20L)
+    // bad expressions fail the CREATE, not the first INSERT
+    val unknown = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.bad1 (id BIGINT, " +
+        "g BIGINT GENERATED ALWAYS AS (nope + 1)) " +
+        "PARTITIONED BY (bucket(2, id))")
+    }
+    // (Spark's own analyzer may refuse first, our catalog check second
+    // — either way the CREATE fails naming the problem)
+    assert(messages(unknown).exists(m =>
+      m.contains("generated column g") || m.contains("nope")),
+      s"got ${messages(unknown)}")
+    val chained = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.bad2 (id BIGINT, " +
+        "g1 BIGINT GENERATED ALWAYS AS (id + 1), " +
+        "g2 BIGINT GENERATED ALWAYS AS (g1 + 1)) " +
+        "PARTITIONED BY (bucket(2, id))")
+    }
+    assert(messages(chained).exists(m =>
+      m.contains("generated column g2") || m.contains("g1")),
+      s"got ${messages(chained)}")
+  }
+
   test("CREATE TABLE with TBLPROPERTIES layout + statsCols") {
     val (cat, root) = mkCatalog("props")
     spark.sql(s"CREATE TABLE $cat.t (id BIGINT, v DOUBLE) " +

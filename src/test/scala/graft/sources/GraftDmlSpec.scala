@@ -20,6 +20,11 @@ import org.scalatest.funsuite.AnyFunSuite
 class GraftDmlSpec extends AnyFunSuite {
 
   private lazy val spark: SparkSession = {
+    // getOrCreate returns the registered default, which would ignore
+    // the extensions — clear it just long enough to force a fresh
+    // session, then RESTORE the shared suite session as the global
+    // default (clearing to NOTHING strands parallel suites whose code
+    // paths reach SparkSession.active from threads with no active set)
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val s = SparkSession.builder()
@@ -31,7 +36,7 @@ class GraftDmlSpec extends AnyFunSuite {
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
+    SparkSession.setDefaultSession(graft.SparkSpec.session)
     s
   }
 

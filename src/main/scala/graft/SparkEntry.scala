@@ -1179,6 +1179,44 @@ object SparkEntry {
             WHERE p_partkey <= 2500 OR p_partkey > 10000000
             ORDER BY p_partkey""")
     }),
+    "q_sql_identity" -> ((s, dir) => {
+      // IDENTITY COLUMNS: CREATE declares GENERATED ALWAYS AS IDENTITY;
+      // the engine mints values past the table's high-water mark, which
+      // derives from the manifest's per-file max stats (recorded from
+      // birth) — no counter to carry, nothing to crash out of sync, and
+      // a commit-race retry regenerates against the winner's stats.
+      // The id↔row pairing is write-order-dependent (every identity
+      // implementation's contract), so the gate checks the two halves
+      // separately: the payload set must survive exactly (required
+      // in-gate via anti-join), and the emitted ID SEQUENCE — two
+      // INSERT batches, contiguous within each — ≡ the oracle's
+      // row_number sequence.
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val root = new java.io.File(scratchRoot, s"graft_sqlid_$sf")
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      val cat = s"gid_$sf"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root.getAbsolutePath)
+      val view = s"graft_sqlid_src_$sf"
+      t(s, dir, "part").select("p_partkey", "p_name")
+        .createOrReplaceTempView(view)
+      s.sql(s"CREATE TABLE $cat.t (" +
+        "id BIGINT GENERATED ALWAYS AS IDENTITY, name STRING) " +
+        "PARTITIONED BY (bucket(16, id))")
+      s.sql(s"INSERT INTO $cat.t (name) " +
+        s"SELECT p_name FROM $view WHERE p_partkey <= 700")
+      s.sql(s"INSERT INTO $cat.t (name) " +
+        s"SELECT p_name FROM $view " +
+        "WHERE p_partkey > 700 AND p_partkey <= 1000")
+      val expect = s.sql(s"SELECT p_name AS name FROM $view " +
+        "WHERE p_partkey <= 1000")
+      val got = s.sql(s"SELECT name FROM $cat.t")
+      require(expect.exceptAll(got).isEmpty &&
+        got.exceptAll(expect).isEmpty,
+        "the payload multiset must survive identity minting exactly")
+      s.sql(s"SELECT id FROM $cat.t ORDER BY id")
+    }),
     "q_sql_generated" -> ((s, dir) => {
       // GENERATED COLUMNS (Delta parity): CREATE TABLE declares
       // `GENERATED ALWAYS AS (expr)`; the ENGINE computes the value on
@@ -6466,6 +6504,11 @@ object SparkEntry {
          UNION ALL
          SELECT CAST(9000001 AS BIGINT), 'sentinel', CAST(1.5 AS DOUBLE)
          ORDER BY p_partkey""",
+    // minted identity values: contiguous from 1, one per source row
+    "q_sql_identity" ->
+      """SELECT CAST(row_number() OVER () AS BIGINT) AS id
+         FROM part WHERE p_partkey <= 1000
+         ORDER BY id""",
     // the engine-computed generated columns ≡ the same expressions in SQL
     "q_sql_generated" ->
       """SELECT p_partkey AS id, p_retailprice AS price,

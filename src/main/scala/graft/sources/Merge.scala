@@ -2501,6 +2501,54 @@ object Merge {
           case None => u.get
         }
       })
+      // IDENTITY columns: null incoming values take generated ids past
+      // the table's high-water mark, which derives from the manifest's
+      // per-file max stats (recorded from birth — see the catalog's
+      // CREATE) — no separate counter to carry, nothing to crash out of
+      // sync, and a commit-race retry regenerates against the WINNER's
+      // stats so racing writers cannot mint the same id. Values are
+      // contiguous within a batch but gaps across batches/deletes are
+      // normal (every identity implementation's contract). Explicit
+      // non-null values pass through — the upsert verb is
+      // insert+update in one, so an update's carried id is
+      // indistinguishable from an explicit insert here; the declared
+      // allowExplicitInsert flag is recorded for the SQL surface.
+      // Cost on identity tables only: one count job + the null-id
+      // subset serializing through a single-partition window (provide
+      // explicit ids for giant seed backfills).
+      val idApplied = {
+        val idn = org.apache.spark.sql.catalyst.util.IdentityColumn
+        outSchema.fields.toSeq
+          .filter(_.metadata.contains(idn.IDENTITY_INFO_START))
+          .foldLeft(updates) { (d, f) =>
+            if (d.filter(col(f.name).isNull).isEmpty) d
+            else {
+              val start = f.metadata.getLong(idn.IDENTITY_INFO_START)
+              val step = f.metadata.getLong(idn.IDENTITY_INFO_STEP)
+              val entries = parent.stats.filter(_.col == f.name)
+              val statted = entries.map(_.file).toSet
+              require(parent.files.forall(statted.contains),
+                s"identity column ${f.name}: a data file records no " +
+                "stats — identity tables must record stats on the " +
+                "identity column from birth (the catalog CREATE does)")
+              val vals = entries
+                .flatMap(e => if (step > 0) e.max else e.min)
+                .map(_.toLong)
+              val hwm =
+                if (vals.isEmpty) start - step
+                else if (step > 0) math.max(vals.max, start - step)
+                else math.min(vals.min, start - step)
+              val w = org.apache.spark.sql.expressions.Window
+                .orderBy(monotonically_increasing_id())
+              d.filter(col(f.name).isNotNull).unionByName(
+                d.filter(col(f.name).isNull).withColumn(f.name,
+                  (lit(hwm) + lit(step) * row_number().over(w))
+                    .cast(f.dataType)))
+                .localCheckpoint() // minted ids must survive the
+                                   // merge's several passes unchanged
+            }
+          }
+      }
       // GENERATED columns (`GENERATED ALWAYS AS (expr)`): the ENGINE
       // owns the value — an omitted/null incoming value computes from
       // the row, an explicit value must MATCH the computation or the
@@ -2511,7 +2559,7 @@ object Merge {
       val genApplied = outSchema.fields.toSeq
         .filter(_.metadata.contains(org.apache.spark.sql.catalyst.util
           .GeneratedColumn.GENERATION_EXPRESSION_METADATA_KEY))
-        .foldLeft(updates) { (d, f) =>
+        .foldLeft(idApplied) { (d, f) =>
           val computed = expr(f.metadata.getString(
             org.apache.spark.sql.catalyst.util.GeneratedColumn
               .GENERATION_EXPRESSION_METADATA_KEY)).cast(f.dataType)

@@ -251,10 +251,18 @@ class GraftCatalog extends V2TableCatalog
     val statsCols = props.get("statsCols")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
+    // IDENTITY columns derive their high-water mark from the
+    // manifest's per-file max stats (no extra commit state to carry),
+    // so the identity column ALWAYS records stats from birth
+    val idCols = schema.fields.toSeq.filter(_.metadata.contains(
+      org.apache.spark.sql.catalyst.util.IdentityColumn
+        .IDENTITY_INFO_START)).map(_.name)
     Merge.writeKeyed(
       spark.createDataFrame(util.Collections.emptyList[org.apache.spark
         .sql.Row](), schema),
-      path, key, nBuckets, statsCols = statsCols)
+      path, key, nBuckets,
+      statsCols = (statsCols ++ idCols.filterNot(statsCols.contains))
+        .distinct)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -282,16 +290,36 @@ class GraftCatalog extends V2TableCatalog
       properties: util.Map[String, String]): Table = {
     val key = org.apache.spark.sql.catalyst.util.GeneratedColumn
       .GENERATION_EXPRESSION_METADATA_KEY
+    val idn = org.apache.spark.sql.catalyst.util.IdentityColumn
     val base =
       org.apache.spark.sql.GraftShim.v2ColumnsToStructType(columns)
     val schema = StructType(base.fields.zip(columns).map { case (f, c) =>
-      Option(c.generationExpression()) match {
-        case Some(g) => f.copy(metadata =
+      (Option(c.generationExpression()), Option(c.identityColumnSpec()))
+        match {
+        case (Some(g), _) => f.copy(metadata =
           new org.apache.spark.sql.types.MetadataBuilder()
             .withMetadata(f.metadata).putString(key, g).build())
-        case None => f
+        case (None, Some(spec)) =>
+          require(f.dataType == org.apache.spark.sql.types.LongType ||
+              f.dataType == org.apache.spark.sql.types.IntegerType,
+            s"identity column ${f.name} must be BIGINT or INT, " +
+            s"got ${f.dataType.simpleString}")
+          require(spec.getStep != 0,
+            s"identity column ${f.name}: step must be non-zero")
+          f.copy(metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putLong(idn.IDENTITY_INFO_START, spec.getStart)
+              .putLong(idn.IDENTITY_INFO_STEP, spec.getStep)
+              .putBoolean(idn.IDENTITY_INFO_ALLOW_EXPLICIT_INSERT,
+                spec.isAllowExplicitInsert)
+              .build())
+        case _ => f
       }
     })
+    require(schema.fields.count(
+        _.metadata.contains(idn.IDENTITY_INFO_START)) <= 1,
+      "at most one identity column per table (the SQL standard's rule)")
     val plain = StructType(schema.fields.filterNot(_.metadata.contains(key)))
     schema.fields.filter(_.metadata.contains(key)).foreach { f =>
       val g = f.metadata.getString(key)
@@ -371,7 +399,9 @@ class GraftCatalog extends V2TableCatalog
       org.apache.spark.sql.connector.catalog
         .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
       org.apache.spark.sql.connector.catalog
-        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   /** The table-level DDL the table format CAN honor atomically —
     * metadata-only single-table commits:

@@ -126,6 +126,59 @@ class GraftDdlSpec extends SparkSpec {
       s"got ${messages(chained)}")
   }
 
+  test("IDENTITY columns: generated past the stats-derived high-water " +
+      "mark; explicit values advance it; misuse refused at CREATE") {
+    val (cat, root) = mkCatalog("ident")
+    spark.sql(s"CREATE TABLE $cat.t (" +
+      "id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 10 " +
+      "INCREMENT BY 5), v STRING) PARTITIONED BY (bucket(4, id))")
+    spark.sql(s"INSERT INTO $cat.t (v) VALUES ('a'), ('b'), ('c')")
+    assert(spark.sql(s"SELECT id, v FROM $cat.t ORDER BY id")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((10L, "a"), (15L, "b"), (20L, "c")))
+    // an explicit id advances the mark: the next generated value is
+    // past it, never a replay of the gap
+    spark.sql(s"INSERT INTO $cat.t VALUES (100, 'x')")
+    spark.sql(s"INSERT INTO $cat.t (v) VALUES ('d')")
+    val afterX = spark.sql(s"SELECT id FROM $cat.t WHERE v = 'd'")
+      .as[Long].head()
+    assert(afterX == 105L, s"next id after explicit 100 must be 105, " +
+      s"got $afterX")
+    // the mark derives from manifest stats, so it SURVIVES maintenance
+    // that rewrites files (compaction keeps statsCols)
+    val path = new File(root, "t").getAbsolutePath
+    Merge.compactVersion(spark, path)
+    spark.sql(s"INSERT INTO $cat.t (v) VALUES ('e')")
+    assert(spark.sql(s"SELECT id FROM $cat.t WHERE v = 'e'")
+      .as[Long].head() == 110L)
+    // a Scala upsert mints ids for null rows too — one engine, one rule
+    Merge.upsert(spark, path,
+      Seq((null.asInstanceOf[java.lang.Long], "f"),
+        (null.asInstanceOf[java.lang.Long], "g"))
+        .toDF("id", "v"),
+      "id", nBuckets = 4)
+    assert(spark.sql(s"SELECT id FROM $cat.t WHERE v IN ('f','g') " +
+      "ORDER BY id").as[Long].collect().toSeq == Seq(115L, 120L))
+    // misuse fails the CREATE: non-integral type, two identity columns
+    // (Spark's own analyzer may refuse the type first, our catalog
+    // check second — either way the CREATE fails)
+    val bad1 = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.bad1 (" +
+        "id DOUBLE GENERATED ALWAYS AS IDENTITY, v STRING) " +
+        "PARTITIONED BY (bucket(2, v))")
+    }
+    assert(bad1.toString.toLowerCase.contains("identity") ||
+      bad1.toString.contains("BIGINT or INT"), bad1.toString)
+    val bad2 = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.bad2 (" +
+        "a BIGINT GENERATED ALWAYS AS IDENTITY, " +
+        "b BIGINT GENERATED ALWAYS AS IDENTITY, v STRING) " +
+        "PARTITIONED BY (bucket(2, a))")
+    }
+    assert(bad2.getMessage.contains("one identity column"),
+      bad2.getMessage)
+  }
+
   test("CREATE TABLE with TBLPROPERTIES layout + statsCols") {
     val (cat, root) = mkCatalog("props")
     spark.sql(s"CREATE TABLE $cat.t (id BIGINT, v DOUBLE) " +

@@ -327,6 +327,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           strLit(c.head, "path"), longLit(c(1), "fromVersion"),
           longLit(c(2), "toVersion"))
       })
+    // COPY INTO observability: the source files every retained commit
+    // already loaded (the idempotence set a sweep subtracts)
+    registerTableFn("graft_ingested",
+      "usage: graft_ingested('path')", c => {
+        require(c.size == 1, "takes 1 argument")
+        val s = org.apache.spark.sql.SparkSession.active
+        import s.implicits._
+        graft.sources.Merge.ingestedFiles(s,
+          strLit(c.head, "path")).toSeq.sorted.toDF("source_file")
+      })
     // multi-table catalog reads: every graft_catalog_table() call in one
     // statement that names the same catalog resolves its OWN latest
     // state — for a guaranteed single snapshot across members, pin the

@@ -167,6 +167,27 @@ object ScaleSmoke {
           val rows = tail()
           println(s"SCALE   tailed $rows change rows")
         })
+        // r13 COPY INTO: cost = list + idempotence-set read (O(retained
+        // manifests)) + the fresh files' read + a touched-bucket upsert
+        // — ∝ the LANDED data, never the table; the re-sweep is
+        // manifest-only
+        locally {
+          val landing = s"$catRoot/landing"
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(landing))
+          d.filter(col("doc_id") % 499 === 0)
+            .withColumn("doc_id", col("doc_id") + lit(900000000L))
+            .coalesce(2).write.mode("overwrite").parquet(landing)
+          timed(s"copy_into")({
+            val st = graft.sources.Merge.copyInto(spark, path, landing)
+            println(s"SCALE   copied ${st.filesCopied} files, " +
+              s"${st.rowsCopied} rows")
+          })
+          timed(s"copy_into_resweep")({
+            val st = graft.sources.Merge.copyInto(spark, path, landing)
+            require(st.filesCopied == 0, s"re-sweep must load nothing")
+          })
+        }
         // shallow clone: one manifest write at ANY table size
         timed(s"merge_clone")(graft.sources.Merge.cloneTable(spark, path,
           s"${path}_clone"))

@@ -260,6 +260,34 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "a disallowed id survived the TVF filter")
   }
 
+  test("graft_ingested lists COPY INTO's loaded source files from SQL") {
+    import spark.implicits._
+    SparkSession.setActiveSession(spark)
+    try {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_ext_ingest").toFile
+      dir.deleteOnExit()
+      val path = new java.io.File(dir, "t").getAbsolutePath
+      val landing = new java.io.File(dir, "landing")
+      landing.mkdirs()
+      graft.sources.Merge.writeKeyed(
+        (0L until 5L).map(i => (i, s"v$i")).toDF("id", "v"),
+        path, "id", nBuckets = 2)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ext_ingest_tmp").toFile
+      Seq((10L, "x")).toDF("id", "v").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      java.nio.file.Files.move(
+        tmp.listFiles().find(_.getName.endsWith(".parquet")).get.toPath,
+        new java.io.File(landing, "a.parquet").toPath)
+      graft.sources.Merge.copyInto(spark, path, landing.getAbsolutePath)
+      val got = spark.sql(
+        s"SELECT source_file FROM graft_ingested('$path')")
+        .as[String].collect().toSeq
+      assert(got.size == 1 && got.head.endsWith("a.parquet"), got)
+    } finally SparkSession.clearActiveSession()
+  }
+
   test("graft_dedup_pairs: MinHash-LSH candidates from pure SQL") {
     import spark.implicits._
     val docs = Seq(

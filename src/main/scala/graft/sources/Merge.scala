@@ -2550,27 +2550,22 @@ object Merge {
           }
       }
       // GENERATED columns (`GENERATED ALWAYS AS (expr)`): the ENGINE
-      // owns the value — an omitted/null incoming value computes from
-      // the row, an explicit value must MATCH the computation or the
-      // write fails per-row by name (Delta's contract; silent overwrite
-      // would mask a caller bug). Applied before constraints and
-      // bucketing so both see the final images; recomputation is
-      // idempotent for replayed change feeds.
+      // owns the value — every incoming image RECOMPUTES it from the
+      // row's other columns, whatever the image carried. Recompute-
+      // always (not validate-then-refuse) is the rule that keeps
+      // UPDATE/MERGE correct: a row-level update of a referenced
+      // column builds its new image with the STALE generated value,
+      // and the recomputation is what brings it back in sync (Delta's
+      // UPDATE behavior); it is also idempotent for replayed change
+      // feeds, whose carried values recompute to themselves. Applied
+      // before constraints and bucketing so both see the final images.
       val genApplied = outSchema.fields.toSeq
         .filter(_.metadata.contains(org.apache.spark.sql.catalyst.util
           .GeneratedColumn.GENERATION_EXPRESSION_METADATA_KEY))
         .foldLeft(idApplied) { (d, f) =>
-          val computed = expr(f.metadata.getString(
+          d.withColumn(f.name, expr(f.metadata.getString(
             org.apache.spark.sql.catalyst.util.GeneratedColumn
-              .GENERATION_EXPRESSION_METADATA_KEY)).cast(f.dataType)
-          d.withColumn(f.name,
-            when(col(f.name).isNotNull && !(col(f.name) <=> computed),
-              raise_error(concat(
-                lit(s"generated column ${f.name}: explicit value "),
-                col(f.name).cast("string"),
-                lit(" does not match GENERATED ALWAYS AS value "),
-                computed.cast("string"))).cast(f.dataType))
-              .otherwise(computed))
+              .GENERATION_EXPRESSION_METADATA_KEY)).cast(f.dataType))
         }
       // CHECK constraints gate the commit: every surviving (non-
       // tombstoned) incoming row must satisfy them. Existing rows were

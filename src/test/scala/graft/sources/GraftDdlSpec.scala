@@ -72,8 +72,8 @@ class GraftDdlSpec extends SparkSpec {
       s"defaults lost from the stored schema: $stored")
   }
 
-  test("GENERATED ALWAYS AS columns: the engine computes on write, " +
-      "validates explicit values, refuses bad expressions at CREATE") {
+  test("GENERATED ALWAYS AS columns: the engine recomputes on every " +
+      "write; bad expressions refused at CREATE") {
     val (cat, root) = mkCatalog("genc")
     spark.sql(s"CREATE TABLE $cat.t (id BIGINT, " +
       "twice BIGINT GENERATED ALWAYS AS (id * 2), " +
@@ -84,26 +84,35 @@ class GraftDdlSpec extends SparkSpec {
     assert(spark.sql(s"SELECT id, twice, tag FROM $cat.t ORDER BY id")
       .as[(Long, Long, String)].collect().toSeq ==
       Seq((1L, 2L, "a"), (2L, 4L, "b")))
-    // explicit MISMATCHED value: refused per-row by name, no commit
+    // the engine OWNS the value: an explicit stale/wrong image
+    // recomputes — the rule that keeps UPDATE/MERGE correct (a
+    // row-level update of a referenced column carries the OLD
+    // generated value in its new image; recompute brings it in sync)
     val path = new File(root, "t").getAbsolutePath
-    val vBefore = Merge.currentVersion(spark, path)
-    val err = intercept[Exception] {
-      spark.sql(s"INSERT INTO $cat.t VALUES (3, 99, 'c')")
-    }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Nil else Option(t.getMessage).toSeq ++
-        messages(t.getCause)
-    assert(messages(err).exists(_.contains("generated column twice")),
-      s"got ${messages(err)}")
-    assert(Merge.currentVersion(spark, path) == vBefore)
-    // a Scala upsert recomputes too — the engine owns the value on
-    // every write path, not just SQL INSERT
+    spark.sql(s"INSERT INTO $cat.t VALUES (3, 99, 'c')")
+    assert(spark.sql(s"SELECT twice FROM $cat.t WHERE id = 3")
+      .as[Long].head() == 6L,
+      "an explicit mismatching value must recompute, not win")
+    // the UPDATE shape through the Scala verb: new image carries the
+    // stale generated value beside the changed input column
+    Merge.upsert(spark, path,
+      Seq((3L, 6L, "c2")).toDF("id", "twice", "tag")
+        .withColumn("id", col("id") * 2) // id 3 -> 6; stale twice = 6
+        .select("id", "twice", "tag"),
+      "id", nBuckets = 4)
+    assert(spark.sql(s"SELECT twice FROM $cat.t WHERE id = 6")
+      .as[Long].head() == 12L,
+      "a stale carried value must recompute from the new inputs")
+    // a Scala upsert computes null/omitted values too — one engine rule
     Merge.upsert(spark, path,
       Seq((10L, null.asInstanceOf[java.lang.Long], "up"))
         .toDF("id", "twice", "tag"),
       "id", nBuckets = 4)
     assert(spark.sql(s"SELECT twice FROM $cat.t WHERE id = 10")
       .as[Long].head() == 20L)
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++
+        messages(t.getCause)
     // bad expressions fail the CREATE, not the first INSERT
     val unknown = intercept[Exception] {
       spark.sql(s"CREATE TABLE $cat.bad1 (id BIGINT, " +

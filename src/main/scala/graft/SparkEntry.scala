@@ -1181,10 +1181,12 @@ object SparkEntry {
     }),
     "q_sql_identity" -> ((s, dir) => {
       // IDENTITY COLUMNS: CREATE declares GENERATED ALWAYS AS IDENTITY;
-      // the engine mints values past the table's high-water mark, which
-      // derives from the manifest's per-file max stats (recorded from
-      // birth) — no counter to carry, nothing to crash out of sync, and
-      // a commit-race retry regenerates against the winner's stats.
+      // the engine mints values past the table's high-water mark,
+      // PERSISTED in the manifest and advanced monotonically per
+      // commit (deletes never lower it — the Delta highWaterMark
+      // contract), and a commit-race retry regenerates against the
+      // winner's manifest. GENERATED ALWAYS additionally refuses
+      // explicit values at the SQL INSERT doorway.
       // The id↔row pairing is write-order-dependent (every identity
       // implementation's contract), so the gate checks the two halves
       // separately: the payload set must survive exactly (required
@@ -1221,9 +1223,11 @@ object SparkEntry {
       // GENERATED COLUMNS (Delta parity): CREATE TABLE declares
       // `GENERATED ALWAYS AS (expr)`; the ENGINE computes the value on
       // every write path (the expression rides the field metadata in
-      // the manifest's lossless JSON schema, and upsert computes /
-      // validates it before bucketing — an explicit mismatching value
-      // fails per-row by name rather than silently winning). The
+      // the manifest's lossless JSON schema, and upsert RECOMPUTES it
+      // from the row's other columns on every write, whatever the
+      // image carried — recompute-always is what keeps UPDATE/MERGE
+      // correct, since a row-level update of a referenced column
+      // builds its new image with the STALE generated value). The
       // INSERT ... SELECT below omits the generated column entirely;
       // read-back ≡ the oracle computing the same expression in SQL.
       val sf = new java.io.File(dir).getName.replace('.', '_')

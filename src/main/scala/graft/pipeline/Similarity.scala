@@ -87,6 +87,23 @@ object Similarity {
     *     exact brute force (used by the correctness gate); small `nProbe`
     *     trades recall for a `nProbe/cells` scan fraction.
     */
+  /** Cheap rebuild stamp for a persisted index's frozen model tables:
+    * the `centroids` parquet part names embed the writing job's UUID
+    * (plus lengths), so ANY rebuild — this JVM or another process —
+    * changes the stamp. One `listStatus` per probe, no data read; the
+    * codebooks table is always rewritten together with the centroids
+    * (build/save replace the whole index), so stamping the centroids
+    * dir covers both.
+    */
+  private def modelStamp(spark: org.apache.spark.sql.SparkSession,
+      path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/centroids")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).filter(_.isFile)
+      .map(s => s"${s.getPath.getName}:${s.getLen}")
+      .sorted.mkString(",")
+  }
+
   object Ivf {
 
     private[pipeline] def normalize(v: Array[Double]): Array[Double] = {
@@ -242,17 +259,29 @@ object Similarity {
     }
 
     // frozen per index lifetime (append reuses them; only build
-    // replaces them, and it invalidates) — one scan+collect per (JVM,
-    // path) instead of one per probe
+    // replaces them) — one scan+collect per (JVM, path, build) instead
+    // of one per probe. Staleness guard: each entry carries the
+    // [[Similarity.modelStamp]] it was loaded under and is re-checked
+    // per access, so an index REBUILT IN PLACE BY ANOTHER PROCESS
+    // (same-JVM rebuilds invalidate explicitly) serves fresh centroids
+    // at the next probe; replacing per path also bounds the map at
+    // #paths, never #rebuilds.
     private val centroidMemo = scala.collection.concurrent.TrieMap
-      .empty[String, Array[Array[Double]]]
+      .empty[String, (String, Array[Array[Double]])]
 
     def loadCentroids(spark: org.apache.spark.sql.SparkSession,
-        path: String): Array[Array[Double]] =
-      centroidMemo.getOrElseUpdate(path,
-        spark.read.parquet(s"$path/centroids")
-          .orderBy("cell").collect()
-          .map(_.getSeq[Double](1).toArray))
+        path: String): Array[Array[Double]] = {
+      val stamp = modelStamp(spark, path)
+      centroidMemo.get(path) match {
+        case Some((s, m)) if s == stamp => m
+        case _ =>
+          val m = spark.read.parquet(s"$path/centroids")
+            .orderBy("cell").collect()
+            .map(_.getSeq[Double](1).toArray)
+          centroidMemo.put(path, (stamp, m))
+          m
+      }
+    }
 
     /** The committed corpus table (legacy pre-log layouts fall back to
       * a raw directory read).
@@ -981,33 +1010,41 @@ object Similarity {
 
     // The quantizer models are FROZEN per index (append/remove reuse
     // them; only a fresh save replaces them), so one load per (JVM,
-    // path) serves every later probe — without this, each topKPersisted
-    // re-ran two scan+collect jobs for tables whose content cannot have
-    // changed. save() invalidates, mirroring TxLog.dropCachedStates for
-    // the same rebuild-in-place hazard.
+    // path, build) serves every later probe — without this, each
+    // topKPersisted re-ran two scan+collect jobs for tables whose
+    // content cannot have changed. save() invalidates same-JVM; the
+    // per-access [[Similarity.modelStamp]] check catches an index
+    // rebuilt in place by ANOTHER process (one listStatus, no data
+    // read), and replacing per path bounds the map at #paths.
     private val modelMemo = scala.collection.concurrent.TrieMap
-      .empty[String, (Array[Array[Double]], Pq.Model)]
+      .empty[String, (String, (Array[Array[Double]], Pq.Model))]
 
     /** Reload both bounded model tables (cells + m*k rows — driver-safe,
-      * memoized per path: the models are immutable for an index's
-      * lifetime).
+      * memoized per path + rebuild stamp: the models are immutable for
+      * an index's lifetime).
       */
     def loadModels(spark: org.apache.spark.sql.SparkSession,
-        path: String): (Array[Array[Double]], Pq.Model) =
-      modelMemo.getOrElseUpdate(path, {
-        val centroids = spark.read.parquet(s"$path/centroids")
-          .orderBy("cell").collect()
-          .map(_.getSeq[Double](1).toArray)
-        val rows = spark.read.parquet(s"$path/codebooks")
-          .orderBy("subspace", "code").collect()
-        val m = rows.map(_.getInt(0)).max + 1
-        val k = rows.map(_.getInt(1)).max + 1
-        val dim = rows.head.getInt(2)
-        val books = Array.tabulate(m, k) { (s, c) =>
-          rows(s * k + c).getSeq[Double](3).toArray
-        }
-        (centroids, Pq.Model(m, k, dim, books))
-      })
+        path: String): (Array[Array[Double]], Pq.Model) = {
+      val stamp = modelStamp(spark, path)
+      modelMemo.get(path) match {
+        case Some((s, m)) if s == stamp => m
+        case _ =>
+          val centroids = spark.read.parquet(s"$path/centroids")
+            .orderBy("cell").collect()
+            .map(_.getSeq[Double](1).toArray)
+          val rows = spark.read.parquet(s"$path/codebooks")
+            .orderBy("subspace", "code").collect()
+          val m = rows.map(_.getInt(0)).max + 1
+          val k = rows.map(_.getInt(1)).max + 1
+          val dim = rows.head.getInt(2)
+          val books = Array.tabulate(m, k) { (s, c) =>
+            rows(s * k + c).getSeq[Double](3).toArray
+          }
+          val model = (centroids, Pq.Model(m, k, dim, books))
+          modelMemo.put(path, (stamp, model))
+          model
+      }
+    }
 
     /** Query the PERSISTED index. The probe-cell union is a bounded
       * driver-side set (|queries| * nProbe ids) pushed as an `isin` on

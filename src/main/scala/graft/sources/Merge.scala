@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructField, StructType}
 
 /** Copy-on-write MERGE (upsert) for plain-parquet tables — the lakehouse
   * primitive (UPDATE existing keys + INSERT new ones in one atomic
@@ -206,7 +206,14 @@ object Merge {
       // ingested (per-commit delta, never cumulative — manifests stay
       // O(commit)); the already-loaded set is the union over retained
       // manifests, with the same retention caveat as the txn watermark
-      copied: Seq[String] = Seq.empty)
+      copied: Seq[String] = Seq.empty,
+      // IDENTITY high-water marks (column -> last value at or past which
+      // every issued id lies), advanced MONOTONICALLY per commit
+      // (max/min of the parent's mark and the batch's extreme, by step
+      // sign) and never re-derived from live-file stats — deleting the
+      // current max-id row must not let the next insert re-mint its id
+      // (Delta persists highWaterMark with the same contract)
+      idHwm: Seq[(String, Long)] = Seq.empty)
 
   /** The commit timestamp for a child of `parent`: wall clock, forced
     * STRICTLY increasing along the version chain (max(parent+1, now)) so
@@ -309,10 +316,15 @@ object Merge {
       if (m.copied.isEmpty) ""
       else s""","copied":""" + m.copied.sorted
         .map(f => "\"" + jsonEscape(f) + "\"").mkString("[", ",", "]")
+    val idHwmField =
+      if (m.idHwm.isEmpty) ""
+      else s""","idHwm":""" + m.idHwm.sortBy(_._1).map { case (c, v) =>
+        s"""{"c":"${jsonEscape(c)}","v":$v}"""
+      }.mkString("[", ",", "]")
     (s"""{"version":${m.version},"parent":${m.parent},""" +
       s"""$filesField$schemaField$txnField$layoutField$statsFields""" +
       s"""$tsField$opField$constraintsField$dvField$colMapField""" +
-      s"""$retiredField$copiedField}""").getBytes("UTF-8")
+      s"""$retiredField$copiedField$idHwmField}""").getBytes("UTF-8")
   }
 
   /** One shard's body: the files of its bucket range plus their stats
@@ -604,6 +616,15 @@ object Merge {
           case JArray(xs) => xs.collect { case JString(f) => f }
           case _ => Nil
         }
+        val idHwm = j \ "idHwm" match {
+          case JArray(xs) => xs.flatMap { e =>
+            (e \ "c", e \ "v") match {
+              case (JString(c), JInt(v)) => Some((c, v.toLong))
+              case _ => None
+            }
+          }
+          case _ => Nil
+        }
         (num("version"), num("parent"), resolved) match {
           case (Some(v), Some(par), Some((fl, stats, shardIds))) =>
             Some(Manifest(v, par, fl, str("dataSchema"),
@@ -616,7 +637,7 @@ object Merge {
               shardSpan = shardSpan, shardIds = shardIds,
               constraints = constraints, dvFiles = dvFiles,
               colMap = colMap, physRetired = physRetired,
-              copied = copied))
+              copied = copied, idHwm = idHwm))
           case _ => None // truncated or foreign body: not committed
         }
       }
@@ -1757,7 +1778,10 @@ object Merge {
             // rows satisfied the TARGET version's constraint set
             constraints = target.constraints,
             dvFiles = target.dvFiles,
-            colMap = target.colMap, physRetired = target.physRetired),
+            colMap = target.colMap, physRetired = target.physRetired,
+            // identity marks are monotonic ACROSS restore: the HEAD's
+            // mark covers every id the restored-away versions issued
+            idHwm = parent.idHwm),
           parent = Some(parent), touched = None)
         return parentV + 1
       } catch {
@@ -1934,7 +1958,8 @@ object Merge {
         shardSpan = m.shardSpan, constraints = m.constraints,
         dvFiles = m.dvFiles.map(f =>
           sfs.makeQualified(new Path(sroot, f)).toString),
-        colMap = m.colMap, physRetired = m.physRetired))
+        colMap = m.colMap, physRetired = m.physRetired,
+        idHwm = m.idHwm))
   }
 
   /** [[cloneTableAt]] of the source's current version. */
@@ -2356,6 +2381,49 @@ object Merge {
       relFiles: Seq[String]): Unit =
     relFiles.foreach(f => fs.delete(new Path(root, f), false))
 
+  /** Advance `parent`'s identity high-water marks by `batch`'s id
+    * extremes — one small agg job on identity tables only (returns
+    * `parent.idHwm` verbatim otherwise). Monotonic: never moves a mark
+    * backwards in step direction. A legacy table without a persisted
+    * mark bootstraps from the parent's per-file stats (falling back to
+    * `start - step` when stats are absent — sound here because the
+    * callers replace the table's whole row set, so the batch extremes
+    * cover everything live).
+    */
+  private def advanceIdHwm(parent: Manifest, schema: Option[StructType],
+      batch: DataFrame): Seq[(String, Long)] = {
+    val idn = org.apache.spark.sql.catalyst.util.IdentityColumn
+    val idFields = schema.map(_.fields.toSeq).getOrElse(Seq.empty)
+      .filter(_.metadata.contains(idn.IDENTITY_INFO_START))
+    if (idFields.isEmpty) return parent.idHwm
+    val aggs = idFields.map { f =>
+      val step = f.metadata.getLong(idn.IDENTITY_INFO_STEP)
+      (if (step > 0) max(col(f.name).cast(LongType))
+       else min(col(f.name).cast(LongType))).as(s"__idx_${f.name}")
+    }
+    val r = batch.agg(aggs.head, aggs.tail: _*).collect().head
+    val advanced = idFields.zipWithIndex.map { case (f, i) =>
+      val start = f.metadata.getLong(idn.IDENTITY_INFO_START)
+      val step = f.metadata.getLong(idn.IDENTITY_INFO_STEP)
+      val base = parent.idHwm
+        .collectFirst { case (c, v) if c == f.name => v }
+        .getOrElse {
+          val vals = parent.stats.filter(_.col == f.name)
+            .flatMap(e => if (step > 0) e.max else e.min).map(_.toLong)
+          if (vals.isEmpty) start - step
+          else if (step > 0) math.max(vals.max, start - step)
+          else math.min(vals.min, start - step)
+        }
+      val v =
+        if (r.isNullAt(i)) base
+        else if (step > 0) math.max(base, r.getLong(i))
+        else math.min(base, r.getLong(i))
+      f.name -> v
+    }
+    val names = advanced.map(_._1).toSet
+    (parent.idHwm.filterNot(e => names(e._1)) ++ advanced).sortBy(_._1)
+  }
+
   /** Upsert `updates` (one row per key — last-writer-wins across calls,
     * caller guarantees in-batch key uniqueness) into the keyed table at
     * `path`, committing a new version. Returns how much of the table the
@@ -2502,52 +2570,67 @@ object Merge {
         }
       })
       // IDENTITY columns: null incoming values take generated ids past
-      // the table's high-water mark, which derives from the manifest's
-      // per-file max stats (recorded from birth — see the catalog's
-      // CREATE) — no separate counter to carry, nothing to crash out of
-      // sync, and a commit-race retry regenerates against the WINNER's
-      // stats so racing writers cannot mint the same id. Values are
-      // contiguous within a batch but gaps across batches/deletes are
-      // normal (every identity implementation's contract). Explicit
-      // non-null values pass through — the upsert verb is
-      // insert+update in one, so an update's carried id is
-      // indistinguishable from an explicit insert here; the declared
-      // allowExplicitInsert flag is recorded for the SQL surface.
-      // Cost on identity tables only: one count job + the null-id
-      // subset serializing through a single-partition window (provide
-      // explicit ids for giant seed backfills).
-      val idApplied = {
-        val idn = org.apache.spark.sql.catalyst.util.IdentityColumn
+      // the table's high-water mark. The mark is PERSISTED in the
+      // manifest (`idHwm`) and advances MONOTONICALLY per commit —
+      // extreme(parent's mark, the batch's extreme) in step direction —
+      // so deleting the current max-id row can never re-issue its id
+      // (the tombstone upsert rewrites that bucket and its live-file
+      // stats DROP; a mark re-derived from stats would drop with them —
+      // Delta persists highWaterMark with the same never-lowered
+      // contract). A legacy table without a persisted mark bootstraps
+      // ONCE from the per-file max stats (recorded from birth — see
+      // the catalog's CREATE); the commit then persists the advanced
+      // mark. A commit-race retry re-reads the WINNER's manifest so
+      // racing writers cannot mint the same id. Values are contiguous
+      // within a batch but gaps across batches/deletes are normal
+      // (every identity implementation's contract). Explicit non-null
+      // values pass through — the upsert verb is insert+update in one,
+      // so an update's carried id is indistinguishable from an explicit
+      // insert here (the SQL INSERT doorway, where they ARE
+      // distinguishable, enforces allowExplicitInsert) — and they
+      // advance the mark too, so later mints never collide with them.
+      // Cost on identity tables only: the null-id subset serializing
+      // through a single-partition window (provide explicit ids for
+      // giant seed backfills).
+      val idn = org.apache.spark.sql.catalyst.util.IdentityColumn
+      // (field, step, base mark): every id ever issued is at or behind
+      // `base` in step direction
+      val idBases: Seq[(StructField, Long, Long)] =
         outSchema.fields.toSeq
           .filter(_.metadata.contains(idn.IDENTITY_INFO_START))
-          .foldLeft(updates) { (d, f) =>
-            if (d.filter(col(f.name).isNull).isEmpty) d
-            else {
-              val start = f.metadata.getLong(idn.IDENTITY_INFO_START)
-              val step = f.metadata.getLong(idn.IDENTITY_INFO_STEP)
-              val entries = parent.stats.filter(_.col == f.name)
-              val statted = entries.map(_.file).toSet
-              require(parent.files.forall(statted.contains),
-                s"identity column ${f.name}: a data file records no " +
-                "stats — identity tables must record stats on the " +
-                "identity column from birth (the catalog CREATE does)")
-              val vals = entries
-                .flatMap(e => if (step > 0) e.max else e.min)
-                .map(_.toLong)
-              val hwm =
+          .map { f =>
+            val start = f.metadata.getLong(idn.IDENTITY_INFO_START)
+            val step = f.metadata.getLong(idn.IDENTITY_INFO_STEP)
+            val base = parent.idHwm
+              .collectFirst { case (c, v) if c == f.name => v }
+              .getOrElse {
+                val entries = parent.stats.filter(_.col == f.name)
+                val statted = entries.map(_.file).toSet
+                require(parent.files.forall(statted.contains),
+                  s"identity column ${f.name}: a data file records no " +
+                  "stats — identity tables must record stats on the " +
+                  "identity column from birth (the catalog CREATE does)")
+                val vals = entries
+                  .flatMap(e => if (step > 0) e.max else e.min)
+                  .map(_.toLong)
                 if (vals.isEmpty) start - step
                 else if (step > 0) math.max(vals.max, start - step)
                 else math.min(vals.min, start - step)
-              val w = org.apache.spark.sql.expressions.Window
-                .orderBy(monotonically_increasing_id())
-              d.filter(col(f.name).isNotNull).unionByName(
-                d.filter(col(f.name).isNull).withColumn(f.name,
-                  (lit(hwm) + lit(step) * row_number().over(w))
-                    .cast(f.dataType)))
-                .localCheckpoint() // minted ids must survive the
-                                   // merge's several passes unchanged
-            }
+              }
+            (f, step, base)
           }
+      val idApplied = idBases.foldLeft(updates) { case (d, (f, step, hwm)) =>
+        if (d.filter(col(f.name).isNull).isEmpty) d
+        else {
+          val w = org.apache.spark.sql.expressions.Window
+            .orderBy(monotonically_increasing_id())
+          d.filter(col(f.name).isNotNull).unionByName(
+            d.filter(col(f.name).isNull).withColumn(f.name,
+              (lit(hwm) + lit(step) * row_number().over(w))
+                .cast(f.dataType)))
+            .localCheckpoint() // minted ids must survive the
+                               // merge's several passes unchanged
+        }
       }
       // GENERATED columns (`GENERATED ALWAYS AS (expr)`): the ENGINE
       // owns the value — every incoming image RECOMPUTES it from the
@@ -2579,16 +2662,43 @@ object Merge {
         parent.constraints, "the update batch")
       val withB = genApplied
         .withColumn("__bucket", bucketCol(keyCol, nBuckets))
-      // one job: touched bucket ids AND the upserted/deleted row counts
+      // one job: touched bucket ids, the upserted/deleted row counts,
+      // AND (identity tables only) the batch's id extremes — the
+      // high-water-mark advance rides the agg we run anyway
       val delAgg = tombstoneCol
         .map(tc => sum(when(col(tc), 1L).otherwise(0L)))
         .getOrElse(sum(lit(0L))).as("d")
-      val perBucket = withB.groupBy("__bucket")
-        .agg(count(lit(1)).as("n"), delAgg)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-        // bounded by nBuckets
+      val idAggs = idBases.map { case (f, step, _) =>
+        (if (step > 0) max(col(f.name).cast(LongType))
+         else min(col(f.name).cast(LongType))).as(s"__idx_${f.name}")
+      }
+      val perBucketRows = withB.groupBy("__bucket")
+        .agg(count(lit(1)).as("n"), (delAgg +: idAggs): _*)
+        .collect() // bounded by nBuckets
+      val perBucket =
+        perBucketRows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       if (perBucket.isEmpty)
         return MergeStats(0, nBuckets, 0L, parentV, attempt)
+      // advance each identity mark monotonically: never below (above,
+      // for negative step) the parent's persisted mark, whatever this
+      // commit deletes or rewrites
+      val newIdHwm: Seq[(String, Long)] =
+        if (idBases.isEmpty) parent.idHwm
+        else {
+          val advanced = idBases.zipWithIndex.map {
+            case ((f, step, base), i) =>
+              val vals = perBucketRows.toSeq
+                .filterNot(_.isNullAt(3 + i)).map(_.getLong(3 + i))
+              val v =
+                if (vals.isEmpty) base
+                else if (step > 0) math.max(base, vals.max)
+                else math.min(base, vals.min)
+              f.name -> v
+          }
+          val names = advanced.map(_._1).toSet
+          (parent.idHwm.filterNot(e => names(e._1)) ++ advanced)
+            .sortBy(_._1)
+        }
       val touched = perBucket.map(_._1).toSet
       val rowsDeleted = perBucket.map(_._3).sum
       val rowsUpserted = perBucket.map(_._2).sum - rowsDeleted
@@ -2650,7 +2760,7 @@ object Merge {
             constraints = parent.constraints,
             dvFiles = parent.dvFiles,
             colMap = parent.colMap, physRetired = parent.physRetired,
-            copied = copiedFiles),
+            copied = copiedFiles, idHwm = newIdHwm),
           parent = Some(parent), touched = Some(touched))
         return MergeStats(touched.size, nBuckets, rowsUpserted, parentV + 1,
           attempt, rowsDeleted = rowsDeleted)
@@ -2719,6 +2829,9 @@ object Merge {
       val withB = ordered.withColumn("__bucket",
         bucketCol(keyCol, nBuckets))
       val rows = withB.count()
+      // explicit ids in the replacement advance the identity marks —
+      // monotonic past the parent's, never reset by the overwrite
+      val newIdHwm = advanceIdHwm(parent, parentSchema, withB)
       val merged = bucketPartitioned(withB, 1, nBuckets,
         sortKey = Some(keyCol))
       val (newFiles, newStats) =
@@ -2735,7 +2848,8 @@ object Merge {
             shardSpan = parent.shardSpan,
             constraints = parent.constraints,
             dvFiles = Seq.empty, // replaced rows: vectors are history
-            colMap = parent.colMap, physRetired = parent.physRetired),
+            colMap = parent.colMap, physRetired = parent.physRetired,
+            idHwm = newIdHwm),
           parent = Some(parent), touched = None)
         return MergeStats(nBuckets, nBuckets, rows, parentV + 1, attempt)
       } catch {
@@ -2825,7 +2939,10 @@ object Merge {
             shardSpan = parent.shardSpan,
             constraints = parent.constraints,
             dvFiles = parent.dvFiles,
-            colMap = parent.colMap, physRetired = parent.physRetired),
+            colMap = parent.colMap, physRetired = parent.physRetired,
+            // DELETE must never lower an identity mark — that is the
+            // exact re-mint hazard the persisted mark exists to close
+            idHwm = parent.idHwm),
           parent = Some(parent), touched = Some(touched))
         return MergeStats(touched.size, nB, 0L, parentV + 1, attempt,
           rowsDeleted = rowsDeleted)
@@ -2923,7 +3040,8 @@ object Merge {
             shardSpan = parent.shardSpan,
             constraints = parent.constraints,
             dvFiles = Seq.empty, // the rewrite folded them
-            colMap = parent.colMap, physRetired = parent.physRetired),
+            colMap = parent.colMap, physRetired = parent.physRetired,
+            idHwm = parent.idHwm),
           parent = Some(parent), touched = None)
         return parentV + 1
       } catch {
@@ -3013,7 +3131,8 @@ object Merge {
             shardSpan = parent.shardSpan,
             constraints = parent.constraints,
             dvFiles = parent.dvFiles ++ dvRefs,
-            colMap = parent.colMap, physRetired = parent.physRetired),
+            colMap = parent.colMap, physRetired = parent.physRetired,
+            idHwm = parent.idHwm),
           parent = Some(parent), touched = Some(Set.empty))
         return MergeStats(0, nB, 0L, parentV + 1, attempt,
           rowsDeleted = n)
@@ -3125,7 +3244,8 @@ object Merge {
             shardSpan = parent.shardSpan,
             constraints = parent.constraints,
             dvFiles = Seq.empty, // full rewrite under DVs: folded
-            colMap = parent.colMap, physRetired = parent.physRetired),
+            colMap = parent.colMap, physRetired = parent.physRetired,
+            idHwm = parent.idHwm),
           parent = Some(parent), touched = Some(toRewrite.keySet.toSet))
         return CompactStats(parentV + 1, toRewrite.size, parent.files.size,
           files.size)

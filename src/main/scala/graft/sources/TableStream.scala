@@ -391,9 +391,14 @@ class GraftTableSource(spark: SparkSession, path: String,
     */
   private val unitsMemo =
     scala.collection.mutable.Map.empty[Long, Seq[(Long, Option[Long])]]
-  private def unitsOf(version: Long): Seq[(Long, Option[Long])] =
+  private def unitsOf(version: Long): Seq[(Long, Option[Long])] = {
+    // bounded: a long-lived stream visits each version a handful of
+    // times around its triggers, then never again — drop the memo
+    // wholesale past a small cap (recompute is one manifest read)
+    if (unitsMemo.size > 256) unitsMemo.clear()
     unitsMemo.getOrElseUpdate(version,
       Merge.commitBucketRows(spark, path, version))
+  }
 
   override def getDefaultReadLimit: ReadLimit = {
     val limits = Seq(

@@ -93,14 +93,25 @@ class GraftTableProvider extends GraftTableStreamProvider
       val from = Option(opts.get("startingVersion"))
       val to = Option(opts.get("endingVersion")).map(_.toLong)
         .getOrElse(Merge.currentVersion(spark, path))
+      // a NUMERIC startingVersion out of range fails LOUDLY with the
+      // valid range (Delta's behavior) — only the documented stream
+      // start shapes (absent => snapshot-then-tail, "latest", "0")
+      // fall through to the schema-only table
+      from.map(_.toLowerCase).filterNot(s => s == "latest" || s == "0")
+        .foreach { s =>
+          val v = s.toLong // non-numeric garbage: loud NumberFormat
+          require(v >= 1 && v <= to,
+            s"readChangeFeed startingVersion must be in [1, $to] " +
+            s"(got $v); omit it, or pass \"latest\"/\"0\", to stream")
+        }
       from.map(_.toLowerCase).filter(s => s != "latest" && s.toLong >= 1 &&
           s.toLong <= to) match {
         case Some(f) => new GraftCdfTable(spark, path, f.toLong, to)
         case None =>
-          // the stream-only start shapes (absent => snapshot-then-tail,
-          // "latest", "0") have no batch meaning — resolve to a
-          // schema-only table so `readStream` falls back to the v1
-          // source; a batch `load()` of it fails at the capability check
+          // the stream-only start shapes have no batch meaning —
+          // resolve to a schema-only table so `readStream` falls back
+          // to the v1 source; a batch `load()` of it fails at the
+          // capability check
           require(Option(opts.get("endingVersion")).isEmpty,
             "a batch readChangeFeed needs .option(\"startingVersion\", " +
             s"n in [1, $to]); endingVersion never applies to a stream")
@@ -373,6 +384,34 @@ class GraftWriteBuilder(path: String,
                 Merge.tableLayout(spark, path).getOrElse(
                   throw new IllegalArgumentException(
                     s"$path records no (keyCol, nBuckets) layout"))
+              // SQL INSERT is the one write where insert-vs-update IS
+              // distinguishable (the upsert verb below is both at
+              // once), so GENERATED ALWAYS AS IDENTITY enforces its
+              // contract here: explicit values are refused — an
+              // explicit duplicate of a live id (the identity column
+              // is typically the key) would silently overwrite that
+              // row. GENERATED BY DEFAULT (allowExplicitInsert=true)
+              // admits them; cost: one limit(1) probe on
+              // identity-ALWAYS tables only.
+              val idn = org.apache.spark.sql.catalyst.util.IdentityColumn
+              Merge.versionSchema(spark, path,
+                  Merge.currentVersion(spark, path))
+                .toSeq.flatMap(_.fields)
+                .filter(f =>
+                  f.metadata.contains(idn.IDENTITY_INFO_START) &&
+                  f.metadata.contains(
+                    idn.IDENTITY_INFO_ALLOW_EXPLICIT_INSERT) &&
+                  !f.metadata.getBoolean(
+                    idn.IDENTITY_INFO_ALLOW_EXPLICIT_INSERT))
+                .foreach { f =>
+                  if (data.columns.contains(f.name) &&
+                      !data.filter(col(f.name).isNotNull).isEmpty)
+                    throw new IllegalArgumentException(
+                      s"identity column ${f.name} is GENERATED ALWAYS" +
+                      " — INSERT cannot supply explicit values " +
+                      "(declare it GENERATED BY DEFAULT AS IDENTITY " +
+                      "to allow them)")
+                }
               Merge.upsert(spark, path, data, keyCol, nBuckets)
               ()
           }

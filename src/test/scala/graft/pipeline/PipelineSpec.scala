@@ -620,6 +620,40 @@ class SimilaritySpec extends SparkSpec {
       .contains("strategy=broadcast"))
   }
 
+  test("an index rebuilt in place by ANOTHER process serves fresh " +
+      "centroids: the memo is stamp-checked, not JVM-lifetime") {
+    val pathA = java.nio.file.Files.createTempDirectory("ivf_ext_a").toString
+    val pathB = java.nio.file.Files.createTempDirectory("ivf_ext_b").toString
+    Similarity.IvfIndex.build(corpus, "vec_id", "embedding", cells = 2,
+      pathA, sampleN = 100, iters = 5)
+    assert(Similarity.IvfIndex.loadCentroids(spark, pathA).length == 2)
+    Similarity.IvfIndex.build(corpus, "vec_id", "embedding", cells = 4,
+      pathB, sampleN = 100, iters = 5)
+    // simulate a rebuild by a DIFFERENT process: raw file copy of B
+    // over A — no build()/save() call in this JVM, so the explicit
+    // same-JVM invalidation never fires and only the per-access stamp
+    // check can notice
+    val fA = new java.io.File(pathA); val fB = new java.io.File(pathB)
+    org.apache.commons.io.FileUtils.deleteDirectory(fA)
+    org.apache.commons.io.FileUtils.copyDirectory(fB, fA)
+    assert(Similarity.IvfIndex.loadCentroids(spark, pathA).length == 4,
+      "a warmed memo must notice the on-disk rebuild via the stamp")
+    // IvfPq's model memo uses the same stamp
+    val pqA = java.nio.file.Files.createTempDirectory("ivfpq_ext_a").toString
+    val pqB = java.nio.file.Files.createTempDirectory("ivfpq_ext_b").toString
+    val ixA = Similarity.IvfPq.build(corpus, "vec_id", "embedding",
+      dim = 3, cells = 2, m = 1, kSub = 4, sampleN = 100, iters = 5)
+    Similarity.IvfPq.save(ixA, pqA)
+    assert(Similarity.IvfPq.loadModels(spark, pqA)._1.length == 2)
+    val ixB = Similarity.IvfPq.build(corpus, "vec_id", "embedding",
+      dim = 3, cells = 4, m = 1, kSub = 4, sampleN = 100, iters = 5)
+    Similarity.IvfPq.save(ixB, pqB)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(pqA))
+    org.apache.commons.io.FileUtils.copyDirectory(new java.io.File(pqB),
+      new java.io.File(pqA))
+    assert(Similarity.IvfPq.loadModels(spark, pqA)._1.length == 4)
+  }
+
   test("IvfIndex admission: indexed copies drop, fresh vectors admit, " +
       "append grows the catchable set") {
     val path = java.nio.file.Files.createTempDirectory("ivf_adm").toString

@@ -135,26 +135,42 @@ class GraftDdlSpec extends SparkSpec {
       s"got ${messages(chained)}")
   }
 
-  test("IDENTITY columns: generated past the stats-derived high-water " +
+  test("IDENTITY columns: generated past the persisted high-water " +
       "mark; explicit values advance it; misuse refused at CREATE") {
     val (cat, root) = mkCatalog("ident")
+    // BY DEFAULT admits explicit values (ALWAYS refuses them on
+    // INSERT — tested below)
     spark.sql(s"CREATE TABLE $cat.t (" +
-      "id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 10 " +
+      "id BIGINT GENERATED BY DEFAULT AS IDENTITY (START WITH 10 " +
       "INCREMENT BY 5), v STRING) PARTITIONED BY (bucket(4, id))")
     spark.sql(s"INSERT INTO $cat.t (v) VALUES ('a'), ('b'), ('c')")
     assert(spark.sql(s"SELECT id, v FROM $cat.t ORDER BY id")
       .as[(Long, String)].collect().toSeq ==
       Seq((10L, "a"), (15L, "b"), (20L, "c")))
-    // an explicit id advances the mark: the next generated value is
-    // past it, never a replay of the gap
+    // GENERATED ALWAYS: the SQL INSERT doorway (where insert-vs-update
+    // is distinguishable) refuses explicit values
+    spark.sql(s"CREATE TABLE $cat.strict (" +
+      "id BIGINT GENERATED ALWAYS AS IDENTITY, v STRING) " +
+      "PARTITIONED BY (bucket(4, id))")
+    val refused = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.strict VALUES (7, 'nope')")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++
+        msgs(t.getCause)
+    assert(msgs(refused).exists(m => m.contains("GENERATED ALWAYS")),
+      s"got ${msgs(refused)}")
+    spark.sql(s"INSERT INTO $cat.strict (v) VALUES ('ok')") // minting fine
+    assert(spark.sql(s"SELECT id FROM $cat.strict").as[Long].head() == 1L)
+    // an explicit id (BY DEFAULT table) advances the mark: the next
+    // generated value is past it, never a replay of the gap
     spark.sql(s"INSERT INTO $cat.t VALUES (100, 'x')")
     spark.sql(s"INSERT INTO $cat.t (v) VALUES ('d')")
     val afterX = spark.sql(s"SELECT id FROM $cat.t WHERE v = 'd'")
       .as[Long].head()
     assert(afterX == 105L, s"next id after explicit 100 must be 105, " +
       s"got $afterX")
-    // the mark derives from manifest stats, so it SURVIVES maintenance
-    // that rewrites files (compaction keeps statsCols)
+    // the persisted mark SURVIVES maintenance that rewrites files
     val path = new File(root, "t").getAbsolutePath
     Merge.compactVersion(spark, path)
     spark.sql(s"INSERT INTO $cat.t (v) VALUES ('e')")
@@ -186,6 +202,41 @@ class GraftDdlSpec extends SparkSpec {
     }
     assert(bad2.getMessage.contains("one identity column"),
       bad2.getMessage)
+  }
+
+  test("IDENTITY high-water mark is monotonic: deleting the max-id row " +
+      "never re-mints its id (persisted mark, not live-file stats)") {
+    val (cat, root) = mkCatalog("identhwm")
+    spark.sql(s"CREATE TABLE $cat.t (" +
+      "id BIGINT GENERATED ALWAYS AS IDENTITY, v STRING) " +
+      "PARTITIONED BY (bucket(4, id))")
+    spark.sql(s"INSERT INTO $cat.t (v) VALUES ('a'), ('b'), ('c')")
+    // ids 1,2,3 issued; delete the CURRENT MAX — the bucket rewrite
+    // drops its file stats, which is exactly what a stats-derived mark
+    // would fall back past
+    spark.sql(s"DELETE FROM $cat.t WHERE id = 3")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").as[Long].head() == 2L)
+    spark.sql(s"INSERT INTO $cat.t (v) VALUES ('d')")
+    val reMinted = spark.sql(s"SELECT id FROM $cat.t WHERE v = 'd'")
+      .as[Long].head()
+    assert(reMinted == 4L,
+      s"id 3 was already issued (then deleted) — the next insert must " +
+      s"mint 4, got $reMinted")
+    // same through the Scala tombstone-upsert delete path
+    val path = new File(root, "t").getAbsolutePath
+    Merge.upsert(spark, path,
+      Seq((4L, "d", true)).toDF("id", "v", "__del"),
+      "id", nBuckets = 4, tombstoneCol = Some("__del"))
+    spark.sql(s"INSERT INTO $cat.t (v) VALUES ('e')")
+    assert(spark.sql(s"SELECT id FROM $cat.t WHERE v = 'e'")
+      .as[Long].head() == 5L)
+    // the mark survives INSERT OVERWRITE (truncate-like): replacing the
+    // table with low ids must not reset it
+    spark.sql(s"INSERT OVERWRITE $cat.t VALUES (1, 'only')")
+    spark.sql(s"INSERT INTO $cat.t (v) VALUES ('f')")
+    assert(spark.sql(s"SELECT id FROM $cat.t WHERE v = 'f'")
+      .as[Long].head() == 6L,
+      "INSERT OVERWRITE must not lower the identity mark")
   }
 
   test("CREATE TABLE with TBLPROPERTIES layout + statsCols") {

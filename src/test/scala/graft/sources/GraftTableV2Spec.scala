@@ -222,6 +222,20 @@ class GraftTableV2Spec extends SparkSpec {
         .option("readChangeFeed", "true").option("startingVersion", "1")
         .option("versionAsOf", "1").load()
     }
+    // a NUMERIC startingVersion out of range fails LOUDLY with the
+    // valid range — never the opaque stream-only capability fallback
+    val past = intercept[IllegalArgumentException] {
+      spark.read.format("graft-table").option("path", path)
+        .option("readChangeFeed", "true").option("startingVersion", "99")
+        .load()
+    }
+    assert(past.getMessage.contains("[1, 2]"), past.getMessage)
+    val neg = intercept[IllegalArgumentException] {
+      spark.read.format("graft-table").option("path", path)
+        .option("readChangeFeed", "true").option("startingVersion", "-3")
+        .load()
+    }
+    assert(neg.getMessage.contains("[1, 2]"), neg.getMessage)
   }
 
   test("aggregate pushdown: COUNT(*)/MIN/MAX answer from the manifest " +

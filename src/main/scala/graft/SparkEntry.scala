@@ -1219,6 +1219,64 @@ object SparkEntry {
         "the payload multiset must survive identity minting exactly")
       s.sql(s"SELECT id FROM $cat.t ORDER BY id")
     }),
+    "q_spj_join" -> ((s, dir) => {
+      // STORAGE-PARTITIONED JOIN (Iceberg's SPJ, the 100 TB fact-fact
+      // join move): two graft tables bucketed on the same key with the
+      // same bucket count join with ZERO shuffle — the native DSv2
+      // bucket scan reports the on-disk layout as
+      // KeyGroupedPartitioning, the catalog's V2 `bucket` function
+      // proves both sides co-partitioned, and Spark aligns partition
+      // values instead of exchanging 2× the data. Required in-gate:
+      // the executed plan is a SortMergeJoin with NO Exchange
+      // anywhere. Read-back ≡ the oracle's plain join.
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val root = new java.io.File(scratchRoot, s"graft_spj_$sf")
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      val cat = s"gspj_$sf"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root.getAbsolutePath)
+      val pv = s"graft_spj_p_$sf"; val lv = s"graft_spj_l_$sf"
+      t(s, dir, "part").select("p_partkey", "p_name", "p_retailprice")
+        .createOrReplaceTempView(pv)
+      t(s, dir, "lineitem").select("l_partkey", "l_quantity")
+        .createOrReplaceTempView(lv)
+      s.sql(s"CREATE TABLE $cat.parts (id BIGINT, name STRING, " +
+        "price DOUBLE) PARTITIONED BY (bucket(16, id))")
+      s.sql(s"CREATE TABLE $cat.demand (id BIGINT, qty DOUBLE, " +
+        "n BIGINT) PARTITIONED BY (bucket(16, id))")
+      s.sql(s"INSERT INTO $cat.parts " +
+        s"SELECT p_partkey, p_name, p_retailprice FROM $pv")
+      s.sql(s"INSERT INTO $cat.demand " +
+        "SELECT l_partkey, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE), " +
+        s"count(*) FROM $lv GROUP BY l_partkey")
+      val join = s"SELECT p.id, p.name, p.price, d.qty, d.n " +
+        s"FROM $cat.parts p JOIN $cat.demand d ON p.id = d.id"
+      s.conf.set("spark.graft.bucketedScan", "true")
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set(
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val probe = s.sql(join)
+        val plan = probe.queryExecution.executedPlan.toString
+        require(plan.contains("SortMergeJoin") &&
+            !plan.contains("Exchange"),
+          s"the co-bucketed join must plan WITHOUT a shuffle:\n$plan")
+        require(plan.contains("GraftBucketScan"),
+          "both sides must read through the native bucket scan")
+        probe.orderBy("id").localCheckpoint()
+        // materialized under the SPJ plan; the returned frame no
+        // longer depends on the session confs restored below
+      } finally {
+        s.conf.set("spark.graft.bucketedScan", "false")
+        s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+        s.conf.unset(
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+        s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }),
     "q_sql_generated" -> ((s, dir) => {
       // GENERATED COLUMNS (Delta parity): CREATE TABLE declares
       // `GENERATED ALWAYS AS (expr)`; the ENGINE computes the value on
@@ -6512,6 +6570,16 @@ object SparkEntry {
     "q_sql_identity" ->
       """SELECT CAST(row_number() OVER () AS BIGINT) AS id
          FROM part WHERE p_partkey <= 1000
+         ORDER BY id""",
+    // the shuffle-free co-bucketed join ≡ the oracle's plain join
+    "q_spj_join" ->
+      """SELECT p.p_partkey AS id, p.p_name AS name,
+                p.p_retailprice AS price,
+                CAST(sum(CAST(l.l_quantity AS DECIMAL(28,2))) AS DOUBLE)
+                  AS qty,
+                count(*) AS n
+         FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+         GROUP BY 1, 2, 3
          ORDER BY id""",
     // the engine-computed generated columns ≡ the same expressions in SQL
     "q_sql_generated" ->

@@ -2153,6 +2153,42 @@ object Merge {
     base.filter(pred)
   }
 
+  /** Planning units for the NATIVE bucket-grouped DSv2 scan
+    * ([[graft.sources.v2]] storage-partitioned joins): Some((keyCol,
+    * nBuckets, per-bucket (absolutePath, byteLength) file groups)) when
+    * the version is natively scannable — a recorded layout + schema, NO
+    * live deletion vectors and NO column mapping (those read paths need
+    * [[versionDf]]'s merge-on-read / rename machinery; callers fall
+    * back to the V1 bridge). `bounds` prune files through the manifest
+    * stats exactly as [[readVersionSkipping]]; a fully-pruned bucket
+    * disappears from the plan (KeyGroupedPartitioning handles the
+    * missing partition values). Lengths come from one `getFileStatus`
+    * per surviving file — O(selected), driver-side, the same cost
+    * class as any file-source listing.
+    */
+  def bucketScanUnits(spark: SparkSession, path: String, version: Long,
+      bounds: Seq[Skipping.Bound])
+      : Option[(String, Int, Seq[(Long, Seq[(String, Long)])])] = {
+    val (fs, root) = fsFor(spark, path)
+    val m = readManifest(spark, root, version)
+    if (m.dvFiles.nonEmpty || m.colMap.nonEmpty || m.layout.isEmpty ||
+        m.dataSchema.isEmpty) return None
+    val (keyCol, n) = m.layout.get
+    val sel =
+      if (bounds.isEmpty) m.files
+      else planVersionFiles(spark, path, version, bounds)._1
+    val units = sel.groupBy(bucketOf).toSeq.sortBy(_._1).map {
+      case (b, files) =>
+        (b, files.sorted.map { f =>
+          val p = if (new Path(f).isAbsolute) new Path(f)
+                  else new Path(root, f)
+          val st = fs.getFileStatus(p)
+          (st.getPath.toString, st.getLen)
+        })
+    }
+    Some((keyCol, n, units))
+  }
+
   /** [[readVersionWhere]] at the latest committed version. */
   def readKeyedWhere(spark: SparkSession, path: String,
       pred: org.apache.spark.sql.Column): DataFrame = {

@@ -1,0 +1,160 @@
+package graft.sources.v2
+
+import graft.sources.{Merge, Skipping}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.graftshim.ParquetReadShim
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** STORAGE-PARTITIONED JOIN (the Iceberg SPJ move): a NATIVE DSv2 batch
+  * scan that reports the table's on-disk bucket layout as
+  * [[KeyGroupedPartitioning]], so joining two graft tables bucketed on
+  * the same key with the same bucket count plans with ZERO shuffle —
+  * at 100 TB the dominant cost of a fact-fact join is the exchange,
+  * and co-bucketed tables already hold matching keys in matching
+  * partitions. One [[InputPartition]] per bucket carries its bucket id
+  * as the partition key; Spark groups, aligns and (with
+  * `spark.sql.sources.v2.bucketing.pushPartValues.enabled`) fills
+  * missing buckets, then plans the join exchange-free.
+  *
+  * Reading rides Spark's OWN parquet reader (via
+  * [[ParquetReadShim]]) — codecs, widened-type promotion and row-group
+  * filter pushdown identical to the V1 bridge path. The native scan is
+  * used only when the version is CLEAN (no deletion vectors, no column
+  * mapping — [[Merge.bucketScanUnits]] decides) and the session opts in
+  * with `spark.graft.bucketedScan=true`; everything else falls back to
+  * the V1 bridge, same results, shuffled join.
+  */
+class GraftBucketScan(path: String, version: Long, dataSchema: StructType,
+    required: StructType, pushed: Array[Filter], keyCol: String,
+    nBuckets: Int, units: Seq[(Long, Seq[(String, Long)])])
+    extends Scan with Batch with SupportsReportPartitioning {
+
+  override def readSchema(): StructType = required
+
+  override def toBatch: Batch = this
+
+  override def description(): String = {
+    val fs = pushed.map(_.toString).mkString("[", ", ", "]")
+    s"GraftBucketScan path=$path, version=$version, " +
+      s"buckets=${units.size}/$nBuckets, PushedFilters: $fs, " +
+      s"ReadSchema: ${required.catalogString}"
+  }
+
+  /** The scan's clustering IS the table's layout: `bucket(n, key)`.
+    * Spark resolves the transform against the owning catalog's
+    * [[GraftBucketFunction]] and compares both join sides' partition
+    * VALUES — never a hash-function assumption, which is what makes
+    * declaring a non-Spark hash (xxhash64) sound where lying
+    * `HashPartitioning` would not be.
+    */
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      Array(Expressions.bucket(nBuckets, keyCol)), units.size)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    units.map { case (b, files) =>
+      GraftBucketInputPartition(b, files): InputPartition
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val readFunc = ParquetReadShim.buildReader(
+      SparkSession.active, dataSchema, required, pushed.toSeq)
+    new GraftBucketReaderFactory(readFunc)
+  }
+}
+
+/** One bucket's files; the bucket id is the KeyGroupedPartitioning
+  * partition key Spark aligns join sides on.
+  */
+case class GraftBucketInputPartition(bucket: Long,
+    files: Seq[(String, Long)])
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(bucket)
+}
+
+class GraftBucketReaderFactory(
+    readFunc: org.apache.spark.sql.execution.datasources.PartitionedFile
+      => Iterator[InternalRow])
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftBucketInputPartition]
+    new PartitionReader[InternalRow] {
+      private val it = p.files.iterator.flatMap { case (f, len) =>
+        readFunc(ParquetReadShim.partitionedFile(f, len))
+      }
+      private var row: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { row = it.next(); true } else false
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** The V2 function the bucket transform resolves to — REQUIRED for SPJ:
+  * Spark's `V2ScanPartitioningAndOrdering` looks `bucket` up in the
+  * table's owning [[org.apache.spark.sql.connector.catalog.FunctionCatalog]]
+  * and compares both sides by `canonicalName`, so two graft tables
+  * (even from two catalog instances) with the same key type and bucket
+  * count are provably co-partitioned. `produceResult` computes the SAME
+  * routing the writer uses — `pmod(xxhash64(key), n)` with xxhash64's
+  * seed 42 — so partition-value push-down scenarios that re-derive keys
+  * stay exact.
+  */
+object GraftBucketFunction extends UnboundFunction {
+
+  override def name(): String = "bucket"
+
+  override def description(): String =
+    "bucket(nBuckets, key): the graft layout routing — " +
+      "pmod(xxhash64(key), nBuckets)"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"bucket takes (nBuckets INT, key), got ${inputType.catalogString}")
+    val keyType = inputType.fields(1).dataType
+    require(Seq(LongType, IntegerType, StringType).contains(keyType),
+      s"bucket key must be BIGINT, INT or STRING for the native " +
+      s"bucket scan, got ${keyType.simpleString}")
+    new ScalarFunction[java.lang.Long] {
+      override def inputTypes(): Array[DataType] =
+        Array(IntegerType, keyType)
+      override def resultType(): DataType = LongType
+      override def name(): String = "bucket"
+      // the key TYPE is part of the layout (xxhash64 of an int and of
+      // the same value as a long differ), so it is part of the
+      // canonical identity too — an int-keyed and a long-keyed table
+      // must never be declared co-partitioned
+      override def canonicalName(): String =
+        s"graft.bucket(${keyType.catalogString})"
+      override def produceResult(input: InternalRow): java.lang.Long = {
+        if (input.isNullAt(1)) return null
+        val n = input.getInt(0).toLong
+        val h = keyType match {
+          case LongType =>
+            org.apache.spark.sql.catalyst.expressions.XXH64
+              .hashLong(input.getLong(1), 42L)
+          case IntegerType =>
+            org.apache.spark.sql.catalyst.expressions.XXH64
+              .hashInt(input.getInt(1), 42L)
+          case StringType =>
+            val s = input.getUTF8String(1)
+            org.apache.spark.sql.catalyst.expressions.XXH64
+              .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+                s.numBytes, 42L)
+          case _ => throw new IllegalStateException("unreachable")
+        }
+        ((h % n) + n) % n
+      }
+    }
+  }
+}

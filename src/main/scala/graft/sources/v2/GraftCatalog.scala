@@ -62,7 +62,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class GraftCatalog extends V2TableCatalog
     with org.apache.spark.sql.connector.catalog.SupportsNamespaces
     with org.apache.spark.sql.connector.catalog.StagingTableCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -76,6 +77,21 @@ class GraftCatalog extends V2TableCatalog
   }
 
   override def name(): String = catalogName
+
+  /** FunctionCatalog: exactly one function, the layout's `bucket`
+    * transform — what `V2ScanPartitioningAndOrdering` resolves a
+    * table's reported `bucket(n, key)` partitioning against, enabling
+    * storage-partitioned joins (see [[GraftBucketFunction]]).
+    */
+  override def listFunctions(namespace: Array[String])
+      : Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name() == "bucket") GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(catalogName, ident.name())
 
   override def defaultNamespace(): Array[String] = Array.empty
 

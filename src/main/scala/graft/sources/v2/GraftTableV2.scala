@@ -216,6 +216,20 @@ class GraftTable(val path: String, val pinnedVersion: Long,
 
   override def version(): String = pinnedVersion.toString
 
+  /** The recorded layout as a DSv2 bucket transform — what lets two
+    * co-bucketed graft tables join WITHOUT A SHUFFLE (storage-
+    * partitioned join; see [[GraftBucketScan]]). Resolved lazily from
+    * the manifest; a table with no layout reports none.
+    */
+  override def partitioning(): Array[Transform] =
+    try {
+      Merge.tableLayout(SparkSession.active, path).map { case (k, n) =>
+        Array[Transform](
+          org.apache.spark.sql.connector.expressions.Expressions
+            .bucket(n, k))
+      }.getOrElse(Array.empty)
+    } catch { case _: Exception => Array.empty }
+
   override def capabilities(): util.Set[TableCapability] =
     // AUTOMATIC_SCHEMA_EVOLUTION opts into Spark's OWN
     // `MERGE ... WITH SCHEMA EVOLUTION` analysis
@@ -523,7 +537,30 @@ class GraftScanBuilder(path: String, version: Long, dataSchema: StructType)
     case Some((schema, values)) =>
       new GraftAggScan(path, version, schema, values)
     case None =>
-      new GraftScan(path, version, pushed, required, limit)
+      // NATIVE bucket-grouped scan (storage-partitioned joins): session
+      // opt-in, clean versions only, no pushed limit (the V1 bridge
+      // handles those cases; results identical either way, the native
+      // path's win is the reported KeyGroupedPartitioning)
+      val native =
+        if (limit.isEmpty && SparkSession.active.conf
+            .get("spark.graft.bucketedScan", "false") == "true") {
+          val spark = SparkSession.active
+          val bounds = pushed.flatMap(GraftTable.filterToColumn)
+            .reduceOption(_ && _)
+            .map(Skipping.impliedBounds).getOrElse(Seq.empty)
+          Merge.bucketScanUnits(spark, path, version, bounds)
+            .map { case (keyCol, n, units) =>
+              Merge.versionSchema(spark, path, version) match {
+                case Some(full) =>
+                  new GraftBucketScan(path, version, full, required,
+                    pushed, keyCol, n, units): Scan
+                case None =>
+                  new GraftScan(path, version, pushed, required, limit)
+              }
+            }
+        } else None
+      native.getOrElse(
+        new GraftScan(path, version, pushed, required, limit))
   }
 }
 

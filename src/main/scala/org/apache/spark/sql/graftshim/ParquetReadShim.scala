@@ -1,0 +1,45 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
+import org.apache.spark.sql.execution.datasources.{FileFormat, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+
+/** The `private[sql]` doorway the NATIVE bucket-grouped DSv2 scan
+  * ([[graft.sources.v2]] storage-partitioned joins) needs: Spark's OWN
+  * parquet reader function — `FileFormat.buildReaderWithPartitionValues`
+  * — so the graft scan reads parquet with exactly the engine's codecs,
+  * type promotion (widened columns over narrower files) and row-group
+  * filter pushdown, instead of re-implementing a reader. Built once on
+  * the driver; the returned closure is the same serializable function
+  * `FileSourceScanExec` ships to executors (it broadcasts its Hadoop
+  * conf internally). Accessibility-only, like [[StreamShim]]: no
+  * behavior lives here.
+  */
+object ParquetReadShim {
+
+  /** One reusable `PartitionedFile => Iterator[InternalRow]` for data
+    * files with no partition-directory columns in their read schema
+    * (`OPTION_RETURNING_BATCH = false`: rows, the DSv2 row-reader
+    * contract — downstream operators copy what they buffer).
+    */
+  def buildReader(spark: SparkSession, dataSchema: StructType,
+      requiredSchema: StructType, filters: Seq[Filter])
+      : PartitionedFile => Iterator[InternalRow] = {
+    val cs = spark.asInstanceOf[ClassicSession]
+    val conf: Configuration =
+      cs.sessionState.newHadoopConfWithOptions(Map.empty)
+    new ParquetFileFormat().buildReaderWithPartitionValues(
+      cs, dataSchema, new StructType(), requiredSchema, filters,
+      Map(FileFormat.OPTION_RETURNING_BATCH -> "false"), conf)
+  }
+
+  def partitionedFile(path: String, length: Long): PartitionedFile =
+    PartitionedFile(InternalRow.empty, SparkPath.fromPathString(path),
+      0L, length, Array.empty, 0L, length)
+}

@@ -1,0 +1,146 @@
+package graft.sources
+
+import java.io.File
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** STORAGE-PARTITIONED JOINS: two graft tables bucketed on the same key
+  * with the same bucket count join with NO shuffle exchange when the
+  * native bucket scan is enabled — the scan reports the on-disk layout
+  * as KeyGroupedPartitioning and Spark aligns partition values instead
+  * of exchanging 2× the data. The fallback paths (scan disabled, dirty
+  * table, mismatched layouts) keep shuffling and stay row-identical.
+  */
+class SpjSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkCatalog(tag: String): (String, File) = {
+    val root = Files.createTempDirectory(s"graft_spj_$tag").toFile
+    root.deleteOnExit()
+    val cat = s"gspj_$tag"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.v2.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root.getAbsolutePath)
+    (cat, root)
+  }
+
+  private def withSpj[A](body: => A): A = {
+    spark.conf.set("spark.graft.bucketedScan", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set(
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    // SPJ plans a sort-merge join over the reported partitioning; the
+    // broadcast path would bypass the exchange question entirely
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body finally {
+      spark.conf.set("spark.graft.bucketedScan", "false")
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset(
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  private def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange"))
+
+  test("co-bucketed tables join with ZERO shuffle; rows identical to " +
+      "the shuffled plan") {
+    val (cat, _) = mkCatalog("join")
+    spark.sql(s"CREATE TABLE $cat.facts (id BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (bucket(8, id))")
+    spark.sql(s"CREATE TABLE $cat.dims (id BIGINT, name STRING) " +
+      "PARTITIONED BY (bucket(8, id))")
+    spark.range(200).selectExpr("id", "cast(id * 1.5 as double) AS v")
+      .createOrReplaceTempView("spj_src_f")
+    spark.range(150).selectExpr("id", "concat('n', id) AS name")
+      .createOrReplaceTempView("spj_src_d")
+    spark.sql(s"INSERT INTO $cat.facts SELECT * FROM spj_src_f")
+    spark.sql(s"INSERT INTO $cat.dims SELECT * FROM spj_src_d")
+    // no ORDER BY in the probe query — a global sort adds its own
+    // (legitimate) range exchange; sort driver-side instead
+    val q = s"SELECT f.id, f.v, d.name FROM $cat.facts f " +
+      s"JOIN $cat.dims d ON f.id = d.id"
+    val expected = spark.sql(
+      "SELECT f.id, f.v, d.name FROM spj_src_f f " +
+      "JOIN spj_src_d d ON f.id = d.id")
+      .as[(Long, Double, String)].collect().toSeq.sorted
+    // baseline: native scan off -> the join shuffles both sides
+    val off = spark.sql(q)
+    assert(shuffles(off) >= 2,
+      s"control: expected shuffled join, got\n${off.queryExecution}")
+    assert(off.as[(Long, Double, String)].collect().toSeq.sorted ==
+      expected)
+    withSpj {
+      val on = spark.sql(q)
+      val plan = on.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"SPJ must plan the join with NO exchange:\n$plan")
+      assert(on.as[(Long, Double, String)].collect().toSeq.sorted ==
+        expected, "SPJ rows must equal the shuffled join's")
+    }
+  }
+
+  test("mismatched bucket counts fall back to a shuffled join, " +
+      "rows still correct") {
+    val (cat, _) = mkCatalog("mismatch")
+    spark.sql(s"CREATE TABLE $cat.a (id BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (bucket(8, id))")
+    spark.sql(s"CREATE TABLE $cat.b (id BIGINT, name STRING) " +
+      "PARTITIONED BY (bucket(4, id))")
+    spark.range(60).selectExpr("id", "cast(id as double) AS v")
+      .createOrReplaceTempView("spj_mm_a")
+    spark.range(60).selectExpr("id", "concat('x', id) AS name")
+      .createOrReplaceTempView("spj_mm_b")
+    spark.sql(s"INSERT INTO $cat.a SELECT * FROM spj_mm_a")
+    spark.sql(s"INSERT INTO $cat.b SELECT * FROM spj_mm_b")
+    withSpj {
+      val j = spark.sql(s"SELECT a.id, a.v, b.name FROM $cat.a a " +
+        s"JOIN $cat.b b ON a.id = b.id ORDER BY a.id")
+      assert(j.as[(Long, Double, String)].collect().length == 60,
+        "mismatched layouts must still join correctly")
+    }
+  }
+
+  test("a table with live deletion vectors falls back to the V1 scan " +
+      "(merge-on-read must not be bypassed); results correct") {
+    val (cat, root) = mkCatalog("dv")
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (bucket(4, id))")
+    spark.range(40).selectExpr("id", "cast(id as double) AS v")
+      .createOrReplaceTempView("spj_dv_src")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM spj_dv_src")
+    val path = new File(root, "t").getAbsolutePath
+    Merge.deleteWhereDV(spark, path,
+      org.apache.spark.sql.functions.col("id") < 10L)
+    withSpj {
+      val got = spark.sql(s"SELECT count(*) FROM $cat.t")
+        .as[Long].head()
+      assert(got == 30L,
+        s"DV rows must stay subtracted under the native-scan conf, got $got")
+    }
+  }
+
+  test("groupBy on the bucket key also skips its exchange under the " +
+      "native scan (co-partitioned aggregation)") {
+    val (cat, _) = mkCatalog("agg")
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (bucket(8, id))")
+    spark.range(100).selectExpr("id % 20 AS id",
+      "cast(id as double) AS v")
+      .groupBy("id")
+      .agg(org.apache.spark.sql.functions.sum("v").as("v"))
+      .createOrReplaceTempView("spj_agg_src")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM spj_agg_src")
+    withSpj {
+      val g = spark.sql(
+        s"SELECT id, sum(v) AS s FROM $cat.t GROUP BY id")
+      val plan = g.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"key-grouped aggregation must not exchange:\n$plan")
+      assert(g.count() == 20L)
+    }
+  }
+}

@@ -303,6 +303,52 @@ object ScaleSmoke {
               .map { case (n, p) => s"$n@v${p.version}" }.mkString(", "))
         })
     }
+
+    // ---- r14 STORAGE-PARTITIONED JOIN: the same co-bucketed join,
+    // shuffled vs exchange-free under the native bucket scan. The
+    // shuffled plan exchanges both sides (payload included); SPJ reads
+    // matching buckets side by side — the gap widens with the
+    // exchanged bytes, which is the whole 100 TB argument.
+    Seq(("1x", docs, 64), (s"${factor}x", inflated, 64 * factor)).foreach {
+      case (tag, d, buckets) =>
+        println(s"--- $tag spj (nBuckets=$buckets)")
+        val base = s"/tmp/graft_scale_spj_$tag"
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(base))
+        val cat = s"gspjscale_$tag"
+        spark.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.v2.GraftCatalog")
+        spark.conf.set(s"spark.sql.catalog.$cat.root", base)
+        graft.sources.Merge.writeKeyed(d, s"$base/a", "doc_id", buckets)
+        graft.sources.Merge.writeKeyed(
+          d.select(col("doc_id"), length(col("text")).as("len")),
+          s"$base/b", "doc_id", buckets)
+        // payload on BOTH sides so the shuffled plan pays real exchange
+        // bytes; the aggregate keeps the result one row
+        val q = s"SELECT count(*) AS n, sum(length(a.text) + b.len) " +
+          s"AS s FROM $cat.a a JOIN $cat.b b ON a.doc_id = b.doc_id"
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        timed(s"join_shuffled")(
+          println(s"SCALE   ${spark.sql(q).collect().head}"))
+        spark.conf.set("spark.graft.bucketedScan", "true")
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        spark.conf.set(
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+        timed(s"join_spj")({
+          val df = spark.sql(q)
+          val plan = df.queryExecution.executedPlan.toString
+          // the only exchange allowed is the global aggregate's
+          // single-partition gather — the JOIN must not repartition
+          require(!plan.contains("hashpartitioning"),
+            s"the SPJ join must not exchange on the key:\n$plan")
+          println(s"SCALE   ${df.collect().head}")
+        })
+        spark.conf.set("spark.graft.bucketedScan", "false")
+        spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+        spark.conf.unset(
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
     spark.stop()
   }
 }

@@ -3924,6 +3924,32 @@ object SparkEntry {
         TextAnalysis.meanTokenLength(col("text")).as("mean_token_len"))
         .orderBy("doc_id")
     }),
+    "q_quality_classifier" -> ((s, dir) => {
+      // TRAINABLE QUALITY CLASSIFIER (GPT-3/CCNet's model-based filter,
+      // fastText-supervised shape): logistic regression over
+      // hashing-trick bag-of-words, trained DISTRIBUTED — broadcast
+      // weights, row-local errors, one <= dim+1-key aggregation per
+      // iteration, never a corpus-sized shuffle; scoring is a pure
+      // scan. The gate plants a separable marker pair on the documents
+      // table (even doc_ids one marker, odd the other), trains, and
+      // returns the predicted labels — which must EXACTLY reproduce
+      // the planted rule ≡ the oracle computing it arithmetically.
+      // Required in-gate: exact separation on the training set (the
+      // hash compare must not pass by luck on a half-learned model).
+      import graft.pipeline.QualityModel
+      val planted = t(s, dir, "documents").select("doc_id", "text")
+        .withColumn("text", concat(col("text"),
+          when(col("doc_id") % 2 === 0, lit(" qualhi"))
+            .otherwise(lit(" quallo"))))
+        .withColumn("label", (col("doc_id") % 2 === 0).cast("int"))
+      val m = QualityModel.train(planted, "text", "label",
+        dim = 1 << 14, iters = 30)
+      val preds = planted.withColumn("pred",
+        QualityModel.predictCol(m, col("text")))
+      require(preds.filter(col("pred") =!= col("label")).isEmpty,
+        "the planted separable problem must train to exact separation")
+      preds.select("doc_id", "pred").orderBy("doc_id")
+    }),
     "q_token_rank_quality" -> ((s, dir) => {
       // corpus-frequency token-rank scoring — the deterministic stand-in
       // for CCNet's KenLM perplexity filter (the corpus IS the model):
@@ -8025,6 +8051,10 @@ object SparkEntry {
            SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part)
          WHERE p_partkey <= 100
          ORDER BY p_partkey, metric""",
+    // the trained classifier must reproduce the planted labeling rule
+    "q_quality_classifier" ->
+      """SELECT doc_id, CAST(doc_id % 2 = 0 AS INT) AS pred
+         FROM documents ORDER BY doc_id""",
     // token-rank quality: the corpus-model replay — same tokenization,
     // same total rank order, exact integer sums, one division
     "q_token_rank_quality" ->

@@ -1277,6 +1277,56 @@ object SparkEntry {
         s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       }
     }),
+    "q_bucket_dpp" -> ((s, dir) => {
+      // RUNTIME BUCKET PRUNING (dynamic partition pruning for bucket
+      // layouts): a broadcast join's build side delivers the probe
+      // keys at EXECUTION time as an In-filter on the fact scan; each
+      // key hashes to exactly one bucket — the writer's own routing —
+      // so the fact table reads only those keys' buckets, structurally
+      // (no stats). At 100 TB: "join the fact table to a filtered dim
+      // and scan 3 of 4096 buckets". The dim's filter column is DATA
+      // (a stored grp tag), not the key, so Catalyst cannot infer a
+      // static fact filter — only the runtime filter can prune.
+      // Required in-gate: the runtime filter reached the scan and <= 3
+      // of 64 buckets kept files. Read-back ≡ the oracle's plain
+      // filtered join.
+      import graft.sources.v2.GraftBucketScan
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val root = new java.io.File(scratchRoot, s"graft_dpp_$sf")
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      val cat = s"gdpp_$sf"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root.getAbsolutePath)
+      val pv = s"graft_dpp_p_$sf"; val lv = s"graft_dpp_l_$sf"
+      t(s, dir, "part").select("p_partkey", "p_name")
+        .createOrReplaceTempView(pv)
+      t(s, dir, "lineitem").select("l_partkey", "l_quantity")
+        .createOrReplaceTempView(lv)
+      s.sql(s"CREATE TABLE $cat.dim (id BIGINT, name STRING, " +
+        "grp STRING) PARTITIONED BY (bucket(64, id))")
+      s.sql(s"CREATE TABLE $cat.fact (id BIGINT, qty DOUBLE, " +
+        "n BIGINT) PARTITIONED BY (bucket(64, id))")
+      s.sql(s"INSERT INTO $cat.dim SELECT p_partkey, p_name, " +
+        "CASE WHEN p_partkey IN (1, 501, 1001) THEN 'hot' " +
+        s"ELSE concat('g', p_partkey) END FROM $pv")
+      s.sql(s"INSERT INTO $cat.fact SELECT l_partkey, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE), " +
+        s"count(*) FROM $lv GROUP BY l_partkey")
+      s.conf.set("spark.graft.bucketedScan", "true")
+      try {
+        GraftBucketScan.lastRuntimePrune = None
+        val out = s.sql(s"SELECT d.id, d.name, f.qty, f.n " +
+          s"FROM $cat.dim d JOIN $cat.fact f ON d.id = f.id " +
+          "WHERE d.grp = 'hot'").orderBy("id")
+          .localCheckpoint() // execute NOW: the runtime filter fires
+        val prune = GraftBucketScan.lastRuntimePrune
+        require(prune.exists(p => p._1 <= 3 && p._2 == 64),
+          s"3 hot keys must prune the fact scan to <= 3 of 64 " +
+          s"buckets at runtime, got $prune")
+        out
+      } finally s.conf.set("spark.graft.bucketedScan", "false")
+    }),
     "q_sql_generated" -> ((s, dir) => {
       // GENERATED COLUMNS (Delta parity): CREATE TABLE declares
       // `GENERATED ALWAYS AS (expr)`; the ENGINE computes the value on
@@ -6596,6 +6646,16 @@ object SparkEntry {
     "q_sql_identity" ->
       """SELECT CAST(row_number() OVER () AS BIGINT) AS id
          FROM part WHERE p_partkey <= 1000
+         ORDER BY id""",
+    // the runtime-pruned filtered join ≡ the oracle's plain one
+    "q_bucket_dpp" ->
+      """SELECT p.p_partkey AS id, p.p_name AS name,
+                CAST(sum(CAST(l.l_quantity AS DECIMAL(28,2))) AS DOUBLE)
+                  AS qty,
+                count(*) AS n
+         FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+         WHERE p.p_partkey IN (1, 501, 1001)
+         GROUP BY 1, 2
          ORDER BY id""",
     // the shuffle-free co-bucketed join ≡ the oracle's plain join
     "q_spj_join" ->

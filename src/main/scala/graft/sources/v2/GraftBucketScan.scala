@@ -1,16 +1,18 @@
 package graft.sources.v2
 
+import java.util
+
 import graft.sources.{Merge, Skipping}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
-import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.connector.read.Statistics
 import org.apache.spark.sql.graftshim.ParquetReadShim
-import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
-import org.apache.spark.unsafe.types.UTF8String
 
 /** STORAGE-PARTITIONED JOIN (the Iceberg SPJ move): a NATIVE DSv2 batch
   * scan that reports the table's on-disk bucket layout as
@@ -33,8 +35,13 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class GraftBucketScan(path: String, version: Long, dataSchema: StructType,
     required: StructType, pushed: Array[Filter], keyCol: String,
-    nBuckets: Int, units: Seq[(Long, Seq[(String, Long)])])
-    extends Scan with Batch with SupportsReportPartitioning {
+    nBuckets: Int, units0: Seq[(Long, Seq[(String, Long)])])
+    extends Scan with Batch with SupportsReportPartitioning
+    with SupportsReportStatistics with SupportsRuntimeFiltering {
+
+  // mutated ONLY by [[filter]] (runtime bucket pruning) — partition
+  // COUNT and keys stay fixed, file lists shrink
+  private var units: Seq[(Long, Seq[(String, Long)])] = units0
 
   override def readSchema(): StructType = required
 
@@ -45,6 +52,61 @@ class GraftBucketScan(path: String, version: Long, dataSchema: StructType,
     s"GraftBucketScan path=$path, version=$version, " +
       s"buckets=${units.size}/$nBuckets, PushedFilters: $fs, " +
       s"ReadSchema: ${required.catalogString}"
+  }
+
+  /** Manifest-derived sizes, same as the V1 bridge scan — what lets
+    * the optimizer broadcast a small graft table and rate runtime
+    * filtering as beneficial.
+    */
+  override def estimateStatistics(): Statistics = {
+    val spark = SparkSession.active
+    val bounds = pushed.flatMap(GraftTable.filterToColumn)
+      .reduceOption(_ && _)
+      .map(Skipping.impliedBounds).getOrElse(Seq.empty)
+    val (bytes, rows) =
+      Merge.estimateVersionSize(spark, path, version, bounds)
+    new Statistics {
+      override def sizeInBytes(): util.OptionalLong =
+        bytes.map(util.OptionalLong.of).getOrElse(util.OptionalLong.empty)
+      override def numRows(): util.OptionalLong =
+        rows.map(util.OptionalLong.of).getOrElse(util.OptionalLong.empty)
+    }
+  }
+
+  /** RUNTIME bucket pruning (the dynamic-partition-pruning move for
+    * bucket layouts): a broadcast join's build side delivers the
+    * probe keys at execution time as `In(keyCol, values)`; each value
+    * hashes to exactly one bucket — the writer's own routing — so
+    * every other bucket's files drop from the scan WITHOUT stats, a
+    * structural guarantee. At 100 TB this is "join the fact table to
+    * a filtered dim and read only the dim keys' buckets". Partition
+    * COUNT and partition keys stay fixed (pruned buckets keep an
+    * empty file list), so a KeyGroupedPartitioning already reported
+    * to the planner stays valid under AQE's re-planning.
+    */
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column(keyCol))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val values: Option[Seq[Any]] = filters.collectFirst {
+      case In(c, vs) if c == keyCol => vs.toSeq
+      case EqualTo(c, v) if c == keyCol => Seq(v)
+    }
+    values.filter(vs => vs.nonEmpty && vs.size <= 4096).foreach { vs =>
+      val spark = SparkSession.active
+      val dt = dataSchema(keyCol).dataType
+      import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+      // one local row, no job: evaluate the writer's routing per value
+      val row = spark.range(1).select(vs.map(v =>
+        pmod(xxhash64(lit(v).cast(dt)), lit(nBuckets.toLong))): _*)
+        .head()
+      val keep = vs.indices.filterNot(row.isNullAt).map(row.getLong).toSet
+      units = units.map { case (b, files) =>
+        if (keep.contains(b)) (b, files) else (b, Seq.empty)
+      }
+      GraftBucketScan.lastRuntimePrune =
+        Some((units.count(_._2.nonEmpty), units.size))
+    }
   }
 
   /** The scan's clustering IS the table's layout: `bucket(n, key)`.
@@ -68,6 +130,13 @@ class GraftBucketScan(path: String, version: Long, dataSchema: StructType,
       SparkSession.active, dataSchema, required, pushed.toSeq)
     new GraftBucketReaderFactory(readFunc)
   }
+}
+
+object GraftBucketScan {
+  /** Test seam: (buckets with files remaining, buckets total) of the
+    * most recent runtime-filter prune.
+    */
+  @volatile var lastRuntimePrune: Option[(Int, Int)] = None
 }
 
 /** One bucket's files; the bucket id is the KeyGroupedPartitioning

@@ -4,6 +4,7 @@ import java.io.File
 import java.nio.file.Files
 
 import graft.SparkSpec
+import graft.sources.v2.GraftBucketScan
 
 /** STORAGE-PARTITIONED JOINS: two graft tables bucketed on the same key
   * with the same bucket count join with NO shuffle exchange when the
@@ -121,6 +122,38 @@ class SpjSpec extends SparkSpec {
       assert(got == 30L,
         s"DV rows must stay subtracted under the native-scan conf, got $got")
     }
+  }
+
+  test("runtime bucket pruning: a broadcast-joined filtered dim prunes " +
+      "the fact scan's buckets at execution time (DPP for buckets)") {
+    val (cat, _) = mkCatalog("dpp")
+    spark.sql(s"CREATE TABLE $cat.fact (id BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (bucket(16, id))")
+    spark.sql(s"CREATE TABLE $cat.dim (id BIGINT, grp STRING) " +
+      "PARTITIONED BY (bucket(16, id))")
+    spark.range(400).selectExpr("id", "cast(id as double) AS v")
+      .createOrReplaceTempView("spj_dpp_f")
+    spark.range(400).selectExpr("id",
+      "CASE WHEN id < 3 THEN 'hot' ELSE concat('g', id) END AS grp")
+      .createOrReplaceTempView("spj_dpp_d")
+    spark.sql(s"INSERT INTO $cat.fact SELECT * FROM spj_dpp_f")
+    spark.sql(s"INSERT INTO $cat.dim SELECT * FROM spj_dpp_d")
+    spark.conf.set("spark.graft.bucketedScan", "true")
+    try {
+      GraftBucketScan.lastRuntimePrune = None
+      // the dim filter keeps 3 keys -> at most 3 of 16 fact buckets
+      // survive the runtime In-filter; broadcast join (dim is tiny)
+      // is the shape Spark's runtime filtering targets by default
+      val j = spark.sql(s"SELECT f.id, f.v, d.grp FROM $cat.fact f " +
+        s"JOIN $cat.dim d ON f.id = d.id WHERE d.grp = 'hot'")
+      val rows = j.collect()
+      assert(rows.length == 3, s"got ${rows.length} rows")
+      val prune = GraftBucketScan.lastRuntimePrune
+      assert(prune.isDefined,
+        "the runtime In-filter must reach the fact scan")
+      assert(prune.get._1 <= 3 && prune.get._2 == 16,
+        s"3 keys must prune to <= 3 of 16 buckets, got $prune")
+    } finally spark.conf.set("spark.graft.bucketedScan", "false")
   }
 
   test("groupBy on the bucket key also skips its exchange under the " +

@@ -1266,6 +1266,12 @@ object SparkEntry {
           s"the co-bucketed join must plan WITHOUT a shuffle:\n$plan")
         require(plan.contains("GraftBucketScan"),
           "both sides must read through the native bucket scan")
+        // freshly-written buckets are single key-sorted files, so the
+        // scan reports per-partition ordering and the merge join is a
+        // pure streaming ZIPPER: no Exchange above, no Sort below
+        require(!plan.linesIterator.exists(l =>
+            l.contains(" Sort [") && !l.contains("SortMergeJoin")),
+          s"key-sorted single-file buckets must elide the sorts:\n$plan")
         probe.orderBy("id").localCheckpoint()
         // materialized under the SPJ plan; the returned frame no
         // longer depends on the session confs restored below

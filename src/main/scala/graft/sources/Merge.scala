@@ -213,7 +213,15 @@ object Merge {
       // sign) and never re-derived from live-file stats — deleting the
       // current max-id row must not let the next insert re-mint its id
       // (Delta persists highWaterMark with the same contract)
-      idHwm: Seq[(String, Long)] = Seq.empty)
+      idHwm: Seq[(String, Long)] = Seq.empty,
+      // EVERY data file key-sorted (the bucketPartitioned write
+      // discipline): true from writeKeyed/replaceAll/relayout, carried
+      // by upsert/delete/compact (their rewrites re-sort), FALSE after
+      // a clusterBy/zOrder compaction (those sort by other columns) and
+      // until a full key-sorted rewrite. What lets the native bucket
+      // scan report per-partition ordering so merge joins skip their
+      // sorts. Absent in legacy manifests -> false (conservative).
+      keySorted: Boolean = false)
 
   /** The commit timestamp for a child of `parent`: wall clock, forced
     * STRICTLY increasing along the version chain (max(parent+1, now)) so
@@ -321,10 +329,12 @@ object Merge {
       else s""","idHwm":""" + m.idHwm.sortBy(_._1).map { case (c, v) =>
         s"""{"c":"${jsonEscape(c)}","v":$v}"""
       }.mkString("[", ",", "]")
+    val keySortedField = if (m.keySorted) s""","keySorted":true""" else ""
     (s"""{"version":${m.version},"parent":${m.parent},""" +
       s"""$filesField$schemaField$txnField$layoutField$statsFields""" +
       s"""$tsField$opField$constraintsField$dvField$colMapField""" +
-      s"""$retiredField$copiedField$idHwmField}""").getBytes("UTF-8")
+      s"""$retiredField$copiedField$idHwmField$keySortedField}""")
+      .getBytes("UTF-8")
   }
 
   /** One shard's body: the files of its bucket range plus their stats
@@ -625,6 +635,10 @@ object Merge {
           }
           case _ => Nil
         }
+        val keySorted = j \ "keySorted" match {
+          case JBool(b) => b
+          case _ => false
+        }
         (num("version"), num("parent"), resolved) match {
           case (Some(v), Some(par), Some((fl, stats, shardIds))) =>
             Some(Manifest(v, par, fl, str("dataSchema"),
@@ -637,7 +651,7 @@ object Merge {
               shardSpan = shardSpan, shardIds = shardIds,
               constraints = constraints, dvFiles = dvFiles,
               colMap = colMap, physRetired = physRetired,
-              copied = copied, idHwm = idHwm))
+              copied = copied, idHwm = idHwm, keySorted = keySorted))
           case _ => None // truncated or foreign body: not committed
         }
       }
@@ -1192,7 +1206,8 @@ object Merge {
       statsCols = statsCols,
       stats = bucketFileStats(df.sparkSession, path, statsCols),
       ts = System.currentTimeMillis(), op = Some("write"),
-      shardSpan = manifestShardSpan, constraints = constraints))
+      shardSpan = manifestShardSpan, constraints = constraints,
+      keySorted = true))
   }
 
   /** Read a manifest's file set with the version's own schema (plus the
@@ -1781,7 +1796,10 @@ object Merge {
             colMap = target.colMap, physRetired = target.physRetired,
             // identity marks are monotonic ACROSS restore: the HEAD's
             // mark covers every id the restored-away versions issued
-            idHwm = parent.idHwm),
+            idHwm = parent.idHwm,
+            // the restored FILE SET is the target's, so its sort
+            // contract travels with it
+            keySorted = target.keySorted),
           parent = Some(parent), touched = None)
         return parentV + 1
       } catch {
@@ -1959,7 +1977,7 @@ object Merge {
         dvFiles = m.dvFiles.map(f =>
           sfs.makeQualified(new Path(sroot, f)).toString),
         colMap = m.colMap, physRetired = m.physRetired,
-        idHwm = m.idHwm))
+        idHwm = m.idHwm, keySorted = m.keySorted))
   }
 
   /** [[cloneTableAt]] of the source's current version. */
@@ -2168,7 +2186,7 @@ object Merge {
     */
   def bucketScanUnits(spark: SparkSession, path: String, version: Long,
       bounds: Seq[Skipping.Bound])
-      : Option[(String, Int, Seq[(Long, Seq[(String, Long)])])] = {
+      : Option[(String, Int, Boolean, Seq[(Long, Seq[(String, Long)])])] = {
     val (fs, root) = fsFor(spark, path)
     val m = readManifest(spark, root, version)
     if (m.dvFiles.nonEmpty || m.colMap.nonEmpty || m.layout.isEmpty ||
@@ -2186,7 +2204,7 @@ object Merge {
           (st.getPath.toString, st.getLen)
         })
     }
-    Some((keyCol, n, units))
+    Some((keyCol, n, m.keySorted, units))
   }
 
   /** [[readVersionWhere]] at the latest committed version. */
@@ -2796,7 +2814,9 @@ object Merge {
             constraints = parent.constraints,
             dvFiles = parent.dvFiles,
             colMap = parent.colMap, physRetired = parent.physRetired,
-            copied = copiedFiles, idHwm = newIdHwm),
+            copied = copiedFiles, idHwm = newIdHwm,
+            keySorted = parent.keySorted), // rewrites re-sort; the
+              // untouched files keep whatever the parent knew
           parent = Some(parent), touched = Some(touched))
         return MergeStats(touched.size, nBuckets, rowsUpserted, parentV + 1,
           attempt, rowsDeleted = rowsDeleted)
@@ -2885,7 +2905,8 @@ object Merge {
             constraints = parent.constraints,
             dvFiles = Seq.empty, // replaced rows: vectors are history
             colMap = parent.colMap, physRetired = parent.physRetired,
-            idHwm = newIdHwm),
+            idHwm = newIdHwm,
+            keySorted = true), // full key-sorted rewrite
           parent = Some(parent), touched = None)
         return MergeStats(nBuckets, nBuckets, rows, parentV + 1, attempt)
       } catch {
@@ -2978,7 +2999,7 @@ object Merge {
             colMap = parent.colMap, physRetired = parent.physRetired,
             // DELETE must never lower an identity mark — that is the
             // exact re-mint hazard the persisted mark exists to close
-            idHwm = parent.idHwm),
+            idHwm = parent.idHwm, keySorted = parent.keySorted),
           parent = Some(parent), touched = Some(touched))
         return MergeStats(touched.size, nB, 0L, parentV + 1, attempt,
           rowsDeleted = rowsDeleted)
@@ -3077,7 +3098,8 @@ object Merge {
             constraints = parent.constraints,
             dvFiles = Seq.empty, // the rewrite folded them
             colMap = parent.colMap, physRetired = parent.physRetired,
-            idHwm = parent.idHwm),
+            idHwm = parent.idHwm,
+            keySorted = true), // full key-sorted rewrite
           parent = Some(parent), touched = None)
         return parentV + 1
       } catch {
@@ -3168,7 +3190,8 @@ object Merge {
             constraints = parent.constraints,
             dvFiles = parent.dvFiles ++ dvRefs,
             colMap = parent.colMap, physRetired = parent.physRetired,
-            idHwm = parent.idHwm),
+            idHwm = parent.idHwm,
+            keySorted = parent.keySorted), // files untouched
           parent = Some(parent), touched = Some(Set.empty))
         return MergeStats(0, nB, 0L, parentV + 1, attempt,
           rowsDeleted = n)
@@ -3281,7 +3304,14 @@ object Merge {
             constraints = parent.constraints,
             dvFiles = Seq.empty, // full rewrite under DVs: folded
             colMap = parent.colMap, physRetired = parent.physRetired,
-            idHwm = parent.idHwm),
+            idHwm = parent.idHwm,
+            // a clusterBy/zOrder rewrite sorts files by the CLUSTER
+            // columns, not the key — the sorted-scan contract breaks
+            // until a full key-sorted rewrite restores it. A plain
+            // compact sorts its rewrites by key and carries the rest.
+            keySorted =
+              if (clusterBy.nonEmpty || zOrderBy.nonEmpty) false
+              else parent.keySorted),
           parent = Some(parent), touched = Some(toRewrite.keySet.toSet))
         return CompactStats(parentV + 1, toRewrite.size, parent.files.size,
           files.size)

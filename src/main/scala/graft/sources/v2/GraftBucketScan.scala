@@ -35,9 +35,11 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, 
   */
 class GraftBucketScan(path: String, version: Long, dataSchema: StructType,
     required: StructType, pushed: Array[Filter], keyCol: String,
-    nBuckets: Int, units0: Seq[(Long, Seq[(String, Long)])])
+    nBuckets: Int, keySorted: Boolean,
+    units0: Seq[(Long, Seq[(String, Long)])])
     extends Scan with Batch with SupportsReportPartitioning
-    with SupportsReportStatistics with SupportsRuntimeFiltering {
+    with SupportsReportStatistics with SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   // mutated ONLY by [[filter]] (runtime bucket pruning) — partition
   // COUNT and keys stay fixed, file lists shrink
@@ -119,6 +121,24 @@ class GraftBucketScan(path: String, version: Long, dataSchema: StructType,
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(
       Array(Expressions.bucket(nBuckets, keyCol)), units.size)
+
+  /** KEY-SORTED scan at the compacted steady state: when the manifest
+    * records `keySorted` (every write path sorts its bucket files by
+    * key; only a clusterBy/zOrder rewrite breaks it) AND each bucket
+    * resolves to at most ONE file, every partition streams in key
+    * order — so a merge join over two such tables plans with NO Sort
+    * on top of the NO Exchange: the entire join is a streaming zipper
+    * over pre-sorted storage (Iceberg's sort-order metadata makes the
+    * same move). Multi-file buckets report no ordering (the files are
+    * individually sorted but their concatenation is not).
+    */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (keySorted && units.forall(_._2.size <= 1))
+      Array(Expressions.sort(Expressions.column(keyCol),
+        org.apache.spark.sql.connector.expressions.SortDirection
+          .ASCENDING))
+    else Array.empty
 
   override def planInputPartitions(): Array[InputPartition] =
     units.map { case (b, files) =>

@@ -549,11 +549,11 @@ class GraftScanBuilder(path: String, version: Long, dataSchema: StructType)
             .reduceOption(_ && _)
             .map(Skipping.impliedBounds).getOrElse(Seq.empty)
           Merge.bucketScanUnits(spark, path, version, bounds)
-            .map { case (keyCol, n, units) =>
+            .map { case (keyCol, n, keySorted, units) =>
               Merge.versionSchema(spark, path, version) match {
                 case Some(full) =>
                   new GraftBucketScan(path, version, full, required,
-                    pushed, keyCol, n, units): Scan
+                    pushed, keyCol, n, keySorted, units): Scan
                 case None =>
                   new GraftScan(path, version, pushed, required, limit)
               }

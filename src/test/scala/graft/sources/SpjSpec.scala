@@ -124,6 +124,45 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  private def sortNodes(plan: String): Int =
+    plan.linesIterator.count(l =>
+      l.contains(" Sort [") && !l.contains("SortMergeJoin"))
+
+  test("key-sorted scan: the co-bucketed merge join plans with no " +
+      "Exchange AND no Sort; a zOrder rewrite brings the Sorts back") {
+    val (cat, root) = mkCatalog("sorted")
+    spark.sql(s"CREATE TABLE $cat.a (id BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (bucket(8, id))")
+    spark.sql(s"CREATE TABLE $cat.b (id BIGINT, w DOUBLE) " +
+      "PARTITIONED BY (bucket(8, id))")
+    spark.range(300).selectExpr("id", "cast(id as double) AS v")
+      .createOrReplaceTempView("spj_sort_a")
+    spark.range(300).selectExpr("id", "cast(id * 2 as double) AS w")
+      .createOrReplaceTempView("spj_sort_b")
+    spark.sql(s"INSERT INTO $cat.a SELECT * FROM spj_sort_a")
+    spark.sql(s"INSERT INTO $cat.b SELECT * FROM spj_sort_b")
+    val q = s"SELECT a.id, a.v, b.w FROM $cat.a a " +
+      s"JOIN $cat.b b ON a.id = b.id"
+    withSpj {
+      val j = spark.sql(q)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"no exchange expected:\n$plan")
+      assert(sortNodes(plan) == 0,
+        s"key-sorted single-file buckets must elide the join sorts:\n$plan")
+      assert(j.count() == 300L)
+      // a zOrder rewrite sorts files by OTHER columns — the manifest
+      // drops keySorted, the scan stops reporting ordering, and the
+      // join sorts again (correctness never depended on the report)
+      val pathB = new File(root, "b").getAbsolutePath
+      Merge.compactVersion(spark, pathB, zOrderBy = Seq("w"))
+      val j2 = spark.sql(q)
+      val plan2 = j2.queryExecution.executedPlan.toString
+      assert(sortNodes(plan2) > 0,
+        s"post-zOrder files are not key-sorted — Sort must return:\n$plan2")
+      assert(j2.count() == 300L)
+    }
+  }
+
   test("runtime bucket pruning: a broadcast-joined filtered dim prunes " +
       "the fact scan's buckets at execution time (DPP for buckets)") {
     val (cat, _) = mkCatalog("dpp")

@@ -146,9 +146,15 @@ class GraftBucketScan(path: String, version: Long, dataSchema: StructType,
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val readFunc = ParquetReadShim.buildReader(
-      SparkSession.active, dataSchema, required, pushed.toSeq)
-    new GraftBucketReaderFactory(readFunc)
+    val spark = SparkSession.active
+    val rowFunc = ParquetReadShim.buildReader(
+      spark, dataSchema, required, pushed.toSeq)
+    // vectorized whenever the schema batches (atomic types): DSv2
+    // columnar reads keep this scan's throughput at parity with
+    // Spark's own parquet scans; row mode is the complex-type fallback
+    val batchFunc = ParquetReadShim.buildColumnarReader(
+      spark, dataSchema, required, pushed.toSeq)
+    new GraftBucketReaderFactory(rowFunc, batchFunc)
   }
 }
 
@@ -169,21 +175,45 @@ case class GraftBucketInputPartition(bucket: Long,
 }
 
 class GraftBucketReaderFactory(
-    readFunc: org.apache.spark.sql.execution.datasources.PartitionedFile
-      => Iterator[InternalRow])
+    rowFunc: org.apache.spark.sql.execution.datasources.PartitionedFile
+      => Iterator[InternalRow],
+    batchFunc: Option[
+      org.apache.spark.sql.execution.datasources.PartitionedFile
+        => Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]])
     extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    batchFunc.isDefined
 
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftBucketInputPartition]
     new PartitionReader[InternalRow] {
       private val it = p.files.iterator.flatMap { case (f, len) =>
-        readFunc(ParquetReadShim.partitionedFile(f, len))
+        rowFunc(ParquetReadShim.partitionedFile(f, len))
       }
       private var row: InternalRow = _
       override def next(): Boolean =
         if (it.hasNext) { row = it.next(); true } else false
       override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val f = batchFunc.getOrElse(
+      throw new UnsupportedOperationException("row-only schema"))
+    val p = partition.asInstanceOf[GraftBucketInputPartition]
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private val it = p.files.iterator.flatMap { case (path, len) =>
+        f(ParquetReadShim.partitionedFile(path, len))
+      }
+      private var batch: org.apache.spark.sql.vectorized.ColumnarBatch = _
+      override def next(): Boolean =
+        if (it.hasNext) { batch = it.next(); true } else false
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+        batch
       override def close(): Unit = ()
     }
   }

@@ -39,6 +39,31 @@ object ParquetReadShim {
       Map(FileFormat.OPTION_RETURNING_BATCH -> "false"), conf)
   }
 
+  /** The COLUMNAR variant — Some only when the vectorized parquet
+    * reader can batch this schema (`supportBatch`: atomic types,
+    * within the wholestage field limits). With
+    * `OPTION_RETURNING_BATCH = true` the returned iterator's elements
+    * ARE `ColumnarBatch`es erased to `InternalRow` (the same contract
+    * `FileSourceScanExec` consumes with a cast) — this is what keeps
+    * the native bucket scan's throughput at parity with Spark's own
+    * columnar parquet scans.
+    */
+  def buildColumnarReader(spark: SparkSession, dataSchema: StructType,
+      requiredSchema: StructType, filters: Seq[Filter])
+      : Option[PartitionedFile =>
+        Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]] = {
+    val cs = spark.asInstanceOf[ClassicSession]
+    val fmt = new ParquetFileFormat()
+    if (!fmt.supportBatch(cs, requiredSchema)) return None
+    val conf: Configuration =
+      cs.sessionState.newHadoopConfWithOptions(Map.empty)
+    val f = fmt.buildReaderWithPartitionValues(
+      cs, dataSchema, new StructType(), requiredSchema, filters,
+      Map(FileFormat.OPTION_RETURNING_BATCH -> "true"), conf)
+    Some(pf => f(pf).asInstanceOf[
+      Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]])
+  }
+
   def partitionedFile(path: String, length: Long): PartitionedFile =
     PartitionedFile(InternalRow.empty, SparkPath.fromPathString(path),
       0L, length, Array.empty, 0L, length)

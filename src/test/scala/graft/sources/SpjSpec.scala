@@ -81,6 +81,18 @@ class SpjSpec extends SparkSpec {
         s"SPJ must plan the join with NO exchange:\n$plan")
       assert(on.as[(Long, Double, String)].collect().toSeq.sorted ==
         expected, "SPJ rows must equal the shuffled join's")
+      // columnar transitions are visible with AQE off (the adaptive
+      // plan string hides them inside its result stage)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val noAqe = spark.sql(q)
+        val p2 = noAqe.queryExecution.executedPlan.toString
+        assert(p2.contains("ColumnarToRow"),
+          s"atomic schemas must read VECTORIZED on the native scan:\n$p2")
+        assert(!p2.contains("Exchange"), s"still exchange-free:\n$p2")
+        assert(noAqe.as[(Long, Double, String)].collect().toSeq.sorted ==
+          expected)
+      } finally spark.conf.unset("spark.sql.adaptive.enabled")
     }
   }
 

@@ -390,6 +390,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           org.apache.spark.sql.functions.col(strLit(c(2), "textCol")),
           threshold = pct / 100.0)
       })
+    // Model-based quality scoring from pure SQL: load a TRAINED
+    // quality classifier (QualityModel.save's one-file weight table)
+    // and append its P(keep) score — the source columns ride through:
+    //   SELECT * FROM graft_model_score('/models/q', 'docs_view', 'text')
+    registerTableFn("graft_model_score",
+      "usage: graft_model_score('modelPath', 'viewOrPath', 'textCol')",
+      c => {
+        require(c.size == 3, "takes 3 arguments")
+        val s = org.apache.spark.sql.SparkSession.active
+        val m = graft.pipeline.QualityModel.load(s,
+          strLit(c.head, "modelPath"))
+        val src = strLit(c(1), "source")
+        val df = try s.table(src)
+          catch { case _: Exception => s.read.parquet(src) }
+        df.withColumn("quality_score",
+          graft.pipeline.QualityModel.scoreCol(m,
+            org.apache.spark.sql.functions.col(strLit(c(2), "textCol"))))
+      })
     registerTableFn("graft_ann_topk",
       "usage: graft_ann_topk('indexPath', 'queriesViewOrPath', " +
       "'qidCol', 'vecCol', k, nProbe [, 'allowedViewOrPath'])", c => {

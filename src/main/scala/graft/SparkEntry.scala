@@ -4006,6 +4006,35 @@ object SparkEntry {
         "the planted separable problem must train to exact separation")
       preds.select("doc_id", "pred").orderBy("doc_id")
     }),
+    "q_model_score" -> ((s, dir) => {
+      // MODEL-BASED SCORING FROM PURE SQL: train the quality
+      // classifier, persist it as its one-file weight table, then
+      // score through the graft_model_score TVF — the "train once,
+      // filter every corpus from SQL" production shape. Required
+      // in-gate: exact separation (as q_quality_classifier) so the
+      // thresholded SQL read-back ≡ the oracle's planted rule.
+      import graft.pipeline.QualityModel
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val planted = t(s, dir, "documents").select("doc_id", "text")
+        .withColumn("text", concat(col("text"),
+          when(col("doc_id") % 2 === 0, lit(" qualhi"))
+            .otherwise(lit(" quallo"))))
+        .withColumn("label", (col("doc_id") % 2 === 0).cast("int"))
+      val m = QualityModel.train(planted, "text", "label",
+        dim = 1 << 14, iters = 30)
+      require(planted.withColumn("pred",
+          QualityModel.predictCol(m, col("text")))
+        .filter(col("pred") =!= col("label")).isEmpty,
+        "the planted separable problem must train to exact separation")
+      val modelPath = new java.io.File(scratchRoot,
+        s"graft_qmodel_$sf").getAbsolutePath
+      QualityModel.save(s, m, modelPath)
+      val view = s"graft_qmodel_src_$sf"
+      planted.createOrReplaceTempView(view)
+      s.sql(s"SELECT doc_id, CAST(quality_score >= 0.5 AS INT) AS pred " +
+        s"FROM graft_model_score('$modelPath', '$view', 'text') " +
+        "ORDER BY doc_id")
+    }),
     "q_token_rank_quality" -> ((s, dir) => {
       // corpus-frequency token-rank scoring — the deterministic stand-in
       // for CCNet's KenLM perplexity filter (the corpus IS the model):
@@ -8119,6 +8148,10 @@ object SparkEntry {
          ORDER BY p_partkey, metric""",
     // the trained classifier must reproduce the planted labeling rule
     "q_quality_classifier" ->
+      """SELECT doc_id, CAST(doc_id % 2 = 0 AS INT) AS pred
+         FROM documents ORDER BY doc_id""",
+    // the persisted model scored through SQL ≡ the same planted rule
+    "q_model_score" ->
       """SELECT doc_id, CAST(doc_id % 2 = 0 AS INT) AS pred
          FROM documents ORDER BY doc_id""",
     // token-rank quality: the corpus-model replay — same tokenization,

@@ -130,4 +130,23 @@ object QualityModel {
   def predictCol(model: Model, text: Column,
       threshold: Double = 0.5): Column =
     (scoreCol(model, text) >= lit(threshold)).cast("int")
+
+  /** Persist the model as one tiny parquet table (index, weight) —
+    * train once on the labeled sample, score whole corpora in any
+    * later session. dim+1 rows, one file.
+    */
+  def save(spark: org.apache.spark.sql.SparkSession, model: Model,
+      path: String): Unit = {
+    import spark.implicits._
+    model.weights.zipWithIndex.map { case (w, i) => (i, w) }.toSeq
+      .toDF("i", "w")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession,
+      path: String): Model = {
+    val rows = spark.read.parquet(path).orderBy("i").collect()
+    require(rows.nonEmpty, s"$path holds no model")
+    Model(rows.length - 1, rows.map(_.getDouble(1)))
+  }
 }

@@ -74,6 +74,22 @@ class QualityModelSpec extends SparkSpec {
     assert(edge.forall(s => math.abs(s - bias) < 1e-12))
   }
 
+  test("save/load round-trips the model exactly: scores bit-identical") {
+    val m = QualityModel.train(planted, "text", "label",
+      dim = 1 << 10, iters = 10)
+    val path = java.nio.file.Files
+      .createTempDirectory("qm_model").toString + "/m"
+    QualityModel.save(spark, m, path)
+    val m2 = QualityModel.load(spark, path)
+    assert(m2.dim == m.dim)
+    assert(m2.weights.toSeq == m.weights.toSeq)
+    val a = planted.withColumn("s", QualityModel.scoreCol(m, col("text")))
+      .select("s").as[Double].collect().toSeq
+    val b = planted.withColumn("s", QualityModel.scoreCol(m2, col("text")))
+      .select("s").as[Double].collect().toSeq
+    assert(a == b)
+  }
+
   test("hash collisions stay inside dim; tiny dim still trains") {
     val m = QualityModel.train(planted, "text", "label",
       dim = 32, iters = 50, lr = 3.0)

@@ -207,6 +207,40 @@ class SpjSpec extends SparkSpec {
     } finally spark.conf.set("spark.graft.bucketedScan", "false")
   }
 
+  test("one-side shuffle: a graft table joined to a PLAIN frame " +
+      "shuffles only the plain side, routed by the V2 bucket function") {
+    val (cat, _) = mkCatalog("oneside")
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (bucket(8, id))")
+    spark.range(250).selectExpr("id", "cast(id as double) AS v")
+      .createOrReplaceTempView("spj_os_src")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM spj_os_src")
+    spark.range(250).selectExpr("id", "concat('p', id) AS tag")
+      .createOrReplaceTempView("spj_os_plain")
+    withSpj {
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+      try {
+        val j = spark.sql(s"SELECT t.id, t.v, p.tag FROM $cat.t t " +
+          "JOIN spj_os_plain p ON t.id = p.id")
+        val plan = j.queryExecution.executedPlan.toString
+        val exchanges = plan.linesIterator
+          .count(_.contains("Exchange"))
+        // exactly ONE exchange — the plain side routed INTO the graft
+        // table's bucket partitioning by GraftBucketFunction; the
+        // table side streams from storage unshuffled. If produceResult
+        // disagreed with the writer's routing, matching keys would
+        // land in different partitions and rows would VANISH — the
+        // count is the end-to-end proof of the hash contract.
+        assert(exchanges == 1,
+          s"expected exactly one exchange (the plain side):\n$plan")
+        assert(j.count() == 250L,
+          "every key must meet its match under function-routed shuffle")
+      } finally spark.conf.unset(
+        "spark.sql.sources.v2.bucketing.shuffle.enabled")
+    }
+  }
+
   test("groupBy on the bucket key also skips its exchange under the " +
       "native scan (co-partitioned aggregation)") {
     val (cat, _) = mkCatalog("agg")

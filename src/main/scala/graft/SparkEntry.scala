@@ -3980,6 +3980,19 @@ object SparkEntry {
         TextAnalysis.meanTokenLength(col("text")).as("mean_token_len"))
         .orderBy("doc_id")
     }),
+    "q_doc_chunks" -> ((s, dir) => {
+      // DOCUMENT CHUNKING: overlapping token windows (the RAG /
+      // pretraining splitter) as a pure codegen'd Column kernel —
+      // chunk i covers tokens [i·48, i·48+64), last chunk anchored so
+      // every token is covered, <= window docs one chunk, blank docs
+      // none. Read-back ≡ the oracle slicing the same windows in SQL.
+      import graft.pipeline.TextAnalysis
+      t(s, dir, "documents").select(col("doc_id"),
+        posexplode(TextAnalysis.chunkTokens(col("text"), 64, 48)))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+          col("col").as("chunk"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
     "q_quality_classifier" -> ((s, dir) => {
       // TRAINABLE QUALITY CLASSIFIER (GPT-3/CCNet's model-based filter,
       // fastText-supervised shape): logistic regression over
@@ -8146,6 +8159,23 @@ object SparkEntry {
            SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part)
          WHERE p_partkey <= 100
          ORDER BY p_partkey, metric""",
+    // the token-window slicer replayed with DuckDB list slicing
+    "q_doc_chunks" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  CASE WHEN trim(text) = '' THEN []
+                       ELSE string_split_regex(trim(text), '\s+')
+                  END AS t
+           FROM documents),
+         sized AS (
+           SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0)
+         SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+                array_to_string(t[i*48+1 : i*48+64], ' ') AS chunk
+         FROM sized,
+              unnest(generate_series(0,
+                CASE WHEN n <= 64 THEN 0
+                     ELSE CAST(ceil((n - 64) / 48.0) AS INT) END)) AS u(i)
+         ORDER BY doc_id, chunk_idx""",
     // the trained classifier must reproduce the planted labeling rule
     "q_quality_classifier" ->
       """SELECT doc_id, CAST(doc_id % 2 = 0 AS INT) AS pred

@@ -18,6 +18,34 @@ object TextAnalysis {
   /** Whitespace token count (0 for null/blank). */
   def tokenCount(c: Column): Column = size(tokensCol(c))
 
+  /** DOCUMENT CHUNKING — overlapping token windows, the splitter every
+    * RAG/pretraining pipeline runs before embedding or packing: chunk
+    * `i` covers tokens `[i·stride, i·stride + window)`, the last chunk
+    * starts at `ceil((n − window)/stride)·stride` so every token is
+    * covered and consecutive chunks overlap by `window − stride`.
+    * Pure `Column` kernel (sequence/transform/slice — whole-stage
+    * codegen, no UDF): at 100 TB chunking is a row-local scan; explode
+    * downstream and the chunk count, not the document count, sizes the
+    * shuffle. Chunk text re-joins tokens with single spaces (internal
+    * whitespace normalizes — the tokenizer's view, which is what the
+    * embedder sees anyway). Empty/null text -> zero chunks; a doc of
+    * <= window tokens -> exactly one chunk.
+    */
+  def chunkTokens(c: Column, window: Int, stride: Int): Column = {
+    require(window > 0, s"window must be positive, got $window")
+    require(stride > 0 && stride <= window,
+      s"stride must be in [1, window], got $stride (window $window)")
+    val toks = tokensCol(c)
+    val n = size(toks)
+    val last = when(n <= lit(window), lit(0))
+      .otherwise(ceil((n - lit(window)).cast("double") / lit(stride))
+        .cast("int"))
+    when(n === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), last),
+        i => array_join(
+          slice(toks, i * lit(stride) + 1, lit(window)), " ")))
+  }
+
   /** BPE-ish subword count approximation: alphanumeric runs plus
     * non-alphanumeric runs that carry a non-space mark each count as one
     * token. A deterministic stand-in for a real tokenizer's token count,

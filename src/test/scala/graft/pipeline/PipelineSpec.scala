@@ -12,6 +12,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.toSeq == Seq(3, 0, 0, 0, 1))
   }
 
+  test("chunkTokens: full coverage with declared overlap; short docs " +
+      "one chunk; empty/null zero chunks; misuse refused") {
+    val txt = (1 to 10).map(i => s"t$i").mkString(" ")
+    def chunks(t: String, w: Int, s: Int): Seq[Seq[String]] =
+      Seq(t).toDF("x")
+        .select(TextAnalysis.chunkTokens(col("x"), w, s))
+        .as[Seq[String]].head().map(_.split(" ").toSeq)
+    // 10 tokens, window 4, stride 3 -> starts 0,3,6 (ceil(6/3)=2)
+    val c = chunks(txt, 4, 3)
+    assert(c.map(_.head) == Seq("t1", "t4", "t7"))
+    assert(c.forall(_.size == 4) || c.last.size <= 4)
+    assert(c.flatten.toSet == (1 to 10).map(i => s"t$i").toSet,
+      "every token must appear in some chunk")
+    // consecutive chunks overlap by window - stride
+    assert(c(0).takeRight(1) == c(1).take(1))
+    // exact boundary: 8 tokens, window 4, stride 4 -> 2 disjoint chunks
+    val b = chunks((1 to 8).map(i => s"t$i").mkString(" "), 4, 4)
+    assert(b.size == 2 && b(0).size == 4 && b(1).size == 4)
+    // short doc -> ONE chunk, whitespace normalized
+    assert(chunks("a   b  c", 8, 4) == Seq(Seq("a", "b", "c")))
+    // empty / blank / null -> zero chunks
+    val edge = Seq("", "   ", null.asInstanceOf[String]).toDF("x")
+      .select(TextAnalysis.chunkTokens(col("x"), 4, 2))
+      .as[Seq[String]].collect()
+    assert(edge.forall(_.isEmpty))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkTokens(col("x"), 4, 5) // stride > window: gaps
+    }
+    ()
+  }
+
   test("subwordCount: alnum runs + non-space marks, null/blank -> 0") {
     val df = Seq("hello, world!", "a-b_c", "", "   ", null, "42abc")
       .toDF("t")

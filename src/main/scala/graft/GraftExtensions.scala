@@ -214,6 +214,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // text-analysis kernels: same Column code the DataFrame surface runs
     registerColumnFn("graft_token_count", 1,
       c => graft.pipeline.TextAnalysis.tokenCount(column(c.head)))
+    registerColumnFn("graft_chunk_tokens", 3,
+      c => graft.pipeline.TextAnalysis.chunkTokens(column(c.head),
+        intLit(c(1), "window"), intLit(c(2), "stride")))
     registerColumnFn("graft_subword_count", 1,
       c => graft.pipeline.TextAnalysis.subwordCount(column(c.head)))
     registerColumnFn("graft_quality_score", 1,

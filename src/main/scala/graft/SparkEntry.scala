@@ -5869,7 +5869,8 @@ object SparkEntry {
                       graft_token_count(text) AS n_tokens,
                       graft_quality_score(text) AS quality,
                       graft_fingerprint(text) AS fingerprint,
-                      graft_hash_bucket(doc_id, 'graft') AS bucket
+                      graft_hash_bucket(doc_id, 'graft') AS bucket,
+                      size(graft_chunk_tokens(text, 64, 48)) AS n_chunks
                FROM __docs_sql ORDER BY doc_id""")
     }),
     // ---- streaming-shape operators on batch input (SURVEY §2f ext) -----
@@ -9155,7 +9156,15 @@ object SparkEntry {
                         substring(md5(CAST(doc_id AS VARCHAR) || 'graft'), 3, 1)) - 1)
                     + (strpos('0123456789abcdef',
                         substring(md5(CAST(doc_id AS VARCHAR) || 'graft'), 4, 1)) - 1))
-                   % 100 AS INT) AS bucket
+                   % 100 AS INT) AS bucket,
+                CAST(CASE
+                  WHEN trim(text) = '' THEN 0
+                  WHEN length(string_split_regex(trim(text), '\s+')) <= 64
+                    THEN 1
+                  ELSE CAST(ceil(
+                    (length(string_split_regex(trim(text), '\s+')) - 64)
+                      / 48.0) AS INT) + 1
+                END AS INT) AS n_chunks
          FROM documents ORDER BY doc_id""",
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id FROM events ORDER BY user_id""",

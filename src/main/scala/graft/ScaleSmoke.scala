@@ -304,6 +304,26 @@ object ScaleSmoke {
         })
     }
 
+    // ---- r14 QUALITY-CLASSIFIER TRAINING: each iteration is one
+    // featurized-corpus pass + a <= dim+1-key aggregation, so training
+    // cost must scale ~linearly with the corpus (never with dim²) and
+    // scoring is a pure scan.
+    Seq(("1x", docs), (s"${factor}x", inflated)).foreach { case (tag, d) =>
+      println(s"--- $tag quality_train")
+      val labeled = d.withColumn("label",
+        (col("doc_id") % 2 === 0).cast("int"))
+        .withColumn("text", concat(col("text"),
+          when(col("doc_id") % 2 === 0, lit(" qualhi"))
+            .otherwise(lit(" quallo"))))
+      var model: graft.pipeline.QualityModel.Model = null
+      timed(s"quality_train")({
+        model = graft.pipeline.QualityModel.train(labeled, "text",
+          "label", dim = 1 << 15, iters = 10)
+      })
+      time(s"quality_score")(labeled.withColumn("s",
+        graft.pipeline.QualityModel.scoreCol(model, col("text"))))
+    }
+
     // ---- r14 STORAGE-PARTITIONED JOIN: the same co-bucketed join,
     // shuffled vs exchange-free under the native bucket scan. The
     // shuffled plan exchanges both sides (payload included); SPJ reads

@@ -724,6 +724,19 @@ object Merge {
       .map(_.statsCols).getOrElse(Seq.empty)
   }
 
+  /** Whether every current data file is key-sorted (the sorted-scan
+    * contract — see Manifest.keySorted). Operator-facing: DESCRIBE
+    * surfaces it, and a false answer means a clusterBy/zOrder layout
+    * is active and merge joins will sort.
+    */
+  def tableKeySorted(spark: SparkSession, path: String): Boolean = {
+    val (_, root) = fsFor(spark, path)
+    val v = currentVersion(spark, path)
+    require(v >= 0, s"$path has no version log")
+    readManifestOpt(spark, root, v, resolveShards = false)
+      .exists(_.keySorted)
+  }
+
   /** A batch (or the table, at [[addConstraint]] time) holds rows that
     * fail a recorded CHECK constraint — the commit was REFUSED, the
     * table is unchanged.

@@ -257,7 +257,10 @@ class GraftTable(val path: String, val pinnedVersion: Long,
     val extras = try {
       val spark = SparkSession.active
       val layout = Merge.tableLayout(spark, path).map { case (k, n) =>
-        Map("key" -> k, "buckets" -> n.toString)
+        Map("key" -> k, "buckets" -> n.toString,
+          // the sorted-scan contract: false means a clusterBy/zOrder
+          // layout is active and merge joins will sort
+          "keySorted" -> Merge.tableKeySorted(spark, path).toString)
       }.getOrElse(Map.empty)
       val cs = Merge.tableStatsCols(spark, path)
       val stats = if (cs.isEmpty) Map.empty[String, String]

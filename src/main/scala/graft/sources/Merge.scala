@@ -2656,9 +2656,10 @@ object Merge {
       // insert here (the SQL INSERT doorway, where they ARE
       // distinguishable, enforces allowExplicitInsert) — and they
       // advance the mark too, so later mints never collide with them.
-      // Cost on identity tables only: the null-id subset serializing
-      // through a single-partition window (provide explicit ids for
-      // giant seed backfills).
+      // Cost on identity tables only: one pass pinning the null-id
+      // subset plus a bounded per-partition offsets job — minting runs
+      // PARALLEL per partition, so seed backfills of any size mint at
+      // scan speed.
       val idn = org.apache.spark.sql.catalyst.util.IdentityColumn
       // (field, step, base mark): every id ever issued is at or behind
       // `base` in step direction
@@ -2689,12 +2690,32 @@ object Merge {
       val idApplied = idBases.foldLeft(updates) { case (d, (f, step, hwm)) =>
         if (d.filter(col(f.name).isNull).isEmpty) d
         else {
+          // DISTRIBUTED minting: per-partition row_number + broadcast
+          // partition offsets — never a single-partition window, so a
+          // billion-row seed backfill mints in parallel. The null-id
+          // subset is PINNED first (localCheckpoint) so the offsets
+          // job and the numbering job see identical partitions.
+          val nulls = d.filter(col(f.name).isNull).localCheckpoint()
+          val withPid = nulls.withColumn("__pid", spark_partition_id())
+          val counts = withPid.groupBy("__pid").count().collect()
+            .map(r => (r.getInt(0), r.getLong(1)))
+            .sortBy(_._1) // bounded by the batch's partition count
+          val offsets: Map[Int, Long] = counts
+            .scanLeft((Int.MinValue, 0L)) { case ((_, acc), (pid, n)) =>
+              (pid, acc + n)
+            }
+            .sliding(2).collect { case Array((_, acc), (pid, _)) =>
+              pid -> acc
+            }.toMap
+          val offOf = udf { pid: Int => offsets(pid) }
           val w = org.apache.spark.sql.expressions.Window
-            .orderBy(monotonically_increasing_id())
+            .partitionBy("__pid").orderBy(monotonically_increasing_id())
           d.filter(col(f.name).isNotNull).unionByName(
-            d.filter(col(f.name).isNull).withColumn(f.name,
-              (lit(hwm) + lit(step) * row_number().over(w))
-                .cast(f.dataType)))
+            withPid.withColumn(f.name,
+              (lit(hwm) + lit(step) *
+                (offOf(col("__pid")) + row_number().over(w)))
+                .cast(f.dataType))
+              .drop("__pid"))
             .localCheckpoint() // minted ids must survive the
                                // merge's several passes unchanged
         }

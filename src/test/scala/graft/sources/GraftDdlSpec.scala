@@ -204,6 +204,34 @@ class GraftDdlSpec extends SparkSpec {
       bad2.getMessage)
   }
 
+  test("IDENTITY minting is parallel: a many-partition batch mints a " +
+      "contiguous gap-free id range past the mark") {
+    val (cat, root) = mkCatalog("identpar")
+    spark.sql(s"CREATE TABLE $cat.t (" +
+      "id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 100 " +
+      "INCREMENT BY 3), v STRING) PARTITIONED BY (bucket(8, id))")
+    val path = new File(root, "t").getAbsolutePath
+    // 500 null-id rows spread over 13 partitions — the minting must
+    // produce EXACTLY hwm + step·(1..500), no collisions, no gaps,
+    // whatever partition each row sits in
+    val batch = spark.range(500).repartition(13)
+      .selectExpr("CAST(null AS BIGINT) AS id", "concat('v', id) AS v")
+    Merge.upsert(spark, path, batch, "id", nBuckets = 8)
+    val ids = spark.sql(s"SELECT id FROM $cat.t").as[Long].collect()
+    assert(ids.length == 500 && ids.distinct.length == 500)
+    assert(ids.sorted.toSeq == (1 to 500).map(i => 100L + 3L * (i - 1)),
+      "minted ids must be the contiguous stepped range past the mark")
+    // second batch continues past the persisted mark
+    Merge.upsert(spark, path,
+      spark.range(10).repartition(4)
+        .selectExpr("CAST(null AS BIGINT) AS id",
+          "concat('w', id) AS v"),
+      "id", nBuckets = 8)
+    val all = spark.sql(s"SELECT id FROM $cat.t").as[Long].collect()
+    assert(all.length == 510 && all.distinct.length == 510)
+    assert(all.max == 100L + 3L * 509)
+  }
+
   test("IDENTITY high-water mark is monotonic: deleting the max-id row " +
       "never re-mints its id (persisted mark, not live-file stats)") {
     val (cat, root) = mkCatalog("identhwm")

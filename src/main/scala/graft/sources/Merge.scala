@@ -2817,8 +2817,19 @@ object Merge {
         .getOrElse(withB)
         .select((outCols :+ "__bucket").map(col): _*)
       // filesPerBucket file(s) per touched bucket ([[bucketPartitioned]])
+      // the anti-join's right side is just the batch's KEYS — for the
+      // typical small batch (we know its exact row count from the
+      // perBucket agg) hint a broadcast, so the touched-bucket base
+      // rows stream STRAIGHT from parquet into the join with no
+      // shuffle: a small upsert into a huge table then pays one
+      // shuffle (the bucket repartition), not two. Big batches keep
+      // the shuffled join.
+      val updKeys = withB.select(col(keyCol))
+      val joinKeys =
+        if (rowsUpserted + rowsDeleted <= 1000000L) broadcast(updKeys)
+        else updKeys
       val merged = bucketPartitioned(baseAligned
-        .join(withB.select(col(keyCol)), Seq(keyCol), "left_anti")
+        .join(joinKeys, Seq(keyCol), "left_anti")
         .unionByName(inserts), filesPerBucket, touched.size,
         sortKey = Some(keyCol))
       // APPEND-only: stage to a job-scoped dir, move the exact file set in

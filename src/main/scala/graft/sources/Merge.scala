@@ -2208,13 +2208,27 @@ object Merge {
     val sel =
       if (bounds.isEmpty) m.files
       else planVersionFiles(spark, path, version, bounds)._1
+    // lengths via ONE listStatus per bucket DIRECTORY — O(buckets)
+    // namenode calls, never O(files): a million-file table plans with
+    // thousands of listings, the same cost class as any partitioned
+    // file index
+    val abs: Map[String, Path] = sel.map { f =>
+      val p = new Path(f)
+      (f, if (p.isAbsolute) p else new Path(root, f))
+    }.toMap
+    val lenByPath: Map[String, Long] = abs.values.map(_.getParent)
+      .toSeq.distinct
+      .flatMap(dir => fs.listStatus(dir).filter(_.isFile)
+        .map(st => st.getPath.toString -> st.getLen))
+      .toMap
     val units = sel.groupBy(bucketOf).toSeq.sortBy(_._1).map {
       case (b, files) =>
         (b, files.sorted.map { f =>
-          val p = if (new Path(f).isAbsolute) new Path(f)
-                  else new Path(root, f)
-          val st = fs.getFileStatus(p)
-          (st.getPath.toString, st.getLen)
+          val p = abs(f)
+          val key = fs.makeQualified(p).toString
+          (key, lenByPath.getOrElse(key,
+            fs.getFileStatus(p).getLen)) // racing compaction landed a
+              // file after the listing: stat it directly
         })
     }
     Some((keyCol, n, m.keySorted, units))

@@ -3993,6 +3993,29 @@ object SparkEntry {
           col("col").as("chunk"))
         .orderBy("doc_id", "chunk_idx")
     }),
+    "q_chunk_dedup" -> ((s, dir) => {
+      // the PRE-EMBEDDING pipeline composition every RAG/pretraining
+      // corpus runs: chunk into overlapping token windows, then exact-
+      // dedup the chunks by normalized fingerprint (boilerplate and
+      // repeated passages collapse at CHUNK granularity, where document
+      // dedup can't see them). Composed entirely from gated operators —
+      // chunkTokens + fingerprint + the hash-agg exactDedup (no window
+      // over the corpus) — and hash-exact against the oracle replaying
+      // chunking, md5 fingerprinting, and keep-first in SQL.
+      import graft.pipeline.{Dedup, TextAnalysis}
+      val chunks = t(s, dir, "documents").select(col("doc_id"),
+        posexplode(TextAnalysis.chunkTokens(col("text"), 64, 48)))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+          col("col").as("chunk"))
+        // surrogate id: lexicographic (doc_id, chunk_idx) min == the
+        // numeric min (chunk_idx < 1e6 by construction)
+        .withColumn("__cid",
+          col("doc_id") * lit(1000000L) + col("chunk_idx"))
+      Dedup.exactDedup(chunks, "__cid",
+          TextAnalysis.fingerprint(col("chunk")))
+        .select("doc_id", "chunk_idx", "chunk")
+        .orderBy("doc_id", "chunk_idx")
+    }),
     "q_quality_classifier" -> ((s, dir) => {
       // TRAINABLE QUALITY CLASSIFIER (GPT-3/CCNet's model-based filter,
       // fastText-supervised shape): logistic regression over
@@ -8176,6 +8199,32 @@ object SparkEntry {
               unnest(generate_series(0,
                 CASE WHEN n <= 64 THEN 0
                      ELSE CAST(ceil((n - 64) / 48.0) AS INT) END)) AS u(i)
+         ORDER BY doc_id, chunk_idx""",
+    // chunk -> fingerprint -> keep-first replayed in SQL
+    "q_chunk_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  CASE WHEN trim(text) = '' THEN []
+                       ELSE string_split_regex(trim(text), '\s+')
+                  END AS t
+           FROM documents),
+         sized AS (
+           SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+         chunks AS (
+           SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+                  array_to_string(t[i*48+1 : i*48+64], ' ') AS chunk
+           FROM sized,
+                unnest(generate_series(0,
+                  CASE WHEN n <= 64 THEN 0
+                       ELSE CAST(ceil((n - 64) / 48.0) AS INT)
+                  END)) AS u(i))
+         SELECT doc_id, chunk_idx, chunk FROM (
+           SELECT doc_id, chunk_idx, chunk,
+                  row_number() OVER (
+                    PARTITION BY md5(lower(regexp_replace(
+                      trim(chunk), '\s+', ' ', 'g')))
+                    ORDER BY doc_id, chunk_idx) AS rn
+           FROM chunks) WHERE rn = 1
          ORDER BY doc_id, chunk_idx""",
     // the trained classifier must reproduce the planted labeling rule
     "q_quality_classifier" ->

@@ -3993,6 +3993,41 @@ object SparkEntry {
           col("col").as("chunk"))
         .orderBy("doc_id", "chunk_idx")
     }),
+    "q_stream_quality" -> ((s, dir) => {
+      // MODEL-FILTERED INGESTION: train the quality classifier on a
+      // labeled batch, then run it as a REAL Structured Streaming
+      // filter (file source → availableNow → memory sink) — the
+      // continuous-ingestion shape of "score and keep" (the model is
+      // driver state broadcast into the stream's tasks; scoring is
+      // row-local, so the stream pays no extra shuffle). Required
+      // in-gate: exact separation; the streamed keep-set ≡ the
+      // oracle's planted rule.
+      import graft.pipeline.QualityModel
+      val mark = (c: org.apache.spark.sql.Column) =>
+        concat(c, when(col("doc_id") % 2 === 0, lit(" qualhi"))
+          .otherwise(lit(" quallo")))
+      val planted = t(s, dir, "documents").select("doc_id", "text")
+        .withColumn("text", mark(col("text")))
+        .withColumn("label", (col("doc_id") % 2 === 0).cast("int"))
+      val m = QualityModel.train(planted, "text", "label",
+        dim = 1 << 14, iters = 30)
+      require(planted.withColumn("pred",
+          QualityModel.predictCol(m, col("text")))
+        .filter(col("pred") =!= col("label")).isEmpty,
+        "the planted separable problem must train to exact separation")
+      val schema = t(s, dir, "documents").schema
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select(col("doc_id"), mark(col("text")).as("text"))
+        .filter(QualityModel.predictCol(m, col("text")) === 1)
+        .select("doc_id")
+        .writeStream.format("memory").queryName("q_stream_quality_sink")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("q_stream_quality_sink").orderBy("doc_id")
+    }),
     "q_chunk_dedup" -> ((s, dir) => {
       // the PRE-EMBEDDING pipeline composition every RAG/pretraining
       // corpus runs: chunk into overlapping token windows, then exact-
@@ -8200,6 +8235,10 @@ object SparkEntry {
                 CASE WHEN n <= 64 THEN 0
                      ELSE CAST(ceil((n - 64) / 48.0) AS INT) END)) AS u(i)
          ORDER BY doc_id, chunk_idx""",
+    // the streamed keep-set ≡ the planted rule
+    "q_stream_quality" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+         ORDER BY doc_id""",
     // chunk -> fingerprint -> keep-first replayed in SQL
     "q_chunk_dedup" ->
       """WITH toks AS (

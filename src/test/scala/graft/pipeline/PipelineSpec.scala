@@ -43,6 +43,46 @@ class TextAnalysisSpec extends SparkSpec {
     ()
   }
 
+  test("chunkTokens PROPERTY: for random (n, window, stride) every " +
+      "token is covered, the chunk count matches the closed form, " +
+      "and consecutive chunks overlap by exactly window - stride") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      n <- Gen.choose(0, 300)
+      w <- Gen.choose(1, 50)
+      s <- Gen.choose(1, w)
+    } yield (n, w, s)
+    val cases = (1 to 40).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+    val df = cases.zipWithIndex.map { case ((n, _, _), i) =>
+      (i.toLong, (1 to n).map(k => s"t$k").mkString(" "))
+    }.toDF("case_id", "text")
+    cases.zipWithIndex.foreach { case ((n, w, s), i) =>
+      val chunks = df.filter(col("case_id") === i.toLong)
+        .select(TextAnalysis.chunkTokens(col("text"), w, s))
+        .as[Seq[String]].head().map(c =>
+          if (c.isEmpty) Seq.empty else c.split(" ").toSeq)
+      val expected =
+        if (n == 0) 0
+        else if (n <= w) 1
+        else math.ceil((n - w).toDouble / s).toInt + 1
+      assert(chunks.length == expected,
+        s"(n=$n w=$w s=$s) chunk count ${chunks.length} != $expected")
+      // coverage: the union of chunk tokens is exactly the document
+      assert(chunks.flatten.toSet == (1 to n).map(k => s"t$k").toSet,
+        s"(n=$n w=$w s=$s) coverage broken")
+      // windows: chunk i starts at token i*s+1 (last one anchored so
+      // it ENDS at n) and runs w tokens (clamped at the tail)
+      chunks.zipWithIndex.foreach { case (c, ci) =>
+        assert(c.headOption.contains(s"t${ci * s + 1}"),
+          s"(n=$n w=$w s=$s) chunk $ci must start at t${ci * s + 1}")
+        assert(c.length == math.min(w, n - ci * s),
+          s"(n=$n w=$w s=$s) chunk $ci length")
+      }
+    }
+  }
+
   test("subwordCount: alnum runs + non-space marks, null/blank -> 0") {
     val df = Seq("hello, world!", "a-b_c", "", "   ", null, "42abc")
       .toDF("t")

@@ -1283,6 +1283,70 @@ object SparkEntry {
         s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       }
     }),
+    "q_spj_join_dv" -> ((s, dir) => {
+      // SPJ OVER A DV-BEARING TABLE (the CDC steady state): deletion-
+      // vector deletes touch NO data file, and the native bucket scan
+      // now subtracts them with a per-reader row-index skip mask — so
+      // the zero-shuffle co-bucketed join SURVIVES merge-on-read
+      // maintenance instead of falling back to the shuffled V1 bridge
+      // exactly where a maintained 100 TB fact table lives. Required
+      // in-gate: rows actually DV-deleted, the executed plan is a
+      // SortMergeJoin with NO Exchange, both sides native. Read-back ≡
+      // the oracle's join with the deleted keys filtered out.
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val root = new java.io.File(scratchRoot, s"graft_spjdv_$sf")
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      val cat = s"gspjdv_$sf"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root.getAbsolutePath)
+      val pv = s"graft_spjdv_p_$sf"; val lv = s"graft_spjdv_l_$sf"
+      t(s, dir, "part").select("p_partkey", "p_name", "p_retailprice")
+        .createOrReplaceTempView(pv)
+      t(s, dir, "lineitem").select("l_partkey", "l_quantity")
+        .createOrReplaceTempView(lv)
+      s.sql(s"CREATE TABLE $cat.parts (id BIGINT, name STRING, " +
+        "price DOUBLE) PARTITIONED BY (bucket(16, id))")
+      s.sql(s"CREATE TABLE $cat.demand (id BIGINT, qty DOUBLE, " +
+        "n BIGINT) PARTITIONED BY (bucket(16, id))")
+      s.sql(s"INSERT INTO $cat.parts " +
+        s"SELECT p_partkey, p_name, p_retailprice FROM $pv")
+      s.sql(s"INSERT INTO $cat.demand " +
+        "SELECT l_partkey, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE), " +
+        s"count(*) FROM $lv GROUP BY l_partkey")
+      // merge-on-read delete: every 7th key's demand row dies via DV
+      // sidecar — no data file rewritten (op records delete-dv)
+      val demandPath = new java.io.File(root, "demand").getAbsolutePath
+      val stats = graft.sources.Merge.deleteWhereDV(s, demandPath,
+        org.apache.spark.sql.functions.expr("id % 7 = 0"))
+      require(stats.rowsDeleted > 0,
+        "the DV delete must remove real rows for this gate to bite")
+      val join = s"SELECT p.id, p.name, p.price, d.qty, d.n " +
+        s"FROM $cat.parts p JOIN $cat.demand d ON p.id = d.id"
+      s.conf.set("spark.graft.bucketedScan", "true")
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set(
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val probe = s.sql(join)
+        val plan = probe.queryExecution.executedPlan.toString
+        require(plan.contains("SortMergeJoin") &&
+            !plan.contains("Exchange"),
+          s"the DV-bearing co-bucketed join must stay shuffle-free:\n" +
+          plan)
+        require(plan.contains("GraftBucketScan"),
+          "both sides must read through the native bucket scan")
+        probe.orderBy("id").localCheckpoint()
+      } finally {
+        s.conf.set("spark.graft.bucketedScan", "false")
+        s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+        s.conf.unset(
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+        s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }),
     "q_bucket_dpp" -> ((s, dir) => {
       // RUNTIME BUCKET PRUNING (dynamic partition pruning for bucket
       // layouts): a broadcast join's build side delivers the probe
@@ -6772,6 +6836,17 @@ object SparkEntry {
                   AS qty,
                 count(*) AS n
          FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+         GROUP BY 1, 2, 3
+         ORDER BY id""",
+    // the DV-deleted keys are gone; everything else ≡ the plain join
+    "q_spj_join_dv" ->
+      """SELECT p.p_partkey AS id, p.p_name AS name,
+                p.p_retailprice AS price,
+                CAST(sum(CAST(l.l_quantity AS DECIMAL(28,2))) AS DOUBLE)
+                  AS qty,
+                count(*) AS n
+         FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+         WHERE p.p_partkey % 7 <> 0
          GROUP BY 1, 2, 3
          ORDER BY id""",
     // the engine-computed generated columns ≡ the same expressions in SQL

@@ -705,10 +705,19 @@ object Merge {
     * the layout it cannot legally change anyway.
     */
   def tableLayout(spark: SparkSession, path: String): Option[(String, Int)] = {
-    val (_, root) = fsFor(spark, path)
     val v = currentVersion(spark, path)
     require(v >= 0, s"$path has no version log")
-    readManifestOpt(spark, root, v, resolveShards = false)
+    versionLayout(spark, path, v)
+  }
+
+  /** [[tableLayout]] at a PINNED version — what a time-traveled table
+    * must report (a relayout after the pin changes the head's bucket
+    * count, not the pinned version's files).
+    */
+  def versionLayout(spark: SparkSession, path: String,
+      version: Long): Option[(String, Int)] = {
+    val (_, root) = fsFor(spark, path)
+    readManifestOpt(spark, root, version, resolveShards = false)
       .flatMap(_.layout)
   }
 
@@ -2184,27 +2193,57 @@ object Merge {
     base.filter(pred)
   }
 
+  /** Key types the native bucket scan's V2 `bucket` function can
+    * re-derive the writer's xxhash64 routing for — the int-backed
+    * (INT, DATE), the long-backed (BIGINT, TIMESTAMP, TIMESTAMP_NTZ)
+    * and default-collation STRING. A table keyed on anything else is
+    * still a perfectly good graft table; it just reads through the V1
+    * bridge and joins with a shuffle.
+    */
+  val spjKeyTypes: Set[org.apache.spark.sql.types.DataType] = Set(
+    org.apache.spark.sql.types.LongType,
+    org.apache.spark.sql.types.IntegerType,
+    org.apache.spark.sql.types.StringType,
+    org.apache.spark.sql.types.DateType,
+    org.apache.spark.sql.types.TimestampType,
+    org.apache.spark.sql.types.TimestampNTZType)
+
+  /** The NATIVE bucket-grouped scan's planning result: per-bucket
+    * (absolutePath, byteLength) file groups, plus the version's LIVE
+    * deletion-vector sidecars (absolutePath, byteLength) — the reader
+    * subtracts their (file, pos) rows as a skip mask, so merge-on-read
+    * deletes survive the zero-shuffle path instead of forcing the V1
+    * fallback exactly where a CDC-maintained table lives.
+    */
+  final case class BucketScanPlan(keyCol: String, nBuckets: Int,
+      keySorted: Boolean, units: Seq[(Long, Seq[(String, Long)])],
+      dvFiles: Seq[(String, Long)])
+
   /** Planning units for the NATIVE bucket-grouped DSv2 scan
-    * ([[graft.sources.v2]] storage-partitioned joins): Some((keyCol,
-    * nBuckets, per-bucket (absolutePath, byteLength) file groups)) when
-    * the version is natively scannable — a recorded layout + schema, NO
-    * live deletion vectors and NO column mapping (those read paths need
-    * [[versionDf]]'s merge-on-read / rename machinery; callers fall
-    * back to the V1 bridge). `bounds` prune files through the manifest
-    * stats exactly as [[readVersionSkipping]]; a fully-pruned bucket
-    * disappears from the plan (KeyGroupedPartitioning handles the
-    * missing partition values). Lengths come from one `getFileStatus`
-    * per surviving file — O(selected), driver-side, the same cost
-    * class as any file-source listing.
+    * ([[graft.sources.v2]] storage-partitioned joins): Some(plan) when
+    * the version is natively scannable — a recorded layout + schema, a
+    * key type the V2 bucket function can hash, and NO column mapping
+    * (that read path needs [[versionDf]]'s rename machinery; callers
+    * fall back to the V1 bridge). Live deletion vectors DO ride along
+    * (see [[BucketScanPlan.dvFiles]]). `bounds` prune files through
+    * the manifest stats exactly as [[readVersionSkipping]]; a
+    * fully-pruned bucket disappears from the plan
+    * (KeyGroupedPartitioning handles the missing partition values).
+    * Lengths come from one `listStatus` per bucket directory —
+    * O(buckets) namenode calls, never O(files).
     */
   def bucketScanUnits(spark: SparkSession, path: String, version: Long,
-      bounds: Seq[Skipping.Bound])
-      : Option[(String, Int, Boolean, Seq[(Long, Seq[(String, Long)])])] = {
+      bounds: Seq[Skipping.Bound]): Option[BucketScanPlan] = {
     val (fs, root) = fsFor(spark, path)
     val m = readManifest(spark, root, version)
-    if (m.dvFiles.nonEmpty || m.colMap.nonEmpty || m.layout.isEmpty ||
+    if (m.colMap.nonEmpty || m.layout.isEmpty ||
         m.dataSchema.isEmpty) return None
     val (keyCol, n) = m.layout.get
+    // the V2 bucket function cannot bind these key types — never build
+    // a native scan the planner would then fail to resolve
+    if (!m.dataSchema.map(schemaFromString).exists(s =>
+        s.fieldNames.contains(keyCol) &&
+        spjKeyTypes.contains(s(keyCol).dataType))) return None
     val sel =
       if (bounds.isEmpty) m.files
       else planVersionFiles(spark, path, version, bounds)._1
@@ -2231,7 +2270,13 @@ object Merge {
               // file after the listing: stat it directly
         })
     }
-    Some((keyCol, n, m.keySorted, units))
+    // the DV side is deleted-row-count sized (compaction folds it back
+    // to zero); one getFileStatus per sidecar
+    val dv = m.dvFiles.map { f =>
+      val p = new Path(root, f)
+      (fs.makeQualified(p).toString, fs.getFileStatus(p).getLen)
+    }
+    Some(BucketScanPlan(keyCol, n, m.keySorted, units, dv))
   }
 
   /** [[readVersionWhere]] at the latest committed version. */
@@ -2837,10 +2882,20 @@ object Merge {
       // rows stream STRAIGHT from parquet into the join with no
       // shuffle: a small upsert into a huge table then pays one
       // shuffle (the bucket repartition), not two. Big batches keep
-      // the shuffled join.
+      // the shuffled join. The gate is BYTES, not rows: broadcast()
+      // overrides Spark's size threshold, so rows × an (overestimated
+      // for variable-width types) per-key width must stay driver-safe
+      // — a million 8-byte longs broadcasts, a million wide strings
+      // falls to Spark's own size-based planning.
       val updKeys = withB.select(col(keyCol))
+      val keyWidth = outSchema(keyCol).dataType match {
+        case _: org.apache.spark.sql.types.StringType |
+             _: org.apache.spark.sql.types.BinaryType => 64L
+        case dt => dt.defaultSize.toLong
+      }
       val joinKeys =
-        if (rowsUpserted + rowsDeleted <= 1000000L) broadcast(updKeys)
+        if ((rowsUpserted + rowsDeleted) * keyWidth <= (32L << 20))
+          broadcast(updKeys)
         else updKeys
       val merged = bucketPartitioned(baseAligned
         .join(joinKeys, Seq(keyCol), "left_anti")

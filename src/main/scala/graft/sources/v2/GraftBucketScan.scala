@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning,
 import org.apache.spark.sql.connector.read.Statistics
 import org.apache.spark.sql.graftshim.ParquetReadShim
 import org.apache.spark.sql.sources.{EqualTo, Filter, In}
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, StringType, StructType, TimestampNTZType, TimestampType}
 
 /** STORAGE-PARTITIONED JOIN (the Iceberg SPJ move): a NATIVE DSv2 batch
   * scan that reports the table's on-disk bucket layout as
@@ -36,7 +36,8 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, 
 class GraftBucketScan(path: String, version: Long, dataSchema: StructType,
     required: StructType, pushed: Array[Filter], keyCol: String,
     nBuckets: Int, keySorted: Boolean,
-    units0: Seq[(Long, Seq[(String, Long)])])
+    units0: Seq[(Long, Seq[(String, Long)])],
+    dvFiles: Seq[(String, Long)] = Seq.empty)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportOrdering {
@@ -52,8 +53,8 @@ class GraftBucketScan(path: String, version: Long, dataSchema: StructType,
   override def description(): String = {
     val fs = pushed.map(_.toString).mkString("[", ", ", "]")
     s"GraftBucketScan path=$path, version=$version, " +
-      s"buckets=${units.size}/$nBuckets, PushedFilters: $fs, " +
-      s"ReadSchema: ${required.catalogString}"
+      s"buckets=${units.size}/$nBuckets, dvFiles=${dvFiles.size}, " +
+      s"PushedFilters: $fs, ReadSchema: ${required.catalogString}"
   }
 
   /** Manifest-derived sizes, same as the V1 bridge scan — what lets
@@ -147,14 +148,33 @@ class GraftBucketScan(path: String, version: Long, dataSchema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active
-    val rowFunc = ParquetReadShim.buildReader(
-      spark, dataSchema, required, pushed.toSeq)
-    // vectorized whenever the schema batches (atomic types): DSv2
-    // columnar reads keep this scan's throughput at parity with
-    // Spark's own parquet scans; row mode is the complex-type fallback
-    val batchFunc = ParquetReadShim.buildColumnarReader(
-      spark, dataSchema, required, pushed.toSeq)
-    new GraftBucketReaderFactory(rowFunc, batchFunc)
+    if (dvFiles.isEmpty) {
+      val rowFunc = ParquetReadShim.buildReader(
+        spark, dataSchema, required, pushed.toSeq)
+      // vectorized whenever the schema batches (atomic types): DSv2
+      // columnar reads keep this scan's throughput at parity with
+      // Spark's own parquet scans; row mode is the complex-type fallback
+      val batchFunc = ParquetReadShim.buildColumnarReader(
+        spark, dataSchema, required, pushed.toSeq)
+      new GraftBucketReaderFactory(rowFunc, batchFunc)
+    } else {
+      // DELETION VECTORS through the native scan — merge-on-read
+      // WITHOUT surrendering the SPJ partitioning (a CDC-maintained
+      // fact table is DV-bearing at steady state, exactly where the
+      // zero-shuffle join matters). The data reader also produces
+      // Spark's parquet ROW-INDEX column (exact under row-group
+      // skipping); each partition reads the deleted-row-count-sized DV
+      // sidecars once, keeps only ITS files' positions as a skip mask,
+      // and projects the index column away before rows leave the
+      // reader. Row mode only — a positional skip is row-at-a-time;
+      // compaction folds the DVs and restores the columnar path.
+      val rowFunc = ParquetReadShim.buildReaderWithRowIndex(
+        spark, dataSchema, required, pushed.toSeq)
+      val dvFunc = ParquetReadShim.buildReader(
+        spark, GraftBucketScan.DvSchema, GraftBucketScan.DvSchema,
+        Seq.empty)
+      new GraftBucketDvReaderFactory(rowFunc, dvFunc, dvFiles, required)
+    }
   }
 }
 
@@ -163,6 +183,12 @@ object GraftBucketScan {
     * most recent runtime-filter prune.
     */
   @volatile var lastRuntimePrune: Option[(Int, Int)] = None
+
+  /** The deletion-vector sidecar schema [[Merge.deleteWhereDV]] writes:
+    * `file` is the data file's `_metadata.file_path`, `pos` its
+    * `_metadata.row_index`.
+    */
+  val DvSchema: StructType = StructType.fromDDL("file STRING, pos BIGINT")
 }
 
 /** One bucket's files; the bucket id is the KeyGroupedPartitioning
@@ -219,6 +245,75 @@ class GraftBucketReaderFactory(
   }
 }
 
+/** The DELETION-VECTOR variant of the bucket reader: subtracts the
+  * version's live DV (file, pos) rows while streaming — row mode (no
+  * columnar), ordering preserved (a filter never reorders), so the
+  * key-sorted merge-join contract survives DV deletes untouched.
+  *
+  * Per-partition cost: one pass over the DV sidecars (deleted-row-count
+  * sized — [[graft.sources.Merge.compactVersion]] folds them back to
+  * zero) to build this partition's skip sets, then a hash-probe per
+  * data row. Both path spellings are normalized through
+  * [[org.apache.hadoop.fs.Path]] — the DV writer recorded
+  * `_metadata.file_path`, the planner recorded `fs.makeQualified`.
+  */
+class GraftBucketDvReaderFactory(
+    rowFunc: org.apache.spark.sql.execution.datasources.PartitionedFile
+      => Iterator[InternalRow],
+    dvFunc: org.apache.spark.sql.execution.datasources.PartitionedFile
+      => Iterator[InternalRow],
+    dvFiles: Seq[(String, Long)], required: StructType)
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftBucketInputPartition]
+    new PartitionReader[InternalRow] {
+      private def norm(s: String): String =
+        new org.apache.hadoop.fs.Path(s).toString
+      private val mine: Set[String] =
+        p.files.map { case (f, _) => norm(f) }.toSet
+      // this partition's deleted positions, keyed by normalized file
+      private val skip: Map[String, java.util.HashSet[java.lang.Long]] = {
+        val m = scala.collection.mutable.HashMap
+          .empty[String, java.util.HashSet[java.lang.Long]]
+        dvFiles.foreach { case (df, len) =>
+          dvFunc(ParquetReadShim.partitionedFile(df, len)).foreach { r =>
+            val key = norm(r.getUTF8String(0).toString)
+            if (mine.contains(key))
+              m.getOrElseUpdate(key,
+                new java.util.HashSet[java.lang.Long]()).add(r.getLong(1))
+          }
+        }
+        m.toMap
+      }
+      // drop the trailing row-index column before rows leave the reader
+      private val project =
+        org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+          required.fields.zipWithIndex.map { case (f, i) =>
+            org.apache.spark.sql.catalyst.expressions
+              .BoundReference(i, f.dataType, nullable = true)
+              : org.apache.spark.sql.catalyst.expressions.Expression
+          }.toIndexedSeq)
+      private val idxOrdinal = required.length
+      private val it: Iterator[InternalRow] =
+        p.files.iterator.flatMap { case (f, len) =>
+          val dead = skip.getOrElse(norm(f), null)
+          val rows = rowFunc(ParquetReadShim.partitionedFile(f, len))
+          val live =
+            if (dead == null) rows
+            else rows.filter(r => !dead.contains(r.getLong(idxOrdinal)))
+          live.map(project)
+        }
+      private var row: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { row = it.next(); true } else false
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
+}
+
 /** The V2 function the bucket transform resolves to — REQUIRED for SPJ:
   * Spark's `V2ScanPartitioningAndOrdering` looks `bucket` up in the
   * table's owning [[org.apache.spark.sql.connector.catalog.FunctionCatalog]]
@@ -237,13 +332,28 @@ object GraftBucketFunction extends UnboundFunction {
     "bucket(nBuckets, key): the graft layout routing — " +
       "pmod(xxhash64(key), nBuckets)"
 
+  /** Key types whose xxhash64 routing [[bind]] can re-derive exactly:
+    * the int-backed (INT, DATE), the long-backed (BIGINT, TIMESTAMP,
+    * TIMESTAMP_NTZ) and default-collation STRING. Tables keyed on
+    * anything else never build the native scan
+    * ([[Merge.bucketScanUnits]] gates on this same set) and read
+    * through the shuffled V1 bridge.
+    */
+  val supportedKeyTypes: Set[DataType] = Merge.spjKeyTypes
+
   override def bind(inputType: StructType): BoundFunction = {
     require(inputType.fields.length == 2,
       s"bucket takes (nBuckets INT, key), got ${inputType.catalogString}")
     val keyType = inputType.fields(1).dataType
-    require(Seq(LongType, IntegerType, StringType).contains(keyType),
-      s"bucket key must be BIGINT, INT or STRING for the native " +
-      s"bucket scan, got ${keyType.simpleString}")
+    // UnsupportedOperationException is bind's DOCUMENTED failure mode —
+    // the only one V2ExpressionUtils.loadV2FunctionOpt swallows — so an
+    // unsupported key type degrades to the shuffled plan instead of
+    // failing the query at planning
+    if (!supportedKeyTypes.contains(keyType))
+      throw new UnsupportedOperationException(
+        s"bucket key must be BIGINT, INT, STRING, DATE, TIMESTAMP or " +
+        s"TIMESTAMP_NTZ for the native bucket scan, got " +
+        keyType.simpleString)
     new ScalarFunction[java.lang.Long] {
       override def inputTypes(): Array[DataType] =
         Array(IntegerType, keyType)
@@ -258,11 +368,14 @@ object GraftBucketFunction extends UnboundFunction {
       override def produceResult(input: InternalRow): java.lang.Long = {
         if (input.isNullAt(1)) return null
         val n = input.getInt(0).toLong
+        // internal representations: DATE is the int day count,
+        // TIMESTAMP/TIMESTAMP_NTZ the long micros — xxhash64 hashes the
+        // internal form, exactly as the writer's routing expression did
         val h = keyType match {
-          case LongType =>
+          case LongType | TimestampType | TimestampNTZType =>
             org.apache.spark.sql.catalyst.expressions.XXH64
               .hashLong(input.getLong(1), 42L)
-          case IntegerType =>
+          case IntegerType | DateType =>
             org.apache.spark.sql.catalyst.expressions.XXH64
               .hashInt(input.getInt(1), 42L)
           case StringType =>

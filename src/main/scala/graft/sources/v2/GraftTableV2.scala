@@ -91,16 +91,22 @@ class GraftTableProvider extends GraftTableStreamProvider
         "readChangeFeed takes startingVersion/endingVersion, not the " +
         "snapshot time-travel options")
       val from = Option(opts.get("startingVersion"))
+      val explicitEnd = Option(opts.get("endingVersion")).isDefined
       val to = Option(opts.get("endingVersion")).map(_.toLong)
         .getOrElse(Merge.currentVersion(spark, path))
-      // a NUMERIC startingVersion out of range fails LOUDLY with the
-      // valid range (Delta's behavior) — only the documented stream
-      // start shapes (absent => snapshot-then-tail, "latest", "0")
-      // fall through to the schema-only table
+      // a NUMERIC startingVersion below 1 — or beyond an EXPLICIT
+      // endingVersion, a shape that can only mean a batch range — fails
+      // LOUDLY with the valid range (Delta's behavior). A beyond-HEAD
+      // start with no end is the documented STREAM-only tail shape
+      // ("begin at a commit that hasn't landed yet", the v1 source's
+      // (v-1, None) anchoring): it resolves to the schema-only stream
+      // table like "latest"/"0", and a batch load() of THAT still
+      // fails with the same loud range message (never the opaque
+      // capability error).
       from.map(_.toLowerCase).filterNot(s => s == "latest" || s == "0")
         .foreach { s =>
           val v = s.toLong // non-numeric garbage: loud NumberFormat
-          require(v >= 1 && v <= to,
+          require(v >= 1 && (v <= to || !explicitEnd),
             s"readChangeFeed startingVersion must be in [1, $to] " +
             s"(got $v); omit it, or pass \"latest\"/\"0\", to stream")
         }
@@ -110,12 +116,17 @@ class GraftTableProvider extends GraftTableStreamProvider
         case None =>
           // the stream-only start shapes have no batch meaning —
           // resolve to a schema-only table so `readStream` falls back
-          // to the v1 source; a batch `load()` of it fails at the
-          // capability check
-          require(Option(opts.get("endingVersion")).isEmpty,
+          // to the v1 source; a batch `load()` of it fails loudly
+          require(!explicitEnd,
             "a batch readChangeFeed needs .option(\"startingVersion\", " +
             s"n in [1, $to]); endingVersion never applies to a stream")
-          new GraftCdfStreamOnlyTable(spark, path)
+          val beyondHead = from.map(_.toLowerCase)
+            .filterNot(s => s == "latest" || s == "0").map(_.toLong)
+          new GraftCdfStreamOnlyTable(spark, path,
+            batchError = beyondHead.map(v =>
+              s"readChangeFeed startingVersion must be in [1, $to] " +
+              s"for a batch read (got $v); a STREAM started at $v " +
+              "tails the table's next commits"))
       }
     } else GraftTable.resolve(spark, path,
       Option(opts.get("versionAsOf")).map(_.toLong),
@@ -219,15 +230,19 @@ class GraftTable(val path: String, val pinnedVersion: Long,
   /** The recorded layout as a DSv2 bucket transform — what lets two
     * co-bucketed graft tables join WITHOUT A SHUFFLE (storage-
     * partitioned join; see [[GraftBucketScan]]). Resolved lazily from
-    * the manifest; a table with no layout reports none.
+    * the PINNED version's manifest — a time-traveled table that
+    * predates a relayout must report the bucket count its own files
+    * actually sit in, not the current head's; a table with no layout
+    * reports none.
     */
   override def partitioning(): Array[Transform] =
     try {
-      Merge.tableLayout(SparkSession.active, path).map { case (k, n) =>
-        Array[Transform](
-          org.apache.spark.sql.connector.expressions.Expressions
-            .bucket(n, k))
-      }.getOrElse(Array.empty)
+      Merge.versionLayout(SparkSession.active, path, pinnedVersion)
+        .map { case (k, n) =>
+          Array[Transform](
+            org.apache.spark.sql.connector.expressions.Expressions
+              .bucket(n, k))
+        }.getOrElse(Array.empty)
     } catch { case _: Exception => Array.empty }
 
   override def capabilities(): util.Set[TableCapability] =
@@ -552,11 +567,12 @@ class GraftScanBuilder(path: String, version: Long, dataSchema: StructType)
             .reduceOption(_ && _)
             .map(Skipping.impliedBounds).getOrElse(Seq.empty)
           Merge.bucketScanUnits(spark, path, version, bounds)
-            .map { case (keyCol, n, keySorted, units) =>
+            .map { plan =>
               Merge.versionSchema(spark, path, version) match {
                 case Some(full) =>
                   new GraftBucketScan(path, version, full, required,
-                    pushed, keyCol, n, keySorted, units): Scan
+                    pushed, plan.keyCol, plan.nBuckets, plan.keySorted,
+                    plan.units, plan.dvFiles): Scan
                 case None =>
                   new GraftScan(path, version, pushed, required, limit)
               }
@@ -686,8 +702,9 @@ class GraftBatchRelation(val sqlContext: SQLContext, path: String,
   * [[graft.sources.GraftTableSource]] (which owns those start modes),
   * and a batch `load()` fails Spark's capability check by design.
   */
-class GraftCdfStreamOnlyTable(spark: SparkSession, path: String)
-    extends Table {
+class GraftCdfStreamOnlyTable(spark: SparkSession, path: String,
+    batchError: Option[String] = None)
+    extends Table with SupportsRead {
   private val cdfSchema: StructType = {
     val data = Merge.versionSchema(spark, path,
       Merge.currentVersion(spark, path)).getOrElse(
@@ -699,8 +716,18 @@ class GraftCdfStreamOnlyTable(spark: SparkSession, path: String)
   }
   override def name(): String = s"graft.`$path`@changes[stream]"
   override def schema(): StructType = cdfSchema
+  // no STREAMING capability either way: `readStream` falls back to the
+  // v1 source, which owns every stream start shape. When the start was
+  // a NUMERIC beyond-head version we CLAIM batch read solely so a batch
+  // load() reaches newScanBuilder and fails with the precise range
+  // message instead of Spark's opaque capability error.
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.noneOf(classOf[TableCapability])
+    if (batchError.isEmpty) util.EnumSet.noneOf(classOf[TableCapability])
+    else util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    throw new IllegalArgumentException(batchError.getOrElse(
+      s"${name()} supports only streaming reads"))
 }
 
 class GraftCdfTable(spark: SparkSession, path: String, fromInclusive: Long,

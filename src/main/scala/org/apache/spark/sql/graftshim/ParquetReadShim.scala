@@ -64,6 +64,34 @@ object ParquetReadShim {
       Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]])
   }
 
+  /** [[buildReader]] with Spark's parquet ROW-INDEX column appended as
+    * the LAST field of every produced row: the reader recognizes the
+    * reserved temporary column name and fills each row's index within
+    * its file — correct under row-group skipping from pushed filters
+    * (ParquetRowIndexUtil initializes the generator from the row
+    * groups actually read). This is the same mechanism
+    * `_metadata.row_index` rides in FileSourceScanExec, and what lets
+    * a deletion-vector skip mask subtract exact (file, pos) rows
+    * inside the graft native bucket scan.
+    */
+  def buildReaderWithRowIndex(spark: SparkSession, dataSchema: StructType,
+      requiredSchema: StructType, filters: Seq[Filter])
+      : PartitionedFile => Iterator[InternalRow] =
+    buildReader(spark, dataSchema,
+      StructType(requiredSchema.fields :+
+        org.apache.spark.sql.types.StructField(
+          // the RESERVED name ParquetRowIndexUtil detects (the public
+          // ROW_INDEX_FIELD carries the post-copy `_metadata` name and
+          // would read as an ordinary — missing — data column). MUST be
+          // nullable: the column is absent from the file, and the
+          // readers only null-fill ABSENT columns that are optional
+          // (checkColumn throws on a required missing column) — the
+          // row-index generator then overwrites the null fill.
+          org.apache.spark.sql.execution.datasources.parquet
+            .ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
+          org.apache.spark.sql.types.LongType, nullable = true)),
+      filters)
+
   def partitionedFile(path: String, length: Long): PartitionedFile =
     PartitionedFile(InternalRow.empty, SparkPath.fromPathString(path),
       0L, length, Array.empty, 0L, length)

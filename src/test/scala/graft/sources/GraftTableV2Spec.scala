@@ -222,20 +222,58 @@ class GraftTableV2Spec extends SparkSpec {
         .option("readChangeFeed", "true").option("startingVersion", "1")
         .option("versionAsOf", "1").load()
     }
-    // a NUMERIC startingVersion out of range fails LOUDLY with the
-    // valid range — never the opaque stream-only capability fallback
+    // a NUMERIC startingVersion BEYOND THE HEAD is a legal STREAM
+    // start ("tail the next commit" — the v1 source's (v-1, None)
+    // anchoring), so resolution cannot reject it eagerly; a BATCH read
+    // of that shape still fails LOUDLY with the valid range when the
+    // scan plans — never the opaque capability error
     val past = intercept[IllegalArgumentException] {
       spark.read.format("graft-table").option("path", path)
         .option("readChangeFeed", "true").option("startingVersion", "99")
-        .load()
+        .load().collect()
     }
     assert(past.getMessage.contains("[1, 2]"), past.getMessage)
+    // ...and beyond an EXPLICIT endingVersion the shape can only mean
+    // a batch range: loud at resolution
+    val pastEnd = intercept[IllegalArgumentException] {
+      spark.read.format("graft-table").option("path", path)
+        .option("readChangeFeed", "true").option("startingVersion", "99")
+        .option("endingVersion", "2").load()
+    }
+    assert(pastEnd.getMessage.contains("[1, 2]"), pastEnd.getMessage)
     val neg = intercept[IllegalArgumentException] {
       spark.read.format("graft-table").option("path", path)
         .option("readChangeFeed", "true").option("startingVersion", "-3")
         .load()
     }
     assert(neg.getMessage.contains("[1, 2]"), neg.getMessage)
+  }
+
+  test("readStream readChangeFeed with a beyond-head startingVersion " +
+      "tails the table's NEXT commits (stream-only start shape)") {
+    val base = freshDir("cdf_future")
+    val path = new File(base, "tbl").getAbsolutePath
+    Merge.writeKeyed(baseDf.limit(5), path, "id", nBuckets = 2)   // v0
+    // head is v0; start at v1 = "the first commit that hasn't landed"
+    def run(tag: String): Seq[(Long, String, Long)] = {
+      val q = spark.readStream.format("graft-table").option("path", path)
+        .option("readChangeFeed", "true").option("startingVersion", "1")
+        .load()
+        .writeStream.format("memory").queryName(s"cdf_future_$tag")
+        .option("checkpointLocation",
+          new File(base, s"ckpt_$tag").getAbsolutePath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      spark.table(s"cdf_future_$tag")
+        .select("id", "_change_type", "_commit_version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    }
+    assert(run("a").isEmpty, "nothing committed beyond the start yet")
+    Merge.upsert(spark, path,
+      Seq((777L, "tail", 7.0)).toDF("id", "name", "score"), "id", 2) // v1
+    assert(run("b") == Seq((777L, "insert", 1L)),
+      "only v1's changes must flow from the beyond-head start")
   }
 
   test("aggregate pushdown: COUNT(*)/MIN/MAX answer from the manifest " +

@@ -117,22 +117,51 @@ class SpjSpec extends SparkSpec {
     }
   }
 
-  test("a table with live deletion vectors falls back to the V1 scan " +
-      "(merge-on-read must not be bypassed); results correct") {
+  test("live deletion vectors are subtracted INSIDE the native scan " +
+      "(row-index skip mask) — and the co-bucketed join stays " +
+      "exchange-free on a DV-bearing table") {
     val (cat, root) = mkCatalog("dv")
     spark.sql(s"CREATE TABLE $cat.t (id BIGINT, v DOUBLE) " +
       "PARTITIONED BY (bucket(4, id))")
+    spark.sql(s"CREATE TABLE $cat.u (id BIGINT, name STRING) " +
+      "PARTITIONED BY (bucket(4, id))")
     spark.range(40).selectExpr("id", "cast(id as double) AS v")
       .createOrReplaceTempView("spj_dv_src")
+    spark.range(40).selectExpr("id", "concat('n', id) AS name")
+      .createOrReplaceTempView("spj_dv_src_u")
     spark.sql(s"INSERT INTO $cat.t SELECT * FROM spj_dv_src")
+    spark.sql(s"INSERT INTO $cat.u SELECT * FROM spj_dv_src_u")
     val path = new File(root, "t").getAbsolutePath
     Merge.deleteWhereDV(spark, path,
       org.apache.spark.sql.functions.col("id") < 10L)
+    // a second DV commit stacks sidecars — the mask must union them
+    Merge.deleteWhereDV(spark, path,
+      org.apache.spark.sql.functions.col("id") === 39L)
     withSpj {
-      val got = spark.sql(s"SELECT count(*) FROM $cat.t")
+      val scan = spark.sql(s"SELECT id, v FROM $cat.t")
+      assert(scan.queryExecution.executedPlan.toString
+        .contains("GraftBucketScan"),
+        "a DV-bearing version must still build the NATIVE scan")
+      val ids = scan.as[(Long, Double)].collect().map(_._1).sorted
+      assert(ids.toSeq == (10L until 39L),
+        s"both DV commits must subtract exactly, got ${ids.length} rows")
+      // pushed filters skip row groups; the row INDEX stays exact, so
+      // the mask still lands on the right positions
+      val filtered = spark.sql(
+        s"SELECT count(*) FROM $cat.t WHERE id >= 20")
         .as[Long].head()
-      assert(got == 30L,
-        s"DV rows must stay subtracted under the native-scan conf, got $got")
+      assert(filtered == 19L, s"filtered DV read: $filtered")
+      // the 100 TB point: merge-on-read does NOT surrender SPJ
+      val j = spark.sql(s"SELECT t.id, t.v, u.name FROM $cat.t t " +
+        s"JOIN $cat.u u ON t.id = u.id")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"the DV-bearing co-bucketed join must stay shuffle-free:\n$plan")
+      assert(j.count() == 29L)
+      // compaction folds the DVs physically; results identical after
+      Merge.compactVersion(spark, path)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.t").as[Long]
+        .head() == 29L)
     }
   }
 
@@ -239,6 +268,141 @@ class SpjSpec extends SparkSpec {
       } finally spark.conf.unset(
         "spark.sql.sources.v2.bucketing.shuffle.enabled")
     }
+  }
+
+  test("DATE-keyed co-bucketed tables join exchange-free (widened SPJ " +
+      "key types); TIMESTAMP routing matches the writer bit-for-bit") {
+    val (cat, _) = mkCatalog("datekey")
+    spark.sql(s"CREATE TABLE $cat.a (d DATE, v DOUBLE) " +
+      "PARTITIONED BY (bucket(8, d))")
+    spark.sql(s"CREATE TABLE $cat.b (d DATE, name STRING) " +
+      "PARTITIONED BY (bucket(8, d))")
+    spark.range(120).selectExpr(
+      "date_add(date'2024-01-01', cast(id as int)) AS d",
+      "cast(id as double) AS v").createOrReplaceTempView("spj_date_a")
+    spark.range(120).selectExpr(
+      "date_add(date'2024-01-01', cast(id as int)) AS d",
+      "concat('n', id) AS name").createOrReplaceTempView("spj_date_b")
+    spark.sql(s"INSERT INTO $cat.a SELECT * FROM spj_date_a")
+    spark.sql(s"INSERT INTO $cat.b SELECT * FROM spj_date_b")
+    withSpj {
+      val j = spark.sql(s"SELECT a.d, a.v, b.name FROM $cat.a a " +
+        s"JOIN $cat.b b ON a.d = b.d")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"date-keyed SPJ must plan with no exchange:\n$plan")
+      assert(j.count() == 120L,
+        "every date key must meet its match — partition values aligned")
+    }
+  }
+
+  test("V2 bucket function routing == the writer's pmod(xxhash64) for " +
+      "every supported key type (the SPJ hash contract)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.{expr, lit, pmod, xxhash64}
+    val n = 16
+    val cases: Seq[(DataType, Seq[Any], Any => Any)] = Seq(
+      (LongType, Seq(0L, 1L, -7L, 123456789012L), identity),
+      (IntegerType, Seq(0, 1, -7, 2000000000), identity),
+      (StringType, Seq("", "a", "key_42", "ä ünicode"),
+        (v: Any) => org.apache.spark.unsafe.types.UTF8String
+          .fromString(v.asInstanceOf[String])),
+      (DateType, Seq(0, 19723, -3650), identity),          // days
+      (TimestampType, Seq(0L, 1700000000000000L, -1L), identity), // µs
+      (TimestampNTZType, Seq(0L, 1700000000000000L, -1L), identity))
+    for ((dt, vals, toInternal) <- cases) {
+      val bound = graft.sources.v2.GraftBucketFunction.bind(
+        StructType(Seq(StructField("n", IntegerType),
+          StructField("k", dt))))
+        .asInstanceOf[org.apache.spark.sql.connector.catalog
+          .functions.ScalarFunction[java.lang.Long]]
+      // the writer's own routing expression, evaluated by the engine
+      // over the EXTERNAL forms of the same values
+      val sqlCol = dt match {
+        case DateType => expr("date_add(date'1970-01-01', cast(v as int))")
+        case TimestampType => expr("timestamp_micros(v)")
+        case TimestampNTZType =>
+          expr("cast(timestamp_micros(v) as timestamp_ntz)")
+        case _ => expr(s"cast(v as ${dt.sql})")
+      }
+      val df = vals.map(v => Tuple1(v match {
+        case i: Int => i.toLong
+        case l: Long => l
+        case s: String => 0L // strings ride the literal path below
+      })).toDF("v")
+      val expected: Seq[Long] = dt match {
+        case StringType => vals.map(s =>
+          spark.range(1).select(
+            pmod(xxhash64(lit(s)), lit(n.toLong))).head().getLong(0))
+        case _ => df.select(
+          pmod(xxhash64(sqlCol), lit(n.toLong))).collect()
+          .map(_.getLong(0)).toSeq
+      }
+      val got = vals.map(v =>
+        bound.produceResult(InternalRow(n, toInternal(v))).longValue())
+      assert(got == expected,
+        s"$dt routing mismatch: function $got vs writer $expected")
+    }
+  }
+
+  test("an unsupported key type (DECIMAL) degrades to the shuffled V1 " +
+      "plan — no planning failure, rows correct") {
+    val (cat, _) = mkCatalog("dec")
+    spark.sql(s"CREATE TABLE $cat.a (k DECIMAL(10,2), v DOUBLE) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql(s"CREATE TABLE $cat.b (k DECIMAL(10,2), name STRING) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.range(30).selectExpr("cast(id as decimal(10,2)) AS k",
+      "cast(id as double) AS v").createOrReplaceTempView("spj_dec_a")
+    spark.range(30).selectExpr("cast(id as decimal(10,2)) AS k",
+      "concat('n', id) AS name").createOrReplaceTempView("spj_dec_b")
+    spark.sql(s"INSERT INTO $cat.a SELECT * FROM spj_dec_a")
+    spark.sql(s"INSERT INTO $cat.b SELECT * FROM spj_dec_b")
+    withSpj {
+      // bucketScanUnits gates on the key type -> native scan never
+      // built -> V1 bridge; and even a direct bind() refuses with
+      // UnsupportedOperationException (the failure mode Spark's V2
+      // function resolution swallows), never a planning crash
+      val j = spark.sql(s"SELECT a.k, a.v, b.name FROM $cat.a a " +
+        s"JOIN $cat.b b ON a.k = b.k")
+      assert(j.count() == 30L)
+      assert(!j.queryExecution.executedPlan.toString
+        .contains("GraftBucketScan"),
+        "a decimal-keyed table must not build the native scan")
+      intercept[UnsupportedOperationException] {
+        graft.sources.v2.GraftBucketFunction.bind(
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("n",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.DecimalType(10, 2)))))
+      }
+    }
+  }
+
+  test("a time-traveled table reports the PINNED version's bucket " +
+      "layout, not the post-relayout head's") {
+    val (cat, root) = mkCatalog("pinned")
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (bucket(4, id))")
+    spark.range(50).selectExpr("id", "cast(id as double) AS v")
+      .createOrReplaceTempView("spj_pin_src")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM spj_pin_src")
+    val path = new File(root, "t").getAbsolutePath
+    val pinned = Merge.currentVersion(spark, path)
+    Merge.relayout(spark, path, newBuckets = 8)
+    def bucketCount(t: graft.sources.v2.GraftTable): String =
+      t.partitioning().map(_.describe()).mkString(",")
+    val head = graft.sources.v2.GraftTable.resolve(
+      spark, path, None, None, None)
+    assert(bucketCount(head).contains("8"),
+      s"head reports the new layout: ${bucketCount(head)}")
+    val old = graft.sources.v2.GraftTable.resolve(
+      spark, path, Some(pinned), None, None)
+    assert(bucketCount(old).contains("4"),
+      s"the pinned resolution must report ITS version's layout, got " +
+      bucketCount(old))
   }
 
   test("groupBy on the bucket key also skips its exchange under the " +

@@ -75,6 +75,30 @@ object SparkEntry {
       path
     })
 
+  /** The planted-marker quality-classifier fixture the three model
+    * gates share: documents with " qualhi"/" quallo" appended by
+    * doc_id parity, label = parity. The TRAINED MODEL is memoized per
+    * data dir — the gates assert different surfaces (predictions, the
+    * SQL TVF, a streaming filter) over one identical 30-iteration
+    * training run, so a bench pass trains once, not three times
+    * (~60 Spark jobs each). Each gate still requires exact separation
+    * in-gate (one cheap scan) so a stale or broken memo cannot pass.
+    */
+  private val qualityModelMemo = scala.collection.concurrent.TrieMap
+    .empty[String, graft.pipeline.QualityModel.Model]
+  private def plantedQuality(s: SparkSession, dir: String)
+      : (DataFrame, graft.pipeline.QualityModel.Model) = {
+    val planted = t(s, dir, "documents").select("doc_id", "text")
+      .withColumn("text", concat(col("text"),
+        when(col("doc_id") % 2 === 0, lit(" qualhi"))
+          .otherwise(lit(" quallo"))))
+      .withColumn("label", (col("doc_id") % 2 === 0).cast("int"))
+    val m = qualityModelMemo.getOrElseUpdate(dir,
+      graft.pipeline.QualityModel.train(planted, "text", "label",
+        dim = 1 << 14, iters = 30))
+    (planted, m)
+  }
+
   /** Run `body` with `spark.sql.shuffle.partitions` temporarily lowered and
     * trailing no-data micro-batches disabled. For the authored micro-batch
     * LIFECYCLE gates (a dozen rows over 3-4 triggers): stateful streaming
@@ -4057,6 +4081,32 @@ object SparkEntry {
           col("col").as("chunk"))
         .orderBy("doc_id", "chunk_idx")
     }),
+    "q_doc_chunks_spans" -> ((s, dir) => {
+      // CHUNK PROVENANCE (the RAG requirement chunk text alone can't
+      // serve): every chunk carries its char span [start_char,
+      // end_char) into the whitespace-NORMALIZED source document, so a
+      // retrieved chunk points back to where it came from. Spans come
+      // from running token-length sums inside the same pure codegen
+      // kernel as q_doc_chunks — row-local, zero shuffle. Required
+      // in-gate: substring(norm, start, end−start) reconstructs every
+      // chunk EXACTLY. Read-back ≡ the oracle re-deriving the spans
+      // from prefix sums in SQL.
+      import graft.pipeline.TextAnalysis
+      val out = t(s, dir, "documents").select(col("doc_id"),
+          regexp_replace(trim(col("text")), "\\s+", " ").as("__norm"),
+          posexplode(
+            TextAnalysis.chunkTokensWithSpans(col("text"), 64, 48)))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+          col("col.chunk").as("chunk"),
+          col("col.start_char").as("start_char"),
+          col("col.end_char").as("end_char"), col("__norm"))
+      require(out.filter(expr(
+          "substring(__norm, start_char, end_char - start_char)")
+          =!= col("chunk")).isEmpty,
+        "every span must cut its exact chunk text from the " +
+        "normalized document")
+      out.drop("__norm").orderBy("doc_id", "chunk_idx")
+    }),
     "q_stream_quality" -> ((s, dir) => {
       // MODEL-FILTERED INGESTION: train the quality classifier on a
       // labeled batch, then run it as a REAL Structured Streaming
@@ -4070,11 +4120,7 @@ object SparkEntry {
       val mark = (c: org.apache.spark.sql.Column) =>
         concat(c, when(col("doc_id") % 2 === 0, lit(" qualhi"))
           .otherwise(lit(" quallo")))
-      val planted = t(s, dir, "documents").select("doc_id", "text")
-        .withColumn("text", mark(col("text")))
-        .withColumn("label", (col("doc_id") % 2 === 0).cast("int"))
-      val m = QualityModel.train(planted, "text", "label",
-        dim = 1 << 14, iters = 30)
+      val (planted, m) = plantedQuality(s, dir)
       require(planted.withColumn("pred",
           QualityModel.predictCol(m, col("text")))
         .filter(col("pred") =!= col("label")).isEmpty,
@@ -4128,17 +4174,45 @@ object SparkEntry {
       // Required in-gate: exact separation on the training set (the
       // hash compare must not pass by luck on a half-learned model).
       import graft.pipeline.QualityModel
-      val planted = t(s, dir, "documents").select("doc_id", "text")
-        .withColumn("text", concat(col("text"),
-          when(col("doc_id") % 2 === 0, lit(" qualhi"))
-            .otherwise(lit(" quallo"))))
-        .withColumn("label", (col("doc_id") % 2 === 0).cast("int"))
-      val m = QualityModel.train(planted, "text", "label",
-        dim = 1 << 14, iters = 30)
+      val (planted, m) = plantedQuality(s, dir)
       val preds = planted.withColumn("pred",
         QualityModel.predictCol(m, col("text")))
       require(preds.filter(col("pred") =!= col("label")).isEmpty,
         "the planted separable problem must train to exact separation")
+      preds.select("doc_id", "pred").orderBy("doc_id")
+    }),
+    "q_quality_holdout" -> ((s, dir) => {
+      // GENERALIZATION gate (what q_quality_classifier's train-set
+      // check can't prove — a memorizing model passes that): the
+      // planted rule is word ORDER (" alpha beta" vs " beta alpha" —
+      // identical unigram SETS, so unigram features carry zero signal
+      // and only the hashed word-BIGRAM features, fastText's default
+      // wordNgrams=2, can learn it), the corpus is split 70/30 by md5
+      // hash of doc_id, training sees ONLY the 70, and predictions are
+      // returned for the UNSEEN 30 — which the oracle labels by
+      // replaying the planted rule on the held-out half. Required
+      // in-gate: non-trivial split, exact accuracy on unseen docs.
+      import graft.pipeline.{QualityModel, Sampling}
+      val planted = t(s, dir, "documents").select("doc_id", "text")
+        .withColumn("text", concat(col("text"),
+          when(col("doc_id") % 2 === 0, lit(" alpha beta"))
+            .otherwise(lit(" beta alpha"))))
+        .withColumn("label", (col("doc_id") % 2 === 0).cast("int"))
+        .withColumn("__b",
+          Sampling.hashBucket(col("doc_id"), "graft-qh"))
+      val trainDf = planted.filter(col("__b") < 70)
+      val testDf = planted.filter(col("__b") >= 70)
+      require(trainDf.limit(1).count() == 1 &&
+          testDf.limit(1).count() == 1,
+        "both hash splits must be non-empty for the holdout to mean " +
+        "anything")
+      val m = QualityModel.train(trainDf, "text", "label",
+        dim = 1 << 15, iters = 30, bigrams = true)
+      val preds = testDf.withColumn("pred",
+        QualityModel.predictCol(m, col("text")))
+      require(preds.filter(col("pred") =!= col("label")).isEmpty,
+        "the order rule must GENERALIZE: exact accuracy on docs " +
+        "training never saw")
       preds.select("doc_id", "pred").orderBy("doc_id")
     }),
     "q_model_score" -> ((s, dir) => {
@@ -4150,13 +4224,7 @@ object SparkEntry {
       // thresholded SQL read-back ≡ the oracle's planted rule.
       import graft.pipeline.QualityModel
       val sf = new java.io.File(dir).getName.replace('.', '_')
-      val planted = t(s, dir, "documents").select("doc_id", "text")
-        .withColumn("text", concat(col("text"),
-          when(col("doc_id") % 2 === 0, lit(" qualhi"))
-            .otherwise(lit(" quallo"))))
-        .withColumn("label", (col("doc_id") % 2 === 0).cast("int"))
-      val m = QualityModel.train(planted, "text", "label",
-        dim = 1 << 14, iters = 30)
+      val (planted, m) = plantedQuality(s, dir)
       require(planted.withColumn("pred",
           QualityModel.predictCol(m, col("text")))
         .filter(col("pred") =!= col("label")).isEmpty,
@@ -8310,6 +8378,31 @@ object SparkEntry {
                 CASE WHEN n <= 64 THEN 0
                      ELSE CAST(ceil((n - 64) / 48.0) AS INT) END)) AS u(i)
          ORDER BY doc_id, chunk_idx""",
+    // spans re-derived from token-length prefix sums over the same
+    // normalized text: start = sum(len of first i*48 tokens) + i*48 + 1,
+    // end(excl) = sum(len of first l tokens) + l, l = least(i*48+64, n)
+    "q_doc_chunks_spans" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  CASE WHEN trim(text) = '' THEN []
+                       ELSE string_split_regex(trim(text), '\s+')
+                  END AS t
+           FROM documents),
+         sized AS (
+           SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0)
+         SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+                array_to_string(t[i*48+1 : i*48+64], ' ') AS chunk,
+                CAST(COALESCE(list_sum(list_transform(
+                       t[1 : i*48], x -> length(x))), 0)
+                     + i*48 + 1 AS INT) AS start_char,
+                CAST(COALESCE(list_sum(list_transform(
+                       t[1 : least(i*48 + 64, n)], x -> length(x))), 0)
+                     + least(i*48 + 64, n) AS INT) AS end_char
+         FROM sized,
+              unnest(generate_series(0,
+                CASE WHEN n <= 64 THEN 0
+                     ELSE CAST(ceil((n - 64) / 48.0) AS INT) END)) AS u(i)
+         ORDER BY doc_id, chunk_idx""",
     // the streamed keep-set ≡ the planted rule
     "q_stream_quality" ->
       """SELECT doc_id FROM documents WHERE doc_id % 2 = 0
@@ -8344,6 +8437,21 @@ object SparkEntry {
     "q_quality_classifier" ->
       """SELECT doc_id, CAST(doc_id % 2 = 0 AS INT) AS pred
          FROM documents ORDER BY doc_id""",
+    // the planted ORDER rule replayed on the md5-held-out 30% — rows
+    // the model never trained on
+    "q_quality_holdout" ->
+      """SELECT doc_id, CAST(doc_id % 2 = 0 AS INT) AS pred
+         FROM documents
+         WHERE (4096 * (strpos('0123456789abcdef', substring(
+                  md5(CAST(doc_id AS VARCHAR) || 'graft-qh'), 1, 1)) - 1)
+              + 256 * (strpos('0123456789abcdef', substring(
+                  md5(CAST(doc_id AS VARCHAR) || 'graft-qh'), 2, 1)) - 1)
+              + 16 * (strpos('0123456789abcdef', substring(
+                  md5(CAST(doc_id AS VARCHAR) || 'graft-qh'), 3, 1)) - 1)
+              + (strpos('0123456789abcdef', substring(
+                  md5(CAST(doc_id AS VARCHAR) || 'graft-qh'), 4, 1)) - 1))
+               % 100 >= 70
+         ORDER BY doc_id""",
     // the persisted model scored through SQL ≡ the same planted rule
     "q_model_score" ->
       """SELECT doc_id, CAST(doc_id % 2 = 0 AS INT) AS pred

@@ -33,7 +33,8 @@ import org.apache.spark.sql.functions._
   */
 object QualityModel {
 
-  final case class Model(dim: Int, weights: Array[Double]) {
+  final case class Model(dim: Int, weights: Array[Double],
+      bigrams: Boolean = false) {
     require(weights.length == dim + 1,
       s"weights must be dim+1 (bias last), got ${weights.length}")
   }
@@ -51,7 +52,8 @@ object QualityModel {
     * the wrong coupling for a filter that must train over web-scale
     * documents in a fixed iteration budget.
     */
-  private def featurize(text: String, dim: Int): Array[(Int, Double)] = {
+  private def featurize(text: String, dim: Int,
+      bigrams: Boolean = false): Array[(Int, Double)] = {
     if (text == null) return Array.empty
     val toks = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
     if (toks.isEmpty) return Array.empty
@@ -59,6 +61,18 @@ object QualityModel {
     toks.foreach { t =>
       val h = scala.util.hashing.MurmurHash3.stringHash(t)
       seen.add(((h % dim) + dim) % dim); ()
+    }
+    // hashed word BIGRAMS (fastText's default wordNgrams=2): the
+    // feature that separates ORDER — "alpha beta" vs "beta alpha" have
+    // identical unigram sets. Same hashed space, presence semantics.
+    if (bigrams && toks.length >= 2) {
+      var k = 0
+      while (k < toks.length - 1) {
+        val h = scala.util.hashing.MurmurHash3
+          .stringHash(toks(k) + "\u0001" + toks(k + 1))
+        seen.add(((h % dim) + dim) % dim)
+        k += 1
+      }
     }
     val out = new Array[(Int, Double)](seen.size)
     var j = 0
@@ -79,10 +93,11 @@ object QualityModel {
     */
   def train(df: DataFrame, textCol: String, labelCol: String,
       dim: Int = 1 << 15, iters: Int = 30, lr: Double = 2.0,
-      reg: Double = 0.0): Model = {
+      reg: Double = 0.0, bigrams: Boolean = false): Model = {
     val spark = df.sparkSession
     val dimB = dim
-    val featUdf = udf { t: String => featurize(t, dimB) }
+    val bigramsB = bigrams
+    val featUdf = udf { t: String => featurize(t, dimB, bigramsB) }
     val feats = df.select(
       col(labelCol).cast("double").as("__y"),
       featUdf(col(textCol)).as("__f"))
@@ -113,15 +128,16 @@ object QualityModel {
         }
         bw.destroy()
       }
-      Model(dim, w)
+      Model(dim, w, bigrams)
     } finally { feats.unpersist(blocking = false); () }
   }
 
   /** P(label=1) per row — row-local scan, broadcast weights. */
   def scoreCol(model: Model, text: Column): Column = {
     val w = model.weights; val dim = model.dim
+    val bg = model.bigrams
     val score = udf { t: String =>
-      sigmoid(dot(w, dim, featurize(t, dim).toSeq))
+      sigmoid(dot(w, dim, featurize(t, dim, bg).toSeq))
     }
     score(text)
   }
@@ -138,15 +154,20 @@ object QualityModel {
   def save(spark: org.apache.spark.sql.SparkSession, model: Model,
       path: String): Unit = {
     import spark.implicits._
-    model.weights.zipWithIndex.map { case (w, i) => (i, w) }.toSeq
-      .toDF("i", "w")
+    // the bigram flag rides a sentinel row (i = -1) — absent in models
+    // saved before the flag existed, which therefore load unigram-only
+    val flag = if (model.bigrams) Seq((-1, 1.0)) else Seq.empty
+    (flag ++ model.weights.zipWithIndex
+      .map { case (w, i) => (i, w) }).toDF("i", "w")
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
   def load(spark: org.apache.spark.sql.SparkSession,
       path: String): Model = {
     val rows = spark.read.parquet(path).orderBy("i").collect()
-    require(rows.nonEmpty, s"$path holds no model")
-    Model(rows.length - 1, rows.map(_.getDouble(1)))
+    val (sentinel, weights) = rows.partition(_.getInt(0) < 0)
+    require(weights.nonEmpty, s"$path holds no model")
+    Model(weights.length - 1, weights.map(_.getDouble(1)),
+      bigrams = sentinel.exists(_.getDouble(1) == 1.0))
   }
 }

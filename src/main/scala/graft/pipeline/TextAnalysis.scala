@@ -46,6 +46,46 @@ object TextAnalysis {
           slice(toks, i * lit(stride) + 1, lit(window)), " ")))
   }
 
+  /** [[chunkTokens]] WITH PROVENANCE — each chunk carries its char span
+    * `[start_char, end_char)` (1-based start, exclusive end) into the
+    * WHITESPACE-NORMALIZED document (`regexp_replace(trim(text),
+    * '\s+', ' ')`), the text the chunk string itself is cut from:
+    * `substring(norm, start_char, end_char − start_char) == chunk`
+    * holds by construction, which is what RAG provenance needs to point
+    * a retrieved chunk back into its source. Spans come from running
+    * token-length sums (`aggregate` over a token-prefix slice — integer
+    * adds only, no string copying), so the kernel stays a pure codegen
+    * `Column` tree: row-local, zero shuffle, linear in tokens ×
+    * chunks-per-doc. Same chunk text, count and window anchors as
+    * [[chunkTokens]].
+    */
+  def chunkTokensWithSpans(c: Column, window: Int, stride: Int): Column = {
+    require(window > 0, s"window must be positive, got $window")
+    require(stride > 0 && stride <= window,
+      s"stride must be in [1, window], got $stride (window $window)")
+    val toks = tokensCol(c)
+    val n = size(toks)
+    val last = when(n <= lit(window), lit(0))
+      .otherwise(ceil((n - lit(window)).cast("double") / lit(stride))
+        .cast("int"))
+    // sum of the first m tokens' lengths (m may be 0: empty slice)
+    def sumLen(m: Column): Column =
+      aggregate(slice(toks, lit(1), m), lit(0), (a, t) => a + length(t))
+    when(n === 0, array().cast(
+      "array<struct<chunk:string,start_char:int,end_char:int>>"))
+      .otherwise(transform(sequence(lit(0), last), i => {
+        val m = i * lit(stride)               // first token, 0-based
+        val l = least(m + lit(window), n)     // one past the last token
+        // token m starts after m earlier tokens and m joining spaces
+        val start = sumLen(m) + m + 1
+        val end = sumLen(l) + l                // exclusive: + (l-1) + 1
+        struct(
+          array_join(slice(toks, m + 1, lit(window)), " ").as("chunk"),
+          start.as("start_char"),
+          end.as("end_char"))
+      }))
+  }
+
   /** BPE-ish subword count approximation: alphanumeric runs plus
     * non-alphanumeric runs that carry a non-space mark each count as one
     * token. A deterministic stand-in for a real tokenizer's token count,

@@ -43,6 +43,45 @@ class TextAnalysisSpec extends SparkSpec {
     ()
   }
 
+  test("chunkTokensWithSpans: spans reconstruct every chunk from the " +
+      "normalized text; chunk texts/counts identical to chunkTokens; " +
+      "messy whitespace handled") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"tok$i").mkString(" ")),
+      (2L, "  a   bb\tccc\n dddd  "), // messy whitespace normalizes
+      (3L, "one two"),                // short doc: one chunk
+      (4L, ""), (5L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val out = docs.select(col("id"),
+        regexp_replace(trim(col("text")), "\\s+", " ").as("norm"),
+        posexplode(TextAnalysis.chunkTokensWithSpans(col("text"), 4, 3)))
+      .select(col("id"), col("pos"), col("col.chunk").as("chunk"),
+        col("col.start_char").as("s"), col("col.end_char").as("e"),
+        col("norm"))
+    // THE provenance contract: substring(norm, s, e-s) == chunk, always
+    val bad = out.filter(
+      expr("substring(norm, s, e - s)") =!= col("chunk")).count()
+    assert(bad == 0, "every span must cut its exact chunk text")
+    // spans are well-formed and inside the normalized doc
+    assert(out.filter(col("s") < 1 || col("e") > length(col("norm")) + 1
+      || col("e") <= col("s")).count() == 0)
+    // chunk text and count identical to the span-less kernel
+    val plain = docs.select(col("id"),
+        posexplode(TextAnalysis.chunkTokens(col("text"), 4, 3)))
+      .select(col("id"), col("pos"), col("col").as("chunk"))
+    val spans = out.select("id", "pos", "chunk")
+    assert(plain.exceptAll(spans).isEmpty &&
+      spans.exceptAll(plain).isEmpty,
+      "chunkTokensWithSpans must chunk exactly like chunkTokens")
+    // empty/null docs produce zero chunks (ids 4, 5 absent)
+    assert(out.filter(col("id") >= 4).count() == 0)
+    // overlapping windows: chunk 1 of doc 1 starts at token t4 —
+    // its start char lands mid-document, not at 1
+    val second = out.filter(col("id") === 1 && col("pos") === 1)
+      .select("s").as[Int].head()
+    assert(second == ("tok1 tok2 tok3 ".length + 1))
+  }
+
   test("chunkTokens PROPERTY: for random (n, window, stride) every " +
       "token is covered, the chunk count matches the closed form, " +
       "and consecutive chunks overlap by exactly window - stride") {

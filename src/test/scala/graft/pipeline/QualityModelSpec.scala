@@ -90,6 +90,69 @@ class QualityModelSpec extends SparkSpec {
     assert(a == b)
   }
 
+  // the word-ORDER corpus: unigram sets are IDENTICAL across classes
+  // ("alpha beta" vs "beta alpha"), so only bigram features can learn
+  private lazy val ordered = {
+    val base = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "lorem ipsum dolor sit amet consectetur adipiscing elit",
+      "a stitch in time saves nine and more besides",
+      "pack my box with five dozen liquor jugs",
+      "how vexingly quick daft zebras jump today")
+    // sentence index (i/2) and class (i%2) are INDEPENDENT: every
+    // sentence appears with both markers on both sides of the split,
+    // so no unigram or boundary feature correlates with the class —
+    // the order bigram is the ONLY signal
+    (0 until 200).map { i =>
+      val marker = if (i % 2 == 0) "alpha beta" else "beta alpha"
+      (i.toLong, s"${base((i / 2) % base.size)} $marker", 1 - i % 2)
+    }.toDF("id", "text", "label")
+  }
+
+  test("word-bigram features learn an ORDER rule and GENERALIZE to a " +
+      "held-out split; unigram features cannot learn it at all") {
+    val train = ordered.filter(col("id") < 140)   // 70%
+    val test = ordered.filter(col("id") >= 140)   // unseen 30%
+    val bg = QualityModel.train(train, "text", "label",
+      dim = 1 << 15, iters = 30, bigrams = true)
+    val heldOutAcc = test.withColumn("pred",
+      QualityModel.predictCol(bg, col("text")))
+      .filter(col("pred") === col("label")).count().toDouble /
+      test.count()
+    assert(heldOutAcc == 1.0,
+      s"bigram model must carry the order rule to unseen docs, " +
+      s"got $heldOutAcc")
+    // negative control: the unigram model sees identical feature sets
+    // for both classes — even TRAINING accuracy must sit at chance
+    val ug = QualityModel.train(train, "text", "label",
+      dim = 1 << 15, iters = 30)
+    val trainAcc = train.withColumn("pred",
+      QualityModel.predictCol(ug, col("text")))
+      .filter(col("pred") === col("label")).count().toDouble /
+      train.count()
+    assert(trainAcc < 0.75,
+      s"unigram features carry NO order signal — near-chance " +
+      s"expected, got $trainAcc")
+  }
+
+  test("save/load round-trips the bigram flag (scores identical " +
+      "through persistence); legacy unigram models load unchanged") {
+    val m = QualityModel.train(ordered, "text", "label",
+      dim = 1 << 12, iters = 10, bigrams = true)
+    assert(m.bigrams)
+    val path = java.nio.file.Files
+      .createTempDirectory("qm_model_bg").toString + "/m"
+    QualityModel.save(spark, m, path)
+    val m2 = QualityModel.load(spark, path)
+    assert(m2.bigrams && m2.dim == m.dim &&
+      m2.weights.toSeq == m.weights.toSeq)
+    val a = ordered.withColumn("s", QualityModel.scoreCol(m, col("text")))
+      .select("s").as[Double].collect().toSeq
+    val b = ordered.withColumn("s", QualityModel.scoreCol(m2, col("text")))
+      .select("s").as[Double].collect().toSeq
+    assert(a == b)
+  }
+
   test("hash collisions stay inside dim; tiny dim still trains") {
     val m = QualityModel.train(planted, "text", "label",
       dim = 32, iters = 50, lr = 3.0)

@@ -1307,6 +1307,68 @@ object SparkEntry {
         s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       }
     }),
+    "q_spj_join_compat" -> ((s, dir) => {
+      // MISMATCHED-BUCKET-COUNT SPJ (Spark's compatible-transforms
+      // hook, SPARK-47094): a 64-bucket fact joins a 16-bucket dim
+      // with NO exchange — the V2 bucket function is a
+      // ReducibleFunction, both sides reduce bucket ids to the gcd
+      // (pmod(h,64) % 16 == pmod(h,16)), and Spark groups the finer
+      // side's partitions per reduced key. At 100 TB this is "the dim
+      // was laid out years before the fact grew 64× — join them
+      // anyway without re-bucketing either". Required in-gate:
+      // SortMergeJoin with NO Exchange across UNEQUAL counts.
+      // Read-back ≡ the oracle's plain join.
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val root = new java.io.File(scratchRoot, s"graft_spjcp_$sf")
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      val cat = s"gspjcp_$sf"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root.getAbsolutePath)
+      val pv = s"graft_spjcp_p_$sf"; val lv = s"graft_spjcp_l_$sf"
+      t(s, dir, "part").select("p_partkey", "p_name", "p_retailprice")
+        .createOrReplaceTempView(pv)
+      t(s, dir, "lineitem").select("l_partkey", "l_quantity")
+        .createOrReplaceTempView(lv)
+      s.sql(s"CREATE TABLE $cat.parts (id BIGINT, name STRING, " +
+        "price DOUBLE) PARTITIONED BY (bucket(16, id))")
+      s.sql(s"CREATE TABLE $cat.demand (id BIGINT, qty DOUBLE, " +
+        "n BIGINT) PARTITIONED BY (bucket(64, id))")
+      s.sql(s"INSERT INTO $cat.parts " +
+        s"SELECT p_partkey, p_name, p_retailprice FROM $pv")
+      s.sql(s"INSERT INTO $cat.demand " +
+        "SELECT l_partkey, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE), " +
+        s"count(*) FROM $lv GROUP BY l_partkey")
+      val join = s"SELECT p.id, p.name, p.price, d.qty, d.n " +
+        s"FROM $cat.parts p JOIN $cat.demand d ON p.id = d.id"
+      s.conf.set("spark.graft.bucketedScan", "true")
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set(
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      s.conf.set("spark.sql.sources.v2.bucketing" +
+        ".allowCompatibleTransforms.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val probe = s.sql(join)
+        val plan = probe.queryExecution.executedPlan.toString
+        require(plan.contains("SortMergeJoin") &&
+            !plan.contains("Exchange"),
+          s"the 64-vs-16-bucket join must reduce to the gcd and plan " +
+          s"WITHOUT a shuffle:\n$plan")
+        require(plan.contains("GraftBucketScan"),
+          "both sides must read through the native bucket scan")
+        probe.orderBy("id").localCheckpoint()
+      } finally {
+        s.conf.set("spark.graft.bucketedScan", "false")
+        s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+        s.conf.unset(
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+        s.conf.unset("spark.sql.sources.v2.bucketing" +
+          ".allowCompatibleTransforms.enabled")
+        s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }),
     "q_spj_join_dv" -> ((s, dir) => {
       // SPJ OVER A DV-BEARING TABLE (the CDC steady state): deletion-
       // vector deletes touch NO data file, and the native bucket scan
@@ -6898,6 +6960,16 @@ object SparkEntry {
          ORDER BY id""",
     // the shuffle-free co-bucketed join ≡ the oracle's plain join
     "q_spj_join" ->
+      """SELECT p.p_partkey AS id, p.p_name AS name,
+                p.p_retailprice AS price,
+                CAST(sum(CAST(l.l_quantity AS DECIMAL(28,2))) AS DOUBLE)
+                  AS qty,
+                count(*) AS n
+         FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+         GROUP BY 1, 2, 3
+         ORDER BY id""",
+    // the gcd-reduced mismatched-bucket join ≡ the oracle's plain join
+    "q_spj_join_compat" ->
       """SELECT p.p_partkey AS id, p.p_name AS name,
                 p.p_retailprice AS price,
                 CAST(sum(CAST(l.l_quantity AS DECIMAL(28,2))) AS DOUBLE)

@@ -5,7 +5,7 @@ import java.util
 import graft.sources.{Merge, Skipping}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, Reducer, ReducibleFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
@@ -132,10 +132,21 @@ class GraftBucketScan(path: String, version: Long, dataSchema: StructType,
     * over pre-sorted storage (Iceberg's sort-order metadata makes the
     * same move). Multi-file buckets report no ordering (the files are
     * individually sorted but their concatenation is not).
+    *
+    * With `allowCompatibleTransforms` enabled the claim is WITHDRAWN:
+    * a mismatched-count join reduces both sides to the gcd and
+    * CONCATENATES the finer side's buckets per reduced key at
+    * execution time — after planning consumed the ordering — and a
+    * sort-free merge join over that concatenation silently drops rows
+    * (Spark's own grouped-partition ordering check runs before the
+    * join-time reduction exists, so the scan must decline up front).
+    * Equal-count sessions keep the conf off and keep the zipper.
     */
   override def outputOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-    if (keySorted && units.forall(_._2.size <= 1))
+    if (keySorted && units.forall(_._2.size <= 1) &&
+        SparkSession.active.conf.get("spark.sql.sources.v2.bucketing" +
+          ".allowCompatibleTransforms.enabled", "false") != "true")
       Array(Expressions.sort(Expressions.column(keyCol),
         org.apache.spark.sql.connector.expressions.SortDirection
           .ASCENDING))
@@ -354,7 +365,26 @@ object GraftBucketFunction extends UnboundFunction {
         s"bucket key must be BIGINT, INT, STRING, DATE, TIMESTAMP or " +
         s"TIMESTAMP_NTZ for the native bucket scan, got " +
         keyType.simpleString)
-    new ScalarFunction[java.lang.Long] {
+    new GraftBoundBucket(keyType)
+  }
+
+  /** The bound bucket function. Also a [[ReducibleFunction]] (Spark's
+    * SPARK-47094 compatible-transforms hook): a 64-bucket dim can join
+    * a 4096-bucket fact WITHOUT a full shuffle — both sides reduce
+    * their bucket ids to the counts' gcd (`id % gcd`, exact because
+    * `pmod(h, n) % d == pmod(h, d)` whenever `d | n`), Spark groups the
+    * finer side's partitions per reduced key, and the join plans
+    * exchange-free at gcd granularity. Reduction is offered only
+    * against the SAME canonical function (same key type — the xxhash64
+    * of an int and a long differ) and only when the gcd keeps more
+    * than one partition (reducing coprime counts to ONE partition
+    * would serialize the join; declining falls back to the ordinary
+    * shuffle). Session opt-in:
+    * `spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled`.
+    */
+  final class GraftBoundBucket(keyType: DataType)
+      extends ScalarFunction[java.lang.Long]
+      with ReducibleFunction[java.lang.Long, java.lang.Long] {
       override def inputTypes(): Array[DataType] =
         Array(IntegerType, keyType)
       override def resultType(): DataType = LongType
@@ -387,6 +417,35 @@ object GraftBucketFunction extends UnboundFunction {
         }
         ((h % n) + n) % n
       }
+
+      /** Reduce THIS side's bucket ids toward compatibility with the
+        * other side: both sides land at `gcd(thisN, otherN)` buckets.
+        * `null` = this side needs no reduction (its count IS the gcd)
+        * or no reduction is offered (foreign function, different key
+        * type, or a gcd of 1).
+        */
+      override def reducer(thisNumBuckets: Int,
+          otherFunction: ReducibleFunction[_, _], otherNumBuckets: Int)
+          : Reducer[java.lang.Long, java.lang.Long] =
+        otherFunction match {
+          case o: GraftBoundBucket
+              if o.canonicalName() == canonicalName() &&
+                thisNumBuckets > 0 && otherNumBuckets > 0 =>
+            val g = java.math.BigInteger.valueOf(thisNumBuckets)
+              .gcd(java.math.BigInteger.valueOf(otherNumBuckets))
+              .intValueExact()
+            if (g <= 1 || g == thisNumBuckets) null
+            else GraftBucketReducer(g)
+          case _ => null
+        }
     }
+
+  /** `pmod(h, n) % g == pmod(h, g)` when `g | n` — the modular fact
+    * that makes coarser bucket ids derivable from finer ones.
+    */
+  private final case class GraftBucketReducer(g: Int)
+      extends Reducer[java.lang.Long, java.lang.Long] {
+    override def reduce(bucket: java.lang.Long): java.lang.Long =
+      bucket % g
   }
 }

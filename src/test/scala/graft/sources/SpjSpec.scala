@@ -270,6 +270,60 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("COMPATIBLE bucket counts (8 vs 4) join with NO exchange when " +
+      "allowCompatibleTransforms is on: the finer side reduces to the " +
+      "gcd via the ReducibleFunction hook") {
+    val (cat, _) = mkCatalog("compat")
+    spark.sql(s"CREATE TABLE $cat.fine (id BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (bucket(8, id))")
+    spark.sql(s"CREATE TABLE $cat.coarse (id BIGINT, name STRING) " +
+      "PARTITIONED BY (bucket(4, id))")
+    spark.range(240).selectExpr("id", "cast(id as double) AS v")
+      .createOrReplaceTempView("spj_cp_f")
+    spark.range(200).selectExpr("id", "concat('x', id) AS name")
+      .createOrReplaceTempView("spj_cp_c")
+    spark.sql(s"INSERT INTO $cat.fine SELECT * FROM spj_cp_f")
+    spark.sql(s"INSERT INTO $cat.coarse SELECT * FROM spj_cp_c")
+    val q = s"SELECT f.id, f.v, c.name FROM $cat.fine f " +
+      s"JOIN $cat.coarse c ON f.id = c.id"
+    val expected = spark.sql(
+      "SELECT f.id, f.v, c.name FROM spj_cp_f f " +
+      "JOIN spj_cp_c c ON f.id = c.id")
+      .as[(Long, Double, String)].collect().toSeq.sorted
+    withSpj {
+      spark.conf.set("spark.sql.sources.v2.bucketing" +
+        ".allowCompatibleTransforms.enabled", "true")
+      try {
+        val j = spark.sql(q)
+        val plan = j.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"),
+          s"8⋈4 must reduce to gcd 4 and plan with NO exchange:\n$plan")
+        // rows identical to the plain join — the modular reduction
+        // (pmod(h,8) % 4 == pmod(h,4)) must align every key pair
+        assert(j.as[(Long, Double, String)].collect().toSeq.sorted ==
+          expected, "compatible-transform SPJ rows must match")
+      } finally spark.conf.unset("spark.sql.sources.v2.bucketing" +
+        ".allowCompatibleTransforms.enabled")
+    }
+    // COPRIME counts decline reduction (gcd 1 would serialize the
+    // join): same conf, but the plan keeps its shuffles, rows correct
+    spark.sql(s"CREATE TABLE $cat.three (id BIGINT, w DOUBLE) " +
+      "PARTITIONED BY (bucket(3, id))")
+    spark.sql(s"INSERT INTO $cat.three SELECT id, " +
+      "cast(id * 3 as double) FROM spj_cp_f")
+    withSpj {
+      spark.conf.set("spark.sql.sources.v2.bucketing" +
+        ".allowCompatibleTransforms.enabled", "true")
+      try {
+        val j2 = spark.sql(s"SELECT f.id, t.w FROM $cat.fine f " +
+          s"JOIN $cat.three t ON f.id = t.id")
+        assert(j2.count() == 240L,
+          "coprime-count fallback must still join correctly")
+      } finally spark.conf.unset("spark.sql.sources.v2.bucketing" +
+        ".allowCompatibleTransforms.enabled")
+    }
+  }
+
   test("DATE-keyed co-bucketed tables join exchange-free (widened SPJ " +
       "key types); TIMESTAMP routing matches the writer bit-for-bit") {
     val (cat, _) = mkCatalog("datekey")

@@ -1307,6 +1307,70 @@ object SparkEntry {
         s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       }
     }),
+    "q_spj_join_colmap" -> ((s, dir) => {
+      // SPJ OVER A COLUMN-MAPPED TABLE: metadata-only renames leave
+      // the files under their ORIGINAL physical names; the native scan
+      // renames its read schemas and pushed filters at the reader
+      // doorway (rows are positional — nothing is renamed back), so a
+      // renamed table keeps the zero-shuffle join it had before the
+      // rename. Required in-gate: colMap live on the renamed side,
+      // SortMergeJoin with NO Exchange. Read-back ≡ the oracle's
+      // plain join under the NEW logical names.
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val root = new java.io.File(scratchRoot, s"graft_spjcm_$sf")
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      val cat = s"gspjcm_$sf"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root.getAbsolutePath)
+      val pv = s"graft_spjcm_p_$sf"; val lv = s"graft_spjcm_l_$sf"
+      t(s, dir, "part").select("p_partkey", "p_name", "p_retailprice")
+        .createOrReplaceTempView(pv)
+      t(s, dir, "lineitem").select("l_partkey", "l_quantity")
+        .createOrReplaceTempView(lv)
+      s.sql(s"CREATE TABLE $cat.parts (id BIGINT, name STRING, " +
+        "price DOUBLE) PARTITIONED BY (bucket(16, id))")
+      s.sql(s"CREATE TABLE $cat.demand (id BIGINT, amount DOUBLE, " +
+        "n BIGINT) PARTITIONED BY (bucket(16, id))")
+      s.sql(s"INSERT INTO $cat.parts " +
+        s"SELECT p_partkey, p_name, p_retailprice FROM $pv")
+      s.sql(s"INSERT INTO $cat.demand " +
+        "SELECT l_partkey, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE), " +
+        s"count(*) FROM $lv GROUP BY l_partkey")
+      // metadata-only renames — column mapping goes LIVE on demand
+      val demandPath = new java.io.File(root, "demand").getAbsolutePath
+      graft.sources.Merge.renameColumn(s, demandPath, "amount", "qty")
+      graft.sources.Merge.renameColumn(s, demandPath, "id", "key")
+      require(graft.sources.Merge.bucketScanUnits(s, demandPath,
+          graft.sources.Merge.currentVersion(s, demandPath), Seq.empty)
+        .exists(_.colMap.nonEmpty),
+        "the renames must leave a LIVE column mapping for this gate " +
+        "to exercise the renamed read path")
+      val join = s"SELECT p.id, p.name, p.price, d.qty, d.n " +
+        s"FROM $cat.parts p JOIN $cat.demand d ON p.id = d.key"
+      s.conf.set("spark.graft.bucketedScan", "true")
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set(
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val probe = s.sql(join)
+        val plan = probe.queryExecution.executedPlan.toString
+        require(plan.contains("SortMergeJoin") &&
+            !plan.contains("Exchange"),
+          s"the renamed co-bucketed join must stay shuffle-free:\n$plan")
+        require(plan.contains("GraftBucketScan"),
+          "both sides must read through the native bucket scan")
+        probe.orderBy("id").localCheckpoint()
+      } finally {
+        s.conf.set("spark.graft.bucketedScan", "false")
+        s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+        s.conf.unset(
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+        s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }),
     "q_spj_join_compat" -> ((s, dir) => {
       // MISMATCHED-BUCKET-COUNT SPJ (Spark's compatible-transforms
       // hook, SPARK-47094): a 64-bucket fact joins a 16-bucket dim
@@ -6960,6 +7024,16 @@ object SparkEntry {
          ORDER BY id""",
     // the shuffle-free co-bucketed join ≡ the oracle's plain join
     "q_spj_join" ->
+      """SELECT p.p_partkey AS id, p.p_name AS name,
+                p.p_retailprice AS price,
+                CAST(sum(CAST(l.l_quantity AS DECIMAL(28,2))) AS DOUBLE)
+                  AS qty,
+                count(*) AS n
+         FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+         GROUP BY 1, 2, 3
+         ORDER BY id""",
+    // renames are metadata-only: the joined data ≡ the plain join
+    "q_spj_join_colmap" ->
       """SELECT p.p_partkey AS id, p.p_name AS name,
                 p.p_retailprice AS price,
                 CAST(sum(CAST(l.l_quantity AS DECIMAL(28,2))) AS DOUBLE)

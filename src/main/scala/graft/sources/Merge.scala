@@ -2217,15 +2217,15 @@ object Merge {
     */
   final case class BucketScanPlan(keyCol: String, nBuckets: Int,
       keySorted: Boolean, units: Seq[(Long, Seq[(String, Long)])],
-      dvFiles: Seq[(String, Long)])
+      dvFiles: Seq[(String, Long)],
+      colMap: Seq[(String, String)] = Seq.empty)
 
   /** Planning units for the NATIVE bucket-grouped DSv2 scan
     * ([[graft.sources.v2]] storage-partitioned joins): Some(plan) when
-    * the version is natively scannable — a recorded layout + schema, a
-    * key type the V2 bucket function can hash, and NO column mapping
-    * (that read path needs [[versionDf]]'s rename machinery; callers
-    * fall back to the V1 bridge). Live deletion vectors DO ride along
-    * (see [[BucketScanPlan.dvFiles]]). `bounds` prune files through
+    * the version is natively scannable — a recorded layout + schema
+    * and a key type the V2 bucket function can hash. Live deletion
+    * vectors AND column mapping both ride along (see
+    * [[BucketScanPlan]]). `bounds` prune files through
     * the manifest stats exactly as [[readVersionSkipping]]; a
     * fully-pruned bucket disappears from the plan
     * (KeyGroupedPartitioning handles the missing partition values).
@@ -2236,8 +2236,7 @@ object Merge {
       bounds: Seq[Skipping.Bound]): Option[BucketScanPlan] = {
     val (fs, root) = fsFor(spark, path)
     val m = readManifest(spark, root, version)
-    if (m.colMap.nonEmpty || m.layout.isEmpty ||
-        m.dataSchema.isEmpty) return None
+    if (m.layout.isEmpty || m.dataSchema.isEmpty) return None
     val (keyCol, n) = m.layout.get
     // the V2 bucket function cannot bind these key types — never build
     // a native scan the planner would then fail to resolve
@@ -2276,7 +2275,10 @@ object Merge {
       val p = new Path(root, f)
       (fs.makeQualified(p).toString, fs.getFileStatus(p).getLen)
     }
-    Some(BucketScanPlan(keyCol, n, m.keySorted, units, dv))
+    // COLUMN MAPPING rides along: files store PHYSICAL names; the scan
+    // renames its read schemas logical→physical at the reader doorway
+    // (rows are positional — nothing else changes)
+    Some(BucketScanPlan(keyCol, n, m.keySorted, units, dv, m.colMap))
   }
 
   /** [[readVersionWhere]] at the latest committed version. */

@@ -37,7 +37,8 @@ class GraftBucketScan(path: String, version: Long, dataSchema: StructType,
     required: StructType, pushed: Array[Filter], keyCol: String,
     nBuckets: Int, keySorted: Boolean,
     units0: Seq[(Long, Seq[(String, Long)])],
-    dvFiles: Seq[(String, Long)] = Seq.empty)
+    dvFiles: Seq[(String, Long)] = Seq.empty,
+    colMap: Seq[(String, String)] = Seq.empty)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportOrdering {
@@ -159,14 +160,31 @@ class GraftBucketScan(path: String, version: Long, dataSchema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active
+    // COLUMN MAPPING: files store PHYSICAL names while this scan (and
+    // everything above it) speaks LOGICAL ones — rename the schemas
+    // and the pushed filters at the reader doorway. Rows are
+    // POSITIONAL, so field order (preserved by the rename) is the only
+    // thing that matters above the reader; nothing is renamed back.
+    val l2p = colMap.toMap
+    val dataSchemaP =
+      if (l2p.isEmpty) dataSchema
+      else StructType(dataSchema.fields.map(f =>
+        f.copy(name = l2p.getOrElse(f.name, f.name))))
+    val requiredP =
+      if (l2p.isEmpty) required
+      else StructType(required.fields.map(f =>
+        f.copy(name = l2p.getOrElse(f.name, f.name))))
+    val pushedP =
+      if (l2p.isEmpty) pushed.toSeq
+      else pushed.toSeq.flatMap(GraftBucketScan.renameFilter(_, l2p))
     if (dvFiles.isEmpty) {
       val rowFunc = ParquetReadShim.buildReader(
-        spark, dataSchema, required, pushed.toSeq)
+        spark, dataSchemaP, requiredP, pushedP)
       // vectorized whenever the schema batches (atomic types): DSv2
       // columnar reads keep this scan's throughput at parity with
       // Spark's own parquet scans; row mode is the complex-type fallback
       val batchFunc = ParquetReadShim.buildColumnarReader(
-        spark, dataSchema, required, pushed.toSeq)
+        spark, dataSchemaP, requiredP, pushedP)
       new GraftBucketReaderFactory(rowFunc, batchFunc)
     } else {
       // DELETION VECTORS through the native scan — merge-on-read
@@ -180,7 +198,7 @@ class GraftBucketScan(path: String, version: Long, dataSchema: StructType,
       // reader. Row mode only — a positional skip is row-at-a-time;
       // compaction folds the DVs and restores the columnar path.
       val rowFunc = ParquetReadShim.buildReaderWithRowIndex(
-        spark, dataSchema, required, pushed.toSeq)
+        spark, dataSchemaP, requiredP, pushedP)
       val dvFunc = ParquetReadShim.buildReader(
         spark, GraftBucketScan.DvSchema, GraftBucketScan.DvSchema,
         Seq.empty)
@@ -200,6 +218,40 @@ object GraftBucketScan {
     * `_metadata.row_index`.
     */
   val DvSchema: StructType = StructType.fromDDL("file STRING, pos BIGINT")
+
+  /** Rename a pushed filter's attribute references logical→physical
+    * for the parquet reader. None (drop) for a shape we don't know how
+    * to rename — filters here are advisory row-group pruning only (the
+    * residual Filter node above the scan re-applies every predicate),
+    * so dropping is always sound.
+    */
+  def renameFilter(f: Filter, m: Map[String, String]): Option[Filter] = {
+    import org.apache.spark.sql.sources._
+    def r(a: String): String = m.getOrElse(a, a)
+    f match {
+      case AlwaysTrue() | AlwaysFalse()    => Some(f)
+      case EqualTo(a, v)                   => Some(EqualTo(r(a), v))
+      case EqualNullSafe(a, v)             => Some(EqualNullSafe(r(a), v))
+      case GreaterThan(a, v)               => Some(GreaterThan(r(a), v))
+      case GreaterThanOrEqual(a, v) => Some(GreaterThanOrEqual(r(a), v))
+      case LessThan(a, v)                  => Some(LessThan(r(a), v))
+      case LessThanOrEqual(a, v)           => Some(LessThanOrEqual(r(a), v))
+      case In(a, vs)                       => Some(In(r(a), vs))
+      case IsNull(a)                       => Some(IsNull(r(a)))
+      case IsNotNull(a)                    => Some(IsNotNull(r(a)))
+      case StringStartsWith(a, v)     => Some(StringStartsWith(r(a), v))
+      case StringEndsWith(a, v)            => Some(StringEndsWith(r(a), v))
+      case StringContains(a, v)            => Some(StringContains(r(a), v))
+      case And(l, rt) =>
+        for (lf <- renameFilter(l, m); rf <- renameFilter(rt, m))
+          yield And(lf, rf)
+      case Or(l, rt) =>
+        for (lf <- renameFilter(l, m); rf <- renameFilter(rt, m))
+          yield Or(lf, rf)
+      case Not(c) => renameFilter(c, m).map(Not(_))
+      case _ => None
+    }
+  }
 }
 
 /** One bucket's files; the bucket id is the KeyGroupedPartitioning

@@ -572,7 +572,7 @@ class GraftScanBuilder(path: String, version: Long, dataSchema: StructType)
                 case Some(full) =>
                   new GraftBucketScan(path, version, full, required,
                     pushed, plan.keyCol, plan.nBuckets, plan.keySorted,
-                    plan.units, plan.dvFiles): Scan
+                    plan.units, plan.dvFiles, plan.colMap): Scan
                 case None =>
                   new GraftScan(path, version, pushed, required, limit)
               }

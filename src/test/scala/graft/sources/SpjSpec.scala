@@ -435,6 +435,55 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("COLUMN-MAPPED tables stay on the native scan: renamed columns " +
+      "read correctly (physical names at the reader doorway only), " +
+      "filters prune under the rename, the join stays exchange-free") {
+    val (cat, root) = mkCatalog("cmap")
+    spark.sql(s"CREATE TABLE $cat.a (id BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (bucket(8, id))")
+    spark.sql(s"CREATE TABLE $cat.b (id BIGINT, name STRING) " +
+      "PARTITIONED BY (bucket(8, id))")
+    spark.range(160).selectExpr("id", "cast(id as double) AS v")
+      .createOrReplaceTempView("spj_cm_a")
+    spark.range(160).selectExpr("id", "concat('n', id) AS name")
+      .createOrReplaceTempView("spj_cm_b")
+    spark.sql(s"INSERT INTO $cat.a SELECT * FROM spj_cm_a")
+    spark.sql(s"INSERT INTO $cat.b SELECT * FROM spj_cm_b")
+    // metadata-only renames: files keep the ORIGINAL physical names,
+    // the manifest records logical->physical (colMap non-empty)
+    val pathA = new File(root, "a").getAbsolutePath
+    Merge.renameColumn(spark, pathA, "v", "score")
+    Merge.renameColumn(spark, pathA, "id", "key")
+    withSpj {
+      val scan = spark.sql(s"SELECT key, score FROM $cat.a")
+      assert(scan.queryExecution.executedPlan.toString
+        .contains("GraftBucketScan"),
+        "a column-mapped version must still build the native scan")
+      assert(scan.as[(Long, Double)].collect().sortBy(_._1).toSeq ==
+        (0L until 160L).map(i => (i, i.toDouble)))
+      // pushed filter on a RENAMED column: renamed at the reader
+      // doorway, still correct (and still only advisory pruning)
+      assert(spark.sql(
+        s"SELECT count(*) FROM $cat.a WHERE score >= 100.0")
+        .as[Long].head() == 60L)
+      // the rename does not cost the zero-shuffle join (key column
+      // renamed on one side only — join on the LOGICAL names)
+      val j = spark.sql(s"SELECT a.key, a.score, b.name FROM $cat.a a " +
+        s"JOIN $cat.b b ON a.key = b.id")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"the renamed co-bucketed join must stay shuffle-free:\n$plan")
+      assert(j.count() == 160L)
+      // colMap + DVs TOGETHER (the full CDC steady state)
+      Merge.deleteWhereDV(spark, pathA,
+        org.apache.spark.sql.functions.col("key") < 10L)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.a").as[Long]
+        .head() == 150L)
+      assert(spark.sql(s"SELECT min(key) FROM $cat.a WHERE key >= 0")
+        .as[Long].head() == 10L)
+    }
+  }
+
   test("a time-traveled table reports the PINNED version's bucket " +
       "layout, not the post-relayout head's") {
     val (cat, root) = mkCatalog("pinned")

@@ -131,8 +131,11 @@ class GraftBucketScan(path: String, version: Long, dataSchema: StructType,
     * order — so a merge join over two such tables plans with NO Sort
     * on top of the NO Exchange: the entire join is a streaming zipper
     * over pre-sorted storage (Iceberg's sort-order metadata makes the
-    * same move). Multi-file buckets report no ordering (the files are
-    * individually sorted but their concatenation is not).
+    * same move). With per-FILE input partitions every split is
+    * individually key-sorted, so the claim holds whenever the flag
+    * does; when exec-side grouping concatenates a multi-file bucket
+    * into one task, Spark itself drops the claim (ordering survives
+    * only groups of <= 1 split) and plans the Sorts.
     *
     * With `allowCompatibleTransforms` enabled the claim is WITHDRAWN:
     * a mismatched-count join reduces both sides to the gcd and
@@ -145,7 +148,7 @@ class GraftBucketScan(path: String, version: Long, dataSchema: StructType,
     */
   override def outputOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-    if (keySorted && units.forall(_._2.size <= 1) &&
+    if (keySorted &&
         SparkSession.active.conf.get("spark.sql.sources.v2.bucketing" +
           ".allowCompatibleTransforms.enabled", "false") != "true")
       Array(Expressions.sort(Expressions.column(keyCol),
@@ -153,9 +156,23 @@ class GraftBucketScan(path: String, version: Long, dataSchema: StructType,
           .ASCENDING))
     else Array.empty
 
+  /** One input partition PER FILE (Iceberg's split granularity), not
+    * per bucket: Spark's exec-side grouping (`HasPartitionKey` +
+    * `v2.bucketing.enabled`) reassembles buckets for SPJ, so the plan
+    * is identical where it was identical — but (a) a plain scan of a
+    * multi-file bucket now parallelizes per file instead of one task
+    * per bucket, and (b) `partiallyClusteredDistribution` has real
+    * splits to work with: a HOT bucket's files stay separate tasks
+    * while the other side's matching partition is replicated — the
+    * skew escape an exchange-free plan otherwise lacks (AQE can't
+    * split what never shuffles). A fully-pruned bucket emits one
+    * EMPTY partition so the partition-VALUE set stays fixed under
+    * runtime filtering (the validation re-groups and compares values).
+    */
   override def planInputPartitions(): Array[InputPartition] =
-    units.map { case (b, files) =>
-      GraftBucketInputPartition(b, files): InputPartition
+    units.flatMap { case (b, files) =>
+      if (files.isEmpty) Seq(GraftBucketInputPartition(b, Seq.empty))
+      else files.map(f => GraftBucketInputPartition(b, Seq(f)))
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {

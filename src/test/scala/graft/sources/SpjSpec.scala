@@ -435,6 +435,67 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("per-FILE splits: multi-file buckets join correctly (Spark " +
+      "sorts grouped splits), partiallyClusteredDistribution gives a " +
+      "hot bucket its own tasks, plain scans parallelize per file") {
+    val (cat, root) = mkCatalog("splits")
+    val pathA = new File(root, "a").getAbsolutePath
+    // 3 files per bucket from the start — the multi-file shape of a
+    // skewed/hot bucket (compactVersion is over-target-selective and
+    // would leave 1-file buckets alone); the dir-mode catalog resolves
+    // the written table like any CREATEd one
+    Merge.writeKeyed(
+      spark.range(400).selectExpr("id", "cast(id as double) AS v"),
+      pathA, "id", nBuckets = 4, filesPerBucket = 3)
+    spark.sql(s"CREATE TABLE $cat.b (id BIGINT, name STRING) " +
+      "PARTITIONED BY (bucket(4, id))")
+    spark.range(400).selectExpr("id", "concat('n', id) AS name")
+      .createOrReplaceTempView("spj_sp_b")
+    spark.sql(s"INSERT INTO $cat.b SELECT * FROM spj_sp_b")
+    val plan = Merge.bucketScanUnits(spark, pathA,
+      Merge.currentVersion(spark, pathA), Seq.empty).get
+    val scan = new graft.sources.v2.GraftBucketScan(pathA,
+      Merge.currentVersion(spark, pathA),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, v DOUBLE"),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, v DOUBLE"),
+      Array.empty, plan.keyCol, plan.nBuckets, plan.keySorted,
+      plan.units, plan.dvFiles, plan.colMap)
+    val parts = scan.planInputPartitions()
+    assert(parts.length == plan.units.map(_._2.size.max(1)).sum &&
+      parts.length > plan.units.size,
+      s"per-FILE splits expected, got ${parts.length} partitions for " +
+      s"${plan.units.size} buckets")
+    withSpj {
+      // grouped multi-file buckets lose the ordering claim -> Spark
+      // plans Sorts; the join stays exchange-free and EXACT (this is
+      // the case a stale per-partition ordering claim would corrupt)
+      val j = spark.sql(s"SELECT a.id, a.v, b.name FROM $cat.a a " +
+        s"JOIN $cat.b b ON a.id = b.id")
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"still exchange-free:\n$p")
+      assert(sortNodes(p) > 0,
+        s"grouped multi-file splits must bring the Sort back:\n$p")
+      assert(j.count() == 400L)
+      // the hot-bucket skew escape: partially clustered keeps the
+      // multi-file side UNGROUPED (a task per file) and replicates
+      // the other side's matching partitions — still no full shuffle
+      spark.conf.set("spark.sql.sources.v2.bucketing" +
+        ".partiallyClusteredDistribution.enabled", "true")
+      try {
+        val j2 = spark.sql(s"SELECT a.id, a.v, b.name FROM $cat.a a " +
+          s"JOIN $cat.b b ON a.id = b.id")
+        val p2 = j2.queryExecution.executedPlan.toString
+        assert(!p2.contains("Exchange"),
+          s"partially clustered must not add a shuffle:\n$p2")
+        assert(j2.count() == 400L,
+          "replicated partitions must join exactly")
+      } finally spark.conf.unset("spark.sql.sources.v2.bucketing" +
+        ".partiallyClusteredDistribution.enabled")
+    }
+  }
+
   test("COLUMN-MAPPED tables stay on the native scan: renamed columns " +
       "read correctly (physical names at the reader doorway only), " +
       "filters prune under the rename, the join stays exchange-free") {

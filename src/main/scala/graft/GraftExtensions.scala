@@ -217,6 +217,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     registerColumnFn("graft_chunk_tokens", 3,
       c => graft.pipeline.TextAnalysis.chunkTokens(column(c.head),
         intLit(c(1), "window"), intLit(c(2), "stride")))
+    registerColumnFn("graft_chunk_spans", 3,
+      c => graft.pipeline.TextAnalysis.chunkTokensWithSpans(
+        column(c.head), intLit(c(1), "window"), intLit(c(2), "stride")))
     registerColumnFn("graft_subword_count", 1,
       c => graft.pipeline.TextAnalysis.subwordCount(column(c.head)))
     registerColumnFn("graft_quality_score", 1,

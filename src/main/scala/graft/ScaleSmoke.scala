@@ -369,6 +369,44 @@ object ScaleSmoke {
           "spark.sql.sources.v2.bucketing.pushPartValues.enabled")
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
+
+    // ---- r15 DV-BEARING SPJ: merge-on-read delete a 1% slice, then
+    // the SAME exchange-free join through the native scan's row-index
+    // skip mask. The DV overhead must track the DELETED rows (the
+    // sidecar read + per-row hash probe), never the table — the CDC
+    // steady state where r14 fell back to the shuffled bridge.
+    Seq(("1x", 64), (s"${factor}x", 64 * factor)).foreach {
+      case (tag, buckets) =>
+        println(s"--- $tag spj_dv (nBuckets=$buckets)")
+        val base = s"/tmp/graft_scale_spj_$tag" // the tables above
+        val cat = s"gspjscale_$tag"
+        val st = graft.sources.Merge.deleteWhereDV(spark, s"$base/a",
+          col("doc_id") % 100 === 1)
+        println(s"SCALE   dv deleted ${st.rowsDeleted} rows, " +
+          "0 data files rewritten")
+        val q = s"SELECT count(*) AS n, sum(length(a.text) + b.len) " +
+          s"AS s FROM $cat.a a JOIN $cat.b b ON a.doc_id = b.doc_id"
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.graft.bucketedScan", "true")
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        spark.conf.set(
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+        timed(s"join_spj_dv")({
+          val df = spark.sql(q)
+          val plan = df.queryExecution.executedPlan.toString
+          require(!plan.contains("hashpartitioning"),
+            s"the DV-bearing SPJ join must not exchange on the key:\n" +
+            plan)
+          require(plan.contains("GraftBucketScan"),
+            "the DV version must still read through the native scan")
+          println(s"SCALE   ${df.collect().head}")
+        })
+        spark.conf.set("spark.graft.bucketedScan", "false")
+        spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+        spark.conf.unset(
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
     spark.stop()
   }
 }

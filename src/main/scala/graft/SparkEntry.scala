@@ -6186,7 +6186,13 @@ object SparkEntry {
                       graft_quality_score(text) AS quality,
                       graft_fingerprint(text) AS fingerprint,
                       graft_hash_bucket(doc_id, 'graft') AS bucket,
-                      size(graft_chunk_tokens(text, 64, 48)) AS n_chunks
+                      size(graft_chunk_tokens(text, 64, 48)) AS n_chunks,
+                      size(filter(graft_chunk_spans(text, 64, 48),
+                        s -> substring(
+                               regexp_replace(trim(text), '\\s+', ' '),
+                               s.start_char,
+                               s.end_char - s.start_char) = s.chunk))
+                        AS n_spans_ok
                FROM __docs_sql ORDER BY doc_id""")
     }),
     // ---- streaming-shape operators on batch input (SURVEY §2f ext) -----
@@ -9581,7 +9587,18 @@ object SparkEntry {
                   ELSE CAST(ceil(
                     (length(string_split_regex(trim(text), '\s+')) - 64)
                       / 48.0) AS INT) + 1
-                END AS INT) AS n_chunks
+                END AS INT) AS n_chunks,
+                -- every span reconstructs its chunk by construction, so
+                -- the Spark side's REAL substring-filter count equals
+                -- the closed-form chunk count
+                CAST(CASE
+                  WHEN trim(text) = '' THEN 0
+                  WHEN length(string_split_regex(trim(text), '\s+')) <= 64
+                    THEN 1
+                  ELSE CAST(ceil(
+                    (length(string_split_regex(trim(text), '\s+')) - 64)
+                      / 48.0) AS INT) + 1
+                END AS INT) AS n_spans_ok
          FROM documents ORDER BY doc_id""",
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id FROM events ORDER BY user_id""",

@@ -2768,13 +2768,17 @@ object Merge {
             .sliding(2).collect { case Array((_, acc), (pid, _)) =>
               pid -> acc
             }.toMap
-          val offOf = udf { pid: Int => offsets(pid) }
+          // the offsets ride a MAP LITERAL + element_at (codegen'd, no
+          // UDF in the minting scan); bounded by the batch's partition
+          // count, a few KB at any scale
+          val offOf = org.apache.spark.sql.functions.element_at(
+            typedLit(offsets), col("__pid"))
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy("__pid").orderBy(monotonically_increasing_id())
           d.filter(col(f.name).isNotNull).unionByName(
             withPid.withColumn(f.name,
               (lit(hwm) + lit(step) *
-                (offOf(col("__pid")) + row_number().over(w)))
+                (offOf + row_number().over(w)))
                 .cast(f.dataType))
               .drop("__pid"))
             .localCheckpoint() // minted ids must survive the

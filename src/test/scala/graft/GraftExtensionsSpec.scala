@@ -113,6 +113,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(none == Set("spark joins fast"))
   }
 
+  test("graft_chunk_spans from SQL: spans reconstruct every chunk via " +
+      "substring over the normalized text") {
+    import spark.implicits._
+    Seq((1L, (1 to 10).map(i => s"w$i").mkString("  ")), // messy gaps
+        (2L, "solo"), (3L, ""))
+      .toDF("id", "t").createOrReplaceTempView("span_docs")
+    val rows = spark.sql(
+      """SELECT id,
+                size(graft_chunk_spans(t, 4, 3)) AS n,
+                size(filter(graft_chunk_spans(t, 4, 3),
+                  s -> substring(regexp_replace(trim(t), '\\s+', ' '),
+                         s.start_char, s.end_char - s.start_char)
+                       = s.chunk)) AS ok
+         FROM span_docs ORDER BY id""")
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(rows == Seq((1L, 3, 3), (2L, 1, 1), (3L, 0, 0)),
+      s"every SQL span must reconstruct its chunk, got $rows")
+  }
+
   test("table functions: graft_table / _version / _asof / graft_changes " +
       "reach the version log from SQL") {
     import spark.implicits._

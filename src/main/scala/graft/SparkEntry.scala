@@ -1000,6 +1000,34 @@ object SparkEntry {
         s"aggregates must be manifest-answered, got plan:\n$plan")
       agg
     }),
+    "q_dsv2_agg_dv" -> ((s, dir) => {
+      // COUNT(*) PUSHDOWN SURVIVES DELETION VECTORS (r15): the gross
+      // manifest count minus ONE job over the deleted-row-count-sized
+      // sidecars — a count(*) on a CDC-maintained 100 TB table still
+      // never scans a data file. Required in-gate: rows actually
+      // DV-deleted, PushedAggregates in-plan, NO aggregate node.
+      // Value ≡ the oracle counting the surviving keys.
+      val path = new java.io.File(scratchRoot,
+        s"graft_dsv2aggdv_${new java.io.File(dir).getName}")
+        .getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(path))
+      val part = t(s, dir, "part")
+        .select("p_partkey", "p_name", "p_retailprice")
+      graft.sources.Merge.writeKeyed(part, path, "p_partkey",
+        nBuckets = 16, statsCols = Seq("p_partkey"))
+      val st = graft.sources.Merge.deleteWhereDV(s, path,
+        org.apache.spark.sql.functions.expr("p_partkey % 5 = 0"))
+      require(st.rowsDeleted > 0, "the DV delete must bite")
+      val agg = s.read.format("graft-table").option("path", path).load()
+        .agg(count(lit(1)).as("n_rows"))
+      val plan = agg.queryExecution.executedPlan.toString
+      require(plan.contains("PushedAggregates: [COUNT(*)") &&
+          !plan.contains("HashAggregate") &&
+          !plan.contains("SortAggregate"),
+        s"the DV-adjusted count must stay pushed, got plan:\n$plan")
+      agg
+    }),
     "q_files_info" -> ((s, dir) => {
       // FILE INVENTORY observability (DESCRIBE DETAIL at file
       // granularity): graft_files('path') lists the current version's
@@ -6967,6 +6995,10 @@ object SparkEntry {
                 min(p_retailprice) AS min_price,
                 max(p_retailprice) AS max_price
          FROM part""",
+    // the sidecar-adjusted pushed count ≡ counting the survivors
+    "q_dsv2_agg_dv" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows
+         FROM part WHERE p_partkey % 5 <> 0""",
     // the inventory aggregate ≡ the table's real shape
     "q_files_info" ->
       """SELECT CAST(16 AS BIGINT) AS n_files,

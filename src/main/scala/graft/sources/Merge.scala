@@ -1449,24 +1449,52 @@ object Merge {
         .map(_.copy(nullable = true))))
   }
 
-  /** The version's EXACT row count from the manifest alone — Some only
-    * when every file carries a recorded row count (stats written since
-    * r10) and no deletion vectors are live (a DV subtracts rows the
-    * counts cannot see). Costs zero data I/O: this is what lets a
-    * `SELECT count(*)` answer at any table size without touching a
-    * file.
+  /** Whether the version carries live deletion vectors — the cheap
+    * manifest question callers ask before trusting per-file GROSS row
+    * counts (a LIMIT file-prefix prune under DVs would under-deliver
+    * live rows).
+    */
+  def versionHasLiveDv(spark: SparkSession, path: String,
+      version: Long): Boolean = {
+    val (_, root) = fsFor(spark, path)
+    readManifest(spark, root, version).dvFiles.nonEmpty
+  }
+
+  /** The version's EXACT row count — Some only when every file carries
+    * a recorded row count (stats written since r10). Costs zero data
+    * I/O on a DV-free version: this is what lets a `SELECT count(*)`
+    * answer at any table size without touching a data file. With LIVE
+    * deletion vectors the gross count is adjusted by ONE job over the
+    * deleted-row-count-sized sidecars (grouped to ≤ file-count rows,
+    * restricted to files still live — a rewritten bucket's inert DV
+    * entries don't subtract): a `count(*)` on a CDC-maintained 100 TB
+    * table still never scans the table. Positions are unique per live
+    * (file, pos) by construction — every DV find scan is itself
+    * DV-filtered, so a row is never deleted twice.
     */
   def versionRowCount(spark: SparkSession, path: String,
       version: Long): Option[Long] = {
-    val (_, root) = fsFor(spark, path)
+    val (fs, root) = fsFor(spark, path)
     val m = readManifest(spark, root, version)
-    if (m.dvFiles.nonEmpty) return None
     if (m.files.isEmpty) return Some(0L)
     val byFile = m.stats.filter(_.rows >= 0L)
       .groupBy(_.file).view.mapValues(_.head.rows).toMap
-    if (m.files.forall(byFile.contains))
-      Some(m.files.map(byFile).sum)
-    else None
+    if (!m.files.forall(byFile.contains)) return None
+    val gross = m.files.map(byFile).sum
+    if (m.dvFiles.isEmpty) return Some(gross)
+    val live: Set[String] = m.files.map { f =>
+      val p = new Path(f)
+      fs.makeQualified(if (p.isAbsolute) p else new Path(root, p))
+        .toString
+    }.toSet
+    val perFile = spark.read
+      .schema(StructType.fromDDL("file STRING, pos BIGINT"))
+      .parquet(m.dvFiles.map(f => new Path(root, f).toString): _*)
+      .groupBy("file").count().collect()
+    val deleted = perFile.iterator
+      .filter(r => live.contains(new Path(r.getString(0)).toString))
+      .map(_.getLong(1)).sum
+    Some(gross - deleted)
   }
 
   /** The version's EXACT global (min, max) for one column from the

@@ -483,10 +483,13 @@ class GraftScanBuilder(path: String, version: Long, dataSchema: StructType)
     * version's recorded per-file stats with ZERO data I/O — at any
     * table size the scan becomes one driver-side manifest read and a
     * one-row result. Pushed only when provably exact: no residual
-    * filters, no grouping, every file carries the stat, the column's
-    * encoding is lossless (strings are truncated — declined), and no
-    * deletion vectors are live. Anything short of that declines and
-    * the ordinary scan runs.
+    * filters, no grouping, every file carries the stat, and for
+    * MIN/MAX the column's encoding is lossless (strings are truncated
+    * — declined) with no live deletion vectors (a deleted row could
+    * be the extreme). COUNT(*) survives DVs since r15: the gross
+    * manifest count minus one sidecar-sized job (exact by
+    * construction — see [[Merge.versionRowCount]]). Anything short of
+    * that declines and the ordinary scan runs.
     */
   private def tryAggregation(agg: Aggregation)
       : Option[(StructType, Seq[Any])] = {
@@ -540,10 +543,14 @@ class GraftScanBuilder(path: String, version: Long, dataSchema: StructType)
     * recorded and no deletion vectors, `LIMIT n` reads the shortest
     * file prefix covering n rows instead of the whole version. Spark
     * still applies the row-exact limit on top (partial pushdown).
+    * Live DVs decline: the prefix is sized by GROSS counts and would
+    * under-deliver live rows (COUNT(*) pushdown, by contrast, now
+    * subtracts the DVs exactly — see [[Merge.versionRowCount]]).
     */
   override def pushLimit(n: Int): Boolean = {
     val spark = SparkSession.active
     if (pushed.isEmpty &&
+        !Merge.versionHasLiveDv(spark, path, version) &&
         Merge.versionRowCount(spark, path, version).isDefined) {
       limit = Some(n); true
     } else false

@@ -298,15 +298,36 @@ class GraftTableV2Spec extends SparkSpec {
     assert(sAgg.queryExecution.executedPlan.toString
       .matches("(?s).*(Hash|Sort)Aggregate.*"))
     assert(sAgg.as[String].head() == "name_0")
-    // live deletion vectors make counts/extremes stale — must fall back
+    // live deletion vectors: COUNT(*) still pushes — gross manifest
+    // count minus ONE job over the deleted-row-count-sized sidecars —
+    // while extremes fall back (a deleted row could be the extreme),
+    // so a COMBINED aggregate falls back too
     Merge.deleteWhereDV(spark, path, $"id" >= 100L)
     val rd2 = spark.read.format("graft-table").option("path", path).load()
+    val cnt = rd2.agg(count(lit(1)).as("n"))
+    val cntPlan = cnt.queryExecution.executedPlan.toString
+    assert(!cntPlan.matches("(?s).*(Hash|Sort)Aggregate.*") &&
+      cntPlan.contains("PushedAggregates: [COUNT(*)"),
+      s"a DV-bearing count(*) must stay pushed (sidecar-adjusted):\n" +
+      cntPlan)
+    assert(cnt.as[Long].head() == 100L,
+      "the pushed count must subtract the live DV rows exactly")
     val agg2 = rd2.agg(count(lit(1)).as("n"), max("id").as("mx"))
     assert(agg2.queryExecution.executedPlan.toString
       .matches("(?s).*(Hash|Sort)Aggregate.*"),
-      "DV tables must not push aggregates")
+      "DV tables must not push EXTREMES (so combined aggs fall back)")
     val row2 = agg2.collect()(0)
     assert(row2.getAs[Long]("n") == 100L && row2.getAs[Long]("mx") == 99L)
+    // INERT DV entries: an upsert rewrites its touched buckets, the
+    // old files leave the manifest, and their DV rows must stop
+    // subtracting — the re-added keys count again
+    Merge.upsert(spark, path, baseDf.filter($"id" >= 100L), "id", 4)
+    val rd3 = spark.read.format("graft-table").option("path", path).load()
+    val cnt3 = rd3.agg(count(lit(1)).as("n"))
+    assert(cnt3.queryExecution.executedPlan.toString
+      .contains("PushedAggregates: [COUNT(*)"))
+    assert(cnt3.as[Long].head() == 200L,
+      "DV entries for rewritten (dropped) files are inert")
     // a filtered aggregate keeps the ordinary (pruned) scan
     val agg3 = rd.filter($"id" < 50L).agg(count(lit(1)))
     assert(agg3.queryExecution.executedPlan.toString

@@ -4335,6 +4335,31 @@ object SparkEntry {
         "the planted separable problem must train to exact separation")
       preds.select("doc_id", "pred").orderBy("doc_id")
     }),
+    "q_domain_cap" -> ((s, dir) => {
+      // PER-DOMAIN CAP (C4/RefinedWeb's "no domain floods the corpus"
+      // pass): extract the registrable domain from a URL, then keep at
+      // most 5 docs per domain — the HIGHEST quality ones, ties to the
+      // smallest doc_id. NOT a corpus window sort: a bounded-heap
+      // aggregator finds each domain's 5th-best (score, id) threshold
+      // over slim triplets, and a join keeps rows at-or-better — per-
+      // group state is 5 pairs even for a domain holding half the
+      // corpus. Required in-gate: the cap actually bites. Read-back ≡
+      // the oracle's rank-window replay.
+      import graft.pipeline.{Sampling, TextAnalysis}
+      val withUrl = t(s, dir, "documents")
+        .select("doc_id", "text", "source")
+        .withColumn("url", concat(lit("https://www."), col("source"),
+          lit(".example.org/d/"), col("doc_id")))
+        .withColumn("domain", TextAnalysis.urlDomain(col("url")))
+      val capped = Sampling.capPerGroup(withUrl, "domain",
+        TextAnalysis.qualityScore(col("text")), "doc_id", n = 5)
+      require(capped.count() < withUrl.count(),
+        "the cap must actually drop rows for this gate to bite")
+      require(capped.groupBy("domain").count()
+        .filter(col("count") > 5).isEmpty,
+        "no domain may exceed the cap")
+      capped.select("doc_id", "domain").orderBy("doc_id")
+    }),
     "q_quality_holdout" -> ((s, dir) => {
       // GENERALIZATION gate (what q_quality_classifier's train-set
       // check can't prove — a memorizing model passes that): the
@@ -8621,6 +8646,31 @@ object SparkEntry {
     "q_quality_classifier" ->
       """SELECT doc_id, CAST(doc_id % 2 = 0 AS INT) AS pred
          FROM documents ORDER BY doc_id""",
+    // the heap-threshold cap ≡ the rank-window replay: same domain
+    // extraction regex, same quality formula, same (q DESC, id ASC)
+    // total order, rank <= 5
+    "q_domain_cap" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  regexp_extract(
+                    lower('https://www.' || source ||
+                          '.example.org/d/' || doc_id),
+                    '^(?:[a-z][a-z0-9+.-]*://)?(?:[^/@?#]*@)?(?:www\.)?([^/:?#]+)',
+                    1) AS domain,
+                  (least(length(text) / 500.0, 1.0) +
+                   CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE CAST(length(regexp_replace(text,
+                               '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                             / CAST(length(text) AS DOUBLE) END) / 2.0
+                    AS q
+           FROM documents),
+         r AS (
+           SELECT doc_id, domain,
+                  row_number() OVER (PARTITION BY domain
+                                     ORDER BY q DESC, doc_id ASC) AS rn
+           FROM d)
+         SELECT doc_id, domain FROM r WHERE rn <= 5
+         ORDER BY doc_id""",
     // the planted ORDER rule replayed on the md5-held-out 30% — rows
     // the model never trained on
     "q_quality_holdout" ->

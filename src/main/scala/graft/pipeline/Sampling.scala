@@ -140,6 +140,82 @@ object Sampling {
     * parallelism is the shard count, never a global single-partition
     * sort. Shard first (hash split, language, source file), pack within.
     */
+  /** PER-GROUP CAP — keep at most `n` rows per group, preferring the
+    * HIGHEST `score`, ties broken by the SMALLEST `id` (the C4 /
+    * RefinedWeb per-domain cap: no single domain may flood the corpus,
+    * and when one would, its best documents survive). Null scores rank
+    * last (−∞).
+    *
+    * NOT a corpus-wide window sort: a `row_number` over
+    * `partitionBy(group)` sorts every group's FULL row set (and a
+    * web-scale corpus has a domain holding percents of it). Instead:
+    *   1. shuffle ONLY slim `(group, score, id)` triplets into a
+    *      bounded-heap aggregator that keeps each group's n best
+    *      pairs — per-group state is n pairs, never the group;
+    *   2. join each group's THRESHOLD (its n-th best pair; null for
+    *      under-cap groups, which keep everything) back on the group
+    *      key and keep rows at-or-better than it. One row per group —
+    *      broadcast under Spark's own size estimate when small.
+    * Exactly the rows with rank ≤ n under (score DESC, id ASC) survive
+    * — deterministic, partition-invariant, and replayable as a SQL
+    * window for verification.
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, score: Column,
+      idCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"cap must be >= 1, got $n")
+    val scoreD = coalesce(score.cast("double"),
+      lit(Double.NegativeInfinity))
+    val th = df
+      .select(col(groupCol).as("__cap_g"), scoreD.as("__s"),
+        col(idCol).cast("long").as("__i"))
+      .groupBy("__cap_g")
+      .agg(udaf(new CapThresholdAgg(n)).apply(col("__s"), col("__i"))
+        .as("__cap_th"))
+    df.join(th, col(groupCol) === col("__cap_g"), "left")
+      .filter(col("__cap_th._1").isNull ||
+        scoreD > col("__cap_th._1") ||
+        (scoreD === col("__cap_th._1") &&
+          col(idCol).cast("long") <= col("__cap_th._2")))
+      .drop("__cap_g", "__cap_th")
+  }
+
+  /** [[capPerGroup]]'s bounded heap: accumulates each group's n best
+    * (score, id) pairs — "best" = higher score, then lower id — and
+    * finishes with the n-th best as the group's cut line, or (null,
+    * null) when the group never reached the cap (keep everything).
+    * Buffer work is amortized: pairs append freely and compact to the
+    * best n whenever 2n accumulate.
+    */
+  class CapThresholdAgg(n: Int)
+      extends org.apache.spark.sql.expressions
+        .Aggregator[(Double, Long), Seq[(Double, Long)],
+          (java.lang.Double, java.lang.Long)] {
+    private def best(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      s.sortBy { case (sc, id) => (-sc, id) }.take(n)
+    def zero: Seq[(Double, Long)] = Vector.empty
+    def reduce(b: Seq[(Double, Long)], v: (Double, Long))
+        : Seq[(Double, Long)] = {
+      val nb = b :+ v
+      if (nb.length >= 2 * n) best(nb) else nb
+    }
+    def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)])
+        : Seq[(Double, Long)] = best(a ++ b)
+    def finish(b: Seq[(Double, Long)])
+        : (java.lang.Double, java.lang.Long) = {
+      val s = best(b)
+      if (s.length < n) (null, null)
+      else (Double.box(s(n - 1)._1), Long.box(s(n - 1)._2))
+    }
+    def bufferEncoder
+        : org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Seq[(Double, Long)]]()
+    def outputEncoder
+        : org.apache.spark.sql.Encoder[(java.lang.Double, java.lang.Long)] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(java.lang.Double, java.lang.Long)]()
+  }
+
   def packBudget(df: DataFrame, orderCol: String, tokens: Column,
       budget: Long, shardCol: String): DataFrame = {
     require(budget >= 1, "budget must be >= 1")

@@ -99,6 +99,19 @@ object TextAnalysis {
       size(filter(regexp_extract_all(c, lit("[^a-zA-Z0-9]+"), lit(0)),
         t => trim(t) =!= "")))
 
+  /** The registrable DOMAIN of a URL — the grouping key of per-domain
+    * caps, domain blocklists and source attribution: lowercase, scheme
+    * and userinfo stripped, a leading `www.` dropped, cut at the first
+    * `/ : ? #`. One RE2-compatible regex (no lookarounds), so the same
+    * rule replays in any engine; no match (or null) -> empty string /
+    * null, never an error.
+    */
+  def urlDomain(c: Column): Column =
+    when(c.isNull, lit(null).cast("string")).otherwise(
+      regexp_extract(lower(c),
+        "^(?:[a-z][a-z0-9+.-]*://)?(?:[^/@?#]*@)?(?:www\\.)?([^/:?#]+)",
+        1))
+
   /** Deterministic document fingerprint: md5 of the whitespace-normalized
     * lowercased text. Identical in any engine with md5 (exact-dup key).
     */

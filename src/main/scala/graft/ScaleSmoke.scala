@@ -370,6 +370,27 @@ object ScaleSmoke {
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
 
+    // ---- r15 PER-DOMAIN CAP: the bounded-heap threshold vs the
+    // rank-window replay, head to head. The window sorts every
+    // domain's FULL row set; the heap shuffles slim triplets and keeps
+    // n pairs per group — the gap is the sort of the big groups.
+    Seq(("1x", docs), (s"${factor}x", inflated)).foreach { case (tag, d) =>
+      println(s"--- $tag domain_cap")
+      val withDomain = d.select(col("doc_id"), col("text"),
+        concat(lit("s"), col("doc_id") % 37).as("domain"))
+      val q = graft.pipeline.TextAnalysis.qualityScore(col("text"))
+      timed(s"cap_heap")(
+        println("SCALE   kept " + graft.pipeline.Sampling
+          .capPerGroup(withDomain, "domain", q, "doc_id", 50).count()))
+      timed(s"cap_window")({
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("domain").orderBy(q.desc, col("doc_id").asc)
+        println("SCALE   kept " + withDomain
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 50).count())
+      })
+    }
+
     // ---- r15 DV-BEARING SPJ: merge-on-read delete a 1% slice, then
     // the SAME exchange-free join through the native scan's row-index
     // skip mask. The DV overhead must track the DELETED rows (the

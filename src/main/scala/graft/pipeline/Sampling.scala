@@ -159,10 +159,26 @@ object Sampling {
     * Exactly the rows with rank ≤ n under (score DESC, id ASC) survive
     * — deterministic, partition-invariant, and replayable as a SQL
     * window for verification.
+    *
+    * Honest trade (measured, SCALE.md): on BALANCED groups a plain
+    * rank window is ~2× faster — one codegen'd sort, no UDAF, no join
+    * — so `viaWindow = true` offers it. The heap path is the default
+    * because its per-group state is n PAIRS regardless of group size:
+    * a web corpus routinely has one domain holding percents of it, and
+    * the window's cost there is a sort of that whole group on one
+    * task.
     */
   def capPerGroup(df: DataFrame, groupCol: String, score: Column,
-      idCol: String, n: Int): DataFrame = {
+      idCol: String, n: Int, viaWindow: Boolean = false): DataFrame = {
     require(n >= 1, s"cap must be >= 1, got $n")
+    if (viaWindow) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(groupCol)
+        .orderBy(coalesce(score.cast("double"),
+          lit(Double.NegativeInfinity)).desc, col(idCol).asc)
+      return df.withColumn("__cap_rn", row_number().over(w))
+        .filter(col("__cap_rn") <= n).drop("__cap_rn")
+    }
     val scoreD = coalesce(score.cast("double"),
       lit(Double.NegativeInfinity))
     val th = df

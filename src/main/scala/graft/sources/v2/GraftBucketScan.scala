@@ -353,11 +353,12 @@ class GraftBucketDvReaderFactory(
         new org.apache.hadoop.fs.Path(s).toString
       private val mine: Set[String] =
         p.files.map { case (f, _) => norm(f) }.toSet
-      // this partition's deleted positions, keyed by normalized file
+      // this partition's deleted positions, keyed by normalized file;
+      // a runtime-pruned EMPTY partition skips the sidecar pass
       private val skip: Map[String, java.util.HashSet[java.lang.Long]] = {
         val m = scala.collection.mutable.HashMap
           .empty[String, java.util.HashSet[java.lang.Long]]
-        dvFiles.foreach { case (df, len) =>
+        if (mine.nonEmpty) dvFiles.foreach { case (df, len) =>
           dvFunc(ParquetReadShim.partitionedFile(df, len)).foreach { r =>
             val key = norm(r.getUTF8String(0).toString)
             if (mine.contains(key))

@@ -74,6 +74,10 @@ class TextAnalysisSpec extends SparkSpec {
       "id", 10).select("id").as[Long].collect().toSet
     assert(kept == (2L until 12L).toSet,
       s"nulls must be the first to fall, got $kept")
+    // the window fast path computes the SAME set
+    val gotW = Sampling.capPerGroup(df, "grp", col("score"), "id", 10,
+      viaWindow = true).select("id").as[Long].collect().toSet
+    assert(gotW == expect, "viaWindow must equal the heap path")
   }
 
   test("urlDomain: scheme/userinfo/www stripped, cut at path/port/" +

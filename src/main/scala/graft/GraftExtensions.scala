@@ -234,6 +234,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     registerColumnFn("graft_word_shingles", 2,
       c => graft.pipeline.Shingles.wordShingles(column(c.head),
         intLit(c(1), "n")))
+    registerColumnFn("graft_url_domain", 1,
+      c => graft.pipeline.TextAnalysis.urlDomain(column(c.head)))
 
     // TABLE-VALUED functions: the lakehouse from a pure-SQL session.
     // The builder returns the SAME analyzed plan the Scala API builds

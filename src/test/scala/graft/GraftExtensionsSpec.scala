@@ -132,6 +132,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
       s"every SQL span must reconstruct its chunk, got $rows")
   }
 
+  test("graft_url_domain from SQL delegates to the same kernel") {
+    import spark.implicits._
+    val got = spark.sql(
+      "SELECT graft_url_domain('https://www.Ex.COM:443/p?q#f')")
+      .as[String].head()
+    assert(got == "ex.com", got)
+  }
+
   test("table functions: graft_table / _version / _asof / graft_changes " +
       "reach the version log from SQL") {
     import spark.implicits._

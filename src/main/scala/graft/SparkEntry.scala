@@ -4530,6 +4530,32 @@ object SparkEntry {
         .select("doc_id", "lang")
         .orderBy("doc_id")
     }),
+    "q_temperature_mix" -> ((s, dir) => {
+      // TEMPERATURE REBALANCING at α = 1/2 (mC4/XLM-R's multilingual
+      // smoothing): target shares ∝ √(n_lang) derived from the corpus
+      // itself — dominant languages shrink, the smallest keeps every
+      // row. α is fixed at 1/2 because sqrt is IEEE correctly-rounded
+      // (bit-identical across engines), so the derived integer shares
+      // and every row's membership replay exactly; the thresholds are
+      // targetMix's exact integer math over the md5 per-10k rule.
+      // Required in-gate: the smallest language keeps 100%, the
+      // dominant one is genuinely downsampled.
+      import graft.pipeline.Sampling
+      val docs = t(s, dir, "documents").select("doc_id", "lang")
+      val out = Sampling.temperatureMix(docs, "doc_id", "lang")
+        .localCheckpoint()
+      val n = docs.groupBy("lang").count().collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      val k = out.groupBy("lang").count().collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      val smallest = n.minBy { case (s0, c) => (c, s0) }._1
+      val largest = n.maxBy { case (s0, c) => (c, -s0.hashCode) }._1
+      require(k.getOrElse(smallest, 0L) == n(smallest),
+        "the binding (smallest) language must keep every row")
+      require(k.getOrElse(largest, 0L) < n(largest),
+        "the dominant language must be downsampled — α must bite")
+      out.orderBy("doc_id")
+    }),
     "q_bm25" -> ((s, dir) => {
       // BM25 retrieval kernel over the corpus for a two-term query: the
       // gate hashes the EXACT integer stats every score is a pure
@@ -8522,6 +8548,40 @@ object SparkEntry {
                 substring(md5(CAST(doc_id AS VARCHAR) || 'graft-mix'), 3, 1)) - 1)
             + (strpos('0123456789abcdef',
                 substring(md5(CAST(doc_id AS VARCHAR) || 'graft-mix'), 4, 1)) - 1))
+             % 10000 AS bucket
+           FROM documents)
+         SELECT doc_id, lang FROM b JOIN th ON b.lang = th.s
+         WHERE b.bucket < th.t ORDER BY doc_id""",
+    // √n-derived shares, same binding-stratum rule, same exact integer
+    // thresholds, same md5 per-10k membership — sqrt is correctly
+    // rounded in both engines, so the shares agree bit for bit
+    "q_temperature_mix" ->
+      """WITH counts AS (
+           SELECT lang AS s, count(*) AS n FROM documents
+           WHERE lang IS NOT NULL GROUP BY 1),
+         cs AS (
+           SELECT s, n,
+                  CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000) AS BIGINT)
+                    AS share
+           FROM counts),
+         j AS (
+           SELECT s, n, share FROM cs
+           ORDER BY CAST(n AS DOUBLE) / share, s LIMIT 1),
+         th AS (
+           SELECT cs.s,
+                  LEAST((CAST(10000 AS HUGEINT) * j.n * cs.share)
+                          // (j.share * cs.n), 10000) AS t
+           FROM cs CROSS JOIN j),
+         b AS (
+           SELECT doc_id, lang,
+             (4096 * (strpos('0123456789abcdef',
+                substring(md5(CAST(doc_id AS VARCHAR) || 'graft-temp'), 1, 1)) - 1)
+            + 256 * (strpos('0123456789abcdef',
+                substring(md5(CAST(doc_id AS VARCHAR) || 'graft-temp'), 2, 1)) - 1)
+            + 16 * (strpos('0123456789abcdef',
+                substring(md5(CAST(doc_id AS VARCHAR) || 'graft-temp'), 3, 1)) - 1)
+            + (strpos('0123456789abcdef',
+                substring(md5(CAST(doc_id AS VARCHAR) || 'graft-temp'), 4, 1)) - 1))
              % 10000 AS bucket
            FROM documents)
          SELECT doc_id, lang FROM b JOIN th ON b.lang = th.s

@@ -140,6 +140,35 @@ object Sampling {
     * parallelism is the shard count, never a global single-partition
     * sort. Shard first (hash split, language, source file), pack within.
     */
+  /** TEMPERATURE REBALANCING at α = 1/2 (the mC4/XLM-R multilingual
+    * smoothing): downsample toward target shares ∝ √(n_stratum), so
+    * dominant languages shrink and low-resource ones keep everything —
+    * the binding (smallest-√n) stratum retains 100% and stratum i
+    * lands near n_j·√(n_i)/√(n_j) rows. Built ON [[targetMix]]: shares
+    * are ⌊√n·1000⌋ integers, thresholds stay exact integer math, and
+    * membership stays the md5 per-10k rule.
+    *
+    * α is FIXED at 1/2 deliberately: `sqrt` is IEEE correctly-rounded
+    * (bit-identical on every engine), so the derived integer shares —
+    * and therefore every row's fate — are reproducible anywhere;
+    * arbitrary-α `pow` differs across platforms by ulps, which a floor
+    * at a share boundary would turn into membership drift.
+    *
+    * Scale shape: one count-by-stratum aggregate (bounded by stratum
+    * cardinality), then a pure codegen filter — no shuffle of the data.
+    */
+  def temperatureMix(df: DataFrame, keyCol: String, stratumCol: String,
+      salt: String = "graft-temp"): DataFrame = {
+    val counts = df.filter(col(stratumCol).isNotNull)
+      .groupBy(stratumCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1))
+    require(counts.nonEmpty, "temperatureMix needs >= 1 non-null stratum")
+    val shares = counts.map { case (s, n) =>
+      s -> math.floor(math.sqrt(n.toDouble) * 1000).toInt
+    }.toMap
+    targetMix(df, keyCol, stratumCol, shares, salt)
+  }
+
   /** PER-GROUP CAP — keep at most `n` rows per group, preferring the
     * HIGHEST `score`, ties broken by the SMALLEST `id` (the C4 /
     * RefinedWeb per-domain cap: no single domain may flood the corpus,

@@ -1386,6 +1386,35 @@ class FrequencySamplingSpec extends SparkSpec {
     assert(re == got)
   }
 
+  test("temperatureMix (α = 1/2): the smallest stratum keeps all, the " +
+      "dominant one shrinks toward √n shares; deterministic and " +
+      "partition-invariant") {
+    val rows = (0L until 4000L).map { i =>
+      // heavy skew: 3600 en, 300 de, 100 fr
+      val lang = if (i < 3600) "en" else if (i < 3900) "de" else "fr"
+      (i, lang)
+    }
+    val df = rows.toDF("id", "lang")
+    val kept = Sampling.temperatureMix(df, "id", "lang")
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // fr is the binding stratum (smallest √n): 100% retained
+    assert(byLang("fr") == 100L, s"binding stratum must keep all: $byLang")
+    // en's target ≈ n_fr·√(n_en)/√(n_fr) = 100·√36 = 600 — the md5
+    // hash disperses around the exact per-10k threshold
+    assert(byLang("en") > 450L && byLang("en") < 750L,
+      s"en must shrink toward ~600, got ${byLang("en")}")
+    assert(byLang("de") > 120L && byLang("de") < 230L,
+      s"de must shrink toward ~173, got ${byLang("de")}")
+    // α must flatten: post-mix en share well below its 90% input share
+    val enShare = byLang("en").toDouble / byLang.values.sum
+    assert(enShare < 0.75, s"α=1/2 must flatten the mix, en=$enShare")
+    // partition invariance: identical membership at any layout
+    val again = Sampling.temperatureMix(df.repartition(13), "id", "lang")
+      .select("id").as[Long].collect().toSet
+    assert(again == kept.select("id").as[Long].collect().toSet)
+  }
+
   test("targetMix: binding stratum fully kept, others near target ratio," +
       " deterministic and partition-invariant") {
     val rows = (0L until 3000L).map { i =>

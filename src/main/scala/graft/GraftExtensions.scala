@@ -416,6 +416,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           graft.pipeline.QualityModel.scoreCol(m,
             org.apache.spark.sql.functions.col(strLit(c(2), "textCol"))))
       })
+    // the per-domain cap from pure SQL:
+    //   SELECT * FROM graft_cap_per_group('docs', 'domain', 'q', 'id', 5)
+    registerTableFn("graft_cap_per_group",
+      "usage: graft_cap_per_group('viewOrPath', 'groupCol', " +
+      "'scoreCol', 'idCol', n)",
+      c => {
+        require(c.size == 5, "takes 5 arguments")
+        val s = org.apache.spark.sql.SparkSession.active
+        val src = strLit(c.head, "source")
+        val df = try s.table(src)
+          catch { case _: Exception => s.read.parquet(src) }
+        graft.pipeline.Sampling.capPerGroup(df,
+          strLit(c(1), "groupCol"),
+          org.apache.spark.sql.functions.col(strLit(c(2), "scoreCol")),
+          strLit(c(3), "idCol"), intLit(c(4), "n"))
+      })
     registerTableFn("graft_ann_topk",
       "usage: graft_ann_topk('indexPath', 'queriesViewOrPath', " +
       "'qidCol', 'vecCol', k, nProbe [, 'allowedViewOrPath'])", c => {

@@ -132,6 +132,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
       s"every SQL span must reconstruct its chunk, got $rows")
   }
 
+  test("graft_cap_per_group from SQL equals the Scala capPerGroup") {
+    import spark.implicits._
+    spark.range(100).selectExpr("id", "concat('g', id % 3) AS grp",
+      "cast((id * 37) % 41 AS DOUBLE) AS score")
+      .createOrReplaceTempView("cap_sql_docs")
+    val got = spark.sql(
+      "SELECT id FROM graft_cap_per_group('cap_sql_docs', 'grp', " +
+      "'score', 'id', 7)").as[Long].collect().toSet
+    val expect = graft.pipeline.Sampling.capPerGroup(
+      spark.table("cap_sql_docs"), "grp", col("score"), "id", 7)
+      .select("id").as[Long].collect().toSet
+    assert(got == expect && got.size == 21)
+  }
+
   test("graft_url_domain from SQL delegates to the same kernel") {
     import spark.implicits._
     val got = spark.sql(

@@ -435,6 +435,40 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("runtime bucket pruning composes with the DV skip mask: pruned " +
+      "buckets skip the sidecar pass, surviving buckets still " +
+      "subtract their deleted rows") {
+    val (cat, root) = mkCatalog("dvdpp")
+    spark.sql(s"CREATE TABLE $cat.fact (id BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (bucket(16, id))")
+    spark.sql(s"CREATE TABLE $cat.dim (id BIGINT, grp STRING) " +
+      "PARTITIONED BY (bucket(16, id))")
+    spark.range(400).selectExpr("id", "cast(id as double) AS v")
+      .createOrReplaceTempView("spj_dvdpp_f")
+    spark.range(400).selectExpr("id",
+      "CASE WHEN id IN (7, 8) THEN 'hot' ELSE concat('g', id) END AS grp")
+      .createOrReplaceTempView("spj_dvdpp_d")
+    spark.sql(s"INSERT INTO $cat.fact SELECT * FROM spj_dvdpp_f")
+    spark.sql(s"INSERT INTO $cat.dim SELECT * FROM spj_dvdpp_d")
+    val factPath = new File(root, "fact").getAbsolutePath
+    // DV-delete id=7: one of the two hot keys dies merge-on-read
+    Merge.deleteWhereDV(spark, factPath,
+      org.apache.spark.sql.functions.col("id") === 7L)
+    spark.conf.set("spark.graft.bucketedScan", "true")
+    try {
+      GraftBucketScan.lastRuntimePrune = None
+      val j = spark.sql(s"SELECT f.id, f.v FROM $cat.fact f " +
+        s"JOIN $cat.dim d ON f.id = d.id WHERE d.grp = 'hot'")
+      val rows = j.collect().map(_.getLong(0)).sorted
+      assert(rows.toSeq == Seq(8L),
+        s"id 7 is DV-dead, id 8 survives the pruned scan: " +
+        rows.mkString(","))
+      val prune = GraftBucketScan.lastRuntimePrune
+      assert(prune.exists(p => p._1 <= 2 && p._2 == 16),
+        s"2 hot keys must prune to <= 2 of 16 buckets, got $prune")
+    } finally spark.conf.set("spark.graft.bucketedScan", "false")
+  }
+
   test("per-FILE splits: multi-file buckets join correctly (Spark " +
       "sorts grouped splits), partiallyClusteredDistribution gives a " +
       "hot bucket its own tasks, plain scans parallelize per file") {

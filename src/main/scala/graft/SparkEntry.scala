@@ -86,6 +86,8 @@ object SparkEntry {
     */
   private val qualityModelMemo = scala.collection.concurrent.TrieMap
     .empty[String, graft.pipeline.QualityModel.Model]
+  private val holdoutModelMemo = scala.collection.concurrent.TrieMap
+    .empty[String, graft.pipeline.QualityModel.Model]
   private def plantedQuality(s: SparkSession, dir: String)
       : (DataFrame, graft.pipeline.QualityModel.Model) = {
     val planted = t(s, dir, "documents").select("doc_id", "text")
@@ -4385,8 +4387,11 @@ object SparkEntry {
           testDf.limit(1).count() == 1,
         "both hash splits must be non-empty for the holdout to mean " +
         "anything")
-      val m = QualityModel.train(trainDf, "text", "label",
-        dim = 1 << 15, iters = 30, bigrams = true)
+      // memoized per data dir (the bench JVM runs every gate; the
+      // held-out accuracy require below re-proves the model each time)
+      val m = holdoutModelMemo.getOrElseUpdate(dir,
+        QualityModel.train(trainDf, "text", "label",
+          dim = 1 << 15, iters = 30, bigrams = true))
       val preds = testDf.withColumn("pred",
         QualityModel.predictCol(m, col("text")))
       require(preds.filter(col("pred") =!= col("label")).isEmpty,

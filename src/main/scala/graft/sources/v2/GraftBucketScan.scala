@@ -353,21 +353,29 @@ class GraftBucketDvReaderFactory(
         new org.apache.hadoop.fs.Path(s).toString
       private val mine: Set[String] =
         p.files.map { case (f, _) => norm(f) }.toSet
-      // this partition's deleted positions, keyed by normalized file;
-      // a runtime-pruned EMPTY partition skips the sidecar pass
-      private val skip: Map[String, java.util.HashSet[java.lang.Long]] = {
-        val m = scala.collection.mutable.HashMap
-          .empty[String, java.util.HashSet[java.lang.Long]]
-        if (mine.nonEmpty) dvFiles.foreach { case (df, len) =>
-          dvFunc(ParquetReadShim.partitionedFile(df, len)).foreach { r =>
-            val key = norm(r.getUTF8String(0).toString)
-            if (mine.contains(key))
-              m.getOrElseUpdate(key,
-                new java.util.HashSet[java.lang.Long]()).add(r.getLong(1))
-          }
-        }
-        m.toMap
-      }
+      // this partition's deleted positions, keyed by normalized file.
+      // The sidecars decode ONCE PER EXECUTOR (sidecar files are
+      // immutable — a later delete commits NEW files, so the sorted
+      // path list is a sound cache key); every other split on the
+      // executor takes a map lookup instead of re-reading the
+      // deleted-row-count-sized sidecars. A runtime-pruned EMPTY
+      // partition touches nothing at all.
+      private val skip: Map[String, java.util.HashSet[java.lang.Long]] =
+        if (mine.isEmpty) Map.empty
+        else GraftBucketDvReaderFactory.decodedDv(
+          dvFiles.map(_._1).sorted.mkString("\n"), {
+            val m = scala.collection.mutable.HashMap
+              .empty[String, java.util.HashSet[java.lang.Long]]
+            dvFiles.foreach { case (df, len) =>
+              dvFunc(ParquetReadShim.partitionedFile(df, len))
+                .foreach { r =>
+                  m.getOrElseUpdate(norm(r.getUTF8String(0).toString),
+                    new java.util.HashSet[java.lang.Long]())
+                    .add(r.getLong(1))
+                }
+            }
+            m.toMap
+          })
       // drop the trailing row-index column before rows leave the reader
       private val project =
         org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
@@ -392,6 +400,37 @@ class GraftBucketDvReaderFactory(
       override def get(): InternalRow = row
       override def close(): Unit = ()
     }
+  }
+}
+
+object GraftBucketDvReaderFactory {
+  /** Executor-local decode-once cache for DV sidecar sets, soft-
+    * referenced so memory pressure reclaims it (the decoded map is
+    * deleted-row-count sized — the same order as the V1 bridge's DV
+    * broadcast). Keyed by the sorted sidecar path list: sidecar files
+    * are immutable, a new delete commits NEW files, so a key can
+    * never alias two different delete states. Tiny bounded map —
+    * cleared wholesale past 8 distinct keys (a task set reads one or
+    * two versions at a time).
+    */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    String, java.lang.ref.SoftReference[
+      Map[String, java.util.HashSet[java.lang.Long]]]]()
+
+  /** Test seam: how many times a sidecar set was actually decoded. */
+  @volatile var decodes: Long = 0L
+
+  def decodedDv(key: String,
+      load: => Map[String, java.util.HashSet[java.lang.Long]])
+      : Map[String, java.util.HashSet[java.lang.Long]] = {
+    val ref = cache.get(key)
+    val hit = if (ref != null) ref.get() else null
+    if (hit != null) return hit
+    val v = load
+    decodes += 1
+    if (cache.size > 8) cache.clear()
+    cache.put(key, new java.lang.ref.SoftReference(v))
+    v
   }
 }
 

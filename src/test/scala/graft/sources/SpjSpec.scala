@@ -158,6 +158,16 @@ class SpjSpec extends SparkSpec {
       assert(!plan.contains("Exchange"),
         s"the DV-bearing co-bucketed join must stay shuffle-free:\n$plan")
       assert(j.count() == 29L)
+      // the sidecar set decodes ONCE per executor, not once per split
+      // (single-JVM local mode: all tasks share the one cache) — the
+      // second full read is pure cache hits
+      graft.sources.v2.GraftBucketDvReaderFactory.decodes = 0L
+      assert(spark.sql(s"SELECT id, v FROM $cat.t").count() == 29L)
+      val d1 = graft.sources.v2.GraftBucketDvReaderFactory.decodes
+      assert(d1 <= 2L, s"one decode per sidecar SET expected, got $d1")
+      assert(spark.sql(s"SELECT id, v FROM $cat.t").count() == 29L)
+      assert(graft.sources.v2.GraftBucketDvReaderFactory.decodes == d1,
+        "the second read must be served from the decode cache")
       // compaction folds the DVs physically; results identical after
       Merge.compactVersion(spark, path)
       assert(spark.sql(s"SELECT count(*) FROM $cat.t").as[Long]

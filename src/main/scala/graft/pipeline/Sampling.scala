@@ -102,6 +102,17 @@ object Sampling {
     */
   def targetMix(df: DataFrame, keyCol: String, stratumCol: String,
       targetShares: Map[String, Int], salt: String = "graft-mix")
+      : DataFrame =
+    targetMixLong(df, keyCol, stratumCol,
+      targetShares.map { case (s, v) => s -> v.toLong }, salt)
+
+  /** [[targetMix]] with Long shares — needed when shares are DERIVED from
+    * stratum counts (e.g. [[temperatureMix]]'s ⌊√n·1000⌋): an Int share
+    * saturates for strata beyond ~4.6e12 rows. Threshold arithmetic is
+    * BigInt throughout, so wide shares stay exact.
+    */
+  def targetMixLong(df: DataFrame, keyCol: String, stratumCol: String,
+      targetShares: Map[String, Long], salt: String = "graft-mix")
       : DataFrame = {
     require(targetShares.nonEmpty, "targetMix needs >= 1 stratum share")
     require(targetShares.values.forall(_ > 0),
@@ -163,10 +174,12 @@ object Sampling {
       .groupBy(stratumCol).agg(count(lit(1)).as("n"))
       .collect().map(r => r.get(0).toString -> r.getLong(1))
     require(counts.nonEmpty, "temperatureMix needs >= 1 non-null stratum")
+    // Long shares: sqrt(Long.MaxValue)*1000 ≈ 3e12 — an Int share would
+    // silently saturate at ~4.6e12 rows per stratum and distort the mix.
     val shares = counts.map { case (s, n) =>
-      s -> math.floor(math.sqrt(n.toDouble) * 1000).toInt
+      s -> math.floor(math.sqrt(n.toDouble) * 1000).toLong
     }.toMap
-    targetMix(df, keyCol, stratumCol, shares, salt)
+    targetMixLong(df, keyCol, stratumCol, shares, salt)
   }
 
   /** PER-GROUP CAP — keep at most `n` rows per group, preferring the
@@ -200,27 +213,48 @@ object Sampling {
   def capPerGroup(df: DataFrame, groupCol: String, score: Column,
       idCol: String, n: Int, viaWindow: Boolean = false): DataFrame = {
     require(n >= 1, s"cap must be >= 1, got $n")
+    import org.apache.spark.sql.types._
+    val idType = df.select(col(idCol)).schema.head.dataType
+    val integralId = idType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case StringType => false
+      case other => throw new IllegalArgumentException(
+        s"capPerGroup id column '$idCol' must be integral or string for a " +
+        s"deterministic tie-break, got $other")
+    }
+    // NaN folds to null folds to −∞ so BOTH paths rank it identically
+    // last: the window's q DESC would rank NaN above every double while
+    // the heap's `>`/`===` comparisons are false for NaN — normalizing
+    // here keeps the documented heap≡window equivalence.
+    val scoreD = coalesce(nanvl(score.cast("double"), lit(null)),
+      lit(Double.NegativeInfinity))
     if (viaWindow) {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(groupCol)
-        .orderBy(coalesce(score.cast("double"),
-          lit(Double.NegativeInfinity)).desc, col(idCol).asc)
+        .orderBy(scoreD.desc, col(idCol).asc)
       return df.withColumn("__cap_rn", row_number().over(w))
         .filter(col("__cap_rn") <= n).drop("__cap_rn")
     }
-    val scoreD = coalesce(score.cast("double"),
-      lit(Double.NegativeInfinity))
+    // Tie key by id type: integral ids rank as longs; string ids rank as
+    // UTF-8 bytes (the aggregator's unsigned byte comparison == Spark's
+    // binary/UTF8String ordering, so the filter's `<=` agrees exactly).
+    val (tieKey, agg) =
+      if (integralId) (col(idCol).cast("long"), udaf(new CapThresholdAgg(n)))
+      else (col(idCol).cast("binary"), udaf(new CapThresholdAggBin(n)))
     val th = df
       .select(col(groupCol).as("__cap_g"), scoreD.as("__s"),
-        col(idCol).cast("long").as("__i"))
+        tieKey.as("__i"))
       .groupBy("__cap_g")
-      .agg(udaf(new CapThresholdAgg(n)).apply(col("__s"), col("__i"))
-        .as("__cap_th"))
-    df.join(th, col(groupCol) === col("__cap_g"), "left")
+      .agg(agg.apply(col("__s"), col("__i")).as("__cap_th"))
+    // eqNullSafe: a NULL group is a group like any other under the
+    // window path's partitionBy, so the heap path must cap it too — a
+    // plain === would never match, hand every null-group row a null
+    // threshold, and let the whole group escape the cap.
+    df.join(th, col(groupCol) <=> col("__cap_g"), "left")
       .filter(col("__cap_th._1").isNull ||
         scoreD > col("__cap_th._1") ||
         (scoreD === col("__cap_th._1") &&
-          col(idCol).cast("long") <= col("__cap_th._2")))
+          tieKey <= col("__cap_th._2")))
       .drop("__cap_g", "__cap_th")
   }
 
@@ -259,6 +293,53 @@ object Sampling {
         : org.apache.spark.sql.Encoder[(java.lang.Double, java.lang.Long)] =
       org.apache.spark.sql.catalyst.encoders
         .ExpressionEncoder[(java.lang.Double, java.lang.Long)]()
+  }
+
+  /** [[CapThresholdAgg]] for STRING ids: the tie key is the id's UTF-8
+    * bytes and "lower id" means unsigned lexicographic byte order —
+    * exactly Spark's `binary` / `UTF8String` comparison, so the
+    * post-join `<=` filter and the window path's `idCol.asc` agree.
+    */
+  class CapThresholdAggBin(n: Int)
+      extends org.apache.spark.sql.expressions
+        .Aggregator[(Double, Array[Byte]), Seq[(Double, Array[Byte])],
+          (java.lang.Double, Array[Byte])] {
+    private val byteOrd: Ordering[Array[Byte]] = (a, b) => {
+      var i = 0
+      var c = 0
+      val len = math.min(a.length, b.length)
+      while (i < len && c == 0) {
+        c = (a(i) & 0xff) - (b(i) & 0xff)
+        i += 1
+      }
+      if (c != 0) c else a.length - b.length
+    }
+    private def best(s: Seq[(Double, Array[Byte])])
+        : Seq[(Double, Array[Byte])] =
+      s.sortBy { case (sc, id) => (-sc, id) }(
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, byteOrd)).take(n)
+    def zero: Seq[(Double, Array[Byte])] = Vector.empty
+    def reduce(b: Seq[(Double, Array[Byte])], v: (Double, Array[Byte]))
+        : Seq[(Double, Array[Byte])] = {
+      val nb = b :+ v
+      if (nb.length >= 2 * n) best(nb) else nb
+    }
+    def merge(a: Seq[(Double, Array[Byte])], b: Seq[(Double, Array[Byte])])
+        : Seq[(Double, Array[Byte])] = best(a ++ b)
+    def finish(b: Seq[(Double, Array[Byte])])
+        : (java.lang.Double, Array[Byte]) = {
+      val s = best(b)
+      if (s.length < n) (null, null)
+      else (Double.box(s(n - 1)._1), s(n - 1)._2)
+    }
+    def bufferEncoder
+        : org.apache.spark.sql.Encoder[Seq[(Double, Array[Byte])]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Seq[(Double, Array[Byte])]]()
+    def outputEncoder
+        : org.apache.spark.sql.Encoder[(java.lang.Double, Array[Byte])] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(java.lang.Double, Array[Byte])]()
   }
 
   def packBudget(df: DataFrame, orderCol: String, tokens: Column,

@@ -80,6 +80,53 @@ class TextAnalysisSpec extends SparkSpec {
     assert(gotW == expect, "viaWindow must equal the heap path")
   }
 
+  test("capPerGroup sharp edges: NULL groups are capped (not escaped), " +
+      "string ids tie-break like the window, NaN ranks last on both " +
+      "paths, unsupported id types refuse loudly") {
+    // a NULL group is a group: both paths must cap it identically —
+    // the heap path's threshold join must be null-safe or every
+    // null-group row gets a null threshold and survives
+    val ng = spark.range(40).selectExpr("id",
+      "CASE WHEN id < 25 THEN NULL ELSE 'g' END AS grp",
+      "cast(id AS DOUBLE) AS score")
+    val heapN = Sampling.capPerGroup(ng, "grp", col("score"), "id", 5)
+      .select("id").as[Long].collect().toSet
+    val winN = Sampling.capPerGroup(ng, "grp", col("score"), "id", 5,
+      viaWindow = true).select("id").as[Long].collect().toSet
+    assert(heapN == winN, s"null group diverged: $heapN vs $winN")
+    assert(heapN.count(_ < 25) == 5, "the NULL group must be capped at 5")
+    // string ids: heap tie-break (UTF-8 bytes) == window tie-break
+    // (Spark string asc) — planted total ties so the id decides
+    val sdf = spark.range(60).selectExpr(
+      "concat('doc-', lpad(cast(id AS STRING), 3, '0')) AS sid",
+      "concat('g', id % 3) AS grp", "1.0 AS score")
+    val heapS = Sampling.capPerGroup(sdf, "grp", col("score"), "sid", 4)
+      .select("sid").as[String].collect().toSet
+    val winS = Sampling.capPerGroup(sdf, "grp", col("score"), "sid", 4,
+      viaWindow = true).select("sid").as[String].collect().toSet
+    assert(heapS == winS && heapS.size == 12,
+      s"string-id tie-break diverged: $heapS vs $winS")
+    // NaN scores: both paths must rank NaN alongside null (last) —
+    // the window would otherwise rank NaN ABOVE every double
+    val nan = spark.range(12).selectExpr("id", "'g' AS grp",
+      "CASE WHEN id < 2 THEN double('NaN') ELSE cast(id AS DOUBLE) " +
+        "END AS score")
+    val heapNaN = Sampling.capPerGroup(nan, "grp", col("score"), "id", 10)
+      .select("id").as[Long].collect().toSet
+    val winNaN = Sampling.capPerGroup(nan, "grp", col("score"), "id", 10,
+      viaWindow = true).select("id").as[Long].collect().toSet
+    assert(heapNaN == (2L until 12L).toSet,
+      s"NaN must fall first on the heap path, got $heapNaN")
+    assert(winNaN == heapNaN, "NaN handling must agree across paths")
+    // an id type with no deterministic tie-break refuses up front
+    val bad = spark.range(4).selectExpr("cast(id AS DOUBLE) AS did",
+      "'g' AS grp", "1.0 AS score")
+    intercept[IllegalArgumentException] {
+      Sampling.capPerGroup(bad, "grp", col("score"), "did", 2)
+    }
+    ()
+  }
+
   test("urlDomain: scheme/userinfo/www stripped, cut at path/port/" +
       "query/fragment, lowercased; null-safe") {
     val cases = Seq(
@@ -1413,6 +1460,34 @@ class FrequencySamplingSpec extends SparkSpec {
     val again = Sampling.temperatureMix(df.repartition(13), "id", "lang")
       .select("id").as[Long].collect().toSet
     assert(again == kept.select("id").as[Long].collect().toSet)
+  }
+
+  test("targetMixLong: shares past Int.MaxValue stay exact (the " +
+      "temperatureMix √n·1000 share of a >4.6e12-row stratum) — ratios " +
+      "follow the wide shares, no silent Int saturation") {
+    val rows = (0L until 3000L).map { i =>
+      (i, if (i % 3 == 0) "big" else "huge")
+    }
+    val df = rows.toDF("id", "lang")
+    // Both shares far beyond Int range, ratio 2:1 — an Int-saturating
+    // path would clamp both to the same value and keep ~equal counts.
+    val shares = Map("huge" -> 8000000000L, "big" -> 4000000000L)
+    val out = Sampling.targetMixLong(df, "id", "lang", shares)
+      .as[(Long, String)].collect()
+    val byLang = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // counts: big=1000, huge=2000 -> n/share: big=250e-9, huge=250e-9
+    // exact tie -> binding by name ("big"); huge target = 1000·2 = 2000
+    assert(byLang("big") == 1000, s"binding stratum keeps all: $byLang")
+    assert(byLang("huge") == 2000, s"exact wide-share ratio: $byLang")
+    // asymmetric: huge share 3x big -> huge stays binding? n/share:
+    // big = 1000/4e9, huge = 2000/12e9 -> huge binds, big -> ~667
+    val out2 = Sampling.targetMixLong(df, "id", "lang",
+      Map("huge" -> 12000000000L, "big" -> 4000000000L))
+      .as[(Long, String)].collect()
+    val byLang2 = out2.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang2("huge") == 2000, s"huge binds: $byLang2")
+    assert(math.abs(byLang2("big") - 667) < 60,
+      s"big should land near 667, got ${byLang2("big")}")
   }
 
   test("targetMix: binding stratum fully kept, others near target ratio," +

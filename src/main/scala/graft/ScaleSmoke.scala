@@ -428,6 +428,33 @@ object ScaleSmoke {
           "spark.sql.sources.v2.bucketing.pushPartValues.enabled")
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
+
+    // ---- r16 DV SCAN THROUGHPUT: the CDC steady state's PLAIN scans.
+    // The DV path stays vectorized (batches filtered by a positional
+    // selection view), so scanning a DV-bearing table must run at ≈ the
+    // compacted clean scan's throughput — not a row-mode penalty paid
+    // on every read between compactions. Reuses the spj tables: `a` is
+    // DV-bearing (1% deleted) from the block above; compaction then
+    // folds the DVs and the SAME scan becomes the clean baseline.
+    Seq("1x", s"${factor}x").foreach { tag =>
+      println(s"--- $tag scan_dv")
+      val base = s"/tmp/graft_scale_spj_$tag"
+      val cat = s"gspjscale_$tag"
+      val q = s"SELECT count(*) AS n, sum(length(text)) AS s FROM $cat.a"
+      spark.conf.set("spark.graft.bucketedScan", "true")
+      timed(s"scan_dv")({
+        val df = spark.sql(q)
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("GraftBucketScan") &&
+            !plan.contains("dvFiles=0,"),
+          s"the DV version must read through the native scan:\n$plan")
+        println(s"SCALE   ${df.collect().head}")
+      })
+      graft.sources.Merge.compactVersion(spark, s"$base/a")
+      timed(s"scan_clean")(
+        println(s"SCALE   ${spark.sql(q).collect().head}"))
+      spark.conf.set("spark.graft.bucketedScan", "false")
+    }
     spark.stop()
   }
 }

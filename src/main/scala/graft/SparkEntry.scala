@@ -1527,6 +1527,90 @@ object SparkEntry {
         s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       }
     }),
+    "q_dsv2_scan_dv" -> ((s, dir) => {
+      // CDC STEADY STATE, SCAN SIDE: a DV-bearing table keeps
+      // VECTORIZED reads — the native scan's batches are filtered by a
+      // positional SELECTION view (deletion-free batches pass through
+      // untouched), never falling to row-at-a-time decode. This is the
+      // path every scan of a merge-on-read-maintained 100 TB table
+      // takes between compactions. Required in-gate: rows actually
+      // DV-deleted, AND the executed (non-adaptive) plan shows
+      // ColumnarToRow over the native GraftBucketScan while the DVs
+      // are live. Read-back ≡ the oracle with deleted keys filtered.
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val root = new java.io.File(scratchRoot, s"graft_dvscan_$sf")
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      val cat = s"gdvscan_$sf"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root.getAbsolutePath)
+      val path = new java.io.File(root, "parts").getAbsolutePath
+      // multi-file buckets: the skip cursor crosses file AND batch
+      // boundaries inside a bucket, not just one file's row groups
+      graft.sources.Merge.writeKeyed(
+        t(s, dir, "part").selectExpr("p_partkey AS id",
+          "p_name AS name", "p_retailprice AS price"),
+        path, "id", 16, filesPerBucket = 2)
+      val stats = graft.sources.Merge.deleteWhereDV(s, path,
+        org.apache.spark.sql.functions.expr("id % 3 = 0"))
+      require(stats.rowsDeleted > 0,
+        "the DV delete must remove real rows for this gate to bite")
+      s.conf.set("spark.graft.bucketedScan", "true")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val probe = s.sql(s"SELECT id, name, price FROM $cat.parts")
+        val plan = probe.queryExecution.executedPlan.toString
+        require(plan.contains("GraftBucketScan"),
+          s"the DV-bearing table must keep the native scan:\n$plan")
+        require(!plan.contains("dvFiles=0,"),
+          s"the scan must carry live DV sidecars:\n$plan")
+        require(plan.contains("ColumnarToRow"),
+          s"the DV scan must stay VECTORIZED, not row mode:\n$plan")
+        probe.orderBy("id").localCheckpoint()
+      } finally {
+        s.conf.set("spark.graft.bucketedScan", "false")
+        s.conf.unset("spark.sql.adaptive.enabled")
+      }
+    }),
+    "q_dsv2_limit_dv" -> ((s, dir) => {
+      // LIMIT PUSHDOWN UNDER LIVE DELETION VECTORS: the file-prefix
+      // prune no longer declines on a merge-on-read table — the prefix
+      // is sized by NET per-file counts (gross minus each file's
+      // deleted positions, one sidecar-sized job), so `LIMIT n` on a
+      // CDC-maintained 100 TB table reads a handful of files, not the
+      // version. Required in-gate: rows actually DV-deleted, the scan
+      // carries PushedLimit, the prefix seam shows a STRICT file
+      // subset, and every returned row is live. Read-back: the exact
+      // row count (the subset itself is engine-choice, as for any
+      // LIMIT).
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val root = new java.io.File(scratchRoot, s"graft_limdv_$sf")
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      val path = new java.io.File(root, "parts").getAbsolutePath
+      graft.sources.Merge.writeKeyed(
+        t(s, dir, "part").selectExpr("p_partkey AS id",
+          "p_name AS name", "p_retailprice AS price"),
+        path, "id", 16, statsCols = Seq("id"))
+      val stats = graft.sources.Merge.deleteWhereDV(s, path,
+        org.apache.spark.sql.functions.expr("id % 3 = 0"))
+      require(stats.rowsDeleted > 0,
+        "the DV delete must remove real rows for this gate to bite")
+      graft.sources.Merge.lastLimitPrefix = None
+      val limited = s.read.format("graft-table").option("path", path)
+        .load().limit(100)
+      val plan = limited.queryExecution.executedPlan.toString
+      require(plan.contains("PushedLimit") && plan.contains("100"),
+        s"the limit must push into the scan under live DVs:\n$plan")
+      val rows = limited.collect()
+      val (read, total) = graft.sources.Merge.lastLimitPrefix.getOrElse(
+        sys.error("the file-prefix prune must engage under live DVs"))
+      require(read < total,
+        s"LIMIT must read a STRICT file prefix, got $read/$total")
+      require(rows.forall(_.getAs[Long]("id") % 3 != 0L),
+        "every delivered row must be live (DVs subtracted in-prefix)")
+      import s.implicits._
+      Seq(rows.length.toLong).toDF("n_rows")
+    }),
     "q_bucket_dpp" -> ((s, dir) => {
       // RUNTIME BUCKET PRUNING (dynamic partition pruning for bucket
       // layouts): a broadcast join's build side delivers the probe
@@ -7157,6 +7241,17 @@ object SparkEntry {
          WHERE p.p_partkey % 7 <> 0
          GROUP BY 1, 2, 3
          ORDER BY id""",
+    // the DV-deleted keys are gone from the vectorized scan's read-back
+    "q_dsv2_scan_dv" ->
+      """SELECT p_partkey AS id, p_name AS name, p_retailprice AS price
+         FROM part
+         WHERE p_partkey % 3 <> 0
+         ORDER BY id""",
+    // LIMIT's delivered subset is engine-choice; the exact COUNT is not
+    "q_dsv2_limit_dv" ->
+      """SELECT CAST(least(100, count(*)) AS BIGINT) AS n_rows
+         FROM part
+         WHERE p_partkey % 3 <> 0""",
     // the engine-computed generated columns ≡ the same expressions in SQL
     "q_sql_generated" ->
       """SELECT p_partkey AS id, p_retailprice AS price,

@@ -1449,17 +1449,6 @@ object Merge {
         .map(_.copy(nullable = true))))
   }
 
-  /** Whether the version carries live deletion vectors — the cheap
-    * manifest question callers ask before trusting per-file GROSS row
-    * counts (a LIMIT file-prefix prune under DVs would under-deliver
-    * live rows).
-    */
-  def versionHasLiveDv(spark: SparkSession, path: String,
-      version: Long): Boolean = {
-    val (_, root) = fsFor(spark, path)
-    readManifest(spark, root, version).dvFiles.nonEmpty
-  }
-
   /** The version's EXACT row count — Some only when every file carries
     * a recorded row count (stats written since r10). Costs zero data
     * I/O on a DV-free version: this is what lets a `SELECT count(*)`
@@ -1474,7 +1463,7 @@ object Merge {
     */
   def versionRowCount(spark: SparkSession, path: String,
       version: Long): Option[Long] = {
-    val (fs, root) = fsFor(spark, path)
+    val (_, root) = fsFor(spark, path)
     val m = readManifest(spark, root, version)
     if (m.files.isEmpty) return Some(0L)
     val byFile = m.stats.filter(_.rows >= 0L)
@@ -1482,19 +1471,7 @@ object Merge {
     if (!m.files.forall(byFile.contains)) return None
     val gross = m.files.map(byFile).sum
     if (m.dvFiles.isEmpty) return Some(gross)
-    val live: Set[String] = m.files.map { f =>
-      val p = new Path(f)
-      fs.makeQualified(if (p.isAbsolute) p else new Path(root, p))
-        .toString
-    }.toSet
-    val perFile = spark.read
-      .schema(StructType.fromDDL("file STRING, pos BIGINT"))
-      .parquet(m.dvFiles.map(f => new Path(root, f).toString): _*)
-      .groupBy("file").count().collect()
-    val deleted = perFile.iterator
-      .filter(r => live.contains(new Path(r.getString(0)).toString))
-      .map(_.getLong(1)).sum
-    Some(gross - deleted)
+    Some(gross - dvDeletedPerFile(spark, root, m).values.sum)
   }
 
   /** The version's EXACT global (min, max) for one column from the
@@ -1609,16 +1586,54 @@ object Merge {
     val m = readManifest(spark, root, version)
     val byFile = m.stats.filter(_.rows >= 0L)
       .groupBy(_.file).view.mapValues(_.head.rows).toMap
-    if (m.dvFiles.nonEmpty || m.files.isEmpty ||
-        !m.files.forall(byFile.contains))
+    if (m.files.isEmpty || !m.files.forall(byFile.contains)) {
+      lastLimitPrefix = None
       return versionDf(spark, path, root, m).drop("__bucket")
+    }
+    // under live DVs the prefix is sized by NET counts (gross minus the
+    // per-file deleted positions — one job over the deleted-row-count-
+    // sized sidecars), so the pruned read still delivers >= limit LIVE
+    // rows; the prefix manifest keeps its dvFiles, so versionDf
+    // subtracts the deletions from the surviving files as usual
+    val deleted: Map[String, Long] =
+      if (m.dvFiles.isEmpty) Map.empty
+      else dvDeletedPerFile(spark, root, m)
     var acc = 0L
     val prefix = m.files.takeWhile { f =>
       val need = acc < limit
-      acc += byFile(f)
+      acc += math.max(0L, byFile(f) - deleted.getOrElse(f, 0L))
       need
     }
+    lastLimitPrefix = Some((prefix.size, m.files.size))
     versionDf(spark, path, root, m.copy(files = prefix)).drop("__bucket")
+  }
+
+  /** Test seam: (files read, files total) of the most recent
+    * LIMIT file-prefix prune; None when the prune declined.
+    */
+  @volatile var lastLimitPrefix: Option[(Int, Int)] = None
+
+  /** Per-file LIVE deleted-row counts of a manifest's DV sidecars,
+    * keyed by the manifest's own file names (inert entries for
+    * rewritten files drop out). One job, output bounded by the
+    * referenced file count.
+    */
+  private def dvDeletedPerFile(spark: SparkSession, root: Path,
+      m: Manifest): Map[String, Long] = {
+    val fs = root.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val qualToName: Map[String, String] = m.files.map { f =>
+      val p = new Path(f)
+      val abs = if (p.isAbsolute) p else new Path(root, p)
+      fs.makeQualified(abs).toString -> f
+    }.toMap
+    spark.read
+      .schema(StructType.fromDDL("file STRING, pos BIGINT"))
+      .parquet(m.dvFiles.map(f => new Path(root, f).toString): _*)
+      .groupBy("file").count().collect()
+      .flatMap(r => qualToName.get(new Path(r.getString(0)).toString)
+        .map(_ -> r.getLong(1)))
+      .toMap
   }
 
   /** The bucket ids whose FILE SETS differ between two committed

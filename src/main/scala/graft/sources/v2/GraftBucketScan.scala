@@ -27,11 +27,13 @@ import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, St
   *
   * Reading rides Spark's OWN parquet reader (via
   * [[ParquetReadShim]]) — codecs, widened-type promotion and row-group
-  * filter pushdown identical to the V1 bridge path. The native scan is
-  * used only when the version is CLEAN (no deletion vectors, no column
-  * mapping — [[Merge.bucketScanUnits]] decides) and the session opts in
-  * with `spark.graft.bucketedScan=true`; everything else falls back to
-  * the V1 bridge, same results, shuffled join.
+  * filter pushdown identical to the V1 bridge path — vectorized even
+  * under live deletion vectors (batches are filtered by a positional
+  * selection view) and under column mapping (renames happen at the
+  * reader doorway). The session opts in with
+  * `spark.graft.bucketedScan=true`; unsupported layouts (foreign key
+  * types, missing schema) fall back to the V1 bridge, same results,
+  * shuffled join.
   */
 class GraftBucketScan(path: String, version: Long, dataSchema: StructType,
     required: StructType, pushed: Array[Filter], keyCol: String,
@@ -205,21 +207,26 @@ class GraftBucketScan(path: String, version: Long, dataSchema: StructType,
       new GraftBucketReaderFactory(rowFunc, batchFunc)
     } else {
       // DELETION VECTORS through the native scan — merge-on-read
-      // WITHOUT surrendering the SPJ partitioning (a CDC-maintained
-      // fact table is DV-bearing at steady state, exactly where the
-      // zero-shuffle join matters). The data reader also produces
+      // WITHOUT surrendering the SPJ partitioning OR vectorization (a
+      // CDC-maintained fact table is DV-bearing at steady state,
+      // exactly where both matter). The data reader also produces
       // Spark's parquet ROW-INDEX column (exact under row-group
-      // skipping); each partition reads the deleted-row-count-sized DV
-      // sidecars once, keeps only ITS files' positions as a skip mask,
-      // and projects the index column away before rows leave the
-      // reader. Row mode only — a positional skip is row-at-a-time;
-      // compaction folds the DVs and restores the columnar path.
+      // skipping); each partition decodes the deleted-row-count-sized
+      // DV sidecars once per executor into sorted position arrays, and
+      // the reader subtracts them while streaming: columnar batches
+      // are filtered with a per-batch SELECTION (deletion-free batches
+      // pass through untouched minus the index column), rows with a
+      // monotone cursor probe. Order is preserved either way, so the
+      // key-sorted merge-join contract survives DV deletes.
       val rowFunc = ParquetReadShim.buildReaderWithRowIndex(
+        spark, dataSchemaP, requiredP, pushedP)
+      val batchFunc = ParquetReadShim.buildColumnarReaderWithRowIndex(
         spark, dataSchemaP, requiredP, pushedP)
       val dvFunc = ParquetReadShim.buildReader(
         spark, GraftBucketScan.DvSchema, GraftBucketScan.DvSchema,
         Seq.empty)
-      new GraftBucketDvReaderFactory(rowFunc, dvFunc, dvFiles, required)
+      new GraftBucketDvReaderFactory(rowFunc, batchFunc, dvFunc, dvFiles,
+        required)
     }
   }
 }
@@ -326,56 +333,78 @@ class GraftBucketReaderFactory(
 }
 
 /** The DELETION-VECTOR variant of the bucket reader: subtracts the
-  * version's live DV (file, pos) rows while streaming — row mode (no
-  * columnar), ordering preserved (a filter never reorders), so the
-  * key-sorted merge-join contract survives DV deletes untouched.
+  * version's live DV (file, pos) rows while streaming — VECTORIZED
+  * whenever the schema batches (the CDC steady state keeps columnar
+  * throughput), row mode as the complex-type fallback. Ordering is
+  * preserved on both paths (a positional filter never reorders), so
+  * the key-sorted merge-join contract survives DV deletes untouched.
   *
-  * Per-partition cost: one pass over the DV sidecars (deleted-row-count
-  * sized — [[graft.sources.Merge.compactVersion]] folds them back to
-  * zero) to build this partition's skip sets, then a hash-probe per
-  * data row. Both path spellings are normalized through
-  * [[org.apache.hadoop.fs.Path]] — the DV writer recorded
-  * `_metadata.file_path`, the planner recorded `fs.makeQualified`.
+  * Per-executor cost: one decode of the DV sidecars
+  * (deleted-row-count sized — [[graft.sources.Merge.compactVersion]]
+  * folds them back to zero) into SORTED `long[]` position arrays —
+  * 8 bytes per deleted row, not a boxed hash set — then per data row
+  * a monotone-cursor probe (row indexes only move forward within a
+  * file, so the whole subtraction is one merge pass, amortized O(1)
+  * per row). Columnar batches with no deletions in range pass through
+  * untouched (minus the index column); batches with deletions get a
+  * selection-remapped view, never a copy. Both path spellings are
+  * normalized through [[org.apache.hadoop.fs.Path]] — the DV writer
+  * recorded `_metadata.file_path`, the planner recorded
+  * `fs.makeQualified`.
   */
 class GraftBucketDvReaderFactory(
     rowFunc: org.apache.spark.sql.execution.datasources.PartitionedFile
       => Iterator[InternalRow],
+    batchFunc: Option[
+      org.apache.spark.sql.execution.datasources.PartitionedFile
+        => Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]],
     dvFunc: org.apache.spark.sql.execution.datasources.PartitionedFile
       => Iterator[InternalRow],
     dvFiles: Seq[(String, Long)], required: StructType)
     extends PartitionReaderFactory {
 
+  private def norm(s: String): String =
+    new org.apache.hadoop.fs.Path(s).toString
+
+  /** This executor's decoded skip sets, keyed by normalized file —
+    * sorted position arrays. The sidecars decode ONCE PER EXECUTOR
+    * (sidecar files are immutable — a later delete commits NEW files,
+    * so the sorted path list is a sound cache key); every other split
+    * on the executor takes a map lookup instead of re-reading the
+    * deleted-row-count-sized sidecars. A runtime-pruned EMPTY
+    * partition touches nothing at all.
+    */
+  private def skipSets(p: GraftBucketInputPartition)
+      : Map[String, Array[Long]] =
+    if (p.files.isEmpty) Map.empty
+    else GraftBucketDvReaderFactory.decodedDv(
+      dvFiles.map(_._1).sorted.mkString("\n"), {
+        val m = scala.collection.mutable.HashMap
+          .empty[String, scala.collection.mutable.ArrayBuilder.ofLong]
+        dvFiles.foreach { case (df, len) =>
+          dvFunc(ParquetReadShim.partitionedFile(df, len))
+            .foreach { r =>
+              m.getOrElseUpdate(norm(r.getUTF8String(0).toString),
+                new scala.collection.mutable.ArrayBuilder.ofLong())
+                .addOne(r.getLong(1))
+            }
+        }
+        m.map { case (f, b) =>
+          val a = b.result()
+          java.util.Arrays.sort(a)
+          GraftBucketDvReaderFactory.decodedPositions.addAndGet(a.length)
+          f -> a
+        }.toMap
+      })
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    batchFunc.isDefined
+
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftBucketInputPartition]
     new PartitionReader[InternalRow] {
-      private def norm(s: String): String =
-        new org.apache.hadoop.fs.Path(s).toString
-      private val mine: Set[String] =
-        p.files.map { case (f, _) => norm(f) }.toSet
-      // this partition's deleted positions, keyed by normalized file.
-      // The sidecars decode ONCE PER EXECUTOR (sidecar files are
-      // immutable — a later delete commits NEW files, so the sorted
-      // path list is a sound cache key); every other split on the
-      // executor takes a map lookup instead of re-reading the
-      // deleted-row-count-sized sidecars. A runtime-pruned EMPTY
-      // partition touches nothing at all.
-      private val skip: Map[String, java.util.HashSet[java.lang.Long]] =
-        if (mine.isEmpty) Map.empty
-        else GraftBucketDvReaderFactory.decodedDv(
-          dvFiles.map(_._1).sorted.mkString("\n"), {
-            val m = scala.collection.mutable.HashMap
-              .empty[String, java.util.HashSet[java.lang.Long]]
-            dvFiles.foreach { case (df, len) =>
-              dvFunc(ParquetReadShim.partitionedFile(df, len))
-                .foreach { r =>
-                  m.getOrElseUpdate(norm(r.getUTF8String(0).toString),
-                    new java.util.HashSet[java.lang.Long]())
-                    .add(r.getLong(1))
-                }
-            }
-            m.toMap
-          })
+      private val skip = skipSets(p)
       // drop the trailing row-index column before rows leave the reader
       private val project =
         org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
@@ -391,7 +420,18 @@ class GraftBucketDvReaderFactory(
           val rows = rowFunc(ParquetReadShim.partitionedFile(f, len))
           val live =
             if (dead == null) rows
-            else rows.filter(r => !dead.contains(r.getLong(idxOrdinal)))
+            else {
+              // row indexes are monotone within a file (row-group
+              // skipping only jumps FORWARD), so one advancing cursor
+              // replaces a per-row hash probe
+              var cursor = 0
+              rows.filter { r =>
+                val pos = r.getLong(idxOrdinal)
+                while (cursor < dead.length && dead(cursor) < pos)
+                  cursor += 1
+                !(cursor < dead.length && dead(cursor) == pos)
+              }
+            }
           live.map(project)
         }
       private var row: InternalRow = _
@@ -401,6 +441,105 @@ class GraftBucketDvReaderFactory(
       override def close(): Unit = ()
     }
   }
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+    val bf = batchFunc.getOrElse(
+      throw new UnsupportedOperationException("row-only schema"))
+    val p = partition.asInstanceOf[GraftBucketInputPartition]
+    new PartitionReader[ColumnarBatch] {
+      private val skip = skipSets(p)
+      private val nOut = required.length // index column is the extra last
+      private def dataCols(b: ColumnarBatch): Array[ColumnVector] =
+        Array.tabulate(nOut)(b.column)
+      private val it: Iterator[ColumnarBatch] =
+        p.files.iterator.flatMap { case (f, len) =>
+          val dead = skip.getOrElse(norm(f), null)
+          val batches = bf(ParquetReadShim.partitionedFile(f, len))
+          if (dead == null)
+            batches.map(b => new ColumnarBatch(dataCols(b), b.numRows()))
+          else {
+            var cursor = 0 // monotone across the file's batches
+            batches.map { b =>
+              val idxVec = b.column(nOut)
+              val total = b.numRows()
+              val sel = new Array[Int](total)
+              var i = 0
+              var k = 0
+              while (i < total) {
+                val pos = idxVec.getLong(i)
+                while (cursor < dead.length && dead(cursor) < pos)
+                  cursor += 1
+                if (!(cursor < dead.length && dead(cursor) == pos)) {
+                  sel(k) = i; k += 1
+                }
+                i += 1
+              }
+              if (k == total) // nothing deleted in this batch's range
+                new ColumnarBatch(dataCols(b), total)
+              else
+                new ColumnarBatch(dataCols(b).map(v =>
+                  new GraftSelectedColumnVector(v, sel)
+                    : ColumnVector), k)
+            }
+          }
+        }
+      private var batch: ColumnarBatch = _
+      override def next(): Boolean =
+        if (it.hasNext) { batch = it.next(); true } else false
+      override def get(): ColumnarBatch = batch
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** A SELECTION VIEW over a column vector: row `i` of this vector is row
+  * `sel(i)` of the base — how a deletion-vector mask filters a
+  * [[org.apache.spark.sql.vectorized.ColumnarBatch]] without copying
+  * any values or surrendering vectorized execution (the consumer's
+  * codegen reads through the same ColumnVector interface, one extra
+  * array indirection per access). The base vectors stay owned and
+  * recycled by the underlying file reader, so `close()` must not
+  * forward. Null statistics over-approximate from the base (safe: a
+  * consumer may take the has-nulls path for a selection that dropped
+  * every null, never the reverse).
+  */
+private[v2] class GraftSelectedColumnVector(
+    base: org.apache.spark.sql.vectorized.ColumnVector, sel: Array[Int])
+    extends org.apache.spark.sql.vectorized.ColumnVector(base.dataType) {
+  override def close(): Unit = ()
+  override def hasNull: Boolean = base.hasNull
+  override def numNulls: Int = base.numNulls
+  override def isNullAt(i: Int): Boolean = base.isNullAt(sel(i))
+  override def getBoolean(i: Int): Boolean = base.getBoolean(sel(i))
+  override def getByte(i: Int): Byte = base.getByte(sel(i))
+  override def getShort(i: Int): Short = base.getShort(sel(i))
+  override def getInt(i: Int): Int = base.getInt(sel(i))
+  override def getLong(i: Int): Long = base.getLong(sel(i))
+  override def getFloat(i: Int): Float = base.getFloat(sel(i))
+  override def getDouble(i: Int): Double = base.getDouble(sel(i))
+  override def getArray(i: Int)
+      : org.apache.spark.sql.vectorized.ColumnarArray =
+    base.getArray(sel(i))
+  override def getMap(i: Int)
+      : org.apache.spark.sql.vectorized.ColumnarMap =
+    base.getMap(sel(i))
+  override def getDecimal(i: Int, precision: Int, scale: Int)
+      : org.apache.spark.sql.types.Decimal =
+    base.getDecimal(sel(i), precision, scale)
+  override def getUTF8String(i: Int)
+      : org.apache.spark.unsafe.types.UTF8String =
+    base.getUTF8String(sel(i))
+  override def getBinary(i: Int): Array[Byte] = base.getBinary(sel(i))
+  override def getInterval(i: Int)
+      : org.apache.spark.unsafe.types.CalendarInterval =
+    base.getInterval(sel(i))
+  // struct fields read through getChild(ordinal).getX(TOP-LEVEL row id),
+  // so children must carry the SAME selection
+  override def getChild(ordinal: Int)
+      : org.apache.spark.sql.vectorized.ColumnVector =
+    new GraftSelectedColumnVector(base.getChild(ordinal), sel)
 }
 
 object GraftBucketDvReaderFactory {
@@ -414,20 +553,27 @@ object GraftBucketDvReaderFactory {
     * two versions at a time).
     */
   private val cache = new java.util.concurrent.ConcurrentHashMap[
-    String, java.lang.ref.SoftReference[
-      Map[String, java.util.HashSet[java.lang.Long]]]]()
+    String, java.lang.ref.SoftReference[Map[String, Array[Long]]]]()
 
-  /** Test seam: how many times a sidecar set was actually decoded. */
-  @volatile var decodes: Long = 0L
+  /** Test seam: how many times a sidecar set was actually decoded.
+    * Atomic — concurrent task threads decode in parallel, and a lost
+    * `+= 1` would make the once-per-executor assertion flaky.
+    */
+  val decodes = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  def decodedDv(key: String,
-      load: => Map[String, java.util.HashSet[java.lang.Long]])
-      : Map[String, java.util.HashSet[java.lang.Long]] = {
+  /** Test seam: total positions materialized by decodes — the decoded
+    * representation is 8 bytes per deleted row (sorted `long[]`), so
+    * this measures the per-executor allocation bound directly.
+    */
+  val decodedPositions = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def decodedDv(key: String, load: => Map[String, Array[Long]])
+      : Map[String, Array[Long]] = {
     val ref = cache.get(key)
     val hit = if (ref != null) ref.get() else null
     if (hit != null) return hit
     val v = load
-    decodes += 1
+    decodes.incrementAndGet()
     if (cache.size > 8) cache.clear()
     cache.put(key, new java.lang.ref.SoftReference(v))
     v

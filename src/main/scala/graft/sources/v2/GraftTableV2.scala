@@ -540,17 +540,17 @@ class GraftScanBuilder(path: String, version: Long, dataSchema: StructType)
   }
 
   /** LIMIT pushdown as a FILE-PREFIX prune: with per-file row counts
-    * recorded and no deletion vectors, `LIMIT n` reads the shortest
-    * file prefix covering n rows instead of the whole version. Spark
-    * still applies the row-exact limit on top (partial pushdown).
-    * Live DVs decline: the prefix is sized by GROSS counts and would
-    * under-deliver live rows (COUNT(*) pushdown, by contrast, now
-    * subtracts the DVs exactly — see [[Merge.versionRowCount]]).
+    * recorded, `LIMIT n` reads the shortest file prefix covering n
+    * rows instead of the whole version. Spark still applies the
+    * row-exact limit on top (partial pushdown). Live DVs no longer
+    * decline: the prefix is sized by NET counts (gross minus the
+    * per-file deleted positions [[Merge.readVersionLimited]] computes
+    * from the sidecars), so a merge-on-read table's LIMIT still reads
+    * a prefix — and still delivers enough LIVE rows.
     */
   override def pushLimit(n: Int): Boolean = {
     val spark = SparkSession.active
     if (pushed.isEmpty &&
-        !Merge.versionHasLiveDv(spark, path, version) &&
         Merge.versionRowCount(spark, path, version).isDefined) {
       limit = Some(n); true
     } else false

@@ -92,6 +92,26 @@ object ParquetReadShim {
           org.apache.spark.sql.types.LongType, nullable = true)),
       filters)
 
+  /** The COLUMNAR variant of [[buildReaderWithRowIndex]]: batches whose
+    * LAST column is the parquet row index (exact under row-group
+    * skipping — the vectorized reader's own row-index generator fills
+    * it per batch). Some only when the vectorized reader batches the
+    * appended schema. This is what lets a deletion-vector skip mask
+    * stay VECTORIZED: the consumer filters each batch by position
+    * instead of falling back to row-at-a-time reads.
+    */
+  def buildColumnarReaderWithRowIndex(spark: SparkSession,
+      dataSchema: StructType, requiredSchema: StructType,
+      filters: Seq[Filter])
+      : Option[PartitionedFile =>
+        Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]] =
+    buildColumnarReader(spark, dataSchema,
+      StructType(requiredSchema.fields :+
+        org.apache.spark.sql.types.StructField(
+          ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
+          org.apache.spark.sql.types.LongType, nullable = true)),
+      filters)
+
   def partitionedFile(path: String, length: Long): PartitionedFile =
     PartitionedFile(InternalRow.empty, SparkPath.fromPathString(path),
       0L, length, Array.empty, 0L, length)

@@ -362,6 +362,37 @@ class GraftTableV2Spec extends SparkSpec {
       got.forall(_.getAs[String]("name").startsWith("name_")))
   }
 
+  test("LIMIT pushdown under LIVE deletion vectors: the prefix is " +
+      "sized by NET counts, still reads a strict file subset, and " +
+      "delivers only live rows") {
+    val path = new File(freshDir("limdv"), "tbl").getAbsolutePath
+    // 8 buckets x 1 file, 200 rows -> ~25 gross rows per file
+    Merge.writeKeyed(baseDf, path, "id", nBuckets = 8,
+      statsCols = Seq("id"))
+    // merge-on-read delete HALF the rows: gross-count sizing would
+    // under-deliver by ~2x; net-count sizing must cover the limit
+    val st = Merge.deleteWhereDV(spark, path, $"id" % 2 === 0L)
+    assert(st.rowsDeleted == 100L)
+    Merge.lastLimitPrefix = None
+    val prefix = Merge.readVersionLimited(spark, path, 1L, 40)
+    val rows = prefix.collect()
+    assert(rows.length >= 40 && rows.length < 100,
+      s"net-sized prefix must cover 40 of the 100 live, got " +
+      rows.length)
+    assert(rows.forall(_.getAs[Long]("id") % 2 != 0L),
+      "the prefix read must still subtract the DVs")
+    val (read, total) = Merge.lastLimitPrefix.get
+    assert(read < total, s"must read a strict prefix, got $read/$total")
+    // end to end: the DSv2 limit is exact and all-live
+    val got = spark.read.format("graft-table").option("path", path)
+      .load().limit(40).collect()
+    assert(got.length == 40 &&
+      got.forall(_.getAs[Long]("id") % 2 != 0L))
+    // an over-the-top limit keeps every live row (prefix = everything)
+    assert(spark.read.format("graft-table").option("path", path)
+      .load().limit(500).count() == 100L)
+  }
+
   test("DSv2 writes: append upserts under the recorded layout; " +
       "overwrite replaces in ONE versioned commit; history survives") {
     val path = new File(freshDir("wr"), "tbl").getAbsolutePath

@@ -161,17 +161,66 @@ class SpjSpec extends SparkSpec {
       // the sidecar set decodes ONCE per executor, not once per split
       // (single-JVM local mode: all tasks share the one cache) — the
       // second full read is pure cache hits
-      graft.sources.v2.GraftBucketDvReaderFactory.decodes = 0L
+      graft.sources.v2.GraftBucketDvReaderFactory.decodes.set(0L)
       assert(spark.sql(s"SELECT id, v FROM $cat.t").count() == 29L)
-      val d1 = graft.sources.v2.GraftBucketDvReaderFactory.decodes
+      val d1 = graft.sources.v2.GraftBucketDvReaderFactory.decodes.get()
       assert(d1 <= 2L, s"one decode per sidecar SET expected, got $d1")
       assert(spark.sql(s"SELECT id, v FROM $cat.t").count() == 29L)
-      assert(graft.sources.v2.GraftBucketDvReaderFactory.decodes == d1,
+      assert(graft.sources.v2.GraftBucketDvReaderFactory.decodes.get() == d1,
         "the second read must be served from the decode cache")
       // compaction folds the DVs physically; results identical after
       Merge.compactVersion(spark, path)
       assert(spark.sql(s"SELECT count(*) FROM $cat.t").as[Long]
         .head() == 29L)
+    }
+  }
+
+  test("DV subtraction stays VECTORIZED: a scan under live deletion " +
+      "vectors still plans ColumnarToRow, the selection preserves " +
+      "values exactly, and decode allocation is one long per deleted " +
+      "row (sorted arrays, not boxed sets)") {
+    val (cat, root) = mkCatalog("dvcol")
+    val path = new File(root, "t").getAbsolutePath
+    // multi-file buckets: the monotone skip cursor must survive file
+    // AND batch boundaries inside a bucket
+    Merge.writeKeyed(spark.range(4000).selectExpr("id",
+        "cast(id % 997 AS DOUBLE) AS v", "concat('s', id) AS s").toDF(),
+      path, "id", 4, filesPerBucket = 3)
+    import org.apache.spark.sql.functions.col
+    Merge.deleteWhereDV(spark, path, col("id") % 10 < 3) // ~30%
+    withSpj {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        graft.sources.v2.GraftBucketDvReaderFactory.decodes.set(0L)
+        graft.sources.v2.GraftBucketDvReaderFactory.decodedPositions
+          .set(0L)
+        val q = spark.sql(s"SELECT id, v, s FROM $cat.t")
+        val plan = q.queryExecution.executedPlan.toString
+        assert(plan.contains("GraftBucketScan"),
+          s"DV-bearing table must keep the native scan:\n$plan")
+        assert(plan.contains("ColumnarToRow"),
+          s"the DV path must NOT fall back to row mode:\n$plan")
+        val got = q.as[(Long, Double, String)].collect()
+        val expect = (0L until 4000L).filterNot(_ % 10 < 3)
+          .map(i => (i, (i % 997).toDouble, s"s$i"))
+        assert(got.length == expect.size,
+          s"live rows: got ${got.length}, want ${expect.size}")
+        assert(got.toSet == expect.toSet,
+          "selection must keep exactly the live rows' values")
+        // decode allocation bound: the skip set is a sorted long[] —
+        // 8 bytes per deleted row — and decodes once per executor
+        val deleted = 4000 - expect.size
+        val d = graft.sources.v2.GraftBucketDvReaderFactory.decodes.get()
+        assert(d >= 1L)
+        assert(graft.sources.v2.GraftBucketDvReaderFactory
+          .decodedPositions.get() == d * deleted,
+          s"decoded positions must be exactly $deleted per decode")
+        // pushed filters skip row groups; the columnar row index stays
+        // exact, so the mask still lands on the right positions
+        val filtered = spark.sql(
+          s"SELECT count(*) FROM $cat.t WHERE id >= 2000").as[Long].head()
+        assert(filtered == 1400L, s"filtered columnar DV read: $filtered")
+      } finally spark.conf.unset("spark.sql.adaptive.enabled")
     }
   }
 

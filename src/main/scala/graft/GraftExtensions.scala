@@ -158,6 +158,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL UPDATE / MERGE INTO on graft tables (Delta's analysis-rule
     // doorway): resolved statements become one-commit Merge upserts
     ext.injectResolutionRule(_ => graft.sources.v2.GraftDmlRule)
+    // SPJ ordering repair: restores partition-local Sorts over a graft
+    // bucket scan whose join-time gcd reduction broke its key-sorted
+    // claim — which lets equal-count joins KEEP the sort-free zipper
+    // when allowCompatibleTransforms is on (the scan checks this rule
+    // is installed before claiming). A columnar rule so it runs after
+    // EnsureRequirements in both AQE and non-AQE preparations.
+    ext.injectColumnar(_ =>
+      new org.apache.spark.sql.execution.ColumnarRule {
+        override def preColumnarTransitions
+            : org.apache.spark.sql.catalyst.rules.Rule[
+              org.apache.spark.sql.execution.SparkPlan] =
+          graft.sources.v2.GraftSpjSortRestore
+      })
     ext.injectFunction((
       new FunctionIdentifier("multi_contains"),
       new ExpressionInfo(classOf[MultiContains].getName, "multi_contains"),

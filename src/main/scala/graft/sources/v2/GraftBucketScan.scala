@@ -139,24 +139,32 @@ class GraftBucketScan(path: String, version: Long, dataSchema: StructType,
     * into one task, Spark itself drops the claim (ordering survives
     * only groups of <= 1 split) and plans the Sorts.
     *
-    * With `allowCompatibleTransforms` enabled the claim is WITHDRAWN:
-    * a mismatched-count join reduces both sides to the gcd and
-    * CONCATENATES the finer side's buckets per reduced key at
-    * execution time — after planning consumed the ordering — and a
-    * sort-free merge join over that concatenation silently drops rows
-    * (Spark's own grouped-partition ordering check runs before the
-    * join-time reduction exists, so the scan must decline up front).
-    * Equal-count sessions keep the conf off and keep the zipper.
+    * With `allowCompatibleTransforms` enabled, a mismatched-count join
+    * reduces both sides to the gcd and CONCATENATES the finer side's
+    * buckets per reduced key at execution time — after planning
+    * consumed the ordering — and a sort-free merge join over that
+    * concatenation silently drops rows (Spark's own grouped-partition
+    * ordering check runs before the join-time reduction exists). Since
+    * r16 the claim is kept whenever [[GraftSpjSortRestore]] is
+    * INSTALLED in the session: that rule re-adds partition-local Sorts
+    * over exactly the scans whose reduction engaged, so equal-count
+    * joins keep the sort-free zipper even with the conf on. A session
+    * WITHOUT the graft extensions still withdraws up front (the r15
+    * behavior) — a kept claim there would be the row-dropping lie.
     */
   override def outputOrdering()
-      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    val spark = SparkSession.active
+    val compatOn =
+      spark.conf.get("spark.sql.sources.v2.bucketing" +
+        ".allowCompatibleTransforms.enabled", "false") == "true"
     if (keySorted &&
-        SparkSession.active.conf.get("spark.sql.sources.v2.bucketing" +
-          ".allowCompatibleTransforms.enabled", "false") != "true")
+        (!compatOn || GraftSpjSortRestore.installed(spark)))
       Array(Expressions.sort(Expressions.column(keyCol),
         org.apache.spark.sql.connector.expressions.SortDirection
           .ASCENDING))
     else Array.empty
+  }
 
   /** One input partition PER FILE (Iceberg's split granularity), not
     * per bucket: Spark's exec-side grouping (`HasPartitionKey` +

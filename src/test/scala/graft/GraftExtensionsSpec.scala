@@ -351,4 +351,79 @@ class GraftExtensionsSpec extends AnyFunSuite {
       s"the planted near-dup pair must surface, got ${key(sql)}")
   }
 
+  test("SPJ ordering under compatible transforms WITH the sort-restore " +
+      "rule: an equal-count key-sorted join keeps the sort-free zipper, " +
+      "a reduced (8 vs 4) join gets exactly the finer side's Sort back " +
+      "— exact rows both ways") {
+    import spark.implicits._
+    assert(graft.sources.v2.GraftSpjSortRestore.installed(spark),
+      "precondition: the extensions session must carry the rule")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ext_spj").toFile
+    root.deleteOnExit()
+    val cat = "gextspj"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.v2.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root.getAbsolutePath)
+    def p(n: String) = new java.io.File(root, n).getAbsolutePath
+    graft.sources.Merge.writeKeyed(spark.range(200)
+      .selectExpr("id", "cast(id AS DOUBLE) AS v").toDF(), p("a8"),
+      "id", 8)
+    graft.sources.Merge.writeKeyed(spark.range(160)
+      .selectExpr("id", "concat('n', id) AS name").toDF(), p("b8"),
+      "id", 8)
+    graft.sources.Merge.writeKeyed(spark.range(120)
+      .selectExpr("id", "concat('c', id) AS tag").toDF(), p("c4"),
+      "id", 4)
+    def sortNodes(plan: String): Int = plan.linesIterator.count(l =>
+      l.contains(" Sort [") && !l.contains("SortMergeJoin"))
+    spark.conf.set("spark.graft.bucketedScan", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set(
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing" +
+      ".allowCompatibleTransforms.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // equal counts: reduction never engages, so the claim holds and
+      // the conf must no longer cost the zipper (r15 withdrew here)
+      // plan strings must be the EXECUTED (final) adaptive plans — the
+      // restore rule runs at final-stage preparation, so collect() the
+      // same Dataset whose queryExecution is inspected
+      val eq = spark.sql(s"SELECT a.id, a.v, b.name FROM $cat.a8 a " +
+        s"JOIN $cat.b8 b ON a.id = b.id")
+      val eqRows = eq.collect()
+      val eqPlan = eq.queryExecution.executedPlan.toString
+      assert(!eqPlan.contains("Exchange"), s"exchange-free:\n$eqPlan")
+      assert(sortNodes(eqPlan) == 0,
+        s"equal-count compat-on join must stay SORT-FREE:\n$eqPlan")
+      assert(eqRows.map(_.getLong(0)).sorted.toSeq == (0L until 160L),
+        "zipper rows must be exact")
+      // mismatched counts: the finer side's 8 buckets concatenate into
+      // 4 reduced keys — the rule must put ITS Sort back (the coarse
+      // side's single-bucket claim stays valid), rows exact
+      val red = spark.sql(s"SELECT a.id, a.v, c.tag FROM $cat.a8 a " +
+        s"JOIN $cat.c4 c ON a.id = c.id")
+      val redRows = red.collect()
+      val redPlan = red.queryExecution.executedPlan.toString
+      assert(!redPlan.contains("Exchange"),
+        s"reduced join still exchange-free:\n$redPlan")
+      assert(redRows.map(_.getLong(0)).sorted.toSeq == (0L until 120L),
+        s"the r15 bug shape: a sort-free zipper over concatenated " +
+        s"buckets drops rows — got ${redRows.length}/120")
+      assert(redPlan.contains("isFinalPlan=true"),
+        s"must inspect the executed adaptive plan:\n$redPlan")
+      assert(sortNodes(redPlan) == 1,
+        s"exactly the reduced (finer) side must re-sort:\n$redPlan")
+    } finally {
+      spark.conf.set("spark.graft.bucketedScan", "false")
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset(
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+      spark.conf.unset("spark.sql.sources.v2.bucketing" +
+        ".allowCompatibleTransforms.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
 }

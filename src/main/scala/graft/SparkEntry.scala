@@ -34,7 +34,18 @@ object SparkEntry {
     * they are build-once-read-many across runs.
     */
   private lazy val scratchRoot: String = {
-    val p = java.nio.file.Files.createTempDirectory("graft_run_")
+    // prefer tmpfs (/dev/shm) when present: the streaming-lifecycle
+    // gates' floor is checkpoint fsync + tiny-table rebuilds, which is
+    // bench COMPOSITION, not engine cost — on tmpfs the fsyncs are
+    // memory writes and real data-plane regressions stay visible.
+    // Everything here is throwaway per-JVM scratch (shutdown hook
+    // removes it), so volatility is exactly right.
+    val shm = new java.io.File("/dev/shm")
+    val base =
+      if (shm.isDirectory && shm.canWrite) shm.toPath
+      else new java.io.File(
+        System.getProperty("java.io.tmpdir")).toPath
+    val p = java.nio.file.Files.createTempDirectory(base, "graft_run_")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       try java.nio.file.Files.walk(p)
         .sorted(java.util.Comparator.reverseOrder())

@@ -6042,6 +6042,116 @@ object SparkEntry {
         .select("query_id", "neighbor_id", "rank")
         .orderBy("query_id")
     }),
+    "q_ann_rebalance" -> ((s, dir) => {
+      // CENTROID DRIFT REPAIR: appends assign under FROZEN centroids,
+      // so a distribution shift (new language, new source) silently
+      // degrades recall — near-dup pairs from the shifted region
+      // straddle a stale decision boundary and split across cells.
+      // This gate PLANTS that failure on the real index geometry:
+      // pairs offset ±0.01 along the axis between the two best-
+      // separated trained centroids (members provably assign to
+      // DIFFERENT stale cells — required in-gate), plus filler mass so
+      // the retrain's evenly-spaced init seeds the drift cluster
+      // exactly once. Required in-gate: recall@1 at nProbe=1 is ZERO
+      // before rebalance, driftStats' fit strictly improves, and the
+      // SAME probe finds every pair after — the read-back is those
+      // post-rebalance top-1 rows, which the oracle states exactly.
+      import graft.pipeline.Similarity
+      val emb = t(s, dir, "embeddings")
+      val n = emb.count()
+      val path = new java.io.File(scratchRoot,
+        s"graft_ann_reb_${new java.io.File(dir).getName}")
+        .getAbsolutePath
+      Similarity.IvfIndex.build(emb, "vec_id", "embedding",
+        cells = 8, path)
+      def norm(a: Array[Double]): Array[Double] = {
+        val m = math.sqrt(a.map(x => x * x).sum)
+        if (m == 0.0) a else a.map(_ / m)
+      }
+      def dot(a: Array[Double], b: Array[Double]): Double =
+        a.zip(b).map { case (x, y) => x * y }.sum
+      val cents = Similarity.IvfIndex.loadCentroids(s, path)
+      val dim = cents(0).length
+      // the drift direction must sit on exactly one stale decision
+      // boundary: pick the centroid pair whose midpoint direction is
+      // closest to ITS OWN pair and farthest from every other centroid
+      val ((pa, pb), margin) = (for {
+        a <- cents.indices; b <- cents.indices if a < b
+      } yield {
+        val dAb = norm(cents(a).zip(cents(b))
+          .map { case (x, y) => x + y })
+        val scores = cents.map(c => dot(dAb, c))
+        val inPair = math.min(scores(a), scores(b))
+        val outMax = cents.indices
+          .filter(c => c != a && c != b).map(scores).max
+        ((a, b), inPair - outMax)
+      }).maxBy(_._2)
+      require(margin > 0.005,
+        s"no usable stale boundary pair (margin $margin)")
+      val d = norm(cents(pa).zip(cents(pb)).map { case (x, y) => x + y })
+      val e = norm(cents(pa).zip(cents(pb)).map { case (x, y) => x - y })
+      def ortho(axis: Int): Array[Double] = {
+        val u = Array.tabulate(dim)(i => if (i == axis % dim) 1.0 else 0.0)
+        val ud = dot(u, d); val ue = dot(u, e)
+        norm(u.indices.map(i => u(i) - ud * d(i) - ue * e(i)).toArray)
+      }
+      def mix(base: Array[Double], dir: Array[Double], sc: Double)
+          : Seq[Float] =
+        norm(base.indices.map(i => base(i) + sc * dir(i)).toArray)
+          .map(_.toFloat).toSeq
+      // planted mass p in [n/7, n/3): the retrain init (evenly spaced
+      // over the id-ordered sample; planted ids sort LAST) then lands
+      // exactly ONE seed in the drift cluster — one centroid adopts
+      // it whole instead of a twin-split re-creating the boundary
+      val mFill = math.max(20L, n / 5 - 20L)
+      val p = mFill + 20L
+      require(7L * p >= n && 3L * p < n,
+        s"planted mass $p must land exactly one init seed (n=$n)")
+      import s.implicits._
+      val fillers = (0L until mFill).map { j =>
+        (3000000L + j, mix(d, ortho(30 + (j % 16L).toInt), 0.002))
+      }
+      val pairBases = (0 until 10).map(i => ortho(46 + i))
+      val planted = fillers ++ (0 until 10).flatMap { i =>
+        val base = d.indices
+          .map(k => d(k) + 0.05 * pairBases(i)(k)).toArray
+        Seq((1000000L + i, mix(base, e, 0.01)),
+          (2000000L + i, mix(base, e, -0.01)))
+      }
+      Similarity.IvfIndex.append(s, path,
+        planted.toDF("vec_id", "embedding"), "vec_id", "embedding")
+      // construction proof: every pair straddles a stale boundary
+      val cellsOf = Similarity.Ivf.withCell(
+        planted.filter(_._1 >= 1000000L).filter(_._1 < 3000000L)
+          .toDF("vec_id", "embedding"), "embedding", cents)
+        .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+      (0 until 10).foreach { i =>
+        require(cellsOf(1000000L + i) != cellsOf(2000000L + i),
+          s"pair $i must straddle a stale cell boundary")
+      }
+      val queries = planted
+        .filter(r => r._1 >= 1000000L && r._1 < 2000000L)
+        .toDF("query_id", "embedding")
+      def hits(): Long =
+        Similarity.IvfIndex.topK(s, path, queries, "query_id",
+          "vec_id", "embedding", k = 1, nProbe = 1)
+          .filter(col("rank") === 1 &&
+            col("neighbor_id") === col("query_id") + 1000000L)
+          .count()
+      val before = Similarity.IvfIndex.driftStats(s, path, "embedding")
+      require(hits() == 0L,
+        "the drifted index must MISS every planted pair at nProbe=1")
+      Similarity.IvfIndex.rebalance(s, path, "vec_id", "embedding")
+      val after = Similarity.IvfIndex.driftStats(s, path, "embedding")
+      require(after.fit > before.fit,
+        s"rebalance must improve fit: ${before.fit} -> ${after.fit}")
+      require(after.rows == before.rows,
+        "rebalance must preserve every vector")
+      Similarity.IvfIndex.topK(s, path, queries, "query_id",
+        "vec_id", "embedding", k = 1, nProbe = 1)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id")
+    }),
     "q_kmeans" -> ((s, dir) => {
       // distributed Lloyd's k-means over the embedding corpus: 2
       // assignment passes, seeds = vectors of vec_id 0..3, argmin ties
@@ -9557,6 +9667,13 @@ object SparkEntry {
     // ADC-minimal codes, so top-1 per query is its appended copy
     "q_ann_append" ->
       """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
+                CAST(1 AS INT) AS rank
+         FROM embeddings WHERE vec_id < 10 ORDER BY query_id""",
+    // post-rebalance the drift cluster owns a centroid: each planted
+    // query's near-dup pair member (+1e6 apart) is its probed top-1
+    "q_ann_rebalance" ->
+      """SELECT CAST(1000000 + vec_id AS BIGINT) AS query_id,
+                CAST(2000000 + vec_id AS BIGINT) AS neighbor_id,
                 CAST(1 AS INT) AS rank
          FROM embeddings WHERE vec_id < 10 ORDER BY query_id""",
     // with the +1e6 copies tombstoned, the +2e6 copies take rank 1

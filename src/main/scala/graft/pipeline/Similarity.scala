@@ -412,6 +412,85 @@ object Similarity {
         s"IvfIndex.compact lost the commit race $attempt times at $path")
     }
 
+    /** Index-health signal for centroid DRIFT under sustained appends.
+      * [[append]] assigns under FROZEN centroids, so a distribution
+      * shift degrades the index silently: recall (new-region vectors
+      * pile onto stale boundary cells, splitting true neighbor pairs)
+      * and probe latency (hot cells). Two cheap signals, one corpus
+      * pass each probe-free:
+      *
+      *   - `fit`: mean cosine of every member to its assigned
+      *     centroid — the recall-predicting signal (a shifted cluster
+      *     is FAR from whatever stale centroid adopted it, so fit
+      *     drops as drift accumulates; [[rebalance]] restores it);
+      *   - `skew`: max cell share over the uniform share — the probe
+      *     latency signal (a hot cell is scanned whole by every query
+      *     probing it).
+      *
+      * Thresholds are deployment policy; the gate-tested contract is
+      * monotonicity: rebalancing a drifted index raises `fit`.
+      */
+    final case class Drift(cells: Int, rows: Long, skew: Double,
+        fit: Double)
+
+    def driftStats(spark: org.apache.spark.sql.SparkSession,
+        path: String, vecCol: String): Drift = {
+      val cents = loadCentroids(spark, path)
+      val fitKernel = udf { (v: Seq[Double], cell: Int) =>
+        if (v == null || cell < 0 || cell >= cents.length) null
+        else {
+          val nv = Ivf.normalize(v.toArray)
+          java.lang.Double.valueOf(Ivf.dotD(nv, cents(cell)))
+        }
+      }
+      val agg = corpusTable(spark, path)
+        .select(col("cell"),
+          fitKernel(col(vecCol).cast("array<double>"), col("cell"))
+            .as("__fit"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"), avg(col("__fit")).as("f"))
+        .collect()
+      val rows = agg.map(_.getLong(1)).sum
+      val maxCell = if (agg.isEmpty) 0L else agg.map(_.getLong(1)).max
+      val fit =
+        if (rows == 0L) 1.0
+        else agg.map(r => r.getDouble(2) * r.getLong(1)).sum / rows
+      val skew =
+        if (rows == 0L) 1.0
+        else maxCell.toDouble / (rows.toDouble / cents.length)
+      Drift(cents.length, rows, skew, fit)
+    }
+
+    /** Repair centroid drift: RETRAIN the centroids on the corpus as
+      * committed today (appends included), reassign every vector, and
+      * publish the rewrite as one new log version — same cell count,
+      * same layout, fresh geometry. The model swap follows [[build]]'s
+      * contract (the centroids sidecar is not snapshot-isolated with
+      * the corpus commit — rebalance into a NEW path and swap a
+      * pointer when probes must stay live through it); the corpus
+      * rewrite itself is a normal commit, so a crash leaves the old
+      * state current and vacuum-able staging orphans.
+      */
+    def rebalance(spark: org.apache.spark.sql.SparkSession, path: String,
+        idCol: String, vecCol: String, sampleN: Int = 10000,
+        iters: Int = 10): Unit = {
+      val cur = corpusTable(spark, path).drop("cell")
+      val cells = loadCentroids(spark, path).length
+      val centroids = train(cur, idCol, vecCol, cells, sampleN, iters)
+      val files = TxLog.stagePartitionedInto(
+        withCell(cur, vecCol, centroids), path, "corpus", Seq("cell"))
+      import spark.implicits._
+      centroids.zipWithIndex.toSeq
+        .map { case (v, i) => (i, v.toSeq) }
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      centroidMemo.remove(path)
+      TxLog.commitRetrying(spark, path) { _ =>
+        Map("corpus" -> files) // full replacement: old files age out
+      }
+      ()
+    }
+
     /** Reclaim files no retained log version references. Same contract
       * as [[graft.pipeline.DedupIndex.vacuum]].
       */

@@ -795,6 +795,78 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._2).toSeq == (1 to got.length).toSeq)
   }
 
+  test("IvfIndex drift + rebalance: a shifted append splits near-dup " +
+      "pairs across stale boundary cells (recall 0 at nProbe=1), " +
+      "driftStats' fit flags it, rebalance retrains in place and " +
+      "restores recall 1 with fit back up") {
+    val dim = 16
+    def unit(axis: Int): Array[Double] =
+      Array.tabulate(dim)(i => if (i == axis) 1.0 else 0.0)
+    def plus(a: Array[Double], b: Array[Double], s: Double)
+        : Array[Double] =
+      a.zip(b).map { case (x, y) => x + s * y }
+    def toF(a: Array[Double]): Seq[Float] =
+      Similarity.Ivf.normalize(a).map(_.toFloat).toSeq
+    // 4 tight clusters on orthogonal axes, 40 points each, ids
+    // cluster-major so the evenly-spaced init seeds every cluster
+    val base = (0 until 160).map { i =>
+      (i.toLong, toF(plus(unit(i / 40), unit(4 + i % 8), 0.05)))
+    }
+    val path = java.nio.file.Files.createTempDirectory("ivf_drift")
+      .toString
+    Similarity.IvfIndex.build(base.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", cells = 8, path, sampleN = 1000, iters = 5)
+    // the DRIFT cluster: direction g exactly between clusters 0 and 1
+    // — the stale decision boundary passes through it, so pair members
+    // offset ±0.01 along e = e0 − e1 assign to DIFFERENT stale cells
+    val g = plus(unit(0), unit(1), 1.0)
+    val e = plus(unit(0), unit(1), -1.0)
+    val fillers = (0 until 20).map { j =>
+      (3000000L + j, toF(plus(g, unit(4 + j % 8), 0.002)))
+    }
+    val pairs = (0 until 10).flatMap { i =>
+      val b0 = plus(g, unit(4 + (i % 10)), 0.05)
+      Seq((1000000L + i, toF(plus(b0, e, 0.01))),
+        (2000000L + i, toF(plus(b0, e, -0.01))))
+    }
+    // 40 planted of 200 total: exactly ONE retrain init seed (position
+    // 7·200/8 = 175 >= 160) lands inside the drift cluster, so the
+    // rebalance gives it one centroid, not a twin-split
+    Similarity.IvfIndex.append(spark, path,
+      (fillers ++ pairs).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    // construction check: every pair straddles a stale cell boundary
+    val cents = Similarity.IvfIndex.loadCentroids(spark, path)
+    val cellsOf = Similarity.Ivf.withCell(
+      pairs.toDF("vec_id", "embedding"), "embedding", cents)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    (0 until 10).foreach { i =>
+      assert(cellsOf(1000000L + i) != cellsOf(2000000L + i),
+        s"pair $i must straddle a stale boundary under frozen centroids")
+    }
+    val queries = pairs.filter(_._1 < 2000000L)
+      .toDF("query_id", "embedding")
+    def recall(): Double =
+      Similarity.IvfIndex.topK(spark, path, queries, "query_id",
+        "vec_id", "embedding", k = 1, nProbe = 1)
+        .filter(col("rank") === 1 &&
+          col("neighbor_id") === col("query_id") + 1000000L)
+        .count() / 10.0
+    val before = Similarity.IvfIndex.driftStats(spark, path, "embedding")
+    assert(before.rows == 200L && before.cells == 8)
+    assert(recall() == 0.0,
+      "every true neighbor hides in the OTHER stale cell at nProbe=1")
+    Similarity.IvfIndex.rebalance(spark, path, "vec_id", "embedding",
+      sampleN = 1000, iters = 5)
+    val after = Similarity.IvfIndex.driftStats(spark, path, "embedding")
+    assert(after.rows == 200L, "rebalance must preserve every vector")
+    assert(after.fit > before.fit + 0.01,
+      s"retrained fit must improve: ${before.fit} -> ${after.fit}")
+    assert(recall() == 1.0,
+      "the drift cluster owns a centroid after rebalance, pairs " +
+      "co-locate and every query finds its near-dup")
+  }
+
   test("IvfIndex: persisted probe equals brute force and prunes partitions") {
     val path = java.nio.file.Files.createTempDirectory("ivf_idx").toString
     Similarity.IvfIndex.build(corpus, "vec_id", "embedding", cells = 2,

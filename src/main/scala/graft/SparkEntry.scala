@@ -1538,6 +1538,61 @@ object SparkEntry {
         s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       }
     }),
+    "q_spj_join_multi" -> ((s, dir) => {
+      // COMPOSITE-KEY SPJ (the (tenant, id) grid layout): each key
+      // column buckets independently and the scan reports one
+      // single-column transform PER DIMENSION with tuple partition
+      // keys — the only composite shape Spark's SPJ machinery accepts
+      // (KeyGroupedPartitioning rejects multi-child transforms). Two
+      // tables on the same (grp, id) grid then join on BOTH columns
+      // with ZERO exchange. Required in-gate: SortMergeJoin, NO
+      // Exchange, both sides native. Read-back ≡ the oracle's plain
+      // two-column join.
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val root = new java.io.File(scratchRoot, s"graft_spjm_$sf")
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      val cat = s"gspjm_$sf"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root.getAbsolutePath)
+      graft.sources.Merge.writeKeyedCols(
+        t(s, dir, "part").selectExpr("p_partkey % 50 AS grp",
+          "p_partkey AS id", "p_name AS name", "p_retailprice AS price"),
+        new java.io.File(root, "parts").getAbsolutePath,
+        Seq("grp", "id"), Seq(4, 8))
+      graft.sources.Merge.writeKeyedCols(
+        t(s, dir, "lineitem").groupBy("l_partkey")
+          .agg(expr("CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) " +
+            "AS DOUBLE)").as("qty"), count(lit(1)).as("n"))
+          .selectExpr("l_partkey % 50 AS grp", "l_partkey AS id",
+            "qty", "n"),
+        new java.io.File(root, "demand").getAbsolutePath,
+        Seq("grp", "id"), Seq(4, 8))
+      val join = s"SELECT p.grp, p.id, p.name, p.price, d.qty, d.n " +
+        s"FROM $cat.parts p JOIN $cat.demand d " +
+        "ON p.grp = d.grp AND p.id = d.id"
+      s.conf.set("spark.graft.bucketedScan", "true")
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set(
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val probe = s.sql(join)
+        val plan = probe.queryExecution.executedPlan.toString
+        require(plan.contains("SortMergeJoin") &&
+            !plan.contains("Exchange"),
+          s"the composite-keyed join must plan with NO exchange:\n$plan")
+        require(plan.contains("GraftBucketScan"),
+          "both sides must read through the native bucket scan")
+        probe.orderBy("id").localCheckpoint()
+      } finally {
+        s.conf.set("spark.graft.bucketedScan", "false")
+        s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+        s.conf.unset(
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+        s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }),
     "q_dsv2_scan_dv" -> ((s, dir) => {
       // CDC STEADY STATE, SCAN SIDE: a DV-bearing table keeps
       // VECTORIZED reads — the native scan's batches are filtered by a
@@ -7361,6 +7416,17 @@ object SparkEntry {
          FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
          WHERE p.p_partkey % 7 <> 0
          GROUP BY 1, 2, 3
+         ORDER BY id""",
+    // the composite grid routes by per-column hashes; the join result
+    // is the plain two-column equi-join
+    "q_spj_join_multi" ->
+      """SELECT p.p_partkey % 50 AS grp, p.p_partkey AS id,
+                p.p_name AS name, p.p_retailprice AS price,
+                CAST(sum(CAST(l.l_quantity AS DECIMAL(28,2))) AS DOUBLE)
+                  AS qty,
+                count(*) AS n
+         FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+         GROUP BY 1, 2, 3, 4
          ORDER BY id""",
     // the DV-deleted keys are gone from the vectorized scan's read-back
     "q_dsv2_scan_dv" ->

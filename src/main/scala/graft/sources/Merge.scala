@@ -73,6 +73,26 @@ object Merge {
   private def bucketCol(keyCol: String, nBuckets: Int) =
     pmod(xxhash64(col(keyCol)), lit(nBuckets.toLong))
 
+  /** Composite GRID routing: each key column buckets INDEPENDENTLY
+    * (`pmod(xxhash64(k_i), n_i)` — the same per-column rule the V2
+    * bucket function re-derives) and the physical bucket id is the
+    * row-major flattening of the tuple. Independence is the point:
+    * Spark's storage-partitioned join supports only SINGLE-column
+    * transforms (`KeyGroupedPartitioning.supportsExpressions` requires
+    * one child per transform), so a composite layout must present as a
+    * TUPLE of single-column transforms with tuple partition keys — a
+    * chained multi-column hash could never be declared co-partitioned.
+    */
+  private[sources] def bucketColMulti(keyCols: Seq[String],
+      ns: Seq[Int]) = {
+    val parts = keyCols.zip(ns).map { case (k, n) =>
+      pmod(xxhash64(col(k)), lit(n.toLong))
+    }
+    parts.zipWithIndex.foldLeft(lit(0L)) { case (acc, (b, i)) =>
+      acc * lit(ns(i).toLong) + b
+    }
+  }
+
   /** Partition a bucket-tagged frame so `partitionBy("__bucket")` emits
     * exactly `filesPerBucket` file(s) per bucket. Without this, every
     * task fragments a file into every bucket dir it touches —
@@ -221,7 +241,15 @@ object Merge {
       // until a full key-sorted rewrite. What lets the native bucket
       // scan report per-partition ordering so merge joins skip their
       // sorts. Absent in legacy manifests -> false (conservative).
-      keySorted: Boolean = false)
+      keySorted: Boolean = false,
+      // COMPOSITE bucket layout (>= 2 key columns, routed by the
+      // CHAINED xxhash64 the multi-arg Spark expression computes).
+      // Deliberately SEPARATE from `layout`: a composite table reads
+      // as "unkeyed" to every single-key consumer (upsert/DML/sinks
+      // refuse loudly instead of misrouting), while the native bucket
+      // scan recognizes it for storage-partitioned joins.
+      layoutCols: Seq[String] = Seq.empty,
+      layoutNs: Seq[Int] = Seq.empty)
 
   /** The commit timestamp for a child of `parent`: wall clock, forced
     * STRICTLY increasing along the version chain (max(parent+1, now)) so
@@ -330,10 +358,16 @@ object Merge {
         s"""{"c":"${jsonEscape(c)}","v":$v}"""
       }.mkString("[", ",", "]")
     val keySortedField = if (m.keySorted) s""","keySorted":true""" else ""
+    val layoutColsField =
+      if (m.layoutCols.isEmpty) ""
+      else s""","layoutCols":""" + m.layoutCols
+        .map(c => "\"" + jsonEscape(c) + "\"").mkString("[", ",", "]") +
+        s""","layoutNs":""" + m.layoutNs.mkString("[", ",", "]")
     (s"""{"version":${m.version},"parent":${m.parent},""" +
       s"""$filesField$schemaField$txnField$layoutField$statsFields""" +
       s"""$tsField$opField$constraintsField$dvField$colMapField""" +
-      s"""$retiredField$copiedField$idHwmField$keySortedField}""")
+      s"""$retiredField$copiedField$idHwmField$keySortedField""" +
+      s"""$layoutColsField}""")
       .getBytes("UTF-8")
   }
 
@@ -639,6 +673,17 @@ object Merge {
           case JBool(b) => b
           case _ => false
         }
+        val layoutCols = j \ "layoutCols" match {
+          case JArray(xs) => xs.collect { case JString(c) => c }
+          case _ => Nil
+        }
+        val layoutNs = j \ "layoutNs" match {
+          case JArray(xs) => xs.collect {
+            case JInt(n) => n.toInt
+            case JLong(n) => n.toInt
+          }
+          case _ => Nil
+        }
         (num("version"), num("parent"), resolved) match {
           case (Some(v), Some(par), Some((fl, stats, shardIds))) =>
             Some(Manifest(v, par, fl, str("dataSchema"),
@@ -651,7 +696,8 @@ object Merge {
               shardSpan = shardSpan, shardIds = shardIds,
               constraints = constraints, dvFiles = dvFiles,
               colMap = colMap, physRetired = physRetired,
-              copied = copied, idHwm = idHwm, keySorted = keySorted))
+              copied = copied, idHwm = idHwm, keySorted = keySorted,
+              layoutCols = layoutCols, layoutNs = layoutNs))
           case _ => None // truncated or foreign body: not committed
         }
       }
@@ -1230,6 +1276,50 @@ object Merge {
       ts = System.currentTimeMillis(), op = Some("write"),
       shardSpan = manifestShardSpan, constraints = constraints,
       keySorted = true))
+  }
+
+  /** Write a table bucketed on a COMPOSITE key tuple — the `(tenant,
+    * id)`-style GRID layout whose whole point is the exchange-free
+    * storage-partitioned join on both columns. Each column buckets
+    * independently into its own `nBuckets(i)` cells and the physical
+    * bucket is the row-major flattening ([[bucketColMulti]] — the
+    * tuple-of-single-column-transforms shape Spark's SPJ machinery
+    * accepts). The layout is recorded in the manifest's
+    * `layoutCols`/`layoutNs`, NOT `layout`, so every single-key
+    * consumer (upsert, DML, sinks, CDC slicing) sees an unkeyed table
+    * and refuses loudly instead of misrouting — a composite table is
+    * replace-whole by design until those verbs learn tuples. Reads
+    * (V1 bridge and the native bucket scan), time travel, stats
+    * skipping and vacuum work unchanged. Join sides must declare the
+    * SAME column order with the same per-column counts (or compatible
+    * ones under the gcd reduction, per dimension).
+    */
+  def writeKeyedCols(df: DataFrame, path: String, keyCols: Seq[String],
+      nBuckets: Seq[Int], statsCols: Seq[String] = Seq.empty,
+      filesPerBucket: Int = 1): Unit = {
+    require(keyCols.size >= 2,
+      "writeKeyedCols needs >= 2 key columns (writeKeyed for one)")
+    require(keyCols.distinct.size == keyCols.size,
+      "key columns must be distinct")
+    require(nBuckets.size == keyCols.size,
+      "one bucket count per key column")
+    require(nBuckets.forall(_ >= 1), "bucket counts must be >= 1")
+    val total = nBuckets.map(_.toLong).product
+    require(total <= (1L << 20),
+      s"grid of $total buckets is past the 2^20 sanity bound")
+    val (fs, root) = fsFor(df.sparkSession, path)
+    if (fs.exists(root)) fs.delete(root, true)
+    dropCachedManifests(root)
+    bucketPartitioned(
+      df.withColumn("__bucket", bucketColMulti(keyCols, nBuckets)),
+      filesPerBucket, total.toInt, sortKey = None)
+      .write.mode("overwrite").partitionBy("__bucket").parquet(path)
+    writeManifest(fs, root, Manifest(0L, -1L, listDataFiles(fs, root),
+      Some(schemaToString(df.schema)),
+      statsCols = statsCols,
+      stats = bucketFileStats(df.sparkSession, path, statsCols),
+      ts = System.currentTimeMillis(), op = Some("write"),
+      layoutCols = keyCols, layoutNs = nBuckets))
   }
 
   /** Read a manifest's file set with the version's own schema (plus the
@@ -2258,7 +2348,8 @@ object Merge {
     * deletes survive the zero-shuffle path instead of forcing the V1
     * fallback exactly where a CDC-maintained table lives.
     */
-  final case class BucketScanPlan(keyCol: String, nBuckets: Int,
+  final case class BucketScanPlan(keyCols: Seq[String],
+      bucketNs: Seq[Int],
       keySorted: Boolean, units: Seq[(Long, Seq[(String, Long)])],
       dvFiles: Seq[(String, Long)],
       colMap: Seq[(String, String)] = Seq.empty)
@@ -2279,13 +2370,21 @@ object Merge {
       bounds: Seq[Skipping.Bound]): Option[BucketScanPlan] = {
     val (fs, root) = fsFor(spark, path)
     val m = readManifest(spark, root, version)
-    if (m.layout.isEmpty || m.dataSchema.isEmpty) return None
-    val (keyCol, n) = m.layout.get
+    // single-key layout OR a composite tuple (layoutCols): the V2
+    // bucket function binds either shape
+    val keyLayout: Option[(Seq[String], Seq[Int])] =
+      m.layout.map { case (k, kn) => (Seq(k), Seq(kn)) }
+        .orElse(if (m.layoutCols.size >= 2 &&
+            m.layoutNs.size == m.layoutCols.size &&
+            m.layoutNs.forall(_ >= 1))
+          Some((m.layoutCols, m.layoutNs)) else None)
+    if (keyLayout.isEmpty || m.dataSchema.isEmpty) return None
+    val (keyCols, ns) = keyLayout.get
     // the V2 bucket function cannot bind these key types — never build
     // a native scan the planner would then fail to resolve
     if (!m.dataSchema.map(schemaFromString).exists(s =>
-        s.fieldNames.contains(keyCol) &&
-        spjKeyTypes.contains(s(keyCol).dataType))) return None
+        keyCols.forall(k => s.fieldNames.contains(k) &&
+          spjKeyTypes.contains(s(k).dataType)))) return None
     val sel =
       if (bounds.isEmpty) m.files
       else planVersionFiles(spark, path, version, bounds)._1
@@ -2321,7 +2420,7 @@ object Merge {
     // COLUMN MAPPING rides along: files store PHYSICAL names; the scan
     // renames its read schemas logical→physical at the reader doorway
     // (rows are positional — nothing else changes)
-    Some(BucketScanPlan(keyCol, n, m.keySorted, units, dv, m.colMap))
+    Some(BucketScanPlan(keyCols, ns, m.keySorted, units, dv, m.colMap))
   }
 
   /** [[readVersionWhere]] at the latest committed version. */

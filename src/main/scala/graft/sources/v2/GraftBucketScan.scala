@@ -36,8 +36,8 @@ import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, St
   * shuffled join.
   */
 class GraftBucketScan(path: String, version: Long, dataSchema: StructType,
-    required: StructType, pushed: Array[Filter], keyCol: String,
-    nBuckets: Int, keySorted: Boolean,
+    required: StructType, pushed: Array[Filter], keyCols: Seq[String],
+    bucketNs: Seq[Int], keySorted: Boolean,
     units0: Seq[(Long, Seq[(String, Long)])],
     dvFiles: Seq[(String, Long)] = Seq.empty,
     colMap: Seq[(String, String)] = Seq.empty)
@@ -45,9 +45,29 @@ class GraftBucketScan(path: String, version: Long, dataSchema: StructType,
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
+  require(keyCols.size == bucketNs.size && keyCols.nonEmpty,
+    "one bucket count per key column")
+
+  private val nBuckets: Long = bucketNs.map(_.toLong).product
+
   // mutated ONLY by [[filter]] (runtime bucket pruning) — partition
   // COUNT and keys stay fixed, file lists shrink
   private var units: Seq[(Long, Seq[(String, Long)])] = units0
+
+  /** Row-major flat bucket id → per-dimension tuple (the partition KEY
+    * Spark aligns join sides on; single-key layouts are the 1-tuple).
+    */
+  private def tupleOf(flat: Long): Seq[Long] = {
+    val out = new Array[Long](bucketNs.size)
+    var rest = flat
+    var i = bucketNs.size - 1
+    while (i >= 0) {
+      out(i) = rest % bucketNs(i)
+      rest /= bucketNs(i)
+      i -= 1
+    }
+    out.toSeq
+  }
 
   override def readSchema(): StructType = required
 
@@ -91,20 +111,24 @@ class GraftBucketScan(path: String, version: Long, dataSchema: StructType,
     * to the planner stays valid under AQE's re-planning.
     */
   override def filterAttributes(): Array[NamedReference] =
-    Array(Expressions.column(keyCol))
+    // composite layouts decline runtime pruning (a single-column In
+    // cannot re-derive the chained tuple hash) — the join itself is
+    // still exchange-free
+    if (keyCols.size == 1) Array(Expressions.column(keyCols.head))
+    else Array.empty
 
   override def filter(filters: Array[Filter]): Unit = {
     val values: Option[Seq[Any]] = filters.collectFirst {
-      case In(c, vs) if c == keyCol => vs.toSeq
-      case EqualTo(c, v) if c == keyCol => Seq(v)
+      case In(c, vs) if keyCols == Seq(c) => vs.toSeq
+      case EqualTo(c, v) if keyCols == Seq(c) => Seq(v)
     }
     values.filter(vs => vs.nonEmpty && vs.size <= 4096).foreach { vs =>
       val spark = SparkSession.active
-      val dt = dataSchema(keyCol).dataType
+      val dt = dataSchema(keyCols.head).dataType
       import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
       // one local row, no job: evaluate the writer's routing per value
       val row = spark.range(1).select(vs.map(v =>
-        pmod(xxhash64(lit(v).cast(dt)), lit(nBuckets.toLong))): _*)
+        pmod(xxhash64(lit(v).cast(dt)), lit(nBuckets))): _*)
         .head()
       val keep = vs.indices.filterNot(row.isNullAt).map(row.getLong).toSet
       units = units.map { case (b, files) =>
@@ -123,8 +147,15 @@ class GraftBucketScan(path: String, version: Long, dataSchema: StructType,
     * `HashPartitioning` would not be.
     */
   override def outputPartitioning(): Partitioning =
+    // one SINGLE-column transform per key dimension (tuple partition
+    // keys): Spark's KeyGroupedPartitioning supports exactly this
+    // shape — a multi-column transform is rejected by
+    // `supportsExpressions` (one child per transform)
     new KeyGroupedPartitioning(
-      Array(Expressions.bucket(nBuckets, keyCol)), units.size)
+      keyCols.zip(bucketNs).map { case (k, n) =>
+        Expressions.bucket(n, k): org.apache.spark.sql.connector
+          .expressions.Expression
+      }.toArray, units.size)
 
   /** KEY-SORTED scan at the compacted steady state: when the manifest
     * records `keySorted` (every write path sorts its bucket files by
@@ -158,9 +189,9 @@ class GraftBucketScan(path: String, version: Long, dataSchema: StructType,
     val compatOn =
       spark.conf.get("spark.sql.sources.v2.bucketing" +
         ".allowCompatibleTransforms.enabled", "false") == "true"
-    if (keySorted &&
+    if (keySorted && keyCols.size == 1 &&
         (!compatOn || GraftSpjSortRestore.installed(spark)))
-      Array(Expressions.sort(Expressions.column(keyCol),
+      Array(Expressions.sort(Expressions.column(keyCols.head),
         org.apache.spark.sql.connector.expressions.SortDirection
           .ASCENDING))
     else Array.empty
@@ -181,8 +212,9 @@ class GraftBucketScan(path: String, version: Long, dataSchema: StructType,
     */
   override def planInputPartitions(): Array[InputPartition] =
     units.flatMap { case (b, files) =>
-      if (files.isEmpty) Seq(GraftBucketInputPartition(b, Seq.empty))
-      else files.map(f => GraftBucketInputPartition(b, Seq(f)))
+      val key = tupleOf(b)
+      if (files.isEmpty) Seq(GraftBucketInputPartition(key, Seq.empty))
+      else files.map(f => GraftBucketInputPartition(key, Seq(f)))
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -286,13 +318,14 @@ object GraftBucketScan {
   }
 }
 
-/** One bucket's files; the bucket id is the KeyGroupedPartitioning
-  * partition key Spark aligns join sides on.
+/** One bucket's files; the per-dimension bucket id tuple is the
+  * KeyGroupedPartitioning partition key Spark aligns join sides on
+  * (single-key layouts are the 1-tuple).
   */
-case class GraftBucketInputPartition(bucket: Long,
+case class GraftBucketInputPartition(key: Seq[Long],
     files: Seq[(String, Long)])
     extends InputPartition with HasPartitionKey {
-  override def partitionKey(): InternalRow = InternalRow(bucket)
+  override def partitionKey(): InternalRow = InternalRow(key: _*)
 }
 
 class GraftBucketReaderFactory(
@@ -616,6 +649,8 @@ object GraftBucketFunction extends UnboundFunction {
   val supportedKeyTypes: Set[DataType] = Merge.spjKeyTypes
 
   override def bind(inputType: StructType): BoundFunction = {
+    // a composite (grid) layout presents one single-column transform
+    // per dimension, so bind always sees (nBuckets INT, key)
     require(inputType.fields.length == 2,
       s"bucket takes (nBuckets INT, key), got ${inputType.catalogString}")
     val keyType = inputType.fields(1).dataType

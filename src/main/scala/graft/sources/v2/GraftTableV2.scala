@@ -578,7 +578,7 @@ class GraftScanBuilder(path: String, version: Long, dataSchema: StructType)
               Merge.versionSchema(spark, path, version) match {
                 case Some(full) =>
                   new GraftBucketScan(path, version, full, required,
-                    pushed, plan.keyCol, plan.nBuckets, plan.keySorted,
+                    pushed, plan.keyCols, plan.bucketNs, plan.keySorted,
                     plan.units, plan.dvFiles, plan.colMap): Scan
                 case None =>
                   new GraftScan(path, version, pushed, required, limit)

@@ -117,6 +117,58 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("COMPOSITE bucket keys (grid layout): tables bucketed on the " +
+      "same (k1, k2) tuple join exchange-free through per-dimension " +
+      "transforms and tuple partition keys; a partial-key join keeps " +
+      "its shuffle; an unsupported tuple member degrades to V1") {
+    val (cat, root) = mkCatalog("multi")
+    def p(n: String) = new File(root, n).getAbsolutePath
+    val fa = spark.range(300).selectExpr("id % 7 AS tenant", "id",
+      "cast(id AS DOUBLE) AS v").toDF()
+    val fb = spark.range(240).selectExpr("id % 7 AS tenant", "id",
+      "concat('n', id) AS name").toDF()
+    Merge.writeKeyedCols(fa, p("fa"), Seq("tenant", "id"), Seq(4, 8))
+    Merge.writeKeyedCols(fb, p("fb"), Seq("tenant", "id"), Seq(4, 8))
+    val q = s"SELECT a.tenant, a.id, a.v, b.name FROM $cat.fa a " +
+      s"JOIN $cat.fb b ON a.tenant = b.tenant AND a.id = b.id"
+    // control: scan off -> shuffled join, 240 matched rows
+    val off = spark.sql(q)
+    assert(shuffles(off) >= 2, "control must shuffle")
+    val expected = off.as[(Long, Long, Double, String)].collect()
+      .toSeq.sorted
+    assert(expected.size == 240)
+    withSpj {
+      val on = spark.sql(q)
+      val plan = on.queryExecution.executedPlan.toString
+      assert(plan.contains("GraftBucketScan"),
+        s"composite layout must build the native scan:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"the (tenant, id) co-bucketed join must not exchange:\n$plan")
+      assert(on.as[(Long, Long, Double, String)].collect()
+        .toSeq.sorted == expected,
+        "composite SPJ rows must equal the shuffled join's")
+      // joining on ONE tuple member does not satisfy the layout: the
+      // plan keeps its exchange and stays correct
+      val partial = spark.sql(s"SELECT count(*) FROM $cat.fa a " +
+        s"JOIN $cat.fb b ON a.id = b.id")
+      assert(partial.queryExecution.executedPlan.toString
+        .contains("Exchange"),
+        "a partial-key join must NOT be declared co-partitioned")
+      assert(partial.as[Long].head() == 240L)
+    }
+    // a DOUBLE tuple member is outside the V2 function's hashable set:
+    // the table still reads (V1 bridge), never a planning failure
+    Merge.writeKeyedCols(fa.withColumn("dkey", org.apache.spark.sql
+      .functions.col("v")), p("fd"), Seq("tenant", "dkey"), Seq(2, 2))
+    withSpj {
+      val r = spark.sql(s"SELECT id, v FROM $cat.fd")
+      assert(!r.queryExecution.executedPlan.toString
+        .contains("GraftBucketScan"),
+        "unsupported tuple types must degrade to the V1 bridge")
+      assert(r.count() == 300L)
+    }
+  }
+
   test("live deletion vectors are subtracted INSIDE the native scan " +
       "(row-index skip mask) — and the co-bucketed join stays " +
       "exchange-free on a DV-bearing table") {
@@ -553,7 +605,7 @@ class SpjSpec extends SparkSpec {
         "id BIGINT, v DOUBLE"),
       org.apache.spark.sql.types.StructType.fromDDL(
         "id BIGINT, v DOUBLE"),
-      Array.empty, plan.keyCol, plan.nBuckets, plan.keySorted,
+      Array.empty, plan.keyCols, plan.bucketNs, plan.keySorted,
       plan.units, plan.dvFiles, plan.colMap)
     val parts = scan.planInputPartitions()
     assert(parts.length == plan.units.map(_._2.size.max(1)).sum &&

@@ -104,7 +104,7 @@ object Merge {
     * [[compactVersion]] re-coarsens later.
     */
   private def bucketPartitioned(df: DataFrame, filesPerBucket: Int,
-      buckets: Int, sortKey: Option[String] = None): DataFrame = {
+      buckets: Int, sortKey: Seq[String] = Seq.empty): DataFrame = {
     require(filesPerBucket >= 1, "filesPerBucket must be >= 1")
     // explicit partition count: REPARTITION_BY_NUM pins the shuffle so
     // AQE's small-partition coalescing cannot merge the per-file groups
@@ -123,11 +123,16 @@ object Merge {
     // file turns parquet row-group/page stats into a binary search for
     // point lookups — at a 256 MB bucket file, a lookup decodes one
     // row group instead of all of them
-    sortKey match {
-      case Some(k) => repart.sortWithinPartitions(col("__bucket"), col(k))
-      case None    => repart
-    }
+    if (sortKey.isEmpty) repart
+    else repart.sortWithinPartitions(
+      (col("__bucket") +: sortKey.map(col)): _*)
   }
+
+  /** The layout's key columns in sort order — single-key tables from
+    * `layout`, composite grids from `layoutCols`; empty = unkeyed.
+    */
+  private def sortKeysOf(m: Manifest): Seq[String] =
+    m.layout.map(l => Seq(l._1)).getOrElse(m.layoutCols)
 
   private def fsFor(spark: SparkSession, path: String): (FileSystem, Path) = {
     val p = new Path(path)
@@ -1267,7 +1272,7 @@ object Merge {
     dropCachedManifests(root) // replaced table: stale memo entries out
     bucketPartitioned(
       df.withColumn("__bucket", bucketCol(keyCol, nBuckets)),
-      filesPerBucket, nBuckets, sortKey = Some(keyCol))
+      filesPerBucket, nBuckets, sortKey = Seq(keyCol))
       .write.mode("overwrite").partitionBy("__bucket").parquet(path)
     writeManifest(fs, root, Manifest(0L, -1L, listDataFiles(fs, root),
       Some(schemaToString(df.schema)), layout = Some((keyCol, nBuckets)),
@@ -1312,14 +1317,14 @@ object Merge {
     dropCachedManifests(root)
     bucketPartitioned(
       df.withColumn("__bucket", bucketColMulti(keyCols, nBuckets)),
-      filesPerBucket, total.toInt, sortKey = None)
+      filesPerBucket, total.toInt, sortKey = keyCols)
       .write.mode("overwrite").partitionBy("__bucket").parquet(path)
     writeManifest(fs, root, Manifest(0L, -1L, listDataFiles(fs, root),
       Some(schemaToString(df.schema)),
       statsCols = statsCols,
       stats = bucketFileStats(df.sparkSession, path, statsCols),
       ts = System.currentTimeMillis(), op = Some("write"),
-      layoutCols = keyCols, layoutNs = nBuckets))
+      layoutCols = keyCols, layoutNs = nBuckets, keySorted = true))
   }
 
   /** Read a manifest's file set with the version's own schema (plus the
@@ -1567,16 +1572,18 @@ object Merge {
   /** The version's EXACT global (min, max) for one column from the
     * manifest stats — Some only when the stats are provably exact:
     * the column is indexed on every file, its type's encoding is
-    * lossless (strings are truncated — excluded), and no deletion
-    * vectors are live (a deleted row could be the extreme). Inner
-    * Nones mean the column is null in every row. Values come back in
-    * the column's external (Row) type.
+    * lossless (strings are truncated — excluded), and no live
+    * deletion vector touches a file that could ATTAIN either extreme
+    * (r16: DVs on non-extreme files no longer decline — a deleted row
+    * elsewhere can never be the global min/max). Inner Nones mean the
+    * column is null in every row. Values come back in the column's
+    * external (Row) type.
     */
   def versionColumnBounds(spark: SparkSession, path: String,
       version: Long, column: String): Option[(Option[Any], Option[Any])] = {
     val (_, root) = fsFor(spark, path)
     val m = readManifest(spark, root, version)
-    if (m.dvFiles.nonEmpty || !m.statsCols.contains(column)) return None
+    if (!m.statsCols.contains(column)) return None
     val schema = m.dataSchema.map(schemaFromString).getOrElse(
       return None)
     val dt = schema.find(_.name == column).map(_.dataType).getOrElse(
@@ -1601,6 +1608,23 @@ object Merge {
       Ordering.fromLessThan[Any]((a, b) => Skipping.ltKey(a, b)))
     val maxEntry = bounded.maxBy(e => key(e.max.get))(
       Ordering.fromLessThan[Any]((a, b) => Skipping.ltKey(a, b)))
+    // LIVE DELETION VECTORS taint an extreme only when they touch a
+    // file that could ATTAIN it (a deleted row elsewhere can never be
+    // the global min/max — its file's own bound already wasn't).
+    // Deletes touch few buckets at steady state, so MIN/MAX pushdown
+    // usually survives merge-on-read; a tainted extreme declines as
+    // before. One sidecar-sized job, only when DVs are live.
+    if (m.dvFiles.nonEmpty) {
+      val touched = dvDeletedPerFile(spark, root, m).keySet
+      def eq(a: Any, b: Any): Boolean =
+        !Skipping.ltKey(a, b) && !Skipping.ltKey(b, a)
+      def attains(pick: Skipping.FileStats => String,
+          extreme: String): Boolean =
+        bounded.exists(e => touched.contains(e.file) &&
+          eq(key(pick(e)), key(extreme)))
+      if (attains(_.min.get, minEntry.min.get) ||
+          attains(_.max.get, maxEntry.max.get)) return None
+    }
     Some((Skipping.decodeStat(dt, minEntry.min.get),
       Skipping.decodeStat(dt, maxEntry.max.get)))
   }
@@ -3048,7 +3072,7 @@ object Merge {
       val merged = bucketPartitioned(baseAligned
         .join(joinKeys, Seq(keyCol), "left_anti")
         .unionByName(inserts), filesPerBucket, touched.size,
-        sortKey = Some(keyCol))
+        sortKey = Seq(keyCol))
       // APPEND-only: stage to a job-scoped dir, move the exact file set in
       val (newFiles, newStats) =
         stageAndMove(spark, fs, root, merged, parent.statsCols,
@@ -3151,7 +3175,7 @@ object Merge {
       // monotonic past the parent's, never reset by the overwrite
       val newIdHwm = advanceIdHwm(parent, parentSchema, withB)
       val merged = bucketPartitioned(withB, 1, nBuckets,
-        sortKey = Some(keyCol))
+        sortKey = Seq(keyCol))
       val (newFiles, newStats) =
         stageAndMove(spark, fs, root, merged, parent.statsCols,
           parent.colMap)
@@ -3241,7 +3265,7 @@ object Merge {
           parent.copy(files = parentTouchedFiles))
         .filter(!coalesce(predicate, lit(false))), // null predicate: keep
         filesPerBucket, touched.size,
-        sortKey = parent.layout.map(_._1))
+        sortKey = sortKeysOf(parent))
       val (newFiles, newStats) =
         stageAndMove(spark, fs, root, keep, parent.statsCols,
           parent.colMap)
@@ -3343,7 +3367,7 @@ object Merge {
       val rows = versionDf(spark, path, root, parent).drop("__bucket")
         .withColumn("__bucket", bucketCol(keyCol, newBuckets))
       val repart = bucketPartitioned(rows, filesPerBucket, newBuckets,
-        sortKey = Some(keyCol))
+        sortKey = Seq(keyCol))
       val (newFiles, newStats) =
         stageAndMove(spark, fs, root, repart, parent.statsCols,
           parent.colMap)
@@ -3543,7 +3567,7 @@ object Merge {
             .drop("__z")
         } else if (clusterBy.isEmpty)
           bucketPartitioned(rows, targetFilesPerBucket, toRewrite.size,
-            sortKey = parent.layout.map(_._1))
+            sortKey = sortKeysOf(parent))
         else rows
           .repartitionByRange(toRewrite.size * targetFilesPerBucket,
             col("__bucket") +: clusterBy.map(col): _*)

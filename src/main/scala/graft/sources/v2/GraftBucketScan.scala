@@ -111,32 +111,48 @@ class GraftBucketScan(path: String, version: Long, dataSchema: StructType,
     * to the planner stays valid under AQE's re-planning.
     */
   override def filterAttributes(): Array[NamedReference] =
-    // composite layouts decline runtime pruning (a single-column In
-    // cannot re-derive the chained tuple hash) — the join itself is
-    // still exchange-free
-    if (keyCols.size == 1) Array(Expressions.column(keyCols.head))
-    else Array.empty
+    // every key DIMENSION prunes independently: on a composite grid, a
+    // runtime In on k1 alone keeps only the matching b1 slices (all b2
+    // cells of them) — the per-dimension hash is the writer's own.
+    // ONLY columns in the pruned read schema: Spark's PartitionPruning
+    // resolves these refs against the scan OUTPUT and throws (not
+    // skips) on a miss, so a projection that drops a key column must
+    // drop its pruning claim with it.
+    keyCols.filter(k => required.fieldNames.contains(k))
+      .map(Expressions.column).toArray
 
   override def filter(filters: Array[Filter]): Unit = {
-    val values: Option[Seq[Any]] = filters.collectFirst {
-      case In(c, vs) if keyCols == Seq(c) => vs.toSeq
-      case EqualTo(c, v) if keyCols == Seq(c) => Seq(v)
+    val perDim: Seq[(Int, Seq[Any])] = keyCols.indices.flatMap { i =>
+      filters.collectFirst {
+        case In(c, vs) if c == keyCols(i) => vs.toSeq
+        case EqualTo(c, v) if c == keyCols(i) => Seq(v)
+      }.filter(vs => vs.nonEmpty && vs.size <= 4096).map(i -> _)
     }
-    values.filter(vs => vs.nonEmpty && vs.size <= 4096).foreach { vs =>
-      val spark = SparkSession.active
-      val dt = dataSchema(keyCols.head).dataType
-      import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
-      // one local row, no job: evaluate the writer's routing per value
-      val row = spark.range(1).select(vs.map(v =>
-        pmod(xxhash64(lit(v).cast(dt)), lit(nBuckets))): _*)
-        .head()
-      val keep = vs.indices.filterNot(row.isNullAt).map(row.getLong).toSet
-      units = units.map { case (b, files) =>
-        if (keep.contains(b)) (b, files) else (b, Seq.empty)
-      }
-      GraftBucketScan.lastRuntimePrune =
-        Some((units.count(_._2.nonEmpty), units.size))
+    if (perDim.isEmpty) return
+    val spark = SparkSession.active
+    import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+    // one local row, no job: evaluate the writer's per-dimension
+    // routing for every delivered value
+    val exprs = perDim.flatMap { case (i, vs) =>
+      val dt = dataSchema(keyCols(i)).dataType
+      vs.map(v =>
+        pmod(xxhash64(lit(v).cast(dt)), lit(bucketNs(i).toLong)))
     }
+    val row = spark.range(1).select(exprs: _*).head()
+    var off = 0
+    val keeps: Seq[(Int, Set[Long])] = perDim.map { case (i, vs) =>
+      val ks = vs.indices.filterNot(j => row.isNullAt(off + j))
+        .map(j => row.getLong(off + j)).toSet
+      off += vs.size
+      (i, ks)
+    }
+    units = units.map { case (b, files) =>
+      val t = tupleOf(b)
+      if (keeps.forall { case (i, ks) => ks.contains(t(i)) }) (b, files)
+      else (b, Seq.empty)
+    }
+    GraftBucketScan.lastRuntimePrune =
+      Some((units.count(_._2.nonEmpty), units.size))
   }
 
   /** The scan's clustering IS the table's layout: `bucket(n, key)`.
@@ -189,11 +205,14 @@ class GraftBucketScan(path: String, version: Long, dataSchema: StructType,
     val compatOn =
       spark.conf.get("spark.sql.sources.v2.bucketing" +
         ".allowCompatibleTransforms.enabled", "false") == "true"
-    if (keySorted && keyCols.size == 1 &&
+    if (keySorted &&
         (!compatOn || GraftSpjSortRestore.installed(spark)))
-      Array(Expressions.sort(Expressions.column(keyCols.head),
-        org.apache.spark.sql.connector.expressions.SortDirection
-          .ASCENDING))
+      // composite grids claim the full key-tuple order (files are
+      // sorted by (k1, k2, ...)), so their merge joins zipper too
+      keyCols.map(k =>
+        Expressions.sort(Expressions.column(k),
+          org.apache.spark.sql.connector.expressions.SortDirection
+            .ASCENDING)).toArray
     else Array.empty
   }
 

@@ -335,6 +335,43 @@ class GraftTableV2Spec extends SparkSpec {
     assert(agg3.as[Long].head() == 50L)
   }
 
+  test("MIN/MAX pushdown survives DVs that cannot attain the extremes: " +
+      "deletes confined to non-extreme files keep the manifest answer; " +
+      "a delete touching an extreme-attaining file still declines") {
+    val path = new File(freshDir("aggdvx"), "tbl").getAbsolutePath
+    Merge.writeKeyed(baseDf, path, "id", nBuckets = 4,
+      statsCols = Seq("id"))
+    // which buckets hold the extreme ids (0 and 199)? delete only
+    // rows from OTHER buckets, so no touched file can attain either
+    val bOf = spark.range(200)
+      .select($"id", pmod(xxhash64($"id"), lit(4L)).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val spare = (1L until 199L)
+      .filter(i => bOf(i) != bOf(0L) && bOf(i) != bOf(199L)).take(10)
+    assert(spare.size == 10, "fixture needs 10 non-extreme-bucket ids")
+    val st = Merge.deleteWhereDV(spark, path, $"id".isin(spare: _*))
+    assert(st.rowsDeleted == 10L)
+    val rd = spark.read.format("graft-table").option("path", path).load()
+    val agg = rd.agg(count(lit(1)).as("n"), min("id").as("mn"),
+      max("id").as("mx"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.matches("(?s).*(Hash|Sort)Aggregate.*") &&
+      plan.contains("PushedAggregates"),
+      s"non-extreme DVs must keep MIN/MAX pushed:\n$plan")
+    val row = agg.collect()(0)
+    assert(row.getAs[Long]("n") == 190L &&
+      row.getAs[Long]("mn") == 0L && row.getAs[Long]("mx") == 199L)
+    // now delete the max row itself: its file attains the extreme, so
+    // the pushdown must decline and the fallback computes the true max
+    Merge.deleteWhereDV(spark, path, $"id" === 199L)
+    val rd2 = spark.read.format("graft-table").option("path", path).load()
+    val agg2 = rd2.agg(max("id").as("mx"))
+    assert(agg2.queryExecution.executedPlan.toString
+      .matches("(?s).*(Hash|Sort)Aggregate.*"),
+      "an extreme-attaining DV must still decline MIN/MAX")
+    assert(agg2.as[Long].head() == 198L)
+  }
+
   test("reported statistics drive join planning: a small graft table " +
       "broadcasts instead of shuffle-joining") {
     val path = new File(freshDir("stats"), "tbl").getAbsolutePath

@@ -144,6 +144,12 @@ class SpjSpec extends SparkSpec {
         s"composite layout must build the native scan:\n$plan")
       assert(!plan.contains("Exchange"),
         s"the (tenant, id) co-bucketed join must not exchange:\n$plan")
+      // grid files are sorted by the KEY TUPLE and each cell is one
+      // file, so the scan claims (k1 asc, k2 asc) and the merge join
+      // is a sort-free zipper — no Sort on top of no Exchange
+      assert(!plan.linesIterator.exists(l =>
+          l.contains(" Sort [") && !l.contains("SortMergeJoin")),
+        s"the key-tuple-sorted grid join must plan with NO Sort:\n$plan")
       assert(on.as[(Long, Long, Double, String)].collect()
         .toSeq.sorted == expected,
         "composite SPJ rows must equal the shuffled join's")
@@ -167,6 +173,30 @@ class SpjSpec extends SparkSpec {
         "unsupported tuple types must degrade to the V1 bridge")
       assert(r.count() == 300L)
     }
+    // runtime pruning works PER DIMENSION on the grid: a broadcast-
+    // joined 2-key dim delivers In filters on both columns, and only
+    // the matching (b_tenant, b_id) cells keep files — 2 keys prune
+    // to <= 2 of the 32 grid cells
+    spark.conf.set("spark.graft.bucketedScan", "true")
+    try {
+      GraftBucketScan.lastRuntimePrune = None
+      // a real (file-backed) dim: DPP only fires when the filtering
+      // side is a scan with a selective predicate, not a local relation
+      Seq((0L, 0L, "hot"), (1L, 8L, "hot"), (2L, 9L, "cold"))
+        .toDF("tenant", "id", "tag")
+        .write.mode("overwrite").parquet(p("dim_pq"))
+      spark.read.parquet(p("dim_pq"))
+        .createOrReplaceTempView("spj_multi_dim")
+      val j = spark.sql(s"SELECT f.id, f.v FROM $cat.fa f " +
+        "JOIN spj_multi_dim d ON f.tenant = d.tenant AND f.id = d.id " +
+        "WHERE d.tag = 'hot'")
+      assert(j.collect().length == 2)
+      val prune = GraftBucketScan.lastRuntimePrune
+      assert(prune.isDefined,
+        "the runtime In-filters must reach the grid scan")
+      assert(prune.get._1 <= 4 && prune.get._2 == 32,
+        s"2 keys must prune to <= 2x2 of 32 grid cells, got $prune")
+    } finally spark.conf.set("spark.graft.bucketedScan", "false")
   }
 
   test("live deletion vectors are subtracted INSIDE the native scan " +

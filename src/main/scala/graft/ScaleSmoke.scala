@@ -455,6 +455,53 @@ object ScaleSmoke {
         println(s"SCALE   ${spark.sql(q).collect().head}"))
       spark.conf.set("spark.graft.bucketedScan", "false")
     }
+
+    // ---- r16 COMPOSITE-KEY (grid) SPJ: two tables on the same
+    // (shard, doc_id) grid join on BOTH columns exchange-free AND
+    // sort-free (tuple-sorted cells) vs the shuffled control. The grid
+    // scales per dimension — the gap is the same exchanged-bytes
+    // argument as single-key SPJ.
+    Seq(("1x", docs, 4), (s"${factor}x", inflated, 4 * factor)).foreach {
+      case (tag, d, n2) =>
+        println(s"--- $tag spj_multi (grid=8x$n2)")
+        val base = s"/tmp/graft_scale_spjm_$tag"
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(base))
+        val cat = s"gspjmscale_$tag"
+        spark.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.v2.GraftCatalog")
+        spark.conf.set(s"spark.sql.catalog.$cat.root", base)
+        val keyed = d.select((col("doc_id") % 64).as("shard"),
+          col("doc_id"), col("text"))
+        graft.sources.Merge.writeKeyedCols(keyed, s"$base/a",
+          Seq("shard", "doc_id"), Seq(8, n2))
+        graft.sources.Merge.writeKeyedCols(
+          keyed.select(col("shard"), col("doc_id"),
+            length(col("text")).as("len")),
+          s"$base/b", Seq("shard", "doc_id"), Seq(8, n2))
+        val q = s"SELECT count(*) AS n, sum(length(a.text) + b.len) " +
+          s"AS s FROM $cat.a a JOIN $cat.b b " +
+          "ON a.shard = b.shard AND a.doc_id = b.doc_id"
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        timed(s"join_multi_shuffled")(
+          println(s"SCALE   ${spark.sql(q).collect().head}"))
+        spark.conf.set("spark.graft.bucketedScan", "true")
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        spark.conf.set(
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+        timed(s"join_multi_spj")({
+          val df = spark.sql(q)
+          val plan = df.queryExecution.executedPlan.toString
+          require(!plan.contains("hashpartitioning"),
+            s"the grid SPJ join must not exchange on the keys:\n$plan")
+          println(s"SCALE   ${df.collect().head}")
+        })
+        spark.conf.set("spark.graft.bucketedScan", "false")
+        spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+        spark.conf.unset(
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
     spark.stop()
   }
 }

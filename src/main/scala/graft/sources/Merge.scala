@@ -993,6 +993,8 @@ object Merge {
             layout = parent.layout.map { case (k, n) =>
               (if (k == from) to else k, n)
             },
+            layoutCols = parent.layoutCols.map(k =>
+              if (k == from) to else k),
             statsCols = parent.statsCols.map {
               case c if c == from => to
               case c if Skipping.isBloomSpec(c) &&
@@ -1978,7 +1980,8 @@ object Merge {
             idHwm = parent.idHwm,
             // the restored FILE SET is the target's, so its sort
             // contract travels with it
-            keySorted = target.keySorted),
+            keySorted = target.keySorted,
+            layoutCols = target.layoutCols, layoutNs = target.layoutNs),
           parent = Some(parent), touched = None)
         return parentV + 1
       } catch {
@@ -2156,7 +2159,8 @@ object Merge {
         dvFiles = m.dvFiles.map(f =>
           sfs.makeQualified(new Path(sroot, f)).toString),
         colMap = m.colMap, physRetired = m.physRetired,
-        idHwm = m.idHwm, keySorted = m.keySorted))
+        idHwm = m.idHwm, keySorted = m.keySorted,
+        layoutCols = m.layoutCols, layoutNs = m.layoutNs))
   }
 
   /** [[cloneTableAt]] of the source's current version. */
@@ -2770,6 +2774,10 @@ object Merge {
       // the manifest records the layout: a caller-supplied key/bucketing
       // that disagrees would scatter keys across buckets and silently
       // corrupt every later merge — fail fast instead
+      require(parent.layoutCols.isEmpty,
+        s"$path is bucketed on the COMPOSITE key " +
+        s"(${parent.layoutCols.mkString(", ")}) — single-key upsert " +
+        "would misroute the grid; rewrite with writeKeyedCols instead")
       parent.layout.foreach { case (k, n) =>
         require(k == keyCol && n == nBuckets,
           s"$path is bucketed as ($k, $n buckets) but the upsert says " +
@@ -3285,7 +3293,8 @@ object Merge {
             colMap = parent.colMap, physRetired = parent.physRetired,
             // DELETE must never lower an identity mark — that is the
             // exact re-mint hazard the persisted mark exists to close
-            idHwm = parent.idHwm, keySorted = parent.keySorted),
+            idHwm = parent.idHwm, keySorted = parent.keySorted,
+            layoutCols = parent.layoutCols, layoutNs = parent.layoutNs),
           parent = Some(parent), touched = Some(touched))
         return MergeStats(touched.size, nB, 0L, parentV + 1, attempt,
           rowsDeleted = rowsDeleted)
@@ -3477,7 +3486,8 @@ object Merge {
             dvFiles = parent.dvFiles ++ dvRefs,
             colMap = parent.colMap, physRetired = parent.physRetired,
             idHwm = parent.idHwm,
-            keySorted = parent.keySorted), // files untouched
+            keySorted = parent.keySorted, // files untouched
+            layoutCols = parent.layoutCols, layoutNs = parent.layoutNs),
           parent = Some(parent), touched = Some(Set.empty))
         return MergeStats(0, nB, 0L, parentV + 1, attempt,
           rowsDeleted = n)
@@ -3597,7 +3607,8 @@ object Merge {
             // compact sorts its rewrites by key and carries the rest.
             keySorted =
               if (clusterBy.nonEmpty || zOrderBy.nonEmpty) false
-              else parent.keySorted),
+              else parent.keySorted,
+            layoutCols = parent.layoutCols, layoutNs = parent.layoutNs),
           parent = Some(parent), touched = Some(toRewrite.keySet.toSet))
         return CompactStats(parentV + 1, toRewrite.size, parent.files.size,
           files.size)

@@ -199,6 +199,64 @@ class SpjSpec extends SparkSpec {
     } finally spark.conf.set("spark.graft.bucketedScan", "false")
   }
 
+  test("composite grid LIFECYCLE: DV deletes subtract through the " +
+      "native scan with the join exchange-free; compact folds them and " +
+      "preserves layout + zipper; single-key upsert refuses loudly; a " +
+      "renamed grid key keeps SPJ") {
+    val (cat, root) = mkCatalog("multilc")
+    def p(n: String) = new File(root, n).getAbsolutePath
+    val fa = spark.range(300).selectExpr("id % 7 AS tenant", "id",
+      "cast(id AS DOUBLE) AS v").toDF()
+    val fb = spark.range(240).selectExpr("id % 7 AS tenant", "id",
+      "concat('n', id) AS name").toDF()
+    Merge.writeKeyedCols(fa, p("fa"), Seq("tenant", "id"), Seq(4, 8))
+    Merge.writeKeyedCols(fb, p("fb"), Seq("tenant", "id"), Seq(4, 8))
+    import org.apache.spark.sql.functions.col
+    // merge-on-read delete on the grid: 24 of the 240 matched ids die
+    val st = Merge.deleteWhereDV(spark, p("fa"), col("id") % 10 === 0L)
+    assert(st.rowsDeleted == 30L)
+    val q = s"SELECT a.id FROM $cat.fa a JOIN $cat.fb b " +
+      "ON a.tenant = b.tenant AND a.id = b.id"
+    withSpj {
+      val j = spark.sql(q)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("GraftBucketScan") && !plan.contains("Exchange"),
+        s"DV-bearing grid must keep the exchange-free native join:\n$plan")
+      assert(j.count() == 216L, "grid DV subtraction must be exact")
+    }
+    // compact folds the DVs, preserves the grid layout AND key-tuple
+    // sort (sortKeysOf reads layoutCols), so the zipper survives
+    Merge.compactVersion(spark, p("fa"))
+    withSpj {
+      val j = spark.sql(q)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange") && !plan.linesIterator.exists(
+          l => l.contains(" Sort [") && !l.contains("SortMergeJoin")),
+        s"compacted grid join must stay exchange-free AND sort-free:\n" +
+        plan)
+      assert(j.count() == 216L)
+    }
+    // single-key verbs refuse the grid instead of misrouting it
+    val e = intercept[IllegalArgumentException] {
+      Merge.upsert(spark, p("fa"),
+        spark.range(3).selectExpr("0L AS tenant", "id",
+          "1.0 AS v").toDF(), "id", 32)
+    }
+    assert(e.getMessage.contains("COMPOSITE"),
+      s"upsert must name the grid refusal, got: ${e.getMessage}")
+    // renaming a grid KEY column keeps the layout (layoutCols renamed
+    // with the schema) and SPJ still aligns positionally
+    Merge.renameColumn(spark, p("fa"), "tenant", "org")
+    withSpj {
+      val j = spark.sql(s"SELECT a.id FROM $cat.fa a JOIN $cat.fb b " +
+        "ON a.org = b.tenant AND a.id = b.id")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("GraftBucketScan") && !plan.contains("Exchange"),
+        s"the renamed grid key must keep SPJ:\n$plan")
+      assert(j.count() == 216L)
+    }
+  }
+
   test("live deletion vectors are subtracted INSIDE the native scan " +
       "(row-index skip mask) — and the co-bucketed join stays " +
       "exchange-free on a DV-bearing table") {

@@ -772,6 +772,18 @@ object Merge {
       .flatMap(_.layout)
   }
 
+  /** The version's COMPOSITE (grid) layout — per-dimension key columns
+    * and bucket counts; None for single-key or unkeyed tables.
+    */
+  def versionGridLayout(spark: SparkSession, path: String,
+      version: Long): Option[(Seq[String], Seq[Int])] = {
+    val (_, root) = fsFor(spark, path)
+    readManifestOpt(spark, root, version, resolveShards = false)
+      .filter(m => m.layoutCols.size >= 2 &&
+        m.layoutNs.size == m.layoutCols.size)
+      .map(m => (m.layoutCols, m.layoutNs))
+  }
+
   /** The table's recorded stats specs (plain min/max columns and
     * `bloom:c` entries) — the skipping contract, for observability
     * surfaces like DESCRIBE EXTENDED.
@@ -1093,6 +1105,9 @@ object Merge {
         s"${to.simpleString} — only lossless widening " +
         "(integral up-chain, float->double, decimal growth) is " +
         "metadata-only; anything else needs a rewrite")
+      require(!parent.layoutCols.contains(name),
+        s"the composite layout key '$name' cannot change type — its " +
+        "hash routes grid cells; rewrite with writeKeyedCols")
       parent.layout.foreach { case (k, _) =>
         require(name != k,
           s"the layout key '$k' cannot change type — its hash routes " +
@@ -1154,6 +1169,9 @@ object Merge {
         require(k != name,
           s"'$name' is the table's bucketing key — relayout first")
       }
+      require(!parent.layoutCols.contains(name),
+        s"'$name' is part of the table's composite bucketing key — " +
+        "rewrite with a new layout first")
       parent.constraints.foreach { case (n, e) =>
         require(!constraintColumns(spark, e).contains(name),
           s"CHECK constraint '$n' ($e) references '$name' — drop the " +

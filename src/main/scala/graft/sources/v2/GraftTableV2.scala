@@ -237,12 +237,18 @@ class GraftTable(val path: String, val pinnedVersion: Long,
     */
   override def partitioning(): Array[Transform] =
     try {
+      import org.apache.spark.sql.connector.expressions.Expressions
       Merge.versionLayout(SparkSession.active, path, pinnedVersion)
         .map { case (k, n) =>
-          Array[Transform](
-            org.apache.spark.sql.connector.expressions.Expressions
-              .bucket(n, k))
-        }.getOrElse(Array.empty)
+          Array[Transform](Expressions.bucket(n, k))
+        }
+        .orElse(Merge.versionGridLayout(SparkSession.active, path,
+          pinnedVersion).map { case (ks, ns) =>
+          ks.zip(ns).map { case (k, n) =>
+            Expressions.bucket(n, k): Transform
+          }.toArray
+        })
+        .getOrElse(Array.empty)
     } catch { case _: Exception => Array.empty }
 
   override def capabilities(): util.Set[TableCapability] =

@@ -244,6 +244,15 @@ class SpjSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("COMPOSITE"),
       s"upsert must name the grid refusal, got: ${e.getMessage}")
+    // schema evolution guards extend to grid keys: dropping or
+    // retyping a key column would break the routing
+    intercept[IllegalArgumentException] {
+      Merge.dropColumn(spark, p("fa"), "tenant")
+    }
+    intercept[IllegalArgumentException] {
+      Merge.widenColumn(spark, p("fa"), "id",
+        org.apache.spark.sql.types.DecimalType(20, 0))
+    }
     // renaming a grid KEY column keeps the layout (layoutCols renamed
     // with the schema) and SPJ still aligns positionally
     Merge.renameColumn(spark, p("fa"), "tenant", "org")

@@ -3173,9 +3173,16 @@ object Merge {
             skippedDupTxn = true)
       }
       val parent = readManifest(spark, root, parentV)
-      val (keyCol, nBuckets) = parent.layout.getOrElse(
-        throw new IllegalArgumentException(
-          s"$path records no (keyCol, nBuckets) layout"))
+      // single-key layout or a composite grid: replace routes by
+      // whichever the manifest records
+      val keyLayout: (Seq[String], Seq[Int]) = parent.layout
+        .map { case (k, n) => (Seq(k), Seq(n)) }
+        .orElse(if (parent.layoutCols.size >= 2 &&
+            parent.layoutNs.size == parent.layoutCols.size)
+          Some((parent.layoutCols, parent.layoutNs)) else None)
+        .getOrElse(throw new IllegalArgumentException(
+          s"$path records no bucketing layout"))
+      val (keyCols, bucketNs) = keyLayout
       val parentSchema = parent.dataSchema.map(schemaFromString)
       parentSchema.foreach { sch =>
         require(df.columns.toSet == sch.fieldNames.toSet,
@@ -3195,13 +3202,14 @@ object Merge {
         .map(sch => df.select(sch.fieldNames.map(col).toSeq: _*))
         .getOrElse(df)
       val withB = ordered.withColumn("__bucket",
-        bucketCol(keyCol, nBuckets))
+        if (keyCols.size == 1) bucketCol(keyCols.head, bucketNs.head)
+        else bucketColMulti(keyCols, bucketNs))
       val rows = withB.count()
       // explicit ids in the replacement advance the identity marks —
       // monotonic past the parent's, never reset by the overwrite
       val newIdHwm = advanceIdHwm(parent, parentSchema, withB)
-      val merged = bucketPartitioned(withB, 1, nBuckets,
-        sortKey = Seq(keyCol))
+      val merged = bucketPartitioned(withB, 1,
+        bucketNs.map(_.toLong).product.toInt, sortKey = keyCols)
       val (newFiles, newStats) =
         stageAndMove(spark, fs, root, merged, parent.statsCols,
           parent.colMap)
@@ -3218,9 +3226,11 @@ object Merge {
             dvFiles = Seq.empty, // replaced rows: vectors are history
             colMap = parent.colMap, physRetired = parent.physRetired,
             idHwm = newIdHwm,
-            keySorted = true), // full key-sorted rewrite
+            keySorted = true, // full key-sorted rewrite
+            layoutCols = parent.layoutCols, layoutNs = parent.layoutNs),
           parent = Some(parent), touched = None)
-        return MergeStats(nBuckets, nBuckets, rows, parentV + 1, attempt)
+        val cells = bucketNs.map(_.toLong).product.toInt
+        return MergeStats(cells, cells, rows, parentV + 1, attempt)
       } catch {
         case _: LostCommitRace =>
           deleteFiles(fs, root, newFiles)

@@ -238,32 +238,43 @@ class GraftCatalog extends V2TableCatalog
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
     val props = properties.asScala
-    val fromTransform: Option[(String, Int)] = partitions.toSeq match {
-      case Seq() => None
-      case Seq(t) if t.name == "bucket" =>
-        val refs = t.references().flatMap(_.fieldNames())
-        val n = t.arguments().collectFirst {
-          case l: org.apache.spark.sql.connector.expressions.Literal[_]
-              if l.value().isInstanceOf[Number] =>
-            l.value().asInstanceOf[Number].intValue()
-        }
-        require(refs.length == 1 && n.isDefined,
-          s"bucket transform must be bucket(n, col), got $t")
-        Some((refs.head, n.get))
-      case other => throw new UnsupportedOperationException(
-        "graft tables are bucketed by ONE key column: PARTITIONED BY " +
-        s"(bucket(n, col)), got ${other.mkString(", ")}")
+    def parseBucket(t: Transform): (String, Int) = {
+      val refs = t.references().flatMap(_.fieldNames())
+      val n = t.arguments().collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_]
+            if l.value().isInstanceOf[Number] =>
+          l.value().asInstanceOf[Number].intValue()
+      }
+      require(refs.length == 1 && n.isDefined,
+        s"bucket transform must be bucket(n, col), got $t")
+      (refs.head, n.get)
     }
-    val (key, nBuckets) = fromTransform.getOrElse {
+    // one transform = single-key layout; several = the COMPOSITE grid
+    // (one bucket(n_i, k_i) per dimension — the storage-partitioned-
+    // join shape for multi-column keys)
+    val fromTransform: Option[Seq[(String, Int)]] = partitions.toSeq match {
+      case Seq() => None
+      case ts if ts.forall(_.name == "bucket") =>
+        Some(ts.map(parseBucket))
+      case other => throw new UnsupportedOperationException(
+        "graft tables are bucketed by bucket transforms: PARTITIONED " +
+        s"BY (bucket(n, col)[, bucket(m, col2), ...]), got " +
+        other.mkString(", "))
+    }
+    val layout: Seq[(String, Int)] = fromTransform.getOrElse {
       val k = props.getOrElse("key",
         throw new IllegalArgumentException(
           "declare the layout: PARTITIONED BY (bucket(n, col)) or " +
           "TBLPROPERTIES ('key' = 'col'[, 'buckets' = 'n'])"))
-      (k, props.get("buckets").map(_.toInt).getOrElse(16))
+      Seq((k, props.get("buckets").map(_.toInt).getOrElse(16)))
     }
-    require(schema.fieldNames.contains(key),
-      s"key column '$key' is not in the schema " +
-      s"(${schema.fieldNames.mkString(", ")})")
+    require(layout.map(_._1).distinct.size == layout.size,
+      "bucket key columns must be distinct")
+    layout.foreach { case (key, _) =>
+      require(schema.fieldNames.contains(key),
+        s"key column '$key' is not in the schema " +
+        s"(${schema.fieldNames.mkString(", ")})")
+    }
     val statsCols = props.get("statsCols")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
@@ -273,12 +284,16 @@ class GraftCatalog extends V2TableCatalog
     val idCols = schema.fields.toSeq.filter(_.metadata.contains(
       org.apache.spark.sql.catalyst.util.IdentityColumn
         .IDENTITY_INFO_START)).map(_.name)
-    Merge.writeKeyed(
-      spark.createDataFrame(util.Collections.emptyList[org.apache.spark
-        .sql.Row](), schema),
-      path, key, nBuckets,
-      statsCols = (statsCols ++ idCols.filterNot(statsCols.contains))
-        .distinct)
+    val allStats = (statsCols ++ idCols.filterNot(statsCols.contains))
+      .distinct
+    val empty = spark.createDataFrame(
+      util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    if (layout.size == 1)
+      Merge.writeKeyed(empty, path, layout.head._1, layout.head._2,
+        statsCols = allStats)
+    else
+      Merge.writeKeyedCols(empty, path, layout.map(_._1),
+        layout.map(_._2), statsCols = allStats)
   }
 
   override def createTable(ident: Identifier, schema: StructType,

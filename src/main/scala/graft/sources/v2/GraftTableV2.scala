@@ -418,6 +418,25 @@ class GraftWriteBuilder(path: String,
               "cannot replace anything")
             case (None, true)  => Merge.replaceAll(spark, path, data); ()
             case (None, false) =>
+              // composite (grid) tables have no keyed append: the
+              // INITIAL load of an empty grid lands as a full replace
+              // (nothing to merge with); after that, INSERT OVERWRITE
+              // replaces and plain INSERT refuses — a single-key
+              // upsert would misroute the grid
+              if (Merge.tableLayout(spark, path).isEmpty &&
+                  Merge.versionGridLayout(spark, path,
+                    Merge.currentVersion(spark, path)).isDefined) {
+                val live = Merge.versionRowCount(spark, path,
+                  Merge.currentVersion(spark, path))
+                if (live.contains(0L)) {
+                  Merge.replaceAll(spark, path, data)
+                  return
+                }
+                throw new IllegalArgumentException(
+                  s"$path is bucketed on a COMPOSITE key — append has " +
+                  "no merge semantics on a grid; use INSERT OVERWRITE " +
+                  "(full replace) instead")
+              }
               val (keyCol, nBuckets) =
                 Merge.tableLayout(spark, path).getOrElse(
                   throw new IllegalArgumentException(

@@ -199,6 +199,58 @@ class SpjSpec extends SparkSpec {
     } finally spark.conf.set("spark.graft.bucketedScan", "false")
   }
 
+  test("composite grid FROM SQL: CREATE TABLE with one bucket " +
+      "transform per dimension, INSERT INTO loads the empty grid, the " +
+      "two-column join is exchange-free, plain INSERT then refuses, " +
+      "INSERT OVERWRITE replaces with history intact") {
+    val (cat, _) = mkCatalog("multisql")
+    spark.sql(s"CREATE TABLE $cat.ga (tenant BIGINT, id BIGINT, " +
+      "v DOUBLE) PARTITIONED BY (bucket(4, tenant), bucket(8, id))")
+    spark.sql(s"CREATE TABLE $cat.gb (tenant BIGINT, id BIGINT, " +
+      "name STRING) PARTITIONED BY (bucket(4, tenant), bucket(8, id))")
+    spark.range(200).selectExpr("id % 5 AS tenant", "id",
+      "cast(id AS DOUBLE) AS v").createOrReplaceTempView("spj_msql_a")
+    spark.range(160).selectExpr("id % 5 AS tenant", "id",
+      "concat('n', id) AS name").createOrReplaceTempView("spj_msql_b")
+    // the INITIAL load of an empty grid lands as a full replace
+    spark.sql(s"INSERT INTO $cat.ga SELECT * FROM spj_msql_a")
+    spark.sql(s"INSERT INTO $cat.gb SELECT * FROM spj_msql_b")
+    withSpj {
+      val j = spark.sql(s"SELECT a.id FROM $cat.ga a JOIN $cat.gb b " +
+        "ON a.tenant = b.tenant AND a.id = b.id")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("GraftBucketScan") &&
+        !plan.contains("Exchange"),
+        s"the SQL-created grid must join exchange-free:\n$plan")
+      assert(j.count() == 160L)
+    }
+    // a SECOND plain INSERT has no merge semantics on a grid
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.ga SELECT * FROM spj_msql_a")
+    }
+    assert(e.getMessage.contains("COMPOSITE") ||
+      Option(e.getCause).exists(_.getMessage.contains("COMPOSITE")),
+      s"plain INSERT on a loaded grid must refuse, got: $e")
+    // INSERT OVERWRITE = versioned full replace
+    spark.sql(s"INSERT OVERWRITE $cat.ga " +
+      s"SELECT * FROM spj_msql_a WHERE id < 100")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ga").as[Long]
+      .head() == 100L)
+    val root2 = spark.conf.get(s"spark.sql.catalog.$cat.root")
+    val gaPath = new File(root2, "ga").getAbsolutePath
+    assert(Merge.currentVersion(spark, gaPath) == 2L,
+      "overwrite must be a versioned commit, not a table reset")
+    assert(Merge.readVersion(spark, gaPath, 1L).count() == 200L,
+      "history must survive the grid overwrite")
+    withSpj {
+      val j2 = spark.sql(s"SELECT a.id FROM $cat.ga a JOIN $cat.gb b " +
+        "ON a.tenant = b.tenant AND a.id = b.id")
+      assert(!j2.queryExecution.executedPlan.toString.contains("Exchange"),
+        "the replaced grid keeps its layout and SPJ")
+      assert(j2.count() == 100L)
+    }
+  }
+
   test("composite grid LIFECYCLE: DV deletes subtract through the " +
       "native scan with the join exchange-free; compact folds them and " +
       "preserves layout + zipper; single-key upsert refuses loudly; a " +

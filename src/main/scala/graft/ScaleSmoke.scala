@@ -456,6 +456,47 @@ object ScaleSmoke {
       spark.conf.set("spark.graft.bucketedScan", "false")
     }
 
+    // ---- r16 DV SIDECAR FORMAT: the SAME ~1/3 delete through v1
+    // (per-row) and v2 (bitmap) sidecars on one table. v2 writes one
+    // row per touched FILE (delta-varint blob ≈ 1 B/position when
+    // deletes cluster), so sidecar rows go O(deleted)→O(files) and the
+    // COUNT(*) adjustment reads file-count rows instead of counting
+    // deleted-row-sized parquet.
+    Seq(("1x", docs, 64), (s"${factor}x", inflated, 64 * factor)).foreach {
+      case (tag, d, buckets) =>
+        println(s"--- $tag dv_sidecar (nBuckets=$buckets)")
+        val path = s"/tmp/graft_scale_dvfmt_$tag"
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(path))
+        graft.sources.Merge.writeKeyed(d, path, "doc_id", buckets,
+          statsCols = Seq("doc_id"))
+        val dvDir = new java.io.File(path, "_graft_dv")
+        def footprint(): (Long, Long) = {
+          if (!dvDir.exists()) return (0L, 0L)
+          val bytes = org.apache.commons.io.FileUtils
+            .sizeOfDirectory(dvDir)
+          val rows = spark.read
+            .schema(graft.sources.DvCodec.SupersetSchema)
+            .parquet(dvDir.getAbsolutePath + "/*").count()
+          (rows, bytes)
+        }
+        Seq(("v1_rows", false, 0), ("v2_bitmap", true, 1)).foreach {
+          case (fmt, bm, slice) =>
+            val (r0, b0) = footprint()
+            timed(s"dv_delete_$fmt")({
+              val st = graft.sources.Merge.deleteWhereDV(spark, path,
+                col("doc_id") % 3 === slice, bitmapFormat = bm)
+              println(s"SCALE   deleted ${st.rowsDeleted} rows")
+            })
+            val (r1, b1) = footprint()
+            println(s"SCALE   sidecar_$fmt rows=${r1 - r0} " +
+              s"bytes=${b1 - b0}")
+            timed(s"dv_count_$fmt")(println("SCALE   live=" +
+              graft.sources.Merge.versionRowCount(spark, path,
+                graft.sources.Merge.currentVersion(spark, path))))
+        }
+    }
+
     // ---- r16 COMPOSITE-KEY (grid) SPJ: two tables on the same
     // (shard, doc_id) grid join on BOTH columns exchange-free AND
     // sort-free (tuple-sorted cells) vs the shuffled control. The grid

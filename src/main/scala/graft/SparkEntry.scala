@@ -1677,6 +1677,86 @@ object SparkEntry {
       import s.implicits._
       Seq(rows.length.toLong).toDF("n_rows")
     }),
+    "q_dv_bitmap" -> ((s, dir) => {
+      // BITMAP DV SIDECARS (v2): a merge-on-read delete records ONE
+      // sidecar row per TOUCHED DATA FILE — (file, n, dv) with dv the
+      // delta-varint blob of the file's sorted positions — instead of
+      // one row per deleted row. At 100 TB a billion-row compliance
+      // delete writes file-count metadata, COUNT(*)/LIMIT adjustments
+      // read the n column without materializing a position, and the
+      // native scan decodes blobs straight into its sorted skip
+      // arrays. Old v1 (per-row) sidecars keep reading through the
+      // same superset schema: this gate stacks a LEGACY v1 commit
+      // under a v2 commit — the upgrade path every existing table
+      // takes. Required in-gate: the v2 commit's sidecar rows are
+      // STRICTLY fewer than its deleted rows (bounded by file count),
+      // and the exact count adjustment agrees with the read-back.
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val root = new java.io.File(scratchRoot, s"graft_dvbm_$sf")
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      val path = new java.io.File(root, "parts").getAbsolutePath
+      graft.sources.Merge.writeKeyed(
+        t(s, dir, "part").selectExpr("p_partkey AS id",
+          "p_name AS name", "p_retailprice AS price"),
+        path, "id", 16, statsCols = Seq("id"))
+      def sidecarRows(): Long = s.read
+        .schema(graft.sources.DvCodec.SupersetSchema)
+        .parquet(new java.io.File(path, "_graft_dv")
+          .getAbsolutePath + "/*").count()
+      // legacy commit: per-row v1 sidecars, as pre-bitmap tables carry
+      val s1 = graft.sources.Merge.deleteWhereDV(s, path,
+        org.apache.spark.sql.functions.expr("id % 5 = 0"),
+        bitmapFormat = false)
+      val r1 = sidecarRows()
+      require(s1.rowsDeleted > 0 && r1 == s1.rowsDeleted,
+        s"v1 sidecars are one row per deleted row: $r1 vs ${s1.rowsDeleted}")
+      val s2 = graft.sources.Merge.deleteWhereDV(s, path,
+        org.apache.spark.sql.functions.expr("id % 7 = 0"))
+      val r2 = sidecarRows() - r1
+      require(s2.rowsDeleted > 16 && r2 < s2.rowsDeleted && r2 <= 16L,
+        s"v2 sidecars are one row per touched FILE: $r2 rows for " +
+        s"${s2.rowsDeleted} deletes over <= 16 bucket files")
+      val df = graft.sources.Merge.readKeyed(s, path)
+      // the exact count pushdown reads the n column, never a position
+      val v = graft.sources.Merge.currentVersion(s, path)
+      require(graft.sources.Merge.versionRowCount(s, path, v)
+        .contains(df.count()),
+        "the n-column count adjustment must match the read-back")
+      df.select("id", "name", "price").orderBy("id")
+    }),
+    "q_dv_purge" -> ((s, dir) => {
+      // TARGETED DV FOLD (REORG ... APPLY (PURGE)): compaction folds
+      // merge-on-read deletes by rewriting ONLY the buckets whose
+      // files carry live DV positions — at 100 TB a one-bucket delete
+      // folds one bucket, never the table (pre-r16 it rewrote every
+      // bucket). Finding the touched buckets is one job over the
+      // sidecars — file-count rows under v2 bitmaps. Required
+      // in-gate: exactly one key DV-deleted, compaction rewrote
+      // EXACTLY ONE of 16 buckets, and the fold preserved the data.
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val root = new java.io.File(scratchRoot, s"graft_dvpg_$sf")
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      val path = new java.io.File(root, "parts").getAbsolutePath
+      graft.sources.Merge.writeKeyed(
+        t(s, dir, "part").selectExpr("p_partkey AS id",
+          "p_name AS name", "p_retailprice AS price"),
+        path, "id", 16, statsCols = Seq("id"))
+      val st = graft.sources.Merge.deleteWhereDV(s, path,
+        org.apache.spark.sql.functions.expr("id = 42"))
+      require(st.rowsDeleted == 1, s"expected one deleted row: $st")
+      val cs = graft.sources.Merge.compactVersion(s, path,
+        targetFilesPerBucket = 1)
+      require(cs.bucketsRewritten == 1,
+        s"a one-bucket delete must fold ONE of 16 buckets, got $cs")
+      // post-fold the table is DV-free: the exact count answers from
+      // the manifest alone and matches the read-back
+      val df = graft.sources.Merge.readKeyed(s, path)
+      val v = graft.sources.Merge.currentVersion(s, path)
+      require(graft.sources.Merge.versionRowCount(s, path, v)
+        .contains(df.count()),
+        "the folded table must count exactly from its manifest")
+      df.select("id", "name", "price").orderBy("id")
+    }),
     "q_bucket_dpp" -> ((s, dir) => {
       // RUNTIME BUCKET PRUNING (dynamic partition pruning for bucket
       // layouts): a broadcast join's build side delivers the probe
@@ -7439,6 +7519,18 @@ object SparkEntry {
       """SELECT CAST(least(100, count(*)) AS BIGINT) AS n_rows
          FROM part
          WHERE p_partkey % 3 <> 0""",
+    // stacked v1 (per-row) + v2 (bitmap) DV commits both subtract
+    "q_dv_bitmap" ->
+      """SELECT p_partkey AS id, p_name AS name, p_retailprice AS price
+         FROM part
+         WHERE p_partkey % 5 <> 0 AND p_partkey % 7 <> 0
+         ORDER BY id""",
+    // the targeted purge folds the delete without touching 15/16 buckets
+    "q_dv_purge" ->
+      """SELECT p_partkey AS id, p_name AS name, p_retailprice AS price
+         FROM part
+         WHERE p_partkey <> 42
+         ORDER BY id""",
     // the engine-computed generated columns ≡ the same expressions in SQL
     "q_sql_generated" ->
       """SELECT p_partkey AS id, p_retailprice AS price,

@@ -1406,12 +1406,21 @@ object Merge {
     // MERGE-ON-READ: subtract the deletion vectors' (file, pos) rows.
     // The DV side is deleted-row-count sized; the anti-join broadcasts
     // it under the engine's own size estimate like any small side.
+    // Mixed v1 (row) / v2 (bitmap) sidecars both resolve through the
+    // superset schema — v2 blobs explode back to positions here (the
+    // V1 bridge is per-row anyway; the native scan decodes blobs
+    // straight into its sorted skip arrays instead).
     val dvApplied =
       if (m.dvFiles.isEmpty) base
       else {
-        val dv = spark.read
-          .schema(StructType.fromDDL("file STRING, pos BIGINT"))
+        val raw = spark.read
+          .schema(DvCodec.SupersetSchema)
           .parquet(m.dvFiles.map(f => new Path(root, f).toString): _*)
+        val dv = raw.where(col("dv").isNull)
+          .select(col("file"), col("pos"))
+          .unionAll(raw.where(col("dv").isNotNull)
+            .select(col("file"),
+              explode(dvDecodeUdf(col("dv"))).as("pos")))
         base.join(dv, base("__dv_file") === dv("file") &&
           base("__dv_pos") === dv("pos"), "left_anti")
       }
@@ -1747,10 +1756,20 @@ object Merge {
     */
   @volatile var lastLimitPrefix: Option[(Int, Int)] = None
 
+  /** v2 bitmap-sidecar blob → its position array, for the V1 bridge's
+    * (file, pos) anti-join — the one DV consumer that genuinely wants
+    * per-row positions. A UDF because the decode is a custom varint
+    * codec no builtin expresses; it runs over deleted-FILE-count rows.
+    */
+  private lazy val dvDecodeUdf =
+    udf((b: Array[Byte]) => DvCodec.decode(b))
+
   /** Per-file LIVE deleted-row counts of a manifest's DV sidecars,
     * keyed by the manifest's own file names (inert entries for
     * rewritten files drop out). One job, output bounded by the
-    * referenced file count.
+    * referenced file count — and with v2 (bitmap) sidecars the INPUT
+    * is file-count rows too: the exact counts ride the `n` column, no
+    * position is ever materialized. v1 rows count as 1 each.
     */
   private def dvDeletedPerFile(spark: SparkSession, root: Path,
       m: Manifest): Map[String, Long] = {
@@ -1762,9 +1781,11 @@ object Merge {
       fs.makeQualified(abs).toString -> f
     }.toMap
     spark.read
-      .schema(StructType.fromDDL("file STRING, pos BIGINT"))
+      .schema(DvCodec.SupersetSchema)
       .parquet(m.dvFiles.map(f => new Path(root, f).toString): _*)
-      .groupBy("file").count().collect()
+      .groupBy("file")
+      .agg(sum(coalesce(col("n"), lit(1L))).as("deleted"))
+      .collect()
       .flatMap(r => qualToName.get(new Path(r.getString(0)).toString)
         .map(_ -> r.getLong(1)))
       .toMap
@@ -1817,7 +1838,7 @@ object Merge {
     val dvTouched: Set[Long] =
       if (dvDelta.isEmpty) Set.empty
       else spark.read
-        .schema(StructType.fromDDL("file STRING, pos BIGINT"))
+        .schema(DvCodec.SupersetSchema)
         .parquet(dvDelta.toSeq.sorted
           .map(f => new Path(root, f).toString): _*)
         .select("file").distinct().collect()
@@ -3448,9 +3469,9 @@ object Merge {
     * reads, skipping reads, lookupKey, change feeds, and the base side
     * of later upserts all see the deletes at once. Per-file stats stay
     * untouched (they only over-approximate, so pruning remains sound).
-    * [[compactVersion]] folds live DVs physically — vectors force a
-    * full rewrite — and clears the sidecar list; [[vacuum]] reclaims
-    * sidecars no retained version references.
+    * [[compactVersion]] folds live DVs physically — TARGETED: only the
+    * DV-touched buckets rewrite — and clears the sidecar list;
+    * [[vacuum]] reclaims sidecars no retained version references.
     *
     * Positions are `_metadata.row_index` within each immutable data
     * file, captured and matched through the same scan machinery.
@@ -3464,7 +3485,8 @@ object Merge {
   def deleteWhereDV(spark: SparkSession, path: String,
       predicate: org.apache.spark.sql.Column,
       bounds: Seq[Skipping.Bound] = Seq.empty, maxRetries: Int = 5,
-      txn: Option[(String, Long)] = None): MergeStats = {
+      txn: Option[(String, Long)] = None,
+      bitmapFormat: Boolean = true): MergeStats = {
     val (fs, root) = fsFor(spark, path)
     var attempt = 0
     while (attempt <= maxRetries) {
@@ -3492,9 +3514,43 @@ object Merge {
       val dvDir = "_graft_dv/" +
         java.util.UUID.randomUUID().toString.replace("-", "").take(16)
       val dvPath = new Path(root, dvDir)
-      matched.coalesce(4).write.mode("overwrite").parquet(dvPath.toString)
-      // footer-only count of what was actually recorded
-      val n = spark.read.parquet(dvPath.toString).count()
+      // v2 BITMAP sidecars (the default): ONE row per touched data
+      // file — (file, n, dv) with dv the delta-varint blob of that
+      // file's sorted positions (see [[DvCodec]]). The encode is one
+      // shuffle of the matched (file, pos) pairs, hash-partitioned by
+      // file and sorted within partitions, then a streaming per-file
+      // fold — memory is bounded by the largest single file's blob,
+      // never the delete. bitmapFormat=false keeps the v1 row format
+      // (the mixed-manifest compatibility tests write through it).
+      val dvDf =
+        if (!bitmapFormat) matched.coalesce(4)
+        else {
+          import spark.implicits._
+          matched.repartition(4, col("file"))
+            .sortWithinPartitions("file", "pos")
+            .as[(String, Long)]
+            .mapPartitions { it =>
+              val buf = it.buffered
+              new Iterator[(String, Long, Array[Byte])] {
+                def hasNext: Boolean = buf.hasNext
+                def next(): (String, Long, Array[Byte]) = {
+                  val f = buf.head._1
+                  val b = new scala.collection.mutable.ArrayBuilder.ofLong()
+                  while (buf.hasNext && buf.head._1 == f)
+                    b.addOne(buf.next()._2)
+                  val a = b.result()
+                  (f, a.length.toLong, DvCodec.encode(a))
+                }
+              }
+            }.toDF("file", "n", "dv")
+        }
+      dvDf.write.mode("overwrite").parquet(dvPath.toString)
+      // count what was actually recorded: v1 = footer row counts, v2 =
+      // the n column over file-count rows
+      val n = spark.read.schema(DvCodec.SupersetSchema)
+        .parquet(dvPath.toString)
+        .agg(coalesce(sum(coalesce(col("n"), lit(1L))), lit(0L)))
+        .collect()(0).getLong(0)
       if (n == 0L) {
         fs.delete(dvPath, true)
         return MergeStats(0, nB, 0L, parentV, attempt)
@@ -3549,17 +3605,48 @@ object Merge {
       // holding FOREIGN (clone-source) refs also always rewrites —
       // compaction is how a shallow clone materializes, so "compact to
       // target" must leave every live ref local.
-      // live deletion vectors also force a full rewrite: compaction is
-      // how merge-on-read deletes fold back to pure data files
+      // live deletion vectors fold TARGETED (r16): only the buckets
+      // whose files actually carry live DV positions rewrite — at
+      // 100 TB a 3-bucket delete folds 3 buckets, never the table
+      // (Delta's REORG ... APPLY (PURGE)). Finding them is one job
+      // over the sidecars (file-count rows under v2 bitmaps). Every
+      // live entry's bucket rewrites, so dropping dvFiles below stays
+      // sound; entries for already-rewritten files are inert anyway.
+      val dvTouched: Set[Long] =
+        if (parent.dvFiles.isEmpty) Set.empty
+        else dvDeletedPerFile(spark, root, parent).keySet.map(bucketOf)
       val toRewrite =
-        if (clusterBy.nonEmpty || zOrderBy.nonEmpty ||
-            parent.dvFiles.nonEmpty) byBucket
-        else byBucket.filter { case (_, fls) =>
-          fls.size > targetFilesPerBucket ||
+        if (clusterBy.nonEmpty || zOrderBy.nonEmpty) byBucket
+        else byBucket.filter { case (b, fls) =>
+          dvTouched.contains(b) ||
+            fls.size > targetFilesPerBucket ||
             fls.exists(f => new Path(f).isAbsolute)
         }
-      if (toRewrite.isEmpty)
-        return CompactStats(parentV, 0, parent.files.size, parent.files.size)
+      if (toRewrite.isEmpty) {
+        // nothing to rewrite, but fully-inert sidecars (every entry
+        // points at an already-rewritten file) still pin their parquet
+        // from vacuum — drop them with one metadata-only commit
+        if (parent.dvFiles.nonEmpty) {
+          commitFence()
+          try {
+            writeManifest(fs, root,
+              parent.copy(version = parentV + 1, parent = parentV,
+                txn = None, ts = nextTs(parent), op = Some("compact"),
+                rowsUpserted = 0L, rowsDeleted = 0L,
+                dvFiles = Seq.empty, copied = Seq.empty),
+              parent = Some(parent), touched = Some(Set.empty))
+            return CompactStats(parentV + 1, 0, parent.files.size,
+              parent.files.size)
+          } catch {
+            case _: LostCommitRace =>
+              attempt += 1
+              if (attempt > maxRetries) throw new IllegalStateException(
+                s"compactVersion lost the commit race $attempt times at $path")
+          }
+        } else
+          return CompactStats(parentV, 0, parent.files.size,
+            parent.files.size)
+      } else {
       val rewriteFiles = toRewrite.values.flatten.toSeq.sorted
       val rows = versionDf(spark, path, root,
         parent.copy(files = rewriteFiles))
@@ -3626,7 +3713,8 @@ object Merge {
             rowsUpserted = 0L, rowsDeleted = 0L,
             shardSpan = parent.shardSpan,
             constraints = parent.constraints,
-            dvFiles = Seq.empty, // full rewrite under DVs: folded
+            // every DV-touched bucket is in toRewrite: folded
+            dvFiles = Seq.empty,
             colMap = parent.colMap, physRetired = parent.physRetired,
             idHwm = parent.idHwm,
             // a clusterBy/zOrder rewrite sorts files by the CLUSTER
@@ -3647,6 +3735,7 @@ object Merge {
           if (attempt > maxRetries)
             throw new IllegalStateException(
               s"compactVersion lost the commit race $attempt times at $path")
+      }
       }
     }
     throw new IllegalStateException("unreachable")

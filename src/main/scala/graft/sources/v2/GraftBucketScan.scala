@@ -296,11 +296,16 @@ object GraftBucketScan {
     */
   @volatile var lastRuntimePrune: Option[(Int, Int)] = None
 
-  /** The deletion-vector sidecar schema [[Merge.deleteWhereDV]] writes:
-    * `file` is the data file's `_metadata.file_path`, `pos` its
-    * `_metadata.row_index`.
+  /** The deletion-vector sidecar read schema — the SUPERSET of
+    * [[Merge.deleteWhereDV]]'s two formats (v1 per-row `(file, pos)`,
+    * v2 per-file bitmap `(file, n, dv)`): parquet null-fills the
+    * absent optional columns, so a v2 row reads with `pos` null and a
+    * v1 row with `dv` null, and mixed manifests need no tagging.
+    * `file` is the data file's `_metadata.file_path`; positions are
+    * `_metadata.row_index` — per row in v1, delta-varint packed in
+    * the v2 blob ([[graft.sources.DvCodec]]).
     */
-  val DvSchema: StructType = StructType.fromDDL("file STRING, pos BIGINT")
+  val DvSchema: StructType = graft.sources.DvCodec.SupersetSchema
 
   /** Rename a pushed filter's attribute references logical→physical
     * for the parquet reader. None (drop) for a shape we don't know how
@@ -444,9 +449,15 @@ class GraftBucketDvReaderFactory(
         dvFiles.foreach { case (df, len) =>
           dvFunc(ParquetReadShim.partitionedFile(df, len))
             .foreach { r =>
-              m.getOrElseUpdate(norm(r.getUTF8String(0).toString),
+              val b = m.getOrElseUpdate(
+                norm(r.getUTF8String(0).toString),
                 new scala.collection.mutable.ArrayBuilder.ofLong())
-                .addOne(r.getLong(1))
+              // v2 bitmap row: the blob IS the file's sorted positions
+              // (decoded straight into the skip array); v1 row: one
+              // position. Superset schema: file=0, pos=1, n=2, dv=3.
+              if (!r.isNullAt(3))
+                b.addAll(graft.sources.DvCodec.decode(r.getBinary(3)))
+              else b.addOne(r.getLong(1))
             }
         }
         m.map { case (f, b) =>

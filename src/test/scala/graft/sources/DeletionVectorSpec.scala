@@ -115,6 +115,132 @@ class DeletionVectorSpec extends SparkSpec {
     assert(Merge.readKeyed(spark, path).count() == 90)
   }
 
+  test("DvCodec round-trips sorted position sets") {
+    val cases = Seq[Array[Long]](
+      Array.empty[Long],
+      Array(0L),
+      Array(7L),
+      (0L until 1000L).toArray, // dense run: gap-1 encoding
+      Array(0L, 1L, 2L, 1000000L, 1000001L, (1L << 40) + 3L),
+      (0L until 500L).map(i => i * i * 31L).toArray)
+    for (c <- cases) {
+      val blob = DvCodec.encode(c)
+      assert(DvCodec.decode(blob).sameElements(c),
+        s"roundtrip failed for ${c.take(5).mkString(",")}...")
+    }
+    // dense deletes encode at ~1 byte per position after the first
+    val dense = DvCodec.encode((1000L until 101000L).toArray)
+    assert(dense.length < 100000L + 16,
+      s"dense run must encode ~1 B/pos, got ${dense.length}")
+    intercept[IllegalArgumentException] {
+      DvCodec.encode(Array(5L, 5L))
+    }
+    intercept[IllegalArgumentException] {
+      DvCodec.decode(Array[Byte](0x7f, 0))
+    }
+  }
+
+  private def sidecarRows(path: String) =
+    spark.read.schema(DvCodec.SupersetSchema)
+      .parquet(new File(path, "_graft_dv").getAbsolutePath + "/*")
+
+  test("bitmap sidecars: one row per touched file; count/limit adjust " +
+      "from the n column without materializing a position") {
+    val path = freshDir("bitmap")
+    Merge.writeKeyed(baseDf, path, "id", nBuckets = 8,
+      statsCols = Seq("id"))
+    val stats = Merge.deleteWhereDV(spark, path, $"id" % 10 < 3)
+    assert(stats.rowsDeleted == 30)
+    // ground truth: the data files that actually held deleted rows
+    val touched = spark.read.parquet(path)
+      .withColumn("f", col("_metadata.file_path"))
+      .filter($"id" % 10 < 3).select("f").distinct().count()
+    val sc = sidecarRows(path).collect()
+    assert(sc.length.toLong == touched,
+      s"sidecar must hold ONE row per touched file: ${sc.length} vs " +
+      s"$touched touched")
+    assert(sc.forall(r => !r.isNullAt(3) && r.isNullAt(1) &&
+      r.getLong(2) > 0L), "v2 rows carry (n, dv), never a bare pos")
+    assert(sc.map(_.getLong(2)).sum == 30L,
+      "the n column must carry the exact per-file deleted counts")
+    // count adjustment is exact and never touches a data file
+    assert(Merge.versionRowCount(spark, path, 1L).contains(70L))
+    // LIMIT prefix still sized by net counts under bitmap sidecars
+    Merge.lastLimitPrefix = None
+    val lim = Merge.readVersionLimited(spark, path, 1L, 20)
+    assert(lim.count() >= 20L)
+    val (read, total) = Merge.lastLimitPrefix.get
+    assert(read < total, s"expected a strict file prefix: $read/$total")
+    assert(Merge.readKeyed(spark, path).count() == 70L)
+  }
+
+  test("mixed v1 (row) and v2 (bitmap) sidecar commits subtract " +
+      "together through every read path") {
+    val path = freshDir("mixed")
+    Merge.writeKeyed(baseDf, path, "id", nBuckets = 4,
+      statsCols = Seq("id"))
+    // legacy commit: per-row sidecars, as pre-r16 tables carry
+    Merge.deleteWhereDV(spark, path, $"id" < 10, bitmapFormat = false)
+    val v1rows = sidecarRows(path).collect()
+    assert(v1rows.length == 10 && v1rows.forall(_.isNullAt(3)),
+      "the v1 commit must have written per-row sidecars")
+    // new commit on the same table: bitmap sidecars
+    Merge.deleteWhereDV(spark, path, $"id" >= 90)
+    val cur = Merge.readKeyed(spark, path)
+    assert(cur.count() == 80L)
+    assert(cur.agg(min($"id"), max($"id")).as[(Long, Long)].head()
+      == ((10L, 89L)))
+    assert(Merge.versionRowCount(spark, path, 2L).contains(80L))
+    assert(Merge.lookupKey(spark, path, 5L).isEmpty)
+    assert(Merge.lookupKey(spark, path, 95L).isEmpty)
+    assert(Merge.lookupKey(spark, path, 50L).count() == 1)
+    // the change feed reads both formats' deltas
+    val feed = Merge.changesBetween(spark, path, 0L, 2L)
+      .select("id", "op").as[(Long, Int)].collect().sorted.toSeq
+    assert(feed == ((0L until 10L) ++ (90L until 100L)).map((_, -1)))
+    // compaction folds BOTH formats physically
+    Merge.compactVersion(spark, path, targetFilesPerBucket = 1)
+    assert(Merge.readKeyed(spark, path).count() == 80L)
+  }
+
+  test("compaction folds DVs TARGETED: only DV-touched buckets " +
+      "rewrite; fully-inert sidecars drop with a metadata-only commit") {
+    val path = freshDir("purge")
+    Merge.writeKeyed(baseDf, path, "id", nBuckets = 8)
+    // delete ONE row: exactly one bucket carries a live DV position
+    Merge.deleteWhereDV(spark, path, $"id" === 5L)
+    val st = Merge.compactVersion(spark, path, targetFilesPerBucket = 1)
+    assert(st.bucketsRewritten == 1,
+      s"a one-bucket delete must fold ONE bucket, not the table: $st")
+    val cur = Merge.readKeyed(spark, path)
+    assert(cur.count() == 99L && cur.filter($"id" === 5L).count() == 0L)
+    // the sidecar list is cleared even though 7/8 buckets kept their
+    // original files byte-identical
+    Merge.vacuum(spark, path, keepVersions = 1)
+    def anyParquet(f: File): Boolean =
+      f.exists() && (if (f.isDirectory) f.listFiles().exists(anyParquet)
+        else f.getName.endsWith(".parquet"))
+    assert(!anyParquet(new File(path, "_graft_dv")),
+      "folded vectors must be reclaimable after the targeted purge")
+
+    // INERT sidecars: delete a key, then upsert its bucket (the
+    // rewrite folds the bucket, leaving the sidecar entries pointing
+    // at a dead file). Compaction then has nothing to rewrite — it
+    // must still unpin the sidecars, via a metadata-only commit.
+    Merge.deleteWhereDV(spark, path, $"id" === 7L)
+    Merge.upsert(spark, path,
+      Seq((7L, "back", 7.0)).toDF("id", "name", "score"), "id", 8)
+    val v = Merge.currentVersion(spark, path)
+    val st2 = Merge.compactVersion(spark, path, targetFilesPerBucket = 1)
+    assert(st2.bucketsRewritten == 0 && st2.version == v + 1,
+      s"inert sidecars must drop via a metadata-only commit: $st2")
+    Merge.vacuum(spark, path, keepVersions = 1)
+    assert(!anyParquet(new File(path, "_graft_dv")),
+      "inert sidecars must be reclaimable after the unpin commit")
+    // id=5 stays deleted from the first fold; id=7 came back upserted
+    assert(Merge.readKeyed(spark, path).count() == 99L)
+  }
+
   test("vacuum keeps referenced sidecars, reclaims crashed orphans") {
     val path = freshDir("vac")
     Merge.writeKeyed(baseDf, path, "id", nBuckets = 4)

@@ -1064,6 +1064,132 @@ object SparkEntry {
                         AS BIGINT) AS all_have_bytes
             FROM graft_files('$path')""")
     }),
+    "q_dsv2_agg_sum" -> ((s, dir) => {
+      // COUNT(col)/SUM(col) JOIN THE MANIFEST-ANSWERED AGGREGATES
+      // (r16): stats entries record each file's NULL COUNT and — for
+      // integral columns — its EXACT sum (decimal-summed at write, so
+      // no overflow at any file size). `SELECT count(c), sum(c)` on a
+      // 100 TB table is one driver-side manifest read, like COUNT(*)
+      // and MIN/MAX before it. The gate's column is null-bearing so
+      // count(col) < count(*) genuinely bites. Required in-gate:
+      // PushedAggregates in-plan with NO aggregate node. Values ≡ the
+      // oracle's real aggregation.
+      val path = new java.io.File(scratchRoot,
+        s"graft_dsv2aggsum_${new java.io.File(dir).getName}")
+        .getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(path))
+      val part = t(s, dir, "part").selectExpr("p_partkey AS id",
+        """CASE WHEN p_partkey % 10 = 0 THEN CAST(NULL AS BIGINT)
+           ELSE CAST(round(p_retailprice * 100, 0) AS BIGINT)
+           END AS cents""")
+      graft.sources.Merge.writeKeyed(part, path, "id",
+        nBuckets = 16, statsCols = Seq("id", "cents"))
+      val agg = s.read.format("graft-table").option("path", path).load()
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("cents")).as("n_cents"),
+          sum(col("cents")).as("sum_cents"),
+          min(col("id")).as("min_id"),
+          max(col("id")).as("max_id"))
+      val plan = agg.queryExecution.executedPlan.toString
+      require(plan.contains("PushedAggregates") &&
+          plan.contains("SUM(cents)") &&
+          !plan.contains("HashAggregate") &&
+          !plan.contains("SortAggregate"),
+        s"count/sum must be manifest-answered, got plan:\n$plan")
+      agg
+    }),
+    "q_upsert_dv" -> ((s, dir) => {
+      // MERGE-ON-READ UPSERT: a CDC batch (updates + inserts) lands
+      // WITHOUT rewriting any existing data file — old images are
+      // deletion-vectored (one bitmap sidecar), the batch appends as
+      // new per-bucket files. On a 100 TB table a scattered 0.1%-key
+      // update costs update-sized I/O, not the copy-on-write rewrite
+      // of every touched bucket; compaction folds on schedule.
+      // Required in-gate: real replaced rows, EVERY pre-existing data
+      // file byte-untouched (path+mtime pinned), new files appended.
+      // Read-back ≡ the oracle's updated-union-inserted image.
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val root = new java.io.File(scratchRoot, s"graft_mor_$sf")
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      val path = new java.io.File(root, "parts").getAbsolutePath
+      graft.sources.Merge.writeKeyed(
+        t(s, dir, "part").selectExpr("p_partkey AS id",
+          "p_name AS name", "p_retailprice AS price"),
+        path, "id", 16, statsCols = Seq("id"))
+      def dataFiles(): Map[String, Long] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+          else Seq(f)
+        walk(new java.io.File(path))
+          .filter(f => f.getPath.contains("__bucket=") &&
+            f.getName.endsWith(".parquet"))
+          .map(f => f.getPath -> f.lastModified()).toMap
+      }
+      val before = dataFiles()
+      val upd = t(s, dir, "part").where("p_partkey % 97 = 0")
+        .selectExpr("p_partkey AS id",
+          "concat('u_', p_name) AS name",
+          "p_retailprice + 1000 AS price")
+      val news = s.range(1, 11).selectExpr("9000000 + id AS id",
+        "concat('new_', id) AS name", "CAST(id AS DOUBLE) AS price")
+      val st = graft.sources.Merge.upsertDV(s, path,
+        upd.unionByName(news), "id", 16)
+      require(st.rowsDeleted > 0,
+        s"the batch must replace real rows for this gate to bite: $st")
+      val after = dataFiles()
+      require(before.forall { case (f, m) => after.get(f).contains(m) },
+        "merge-on-read upsert must not rewrite any existing data file")
+      require(after.size > before.size,
+        "the batch must land as appended files")
+      graft.sources.Merge.readKeyed(s, path)
+        .select("id", "name", "price").orderBy("id")
+    }),
+    "q_analyze" -> ((s, dir) => {
+      // ANALYZE TABLE: an existing table WITHOUT recorded stats opts
+      // into manifest-answered aggregates with ONE metadata commit
+      // (CALL system.analyze) — one aggregate pass over the live
+      // files, zero data rewritten. At 100 TB this is how a table
+      // written before stats existed (or whose stats contract needs
+      // new columns) gains skipping + COUNT/MIN/MAX/SUM pushdown.
+      // Required in-gate: BEFORE analyze the aggregate plans a real
+      // scan; AFTER it the plan carries PushedAggregates with no
+      // aggregate node, and values ≡ the oracle.
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val root = new java.io.File(scratchRoot, s"graft_analyze_$sf")
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      val cat = s"ganlz_$sf"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root.getAbsolutePath)
+      val path = new java.io.File(root, "parts").getAbsolutePath
+      graft.sources.Merge.writeKeyed(
+        t(s, dir, "part").selectExpr("p_partkey AS id",
+          """CASE WHEN p_partkey % 10 = 0 THEN CAST(NULL AS BIGINT)
+             ELSE CAST(round(p_retailprice * 100, 0) AS BIGINT)
+             END AS cents"""),
+        path, "id", 16) // NO statsCols: pre-stats table
+      def agg() = s.read.format("graft-table").option("path", path)
+        .load().agg(count(lit(1)).as("n_rows"),
+          count(col("cents")).as("n_cents"),
+          sum(col("cents")).as("sum_cents"),
+          min(col("id")).as("min_id"),
+          max(col("id")).as("max_id"))
+      require(agg().queryExecution.executedPlan.toString
+          .matches("(?s).*(Hash|Sort)Aggregate.*"),
+        "without stats the aggregate must plan a real scan")
+      val res = s.sql(
+        s"CALL $cat.system.analyze(table => 'parts', " +
+        "columns => 'id,cents')").collect()(0)
+      require(res.getLong(0) == 1L && res.getLong(1) > 0L,
+        s"analyze must commit v1 over the live files, got $res")
+      val after = agg()
+      val plan = after.queryExecution.executedPlan.toString
+      require(plan.contains("PushedAggregates") &&
+          !plan.matches("(?s).*(Hash|Sort)Aggregate.*"),
+        s"post-analyze aggregates must be manifest-answered:\n$plan")
+      after
+    }),
     "q_dsv2_delete" -> ((s, dir) => {
       // SQL DELETE FROM through the catalog: bucket-granular
       // copy-on-write behind the standard SupportsDelete hook, the
@@ -7395,6 +7521,49 @@ object SparkEntry {
     "q_dsv2_agg_dv" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows
          FROM part WHERE p_partkey % 5 <> 0""",
+    // count(col)/sum(col) manifest answers ≡ the real aggregation
+    "q_dsv2_agg_sum" ->
+      """SELECT count(*) AS n_rows,
+                count(cents) AS n_cents,
+                CAST(sum(cents) AS BIGINT) AS sum_cents,
+                min(id) AS min_id,
+                max(id) AS max_id
+         FROM (SELECT p_partkey AS id,
+                      CASE WHEN p_partkey % 10 = 0
+                           THEN CAST(NULL AS BIGINT)
+                           ELSE CAST(round(p_retailprice * 100, 0)
+                                     AS BIGINT)
+                      END AS cents
+               FROM part)""",
+    // the merge-on-read image ≡ updated existing rows + inserted rows
+    "q_upsert_dv" ->
+      """SELECT id, name, price FROM (
+           SELECT p_partkey AS id,
+                  CASE WHEN p_partkey % 97 = 0
+                       THEN concat('u_', p_name) ELSE p_name END AS name,
+                  CASE WHEN p_partkey % 97 = 0
+                       THEN p_retailprice + 1000
+                       ELSE p_retailprice END AS price
+           FROM part
+           UNION ALL
+           SELECT 9000000 + i AS id, concat('new_', i) AS name,
+                  CAST(i AS DOUBLE) AS price
+           FROM range(1, 11) t(i))
+         ORDER BY id""",
+    // post-ANALYZE manifest answers ≡ the real aggregation
+    "q_analyze" ->
+      """SELECT count(*) AS n_rows,
+                count(cents) AS n_cents,
+                CAST(sum(cents) AS BIGINT) AS sum_cents,
+                min(id) AS min_id,
+                max(id) AS max_id
+         FROM (SELECT p_partkey AS id,
+                      CASE WHEN p_partkey % 10 = 0
+                           THEN CAST(NULL AS BIGINT)
+                           ELSE CAST(round(p_retailprice * 100, 0)
+                                     AS BIGINT)
+                      END AS cents
+               FROM part)""",
     // the inventory aggregate ≡ the table's real shape
     "q_files_info" ->
       """SELECT CAST(16 AS BIGINT) AS n_files,

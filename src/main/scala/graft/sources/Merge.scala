@@ -290,8 +290,11 @@ object Merge {
       val r = if (e.rows >= 0) s""","r":${e.rows}""" else ""
       val bf = e.bloom.map(v => s""","bf":"$v"""").getOrElse("") // base64:
         // no JSON-special characters by construction
+      val nu = if (e.nulls >= 0) s""","nu":${e.nulls}""" else ""
+      val sm = e.sum.map(v => s""","sm":"$v"""").getOrElse("") // decimal
+        // digits and sign only — never needs escaping
       s"""{"f":"${jsonEscape(e.file)}","c":"${jsonEscape(e.col)}",""" +
-        s""""mn":$mn,"mx":$mx$r$bf}"""
+        s""""mn":$mn,"mx":$mx$r$bf$nu$sm}"""
     }.mkString("[", ",", "]")
 
   // hand-rolled JSON (flat schema; file names are spark part names and
@@ -564,9 +567,12 @@ object Merge {
             val rows = e \ "r" match {
               case JInt(n) => n.toLong; case JLong(n) => n; case _ => -1L
             }
+            val nulls = e \ "nu" match {
+              case JInt(n) => n.toLong; case JLong(n) => n; case _ => -1L
+            }
             for (file <- f("f"); c <- f("c"))
               yield Skipping.FileStats(file, c, f("mn"), f("mx"), rows,
-                bloom = f("bf"))
+                bloom = f("bf"), nulls = nulls, sum = f("sm"))
           }
           case _ => Nil
         }
@@ -1224,8 +1230,18 @@ object Merge {
     val bloomCols = bloomSpecs.map(Skipping.bloomBase).distinct
     (rangeCols ++ bloomCols).foreach(c => require(df.columns.contains(c),
       s"stats column $c not in ${df.columns.mkString(", ")}"))
+    // integral stats columns also record an EXACT per-file sum (summed
+    // as decimal(38,0), so no overflow at any file size) — what lets
+    // SUM(col) answer from the manifest like COUNT/MIN/MAX
+    val sumCols = rangeCols.filter(c => df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    })
     val aggs = rangeCols.flatMap(c =>
-      Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c"))) ++
+      Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c"),
+        count(col(c)).as(s"__nn_$c"))) ++
+      sumCols.map(c => sum(col(c).cast(DecimalType(38, 0)))
+        .as(s"__sm_$c")) ++
       bloomCols.map(c => org.apache.spark.sql.GraftShim.bloomAgg(
         xxhash64(col(c)), Skipping.BloomExpectedItems,
         Skipping.BloomNumBits).as(s"__bf_$c")) :+
@@ -1243,7 +1259,13 @@ object Merge {
             .map(v => Skipping.encode(Skipping.statMin(v))),
           Option(r.get(r.fieldIndex(s"__mx_$c")))
             .map(v => Skipping.encode(Skipping.statMax(v))),
-          rows = nRows)
+          rows = nRows,
+          nulls = nRows - r.getLong(r.fieldIndex(s"__nn_$c")),
+          sum =
+            if (!sumCols.contains(c)) None
+            else Option(r.get(r.fieldIndex(s"__sm_$c")))
+              .map(_.asInstanceOf[java.math.BigDecimal]
+                .toBigInteger.toString))
       } ++ bloomCols.flatMap { c =>
         Option(r.getAs[Array[Byte]](r.fieldIndex(s"__bf_$c"))).map(b =>
           Skipping.FileStats(s"__bucket=$bucket/$name",
@@ -1656,6 +1678,140 @@ object Merge {
     }
     Some((Skipping.decodeStat(dt, minEntry.min.get),
       Skipping.decodeStat(dt, maxEntry.max.get)))
+  }
+
+  /** The version's EXACT (non-null count, sum) for one column from the
+    * manifest stats — Some only when provably exact: the column is
+    * stats-indexed on every file with null counts recorded (r16+) and
+    * no deletion vector is live (a deleted row's nullness and value
+    * are unknown to the manifest — unlike COUNT(*), no sidecar job can
+    * adjust). The sum is Some only when every file records one
+    * (integral columns) or is provably all-null (contributes 0); a
+    * column with ZERO non-null rows sums to SQL NULL — the caller
+    * checks the count. Zero data I/O: `SELECT count(c), sum(c)` on a
+    * 100 TB table is one driver-side manifest read.
+    */
+  def versionColumnAggStats(spark: SparkSession, path: String,
+      version: Long, column: String): Option[(Long, Option[BigInt])] = {
+    val (_, root) = fsFor(spark, path)
+    val m = readManifest(spark, root, version)
+    if (!m.statsCols.contains(column)) return None
+    if (m.dvFiles.nonEmpty) return None
+    if (m.files.isEmpty) return Some((0L, Some(BigInt(0))))
+    val entries = m.stats.filter(e =>
+      e.col == column && e.rows >= 0L && e.nulls >= 0L)
+      .groupBy(_.file).view.mapValues(_.head).toMap
+    if (!m.files.forall(entries.contains)) return None
+    val perFile = m.files.map(entries)
+    val nonNull = perFile.map(e => e.rows - e.nulls).sum
+    val sums = perFile.map(e => e.sum.map(BigInt(_))
+      .orElse(if (e.nulls == e.rows) Some(BigInt(0)) else None))
+    val total =
+      if (sums.exists(_.isEmpty)) None else Some(sums.flatten.sum)
+    Some((nonNull, total))
+  }
+
+  /** ANALYZE TABLE: record (or refresh) per-file column stats for the
+    * CURRENT version as ONE metadata commit — how an existing table
+    * opts into manifest-level skipping, Bloom point-lookup pruning and
+    * manifest-answered aggregates (COUNT/MIN/MAX/SUM) WITHOUT
+    * rewriting a byte of data. Cost is the honest one: one aggregate
+    * job over the live files (at most one pass of the table — the
+    * price [[writeKeyed]] pays at write time), then a manifest commit;
+    * the data files are untouched, so every other version keeps
+    * reading them. `statsCols` accepts the same specs as writeKeyed
+    * (plain columns = min/max/nulls/sum intervals, `bloom:c` = a
+    * per-file Bloom filter). Declines on live deletion vectors —
+    * per-file stats must stay GROSS for the DV count adjustment, and
+    * the one job that folds them ([[compactVersion]]) re-records stats
+    * anyway. Returns (new version, files analyzed).
+    */
+  def analyzeTable(spark: SparkSession, path: String,
+      statsCols: Seq[String], maxRetries: Int = 5): (Long, Int) = {
+    require(statsCols.nonEmpty, "analyze needs >= 1 stats column")
+    val (fs, root) = fsFor(spark, path)
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val parentV = currentVersion(spark, path)
+      require(parentV >= 0, s"$path has no version log")
+      val parent = readManifest(spark, root, parentV)
+      require(parent.dvFiles.isEmpty,
+        "analyze declines on live deletion vectors (stats must be " +
+        "GROSS per file) — compact first to fold them")
+      val (bloomSpecs, rangeCols) =
+        statsCols.partition(Skipping.isBloomSpec)
+      val bloomCols = bloomSpecs.map(Skipping.bloomBase).distinct
+      val entries: Seq[Skipping.FileStats] =
+        if (parent.files.isEmpty) Seq.empty
+        else {
+          val df = versionDf(spark, path, root, parent, keepPos = true)
+          (rangeCols ++ bloomCols).foreach(c =>
+            require(df.columns.contains(c),
+              s"stats column $c not in ${df.columns.mkString(", ")}"))
+          val sumCols = rangeCols.filter(c => df.schema(c).dataType match {
+            case ByteType | ShortType | IntegerType | LongType => true
+            case _ => false
+          })
+          val aggs = rangeCols.flatMap(c =>
+            Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c"),
+              count(col(c)).as(s"__nn_$c"))) ++
+            sumCols.map(c => sum(col(c).cast(DecimalType(38, 0)))
+              .as(s"__sm_$c")) ++
+            bloomCols.map(c => org.apache.spark.sql.GraftShim.bloomAgg(
+              xxhash64(col(c)), Skipping.BloomExpectedItems,
+              Skipping.BloomNumBits).as(s"__bf_$c")) :+
+            count(lit(1)).as("__rows")
+          val rows = df.groupBy(col("__dv_file").as("__f"))
+            .agg(aggs.head, aggs.tail: _*).collect()
+          val qualToName: Map[String, String] = parent.files.map { f =>
+            val p = new Path(f)
+            val abs = if (p.isAbsolute) p else new Path(root, p)
+            fs.makeQualified(abs).toString -> f
+          }.toMap
+          rows.flatMap { r =>
+            val name = qualToName.getOrElse(
+              new Path(r.getString(0)).toString,
+              sys.error(s"analyzed file ${r.getString(0)} is not in " +
+                s"version $parentV"))
+            val nRows = r.getLong(r.fieldIndex("__rows"))
+            rangeCols.map { c =>
+              Skipping.FileStats(name, c,
+                Option(r.get(r.fieldIndex(s"__mn_$c")))
+                  .map(v => Skipping.encode(Skipping.statMin(v))),
+                Option(r.get(r.fieldIndex(s"__mx_$c")))
+                  .map(v => Skipping.encode(Skipping.statMax(v))),
+                rows = nRows,
+                nulls = nRows - r.getLong(r.fieldIndex(s"__nn_$c")),
+                sum =
+                  if (!sumCols.contains(c)) None
+                  else Option(r.get(r.fieldIndex(s"__sm_$c")))
+                    .map(_.asInstanceOf[java.math.BigDecimal]
+                      .toBigInteger.toString))
+            } ++ bloomCols.flatMap { c =>
+              Option(r.getAs[Array[Byte]](r.fieldIndex(s"__bf_$c")))
+                .map(b => Skipping.FileStats(name,
+                  Skipping.BloomPrefix + c, None, None, rows = nRows,
+                  bloom = Some(java.util.Base64.getEncoder
+                    .encodeToString(b))))
+            }
+          }.toSeq.sortBy(e => (e.file, e.col))
+        }
+      commitFence()
+      try {
+        writeManifest(fs, root,
+          parent.copy(version = parentV + 1, parent = parentV,
+            txn = None, statsCols = statsCols, stats = entries,
+            ts = nextTs(parent), op = Some("analyze"),
+            rowsUpserted = 0L, rowsDeleted = 0L, copied = Seq.empty),
+          parent = Some(parent), touched = None) // stats changed in
+            // EVERY shard — no shard ref is reusable
+        return (parentV + 1, parent.files.size)
+      } catch {
+        case _: LostCommitRace => attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"analyze lost the commit race $attempt times at $path")
   }
 
   /** Per-file inventory of the CURRENT version (`DESCRIBE DETAIL` at
@@ -3168,6 +3324,157 @@ object Merge {
     throw new IllegalStateException("unreachable")
   }
 
+  /** MERGE-ON-READ UPSERT: land a batch of updates/inserts WITHOUT
+    * rewriting any existing data file — the replaced keys' old rows
+    * are deletion-vectored (one bitmap sidecar, see [[DvCodec]]) and
+    * the batch's rows APPEND as new files in their buckets. Contrast
+    * with [[upsert]] (copy-on-write), which rewrites every touched
+    * bucket: on a 100 TB table, a 0.1%-key update scattered across
+    * all buckets costs a full-table rewrite copy-on-write but only
+    * (update-sized files + one sidecar) merge-on-read. The trade is
+    * read amplification until [[compactVersion]] folds — the same
+    * trade Delta/Iceberg merge-on-read MERGE makes — so use this for
+    * frequent small-batch CDC ingestion and compact on your schedule
+    * (the targeted purge rewrites only the DV-touched buckets).
+    *
+    * The find scan reads ONLY the touched buckets (manifest pruning)
+    * and is itself DV-filtered, so re-upserting a key twice vectors
+    * each old image exactly once. Same contracts as upsert: unique
+    * keys per batch, layout fixed at writeKeyed time, CHECK
+    * constraints enforced on the batch, `txn` replay guard,
+    * lost-race retry. Deliberately NARROWER than upsert: no schema
+    * evolution, tombstones, identity or generated columns — those
+    * verbs rewrite (or mint) per-bucket state that belongs to the
+    * copy-on-write path; compose deletes with [[deleteWhereDV]].
+    * `keySorted` drops to false — appended files overlap the old
+    * ones' key ranges, so the sort-free zipper re-plans its Sorts
+    * until a key-sorted rewrite restores the contract.
+    *
+    * Stats: old files keep their (gross) entries — sound for pruning
+    * (over-approximate) and REQUIRED for the DV count adjustment; new
+    * files record fresh entries, so COUNT(*)/LIMIT stay exact.
+    */
+  def upsertDV(spark: SparkSession, path: String, updates: DataFrame,
+      keyCol: String, nBuckets: Int, maxRetries: Int = 5,
+      txn: Option[(String, Long)] = None): MergeStats = {
+    val (fs, root) = fsFor(spark, path)
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val parentV = currentVersion(spark, path)
+      txn.foreach { case (app, batch) =>
+        if (latestTxn(spark, path, app).exists(_ >= batch))
+          return MergeStats(0, nBuckets, 0L, parentV, attempt,
+            skippedDupTxn = true)
+      }
+      require(parentV >= 0,
+        s"$path has no version log — write it with writeKeyed first")
+      val parent = readManifest(spark, root, parentV)
+      require(parent.layoutCols.isEmpty,
+        s"$path is bucketed on the COMPOSITE key " +
+        s"(${parent.layoutCols.mkString(", ")}) — single-key upsertDV " +
+        "would misroute the grid")
+      parent.layout.foreach { case (k, n) =>
+        require(k == keyCol && n == nBuckets,
+          s"$path is bucketed as ($k, $n buckets) but the upsert says " +
+          s"($keyCol, $nBuckets) — layout is fixed at writeKeyed time")
+      }
+      val parentSchema = parent.dataSchema.map(schemaFromString)
+      val parentCols: Seq[String] = parentSchema.map(_.fieldNames.toSeq)
+        .getOrElse(updates.columns.toSeq)
+      require(updates.columns.toSet == parentCols.toSet,
+        s"upsertDV takes the exact table schema (no evolution): table " +
+        s"[${parentCols.mkString(", ")}], batch " +
+        s"[${updates.columns.mkString(", ")}]")
+      parentSchema.foreach(_.foreach { f =>
+        require(updates.schema(f.name).dataType.catalogString ==
+            f.dataType.catalogString,
+          s"column ${f.name} is ${f.dataType.simpleString} in the " +
+          s"table but ${updates.schema(f.name).dataType.simpleString} " +
+          "in the batch — upsertDV does not evolve types")
+        val idn = org.apache.spark.sql.catalyst.util.IdentityColumn
+        require(!f.metadata.contains(idn.IDENTITY_INFO_START) &&
+            !f.metadata.contains(org.apache.spark.sql.catalyst.util
+              .GeneratedColumn.GENERATION_EXPRESSION_METADATA_KEY),
+          s"column ${f.name} is identity/generated — minting and " +
+          "recomputation belong to the copy-on-write upsert")
+      })
+      enforceConstraints(updates, parent.constraints, "the update batch")
+      val withB = updates
+        .withColumn("__bucket", bucketCol(keyCol, nBuckets))
+      val perBucket = withB.groupBy("__bucket")
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))) // bounded by nBuckets
+      if (perBucket.isEmpty)
+        return MergeStats(0, nBuckets, 0L, parentV, attempt)
+      val touched = perBucket.map(_._1).toSet
+      val rowsIn = perBucket.map(_._2).sum
+      // the REPLACED rows' (file, pos): read only the touched buckets,
+      // DV-filtered (a twice-replaced key vectors each image once),
+      // semi-joined on the batch's keys (broadcast under the same
+      // bytes gate as upsert)
+      val parentTouchedFiles =
+        parent.files.filter(f => touched(bucketOf(f)))
+      val updKeys = updates.select(col(keyCol))
+      val keyWidth = updates.schema(keyCol).dataType match {
+        case _: org.apache.spark.sql.types.StringType |
+             _: org.apache.spark.sql.types.BinaryType => 64L
+        case dt => dt.defaultSize.toLong
+      }
+      val joinKeys =
+        if (rowsIn * keyWidth <= (32L << 20)) broadcast(updKeys)
+        else updKeys
+      val matched =
+        if (parentTouchedFiles.isEmpty)
+          spark.emptyDataFrame
+            .withColumn("file", lit(null).cast("string"))
+            .withColumn("pos", lit(null).cast("long"))
+        else versionDf(spark, path, root,
+            parent.copy(files = parentTouchedFiles), keepPos = true)
+          .join(joinKeys, Seq(keyCol), "left_semi")
+          .select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
+      val (dvRefs, nReplaced) =
+        writeDvSidecar(spark, fs, root, matched, bitmapFormat = true)
+      // the batch's rows APPEND as fresh per-bucket files (key-sorted
+      // within each file, like every graft write)
+      val staged = bucketPartitioned(
+        withB.select((parentCols :+ "__bucket").map(col): _*),
+        filesPerBucket = 1, buckets = touched.size,
+        sortKey = Seq(keyCol))
+      val (newFiles, newStats) =
+        stageAndMove(spark, fs, root, staged, parent.statsCols,
+          parent.colMap)
+      commitFence()
+      try {
+        writeManifest(fs, root,
+          Manifest(parentV + 1, parentV,
+            (parent.files ++ newFiles).sorted, parent.dataSchema, txn,
+            parent.layout.orElse(Some((keyCol, nBuckets))),
+            parent.statsCols,
+            parent.stats ++ newStats, // old files keep GROSS entries
+            ts = nextTs(parent), op = Some("upsert-dv"),
+            rowsUpserted = rowsIn, rowsDeleted = nReplaced,
+            shardSpan = parent.shardSpan,
+            constraints = parent.constraints,
+            dvFiles = parent.dvFiles ++ dvRefs,
+            colMap = parent.colMap, physRetired = parent.physRetired,
+            idHwm = parent.idHwm,
+            keySorted = false, // appended ranges overlap old files
+            layoutCols = parent.layoutCols, layoutNs = parent.layoutNs),
+          parent = Some(parent), touched = Some(touched))
+        return MergeStats(touched.size, nBuckets, rowsIn, parentV + 1,
+          attempt, rowsDeleted = nReplaced)
+      } catch {
+        case _: LostCommitRace =>
+          deleteFiles(fs, root, newFiles)
+          if (dvRefs.nonEmpty)
+            fs.delete(new Path(root, dvRefs.head).getParent, true)
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"upsertDV lost the commit race $attempt times at $path")
+  }
+
   /** INSERT OVERWRITE (full replace) as ONE versioned commit: the new
     * rows land under the table's recorded layout, the manifest
     * references ONLY them, and — unlike a `writeKeyed` re-write — the
@@ -3511,53 +3818,10 @@ object Merge {
           parent.copy(files = candFiles), keepPos = true)
         .filter(predicate)
         .select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
-      val dvDir = "_graft_dv/" +
-        java.util.UUID.randomUUID().toString.replace("-", "").take(16)
-      val dvPath = new Path(root, dvDir)
-      // v2 BITMAP sidecars (the default): ONE row per touched data
-      // file — (file, n, dv) with dv the delta-varint blob of that
-      // file's sorted positions (see [[DvCodec]]). The encode is one
-      // shuffle of the matched (file, pos) pairs, hash-partitioned by
-      // file and sorted within partitions, then a streaming per-file
-      // fold — memory is bounded by the largest single file's blob,
-      // never the delete. bitmapFormat=false keeps the v1 row format
-      // (the mixed-manifest compatibility tests write through it).
-      val dvDf =
-        if (!bitmapFormat) matched.coalesce(4)
-        else {
-          import spark.implicits._
-          matched.repartition(4, col("file"))
-            .sortWithinPartitions("file", "pos")
-            .as[(String, Long)]
-            .mapPartitions { it =>
-              val buf = it.buffered
-              new Iterator[(String, Long, Array[Byte])] {
-                def hasNext: Boolean = buf.hasNext
-                def next(): (String, Long, Array[Byte]) = {
-                  val f = buf.head._1
-                  val b = new scala.collection.mutable.ArrayBuilder.ofLong()
-                  while (buf.hasNext && buf.head._1 == f)
-                    b.addOne(buf.next()._2)
-                  val a = b.result()
-                  (f, a.length.toLong, DvCodec.encode(a))
-                }
-              }
-            }.toDF("file", "n", "dv")
-        }
-      dvDf.write.mode("overwrite").parquet(dvPath.toString)
-      // count what was actually recorded: v1 = footer row counts, v2 =
-      // the n column over file-count rows
-      val n = spark.read.schema(DvCodec.SupersetSchema)
-        .parquet(dvPath.toString)
-        .agg(coalesce(sum(coalesce(col("n"), lit(1L))), lit(0L)))
-        .collect()(0).getLong(0)
-      if (n == 0L) {
-        fs.delete(dvPath, true)
+      val (dvRefs, n) = writeDvSidecar(spark, fs, root, matched,
+        bitmapFormat)
+      if (n == 0L)
         return MergeStats(0, nB, 0L, parentV, attempt)
-      }
-      val dvRefs = fs.listStatus(dvPath)
-        .filter(_.getPath.getName.endsWith(".parquet"))
-        .map(st => s"$dvDir/${st.getPath.getName}").toSeq.sorted
       commitFence()
       try {
         writeManifest(fs, root,
@@ -3577,12 +3841,68 @@ object Merge {
           rowsDeleted = n)
       } catch {
         case _: LostCommitRace =>
-          fs.delete(dvPath, true)
+          fs.delete(new Path(root, dvRefs.head).getParent, true)
           attempt += 1
       }
     }
     throw new IllegalStateException(
       s"deleteWhereDV lost the commit race $attempt times at $path")
+  }
+
+  /** Write `matched` (file, pos) rows as ONE new sidecar dir under
+    * `_graft_dv/` and return (manifest-relative sidecar refs, recorded
+    * row count) — (empty, 0) with the dir already cleaned when nothing
+    * matched. v2 BITMAP format (the default): ONE row per touched data
+    * file — (file, n, dv) with dv the delta-varint blob of that file's
+    * sorted positions (see [[DvCodec]]). The encode is one shuffle of
+    * the matched pairs, hash-partitioned by file and sorted within
+    * partitions, then a streaming per-file fold — memory is bounded by
+    * the largest single file's blob, never the delete.
+    * bitmapFormat=false keeps the v1 row format (the mixed-manifest
+    * compatibility tests write through it).
+    */
+  private def writeDvSidecar(spark: SparkSession, fs: FileSystem,
+      root: Path, matched: DataFrame, bitmapFormat: Boolean)
+      : (Seq[String], Long) = {
+    val dvDir = "_graft_dv/" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    val dvPath = new Path(root, dvDir)
+    val dvDf =
+      if (!bitmapFormat) matched.coalesce(4)
+      else {
+        import spark.implicits._
+        matched.repartition(4, col("file"))
+          .sortWithinPartitions("file", "pos")
+          .as[(String, Long)]
+          .mapPartitions { it =>
+            val buf = it.buffered
+            new Iterator[(String, Long, Array[Byte])] {
+              def hasNext: Boolean = buf.hasNext
+              def next(): (String, Long, Array[Byte]) = {
+                val f = buf.head._1
+                val b = new scala.collection.mutable.ArrayBuilder.ofLong()
+                while (buf.hasNext && buf.head._1 == f)
+                  b.addOne(buf.next()._2)
+                val a = b.result()
+                (f, a.length.toLong, DvCodec.encode(a))
+              }
+            }
+          }.toDF("file", "n", "dv")
+      }
+    dvDf.write.mode("overwrite").parquet(dvPath.toString)
+    // count what was actually recorded: v1 = footer row counts, v2 =
+    // the n column over file-count rows
+    val n = spark.read.schema(DvCodec.SupersetSchema)
+      .parquet(dvPath.toString)
+      .agg(coalesce(sum(coalesce(col("n"), lit(1L))), lit(0L)))
+      .collect()(0).getLong(0)
+    if (n == 0L) {
+      fs.delete(dvPath, true)
+      (Seq.empty, 0L)
+    } else
+      (fs.listStatus(dvPath)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(st => s"$dvDir/${st.getPath.getName}").toSeq.sorted, n)
   }
 
   def compactVersion(spark: SparkSession, path: String,
@@ -3775,6 +4095,31 @@ object Merge {
         upsert(batch.sparkSession, path, batch, keyCol, nBuckets,
           allowEvolution = allowEvolution, txn = Some((appId, batchId)),
           tombstoneCol = tombstoneCol)
+        ()
+      }
+  }
+
+  /** [[streamingUpsert]]'s MERGE-ON-READ sibling: each micro-batch
+    * lands through [[upsertDV]] — old images vectored, batch rows
+    * appended, NO data file rewritten — which is the write shape CDC
+    * ingestion wants at 100 TB: per-batch cost ∝ the batch, with
+    * [[compactVersion]]'s targeted purge folding on a maintenance
+    * schedule instead of every micro-batch paying bucket rewrites.
+    * Same exactly-once composition (checkpoint replay × `txn` stamp)
+    * and the same unique-keys-per-batch contract; upsertDV's narrower
+    * surface applies (no evolution/tombstones/identity/generated).
+    */
+  def streamingUpsertDV(updates: DataFrame, path: String, keyCol: String,
+      nBuckets: Int, checkpointLocation: String, appId: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] = {
+    require(updates.isStreaming,
+      "streamingUpsertDV needs a streaming frame")
+    updates.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        upsertDV(batch.sparkSession, path, batch, keyCol, nBuckets,
+          txn = Some((appId, batchId)))
         ()
       }
   }

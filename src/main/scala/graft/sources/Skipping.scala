@@ -71,7 +71,13 @@ object Skipping {
       // the entry name `bloom:c` so the interval logic never reads it.
       // Lets EQUALITY predicates prune files on high-cardinality
       // unsorted columns whose [min, max] spans everything.
-      bloom: Option[String] = None)
+      bloom: Option[String] = None,
+      // the column's NULL count in this file (-1 = recorded before
+      // r16) and, for integral columns, its EXACT sum as a decimal
+      // string (None = unknown or non-integral). Together they answer
+      // COUNT(col)/SUM(col) from the manifest with zero data I/O.
+      nulls: Long = -1L,
+      sum: Option[String] = None)
 
   /** `statsCols` entries are either plain column names (per-file
     * min/max interval stats) or `bloom:col` (a per-file Bloom filter

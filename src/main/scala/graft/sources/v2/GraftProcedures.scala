@@ -269,8 +269,26 @@ private[v2] class GraftProcedures(
     }
   }
 
+  private val analyze = new Proc("analyze",
+    "Record (or refresh) per-file column stats for the current " +
+    "version as one metadata commit — enables manifest-level " +
+    "skipping, Bloom pruning, and manifest-answered aggregates " +
+    "(COUNT/MIN/MAX/SUM) without rewriting data. Columns is a " +
+    "comma-separated list; bloom:c records a per-file Bloom filter",
+    Seq(in("table", StringType), in("columns", StringType)),
+    StructType(Seq(StructField("version", LongType),
+      StructField("files", LongType)))) {
+    override def exec(spark: SparkSession, a: InternalRow): Seq[Any] = {
+      val cols = a.getUTF8String(1).toString
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val (v, files) = Merge.analyzeTable(spark,
+        mutablePath(a.getUTF8String(0).toString), cols)
+      Seq(v, files.toLong)
+    }
+  }
+
   val all: Map[String, UnboundProcedure] =
     Seq(compact, vacuum, vacuumRetain, restore, createTag, deleteTag,
-        relayout, clone_, transactCompact, copyInto)
+        relayout, clone_, transactCompact, copyInto, analyze)
       .map(p => p.name -> (p: UnboundProcedure)).toMap
 }

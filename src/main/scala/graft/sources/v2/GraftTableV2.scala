@@ -10,12 +10,12 @@ import org.apache.spark.sql.{Column, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit, not}
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DataSourceV2 BATCH CONNECTOR for versioned [[Merge]] tables — the
@@ -541,6 +541,36 @@ class GraftScanBuilder(path: String, version: Long, dataSchema: StructType)
         nameOf(m.column()).flatMap { c =>
           Merge.versionColumnBounds(spark, path, version, c).map { b =>
             (StructField(s"max($c)", dataSchema(c).dataType), b._2.orNull)
+          }
+        }
+      // COUNT(col) = Σ per-file (rows - nulls); SUM(col) = Σ per-file
+      // exact integral sums (decimal-summed at write). Both decline
+      // under live DVs — a deleted row's nullness/value is unknown to
+      // the manifest (r16: [[Merge.versionColumnAggStats]]).
+      case c: Count if !c.isDistinct =>
+        nameOf(c.column()).flatMap { n =>
+          Merge.versionColumnAggStats(spark, path, version, n).map {
+            case (nonNull, _) =>
+              (StructField(s"count($n)", LongType, nullable = false),
+                nonNull: Any)
+          }
+        }
+      case s: Sum if !s.isDistinct =>
+        nameOf(s.column()).flatMap { n =>
+          dataSchema(n).dataType match {
+            // Spark's SUM over integral inputs is a (nullable) BIGINT;
+            // a total outside Long range declines rather than wrapping
+            case ByteType | ShortType | IntegerType | LongType =>
+              Merge.versionColumnAggStats(spark, path, version, n)
+                .flatMap {
+                  case (0L, _) => // SQL: sum over zero non-null rows
+                    Some((StructField(s"sum($n)", LongType), null: Any))
+                  case (_, Some(total)) if total.isValidLong =>
+                    Some((StructField(s"sum($n)", LongType),
+                      java.lang.Long.valueOf(total.toLong): Any))
+                  case _ => None
+                }
+            case _ => None
           }
         }
       case _ => None

@@ -203,6 +203,54 @@ class DeletionVectorSpec extends SparkSpec {
     assert(Merge.readKeyed(spark, path).count() == 80L)
   }
 
+  test("merge-on-read upsert: NO data file rewritten — old images " +
+      "vectored, batch appended; every read path agrees; CDF emits " +
+      "-1/+1; narrower contracts refuse loudly") {
+    val path = freshDir("mor")
+    Merge.writeKeyed(baseDf, path, "id", nBuckets = 4,
+      statsCols = Seq("id"))
+    val before = dataFiles(path)
+    val batch = Seq((5L, "upd_5", 5.5), (13L, "upd_13", 13.5),
+      (1000L, "new_1000", 1.0)).toDF("id", "name", "score")
+    val st = Merge.upsertDV(spark, path, batch, "id", 4)
+    assert(st.rowsUpserted == 3 && st.rowsDeleted == 2 &&
+      st.version == 1L, s"got $st")
+    val after = dataFiles(path)
+    assert(before.forall { case (f, m) => after.get(f).contains(m) },
+      "merge-on-read upsert must not rewrite any existing data file")
+    assert(after.size > before.size, "the batch must land as new files")
+    val cur = Merge.readKeyed(spark, path)
+    assert(cur.count() == 101L)
+    assert(cur.filter($"id" === 5L).collect().map(_.getAs[String]("name"))
+      .toSeq == Seq("upd_5"))
+    assert(cur.filter($"id" === 1000L).count() == 1L)
+    // exact manifest count: gross (old files keep entries) minus DV
+    assert(Merge.versionRowCount(spark, path, 1L).contains(101L))
+    // the change feed reads the update as -1 old image / +1 new image
+    val feed = Merge.changesBetween(spark, path, 0L, 1L)
+      .select("id", "op").as[(Long, Int)].collect().sorted.toSeq
+    assert(feed == Seq((5L, -1), (5L, 1), (13L, -1), (13L, 1),
+      (1000L, 1)))
+    // re-upserting a key vectors exactly the live image (the find
+    // scan is DV-filtered): still one row after
+    Merge.upsertDV(spark, path,
+      Seq((5L, "upd2_5", 5.9)).toDF("id", "name", "score"), "id", 4)
+    assert(Merge.lookupKey(spark, path, 5L).collect()
+      .map(_.getAs[String]("name")).toSeq == Seq("upd2_5"))
+    assert(Merge.readKeyed(spark, path).count() == 101L)
+    // compaction folds it all back to pure data files
+    Merge.compactVersion(spark, path)
+    assert(Merge.readKeyed(spark, path).count() == 101L)
+    assert(Merge.lookupKey(spark, path, 5L).collect()
+      .map(_.getAs[String]("name")).toSeq == Seq("upd2_5"))
+    // no schema evolution on the merge-on-read path
+    intercept[IllegalArgumentException] {
+      Merge.upsertDV(spark, path,
+        Seq((1L, "x", 1.0, true)).toDF("id", "name", "score", "extra"),
+        "id", 4)
+    }
+  }
+
   test("compaction folds DVs TARGETED: only DV-touched buckets " +
       "rewrite; fully-inert sidecars drop with a metadata-only commit") {
     val path = freshDir("purge")

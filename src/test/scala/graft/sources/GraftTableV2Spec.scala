@@ -335,6 +335,103 @@ class GraftTableV2Spec extends SparkSpec {
     assert(agg3.as[Long].head() == 50L)
   }
 
+  test("COUNT(col)/SUM(col) pushdown: null counts and exact integral " +
+      "sums answer from the manifest; non-integral, DV-bearing, and " +
+      "Long-overflow cases fall back; all-null sums to SQL NULL") {
+    // ids 0..199; v null on multiples of 10 (20 nulls), else id*3;
+    // dead always null — its SUM must come back NULL, its COUNT 0
+    val df = (0L until 200L).map(i =>
+        (i, if (i % 10 == 0) None else Some(i * 3L), None: Option[Long],
+          i * 1.5))
+      .toDF("id", "v", "dead", "d")
+    val path = new File(freshDir("aggsum"), "tbl").getAbsolutePath
+    Merge.writeKeyed(df, path, "id", nBuckets = 4,
+      statsCols = Seq("id", "v", "dead", "d"))
+    val rd = spark.read.format("graft-table").option("path", path).load()
+    val agg = rd.agg(count($"v").as("nv"), sum($"v").as("sv"),
+      count($"dead").as("nd"), sum($"dead").as("sd"),
+      count(lit(1)).as("n"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.matches("(?s).*(Hash|Sort)Aggregate.*") &&
+      plan.contains("PushedAggregates"),
+      s"count(col)/sum(col) must be manifest-answered:\n$plan")
+    val row = agg.collect()(0)
+    assert(row.getAs[Long]("nv") == 180L && row.getAs[Long]("n") == 200L)
+    assert(row.getAs[Long]("sv") ==
+      (0L until 200L).filter(_ % 10 != 0).map(_ * 3L).sum)
+    assert(row.getAs[Long]("nd") == 0L && row.isNullAt(row.fieldIndex("sd")),
+      "an all-null column counts 0 and sums to SQL NULL")
+    // SUM over a DOUBLE column must NOT push (FP addition order)
+    val dAgg = rd.agg(sum($"d"))
+    assert(dAgg.queryExecution.executedPlan.toString
+      .matches("(?s).*(Hash|Sort)Aggregate.*"))
+    assert(dAgg.as[Double].head() == (0L until 200L).map(_ * 1.5).sum)
+    // live DVs: a deleted row's nullness/value is unknown — fall back
+    Merge.deleteWhereDV(spark, path, $"id" === 7L)
+    val rd2 = spark.read.format("graft-table").option("path", path).load()
+    val dvAgg = rd2.agg(count($"v").as("nv"), sum($"v").as("sv"))
+    assert(dvAgg.queryExecution.executedPlan.toString
+      .matches("(?s).*(Hash|Sort)Aggregate.*"),
+      "count(col)/sum(col) must decline under live deletion vectors")
+    val dvRow = dvAgg.collect()(0)
+    assert(dvRow.getAs[Long]("nv") == 179L &&
+      dvRow.getAs[Long]("sv") ==
+        (0L until 200L).filter(i => i % 10 != 0 && i != 7L).map(_ * 3L).sum)
+    // a sum beyond Long range declines instead of wrapping
+    val bigPath = new File(freshDir("aggovf"), "tbl").getAbsolutePath
+    Merge.writeKeyed(
+      (0L until 4L).map(i => (i, Long.MaxValue / 2)).toDF("id", "v"),
+      bigPath, "id", nBuckets = 2, statsCols = Seq("id", "v"))
+    val ovf = spark.read.format("graft-table").option("path", bigPath)
+      .load().agg(sum($"v"))
+    assert(ovf.queryExecution.executedPlan.toString
+      .matches("(?s).*(Hash|Sort)Aggregate.*"),
+      "a Long-overflowing manifest sum must decline, not wrap")
+  }
+
+  test("ANALYZE records stats as one metadata commit: agg pushdown " +
+      "lights up on a stats-less table, logical names survive a " +
+      "rename, and live DVs decline loudly") {
+    val path = new File(freshDir("analyze"), "tbl").getAbsolutePath
+    Merge.writeKeyed(baseDf, path, "id", nBuckets = 4) // NO statsCols
+    // rename first: analyze must record stats under LOGICAL names
+    Merge.renameColumn(spark, path, "score", "points")
+    val rd0 = spark.read.format("graft-table").option("path", path).load()
+    assert(rd0.agg(count(lit(1))).queryExecution.executedPlan.toString
+      .matches("(?s).*(Hash|Sort)Aggregate.*"),
+      "without stats the aggregate must plan a real scan")
+    val (v, n) = Merge.analyzeTable(spark, path, Seq("id", "points"))
+    assert(v == 2L && n == 4)
+    val rd = spark.read.format("graft-table").option("path", path).load()
+    val agg = rd.agg(count(lit(1)).as("n"), count($"points").as("np"),
+      sum($"id").as("si"), min($"points").as("mn"),
+      max($"points").as("mx"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates") &&
+      !plan.matches("(?s).*(Hash|Sort)Aggregate.*"),
+      s"post-analyze aggregates must be manifest-answered:\n$plan")
+    val row = agg.collect()(0)
+    assert(row.getAs[Long]("n") == 200L && row.getAs[Long]("np") == 200L)
+    assert(row.getAs[Long]("si") == (0L until 200L).sum)
+    assert(row.getAs[Double]("mn") == 0.0 &&
+      row.getAs[Double]("mx") == 1990.0)
+    // the stats also prune: a bounded filter reads a file subset
+    assert(rd.filter($"id" === 13L).count() == 1L)
+    // live DVs decline (stats must stay gross for the count adjust)
+    Merge.deleteWhereDV(spark, path, $"id" === 3L)
+    intercept[IllegalArgumentException] {
+      Merge.analyzeTable(spark, path, Seq("id"))
+    }
+    // after compaction folds the vectors, analyze works again
+    Merge.compactVersion(spark, path)
+    val (v2, _) = Merge.analyzeTable(spark, path, Seq("id", "points"))
+    val rd2 = spark.read.format("graft-table").option("path", path).load()
+    val cnt = rd2.agg(count(lit(1)).as("n"))
+    assert(cnt.queryExecution.executedPlan.toString
+      .contains("PushedAggregates"))
+    assert(cnt.as[Long].head() == 199L && v2 > v)
+  }
+
   test("MIN/MAX pushdown survives DVs that cannot attain the extremes: " +
       "deletes confined to non-extreme files keep the manifest answer; " +
       "a delete touching an extreme-attaining file still declines") {

@@ -668,6 +668,68 @@ class MergeSpec extends SparkSpec {
       .sameElements(after))
   }
 
+  test("streamingUpsertDV: merge-on-read micro-batches — one version " +
+      "per batch, NO base data file rewritten, txn watermark blocks " +
+      "a wiped-checkpoint replay") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("graft_merge_mor_stream").toFile
+    dir.deleteOnExit()
+    val path = new File(dir, "tbl").getAbsolutePath
+    val in = new File(dir, "in"); in.mkdirs()
+    val ckpt = new File(dir, "ckpt").getAbsolutePath
+    val base = (0L until 40L).map(i => (i, "base")).toDF("id", "v")
+    Merge.writeKeyed(base, path, "id", nBuckets = 4,
+      statsCols = Seq("id")) // rows recorded: versionRowCount is exact
+    def dataFiles(): Map[String, Long] = {
+      def walk(f: File): Seq[File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new File(path)).filter(f => f.getPath.contains("__bucket=") &&
+          f.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = dataFiles()
+    Seq((0, Seq((1L, "b0a"), (50L, "b0b"))), (1, Seq((1L, "b1"))))
+      .foreach { case (i, rows) =>
+        val stage = new File(dir, s"stage_$i")
+        rows.toDF("id", "v").coalesce(1)
+          .write.mode("overwrite").parquet(stage.getAbsolutePath)
+        val part = stage.listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dest = new File(in, s"b$i.parquet")
+        assert(part.renameTo(dest))
+        dest.setLastModified(1700000000000L + i * 60000L)
+      }
+    def drain(): Unit = {
+      val q = Merge.streamingUpsertDV(
+        spark.readStream.schema(base.schema)
+          .option("maxFilesPerTrigger", 1).parquet(in.getAbsolutePath),
+        path, "id", 4, ckpt, "mor-stream-spec")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(Merge.currentVersion(spark, path) == 2L)
+    // every base file byte-untouched: both batches landed append-only
+    val after = dataFiles()
+    assert(before.forall { case (f, m) => after.get(f).contains(m) },
+      "merge-on-read micro-batches must not rewrite base data files")
+    assert(Merge.readKeyed(spark, path)
+      .filter($"id" === 1L).select("v").as[String].collect().toSeq
+      == Seq("b1"),
+      "the second batch's image must win (the first is vectored)")
+    assert(Merge.readKeyed(spark, path).count() == 41)
+    assert(Merge.versionRowCount(spark, path, 2L).contains(41L))
+    // wiped checkpoint: the txn watermark blocks the double-apply
+    def rm(f: File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(new File(ckpt))
+    drain()
+    assert(Merge.currentVersion(spark, path) == 2L,
+      "replayed batches must hit the txn watermark and change nothing")
+    assert(Merge.readKeyed(spark, path).count() == 41)
+  }
+
   test("tombstone upsert: one commit applies updates, inserts, deletes") {
     val path = freshDir("tomb")
     val base = (0L until 100L).map(i => (i, i * 10.0)).toDF("id", "score")

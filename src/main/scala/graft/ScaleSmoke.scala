@@ -497,6 +497,36 @@ object ScaleSmoke {
         }
     }
 
+    // ---- r16 MERGE-ON-READ UPSERT: the same fixed ~0.1% batch as
+    // merge_upsert, landed without rewriting a data file — old images
+    // vectored + batch-sized appends. Must be ≤ the copy-on-write
+    // upsert and flat-ish across table sizes (cost ∝ batch + touched-
+    // bucket FIND scan, never bucket rewrites).
+    Seq(("1x", docs, 64), (s"${factor}x", inflated, 64 * factor)).foreach {
+      case (tag, d, buckets) =>
+        println(s"--- $tag upsert_dv (nBuckets=$buckets)")
+        val path = s"/tmp/graft_scale_mor_$tag"
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(path))
+        graft.sources.Merge.writeKeyed(d, path, "doc_id", buckets,
+          statsCols = Seq("doc_id"))
+        val batch = d.filter(col("doc_id") % 997 === 0)
+          .withColumn("text", concat(col("text"), lit(" mor")))
+          .localCheckpoint(true)
+        timed(s"upsert_dv")({
+          val st = graft.sources.Merge.upsertDV(spark, path, batch,
+            "doc_id", buckets)
+          println(s"SCALE   mor-upserted ${st.rowsUpserted} rows, " +
+            s"${st.rowsDeleted} vectored, 0 files rewritten")
+        })
+        // the fold this write shape defers to: targeted purge
+        timed(s"upsert_dv_fold")({
+          val cs = graft.sources.Merge.compactVersion(spark, path)
+          println(s"SCALE   folded ${cs.bucketsRewritten}/$buckets " +
+            "buckets")
+        })
+    }
+
     // ---- r16 COMPOSITE-KEY (grid) SPJ: two tables on the same
     // (shard, doc_id) grid join on BOTH columns exchange-free AND
     // sort-free (tuple-sorted cells) vs the shuffled control. The grid

@@ -1145,6 +1145,63 @@ object SparkEntry {
       graft.sources.Merge.readKeyed(s, path)
         .select("id", "name", "price").orderBy("id")
     }),
+    "q_sql_mor" -> ((s, dir) => {
+      // MERGE-ON-READ SQL DML (session opt-in
+      // spark.graft.dml.mergeOnRead): UPDATE, a translatable DELETE,
+      // and a no-delete-branch MERGE all land as deletion vectors +
+      // appends — across THREE statements, not one pre-existing data
+      // file is rewritten. The CDC posture from plain SQL: statement
+      // cost ∝ its change set; compaction's targeted purge folds on
+      // schedule. Read-back ≡ the oracle composing the three
+      // statements' effect.
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val root = new java.io.File(scratchRoot, s"graft_sqlmor_$sf")
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      val cat = s"gsqlmor_$sf"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root.getAbsolutePath)
+      val path = new java.io.File(root, "parts").getAbsolutePath
+      graft.sources.Merge.writeKeyed(
+        t(s, dir, "part").selectExpr("p_partkey AS id",
+          "p_name AS name", "p_retailprice AS price"),
+        path, "id", 16, statsCols = Seq("id"))
+      def dataFiles(): Map[String, Long] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+          else Seq(f)
+        walk(new java.io.File(path))
+          .filter(f => f.getPath.contains("__bucket=") &&
+            f.getName.endsWith(".parquet"))
+          .map(f => f.getPath -> f.lastModified()).toMap
+      }
+      val before = dataFiles()
+      s.conf.set("spark.graft.dml.mergeOnRead", "true")
+      try {
+        s.sql(s"UPDATE $cat.parts SET price = price + 1 " +
+          "WHERE id % 50 = 0")
+        s.sql(s"DELETE FROM $cat.parts WHERE id <= 40")
+        val src = s"graft_sqlmor_src_$sf"
+        s.sql(s"SELECT id, concat('m_', name) AS name, price " +
+            s"FROM $cat.parts WHERE id % 77 = 0")
+          .unionByName(s.range(1, 6).selectExpr(
+            "9000000 + id AS id", "concat('mi_', id) AS name",
+            "CAST(id AS DOUBLE) AS price"))
+          .localCheckpoint().createOrReplaceTempView(src)
+        s.sql(s"""MERGE INTO $cat.parts t USING $src u ON t.id = u.id
+          WHEN MATCHED THEN UPDATE SET name = u.name
+          WHEN NOT MATCHED THEN INSERT (id, name, price)
+            VALUES (u.id, u.name, u.price)""")
+        val after = dataFiles()
+        require(before.forall { case (f, m) =>
+            after.get(f).contains(m) },
+          "three merge-on-read DML statements must rewrite NOTHING")
+        require(graft.sources.Merge.currentVersion(s, path) == 3L,
+          "each statement must land as exactly one commit")
+        s.sql(s"SELECT id, name, price FROM $cat.parts ORDER BY id")
+          .localCheckpoint()
+      } finally s.conf.unset("spark.graft.dml.mergeOnRead")
+    }),
     "q_analyze" -> ((s, dir) => {
       // ANALYZE TABLE: an existing table WITHOUT recorded stats opts
       // into manifest-answered aggregates with ONE metadata commit
@@ -7549,6 +7606,24 @@ object SparkEntry {
            SELECT 9000000 + i AS id, concat('new_', i) AS name,
                   CAST(i AS DOUBLE) AS price
            FROM range(1, 11) t(i))
+         ORDER BY id""",
+    // UPDATE, DELETE, MERGE composed — all landed merge-on-read
+    "q_sql_mor" ->
+      """WITH u AS (SELECT p_partkey AS id, p_name AS name,
+                           CASE WHEN p_partkey % 50 = 0
+                                THEN p_retailprice + 1
+                                ELSE p_retailprice END AS price
+                    FROM part),
+            d AS (SELECT * FROM u WHERE id > 40)
+         SELECT id,
+                CASE WHEN id % 77 = 0 THEN concat('m_', name)
+                     ELSE name END AS name,
+                price
+         FROM d
+         UNION ALL
+         SELECT 9000000 + i AS id, concat('mi_', i) AS name,
+                CAST(i AS DOUBLE) AS price
+         FROM range(1, 6) t(i)
          ORDER BY id""",
     // post-ANALYZE manifest answers ≡ the real aggregation
     "q_analyze" ->

@@ -186,6 +186,33 @@ case class GraftDeleteCommand(table: LogicalPlan, graft: GraftTable,
 
 private[v2] object GraftDml {
 
+  /** Session opt-in (`spark.graft.dml.mergeOnRead = true`): route SQL
+    * UPDATE / MERGE (no DELETE branches) / translatable DELETE through
+    * the MERGE-ON-READ write path — old images deletion-vectored,
+    * change sets appended, NO data file rewritten ([[Merge.upsertDV]]/
+    * [[Merge.deleteWhereDV]]) — instead of copy-on-write bucket
+    * rewrites. The CDC-steady-state posture: per-statement cost ∝ the
+    * change set, with compaction's targeted purge folding on a
+    * maintenance schedule. Statements outside the merge-on-read
+    * surface (delete branches in MERGE, identity/generated columns,
+    * untranslatable DELETE predicates) FALL BACK to copy-on-write —
+    * same result, different write amplification — never an error.
+    */
+  def mergeOnRead(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.dml.mergeOnRead").contains("true")
+
+  /** upsertDV's narrower surface: identity minting and generated-
+    * column recomputation belong to the copy-on-write upsert.
+    */
+  def morEligible(schema: org.apache.spark.sql.types.StructType)
+      : Boolean = {
+    val idn = org.apache.spark.sql.catalyst.util.IdentityColumn
+    schema.fields.forall(f =>
+      !f.metadata.contains(idn.IDENTITY_INFO_START) &&
+        !f.metadata.contains(org.apache.spark.sql.catalyst.util
+          .GeneratedColumn.GENERATION_EXPRESSION_METADATA_KEY))
+  }
+
   /** Assignment keys by target-attribute id; nested-field assignment
     * (`SET s.a = 1`) is refused — graft schema evolution and column
     * semantics are top-level.
@@ -253,8 +280,15 @@ case class GraftUpdateCommand(table: LogicalPlan, graft: GraftTable,
       // (bucket counts, the anti-join, the staged write), and each
       // evaluation would otherwise re-run the full find scan
       .localCheckpoint()
-    try Merge.upsert(spark, graft.path, updated, keyCol, nBuckets)
-    finally updated.unpersist(blocking = false)
+    try {
+      // UPDATE's change set is exactly upsertDV's shape: new images of
+      // existing rows, table schema, no tombstones — merge-on-read
+      // lands it without rewriting a file when the session opts in
+      if (GraftDml.mergeOnRead(spark) &&
+          GraftDml.morEligible(graft.schema()))
+        Merge.upsertDV(spark, graft.path, updated, keyCol, nBuckets)
+      else Merge.upsert(spark, graft.path, updated, keyCol, nBuckets)
+    } finally updated.unpersist(blocking = false)
     Seq.empty
   }
 }
@@ -391,8 +425,22 @@ case class GraftMergeCommand(m: MergeIntoTable, graft: GraftTable)
         "more than once (multiple source rows matched one target row, " +
         "or an INSERT collides with an updated key) — deduplicate the " +
         "source or tighten the ON condition")
-      Merge.upsert(spark, graft.path, changes.drop(KCH), keyCol, nBuckets,
-        tombstoneCol = Some(DEL))
+      // a MERGE with no DELETE branch is updates + inserts — exactly
+      // upsertDV's shape, so the merge-on-read session opt-in lands it
+      // append-only; delete branches keep the tombstone dialect
+      // (copy-on-write), which handles image-less keys
+      val hasDelete =
+        (m.matchedActions ++ m.notMatchedBySourceActions).exists {
+          case _: DeleteAction => true
+          case _ => false
+        }
+      if (!hasDelete && GraftDml.mergeOnRead(spark) &&
+          GraftDml.morEligible(graft.schema()))
+        Merge.upsertDV(spark, graft.path, changes.drop(KCH, DEL),
+          keyCol, nBuckets)
+      else
+        Merge.upsert(spark, graft.path, changes.drop(KCH), keyCol,
+          nBuckets, tombstoneCol = Some(DEL))
     } finally changes.unpersist(blocking = false)
     Seq.empty
   }

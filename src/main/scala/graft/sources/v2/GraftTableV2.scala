@@ -337,8 +337,15 @@ class GraftTable(val path: String, val pinnedVersion: Long,
     val spark = SparkSession.active
     val pred = filters.flatMap(GraftTable.filterToColumn)
       .reduceOption(_ && _).getOrElse(lit(true))
-    Merge.deleteWhere(spark, path, pred,
-      bounds = Skipping.impliedBounds(pred))
+    // merge-on-read session opt-in: the delete lands as a deletion-
+    // vector sidecar (zero data files rewritten) instead of the
+    // copy-on-write bucket rewrite — same result, CDC-shaped I/O
+    if (GraftDml.mergeOnRead(spark))
+      Merge.deleteWhereDV(spark, path, pred,
+        bounds = Skipping.impliedBounds(pred))
+    else
+      Merge.deleteWhere(spark, path, pred,
+        bounds = Skipping.impliedBounds(pred))
     ()
   }
 

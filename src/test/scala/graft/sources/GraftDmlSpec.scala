@@ -423,4 +423,68 @@ class GraftDmlSpec extends AnyFunSuite {
     }
     assert(!e.getMessage.contains("graft"))
   }
+
+  test("merge-on-read SQL DML: with spark.graft.dml.mergeOnRead=true " +
+      "UPDATE/DELETE/MERGE rewrite no data file; a MERGE with a " +
+      "DELETE branch falls back to copy-on-write with the same result") {
+    import spark.implicits._
+    val path = freshTable("mor")
+    def dataFiles(): Map[String, Long] = {
+      def walk(f: File): Seq[File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new File(path)).filter(f => f.getPath.contains("__bucket=") &&
+          f.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = dataFiles()
+    spark.conf.set("spark.graft.dml.mergeOnRead", "true")
+    try {
+      spark.sql("UPDATE gmor.t SET name = 'upd' WHERE id = 7")
+      spark.sql("DELETE FROM gmor.t WHERE id >= 170")
+      Seq((3L, "mrg", 3.0), (500L, "ins", 5.0))
+        .toDF("id", "name", "score")
+        .createOrReplaceTempView("sqlmor_src")
+      spark.sql("""MERGE INTO gmor.t t USING sqlmor_src u ON t.id = u.id
+        WHEN MATCHED THEN UPDATE SET name = u.name, score = u.score
+        WHEN NOT MATCHED THEN INSERT (id, name, score)
+          VALUES (u.id, u.name, u.score)""")
+      val after = dataFiles()
+      assert(before.forall { case (f, m) => after.get(f).contains(m) },
+        "merge-on-read DML must not rewrite any pre-existing data file")
+      val t = spark.sql("SELECT * FROM gmor.t")
+      assert(t.count() == 171L) // 200 - 30 deleted + 1 inserted
+      assert(t.filter($"id" === 7L).select("name").as[String].head()
+        == "upd")
+      assert(t.filter($"id" === 3L).select("name").as[String].head()
+        == "mrg")
+      assert(t.filter($"id" === 500L).count() == 1L)
+      // a MERGE with a DELETE branch leaves the merge-on-read surface
+      // and falls back to the tombstone dialect — same result
+      Seq((11L, "del")).toDF("id", "op")
+        .createOrReplaceTempView("sqlmor_del")
+      spark.sql("""MERGE INTO gmor.t t USING sqlmor_del u ON t.id = u.id
+        WHEN MATCHED THEN DELETE""")
+      assert(spark.sql("SELECT * FROM gmor.t WHERE id = 11").count()
+        == 0L)
+      assert(spark.sql("SELECT count(*) FROM gmor.t").as[Long].head()
+        == 170L)
+    } finally spark.conf.unset("spark.graft.dml.mergeOnRead")
+    // conf off: UPDATE goes back to copy-on-write — no NEW deletion
+    // vectors (the old data files stay on disk either way: immutable,
+    // still referenced by retained versions, so a disk listing cannot
+    // distinguish the paths — the sidecar count can)
+    def dvSidecars(): Int = {
+      val d = new File(path, "_graft_dv")
+      def walk(f: File): Seq[File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      if (!d.exists()) 0
+      else walk(d).count(_.getName.endsWith(".parquet"))
+    }
+    val preCow = dvSidecars()
+    spark.sql("UPDATE gmor.t SET name = 'cow' WHERE id = 8")
+    assert(dvSidecars() == preCow,
+      "with the conf off, UPDATE must be copy-on-write — no new DVs")
+    assert(spark.sql("SELECT name FROM gmor.t WHERE id = 8")
+      .as[String].head() == "cow")
+  }
 }

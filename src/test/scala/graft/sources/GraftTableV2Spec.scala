@@ -640,17 +640,26 @@ class GraftTableV2Spec extends SparkSpec {
     val root = freshDir("cat_del")
     val p1 = new File(root, "t").getAbsolutePath
     Merge.writeKeyed(baseDf, p1, "id", nBuckets = 4)
-    spark.conf.set("spark.sql.catalog.gdel", "graft.sources.v2.GraftCatalog")
-    spark.conf.set("spark.sql.catalog.gdel.root", root.getAbsolutePath)
-    spark.sql("DELETE FROM gdel.t WHERE id < 50")
-    assert(spark.sql("SELECT count(*) FROM gdel.t").as[Long].head()
+    // catalog name must be unique ACROSS SUITES: GraftDmlSpec's
+    // freshTable("del") also mints a catalog named "gdel", and when
+    // the suites overlap, whoever resolves the name first pins the
+    // plugin instance with ITS root — the later conf re-point is
+    // silently ignored (the same CatalogManager caching freshTable's
+    // own comment documents within one session)
+    spark.conf.set("spark.sql.catalog.gv2del",
+      "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gv2del.root", root.getAbsolutePath)
+    spark.sql("DELETE FROM gv2del.t WHERE id < 50")
+    assert(spark.sql("SELECT count(*) FROM gv2del.t").as[Long].head()
       == 150L)
-    assert(spark.sql("SELECT min(id) FROM gdel.t").as[Long].head() == 50L)
+    assert(spark.sql("SELECT min(id) FROM gv2del.t").as[Long].head()
+      == 50L)
     assert(Merge.currentVersion(spark, p1) == 1L)
     assert(Merge.readVersion(spark, p1, 0L).count() == 200L,
       "the delete must be a commit, not a reset")
-    spark.sql("TRUNCATE TABLE gdel.t")
-    assert(spark.sql("SELECT count(*) FROM gdel.t").as[Long].head() == 0L)
+    spark.sql("TRUNCATE TABLE gv2del.t")
+    assert(spark.sql("SELECT count(*) FROM gv2del.t").as[Long].head()
+      == 0L)
     assert(Merge.readVersion(spark, p1, 1L).count() == 150L,
       "truncation time-travels like any other commit")
     // a pinned-catalog member refuses SQL DML (transact-only contract)

@@ -1467,6 +1467,65 @@ object SparkEntry {
         "the payload multiset must survive identity minting exactly")
       s.sql(s"SELECT id FROM $cat.t ORDER BY id")
     }),
+    "q_mor_resort" -> ((s, dir) => {
+      // THE MERGE-ON-READ LIFECYCLE CLOSES: a mor upsert drops the
+      // key-sorted contract (appended files overlap old key ranges —
+      // the SPJ merge join re-plans its Sorts, exchange-free either
+      // way), and ONE maintenance pass — compactVersion(resortKey),
+      // a full key-sorted rewrite — folds the DVs AND restores the
+      // sort-free zipper. Required in-gate: the mor commit rewrote
+      // nothing; resort rewrote ALL 16 buckets; the post-resort join
+      // plans SortMergeJoin with NO Exchange and NO Sort. Read-back ≡
+      // the oracle's updated join image.
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val root = new java.io.File(scratchRoot, s"graft_morrs_$sf")
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      val cat = s"gmorrs_$sf"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root.getAbsolutePath)
+      val pa = new java.io.File(root, "a").getAbsolutePath
+      val pb = new java.io.File(root, "b").getAbsolutePath
+      graft.sources.Merge.writeKeyed(
+        t(s, dir, "part").selectExpr("p_partkey AS id",
+          "p_retailprice AS price"), pa, "id", 16)
+      graft.sources.Merge.writeKeyed(
+        t(s, dir, "part").selectExpr("p_partkey AS id",
+          "p_name AS name"), pb, "id", 16)
+      val st = graft.sources.Merge.upsertDV(s, pa,
+        t(s, dir, "part").where("p_partkey % 97 = 0")
+          .selectExpr("p_partkey AS id",
+            "p_retailprice + 1000 AS price"), "id", 16)
+      require(st.rowsDeleted > 0 && st.rowsUpserted > 0,
+        s"the mor upsert must replace real rows: $st")
+      val cs = graft.sources.Merge.compactVersion(s, pa,
+        resortKey = true)
+      require(cs.bucketsRewritten == 16,
+        s"resortKey must rewrite ALL buckets, got $cs")
+      s.conf.set("spark.graft.bucketedScan", "true")
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set(
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val probe = s.sql(s"SELECT a.id, a.price, b.name " +
+          s"FROM $cat.a a JOIN $cat.b b ON a.id = b.id")
+        val plan = probe.queryExecution.executedPlan.toString
+        require(plan.contains("SortMergeJoin") &&
+            !plan.contains("Exchange"),
+          s"the restored join must stay exchange-free:\n$plan")
+        require(!plan.linesIterator.exists(l =>
+            l.contains(" Sort [") && !l.contains("SortMergeJoin")),
+          s"post-resort the zipper must be SORT-FREE again:\n$plan")
+        probe.orderBy("id").localCheckpoint()
+      } finally {
+        s.conf.set("spark.graft.bucketedScan", "false")
+        s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+        s.conf.unset(
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+        s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }),
     "q_spj_join" -> ((s, dir) => {
       // STORAGE-PARTITIONED JOIN (Iceberg's SPJ, the 100 TB fact-fact
       // join move): two graft tables bucketed on the same key with the
@@ -7606,6 +7665,15 @@ object SparkEntry {
            SELECT 9000000 + i AS id, concat('new_', i) AS name,
                   CAST(i AS DOUBLE) AS price
            FROM range(1, 11) t(i))
+         ORDER BY id""",
+    // the post-resort join image ≡ the updated plain join
+    "q_mor_resort" ->
+      """SELECT p_partkey AS id,
+                CASE WHEN p_partkey % 97 = 0
+                     THEN p_retailprice + 1000
+                     ELSE p_retailprice END AS price,
+                p_name AS name
+         FROM part
          ORDER BY id""",
     // UPDATE, DELETE, MERGE composed — all landed merge-on-read
     "q_sql_mor" ->

@@ -3908,11 +3908,15 @@ object Merge {
   def compactVersion(spark: SparkSession, path: String,
       targetFilesPerBucket: Int = 1, maxRetries: Int = 5,
       clusterBy: Seq[String] = Seq.empty,
-      zOrderBy: Seq[String] = Seq.empty, zBits: Int = 16): CompactStats = {
+      zOrderBy: Seq[String] = Seq.empty, zBits: Int = 16,
+      resortKey: Boolean = false): CompactStats = {
     require(targetFilesPerBucket >= 1, "targetFilesPerBucket must be >= 1")
     require(clusterBy.isEmpty || zOrderBy.isEmpty,
       "clusterBy (linear) and zOrderBy (Morton) are exclusive — pick the " +
       "layout that matches the query mix")
+    require(!resortKey || (clusterBy.isEmpty && zOrderBy.isEmpty),
+      "resortKey restores the KEY-sorted layout — contradictory with " +
+      "a clusterBy/zOrder rewrite, which sorts by other columns")
     val (fs, root) = fsFor(spark, path)
     var attempt = 0
     while (true) {
@@ -3935,8 +3939,12 @@ object Merge {
       val dvTouched: Set[Long] =
         if (parent.dvFiles.isEmpty) Set.empty
         else dvDeletedPerFile(spark, root, parent).keySet.map(bucketOf)
+      // resortKey forces a FULL key-sorted rewrite — how a table whose
+      // bucket-level order broke (merge-on-read appends overlap the
+      // old files' key ranges, so upsertDV drops keySorted) restores
+      // the sort-free SPJ zipper in one maintenance pass
       val toRewrite =
-        if (clusterBy.nonEmpty || zOrderBy.nonEmpty) byBucket
+        if (clusterBy.nonEmpty || zOrderBy.nonEmpty || resortKey) byBucket
         else byBucket.filter { case (b, fls) =>
           dvTouched.contains(b) ||
             fls.size > targetFilesPerBucket ||
@@ -4040,9 +4048,15 @@ object Merge {
             // a clusterBy/zOrder rewrite sorts files by the CLUSTER
             // columns, not the key — the sorted-scan contract breaks
             // until a full key-sorted rewrite restores it. A plain
-            // compact sorts its rewrites by key and carries the rest.
+            // compact sorts its rewrites by key and carries the rest;
+            // when it rewrote EVERY bucket (resortKey, or they all
+            // exceeded target), the whole table is freshly key-sorted
+            // and the flag flips TRUE — the restore path after
+            // merge-on-read upserts dropped it.
             keySorted =
               if (clusterBy.nonEmpty || zOrderBy.nonEmpty) false
+              else if (toRewrite.size == byBucket.size &&
+                  sortKeysOf(parent).nonEmpty) true
               else parent.keySorted,
             layoutCols = parent.layoutCols, layoutNs = parent.layoutNs),
           parent = Some(parent), touched = Some(toRewrite.keySet.toSet))

@@ -81,10 +81,13 @@ private[v2] class GraftProcedures(
 
   private val compact = new Proc("compact",
     "Rewrite over-fragmented buckets (optionally Z-ORDER clustering " +
-    "them) into one new version with identical rows",
+    "them, or resort_key => true for a full key-sorted rewrite that " +
+    "restores the sort-free merge-join layout) into one new version " +
+    "with identical rows",
     Seq(in("table", StringType),
       inDefault("files_per_bucket", IntegerType, "1"),
-      inDefault("zorder_by", StringType, "''")),
+      inDefault("zorder_by", StringType, "''"),
+      inDefault("resort_key", BooleanType, "false")),
     StructType(Seq(StructField("version", LongType),
       StructField("buckets_rewritten", LongType),
       StructField("files_before", LongType),
@@ -94,7 +97,8 @@ private[v2] class GraftProcedures(
         .split(",").map(_.trim).filter(_.nonEmpty).toSeq
       val st = Merge.compactVersion(spark,
         mutablePath(a.getUTF8String(0).toString),
-        targetFilesPerBucket = a.getInt(1), zOrderBy = z)
+        targetFilesPerBucket = a.getInt(1), zOrderBy = z,
+        resortKey = a.getBoolean(3))
       Seq(st.version, st.bucketsRewritten.toLong, st.filesBefore.toLong,
         st.filesAfter.toLong)
     }

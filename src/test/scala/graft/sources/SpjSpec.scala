@@ -429,6 +429,49 @@ class SpjSpec extends SparkSpec {
     plan.linesIterator.count(l =>
       l.contains(" Sort [") && !l.contains("SortMergeJoin"))
 
+  test("merge-on-read upsert drops the sorted contract (Sorts " +
+      "re-plan, join stays exchange-free); compactVersion(resortKey) " +
+      "restores the sort-free zipper") {
+    val (cat, root) = mkCatalog("morsort")
+    val pa = new File(root, "a").getAbsolutePath
+    val pb = new File(root, "b").getAbsolutePath
+    Merge.writeKeyed(spark.range(200)
+      .selectExpr("id", "cast(id as double) AS v").toDF(), pa, "id", 4)
+    Merge.writeKeyed(spark.range(200)
+      .selectExpr("id", "concat('n', id) AS name").toDF(), pb, "id", 4)
+    withSpj {
+      def plan(): String = spark.sql(
+        s"SELECT a.id, a.v, b.name FROM $cat.a a JOIN $cat.b b " +
+        "ON a.id = b.id").queryExecution.executedPlan.toString
+      val p0 = plan()
+      assert(!p0.contains("Exchange") && sortNodes(p0) == 0,
+        s"baseline co-bucketed join must be exchange- AND sort-free:\n$p0")
+      // merge-on-read upsert: appended files overlap the old key
+      // ranges, so the sorted contract drops — Sorts re-plan, the
+      // partitioning (and the exchange-free join) survives
+      Merge.upsertDV(spark, pa,
+        spark.range(5, 6).selectExpr("id", "cast(555.5 as double) AS v")
+          .toDF(), "id", 4)
+      val p1 = plan()
+      assert(!p1.contains("Exchange"),
+        s"the mor-upserted side must keep SPJ:\n$p1")
+      assert(sortNodes(p1) > 0,
+        s"overlapping appended files must re-plan the Sorts:\n$p1")
+      assert(spark.sql(s"SELECT v FROM $cat.a WHERE id = 5")
+        .as[Double].head() == 555.5)
+      // one maintenance pass: full key-sorted rewrite restores the flag
+      val cs = Merge.compactVersion(spark, pa, resortKey = true)
+      assert(cs.bucketsRewritten == 4, s"resortKey rewrites ALL: $cs")
+      val p2 = plan()
+      assert(!p2.contains("Exchange") && sortNodes(p2) == 0,
+        s"post-resort the zipper must be sort-free again:\n$p2")
+      val j = spark.sql(s"SELECT a.id, a.v FROM $cat.a a " +
+        s"JOIN $cat.b b ON a.id = b.id WHERE a.id = 5")
+        .as[(Long, Double)].head()
+      assert(j == ((5L, 555.5)))
+    }
+  }
+
   test("key-sorted scan: the co-bucketed merge join plans with no " +
       "Exchange AND no Sort; a zOrder rewrite brings the Sorts back") {
     val (cat, root) = mkCatalog("sorted")

@@ -1082,18 +1082,24 @@ object SparkEntry {
       val part = t(s, dir, "part").selectExpr("p_partkey AS id",
         """CASE WHEN p_partkey % 10 = 0 THEN CAST(NULL AS BIGINT)
            ELSE CAST(round(p_retailprice * 100, 0) AS BIGINT)
-           END AS cents""")
+           END AS cents""",
+        "CAST(round(p_retailprice, 2) AS DECIMAL(12,2)) AS price_dec")
       graft.sources.Merge.writeKeyed(part, path, "id",
-        nBuckets = 16, statsCols = Seq("id", "cents"))
+        nBuckets = 16, statsCols = Seq("id", "cents", "price_dec"))
       val agg = s.read.format("graft-table").option("path", path).load()
         .agg(count(lit(1)).as("n_rows"),
           count(col("cents")).as("n_cents"),
           sum(col("cents")).as("sum_cents"),
+          // decimal sums push too — exact at the column's scale (the
+          // cast to double happens ABOVE the pushed aggregate, for
+          // engine-neutral hashing only)
+          sum(col("price_dec")).cast("double").as("sum_dec"),
           min(col("id")).as("min_id"),
           max(col("id")).as("max_id"))
       val plan = agg.queryExecution.executedPlan.toString
       require(plan.contains("PushedAggregates") &&
           plan.contains("SUM(cents)") &&
+          plan.contains("SUM(price_dec)") &&
           !plan.contains("HashAggregate") &&
           !plan.contains("SortAggregate"),
         s"count/sum must be manifest-answered, got plan:\n$plan")
@@ -7642,6 +7648,7 @@ object SparkEntry {
       """SELECT count(*) AS n_rows,
                 count(cents) AS n_cents,
                 CAST(sum(cents) AS BIGINT) AS sum_cents,
+                CAST(sum(price_dec) AS DOUBLE) AS sum_dec,
                 min(id) AS min_id,
                 max(id) AS max_id
          FROM (SELECT p_partkey AS id,
@@ -7649,7 +7656,9 @@ object SparkEntry {
                            THEN CAST(NULL AS BIGINT)
                            ELSE CAST(round(p_retailprice * 100, 0)
                                      AS BIGINT)
-                      END AS cents
+                      END AS cents,
+                      CAST(round(p_retailprice, 2) AS DECIMAL(12,2))
+                        AS price_dec
                FROM part)""",
     // the merge-on-read image ≡ updated existing rows + inserted rows
     "q_upsert_dv" ->

@@ -1230,18 +1230,26 @@ object Merge {
     val bloomCols = bloomSpecs.map(Skipping.bloomBase).distinct
     (rangeCols ++ bloomCols).foreach(c => require(df.columns.contains(c),
       s"stats column $c not in ${df.columns.mkString(", ")}"))
-    // integral stats columns also record an EXACT per-file sum (summed
-    // as decimal(38,0), so no overflow at any file size) — what lets
-    // SUM(col) answer from the manifest like COUNT/MIN/MAX
+    // integral AND decimal stats columns also record an EXACT per-file
+    // sum (integrals summed as decimal(38,0) so no overflow at any
+    // file size; decimals keep their scale — a per-file overflow of
+    // decimal(38,s) nulls the entry, which reads as "unknown" and
+    // soundly declines the pushdown) — what lets SUM(col) answer from
+    // the manifest like COUNT/MIN/MAX. Floats stay out: their sum
+    // depends on addition order.
     val sumCols = rangeCols.filter(c => df.schema(c).dataType match {
       case ByteType | ShortType | IntegerType | LongType => true
+      case _: DecimalType => true
       case _ => false
     })
+    def sumAgg(c: String) = df.schema(c).dataType match {
+      case _: DecimalType => sum(col(c))
+      case _ => sum(col(c).cast(DecimalType(38, 0)))
+    }
     val aggs = rangeCols.flatMap(c =>
       Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c"),
         count(col(c)).as(s"__nn_$c"))) ++
-      sumCols.map(c => sum(col(c).cast(DecimalType(38, 0)))
-        .as(s"__sm_$c")) ++
+      sumCols.map(c => sumAgg(c).as(s"__sm_$c")) ++
       bloomCols.map(c => org.apache.spark.sql.GraftShim.bloomAgg(
         xxhash64(col(c)), Skipping.BloomExpectedItems,
         Skipping.BloomNumBits).as(s"__bf_$c")) :+
@@ -1265,7 +1273,7 @@ object Merge {
             if (!sumCols.contains(c)) None
             else Option(r.get(r.fieldIndex(s"__sm_$c")))
               .map(_.asInstanceOf[java.math.BigDecimal]
-                .toBigInteger.toString))
+                .toPlainString))
       } ++ bloomCols.flatMap { c =>
         Option(r.getAs[Array[Byte]](r.fieldIndex(s"__bf_$c"))).map(b =>
           Skipping.FileStats(s"__bucket=$bucket/$name",
@@ -1686,28 +1694,34 @@ object Merge {
     * no deletion vector is live (a deleted row's nullness and value
     * are unknown to the manifest — unlike COUNT(*), no sidecar job can
     * adjust). The sum is Some only when every file records one
-    * (integral columns) or is provably all-null (contributes 0); a
-    * column with ZERO non-null rows sums to SQL NULL — the caller
-    * checks the count. Zero data I/O: `SELECT count(c), sum(c)` on a
-    * 100 TB table is one driver-side manifest read.
+    * (integral and decimal columns — floats never do: their sum
+    * depends on addition order) or is provably all-null (contributes
+    * 0); a column with ZERO non-null rows sums to SQL NULL — the
+    * caller checks the count. Zero data I/O: `SELECT count(c), sum(c)`
+    * on a 100 TB table is one driver-side manifest read.
     */
   def versionColumnAggStats(spark: SparkSession, path: String,
-      version: Long, column: String): Option[(Long, Option[BigInt])] = {
+      version: Long, column: String)
+      : Option[(Long, Option[java.math.BigDecimal])] = {
     val (_, root) = fsFor(spark, path)
     val m = readManifest(spark, root, version)
     if (!m.statsCols.contains(column)) return None
     if (m.dvFiles.nonEmpty) return None
-    if (m.files.isEmpty) return Some((0L, Some(BigInt(0))))
+    if (m.files.isEmpty)
+      return Some((0L, Some(java.math.BigDecimal.ZERO)))
     val entries = m.stats.filter(e =>
       e.col == column && e.rows >= 0L && e.nulls >= 0L)
       .groupBy(_.file).view.mapValues(_.head).toMap
     if (!m.files.forall(entries.contains)) return None
     val perFile = m.files.map(entries)
     val nonNull = perFile.map(e => e.rows - e.nulls).sum
-    val sums = perFile.map(e => e.sum.map(BigInt(_))
-      .orElse(if (e.nulls == e.rows) Some(BigInt(0)) else None))
+    val sums = perFile.map(e =>
+      e.sum.map(new java.math.BigDecimal(_))
+        .orElse(if (e.nulls == e.rows) Some(java.math.BigDecimal.ZERO)
+          else None))
     val total =
-      if (sums.exists(_.isEmpty)) None else Some(sums.flatten.sum)
+      if (sums.exists(_.isEmpty)) None
+      else Some(sums.flatten.reduce(_.add(_)))
     Some((nonNull, total))
   }
 
@@ -1750,13 +1764,17 @@ object Merge {
               s"stats column $c not in ${df.columns.mkString(", ")}"))
           val sumCols = rangeCols.filter(c => df.schema(c).dataType match {
             case ByteType | ShortType | IntegerType | LongType => true
+            case _: DecimalType => true
             case _ => false
           })
+          def sumAgg(c: String) = df.schema(c).dataType match {
+            case _: DecimalType => sum(col(c))
+            case _ => sum(col(c).cast(DecimalType(38, 0)))
+          }
           val aggs = rangeCols.flatMap(c =>
             Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c"),
               count(col(c)).as(s"__nn_$c"))) ++
-            sumCols.map(c => sum(col(c).cast(DecimalType(38, 0)))
-              .as(s"__sm_$c")) ++
+            sumCols.map(c => sumAgg(c).as(s"__sm_$c")) ++
             bloomCols.map(c => org.apache.spark.sql.GraftShim.bloomAgg(
               xxhash64(col(c)), Skipping.BloomExpectedItems,
               Skipping.BloomNumBits).as(s"__bf_$c")) :+
@@ -1786,7 +1804,7 @@ object Merge {
                   if (!sumCols.contains(c)) None
                   else Option(r.get(r.fieldIndex(s"__sm_$c")))
                     .map(_.asInstanceOf[java.math.BigDecimal]
-                      .toBigInteger.toString))
+                      .toPlainString))
             } ++ bloomCols.flatMap { c =>
               Option(r.getAs[Array[Byte]](r.fieldIndex(s"__bf_$c")))
                 .map(b => Skipping.FileStats(name,

@@ -572,9 +572,28 @@ class GraftScanBuilder(path: String, version: Long, dataSchema: StructType)
                 .flatMap {
                   case (0L, _) => // SQL: sum over zero non-null rows
                     Some((StructField(s"sum($n)", LongType), null: Any))
-                  case (_, Some(total)) if total.isValidLong =>
-                    Some((StructField(s"sum($n)", LongType),
-                      java.lang.Long.valueOf(total.toLong): Any))
+                  case (_, Some(total)) =>
+                    scala.util.Try(total.longValueExact()).toOption
+                      .map(v => (StructField(s"sum($n)", LongType),
+                        java.lang.Long.valueOf(v): Any))
+                  case _ => None
+                }
+            // SUM over decimal(p, s) is decimal(min(38, p+10), s):
+            // the per-file sums are exact at the column's scale, so
+            // the fold is too; a total past the result precision
+            // declines (the real scan would null there anyway)
+            case dt: org.apache.spark.sql.types.DecimalType =>
+              val rt = org.apache.spark.sql.types.DecimalType(
+                math.min(38, dt.precision + 10), dt.scale)
+              Merge.versionColumnAggStats(spark, path, version, n)
+                .flatMap {
+                  case (0L, _) =>
+                    Some((StructField(s"sum($n)", rt), null: Any))
+                  case (_, Some(total)) =>
+                    val v = total.setScale(dt.scale)
+                    if (v.precision <= rt.precision)
+                      Some((StructField(s"sum($n)", rt), v: Any))
+                    else None
                   case _ => None
                 }
             case _ => None

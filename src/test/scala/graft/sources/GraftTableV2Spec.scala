@@ -344,9 +344,10 @@ class GraftTableV2Spec extends SparkSpec {
         (i, if (i % 10 == 0) None else Some(i * 3L), None: Option[Long],
           i * 1.5))
       .toDF("id", "v", "dead", "d")
+      .withColumn("dec", expr("cast(id * 1.25 as decimal(10,2))"))
     val path = new File(freshDir("aggsum"), "tbl").getAbsolutePath
     Merge.writeKeyed(df, path, "id", nBuckets = 4,
-      statsCols = Seq("id", "v", "dead", "d"))
+      statsCols = Seq("id", "v", "dead", "d", "dec"))
     val rd = spark.read.format("graft-table").option("path", path).load()
     val agg = rd.agg(count($"v").as("nv"), sum($"v").as("sv"),
       count($"dead").as("nd"), sum($"dead").as("sd"),
@@ -361,6 +362,16 @@ class GraftTableV2Spec extends SparkSpec {
       (0L until 200L).filter(_ % 10 != 0).map(_ * 3L).sum)
     assert(row.getAs[Long]("nd") == 0L && row.isNullAt(row.fieldIndex("sd")),
       "an all-null column counts 0 and sums to SQL NULL")
+    // SUM over a DECIMAL column pushes too — exact at the column's
+    // scale, result typed decimal(p+10, s) like Spark's own Sum
+    val decAgg = rd.agg(sum($"dec").as("sd"))
+    assert(!decAgg.queryExecution.executedPlan.toString
+      .matches("(?s).*(Hash|Sort)Aggregate.*"),
+      "sum(decimal) must be manifest-answered")
+    val decRow = decAgg.collect()(0)
+    assert(decRow.getAs[java.math.BigDecimal]("sd")
+      .compareTo(new java.math.BigDecimal("24875.00")) == 0,
+      s"exact decimal sum expected, got ${decRow.get(0)}")
     // SUM over a DOUBLE column must NOT push (FP addition order)
     val dAgg = rd.agg(sum($"d"))
     assert(dAgg.queryExecution.executedPlan.toString

@@ -573,6 +573,76 @@ object ScaleSmoke {
           "spark.sql.sources.v2.bucketing.pushPartValues.enabled")
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
+
+    // ---- r17 GRID UPSERT: the same fixed ~0.1%-of-base batch into a
+    // (shard, doc_id) grid at 1x vs factor-x corpus (cells scale with
+    // the table — the operating contract). Healthy shape: cost tracks
+    // the BATCH's cells, so the wall time stays near-flat while the
+    // table grows 10x — the cell-granular copy-on-write claim,
+    // measured on the composite layout this time.
+    Seq(("1x", docs, 4), (s"${factor}x", inflated, 4 * factor)).foreach {
+      case (tag, d, n2) =>
+        println(s"--- $tag grid_upsert (grid=8x$n2)")
+        val base = s"/tmp/graft_scale_gridup_$tag"
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(base))
+        val keyed = d.select((col("doc_id") % 64).as("shard"),
+          col("doc_id"), col("text"))
+        graft.sources.Merge.writeKeyedCols(keyed, s"$base/t",
+          Seq("shard", "doc_id"), Seq(8, n2))
+        val batch = keyed.orderBy("doc_id").limit(60)
+          .withColumn("text", concat(lit("upd "), col("text")))
+          .localCheckpoint()
+        timed(s"grid_upsert_60rows")({
+          val st = graft.sources.Merge.upsertGrid(spark, s"$base/t",
+            batch)
+          println(s"SCALE   touched=${st.bucketsTouched} of " +
+            s"${st.nBuckets} cells")
+        })
+    }
+
+    // ---- r17 EXTERNAL BLOOM SIDECARS (bloomx:): identical table +
+    // filters, two layouts — inline blobs in the manifest vs
+    // byte-sized refs + lazily-read sidecar files. The commit-cost
+    // claim is MANIFEST SIZE (every commit rewrites it, every planner
+    // parses it); the probe-cost claim is the seam's sidecar read
+    // count (candidates only, decode-once cached).
+    Seq(("1x", docs, 64), (s"${factor}x", inflated, 64 * factor))
+      .foreach { case (tag, d, nb) =>
+        println(s"--- $tag bloomx (files=$nb)")
+        val keyed = d.select(col("doc_id"), col("text"),
+          substring(col("text"), 1, 24).as("head24"))
+        def manifestBytes(p: String): Long = {
+          val f = new java.io.File(s"$p/_graft_log/v0.json")
+          if (f.exists) f.length
+          else new java.io.File(s"$p/_graft_log").listFiles()
+            .map(_.length).sum
+        }
+        val pIn = s"/tmp/graft_scale_bloomin_$tag"
+        val pEx = s"/tmp/graft_scale_bloomex_$tag"
+        Seq(pIn, pEx).foreach(p =>
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(p)))
+        timed("bloom_inline_write")(
+          graft.sources.Merge.writeKeyed(keyed, pIn, "doc_id", nb,
+            statsCols = Seq("doc_id", "bloom:head24")))
+        timed("bloomx_write")(
+          graft.sources.Merge.writeKeyed(keyed, pEx, "doc_id", nb,
+            statsCols = Seq("doc_id", "bloomx:head24")))
+        println(s"SCALE   manifest inline=${manifestBytes(pIn)} B " +
+          s"external=${manifestBytes(pEx)} B")
+        val probe = keyed.select("head24").limit(1).collect()(0)
+          .getString(0)
+        graft.sources.Skipping.bloomSidecarReads.set(0L)
+        timed("bloomx_point_plan")({
+          val (sel, total) = graft.sources.Merge.planVersionFiles(
+            spark, pEx, 0L, Seq(graft.sources.Skipping.Bound(
+              "head24", Some(probe), Some(probe))))
+          println(s"SCALE   planned ${sel.size}/$total files, " +
+            s"sidecar reads=" +
+            graft.sources.Skipping.bloomSidecarReads.get())
+        })
+    }
     spark.stop()
   }
 }

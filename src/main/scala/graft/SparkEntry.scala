@@ -1208,6 +1208,122 @@ object SparkEntry {
           .localCheckpoint()
       } finally s.conf.unset("spark.graft.dml.mergeOnRead")
     }),
+    "q_sql_mor_delete" -> ((s, dir) => {
+      // MERGE-ON-READ MERGE WITH A DELETE BRANCH (r17): the one
+      // CDC-shaped statement that used to fall back to copy-on-write.
+      // A delete is merge-on-read's NATIVE verb — the key's old image
+      // joins the deletion vector like any replaced image, with no
+      // new image appended — so the full three-branch MERGE
+      // (delete + update + insert) lands in ONE commit with every
+      // pre-existing data file byte-untouched (path+mtime pin
+      // required in-gate). At 100 TB: statement cost ∝ the change
+      // set, never a bucket rewrite.
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val root = new java.io.File(scratchRoot, s"graft_sqlmord_$sf")
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      val cat = s"gsqlmord_$sf"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root.getAbsolutePath)
+      val path = new java.io.File(root, "parts").getAbsolutePath
+      graft.sources.Merge.writeKeyed(
+        t(s, dir, "part").selectExpr("p_partkey AS id",
+          "p_name AS name", "p_retailprice AS price"),
+        path, "id", 16, statsCols = Seq("id"))
+      def dataFiles(): Map[String, Long] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+          else Seq(f)
+        walk(new java.io.File(path))
+          .filter(f => f.getPath.contains("__bucket=") &&
+            f.getName.endsWith(".parquet"))
+          .map(f => f.getPath -> f.lastModified()).toMap
+      }
+      val before = dataFiles()
+      s.conf.set("spark.graft.dml.mergeOnRead", "true")
+      try {
+        val src = s"graft_sqlmord_src_$sf"
+        s.sql(s"SELECT id, 'del' AS op, name, price FROM $cat.parts " +
+            "WHERE id % 30 = 0")
+          .unionByName(s.sql(
+            s"SELECT id, 'upd' AS op, concat('m_', name) AS name, " +
+            s"price FROM $cat.parts WHERE id % 77 = 0 AND id % 30 <> 0"))
+          .unionByName(s.range(1, 6).selectExpr(
+            "9000000 + id AS id", "'ins' AS op",
+            "concat('mi_', id) AS name", "CAST(id AS DOUBLE) AS price"))
+          .localCheckpoint().createOrReplaceTempView(src)
+        s.sql(s"""MERGE INTO $cat.parts t USING $src u ON t.id = u.id
+          WHEN MATCHED AND u.op = 'del' THEN DELETE
+          WHEN MATCHED THEN UPDATE SET name = u.name
+          WHEN NOT MATCHED THEN INSERT (id, name, price)
+            VALUES (u.id, u.name, u.price)""")
+        val after = dataFiles()
+        require(before.forall { case (f, m) =>
+            after.get(f).contains(m) },
+          "a MERGE with a DELETE branch must stay merge-on-read: no " +
+          "pre-existing data file rewritten")
+        require(graft.sources.Merge.currentVersion(s, path) == 1L,
+          "the whole three-branch MERGE must land as ONE commit")
+        s.sql(s"SELECT id, name, price FROM $cat.parts ORDER BY id")
+          .localCheckpoint()
+      } finally s.conf.unset("spark.graft.dml.mergeOnRead")
+    }),
+    "q_analyze_dv" -> ((s, dir) => {
+      // ANALYZE UNDER LIVE DELETION VECTORS (r17): a merge-on-read
+      // table adopts manifest stats WITHOUT compacting first — the
+      // analyze scan reads the files GROSS (DV subtraction bypassed),
+      // so recorded per-file stats stay sound for pruning (over-
+      // approximate) and exact for the COUNT adjustment (gross rows
+      // minus sidecar positions). Required in-gate: before analyze
+      // COUNT(*) plans a real scan; after it the plan carries
+      // PushedAggregates (answered gross-minus-DV, no data I/O) and
+      // the analyze-recorded Bloom prunes a point probe below the
+      // full file set. Values ≡ the oracle's live rows.
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val root = new java.io.File(scratchRoot, s"graft_anlzdv_$sf")
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      val path = new java.io.File(root, "parts").getAbsolutePath
+      graft.sources.Merge.writeKeyed(
+        t(s, dir, "part").selectExpr("p_partkey AS id",
+          "p_name AS name", "p_retailprice AS price"),
+        path, "id", 16) // NO statsCols: pre-stats table
+      graft.sources.Merge.deleteWhereDV(s, path, col("id") % 7 === 0)
+      def reader() = s.read.format("graft-table").option("path", path)
+        .load()
+      def cnt() = reader().agg(count(lit(1)).as("n_rows"))
+      require(cnt().queryExecution.executedPlan.toString
+          .matches("(?s).*(Hash|Sort)Aggregate.*"),
+        "without stats COUNT(*) must plan a real scan")
+      val (v, nFiles) = graft.sources.Merge.analyzeTable(s, path,
+        Seq("id", "bloom:name"))
+      require(v == 2L && nFiles == 16,
+        s"analyze must commit over the live DV-bearing files: $v/$nFiles")
+      val pushed = cnt()
+      val plan = pushed.queryExecution.executedPlan.toString
+      require(plan.contains("PushedAggregates") &&
+          !plan.matches("(?s).*(Hash|Sort)Aggregate.*"),
+        s"post-analyze COUNT(*) must be manifest-answered under DVs:\n" +
+          plan)
+      // the analyze-recorded Bloom prunes a point probe on a non-key
+      // column: a value in NO file plans (near) zero files where the
+      // stats-less table had to scan all 16. (A real p_name probe is
+      // no test at this sf — the column has ~64 distinct values over
+      // 20k rows, so every file genuinely holds every name.)
+      val planned = graft.sources.Merge.planVersionFiles(s, path, v,
+        Seq(graft.sources.Skipping.Bound("name",
+          Some("graft_no_such_name"), Some("graft_no_such_name"))))._1
+      require(planned.size < 4, // 0 expected; a stray FP or two is fine
+        s"the bloom must prune an absent point probe, " +
+        s"planned ${planned.size}")
+      // pushed count ≡ the real DV-subtracted scan
+      val real = reader().agg(count(lit(1)).as("n_rows"),
+        sum(col("id")).as("sum_id"),
+        min(col("name")).as("min_name"))
+      require(pushed.collect()(0).getLong(0) ==
+          real.collect()(0).getLong(0),
+        "manifest-answered COUNT must equal the DV-subtracted scan")
+      real
+    }),
     "q_analyze" -> ((s, dir) => {
       // ANALYZE TABLE: an existing table WITHOUT recorded stats opts
       // into manifest-answered aggregates with ONE metadata commit
@@ -1252,6 +1368,105 @@ object SparkEntry {
           !plan.matches("(?s).*(Hash|Sort)Aggregate.*"),
         s"post-analyze aggregates must be manifest-answered:\n$plan")
       after
+    }),
+    "q_grid_upsert" -> ((s, dir) => {
+      // GRID DML (r17): a composite-key (l_orderkey, l_linenumber)
+      // table is WRITABLE — upsertGrid routes each row by the
+      // per-dimension hashes into exactly the cell holding its
+      // current image. Required in-gate: a small three-way batch
+      // (update + insert + tombstone delete) rewrites ONLY its
+      // tuples' cells (every untouched cell's file byte-identical,
+      // path+mtime pin) in ONE commit. At 100 TB with a 4096-cell
+      // grid, a CDC batch costs its cells, never the table — and the
+      // exchange-free SPJ story (q_spj_join_multi) now has its
+      // incremental-write half. Read-back ≡ the oracle composing the
+      // same delete/update/insert.
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val root = new java.io.File(scratchRoot, s"graft_gridup_$sf")
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      val path = new java.io.File(root, "li").getAbsolutePath
+      val li = t(s, dir, "lineitem").selectExpr("l_orderkey AS ok",
+        "l_linenumber AS ln", "l_quantity AS qty")
+      graft.sources.Merge.writeKeyedCols(li, path, Seq("ok", "ln"),
+        Seq(8, 4), statsCols = Seq("ok"))
+      // a SMALL batch — the first 10 tuples in key order update, the
+      // next 5 delete, 5 fresh tuples insert — so the cell pin bites
+      // at every sf: 20 tuples can never touch all 32 cells
+      val cur = graft.sources.Merge.readKeyed(s, path)
+      val ranked = cur.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("ok"), col("ln"))))
+      val upds = ranked.filter(col("rn") <= 10)
+        .withColumn("qty", col("qty") + 100.0)
+        .withColumn("__del", lit(false))
+      val dels = ranked.filter(col("rn") > 10 && col("rn") <= 15)
+        .withColumn("__del", lit(true))
+      val ins = s.range(1, 6).selectExpr("9000000 + id AS ok",
+        "CAST(1 AS INT) AS ln", "CAST(id AS DOUBLE) AS qty")
+        .withColumn("rn", lit(0)).withColumn("__del", lit(false))
+      val batch = upds.unionByName(dels).unionByName(ins).drop("rn")
+        .localCheckpoint()
+      val st = graft.sources.Merge.upsertGrid(s, path, batch,
+        tombstoneCol = Some("__del"))
+      require(st.rowsDeleted == 5 && st.rowsUpserted == 15,
+        s"the batch must carry 10 updates + 5 inserts + 5 deletes: $st")
+      // CELL PIN via the manifests (copy-on-write leaves old files on
+      // disk for time travel — the LIVE file set is what moves): every
+      // untouched cell's entry carries over verbatim
+      val v0Files = graft.sources.Merge.planVersionFiles(s, path, 0L,
+        Seq.empty)._1.toSet
+      val v1Files = graft.sources.Merge.planVersionFiles(s, path, 1L,
+        Seq.empty)._1.toSet
+      val carried = (v0Files & v1Files).size
+      require(st.bucketsTouched < 32 &&
+          carried == 32 - st.bucketsTouched,
+        s"only the batch's cells may rewrite: ${st.bucketsTouched} " +
+        s"touched, $carried carried over of 32")
+      // a tuple point-lookup reads exactly ONE cell, structurally
+      val one = graft.sources.Merge.lookupKeyTuple(s, path,
+        Seq(9000001L, 1))
+      require(one.count() == 1L && one.inputFiles.length <= 2,
+        "tuple lookup must read one cell's file(s)")
+      graft.sources.Merge.readKeyed(s, path)
+        .select("ok", "ln", "qty").orderBy("ok", "ln")
+    }),
+    "q_grid_agg" -> ((s, dir) => {
+      // MANIFEST AGGREGATES ON A GRID (r17): COUNT/MIN/MAX/SUM answer
+      // from the composite-key table's per-file stats with zero data
+      // I/O — the stats machinery is layout-agnostic and this gate
+      // pins it (PushedAggregates in-plan, no aggregate node). Also
+      // pins the grid's PER-DIMENSION structural pruning: a point
+      // bound on ONE key column keeps 1/n of the cells with no stats
+      // consulted; on both columns, exactly one cell.
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val root = new java.io.File(scratchRoot, s"graft_gridagg_$sf")
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      val path = new java.io.File(root, "li").getAbsolutePath
+      val li = t(s, dir, "lineitem").selectExpr("l_orderkey AS ok",
+        "l_linenumber AS ln",
+        "CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents")
+      graft.sources.Merge.writeKeyedCols(li, path, Seq("ok", "ln"),
+        Seq(8, 4), statsCols = Seq("ok", "cents"))
+      val agg = s.read.format("graft-table").option("path", path)
+        .load().agg(count(lit(1)).as("n_rows"),
+          sum(col("cents")).as("sum_cents"),
+          min(col("ok")).as("min_ok"),
+          max(col("ok")).as("max_ok"))
+      val plan = agg.queryExecution.executedPlan.toString
+      require(plan.contains("PushedAggregates") &&
+          !plan.matches("(?s).*(Hash|Sort)Aggregate.*"),
+        s"grid aggregates must be manifest-answered:\n$plan")
+      // per-dimension structural pruning, no stats consulted for it
+      val onOk = graft.sources.Merge.planVersionFiles(s, path, 0L,
+        Seq(graft.sources.Skipping.Bound("ok", Some(1L), Some(1L))))._1
+      require(onOk.size <= 4,
+        s"a point on ok keeps 1/8 of the 32 cells, got ${onOk.size}")
+      val onBoth = graft.sources.Merge.planVersionFiles(s, path, 0L,
+        Seq(graft.sources.Skipping.Bound("ok", Some(1L), Some(1L)),
+          graft.sources.Skipping.Bound("ln", Some(1), Some(1))))._1
+      require(onBoth.size <= 1,
+        s"a point on the full tuple keeps ONE cell, got ${onBoth.size}")
+      agg
     }),
     "q_dsv2_delete" -> ((s, dir) => {
       // SQL DELETE FROM through the catalog: bucket-granular
@@ -7702,6 +7917,30 @@ object SparkEntry {
                 CAST(i AS DOUBLE) AS price
          FROM range(1, 6) t(i)
          ORDER BY id""",
+    // three-branch merge-on-read MERGE: delete + update + insert
+    "q_sql_mor_delete" ->
+      """WITH base AS (SELECT p_partkey AS id, p_name AS name,
+                              p_retailprice AS price
+                       FROM part),
+            kept AS (SELECT * FROM base WHERE id % 30 <> 0)
+         SELECT id,
+                CASE WHEN id % 77 = 0 THEN concat('m_', name)
+                     ELSE name END AS name,
+                price
+         FROM kept
+         UNION ALL
+         SELECT 9000000 + i AS id, concat('mi_', i) AS name,
+                CAST(i AS DOUBLE) AS price
+         FROM range(1, 6) t(i)
+         ORDER BY id""",
+    // analyze under live DVs: manifest count ≡ the live-row scan
+    "q_analyze_dv" ->
+      """SELECT count(*) AS n_rows,
+                CAST(sum(id) AS BIGINT) AS sum_id,
+                min(name) AS min_name
+         FROM (SELECT p_partkey AS id, p_name AS name
+               FROM part
+               WHERE p_partkey % 7 <> 0)""",
     // post-ANALYZE manifest answers ≡ the real aggregation
     "q_analyze" ->
       """SELECT count(*) AS n_rows,
@@ -7716,6 +7955,31 @@ object SparkEntry {
                                      AS BIGINT)
                       END AS cents
                FROM part)""",
+    // grid upsert: delete + update + insert composed over the tuple key
+    "q_grid_upsert" ->
+      """WITH base AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+                              l_quantity AS qty,
+                              row_number() OVER (
+                                ORDER BY l_orderkey, l_linenumber) AS rn
+                       FROM lineitem),
+            kept AS (SELECT * FROM base WHERE rn <= 10 OR rn > 15)
+         SELECT ok, ln,
+                CASE WHEN rn <= 10 THEN qty + 100 ELSE qty END AS qty
+         FROM kept
+         UNION ALL
+         SELECT 9000000 + i AS ok, 1 AS ln, CAST(i AS DOUBLE) AS qty
+         FROM range(1, 6) t(i)
+         ORDER BY ok, ln""",
+    // grid manifest aggregates ≡ the real aggregation
+    "q_grid_agg" ->
+      """SELECT count(*) AS n_rows,
+                CAST(sum(cents) AS BIGINT) AS sum_cents,
+                min(ok) AS min_ok,
+                max(ok) AS max_ok
+         FROM (SELECT l_orderkey AS ok,
+                      CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                        AS cents
+               FROM lineitem)""",
     // the inventory aggregate ≡ the table's real shape
     "q_files_info" ->
       """SELECT CAST(16 AS BIGINT) AS n_files,

@@ -228,15 +228,16 @@ object Similarity {
     import Ivf.{train, withCell}
     import graft.sources.TxLog
 
-    /** Train centroids and write `<path>/corpus` (cell-partitioned
-      * parquet) and `<path>/centroids`, REPLACING any index at `path`.
-      * The corpus table is committed through a [[TxLog]] version log
-      * (the [[graft.sources.Merge]] commit discipline): probes resolve
-      * one committed manifest, so [[append]] and [[compact]] are
-      * snapshot-isolated beside them and a crashed maintenance op
-      * leaves only vacuum-able orphans. Build itself replaces the whole
-      * index (model tables included) — rebuild into a NEW path and swap
-      * a pointer when probes must stay live through it.
+    /** Train centroids and commit BOTH model and data through one
+      * [[TxLog]] version: the cell-partitioned `corpus` table AND the
+      * `centroids` model table land in the SAME State (the
+      * [[graft.sources.Merge]] commit discipline), REPLACING any index
+      * at `path`. Probes resolve ONE committed state for model +
+      * corpus together, so [[append]], [[compact]] and — the point of
+      * the shared commit — [[rebalance]] are snapshot-isolated beside
+      * them: a probe in flight reads the old centroids WITH the old
+      * cell assignments or the new with the new, never a mix. A
+      * crashed maintenance op leaves only vacuum-able orphans.
       */
     def build(corpus: DataFrame, idCol: String, vecCol: String, cells: Int,
         path: String, sampleN: Int = 10000, iters: Int = 10): Unit = {
@@ -247,15 +248,25 @@ object Similarity {
       graft.sources.TxLog.dropCachedStates(path) // rebuilt in place: stale memo out
       centroidMemo.remove(path) // ditto for the frozen-centroid memo
       val centroids = train(corpus, idCol, vecCol, cells, sampleN, iters)
-      import spark.implicits._
-      centroids.zipWithIndex.toSeq
-        .map { case (v, i) => (i, v.toSeq) }
-        .toDF("cell", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      val cenFiles = stageCentroids(spark, path, centroids)
       val files = TxLog.stagePartitionedInto(
         withCell(corpus, vecCol, centroids), path, "corpus", Seq("cell"))
       TxLog.commit(spark, path, TxLog.State(0L, -1L,
-        Map("corpus" -> files)))
+        Map("corpus" -> files, "centroids" -> cenFiles)))
+    }
+
+    /** Stage the centroid model as a one-file TxLog sub-table (cells ×
+      * dim doubles — KB-scale at any corpus size); the caller commits
+      * it in the same State as the rows it assigned.
+      */
+    private def stageCentroids(spark: org.apache.spark.sql.SparkSession,
+        path: String, centroids: Array[Array[Double]]): Seq[String] = {
+      import spark.implicits._
+      TxLog.stageInto(
+        centroids.zipWithIndex.toSeq
+          .map { case (v, i) => (i, v.toSeq) }
+          .toDF("cell", "centroid").coalesce(1),
+        path, "centroids")
     }
 
     // frozen per index lifetime (append reuses them; only build
@@ -270,27 +281,61 @@ object Similarity {
       .empty[String, (String, Array[Array[Double]])]
 
     def loadCentroids(spark: org.apache.spark.sql.SparkSession,
-        path: String): Array[Array[Double]] = {
-      val stamp = modelStamp(spark, path)
-      centroidMemo.get(path) match {
-        case Some((s, m)) if s == stamp => m
-        case _ =>
-          val m = spark.read.parquet(s"$path/centroids")
-            .orderBy("cell").collect()
-            .map(_.getSeq[Double](1).toArray)
-          centroidMemo.put(path, (stamp, m))
-          m
-      }
-    }
+        path: String): Array[Array[Double]] =
+      loadCentroids(spark, path, TxLog.currentState(spark, path))
 
-    /** The committed corpus table (legacy pre-log layouts fall back to
-      * a raw directory read).
+    /** The centroids AT A RESOLVED STATE: a probe that passes the same
+      * state here and to [[corpusTable]] reads model + assignments
+      * from one committed version — the snapshot isolation a racing
+      * [[rebalance]] needs. Versioned indexes memoize per state
+      * version (one listStatus-free check); legacy indexes (no
+      * `centroids` sub-table in the log) fall back to the sidecar dir
+      * under the [[Similarity.modelStamp]] staleness guard.
+      */
+    private def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+        path: String, st: Option[TxLog.State]): Array[Array[Double]] =
+      st.filter(_.tables.get("centroids").exists(_.nonEmpty)) match {
+        case Some(s) =>
+          // content-addressed stamp: the part names embed the writing
+          // job's UUID, so an index REBUILT IN PLACE BY ANOTHER
+          // PROCESS (same version number, different files) still
+          // invalidates — the same guarantee modelStamp's listStatus
+          // gives the legacy path, for free from the resolved state
+          val stamp = s"txv${s.version}:" +
+            s.tables("centroids").mkString(",")
+          centroidMemo.get(path) match {
+            case Some((s0, m)) if s0 == stamp => m
+            case _ =>
+              val m = TxLog.readTable(spark, path, s, "centroids").get
+                .orderBy("cell").collect()
+                .map(_.getSeq[Double](1).toArray)
+              centroidMemo.put(path, (stamp, m))
+              m
+          }
+        case None =>
+          val stamp = modelStamp(spark, path)
+          centroidMemo.get(path) match {
+            case Some((s, m)) if s == stamp => m
+            case _ =>
+              val m = spark.read.parquet(s"$path/centroids")
+                .orderBy("cell").collect()
+                .map(_.getSeq[Double](1).toArray)
+              centroidMemo.put(path, (stamp, m))
+              m
+          }
+      }
+
+    /** The committed corpus table at a resolved state (legacy pre-log
+      * layouts fall back to a raw directory read).
       */
     private def corpusTable(spark: org.apache.spark.sql.SparkSession,
-        path: String): DataFrame =
-      TxLog.currentState(spark, path)
-        .flatMap(st => TxLog.readPartitioned(spark, path, st, "corpus"))
+        path: String, st: Option[TxLog.State]): DataFrame =
+      st.flatMap(s => TxLog.readPartitioned(spark, path, s, "corpus"))
         .getOrElse(spark.read.parquet(s"$path/corpus"))
+
+    private def corpusTable(spark: org.apache.spark.sql.SparkSession,
+        path: String): DataFrame =
+      corpusTable(spark, path, TxLog.currentState(spark, path))
 
     /** Probe the persisted index. The union of the queries' probe cells is
       * a driver-side set bounded by |queries| * nProbe; pushing it as an
@@ -314,7 +359,11 @@ object Similarity {
         k: Int, nProbe: Int,
         maxProbeBroadcastBytes: Long = 256L << 20,
         allowed: Option[DataFrame] = None): DataFrame = {
-      val centroids = loadCentroids(spark, path)
+      // ONE state snapshot for model + corpus: a rebalance committing
+      // mid-probe cannot hand this probe new centroids over old cell
+      // assignments (or vice versa)
+      val st = TxLog.currentState(spark, path)
+      val centroids = loadCentroids(spark, path, st)
       val cents = centroids
       val probes = math.min(nProbe, centroids.length)
       val probeKernel = udf { v: Seq[Double] =>
@@ -338,7 +387,7 @@ object Similarity {
           explode(probeKernel(col(vecCol).cast("array<double>"))).as("cell"))
       // bounded driver collect: |queries| * nProbe cell ids
       val cellSet = q.select("cell").distinct().collect().map(_.getInt(0))
-      val c0 = corpusTable(spark, path)
+      val c0 = corpusTable(spark, path, st)
         .filter(col("cell").isin(cellSet.toSeq: _*)) // -> PartitionFilters
         .select(col("cell"), col(idCol).as("neighbor_id"),
           col(vecCol).as("__cvec"))
@@ -373,11 +422,22 @@ object Similarity {
       */
     def append(spark: org.apache.spark.sql.SparkSession, path: String,
         newRows: DataFrame, idCol: String, vecCol: String): Long = {
+      val st0 = TxLog.currentState(spark, path)
+      val cen0 = st0.map(_.tables.getOrElse("centroids", Nil))
+        .getOrElse(Nil)
       val files = TxLog.stagePartitionedInto(
-        withCell(newRows, vecCol, loadCentroids(spark, path)),
+        withCell(newRows, vecCol, loadCentroids(spark, path, st0)),
         path, "corpus", Seq("cell"))
       TxLog.commitRetrying(spark, path) { parent =>
         val t = parent.map(_.tables).getOrElse(Map.empty)
+        // a rebalance that won the race between our staging and this
+        // commit swapped the model: our files carry STALE cell
+        // assignments — unioning them in would corrupt the index, so
+        // refuse loudly and let the caller re-append under the new
+        // model (the files are vacuum-able orphans)
+        require(t.getOrElse("centroids", Nil) == cen0,
+          s"$path was rebalanced during this append — retry the " +
+          "append; its staged files carry the old model's cells")
         t + ("corpus" -> (t.getOrElse("corpus", Nil) ++ files))
       }.version
     }
@@ -393,14 +453,17 @@ object Similarity {
       while (attempt <= maxRetries) {
         val parent = TxLog.currentState(spark, path)
         val parentV = parent.map(_.version).getOrElse(-1L)
-        val cur = corpusTable(spark, path)
-        val nCells = loadCentroids(spark, path).length
+        val cur = corpusTable(spark, path, parent)
+        val nCells = loadCentroids(spark, path, parent).length
         val files = TxLog.stagePartitionedInto(
           cur.repartition(math.max(1, nCells), col("cell")),
           path, "corpus", Seq("cell"))
         try {
+          // the model rides along UNCHANGED: carry the parent's
+          // centroids entry so the compacted state stays whole
           TxLog.commit(spark, path, TxLog.State(parentV + 1, parentV,
-            Map("corpus" -> files)))
+            parent.map(_.tables).getOrElse(Map.empty) +
+              ("corpus" -> files)))
           return
         } catch {
           case _: TxLog.LostRace =>
@@ -435,7 +498,8 @@ object Similarity {
 
     def driftStats(spark: org.apache.spark.sql.SparkSession,
         path: String, vecCol: String): Drift = {
-      val cents = loadCentroids(spark, path)
+      val st = TxLog.currentState(spark, path)
+      val cents = loadCentroids(spark, path, st)
       val fitKernel = udf { (v: Seq[Double], cell: Int) =>
         if (v == null || cell < 0 || cell >= cents.length) null
         else {
@@ -443,7 +507,7 @@ object Similarity {
           java.lang.Double.valueOf(Ivf.dotD(nv, cents(cell)))
         }
       }
-      val agg = corpusTable(spark, path)
+      val agg = corpusTable(spark, path, st)
         .select(col("cell"),
           fitKernel(col(vecCol).cast("array<double>"), col("cell"))
             .as("__fit"))
@@ -474,20 +538,35 @@ object Similarity {
     def rebalance(spark: org.apache.spark.sql.SparkSession, path: String,
         idCol: String, vecCol: String, sampleN: Int = 10000,
         iters: Int = 10): Unit = {
-      val cur = corpusTable(spark, path).drop("cell")
-      val cells = loadCentroids(spark, path).length
+      val st0 = TxLog.currentState(spark, path)
+      val cur = corpusTable(spark, path, st0).drop("cell")
+      val cells = loadCentroids(spark, path, st0).length
       val centroids = train(cur, idCol, vecCol, cells, sampleN, iters)
+      // ATOMIC model swap (r17): the retrained centroids and the
+      // reassigned corpus stage first, then ONE TxLog commit replaces
+      // BOTH sub-tables. A probe in flight resolved the previous
+      // state and keeps reading old model + old cells; a probe after
+      // the commit resolves new model + new cells — never a mix. The
+      // legacy `<path>/centroids` sidecar is not touched (legacy
+      // indexes adopt versioned centroids at their first rebalance).
+      val cenFiles = stageCentroids(spark, path, centroids)
       val files = TxLog.stagePartitionedInto(
         withCell(cur, vecCol, centroids), path, "corpus", Seq("cell"))
-      import spark.implicits._
-      centroids.zipWithIndex.toSeq
-        .map { case (v, i) => (i, v.toSeq) }
-        .toDF("cell", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-      centroidMemo.remove(path)
-      TxLog.commitRetrying(spark, path) { _ =>
-        Map("corpus" -> files) // full replacement: old files age out
+      val corpus0 = st0.map(_.tables.getOrElse("corpus", Nil))
+        .getOrElse(Nil)
+      TxLog.commitRetrying(spark, path) { parent =>
+        // an append that landed between our snapshot and this commit
+        // holds rows our full replacement would silently DROP — refuse
+        // loudly instead (the staged files are vacuum-able orphans)
+        require(parent.map(_.tables.getOrElse("corpus", Nil))
+            .getOrElse(Nil) == corpus0,
+          s"$path's corpus changed during this rebalance — retry it " +
+          "over the new state")
+        parent.map(_.tables).getOrElse(Map.empty) +
+          ("corpus" -> files) + // full replacement: old files age out
+          ("centroids" -> cenFiles)
       }
+      centroidMemo.remove(path)
       ()
     }
 
@@ -498,8 +577,8 @@ object Similarity {
         keepVersions: Int = 1, graceMs: Long = 0L,
         orphanGraceMs: Long = graft.sources.Merge.DefaultOrphanGraceMs,
         dryRun: Boolean = false): Seq[String] =
-      TxLog.vacuum(spark, path, Seq("corpus"), keepVersions, graceMs,
-        orphanGraceMs, dryRun)
+      TxLog.vacuum(spark, path, Seq("corpus", "centroids"),
+        keepVersions, graceMs, orphanGraceMs, dryRun)
 
     /** Batch ids with an INDEXED near-duplicate: best probed cosine >=
       * `threshold`. An exact copy assigns to the same cell as its source

@@ -778,6 +778,24 @@ object Merge {
       .flatMap(_.layout)
   }
 
+  /** The table's recorded layout in the UNIFORM shape — single-key
+    * tables as one-element sequences, composite grids as their full
+    * per-dimension key columns and bucket counts; None for unkeyed.
+    * The shape the grid-capable DML verbs route by.
+    */
+  def tableLayoutKeys(spark: SparkSession, path: String)
+      : Option[(Seq[String], Seq[Int])] = {
+    val v = currentVersion(spark, path)
+    require(v >= 0, s"$path has no version log")
+    val (_, root) = fsFor(spark, path)
+    readManifestOpt(spark, root, v, resolveShards = false).flatMap { m =>
+      m.layout.map { case (k, n) => (Seq(k), Seq(n)) }
+        .orElse(if (m.layoutCols.size >= 2 &&
+            m.layoutNs.size == m.layoutCols.size)
+          Some((m.layoutCols, m.layoutNs)) else None)
+    }
+  }
+
   /** The version's COMPOSITE (grid) layout — per-dimension key columns
     * and bucket counts; None for single-key or unkeyed tables.
     */
@@ -1212,6 +1230,41 @@ object Merge {
     * files × statsCols, a driver-safe collect. Values use [[Skipping]]'s
     * type-exact string encoding, so re-parse-and-compare is lossless.
     */
+  /** EXTERNALIZE `bloomx:` filters (see [[Skipping.BloomxPrefix]]):
+    * each affected entry's inline blob moves to one content-private
+    * sidecar file under `_graft_bloom/<commit-uuid>/` and the entry
+    * keeps only the `@`-prefixed root-relative ref — bytes of
+    * manifest per file instead of ~12 KB. Inline `bloom:` entries
+    * pass through untouched; entries already holding refs (carried
+    * over from the parent manifest) too. Sidecars are immutable and
+    * vacuum-managed like DV sidecars.
+    */
+  private def externalizeBlooms(fs: FileSystem, root: Path,
+      entries: Seq[Skipping.FileStats], statsCols: Seq[String])
+      : Seq[Skipping.FileStats] = {
+    val ext = statsCols.filter(Skipping.isExternalBloomSpec)
+      .map(Skipping.bloomBase).toSet
+    if (ext.isEmpty) return entries
+    val dir = "_graft_bloom/" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var made = false
+    entries.map { e =>
+      val blob = e.bloom.filterNot(Skipping.isBloomRef)
+      if (Skipping.isBloomSpec(e.col) &&
+          ext.contains(Skipping.bloomBase(e.col)) && blob.isDefined) {
+        val name = md.digest((e.file + "|" + e.col)
+          .getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val rel = s"$dir/$name.bf"
+        if (!made) { fs.mkdirs(new Path(root, dir)); made = true }
+        val out = fs.create(new Path(root, rel), true)
+        try out.write(java.util.Base64.getDecoder.decode(blob.get))
+        finally out.close()
+        e.copy(bloom = Some(Skipping.BloomRefMark + rel))
+      } else e
+    }
+  }
+
   private def bucketFileStats(spark: SparkSession, dir: String,
       statsCols: Seq[String]): Seq[Skipping.FileStats] = {
     if (statsCols.isEmpty) return Seq.empty
@@ -1327,7 +1380,8 @@ object Merge {
     writeManifest(fs, root, Manifest(0L, -1L, listDataFiles(fs, root),
       Some(schemaToString(df.schema)), layout = Some((keyCol, nBuckets)),
       statsCols = statsCols,
-      stats = bucketFileStats(df.sparkSession, path, statsCols),
+      stats = externalizeBlooms(fs, root,
+        bucketFileStats(df.sparkSession, path, statsCols), statsCols),
       ts = System.currentTimeMillis(), op = Some("write"),
       shardSpan = manifestShardSpan, constraints = constraints,
       keySorted = true))
@@ -1372,7 +1426,8 @@ object Merge {
     writeManifest(fs, root, Manifest(0L, -1L, listDataFiles(fs, root),
       Some(schemaToString(df.schema)),
       statsCols = statsCols,
-      stats = bucketFileStats(df.sparkSession, path, statsCols),
+      stats = externalizeBlooms(fs, root,
+        bucketFileStats(df.sparkSession, path, statsCols), statsCols),
       ts = System.currentTimeMillis(), op = Some("write"),
       layoutCols = keyCols, layoutNs = nBuckets, keySorted = true))
   }
@@ -1548,42 +1603,87 @@ object Merge {
     */
   def planVersionFiles(spark: SparkSession, path: String, version: Long,
       bounds: Seq[Skipping.Bound]): (Seq[String], Int) = {
-    val (_, root) = fsFor(spark, path)
+    val (fs, root) = fsFor(spark, path)
     val m = readManifest(spark, root, version)
     val schema = m.dataSchema.map(schemaFromString).getOrElse(
       throw new IllegalArgumentException(
         s"$path v$version records no schema — cannot type the bounds"))
     bounds.foreach(b => require(schema.fieldNames.contains(b.column),
       s"bound column ${b.column} not in ${schema.fieldNames.mkString(", ")}"))
-    // BUCKET-HASH pruning: a point or point-SET bound on the LAYOUT
-    // KEY (equality, IN-list, equality-OR) names its buckets — the
-    // same local-row hash the writer used — so a point lookup keeps
-    // its keys' buckets even on a table with NO stats recorded:
-    // structural, not statistical. A value whose hash is null cannot
-    // equal any key of the column's type, so dropping it from the
-    // bucket set is sound; huge IN-lists (pruning power gone anyway)
-    // keep everything.
-    val candidates = m.layout match {
-      case Some((keyCol, n)) =>
-        bounds.collectFirst {
-          case b if b.column == keyCol &&
-              Skipping.pointsOf(b).isDefined => Skipping.pointsOf(b).get
-        } match {
-          case Some(ps) if ps.nonEmpty && ps.size <= 1024 =>
-            val dt = schema(keyCol).dataType
-            val row = spark.range(1).select(ps.map(p =>
-              pmod(xxhash64(lit(p).cast(dt)), lit(n.toLong))): _*).head()
-            val keep = ps.indices
-              .filterNot(row.isNullAt).map(row.getLong).toSet
-            m.files.filter(f => keep.contains(bucketOf(f)))
-          case _ => m.files
-        }
-      case None => m.files
+    // BUCKET-HASH pruning: a point or point-SET bound on a LAYOUT
+    // KEY column (equality, IN-list, equality-OR) names its buckets —
+    // the same local-row hash the writer used — so a point lookup
+    // keeps its keys' buckets even on a table with NO stats recorded:
+    // structural, not statistical. Composite GRIDS prune PER
+    // DIMENSION: the physical bucket is the row-major flattening of
+    // the per-column hashes, so a point on `tenant` alone keeps
+    // 1/n_tenant of the cells, a point on both columns keeps exactly
+    // one — the digits decompose independently. A value whose hash is
+    // null cannot equal any key of the column's type, so dropping it
+    // from a dimension's set is sound; huge IN-lists (pruning power
+    // gone anyway) leave that dimension unpruned.
+    val dims: Seq[(String, Int)] = m.layout.map(l => Seq(l))
+      .getOrElse(if (m.layoutCols.size >= 2 &&
+          m.layoutNs.size == m.layoutCols.size)
+        m.layoutCols.zip(m.layoutNs) else Seq.empty)
+    val perDim: Seq[Option[Set[Long]]] = dims.map { case (kc, n) =>
+      bounds.collectFirst {
+        case b if b.column == kc &&
+            Skipping.pointsOf(b).isDefined => Skipping.pointsOf(b).get
+      }.filter(ps => ps.nonEmpty && ps.size <= 1024).map { ps =>
+        val dt = schema(kc).dataType
+        val row = spark.range(1).select(ps.map(p =>
+          pmod(xxhash64(lit(p).cast(dt)), lit(n.toLong))): _*).head()
+        ps.indices.filterNot(row.isNullAt).map(row.getLong).toSet
+      }
     }
+    val candidates =
+      if (dims.isEmpty || perDim.forall(_.isEmpty)) m.files
+      else {
+        val sizes = dims.map(_._2.toLong)
+        // row-major digits, leftmost dimension most significant —
+        // exactly bucketColMulti's fold inverted
+        def digits(bucket: Long): Array[Long] = {
+          var rem = bucket
+          val out = new Array[Long](sizes.length)
+          var i = sizes.length - 1
+          while (i >= 0) { out(i) = rem % sizes(i); rem /= sizes(i)
+            i -= 1 }
+          out
+        }
+        m.files.filter { f =>
+          val ds = digits(bucketOf(f))
+          perDim.zip(ds.toSeq).forall { case (a, d) =>
+            a.forall(_.contains(d))
+          }
+        }
+      }
     val byFile = m.stats.groupBy(_.file).view
       .mapValues(_.map(s => s.col -> s).toMap).toMap
-    val sel = candidates.filter(f =>
+    val sel0 = candidates.filter(f =>
       Skipping.survives(schema, byFile.getOrElse(f, Map.empty), bounds))
+    // EXTERNAL (`bloomx:`) filters refine LAZILY: only the files that
+    // survived every other prune read their sidecar (driver-cached,
+    // bytes-sized), only under a point bound on that column — at a
+    // million files the manifest stays ref-sized and a point probe
+    // costs candidate-count tiny reads, not 12 GB of inline blobs
+    val ptBounds = bounds.flatMap(b =>
+      Skipping.pointsOf(b).map(ps => (b.column, ps)))
+    val sel =
+      if (ptBounds.isEmpty) sel0
+      else sel0.filter { f =>
+        val cs = byFile.getOrElse(f, Map.empty)
+        ptBounds.forall { case (c, ps) =>
+          cs.get(Skipping.BloomPrefix + c).flatMap(_.bloom)
+            .filter(Skipping.isBloomRef) match {
+            case Some(ref) =>
+              Skipping.readBloomSidecar(fs, root, ref).forall(b64 =>
+                Skipping.bloomAnyMightContain(
+                  schema(c).dataType, ps, b64))
+            case None => true
+          }
+        }
+      }
     (sel, m.files.size)
   }
 
@@ -1735,10 +1835,13 @@ object Merge {
     * the data files are untouched, so every other version keeps
     * reading them. `statsCols` accepts the same specs as writeKeyed
     * (plain columns = min/max/nulls/sum intervals, `bloom:c` = a
-    * per-file Bloom filter). Declines on live deletion vectors —
-    * per-file stats must stay GROSS for the DV count adjustment, and
-    * the one job that folds them ([[compactVersion]]) re-records stats
-    * anyway. Returns (new version, files analyzed).
+    * per-file Bloom filter). Under live deletion vectors the analyze
+    * scan reads the files GROSS (DV subtraction bypassed): per-file
+    * stats must stay gross — pruning only over-approximates under a
+    * gross interval, and the COUNT adjustment subtracts the vectors
+    * from gross row counts — so a merge-on-read table adopts skipping
+    * and pushdown WITHOUT compacting first. Returns (new version,
+    * files analyzed).
     */
   def analyzeTable(spark: SparkSession, path: String,
       statsCols: Seq[String], maxRetries: Int = 5): (Long, Int) = {
@@ -1749,16 +1852,18 @@ object Merge {
       val parentV = currentVersion(spark, path)
       require(parentV >= 0, s"$path has no version log")
       val parent = readManifest(spark, root, parentV)
-      require(parent.dvFiles.isEmpty,
-        "analyze declines on live deletion vectors (stats must be " +
-        "GROSS per file) — compact first to fold them")
       val (bloomSpecs, rangeCols) =
         statsCols.partition(Skipping.isBloomSpec)
       val bloomCols = bloomSpecs.map(Skipping.bloomBase).distinct
       val entries: Seq[Skipping.FileStats] =
         if (parent.files.isEmpty) Seq.empty
         else {
-          val df = versionDf(spark, path, root, parent, keepPos = true)
+          // GROSS scan: drop the DV refs so versionDf skips the
+          // subtracting anti-join — recorded stats must cover every
+          // physical row (deleted ones included) for the count
+          // adjustment and bloom probes to stay sound
+          val df = versionDf(spark, path, root,
+            parent.copy(dvFiles = Seq.empty), keepPos = true)
           (rangeCols ++ bloomCols).foreach(c =>
             require(df.columns.contains(c),
               s"stats column $c not in ${df.columns.mkString(", ")}"))
@@ -1818,7 +1923,8 @@ object Merge {
       try {
         writeManifest(fs, root,
           parent.copy(version = parentV + 1, parent = parentV,
-            txn = None, statsCols = statsCols, stats = entries,
+            txn = None, statsCols = statsCols,
+            stats = externalizeBlooms(fs, root, entries, statsCols),
             ts = nextTs(parent), op = Some("analyze"),
             rowsUpserted = 0L, rowsDeleted = 0L, copied = Seq.empty),
           parent = Some(parent), touched = None) // stats changed in
@@ -2723,6 +2829,44 @@ object Merge {
       .filter(col(keyCol) === lit(key).cast(keyType))
   }
 
+  /** [[lookupKey]] for a composite-key GRID (and, degenerately, a
+    * single-key table): the values pair positionally with the
+    * recorded layout columns, each dimension's hash names its digit,
+    * and the scan reads exactly the ONE cell the tuple flattens to —
+    * at a 4096-cell grid, 1/4096th of the table's files, structurally
+    * (no stats needed), via the same per-dimension pruning
+    * [[planVersionFiles]] applies to any point bound.
+    */
+  def lookupKeyTuple(spark: SparkSession, path: String,
+      keys: Seq[Any]): DataFrame = {
+    val (_, root) = fsFor(spark, path)
+    val v = currentVersion(spark, path)
+    require(v >= 0, s"$path has no version log — lookupKeyTuple needs one")
+    val m = readManifest(spark, root, v)
+    val dims: Seq[String] = m.layout.map(l => Seq(l._1))
+      .getOrElse(m.layoutCols)
+    require(dims.nonEmpty,
+      s"$path records no bucketing layout — lookup needs one")
+    require(keys.size == dims.size,
+      s"$path is keyed on (${dims.mkString(", ")}) — pass one value " +
+      s"per key column, got ${keys.size}")
+    val schema = m.dataSchema.map(schemaFromString).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path's manifest records no schema"))
+    val bounds = dims.zip(keys).map { case (kc, k) =>
+      Skipping.Bound(kc, Some(k), Some(k))
+    }
+    val files = planVersionFiles(spark, path, v, bounds)._1
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    dims.zip(keys).foldLeft(
+      versionDf(spark, path, root, m.copy(files = files))
+        .drop("__bucket")) { case (df, (kc, k)) =>
+      df.filter(col(kc) === lit(k).cast(schema(kc).dataType))
+    }
+  }
+
   final case class MergeStats(bucketsTouched: Int, nBuckets: Int,
       rowsUpserted: Long, version: Long, retries: Int = 0,
       skippedDupTxn: Boolean = false, rowsDeleted: Long = 0L)
@@ -2885,7 +3029,7 @@ object Merge {
           }
       }
     fs.delete(staging, true)
-    (moved.result().sorted, stats)
+    (moved.result().sorted, externalizeBlooms(fs, root, stats, statsCols))
   }
 
   private def deleteFiles(fs: FileSystem, root: Path,
@@ -2971,31 +3115,96 @@ object Merge {
       maxRetries: Int = 5, txn: Option[(String, Long)] = None,
       tombstoneCol: Option[String] = None,
       filesPerBucket: Int = 1,
-      copiedFiles: Seq[String] = Seq.empty): MergeStats = {
+      copiedFiles: Seq[String] = Seq.empty): MergeStats =
+    upsertImpl(spark, path, updates,
+      Some((Seq(keyCol), Seq(nBuckets))), allowEvolution, maxRetries,
+      txn, tombstoneCol, filesPerBucket, copiedFiles)
+
+  /** [[upsert]] routed by the table's OWN recorded layout — single key
+    * or composite GRID ([[writeKeyedCols]]): a `(tenant, id)` grid
+    * upserts by key TUPLE, each incoming row hashing per dimension
+    * into exactly the cell holding its current image, so a small
+    * batch rewrites only its keys' cells (never the table) and the
+    * grid's exchange-free storage-partitioned joins survive the
+    * commit (the rewrite re-sorts each cell by the full key tuple).
+    * The layout is read from the manifest — it is fixed at write time
+    * and a caller could not legally restate it anyway. Same dialect
+    * as [[upsert]]: schema evolution, tombstone deletes, identity /
+    * generated columns, CHECK constraints, `txn` replay, lost-race
+    * retry.
+    */
+  def upsertGrid(spark: SparkSession, path: String, updates: DataFrame,
+      allowEvolution: Boolean = false, maxRetries: Int = 5,
+      txn: Option[(String, Long)] = None,
+      tombstoneCol: Option[String] = None,
+      filesPerBucket: Int = 1): MergeStats =
+    upsertImpl(spark, path, updates, None, allowEvolution, maxRetries,
+      txn, tombstoneCol, filesPerBucket, Seq.empty)
+
+  /** The manifest's recorded layout as a key-column/bucket-count pair
+    * of sequences (single-key from `layout`, grids from `layoutCols`),
+    * validated against what the caller claimed (None = take the
+    * manifest's): a caller-supplied key/bucketing that disagrees would
+    * scatter keys across buckets and silently corrupt every later
+    * merge — fail fast instead.
+    */
+  private def resolveLayout(parent: Manifest,
+      caller: Option[(Seq[String], Seq[Int])], path: String,
+      verb: String): (Seq[String], Seq[Int]) = {
+    val recorded: Option[(Seq[String], Seq[Int])] =
+      parent.layout.map { case (k, n) => (Seq(k), Seq(n)) }
+        .orElse(if (parent.layoutCols.size >= 2 &&
+            parent.layoutNs.size == parent.layoutCols.size)
+          Some((parent.layoutCols, parent.layoutNs)) else None)
+    (recorded, caller) match {
+      case (Some(r), Some(c)) =>
+        require(r == c,
+          s"$path is bucketed as (${r._1.mkString(", ")}) × " +
+          s"(${r._2.mkString(", ")}) but the $verb says " +
+          s"(${c._1.mkString(", ")}) × (${c._2.mkString(", ")}) — " +
+          "layout is fixed at write time")
+        r
+      case (Some(r), None) => r
+      case (None, Some(c)) => c // pre-layout table: the caller's
+        // claim becomes the recorded layout at commit
+      case (None, None) => throw new IllegalArgumentException(
+        s"$path records no bucketing layout — write it with " +
+        s"writeKeyed/writeKeyedCols before $verb")
+    }
+  }
+
+  /** The physical bucket id for a key layout: the single-column hash,
+    * or the row-major flattened per-dimension grid hash.
+    */
+  private def bucketExprFor(keyCols: Seq[String], ns: Seq[Int]) =
+    if (keyCols.size == 1) bucketCol(keyCols.head, ns.head)
+    else bucketColMulti(keyCols, ns)
+
+  private def upsertImpl(spark: SparkSession, path: String,
+      updates: DataFrame,
+      callerLayout: Option[(Seq[String], Seq[Int])],
+      allowEvolution: Boolean,
+      maxRetries: Int, txn: Option[(String, Long)],
+      tombstoneCol: Option[String],
+      filesPerBucket: Int,
+      copiedFiles: Seq[String]): MergeStats = {
     val (fs, root) = fsFor(spark, path)
     var attempt = 0
     while (true) {
       val parentV = currentVersion(spark, path)
       txn.foreach { case (app, batch) =>
         if (latestTxn(spark, path, app).exists(_ >= batch))
-          return MergeStats(0, nBuckets, 0L, parentV, attempt,
-            skippedDupTxn = true)
+          return MergeStats(0,
+            callerLayout.map(_._2.map(_.toLong).product.toInt)
+              .getOrElse(-1),
+            0L, parentV, attempt, skippedDupTxn = true)
       }
       require(parentV >= 0,
         s"$path has no version log — write it with writeKeyed first")
       val parent = readManifest(spark, root, parentV)
-      // the manifest records the layout: a caller-supplied key/bucketing
-      // that disagrees would scatter keys across buckets and silently
-      // corrupt every later merge — fail fast instead
-      require(parent.layoutCols.isEmpty,
-        s"$path is bucketed on the COMPOSITE key " +
-        s"(${parent.layoutCols.mkString(", ")}) — single-key upsert " +
-        "would misroute the grid; rewrite with writeKeyedCols instead")
-      parent.layout.foreach { case (k, n) =>
-        require(k == keyCol && n == nBuckets,
-          s"$path is bucketed as ($k, $n buckets) but the upsert says " +
-          s"($keyCol, $nBuckets) — layout is fixed at writeKeyed time")
-      }
+      val (keyCols, bucketNs) =
+        resolveLayout(parent, callerLayout, path, "upsert")
+      val nTotal = bucketNs.map(_.toLong).product.toInt
       tombstoneCol.foreach { tc =>
         require(updates.columns.contains(tc),
           s"tombstone column $tc not in the updates")
@@ -3064,12 +3273,10 @@ object Merge {
         // type is part of the layout; relayout is the escape.
         if (u.dataType.catalogString != f.dataType.catalogString) {
           widenedCols += f.name
-          parent.layout.foreach { case (k, _) =>
-            require(f.name != k,
-              s"the layout key '$k' cannot change type " +
-              s"(${f.dataType.simpleString} -> ${u.dataType.simpleString})" +
-              " — its hash routes buckets; rewrite via relayout/writeKeyed")
-          }
+          require(!keyCols.contains(f.name),
+            s"the layout key '${f.name}' cannot change type " +
+            s"(${f.dataType.simpleString} -> ${u.dataType.simpleString})" +
+            " — its hash routes buckets; rewrite via relayout/writeKeyed")
         }
       })
       val outCols = parentCols ++ newCols
@@ -3201,7 +3408,7 @@ object Merge {
           .getOrElse(genApplied),
         parent.constraints, "the update batch")
       val withB = genApplied
-        .withColumn("__bucket", bucketCol(keyCol, nBuckets))
+        .withColumn("__bucket", bucketExprFor(keyCols, bucketNs))
       // one job: touched bucket ids, the upserted/deleted row counts,
       // AND (identity tables only) the batch's id extremes — the
       // high-water-mark advance rides the agg we run anyway
@@ -3218,7 +3425,7 @@ object Merge {
       val perBucket =
         perBucketRows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       if (perBucket.isEmpty)
-        return MergeStats(0, nBuckets, 0L, parentV, attempt)
+        return MergeStats(0, nTotal, 0L, parentV, attempt)
       // advance each identity mark monotonically: never below (above,
       // for negative step) the parent's persisted mark, whatever this
       // commit deletes or rewrites
@@ -3280,20 +3487,20 @@ object Merge {
       // for variable-width types) per-key width must stay driver-safe
       // — a million 8-byte longs broadcasts, a million wide strings
       // falls to Spark's own size-based planning.
-      val updKeys = withB.select(col(keyCol))
-      val keyWidth = outSchema(keyCol).dataType match {
+      val updKeys = withB.select(keyCols.map(col): _*)
+      val keyWidth = keyCols.map(k => outSchema(k).dataType match {
         case _: org.apache.spark.sql.types.StringType |
              _: org.apache.spark.sql.types.BinaryType => 64L
         case dt => dt.defaultSize.toLong
-      }
+      }).sum
       val joinKeys =
         if ((rowsUpserted + rowsDeleted) * keyWidth <= (32L << 20))
           broadcast(updKeys)
         else updKeys
       val merged = bucketPartitioned(baseAligned
-        .join(joinKeys, Seq(keyCol), "left_anti")
+        .join(joinKeys, keyCols, "left_anti")
         .unionByName(inserts), filesPerBucket, touched.size,
-        sortKey = Seq(keyCol))
+        sortKey = keyCols)
       // APPEND-only: stage to a job-scoped dir, move the exact file set in
       val (newFiles, newStats) =
         stageAndMove(spark, fs, root, merged, parent.statsCols,
@@ -3304,7 +3511,8 @@ object Merge {
         writeManifest(fs, root,
           Manifest(parentV + 1, parentV, files.sorted,
             Some(schemaToString(outSchema)), txn,
-            parent.layout.orElse(Some((keyCol, nBuckets))),
+            parent.layout.orElse(if (keyCols.size == 1)
+              Some((keyCols.head, bucketNs.head)) else None),
             parent.statsCols,
             // untouched buckets keep their stats, EXCEPT bloom filters
             // on a column this commit widened: those hashed the narrow
@@ -3322,10 +3530,14 @@ object Merge {
             dvFiles = parent.dvFiles,
             colMap = parent.colMap, physRetired = parent.physRetired,
             copied = copiedFiles, idHwm = newIdHwm,
-            keySorted = parent.keySorted), // rewrites re-sort; the
+            keySorted = parent.keySorted, // rewrites re-sort; the
               // untouched files keep whatever the parent knew
+            layoutCols =
+              if (keyCols.size >= 2) keyCols else parent.layoutCols,
+            layoutNs =
+              if (keyCols.size >= 2) bucketNs else parent.layoutNs),
           parent = Some(parent), touched = Some(touched))
-        return MergeStats(touched.size, nBuckets, rowsUpserted, parentV + 1,
+        return MergeStats(touched.size, nTotal, rowsUpserted, parentV + 1,
           attempt, rowsDeleted = rowsDeleted)
       } catch {
         case _: LostCommitRace =>
@@ -3361,12 +3573,22 @@ object Merge {
     * keys per batch, layout fixed at writeKeyed time, CHECK
     * constraints enforced on the batch, `txn` replay guard,
     * lost-race retry. Deliberately NARROWER than upsert: no schema
-    * evolution, tombstones, identity or generated columns — those
-    * verbs rewrite (or mint) per-bucket state that belongs to the
-    * copy-on-write path; compose deletes with [[deleteWhereDV]].
+    * evolution, identity or generated columns — those verbs rewrite
+    * (or mint) per-bucket state that belongs to the copy-on-write
+    * path; predicate deletes compose with [[deleteWhereDV]].
     * `keySorted` drops to false — appended files overlap the old
     * ones' key ranges, so the sort-free zipper re-plans its Sorts
     * until a key-sorted rewrite restores the contract.
+    *
+    * Deletes: `tombstoneCol = Some(c)` takes the same tombstone
+    * dialect as [[upsert]] — updates carry a BOOLEAN column `c` (not
+    * part of the table schema); rows where it is true are key-
+    * addressed DELETES. A delete is merge-on-read's NATIVE verb: the
+    * key's old image joins the deletion vector like any replaced
+    * image, just with no new image appended — so a three-branch CDC
+    * MERGE (update + insert + delete) lands with every pre-existing
+    * data file byte-untouched, which copy-on-write upsert can never
+    * do.
     *
     * Stats: old files keep their (gross) entries — sound for pruning
     * (over-approximate) and REQUIRED for the DV count adjustment; new
@@ -3374,35 +3596,65 @@ object Merge {
     */
   def upsertDV(spark: SparkSession, path: String, updates: DataFrame,
       keyCol: String, nBuckets: Int, maxRetries: Int = 5,
-      txn: Option[(String, Long)] = None): MergeStats = {
+      txn: Option[(String, Long)] = None,
+      tombstoneCol: Option[String] = None): MergeStats =
+    upsertDVImpl(spark, path, updates,
+      Some((Seq(keyCol), Seq(nBuckets))), maxRetries, txn, tombstoneCol)
+
+  /** [[upsertDV]] routed by the table's OWN recorded layout — single
+    * key or composite GRID ([[writeKeyedCols]]): the merge-on-read
+    * CDC path for `(tenant, id)`-style tables. Old images deletion-
+    * vector by key TUPLE (the find scan prunes to exactly the touched
+    * cells), surviving images append into their cells, no data file
+    * rewritten.
+    */
+  def upsertDVGrid(spark: SparkSession, path: String,
+      updates: DataFrame, maxRetries: Int = 5,
+      txn: Option[(String, Long)] = None,
+      tombstoneCol: Option[String] = None): MergeStats =
+    upsertDVImpl(spark, path, updates, None, maxRetries, txn,
+      tombstoneCol)
+
+  private def upsertDVImpl(spark: SparkSession, path: String,
+      updates: DataFrame,
+      callerLayout: Option[(Seq[String], Seq[Int])],
+      maxRetries: Int, txn: Option[(String, Long)],
+      tombstoneCol: Option[String]): MergeStats = {
     val (fs, root) = fsFor(spark, path)
     var attempt = 0
     while (attempt <= maxRetries) {
       val parentV = currentVersion(spark, path)
       txn.foreach { case (app, batch) =>
         if (latestTxn(spark, path, app).exists(_ >= batch))
-          return MergeStats(0, nBuckets, 0L, parentV, attempt,
-            skippedDupTxn = true)
+          return MergeStats(0,
+            callerLayout.map(_._2.map(_.toLong).product.toInt)
+              .getOrElse(-1),
+            0L, parentV, attempt, skippedDupTxn = true)
       }
       require(parentV >= 0,
         s"$path has no version log — write it with writeKeyed first")
       val parent = readManifest(spark, root, parentV)
-      require(parent.layoutCols.isEmpty,
-        s"$path is bucketed on the COMPOSITE key " +
-        s"(${parent.layoutCols.mkString(", ")}) — single-key upsertDV " +
-        "would misroute the grid")
-      parent.layout.foreach { case (k, n) =>
-        require(k == keyCol && n == nBuckets,
-          s"$path is bucketed as ($k, $n buckets) but the upsert says " +
-          s"($keyCol, $nBuckets) — layout is fixed at writeKeyed time")
+      val (keyCols, bucketNs) =
+        resolveLayout(parent, callerLayout, path, "upsertDV")
+      val nTotal = bucketNs.map(_.toLong).product.toInt
+      tombstoneCol.foreach { tc =>
+        require(updates.columns.contains(tc),
+          s"tombstone column $tc not in the updates")
+        require(updates.schema(tc).dataType ==
+          org.apache.spark.sql.types.BooleanType,
+          s"tombstone column $tc must be BOOLEAN")
       }
+      val updCols = updates.columns.toSeq.filterNot(tombstoneCol.contains)
       val parentSchema = parent.dataSchema.map(schemaFromString)
+      tombstoneCol.foreach(tc => require(
+        !parentSchema.exists(_.fieldNames.contains(tc)),
+        s"tombstone column $tc collides with a table column"))
       val parentCols: Seq[String] = parentSchema.map(_.fieldNames.toSeq)
-        .getOrElse(updates.columns.toSeq)
-      require(updates.columns.toSet == parentCols.toSet,
+        .getOrElse(updCols)
+      require(updCols.toSet == parentCols.toSet,
         s"upsertDV takes the exact table schema (no evolution): table " +
         s"[${parentCols.mkString(", ")}], batch " +
-        s"[${updates.columns.mkString(", ")}]")
+        s"[${updCols.mkString(", ")}]")
       parentSchema.foreach(_.foreach { f =>
         require(updates.schema(f.name).dataType.catalogString ==
             f.dataType.catalogString,
@@ -3416,28 +3668,40 @@ object Merge {
           s"column ${f.name} is identity/generated — minting and " +
           "recomputation belong to the copy-on-write upsert")
       })
-      enforceConstraints(updates, parent.constraints, "the update batch")
+      // CHECK constraints gate only the SURVIVING images — a
+      // tombstoned key's carried columns are never stored
+      enforceConstraints(
+        tombstoneCol.map(tc =>
+          updates.filter(!coalesce(col(tc), lit(false))))
+          .getOrElse(updates),
+        parent.constraints, "the update batch")
       val withB = updates
-        .withColumn("__bucket", bucketCol(keyCol, nBuckets))
+        .withColumn("__bucket", bucketExprFor(keyCols, bucketNs))
+      // one job: touched buckets + per-bucket total and tombstone counts
+      val delAgg = tombstoneCol
+        .map(tc => sum(when(col(tc), 1L).otherwise(0L)))
+        .getOrElse(sum(lit(0L))).as("d")
       val perBucket = withB.groupBy("__bucket")
-        .agg(count(lit(1)).as("n")).collect()
-        .map(r => (r.getLong(0), r.getLong(1))) // bounded by nBuckets
+        .agg(count(lit(1)).as("n"), delAgg).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        // bounded by nBuckets
       if (perBucket.isEmpty)
-        return MergeStats(0, nBuckets, 0L, parentV, attempt)
+        return MergeStats(0, nTotal, 0L, parentV, attempt)
       val touched = perBucket.map(_._1).toSet
       val rowsIn = perBucket.map(_._2).sum
+      val rowsTombstoned = perBucket.map(_._3).sum
       // the REPLACED rows' (file, pos): read only the touched buckets,
       // DV-filtered (a twice-replaced key vectors each image once),
       // semi-joined on the batch's keys (broadcast under the same
       // bytes gate as upsert)
       val parentTouchedFiles =
         parent.files.filter(f => touched(bucketOf(f)))
-      val updKeys = updates.select(col(keyCol))
-      val keyWidth = updates.schema(keyCol).dataType match {
+      val updKeys = updates.select(keyCols.map(col): _*)
+      val keyWidth = keyCols.map(k => updates.schema(k).dataType match {
         case _: org.apache.spark.sql.types.StringType |
              _: org.apache.spark.sql.types.BinaryType => 64L
         case dt => dt.defaultSize.toLong
-      }
+      }).sum
       val joinKeys =
         if (rowsIn * keyWidth <= (32L << 20)) broadcast(updKeys)
         else updKeys
@@ -3448,16 +3712,21 @@ object Merge {
             .withColumn("pos", lit(null).cast("long"))
         else versionDf(spark, path, root,
             parent.copy(files = parentTouchedFiles), keepPos = true)
-          .join(joinKeys, Seq(keyCol), "left_semi")
+          .join(joinKeys, keyCols, "left_semi")
           .select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
       val (dvRefs, nReplaced) =
         writeDvSidecar(spark, fs, root, matched, bitmapFormat = true)
-      // the batch's rows APPEND as fresh per-bucket files (key-sorted
-      // within each file, like every graft write)
+      // the batch's SURVIVING rows APPEND as fresh per-bucket files
+      // (key-sorted within each file, like every graft write);
+      // tombstoned keys contributed their old images to the vector
+      // above and append nothing — that IS the merge-on-read delete
       val staged = bucketPartitioned(
-        withB.select((parentCols :+ "__bucket").map(col): _*),
+        tombstoneCol.map(tc =>
+            withB.filter(!coalesce(col(tc), lit(false))))
+          .getOrElse(withB)
+          .select((parentCols :+ "__bucket").map(col): _*),
         filesPerBucket = 1, buckets = touched.size,
-        sortKey = Seq(keyCol))
+        sortKey = keyCols)
       val (newFiles, newStats) =
         stageAndMove(spark, fs, root, staged, parent.statsCols,
           parent.colMap)
@@ -3466,20 +3735,28 @@ object Merge {
         writeManifest(fs, root,
           Manifest(parentV + 1, parentV,
             (parent.files ++ newFiles).sorted, parent.dataSchema, txn,
-            parent.layout.orElse(Some((keyCol, nBuckets))),
+            parent.layout.orElse(if (keyCols.size == 1)
+              Some((keyCols.head, bucketNs.head)) else None),
             parent.statsCols,
             parent.stats ++ newStats, // old files keep GROSS entries
             ts = nextTs(parent), op = Some("upsert-dv"),
-            rowsUpserted = rowsIn, rowsDeleted = nReplaced,
+            rowsUpserted = rowsIn - rowsTombstoned,
+            rowsDeleted = nReplaced,
             shardSpan = parent.shardSpan,
             constraints = parent.constraints,
             dvFiles = parent.dvFiles ++ dvRefs,
             colMap = parent.colMap, physRetired = parent.physRetired,
             idHwm = parent.idHwm,
-            keySorted = false, // appended ranges overlap old files
-            layoutCols = parent.layoutCols, layoutNs = parent.layoutNs),
+            // appended ranges overlap old files; a pure-delete batch
+            // (no appends) leaves the sort contract as it was
+            keySorted = newFiles.isEmpty && parent.keySorted,
+            layoutCols =
+              if (keyCols.size >= 2) keyCols else parent.layoutCols,
+            layoutNs =
+              if (keyCols.size >= 2) bucketNs else parent.layoutNs),
           parent = Some(parent), touched = Some(touched))
-        return MergeStats(touched.size, nBuckets, rowsIn, parentV + 1,
+        return MergeStats(touched.size, nTotal,
+          rowsIn - rowsTombstoned, parentV + 1,
           attempt, rowsDeleted = nReplaced)
       } catch {
         case _: LostCommitRace =>
@@ -4274,6 +4551,31 @@ object Merge {
           val rel = s"_graft_dv/${d.getPath.getName}/${f.getPath.getName}"
           val limit = if (everDv(rel)) cutoff else orphanCutoff
           if (!liveDv(rel) && f.getModificationTime <= limit)
+            reclaim(f.getPath, recursive = false)
+        }
+        if (!dryRun && fs.listStatus(d.getPath).isEmpty)
+          fs.delete(d.getPath, true)
+      }
+    }
+    // external bloom sidecars: live while any retained version's stats
+    // reference them; never-referenced files (a crashed or in-flight
+    // commit) wait out the orphan floor — same shape as DV sidecars
+    val bloomRoot = new Path(root, "_graft_bloom")
+    if (fs.exists(bloomRoot)) {
+      def refsOf(m: Manifest): Seq[String] = m.stats.flatMap(_.bloom)
+        .filter(Skipping.isBloomRef)
+        .map(_.stripPrefix(Skipping.BloomRefMark))
+      val liveBloom = keepSet
+        .flatMap(v => readManifestOpt(spark, root, v).toSeq
+          .flatMap(refsOf))
+        .toSet
+      val everBloom = allManifests.flatMap(refsOf).toSet
+      fs.listStatus(bloomRoot).filter(_.isDirectory).foreach { d =>
+        fs.listStatus(d.getPath).foreach { f =>
+          val rel =
+            s"_graft_bloom/${d.getPath.getName}/${f.getPath.getName}"
+          val limit = if (everBloom(rel)) cutoff else orphanCutoff
+          if (!liveBloom(rel) && f.getModificationTime <= limit)
             reclaim(f.getPath, recursive = false)
         }
         if (!dryRun && fs.listStatus(d.getPath).isEmpty)

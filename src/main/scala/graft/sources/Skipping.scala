@@ -80,15 +80,70 @@ object Skipping {
       sum: Option[String] = None)
 
   /** `statsCols` entries are either plain column names (per-file
-    * min/max interval stats) or `bloom:col` (a per-file Bloom filter
+    * min/max interval stats), `bloom:col` (a per-file Bloom filter
     * for point-lookup pruning — the Delta bloom-filter-index idea in
-    * the manifest). One column may appear in both forms.
+    * the manifest), or `bloomx:col` (the same filter EXTERNALIZED to
+    * one sidecar file per data file — see below). One column may
+    * appear in several forms.
+    *
+    * WHY `bloomx`: an inline filter costs ~12 KB per file·column of
+    * MANIFEST — at a million files that is ~12 GB of metadata
+    * rewritten shard-granularly on every commit and parsed by every
+    * planner. The external layout stores only an `@`-prefixed
+    * sidecar REF in the manifest entry (bytes per file), keeps the
+    * data under `_graft_bloom/`, and the planner reads a candidate
+    * file's filter LAZILY — only for files that survived every other
+    * prune, only under a point bound on that column, driver-cached.
+    * Trade: one tiny extra read per (file, probe) at plan time vs.
+    * manifest size — the right side of the trade past ~10⁴ files.
     */
   private[sources] val BloomPrefix = "bloom:"
+  private[sources] val BloomxPrefix = "bloomx:"
   private[sources] def isBloomSpec(c: String): Boolean =
-    c.startsWith(BloomPrefix)
+    c.startsWith(BloomPrefix) || c.startsWith(BloomxPrefix)
+  private[sources] def isExternalBloomSpec(c: String): Boolean =
+    c.startsWith(BloomxPrefix)
   private[sources] def bloomBase(c: String): String =
-    c.stripPrefix(BloomPrefix)
+    c.stripPrefix(BloomPrefix).stripPrefix(BloomxPrefix)
+
+  /** Marks a [[FileStats.bloom]] value as a SIDECAR REF (root-relative
+    * path) instead of an inline base64 blob.
+    */
+  private[sources] val BloomRefMark = "@"
+  private[sources] def isBloomRef(v: String): Boolean =
+    v.startsWith(BloomRefMark)
+
+  /** Test seam: sidecar bloom files actually read (cache misses). */
+  val bloomSidecarReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  // driver-side decode-once cache for sidecar blooms, keyed by the
+  // absolute sidecar path (content-addressed: a re-analyze writes new
+  // files). Bounded: cleared wholesale past 4096 entries (~48 MB).
+  private val bloomSidecarCache = new java.util.concurrent.ConcurrentHashMap[
+    String, String]()
+
+  /** The sidecar's filter as the same base64 form the inline layout
+    * stores (decode-once cached); None on any read trouble — the
+    * caller keeps the file, pruning never depends on a sidecar read.
+    */
+  private[sources] def readBloomSidecar(
+      fs: org.apache.hadoop.fs.FileSystem, root: Path, ref: String)
+      : Option[String] = {
+    val rel = ref.stripPrefix(BloomRefMark)
+    val p = new Path(root, rel)
+    val key = fs.makeQualified(p).toString
+    val hit = bloomSidecarCache.get(key)
+    if (hit != null) return Some(hit)
+    try {
+      val in = fs.open(p)
+      val bytes = try in.readAllBytes() finally in.close()
+      bloomSidecarReads.incrementAndGet()
+      val b64 = java.util.Base64.getEncoder.encodeToString(bytes)
+      if (bloomSidecarCache.size >= 4096) bloomSidecarCache.clear()
+      bloomSidecarCache.put(key, b64)
+      Some(b64)
+    } catch { case _: Exception => None }
+  }
 
   /** Bloom sizing: fixed per-file capacity. ~12 KB per file·column at
     * a ~1% false-positive rate up to this many distinct values; files
@@ -666,6 +721,9 @@ object Skipping {
         case Some(ps) =>
           colStats.get(BloomPrefix + b.column)
             .flatMap(_.bloom)
+            // sidecar REFS can't be probed purely — keep here; the
+            // planner's lazy sidecar pass refines them with fs access
+            .filterNot(isBloomRef)
             .forall(bf => bloomAnyMightContain(dt, ps, bf))
         case None => true
       }

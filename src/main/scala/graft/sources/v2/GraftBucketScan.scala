@@ -285,7 +285,8 @@ class GraftBucketScan(path: String, version: Long, dataSchema: StructType,
         spark, GraftBucketScan.DvSchema, GraftBucketScan.DvSchema,
         Seq.empty)
       new GraftBucketDvReaderFactory(rowFunc, batchFunc, dvFunc, dvFiles,
-        required)
+        required, new org.apache.spark.util.SerializableConfiguration(
+          spark.sparkContext.hadoopConfiguration))
     }
   }
 }
@@ -425,11 +426,82 @@ class GraftBucketDvReaderFactory(
         => Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]],
     dvFunc: org.apache.spark.sql.execution.datasources.PartitionedFile
       => Iterator[InternalRow],
-    dvFiles: Seq[(String, Long)], required: StructType)
+    dvFiles: Seq[(String, Long)], required: StructType,
+    hconf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
 
   private def norm(s: String): String =
     new org.apache.hadoop.fs.Path(s).toString
+
+  /** ROW-GROUP-LEVEL DV SKIPPING (r17): the splits to actually read
+    * for one data file under its sorted skip array. When the dead
+    * positions COVER a whole row group (a clustered delete — exactly
+    * what a key-range compliance delete or a CDC re-load produces),
+    * that group's bytes are never decoded: the footer's block ranges
+    * and the sorted positions are both known, so fully-dead groups
+    * are sliced AROUND (parquet's midpoint split contract) and
+    * everything else reads as one run-merged slice each. Engaged only
+    * past [[GraftBucketDvReaderFactory.rowGroupSkipMinPositions]]
+    * dead rows in the file — below that no group can be covered, so
+    * the footer read would be pure overhead. Row indexes stay
+    * file-global under slicing (the generator derives them from the
+    * footer), so the monotone subtraction cursor is untouched.
+    */
+  private def liveSlices(f: String, len: Long, dead: Array[Long])
+      : Seq[org.apache.spark.sql.execution.datasources.PartitionedFile] = {
+    if (dead == null ||
+        dead.length < GraftBucketDvReaderFactory.rowGroupSkipMinPositions)
+      return Seq(ParquetReadShim.partitionedFile(f, len))
+    val blocks =
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(f), hconf.value)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          import scala.jdk.CollectionConverters._
+          r.getFooter.getBlocks.asScala.toSeq
+            .map(b => (b.getRowCount, b.getStartingPos,
+              b.getCompressedSize))
+        } finally r.close()
+      } catch { // footer trouble: fall back to the full-file read —
+        // skipping is an optimization, never a correctness dependency
+        case _: Exception =>
+          return Seq(ParquetReadShim.partitionedFile(f, len))
+      }
+    // per block: first file-global row index + whether every row dies
+    def lower(x: Long): Int = {
+      var lo = 0; var hi = dead.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (dead(mid) < x) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+    var firstRow = 0L
+    val keep = Seq.newBuilder[(Long, Long)] // (byteStart, byteEnd)
+    var skipped = 0
+    blocks.foreach { case (rows, bStart, bSize) =>
+      val deadIn = lower(firstRow + rows) - lower(firstRow)
+      if (deadIn == rows) skipped += 1
+      else keep += ((bStart, bStart + bSize))
+      firstRow += rows
+    }
+    if (skipped == 0)
+      return Seq(ParquetReadShim.partitionedFile(f, len))
+    GraftBucketDvReaderFactory.skippedRowGroups.addAndGet(skipped)
+    // merge adjacent kept ranges into maximal runs: an excluded
+    // block's midpoint lies strictly outside every merged range
+    val merged = keep.result().foldLeft(
+      List.empty[(Long, Long)]) { case (acc, (s, e)) =>
+      acc match {
+        case (ps, pe) :: tail if s <= pe => (ps, math.max(pe, e)) :: tail
+        case _ => (s, e) :: acc
+      }
+    }.reverse
+    merged.map { case (s, e) =>
+      ParquetReadShim.partitionedFileSlice(f, s, e - s, len)
+    }
+  }
 
   /** This executor's decoded skip sets, keyed by normalized file —
     * sorted position arrays. The sidecars decode ONCE PER EXECUTOR
@@ -488,7 +560,7 @@ class GraftBucketDvReaderFactory(
       private val it: Iterator[InternalRow] =
         p.files.iterator.flatMap { case (f, len) =>
           val dead = skip.getOrElse(norm(f), null)
-          val rows = rowFunc(ParquetReadShim.partitionedFile(f, len))
+          val rows = liveSlices(f, len, dead).iterator.flatMap(rowFunc)
           val live =
             if (dead == null) rows
             else {
@@ -527,7 +599,7 @@ class GraftBucketDvReaderFactory(
       private val it: Iterator[ColumnarBatch] =
         p.files.iterator.flatMap { case (f, len) =>
           val dead = skip.getOrElse(norm(f), null)
-          val batches = bf(ParquetReadShim.partitionedFile(f, len))
+          val batches = liveSlices(f, len, dead).iterator.flatMap(bf)
           if (dead == null)
             batches.map(b => new ColumnarBatch(dataCols(b), b.numRows()))
           else {
@@ -637,6 +709,18 @@ object GraftBucketDvReaderFactory {
     * this measures the per-executor allocation bound directly.
     */
   val decodedPositions = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Test seam: row groups whose decode was skipped entirely because
+    * the deletion vector covers every one of their rows.
+    */
+  val skippedRowGroups = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Don't read footers for files with fewer dead rows than this — no
+    * row group could be covered (default parquet groups hold far more
+    * rows), so the footer read would be pure overhead. Tests lower it
+    * alongside a small parquet.block.size.
+    */
+  @volatile var rowGroupSkipMinPositions: Int = 1024
 
   def decodedDv(key: String, load: => Map[String, Array[Long]])
       : Map[String, Array[Long]] = {

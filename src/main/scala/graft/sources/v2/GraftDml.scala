@@ -165,7 +165,7 @@ case class GraftDeleteCommand(table: LogicalPlan, graft: GraftTable,
     with org.apache.spark.sql.catalyst.plans.logical.SupportsSubquery {
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val (keyCol, nBuckets) = GraftDml.layoutOf(spark, graft)
+    GraftDml.keyColsOf(spark, graft) // writable + layout checks
     // evaluate the predicate over the statement's own resolved
     // relation (subqueries keep their embedded plans — exactly what
     // deleteWhere's re-resolved frame could not bind), collect the
@@ -177,8 +177,15 @@ case class GraftDeleteCommand(table: LogicalPlan, graft: GraftTable,
       .localCheckpoint() // one evaluation, several commit-protocol reads
     try {
       val changes = doomed.withColumn("__graft_del", lit(true))
-      Merge.upsert(spark, graft.path, changes, keyCol, nBuckets,
-        tombstoneCol = Some("__graft_del"))
+      // merge-on-read: a key-addressed delete is pure DV positions —
+      // no data file rewritten, no file appended (r17 tombstones)
+      if (GraftDml.mergeOnRead(spark) &&
+          GraftDml.morEligible(graft.schema()))
+        Merge.upsertDVGrid(spark, graft.path, changes,
+          tombstoneCol = Some("__graft_del"))
+      else
+        Merge.upsertGrid(spark, graft.path, changes,
+          tombstoneCol = Some("__graft_del"))
     } finally doomed.unpersist(blocking = false)
     Seq.empty
   }
@@ -187,16 +194,16 @@ case class GraftDeleteCommand(table: LogicalPlan, graft: GraftTable,
 private[v2] object GraftDml {
 
   /** Session opt-in (`spark.graft.dml.mergeOnRead = true`): route SQL
-    * UPDATE / MERGE (no DELETE branches) / translatable DELETE through
-    * the MERGE-ON-READ write path — old images deletion-vectored,
-    * change sets appended, NO data file rewritten ([[Merge.upsertDV]]/
-    * [[Merge.deleteWhereDV]]) — instead of copy-on-write bucket
-    * rewrites. The CDC-steady-state posture: per-statement cost ∝ the
-    * change set, with compaction's targeted purge folding on a
-    * maintenance schedule. Statements outside the merge-on-read
-    * surface (delete branches in MERGE, identity/generated columns,
-    * untranslatable DELETE predicates) FALL BACK to copy-on-write —
-    * same result, different write amplification — never an error.
+    * UPDATE / MERGE (all three branches, DELETE included) / DELETE
+    * through the MERGE-ON-READ write path — old images deletion-
+    * vectored, change sets appended, NO data file rewritten
+    * ([[Merge.upsertDV]] with tombstones / [[Merge.deleteWhereDV]]) —
+    * instead of copy-on-write bucket rewrites. The CDC-steady-state
+    * posture: per-statement cost ∝ the change set, with compaction's
+    * targeted purge folding on a maintenance schedule. Statements
+    * outside the merge-on-read surface (identity/generated columns)
+    * FALL BACK to copy-on-write — same result, different write
+    * amplification — never an error.
     */
   def mergeOnRead(spark: SparkSession): Boolean =
     spark.conf.getOption("spark.graft.dml.mergeOnRead").contains("true")
@@ -236,15 +243,20 @@ private[v2] object GraftDml {
     else c.cast(a.dataType)
   }
 
-  def layoutOf(spark: SparkSession, graft: GraftTable): (String, Int) = {
+  /** The target's key columns — ONE for writeKeyed tables, the full
+    * tuple for writeKeyedCols grids; the commands route both through
+    * the layout-reading upsert verbs ([[Merge.upsertGrid]] /
+    * [[Merge.upsertDVGrid]]), so the bucket counts never re-state.
+    */
+  def keyColsOf(spark: SparkSession, graft: GraftTable): Seq[String] = {
     require(graft.writable,
       s"cannot write to a time-traveled or pinned-catalog resolution " +
       s"of ${graft.path} — DML goes to the table head (directory-mode " +
       "catalog or spark.read without time travel)")
-    Merge.tableLayout(spark, graft.path).getOrElse(
+    Merge.tableLayoutKeys(spark, graft.path).map(_._1).getOrElse(
       throw new IllegalArgumentException(
-        s"${graft.path} records no (keyCol, nBuckets) layout — " +
-        "write it with writeKeyed first"))
+        s"${graft.path} records no bucketing layout — " +
+        "write it with writeKeyed/writeKeyedCols first"))
   }
 }
 
@@ -257,13 +269,13 @@ case class GraftUpdateCommand(table: LogicalPlan, graft: GraftTable,
     with org.apache.spark.sql.catalyst.plans.logical.SupportsSubquery {
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val (keyCol, nBuckets) = GraftDml.layoutOf(spark, graft)
+    val keyCols = GraftDml.keyColsOf(spark, graft)
     val byId = GraftDml.assignmentMap(assignments)
     val attrs = table.output
-    attrs.find(_.name == keyCol).foreach { k =>
+    attrs.filter(a => keyCols.contains(a.name)).foreach { k =>
       require(!byId.contains(k.exprId),
-        s"UPDATE of the key column '$keyCol' is refused — the key is " +
-        "the row's identity; express a key change as MERGE's " +
+        s"UPDATE of the key column '${k.name}' is refused — the key " +
+        "is the row's identity; express a key change as MERGE's " +
         "DELETE + INSERT")
     }
     val target = GraftShim.ofRows(spark, table)
@@ -286,8 +298,8 @@ case class GraftUpdateCommand(table: LogicalPlan, graft: GraftTable,
       // lands it without rewriting a file when the session opts in
       if (GraftDml.mergeOnRead(spark) &&
           GraftDml.morEligible(graft.schema()))
-        Merge.upsertDV(spark, graft.path, updated, keyCol, nBuckets)
-      else Merge.upsert(spark, graft.path, updated, keyCol, nBuckets)
+        Merge.upsertDVGrid(spark, graft.path, updated)
+      else Merge.upsertGrid(spark, graft.path, updated)
     } finally updated.unpersist(blocking = false)
     Seq.empty
   }
@@ -318,7 +330,7 @@ case class GraftMergeCommand(m: MergeIntoTable, graft: GraftTable)
     * statement's explicit no-ops.
     */
   private def branch(rows: DataFrame, actions: Seq[MergeAction],
-      attrs: Seq[Attribute], keyAttr: Attribute,
+      attrs: Seq[Attribute], keyAttrs: Seq[Attribute],
       insertBranch: Boolean): DataFrame = {
     val applies = {
       val raw = actions.map(_.condition
@@ -354,7 +366,9 @@ case class GraftMergeCommand(m: MergeIntoTable, graft: GraftTable)
       actions.map(a => lit(a.isInstanceOf[DeleteAction])), lit(false))
     val keyChanged =
       if (insertBranch) lit(false)
-      else !(unaliased(attrs.indexOf(keyAttr)) <=> GraftShim.column(keyAttr))
+      else keyAttrs.map(ka =>
+        !(unaliased(attrs.indexOf(ka)) <=> GraftShim.column(ka)))
+        .reduceLeft(_ || _)
     rows.filter(applies.reduceLeft(_ || _)).select(
       attrs.zip(unaliased).map { case (a, c) => c.as(a.name) } :+
         delFlag.as(DEL) :+ keyChanged.as(KCH): _*)
@@ -365,26 +379,29 @@ case class GraftMergeCommand(m: MergeIntoTable, graft: GraftTable)
     // schema changes (see GraftDmlRule's needSchemaEvolution guard) —
     // the target attributes already carry the evolved shape, so the
     // command itself is evolution-agnostic
-    val (keyCol, nBuckets) = GraftDml.layoutOf(spark, graft)
+    val keyCols = GraftDml.keyColsOf(spark, graft)
     val tAttrs = m.targetTable.output
-    val keyAttr = tAttrs.find(_.name == keyCol).getOrElse(
-      throw new IllegalStateException(
-        s"target resolution lost the key column '$keyCol'"))
+    val keyAttrs = keyCols.map(kc =>
+      tAttrs.find(_.name == kc).getOrElse(
+        throw new IllegalStateException(
+          s"target resolution lost the key column '$kc'")))
     // an EXPLICIT `UPDATE SET key = ...` is refused statically; a star
     // expansion (`UPDATE SET *`) assigns the key by construction and is
     // allowed, guarded at runtime — the assigned key must equal the
     // row's own (always true when ON is key-equality)
     (m.matchedActions ++ m.notMatchedBySourceActions).foreach {
       case UpdateAction(_, as, fromStar) if !fromStar =>
-        require(!GraftDml.assignmentMap(as).contains(keyAttr.exprId),
-          s"MERGE UPDATE of the key column '$keyCol' is refused — " +
-          "express a key change as DELETE + INSERT")
+        keyAttrs.foreach(ka =>
+          require(!GraftDml.assignmentMap(as).contains(ka.exprId),
+            s"MERGE UPDATE of the key column '${ka.name}' is refused " +
+            "— express a key change as DELETE + INSERT"))
       case _ => ()
     }
     m.notMatchedActions.foreach {
       case InsertAction(_, as) =>
-        require(GraftDml.assignmentMap(as).contains(keyAttr.exprId),
-          s"MERGE INSERT must assign the key column '$keyCol'")
+        keyAttrs.foreach(ka =>
+          require(GraftDml.assignmentMap(as).contains(ka.exprId),
+            s"MERGE INSERT must assign the key column '${ka.name}'"))
       case other => throw new UnsupportedOperationException(
         s"unsupported NOT MATCHED action: $other")
     }
@@ -396,13 +413,14 @@ case class GraftMergeCommand(m: MergeIntoTable, graft: GraftTable)
     val branches = Seq.newBuilder[DataFrame]
     if (m.matchedActions.nonEmpty)
       branches += branch(target.join(source, cond, "inner"),
-        m.matchedActions, tAttrs, keyAttr, insertBranch = false)
+        m.matchedActions, tAttrs, keyAttrs, insertBranch = false)
     if (m.notMatchedActions.nonEmpty)
       branches += branch(source.join(target, cond, "left_anti"),
-        m.notMatchedActions, tAttrs, keyAttr, insertBranch = true)
+        m.notMatchedActions, tAttrs, keyAttrs, insertBranch = true)
     if (m.notMatchedBySourceActions.nonEmpty)
       branches += branch(target.join(source, cond, "left_anti"),
-        m.notMatchedBySourceActions, tAttrs, keyAttr, insertBranch = false)
+        m.notMatchedBySourceActions, tAttrs, keyAttrs,
+        insertBranch = false)
     val built = branches.result()
     if (built.isEmpty) return Seq.empty
 
@@ -415,32 +433,29 @@ case class GraftMergeCommand(m: MergeIntoTable, graft: GraftTable)
     try {
       val kch = changes.filter(col(KCH)).limit(1).collect()
       require(kch.isEmpty,
-        s"MERGE UPDATE SET * changed the key column '$keyCol' for " +
-        s"target key ${kch.headOption.map(_.get(0)).orNull} — the key " +
+        s"MERGE UPDATE SET * changed a key column " +
+        s"(${keyCols.mkString(", ")}) for target key " +
+        s"${kch.headOption.map(_.get(0)).orNull} — the key " +
         "is the row's identity; express a key change as DELETE + INSERT")
-      val dup = changes.groupBy(col(keyCol)).count()
+      val dup = changes.groupBy(keyCols.map(col): _*).count()
         .filter(col("count") > 1).limit(1).collect()
       require(dup.isEmpty,
         s"MERGE modifies target key ${dup.headOption.map(_.get(0)).orNull} " +
         "more than once (multiple source rows matched one target row, " +
         "or an INSERT collides with an updated key) — deduplicate the " +
         "source or tighten the ON condition")
-      // a MERGE with no DELETE branch is updates + inserts — exactly
-      // upsertDV's shape, so the merge-on-read session opt-in lands it
-      // append-only; delete branches keep the tombstone dialect
-      // (copy-on-write), which handles image-less keys
-      val hasDelete =
-        (m.matchedActions ++ m.notMatchedBySourceActions).exists {
-          case _: DeleteAction => true
-          case _ => false
-        }
-      if (!hasDelete && GraftDml.mergeOnRead(spark) &&
+      // the full three-branch statement is upsertDV's shape since
+      // tombstones landed there (r17): updates + inserts append,
+      // deletes are DV positions with no appended image — so the
+      // merge-on-read session opt-in lands ANY concrete MERGE with
+      // every pre-existing data file byte-untouched
+      if (GraftDml.mergeOnRead(spark) &&
           GraftDml.morEligible(graft.schema()))
-        Merge.upsertDV(spark, graft.path, changes.drop(KCH, DEL),
-          keyCol, nBuckets)
+        Merge.upsertDVGrid(spark, graft.path, changes.drop(KCH),
+          tombstoneCol = Some(DEL))
       else
-        Merge.upsert(spark, graft.path, changes.drop(KCH), keyCol,
-          nBuckets, tombstoneCol = Some(DEL))
+        Merge.upsertGrid(spark, graft.path, changes.drop(KCH),
+          tombstoneCol = Some(DEL))
     } finally changes.unpersist(blocking = false)
     Seq.empty
   }

@@ -384,9 +384,9 @@ class GraftWriteBuilder(path: String,
   private def replaceMatching(spark: org.apache.spark.sql.SparkSession,
       data: org.apache.spark.sql.DataFrame, predSql: String): Unit = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
-    val (keyCol, nBuckets) = Merge.tableLayout(spark, path).getOrElse(
-      throw new IllegalArgumentException(
-        s"$path records no (keyCol, nBuckets) layout"))
+    val keyCols = Merge.tableLayoutKeys(spark, path).map(_._1)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$path records no bucketing layout"))
     val pred = org.apache.spark.sql.GraftColumnBridge.column(
       spark.sessionState.sqlParser.parseExpression(predSql))
     // Delta's contract: every incoming row must satisfy the predicate
@@ -402,11 +402,11 @@ class GraftWriteBuilder(path: String,
     // batch rows upsert — one tombstone-dialect commit, find scan
     // bounds-pruned by the predicate
     val doomed = Merge.readKeyedWhere(spark, path, pred)
-      .join(data.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .join(data.select(keyCols.map(col): _*), keyCols, "left_anti")
     val changes = doomed.withColumn(DEL, lit(true))
       .unionByName(data.withColumn(DEL, lit(false)))
       .localCheckpoint()
-    try Merge.upsert(spark, path, changes, keyCol, nBuckets,
+    try Merge.upsertGrid(spark, path, changes,
       tombstoneCol = Some(DEL))
     finally changes.unpersist(blocking = false)
     ()
@@ -425,29 +425,9 @@ class GraftWriteBuilder(path: String,
               "cannot replace anything")
             case (None, true)  => Merge.replaceAll(spark, path, data); ()
             case (None, false) =>
-              // composite (grid) tables have no keyed append: the
-              // INITIAL load of an empty grid lands as a full replace
-              // (nothing to merge with); after that, INSERT OVERWRITE
-              // replaces and plain INSERT refuses — a single-key
-              // upsert would misroute the grid
-              if (Merge.tableLayout(spark, path).isEmpty &&
-                  Merge.versionGridLayout(spark, path,
-                    Merge.currentVersion(spark, path)).isDefined) {
-                val live = Merge.versionRowCount(spark, path,
-                  Merge.currentVersion(spark, path))
-                if (live.contains(0L)) {
-                  Merge.replaceAll(spark, path, data)
-                  return
-                }
+              Merge.tableLayoutKeys(spark, path).getOrElse(
                 throw new IllegalArgumentException(
-                  s"$path is bucketed on a COMPOSITE key — append has " +
-                  "no merge semantics on a grid; use INSERT OVERWRITE " +
-                  "(full replace) instead")
-              }
-              val (keyCol, nBuckets) =
-                Merge.tableLayout(spark, path).getOrElse(
-                  throw new IllegalArgumentException(
-                    s"$path records no (keyCol, nBuckets) layout"))
+                  s"$path records no bucketing layout"))
               // SQL INSERT is the one write where insert-vs-update IS
               // distinguishable (the upsert verb below is both at
               // once), so GENERATED ALWAYS AS IDENTITY enforces its
@@ -476,7 +456,12 @@ class GraftWriteBuilder(path: String,
                       "(declare it GENERATED BY DEFAULT AS IDENTITY " +
                       "to allow them)")
                 }
-              Merge.upsert(spark, path, data, keyCol, nBuckets)
+              // routed by the table's recorded layout — single-key
+              // tables and composite grids both merge by key (r17:
+              // grids became writable, so a plain INSERT into a
+              // (tenant, id) grid upserts by tuple instead of
+              // refusing)
+              Merge.upsertGrid(spark, path, data)
               ()
           }
         }

@@ -115,4 +115,18 @@ object ParquetReadShim {
   def partitionedFile(path: String, length: Long): PartitionedFile =
     PartitionedFile(InternalRow.empty, SparkPath.fromPathString(path),
       0L, length, Array.empty, 0L, length)
+
+  /** A BYTE-RANGE slice of one parquet file — the standard split
+    * contract: the reader processes exactly the row groups whose
+    * midpoint falls in `[start, start + len)`, and the row-index
+    * generator still derives FILE-GLOBAL indexes from the footer's
+    * block offsets (how `_metadata.row_index` stays correct under
+    * FileSourceScanExec's own splitting). This is what lets a
+    * deletion-vector reader skip fully-dead row groups: slice around
+    * them and their bytes are never decoded.
+    */
+  def partitionedFileSlice(path: String, start: Long, len: Long,
+      fileLen: Long): PartitionedFile =
+    PartitionedFile(InternalRow.empty, SparkPath.fromPathString(path),
+      start, len, Array.empty, 0L, fileLen)
 }

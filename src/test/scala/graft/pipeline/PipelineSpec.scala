@@ -867,6 +867,108 @@ class SimilaritySpec extends SparkSpec {
       "co-locate and every query finds its near-dup")
   }
 
+  test("IvfIndex rebalance is ATOMIC (r17): a probe concurrent with " +
+      "the model swap sees old model + old cells or new + new, never " +
+      "a mix; a crash between staging and commit leaves the old index " +
+      "current with vacuum-able orphans; a racing append refuses") {
+    val dim = 16
+    def unit(axis: Int): Array[Double] =
+      Array.tabulate(dim)(i => if (i == axis) 1.0 else 0.0)
+    def plus(a: Array[Double], b: Array[Double], s: Double)
+        : Array[Double] =
+      a.zip(b).map { case (x, y) => x + s * y }
+    def toF(a: Array[Double]): Seq[Float] =
+      Similarity.Ivf.normalize(a).map(_.toFloat).toSeq
+    // the drift construction from the rebalance gate: recall at
+    // nProbe=1 is 0 under the stale model and 1 under the retrained
+    // one — a MIXED read (new centroids over old cells or vice versa)
+    // cannot produce the old state's exact answers, so recall is the
+    // mix detector
+    val base = (0 until 160).map { i =>
+      (i.toLong, toF(plus(unit(i / 40), unit(4 + i % 8), 0.05)))
+    }
+    val path = java.nio.file.Files.createTempDirectory("ivf_atomic")
+      .toString
+    Similarity.IvfIndex.build(base.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", cells = 8, path, sampleN = 1000, iters = 5)
+    val g = plus(unit(0), unit(1), 1.0)
+    val e = plus(unit(0), unit(1), -1.0)
+    val fillers = (0 until 20).map { j =>
+      (3000000L + j, toF(plus(g, unit(4 + j % 8), 0.002)))
+    }
+    val pairs = (0 until 10).flatMap { i =>
+      val b0 = plus(g, unit(4 + (i % 10)), 0.05)
+      Seq((1000000L + i, toF(plus(b0, e, 0.01))),
+        (2000000L + i, toF(plus(b0, e, -0.01))))
+    }
+    Similarity.IvfIndex.append(spark, path,
+      (fillers ++ pairs).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val queries = pairs.filter(_._1 < 2000000L)
+      .toDF("query_id", "embedding")
+    def recall(): Double =
+      Similarity.IvfIndex.topK(spark, path, queries, "query_id",
+        "vec_id", "embedding", k = 1, nProbe = 1)
+        .filter(col("rank") === 1 &&
+          col("neighbor_id") === col("query_id") + 1000000L)
+        .count() / 10.0
+    val oldCents = Similarity.IvfIndex.loadCentroids(spark, path)
+    assert(recall() == 0.0, "stale model: every pair straddles")
+    // 1) CRASH between staging and commit: fence throws — both the
+    // new centroids and the reassigned corpus are staged but no state
+    // references them, so probes still see the OLD index whole
+    graft.sources.TxLog.commitFence =
+      () => throw new RuntimeException("crash before claim")
+    try intercept[RuntimeException] {
+      Similarity.IvfIndex.rebalance(spark, path, "vec_id", "embedding",
+        sampleN = 1000, iters = 5)
+    } finally graft.sources.TxLog.commitFence = () => ()
+    assert(recall() == 0.0,
+      "a crashed rebalance must leave the OLD index current")
+    assert(Similarity.IvfIndex.loadCentroids(spark, path)
+        .flatten.toSeq == oldCents.flatten.toSeq,
+      "the old model must survive the crash")
+    val orphans = Similarity.IvfIndex.vacuum(spark, path,
+      orphanGraceMs = 0L)
+    assert(orphans.nonEmpty, "the crashed swap's files are orphans")
+    assert(recall() == 0.0, "vacuum must not touch the live index")
+    // 2) PROBE AT THE COMMIT POINT: the fence runs after staging,
+    // immediately before the claim — the last instant of the old
+    // state; the whole old index must still answer
+    @volatile var duringRecall = -1.0
+    @volatile var duringCents: Seq[Double] = Nil
+    graft.sources.TxLog.commitFence = () => {
+      duringRecall = recall()
+      duringCents = Similarity.IvfIndex.loadCentroids(spark, path)
+        .flatten.toSeq
+    }
+    try Similarity.IvfIndex.rebalance(spark, path, "vec_id",
+      "embedding", sampleN = 1000, iters = 5)
+    finally graft.sources.TxLog.commitFence = () => ()
+    assert(duringRecall == 0.0,
+      "mid-swap probes must see the OLD model + OLD cells, never a mix")
+    assert(duringCents == oldCents.flatten.toSeq,
+      "mid-swap centroid loads must serve the OLD model")
+    assert(recall() == 1.0, "post-commit probes see the NEW index whole")
+    // 3) an append racing a rebalance refuses loudly instead of
+    // unioning stale-cell files into the new model's corpus
+    @volatile var fired = false
+    graft.sources.TxLog.commitFence = () => if (!fired) {
+      fired = true
+      Similarity.IvfIndex.rebalance(spark, path, "vec_id", "embedding",
+        sampleN = 1000, iters = 5)
+    }
+    try {
+      val e1 = intercept[IllegalArgumentException] {
+        Similarity.IvfIndex.append(spark, path,
+          Seq((5000000L, toF(unit(2)))).toDF("vec_id", "embedding"),
+          "vec_id", "embedding")
+      }
+      assert(e1.getMessage.contains("rebalanced during this append"))
+    } finally graft.sources.TxLog.commitFence = () => ()
+    assert(recall() == 1.0, "the refused append changed nothing")
+  }
+
   test("IvfIndex: persisted probe equals brute force and prunes partitions") {
     val path = java.nio.file.Files.createTempDirectory("ivf_idx").toString
     Similarity.IvfIndex.build(corpus, "vec_id", "embedding", cells = 2,

@@ -309,4 +309,77 @@ class BloomSkipSpec extends SparkSpec {
     assert(Merge.readKeyedWhere(spark, path, $"v" === 123456789L)
       .select("id").as[Long].collect().toSeq == Seq(5000L))
   }
+
+  test("EXTERNAL bloom sidecars (bloomx:, r17): the manifest stores a " +
+      "byte-sized ref per file, sidecar files hold the filters, the " +
+      "planner reads them LAZILY and prunes identically; vacuum keeps " +
+      "live sidecars and reclaims superseded ones") {
+    val d = Files.createTempDirectory("graft_bloomx").toFile
+    d.deleteOnExit()
+    val path = new File(d, "t").getAbsolutePath
+    Merge.writeKeyed(
+      (0L until 200L).map(i => (i, s"name_${i * 7919 % 200}", i * 10.0))
+        .toDF("id", "name", "score"),
+      path, "id", nBuckets = 8,
+      statsCols = Seq("id", "bloomx:name"))
+    // the manifest carries REFS, not blobs: every bloom value is tiny
+    val v = Merge.currentVersion(spark, path)
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val sidecars = walk(new File(path, "_graft_bloom"))
+      .filter(_.getName.endsWith(".bf"))
+    assert(sidecars.size == 8, s"one sidecar per file, got $sidecars")
+    // lazy read: pruning consults sidecars only for point bounds, and
+    // only for candidate files — counted by the seam
+    Skipping.bloomSidecarReads.set(0L)
+    val (sel, total) = Merge.planVersionFiles(spark, path, v,
+      eqBound("name", "name_77"))
+    assert(total == 8 && sel.size < total && sel.nonEmpty,
+      s"external bloom must prune like inline: ${sel.size} of $total")
+    val reads1 = Skipping.bloomSidecarReads.get()
+    assert(reads1 > 0L && reads1 <= 8L,
+      s"the planner must have lazily read <= 8 sidecars, read $reads1")
+    // a RANGE bound never touches a sidecar
+    Skipping.bloomSidecarReads.set(0L)
+    Merge.planVersionFiles(spark, path, v,
+      Seq(Skipping.Bound("id", Some(10L), None)))
+    assert(Skipping.bloomSidecarReads.get() == 0L,
+      "range bounds must not read bloom sidecars")
+    // absent value: every file pruned, via sidecar probes (decode-once
+    // cached: the second plan reads NOTHING new)
+    val (sel2, _) = Merge.planVersionFiles(spark, path, v,
+      eqBound("name", "no_such_name"))
+    assert(sel2.isEmpty, s"absent value must prune all, kept $sel2")
+    Skipping.bloomSidecarReads.set(0L)
+    Merge.planVersionFiles(spark, path, v, eqBound("name", "name_77"))
+    assert(Skipping.bloomSidecarReads.get() == 0L,
+      "repeat plans must hit the sidecar cache")
+    // results stay identical to the unpruned filter
+    val got = Merge.readKeyedWhere(spark, path, $"name" === "name_77")
+      .select("id").as[Long].collect().sorted.toSeq
+    val want = Merge.readKeyed(spark, path)
+      .filter($"name" === "name_77")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == want && want.nonEmpty)
+    // an upsert rewrites its bucket: fresh sidecars for the new files,
+    // the untouched buckets keep their refs, pruning still exact
+    Merge.upsert(spark, path,
+      Seq((7L, "renamed_7", 1.0)).toDF("id", "name", "score"), "id", 8)
+    val (sel3, _) = Merge.planVersionFiles(spark, path,
+      Merge.currentVersion(spark, path), eqBound("name", "renamed_7"))
+    assert(sel3.size == 1,
+      s"the rewritten bucket's fresh sidecar must index the new value")
+    // vacuum: superseded sidecars reclaim, live ones survive
+    val reclaimed = Merge.vacuum(spark, path, keepVersions = 1,
+      orphanGraceMs = 0L)
+    assert(reclaimed.exists(_.contains("_graft_bloom/")),
+      s"the replaced bucket's old sidecar must reclaim: $reclaimed")
+    val (sel4, _) = Merge.planVersionFiles(spark, path,
+      Merge.currentVersion(spark, path), eqBound("name", "name_77"))
+    assert(sel4.size == sel.size || sel4.size == sel.size - 1,
+      "post-vacuum pruning still works off live sidecars")
+    assert(Merge.readKeyedWhere(spark, path, $"name" === "name_77")
+      .select("id").as[Long].collect().sorted.toSeq
+      == want.filterNot(_ == 7L))
+  }
 }

@@ -251,6 +251,79 @@ class DeletionVectorSpec extends SparkSpec {
     }
   }
 
+  test("merge-on-read upsert with TOMBSTONES: a three-way CDC batch " +
+      "(update + insert + delete) lands with zero data files " +
+      "rewritten; the delete is pure DV positions") {
+    val path = freshDir("mor_del")
+    Merge.writeKeyed(baseDf, path, "id", nBuckets = 4,
+      statsCols = Seq("id"))
+    val before = dataFiles(path)
+    val batch = Seq(
+      (5L, "upd_5", 5.5, false),   // update
+      (1000L, "new_1000", 1.0, false), // insert
+      (13L, null.asInstanceOf[String], 0.0, true)) // delete
+      .toDF("id", "name", "score", "__del")
+    val st = Merge.upsertDV(spark, path, batch, "id", 4,
+      tombstoneCol = Some("__del"))
+    // 2 surviving images appended; 2 old images vectored (5, 13)
+    assert(st.rowsUpserted == 2 && st.rowsDeleted == 2 &&
+      st.version == 1L, s"got $st")
+    val after = dataFiles(path)
+    assert(before.forall { case (f, m) => after.get(f).contains(m) },
+      "tombstoned merge-on-read upsert must not rewrite any data file")
+    val cur = Merge.readKeyed(spark, path)
+    assert(cur.count() == 100L) // 100 - 1 deleted + 1 inserted
+    assert(cur.filter($"id" === 13L).isEmpty)
+    assert(cur.filter($"id" === 5L).collect()
+      .map(_.getAs[String]("name")).toSeq == Seq("upd_5"))
+    assert(Merge.lookupKey(spark, path, 13L).isEmpty)
+    assert(Merge.versionRowCount(spark, path, 1L).contains(100L))
+    // CDF: delete emits only -1; update emits -1/+1; insert +1
+    val feed = Merge.changesBetween(spark, path, 0L, 1L)
+      .select("id", "op").as[(Long, Int)].collect().sorted.toSeq
+    assert(feed == Seq((5L, -1), (5L, 1), (13L, -1), (1000L, 1)))
+    // a PURE-delete batch appends nothing: file set identical after
+    val delOnly = Seq((7L, "", 0.0, true))
+      .toDF("id", "name", "score", "__del")
+    val st2 = Merge.upsertDV(spark, path, delOnly, "id", 4,
+      tombstoneCol = Some("__del"))
+    assert(st2.rowsUpserted == 0 && st2.rowsDeleted == 1)
+    assert(dataFiles(path).keySet == after.keySet,
+      "a pure-delete merge-on-read batch must append no files")
+    assert(Merge.readKeyed(spark, path).count() == 99L)
+    // compaction folds it all physically
+    Merge.compactVersion(spark, path)
+    assert(Merge.readKeyed(spark, path).count() == 99L)
+    assert(Merge.lookupKey(spark, path, 7L).isEmpty)
+  }
+
+  test("ANALYZE under live DVs records GROSS stats: skipping and " +
+      "COUNT(*) stay exact, no compaction needed") {
+    val path = freshDir("analyze_dv")
+    // born without stats
+    Merge.writeKeyed(baseDf, path, "id", nBuckets = 4)
+    Merge.deleteWhereDV(spark, path, $"id" < 20L)
+    // analyze WITH live DVs: must not decline, must record gross rows
+    val (v, nFiles) = Merge.analyzeTable(spark, path,
+      Seq("id", "bloom:name"))
+    assert(v == 2L && nFiles == 4)
+    // count adjustment: gross manifest rows minus DV positions
+    assert(Merge.versionRowCount(spark, path, v).contains(80L))
+    // the analyze-recorded BLOOM prunes a point probe on a non-key
+    // column to the file(s) actually holding it (pre-analyze there
+    // were no stats at all, so this read would touch all 4 buckets)
+    val planned = Merge.planVersionFiles(spark, path, v,
+      Seq(Skipping.Bound("name", Some("name_50"), Some("name_50"))))._1
+    assert(planned.nonEmpty && planned.size < 4,
+      s"bloom probe must prune below all 4 buckets, got $planned")
+    val rows = Merge.readKeyed(spark, path)
+    assert(rows.count() == 80L)
+    assert(rows.filter($"id" === 5L).isEmpty, "deleted row stays dead")
+    // gross stats: the bloom still carries deleted keys (sound — it
+    // only over-approximates), and live lookups still answer
+    assert(Merge.lookupKey(spark, path, 50L).count() == 1L)
+  }
+
   test("compaction folds DVs TARGETED: only DV-touched buckets " +
       "rewrite; fully-inert sidecars drop with a metadata-only commit") {
     val path = freshDir("purge")

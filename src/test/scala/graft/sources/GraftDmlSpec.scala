@@ -425,8 +425,8 @@ class GraftDmlSpec extends AnyFunSuite {
   }
 
   test("merge-on-read SQL DML: with spark.graft.dml.mergeOnRead=true " +
-      "UPDATE/DELETE/MERGE rewrite no data file; a MERGE with a " +
-      "DELETE branch falls back to copy-on-write with the same result") {
+      "UPDATE/DELETE/MERGE — DELETE branches included (r17 " +
+      "tombstones) — rewrite no data file") {
     import spark.implicits._
     val path = freshTable("mor")
     def dataFiles(): Map[String, Long] = {
@@ -458,16 +458,29 @@ class GraftDmlSpec extends AnyFunSuite {
       assert(t.filter($"id" === 3L).select("name").as[String].head()
         == "mrg")
       assert(t.filter($"id" === 500L).count() == 1L)
-      // a MERGE with a DELETE branch leaves the merge-on-read surface
-      // and falls back to the tombstone dialect — same result
-      Seq((11L, "del")).toDF("id", "op")
+      // a three-branch MERGE with a DELETE stays merge-on-read too:
+      // the delete is pure DV positions, no image appended
+      Seq((11L, "del", "", 0.0), (13L, "upd", "mrg13", 13.0),
+          (600L, "ins", "new600", 6.0))
+        .toDF("id", "op", "name", "score")
         .createOrReplaceTempView("sqlmor_del")
       spark.sql("""MERGE INTO gmor.t t USING sqlmor_del u ON t.id = u.id
-        WHEN MATCHED THEN DELETE""")
+        WHEN MATCHED AND u.op = 'del' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET name = u.name, score = u.score
+        WHEN NOT MATCHED THEN INSERT (id, name, score)
+          VALUES (u.id, u.name, u.score)""")
+      val after3 = dataFiles()
+      assert(before.forall { case (f, m) => after3.get(f).contains(m) },
+        "a MERGE with a DELETE branch must stay merge-on-read: no " +
+        "pre-existing data file rewritten")
       assert(spark.sql("SELECT * FROM gmor.t WHERE id = 11").count()
         == 0L)
+      assert(spark.sql("SELECT name FROM gmor.t WHERE id = 13")
+        .as[String].head() == "mrg13")
+      assert(spark.sql("SELECT * FROM gmor.t WHERE id = 600").count()
+        == 1L)
       assert(spark.sql("SELECT count(*) FROM gmor.t").as[Long].head()
-        == 170L)
+        == 171L)
     } finally spark.conf.unset("spark.graft.dml.mergeOnRead")
     // conf off: UPDATE goes back to copy-on-write — no NEW deletion
     // vectors (the old data files stay on disk either way: immutable,

@@ -402,7 +402,8 @@ class GraftTableV2Spec extends SparkSpec {
 
   test("ANALYZE records stats as one metadata commit: agg pushdown " +
       "lights up on a stats-less table, logical names survive a " +
-      "rename, and live DVs decline loudly") {
+      "rename, and live DVs analyze GROSS (r17) — the count still " +
+      "subtracts the vectors") {
     val path = new File(freshDir("analyze"), "tbl").getAbsolutePath
     Merge.writeKeyed(baseDf, path, "id", nBuckets = 4) // NO statsCols
     // rename first: analyze must record stats under LOGICAL names
@@ -428,19 +429,24 @@ class GraftTableV2Spec extends SparkSpec {
       row.getAs[Double]("mx") == 1990.0)
     // the stats also prune: a bounded filter reads a file subset
     assert(rd.filter($"id" === 13L).count() == 1L)
-    // live DVs decline (stats must stay gross for the count adjust)
+    // live DVs analyze GROSS (r17): no compaction needed — recorded
+    // rows stay physical so the COUNT adjustment subtracts exactly
     Merge.deleteWhereDV(spark, path, $"id" === 3L)
-    intercept[IllegalArgumentException] {
-      Merge.analyzeTable(spark, path, Seq("id"))
-    }
-    // after compaction folds the vectors, analyze works again
-    Merge.compactVersion(spark, path)
     val (v2, _) = Merge.analyzeTable(spark, path, Seq("id", "points"))
     val rd2 = spark.read.format("graft-table").option("path", path).load()
     val cnt = rd2.agg(count(lit(1)).as("n"))
     assert(cnt.queryExecution.executedPlan.toString
-      .contains("PushedAggregates"))
+      .contains("PushedAggregates"),
+      "COUNT(*) must stay manifest-answered under live DVs")
     assert(cnt.as[Long].head() == 199L && v2 > v)
+    // and after compaction folds the vectors, everything still agrees
+    Merge.compactVersion(spark, path)
+    val (v3, _) = Merge.analyzeTable(spark, path, Seq("id", "points"))
+    val rd3 = spark.read.format("graft-table").option("path", path).load()
+    val cnt3 = rd3.agg(count(lit(1)).as("n"))
+    assert(cnt3.queryExecution.executedPlan.toString
+      .contains("PushedAggregates"))
+    assert(cnt3.as[Long].head() == 199L && v3 > v2)
   }
 
   test("MIN/MAX pushdown survives DVs that cannot attain the extremes: " +

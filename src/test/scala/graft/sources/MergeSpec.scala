@@ -565,7 +565,8 @@ class MergeSpec extends SparkSpec {
     val e1 = intercept[IllegalArgumentException] {
       Merge.upsert(spark, path, Seq((1L, "x")).toDF("id", "v"), "id", 8)
     }
-    assert(e1.getMessage.contains("bucketed as (id, 16 buckets)"))
+    assert(e1.getMessage.contains("bucketed as (id) × (16)") &&
+      e1.getMessage.contains("layout is fixed"))
     val e2 = intercept[IllegalArgumentException] {
       Merge.upsert(spark, path, Seq((1L, "x")).toDF("id", "v"), "v", 16)
     }

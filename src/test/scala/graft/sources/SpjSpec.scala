@@ -224,13 +224,16 @@ class SpjSpec extends SparkSpec {
         s"the SQL-created grid must join exchange-free:\n$plan")
       assert(j.count() == 160L)
     }
-    // a SECOND plain INSERT has no merge semantics on a grid
-    val e = intercept[Exception] {
-      spark.sql(s"INSERT INTO $cat.ga SELECT * FROM spj_msql_a")
-    }
-    assert(e.getMessage.contains("COMPOSITE") ||
-      Option(e.getCause).exists(_.getMessage.contains("COMPOSITE")),
-      s"plain INSERT on a loaded grid must refuse, got: $e")
+    // a SECOND plain INSERT upserts by key TUPLE (r17 grid DML):
+    // replaying the same keys is idempotent, new tuples append
+    spark.sql(s"INSERT INTO $cat.ga SELECT * FROM spj_msql_a")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ga").as[Long]
+      .head() == 200L,
+      "re-inserting the same key tuples must merge, not duplicate")
+    spark.sql(s"INSERT INTO $cat.ga " +
+      "SELECT 99 AS tenant, 9000 + id AS id, 1.5 AS v FROM range(3)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ga").as[Long]
+      .head() == 203L, "new key tuples must insert")
     // INSERT OVERWRITE = versioned full replace
     spark.sql(s"INSERT OVERWRITE $cat.ga " +
       s"SELECT * FROM spj_msql_a WHERE id < 100")
@@ -238,9 +241,9 @@ class SpjSpec extends SparkSpec {
       .head() == 100L)
     val root2 = spark.conf.get(s"spark.sql.catalog.$cat.root")
     val gaPath = new File(root2, "ga").getAbsolutePath
-    assert(Merge.currentVersion(spark, gaPath) == 2L,
-      "overwrite must be a versioned commit, not a table reset")
-    assert(Merge.readVersion(spark, gaPath, 1L).count() == 200L,
+    assert(Merge.currentVersion(spark, gaPath) == 4L,
+      "every grid write must be a versioned commit, not a reset")
+    assert(Merge.readVersion(spark, gaPath, 3L).count() == 203L,
       "history must survive the grid overwrite")
     withSpj {
       val j2 = spark.sql(s"SELECT a.id FROM $cat.ga a JOIN $cat.gb b " +
@@ -288,14 +291,15 @@ class SpjSpec extends SparkSpec {
         plan)
       assert(j.count() == 216L)
     }
-    // single-key verbs refuse the grid instead of misrouting it
+    // a single-key upsert CLAIM against the grid's recorded layout
+    // still fails fast instead of misrouting tuples
     val e = intercept[IllegalArgumentException] {
       Merge.upsert(spark, p("fa"),
         spark.range(3).selectExpr("0L AS tenant", "id",
           "1.0 AS v").toDF(), "id", 32)
     }
-    assert(e.getMessage.contains("COMPOSITE"),
-      s"upsert must name the grid refusal, got: ${e.getMessage}")
+    assert(e.getMessage.contains("layout is fixed"),
+      s"upsert must name the layout mismatch, got: ${e.getMessage}")
     // schema evolution guards extend to grid keys: dropping or
     // retyping a key column would break the routing
     intercept[IllegalArgumentException] {
@@ -422,6 +426,65 @@ class SpjSpec extends SparkSpec {
           s"SELECT count(*) FROM $cat.t WHERE id >= 2000").as[Long].head()
         assert(filtered == 1400L, s"filtered columnar DV read: $filtered")
       } finally spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
+  test("ROW-GROUP-LEVEL DV SKIPPING (r17): a clustered delete whose " +
+      "positions cover whole row groups skips their decode entirely; " +
+      "values stay exact; a scattered delete skips nothing") {
+    val (cat, root) = mkCatalog("dvrg")
+    val path = new File(root, "t").getAbsolutePath
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hc.get("parquet.block.size")
+    // small row groups so one file holds many (the writer checks the
+    // block size every few hundred rows)
+    hc.setInt("parquet.block.size", 64 * 1024)
+    val seam = graft.sources.v2.GraftBucketDvReaderFactory
+    val oldMin = seam.rowGroupSkipMinPositions
+    try {
+      Merge.writeKeyed(spark.range(40000).selectExpr("id",
+          "concat('pad_padding_padding_', id) AS s").toDF(),
+        path, "id", 1) // ONE bucket: the file is sorted by id, so a
+        // key-range delete is CONTIGUOUS positions
+      seam.rowGroupSkipMinPositions = 64
+      import org.apache.spark.sql.functions.col
+      // clustered: the first half of the (sorted) file dies
+      Merge.deleteWhereDV(spark, path, col("id") < 20000L)
+      withSpj {
+        seam.skippedRowGroups.set(0L)
+        val q = spark.sql(s"SELECT id, s FROM $cat.t")
+        assert(q.queryExecution.executedPlan.toString
+          .contains("GraftBucketScan"))
+        val got = q.as[(Long, String)].collect()
+        assert(got.length == 20000 &&
+          got.forall { case (i, s) =>
+            i >= 20000L && s == s"pad_padding_padding_$i" },
+          "row-group skipping must not change a single value")
+        assert(seam.skippedRowGroups.get() > 0L,
+          "a half-file clustered delete must skip whole row groups")
+        // count through the same scan agrees
+        assert(spark.sql(s"SELECT count(*) FROM $cat.t")
+          .as[Long].head() == 20000L)
+      }
+      // SCATTERED control: every row group keeps live rows — nothing
+      // skippable, and the ordinary masked read stays exact
+      val p2 = new File(root, "t2").getAbsolutePath
+      Merge.writeKeyed(spark.range(40000).selectExpr("id",
+          "concat('pad_padding_padding_', id) AS s").toDF(),
+        p2, "id", 1)
+      Merge.deleteWhereDV(spark, p2, col("id") % 3 === 0L)
+      withSpj {
+        seam.skippedRowGroups.set(0L)
+        val n = spark.sql(s"SELECT count(*) FROM $cat.t2")
+          .as[Long].head()
+        assert(n == (0L until 40000L).count(_ % 3 != 0))
+        assert(seam.skippedRowGroups.get() == 0L,
+          "a scattered delete covers no row group — nothing to skip")
+      }
+    } finally {
+      seam.rowGroupSkipMinPositions = oldMin
+      if (oldBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", oldBlock)
     }
   }
 

@@ -5776,7 +5776,7 @@ object SparkEntry {
       val outDir = base.resolve("out").toString
       val part = t(s, dir, "part")
         .select("p_partkey", "p_brand", "p_retailprice")
-      Merge.writeKeyed(part, path, "p_partkey", nBuckets = 64)
+      Merge.writeKeyed(part, path, "p_partkey", nBuckets = 16)
       def drain(): Long = withShufflePartitions(s, 8) {
         val n = new java.util.concurrent.atomic.AtomicLong(0)
         val q = s.readStream.format("graft-table").option("path", path)
@@ -5806,7 +5806,7 @@ object SparkEntry {
         .unionByName(part.filter(col("p_partkey") < 5)
           .withColumn("p_partkey", col("p_partkey") + lit(4000000L))
           .withColumn("__del", lit(false)))
-      Merge.upsert(s, path, batch, "p_partkey", nBuckets = 64,
+      Merge.upsert(s, path, batch, "p_partkey", nBuckets = 16,
         tombstoneCol = Some("__del"))
       val deltaRows = drain()
       require(deltaRows > 0 && deltaRows < snapRows,
@@ -5855,7 +5855,7 @@ object SparkEntry {
       val outDir = base.resolve("out").toString
       val part = t(s, dir, "part")
         .select("p_partkey", "p_brand", "p_retailprice")
-      Merge.writeKeyed(part, path, "p_partkey", nBuckets = 64)
+      Merge.writeKeyed(part, path, "p_partkey", nBuckets = 16)
       def drain(): Long = withShufflePartitions(s, 8) {
         val n = new java.util.concurrent.atomic.AtomicLong(0)
         val q = s.readStream.format("graft-table").option("path", path)
@@ -5887,7 +5887,7 @@ object SparkEntry {
         .unionByName(part.filter(col("p_partkey") < 5)
           .withColumn("p_partkey", col("p_partkey") + lit(4000000L))
           .withColumn("__del", lit(false)))
-      Merge.upsert(s, path, batch, "p_partkey", nBuckets = 64,
+      Merge.upsert(s, path, batch, "p_partkey", nBuckets = 16,
         tombstoneCol = Some("__del"))
       val deltaRows = drain()
       require(deltaRows > 0 && deltaRows < snapRows,
@@ -5937,7 +5937,7 @@ object SparkEntry {
       val statePath = base.resolve("state").toString
       val orders = t(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice")
-      Merge.writeKeyed(orders, tbl, "o_orderkey", nBuckets = 64)
+      Merge.writeKeyed(orders, tbl, "o_orderkey", nBuckets = 16)
       IncrementalAgg.init(orders.limit(0), statePath,
         Seq("o_custkey"), "o_totalprice")
       def drain(): Unit = withShufflePartitions(s, 8) {
@@ -5963,7 +5963,7 @@ object SparkEntry {
         .unionByName(orders.filter(col("o_orderkey") < 5)
           .withColumn("o_orderkey", col("o_orderkey") + lit(2000000000L))
           .withColumn("__del", lit(false)))
-      Merge.upsert(s, tbl, batch, "o_orderkey", nBuckets = 64,
+      Merge.upsert(s, tbl, batch, "o_orderkey", nBuckets = 16,
         tombstoneCol = Some("__del"))
       drain() // restart folds exactly the commit's change feed
       IncrementalAgg.rebuild(s, statePath, Merge.readKeyed(s, tbl),

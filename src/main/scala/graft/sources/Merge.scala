@@ -1247,22 +1247,39 @@ object Merge {
     if (ext.isEmpty) return entries
     val dir = "_graft_bloom/" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(16)
-    val md = java.security.MessageDigest.getInstance("MD5")
-    var made = false
-    entries.map { e =>
-      val blob = e.bloom.filterNot(Skipping.isBloomRef)
-      if (Skipping.isBloomSpec(e.col) &&
-          ext.contains(Skipping.bloomBase(e.col)) && blob.isDefined) {
-        val name = md.digest((e.file + "|" + e.col)
-          .getBytes("UTF-8")).map("%02x".format(_)).mkString
-        val rel = s"$dir/$name.bf"
-        if (!made) { fs.mkdirs(new Path(root, dir)); made = true }
-        val out = fs.create(new Path(root, rel), true)
-        try out.write(java.util.Base64.getDecoder.decode(blob.get))
-        finally out.close()
-        e.copy(bloom = Some(Skipping.BloomRefMark + rel))
-      } else e
+    val todo = entries.zipWithIndex.filter { case (e, _) =>
+      Skipping.isBloomSpec(e.col) &&
+        ext.contains(Skipping.bloomBase(e.col)) &&
+        e.bloom.exists(!Skipping.isBloomRef(_))
     }
+    if (todo.isEmpty) return entries
+    fs.mkdirs(new Path(root, dir))
+    // the sidecar creates are independent tiny writes — parallelize
+    // (a wide commit externalizes one file per data file·column; at
+    // ~10 ms per create, serial would dominate the commit)
+    val out = new Array[Skipping.FileStats](entries.size)
+    entries.zipWithIndex.foreach { case (e, i) => out(i) = e }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(1, todo.size)))
+    try {
+      val futures = todo.map { case (e, i) =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            val md = java.security.MessageDigest.getInstance("MD5")
+            val name = md.digest((e.file + "|" + e.col)
+              .getBytes("UTF-8")).map("%02x".format(_)).mkString
+            val rel = s"$dir/$name.bf"
+            val o = fs.create(new Path(root, rel), true)
+            try o.write(
+              java.util.Base64.getDecoder.decode(e.bloom.get))
+            finally o.close()
+            out(i) = e.copy(bloom = Some(Skipping.BloomRefMark + rel))
+          }
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    out.toSeq
   }
 
   private def bucketFileStats(spark: SparkSession, dir: String,

@@ -1385,8 +1385,14 @@ object SparkEntry {
       val root = new java.io.File(scratchRoot, s"graft_gridup_$sf")
       org.apache.commons.io.FileUtils.deleteQuietly(root)
       val path = new java.io.File(root, "li").getAbsolutePath
-      val li = t(s, dir, "lineitem").selectExpr("l_orderkey AS ok",
-        "l_linenumber AS ln", "l_quantity AS qty")
+      // this testdata's (l_orderkey, l_linenumber) is NOT unique
+      // (60k rows, ~46k distinct tuples) — dedupe deterministically so
+      // the grid's key-tuple contract holds and the oracle can say
+      // the same thing
+      val li = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("ok"),
+          col("l_linenumber").as("ln"))
+        .agg(max(col("l_quantity")).as("qty"))
       graft.sources.Merge.writeKeyedCols(li, path, Seq("ok", "ln"),
         Seq(8, 4), statsCols = Seq("ok"))
       // a SMALL batch — the first 10 tuples in key order update, the
@@ -1428,6 +1434,72 @@ object SparkEntry {
       require(one.count() == 1L && one.inputFiles.length <= 2,
         "tuple lookup must read one cell's file(s)")
       graft.sources.Merge.readKeyed(s, path)
+        .select("ok", "ln", "qty").orderBy("ok", "ln")
+    }),
+    "q_grid_cdc" -> ((s, dir) => {
+      // GRID CDC (r17): the change feed diffs by key TUPLE and a grid
+      // REPLICA folds it exactly — the lakehouse pipeline story on
+      // composite-key tables. A rank-bounded churn (10 updates + 5
+      // deletes + 5 inserts) lands via upsertGrid; changesBetween
+      // emits the tuple-keyed deltas (required in-gate: the CDF
+      // dialect classifies every updated tuple as preimage+postimage);
+      // applyChanges folds snapshot + churn into an empty replica
+      // grid, and a REPLAYED apply must no-op on its txn stamp
+      // (required in-gate: the replica's version history unmoved).
+      // Replica read-back ≡ the oracle composing the churn.
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val root = new java.io.File(scratchRoot, s"graft_gridcdc_$sf")
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      val src = new java.io.File(root, "src").getAbsolutePath
+      val rep = new java.io.File(root, "rep").getAbsolutePath
+      val li = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("ok"),
+          col("l_linenumber").as("ln"))
+        .agg(max(col("l_quantity")).as("qty")) // unique tuples (see
+          // q_grid_upsert — this testdata duplicates (ok, ln))
+      graft.sources.Merge.writeKeyedCols(li, src, Seq("ok", "ln"),
+        Seq(8, 4))
+      val cur = graft.sources.Merge.readKeyed(s, src)
+      val ranked = cur.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("ok"), col("ln"))))
+      val batch = ranked.filter(col("rn") <= 10)
+        .withColumn("qty", col("qty") + 100.0)
+        .withColumn("__del", lit(false))
+        .unionByName(ranked.filter(col("rn") > 10 && col("rn") <= 15)
+          .withColumn("__del", lit(true)))
+        .unionByName(s.range(1, 6).selectExpr("9000000 + id AS ok",
+          "CAST(1 AS INT) AS ln", "CAST(id AS DOUBLE) AS qty")
+          .withColumn("rn", lit(0)).withColumn("__del", lit(false)))
+        .drop("rn").localCheckpoint()
+      graft.sources.Merge.upsertGrid(s, src, batch,
+        tombstoneCol = Some("__del"))
+      // the CDF dialect classifies every updated TUPLE as pre+post
+      val cdf = graft.sources.Merge.changesBetweenCdf(s, src, 0L, 1L)
+      val pairs = cdf.filter(col("_change_type")
+          .isin("update_preimage", "update_postimage"))
+        .groupBy("ok", "ln")
+        .agg(countDistinct("_change_type").as("n"))
+      require(pairs.count() == 10 &&
+          pairs.filter(col("n") =!= 2).isEmpty,
+        "every updated tuple must emit both its pre- and post-image")
+      // replicate: snapshot as all-insert, then the churn's feed
+      graft.sources.Merge.writeKeyedCols(li.limit(0), rep,
+        Seq("ok", "ln"), Seq(8, 4))
+      graft.sources.Merge.applyChanges(s, rep,
+        graft.sources.Merge.readVersion(s, src, 0L)
+          .withColumn("op", lit(1)),
+        txn = Some(("grid-cdc", 0L)))
+      val feed = graft.sources.Merge.changesBetween(s, src, 0L, 1L)
+        .localCheckpoint()
+      graft.sources.Merge.applyChanges(s, rep, feed,
+        txn = Some(("grid-cdc", 1L)))
+      val vBefore = graft.sources.Merge.currentVersion(s, rep)
+      graft.sources.Merge.applyChanges(s, rep, feed,
+        txn = Some(("grid-cdc", 1L)))
+      require(graft.sources.Merge.currentVersion(s, rep) == vBefore,
+        "a replayed apply must no-op on its txn stamp")
+      graft.sources.Merge.readKeyed(s, rep)
         .select("ok", "ln", "qty").orderBy("ok", "ln")
     }),
     "q_grid_agg" -> ((s, dir) => {
@@ -7957,11 +8029,29 @@ object SparkEntry {
                FROM part)""",
     // grid upsert: delete + update + insert composed over the tuple key
     "q_grid_upsert" ->
-      """WITH base AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
-                              l_quantity AS qty,
-                              row_number() OVER (
-                                ORDER BY l_orderkey, l_linenumber) AS rn
-                       FROM lineitem),
+      """WITH li AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+                            max(l_quantity) AS qty
+                     FROM lineitem GROUP BY 1, 2),
+            base AS (SELECT ok, ln, qty,
+                            row_number() OVER (ORDER BY ok, ln) AS rn
+                     FROM li),
+            kept AS (SELECT * FROM base WHERE rn <= 10 OR rn > 15)
+         SELECT ok, ln,
+                CASE WHEN rn <= 10 THEN qty + 100 ELSE qty END AS qty
+         FROM kept
+         UNION ALL
+         SELECT 9000000 + i AS ok, 1 AS ln, CAST(i AS DOUBLE) AS qty
+         FROM range(1, 6) t(i)
+         ORDER BY ok, ln""",
+    // the grid replica after folding snapshot + churn feed ≡ the same
+    // composed delete/update/insert the upsert gate states
+    "q_grid_cdc" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+                            max(l_quantity) AS qty
+                     FROM lineitem GROUP BY 1, 2),
+            base AS (SELECT ok, ln, qty,
+                            row_number() OVER (ORDER BY ok, ln) AS rn
+                     FROM li),
             kept AS (SELECT * FROM base WHERE rn <= 10 OR rn > 15)
          SELECT ok, ln,
                 CASE WHEN rn <= 10 THEN qty + 100 ELSE qty END AS qty

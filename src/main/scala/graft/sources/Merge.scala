@@ -2184,10 +2184,14 @@ object Merge {
     val (_, root) = fsFor(spark, path)
     val o = readManifest(spark, root, fromVersion)
     val n = readManifest(spark, root, toVersion)
-    val keyCol = n.layout.orElse(o.layout).map(_._1).getOrElse(
-      throw new IllegalArgumentException(
-        s"$path records no (keyCol, nBuckets) layout — changesBetween " +
-        "needs the key to diff on"))
+    // single-key tables diff on their key, composite GRIDS on the full
+    // tuple — a tuple's whole history lives in one cell (per-dimension
+    // hash routing), so the bucket-slice contract below holds verbatim
+    val keyCols: Seq[String] =
+      Seq(sortKeysOf(n), sortKeysOf(o)).find(_.nonEmpty).getOrElse(
+        throw new IllegalArgumentException(
+          s"$path records no bucketing layout — changesBetween " +
+          "needs the key to diff on"))
     // `bucketSubset` restricts the feed to a SLICE of the touched
     // buckets (the streaming rate limit's unit of admission) — sound
     // because buckets are disjoint by construction: the key-hash
@@ -2224,7 +2228,7 @@ object Merge {
         } else lit(null).cast(newSchema(c).dataType)).as(c)
       }.toSeq: _*)
     }
-    graft.ops.TableDiff.changeDeltas(side(o), side(n), Seq(keyCol), opCol)
+    graft.ops.TableDiff.changeDeltas(side(o), side(n), keyCols, opCol)
   }
 
   /** Delta-DIALECT change data feed: [[changesBetween]] resolved per
@@ -2246,7 +2250,7 @@ object Merge {
     require(fromVersion < toVersion,
       s"changesBetweenCdf needs fromVersion < toVersion, got " +
       s"$fromVersion >= $toVersion")
-    val keyCol = tableLayout(spark, path).map(_._1).getOrElse(
+    val keyCols = tableLayoutKeys(spark, path).map(_._1).getOrElse(
       throw new IllegalArgumentException(
         s"$path records no layout — the CDF dialect classifies " +
         "updates by key"))
@@ -2257,7 +2261,8 @@ object Merge {
       // in one bucket, so no slice can split a pre/post pair
       val f = changesBetween(spark, path, v - 1, v, opCol = "__op",
         bucketSubset = bucketSubset)
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*)
       f.withColumn("__n", count(lit(1)).over(w))
         .withColumn("_change_type",
           when(col("__op") < 0 && col("__n") === 2, "update_preimage")
@@ -2370,17 +2375,19 @@ object Merge {
       maxRetries: Int = 5, filesPerBucket: Int = 1): MergeStats = {
     require(changes.columns.contains(opCol),
       s"changes carry no '$opCol' column — not a change feed")
-    val (keyCol, nBuckets) = tableLayout(spark, path).getOrElse(
+    // folds by the table's own key — one column, or the full tuple on
+    // a composite grid
+    val keyCols = tableLayoutKeys(spark, path).map(_._1).getOrElse(
       throw new IllegalArgumentException(
-        s"$path records no (keyCol, nBuckets) layout — applyChanges " +
+        s"$path records no bucketing layout — applyChanges " +
         "folds by the table's own key"))
     val dataCols = changes.columns.filterNot(_ == opCol).toSeq
-    require(dataCols.contains(keyCol),
-      s"changes lack the table key '$keyCol'")
+    keyCols.foreach(kc => require(dataCols.contains(kc),
+      s"changes lack the table key '$kc'"))
     val net = changes.groupBy(dataCols.map(col): _*)
       .agg(sum(col(opCol).cast("long")).as("__net"))
     val pos = net.filter(col("__net") > 0).drop("__net")
-    val dupKeys = pos.groupBy(col(keyCol))
+    val dupKeys = pos.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).count()
     require(dupKeys == 0L,
       s"$dupKeys key(s) have more than one net-positive image — the " +
@@ -2390,11 +2397,11 @@ object Merge {
     // applied and reverted within the batch (A→B→A across commits) and
     // must be a no-op, not a delete — see the contract above
     val delRows = net.filter(col("__net") < 0).drop("__net")
-      .join(pos.select(col(keyCol)), Seq(keyCol), "left_anti")
-      .dropDuplicates(keyCol)
+      .join(pos.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .dropDuplicates(keyCols)
     val batch = pos.withColumn("__apply_del", lit(false))
       .unionByName(delRows.withColumn("__apply_del", lit(true)))
-    upsert(spark, path, batch, keyCol, nBuckets,
+    upsertGrid(spark, path, batch,
       maxRetries = maxRetries, txn = txn,
       tombstoneCol = Some("__apply_del"), filesPerBucket = filesPerBucket)
   }
@@ -2809,6 +2816,10 @@ object Merge {
     val v = currentVersion(spark, path)
     require(v >= 0, s"$path has no version log — lookupKey needs one")
     val m = readManifest(spark, root, v)
+    require(m.layoutCols.isEmpty,
+      s"$path is bucketed on the COMPOSITE key " +
+      s"(${m.layoutCols.mkString(", ")}) — use lookupKeyTuple with " +
+      "one value per key column")
     val (keyCol, nBuckets) = m.layout.getOrElse(throw
       new IllegalArgumentException(s"$path's manifest predates layout " +
         "recording — rewrite it with writeKeyed to enable lookupKey"))
@@ -4029,22 +4040,47 @@ object Merge {
     * @return the new version number.
     */
   def relayout(spark: SparkSession, path: String, newBuckets: Int,
-      filesPerBucket: Int = 1, maxRetries: Int = 5): Long = {
-    require(newBuckets >= 1, "newBuckets must be >= 1")
+      filesPerBucket: Int = 1, maxRetries: Int = 5): Long =
+    relayoutImpl(spark, path, Seq(newBuckets), filesPerBucket,
+      maxRetries, grid = false)
+
+  /** [[relayout]] for a composite GRID: change the per-dimension cell
+    * counts in ONE commit — the same operational escape hatch (a
+    * (tenant, id) grid that grew 100× wants more id cells). Key
+    * columns are fixed (they are the rows' identity); only the counts
+    * move. Full shuffle by design, history untouched, DVs fold.
+    */
+  def relayoutGrid(spark: SparkSession, path: String,
+      newNs: Seq[Int], filesPerBucket: Int = 1,
+      maxRetries: Int = 5): Long =
+    relayoutImpl(spark, path, newNs, filesPerBucket, maxRetries,
+      grid = true)
+
+  private def relayoutImpl(spark: SparkSession, path: String,
+      newNs: Seq[Int], filesPerBucket: Int, maxRetries: Int,
+      grid: Boolean): Long = {
+    require(newNs.nonEmpty && newNs.forall(_ >= 1),
+      "bucket counts must be >= 1")
+    require(newNs.map(_.toLong).product <= (1L << 20),
+      "grid of more than 2^20 cells is past the sanity bound")
     val (fs, root) = fsFor(spark, path)
     var attempt = 0
     while (attempt <= maxRetries) {
       val parentV = currentVersion(spark, path)
       require(parentV >= 0, s"$path has no version log")
       val parent = readManifest(spark, root, parentV)
-      val (keyCol, oldBuckets) = parent.layout.getOrElse(
-        throw new IllegalArgumentException(
-          s"$path records no layout — relayout needs the key column"))
-      if (oldBuckets == newBuckets) return parentV // already there
+      val (keyCols, oldNs) = resolveLayout(parent, None, path, "relayout")
+      require(keyCols.size == newNs.size,
+        s"$path is keyed on (${keyCols.mkString(", ")}) — pass one " +
+        s"bucket count per key column, got ${newNs.size}")
+      require(grid == (keyCols.size >= 2),
+        if (grid) s"$path is single-key — use relayout(newBuckets)"
+        else s"$path is a composite grid — use relayoutGrid(newNs)")
+      if (oldNs == newNs) return parentV // already there
       val rows = versionDf(spark, path, root, parent).drop("__bucket")
-        .withColumn("__bucket", bucketCol(keyCol, newBuckets))
-      val repart = bucketPartitioned(rows, filesPerBucket, newBuckets,
-        sortKey = Seq(keyCol))
+        .withColumn("__bucket", bucketExprFor(keyCols, newNs))
+      val repart = bucketPartitioned(rows, filesPerBucket,
+        newNs.map(_.toLong).product.toInt, sortKey = keyCols)
       val (newFiles, newStats) =
         stageAndMove(spark, fs, root, repart, parent.statsCols,
           parent.colMap)
@@ -4053,7 +4089,8 @@ object Merge {
         writeManifest(fs, root,
           Manifest(parentV + 1, parentV, newFiles.sorted,
             parent.dataSchema,
-            layout = Some((keyCol, newBuckets)),
+            layout = if (keyCols.size == 1)
+              Some((keyCols.head, newNs.head)) else None,
             statsCols = parent.statsCols, stats = newStats,
             ts = nextTs(parent), op = Some("relayout"),
             rowsUpserted = 0L, rowsDeleted = 0L,
@@ -4062,7 +4099,9 @@ object Merge {
             dvFiles = Seq.empty, // the rewrite folded them
             colMap = parent.colMap, physRetired = parent.physRetired,
             idHwm = parent.idHwm,
-            keySorted = true), // full key-sorted rewrite
+            keySorted = true, // full key-sorted rewrite
+            layoutCols = if (keyCols.size >= 2) keyCols else Seq.empty,
+            layoutNs = if (keyCols.size >= 2) newNs else Seq.empty),
           parent = Some(parent), touched = None)
         return parentV + 1
       } catch {

@@ -244,9 +244,8 @@ class GraftTableSink(path: String, appId: String,
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val spark = data.sparkSession
-    val (keyCol, nBuckets) = Merge.tableLayout(spark, path).getOrElse(
-      throw new IllegalArgumentException(
-        s"$path records no (keyCol, nBuckets) layout"))
+    require(Merge.tableLayoutKeys(spark, path).isDefined,
+      s"$path records no bucketing layout")
     // the DataFrame addBatch receives is still streaming-flagged and
     // the upsert runs several jobs over it (bucket counts, the merge
     // itself) — pin the micro-batch's rows once and re-issue them as
@@ -255,7 +254,8 @@ class GraftTableSink(path: String, appId: String,
     val (batch, pinned) =
       org.apache.spark.sql.graftshim.StreamShim.pinBatch(data)
     try {
-      Merge.upsert(spark, path, batch, keyCol, nBuckets,
+      // routed by the table's recorded layout — single key or grid
+      Merge.upsertGrid(spark, path, batch,
         txn = Some((appId, batchId)), tombstoneCol = tombstoneCol)
     } finally pinned.unpersist(blocking = false)
     ()

@@ -207,6 +207,112 @@ class GridDmlSpec extends AnyFunSuite {
     }
   }
 
+  test("grid CDC: the change feed diffs by key TUPLE, the CDF dialect " +
+      "labels tuple updates, and a streaming replica of a grid folds " +
+      "exactly — the q_spj grid story has its pipeline half") {
+    val root = freshRoot("cdc")
+    val src = new File(root, "src").getAbsolutePath
+    val rep = new File(root, "rep").getAbsolutePath
+    grid(src)
+    val batch = Seq(
+      (3L, 3L, 333.0, false),   // update
+      (99L, 9000L, 1.5, false), // insert
+      (5L, 5L, 0.0, true))      // delete
+      .toDF("tenant", "id", "v", "__del")
+    Merge.upsertGrid(spark, src, batch, tombstoneCol = Some("__del"))
+    // slim dialect: update = -1/+1 on the SAME tuple; same id under a
+    // different tenant is untouched
+    val feed = Merge.changesBetween(spark, src, 0L, 1L)
+    val got = feed.select("tenant", "id", "op")
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    assert(got == Seq((3L, 3L, -1), (3L, 3L, 1), (5L, 5L, -1),
+      (99L, 9000L, 1)), s"grid feed: $got")
+    // CDF dialect classifies the tuple update as pre+post
+    val cdf = Merge.changesBetweenCdf(spark, src, 0L, 1L)
+      .select("tenant", "id", "_change_type")
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(cdf == Seq((3L, 3L, "update_postimage"),
+      (3L, 3L, "update_preimage"), (5L, 5L, "delete"),
+      (99L, 9000L, "insert")), s"grid CDF: $cdf")
+    // replication: a grid replica folds the feed via applyChanges —
+    // snapshot (v0 image as all-insert) then the churn commit
+    Merge.writeKeyedCols(
+      Merge.readVersion(spark, src, 0L).limit(0),
+      rep, Seq("tenant", "id"), Seq(4, 8))
+    Merge.applyChanges(spark, rep,
+      Merge.readVersion(spark, src, 0L).withColumn("op", lit(1)),
+      txn = Some(("grid-rep", 0L)))
+    Merge.applyChanges(spark, rep, feed, txn = Some(("grid-rep", 1L)))
+    assert(Merge.readKeyed(spark, rep).count() == 300L)
+    assert(Merge.readKeyed(spark, rep)
+      .filter($"tenant" === 3L && $"id" === 3L)
+      .select("v").as[Double].head() == 333.0)
+    assert(Merge.readKeyed(spark, rep)
+      .filter($"tenant" === 5L && $"id" === 5L).isEmpty)
+    // a replayed apply no-ops on the txn stamp
+    val vBefore = Merge.currentVersion(spark, rep)
+    Merge.applyChanges(spark, rep, feed, txn = Some(("grid-rep", 1L)))
+    assert(Merge.currentVersion(spark, rep) == vBefore)
+    // and the replica still joins the source exchange-free
+    val cat = "ggrid_cdc"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.v2.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root.getAbsolutePath)
+    spark.conf.set("spark.graft.bucketedScan", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set(
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.sql(s"SELECT count(*) FROM $cat.src a " +
+        s"JOIN $cat.rep b ON a.tenant = b.tenant AND a.id = b.id")
+      // the global count needs its SinglePartition exchange; the JOIN
+      // itself must not hash-exchange the key tuples
+      assert(!j.queryExecution.executedPlan.toString
+          .contains("hashpartitioning"),
+        "source and replica grids must join exchange-free")
+      assert(j.as[Long].head() == 300L)
+    } finally {
+      spark.conf.set("spark.graft.bucketedScan", "false")
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset(
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("relayoutGrid: per-dimension cell counts change in ONE commit; " +
+      "upserts route by the NEW layout; history reads the old files; " +
+      "lookupKey names the tuple verb on a grid") {
+    val root = freshRoot("relayout")
+    val pa = new File(root, "fa").getAbsolutePath
+    grid(pa) // (tenant, id) × (4, 8) = 32 cells
+    val e = intercept[IllegalArgumentException] {
+      Merge.lookupKey(spark, pa, 3L)
+    }
+    assert(e.getMessage.contains("lookupKeyTuple"))
+    val v = Merge.relayoutGrid(spark, pa, Seq(4, 16)) // 64 cells
+    assert(v == 1L)
+    assert(Merge.versionGridLayout(spark, pa, v)
+      .contains((Seq("tenant", "id"), Seq(4, 16))))
+    assert(Merge.readKeyed(spark, pa).count() == 300L)
+    assert(Merge.readVersion(spark, pa, 0L).count() == 300L,
+      "history must survive the re-grid")
+    // upserts route by the NEW grid automatically
+    val st = Merge.upsertGrid(spark, pa,
+      Seq((3L, 3L, 999.0)).toDF("tenant", "id", "v"))
+    assert(st.nBuckets == 64 && st.bucketsTouched == 1)
+    assert(Merge.lookupKeyTuple(spark, pa, Seq(3L, 3L))
+      .select("v").as[Double].head() == 999.0)
+    // dimension-count and verb-shape mismatches refuse loudly
+    intercept[IllegalArgumentException] {
+      Merge.relayoutGrid(spark, pa, Seq(8))
+    }
+    intercept[IllegalArgumentException] {
+      Merge.relayout(spark, pa, 8)
+    }
+  }
+
   test("grid merge-on-read SQL DML: session opt-in vectors instead of " +
       "rewriting — no pre-existing file changes across UPDATE + MERGE") {
     val root = freshRoot("morsql")

@@ -1399,9 +1399,13 @@ object SparkEntry {
       // next 5 delete, 5 fresh tuples insert — so the cell pin bites
       // at every sf: 20 tuples can never touch all 32 cells
       val cur = graft.sources.Merge.readKeyed(s, path)
-      val ranked = cur.withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("ok"), col("ln"))))
+      // rank only the ok <= 200 slice: ranking is by (ok, ln) asc, so
+      // the first 15 tuples provably live there at any sf — the global
+      // window would single-partition sort the whole table for 15 rows
+      val ranked = cur.filter(col("ok") <= 200)
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("ok"), col("ln"))))
       val upds = ranked.filter(col("rn") <= 10)
         .withColumn("qty", col("qty") + 100.0)
         .withColumn("__del", lit(false))
@@ -1460,9 +1464,10 @@ object SparkEntry {
       graft.sources.Merge.writeKeyedCols(li, src, Seq("ok", "ln"),
         Seq(8, 4))
       val cur = graft.sources.Merge.readKeyed(s, src)
-      val ranked = cur.withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("ok"), col("ln"))))
+      val ranked = cur.filter(col("ok") <= 200) // see q_grid_upsert
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("ok"), col("ln"))))
       val batch = ranked.filter(col("rn") <= 10)
         .withColumn("qty", col("qty") + 100.0)
         .withColumn("__del", lit(false))
@@ -2571,6 +2576,91 @@ object SparkEntry {
       graft.sources.Merge.readKeyedWhere(s, path,
           col("p_label") === lit("label_77"))
         .select("p_partkey", "p_name", "p_label").orderBy("p_partkey")
+    }),
+    "q_bloomx_skip" -> ((s, dir) => {
+      // EXTERNAL BLOOM SIDECARS (`bloomx:`, r17): the same point-probe
+      // pruning as q_bloom_skip, but the per-file filters live as
+      // LAZILY-READ sidecar files under `_graft_bloom/` and the
+      // manifest holds byte-sized refs — at a million files that is
+      // ~100 MB of metadata instead of ~16 GB rewritten per commit.
+      // Required in-gate: the manifest's bloom entries are refs (no
+      // inline blob), the probe prunes below the full file set, the
+      // planner lazily read at most candidate-count sidecars (seam),
+      // and a repeat plan reads ZERO (decode-once cache). Pruned
+      // read ≡ the oracle's full filter.
+      val path = new java.io.File(scratchRoot,
+        s"graft_bloomx_${new java.io.File(dir).getName}").getAbsolutePath
+      val part = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"),
+          concat(lit("label_"), col("p_partkey")).as("p_label"))
+      graft.sources.Merge.writeKeyed(part, path, "p_partkey",
+        nBuckets = 16, statsCols = Seq("p_partkey", "bloomx:p_label"))
+      val v = graft.sources.Merge.currentVersion(s, path)
+      val seam = graft.sources.Skipping.bloomSidecarReads
+      seam.set(0L)
+      val (sel, total) = graft.sources.Merge.planVersionFiles(s, path, v,
+        Seq(graft.sources.Skipping.Bound("p_label",
+          Some("label_77"), Some("label_77"))))
+      require(sel.size < total && sel.nonEmpty,
+        s"the sidecar blooms must prune files: kept ${sel.size} of $total")
+      val reads = seam.get()
+      require(reads > 0 && reads <= total.toLong,
+        s"the plan must lazily read <= $total sidecars, read $reads")
+      seam.set(0L)
+      graft.sources.Merge.planVersionFiles(s, path, v,
+        Seq(graft.sources.Skipping.Bound("p_label",
+          Some("label_77"), Some("label_77"))))
+      require(seam.get() == 0L,
+        "a repeat plan must hit the sidecar cache, not re-read")
+      graft.sources.Merge.readKeyedWhere(s, path,
+          col("p_label") === lit("label_77"))
+        .select("p_partkey", "p_name", "p_label").orderBy("p_partkey")
+    }),
+    "q_dv_rowgroup" -> ((s, dir) => {
+      // ROW-GROUP-LEVEL DV SKIPPING (r17): a CLUSTERED delete on a
+      // key-sorted file produces contiguous positions, so whole
+      // parquet row groups die — the native scan slices AROUND them
+      // and their bytes are never decoded. Required in-gate: the
+      // skippedRowGroups seam counts real skips on a half-table
+      // key-range delete (small row groups forced at write), and the
+      // read-back under the native scan ≡ the oracle's survivors.
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val root = new java.io.File(scratchRoot, s"graft_dvrg_$sf")
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      val path = new java.io.File(root, "t").getAbsolutePath
+      val hc = s.sparkContext.hadoopConfiguration
+      val oldBlock = Option(hc.get("parquet.block.size"))
+      hc.setInt("parquet.block.size", 8 * 1024)
+      val seam = graft.sources.v2.GraftBucketDvReaderFactory
+      val oldMin = seam.rowGroupSkipMinPositions
+      try {
+        // ONE bucket: the whole table is one key-sorted file, so the
+        // 8 KB block target yields many row groups even at sf0.001
+        graft.sources.Merge.writeKeyed(
+          t(s, dir, "part").selectExpr("p_partkey AS id",
+            "p_name AS name"), path, "id", 1)
+        seam.rowGroupSkipMinPositions = 64
+        val mid = t(s, dir, "part")
+          .agg(max(col("p_partkey"))).collect()(0)
+          .getLong(0) / 2
+        graft.sources.Merge.deleteWhereDV(s, path, col("id") <= mid)
+        s.conf.set("spark.graft.bucketedScan", "true")
+        try {
+          seam.skippedRowGroups.set(0L)
+          val q = s.read.format("graft-table").option("path", path)
+            .load().select("id", "name").orderBy("id")
+            .localCheckpoint()
+          require(seam.skippedRowGroups.get() > 0L,
+            "a half-table clustered delete must skip whole row groups")
+          q
+        } finally s.conf.set("spark.graft.bucketedScan", "false")
+      } finally {
+        seam.rowGroupSkipMinPositions = oldMin
+        oldBlock match {
+          case Some(b) => hc.set("parquet.block.size", b)
+          case None => hc.unset("parquet.block.size")
+        }
+      }
     }),
     "q_sql_widen" -> ((s, dir) => {
       // SQL ALTER COLUMN TYPE: the int column widens to BIGINT in ONE
@@ -8257,6 +8347,19 @@ object SparkEntry {
          FROM part
          WHERE 'label_' || CAST(p_partkey AS VARCHAR) = 'label_77'
          ORDER BY p_partkey""",
+    // sidecar blooms prune to the same answer as inline ones
+    "q_bloomx_skip" ->
+      """SELECT p_partkey, p_name,
+                'label_' || CAST(p_partkey AS VARCHAR) AS p_label
+         FROM part
+         WHERE 'label_' || CAST(p_partkey AS VARCHAR) = 'label_77'
+         ORDER BY p_partkey""",
+    // survivors of the clustered half-table delete
+    "q_dv_rowgroup" ->
+      """SELECT p_partkey AS id, p_name AS name
+         FROM part
+         WHERE p_partkey > (SELECT max(p_partkey) / 2 FROM part)
+         ORDER BY id""",
     // the widened image (cast exact) + the beyond-int sentinel
     "q_sql_widen" ->
       """SELECT p_partkey, p_name, CAST(p_size AS BIGINT) AS p_size

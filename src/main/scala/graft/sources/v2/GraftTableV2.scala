@@ -460,8 +460,17 @@ class GraftWriteBuilder(path: String,
               // tables and composite grids both merge by key (r17:
               // grids became writable, so a plain INSERT into a
               // (tenant, id) grid upserts by tuple instead of
-              // refusing)
-              Merge.upsertGrid(spark, path, data)
+              // refusing). The merge-on-read session opt-in covers
+              // INSERT too (r17): replaced keys' old images vector,
+              // the batch appends, no data file rewritten — the last
+              // SQL doorway joins the CDC posture
+              val morSchema = Merge.versionSchema(spark, path,
+                Merge.currentVersion(spark, path))
+              if (GraftDml.mergeOnRead(spark) &&
+                  morSchema.exists(GraftDml.morEligible))
+                Merge.upsertDVGrid(spark, path, data)
+              else
+                Merge.upsertGrid(spark, path, data)
               ()
           }
         }

@@ -481,6 +481,18 @@ class GraftDmlSpec extends AnyFunSuite {
         == 1L)
       assert(spark.sql("SELECT count(*) FROM gmor.t").as[Long].head()
         == 171L)
+      // INSERT INTO joins the merge-on-read posture too (r17): a new
+      // key appends, a replaced key's old image vectors — still no
+      // pre-existing file rewritten
+      spark.sql("INSERT INTO gmor.t VALUES (900, 'ins_mor', 9.0), " +
+        "(7, 'upd2', 7.7)")
+      val after4 = dataFiles()
+      assert(before.forall { case (f, m) => after4.get(f).contains(m) },
+        "merge-on-read INSERT must not rewrite any pre-existing file")
+      assert(spark.sql("SELECT count(*) FROM gmor.t").as[Long].head()
+        == 172L)
+      assert(spark.sql("SELECT name FROM gmor.t WHERE id = 7")
+        .as[String].head() == "upd2")
     } finally spark.conf.unset("spark.graft.dml.mergeOnRead")
     // conf off: UPDATE goes back to copy-on-write — no NEW deletion
     // vectors (the old data files stay on disk either way: immutable,

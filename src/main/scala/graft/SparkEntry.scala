@@ -1456,7 +1456,12 @@ object SparkEntry {
       org.apache.commons.io.FileUtils.deleteQuietly(root)
       val src = new java.io.File(root, "src").getAbsolutePath
       val rep = new java.io.File(root, "rep").getAbsolutePath
+      // a BOUNDED slice (ok <= 2000): this gate pins the grid CDC
+      // MACHINERY — feed dialects, replica folds, replay stamps — not
+      // corpus-scale writes (q_grid_upsert keeps the full-size table);
+      // without the bound the gate is three full-table grid writes
       val li = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 2000)
         .groupBy(col("l_orderkey").as("ok"),
           col("l_linenumber").as("ln"))
         .agg(max(col("l_quantity")).as("qty")) // unique tuples (see
@@ -8138,7 +8143,8 @@ object SparkEntry {
     "q_grid_cdc" ->
       """WITH li AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
                             max(l_quantity) AS qty
-                     FROM lineitem GROUP BY 1, 2),
+                     FROM lineitem
+                     WHERE l_orderkey <= 2000 GROUP BY 1, 2),
             base AS (SELECT ok, ln, qty,
                             row_number() OVER (ORDER BY ok, ln) AS rn
                      FROM li),

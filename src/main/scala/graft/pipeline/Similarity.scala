@@ -1019,21 +1019,70 @@ object Similarity {
       if (fs.exists(root)) fs.delete(root, true) // fresh index, fresh log
       graft.sources.TxLog.dropCachedStates(path) // rebuilt in place: stale memo out
       modelMemo.remove(path) // ditto for the frozen-model memo
+      val (cenFiles, cbFiles) = stageModels(spark, path, index)
+      val files = graft.sources.TxLog.stagePartitionedInto(
+        index.encoded, path, "codes", Seq("cell"))
+      graft.sources.TxLog.commit(spark, path,
+        graft.sources.TxLog.State(0L, -1L, Map("codes" -> files,
+          "centroids" -> cenFiles, "codebooks" -> cbFiles)))
+    }
+
+    /** Stage BOTH quantizer model tables (KB-scale: cells × dim coarse
+      * centroids + m × k subspace codebooks) as TxLog sub-tables; the
+      * caller commits them in the same State as the codes they
+      * encoded — the atomic-swap discipline [[IvfIndex.rebalance]]
+      * established (r17), extended to the PQ family's second model.
+      */
+    private def stageModels(spark: org.apache.spark.sql.SparkSession,
+        path: String, index: Index): (Seq[String], Seq[String]) = {
       import spark.implicits._
-      index.centroids.zipWithIndex.toSeq
-        .map { case (v, i) => (i, v.toSeq) }
-        .toDF("cell", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      val cen = graft.sources.TxLog.stageInto(
+        index.centroids.zipWithIndex.toSeq
+          .map { case (v, i) => (i, v.toSeq) }
+          .toDF("cell", "centroid").coalesce(1),
+        path, "centroids")
       val books = for {
         s <- 0 until index.pq.m
         c <- 0 until index.pq.k
       } yield (s, c, index.pq.dim, index.pq.codebooks(s)(c).toSeq)
-      books.toDF("subspace", "code", "dim", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+      val cb = graft.sources.TxLog.stageInto(
+        books.toDF("subspace", "code", "dim", "centroid").coalesce(1),
+        path, "codebooks")
+      (cen, cb)
+    }
+
+    /** ATOMIC IN-PLACE RE-PUBLISH (the quantizer-drift repair with
+      * probes LIVE): replace the whole index at `path` — retrained
+      * coarse centroids, PQ codebooks, AND the re-encoded codes — as
+      * ONE TxLog commit, with tombstones cleared. Unlike [[save]]
+      * (which deletes the directory first — correct only for offline
+      * builds), a probe concurrent with resave resolves either the
+      * old state whole or the new state whole, never new codebooks
+      * over old codes; superseded files age out via [[vacuum]]. A
+      * remove/append that landed between the caller's build and this
+      * commit would be silently dropped by the replacement, so the
+      * commit REFUSES if the codes table moved — rebuild over the new
+      * state instead.
+      */
+    def resave(index: Index, path: String): Unit = {
+      val spark = index.encoded.sparkSession
+      val st0 = graft.sources.TxLog.currentState(spark, path)
+      require(st0.isDefined,
+        s"$path has no committed index — use save() for a first build")
+      val codes0 = st0.get.tables.getOrElse("codes", Nil)
+      val (cenFiles, cbFiles) = stageModels(spark, path, index)
       val files = graft.sources.TxLog.stagePartitionedInto(
         index.encoded, path, "codes", Seq("cell"))
-      graft.sources.TxLog.commit(spark, path,
-        graft.sources.TxLog.State(0L, -1L, Map("codes" -> files)))
+      graft.sources.TxLog.commitRetrying(spark, path) { parent =>
+        require(parent.map(_.tables.getOrElse("codes", Nil))
+            .getOrElse(Nil) == codes0,
+          s"$path's codes changed during this resave — rebuild over " +
+          "the new state")
+        Map("codes" -> files, "deletes" -> Nil,
+          "centroids" -> cenFiles, "codebooks" -> cbFiles)
+      }
+      modelMemo.remove(path)
+      ()
     }
 
     /** The committed codes table (legacy pre-log layouts fall back to a
@@ -1070,7 +1119,11 @@ object Similarity {
     def append(newRows: DataFrame, idCol: String, vecCol: String,
         path: String): Long = {
       val spark = newRows.sparkSession
-      val (centroids, pq) = loadModels(spark, path)
+      val st0 = graft.sources.TxLog.currentState(spark, path)
+      val models0 = st0.map(s =>
+        s.tables.getOrElse("centroids", Nil) ++
+          s.tables.getOrElse("codebooks", Nil)).getOrElse(Nil)
+      val (centroids, pq) = loadModels(spark, path, st0)
       val enc = Pq.encoderUdf(spark, pq)
       val files = graft.sources.TxLog.stagePartitionedInto(
         Ivf.withCell(newRows, vecCol, centroids)
@@ -1080,6 +1133,13 @@ object Similarity {
         path, "codes", Seq("cell"))
       graft.sources.TxLog.commitRetrying(spark, path) { parent =>
         val t = parent.map(_.tables).getOrElse(Map.empty)
+        // a resave that won the race swapped the quantizers: our
+        // staged codes carry the OLD models' cells/codebooks — refuse
+        // loudly, the files are vacuum-able orphans
+        require(t.getOrElse("centroids", Nil) ++
+            t.getOrElse("codebooks", Nil) == models0,
+          s"$path was re-published during this append — retry the " +
+          "append; its staged codes carry the old quantizers")
         t + ("codes" -> (t.getOrElse("codes", Nil) ++ files))
       }.version
     }
@@ -1137,14 +1197,16 @@ object Similarity {
         val dead = tombstones(spark, path, parent).map(_.distinct())
         val live = dead.foldLeft(codesTable(spark, path, parent))(
           (c, d) => c.join(broadcast(d), Seq("neighbor_id"), "left_anti"))
-        val nCells = loadModels(spark, path)._1.length
+        val nCells = loadModels(spark, path, parent)._1.length
         val files = graft.sources.TxLog.stagePartitionedInto(
           live.repartition(math.max(1, nCells), col("cell")),
           path, "codes", Seq("cell"))
         try {
+          // the quantizer models ride along UNCHANGED
           graft.sources.TxLog.commit(spark, path,
             graft.sources.TxLog.State(parentV + 1, parentV,
-              Map("codes" -> files, "deletes" -> Nil)))
+              parent.map(_.tables).getOrElse(Map.empty) +
+                ("codes" -> files) + ("deletes" -> Nil)))
           return
         } catch {
           case _: graft.sources.TxLog.LostRace =>
@@ -1163,7 +1225,8 @@ object Similarity {
         keepVersions: Int = 1, graceMs: Long = 0L,
         orphanGraceMs: Long = graft.sources.Merge.DefaultOrphanGraceMs,
         dryRun: Boolean = false): Seq[String] =
-      graft.sources.TxLog.vacuum(spark, path, Seq("codes", "deletes"),
+      graft.sources.TxLog.vacuum(spark, path,
+        Seq("codes", "deletes", "centroids", "codebooks"),
         keepVersions, graceMs, orphanGraceMs, dryRun)
 
     // The quantizer models are FROZEN per index (append/remove reuse
@@ -1182,15 +1245,42 @@ object Similarity {
       * an index's lifetime).
       */
     def loadModels(spark: org.apache.spark.sql.SparkSession,
-        path: String): (Array[Array[Double]], Pq.Model) = {
-      val stamp = modelStamp(spark, path)
+        path: String): (Array[Array[Double]], Pq.Model) =
+      loadModels(spark, path,
+        graft.sources.TxLog.currentState(spark, path))
+
+    /** The models AT A RESOLVED STATE: a probe that passes the same
+      * state here and to the codes/tombstone reads sees quantizers +
+      * codes from one committed version — what makes [[resave]]'s
+      * in-place swap invisible to in-flight probes. Versioned indexes
+      * stamp by the state's model file lists (content-addressed:
+      * external in-place rebuilds still invalidate); legacy sidecar-
+      * dir layouts keep the [[Similarity.modelStamp]] listStatus
+      * guard.
+      */
+    private def loadModels(spark: org.apache.spark.sql.SparkSession,
+        path: String, st: Option[graft.sources.TxLog.State])
+        : (Array[Array[Double]], Pq.Model) = {
+      val versioned = st.filter(s =>
+        s.tables.get("centroids").exists(_.nonEmpty) &&
+          s.tables.get("codebooks").exists(_.nonEmpty))
+      val stamp = versioned match {
+        case Some(v) => s"txv${v.version}:" +
+          (v.tables("centroids") ++ v.tables("codebooks")).mkString(",")
+        case None => modelStamp(spark, path)
+      }
       modelMemo.get(path) match {
         case Some((s, m)) if s == stamp => m
         case _ =>
-          val centroids = spark.read.parquet(s"$path/centroids")
+          def tbl(name: String, legacy: String) = versioned match {
+            case Some(v) => graft.sources.TxLog
+              .readTable(spark, path, v, name).get
+            case None => spark.read.parquet(s"$path/$legacy")
+          }
+          val centroids = tbl("centroids", "centroids")
             .orderBy("cell").collect()
             .map(_.getSeq[Double](1).toArray)
-          val rows = spark.read.parquet(s"$path/codebooks")
+          val rows = tbl("codebooks", "codebooks")
             .orderBy("subspace", "code").collect()
           val m = rows.map(_.getInt(0)).max + 1
           val k = rows.map(_.getInt(1)).max + 1
@@ -1214,7 +1304,13 @@ object Similarity {
         k: Int, nProbe: Int,
         at: Option[graft.sources.TxLog.State] = None,
         allowed: Option[DataFrame] = None): DataFrame = {
-      val (centroids, pq) = loadModels(spark, path)
+      // ONE state snapshot for models + codes + tombstones: a resave
+      // committing mid-probe cannot hand this probe new codebooks
+      // over old codes (or any other mix)
+      val st0 =
+        if (at.isDefined) at
+        else graft.sources.TxLog.currentState(spark, path)
+      val (centroids, pq) = loadModels(spark, path, st0)
       val cents = centroids
       val probes = math.min(nProbe, centroids.length)
       val probeKernel = udf { v: Seq[Double] =>
@@ -1242,9 +1338,7 @@ object Similarity {
       // single committed snapshot even beside concurrent maintenance
       // an explicit state pins the probe to a TableCatalog-published
       // index version; default resolves the newest committed state
-      val st =
-        if (at.isDefined) at
-        else graft.sources.TxLog.currentState(spark, path)
+      val st = st0
       val live0 = tombstones(spark, path, st).foldLeft(
         codesTable(spark, path, st)
           .filter(col("cell").isin(cellSet.toSeq: _*))) // -> PartitionFilters

@@ -969,6 +969,78 @@ class SimilaritySpec extends SparkSpec {
     assert(recall() == 1.0, "the refused append changed nothing")
   }
 
+  test("IvfPq resave is ATOMIC (r17): models version through the " +
+      "TxLog state, a crash before the claim leaves the old index " +
+      "whole, a mid-swap probe sees old quantizers + old codes, and " +
+      "a racing append refuses") {
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_resave")
+      .toString
+    val ixA = Similarity.IvfPq.build(corpus, "vec_id", "embedding",
+      dim = 3, cells = 2, m = 1, kSub = 4, sampleN = 100, iters = 5)
+    Similarity.IvfPq.save(ixA, path)
+    def top1(): Seq[(Long, Long)] =
+      Similarity.IvfPq.topKPersisted(spark, path,
+        corpus.filter(col("vec_id") <= 2L), "vec_id", "embedding",
+        k = 1, nProbe = 2)
+        .select("query_id", "neighbor_id").as[(Long, Long)]
+        .collect().sorted.toSeq
+    val before = top1()
+    assert(before.nonEmpty)
+    // a RICHER model over a grown corpus — the drift-repair shape
+    val grown = corpus.unionByName(Seq(
+      (10L, vec(0.95, 0.05, 0)), (11L, vec(0, 0.9, 0.1)),
+      (12L, vec(0.1, 0, 0.95)), (13L, vec(-0.9, 0.1, 0)))
+      .toDF("vec_id", "embedding"))
+    val ixB = Similarity.IvfPq.build(grown, "vec_id", "embedding",
+      dim = 3, cells = 3, m = 1, kSub = 8, sampleN = 100, iters = 5)
+    // 1) crash before the claim: both staged model tables and codes
+    // exist but no state references them — probes see the OLD index
+    graft.sources.TxLog.commitFence =
+      () => throw new RuntimeException("crash before claim")
+    try intercept[RuntimeException] {
+      Similarity.IvfPq.resave(ixB, path)
+    } finally graft.sources.TxLog.commitFence = () => ()
+    assert(top1() == before, "a crashed resave must change nothing")
+    assert(Similarity.IvfPq.vacuum(spark, path, orphanGraceMs = 0L)
+      .nonEmpty, "the crashed swap's files are vacuum-able orphans")
+    // 2) probe AT the commit point: the last instant of the old state
+    @volatile var duringTop: Seq[(Long, Long)] = Nil
+    @volatile var duringCells = -1
+    graft.sources.TxLog.commitFence = () => {
+      duringTop = top1()
+      duringCells =
+        Similarity.IvfPq.loadModels(spark, path)._1.length
+    }
+    try Similarity.IvfPq.resave(ixB, path)
+    finally graft.sources.TxLog.commitFence = () => ()
+    assert(duringTop == before && duringCells == 2,
+      "mid-swap probes must see OLD quantizers + OLD codes, never a mix")
+    assert(Similarity.IvfPq.loadModels(spark, path)._1.length == 3,
+      "post-commit the NEW model serves")
+    val after = top1()
+    assert(after.nonEmpty && after.map(_._1) == before.map(_._1))
+    // the grown corpus is searchable through the swapped index
+    assert(Similarity.IvfPq.topKPersisted(spark, path,
+      Seq((100L, vec(0.94, 0.06, 0))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 1, nProbe = 3)
+      .select("neighbor_id").as[Long].head() == 10L)
+    // 3) an append racing a resave refuses loudly instead of unioning
+    // stale-quantizer codes into the new model's table
+    @volatile var fired = false
+    graft.sources.TxLog.commitFence = () => if (!fired) {
+      fired = true
+      Similarity.IvfPq.resave(ixB, path)
+    }
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Similarity.IvfPq.append(
+          Seq((200L, vec(0, 1, 0.1))).toDF("vec_id", "embedding"),
+          "vec_id", "embedding", path)
+      }
+      assert(e.getMessage.contains("re-published during this append"))
+    } finally graft.sources.TxLog.commitFence = () => ()
+  }
+
   test("IvfIndex: persisted probe equals brute force and prunes partitions") {
     val path = java.nio.file.Files.createTempDirectory("ivf_idx").toString
     Similarity.IvfIndex.build(corpus, "vec_id", "embedding", cells = 2,

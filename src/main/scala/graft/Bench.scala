@@ -6,6 +6,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Controlled-rerun support (SURVEY §6 protocol): a comma-separated
+    // gate list runs ONLY those queries, still bracketed by both
+    // anchors — the harness for attributing a flagged gate's move
+    // without a 6-minute full pass. Unset (the driver's case) = all.
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected = only match {
+      case Some(s) => SparkEntry.queries.filter { case (k, _) => s(k) }
+      case None => SparkEntry.queries
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -45,7 +55,7 @@ object Bench {
     // not a per-query property of the engine).
     try {
       spark.range(1000).selectExpr("sum(id)").collect()
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         try fn(spark, sfDir).count() catch {
           case t: Throwable =>
             // the timed pass will record the failure; this line just
@@ -114,7 +124,7 @@ object Bench {
     // (seconds, gcMsDelta, schedMsDelta) per gate — the counter deltas
     // bracket the same interval the wall clock does
     def timedPass(): Map[String, (Double, Long, Long)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map {
+      selected.toSeq.sortBy(_._1).map {
         case (name, fn) =>
           val gc0 = gcMsAcc.get(); val sd0 = schedMsAcc.get()
           val t0 = System.nanoTime()
@@ -172,8 +182,11 @@ object Bench {
     // insurance against stream interleaving (round 1's line was lost)
     println(json)
     System.err.println(json)
+    // a controlled-subset run must never masquerade as the round's
+    // full bench artifact
+    val outName = if (only.isDefined) "BENCH_SUBSET.json" else "BENCH_LAST.json"
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LAST.json"), json)
+      java.nio.file.Paths.get(outName), json)
     catch { case _: Throwable => }
   }
 }

@@ -25,6 +25,7 @@ object ScaleSmoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val n = docs.count()
@@ -643,6 +644,90 @@ object ScaleSmoke {
             graft.sources.Skipping.bloomSidecarReads.get())
         })
     }
+    // ---- r18 GRID DML curve (VERDICT item 5): upsertGrid +
+    // changesBetween off the toy slice. The cell-granular claim: a
+    // FIXED-SIZE tuple batch rewrites files ∝ its touched CELLS and
+    // commits bytes ∝ churn, whatever the table size — measured as
+    // (cells touched, data files replaced, bytes of replaced files,
+    // feed rows) at 1x and factor x with the grid scaled like the data.
+    Seq(("1x", docs, 8), (s"${factor}x", inflated, 8 * factor))
+      .foreach { case (tag, d, nTenant) =>
+        println(s"--- $tag grid_dml (grid=${nTenant}x8)")
+        val gp = s"/tmp/graft_scale_grid_$tag"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(gp))
+        val g = d.select((col("doc_id") % nTenant).as("tenant"),
+          col("doc_id").as("id"), length(col("text")).cast("double").as("v"))
+        timed("grid_write")(
+          graft.sources.Merge.writeKeyedCols(g, gp,
+            Seq("tenant", "id"), Seq(nTenant, 8)))
+        def manifestFiles(): Map[String, Long] =
+          graft.sources.Merge.filesInfo(spark, gp)
+            .select("file", "bytes").collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val before = manifestFiles()
+        // the SAME 3-tuple batch at both scales
+        val batch = Seq(
+          (1L % nTenant, 1L, 111.0), (2L % nTenant, 2L, 222.0),
+          ((nTenant - 1L) % nTenant, 900000001L, 1.0))
+          .toDF("tenant", "id", "v")
+        var st: graft.sources.Merge.MergeStats = null
+        timed("grid_upsert_3tuples") {
+          st = graft.sources.Merge.upsertGrid(spark, gp, batch)
+        }
+        val after = manifestFiles()
+        val replaced = after.filterNot { case (f, sz) =>
+          before.get(f).contains(sz) }
+        println(s"SCALE   cells=${st.bucketsTouched}/${st.nBuckets} " +
+          s"filesReplaced=${replaced.size}/${after.size} " +
+          s"commitBytes=${replaced.values.sum}")
+        var feed: Long = -1L
+        timed("grid_changes_feed") {
+          feed = graft.sources.Merge.changesBetween(spark, gp, 0L,
+            st.version).count()
+        }
+        println(s"SCALE   feedRows=$feed")
+      }
+
+    // ---- r18 EXTERNAL RANGE STATS (statsx:): the bloomx manifest-size
+    // curve for min/max entries — inline per-column stats vs ONE
+    // sidecar ref per file, at 64 and 64×factor files, three stats
+    // columns. The prune-parity claim lives in the q_statsx_skip gate;
+    // here the claim is metadata bytes per commit.
+    Seq(("1x", docs, 64), (s"${factor}x", inflated, 64 * factor))
+      .foreach { case (tag, d, nb) =>
+        println(s"--- $tag statsx (files=$nb)")
+        val keyed = d.select(col("doc_id"), col("text"),
+          length(col("text")).cast("long").as("len"),
+          substring(col("text"), 1, 24).as("head24"))
+        def manifestBytes(p: String): Long = {
+          val f = new java.io.File(s"$p/_graft_log/v0.json")
+          if (f.exists) f.length
+          else new java.io.File(s"$p/_graft_log").listFiles()
+            .map(_.length).sum
+        }
+        val pIn = s"/tmp/graft_scale_statsin_$tag"
+        val pEx = s"/tmp/graft_scale_statsex_$tag"
+        Seq(pIn, pEx).foreach(p =>
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(p)))
+        timed("stats_inline_write")(
+          graft.sources.Merge.writeKeyed(keyed, pIn, "doc_id", nb,
+            statsCols = Seq("doc_id", "len", "head24")))
+        timed("statsx_write")(
+          graft.sources.Merge.writeKeyed(keyed, pEx, "doc_id", nb,
+            statsCols = Seq("doc_id", "statsx:len", "statsx:head24")))
+        println(s"SCALE   manifest inline=${manifestBytes(pIn)} B " +
+          s"external=${manifestBytes(pEx)} B")
+        graft.sources.Skipping.statsSidecarReads.set(0L)
+        timed("statsx_range_plan")({
+          val (sel, total) = graft.sources.Merge.planVersionFiles(
+            spark, pEx, 0L, Seq(graft.sources.Skipping.Bound(
+              "len", Some(0L), Some(10L))))
+          println(s"SCALE   planned ${sel.size}/$total files, " +
+            s"sidecar reads=" +
+            graft.sources.Skipping.statsSidecarReads.get())
+        })
+      }
     spark.stop()
   }
 }

@@ -255,6 +255,15 @@ object SparkEntry {
         LogicalOp.SemMap(Seq("props"), "\"k\": (\\d+)", "props_k"), oracle)
         .select("event_id", "props_k").orderBy("event_id")
     }),
+    // ---- sem_map one-to-many (palimpzest convert cardinality, r18) ------
+    "q_sem_map_multi" -> ((s, dir) => {
+      // every "ar"-word of each document becomes its own derived row,
+      // ordinal-stamped; rows deriving nothing fan out to zero rows
+      SemMapMulti(t(s, dir, "documents"),
+        LogicalOp.SemMap(Seq("text"), "([a-z]*ar[a-z]*)", "term"), oracle)
+        .select("doc_id", "term_idx", "term")
+        .orderBy("doc_id", "term_idx")
+    }),
     // ---- sem_group closed-set + roll-up count (SURVEY §2a/2d) ----------
     "q_sem_group" -> ((s, dir) => {
       SemGroup(t(s, dir, "documents"),
@@ -372,6 +381,39 @@ object SparkEntry {
     "q_dice_enum" -> ((s, dir) => {
       Dice(t(s, dir, "documents"), "lang", "language is en or fr", oracle)
         .select("doc_id", "lang").orderBy("doc_id")
+    }),
+    // ---- oracle cost/quality policy layer (palimpzest parity, r18) ------
+    "q_policy_cost" -> ((s, dir) => {
+      // the SAME NL condition lowered under both policies: MinCost takes
+      // the bounded-enum pushdown (oracle calls = the distinct values not
+      // already condition tokens), MaxQuality judges every row through
+      // the batched per-row path. Results must be value-identical here
+      // (the judgment depends only on the diced column), calls must not:
+      // the meter proves MinCost pays O(distinct), MaxQuality O(rows).
+      import s.implicits._
+      import graft.exec.{Policied, Policy}
+      val ev = t(s, dir, "events")
+      val minC = Policied.dice(ev, "event_type", "error", oracle,
+        Policy.MinCost, usdPerCall = 0.001)
+      val maxQ = Policied.dice(ev, "event_type", "error", oracle,
+        Policy.MaxQuality, usdPerCall = 0.001)
+      val rowsMin = minC.df.count()
+      val rowsMax = maxQ.df.count()
+      val (rMin, rMax) = (minC.report(), maxQ.report())
+      require(rowsMin == rowsMax,
+        s"policies must agree on this condition: $rowsMin vs $rowsMax")
+      require(rMin.oracleCalls < rMax.oracleCalls,
+        s"MinCost must make strictly fewer oracle calls: " +
+        s"${rMin.oracleCalls} vs ${rMax.oracleCalls}")
+      require(rMax.estUsd > rMin.estUsd, "cost must price the calls")
+      // explain surfaces strategy + calls + $ per operator
+      require(minC.explain.contains("strategy=enumerable") &&
+        minC.explain.contains("oracle_calls=") &&
+        minC.explain.contains("est_usd="), minC.explain)
+      require(maxQ.explain.contains("strategy=sem_filter"), maxQ.explain)
+      Seq((rMin.strategy, rowsMin, rMin.oracleCalls),
+        (rMax.strategy, rowsMax, rMax.oracleCalls))
+        .toDF("strategy", "rows_kept", "oracle_calls").orderBy("strategy")
     }),
     // ---- slice verb: keyword prefilter + sem filter (SURVEY §2d) -------
     "q_slice" -> ((s, dir) => {
@@ -2620,6 +2662,70 @@ object SparkEntry {
       graft.sources.Merge.readKeyedWhere(s, path,
           col("p_label") === lit("label_77"))
         .select("p_partkey", "p_name", "p_label").orderBy("p_partkey")
+    }),
+    "q_statsx_skip" -> ((s, dir) => {
+      // EXTERNAL RANGE/NULL STATS (`statsx:`, r18): the bloomx sidecar
+      // discipline applied to min/max interval stats — the manifest
+      // keeps ONE ref-sized placeholder per file for the whole statsx
+      // column set (O(files) instead of O(files × cols) metadata per
+      // commit), and the planner reads a candidate's `.sx` sidecar
+      // LAZILY: only under a bound on a statsx column, only for files
+      // the structural prunes kept, decode-once cached. The layout is
+      // the honest keyed shape where range stats prune — CDC-style
+      // merge-on-read APPENDS, each batch's files carrying a tight ts
+      // window while the key hash scatters ids. Required in-gate: the
+      // ref-shaped manifest is SMALLER than an inline twin's, statsx
+      // prunes EXACTLY the files the twin prunes (a strict subset), at
+      // most candidate-count sidecars were read (seam), and a repeat
+      // plan reads ZERO.
+      val path = new java.io.File(scratchRoot,
+        s"graft_statsx_${new java.io.File(dir).getName}").getAbsolutePath
+      val twin = path + "_inline"
+      def slice(k: Long) = t(s, dir, "part")
+        .select((col("p_partkey") + lit(k)).as("id"),
+          (col("p_partkey") + lit(k)).as("ts"),
+          col("p_retailprice").as("price"), col("p_name").as("name"))
+      for (p <- Seq(path, twin)) {
+        val cols =
+          if (p == path) Seq("statsx:ts", "statsx:price", "statsx:name")
+          else Seq("ts", "price", "name")
+        graft.sources.Merge.writeKeyed(slice(0L), p, "id",
+          nBuckets = 16, statsCols = cols)
+        graft.sources.Merge.upsertDV(s, p, slice(10000000L), "id", 16)
+        graft.sources.Merge.upsertDV(s, p, slice(20000000L), "id", 16)
+      }
+      val v = graft.sources.Merge.currentVersion(s, path)
+      val mx = java.nio.file.Files.readString(new java.io.File(path,
+        s"_graft_log/v$v.json").toPath)
+      val mi = java.nio.file.Files.readString(new java.io.File(twin,
+        s"_graft_log/v${graft.sources.Merge.currentVersion(s, twin)}.json")
+        .toPath)
+      require(mx.contains("statsx") && mx.contains("@_graft_bloom/"),
+        "statsx manifest must carry sidecar refs")
+      require(mx.length < mi.length,
+        s"ref-shaped manifest must be smaller: ${mx.length} vs ${mi.length}")
+      val bounds = Seq(graft.sources.Skipping.Bound("ts",
+        Some(20000000L), Some(20000500L)))
+      val seam = graft.sources.Skipping.statsSidecarReads
+      seam.set(0L)
+      val (sel, total) = graft.sources.Merge.planVersionFiles(s, path, v,
+        bounds)
+      val (selI, totalI) = graft.sources.Merge.planVersionFiles(s, twin,
+        graft.sources.Merge.currentVersion(s, twin), bounds)
+      require(total == totalI && sel.size == selI.size &&
+        sel.size < total && sel.nonEmpty,
+        s"statsx must prune EXACTLY like inline: ${sel.size} vs " +
+        s"${selI.size} of $total")
+      val reads = seam.get()
+      require(reads > 0 && reads <= total.toLong,
+        s"the plan must lazily read <= $total sidecars, read $reads")
+      seam.set(0L)
+      graft.sources.Merge.planVersionFiles(s, path, v, bounds)
+      require(seam.get() == 0L,
+        "a repeat plan must hit the sidecar cache, not re-read")
+      graft.sources.Merge.readKeyedWhere(s, path,
+          col("ts") >= 20000000L && col("ts") <= 20000500L)
+        .select("id", "ts", "price", "name").orderBy("id")
     }),
     "q_dv_rowgroup" -> ((s, dir) => {
       // ROW-GROUP-LEVEL DV SKIPPING (r17): a CLUSTERED delete on a
@@ -8360,6 +8466,13 @@ object SparkEntry {
          FROM part
          WHERE 'label_' || CAST(p_partkey AS VARCHAR) = 'label_77'
          ORDER BY p_partkey""",
+    // the third merge-on-read slice's ts window, exactly
+    "q_statsx_skip" ->
+      """SELECT p_partkey + 20000000 AS id, p_partkey + 20000000 AS ts,
+                p_retailprice AS price, p_name AS name
+         FROM part
+         WHERE p_partkey + 20000000 BETWEEN 20000000 AND 20000500
+         ORDER BY id""",
     // survivors of the clustered half-table delete
     "q_dv_rowgroup" ->
       """SELECT p_partkey AS id, p_name AS name
@@ -9375,6 +9488,14 @@ object SparkEntry {
     "q_sem_map" ->
       """SELECT event_id, NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS props_k
          FROM events ORDER BY event_id""",
+    "q_sem_map_multi" ->
+      """SELECT doc_id, u.i - 1 AS term_idx, u.v AS term
+         FROM (SELECT doc_id,
+                      unnest(list_transform(
+                        regexp_extract_all(text, '([a-z]*ar[a-z]*)', 1),
+                        (x, i) -> {'v': x, 'i': i})) AS u
+               FROM documents)
+         ORDER BY doc_id, term_idx""",
     "q_sem_group" ->
       """SELECT doc_id,
                 CASE WHEN contains(lower(text), 'stream') THEN 'streaming'
@@ -9473,6 +9594,22 @@ object SparkEntry {
     "q_dice_enum" ->
       """SELECT doc_id, lang FROM documents
          WHERE lang IN ('en', 'fr') ORDER BY doc_id""",
+    // min_cost (enum pushdown) judges each distinct value that is not
+    // already a condition token; max_quality judges every non-null row.
+    // Both keep exactly the entailment-matching rows.
+    "q_policy_cost" ->
+      """SELECT * FROM (
+           SELECT 'enumerable' AS strategy,
+                  (SELECT count(*) FROM events
+                   WHERE contains(lower(event_type), 'error')) AS rows_kept,
+                  (SELECT count(DISTINCT event_type) FROM events
+                   WHERE lower(event_type) <> 'error') AS oracle_calls
+           UNION ALL
+           SELECT 'sem_filter' AS strategy,
+                  (SELECT count(*) FROM events
+                   WHERE contains(lower(event_type), 'error')) AS rows_kept,
+                  (SELECT count(event_type) FROM events) AS oracle_calls
+         ) ORDER BY strategy""",
     "q_slice" ->
       """SELECT doc_id FROM documents
          WHERE (contains(lower(text), 'spark') OR contains(lower(text), 'stream'))

@@ -109,7 +109,19 @@ object PredicateAtoms {
     })
 }
 
-class CubeCatalog(root: DataFrame, oracle: SemanticOracle) {
+/** @param relationJudge OPTIONAL natural-language relation oracle — the
+  *   reference's LLM memory-DAG judgment (OLAP_Memory.py:5-44) as the
+  *   fallback seam SURVEY §7 hard-part 4 promised. `(currentQueryText,
+  *   historicalQueryText) => relation keyword` (contain | subset | equal
+  *   | intersect | no_relation, parsed by containment exactly like the
+  *   reference's parse_relation, OLAP_Memory.py:48-64). The STRUCTURAL
+  *   path stays authoritative: the judge is consulted only when
+  *   structure classifies NoRelation, and only to ADD reuse — a judge
+  *   that always refuses (answers no_relation) reproduces today's
+  *   behavior bit for bit. Default None: zero behavior change.
+  */
+class CubeCatalog(root: DataFrame, oracle: SemanticOracle,
+    relationJudge: Option[(String, String) => String] = None) {
   private var nextId = 1
   private var nodes: Vector[CubeNode] =
     Vector(CubeNode(0, "All Data", Set.empty, root, Map.empty, Seq.empty))
@@ -176,6 +188,36 @@ class CubeCatalog(root: DataFrame, oracle: SemanticOracle) {
     else if (qa.subsetOf(ca)) Contain5
     else if ((ca & qa).nonEmpty) Intersect5
     else NoRelation5
+  }
+
+  /** The reference's keyword parse (OLAP_Memory.py:48-64): containment
+    * checks in the same order; anything unrecognized is NoRelation.
+    */
+  private def parseRelation5(s: String): Relation5 = {
+    val t = String.valueOf(s).toLowerCase
+    if (t.contains("contain")) Contain5
+    else if (t.contains("subset")) Subset5
+    else if (t.contains("equal")) Equal5
+    else if (t.contains("intersect")) Intersect5
+    else NoRelation5
+  }
+
+  /** [[relation5]] with the optional NL judge as fallback (r18):
+    * structure decides whenever it can (any verdict but NoRelation5 is
+    * final — the judge can never override it); only a structural
+    * NoRelation5 consults the judge, one bounded call per pair, so an
+    * NL-equivalent-but-structurally-distinct query pair (`sem_filter
+    * "spark"` vs `keyword_filter ["spark"]`, say) can still reuse.
+    * Without a judge this IS [[relation5]].
+    */
+  def relation5Judged(cached: Seq[LogicalOp], query: Seq[LogicalOp],
+      cachedText: String, queryText: String): Relation5 = {
+    val structural = relation5(cached, query)
+    if (structural != NoRelation5) structural
+    else relationJudge match {
+      case Some(j) => parseRelation5(j(queryText, cachedText))
+      case None => structural
+    }
   }
 
   /** Contradictory AND-numeric ranges on a shared column, e.g. cached
@@ -252,8 +294,32 @@ class CubeCatalog(root: DataFrame, oracle: SemanticOracle) {
     */
   def filterQuery(queryText: String, filters: Seq[LogicalOp]): CubeNode = {
     val key = PredicateAtoms.atoms(filters)
-    val base = bestBaseImplied(filters)
-    if (relation(base.predicates, key) == Equal) return base
+    val base0 = bestBaseImplied(filters)
+    if (relation(base0.predicates, key) == Equal) return base0
+
+    // Oracle fallback (r18): only when the structural path found no
+    // reuse at all (base = root) and a judge is wired. An Equal verdict
+    // returns the cached node outright; a Subset verdict (query rows ⊆
+    // cached rows) makes that node the base — ALL query filters then
+    // re-apply as the delta, so a judge that wrongly says Subset of a
+    // too-small node is the reference's own exposure, and a judge that
+    // refuses costs nothing. Calls are bounded by the catalog size and
+    // only pairs structure cannot decide reach the judge.
+    val base =
+      if (base0.id != 0 || relationJudge.isEmpty) base0
+      else {
+        val eligible = nodes.filter(n => n.id != 0 &&
+          n.filterOps.nonEmpty &&
+          PredicateAtoms.atoms(n.filterOps) == n.predicates)
+        val judged = eligible.iterator.map(n =>
+          (n, relation5Judged(n.filterOps, filters, n.query, queryText)))
+          .toSeq
+        judged.collectFirst { case (n, Equal5) => n } match {
+          case Some(n) => return n
+          case None =>
+            judged.collectFirst { case (n, Subset5) => n }.getOrElse(base0)
+        }
+      }
 
     val delta = filters.filterNot(f =>
       base.predicates.contains(PredicateAtoms.atom(f)))

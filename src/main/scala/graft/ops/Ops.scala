@@ -171,6 +171,43 @@ object SemMap {
   }
 }
 
+/** `sem_map` one-to-many — the palimpzest `convert` fan-out cardinality
+  * (Semantic-OLAP/baselines/procedures/python3/convert_dataset.py:
+  * `pz.Cardinality.ONE_TO_MANY`): a row derives ALL values of the
+  * dimension and fans out to one row per value, zero values dropping
+  * the row. Lineage rides free — every source column is retained on
+  * every derived row, and `<keyword>_idx` carries the value's ordinal
+  * within its source row (0-based, text order).
+  *
+  * Physical shape: one scan, the extraction column (codegen'd
+  * `regexp_extract_all` for compilable oracles, batched mapPartitions
+  * for LLM transports), then `posexplode` — a Generate node, NO shuffle
+  * added at any scale (fan-out is partition-local).
+  */
+object SemMapMulti {
+  def apply(df: DataFrame, op: LogicalOp.SemMap,
+      oracle: SemanticOracle): DataFrame = {
+    val text = Ops.textCol(df, op.columns)
+    val withVals = oracle.compileExtractAll(op.mapDescription) match {
+      case Some(f) => df.withColumn("__vals", f(text))
+      case None => oracle match {
+        case b: graft.oracle.BatchedOracle =>
+          graft.oracle.BatchedExec.semMapAll(df, "__vals", text,
+            op.mapDescription, b)
+        case _ =>
+          val ex = udf((t: String) =>
+            if (t == null) Seq.empty[String]
+            else oracle.extractAll(t, op.mapDescription))
+          df.withColumn("__vals", ex(text))
+      }
+    }
+    withVals.select(
+      (df.columns.map(col) :+
+        posexplode(col("__vals")).as(Seq(s"${op.keyword}_idx", op.keyword)))
+        .toSeq: _*)
+  }
+}
+
 /** `sem_group` — semantic GROUP-BY label assignment
   * (Operaters.py:376-397). The reference mints tags sequentially per row
   * (order-dependent, unparallelizable); this engine is two-phase and

@@ -25,6 +25,8 @@ trait BatchedOracle extends SemanticOracle {
     texts.map(t => t != null && judge(t, condition))
   def extractBatch(texts: Seq[String], desc: String): Seq[Option[String]] =
     texts.map(t => if (t == null) None else extract(t, desc))
+  def extractAllBatch(texts: Seq[String], desc: String): Seq[Seq[String]] =
+    texts.map(t => if (t == null) Seq.empty else extractAll(t, desc))
   def classifyBatch(texts: Seq[String], vocab: Seq[TagRule]): Seq[Option[String]] =
     texts.map(t => if (t == null) None else classify(t, vocab))
   def scoreBatch(texts: Seq[String], query: String): Seq[Double] =
@@ -74,6 +76,15 @@ object BatchedExec {
       oracle: BatchedOracle, batchSize: Int = 64): DataFrame =
     withBatchedColumn(df, outCol, StringType, text, batchSize)(
       ts => oracle.extractBatch(ts, desc).map(_.orNull))
+
+  /** sem_map one-to-many via batched oracle: appends an array<string>
+    * column of ALL extracted values (the explode happens in the
+    * operator, so the batched call shape stays one-RPC-per-batch).
+    */
+  def semMapAll(df: DataFrame, outCol: String, text: Column, desc: String,
+      oracle: BatchedOracle, batchSize: Int = 64): DataFrame =
+    withBatchedColumn(df, outCol, ArrayType(StringType), text, batchSize)(
+      ts => oracle.extractAllBatch(ts, desc))
 
   /** sem_group phase-2 classify via batched oracle. */
   def semClassify(df: DataFrame, outCol: String, text: Column,

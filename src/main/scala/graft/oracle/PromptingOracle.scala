@@ -40,6 +40,12 @@ abstract class PromptingOracle extends BatchedOracle {
        |Text: $text
        |Answer with the value only, or NA if it cannot be derived.""".stripMargin
 
+  protected def extractAllPrompt(text: String, desc: String): String =
+    s"""Derive EVERY value described below from the text, in order.
+       |Description: $desc
+       |Text: $text
+       |Answer with one value per line, or NA if none can be derived.""".stripMargin
+
   protected def classifyPrompt(text: String, vocab: Seq[TagRule]): String =
     s"""Assign the text to one of the existing tags, or answer NA.
        |Tags: ${vocab.map(_.tag).mkString(", ")}
@@ -57,6 +63,25 @@ abstract class PromptingOracle extends BatchedOracle {
        |Text A: $a
        |Text B: $b
        |Answer strictly A or B.""".stripMargin
+
+  /** The memory DAG's NL relation judgment (OLAP_Memory.py:5-44):
+    * current vs historical query, answered with one keyword.
+    */
+  protected def relationPrompt(current: String, historical: String): String =
+    s"""Compare the data sets described by the two queries and answer with
+       |exactly one keyword: contain (current strictly contains historical),
+       |subset (current strictly within historical), equal, intersect
+       |(definite partial overlap), or no_relation (disjoint or unknown).
+       |Current query: $current
+       |Historical query: $historical""".stripMargin
+
+  /** Wire into `new CubeCatalog(root, oracle, Some(o.relationJudge))`:
+    * one completion per structurally-undecided pair, refusing
+    * (no_relation) on transport failure — reuse is never minted by a
+    * failed call.
+    */
+  def relationJudge: (String, String) => String =
+    (cur, hist) => callOr("no_relation")(relationPrompt(cur, hist))(_.trim)
 
   protected def scorePrompt(text: String, query: String): String =
     s"""Rate the relevance of the text to the query from 0.0 to 1.0.
@@ -157,6 +182,13 @@ abstract class PromptingOracle extends BatchedOracle {
   override def extract(text: String, desc: String): Option[String] =
     callOr(Option.empty[String])(extractPrompt(text, desc))(na)
 
+  private def parseLines(s: String): Seq[String] =
+    na(s).toSeq.flatMap(_.split("\n").map(_.trim)
+      .filter(v => v.nonEmpty && !v.equalsIgnoreCase("na")))
+
+  override def extractAll(text: String, desc: String): Seq[String] =
+    callOr(Seq.empty[String])(extractAllPrompt(text, desc))(parseLines)
+
   override def classify(text: String, vocab: Seq[TagRule]): Option[String] =
     callOr(Option.empty[String])(classifyPrompt(text, vocab))(
       na(_).filter(t => vocab.exists(_.tag == t)))
@@ -206,6 +238,12 @@ abstract class PromptingOracle extends BatchedOracle {
     batchNonNull(texts, Option.empty[String])(ts =>
       resilientBatch(ts.map(extractPrompt(_, desc)),
         Option.empty[String])(na))
+
+  override def extractAllBatch(texts: Seq[String],
+      desc: String): Seq[Seq[String]] =
+    batchNonNull(texts, Seq.empty[String])(ts =>
+      resilientBatch(ts.map(extractAllPrompt(_, desc)),
+        Seq.empty[String])(parseLines))
 
   override def classifyBatch(texts: Seq[String],
       vocab: Seq[TagRule]): Seq[Option[String]] =

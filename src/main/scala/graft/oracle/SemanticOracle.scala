@@ -38,6 +38,15 @@ trait SemanticOracle extends Serializable {
   /** sem_map: derive a value for a named dimension from row text; None = "NA". */
   def extract(text: String, desc: String): Option[String]
 
+  /** sem_map one-to-many (the palimpzest `convert` cardinality,
+    * Semantic-OLAP/baselines/procedures/python3/convert_dataset.py:
+    * `pz.Cardinality.ONE_TO_MANY`): ALL values for the dimension, in
+    * text order. Empty = the row derives nothing (and fans out to zero
+    * rows). Default: the scalar extraction as a 0/1-element list.
+    */
+  def extractAll(text: String, desc: String): Seq[String] =
+    extract(text, desc).toSeq
+
   /** sem_group: assign a tag from `vocab` (first matching rule), None = "NA". */
   def classify(text: String, vocab: Seq[TagRule]): Option[String]
 
@@ -61,6 +70,8 @@ trait SemanticOracle extends Serializable {
     */
   def compileJudge(condition: String): Option[Column => Column] = None
   def compileExtract(desc: String): Option[Column => Column] = None
+  /** Compiled [[extractAll]]: a Column producing array<string>. */
+  def compileExtractAll(desc: String): Option[Column => Column] = None
   def compileClassify(vocab: Seq[TagRule]): Option[Column => Column] = None
   def compileScore(query: String): Option[Column => Column] = None
 }
@@ -92,6 +103,20 @@ class DeterministicOracle(val summaryK: Int = 5) extends SemanticOracle {
     val m = DeterministicOracle.safePattern(desc).matcher(text)
     if (!m.find()) None
     else Option(if (m.groupCount() >= 1) m.group(1) else m.group(0))
+  }
+
+  /** Every occurrence, in text order; empty captures are unmappable
+    * (the scalar path's `"" -> NA` normalization, element-wise).
+    */
+  override def extractAll(text: String, desc: String): Seq[String] = {
+    val m = DeterministicOracle.safePattern(desc).matcher(text)
+    val grp = if (m.groupCount() >= 1) 1 else 0
+    val out = Seq.newBuilder[String]
+    while (m.find()) {
+      val v = m.group(grp)
+      if (v != null && v.nonEmpty) out += v
+    }
+    out.result()
   }
 
   override def classify(text: String, vocab: Seq[TagRule]): Option[String] = {
@@ -128,6 +153,16 @@ class DeterministicOracle(val summaryK: Int = 5) extends SemanticOracle {
       val v = regexp_extract(text, p.pattern(), grp)
       when(v === "", lit(null).cast("string")).otherwise(v)
     })
+  }
+
+  override def compileExtractAll(desc: String): Option[Column => Column] = {
+    val p = DeterministicOracle.safePattern(desc)
+    val grp = if (p.matcher("").groupCount() >= 1) 1 else 0
+    // codegen'd: every match's capture, empty captures dropped (the
+    // element-wise analogue of the scalar "" -> NA)
+    Some(text => filter(
+      regexp_extract_all(text, lit(p.pattern()), lit(grp)),
+      v => v =!= ""))
   }
 
   override def compileClassify(vocab: Seq[TagRule]): Option[Column => Column] =

@@ -1070,6 +1070,7 @@ object Similarity {
       require(st0.isDefined,
         s"$path has no committed index — use save() for a first build")
       val codes0 = st0.get.tables.getOrElse("codes", Nil)
+      val deletes0 = st0.get.tables.getOrElse("deletes", Nil)
       val (cenFiles, cbFiles) = stageModels(spark, path, index)
       val files = graft.sources.TxLog.stagePartitionedInto(
         index.encoded, path, "codes", Seq("cell"))
@@ -1078,6 +1079,13 @@ object Similarity {
             .getOrElse(Nil) == codes0,
           s"$path's codes changed during this resave — rebuild over " +
           "the new state")
+        // the commit below clears tombstones ("deletes" -> Nil); a
+        // remove() that landed after st0 commits ONLY to "deletes", so
+        // the codes guard alone would let this wipe resurrect its ids
+        require(parent.map(_.tables.getOrElse("deletes", Nil))
+            .getOrElse(Nil) == deletes0,
+          s"$path's tombstones changed during this resave — rebuild " +
+          "over the new state")
         Map("codes" -> files, "deletes" -> Nil,
           "centroids" -> cenFiles, "codebooks" -> cbFiles)
       }

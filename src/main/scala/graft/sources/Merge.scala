@@ -1244,21 +1244,31 @@ object Merge {
       : Seq[Skipping.FileStats] = {
     val ext = statsCols.filter(Skipping.isExternalBloomSpec)
       .map(Skipping.bloomBase).toSet
-    if (ext.isEmpty) return entries
+    // `statsx:` range entries externalize too — but a column ALSO
+    // declared plain stays inline (the caller asked for both forms)
+    val extStats = statsCols.filter(Skipping.isStatsxSpec)
+      .map(_.stripPrefix(Skipping.StatsxPrefix)).toSet --
+      statsCols.filterNot(c =>
+        Skipping.isBloomSpec(c) || Skipping.isStatsxSpec(c)).toSet
+    val entries1 =
+      if (extStats.isEmpty) entries
+      else externalizeRangeStats(fs, root, entries, extStats)
+    if (ext.isEmpty) return entries1
+    val entries2 = entries1
     val dir = "_graft_bloom/" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(16)
-    val todo = entries.zipWithIndex.filter { case (e, _) =>
+    val todo = entries2.zipWithIndex.filter { case (e, _) =>
       Skipping.isBloomSpec(e.col) &&
         ext.contains(Skipping.bloomBase(e.col)) &&
         e.bloom.exists(!Skipping.isBloomRef(_))
     }
-    if (todo.isEmpty) return entries
+    if (todo.isEmpty) return entries2
     fs.mkdirs(new Path(root, dir))
     // the sidecar creates are independent tiny writes — parallelize
     // (a wide commit externalizes one file per data file·column; at
     // ~10 ms per create, serial would dominate the commit)
-    val out = new Array[Skipping.FileStats](entries.size)
-    entries.zipWithIndex.foreach { case (e, i) => out(i) = e }
+    val out = new Array[Skipping.FileStats](entries2.size)
+    entries2.zipWithIndex.foreach { case (e, i) => out(i) = e }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(16, math.max(1, todo.size)))
     try {
@@ -1282,6 +1292,51 @@ object Merge {
     out.toSeq
   }
 
+  /** EXTERNALIZE `statsx:` range entries (see [[Skipping.StatsxPrefix]]):
+    * each data file's statsx-column min/max/null/sum entries move to ONE
+    * `.sx` sidecar (all columns together, one tiny create per file, not
+    * per file·column) under the same `_graft_bloom/<commit-uuid>/`
+    * family as external blooms; the manifest keeps one placeholder
+    * entry per file — name [[Skipping.StatsxEntry]], the `@` ref in its
+    * `bloom` field (vacuum liveness + manifest round-trip for free) and
+    * the file's row count preserved for COUNT(*) planning. Entries
+    * already externalized (parent carry-over placeholders) pass through.
+    */
+  private def externalizeRangeStats(fs: FileSystem, root: Path,
+      entries: Seq[Skipping.FileStats], extCols: Set[String])
+      : Seq[Skipping.FileStats] = {
+    val (move, keep) = entries.partition(e =>
+      extCols.contains(e.col) && !Skipping.isBloomSpec(e.col))
+    if (move.isEmpty) return entries
+    val dir = "_graft_bloom/" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    fs.mkdirs(new Path(root, dir))
+    val byFile = move.groupBy(_.file).toSeq.sortBy(_._1)
+    val placeholders = new Array[Skipping.FileStats](byFile.size)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(1, byFile.size)))
+    try {
+      val futures = byFile.zipWithIndex.map { case ((f, es), i) =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            val md = java.security.MessageDigest.getInstance("MD5")
+            val name = md.digest((f + "|statsx").getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+            val rel = s"$dir/$name.sx"
+            val o = fs.create(new Path(root, rel), true)
+            try o.write(Skipping.encodeStatsSidecar(es))
+            finally o.close()
+            placeholders(i) = Skipping.FileStats(f, Skipping.StatsxEntry,
+              None, None, rows = es.head.rows,
+              bloom = Some(Skipping.BloomRefMark + rel))
+          }
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    (keep ++ placeholders).sortBy(e => (e.file, e.col))
+  }
+
   private def bucketFileStats(spark: SparkSession, dir: String,
       statsCols: Seq[String]): Seq[Skipping.FileStats] = {
     if (statsCols.isEmpty) return Seq.empty
@@ -1294,9 +1349,13 @@ object Merge {
       return Seq.empty
     val df = spark.read.parquet(dir)
     // `bloom:c` specs index column c with a per-file Bloom filter
-    // (point-lookup pruning); plain names record min/max intervals.
+    // (point-lookup pruning); plain names and `statsx:c` record min/max
+    // intervals (statsx differs only at manifest-write time, where
+    // [[externalizeBlooms]] moves the entries to a sidecar).
     // One aggregate pass computes all of it.
-    val (bloomSpecs, rangeCols) = statsCols.partition(Skipping.isBloomSpec)
+    val (bloomSpecs, rangeSpecs) = statsCols.partition(Skipping.isBloomSpec)
+    val rangeCols = rangeSpecs
+      .map(_.stripPrefix(Skipping.StatsxPrefix)).distinct
     val bloomCols = bloomSpecs.map(Skipping.bloomBase).distinct
     (rangeCols ++ bloomCols).foreach(c => require(df.columns.contains(c),
       s"stats column $c not in ${df.columns.mkString(", ")}"))
@@ -1677,8 +1736,28 @@ object Merge {
       }
     val byFile = m.stats.groupBy(_.file).view
       .mapValues(_.map(s => s.col -> s).toMap).toMap
+    // `statsx:` range stats resolve LAZILY (r18, the bloomx discipline
+    // for min/max/null entries): a candidate's `.sx` sidecar is read
+    // only when some bound references an externalized column the
+    // inline map doesn't already answer — files the bucket/grid prune
+    // dropped never cost a read, repeat plans hit the decode-once cache
+    val statsxBases = m.statsCols.filter(Skipping.isStatsxSpec)
+      .map(_.stripPrefix(Skipping.StatsxPrefix)).toSet
+    def colStatsOf(f: String): Map[String, Skipping.FileStats] = {
+      val cs = byFile.getOrElse(f, Map.empty)
+      if (statsxBases.isEmpty ||
+          !bounds.exists(b => statsxBases(b.column) && !cs.contains(b.column)))
+        cs
+      else cs.get(Skipping.StatsxEntry).flatMap(_.bloom)
+        .filter(Skipping.isBloomRef) match {
+        case Some(ref) =>
+          cs ++ Skipping.readStatsSidecar(fs, root, ref, f)
+            .map(e => e.col -> e)
+        case None => cs
+      }
+    }
     val sel0 = candidates.filter(f =>
-      Skipping.survives(schema, byFile.getOrElse(f, Map.empty), bounds))
+      Skipping.survives(schema, colStatsOf(f), bounds))
     // EXTERNAL (`bloomx:`) filters refine LAZILY: only the files that
     // survived every other prune read their sidecar (driver-cached,
     // bytes-sized), only under a point bound on that column — at a
@@ -2827,26 +2906,13 @@ object Merge {
       .map(_(keyCol).dataType)
       .getOrElse(throw new IllegalArgumentException(
         s"$path's manifest records no schema"))
-    // evaluate the bucket of the literal key with the SAME expression the
-    // writer used — one local row, no job
-    val bucket = spark.range(1)
-      .select(pmod(xxhash64(lit(key).cast(keyType)), lit(nBuckets.toLong)))
-      .head().getLong(0)
-    val bucketFiles = m.files.filter(f => bucketOf(f) == bucket)
-    // when the key column is in statsCols, the manifest's per-file
-    // [min, max] prunes WITHIN the bucket too — a hot multi-file bucket
-    // costs one file, not its whole history of commits
-    val files =
-      if (!m.statsCols.contains(keyCol) &&
-          !m.statsCols.contains(Skipping.BloomPrefix + keyCol)) bucketFiles
-      else {
-        val schema = m.dataSchema.map(schemaFromString).get
-        val byFile = m.stats.groupBy(_.file).view
-          .mapValues(_.map(s => s.col -> s).toMap).toMap
-        val kb = Seq(Skipping.Bound(keyCol, Some(key), Some(key)))
-        bucketFiles.filter(f =>
-          Skipping.survives(schema, byFile.getOrElse(f, Map.empty), kb))
-      }
+    // ONE planning path with [[planVersionFiles]]: the point bound on
+    // the layout key gets the writer's bucket-hash prune (structural),
+    // the within-bucket [min, max]/inline-bloom prune, AND the lazy
+    // `bloomx:` sidecar refinement — a bloomx-indexed hot bucket costs
+    // one sidecar read per surviving file, not a scan of its history
+    val files = planVersionFiles(spark, path, v,
+      Seq(Skipping.Bound(keyCol, Some(key), Some(key))))._1
     if (files.isEmpty) // bucket never materialized (or every file's key
       // range excludes it): provably no such key
       return spark.createDataFrame(
@@ -3221,11 +3287,20 @@ object Merge {
     while (true) {
       val parentV = currentVersion(spark, path)
       txn.foreach { case (app, batch) =>
-        if (latestTxn(spark, path, app).exists(_ >= batch))
-          return MergeStats(0,
-            callerLayout.map(_._2.map(_.toLong).product.toInt)
-              .getOrElse(-1),
+        if (latestTxn(spark, path, app).exists(_ >= batch)) {
+          // stats on the skip path report the table's REAL cell count,
+          // same as every committed path: grid verbs pass
+          // callerLayout = None, so resolve from the parent manifest
+          // (one manifest read — the non-skip path does it anyway)
+          val nTot = callerLayout.map(_._2.map(_.toLong).product.toInt)
+            .getOrElse(if (parentV >= 0) {
+              val m = readManifest(spark, root, parentV)
+              if (m.layoutNs.nonEmpty) m.layoutNs.map(_.toLong).product.toInt
+              else -1
+            } else -1)
+          return MergeStats(0, nTot,
             0L, parentV, attempt, skippedDupTxn = true)
+        }
       }
       require(parentV >= 0,
         s"$path has no version log — write it with writeKeyed first")
@@ -3653,11 +3728,20 @@ object Merge {
     while (attempt <= maxRetries) {
       val parentV = currentVersion(spark, path)
       txn.foreach { case (app, batch) =>
-        if (latestTxn(spark, path, app).exists(_ >= batch))
-          return MergeStats(0,
-            callerLayout.map(_._2.map(_.toLong).product.toInt)
-              .getOrElse(-1),
+        if (latestTxn(spark, path, app).exists(_ >= batch)) {
+          // stats on the skip path report the table's REAL cell count,
+          // same as every committed path: grid verbs pass
+          // callerLayout = None, so resolve from the parent manifest
+          // (one manifest read — the non-skip path does it anyway)
+          val nTot = callerLayout.map(_._2.map(_.toLong).product.toInt)
+            .getOrElse(if (parentV >= 0) {
+              val m = readManifest(spark, root, parentV)
+              if (m.layoutNs.nonEmpty) m.layoutNs.map(_.toLong).product.toInt
+              else -1
+            } else -1)
+          return MergeStats(0, nTot,
             0L, parentV, attempt, skippedDupTxn = true)
+        }
       }
       require(parentV >= 0,
         s"$path has no version log — write it with writeKeyed first")
@@ -3926,7 +4010,12 @@ object Merge {
         s"$path has no version log — write it with writeKeyed first")
       val nB = readManifestOpt(spark, root, parentV,
           resolveShards = false)
-        .flatMap(_.layout).map(_._2).getOrElse(-1)
+        .flatMap(m => m.layout.map(_._2).orElse(
+          // composite grids record layoutNs, not layout — report the
+          // real cell count on the no-op paths too (r18)
+          if (m.layoutNs.nonEmpty)
+            Some(m.layoutNs.map(_.toLong).product.toInt) else None))
+        .getOrElse(-1)
       txn.foreach { case (app, batch) =>
         if (latestTxn(spark, path, app).exists(_ >= batch))
           return MergeStats(0, nB, 0L, parentV, attempt,
@@ -4153,7 +4242,12 @@ object Merge {
         s"$path has no version log — write it with writeKeyed first")
       val nB = readManifestOpt(spark, root, parentV,
           resolveShards = false)
-        .flatMap(_.layout).map(_._2).getOrElse(-1)
+        .flatMap(m => m.layout.map(_._2).orElse(
+          // composite grids record layoutNs, not layout — report the
+          // real cell count on the no-op paths too (r18)
+          if (m.layoutNs.nonEmpty)
+            Some(m.layoutNs.map(_.toLong).product.toInt) else None))
+        .getOrElse(-1)
       txn.foreach { case (app, batch) =>
         if (latestTxn(spark, path, app).exists(_ >= batch))
           return MergeStats(0, nB, 0L, parentV, attempt,

@@ -113,6 +113,85 @@ object Skipping {
   private[sources] def isBloomRef(v: String): Boolean =
     v.startsWith(BloomRefMark)
 
+  /** `statsx:col` — the bloomx externalization applied to RANGE/NULL
+    * stats (r18): the column's per-file min/max/nulls/sum entries move
+    * to ONE sidecar per data file (all statsx columns together) and the
+    * manifest keeps a single placeholder entry per file — name
+    * [[StatsxEntry]], ref in the `bloom` field (so vacuum liveness and
+    * the manifest round-trip come for free), `rows` preserved so
+    * COUNT(*) still plans from the manifest. Min/max stats are ~100 B
+    * per file·column — 100× smaller than blooms but still O(files ×
+    * cols) rewritten shard-granularly per commit; at a million files ×
+    * tens of columns that is GBs of manifest, and the same lazy trade
+    * applies: the planner reads a candidate's sidecar only when a bound
+    * actually references a statsx column, only for files that survived
+    * every structural prune, decode-once cached. Trade accepted
+    * knowingly: manifest-only aggregates (SUM/COUNT(col) pushdown) and
+    * compaction heuristics decline on statsx columns — pick statsx for
+    * wide cold columns, plain stats for the hot planning columns.
+    */
+  private[sources] val StatsxPrefix = "statsx:"
+  private[sources] def isStatsxSpec(c: String): Boolean =
+    c.startsWith(StatsxPrefix)
+  /** The per-file placeholder entry's column name. */
+  private[sources] val StatsxEntry = "statsx"
+
+  /** Test seam: statsx sidecar files actually read (cache misses). */
+  val statsSidecarReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private val statsSidecarCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[FileStats]]()
+
+  private def enc64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+  private def dec64(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+
+  /** One line per column entry; every variable-width field base64'd so
+    * stat strings (truncated raw values — any bytes) never collide with
+    * the separators.
+    */
+  private[sources] def encodeStatsSidecar(entries: Seq[FileStats]): Array[Byte] =
+    entries.map { e =>
+      Seq(enc64(e.col), e.min.map(enc64).getOrElse("-"),
+        e.max.map(enc64).getOrElse("-"), e.rows.toString,
+        e.nulls.toString, e.sum.map(enc64).getOrElse("-")).mkString("\t")
+    }.mkString("\n").getBytes("UTF-8")
+
+  /** The sidecar's entries re-keyed to `file` (the sidecar stores only
+    * column-level lines; the data file's identity is the caller's).
+    * Decode-once cached; empty on any read trouble — pruning keeps the
+    * file, never depends on a sidecar read succeeding.
+    */
+  private[sources] def readStatsSidecar(
+      fs: org.apache.hadoop.fs.FileSystem, root: Path, ref: String,
+      file: String): Seq[FileStats] = {
+    val rel = ref.stripPrefix(BloomRefMark)
+    val p = new Path(root, rel)
+    val key = fs.makeQualified(p).toString
+    val hit = statsSidecarCache.get(key)
+    val parsed =
+      if (hit != null) hit
+      else try {
+        val in = fs.open(p)
+        val bytes = try in.readAllBytes() finally in.close()
+        statsSidecarReads.incrementAndGet()
+        val es = new String(bytes, "UTF-8").split("\n").toSeq
+          .filter(_.nonEmpty).map { line =>
+            val f = line.split("\t", -1)
+            FileStats("", dec64(f(0)),
+              if (f(1) == "-") None else Some(dec64(f(1))),
+              if (f(2) == "-") None else Some(dec64(f(2))),
+              rows = f(3).toLong, nulls = f(4).toLong,
+              sum = if (f(5) == "-") None else Some(dec64(f(5))))
+          }
+        if (statsSidecarCache.size >= 4096) statsSidecarCache.clear()
+        statsSidecarCache.put(key, es)
+        es
+      } catch { case _: Exception => Seq.empty }
+    parsed.map(_.copy(file = file))
+  }
+
   /** Test seam: sidecar bloom files actually read (cache misses). */
   val bloomSidecarReads = new java.util.concurrent.atomic.AtomicLong(0L)
 

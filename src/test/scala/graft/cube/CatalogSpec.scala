@@ -255,4 +255,54 @@ class CatalogSpec extends SparkSpec {
     val fTitle = LogicalOp.KeywordFilter(Seq("title"), Seq("duck"), "and", "contains")
     assert(cat.relation5(Seq(fSpark), Seq(fTitle)) == cat.NoRelation5)
   }
+
+  test("optional relation judge (r18): an NL-equivalent but structurally " +
+      "distinct pair reuses under a scripted oracle; the refusing oracle " +
+      "never mis-reuses; structure stays authoritative") {
+    // sem_filter "spark" and keyword_filter ["spark"] keep the same rows
+    // under the deterministic oracle but canonicalize to different atoms
+    val fSemSpark = LogicalOp.SemFilter(Seq("title"), "spark")
+    var asked = 0
+    val scripted: (String, String) => String = (cur, hist) => {
+      asked += 1
+      if (cur.contains("spark") && hist.contains("spark")) "equal"
+      else "no_relation"
+    }
+    val cat = new CubeCatalog(fixture, oracle, Some(scripted))
+    val n1 = cat.filterQuery("spark docs", Seq(fSpark))
+    val n2 = cat.filterQuery("docs about spark", Seq(fSemSpark))
+    assert(n2.id == n1.id, "the judge's Equal verdict must reuse the node")
+    assert(asked == 1 && cat.all.size == 2)
+    // a subset verdict: the cached node becomes the base, all query
+    // filters re-apply — result identical to from-scratch
+    val scripted2: (String, String) => String =
+      (cur, hist) => if (cur.contains("high-score")) "subset" else "no_relation"
+    val cat2 = new CubeCatalog(fixture, oracle, Some(scripted2))
+    val base = cat2.filterQuery("spark docs", Seq(fSpark))
+    val refined = cat2.filterQuery("high-score docs",
+      Seq(fSemSpark, fScore))
+    assert(refined.df.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(3L, 4L))
+    assert(refined.plan.startsWith(base.plan),
+      "subset verdict must build on the cached node's lineage")
+    // the refusing judge reproduces today's behavior bit for bit
+    val refusing: (String, String) => String = (_, _) => "no_relation"
+    val cat3 = new CubeCatalog(fixture, oracle, Some(refusing))
+    val m1 = cat3.filterQuery("spark docs", Seq(fSpark))
+    val m2 = cat3.filterQuery("docs about spark", Seq(fSemSpark))
+    assert(m1.id != m2.id && cat3.all.size == 3)
+    // structure overrides the judge whenever it decides: an equal atom
+    // set never consults the oracle at all
+    var asked3 = 0
+    val loud: (String, String) => String = (_, _) => { asked3 += 1; "equal" }
+    val cat4 = new CubeCatalog(fixture, oracle, Some(loud))
+    cat4.filterQuery("q", Seq(fSpark))
+    cat4.filterQuery("q again", Seq(fSpark))
+    assert(asked3 == 0, "structural Equal must short-circuit the judge")
+    // relation5Judged: structural verdicts are final even when the judge
+    // disagrees loudly
+    assert(cat4.relation5Judged(Seq(fSpark), Seq(fSpark, fScore),
+      "a", "b") == cat4.Subset5)
+    assert(asked3 == 0)
+  }
 }

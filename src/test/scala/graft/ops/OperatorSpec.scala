@@ -108,6 +108,45 @@ class OperatorSpec extends SparkSpec {
     assert(got(2L).isEmpty)
   }
 
+  test("sem_map one-to-many: fan-out per extracted value with ordinal " +
+      "lineage; zero-match rows drop; compiled, UDF, and batched paths " +
+      "agree; the plan is Generate with NO added shuffle") {
+    val op = LogicalOp.SemMap(Seq("title"), "([a-z]+a[a-z]+)", "word")
+    val got = SemMapMulti(docs, op, oracle)
+      .select("id", "word_idx", "word")
+      .as[(Long, Int, String)].collect().sorted.toSeq
+    // 'a'-centered words, in text order, per row; rows 2 and 4 derive none
+    assert(got == Seq((1L, 0, "spark"), (1L, 1, "basics"),
+      (3L, 0, "spark"), (3L, 1, "streaming"), (5L, 0, "pandas")))
+    // lineage: every source column survives on every derived row
+    assert(SemMapMulti(docs, op, oracle).columns.toSeq ==
+      Seq("id", "title", "score", "word_idx", "word"))
+    // non-compiled paths (UDF scalar oracle / batched transport) agree
+    val noCompile = new DeterministicOracle() {
+      override def compileExtractAll(d: String) = None
+    }
+    val det = DeterministicOracle.default // local: the anon class must
+      // not capture the (non-serializable) spec instance via the field
+    val batched = new graft.oracle.BatchedOracle {
+      def judge(t: String, c: String) = false
+      def extract(t: String, d: String) = det.extract(t, d)
+      override def extractAll(t: String, d: String) = det.extractAll(t, d)
+      def classify(t: String, v: Seq[TagRule]) = None
+      def summarize(vs: Seq[String], d: String) = ""
+      def score(t: String, q: String) = 0.0
+    }
+    assert(SemMapMulti(docs, op, noCompile).select("id", "word_idx", "word")
+      .as[(Long, Int, String)].collect().sorted.toSeq == got)
+    assert(SemMapMulti(docs, op, batched).select("id", "word_idx", "word")
+      .as[(Long, Int, String)].collect().sorted.toSeq == got)
+    // physical shape: a Generate, zero Exchange — fan-out is
+    // partition-local at any scale
+    val plan = SemMapMulti(docs, op, oracle)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Generate"), plan)
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("sem_group closed-set: first matching rule wins, else null") {
     val vocab = Seq(TagRule("join", "joins"), TagRule("spark", "sparky"),
       TagRule("window", "windowing"))

@@ -1039,6 +1039,27 @@ class SimilaritySpec extends SparkSpec {
       }
       assert(e.getMessage.contains("re-published during this append"))
     } finally graft.sources.TxLog.commitFence = () => ()
+    // 4) a remove racing a resave refuses too: resave clears
+    // tombstones, so a remove landing between its snapshot and its
+    // commit would silently resurrect the removed ids (r18 guard)
+    @volatile var removed = false
+    graft.sources.TxLog.commitFence = () => if (!removed) {
+      removed = true
+      Similarity.IvfPq.remove(
+        Seq(10L).toDF("vec_id"), "vec_id", path)
+    }
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Similarity.IvfPq.resave(ixB, path)
+      }
+      assert(e.getMessage.contains("tombstones changed during this resave"))
+    } finally graft.sources.TxLog.commitFence = () => ()
+    // the racing remove WON and still holds: id 10 stays tombstoned
+    assert(Similarity.IvfPq.topKPersisted(spark, path,
+      Seq((100L, vec(0.94, 0.06, 0))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 1, nProbe = 3)
+      .select("neighbor_id").as[Long].head() != 10L,
+      "the removed id must not resurrect")
   }
 
   test("IvfIndex: persisted probe equals brute force and prunes partitions") {

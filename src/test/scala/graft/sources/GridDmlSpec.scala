@@ -93,6 +93,17 @@ class GridDmlSpec extends AnyFunSuite {
       Merge.upsert(spark, pa, batch.drop("__del"), "id", 32)
     }
     assert(e.getMessage.contains("layout is fixed"))
+    // a replayed txn no-ops — and its stats still report the grid's
+    // REAL cell count, same as every committed path (r18: was -1)
+    val s1 = Merge.upsertGrid(spark, pa,
+      Seq((2L, 2L, 22.0)).toDF("tenant", "id", "v"),
+      txn = Some(("grid-app", 7L)))
+    assert(!s1.skippedDupTxn && s1.nBuckets == 32, s"got $s1")
+    val replay = Merge.upsertGrid(spark, pa,
+      Seq((2L, 2L, 9999.0)).toDF("tenant", "id", "v"),
+      txn = Some(("grid-app", 7L)))
+    assert(replay.skippedDupTxn && replay.nBuckets == 32,
+      s"skip-path stats must carry the true cell count, got $replay")
   }
 
   test("upsertDVGrid: merge-on-read on a grid — zero data files " +

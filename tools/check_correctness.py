@@ -43,6 +43,9 @@ def main(sf_dir, out_dir):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    # per-query run health emitted by graft.Verify (r18): {sec, gc_ms}
+    tpath = os.path.join(out_dir, "_timings.json")
+    timings = json.load(open(tpath)) if os.path.exists(tpath) else {}
     results = {}
     # a query whose dump is MISSING (its Verify run crashed) must fail
     # loudly, not be silently skipped
@@ -80,6 +83,9 @@ def main(sf_dir, out_dir):
                     "spark": g[bad].head(3).to_dict("records"),
                     "duck": e[bad].head(3).to_dict("records")}
         results[name] = status
+    for name, t in timings.items():
+        if name in results and isinstance(results[name], dict):
+            results[name].update(t)
     ok = sum(1 for r in results.values()
              if r.get("hash") == "OK" or r.get("status") == "rows_only")
     print(json.dumps(results, indent=2, default=str))

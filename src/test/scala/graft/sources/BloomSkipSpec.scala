@@ -443,6 +443,12 @@ class BloomSkipSpec extends SparkSpec {
         $"ts" >= 2000L && $"ts" <= 2050L)
       .select("id").as[Long].collect().sorted.toSeq
     assert(got == (2000L to 2050L).toSeq)
+    // the DSv2 scan's pushed range filter prunes through statsx too
+    GraftTable.lastScanFiles = None
+    assert(spark.read.format("graft-table").option("path", extP).load()
+      .filter($"ts" >= 2000L && $"ts" <= 2050L).count() == 51L)
+    assert(GraftTable.lastScanFiles.exists { case (se, to) => se < to },
+      s"pushed range must statsx-prune: ${GraftTable.lastScanFiles}")
     // a copy-on-write upsert rewrites its bucket: fresh sidecar indexes
     // the new value, results stay right
     Merge.upsert(spark, extP,

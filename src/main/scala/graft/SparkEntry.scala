@@ -6269,22 +6269,34 @@ object SparkEntry {
       val src = base.resolve("src").toString
       val rep = base.resolve("rep").toString
       val ckpt = base.resolve("ckpt")
+      val trace = sys.env.contains("SPARK_GRAFT_TRACE")
+      var t0 = System.nanoTime()
+      def mark(label: String): Unit = if (trace) {
+        System.err.println(
+          f"[trace] q_stream_replicate $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        t0 = System.nanoTime()
+      }
       val part = t(s, dir, "part")
         .select("p_partkey", "p_brand", "p_retailprice")
       Merge.writeKeyed(part, src, "p_partkey", nBuckets = 16)
       Merge.writeKeyed(part.limit(0), rep, "p_partkey", nBuckets = 16)
+      mark("writes")
       def replicate(): Unit = withShufflePartitions(s, 8) {
         val q = s.readStream.format("graft-table").option("path", src)
           .load().writeStream
           .option("checkpointLocation", ckpt.toString)
           .foreachBatch { (b: DataFrame, id: Long) =>
+            if (trace) System.err.println(
+              s"[trace]   batch $id start")
             Merge.applyChanges(s, rep, b, txn = Some(("graft-repl", id)))
+            if (trace) mark(s"  batch $id applied")
             ()
           }
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
       }
       replicate() // the snapshot batch builds the replica
+      mark("lifecycle1")
       val batch = part.filter(col("p_partkey") % 100 === 7 &&
           col("p_partkey") <= 2000)
         .withColumn("p_retailprice",
@@ -6299,10 +6311,13 @@ object SparkEntry {
           .withColumn("__del", lit(false)))
       Merge.upsert(s, src, batch, "p_partkey", nBuckets = 16,
         tombstoneCol = Some("__del"))
+      mark("churn_upsert")
       replicate() // the commit flows through as its change feed
+      mark("lifecycle2")
       val vBefore = Merge.currentVersion(s, rep)
       rmTree(ckpt) // the worst recovery path: all progress forgotten
       replicate() // full replay
+      mark("lifecycle3")
       require(Merge.currentVersion(s, rep) == vBefore,
         s"replayed applies must no-op: v$vBefore -> " +
         s"v${Merge.currentVersion(s, rep)}")

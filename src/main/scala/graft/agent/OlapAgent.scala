@@ -220,6 +220,22 @@ class OlapAgent(complete: String => String, oracle: SemanticOracle) {
       tiebreak: Seq[String] = Seq.empty): DataFrame =
     PlanRunner.run(df, planQuery(df.columns.toSeq, query), oracle, tiebreak)
 
+  /** [[runQuery]] under an execution POLICY with the plan-level cost
+    * report — the agent-surface analogue of the palimpzest baseline's
+    * `pz.Execute(policy = MinCost | MaxQuality)`
+    * (Semantic-OLAP/baselines/palimpzest_agent.py:434-451): MinCost
+    * keeps compiled lowerings (zero-call codegen where the oracle
+    * allows), MaxQuality forces every semantic judgment out-of-band;
+    * either way the report carries wall seconds, metered oracle calls,
+    * and estimated $ (`print_statistics.py` parity).
+    */
+  def runQueryPolicied(df: DataFrame, query: String,
+      policy: graft.exec.Policy, usdPerCall: Double = 0.0,
+      tiebreak: Seq[String] = Seq.empty)
+      : (DataFrame, graft.exec.Policied.PlanReport) =
+    graft.exec.Policied.run(df, planQuery(df.columns.toSeq, query),
+      oracle, policy, usdPerCall, tiebreak)
+
   // ----------------------------------------------------- the ReAct loop
 
   /** One session-visible record of a loop round. */

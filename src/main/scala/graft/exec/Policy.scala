@@ -42,19 +42,39 @@ object Policy {
   * batched calls and driver-side enum picks land in ONE counter the
   * report can read after the action.
   *
-  * The Catalyst `compile*` hooks are deliberately NOT forwarded: a
-  * compiled path is codegen — zero oracle calls, nothing to meter. The
-  * meter exists to price the non-compilable (LLM-transport) execution
-  * shape, so it stands in for one; metering a compilable oracle measures
-  * what that oracle WOULD cost as a remote transport — exactly the
-  * estimate the policy layer needs (the reference prices its plans the
-  * same way, baselines/procedures/python3/print_statistics.py:1-11).
+  * `forwardCompile` decides what the meter stands in for:
+  *   - false (default): the Catalyst `compile*` hooks are hidden — the
+  *     meter emulates a non-compilable LLM transport, so EVERY judgment
+  *     is an out-of-band call and gets billed. This is the MaxQuality
+  *     execution shape and the cost-estimation instrument (the
+  *     reference prices its plans the same way,
+  *     baselines/procedures/python3/print_statistics.py:1-11);
+  *   - true: compile hooks forward to the inner oracle — compiled
+  *     (codegen) paths run at zero oracle calls and the meter counts
+  *     only genuinely out-of-band judgments. This is the MinCost
+  *     execution shape: the cheapest correct plan, honestly billed.
   *
   * Counting unit: one judged TEXT (the per-prompt cost a metered
   * transport bills), not one RPC — a batched judge of 64 rows counts 64.
   */
-final class MeteredOracle(inner: SemanticOracle, val calls: LongAccumulator)
+final class MeteredOracle(inner: SemanticOracle, val calls: LongAccumulator,
+    forwardCompile: Boolean = false)
     extends BatchedOracle {
+  override def compileJudge(c: String): Option[org.apache.spark.sql.Column =>
+      org.apache.spark.sql.Column] =
+    if (forwardCompile) inner.compileJudge(c) else None
+  override def compileExtract(d: String): Option[org.apache.spark.sql.Column =>
+      org.apache.spark.sql.Column] =
+    if (forwardCompile) inner.compileExtract(d) else None
+  override def compileExtractAll(d: String): Option[org.apache.spark.sql.Column =>
+      org.apache.spark.sql.Column] =
+    if (forwardCompile) inner.compileExtractAll(d) else None
+  override def compileClassify(v: Seq[TagRule]): Option[org.apache.spark.sql.Column =>
+      org.apache.spark.sql.Column] =
+    if (forwardCompile) inner.compileClassify(v) else None
+  override def compileScore(q: String): Option[org.apache.spark.sql.Column =>
+      org.apache.spark.sql.Column] =
+    if (forwardCompile) inner.compileScore(q) else None
   override def judge(text: String, condition: String): Boolean = {
     calls.add(1L); inner.judge(text, condition)
   }
@@ -163,7 +183,11 @@ object Policied {
       maxDistinct: Int = 100): PoliciedFilter = {
     val meter = df.sparkSession.sparkContext
       .longAccumulator("graft.oracle.calls")
-    val metered = new MeteredOracle(oracle, meter)
+    // MinCost runs the cheapest correct plan (compiled paths stay
+    // codegen, zero calls); MaxQuality forces every judgment
+    // out-of-band and bills it
+    val metered = new MeteredOracle(oracle, meter,
+      forwardCompile = policy == Policy.MinCost)
     val choice: Dice.Choice = policy match {
       case Policy.MaxQuality => Dice.SemFallback
       case Policy.MinCost => Dice.choose(df, column, condition)
@@ -209,7 +233,8 @@ object Policied {
       tiebreak: Seq[String] = Seq.empty): (DataFrame, PlanReport) = {
     val meter = df.sparkSession.sparkContext
       .longAccumulator("graft.oracle.calls")
-    val metered = new MeteredOracle(oracle, meter)
+    val metered = new MeteredOracle(oracle, meter,
+      forwardCompile = policy == Policy.MinCost)
     val t0 = System.nanoTime()
     val out = PlanRunner.run(df, plan, metered, tiebreak)
     val rows = out.count()

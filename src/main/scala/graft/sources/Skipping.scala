@@ -125,10 +125,10 @@ object Skipping {
     * tens of columns that is GBs of manifest, and the same lazy trade
     * applies: the planner reads a candidate's sidecar only when a bound
     * actually references a statsx column, only for files that survived
-    * every structural prune, decode-once cached. Trade accepted
-    * knowingly: manifest-only aggregates (SUM/COUNT(col) pushdown) and
-    * compaction heuristics decline on statsx columns — pick statsx for
-    * wide cold columns, plain stats for the hot planning columns.
+    * every structural prune, decode-once cached. Manifest-answered
+    * aggregates (MIN/MAX/COUNT(col)/SUM(col)) resolve sidecars too —
+    * one-shot O(files) cached reads on those driver-side paths — so
+    * externalizing costs pruning laziness, not pushdown.
     */
   private[sources] val StatsxPrefix = "statsx:"
   private[sources] def isStatsxSpec(c: String): Boolean =

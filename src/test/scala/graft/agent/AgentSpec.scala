@@ -72,6 +72,29 @@ class AgentSpec extends SparkSpec {
     assert(got == Seq(1L, 3L))
   }
 
+  test("runQueryPolicied: the same NL query under MinCost keeps the " +
+      "compiled zero-call plan, under MaxQuality bills every row — " +
+      "identical answers, priced report (palimpzest Execute parity)") {
+    def plan = // sem_filter + top-k, planned identically both times
+      """[{"operator_name": "sem_filter",
+        |  "parameters": {"columns": ["title"], "condition": "spark"}},
+        | {"operator_name": "num_topk",
+        |  "parameters": {"column": "score", "k": 2, "order": "desc"}}]""".stripMargin
+    val agent = new OlapAgent(new Scripted(plan, plan), oracle)
+    val (outMin, repMin) = agent.runQueryPolicied(docs,
+      "top 2 spark posts", graft.exec.Policy.MinCost, usdPerCall = 0.01)
+    val (outMax, repMax) = agent.runQueryPolicied(docs,
+      "top 2 spark posts", graft.exec.Policy.MaxQuality, usdPerCall = 0.01)
+    assert(outMin.select("id").as[Long].collect().toSeq ==
+      outMax.select("id").as[Long].collect().toSeq)
+    assert(repMin.oracleCalls == 0L,
+      s"MinCost must keep the codegen judge: ${repMin.explain}")
+    assert(repMax.oracleCalls == 6L, // every row judged out-of-band
+      s"MaxQuality must bill per row: ${repMax.explain}")
+    assert(repMax.estUsd > repMin.estUsd && repMax.resultRows == 2L)
+    assert(repMax.explain.contains("policy=max_quality"))
+  }
+
   test("delta filter plan folds dice and slice steps under the logic tree") {
     val s = new Scripted(
       """{"operations": [

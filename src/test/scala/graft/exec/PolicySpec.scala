@@ -97,6 +97,14 @@ class PolicySpec extends SparkSpec {
     assert(rep.explain.contains("policy=max_quality") &&
       rep.explain.contains("oracle_calls=50") &&
       rep.explain.contains("rows=10"))
+    // MinCost forwards compile hooks: the deterministic oracle's
+    // codegen judge runs at ZERO out-of-band calls, same answer
+    val (out2, rep2) = Policied.run(docs,
+      Seq(LogicalOp.SemFilter(Seq("text"), "spark stream")),
+      oracle, Policy.MinCost, usdPerCall = 0.001)
+    assert(rep2.resultRows == 10L && rep2.oracleCalls == 0L, rep2.explain)
+    assert(out2.select("doc_id").as[Long].collect().sorted.toSeq ==
+      out.select("doc_id").as[Long].collect().sorted.toSeq)
   }
 
   test("Policy.parse round-trips and refuses junk") {

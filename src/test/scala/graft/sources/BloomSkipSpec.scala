@@ -438,6 +438,16 @@ class BloomSkipSpec extends SparkSpec {
     Skipping.statsSidecarReads.set(0L)
     Merge.planVersionFiles(spark, extP, vx, b)
     assert(Skipping.statsSidecarReads.get() == 0L)
+    // manifest-answered aggregates resolve sidecars too (r18: the
+    // statsx agg-decline trade, closed) — exact MIN/MAX/COUNT/SUM with
+    // zero data I/O, equal to the inline twin's answers
+    assert(Merge.versionColumnBounds(spark, extP, vx, "ts") ==
+      Merge.versionColumnBounds(spark, inlineP, vi, "ts"))
+    assert(Merge.versionColumnBounds(spark, extP, vx, "ts") ==
+      Some((Some(0L), Some(2099L))))
+    val agg = Merge.versionColumnAggStats(spark, extP, vx, "ts")
+    assert(agg.map(_._1) == Some(300L), agg)
+    assert(agg.flatMap(_._2).map(_.longValueExact) == Some(314850L), agg)
     // results identical to the unpruned filter (skipping-planned read)
     val got = Merge.readKeyedWhere(spark, extP,
         $"ts" >= 2000L && $"ts" <= 2050L)
@@ -461,6 +471,37 @@ class BloomSkipSpec extends SparkSpec {
     assert(reclaimed.exists(_.endsWith(".sx")),
       s"superseded statsx sidecar must reclaim: $reclaimed")
     assert(Merge.readKeyed(spark, extP).count() == 300L)
+  }
+
+  test("statsx sidecar codec round-trips hostile stat strings (tabs, " +
+      "newlines, unicode, truncation sentinels) and caches decode-once") {
+    val d = Files.createTempDirectory("graft_sx_codec").toFile
+    d.deleteOnExit()
+    val root = new org.apache.hadoop.fs.Path(d.getAbsolutePath)
+    val fs = root.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val entries = Seq(
+      Skipping.FileStats("f", "c1", Some("a\tb\nc"), Some("z￿￿"),
+        rows = 10L, nulls = 2L, sum = Some("-123456789012345678901234567890")),
+      Skipping.FileStats("f", "c2", None, None, rows = 10L, nulls = 10L),
+      Skipping.FileStats("f", "héllo wörld", Some(""), Some("emoji 😀"),
+        rows = 0L, nulls = -1L))
+    val rel = "_graft_bloom/t/x.sx"
+    val p = new org.apache.hadoop.fs.Path(root, rel)
+    fs.mkdirs(p.getParent)
+    val o = fs.create(p, true)
+    try o.write(Skipping.encodeStatsSidecar(entries)) finally o.close()
+    Skipping.statsSidecarReads.set(0L)
+    val back = Skipping.readStatsSidecar(fs, root,
+      Skipping.BloomRefMark + rel, "__bucket=0/part-0.parquet")
+    assert(back == entries.map(_.copy(file = "__bucket=0/part-0.parquet")))
+    assert(Skipping.statsSidecarReads.get() == 1L)
+    // repeat read: decode-once cache, no second fs read counted
+    Skipping.readStatsSidecar(fs, root, Skipping.BloomRefMark + rel, "g")
+    assert(Skipping.statsSidecarReads.get() == 1L)
+    // unreadable ref: empty, never throws — pruning keeps the file
+    assert(Skipping.readStatsSidecar(fs, root,
+      Skipping.BloomRefMark + "_graft_bloom/t/missing.sx", "f").isEmpty)
   }
 
   test("lookupKey prunes WITHIN the bucket off a bloomx: key index " +

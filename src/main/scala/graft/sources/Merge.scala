@@ -1033,9 +1033,19 @@ object Merge {
               if (k == from) to else k),
             statsCols = parent.statsCols.map {
               case c if c == from => to
+              // each spec KEEPS its own prefix (r18 fix: `bloomx:from`
+              // used to rename to `bloom:to`, silently de-externalizing
+              // the table's next commit; `statsx:from` didn't rename at
+              // all, crashing the next stats aggregate)
+              case c if Skipping.isExternalBloomSpec(c) &&
+                  Skipping.bloomBase(c) == from =>
+                Skipping.BloomxPrefix + to
               case c if Skipping.isBloomSpec(c) &&
                   Skipping.bloomBase(c) == from =>
                 Skipping.BloomPrefix + to
+              case c if Skipping.isStatsxSpec(c) &&
+                  c.stripPrefix(Skipping.StatsxPrefix) == from =>
+                Skipping.StatsxPrefix + to
               case c => c
             },
             stats = parent.stats.map {
@@ -1751,8 +1761,13 @@ object Merge {
       else cs.get(Skipping.StatsxEntry).flatMap(_.bloom)
         .filter(Skipping.isBloomRef) match {
         case Some(ref) =>
+          // sidecars are immutable: one written BEFORE a column rename
+          // stores the then-current (now PHYSICAL) name — translate
+          // through the column mapping so renamed columns keep pruning
+          // without rewriting a single sidecar
+          val p2l = m.colMap.map(_.swap).toMap
           cs ++ Skipping.readStatsSidecar(fs, root, ref, f)
-            .map(e => e.col -> e)
+            .map(e => p2l.getOrElse(e.col, e.col) -> e)
         case None => cs
       }
     }
@@ -1847,12 +1862,14 @@ object Merge {
       .groupBy(_.file).view.mapValues(_.head).toMap
     if (!m.statsCols.contains(Skipping.StatsxPrefix + column)) inline
     else {
+      // pre-rename sidecars store the then-current (now physical) name
+      val phys = m.colMap.toMap.getOrElse(column, column)
       val fromSidecars = m.stats
         .filter(e => e.col == Skipping.StatsxEntry &&
           !inline.contains(e.file))
         .flatMap(e => e.bloom.filter(Skipping.isBloomRef).toSeq
           .flatMap(ref => Skipping.readStatsSidecar(fs, root, ref, e.file))
-          .filter(_.col == column))
+          .filter(s => s.col == column || s.col == phys))
         .groupBy(_.file).view.mapValues(_.head).toMap
       inline ++ fromSidecars
     }
@@ -1972,8 +1989,12 @@ object Merge {
       val parentV = currentVersion(spark, path)
       require(parentV >= 0, s"$path has no version log")
       val parent = readManifest(spark, root, parentV)
-      val (bloomSpecs, rangeCols) =
+      val (bloomSpecs, rangeSpecs) =
         statsCols.partition(Skipping.isBloomSpec)
+      // `statsx:c` analyzes like a plain range column; externalization
+      // happens at manifest-write time (externalizeBlooms below)
+      val rangeCols = rangeSpecs
+        .map(_.stripPrefix(Skipping.StatsxPrefix)).distinct
       val bloomCols = bloomSpecs.map(Skipping.bloomBase).distinct
       val entries: Seq[Skipping.FileStats] =
         if (parent.files.isEmpty) Seq.empty
@@ -3126,12 +3147,15 @@ object Merge {
     val l2p = colMap.toMap
     val p2l = colMap.map(_.swap).toMap
     // stats specs and entries speak LOGICAL names; translate through
-    // the mapping prefix-aware (`bloom:c` renames with c)
+    // the mapping prefix-aware (`bloom:c` / `statsx:c` rename with c)
     def mapCol(c: String, m: Map[String, String]): String =
       if (Skipping.isBloomSpec(c))
         Skipping.BloomPrefix +
           m.getOrElse(Skipping.bloomBase(c), Skipping.bloomBase(c))
-      else m.getOrElse(c, c)
+      else if (Skipping.isStatsxSpec(c)) {
+        val b = c.stripPrefix(Skipping.StatsxPrefix)
+        Skipping.StatsxPrefix + m.getOrElse(b, b)
+      } else m.getOrElse(c, c)
     val stats =
       if (fs.listStatus(staging).exists(_.isDirectory))
         bucketFileStats(spark, staging.toString,

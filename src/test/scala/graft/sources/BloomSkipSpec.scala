@@ -473,6 +473,61 @@ class BloomSkipSpec extends SparkSpec {
     assert(Merge.readKeyed(spark, extP).count() == 300L)
   }
 
+  test("column rename preserves each stats spec's OWN prefix (r18 fix: " +
+      "bloomx used to downgrade to inline bloom, statsx went stale and " +
+      "crashed the next commit); pre-rename sidecars keep pruning via " +
+      "the column mapping") {
+    val d = Files.createTempDirectory("graft_sx_rename").toFile
+    d.deleteOnExit()
+    // bloomx table: rename must keep the EXTERNAL spec
+    val pb = new File(d, "tb").getAbsolutePath
+    Merge.writeKeyed(
+      (0L until 200L).map(i => (i, s"v_$i")).toDF("id", "label"),
+      pb, "id", nBuckets = 8, statsCols = Seq("bloomx:label"))
+    Merge.renameColumn(spark, pb, "label", "tag")
+    Merge.upsert(spark, pb, Seq((1000L, "fresh")).toDF("id", "tag"),
+      "id", 8)
+    val vb = Merge.currentVersion(spark, pb)
+    val (selB, totB) = Merge.planVersionFiles(spark, pb, vb,
+      eqBound("tag", "v_77"))
+    assert(selB.size < totB && selB.nonEmpty,
+      s"bloomx pruning must survive rename+upsert: ${selB.size}/$totB")
+    assert(Merge.readKeyedWhere(spark, pb, $"tag" === "fresh")
+      .select("id").as[Long].head() == 1000L)
+    // statsx table: the renamed spec follows; the NEXT commit's stats
+    // aggregate must not crash; pre-rename sidecars still prune via
+    // the physical-name translation
+    val px = new File(d, "tx").getAbsolutePath
+    Merge.writeKeyed(
+      (0L until 200L).map(i => (i, i * 3L, s"p_$i")).toDF("id", "v", "s"),
+      px, "id", nBuckets = 8, statsCols = Seq("statsx:v"))
+    Merge.upsertDV(spark, px,
+      (5000L until 5100L).map(i => (i, i * 3L, s"p_$i"))
+        .toDF("id", "v", "s"), "id", 8)
+    Merge.renameColumn(spark, px, "v", "val")
+    // post-rename COW upsert: recomputes stats under the renamed spec
+    Merge.upsert(spark, px,
+      Seq((7L, 999999L, "w")).toDF("id", "val", "s"), "id", 8)
+    val vx = Merge.currentVersion(spark, px)
+    // a bound on the NEW name prunes to the MoR slice's files (their
+    // sidecars were written pre-rename under the old name)
+    val (selX, totX) = Merge.planVersionFiles(spark, px, vx,
+      Seq(Skipping.Bound("val", Some(15000L), Some(15150L))))
+    assert(selX.size < totX && selX.nonEmpty,
+      s"statsx pruning must survive the rename: ${selX.size}/$totX")
+    assert(Merge.readKeyedWhere(spark, px,
+        $"val" >= 15000L && $"val" <= 15150L)
+      .select("id").as[Long].collect().sorted.toSeq ==
+      (5000L to 5050L).toSeq)
+    // ANALYZE accepts statsx specs (r18 fix: the spec used to reach the
+    // aggregate unstripped and crash); fresh sidecars serve pushdown
+    val (vA, nA) = Merge.analyzeTable(spark, px,
+      Seq("id", "statsx:val"))
+    assert(nA > 0)
+    assert(Merge.versionColumnBounds(spark, px, vA, "val") ==
+      Some((Some(0L), Some(999999L))))
+  }
+
   test("statsx sidecar codec round-trips hostile stat strings (tabs, " +
       "newlines, unicode, truncation sentinels) and caches decode-once") {
     val d = Files.createTempDirectory("graft_sx_codec").toFile

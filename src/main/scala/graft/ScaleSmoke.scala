@@ -56,6 +56,11 @@ object ScaleSmoke {
       time(s"ngram")(Dedup.ngramJaccardPairs(d, "doc_id", col("text"),
         threshold = 0.8))
       time(s"text_stats")(TextAnalysis.enrich(d, "text"))
+      // r18: one_to_many sem_map — Generate-only fan-out, must scale
+      // with input rows × per-row matches (no shuffle at any size)
+      time(s"sem_map_multi")(graft.ops.SemMapMulti(d,
+        graft.plan.LogicalOp.SemMap(Seq("text"), "([a-z]*ar[a-z]*)", "term"),
+        graft.oracle.DeterministicOracle.default))
       // round-2 ops: cross-corpus join (vs an id-shifted copy) and the
       // deterministic split — both must scale like their inputs
       val shifted = d.select((col("doc_id") + lit(100000000L)).as("rid"),

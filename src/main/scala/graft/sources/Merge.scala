@@ -1220,7 +1220,11 @@ object Merge {
             dataSchema = Some(schemaToString(StructType(
               schema.fields.filterNot(_.name == name)))),
             statsCols = parent.statsCols.filterNot(c => c == name ||
-              (Skipping.isBloomSpec(c) && Skipping.bloomBase(c) == name)),
+              (Skipping.isBloomSpec(c) && Skipping.bloomBase(c) == name) ||
+              // r18: a dropped statsx column's spec must go too, or the
+              // next commit's stats aggregate references a gone column
+              (Skipping.isStatsxSpec(c) &&
+                c.stripPrefix(Skipping.StatsxPrefix) == name)),
             stats = parent.stats.filterNot(e => e.col == name ||
               (Skipping.isBloomSpec(e.col) &&
                 Skipping.bloomBase(e.col) == name)),

@@ -526,6 +526,12 @@ class BloomSkipSpec extends SparkSpec {
     assert(nA > 0)
     assert(Merge.versionColumnBounds(spark, px, vA, "val") ==
       Some((Some(0L), Some(999999L))))
+    // dropping the statsx column removes its spec too (r18 fix): the
+    // NEXT commit's stats aggregate must not reference the gone column
+    Merge.dropColumn(spark, px, "val")
+    Merge.upsert(spark, px, Seq((8L, "z")).toDF("id", "s"), "id", 8)
+    assert(Merge.readKeyedWhere(spark, px, $"id" === 8L)
+      .select("s").as[String].head() == "z")
   }
 
   test("statsx sidecar codec round-trips hostile stat strings (tabs, " +

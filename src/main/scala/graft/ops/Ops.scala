@@ -201,8 +201,12 @@ object SemMapMulti {
           df.withColumn("__vals", ex(text))
       }
     }
+    // a re-derived dimension REPLACES its old column (withColumn
+    // semantics, like scalar SemMap) instead of minting a duplicate name
+    val keep = df.columns
+      .filterNot(c => c == op.keyword || c == s"${op.keyword}_idx")
     withVals.select(
-      (df.columns.map(col) :+
+      (keep.map(col) :+
         posexplode(col("__vals")).as(Seq(s"${op.keyword}_idx", op.keyword)))
         .toSeq: _*)
   }

@@ -145,6 +145,14 @@ class OperatorSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("Generate"), plan)
     assert(!plan.contains("Exchange"), plan)
+    // re-deriving an existing dimension REPLACES the columns (withColumn
+    // semantics) — never duplicate names; the fan-out itself multiplies
+    // per input ROW (one-to-many is not idempotent, by definition)
+    val again = SemMapMulti(SemMapMulti(docs, op, oracle), op, oracle)
+    assert(again.columns.toSeq ==
+      Seq("id", "title", "score", "word_idx", "word"))
+    assert(again.filter($"id" === 5L).count() == 1L) // 1 word -> 1x1
+    assert(again.filter($"id" === 1L).count() == 4L) // 2 words -> 2x2
   }
 
   test("sem_group closed-set: first matching rule wins, else null") {

@@ -1061,8 +1061,10 @@ object Similarity {
       * over old codes; superseded files age out via [[vacuum]]. A
       * remove/append that landed between the caller's build and this
       * commit would be silently dropped by the replacement, so the
-      * commit REFUSES if the codes table moved — rebuild over the new
-      * state instead.
+      * commit REFUSES if the codes table OR the tombstone table moved
+      * (r18: a remove commits only to `deletes`, so the codes guard
+      * alone would let this wipe resurrect the removed ids) — rebuild
+      * over the new state instead.
       */
     def resave(index: Index, path: String): Unit = {
       val spark = index.encoded.sparkSession

@@ -2509,6 +2509,21 @@ object Merge {
       throw new IllegalArgumentException(
         s"$path records no bucketing layout — applyChanges " +
         "folds by the table's own key"))
+    // REPLAY short-circuit (r18): the txn stamp would no-op this apply
+    // inside the upsert anyway, but only after the change feed had been
+    // evaluated and materialized — for a checkpoint-wipe replay of N
+    // batches that is N wasted feed scans. Check the stamp FIRST; the
+    // no-op costs one manifest read, not the feed. (upsertGrid keeps
+    // its own guard for the race where a duplicate lands between this
+    // check and the commit.)
+    txn.foreach { case (app, batch0) =>
+      if (latestTxn(spark, path, app).exists(_ >= batch0)) {
+        val parentV = currentVersion(spark, path)
+        val nTot = tableLayoutKeys(spark, path)
+          .map(_._2.map(_.toLong).product.toInt).getOrElse(-1)
+        return MergeStats(0, nTot, 0L, parentV, 0, skippedDupTxn = true)
+      }
+    }
     val dataCols = changes.columns.filterNot(_ == opCol).toSeq
     keyCols.foreach(kc => require(dataCols.contains(kc),
       s"changes lack the table key '$kc'"))

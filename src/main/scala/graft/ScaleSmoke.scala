@@ -733,6 +733,55 @@ object ScaleSmoke {
             graft.sources.Skipping.statsSidecarReads.get())
         })
       }
+    // ---- r19 PARTIAL ANN REBALANCE: repair cost ∝ drifted cells, not
+    // corpus size. Build an IVF index (cells scale with the corpus),
+    // drift a couple of cells with an appended cluster, then time the
+    // drift-targeted partial rebalance against the full retrain+
+    // reassign. The partial path samples, retrains, and re-stages only
+    // the drifted cells' rows — flat as the corpus grows — while the
+    // full rebalance re-stages everything and scales with the table.
+    Seq(("1x", 1), (s"${factor}x", factor)).foreach { case (tag, f) =>
+      val cells = 16 * f
+      println(s"--- $tag ann_partial (cells=$cells)")
+      val e =
+        if (f == 1) emb
+        else emb.crossJoin(spark.range(f).toDF("copy"))
+          .select((col("vec_id") * f + col("copy")).as("vec_id"),
+            transform(col("embedding"),
+              x => x + (col("copy") % 7).cast("float") * lit(0.01f))
+              .cast("array<float>").as("embedding"))
+      val path = s"/tmp/graft_scale_annp_$tag"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      timed("ivf_build")(Similarity.IvfIndex.build(
+        e, "vec_id", "embedding", cells, path))
+      // drift: a tight appended cluster between two centroids — lands
+      // in a couple of cells whatever the corpus size
+      val cents = Similarity.IvfIndex.loadCentroids(spark, path)
+      val dim = cents(0).length
+      val d0 = cents(0).zip(cents(1)).map { case (a, b) => a + b }
+      val nrm = math.sqrt(d0.map(x => x * x).sum)
+      val dvec = d0.map(x => (x / nrm).toFloat).toSeq
+      val drift = (0L until 200L).map { j =>
+        (9000000L + j, dvec.zipWithIndex.map { case (x, i) =>
+          if (i == (j % dim).toInt) x + 0.002f else x })
+      }.toDF("vec_id", "embedding")
+      Similarity.IvfIndex.append(spark, path, drift, "vec_id", "embedding")
+      val worst = Similarity.IvfIndex
+        .driftStatsPerCell(spark, path, "embedding")
+        .sortBy(_._3).take(2).map(_._1)
+      val corpusFiles = graft.sources.TxLog.currentState(spark, path)
+        .get.tables("corpus").size
+      timed("rebalance_partial_2cells")(
+        Similarity.IvfIndex.rebalancePartial(spark, path, "vec_id",
+          "embedding", worst))
+      val kept = graft.sources.TxLog.currentState(spark, path)
+        .get.tables("corpus").size
+      println(s"SCALE   drifted=${worst.mkString(",")} " +
+        s"files_before=$corpusFiles files_after=$kept")
+      timed("rebalance_full")(
+        Similarity.IvfIndex.rebalance(spark, path, "vec_id", "embedding"))
+    }
+
     spark.stop()
   }
 }

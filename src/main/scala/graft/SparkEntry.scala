@@ -415,6 +415,131 @@ object SparkEntry {
         (rMax.strategy, rowsMax, rMax.oracleCalls))
         .toDF("strategy", "rows_kept", "oracle_calls").orderBy("strategy")
     }),
+    // ---- policy routing beyond dice (r19): sem_topk score vs duel ------
+    "q_policy_topk" -> ((s, dir) => {
+      // the SAME top-k under both policies: MinCost keeps the compiled
+      // score-then-sort plan (zero oracle calls); MaxQuality buys the
+      // duel tournament — the scoring pass (every row) plus the full
+      // round-robin among max(4k, 20) = 20 candidates, all billed.
+      // With the deterministic oracle the win-count order coincides with
+      // score order, so the k ids must be IDENTICAL while calls are not.
+      import s.implicits._
+      import graft.exec.{Policied, Policy}
+      val docs = t(s, dir, "documents")
+      val op = LogicalOp.SemTopK(Seq("text"), "spark join window", 5)
+      val minC = Policied.semTopK(docs, op, oracle, Policy.MinCost,
+        "doc_id", usdPerCall = 0.001)
+      val maxQ = Policied.semTopK(docs, op, oracle, Policy.MaxQuality,
+        "doc_id", usdPerCall = 0.001)
+      val idsMin = minC.df.select("doc_id").as[Long].collect().toSeq
+      val idsMax = maxQ.df.select("doc_id").as[Long].collect().toSeq
+      require(idsMin == idsMax && idsMin.size == 5,
+        s"policies must pick the same k: $idsMin vs $idsMax")
+      val (rMin, rMax) = (minC.report(), maxQ.report())
+      require(rMin.oracleCalls < rMax.oracleCalls,
+        s"MinCost must make strictly fewer oracle calls: " +
+        s"${rMin.oracleCalls} vs ${rMax.oracleCalls}")
+      require(rMax.estUsd > rMin.estUsd, "cost must price the calls")
+      require(minC.explain.contains("strategy=score_sort"), minC.explain)
+      require(maxQ.explain.contains("strategy=duel") &&
+        maxQ.explain.contains("judged_chars="), maxQ.explain)
+      Seq((rMin.strategy, idsMin.mkString(","), rMin.oracleCalls),
+        (rMax.strategy, idsMax.mkString(","), rMax.oracleCalls))
+        .toDF("strategy", "top_ids", "oracle_calls").orderBy("strategy")
+    }),
+    // ---- policy routing: sem_group compiled vs per-row classification --
+    "q_policy_group" -> ((s, dir) => {
+      // closed vocabulary, first-matching-rule semantics on both arms:
+      // identical labels; MinCost classifies through the compiled CASE
+      // cascade (zero calls), MaxQuality bills one classification per row
+      import graft.exec.{Policied, Policy}
+      val docs = t(s, dir, "documents")
+      val vocab = Seq(TagRule("spark", "spark"), TagRule("stream", "stream"),
+        TagRule("join", "join"))
+      val op = LogicalOp.SemGroup(Seq("text"), "dominant topic", "topic")
+      val minC = Policied.semGroup(docs, op, vocab, oracle, Policy.MinCost,
+        usdPerCall = 0.001)
+      val maxQ = Policied.semGroup(docs, op, vocab, oracle, Policy.MaxQuality,
+        usdPerCall = 0.001)
+      def counts(df: DataFrame) = df
+        .groupBy(coalesce(col("topic"), lit("na")).as("topic"))
+        .agg(count(lit(1)).as("n_docs"))
+      val gotMin = counts(minC.df).collect().map(r =>
+        (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+      val gotMax = counts(maxQ.df).collect().map(r =>
+        (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+      require(gotMin == gotMax, s"same labels under both policies")
+      val (rMin, rMax) = (minC.report(), maxQ.report())
+      require(rMin.oracleCalls < rMax.oracleCalls,
+        s"calls must be asymmetric: ${rMin.oracleCalls} vs ${rMax.oracleCalls}")
+      require(minC.explain.contains("strategy=closed_vocab_compiled"),
+        minC.explain)
+      require(maxQ.explain.contains("strategy=closed_vocab_per_row"),
+        maxQ.explain)
+      counts(maxQ.df).orderBy("topic")
+    }),
+    // ---- policy cost line for the slice verb (r19) ---------------------
+    "q_policy_slice" -> ((s, dir) => {
+      // slice = AND(keyword prefilter, sem filter) under BOTH policies
+      // (the prefilter is slice semantics, not an approximation); the
+      // billed trade is the semantic conjunct: compiled under MinCost,
+      // one out-of-band call per keyword-surviving row under MaxQuality
+      import s.implicits._
+      import graft.exec.{Policied, Policy}
+      val docs = t(s, dir, "documents")
+      val minC = Policied.slice(docs, Seq("text"), "spark stream", oracle,
+        Policy.MinCost, usdPerCall = 0.001)
+      val maxQ = Policied.slice(docs, Seq("text"), "spark stream", oracle,
+        Policy.MaxQuality, usdPerCall = 0.001)
+      val rowsMin = minC.df.count()
+      val rowsMax = maxQ.df.count()
+      require(rowsMin == rowsMax,
+        s"policies must agree on slice rows: $rowsMin vs $rowsMax")
+      val (rMin, rMax) = (minC.report(), maxQ.report())
+      require(rMin.oracleCalls < rMax.oracleCalls,
+        s"slice calls must be asymmetric: " +
+        s"${rMin.oracleCalls} vs ${rMax.oracleCalls}")
+      require(minC.explain.contains("slice(text)") &&
+        minC.explain.contains("strategy=kw_prefilter_compiled"), minC.explain)
+      require(maxQ.explain.contains("strategy=kw_prefilter_per_row"),
+        maxQ.explain)
+      Seq((rMin.strategy, rowsMin, rMin.oracleCalls),
+        (rMax.strategy, rowsMax, rMax.oracleCalls))
+        .toDF("strategy", "rows_kept", "oracle_calls").orderBy("strategy")
+    }),
+    // ---- allow_token_reduction analogue (r19): judged-character budget --
+    "q_policy_tokens" -> ((s, dir) => {
+      // the same per-row condition judged with and without column-pruning
+      // token reduction ("fr" appears ONLY in the lang column of this
+      // corpus, so the reduced judged text — lang alone — carries all the
+      // evidence). The parity probe validates the reduction on a bounded
+      // sample (billed), results stay hash-identical, and the character
+      // meter proves a >=5x cut in judged prompt volume.
+      import graft.exec.{Policied, Policy}
+      val docs = t(s, dir, "documents")
+      val full = Policied.semFilter(docs, Seq.empty, "fr", oracle,
+        Policy.MaxQuality, usdPerCall = 0.001, usdPerMChars = 1.0)
+      val red = Policied.semFilter(docs, Seq.empty, "fr", oracle,
+        Policy.MaxQuality, usdPerCall = 0.001, usdPerMChars = 1.0,
+        reduceTo = Seq("lang"))
+      val idsFull = full.df.select("doc_id").collect().map(_.getLong(0))
+        .sorted.toSeq
+      val idsRed = red.df.select("doc_id").collect().map(_.getLong(0))
+        .sorted.toSeq
+      require(idsFull == idsRed && idsFull.nonEmpty,
+        "token reduction must not change the answer on this corpus")
+      val (rFull, rRed) = (full.report(), red.report())
+      require(rRed.judgedChars * 5 <= rFull.judgedChars,
+        s"reduction must cut judged characters >=5x: " +
+        s"${rRed.judgedChars} vs ${rFull.judgedChars}")
+      require(red.explain.contains("strategy=per_row_reduced"), red.explain)
+      // the report prices BOTH axes: per call and per judged megacharacter
+      def priced(r: graft.exec.Policied.OpCost) =
+        math.abs(r.estUsd - (r.oracleCalls * 0.001 + r.judgedChars / 1e6)) < 1e-9
+      require(priced(rFull) && priced(rRed),
+        s"report must price calls AND characters: $rFull / $rRed")
+      red.df.select(col("doc_id"), col("lang")).orderBy("doc_id")
+    }),
     // ---- slice verb: keyword prefilter + sem filter (SURVEY §2d) -------
     "q_slice" -> ((s, dir) => {
       Slice(t(s, dir, "documents"), Seq("text"), "spark stream", oracle)
@@ -7043,6 +7168,146 @@ object SparkEntry {
         .select("query_id", "neighbor_id", "rank")
         .orderBy("query_id")
     }),
+    "q_ann_rebalance_partial" -> ((s, dir) => {
+      // DRIFT-TARGETED PARTIAL REBALANCE (r19): the same planted-drift
+      // failure as q_ann_rebalance, repaired by retraining ONLY the two
+      // drifted cells — at 100 TB a full rebalance re-stages the whole
+      // corpus to fix a regional shift; here staging and retraining are
+      // proportional to the drifted region. Required in-gate: the
+      // per-cell fit signal FLAGS exactly the drifted cells, every
+      // untouched cell's committed corpus file carries over (same
+      // relative paths, no rewrite) and its centroid stays
+      // byte-identical, recall on the planted pairs goes 0 -> 10/10,
+      // and global fit strictly improves.
+      import graft.pipeline.Similarity
+      val emb = t(s, dir, "embeddings")
+      val path = new java.io.File(scratchRoot,
+        s"graft_ann_rebp_${new java.io.File(dir).getName}")
+        .getAbsolutePath
+      Similarity.IvfIndex.build(emb, "vec_id", "embedding",
+        cells = 8, path)
+      def norm(a: Array[Double]): Array[Double] = {
+        val m = math.sqrt(a.map(x => x * x).sum)
+        if (m == 0.0) a else a.map(_ / m)
+      }
+      def dot(a: Array[Double], b: Array[Double]): Double =
+        a.zip(b).map { case (x, y) => x * y }.sum
+      val cents = Similarity.IvfIndex.loadCentroids(s, path)
+      val dim = cents(0).length
+      // the best-separated stale boundary pair (q_ann_rebalance's
+      // construction): drift is planted between cells pa and pb
+      val ((pa, pb), margin) = (for {
+        a <- cents.indices; b <- cents.indices if a < b
+      } yield {
+        val dAb = norm(cents(a).zip(cents(b)).map { case (x, y) => x + y })
+        val scores = cents.map(c => dot(dAb, c))
+        val inPair = math.min(scores(a), scores(b))
+        val outMax = cents.indices
+          .filter(c => c != a && c != b).map(scores).max
+        ((a, b), inPair - outMax)
+      }).maxBy(_._2)
+      require(margin > 0.005,
+        s"no usable stale boundary pair (margin $margin)")
+      val d = norm(cents(pa).zip(cents(pb)).map { case (x, y) => x + y })
+      val e = norm(cents(pa).zip(cents(pb)).map { case (x, y) => x - y })
+      def ortho(axis: Int): Array[Double] = {
+        val u = Array.tabulate(dim)(i => if (i == axis % dim) 1.0 else 0.0)
+        val ud = dot(u, d); val ue = dot(u, e)
+        norm(u.indices.map(i => u(i) - ud * d(i) - ue * e(i)).toArray)
+      }
+      def mix(base: Array[Double], dir2: Array[Double], sc: Double)
+          : Seq[Float] =
+        norm(base.indices.map(i => base(i) + sc * dir2(i)).toArray)
+          .map(_.toFloat).toSeq
+      import s.implicits._
+      // per-cell membership BEFORE the drift lands: the growth signal's
+      // baseline, and the fill-mass sizing input — fill must DOMINATE
+      // the two cells' membership so the 2-centroid partial retrain's
+      // evenly-spaced id-ordered init (planted ids sort last) seeds the
+      // drift cluster
+      val cellsBefore = Similarity.IvfIndex
+        .driftStatsPerCell(s, path, "embedding")
+      val origPaPb = cellsBefore
+        .filter(r => r._1 == pa || r._1 == pb).map(_._2).sum
+      val mFill = origPaPb + 40L
+      val fillers = (0L until mFill).map { j =>
+        (3000000L + j, mix(d, ortho(30 + (j % 16L).toInt), 0.002))
+      }
+      val pairBases = (0 until 10).map(i => ortho(46 + i))
+      val planted = fillers ++ (0 until 10).flatMap { i =>
+        val base = d.indices
+          .map(k => d(k) + 0.05 * pairBases(i)(k)).toArray
+        Seq((1000000L + i, mix(base, e, 0.01)),
+          (2000000L + i, mix(base, e, -0.01)))
+      }
+      Similarity.IvfIndex.append(s, path,
+        planted.toDF("vec_id", "embedding"), "vec_id", "embedding")
+      // construction proof: the planted mass lives entirely in the two
+      // drifted cells and every pair straddles their stale boundary
+      val cellsOf = Similarity.Ivf.withCell(
+        planted.toDF("vec_id", "embedding"), "embedding", cents)
+        .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+      require(cellsOf.values.forall(c => c == pa || c == pb),
+        "planted drift must land in the two target cells only")
+      (0 until 10).foreach { i =>
+        require(cellsOf(1000000L + i) != cellsOf(2000000L + i),
+          s"pair $i must straddle the stale cell boundary")
+      }
+      val queries = planted
+        .filter(r => r._1 >= 1000000L && r._1 < 2000000L)
+        .toDF("query_id", "embedding")
+      def hits(): Long =
+        Similarity.IvfIndex.topK(s, path, queries, "query_id",
+          "vec_id", "embedding", k = 1, nProbe = 1)
+          .filter(col("rank") === 1 &&
+            col("neighbor_id") === col("query_id") + 1000000L)
+          .count()
+      require(hits() == 0L,
+        "the drifted index must MISS every planted pair at nProbe=1")
+      // ONE post-append per-cell pass serves both the drift signal and
+      // the before-fit baseline. The signal: appended mass pools in the
+      // cells absorbing the shifted distribution (driftStats' skew
+      // story), so the two largest per-cell MEMBERSHIP GROWTHS since
+      // the baseline must be exactly the planted cells. (Absolute fit
+      // cannot isolate drift here — a naturally diffuse cell can sit
+      // below a drifted one; growth is the monitored delta.)
+      val afterPlant = Similarity.IvfIndex
+        .driftStatsPerCell(s, path, "embedding")
+      val plantRows = afterPlant.map(_._2).sum
+      val beforeFit =
+        afterPlant.map(r => r._3 * r._2).sum / plantRows
+      val beforeN = cellsBefore.map(r => r._1 -> r._2).toMap
+      val grown2 = afterPlant
+        .map(r => (r._1, r._2 - beforeN.getOrElse(r._1, 0L)))
+        .sortBy(-_._2).take(2).map(_._1).toSet
+      require(grown2 == Set(pa, pb),
+        s"per-cell growth must flag the drifted cells: got $grown2, " +
+        s"planted ($pa, $pb)")
+      val corpusBefore = graft.sources.TxLog.currentState(s, path)
+        .get.tables("corpus")
+      val untouched = corpusBefore.filterNot(f =>
+        f.contains(s"cell=$pa/") || f.contains(s"cell=$pb/"))
+      Similarity.IvfIndex.rebalancePartial(s, path, "vec_id",
+        "embedding", Seq(pa, pb))
+      val after = Similarity.IvfIndex.driftStats(s, path, "embedding")
+      require(after.fit > beforeFit,
+        s"partial rebalance must improve fit: $beforeFit -> ${after.fit}")
+      require(after.rows == plantRows,
+        "partial rebalance must preserve every vector")
+      val corpusAfter = graft.sources.TxLog.currentState(s, path)
+        .get.tables("corpus").toSet
+      require(untouched.forall(corpusAfter.contains),
+        "untouched cells' committed files must carry over unrewritten")
+      val centsAfter = Similarity.IvfIndex.loadCentroids(s, path)
+      cents.indices.filter(c => c != pa && c != pb).foreach { c =>
+        require(centsAfter(c).sameElements(cents(c)),
+          s"untouched centroid $c must stay byte-identical")
+      }
+      Similarity.IvfIndex.topK(s, path, queries, "query_id",
+        "vec_id", "embedding", k = 1, nProbe = 1)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id")
+    }),
     "q_kmeans" -> ((s, dir) => {
       // distributed Lloyd's k-means over the embedding corpus: 2
       // assignment passes, seeds = vectors of vec_id 0..3, argmin ties
@@ -9630,6 +9895,59 @@ object SparkEntry {
                    WHERE contains(lower(event_type), 'error')) AS rows_kept,
                   (SELECT count(event_type) FROM events) AS oracle_calls
          ) ORDER BY strategy""",
+    // score_sort compiles to codegen (0 calls); duel bills the scoring
+    // pass (every row) + the full round-robin among 20 candidates (380).
+    // Deterministic scores make duel order == score order, so top_ids match.
+    "q_policy_topk" ->
+      """WITH scored AS (
+           SELECT doc_id,
+                  (CASE WHEN contains(lower(text), 'spark') THEN 1 ELSE 0 END
+                 + CASE WHEN contains(lower(text), 'join') THEN 1 ELSE 0 END
+                 + CASE WHEN contains(lower(text), 'window') THEN 1 ELSE 0 END)
+                  / 3.0 AS s
+           FROM documents),
+         ids AS (
+           SELECT array_to_string(list(CAST(doc_id AS VARCHAR)
+                                       ORDER BY s DESC, doc_id), ',') AS top_ids
+           FROM (SELECT * FROM scored ORDER BY s DESC, doc_id LIMIT 5) t)
+         SELECT * FROM (
+           SELECT 'duel' AS strategy, ids.top_ids,
+                  (SELECT count(*) FROM documents) + 380 AS oracle_calls
+           FROM ids
+           UNION ALL
+           SELECT 'score_sort', ids.top_ids, 0 FROM ids
+         ) ORDER BY strategy""",
+    // first-matching-rule closed vocabulary: spark > stream > join, else na
+    "q_policy_group" ->
+      """SELECT coalesce(CASE WHEN contains(lower(text), 'spark') THEN 'spark'
+                              WHEN contains(lower(text), 'stream') THEN 'stream'
+                              WHEN contains(lower(text), 'join') THEN 'join'
+                         END, 'na') AS topic,
+                count(*) AS n_docs
+         FROM documents GROUP BY 1 ORDER BY topic""",
+    // both policies keep the keyword prefilter (slice semantics); MaxQuality
+    // bills one call per keyword-surviving row, MinCost compiles to zero
+    "q_policy_slice" ->
+      """SELECT * FROM (
+           SELECT 'kw_prefilter_compiled' AS strategy,
+                  (SELECT count(*) FROM documents
+                   WHERE contains(lower(text), 'spark')
+                     AND contains(lower(text), 'stream')) AS rows_kept,
+                  0 AS oracle_calls
+           UNION ALL
+           SELECT 'kw_prefilter_per_row',
+                  (SELECT count(*) FROM documents
+                   WHERE contains(lower(text), 'spark')
+                     AND contains(lower(text), 'stream')),
+                  (SELECT count(*) FROM documents
+                   WHERE contains(lower(text), 'spark')
+                      OR contains(lower(text), 'stream'))
+         ) ORDER BY strategy""",
+    // 'fr' appears only in the lang column of this corpus, so judging the
+    // reduced text (lang alone) keeps the answer hash-identical
+    "q_policy_tokens" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE contains(lower(lang), 'fr') ORDER BY doc_id""",
     "q_slice" ->
       """SELECT doc_id FROM documents
          WHERE (contains(lower(text), 'spark') OR contains(lower(text), 'stream'))
@@ -10771,6 +11089,14 @@ object SparkEntry {
     // post-rebalance the drift cluster owns a centroid: each planted
     // query's near-dup pair member (+1e6 apart) is its probed top-1
     "q_ann_rebalance" ->
+      """SELECT CAST(1000000 + vec_id AS BIGINT) AS query_id,
+                CAST(2000000 + vec_id AS BIGINT) AS neighbor_id,
+                CAST(1 AS INT) AS rank
+         FROM embeddings WHERE vec_id < 10 ORDER BY query_id""",
+    // partial rebalance hands the drift cluster its own retrained
+    // centroid exactly like the full one: each planted query's pair
+    // member (+1e6 apart) is its probed top-1
+    "q_ann_rebalance_partial" ->
       """SELECT CAST(1000000 + vec_id AS BIGINT) AS query_id,
                 CAST(2000000 + vec_id AS BIGINT) AS neighbor_id,
                 CAST(1 AS INT) AS rank

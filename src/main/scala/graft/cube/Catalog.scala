@@ -287,6 +287,49 @@ class CubeCatalog(root: DataFrame, oracle: SemanticOracle,
     }
   }
 
+  /** Judged descent of the subsumption DAG — the reference's
+    * get_current_node BFS (OLAP_Memory.py:166-187), consulted only when
+    * the structural path found no reuse at all. Edges are structural:
+    * parent's atom set ⊂ child's (child adds predicates, so child rows ⊆
+    * parent rows), with intermediate nodes elided (minimal edges). The
+    * walk judges the DAG's ROOTS first, returns immediately on Equal,
+    * descends ONLY into judged-Subset nodes (the query's rows sit inside
+    * that node, so a descendant may be a smaller superset), and never
+    * judges the descendants of a NoRelation/Contain/Intersect verdict —
+    * oracle calls are proportional to the DESCENT PATH, not the catalog
+    * size (r19; the r18 fallback judged every eligible node).
+    */
+  private def judgedDescent(filters: Seq[LogicalOp],
+      queryText: String): Option[(CubeNode, Relation5)] = {
+    val eligible = nodes.filter(n => n.id != 0 && n.filterOps.nonEmpty &&
+      PredicateAtoms.atoms(n.filterOps) == n.predicates)
+    def isAncestor(a: CubeNode, b: CubeNode): Boolean =
+      a.predicates.size < b.predicates.size &&
+        a.predicates.subsetOf(b.predicates)
+    def childrenOf(p: CubeNode): Seq[CubeNode] =
+      eligible.filter(c => isAncestor(p, c) &&
+        !eligible.exists(m => isAncestor(p, m) && isAncestor(m, c)))
+    val roots = eligible.filter(c => !eligible.exists(a => isAncestor(a, c)))
+    var best: Option[(CubeNode, Relation5)] = None
+    val queue = scala.collection.mutable.Queue(roots: _*)
+    val seen = scala.collection.mutable.Set.empty[Int]
+    while (queue.nonEmpty) {
+      val n = queue.dequeue()
+      if (seen.add(n.id)) {
+        relation5Judged(n.filterOps, filters, n.query, queryText) match {
+          case Equal5 => return Some((n, Equal5))
+          case Subset5 =>
+            // BFS order: a later Subset is at least as deep — the
+            // smaller (or equal) cached superset wins
+            best = Some((n, Subset5))
+            childrenOf(n).foreach(queue.enqueue(_))
+          case _ => () // prune: the subtree is never judged
+        }
+      }
+    }
+    best
+  }
+
   /** Run a conjunctive filter query against the catalog: find the smallest
     * cached superset, apply only the DELTA predicates (every query filter
     * whose exact atom the base doesn't already enforce), register the
@@ -297,28 +340,19 @@ class CubeCatalog(root: DataFrame, oracle: SemanticOracle,
     val base0 = bestBaseImplied(filters)
     if (relation(base0.predicates, key) == Equal) return base0
 
-    // Oracle fallback (r18): only when the structural path found no
-    // reuse at all (base = root) and a judge is wired. An Equal verdict
-    // returns the cached node outright; a Subset verdict (query rows ⊆
-    // cached rows) makes that node the base — ALL query filters then
-    // re-apply as the delta, so a judge that wrongly says Subset of a
-    // too-small node is the reference's own exposure, and a judge that
-    // refuses costs nothing. Calls are bounded by the catalog size and
-    // only pairs structure cannot decide reach the judge.
+    // Oracle fallback (r18, BFS-bounded r19): only when the structural
+    // path found no reuse at all (base = root) and a judge is wired. An
+    // Equal verdict returns the cached node outright; a Subset verdict
+    // (query rows ⊆ cached rows) makes that node the base — ALL query
+    // filters then re-apply as the delta, so a judge that wrongly says
+    // Subset of a too-small node is the reference's own exposure, and a
+    // judge that refuses costs nothing.
     val base =
       if (base0.id != 0 || relationJudge.isEmpty) base0
-      else {
-        val eligible = nodes.filter(n => n.id != 0 &&
-          n.filterOps.nonEmpty &&
-          PredicateAtoms.atoms(n.filterOps) == n.predicates)
-        val judged = eligible.iterator.map(n =>
-          (n, relation5Judged(n.filterOps, filters, n.query, queryText)))
-          .toSeq
-        judged.collectFirst { case (n, Equal5) => n } match {
-          case Some(n) => return n
-          case None =>
-            judged.collectFirst { case (n, Subset5) => n }.getOrElse(base0)
-        }
+      else judgedDescent(filters, queryText) match {
+        case Some((n, Equal5)) => return n
+        case Some((n, _)) => n
+        case None => base0
       }
 
     val delta = filters.filterNot(f =>

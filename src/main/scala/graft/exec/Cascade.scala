@@ -160,6 +160,17 @@ object PlanRunner {
     */
   def runWithState(df0: DataFrame, plan: Seq[LogicalOp],
       oracle: SemanticOracle,
+      tiebreak: Seq[String] = Seq.empty): (DataFrame, DataFrame) =
+    runSeamed(df0, plan, (_, _) => oracle, tiebreak)
+
+  /** [[runWithState]] with a per-step oracle seam: `oracleFor(i, op)` is
+    * consulted once per oracle-using plan step (memoize in the caller if
+    * identity matters), which is how [[Policied.run]] attributes oracle
+    * calls to per-operator cost lines. A run of consecutive filters fuses
+    * into one cascade and draws ONE oracle, keyed by the run's first op.
+    */
+  def runSeamed(df0: DataFrame, plan: Seq[LogicalOp],
+      oracleFor: (Int, LogicalOp) => SemanticOracle,
       tiebreak: Seq[String] = Seq.empty): (DataFrame, DataFrame) = {
     var base = df0 // row frame: filters + derived dims accumulate here
     var out = df0  // current result: may be a group summary
@@ -176,16 +187,35 @@ object PlanRunner {
     while (i < plan.length) {
       if (isFilter(plan(i))) {
         val run = plan.drop(i).takeWhile(isFilter)
+        val oracle = oracleFor(i, plan(i))
         base = Cascade.filter(base, run.zipWithIndex.map(_.swap), None, oracle)
         out = base
         i += run.length
       } else {
+        lazy val oracle = oracleFor(i, plan(i))
         plan(i) match {
           case op: LogicalOp.SemMap =>
             base = SemMap(base, op, oracle); out = base
           case op: LogicalOp.SemGroup =>
             if (!base.columns.contains(op.keyword)) { // granularity reuse
-              base = SemGroup(base, op, oracle, maxTags = 20)
+              // open-set grouping scans twice (vocabulary mining is a
+              // separate action before classification); when an earlier
+              // plan step pays an OUT-OF-BAND oracle per row, persist the
+              // frame so the mining pass does not re-judge (and re-bill)
+              // the whole upstream cascade. Compiled upstreams recompute
+              // for free and skip the cache.
+              val oraclePaysUpstream = plan.take(i).exists {
+                case f: LogicalOp.SemFilter =>
+                  oracle.compileJudge(f.condition).isEmpty
+                case m: LogicalOp.SemMap =>
+                  oracle.compileExtract(m.mapDescription).isEmpty
+                case _ => false
+              }
+              val src =
+                if (oraclePaysUpstream) base.persist(
+                  org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                else base
+              base = SemGroup(src, op, oracle, maxTags = 20)
             }
             out = base
           case op: LogicalOp.SemReduce =>

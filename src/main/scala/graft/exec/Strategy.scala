@@ -264,8 +264,8 @@ object FilterEnum {
   }
 
   def apply(df: DataFrame, column: String, condition: String,
-      oracle: SemanticOracle): DataFrame = {
-    val keep = keepSet(df, column, condition, oracle)
+      oracle: SemanticOracle, maxDistinct: Int = 100): DataFrame = {
+    val keep = keepSet(df, column, condition, oracle, maxDistinct)
     df.filter(col(column).cast("string").isin(keep: _*))
   }
 }

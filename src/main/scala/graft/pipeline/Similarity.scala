@@ -498,6 +498,28 @@ object Similarity {
 
     def driftStats(spark: org.apache.spark.sql.SparkSession,
         path: String, vecCol: String): Drift = {
+      val (cells, agg) = cellFits(spark, path, vecCol)
+      val rows = agg.map(_._2).sum
+      val maxCell = if (agg.isEmpty) 0L else agg.map(_._2).max
+      val fit =
+        if (rows == 0L) 1.0
+        else agg.map { case (_, n, f) => f * n }.sum / rows
+      val skew =
+        if (rows == 0L) 1.0
+        else maxCell.toDouble / (rows.toDouble / cells)
+      Drift(cells, rows, skew, fit)
+    }
+
+    /** PER-CELL drift signal — (cell, members, mean fit) in one
+      * corpus pass — what [[rebalancePartial]]'s caller thresholds on
+      * to pick the drifted cells instead of retraining the world.
+      */
+    def driftStatsPerCell(spark: org.apache.spark.sql.SparkSession,
+        path: String, vecCol: String): Seq[(Int, Long, Double)] =
+      cellFits(spark, path, vecCol)._2
+
+    private def cellFits(spark: org.apache.spark.sql.SparkSession,
+        path: String, vecCol: String): (Int, Seq[(Int, Long, Double)]) = {
       val st = TxLog.currentState(spark, path)
       val cents = loadCentroids(spark, path, st)
       val fitKernel = udf { (v: Seq[Double], cell: Int) =>
@@ -514,15 +536,9 @@ object Similarity {
         .groupBy("cell")
         .agg(count(lit(1)).as("n"), avg(col("__fit")).as("f"))
         .collect()
-      val rows = agg.map(_.getLong(1)).sum
-      val maxCell = if (agg.isEmpty) 0L else agg.map(_.getLong(1)).max
-      val fit =
-        if (rows == 0L) 1.0
-        else agg.map(r => r.getDouble(2) * r.getLong(1)).sum / rows
-      val skew =
-        if (rows == 0L) 1.0
-        else maxCell.toDouble / (rows.toDouble / cents.length)
-      Drift(cents.length, rows, skew, fit)
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+      (cents.length, agg)
     }
 
     /** Repair centroid drift: RETRAIN the centroids on the corpus as
@@ -564,6 +580,71 @@ object Similarity {
           "over the new state")
         parent.map(_.tables).getOrElse(Map.empty) +
           ("corpus" -> files) + // full replacement: old files age out
+          ("centroids" -> cenFiles)
+      }
+      centroidMemo.remove(path)
+      ()
+    }
+
+    /** The `cell=<n>` partition a committed corpus file belongs to. */
+    private def fileCell(rel: String): Option[Int] =
+      "cell=(-?\\d+)/".r.findFirstMatchIn(rel).map(_.group(1).toInt)
+
+    /** Drift-TARGETED partial rebalance (r19): retrain and rewrite ONLY
+      * `driftedCells`. At 100 TB a full [[rebalance]] re-stages the
+      * whole corpus to repair what is usually a few shifted regions;
+      * here the staging, training sample, and commit delta are all
+      * proportional to the DRIFTED cells' rows:
+      *
+      *   - the drifted cells' members are read via a partition-filtered
+      *     scan (only those directories listed);
+      *   - |driftedCells| replacement centroids retrain on that region
+      *     alone; every other centroid is carried over byte-identical;
+      *   - only the drifted rows reassign — over the FULL merged model,
+      *     so a row may migrate into an untouched cell (it lands there
+      *     as a NEW file; the untouched cell's existing files are
+      *     carried into the new state untouched);
+      *   - one TxLog commit replaces model + drifted files together,
+      *     exactly [[rebalance]]'s snapshot discipline (same
+      *     corpus-race refusal, same vacuum story).
+      *
+      * The partial trade, stated honestly: rows already sitting in
+      * UNTOUCHED cells are not revisited, so a vector whose true
+      * nearest centroid became a retrained one stays where it was
+      * until the next full rebalance — recall restores on the drifted
+      * region, not globally. Pick cells with [[driftStatsPerCell]].
+      */
+    def rebalancePartial(spark: org.apache.spark.sql.SparkSession,
+        path: String, idCol: String, vecCol: String,
+        driftedCells: Seq[Int], sampleN: Int = 10000,
+        iters: Int = 10): Unit = {
+      val dset = driftedCells.distinct.sorted
+      require(dset.nonEmpty, "no drifted cells given")
+      val st0 = TxLog.currentState(spark, path)
+      val all = loadCentroids(spark, path, st0)
+      dset.foreach(c => require(c >= 0 && c < all.length,
+        s"cell $c out of range (0 until ${all.length})"))
+      val members = corpusTable(spark, path, st0)
+        .filter(col("cell").isin(dset: _*)) // -> PartitionFilters
+        .drop("cell")
+      val retrained = train(members, idCol, vecCol, dset.length,
+        sampleN, iters)
+      val merged = all.clone()
+      dset.zipWithIndex.foreach { case (c, i) => merged(c) = retrained(i) }
+      val files = TxLog.stagePartitionedInto(
+        withCell(members, vecCol, merged), path, "corpus", Seq("cell"))
+      val cenFiles = stageCentroids(spark, path, merged)
+      val corpus0 = st0.map(_.tables.getOrElse("corpus", Nil))
+        .getOrElse(Nil)
+      // untouched cells' committed files carry over UNREWRITTEN
+      val keep = corpus0.filterNot(f => fileCell(f).exists(dset.contains))
+      TxLog.commitRetrying(spark, path) { parent =>
+        require(parent.map(_.tables.getOrElse("corpus", Nil))
+            .getOrElse(Nil) == corpus0,
+          s"$path's corpus changed during this partial rebalance — " +
+          "retry it over the new state")
+        parent.map(_.tables).getOrElse(Map.empty) +
+          ("corpus" -> (keep ++ files)) +
           ("centroids" -> cenFiles)
       }
       centroidMemo.remove(path)

@@ -227,6 +227,16 @@ object Merge {
       // files' values, so evolution refuses it.
       colMap: Seq[(String, String)] = Seq.empty,
       physRetired: Seq[String] = Seq.empty,
+      // RENAME HISTORY (r19): retired LOGICAL names -> the physical name
+      // their column stores, one entry per rename whose old name was not
+      // the physical. Immutable statsx/bloom sidecars written BETWEEN
+      // two renames store the then-current logical name — this is what
+      // lets the planner translate such an entry through ANY number of
+      // renames (colMap alone only survives one). Also the reservation
+      // list: renaming TO a retired logical name would make old
+      // sidecars' entries ambiguous, so evolution refuses it, exactly
+      // like physRetired refuses physical reuse.
+      colAliases: Seq[(String, String)] = Seq.empty,
       // COPY INTO bookkeeping: the SOURCE file URIs THIS commit
       // ingested (per-commit delta, never cumulative — manifests stay
       // O(commit)); the already-loaded set is the union over retained
@@ -356,6 +366,11 @@ object Merge {
       if (m.physRetired.isEmpty) ""
       else s""","physRetired":""" + m.physRetired.sorted
         .map(f => "\"" + jsonEscape(f) + "\"").mkString("[", ",", "]")
+    val aliasesField =
+      if (m.colAliases.isEmpty) ""
+      else s""","colAliases":""" + m.colAliases.sortBy(_._1).map {
+        case (l, p) => s"""{"l":"${jsonEscape(l)}","p":"${jsonEscape(p)}"}"""
+      }.mkString("[", ",", "]")
     val copiedField =
       if (m.copied.isEmpty) ""
       else s""","copied":""" + m.copied.sorted
@@ -374,7 +389,7 @@ object Merge {
     (s"""{"version":${m.version},"parent":${m.parent},""" +
       s"""$filesField$schemaField$txnField$layoutField$statsFields""" +
       s"""$tsField$opField$constraintsField$dvField$colMapField""" +
-      s"""$retiredField$copiedField$idHwmField$keySortedField""" +
+      s"""$retiredField$aliasesField$copiedField$idHwmField$keySortedField""" +
       s"""$layoutColsField}""")
       .getBytes("UTF-8")
   }
@@ -667,6 +682,15 @@ object Merge {
           case JArray(xs) => xs.collect { case JString(f) => f }
           case _ => Nil
         }
+        val colAliases = j \ "colAliases" match {
+          case JArray(xs) => xs.flatMap { e =>
+            (e \ "l", e \ "p") match {
+              case (JString(l), JString(p)) => Some((l, p))
+              case _ => None
+            }
+          }
+          case _ => Nil
+        }
         val copied = j \ "copied" match {
           case JArray(xs) => xs.collect { case JString(f) => f }
           case _ => Nil
@@ -707,6 +731,7 @@ object Merge {
               shardSpan = shardSpan, shardIds = shardIds,
               constraints = constraints, dvFiles = dvFiles,
               colMap = colMap, physRetired = physRetired,
+              colAliases = colAliases,
               copied = copied, idHwm = idHwm, keySorted = keySorted,
               layoutCols = layoutCols, layoutNs = layoutNs))
           case _ => None // truncated or foreign body: not committed
@@ -1010,6 +1035,14 @@ object Merge {
         "(held by another column or retired by a drop) — re-using it " +
         "would resurrect old file data under the new name; pick " +
         "another name or rewrite the table")
+      // a RETIRED logical name is reserved too (r19): stats sidecars
+      // written while it was current still store it, and reusing it
+      // would make those entries ambiguous between the old column and
+      // this one — mis-pruning territory
+      require(!parent.colAliases.exists(_._1 == to),
+        s"'$to' was a previous logical name of a column in this table " +
+        "(immutable stats sidecars may still reference it) — pick " +
+        "another name or rewrite the table")
       parent.constraints.foreach { case (n, e) =>
         require(!constraintColumns(spark, e).contains(from),
           s"CHECK constraint '$n' ($e) references '$from' — drop the " +
@@ -1018,6 +1051,13 @@ object Merge {
       val physical = l2p.getOrElse(from, from)
       val newMap = parent.colMap.filterNot(_._1 == from) :+
         ((to, physical))
+      // rename history: sidecars written while `from` was current store
+      // `from` in their entries; record the alias so the planner can
+      // translate them forever (skipped when `from` IS the physical
+      // name — colMap's physical->logical mapping already covers that)
+      val newAliases =
+        if (from == physical) parent.colAliases
+        else parent.colAliases :+ ((from, physical))
       val newSchema = StructType(schema.fields.map(f =>
         if (f.name == from) f.copy(name = to) else f))
       try {
@@ -1055,7 +1095,8 @@ object Merge {
                 e.copy(col = Skipping.BloomPrefix + to)
               case e => e
             },
-            colMap = newMap.filter { case (l, p) => l != p }),
+            colMap = newMap.filter { case (l, p) => l != p },
+            colAliases = newAliases),
           parent = Some(parent), touched = Some(Set.empty))
         return parentV + 1
       } catch { case _: LostCommitRace => attempt += 1 }
@@ -1371,8 +1412,16 @@ object Merge {
     val rangeCols = rangeSpecs
       .map(_.stripPrefix(Skipping.StatsxPrefix)).distinct
     val bloomCols = bloomSpecs.map(Skipping.bloomBase).distinct
-    (rangeCols ++ bloomCols).foreach(c => require(df.columns.contains(c),
-      s"stats column $c not in ${df.columns.mkString(", ")}"))
+    (rangeCols ++ bloomCols).foreach { c =>
+      // `@` leads sidecar refs and the statsx placeholder entry
+      // ([[Skipping.StatsxEntry]]); a stats entry with that prefix would
+      // be indistinguishable from engine metadata
+      require(!c.startsWith("@"),
+        s"stats column name '$c' is reserved ('@' prefix marks engine " +
+          "metadata entries)")
+      require(df.columns.contains(c),
+        s"stats column $c not in ${df.columns.mkString(", ")}")
+    }
     // integral AND decimal stats columns also record an EXACT per-file
     // sum (integrals summed as decimal(38,0) so no overflow at any
     // file size; decimals keep their scale — a per-file overflow of
@@ -1757,6 +1806,18 @@ object Merge {
     // dropped never cost a read, repeat plans hit the decode-once cache
     val statsxBases = m.statsCols.filter(Skipping.isStatsxSpec)
       .map(_.stripPrefix(Skipping.StatsxPrefix)).toSet
+    // sidecars are immutable: one written in an earlier naming era
+    // stores the THEN-current name — the original physical, or any
+    // intermediate logical a later rename retired (recorded in
+    // colAliases) — so the translation maps every historical name to
+    // the column's CURRENT logical name. Built once per plan, not per
+    // candidate file (r19).
+    val histToCur: Map[String, String] = {
+      val cur = m.colMap.map(_.swap).toMap // physical -> current logical
+      cur ++ m.colAliases.flatMap { case (old, p) =>
+        cur.get(p).map(old -> _)
+      }
+    }
     def colStatsOf(f: String): Map[String, Skipping.FileStats] = {
       val cs = byFile.getOrElse(f, Map.empty)
       if (statsxBases.isEmpty ||
@@ -1765,13 +1826,8 @@ object Merge {
       else cs.get(Skipping.StatsxEntry).flatMap(_.bloom)
         .filter(Skipping.isBloomRef) match {
         case Some(ref) =>
-          // sidecars are immutable: one written BEFORE a column rename
-          // stores the then-current (now PHYSICAL) name — translate
-          // through the column mapping so renamed columns keep pruning
-          // without rewriting a single sidecar
-          val p2l = m.colMap.map(_.swap).toMap
           cs ++ Skipping.readStatsSidecar(fs, root, ref, f)
-            .map(e => p2l.getOrElse(e.col, e.col) -> e)
+            .map(e => histToCur.getOrElse(e.col, e.col) -> e)
         case None => cs
       }
     }
@@ -1866,14 +1922,18 @@ object Merge {
       .groupBy(_.file).view.mapValues(_.head).toMap
     if (!m.statsCols.contains(Skipping.StatsxPrefix + column)) inline
     else {
-      // pre-rename sidecars store the then-current (now physical) name
+      // sidecars written in earlier naming eras store the then-current
+      // name: the original physical, or any retired intermediate
+      // logical recorded in colAliases (r19)
       val phys = m.colMap.toMap.getOrElse(column, column)
+      val names = Set(column, phys) ++
+        m.colAliases.collect { case (old, p) if p == phys => old }
       val fromSidecars = m.stats
         .filter(e => e.col == Skipping.StatsxEntry &&
           !inline.contains(e.file))
         .flatMap(e => e.bloom.filter(Skipping.isBloomRef).toSeq
           .flatMap(ref => Skipping.readStatsSidecar(fs, root, ref, e.file))
-          .filter(s => s.col == column || s.col == phys))
+          .filter(s => names.contains(s.col)))
         .groupBy(_.file).view.mapValues(_.head).toMap
       inline ++ fromSidecars
     }
@@ -2444,6 +2504,7 @@ object Merge {
             constraints = target.constraints,
             dvFiles = target.dvFiles,
             colMap = target.colMap, physRetired = target.physRetired,
+            colAliases = target.colAliases,
             // identity marks are monotonic ACROSS restore: the HEAD's
             // mark covers every id the restored-away versions issued
             idHwm = parent.idHwm,
@@ -2653,6 +2714,7 @@ object Merge {
         dvFiles = m.dvFiles.map(f =>
           sfs.makeQualified(new Path(sroot, f)).toString),
         colMap = m.colMap, physRetired = m.physRetired,
+            colAliases = m.colAliases,
         idHwm = m.idHwm, keySorted = m.keySorted,
         layoutCols = m.layoutCols, layoutNs = m.layoutNs))
   }
@@ -3707,6 +3769,7 @@ object Merge {
             constraints = parent.constraints,
             dvFiles = parent.dvFiles,
             colMap = parent.colMap, physRetired = parent.physRetired,
+            colAliases = parent.colAliases,
             copied = copiedFiles, idHwm = newIdHwm,
             keySorted = parent.keySorted, // rewrites re-sort; the
               // untouched files keep whatever the parent knew
@@ -3933,6 +3996,7 @@ object Merge {
             constraints = parent.constraints,
             dvFiles = parent.dvFiles ++ dvRefs,
             colMap = parent.colMap, physRetired = parent.physRetired,
+            colAliases = parent.colAliases,
             idHwm = parent.idHwm,
             // appended ranges overlap old files; a pure-delete batch
             // (no appends) leaves the sort contract as it was
@@ -4035,6 +4099,7 @@ object Merge {
             constraints = parent.constraints,
             dvFiles = Seq.empty, // replaced rows: vectors are history
             colMap = parent.colMap, physRetired = parent.physRetired,
+            colAliases = parent.colAliases,
             idHwm = newIdHwm,
             keySorted = true, // full key-sorted rewrite
             layoutCols = parent.layoutCols, layoutNs = parent.layoutNs),
@@ -4134,6 +4199,7 @@ object Merge {
             constraints = parent.constraints,
             dvFiles = parent.dvFiles,
             colMap = parent.colMap, physRetired = parent.physRetired,
+            colAliases = parent.colAliases,
             // DELETE must never lower an identity mark — that is the
             // exact re-mint hazard the persisted mark exists to close
             idHwm = parent.idHwm, keySorted = parent.keySorted,
@@ -4262,6 +4328,7 @@ object Merge {
             constraints = parent.constraints,
             dvFiles = Seq.empty, // the rewrite folded them
             colMap = parent.colMap, physRetired = parent.physRetired,
+            colAliases = parent.colAliases,
             idHwm = parent.idHwm,
             keySorted = true, // full key-sorted rewrite
             layoutCols = if (keyCols.size >= 2) keyCols else Seq.empty,
@@ -4353,6 +4420,7 @@ object Merge {
             constraints = parent.constraints,
             dvFiles = parent.dvFiles ++ dvRefs,
             colMap = parent.colMap, physRetired = parent.physRetired,
+            colAliases = parent.colAliases,
             idHwm = parent.idHwm,
             keySorted = parent.keySorted, // files untouched
             layoutCols = parent.layoutCols, layoutNs = parent.layoutNs),
@@ -4564,6 +4632,7 @@ object Merge {
             // every DV-touched bucket is in toRewrite: folded
             dvFiles = Seq.empty,
             colMap = parent.colMap, physRetired = parent.physRetired,
+            colAliases = parent.colAliases,
             idHwm = parent.idHwm,
             // a clusterBy/zOrder rewrite sorts files by the CLUSTER
             // columns, not the key — the sorted-scan contract breaks

@@ -133,8 +133,15 @@ object Skipping {
   private[sources] val StatsxPrefix = "statsx:"
   private[sources] def isStatsxSpec(c: String): Boolean =
     c.startsWith(StatsxPrefix)
-  /** The per-file placeholder entry's column name. */
-  private[sources] val StatsxEntry = "statsx"
+  /** The per-file placeholder entry's column name. `@`-prefixed like
+    * [[BloomRefMark]] refs so it can NEVER collide with a real data
+    * column's stats entry: a data column literally named "statsx" keeps
+    * its plain entry, and stats specs reject `@`-prefixed columns
+    * outright (the name is reserved) — without this, the placeholder's
+    * min/max=None would read as "all-null column" under a bound on that
+    * column and wrongly prune files.
+    */
+  private[sources] val StatsxEntry = "@statsx"
 
   /** Test seam: statsx sidecar files actually read (cache misses). */
   val statsSidecarReads = new java.util.concurrent.atomic.AtomicLong(0L)

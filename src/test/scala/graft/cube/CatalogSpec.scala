@@ -305,4 +305,41 @@ class CatalogSpec extends SparkSpec {
       "a", "b") == cat4.Subset5)
     assert(asked3 == 0)
   }
+
+  test("judge fallback BFS-descends the subsumption DAG (r19): roots " +
+      "first, Equal short-circuits, only Subset children are judged, " +
+      "pruned subtrees never pay a call — O(path), not O(catalog)") {
+    val fYear = LogicalOp.KeywordFilter(Seq("year"), Seq("2022"), "and", "contains")
+    val fDuck = LogicalOp.KeywordFilter(Seq("title"), Seq("duck"), "and", "contains")
+    val asked = scala.collection.mutable.ArrayBuffer.empty[String]
+    // the judge answers ONLY the probe query (catalog construction stays
+    // purely structural); verdicts are scripted per cached-query text
+    val judge: (String, String) => String = (cur, hist) => {
+      if (cur != "probe") "no_relation"
+      else {
+        asked += hist
+        if (hist.contains("level a")) "subset"
+        else if (hist.contains("level b")) "equal"
+        else "no_relation"
+      }
+    }
+    val cat = new CubeCatalog(fixture, oracle, Some(judge))
+    cat.filterQuery("level a spark", Seq(fSpark))
+    val b = cat.filterQuery("level b spark high", Seq(fSpark, fScore))
+    cat.filterQuery("level c spark high window", Seq(fSpark, fScore, fSem))
+    cat.filterQuery("year docs", Seq(fYear))
+    cat.filterQuery("year high docs", Seq(fYear, fScore))
+    cat.filterQuery("duck docs", Seq(fDuck))
+    assert(asked.isEmpty, "construction must never consult the judge")
+    // a structurally alien query: structure finds nothing, the descent
+    // judges the three roots, follows A's Subset edge to B, stops at
+    // B's Equal — C (below B) and the year child (below a NoRelation
+    // root) are never judged: 4 calls against 6 eligible nodes
+    val got = cat.filterQuery("probe",
+      Seq(LogicalOp.SemFilter(Seq("title"), "windowed analytics")))
+    assert(got.id == b.id, "the Equal verdict must reuse node B outright")
+    assert(asked.toSeq == Seq("level a spark", "year docs", "duck docs",
+      "level b spark high"),
+      s"descent must be roots + Subset path only, got: $asked")
+  }
 }

@@ -112,4 +112,181 @@ class PolicySpec extends SparkSpec {
     assert(Policy.parse("MaxQuality") == Policy.MaxQuality)
     intercept[IllegalArgumentException](Policy.parse("fastest"))
   }
+
+  test("MeteredOracle forwards extractAll to the inner oracle's own " +
+      "one-to-many extraction (not the scalar default), scalar and batch") {
+    @volatile var batchRpcs = 0
+    val inner = new BatchedOracle {
+      def judge(t: String, c: String) = false
+      def extract(t: String, d: String) = Some("first-only")
+      override def extractAll(t: String, d: String) =
+        t.split(" ").toSeq.filter(_.nonEmpty)
+      override def extractAllBatch(ts: Seq[String], d: String) = {
+        batchRpcs += 1
+        ts.map(t => if (t == null) Seq.empty else extractAll(t, d))
+      }
+      def classify(t: String, v: Seq[graft.oracle.TagRule]) = None
+      def summarize(vs: Seq[String], d: String) = ""
+      def score(t: String, q: String) = 0.0
+    }
+    val acc = spark.sparkContext.longAccumulator("test.calls")
+    val m = new MeteredOracle(inner, acc)
+    assert(m.extractAll("a b c", "words") == Seq("a", "b", "c"),
+      "must forward to the inner extractAll, not truncate via extract()")
+    assert(acc.value == 1L)
+    assert(m.extractAllBatch(Seq("a b", null, "c"), "words")
+      == Seq(Seq("a", "b"), Seq.empty, Seq("c")))
+    assert(batchRpcs == 1, "whole batch forwarded in one RPC")
+    assert(acc.value == 3L, "nulls never bill")
+    // the end-to-end failure mode this guards: SemMapMulti over a
+    // MeteredOracle must fan out to ALL values per row
+    val df = Seq((1L, "x y"), (2L, "z")).toDF("id", "text")
+    val out = graft.ops.SemMapMulti(df,
+      graft.plan.LogicalOp.SemMap(Seq("text"), "words", "w"), m)
+    assert(out.count() == 3L, "2 + 1 extracted values, not one per row")
+  }
+
+  test("MinCost escalates past maxDistinct: a column whose distinct set " +
+      "exceeds the enum bound is judged per row, never as a truncated " +
+      "value set") {
+    val common = Seq("click", "view", "scroll", "hover", "load")
+    val rows = (1 to 400).map(i => (i.toLong, common(i % 5))) ++
+      Seq((401L, "error a"), (402L, "error a"), (403L, "error b"),
+        (404L, "fatal error"))
+    val df = rows.toDF("id", "kind")
+    // sanity: the enum gate would fire (7 distinct, top-5 cover >= 90%)
+    assert(ColumnStats.enumStats(df, "kind").isEnumerable)
+    val p = Policied.dice(df, "kind", "error", oracle, Policy.MinCost,
+      usdPerCall = 0.01, maxDistinct = 5)
+    assert(p.strategy == Dice.SemFallback,
+      "7 distinct > maxDistinct=5 must escalate to per-row judgment")
+    assert(p.df.count() == 4L, "every error row kept, none silently pruned")
+    // MinCost + a compilable judge: the escalated per-row path stays
+    // codegen — full fidelity at zero out-of-band calls
+    assert(p.report().oracleCalls == 0L &&
+      p.report().estOracleCalls == 0L, p.explain)
+    // within the bound the enum pushdown still wins
+    val q = Policied.dice(df, "kind", "error", oracle, Policy.MinCost,
+      usdPerCall = 0.01, maxDistinct = 100)
+    assert(q.strategy == Dice.EnumStrategy)
+    assert(q.df.count() == 4L)
+  }
+
+  test("token reduction (allow_token_reduction analogue): parity-validated " +
+      "column pruning cuts judged characters, identical answer") {
+    val pad = "x".repeat(300)
+    val df = (1 to 100).map(i =>
+      (i.toLong, s"$pad doc $i", if (i % 4 == 0) "keep" else "drop"))
+      .toDF("id", "body", "tag")
+    val full = Policied.semFilter(df, Seq.empty, "keep", oracle,
+      Policy.MaxQuality, usdPerCall = 0.001, usdPerMChars = 1.0)
+    val red = Policied.semFilter(df, Seq.empty, "keep", oracle,
+      Policy.MaxQuality, usdPerCall = 0.001, usdPerMChars = 1.0,
+      reduceTo = Seq("tag"), paritySample = 8)
+    val a = full.df.select("id").as[Long].collect().sorted.toSeq
+    val b = red.df.select("id").as[Long].collect().sorted.toSeq
+    assert(a == b && a.size == 25)
+    val (rF, rR) = (full.report(), red.report())
+    assert(rR.judgedChars * 5 <= rF.judgedChars,
+      s"expected >=5x char cut: ${rR.judgedChars} vs ${rF.judgedChars}")
+    assert(red.explain.contains("strategy=per_row_reduced"), red.explain)
+    assert(rR.estUsd < rF.estUsd)
+  }
+
+  test("token reduction REJECTED by the parity probe falls back to the " +
+      "full text (quality parity check)") {
+    // evidence lives in `body`, so pruning to `tag` flips judgments and
+    // the probe must catch it on the sample
+    val df = (1 to 50).map(i =>
+      (i.toLong, if (i % 2 == 0) s"keep doc $i" else s"plain doc $i", "na"))
+      .toDF("id", "body", "tag")
+    val red = Policied.semFilter(df, Seq.empty, "keep", oracle,
+      Policy.MaxQuality, usdPerCall = 0.001, reduceTo = Seq("tag"),
+      paritySample = 16)
+    assert(red.df.count() == 25L, "answer must come from the FULL text")
+    assert(red.explain.contains("strategy=per_row_reduction_rejected"),
+      red.explain)
+  }
+
+  test("Policied.semTopK: MinCost = compiled score-then-sort (0 calls), " +
+      "MaxQuality = duel tournament, same k with the deterministic oracle") {
+    val docs = (1 to 40).map { i =>
+      val hits = Seq("alpha", "beta", "gamma").take(i % 4)
+      (i.toLong, (hits :+ s"doc $i").mkString(" "))
+    }.toDF("doc_id", "text")
+    val op = LogicalOp.SemTopK(Seq("text"), "alpha beta gamma", 3)
+    val minC = Policied.semTopK(docs, op, oracle, Policy.MinCost, "doc_id",
+      usdPerCall = 0.01)
+    val maxQ = Policied.semTopK(docs, op, oracle, Policy.MaxQuality, "doc_id",
+      usdPerCall = 0.01)
+    val a = minC.df.select("doc_id").as[Long].collect().toSeq
+    val b = maxQ.df.select("doc_id").as[Long].collect().toSeq
+    assert(a == b && a.size == 3)
+    assert(minC.report().oracleCalls == 0L, minC.explain)
+    // scoring pass (40) + full round-robin among max(4k,20)=20 candidates
+    assert(maxQ.report().oracleCalls == 40L + 20L * 19L, maxQ.explain)
+    assert(minC.explain.contains("strategy=score_sort"))
+    assert(maxQ.explain.contains("strategy=duel"))
+  }
+
+  test("Policied.semGroup: identical labels; MinCost compiles the CASE " +
+      "cascade (0 calls), MaxQuality bills one classification per row") {
+    val docs = (1 to 60).map(i => (i.toLong,
+      if (i % 3 == 0) s"alpha doc $i" else s"beta doc $i")).toDF("id", "text")
+    val vocab = Seq(graft.oracle.TagRule("alpha", "a"),
+      graft.oracle.TagRule("beta", "b"))
+    val op = LogicalOp.SemGroup(Seq("text"), "letter", "grp")
+    val minC = Policied.semGroup(docs, op, vocab, oracle, Policy.MinCost,
+      usdPerCall = 0.01)
+    val maxQ = Policied.semGroup(docs, op, vocab, oracle, Policy.MaxQuality,
+      usdPerCall = 0.01)
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "grp").as[(Long, String)].collect().sorted.toSeq
+    assert(labels(minC.df) == labels(maxQ.df))
+    assert(minC.report().oracleCalls == 0L, minC.explain)
+    assert(maxQ.report().oracleCalls == 60L, maxQ.explain)
+    assert(minC.explain.contains("strategy=closed_vocab_compiled"))
+    assert(maxQ.explain.contains("strategy=closed_vocab_per_row"))
+    // open-set: the mined vocabulary is deterministic, so labels agree
+    // across policies there too and the line says mined_vocab
+    val mined = Policied.semGroup(docs, LogicalOp.SemGroup(Seq("text"),
+      "letter", "grp"), Seq.empty, oracle, Policy.MaxQuality, maxTags = 5)
+    assert(mined.explain.contains("strategy=mined_vocab_per_row"),
+      mined.explain)
+    assert(mined.df.where($"grp".isNotNull).count() == 60L)
+  }
+
+  test("Policied.run carries per-operator cost lines: consecutive filters " +
+      "fuse to one cascade line; sem_group and sem_topk get their own") {
+    val docs = (1 to 50).map(i => (i.toLong,
+      (if (i % 5 == 0) "spark " else "") +
+        (if (i % 2 == 0) s"alpha doc $i" else s"beta doc $i")))
+      .toDF("doc_id", "text")
+    val plan = Seq(
+      LogicalOp.KeywordFilter(Seq("text"), Seq("doc"), "and", "contains"),
+      LogicalOp.SemFilter(Seq("text"), "alpha"),
+      LogicalOp.SemGroup(Seq("text"), "letter", "grp"),
+      LogicalOp.SemTopK(Seq("text"), "spark", 4))
+    val (out, rep) = Policied.run(docs, plan, oracle, Policy.MaxQuality,
+      usdPerCall = 0.001, tiebreak = Seq("doc_id"), usdPerMChars = 1.0)
+    assert(out.count() == 4L && rep.resultRows == 4L)
+    // 3 lines: the fused filter cascade (labeled by its first op), the
+    // sem_group, the sem_topk
+    assert(rep.ops.map(_.operator) ==
+      Seq("keyword_filter", "sem_group", "sem_topk"), rep.explain)
+    val byOp = rep.ops.map(o => o.operator -> o).toMap
+    assert(byOp("keyword_filter").strategy == "cascade")
+    // exactly ONE judging pass per row: the open-set group's mining
+    // action reads the persisted filter output instead of re-billing it
+    assert(byOp("keyword_filter").oracleCalls == 50L,
+      "every row reaches the cascade's sem judge once: " + rep.explain)
+    assert(byOp("sem_group").oracleCalls == 25L,
+      "only alpha survivors are classified: " + rep.explain)
+    assert(byOp("sem_topk").oracleCalls == 25L,
+      "only alpha survivors are scored: " + rep.explain)
+    assert(rep.oracleCalls == 100L && rep.judgedChars > 0L, rep.explain)
+    assert(rep.ops.forall(_.judgedChars > 0L), rep.explain)
+    assert(rep.explain.contains("sem_group(grp)") &&
+      rep.explain.contains("sem_topk(text)"), rep.explain)
+  }
 }

@@ -534,6 +534,47 @@ class BloomSkipSpec extends SparkSpec {
       .select("s").as[String].head() == "z")
   }
 
+  test("statsx sidecars survive TWO renames (r19): entries written under " +
+      "the intermediate logical name translate through the recorded " +
+      "rename history, and retired logical names are reserved") {
+    val d = Files.createTempDirectory("graft_sx_rename2").toFile
+    d.deleteOnExit()
+    val p = new File(d, "t").getAbsolutePath
+    Merge.writeKeyed(
+      (0L until 200L).map(i => (i, i * 3L, s"p_$i")).toDF("id", "v", "s"),
+      p, "id", nBuckets = 8, statsCols = Seq("statsx:v"))
+    Merge.renameColumn(spark, p, "v", "v2")
+    // this slice's sidecars are written UNDER the intermediate name v2
+    Merge.upsertDV(spark, p,
+      (5000L until 5100L).map(i => (i, i * 3L, s"p_$i")).toDF("id", "v2", "s"),
+      "id", 8)
+    Merge.renameColumn(spark, p, "v2", "v3")
+    val v = Merge.currentVersion(spark, p)
+    // a nothing-matches bound must prune EVERY file: the first era's
+    // sidecars store the physical name, the second era's the retired
+    // intermediate — both translate to v3 (with colMap alone, the
+    // second era's files fail open and stay selected)
+    val (selNone, tot) = Merge.planVersionFiles(spark, p, v,
+      Seq(Skipping.Bound("v3", Some(999000L), Some(999100L))))
+    assert(tot > 8, s"two eras of files expected, got $tot")
+    assert(selNone.isEmpty,
+      s"every sidecar era must translate and prune: $selNone")
+    // positive probe: the second slice answers under the final name
+    assert(Merge.readKeyedWhere(spark, p,
+        $"v3" >= 15000L && $"v3" <= 15150L)
+      .select("id").as[Long].collect().sorted.toSeq ==
+      (5000L to 5050L).toSeq)
+    // manifest-answered bounds resolve BOTH eras' sidecars
+    assert(Merge.versionColumnBounds(spark, p, v, "v3") ==
+      Some((Some(0L), Some(15297L))))
+    // a retired logical name cannot be reclaimed by a later rename:
+    // immutable sidecars still reference it
+    val bad = intercept[IllegalArgumentException] {
+      Merge.renameColumn(spark, p, "s", "v2")
+    }
+    assert(bad.getMessage.contains("previous logical name"), bad.getMessage)
+  }
+
   test("statsx sidecar codec round-trips hostile stat strings (tabs, " +
       "newlines, unicode, truncation sentinels) and caches decode-once") {
     val d = Files.createTempDirectory("graft_sx_codec").toFile
@@ -563,6 +604,41 @@ class BloomSkipSpec extends SparkSpec {
     // unreadable ref: empty, never throws — pruning keeps the file
     assert(Skipping.readStatsSidecar(fs, root,
       Skipping.BloomRefMark + "_graft_bloom/t/missing.sx", "f").isEmpty)
+  }
+
+  test("a data column literally named 'statsx' cannot collide with the " +
+      "placeholder entry (r19): its plain stats prune normally beside " +
+      "statsx: sidecars, and '@'-prefixed stats specs are rejected") {
+    val d = Files.createTempDirectory("graft_sx_name").toFile
+    d.deleteOnExit()
+    val path = new File(d, "t").getAbsolutePath
+    // `statsx` is a REAL data column with inline range stats; `v` is
+    // externalized — before the @-placeholder the per-file col->entry
+    // map collided and a bound on `statsx` could wrongly prune
+    val df = (0L until 200L).map(i => (i, i, i * 3L))
+      .toDF("id", "statsx", "v")
+    Merge.writeKeyed(df, path, "id", nBuckets = 4,
+      statsCols = Seq("statsx", "statsx:v"))
+    val v = Merge.currentVersion(spark, path)
+    // a bound on the real column must see ITS min/max, not the
+    // placeholder's None/None ("all-null") — every file has rows in
+    // [0,199], so nothing may prune under an in-range bound
+    val (selIn, total) = Merge.planVersionFiles(spark, path, v,
+      Seq(Skipping.Bound("statsx", Some(0L), Some(199L))))
+    assert(selIn.size == total && total >= 4,
+      s"in-range bound must keep every file: ${selIn.size} of $total")
+    // and an out-of-range bound prunes ALL files off the inline stats
+    val (selOut, _) = Merge.planVersionFiles(spark, path, v,
+      Seq(Skipping.Bound("statsx", Some(10000L), None)))
+    assert(selOut.isEmpty, s"out-of-range bound must prune: $selOut")
+    // rows still read correctly through the scan
+    assert(Merge.readKeyedWhere(spark, path, $"statsx" < 5L).count() == 5L)
+    // the reserved prefix is rejected loudly at spec time
+    val bad = intercept[IllegalArgumentException] {
+      Merge.writeKeyed(df, new File(d, "t2").getAbsolutePath, "id",
+        nBuckets = 2, statsCols = Seq("@statsx"))
+    }
+    assert(bad.getMessage.contains("reserved"), bad.getMessage)
   }
 
   test("lookupKey prunes WITHIN the bucket off a bloomx: key index " +

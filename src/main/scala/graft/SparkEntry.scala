@@ -57,6 +57,22 @@ object SparkEntry {
     p.toFile.getAbsolutePath
   }
 
+  /** Per-gate phase tracer (enable with SPARK_GRAFT_TRACE=1): each call
+    * prints the seconds since the previous mark to stderr, so a gate's
+    * wall time decomposes into its lifecycle phases (SURVEY §6's
+    * streaming-floor accounting). Zero cost when the env var is unset.
+    */
+  private def tracer(gate: String): String => Unit = {
+    val on = sys.env.contains("SPARK_GRAFT_TRACE")
+    var t0 = System.nanoTime()
+    label =>
+      if (on) {
+        System.err.println(
+          f"[trace] $gate $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        t0 = System.nanoTime()
+      }
+  }
+
   /** Shared fixture for the clustered-layout gates (q_merge_optimize /
     * q_merge_where): ONE stats-clustered orders table per (JVM, sf dir).
     * Builds the salted 4-files-per-bucket layout, PROVES it unprunable
@@ -6256,9 +6272,11 @@ object SparkEntry {
       val path = base.resolve("tbl").toString
       val ckpt = base.resolve("ckpt").toString
       val outDir = base.resolve("out").toString
+      val mark = tracer("q_stream_cdf")
       val part = t(s, dir, "part")
         .select("p_partkey", "p_brand", "p_retailprice")
       Merge.writeKeyed(part, path, "p_partkey", nBuckets = 16)
+      mark("table_write")
       def drain(): Long = withShufflePartitions(s, 8) {
         val n = new java.util.concurrent.atomic.AtomicLong(0)
         val q = s.readStream.format("graft-table").option("path", path)
@@ -6278,6 +6296,7 @@ object SparkEntry {
         n.get()
       }
       val snapRows = drain()
+      mark("drain_snapshot")
       val batch = part.filter(col("p_partkey") % 100 === 7 &&
           col("p_partkey") <= 2000)
         .withColumn("p_retailprice",
@@ -6292,11 +6311,14 @@ object SparkEntry {
           .withColumn("__del", lit(false)))
       Merge.upsert(s, path, batch, "p_partkey", nBuckets = 16,
         tombstoneCol = Some("__del"))
+      mark("churn_upsert")
       val deltaRows = drain()
+      mark("drain_delta")
       require(deltaRows > 0 && deltaRows < snapRows,
         s"the restart batch must be the commit's labeled delta, not a " +
         s"rescan: $deltaRows vs snapshot $snapRows")
       require(drain() == 0, "an idle restart must emit nothing")
+      mark("drain_idle")
       val feed = s.read.parquet(outDir)
       val pairs = feed.filter(col("_change_type")
           .isin("update_preimage", "update_postimage"))
@@ -6555,6 +6577,7 @@ object SparkEntry {
       import s.implicits._
       def text(tag: String): String =
         (0 until 12).map(j => s"${tag}_w$j").mkString(" ")
+      val mark = tracer("q_stream_catalog_ingest")
       val corpus0 = Seq((1L, text("t1")), (2L, text("t2")))
         .toDF("doc_id", "text")
       Merge.writeKeyed(corpus0, corpusPath, "doc_id", nBuckets = 4)
@@ -6562,6 +6585,7 @@ object SparkEntry {
         threshold = 0.8)
       TableCatalog.create(s, catPath, Map("corpus" -> corpusPath),
         indexes = Map("idx" -> idxPath))
+      mark("fixture_build")
       def row(id: Long, t: String): String =
         s"""{"doc_id": $id, "text": "$t"}"""
       val batches = Seq(
@@ -6594,9 +6618,11 @@ object SparkEntry {
         q.awaitTermination()
       }
       drain()
+      mark("drain_ingest")
       val vAfterFirst = TableCatalog.state(s, catPath).version
       rmTree(ckpt) // the worst recovery path: all progress forgotten
       drain()      // full replay: catalog txn stamps no-op everything
+      mark("drain_replay")
       require(TableCatalog.state(s, catPath).version == vAfterFirst,
         s"replayed ingestion must no-op: v$vAfterFirst -> " +
         s"v${TableCatalog.state(s, catPath).version}")
@@ -6607,6 +6633,7 @@ object SparkEntry {
       require(DedupIndex.dominatedBy(s, idxPath, copies,
           "doc_id", col("text")).count() == corpus.count(),
         "every published corpus doc must be covered by the published index")
+      mark("coverage_check")
       corpus.select("doc_id").orderBy("doc_id")
     }),
     "q_dedup_clustered" -> ((s, dir) => {
@@ -7877,6 +7904,7 @@ object SparkEntry {
       // engine-portable contract (the batch gate q_sessionize covers it
       // through exact decimal aggregation).
       import s.implicits._
+      val mark = tracer("q_stream_sessionize")
       val schema = t(s, dir, "events").schema
       val stream = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -7885,11 +7913,13 @@ object SparkEntry {
         .as[EventStreams.Event]
       val sess = EventStreams.sessionize(evs,
         gapMicros = 30L * 60 * 1000 * 1000)(s)
+      mark("plan_build")
       val q = sess.toDF().writeStream.format("memory")
         .queryName("q_stream_sess_sink").outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      mark("stream_run")
       s.table("q_stream_sess_sink")
         .select("user_id", "n_events", "start_micros", "end_micros")
         .orderBy("user_id", "start_micros")

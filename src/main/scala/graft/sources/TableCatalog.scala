@@ -370,12 +370,16 @@ object TableCatalog {
     var attempt = 0
     while (attempt <= maxRetries) {
       val st = state(spark, catRoot)
-      val ops = opsOf(st)
-      require(ops.nonEmpty, "a transaction needs >= 1 op")
+      // exactly-once replay check BEFORE building the ops (r19, the
+      // applyChanges discipline): `opsOf` typically probes indexes /
+      // materializes the batch — a checkpoint-lost replay must no-op on
+      // the txn stamp alone, not re-pay that work per replayed batch
       txn.foreach { case (app, batch) =>
         if (latestTxn(spark, catRoot, app).exists(_ >= batch))
           return st // replay of a committed batch: exactly-once no-op
       }
+      val ops = opsOf(st)
+      require(ops.nonEmpty, "a transaction needs >= 1 op")
       ops.foreach { o =>
         val pin = st.pins.getOrElse(o.table,
           throw new IllegalArgumentException(
@@ -479,7 +483,11 @@ object TableCatalog {
       : org.apache.spark.sql.streaming.DataStreamWriter[
           org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val b = batch.localCheckpoint(true)
+      // LAZY checkpoint (r19): the first op action materializes the
+      // batch once and every later consumer reuses it — but a replayed
+      // batch, no-op'd by the txn stamp before any op is built, never
+      // evaluates the source at all
+      val b = batch.localCheckpoint(eager = false)
       transactWith(b.sparkSession, catRoot, _ => mkOps(b, batchId),
         txn = Some((appId, batchId)))
       ()

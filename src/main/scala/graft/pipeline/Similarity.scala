@@ -87,6 +87,13 @@ object Similarity {
     *     exact brute force (used by the correctness gate); small `nProbe`
     *     trades recall for a `nProbe/cells` scan fraction.
     */
+  /** The `cell=<n>` partition a committed index file belongs to —
+    * what lets the partial-rebalance paths carry untouched cells'
+    * files into the new state without rewriting them.
+    */
+  private[pipeline] def cellOfFile(rel: String): Option[Int] =
+    "cell=(-?\\d+)/".r.findFirstMatchIn(rel).map(_.group(1).toInt)
+
   /** Cheap rebuild stamp for a persisted index's frozen model tables:
     * the `centroids` parquet part names embed the writing job's UUID
     * (plus lengths), so ANY rebuild — this JVM or another process —
@@ -586,10 +593,6 @@ object Similarity {
       ()
     }
 
-    /** The `cell=<n>` partition a committed corpus file belongs to. */
-    private def fileCell(rel: String): Option[Int] =
-      "cell=(-?\\d+)/".r.findFirstMatchIn(rel).map(_.group(1).toInt)
-
     /** Drift-TARGETED partial rebalance (r19): retrain and rewrite ONLY
       * `driftedCells`. At 100 TB a full [[rebalance]] re-stages the
       * whole corpus to repair what is usually a few shifted regions;
@@ -637,7 +640,8 @@ object Similarity {
       val corpus0 = st0.map(_.tables.getOrElse("corpus", Nil))
         .getOrElse(Nil)
       // untouched cells' committed files carry over UNREWRITTEN
-      val keep = corpus0.filterNot(f => fileCell(f).exists(dset.contains))
+      val keep = corpus0.filterNot(f =>
+        Similarity.cellOfFile(f).exists(dset.contains))
       TxLog.commitRetrying(spark, path) { parent =>
         require(parent.map(_.tables.getOrElse("corpus", Nil))
             .getOrElse(Nil) == corpus0,
@@ -1171,6 +1175,106 @@ object Similarity {
           "over the new state")
         Map("codes" -> files, "deletes" -> Nil,
           "centroids" -> cenFiles, "codebooks" -> cbFiles)
+      }
+      modelMemo.remove(path)
+      ()
+    }
+
+    /** Drift-TARGETED partial repair of the persisted PQ index (r19):
+      * retrain only the drifted COARSE centroids and re-route only the
+      * drifted cells' live members. The key structural fact making this
+      * cheap: PQ codes quantize the VECTOR, not a cell residual — they
+      * are cell-independent — so the frozen codebooks carry over as the
+      * SAME committed files, a re-routed row's re-encoded codes are
+      * byte-identical to its stored ones (deterministic quantizer), and
+      * untouched cells' code files are carried into the new state
+      * unrewritten. Unlike [[resave]] (a full replacement rebuilt from
+      * the live corpus, tombstones cleared), tombstones are PRESERVED;
+      * drifted cells' tombstoned rows are incidentally purged by the
+      * re-stage (they are excluded from the member set), which only
+      * advances what [[compact]] would do.
+      *
+      * `corpus` supplies the float vectors (the codes table stores
+      * none). Every LIVE drifted member must be present in it or this
+      * refuses — silently dropping a live row would be data loss.
+      *
+      * What this repairs is coarse GEOMETRY (recall routing); codebook
+      * drift still needs the full [[resave]]. Cost ∝ the drifted
+      * region: a partition-filtered byte-code scan for the member ids,
+      * one semi-join against the corpus for their vectors, |drifted|
+      * centroids retrained on that region alone, one commit.
+      */
+    def rebalancePartial(spark: org.apache.spark.sql.SparkSession,
+        path: String, corpus: DataFrame, idCol: String, vecCol: String,
+        driftedCells: Seq[Int], sampleN: Int = 10000,
+        iters: Int = 10): Unit = {
+      val dset = driftedCells.distinct.sorted
+      require(dset.nonEmpty, "no drifted cells given")
+      val st0 = graft.sources.TxLog.currentState(spark, path)
+      require(st0.isDefined,
+        s"$path has no committed index — build+save first")
+      val (all, pq) = loadModels(spark, path, st0)
+      dset.foreach(c => require(c >= 0 && c < all.length,
+        s"cell $c out of range (0 until ${all.length})"))
+      val codes0 = st0.get.tables.getOrElse("codes", Nil)
+      val deletes0 = st0.get.tables.getOrElse("deletes", Nil)
+      val models0 = st0.get.tables.getOrElse("centroids", Nil) ++
+        st0.get.tables.getOrElse("codebooks", Nil)
+      // live drifted members: a partition-filtered scan of byte codes,
+      // tombstones anti-joined out
+      val memberIds = codesTable(spark, path, st0)
+        .filter(col("cell").isin(dset: _*)) // -> PartitionFilters
+        .select("neighbor_id").distinct()
+      val liveIds = tombstones(spark, path, st0)
+        .map(_.select(col("neighbor_id")).distinct())
+        .foldLeft(memberIds)((m, d) =>
+          m.join(broadcast(d), Seq("neighbor_id"), "left_anti"))
+      val src = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("__v"))
+      val missing = liveIds.join(src.select("neighbor_id"),
+        Seq("neighbor_id"), "left_anti").count()
+      require(missing == 0L,
+        s"$missing live member(s) of the drifted cells are absent from " +
+        "the given corpus — a partial rebalance would silently drop " +
+        "them; pass the full live corpus (or resave() a fresh build)")
+      val members = src.join(liveIds, Seq("neighbor_id"), "left_semi")
+        .select(col("neighbor_id"), col("__v").as(vecCol))
+      val retrained = Ivf.train(members, "neighbor_id", vecCol,
+        dset.length, sampleN, iters)
+      val merged = all.clone()
+      dset.zipWithIndex.foreach { case (c, i) => merged(c) = retrained(i) }
+      val enc = Pq.encoderUdf(spark, pq) // FROZEN codebooks
+      val files = graft.sources.TxLog.stagePartitionedInto(
+        Ivf.withCell(members, vecCol, merged)
+          .select(col("cell"), col("neighbor_id"),
+            enc(col(vecCol).cast("array<double>")).as("codes"))
+          .filter(col("codes").isNotNull),
+        path, "codes", Seq("cell"))
+      val keep = codes0.filterNot(f =>
+        Similarity.cellOfFile(f).exists(dset.contains))
+      import spark.implicits._
+      val cenFiles = graft.sources.TxLog.stageInto(
+        merged.zipWithIndex.toSeq
+          .map { case (v, i) => (i, v.toSeq) }
+          .toDF("cell", "centroid").coalesce(1),
+        path, "centroids")
+      graft.sources.TxLog.commitRetrying(spark, path) { parent =>
+        val t = parent.map(_.tables).getOrElse(Map.empty)
+        // anything that moved since the snapshot would be silently
+        // dropped or mis-routed by this commit — refuse loudly; the
+        // staged files are vacuum-able orphans
+        require(t.getOrElse("codes", Nil) == codes0,
+          s"$path's codes changed during this partial rebalance — " +
+          "retry it over the new state")
+        require(t.getOrElse("deletes", Nil) == deletes0,
+          s"$path's tombstones changed during this partial rebalance — " +
+          "retry it over the new state")
+        require(t.getOrElse("centroids", Nil) ++
+            t.getOrElse("codebooks", Nil) == models0,
+          s"$path was re-published during this partial rebalance — " +
+          "retry it over the new state")
+        // codebooks and tombstones ride along UNCHANGED (same files)
+        t + ("codes" -> (keep ++ files)) + ("centroids" -> cenFiles)
       }
       modelMemo.remove(path)
       ()

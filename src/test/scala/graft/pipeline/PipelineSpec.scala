@@ -1062,6 +1062,99 @@ class SimilaritySpec extends SparkSpec {
       "the removed id must not resurrect")
   }
 
+  test("IvfPq rebalancePartial (r19): only the drifted cells retrain " +
+      "and re-stage — codebooks and untouched cells' files carry over, " +
+      "re-routed codes stay byte-identical, tombstones survive, recall " +
+      "across the stale boundary is restored, and a corpus missing a " +
+      "live member refuses") {
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_rebp")
+      .toString
+    // four tight axis clusters -> 4 coarse cells (evenly-spaced init
+    // over the id order seeds one per cluster)
+    val bases = Seq(vec(1, 0, 0), vec(0, 1, 0), vec(0, 0, 1), vec(-1, 0, 0))
+    val base = (0 until 4).flatMap { c =>
+      (0 until 3).map(j => (c * 3L + 1 + j,
+        bases(c).zipWithIndex.map { case (x, i) =>
+          (x + (if (i == (j + 1) % 3) 0.05f * (j + 1) else 0f)) }))
+    }.toDF("vec_id", "embedding")
+    val ix = Similarity.IvfPq.build(base, "vec_id", "embedding", dim = 3,
+      cells = 4, m = 3, kSub = 8, sampleN = 100, iters = 8)
+    Similarity.IvfPq.save(ix, path)
+    val (cents0, _) = Similarity.IvfPq.loadModels(spark, path)
+    assert(cents0.length == 4)
+    // a 20-vector drift cluster on the stale x/y boundary, with a
+    // near-dup pair (20, 21) straddling it; mass dominates the two
+    // cells so the 2-centroid partial retrain seeds the drift cluster
+    val drift = ((20L, vec(0.76, 0.65, 0)) +: (21L, vec(0.65, 0.76, 0)) +:
+      (22L until 38L).map(i => (i,
+        vec(0.71 + 0.002 * (i % 5), 0.70 - 0.002 * (i % 5), 0.02))))
+      .toDF("vec_id", "embedding")
+    Similarity.IvfPq.append(drift, "vec_id", "embedding", path)
+    def probed(qid: Long, qv: Seq[Float], k: Int): Seq[Long] =
+      Similarity.IvfPq.topKPersisted(spark, path,
+        Seq((qid, qv)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = k, nProbe = 1)
+        .select("neighbor_id").as[Long].collect().toSeq
+    // the pair straddles: 20 and 21 sit in DIFFERENT stale cells, so a
+    // one-probe query from 20 can never reach 21
+    val cellsOf = Similarity.Ivf.withCell(drift, "embedding", cents0)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(cellsOf(20L) != cellsOf(21L), "pair must straddle stale cells")
+    assert(!probed(20L, vec(0.76, 0.65, 0), 20).contains(21L),
+      "the drifted index must not reach across the stale boundary")
+    // tombstone one drift member before the repair
+    Similarity.IvfPq.remove(Seq(30L).toDF("vec_id"), "vec_id", path)
+    val st0 = graft.sources.TxLog.currentState(spark, path).get
+    val full = base.unionByName(drift)
+    // coverage guard: a corpus missing live drifted members refuses
+    val e = intercept[IllegalArgumentException] {
+      Similarity.IvfPq.rebalancePartial(spark, path,
+        full.filter(col("vec_id") =!= 22L), "vec_id", "embedding",
+        Seq(cellsOf(20L), cellsOf(21L)), sampleN = 100, iters = 8)
+    }
+    assert(e.getMessage.contains("absent from the given corpus"),
+      e.getMessage)
+    Similarity.IvfPq.rebalancePartial(spark, path, full, "vec_id",
+      "embedding", Seq(cellsOf(20L), cellsOf(21L)),
+      sampleN = 100, iters = 8)
+    val st1 = graft.sources.TxLog.currentState(spark, path).get
+    // untouched cells' code files carry over unrewritten; the frozen
+    // codebooks are the SAME committed files; tombstones ride along
+    val untouchedCells = (0 until 4)
+      .filterNot(c => c == cellsOf(20L) || c == cellsOf(21L)).toSet
+    val keep0 = st0.tables("codes").filter(f =>
+      "cell=(\\d+)/".r.findFirstMatchIn(f)
+        .exists(m => untouchedCells.contains(m.group(1).toInt)))
+    assert(keep0.nonEmpty &&
+      keep0.forall(st1.tables("codes").contains),
+      "untouched cells' files must carry over byte-identical")
+    assert(st1.tables("codebooks") == st0.tables("codebooks"),
+      "frozen codebooks must be the same committed files")
+    assert(st1.tables("deletes") == st0.tables("deletes"),
+      "tombstones must be preserved, not cleared")
+    // untouched centroids byte-identical; re-routed codes byte-identical
+    val (cents1, _) = Similarity.IvfPq.loadModels(spark, path)
+    untouchedCells.foreach(c =>
+      assert(cents1(c).sameElements(cents0(c)),
+        s"untouched centroid $c must stay byte-identical"))
+    def codesOf(st: graft.sources.TxLog.State, id: Long): Seq[Byte] =
+      graft.sources.TxLog.readPartitioned(spark, path, st, "codes").get
+        .filter(col("neighbor_id") === id)
+        .select("codes").as[Array[Byte]].head().toSeq
+    assert(codesOf(st1, 20L) == codesOf(st0, 20L),
+      "a re-routed row's codes must not change (vector-space PQ)")
+    // recall across the healed boundary: the pair is now co-located
+    val healed = probed(20L, vec(0.76, 0.65, 0), 20)
+    assert(healed.contains(21L),
+      "the partial repair must restore recall on the drifted region")
+    // the tombstoned drift member stays dead (and was purged from the
+    // re-staged cells)
+    assert(!healed.contains(30L),
+      "the removed id must not resurrect through the partial repair")
+    // base clusters outside the repair still answer exactly
+    assert(probed(100L, vec(0, 0, 0.97), 1).head == 7L)
+  }
+
   test("IvfIndex: persisted probe equals brute force and prunes partitions") {
     val path = java.nio.file.Files.createTempDirectory("ivf_idx").toString
     Similarity.IvfIndex.build(corpus, "vec_id", "embedding", cells = 2,

@@ -209,13 +209,26 @@ class CubeCatalog(root: DataFrame, oracle: SemanticOracle,
     * NL-equivalent-but-structurally-distinct query pair (`sem_filter
     * "spark"` vs `keyword_filter ["spark"]`, say) can still reuse.
     * Without a judge this IS [[relation5]].
+    *
+    * Verdicts are MEMOIZED per (queryText, cachedText) pair (r19):
+    * a long session re-running the same structurally-alien query pays
+    * the judge once per pair ever, not once per descent — cached query
+    * texts are immutable, so a verdict can never go stale. Bounded;
+    * evicted wholesale (verdicts are cheap to re-ask relative to
+    * unbounded growth).
     */
+  private val judgeMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Relation5]
+
   def relation5Judged(cached: Seq[LogicalOp], query: Seq[LogicalOp],
       cachedText: String, queryText: String): Relation5 = {
     val structural = relation5(cached, query)
     if (structural != NoRelation5) structural
     else relationJudge match {
-      case Some(j) => parseRelation5(j(queryText, cachedText))
+      case Some(j) =>
+        if (judgeMemo.size > 4096) judgeMemo.clear()
+        judgeMemo.computeIfAbsent((queryText, cachedText),
+          _ => parseRelation5(j(queryText, cachedText)))
       case None => structural
     }
   }

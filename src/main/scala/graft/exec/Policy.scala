@@ -346,6 +346,53 @@ object Policied {
     }
   }
 
+  /** sem_map under a policy: MinCost keeps the compiled extraction
+    * (codegen, zero calls); MaxQuality extracts from every row
+    * out-of-band. `reduceTo` applies token reduction to the extraction
+    * INPUT, parity-probed on the EXTRACTED VALUES — any sampled row
+    * whose reduced-text extraction differs from the full-text one
+    * rejects the reduction (a stricter check than the filter's boolean
+    * parity: derivations must match, not just keep/drop).
+    */
+  def semMap(df: DataFrame, op: LogicalOp.SemMap, oracle: SemanticOracle,
+      policy: Policy, usdPerCall: Double = 0.0, usdPerMChars: Double = 0.0,
+      reduceTo: Seq[String] = Seq.empty,
+      paritySample: Int = 64): PoliciedOp = {
+    val (meter, charsM) = meters(df)
+    val metered = new MeteredOracle(oracle, meter,
+      forwardCompile = policy == Policy.MinCost, chars = charsM)
+    val compiled = policy == Policy.MinCost &&
+      oracle.compileExtract(op.mapDescription).isDefined
+    if (compiled) {
+      new PoliciedOp(graft.ops.SemMap(df, op, metered), "sem_map",
+        op.keyword, "compiled", 0L, meter, charsM, usdPerCall,
+        usdPerMChars)
+    } else {
+      val fullCols = if (op.columns.nonEmpty) op.columns else df.columns.toSeq
+      val wantReduce = reduceTo.nonEmpty &&
+        reduceTo.toSet.subsetOf(fullCols.toSet) &&
+        reduceTo.toSet != fullCols.toSet
+      val reduceOk = wantReduce && {
+        val sample = df.select(Ops.textCol(df, op.columns).as("f"),
+          Ops.textCol(df, reduceTo).as("r")).limit(paritySample).collect()
+        sample.forall { r =>
+          metered.extract(Option(r.getString(0)).getOrElse(""),
+            op.mapDescription) ==
+            metered.extract(Option(r.getString(1)).getOrElse(""),
+              op.mapDescription)
+        }
+      }
+      val judged = if (reduceOk) op.copy(columns = reduceTo) else op
+      val strategy =
+        if (reduceOk) "per_row_reduced"
+        else if (wantReduce) "per_row_reduction_rejected"
+        else "per_row"
+      new PoliciedOp(graft.ops.SemMap(df, judged, metered), "sem_map",
+        op.keyword, strategy, rowEst(df), meter, charsM, usdPerCall,
+        usdPerMChars)
+    }
+  }
+
   /** sem_topk under a policy — the score/duel trade the reference's
     * tournament embodies (Operaters.py:453-494):
     *
@@ -394,7 +441,9 @@ object Policied {
     */
   def semGroup(df: DataFrame, op: LogicalOp.SemGroup, vocab: Seq[TagRule],
       oracle: SemanticOracle, policy: Policy, usdPerCall: Double = 0.0,
-      usdPerMChars: Double = 0.0, maxTags: Int = 20): PoliciedOp = {
+      usdPerMChars: Double = 0.0, maxTags: Int = 20,
+      reduceTo: Seq[String] = Seq.empty,
+      paritySample: Int = 64): PoliciedOp = {
     val (meter, charsM) = meters(df)
     val metered = new MeteredOracle(oracle, meter,
       forwardCompile = policy == Policy.MinCost, chars = charsM)
@@ -404,11 +453,32 @@ object Policied {
     val kind = if (vocab.nonEmpty) "closed_vocab" else "mined_vocab"
     val compiled =
       policy == Policy.MinCost && oracle.compileClassify(v).isDefined
-    val out = SemGroup(df, op, v, metered)
+    // token reduction on the per-row path only (compiled CASE cascades
+    // cost zero calls at any prompt size), parity-probed on the
+    // ASSIGNED LABELS: any sampled row whose reduced-text label differs
+    // rejects the reduction
+    val fullCols = if (op.columns.nonEmpty) op.columns else df.columns.toSeq
+    val wantReduce = !compiled && reduceTo.nonEmpty &&
+      reduceTo.toSet.subsetOf(fullCols.toSet) &&
+      reduceTo.toSet != fullCols.toSet
+    val reduceOk = wantReduce && {
+      val sample = df.select(Ops.textCol(df, op.columns).as("f"),
+        Ops.textCol(df, reduceTo).as("r")).limit(paritySample).collect()
+      sample.forall { r =>
+        metered.classify(Option(r.getString(0)).getOrElse(""), v) ==
+          metered.classify(Option(r.getString(1)).getOrElse(""), v)
+      }
+    }
+    val judged = if (reduceOk) op.copy(columns = reduceTo) else op
+    val out = SemGroup(df, judged, v, metered)
     val est = if (compiled) 0L else rowEst(df)
-    new PoliciedOp(out, "sem_group", op.keyword,
-      s"${kind}_${if (compiled) "compiled" else "per_row"}", est, meter,
-      charsM, usdPerCall, usdPerMChars)
+    val mode =
+      if (compiled) "compiled"
+      else if (reduceOk) "per_row_reduced"
+      else if (wantReduce) "per_row_reduction_rejected"
+      else "per_row"
+    new PoliciedOp(out, "sem_group", op.keyword, s"${kind}_$mode", est,
+      meter, charsM, usdPerCall, usdPerMChars)
   }
 
   /** The slice verb under a policy: the keyword prefilter is slice

@@ -342,4 +342,19 @@ class CatalogSpec extends SparkSpec {
       "level b spark high"),
       s"descent must be roots + Subset path only, got: $asked")
   }
+
+  test("judge verdicts memoize per (query, cached) pair (r19): a repeat " +
+      "consultation costs zero oracle calls — query texts are immutable " +
+      "so a verdict can never go stale") {
+    var asked = 0
+    val cat = new CubeCatalog(fixture, oracle,
+      Some((_, _) => { asked += 1; "no_relation" }))
+    val q = Seq(LogicalOp.SemFilter(Seq("title"), "windowed analytics"))
+    cat.relation5Judged(Seq(fSpark), q, "spark docs", "alien query")
+    cat.relation5Judged(Seq(fSpark), q, "spark docs", "alien query")
+    assert(asked == 1, "the second identical pair must hit the memo")
+    // a DIFFERENT pair still pays its own call
+    cat.relation5Judged(Seq(fScore), q, "high score docs", "alien query")
+    assert(asked == 2)
+  }
 }

@@ -256,6 +256,76 @@ class PolicySpec extends SparkSpec {
     assert(mined.df.where($"grp".isNotNull).count() == 60L)
   }
 
+  test("Policied.semMap: MinCost compiles the extraction (0 calls), " +
+      "MaxQuality bills per row; token reduction parity-probes the " +
+      "EXTRACTED VALUES and accepts only when derivations match") {
+    val pad = "x".repeat(300)
+    val df = (1 to 80).map(i =>
+      (i.toLong, s"$pad filler $i", s"code-${i % 7}")).toDF("id", "body", "tag")
+    val op = LogicalOp.SemMap(Seq.empty, "code-(\\d+)", "grp_code")
+    val minC = Policied.semMap(df, op, oracle, Policy.MinCost,
+      usdPerCall = 0.01)
+    val maxQ = Policied.semMap(df, op, oracle, Policy.MaxQuality,
+      usdPerCall = 0.01)
+    def vals(d: org.apache.spark.sql.DataFrame) =
+      d.select("id", "grp_code").as[(Long, String)].collect().sorted.toSeq
+    val maxVals = vals(maxQ.df)
+    val maxChars = maxQ.report().judgedChars // one full per-row pass
+    assert(vals(minC.df) == maxVals)
+    assert(minC.report().oracleCalls == 0L, minC.explain)
+    assert(maxQ.report().oracleCalls == 80L, maxQ.explain)
+    assert(minC.explain.contains("strategy=compiled"))
+    // the evidence (code-N) lives wholly in `tag`: reduction accepted,
+    // characters cut, values identical
+    val red = Policied.semMap(df, op, oracle, Policy.MaxQuality,
+      usdPerCall = 0.01, usdPerMChars = 1.0, reduceTo = Seq("tag"),
+      paritySample = 8)
+    assert(vals(red.df) == maxVals)
+    assert(red.explain.contains("strategy=per_row_reduced"), red.explain)
+    assert(red.report().judgedChars * 5 <= maxChars,
+      s"${red.report().judgedChars} vs $maxChars")
+    // evidence in `body` instead: the value-parity probe rejects
+    val df2 = (1 to 40).map(i =>
+      (i.toLong, s"code-${i % 7} $pad", "na")).toDF("id", "body", "tag")
+    val rej = Policied.semMap(df2, op, oracle, Policy.MaxQuality,
+      reduceTo = Seq("tag"), paritySample = 8)
+    assert(rej.explain.contains("strategy=per_row_reduction_rejected"),
+      rej.explain)
+    assert(rej.df.where($"grp_code".isNotNull).count() == 40L)
+  }
+
+  test("Policied.semGroup token reduction: label-parity accepts a " +
+      "column prune and cuts judged characters; a label flip on the " +
+      "sample rejects it") {
+    val pad = "y".repeat(300)
+    val df = (1 to 60).map(i => (i.toLong, s"$pad doc $i",
+      if (i % 2 == 0) "alpha kind" else "beta kind")).toDF("id", "body", "tag")
+    val vocab = Seq(graft.oracle.TagRule("alpha", "a"),
+      graft.oracle.TagRule("beta", "b"))
+    val op = LogicalOp.SemGroup(Seq.empty, "letter", "grp")
+    val full = Policied.semGroup(df, op, vocab, oracle, Policy.MaxQuality,
+      usdPerCall = 0.01, usdPerMChars = 1.0)
+    val red = Policied.semGroup(df, op, vocab, oracle, Policy.MaxQuality,
+      usdPerCall = 0.01, usdPerMChars = 1.0, reduceTo = Seq("tag"),
+      paritySample = 8)
+    def labels(d: org.apache.spark.sql.DataFrame) =
+      d.select("id", "grp").as[(Long, String)].collect().sorted.toSeq
+    assert(labels(full.df) == labels(red.df))
+    assert(red.explain.contains("strategy=closed_vocab_per_row_reduced"),
+      red.explain)
+    assert(red.report().judgedChars * 5 <= full.report().judgedChars,
+      s"${red.report().judgedChars} vs ${full.report().judgedChars}")
+    // evidence in `body`: pruning to `tag` flips labels -> rejected
+    val df2 = (1 to 40).map(i => (i.toLong,
+      (if (i % 2 == 0) "alpha" else "beta") + s" $pad", "na"))
+      .toDF("id", "body", "tag")
+    val rej = Policied.semGroup(df2, op, vocab, oracle, Policy.MaxQuality,
+      reduceTo = Seq("tag"), paritySample = 8)
+    assert(rej.explain.contains(
+      "strategy=closed_vocab_per_row_reduction_rejected"), rej.explain)
+    assert(rej.df.where($"grp".isNotNull).count() == 40L)
+  }
+
   test("Policied.run carries per-operator cost lines: consecutive filters " +
       "fuse to one cascade line; sem_group and sem_topk get their own") {
     val docs = (1 to 50).map(i => (i.toLong,

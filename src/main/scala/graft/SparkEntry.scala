@@ -523,6 +523,46 @@ object SparkEntry {
         (rMax.strategy, rowsMax, rMax.oracleCalls))
         .toDF("strategy", "rows_kept", "oracle_calls").orderBy("strategy")
     }),
+    // ---- whole-plan policy execution with per-operator lines (r19) ------
+    "q_policy_plan" -> ((s, dir) => {
+      // a WHOLE reference-format plan (cascade filters + open-set
+      // sem_group + sem_topk) executed under both policies: identical
+      // top-k ids, MinCost all-compiled at ZERO out-of-band calls,
+      // MaxQuality billed per operator — and the per-operator lines
+      // state exactly where the money went: the fused cascade's sem
+      // judge sees only the CHEAP leaves' survivors (cost ordering),
+      // while sem_group classification and sem_topk scoring each pay
+      // one call per cascade survivor (the open-set group's mining
+      // pass reads the persisted filter output instead of re-billing
+      // the cascade — single-billing required in-gate).
+      import s.implicits._
+      import graft.exec.{Policied, Policy}
+      val docs = t(s, dir, "documents")
+      val plan = Seq(
+        LogicalOp.SemFilter(Seq("text"), "spark stream"),
+        LogicalOp.NumFilter(Seq(NumCondition("n_chars", 200, ">=")), "and"),
+        LogicalOp.KeywordFilter(Seq("text"), Seq("join"), "and", "contains"),
+        LogicalOp.SemGroup(Seq("text"), "dominant token", "topic"),
+        LogicalOp.SemTopK(Seq("text"), "spark join window", 5))
+      val (outMin, repMin) = Policied.run(docs, plan, oracle,
+        Policy.MinCost, usdPerCall = 0.001, tiebreak = Seq("doc_id"))
+      val (outMax, repMax) = Policied.run(docs, plan, oracle,
+        Policy.MaxQuality, usdPerCall = 0.001, tiebreak = Seq("doc_id"))
+      val idsMin = outMin.select("doc_id").as[Long].collect().toSeq
+      val idsMax = outMax.select("doc_id").as[Long].collect().toSeq
+      require(idsMin == idsMax && idsMin.size == 5,
+        s"policies must agree on the plan result: $idsMin vs $idsMax")
+      require(repMin.oracleCalls == 0L,
+        s"MinCost must keep the whole plan compiled: ${repMin.explain}")
+      require(repMax.ops.map(_.operator) ==
+        Seq("sem_filter", "sem_group", "sem_topk"),
+        s"one line per oracle-consulting step: ${repMax.explain}")
+      require(repMax.ops.forall(_.oracleCalls > 0L), repMax.explain)
+      require(repMax.oracleCalls == repMax.ops.map(_.oracleCalls).sum,
+        repMax.explain)
+      repMax.ops.map(o => (o.operator, o.strategy, o.oracleCalls))
+        .toDF("operator", "strategy", "oracle_calls").orderBy("operator")
+    }),
     // ---- allow_token_reduction analogue (r19): judged-character budget --
     "q_policy_tokens" -> ((s, dir) => {
       // the same per-row condition judged with and without column-pruning
@@ -9973,6 +10013,30 @@ object SparkEntry {
                    WHERE contains(lower(text), 'spark')
                       OR contains(lower(text), 'stream'))
          ) ORDER BY strategy""",
+    // the cascade's sem judge is billed for the CHEAP leaves' survivors
+    // only (cost ordering); group classification and top-k scoring each
+    // pay one call per full-cascade survivor
+    "q_policy_plan" ->
+      """SELECT * FROM (
+           SELECT 'sem_filter' AS operator, 'per_row' AS strategy,
+                  (SELECT count(*) FROM documents
+                   WHERE try_cast(n_chars AS DOUBLE) >= 200
+                     AND contains(lower(text), 'join')) AS oracle_calls
+           UNION ALL
+           SELECT 'sem_group', 'auto',
+                  (SELECT count(*) FROM documents
+                   WHERE try_cast(n_chars AS DOUBLE) >= 200
+                     AND contains(lower(text), 'join')
+                     AND contains(lower(text), 'spark')
+                     AND contains(lower(text), 'stream'))
+           UNION ALL
+           SELECT 'sem_topk', 'score_sort_per_row',
+                  (SELECT count(*) FROM documents
+                   WHERE try_cast(n_chars AS DOUBLE) >= 200
+                     AND contains(lower(text), 'join')
+                     AND contains(lower(text), 'spark')
+                     AND contains(lower(text), 'stream'))
+         ) ORDER BY operator""",
     // 'fr' appears only in the lang column of this corpus, so judging the
     // reduced text (lang alone) keeps the answer hash-identical
     "q_policy_tokens" ->

@@ -576,7 +576,10 @@ object Policied {
     val rows = out.count()
     val sec = (System.nanoTime() - t0) / 1e9
     val opCosts = lines.toSeq.map { case (op, m, c) =>
-      OpCost(op.name, columnLabel(op), strategyLabel(op), -1L, m.value,
+      // compiled steps are provably zero-call at plan time; everything
+      // else is unknown until the meter reports (-1)
+      val est = if (strategyLabel(op).endsWith("compiled")) 0L else -1L
+      OpCost(op.name, columnLabel(op), strategyLabel(op), est, m.value,
         c.value, m.value * usdPerCall + c.value * usdPerMChars / 1e6)
     }
     val calls = opCosts.map(_.oracleCalls).sum

@@ -332,9 +332,15 @@ class CubeCatalog(root: DataFrame, oracle: SemanticOracle,
         relation5Judged(n.filterOps, filters, n.query, queryText) match {
           case Equal5 => return Some((n, Equal5))
           case Subset5 =>
-            // BFS order: a later Subset is at least as deep — the
-            // smaller (or equal) cached superset wins
-            best = Some((n, Subset5))
+            // prefer the SMALLEST judged superset (most predicates, then
+            // newest — bestBaseImplied's order). BFS depth alone is not a
+            // proxy across branches: a 1-predicate sibling dequeued after
+            // a 4-predicate find must not overwrite it. A child always
+            // outranks its own ancestor (strictly more predicates).
+            if (best.forall { case (b, _) =>
+                n.predicates.size > b.predicates.size ||
+                  (n.predicates.size == b.predicates.size && n.id > b.id) })
+              best = Some((n, Subset5))
             childrenOf(n).foreach(queue.enqueue(_))
           case _ => () // prune: the subtree is never judged
         }

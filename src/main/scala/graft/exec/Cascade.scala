@@ -200,10 +200,18 @@ object PlanRunner {
             if (!base.columns.contains(op.keyword)) { // granularity reuse
               // open-set grouping scans twice (vocabulary mining is a
               // separate action before classification); when an earlier
-              // plan step pays an OUT-OF-BAND oracle per row, persist the
-              // frame so the mining pass does not re-judge (and re-bill)
-              // the whole upstream cascade. Compiled upstreams recompute
-              // for free and skip the cache.
+              // plan step pays an OUT-OF-BAND oracle per row, materialize
+              // the frame so the mining pass does not re-judge (and
+              // re-bill) the whole upstream cascade. localCheckpoint, not
+              // persist: CacheManager pins a persisted frame for the
+              // session's lifetime (no caller ever sees it to unpersist —
+              // a long-lived service would leak one cached cascade per
+              // plan), while checkpoint blocks are weakly held and the
+              // ContextCleaner reclaims them once the plan's frames are
+              // unreachable. Lineage truncation is the point here — a
+              // recompute would re-bill — so losing the persist-path
+              // recompute fallback costs nothing we want to keep.
+              // Compiled upstreams recompute for free and skip it.
               val oraclePaysUpstream = plan.take(i).exists {
                 case f: LogicalOp.SemFilter =>
                   oracle.compileJudge(f.condition).isEmpty
@@ -212,8 +220,7 @@ object PlanRunner {
                 case _ => false
               }
               val src =
-                if (oraclePaysUpstream) base.persist(
-                  org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                if (oraclePaysUpstream) base.localCheckpoint(false)
                 else base
               base = SemGroup(src, op, oracle, maxTags = 20)
             }

@@ -245,12 +245,16 @@ object Policied {
     *     judge a TRUNCATED value set — a silent quality loss — so
     *     MinCost ESCALATES to the per-row path instead: quality loss is
     *     only ever a MaxQuality-vs-MinCost delta the report shows,
-    *     never a silent subset.
+    *     never a silent subset. The bound is verified EXACTLY
+    *     ([[FilterEnum.distinctWithin]] collects `maxDistinct + 1`;
+    *     overflow escalates) — the sampled [[ColumnStats]] gate alone
+    *     can undercount a column whose rare values cluster past the
+    *     sample prefix, and the enum filter would then drop their rows.
     *   - MaxQuality: per-row judgment always (no synthesized pattern
     *     code, no enum pushdown) — the reference's plain LLM-filter plan.
     *
     * Estimates: pattern/compare 0; enum = the exact distinct-set size
-    * (the escalation guarantees it is within [[maxDistinct]]); per-row =
+    * (collected, within [[maxDistinct]] by construction); per-row =
     * Catalyst's row-count statistic when the plan carries one, else -1.
     */
   def dice(df: DataFrame, column: String, condition: String,
@@ -262,20 +266,24 @@ object Policied {
     // out-of-band and bills it
     val metered = new MeteredOracle(oracle, meter,
       forwardCompile = policy == Policy.MinCost, chars = charsM)
-    val choice: Dice.Choice = policy match {
-      case Policy.MaxQuality => Dice.SemFallback
-      case Policy.MinCost => Dice.choose(df, column, condition) match {
-        case Dice.EnumStrategy
-            if ColumnStats.enumStatsCached(df, column).nDistinct >
-              maxDistinct.toLong =>
-          Dice.SemFallback // never judge a truncated value set
-        case c => c
+    val (choice, enumVals): (Dice.Choice, Option[Seq[String]]) =
+      policy match {
+        case Policy.MaxQuality => (Dice.SemFallback, None)
+        case Policy.MinCost => Dice.choose(df, column, condition) match {
+          case Dice.EnumStrategy =>
+            // exact guard, not the sampled stat: collect maxDistinct+1
+            // distincts once (the same job the enum filter needs anyway);
+            // overflow ⇒ never judge a truncated value set
+            FilterEnum.distinctWithin(df, column, maxDistinct) match {
+              case some @ Some(_) => (Dice.EnumStrategy, some)
+              case None => (Dice.SemFallback, None)
+            }
+          case c => (c, None)
+        }
       }
-    }
     val est: Long = choice match {
       case Dice.PatternStrategy | Dice.CompareStrategy => 0L
-      case Dice.EnumStrategy =>
-        ColumnStats.enumStatsCached(df, column).nDistinct
+      case Dice.EnumStrategy => enumVals.get.size.toLong
       case Dice.SemFallback =>
         // a MinCost escalation with a compilable judge stays codegen: the
         // per-row path costs zero out-of-band calls
@@ -290,7 +298,7 @@ object Policied {
         // reuse, one oracle call per batch, every row judged
         SemFilter(df, LogicalOp.SemFilter(Seq(column), condition), metered)
       case Dice.EnumStrategy =>
-        FilterEnum(df, column, condition, metered, maxDistinct)
+        FilterEnum.fromValues(df, column, condition, metered, enumVals.get)
       case _ =>
         df.filter(Dice.predicate(df, column, condition, metered))
     }
@@ -561,24 +569,43 @@ object Policied {
     // MeteredOracle is referenced only by that step's expressions, so a
     // single final action still attributes calls to the right line
     val lines = scala.collection.mutable.ArrayBuffer
-      .empty[(LogicalOp, LongAccumulator, LongAccumulator)]
+      .empty[(Int, LogicalOp, LongAccumulator, LongAccumulator)]
     val memo = scala.collection.mutable.Map.empty[Int, SemanticOracle]
     def oracleFor(i: Int, op: LogicalOp): SemanticOracle =
       memo.getOrElseUpdate(i, {
         val m = sc.longAccumulator(s"graft.oracle.calls.$i")
         val c = sc.longAccumulator(s"graft.oracle.chars.$i")
-        lines += ((op, m, c))
+        lines += ((i, op, m, c))
         new MeteredOracle(oracle, m, forwardCompile = forward, chars = c)
       })
+
+    // provably zero out-of-band calls at plan time?
+    def zeroCall(op: LogicalOp): Boolean = op match {
+      case _: LogicalOp.KeywordFilter | _: LogicalOp.NumFilter => true
+      case f: LogicalOp.SemFilter =>
+        forward && oracle.compileJudge(f.condition).isDefined
+      case m: LogicalOp.SemMap =>
+        forward && oracle.compileExtract(m.mapDescription).isDefined
+      case t: LogicalOp.SemTopK =>
+        forward && oracle.compileScore(t.query).isDefined
+      case _ => false
+    }
 
     val t0 = System.nanoTime()
     val out = PlanRunner.runSeamed(df, plan, oracleFor, tiebreak)._1
     val rows = out.count()
     val sec = (System.nanoTime() - t0) / 1e9
-    val opCosts = lines.toSeq.map { case (op, m, c) =>
-      // compiled steps are provably zero-call at plan time; everything
-      // else is unknown until the meter reports (-1)
-      val est = if (strategyLabel(op).endsWith("compiled")) 0L else -1L
+    val opCosts = lines.toSeq.map { case (i, op, m, c) =>
+      // a fused filter run reports as ONE line keyed by its FIRST op —
+      // it is provably zero-call only when EVERY filter in the run
+      // compiles (the first being compiled says nothing about a later
+      // non-compilable judge in the same cascade); everything else is
+      // unknown until the meter reports (-1)
+      val fusedRun =
+        if (PlanRunner.isFilter(op))
+          plan.drop(i).takeWhile(PlanRunner.isFilter)
+        else Seq(op)
+      val est = if (fusedRun.forall(zeroCall)) 0L else -1L
       OpCost(op.name, columnLabel(op), strategyLabel(op), est, m.value,
         c.value, m.value * usdPerCall + c.value * usdPerMChars / 1e6)
     }

@@ -253,19 +253,54 @@ object FilterPattern {
   * distinct value when it appears among the condition's tokens.
   */
 object FilterEnum {
-  def keepSet(df: DataFrame, column: String, condition: String,
-      oracle: SemanticOracle, maxDistinct: Int = 100): Seq[String] = {
-    val distinct = df.select(col(column).cast("string")).na.drop()
-      .distinct().limit(maxDistinct)
-      .collect().map(_.getString(0)).toSeq.sorted
+  /** The column's EXACT distinct set iff it is within `maxDistinct`:
+    * collects `maxDistinct + 1` and returns None on overflow. This is
+    * the contract [[graft.exec.Policied]]'s MinCost escalation needs —
+    * the sampled [[ColumnStats]] gate can undercount a column whose
+    * rare values cluster past the sample prefix, and acting on a
+    * truncated set silently drops rows. Same cost class as [[keepSet]]
+    * (one distinct aggregation, bounded collect).
+    */
+  def distinctWithin(df: DataFrame, column: String,
+      maxDistinct: Int): Option[Seq[String]] = {
+    val d = df.select(col(column).cast("string")).na.drop()
+      .distinct().limit(maxDistinct + 1)
+      .collect().map(_.getString(0)).toSeq
+    if (d.length > maxDistinct) None else Some(d.sorted)
+  }
+
+  /** Oracle pick over an already-collected distinct set — one judged
+    * value per distinct, never per row.
+    */
+  def keepFrom(distinct: Seq[String], condition: String,
+      oracle: SemanticOracle): Seq[String] = {
     val toks = graft.oracle.DeterministicOracle.tokens(condition).toSet
     distinct.filter(v => toks.contains(v.toLowerCase) ||
       oracle.judge(v, condition))
   }
 
+  /** Reference semantics (first `maxDistinct` distincts, truncating —
+    * Operaters.py:290-294); callers needing the exact-set guarantee use
+    * [[distinctWithin]] + [[fromValues]] instead.
+    */
+  def keepSet(df: DataFrame, column: String, condition: String,
+      oracle: SemanticOracle, maxDistinct: Int = 100): Seq[String] =
+    keepFrom(df.select(col(column).cast("string")).na.drop()
+      .distinct().limit(maxDistinct)
+      .collect().map(_.getString(0)).toSeq.sorted, condition, oracle)
+
   def apply(df: DataFrame, column: String, condition: String,
       oracle: SemanticOracle, maxDistinct: Int = 100): DataFrame = {
     val keep = keepSet(df, column, condition, oracle, maxDistinct)
+    df.filter(col(column).cast("string").isin(keep: _*))
+  }
+
+  /** [[apply]] over a pre-collected EXACT distinct set (from
+    * [[distinctWithin]]) — no second distinct job, no truncation.
+    */
+  def fromValues(df: DataFrame, column: String, condition: String,
+      oracle: SemanticOracle, values: Seq[String]): DataFrame = {
+    val keep = keepFrom(values, condition, oracle)
     df.filter(col(column).cast("string").isin(keep: _*))
   }
 }

@@ -1027,6 +1027,10 @@ object Merge {
         s"no column '$from' in ${schema.fieldNames.mkString(", ")}")
       require(!schema.fieldNames.contains(to),
         s"column '$to' already exists")
+      require(!to.startsWith("@"),
+        s"column name '$to' is reserved ('@' prefix marks engine " +
+        "metadata entries — sidecar refs and the statsx placeholder); " +
+        "its stats entries would collide with the per-file placeholder")
       val l2p = parent.colMap.toMap
       val physInUse = schema.fieldNames.toSeq.filterNot(_ == from)
         .map(c => l2p.getOrElse(c, c)).toSet ++ parent.physRetired
@@ -1127,6 +1131,9 @@ object Merge {
           s"$path records no schema — rewrite with writeKeyed first"))
       require(!schema.fieldNames.contains(name),
         s"column '$name' already exists")
+      require(!name.startsWith("@"),
+        s"column name '$name' is reserved ('@' prefix marks engine " +
+        "metadata entries — sidecar refs and the statsx placeholder)")
       val l2p = parent.colMap.toMap
       val physInUse = schema.fieldNames.toSeq
         .map(c => l2p.getOrElse(c, c)).toSet ++ parent.physRetired
@@ -1134,6 +1141,15 @@ object Merge {
         s"'$name' is still a PHYSICAL column name in this table's " +
         "files (held by a renamed column or retired by a drop) — " +
         "re-using it would resurrect old file data; pick another name")
+      // a RETIRED logical name is reserved here exactly as in
+      // [[renameColumn]]: stats sidecars written while it was current
+      // still store it, and histToCur would translate the re-added
+      // column's future entries into the RENAMED column's stats —
+      // bounds on that column would then prune with this one's min/max
+      require(!parent.colAliases.exists(_._1 == name),
+        s"'$name' was a previous logical name of a column in this table " +
+        "(immutable stats sidecars may still reference it) — pick " +
+        "another name or rewrite the table")
       try {
         writeManifest(fs, root,
           parent.copy(version = parentV + 1, parent = parentV,
@@ -1361,7 +1377,11 @@ object Merge {
       entries: Seq[Skipping.FileStats], extCols: Set[String])
       : Seq[Skipping.FileStats] = {
     val (move, keep) = entries.partition(e =>
-      extCols.contains(e.col) && !Skipping.isBloomSpec(e.col))
+      extCols.contains(e.col) && !Skipping.isBloomSpec(e.col) &&
+        // a carried-over placeholder (incl. the legacy bare-named one)
+        // must pass through, never be re-externalized as if it were a
+        // data column's entry
+        !Skipping.isStatsxPlaceholder(e))
     if (move.isEmpty) return entries
     val dir = "_graft_bloom/" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(16)
@@ -1819,7 +1839,17 @@ object Merge {
       }
     }
     def colStatsOf(f: String): Map[String, Skipping.FileStats] = {
-      val cs = byFile.getOrElse(f, Map.empty)
+      val cs0 = byFile.getOrElse(f, Map.empty)
+      // pre-r19 manifests stored the placeholder under the bare name
+      // "statsx": normalize to the reserved key so (a) its sidecar
+      // still resolves below and (b) its min/max=None can never read as
+      // "all-null column" under a bound on a data column named statsx
+      val cs = cs0.get(Skipping.LegacyStatsxEntry)
+        .filter(Skipping.isStatsxPlaceholder) match {
+        case Some(e) =>
+          cs0 - Skipping.LegacyStatsxEntry + (Skipping.StatsxEntry -> e)
+        case None => cs0
+      }
       if (statsxBases.isEmpty ||
           !bounds.exists(b => statsxBases(b.column) && !cs.contains(b.column)))
         cs
@@ -1918,7 +1948,11 @@ object Merge {
     */
   private def columnEntries(fs: FileSystem, root: Path, m: Manifest,
       column: String): Map[String, Skipping.FileStats] = {
-    val inline = m.stats.filter(_.col == column)
+    // a legacy bare-named placeholder must not masquerade as inline
+    // stats for a data column named "statsx" (its min/max=None would
+    // read as an all-null column)
+    val inline = m.stats.filter(e => e.col == column &&
+        !Skipping.isStatsxPlaceholder(e))
       .groupBy(_.file).view.mapValues(_.head).toMap
     if (!m.statsCols.contains(Skipping.StatsxPrefix + column)) inline
     else {
@@ -1929,7 +1963,7 @@ object Merge {
       val names = Set(column, phys) ++
         m.colAliases.collect { case (old, p) if p == phys => old }
       val fromSidecars = m.stats
-        .filter(e => e.col == Skipping.StatsxEntry &&
+        .filter(e => Skipping.isStatsxPlaceholder(e) &&
           !inline.contains(e.file))
         .flatMap(e => e.bloom.filter(Skipping.isBloomRef).toSeq
           .flatMap(ref => Skipping.readStatsSidecar(fs, root, ref, e.file))

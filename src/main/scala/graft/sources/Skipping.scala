@@ -143,6 +143,24 @@ object Skipping {
     */
   private[sources] val StatsxEntry = "@statsx"
 
+  /** Pre-r19 manifests wrote the placeholder under the BARE name
+    * "statsx". Readers normalize those entries via
+    * [[isStatsxPlaceholder]] so old tables keep sidecar pruning and
+    * manifest-answered aggregates after the `@statsx` rename.
+    */
+  private[sources] val LegacyStatsxEntry = "statsx"
+
+  /** Placeholder test that also recognizes the legacy name by SHAPE: a
+    * sidecar ref in the bloom field with no min/max. Unambiguous — a
+    * real data column named "statsx" has min/max (or an inline base64
+    * bloom, whose alphabet has no `@`), and a bloom spec on it writes
+    * its entry as `bloom:statsx`, never bare.
+    */
+  private[sources] def isStatsxPlaceholder(e: FileStats): Boolean =
+    (e.col == StatsxEntry ||
+      (e.col == LegacyStatsxEntry && e.min.isEmpty && e.max.isEmpty)) &&
+      e.bloom.exists(isBloomRef)
+
   /** Test seam: statsx sidecar files actually read (cache misses). */
   val statsSidecarReads = new java.util.concurrent.atomic.AtomicLong(0L)
 

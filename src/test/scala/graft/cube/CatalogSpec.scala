@@ -343,6 +343,31 @@ class CatalogSpec extends SparkSpec {
       s"descent must be roots + Subset path only, got: $asked")
   }
 
+  test("cross-branch descent picks the SMALLEST judged superset (r19 " +
+      "review): a shallow sibling root dequeued later must not " +
+      "overwrite a deeper Subset find") {
+    val fYear = LogicalOp.KeywordFilter(Seq("year"), Seq("2021"), "and",
+      "contains")
+    val asked = scala.collection.mutable.ArrayBuffer.empty[String]
+    val judge: (String, String) => String = (cur, hist) => {
+      if (cur != "probe") "no_relation"
+      else { asked += hist; "subset" } // BOTH roots judged Subset
+    }
+    val cat = new CubeCatalog(fixture, oracle, Some(judge))
+    cat.filterQuery("deep spark high window", Seq(fSpark, fScore, fSem))
+    cat.filterQuery("wide year docs", Seq(fYear))
+    val got = cat.filterQuery("probe",
+      Seq(LogicalOp.SemFilter(Seq("title"), "windowed analytics")))
+    assert(asked.size == 2, s"both roots judged once, got: $asked")
+    // the base must be the 3-predicate node (the smaller row set), so
+    // the new node's plan = base.plan (3) ++ delta (1); the 1-predicate
+    // sibling as base would leave a 2-op plan re-filtering a much
+    // larger frame
+    assert(got.plan.size == 4,
+      s"the 3-predicate Subset must win over the 1-predicate sibling: " +
+        s"${got.plan.map(_.name)}")
+  }
+
   test("judge verdicts memoize per (query, cached) pair (r19): a repeat " +
       "consultation costs zero oracle calls — query texts are immutable " +
       "so a verdict can never go stale") {

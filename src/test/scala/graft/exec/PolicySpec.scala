@@ -172,6 +172,30 @@ class PolicySpec extends SparkSpec {
     assert(q.df.count() == 4L)
   }
 
+  test("the enum escalation guard is EXACT, not sampled (r19 review): " +
+      "rare distinct values clustered past the stats sample prefix " +
+      "still escalate — a keep-set can never be silently truncated") {
+    // first 100_010 rows: 3 common values fill the whole ColumnStats
+    // sample prefix (sampleCap = 100k), 10 rare matching values sit at
+    // the very end. The sampled gate sees nDistinct=3 <= maxDistinct=5
+    // and would keep the enum pushdown, whose limit(5) keep-set may
+    // drop the rare values' rows; the exact guard collects
+    // maxDistinct+1 distincts, overflows (13 > 5) and escalates.
+    val common = Seq("click", "view", "scroll")
+    val rows = (1 to 100000).map(i => (i.toLong, common(i % 3))) ++
+      (1 to 10).map(i => (100000L + i, s"error $i"))
+    val df = rows.toDF("id", "kind")
+    val sampled = ColumnStats.enumStats(df, "kind")
+    assert(sampled.isEnumerable && sampled.nDistinct <= 5L,
+      s"precondition: the sampled stat must undercount, got $sampled")
+    val p = Policied.dice(df, "kind", "error", oracle, Policy.MinCost,
+      usdPerCall = 0.01, maxDistinct = 5)
+    assert(p.strategy == Dice.SemFallback,
+      "13 true distincts > maxDistinct=5 must escalate even though the " +
+        "sampled stat says 3")
+    assert(p.df.count() == 10L, "every rare matching row kept")
+  }
+
   test("token reduction (allow_token_reduction analogue): parity-validated " +
       "column pruning cuts judged characters, identical answer") {
     val pad = "x".repeat(300)

@@ -136,4 +136,19 @@ class StrategySpec extends SparkSpec {
       .select("id").as[Long].collect()
     assert(got.toSeq == Seq(1L))
   }
+
+  test("FilterEnum.distinctWithin: exact set at the bound, None one " +
+      "past it (the truncation-free contract); fromValues filters off " +
+      "the collected set without a second distinct job") {
+    val df = Seq("berry", "apple", "cherry", "apple", "berry", null)
+      .toDF("v")
+    assert(FilterEnum.distinctWithin(df, "v", 3) ==
+      Some(Seq("apple", "berry", "cherry")))
+    assert(FilterEnum.distinctWithin(df, "v", 4) ==
+      Some(Seq("apple", "berry", "cherry")))
+    assert(FilterEnum.distinctWithin(df, "v", 2).isEmpty)
+    val kept = FilterEnum.fromValues(df, "v", "apple", oracle,
+      Seq("apple", "berry", "cherry")).select("v").as[String].collect()
+    assert(kept.toSeq == Seq("apple", "apple"))
+  }
 }

@@ -575,6 +575,55 @@ class BloomSkipSpec extends SparkSpec {
     assert(bad.getMessage.contains("previous logical name"), bad.getMessage)
   }
 
+  test("pre-r19 manifests with the BARE 'statsx' placeholder name still " +
+      "prune and answer manifest aggregates (legacy normalization, r19 " +
+      "review): the @-rename must not orphan existing tables' sidecars") {
+    val d = Files.createTempDirectory("graft_sx_legacy").toFile
+    d.deleteOnExit()
+    val src = new File(d, "t").getAbsolutePath
+    Merge.writeKeyed(
+      (0L until 200L).map(i => (i, i * 3L)).toDF("id", "v"),
+      src, "id", nBuckets = 4, statsCols = Seq("statsx:v"))
+    // simulate the r18 on-disk format by rewriting the manifests'
+    // placeholder entries to the bare name, into a FRESH directory (the
+    // manifest cache is path-keyed)
+    val legacy = new File(d, "t_legacy")
+    def copyRewrite(from: File, to: File): Unit = {
+      if (from.isDirectory) {
+        to.mkdirs(); from.listFiles().foreach(f =>
+          copyRewrite(f, new File(to, f.getName)))
+      } else if (from.getName.endsWith(".json")) {
+        val body = new String(Files.readAllBytes(from.toPath), "UTF-8")
+        Files.write(to.toPath,
+          body.replace("\"c\":\"@statsx\"", "\"c\":\"statsx\"")
+            .getBytes("UTF-8"))
+      } else Files.copy(from.toPath, to.toPath)
+    }
+    copyRewrite(new File(src), legacy)
+    val p = legacy.getAbsolutePath
+    val v = Merge.currentVersion(spark, p)
+    val logBodies = new File(legacy, "_graft_log").listFiles()
+      .filter(_.getName.endsWith(".json"))
+      .map(f => new String(Files.readAllBytes(f.toPath), "UTF-8"))
+    assert(logBodies.exists(_.contains("\"c\":\"statsx\"")) &&
+      logBodies.forall(!_.contains("@statsx")),
+      "precondition: the legacy table must carry the bare name only")
+    // a nothing-matches bound prunes EVERY file through the legacy
+    // placeholder's sidecar ref
+    val (selNone, tot) = Merge.planVersionFiles(spark, p, v,
+      Seq(Skipping.Bound("v", Some(999000L), Some(999100L))))
+    assert(tot >= 4 && selNone.isEmpty,
+      s"legacy placeholder must still prune: ${selNone.size} of $tot")
+    // an in-range bound keeps files (min/max=None must NOT read as
+    // "all-null column")
+    val (selIn, _) = Merge.planVersionFiles(spark, p, v,
+      Seq(Skipping.Bound("v", Some(0L), Some(597L))))
+    assert(selIn.size == tot, s"in-range must keep all: ${selIn.size}/$tot")
+    // manifest-answered bounds resolve the legacy sidecars too
+    assert(Merge.versionColumnBounds(spark, p, v, "v") ==
+      Some((Some(0L), Some(597L))))
+  }
+
   test("statsx sidecar codec round-trips hostile stat strings (tabs, " +
       "newlines, unicode, truncation sentinels) and caches decode-once") {
     val d = Files.createTempDirectory("graft_sx_codec").toFile

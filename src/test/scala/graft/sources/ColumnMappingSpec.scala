@@ -169,6 +169,40 @@ class ColumnMappingSpec extends SparkSpec {
     }
   }
 
+  test("addColumn refuses a RETIRED logical name and '@'-reserved names; " +
+      "rename refuses '@'-reserved names (r19 review)") {
+    val path = freshDir("resv")
+    Merge.writeKeyed(baseDf, path, "id", nBuckets = 4,
+      statsCols = Seq("statsx:score"))
+    // first rename retires no logical (score IS the physical); the
+    // second retires 'points' into colAliases
+    Merge.renameColumn(spark, path, "score", "points")
+    Merge.renameColumn(spark, path, "points", "pts")
+    // re-adding 'points' would let histToCur translate the new column's
+    // future sidecar entries into pts's stats — refused like rename
+    val e1 = intercept[IllegalArgumentException] {
+      Merge.addColumn(spark, path, "points",
+        org.apache.spark.sql.types.DoubleType)
+    }
+    assert(e1.getMessage.contains("previous logical name"), e1.getMessage)
+    // '@' leads engine metadata entries (sidecar refs, the statsx
+    // placeholder): a data column there would collide in the per-file
+    // col->entry maps
+    val e2 = intercept[IllegalArgumentException] {
+      Merge.addColumn(spark, path, "@statsx",
+        org.apache.spark.sql.types.DoubleType)
+    }
+    assert(e2.getMessage.contains("reserved"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      Merge.renameColumn(spark, path, "pts", "@x")
+    }
+    assert(e3.getMessage.contains("reserved"), e3.getMessage)
+    // a fresh unreserved name is still fine
+    Merge.addColumn(spark, path, "grade",
+      org.apache.spark.sql.types.DoubleType)
+    assert(Merge.readKeyed(spark, path).columns.contains("grade"))
+  }
+
   test("type widening: int->long and float->double upserts; old files " +
       "read under the widened schema; old versions keep their own") {
     val path = freshDir("widen")

@@ -5096,16 +5096,25 @@ object SparkEntry {
                FROM __li_aq GROUP BY l_returnflag ORDER BY l_returnflag""")
     }),
     "q_approx_distinct" -> ((s, dir) => {
-      // the at-scale COUNT DISTINCT: HLL++ sketch (mergeable, fixed
-      // memory). Estimators differ across engines, so the gate pins the
-      // ERROR CONTRACT instead of the estimate: rsd 0.005 makes a >2%
-      // deviation a >4-sigma event, and the boolean is hash-compared
-      // against the oracle's exact TRUE — a drifting sketch flips it
+      // the at-scale COUNT DISTINCT: a DataSketches HLL sketch
+      // (mergeable, fixed memory). Estimators differ across engines, so
+      // the gate pins the ERROR CONTRACT instead of the estimate:
+      // lgConfigK=16 (65536 buckets, RSE ≈ 0.41%) makes a >2% deviation
+      // a ~5-sigma event, and the boolean is hash-compared against the
+      // oracle's exact TRUE — a drifting sketch flips it.
+      // hll_sketch_agg over approx_count_distinct(rsd=0.005)
+      // DELIBERATELY: at equal confidence the legacy HLL++ needs p=16,
+      // whose aggregation buffer is 2^16 registers FLATTENED INTO
+      // ~11k long columns per group row — a codegen-hostile shape that
+      // made this the bench's slowest gate (11.3 s) — while the
+      // DataSketches buffer is ONE binary object updated in place under
+      // ObjectHashAggregate, the same contract at a fraction of the cost
       val o = t(s, dir, "orders")
       o.groupBy("o_orderstatus")
         .agg(
           countDistinct(col("o_custkey")).as("exact_custkeys"),
-          approx_count_distinct(col("o_custkey"), 0.005).as("approx_raw"))
+          hll_sketch_estimate(
+            hll_sketch_agg(col("o_custkey"), lit(16))).as("approx_raw"))
         .select(col("o_orderstatus"), col("exact_custkeys"),
           (abs(col("approx_raw") - col("exact_custkeys")) <=
             col("exact_custkeys") * 0.02).as("approx_within_2pct"))

@@ -139,6 +139,34 @@ object PlanRunner {
     case _ => false
   }
 
+  /** Frames pinned for open-set double-billing protection, bounded
+    * FIFO. persist (not localCheckpoint): lineage survives, so a lost
+    * block RECOMPUTES — re-billing a partition's oracle calls in a rare
+    * failure beats failing the plan outright, and localCheckpoint is
+    * documented unsafe under dynamic allocation. The cap bounds the
+    * CacheManager growth a long-lived service would otherwise
+    * accumulate (one pinned cascade per open-set plan, forever): past
+    * `maxPinned`, the OLDEST frame unpersists (non-blocking) — a later
+    * re-read of that old plan's result recomputes and re-bills, while
+    * the plan currently executing always holds its pin.
+    */
+  private val pinnedFrames =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+  private val maxPinned = 4
+
+  private def pin(df: DataFrame): DataFrame = {
+    val p = df.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pinnedFrames.add(p)
+    while (pinnedFrames.size > maxPinned) {
+      val old = pinnedFrames.poll()
+      if (old != null)
+        try old.unpersist(blocking = false)
+        catch { case _: Exception => () } // a stopped session's frame
+    }
+    p
+  }
+
   /** Resolve corpus count-column naming variants against available columns:
     * "count" / "<dim>_count" both mean the engine's "count_of_<dim>".
     */
@@ -200,18 +228,11 @@ object PlanRunner {
             if (!base.columns.contains(op.keyword)) { // granularity reuse
               // open-set grouping scans twice (vocabulary mining is a
               // separate action before classification); when an earlier
-              // plan step pays an OUT-OF-BAND oracle per row, materialize
-              // the frame so the mining pass does not re-judge (and
-              // re-bill) the whole upstream cascade. localCheckpoint, not
-              // persist: CacheManager pins a persisted frame for the
-              // session's lifetime (no caller ever sees it to unpersist —
-              // a long-lived service would leak one cached cascade per
-              // plan), while checkpoint blocks are weakly held and the
-              // ContextCleaner reclaims them once the plan's frames are
-              // unreachable. Lineage truncation is the point here — a
-              // recompute would re-bill — so losing the persist-path
-              // recompute fallback costs nothing we want to keep.
-              // Compiled upstreams recompute for free and skip it.
+              // plan step pays an OUT-OF-BAND oracle per row, pin the
+              // frame ([[pin]]: persist under a bounded FIFO) so the
+              // mining pass does not re-judge (and re-bill) the whole
+              // upstream cascade. Compiled upstreams recompute for free
+              // and skip the cache.
               val oraclePaysUpstream = plan.take(i).exists {
                 case f: LogicalOp.SemFilter =>
                   oracle.compileJudge(f.condition).isEmpty
@@ -219,9 +240,7 @@ object PlanRunner {
                   oracle.compileExtract(m.mapDescription).isEmpty
                 case _ => false
               }
-              val src =
-                if (oraclePaysUpstream) base.localCheckpoint(false)
-                else base
+              val src = if (oraclePaysUpstream) pin(base) else base
               base = SemGroup(src, op, oracle, maxTags = 20)
             }
             out = base

@@ -280,8 +280,12 @@ object FilterEnum {
   }
 
   /** Reference semantics (first `maxDistinct` distincts, truncating —
-    * Operaters.py:290-294); callers needing the exact-set guarantee use
-    * [[distinctWithin]] + [[fromValues]] instead.
+    * Operaters.py:290-294); kept for parity documentation. Execution
+    * paths use [[distinctWithin]] + [[fromValues]]: like the reference's
+    * `int(threshold)` and all-columns bugs, the silent first-N
+    * truncation is re-derived to the DOCUMENTED semantics (judge the
+    * value set), with overflow escalating to per-row judgment instead
+    * of quietly dropping rows.
     */
   def keepSet(df: DataFrame, column: String, condition: String,
       oracle: SemanticOracle, maxDistinct: Int = 100): Seq[String] =
@@ -289,11 +293,18 @@ object FilterEnum {
       .distinct().limit(maxDistinct)
       .collect().map(_.getString(0)).toSeq.sorted, condition, oracle)
 
+  /** Escalating form: the exact keep-set filter when the column's
+    * distinct set fits `maxDistinct`, the per-row semantic filter when
+    * it does not — never a truncated value set.
+    */
   def apply(df: DataFrame, column: String, condition: String,
-      oracle: SemanticOracle, maxDistinct: Int = 100): DataFrame = {
-    val keep = keepSet(df, column, condition, oracle, maxDistinct)
-    df.filter(col(column).cast("string").isin(keep: _*))
-  }
+      oracle: SemanticOracle, maxDistinct: Int = 100): DataFrame =
+    distinctWithin(df, column, maxDistinct) match {
+      case Some(vals) => fromValues(df, column, condition, oracle, vals)
+      case None =>
+        SemFilter(df,
+          graft.plan.LogicalOp.SemFilter(Seq(column), condition), oracle)
+    }
 
   /** [[apply]] over a pre-collected EXACT distinct set (from
     * [[distinctWithin]]) — no second distinct job, no truncation.
@@ -354,8 +365,15 @@ object Dice {
       val cond = parseCompare(condition).get.copy(column = column)
       NumFilter.predicate(Seq(cond), "and")
     case EnumStrategy =>
-      val keep = FilterEnum.keepSet(df, column, condition, oracle)
-      col(column).cast("string").isin(keep: _*)
+      // exact bound, never a truncated keep-set: the sampled gate can
+      // undercount a column whose rare values sit past the sample
+      // prefix — overflow escalates to the per-row predicate
+      FilterEnum.distinctWithin(df, column, 100) match {
+        case Some(vals) =>
+          col(column).cast("string")
+            .isin(FilterEnum.keepFrom(vals, condition, oracle): _*)
+        case None => SemFilter.predicate(df, Seq(column), condition, oracle)
+      }
     case SemFallback =>
       SemFilter.predicate(df, Seq(column), condition, oracle)
   }

@@ -1282,7 +1282,12 @@ object Merge {
               // next commit's stats aggregate references a gone column
               (Skipping.isStatsxSpec(c) &&
                 c.stripPrefix(Skipping.StatsxPrefix) == name)),
-            stats = parent.stats.filterNot(e => e.col == name ||
+            stats = parent.stats.filterNot(e => (e.col == name &&
+              // dropping a data column literally named "statsx" on a
+              // pre-r19 table must not purge the shape-identical legacy
+              // placeholder entries — that would orphan every OTHER
+              // externalized column's sidecar stats and their liveness
+              !Skipping.isStatsxPlaceholder(e)) ||
               (Skipping.isBloomSpec(e.col) &&
                 Skipping.bloomBase(e.col) == name)),
             colMap = parent.colMap.filterNot(_._1 == name),
@@ -3505,7 +3510,25 @@ object Merge {
       // under column mapping, an added column's physical name is its own
       // name: refuse names old files still carry physically (another
       // column's pre-rename name, or a dropped column) — the read
-      // schema would resurrect those files' stale values into it
+      // schema would resurrect those files' stale values into it.
+      // Schema evolution is an addColumn in disguise, so it enforces
+      // addColumn's full reservation set: retired LOGICAL names too
+      // (histToCur would translate the new column's future sidecar
+      // entries into the renamed column's stats — silent mis-pruning),
+      // and the '@' engine-metadata prefix
+      if (newCols.nonEmpty) {
+        val atClash = newCols.filter(_.startsWith("@"))
+        require(atClash.isEmpty,
+          s"added column names [${atClash.mkString(", ")}] are reserved " +
+          "('@' prefix marks engine metadata entries)")
+        val aliasClash = newCols.filter(c =>
+          parent.colAliases.exists(_._1 == c))
+        require(aliasClash.isEmpty,
+          s"added columns [${aliasClash.mkString(", ")}] were previous " +
+          "logical names of columns in this table (immutable stats " +
+          "sidecars may still reference them) — pick different names " +
+          "or rewrite the table")
+      }
       if (newCols.nonEmpty &&
           (parent.colMap.nonEmpty || parent.physRetired.nonEmpty)) {
         val l2p = parent.colMap.toMap

@@ -197,6 +197,23 @@ class ColumnMappingSpec extends SparkSpec {
       Merge.renameColumn(spark, path, "pts", "@x")
     }
     assert(e3.getMessage.contains("reserved"), e3.getMessage)
+    // schema evolution is an addColumn in disguise and enforces the
+    // same reservations (an evolved-in 'points' would let histToCur
+    // route its future sidecar entries into pts's stats)
+    val e4 = intercept[IllegalArgumentException] {
+      Merge.upsert(spark, path,
+        baseDf.withColumnRenamed("score", "pts")
+          .withColumn("points", lit(1.0)),
+        "id", nBuckets = 4, allowEvolution = true)
+    }
+    assert(e4.getMessage.contains("previous logical name"), e4.getMessage)
+    val e5 = intercept[IllegalArgumentException] {
+      Merge.upsert(spark, path,
+        baseDf.withColumnRenamed("score", "pts")
+          .withColumn("@statsx", lit(1.0)),
+        "id", nBuckets = 4, allowEvolution = true)
+    }
+    assert(e5.getMessage.contains("reserved"), e5.getMessage)
     // a fresh unreserved name is still fine
     Merge.addColumn(spark, path, "grade",
       org.apache.spark.sql.types.DoubleType)

@@ -1592,6 +1592,44 @@ object SparkEntry {
         s"post-analyze aggregates must be manifest-answered:\n$plan")
       after
     }),
+    "q_ndv_manifest" -> ((s, dir) => {
+      // MANIFEST-LEVEL NDV (r19, the Iceberg-puffin idea on the version
+      // log): every commit records a per-file DataSketches HLL sketch
+      // for `ndv:` columns; approximate COUNT(DISTINCT) then UNIONS the
+      // live files' ~1 KB blobs driver-side — at 100 TB the answer
+      // costs a manifest read, not a scan, and a DML commit re-sketches
+      // ONLY the files it rewrote (carry-over pinned in BloomSkipSpec).
+      // Required in-gate: the estimate holds a 3% error contract
+      // (lgK=14, RSE 0.81% — deterministic for a given value set) both
+      // BEFORE and AFTER an upsert that adds 100 new distinct values,
+      // and the gate row hash-compares exact + contract boolean against
+      // the oracle's exact TRUE.
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val root = new java.io.File(scratchRoot, s"gndv_$sf")
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      val path = new java.io.File(root, "t").getAbsolutePath
+      import graft.sources.Merge
+      Merge.writeKeyed(
+        t(s, dir, "orders").selectExpr("o_orderkey AS id",
+          "o_custkey AS ck"),
+        path, "id", 16, statsCols = Seq("ndv:ck"))
+      def exactNow() = s.read.format("graft-table").option("path", path)
+        .load().select(countDistinct(col("ck"))).head().getLong(0)
+      def estNow() = Merge.versionColumnNdv(s, path,
+        Merge.currentVersion(s, path), "ck").getOrElse(
+          sys.error("ndv: manifest answer must be available"))
+      val (e0, n0) = (estNow(), exactNow())
+      require(math.abs(e0 - n0.toDouble) <= n0 * 0.03,
+        s"pre-DML NDV estimate outside the 3% contract: $e0 vs $n0")
+      import s.implicits._
+      Merge.upsert(s, path,
+        (0L until 100L).map(i => (9000000L + i, 9000000L + i))
+          .toDF("id", "ck"),
+        "id", 16)
+      val (e1, n1) = (estNow(), exactNow())
+      Seq((n1, math.abs(e1 - n1.toDouble) <= n1 * 0.03))
+        .toDF("n_exact", "ndv_within_3pct")
+    }),
     "q_grid_upsert" -> ((s, dir) => {
       // GRID DML (r17): a composite-key (l_orderkey, l_linenumber)
       // table is WRITABLE — upsertGrid routes each row by the
@@ -8592,6 +8630,13 @@ object SparkEntry {
                                      AS BIGINT)
                       END AS cents
                FROM part)""",
+    // manifest NDV: the contract boolean is TRUE and the exact count is
+    // the base custkeys plus the 100 appended fresh ones
+    "q_ndv_manifest" ->
+      """SELECT count(DISTINCT ck) AS n_exact, TRUE AS ndv_within_3pct
+         FROM (SELECT o_custkey AS ck FROM orders
+               UNION ALL
+               SELECT 9000000 + range FROM range(100))""",
     // grid upsert: delete + update + insert composed over the tuple key
     "q_grid_upsert" ->
       """WITH li AS (SELECT l_orderkey AS ok, l_linenumber AS ln,

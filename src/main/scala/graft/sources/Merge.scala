@@ -1090,6 +1090,9 @@ object Merge {
               case c if Skipping.isStatsxSpec(c) &&
                   c.stripPrefix(Skipping.StatsxPrefix) == from =>
                 Skipping.StatsxPrefix + to
+              case c if Skipping.isNdvSpec(c) &&
+                  c.stripPrefix(Skipping.NdvPrefix) == from =>
+                Skipping.NdvPrefix + to
               case c => c
             },
             stats = parent.stats.map {
@@ -1097,6 +1100,9 @@ object Merge {
               case e if Skipping.isBloomSpec(e.col) &&
                   Skipping.bloomBase(e.col) == from =>
                 e.copy(col = Skipping.BloomPrefix + to)
+              case e if Skipping.isNdvSpec(e.col) &&
+                  e.col.stripPrefix(Skipping.NdvPrefix) == from =>
+                e.copy(col = Skipping.NdvPrefix + to)
               case e => e
             },
             colMap = newMap.filter { case (l, p) => l != p },
@@ -1281,8 +1287,13 @@ object Merge {
               // r18: a dropped statsx column's spec must go too, or the
               // next commit's stats aggregate references a gone column
               (Skipping.isStatsxSpec(c) &&
-                c.stripPrefix(Skipping.StatsxPrefix) == name)),
-            stats = parent.stats.filterNot(e => (e.col == name &&
+                c.stripPrefix(Skipping.StatsxPrefix) == name) ||
+              (Skipping.isNdvSpec(c) &&
+                c.stripPrefix(Skipping.NdvPrefix) == name)),
+            stats = parent.stats.filterNot(e =>
+              (Skipping.isNdvSpec(e.col) &&
+                e.col.stripPrefix(Skipping.NdvPrefix) == name) ||
+              (e.col == name &&
               // dropping a data column literally named "statsx" on a
               // pre-r19 table must not purge the shape-identical legacy
               // placeholder entries — that would orphan every OTHER
@@ -1431,13 +1442,16 @@ object Merge {
     // `bloom:c` specs index column c with a per-file Bloom filter
     // (point-lookup pruning); plain names and `statsx:c` record min/max
     // intervals (statsx differs only at manifest-write time, where
-    // [[externalizeBlooms]] moves the entries to a sidecar).
+    // [[externalizeBlooms]] moves the entries to a sidecar); `ndv:c`
+    // records a per-file HLL distinct sketch ([[Skipping.NdvPrefix]]).
     // One aggregate pass computes all of it.
-    val (bloomSpecs, rangeSpecs) = statsCols.partition(Skipping.isBloomSpec)
+    val (bloomSpecs, nonBloom) = statsCols.partition(Skipping.isBloomSpec)
+    val (ndvSpecs, rangeSpecs) = nonBloom.partition(Skipping.isNdvSpec)
     val rangeCols = rangeSpecs
       .map(_.stripPrefix(Skipping.StatsxPrefix)).distinct
     val bloomCols = bloomSpecs.map(Skipping.bloomBase).distinct
-    (rangeCols ++ bloomCols).foreach { c =>
+    val ndvCols = ndvSpecs.map(_.stripPrefix(Skipping.NdvPrefix)).distinct
+    (rangeCols ++ bloomCols ++ ndvCols).foreach { c =>
       // `@` leads sidecar refs and the statsx placeholder entry
       // ([[Skipping.StatsxEntry]]); a stats entry with that prefix would
       // be indistinguishable from engine metadata
@@ -1469,7 +1483,9 @@ object Merge {
       sumCols.map(c => sumAgg(c).as(s"__sm_$c")) ++
       bloomCols.map(c => org.apache.spark.sql.GraftShim.bloomAgg(
         xxhash64(col(c)), Skipping.BloomExpectedItems,
-        Skipping.BloomNumBits).as(s"__bf_$c")) :+
+        Skipping.BloomNumBits).as(s"__bf_$c")) ++
+      ndvCols.map(c => hll_sketch_agg(col(c),
+        lit(Skipping.NdvLgK)).as(s"__nv_$c")) :+
       count(lit(1)).as("__rows")
     val rows = df.groupBy(input_file_name().as("__f"), col("__bucket"))
       .agg(aggs.head, aggs.tail: _*)
@@ -1496,6 +1512,13 @@ object Merge {
           Skipping.FileStats(s"__bucket=$bucket/$name",
             Skipping.BloomPrefix + c, None, None, rows = nRows,
             bloom = Some(java.util.Base64.getEncoder.encodeToString(b))))
+      } ++ ndvCols.map { c =>
+        // always an entry: an all-null file's sketch may come back null
+        // and must read as "contributes zero distincts", not "missing"
+        Skipping.FileStats(s"__bucket=$bucket/$name",
+          Skipping.NdvPrefix + c, None, None, rows = nRows,
+          bloom = Option(r.getAs[Array[Byte]](r.fieldIndex(s"__nv_$c")))
+            .map(java.util.Base64.getEncoder.encodeToString))
       }
     }.toSeq.sortBy(e => (e.file, e.col))
   }
@@ -2028,6 +2051,47 @@ object Merge {
       Skipping.decodeStat(dt, maxEntry.max.get)))
   }
 
+  /** Approximate DISTINCT COUNT for one column from the manifest's
+    * per-file `ndv:` HLL sketches ([[Skipping.NdvPrefix]] — the
+    * Iceberg-puffin NDV idea on the version log): a driver-side UNION
+    * over the live files' ~1 KB sketch blobs. No data file is opened at
+    * any table size, a DML commit re-sketched only the files it
+    * rewrote, and the estimate is DETERMINISTIC for a given value set
+    * (fixed hash, order-free union; RSE ≈ 0.81 % at lgK=14).
+    *
+    * Declines (None) when the spec is absent, when any live file lacks
+    * its entry (written before the spec — one [[analyzeTable]] heals
+    * it), or when LIVE deletion vectors exist: recorded sketches are
+    * GROSS like every per-file stat, and a union cannot subtract a
+    * deleted row's contribution, so a mass delete would leave the
+    * estimate arbitrarily high — after purge/compaction it answers
+    * again. An entry with no blob is an all-null file (zero
+    * contribution).
+    */
+  def versionColumnNdv(spark: SparkSession, path: String,
+      version: Long, column: String): Option[Long] = {
+    val (_, root) = fsFor(spark, path)
+    val m = readManifest(spark, root, version)
+    val spec = Skipping.NdvPrefix + column
+    if (!m.statsCols.contains(spec)) return None
+    if (m.dvFiles.nonEmpty) return None
+    if (m.files.isEmpty) return Some(0L)
+    val blobs = m.stats.filter(_.col == spec)
+      .groupBy(_.file).view.mapValues(_.head).toMap
+    if (!m.files.forall(blobs.contains)) return None
+    val u = new org.apache.datasketches.hll.Union(Skipping.NdvLgK)
+    m.files.foreach { f =>
+      blobs(f).bloom.foreach { b =>
+        if (Skipping.isBloomRef(b)) return None // never guess on a ref
+        try u.update(org.apache.datasketches.hll.HllSketch.heapify(
+          org.apache.datasketches.memory.Memory.wrap(
+            java.util.Base64.getDecoder.decode(b))))
+        catch { case _: Exception => return None } // undecodable: decline
+      }
+    }
+    Some(Math.round(u.getEstimate))
+  }
+
   /** The version's EXACT (non-null count, sum) for one column from the
     * manifest stats — Some only when provably exact: the column is
     * stats-indexed on every file with null counts recorded (r16+) and
@@ -2092,13 +2156,16 @@ object Merge {
       val parentV = currentVersion(spark, path)
       require(parentV >= 0, s"$path has no version log")
       val parent = readManifest(spark, root, parentV)
-      val (bloomSpecs, rangeSpecs) =
+      val (bloomSpecs, nonBloom) =
         statsCols.partition(Skipping.isBloomSpec)
+      val (ndvSpecs, rangeSpecs) = nonBloom.partition(Skipping.isNdvSpec)
       // `statsx:c` analyzes like a plain range column; externalization
       // happens at manifest-write time (externalizeBlooms below)
       val rangeCols = rangeSpecs
         .map(_.stripPrefix(Skipping.StatsxPrefix)).distinct
       val bloomCols = bloomSpecs.map(Skipping.bloomBase).distinct
+      val ndvCols =
+        ndvSpecs.map(_.stripPrefix(Skipping.NdvPrefix)).distinct
       val entries: Seq[Skipping.FileStats] =
         if (parent.files.isEmpty) Seq.empty
         else {
@@ -2108,7 +2175,7 @@ object Merge {
           // adjustment and bloom probes to stay sound
           val df = versionDf(spark, path, root,
             parent.copy(dvFiles = Seq.empty), keepPos = true)
-          (rangeCols ++ bloomCols).foreach(c =>
+          (rangeCols ++ bloomCols ++ ndvCols).foreach(c =>
             require(df.columns.contains(c),
               s"stats column $c not in ${df.columns.mkString(", ")}"))
           val sumCols = rangeCols.filter(c => df.schema(c).dataType match {
@@ -2126,7 +2193,9 @@ object Merge {
             sumCols.map(c => sumAgg(c).as(s"__sm_$c")) ++
             bloomCols.map(c => org.apache.spark.sql.GraftShim.bloomAgg(
               xxhash64(col(c)), Skipping.BloomExpectedItems,
-              Skipping.BloomNumBits).as(s"__bf_$c")) :+
+              Skipping.BloomNumBits).as(s"__bf_$c")) ++
+            ndvCols.map(c => hll_sketch_agg(col(c),
+              lit(Skipping.NdvLgK)).as(s"__nv_$c")) :+
             count(lit(1)).as("__rows")
           val rows = df.groupBy(col("__dv_file").as("__f"))
             .agg(aggs.head, aggs.tail: _*).collect()
@@ -2160,6 +2229,13 @@ object Merge {
                   Skipping.BloomPrefix + c, None, None, rows = nRows,
                   bloom = Some(java.util.Base64.getEncoder
                     .encodeToString(b))))
+            } ++ ndvCols.map { c =>
+              // always an entry (all-null file = zero contribution)
+              Skipping.FileStats(name,
+                Skipping.NdvPrefix + c, None, None, rows = nRows,
+                bloom = Option(
+                  r.getAs[Array[Byte]](r.fieldIndex(s"__nv_$c")))
+                  .map(java.util.Base64.getEncoder.encodeToString))
             }
           }.toSeq.sortBy(e => (e.file, e.col))
         }
@@ -3275,6 +3351,9 @@ object Merge {
       else if (Skipping.isStatsxSpec(c)) {
         val b = c.stripPrefix(Skipping.StatsxPrefix)
         Skipping.StatsxPrefix + m.getOrElse(b, b)
+      } else if (Skipping.isNdvSpec(c)) {
+        val b = c.stripPrefix(Skipping.NdvPrefix)
+        Skipping.NdvPrefix + m.getOrElse(b, b)
       } else m.getOrElse(c, c)
     val stats =
       if (fs.listStatus(staging).exists(_.isDirectory))

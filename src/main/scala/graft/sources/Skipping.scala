@@ -143,6 +143,24 @@ object Skipping {
     */
   private[sources] val StatsxEntry = "@statsx"
 
+  /** `ndv:col` — per-file DISTINCT-COUNT sketches in the manifest (the
+    * Iceberg-puffin NDV idea applied to the version log): each commit
+    * records a DataSketches HLL sketch of the column per file it
+    * writes, untouched files' sketches carry over like every other
+    * stats entry, and [[Merge.versionColumnNdv]] answers approximate
+    * `COUNT(DISTINCT col)` by UNIONING the live files' sketches
+    * driver-side — no data file opened at any table size, and a DML
+    * commit pays sketch cost only for the files it rewrites. lgK=14:
+    * ~1 KB compact sketch per file·column at RSE ≈ 0.81 % — a >3 %
+    * deviation is a >3.7-sigma event, and the estimate is
+    * DETERMINISTIC for a given value set (fixed hash, order-free
+    * union), so gates can pin an error-contract boolean.
+    */
+  private[sources] val NdvPrefix = "ndv:"
+  private[sources] def isNdvSpec(c: String): Boolean =
+    c.startsWith(NdvPrefix)
+  private[sources] val NdvLgK = 14
+
   /** Pre-r19 manifests wrote the placeholder under the BARE name
     * "statsx". Readers normalize those entries via
     * [[isStatsxPlaceholder]] so old tables keep sidecar pruning and

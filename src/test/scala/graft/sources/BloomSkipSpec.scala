@@ -624,6 +624,64 @@ class BloomSkipSpec extends SparkSpec {
       Some((Some(0L), Some(597L))))
   }
 
+  test("per-file NDV sketches (ndv:): approximate COUNT DISTINCT answers " +
+      "from the manifest by unioning live files' sketches; DML " +
+      "re-sketches only touched files (untouched blobs byte-identical); " +
+      "live DVs decline; rename follows; ANALYZE heals a pre-spec table") {
+    val d = Files.createTempDirectory("graft_ndv").toFile
+    d.deleteOnExit()
+    val p = new File(d, "t").getAbsolutePath
+    Merge.writeKeyed(
+      (0L until 2000L).map(i => (i, i % 500, s"s_$i")).toDF("id", "v", "s"),
+      p, "id", nBuckets = 8, statsCols = Seq("ndv:v"))
+    val v0 = Merge.currentVersion(spark, p)
+    val est0 = Merge.versionColumnNdv(spark, p, v0, "v").get
+    assert(math.abs(est0 - 500.0) <= 500 * 0.03,
+      s"v0 estimate outside the 3% contract: $est0 vs 500")
+    // one new key (one new distinct value): exactly one bucket rewrites
+    def ndvBlobs(version: Long): Map[String, String] = {
+      val body = new String(Files.readAllBytes(
+        new File(p, s"_graft_log/v$version.json").toPath), "UTF-8")
+      """\{"f":"([^"]+)","c":"ndv:v","mn":null,"mx":null(?:,"r":\d+)?,"bf":"([^"]+)"""".r
+        .findAllMatchIn(body).map(m => m.group(1) -> m.group(2)).toMap
+    }
+    Merge.upsert(spark, p,
+      Seq((5000L, 123456L, "s_new")).toDF("id", "v", "s"), "id", 8)
+    val v1 = Merge.currentVersion(spark, p)
+    val est1 = Merge.versionColumnNdv(spark, p, v1, "v").get
+    assert(math.abs(est1 - 501.0) <= 501 * 0.03,
+      s"post-upsert estimate outside the contract: $est1 vs 501")
+    val (b0, b1) = (ndvBlobs(v0), ndvBlobs(v1))
+    val carried = b0.keySet.intersect(b1.keySet)
+    assert(carried.nonEmpty && carried.forall(f => b0(f) == b1(f)),
+      "untouched files' sketch blobs must carry over byte-identical")
+    assert(b1.size == b0.size + 1 ||
+      b1.exists { case (f, b) => !b0.get(f).contains(b) },
+      "the touched bucket must have re-sketched")
+    // rename: the spec and entries follow the logical name
+    Merge.renameColumn(spark, p, "v", "w")
+    val v2 = Merge.currentVersion(spark, p)
+    assert(Merge.versionColumnNdv(spark, p, v2, "w") == Some(est1))
+    assert(Merge.versionColumnNdv(spark, p, v2, "v").isEmpty)
+    // live DVs decline: gross sketches cannot subtract deleted rows
+    Merge.upsertDV(spark, p,
+      Seq((7L, 999999L, "s_7")).toDF("id", "w", "s"), "id", 8)
+    val v3 = Merge.currentVersion(spark, p)
+    assert(Merge.versionColumnNdv(spark, p, v3, "w").isEmpty,
+      "a live deletion vector must decline the manifest NDV answer")
+    // ANALYZE heals a table written before the spec existed
+    val p2 = new File(d, "t2").getAbsolutePath
+    Merge.writeKeyed(
+      (0L until 1000L).map(i => (i, i % 97)).toDF("id", "v"),
+      p2, "id", nBuckets = 4)
+    assert(Merge.versionColumnNdv(spark, p2, 0L, "v").isEmpty)
+    Merge.analyzeTable(spark, p2, Seq("ndv:v"))
+    val estA = Merge.versionColumnNdv(spark, p2,
+      Merge.currentVersion(spark, p2), "v").get
+    assert(math.abs(estA - 97.0) <= 97 * 0.03 + 1,
+      s"post-analyze estimate outside the contract: $estA vs 97")
+  }
+
   test("statsx sidecar codec round-trips hostile stat strings (tabs, " +
       "newlines, unicode, truncation sentinels) and caches decode-once") {
     val d = Files.createTempDirectory("graft_sx_codec").toFile

@@ -147,8 +147,14 @@ object PlanRunner {
     * CacheManager growth a long-lived service would otherwise
     * accumulate (one pinned cascade per open-set plan, forever): past
     * `maxPinned`, the OLDEST frame unpersists (non-blocking) — a later
-    * re-read of that old plan's result recomputes and re-bills, while
-    * the plan currently executing always holds its pin.
+    * re-read of that old plan's result returns to the engine's default
+    * LAZY semantics (recompute, re-bill; with a non-deterministic
+    * oracle that is the same re-judgment any unpinned frame already
+    * has on re-read), while the plan currently executing always holds
+    * its pin. Eviction is SKIPPED when a newer pin shares the evictee's
+    * plan: Spark's CacheManager keys cached data by canonicalized plan,
+    * so unpersisting the old duplicate would silently uncache the live
+    * pin and re-open the double-billing hole.
     */
   private val pinnedFrames =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
@@ -160,9 +166,19 @@ object PlanRunner {
     pinnedFrames.add(p)
     while (pinnedFrames.size > maxPinned) {
       val old = pinnedFrames.poll()
-      if (old != null)
-        try old.unpersist(blocking = false)
-        catch { case _: Exception => () } // a stopped session's frame
+      if (old != null) {
+        val sharedWithLive = {
+          val it = pinnedFrames.iterator()
+          var found = false
+          while (!found && it.hasNext)
+            found = it.next().queryExecution.analyzed
+              .sameResult(old.queryExecution.analyzed)
+          found
+        }
+        if (!sharedWithLive)
+          try old.unpersist(blocking = false)
+          catch { case _: Exception => () } // a stopped session's frame
+      }
     }
     p
   }

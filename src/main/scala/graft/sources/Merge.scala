@@ -1,9 +1,9 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructField, StructType}
+import org.apache.spark.sql.types.{BinaryType, ByteType, DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
 
 /** Copy-on-write MERGE (upsert) for plain-parquet tables — the lakehouse
   * primitive (UPDATE existing keys + INSERT new ones in one atomic
@@ -1428,6 +1428,112 @@ object Merge {
     (keep ++ placeholders).sortBy(e => (e.file, e.col))
   }
 
+  /** Shape/type validation for a stats-spec list against a schema.
+    * Runs even for EMPTY commits (CREATE TABLE before any INSERT),
+    * where the per-file stats pass never executes but the spec
+    * PERSISTS in the manifest: a bad spec must be refused at
+    * declaration, not as an opaque DATATYPE_MISMATCH deep inside the
+    * first INSERT's stats job (which would poison every later write).
+    * `ndv:` accepts exactly hll_sketch_agg's input types; int→long
+    * widening keeps existing sketches consistent (the agg updates both
+    * as the long value — verified against the Spark 4.1.2 bytecode),
+    * so no widen guard is needed.
+    */
+  private def validateStatsSpecs(schema: StructType,
+      statsCols: Seq[String]): Unit = statsCols.foreach { c =>
+    val base =
+      if (Skipping.isBloomSpec(c)) Skipping.bloomBase(c)
+      else if (Skipping.isStatsxSpec(c))
+        c.stripPrefix(Skipping.StatsxPrefix)
+      else if (Skipping.isNdvSpec(c)) c.stripPrefix(Skipping.NdvPrefix)
+      else c
+    require(!base.startsWith("@"),
+      s"stats column name '$base' is reserved ('@' prefix marks " +
+        "engine metadata entries)")
+    require(schema.fieldNames.contains(base),
+      s"stats column $base not in ${schema.fieldNames.mkString(", ")}")
+    if (Skipping.isNdvSpec(c)) schema(base).dataType match {
+      case IntegerType | LongType | StringType | BinaryType => ()
+      case dt => throw new IllegalArgumentException(
+        s"ndv: supports int/long/string/binary columns; '$base' is " +
+          s"${dt.simpleString} — cast or hash it into a supported " +
+          "column first")
+    }
+  }
+
+  /** The shared per-file stats kernel — aggregation columns and the
+    * group-row → entries decoder — used by BOTH the write path
+    * ([[bucketFileStats]], grouped by staged file) and ANALYZE
+    * ([[analyzeTable]], grouped by live file), so the encodings (sum
+    * decimal widening, bloom bits, ndv lgK, the all-null ndv entry
+    * convention) can never drift between them.
+    */
+  private def statsSumCols(df: DataFrame,
+      rangeCols: Seq[String]): Seq[String] =
+    // integral AND decimal stats columns also record an EXACT per-file
+    // sum (integrals summed as decimal(38,0) so no overflow at any
+    // file size; decimals keep their scale — a per-file overflow of
+    // decimal(38,s) nulls the entry, which reads as "unknown" and
+    // soundly declines the pushdown) — what lets SUM(col) answer from
+    // the manifest like COUNT/MIN/MAX. Floats stay out: their sum
+    // depends on addition order.
+    rangeCols.filter(c => df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _: DecimalType => true
+      case _ => false
+    })
+
+  private def statsAggs(df: DataFrame, rangeCols: Seq[String],
+      sumCols: Seq[String], bloomCols: Seq[String],
+      ndvCols: Seq[String]): Seq[Column] = {
+    def sumAgg(c: String) = df.schema(c).dataType match {
+      case _: DecimalType => sum(col(c))
+      case _ => sum(col(c).cast(DecimalType(38, 0)))
+    }
+    rangeCols.flatMap(c =>
+      Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c"),
+        count(col(c)).as(s"__nn_$c"))) ++
+      sumCols.map(c => sumAgg(c).as(s"__sm_$c")) ++
+      bloomCols.map(c => org.apache.spark.sql.GraftShim.bloomAgg(
+        xxhash64(col(c)), Skipping.BloomExpectedItems,
+        Skipping.BloomNumBits).as(s"__bf_$c")) ++
+      ndvCols.map(c => hll_sketch_agg(col(c),
+        lit(Skipping.NdvLgK)).as(s"__nv_$c")) :+
+      count(lit(1)).as("__rows")
+  }
+
+  private def statsEntriesOf(r: org.apache.spark.sql.Row, file: String,
+      rangeCols: Seq[String], sumCols: Seq[String],
+      bloomCols: Seq[String], ndvCols: Seq[String])
+      : Seq[Skipping.FileStats] = {
+    val nRows = r.getLong(r.fieldIndex("__rows"))
+    rangeCols.map { c =>
+      Skipping.FileStats(file, c,
+        Option(r.get(r.fieldIndex(s"__mn_$c")))
+          .map(v => Skipping.encode(Skipping.statMin(v))),
+        Option(r.get(r.fieldIndex(s"__mx_$c")))
+          .map(v => Skipping.encode(Skipping.statMax(v))),
+        rows = nRows,
+        nulls = nRows - r.getLong(r.fieldIndex(s"__nn_$c")),
+        sum =
+          if (!sumCols.contains(c)) None
+          else Option(r.get(r.fieldIndex(s"__sm_$c")))
+            .map(_.asInstanceOf[java.math.BigDecimal].toPlainString))
+    } ++ bloomCols.flatMap { c =>
+      Option(r.getAs[Array[Byte]](r.fieldIndex(s"__bf_$c"))).map(b =>
+        Skipping.FileStats(file, Skipping.BloomPrefix + c, None, None,
+          rows = nRows,
+          bloom = Some(java.util.Base64.getEncoder.encodeToString(b))))
+    } ++ ndvCols.map { c =>
+      // always an entry: an all-null file's sketch may come back null
+      // and must read as "contributes zero distincts", not "missing"
+      Skipping.FileStats(file, Skipping.NdvPrefix + c, None, None,
+        rows = nRows,
+        bloom = Option(r.getAs[Array[Byte]](r.fieldIndex(s"__nv_$c")))
+          .map(java.util.Base64.getEncoder.encodeToString))
+    }
+  }
+
   private def bucketFileStats(spark: SparkSession, dir: String,
       statsCols: Seq[String]): Seq[Skipping.FileStats] = {
     if (statsCols.isEmpty) return Seq.empty
@@ -1461,65 +1567,16 @@ object Merge {
       require(df.columns.contains(c),
         s"stats column $c not in ${df.columns.mkString(", ")}")
     }
-    // integral AND decimal stats columns also record an EXACT per-file
-    // sum (integrals summed as decimal(38,0) so no overflow at any
-    // file size; decimals keep their scale — a per-file overflow of
-    // decimal(38,s) nulls the entry, which reads as "unknown" and
-    // soundly declines the pushdown) — what lets SUM(col) answer from
-    // the manifest like COUNT/MIN/MAX. Floats stay out: their sum
-    // depends on addition order.
-    val sumCols = rangeCols.filter(c => df.schema(c).dataType match {
-      case ByteType | ShortType | IntegerType | LongType => true
-      case _: DecimalType => true
-      case _ => false
-    })
-    def sumAgg(c: String) = df.schema(c).dataType match {
-      case _: DecimalType => sum(col(c))
-      case _ => sum(col(c).cast(DecimalType(38, 0)))
-    }
-    val aggs = rangeCols.flatMap(c =>
-      Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c"),
-        count(col(c)).as(s"__nn_$c"))) ++
-      sumCols.map(c => sumAgg(c).as(s"__sm_$c")) ++
-      bloomCols.map(c => org.apache.spark.sql.GraftShim.bloomAgg(
-        xxhash64(col(c)), Skipping.BloomExpectedItems,
-        Skipping.BloomNumBits).as(s"__bf_$c")) ++
-      ndvCols.map(c => hll_sketch_agg(col(c),
-        lit(Skipping.NdvLgK)).as(s"__nv_$c")) :+
-      count(lit(1)).as("__rows")
+    val sumCols = statsSumCols(df, rangeCols)
+    val aggs = statsAggs(df, rangeCols, sumCols, bloomCols, ndvCols)
     val rows = df.groupBy(input_file_name().as("__f"), col("__bucket"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
     rows.flatMap { r =>
       val name = new Path(r.getString(0)).getName
       val bucket = r.get(1) match { case n: Number => n.longValue }
-      val nRows = r.getLong(r.fieldIndex("__rows"))
-      rangeCols.map { c =>
-        Skipping.FileStats(s"__bucket=$bucket/$name", c,
-          Option(r.get(r.fieldIndex(s"__mn_$c")))
-            .map(v => Skipping.encode(Skipping.statMin(v))),
-          Option(r.get(r.fieldIndex(s"__mx_$c")))
-            .map(v => Skipping.encode(Skipping.statMax(v))),
-          rows = nRows,
-          nulls = nRows - r.getLong(r.fieldIndex(s"__nn_$c")),
-          sum =
-            if (!sumCols.contains(c)) None
-            else Option(r.get(r.fieldIndex(s"__sm_$c")))
-              .map(_.asInstanceOf[java.math.BigDecimal]
-                .toPlainString))
-      } ++ bloomCols.flatMap { c =>
-        Option(r.getAs[Array[Byte]](r.fieldIndex(s"__bf_$c"))).map(b =>
-          Skipping.FileStats(s"__bucket=$bucket/$name",
-            Skipping.BloomPrefix + c, None, None, rows = nRows,
-            bloom = Some(java.util.Base64.getEncoder.encodeToString(b))))
-      } ++ ndvCols.map { c =>
-        // always an entry: an all-null file's sketch may come back null
-        // and must read as "contributes zero distincts", not "missing"
-        Skipping.FileStats(s"__bucket=$bucket/$name",
-          Skipping.NdvPrefix + c, None, None, rows = nRows,
-          bloom = Option(r.getAs[Array[Byte]](r.fieldIndex(s"__nv_$c")))
-            .map(java.util.Base64.getEncoder.encodeToString))
-      }
+      statsEntriesOf(r, s"__bucket=$bucket/$name", rangeCols, sumCols,
+        bloomCols, ndvCols)
     }.toSeq.sortBy(e => (e.file, e.col))
   }
 
@@ -1555,8 +1612,10 @@ object Merge {
     require(constraints.map(_._1).distinct.size == constraints.size,
       "constraint names must be unique")
     // validate the initial load BEFORE any write: a refused table leaves
-    // no files behind
+    // no files behind — and the stats specs BEFORE they persist (an
+    // empty CREATE commit skips the stats pass but keeps the spec)
     enforceConstraints(df, constraints, "the initial load")
+    validateStatsSpecs(df.schema, statsCols)
     val (fs, root) = fsFor(df.sparkSession, path)
     if (fs.exists(root)) fs.delete(root, true) // fresh table, fresh log
     dropCachedManifests(root) // replaced table: stale memo entries out
@@ -1603,6 +1662,7 @@ object Merge {
     val total = nBuckets.map(_.toLong).product
     require(total <= (1L << 20),
       s"grid of $total buckets is past the 2^20 sanity bound")
+    validateStatsSpecs(df.schema, statsCols)
     val (fs, root) = fsFor(df.sparkSession, path)
     if (fs.exists(root)) fs.delete(root, true)
     dropCachedManifests(root)
@@ -2156,6 +2216,10 @@ object Merge {
       val parentV = currentVersion(spark, path)
       require(parentV >= 0, s"$path has no version log")
       val parent = readManifest(spark, root, parentV)
+      // specs persist even over an EMPTY table — refuse bad shape/type
+      // at declaration (see [[validateStatsSpecs]])
+      parent.dataSchema.map(schemaFromString)
+        .foreach(validateStatsSpecs(_, statsCols))
       val (bloomSpecs, nonBloom) =
         statsCols.partition(Skipping.isBloomSpec)
       val (ndvSpecs, rangeSpecs) = nonBloom.partition(Skipping.isNdvSpec)
@@ -2178,25 +2242,9 @@ object Merge {
           (rangeCols ++ bloomCols ++ ndvCols).foreach(c =>
             require(df.columns.contains(c),
               s"stats column $c not in ${df.columns.mkString(", ")}"))
-          val sumCols = rangeCols.filter(c => df.schema(c).dataType match {
-            case ByteType | ShortType | IntegerType | LongType => true
-            case _: DecimalType => true
-            case _ => false
-          })
-          def sumAgg(c: String) = df.schema(c).dataType match {
-            case _: DecimalType => sum(col(c))
-            case _ => sum(col(c).cast(DecimalType(38, 0)))
-          }
-          val aggs = rangeCols.flatMap(c =>
-            Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c"),
-              count(col(c)).as(s"__nn_$c"))) ++
-            sumCols.map(c => sumAgg(c).as(s"__sm_$c")) ++
-            bloomCols.map(c => org.apache.spark.sql.GraftShim.bloomAgg(
-              xxhash64(col(c)), Skipping.BloomExpectedItems,
-              Skipping.BloomNumBits).as(s"__bf_$c")) ++
-            ndvCols.map(c => hll_sketch_agg(col(c),
-              lit(Skipping.NdvLgK)).as(s"__nv_$c")) :+
-            count(lit(1)).as("__rows")
+          val sumCols = statsSumCols(df, rangeCols)
+          val aggs = statsAggs(df, rangeCols, sumCols, bloomCols,
+            ndvCols)
           val rows = df.groupBy(col("__dv_file").as("__f"))
             .agg(aggs.head, aggs.tail: _*).collect()
           val qualToName: Map[String, String] = parent.files.map { f =>
@@ -2209,34 +2257,8 @@ object Merge {
               new Path(r.getString(0)).toString,
               sys.error(s"analyzed file ${r.getString(0)} is not in " +
                 s"version $parentV"))
-            val nRows = r.getLong(r.fieldIndex("__rows"))
-            rangeCols.map { c =>
-              Skipping.FileStats(name, c,
-                Option(r.get(r.fieldIndex(s"__mn_$c")))
-                  .map(v => Skipping.encode(Skipping.statMin(v))),
-                Option(r.get(r.fieldIndex(s"__mx_$c")))
-                  .map(v => Skipping.encode(Skipping.statMax(v))),
-                rows = nRows,
-                nulls = nRows - r.getLong(r.fieldIndex(s"__nn_$c")),
-                sum =
-                  if (!sumCols.contains(c)) None
-                  else Option(r.get(r.fieldIndex(s"__sm_$c")))
-                    .map(_.asInstanceOf[java.math.BigDecimal]
-                      .toPlainString))
-            } ++ bloomCols.flatMap { c =>
-              Option(r.getAs[Array[Byte]](r.fieldIndex(s"__bf_$c")))
-                .map(b => Skipping.FileStats(name,
-                  Skipping.BloomPrefix + c, None, None, rows = nRows,
-                  bloom = Some(java.util.Base64.getEncoder
-                    .encodeToString(b))))
-            } ++ ndvCols.map { c =>
-              // always an entry (all-null file = zero contribution)
-              Skipping.FileStats(name,
-                Skipping.NdvPrefix + c, None, None, rows = nRows,
-                bloom = Option(
-                  r.getAs[Array[Byte]](r.fieldIndex(s"__nv_$c")))
-                  .map(java.util.Base64.getEncoder.encodeToString))
-            }
+            statsEntriesOf(r, name, rangeCols, sumCols, bloomCols,
+              ndvCols)
           }.toSeq.sortBy(e => (e.file, e.col))
         }
       commitFence()

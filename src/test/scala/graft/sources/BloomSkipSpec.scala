@@ -680,6 +680,22 @@ class BloomSkipSpec extends SparkSpec {
       Merge.currentVersion(spark, p2), "v").get
     assert(math.abs(estA - 97.0) <= 97 * 0.03 + 1,
       s"post-analyze estimate outside the contract: $estA vs 97")
+    // a bad spec is refused AT DECLARATION, even on an EMPTY table
+    // (where the stats pass never runs but the spec would persist and
+    // poison the first INSERT): ndv on an unsupported type, and an
+    // unknown base column, both loud
+    val badT = intercept[IllegalArgumentException] {
+      Merge.writeKeyed(
+        Seq.empty[(Long, Double)].toDF("id", "price"),
+        new File(d, "t3").getAbsolutePath, "id", nBuckets = 2,
+        statsCols = Seq("ndv:price"))
+    }
+    assert(badT.getMessage.contains("int/long/string/binary"),
+      badT.getMessage)
+    val badC = intercept[IllegalArgumentException] {
+      Merge.analyzeTable(spark, p2, Seq("ndv:nope"))
+    }
+    assert(badC.getMessage.contains("not in"), badC.getMessage)
   }
 
   test("statsx sidecar codec round-trips hostile stat strings (tabs, " +

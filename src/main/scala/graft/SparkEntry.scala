@@ -1607,6 +1607,10 @@ object SparkEntry {
       val sf = new java.io.File(dir).getName.replace('.', '_')
       val root = new java.io.File(scratchRoot, s"gndv_$sf")
       org.apache.commons.io.FileUtils.deleteQuietly(root)
+      val cat = s"gndv_$sf"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root.getAbsolutePath)
       val path = new java.io.File(root, "t").getAbsolutePath
       import graft.sources.Merge
       Merge.writeKeyed(
@@ -1627,6 +1631,11 @@ object SparkEntry {
           .toDF("id", "ck"),
         "id", 16)
       val (e1, n1) = (estNow(), exactNow())
+      // the SQL doorway answers identically (CALL system.ndv)
+      val sqlNdv = s.sql(s"CALL $cat.system.ndv(table => 't', " +
+        "column => 'ck')").collect()(0).getLong(0)
+      require(sqlNdv == e1,
+        s"CALL system.ndv must match the Scala surface: $sqlNdv vs $e1")
       Seq((n1, math.abs(e1 - n1.toDouble) <= n1 * 0.03))
         .toDF("n_exact", "ndv_within_3pct")
     }),

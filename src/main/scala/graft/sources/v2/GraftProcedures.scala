@@ -291,8 +291,32 @@ private[v2] class GraftProcedures(
     }
   }
 
+  private val ndv = new Proc("ndv",
+    "Approximate COUNT(DISTINCT column) answered from the manifest's " +
+    "per-file ndv: HLL sketches — a driver-side union of the live " +
+    "files' ~1 KB blobs, no data file opened at any table size. " +
+    "Errors when no answer is available: the ndv:column spec is " +
+    "absent or a live file lacks its sketch (heal with CALL " +
+    "system.analyze), or live deletion vectors exist (gross sketches " +
+    "cannot subtract; purge/compact first)",
+    Seq(in("table", StringType), in("column", StringType)),
+    StructType(Seq(StructField("ndv", LongType)))) {
+    override def exec(spark: SparkSession, a: InternalRow): Seq[Any] = {
+      val path = mutablePath(a.getUTF8String(0).toString)
+      val column = a.getUTF8String(1).toString
+      val est = Merge.versionColumnNdv(spark, path,
+        Merge.currentVersion(spark, path), column).getOrElse(
+          throw new IllegalArgumentException(
+            s"no manifest NDV answer for '$column' — needs an " +
+            s"'ndv:$column' stats spec with every live file sketched " +
+            "(CALL system.analyze(table, 'ndv:" + column + "')) and " +
+            "no live deletion vectors"))
+      Seq(est)
+    }
+  }
+
   val all: Map[String, UnboundProcedure] =
     Seq(compact, vacuum, vacuumRetain, restore, createTag, deleteTag,
-        relayout, clone_, transactCompact, copyInto, analyze)
+        relayout, clone_, transactCompact, copyInto, analyze, ndv)
       .map(p => p.name -> (p: UnboundProcedure)).toMap
 }

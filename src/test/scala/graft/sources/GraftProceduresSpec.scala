@@ -232,7 +232,7 @@ class GraftProceduresSpec extends SparkSpec {
       .map(_.getAs[String]("procedure_name")).toSet
     assert(names == Set("compact", "vacuum", "vacuum_retain", "restore",
       "create_tag", "delete_tag", "relayout", "clone",
-      "transact_compact", "copy_into", "analyze"))
+      "transact_compact", "copy_into", "analyze", "ndv"))
   }
 
   test("CALL transact_compact maintains a PINNED member atomically: " +

@@ -1093,6 +1093,9 @@ object Merge {
               case c if Skipping.isNdvSpec(c) &&
                   c.stripPrefix(Skipping.NdvPrefix) == from =>
                 Skipping.NdvPrefix + to
+              case c if Skipping.isNdvxSpec(c) &&
+                  c.stripPrefix(Skipping.NdvxPrefix) == from =>
+                Skipping.NdvxPrefix + to
               case c => c
             },
             stats = parent.stats.map {
@@ -1288,8 +1291,8 @@ object Merge {
               // next commit's stats aggregate references a gone column
               (Skipping.isStatsxSpec(c) &&
                 c.stripPrefix(Skipping.StatsxPrefix) == name) ||
-              (Skipping.isNdvSpec(c) &&
-                c.stripPrefix(Skipping.NdvPrefix) == name)),
+              ((Skipping.isNdvSpec(c) || Skipping.isNdvxSpec(c)) &&
+                Skipping.ndvBase(c) == name)),
             stats = parent.stats.filterNot(e =>
               (Skipping.isNdvSpec(e.col) &&
                 e.col.stripPrefix(Skipping.NdvPrefix) == name) ||
@@ -1340,13 +1343,19 @@ object Merge {
     val entries1 =
       if (extStats.isEmpty) entries
       else externalizeRangeStats(fs, root, entries, extStats)
-    if (ext.isEmpty) return entries1
+    // `ndvx:` sketch blobs externalize exactly like bloomx filters:
+    // the entry (named `ndv:c` either way) keeps only the `@` ref
+    val extNdv = statsCols.filter(Skipping.isNdvxSpec)
+      .map(Skipping.ndvBase).toSet
+    if (ext.isEmpty && extNdv.isEmpty) return entries1
     val entries2 = entries1
     val dir = "_graft_bloom/" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(16)
     val todo = entries2.zipWithIndex.filter { case (e, _) =>
-      Skipping.isBloomSpec(e.col) &&
-        ext.contains(Skipping.bloomBase(e.col)) &&
+      ((Skipping.isBloomSpec(e.col) &&
+          ext.contains(Skipping.bloomBase(e.col))) ||
+        (Skipping.isNdvSpec(e.col) &&
+          extNdv.contains(Skipping.ndvBase(e.col)))) &&
         e.bloom.exists(!Skipping.isBloomRef(_))
     }
     if (todo.isEmpty) return entries2
@@ -1445,14 +1454,16 @@ object Merge {
       if (Skipping.isBloomSpec(c)) Skipping.bloomBase(c)
       else if (Skipping.isStatsxSpec(c))
         c.stripPrefix(Skipping.StatsxPrefix)
-      else if (Skipping.isNdvSpec(c)) c.stripPrefix(Skipping.NdvPrefix)
+      else if (Skipping.isNdvSpec(c) || Skipping.isNdvxSpec(c))
+        Skipping.ndvBase(c)
       else c
     require(!base.startsWith("@"),
       s"stats column name '$base' is reserved ('@' prefix marks " +
         "engine metadata entries)")
     require(schema.fieldNames.contains(base),
       s"stats column $base not in ${schema.fieldNames.mkString(", ")}")
-    if (Skipping.isNdvSpec(c)) schema(base).dataType match {
+    if (Skipping.isNdvSpec(c) || Skipping.isNdvxSpec(c))
+      schema(base).dataType match {
       case IntegerType | LongType | StringType | BinaryType => ()
       case dt => throw new IllegalArgumentException(
         s"ndv: supports int/long/string/binary columns; '$base' is " +
@@ -1552,11 +1563,12 @@ object Merge {
     // records a per-file HLL distinct sketch ([[Skipping.NdvPrefix]]).
     // One aggregate pass computes all of it.
     val (bloomSpecs, nonBloom) = statsCols.partition(Skipping.isBloomSpec)
-    val (ndvSpecs, rangeSpecs) = nonBloom.partition(Skipping.isNdvSpec)
+    val (ndvSpecs, rangeSpecs) = nonBloom.partition(c =>
+      Skipping.isNdvSpec(c) || Skipping.isNdvxSpec(c))
     val rangeCols = rangeSpecs
       .map(_.stripPrefix(Skipping.StatsxPrefix)).distinct
     val bloomCols = bloomSpecs.map(Skipping.bloomBase).distinct
-    val ndvCols = ndvSpecs.map(_.stripPrefix(Skipping.NdvPrefix)).distinct
+    val ndvCols = ndvSpecs.map(Skipping.ndvBase).distinct
     (rangeCols ++ bloomCols ++ ndvCols).foreach { c =>
       // `@` leads sidecar refs and the statsx placeholder entry
       // ([[Skipping.StatsxEntry]]); a stats entry with that prefix would
@@ -2132,17 +2144,26 @@ object Merge {
       version: Long, column: String): Option[Long] = {
     val (_, root) = fsFor(spark, path)
     val m = readManifest(spark, root, version)
-    val spec = Skipping.NdvPrefix + column
-    if (!m.statsCols.contains(spec)) return None
+    if (!m.statsCols.contains(Skipping.NdvPrefix + column) &&
+        !m.statsCols.contains(Skipping.NdvxPrefix + column)) return None
+    val spec = Skipping.NdvPrefix + column // entries keep the ndv: name
     if (m.dvFiles.nonEmpty) return None
     if (m.files.isEmpty) return Some(0L)
     val blobs = m.stats.filter(_.col == spec)
       .groupBy(_.file).view.mapValues(_.head).toMap
     if (!m.files.forall(blobs.contains)) return None
+    val fs = root.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
     val u = new org.apache.datasketches.hll.Union(Skipping.NdvLgK)
     m.files.foreach { f =>
-      blobs(f).bloom.foreach { b =>
-        if (Skipping.isBloomRef(b)) return None // never guess on a ref
+      blobs(f).bloom.foreach { b0 =>
+        // `ndvx:` entries hold a sidecar ref; resolve through the same
+        // decode-once cache the bloomx probe path uses — a one-shot
+        // O(files) pass of ~1 KB reads, repeat queries all cached
+        val b =
+          if (!Skipping.isBloomRef(b0)) b0
+          else Skipping.readBloomSidecar(fs, root, b0).getOrElse(
+            return None) // unreadable ref: decline, never guess
         try u.update(org.apache.datasketches.hll.HllSketch.heapify(
           org.apache.datasketches.memory.Memory.wrap(
             java.util.Base64.getDecoder.decode(b))))
@@ -2222,14 +2243,14 @@ object Merge {
         .foreach(validateStatsSpecs(_, statsCols))
       val (bloomSpecs, nonBloom) =
         statsCols.partition(Skipping.isBloomSpec)
-      val (ndvSpecs, rangeSpecs) = nonBloom.partition(Skipping.isNdvSpec)
+      val (ndvSpecs, rangeSpecs) = nonBloom.partition(c =>
+        Skipping.isNdvSpec(c) || Skipping.isNdvxSpec(c))
       // `statsx:c` analyzes like a plain range column; externalization
       // happens at manifest-write time (externalizeBlooms below)
       val rangeCols = rangeSpecs
         .map(_.stripPrefix(Skipping.StatsxPrefix)).distinct
       val bloomCols = bloomSpecs.map(Skipping.bloomBase).distinct
-      val ndvCols =
-        ndvSpecs.map(_.stripPrefix(Skipping.NdvPrefix)).distinct
+      val ndvCols = ndvSpecs.map(Skipping.ndvBase).distinct
       val entries: Seq[Skipping.FileStats] =
         if (parent.files.isEmpty) Seq.empty
         else {
@@ -3376,6 +3397,9 @@ object Merge {
       } else if (Skipping.isNdvSpec(c)) {
         val b = c.stripPrefix(Skipping.NdvPrefix)
         Skipping.NdvPrefix + m.getOrElse(b, b)
+      } else if (Skipping.isNdvxSpec(c)) {
+        val b = c.stripPrefix(Skipping.NdvxPrefix)
+        Skipping.NdvxPrefix + m.getOrElse(b, b)
       } else m.getOrElse(c, c)
     val stats =
       if (fs.listStatus(staging).exists(_.isDirectory))

@@ -161,6 +161,22 @@ object Skipping {
     c.startsWith(NdvPrefix)
   private[sources] val NdvLgK = 14
 
+  /** `ndvx:col` — the bloomx externalization applied to NDV sketches:
+    * the ~1 KB blob moves to a content-private sidecar and the
+    * manifest entry keeps only the `@` ref (~40 B) — the production
+    * posture past ~100k files, where inline `ndv:` would put a GB of
+    * sketches in the version log at a million files. Entries keep the
+    * `ndv:col` NAME either way (like bloomx's `bloom:col`), so the
+    * union/query path is spec-form-agnostic; [[Merge.versionColumnNdv]]
+    * resolves refs through the same decode-once sidecar cache the
+    * bloomx probe path uses.
+    */
+  private[sources] val NdvxPrefix = "ndvx:"
+  private[sources] def isNdvxSpec(c: String): Boolean =
+    c.startsWith(NdvxPrefix)
+  private[sources] def ndvBase(c: String): String =
+    c.stripPrefix(NdvPrefix).stripPrefix(NdvxPrefix)
+
   /** Pre-r19 manifests wrote the placeholder under the BARE name
     * "statsx". Readers normalize those entries via
     * [[isStatsxPlaceholder]] so old tables keep sidecar pruning and

@@ -680,6 +680,26 @@ class BloomSkipSpec extends SparkSpec {
       Merge.currentVersion(spark, p2), "v").get
     assert(math.abs(estA - 97.0) <= 97 * 0.03 + 1,
       s"post-analyze estimate outside the contract: $estA vs 97")
+    // ndvx: externalizes the blobs (the production posture at many
+    // files): refs in the manifest, identical answer, reads cached
+    val p3 = new File(d, "t3x").getAbsolutePath
+    Merge.writeKeyed(
+      (0L until 1000L).map(i => (i, i % 97)).toDF("id", "v"),
+      p3, "id", nBuckets = 4, statsCols = Seq("ndvx:v"))
+    val body3 = new String(Files.readAllBytes(
+      new File(p3, "_graft_log/v0.json").toPath), "UTF-8")
+    assert(body3.contains("\"c\":\"ndv:v\"") &&
+      body3.contains("@_graft_bloom/"),
+      "ndvx entries must hold sidecar refs under the ndv: name")
+    Skipping.bloomSidecarReads.set(0L)
+    val estX = Merge.versionColumnNdv(spark, p3, 0L, "v").get
+    assert(estX == estA,
+      s"externalized sketches must answer like inline: $estX vs $estA")
+    val reads1 = Skipping.bloomSidecarReads.get()
+    assert(reads1 > 0 && reads1 <= 4, s"one read per live file: $reads1")
+    Merge.versionColumnNdv(spark, p3, 0L, "v")
+    assert(Skipping.bloomSidecarReads.get() == reads1,
+      "a repeat query must answer from the decode-once cache")
     // a bad spec is refused AT DECLARATION, even on an EMPTY table
     // (where the stats pass never runs but the spec would persist and
     // poison the first INSERT): ndv on an unsupported type, and an

@@ -733,6 +733,52 @@ object ScaleSmoke {
             graft.sources.Skipping.statsSidecarReads.get())
         })
       }
+    // ---- r19 MANIFEST NDV (ndv:/ndvx:): the sketch-blob manifest-size
+    // curve — inline ~1 KB blobs vs ONE ~40 B sidecar ref per file —
+    // at 64 and 64×factor files, with the union answer pinned equal
+    // across spec forms and the sidecar reads counted (≤ files once,
+    // zero on repeat). The error contract lives in q_ndv_manifest;
+    // here the claim is metadata bytes and read laziness.
+    Seq(("1x", docs, 64), (s"${factor}x", inflated, 64 * factor))
+      .foreach { case (tag, d, nb) =>
+        println(s"--- $tag ndv (files=$nb)")
+        val keyed = d.select(col("doc_id"), col("text"))
+        def manifestBytes(p: String): Long = {
+          val f = new java.io.File(s"$p/_graft_log/v0.json")
+          if (f.exists) f.length
+          else new java.io.File(s"$p/_graft_log").listFiles()
+            .map(_.length).sum
+        }
+        val pIn = s"/tmp/graft_scale_ndvin_$tag"
+        val pEx = s"/tmp/graft_scale_ndvex_$tag"
+        Seq(pIn, pEx).foreach(p =>
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(p)))
+        timed("ndv_inline_write")(
+          graft.sources.Merge.writeKeyed(keyed, pIn, "doc_id", nb,
+            statsCols = Seq("ndv:text")))
+        timed("ndvx_write")(
+          graft.sources.Merge.writeKeyed(keyed, pEx, "doc_id", nb,
+            statsCols = Seq("ndvx:text")))
+        println(s"SCALE   manifest inline=${manifestBytes(pIn)} B " +
+          s"external=${manifestBytes(pEx)} B")
+        graft.sources.Skipping.bloomSidecarReads.set(0L)
+        timed("ndv_union")({
+          val a = graft.sources.Merge.versionColumnNdv(
+            spark, pIn, 0L, "text")
+          val b = graft.sources.Merge.versionColumnNdv(
+            spark, pEx, 0L, "text")
+          require(a == b && a.nonEmpty,
+            s"spec forms must answer identically: $a vs $b")
+          println(s"SCALE   ndv=$a sidecar reads=" +
+            graft.sources.Skipping.bloomSidecarReads.get())
+        })
+        timed("ndv_union_repeat")({
+          graft.sources.Merge.versionColumnNdv(spark, pEx, 0L, "text")
+          println(s"SCALE   repeat sidecar reads=" +
+            graft.sources.Skipping.bloomSidecarReads.get())
+        })
+      }
     // ---- r19 PARTIAL ANN REBALANCE: repair cost ∝ drifted cells, not
     // corpus size. Build an IVF index (cells scale with the corpus),
     // drift a couple of cells with an appended cluster, then time the

@@ -3575,6 +3575,27 @@ object Merge {
     if (keyCols.size == 1) bucketCol(keyCols.head, ns.head)
     else bucketColMulti(keyCols, ns)
 
+  /** Should a commit pin (localCheckpoint) its batch before the several
+    * actions that consume it? Yes only when re-evaluation is genuinely
+    * expensive: the frame computes a join/aggregate/window/distinct —
+    * callers routinely pass derived batches (a rollup delta is a
+    * join+agg over the whole table) and each extra evaluation repeats
+    * that work. Plain scan/filter/project batches (and frames already
+    * pinned upstream, e.g. a change feed's localCheckpoint — a bare
+    * LogicalRDD leaf) skip the pin: for them the block-store write
+    * costs more than the re-scan it saves.
+    */
+  private def worthPinning(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    var hot = false
+    df.queryExecution.analyzed.foreach {
+      case _: Join | _: Aggregate | _: Window | _: Distinct |
+          _: Deduplicate => hot = true
+      case _ => ()
+    }
+    hot
+  }
+
   private def upsertImpl(spark: SparkSession, path: String,
       updates: DataFrame,
       callerLayout: Option[(Seq[String], Seq[Int])],
@@ -3764,7 +3785,14 @@ object Merge {
               }
             (f, step, base)
           }
-      val idApplied = idBases.foldLeft(updates) { case (d, (f, step, hwm)) =>
+      // identity tables evaluate the batch several times below (null
+      // probe, offsets count, the union) — pin an EXPENSIVE batch once
+      // first; plain tables skip straight through (the fold is a no-op)
+      val pinBatch = worthPinning(updates)
+      val idApplied = idBases.foldLeft(
+        if (idBases.isEmpty || !pinBatch) updates
+        else updates.localCheckpoint(false)) {
+          case (d, (f, step, hwm)) =>
         if (d.filter(col(f.name).isNull).isEmpty) d
         else {
           // DISTRIBUTED minting: per-partition row_number + broadcast
@@ -3819,18 +3847,31 @@ object Merge {
             org.apache.spark.sql.catalyst.util.GeneratedColumn
               .GENERATION_EXPRESSION_METADATA_KEY)).cast(f.dataType))
         }
+      // The batch frame is consumed by SEVERAL actions below (constraint
+      // agg, per-bucket agg, broadcast key build, the staged write) and
+      // callers routinely pass DERIVED batches — a rollup delta is a
+      // join+agg over the whole table — so materialize it ONCE (lazy
+      // localCheckpoint: the first action below pays the evaluation and
+      // every later consumer reads the stored blocks; guide §1.2 "don't
+      // recompute what you throw away", the applyChanges discipline).
+      // Lazy, not eager, so no extra job is spawned for plain batches.
+      val withB = {
+        val b = genApplied
+          .withColumn("__bucket", bucketExprFor(keyCols, bucketNs))
+        if (pinBatch) b.localCheckpoint(false) else b
+      }
       // CHECK constraints gate the commit: every surviving (non-
       // tombstoned) incoming row must satisfy them. Existing rows were
       // validated at their own commit (or at addConstraint), so checking
       // the batch alone keeps the whole-table invariant — at any scale,
       // enforcement costs one pass over the BATCH, never the table.
+      // Runs over the checkpointed frame (the extra __bucket column is
+      // invisible to the constraint exprs, which reference table columns).
       enforceConstraints(
         tombstoneCol.map(tc =>
-          genApplied.filter(!coalesce(col(tc), lit(false))))
-          .getOrElse(genApplied),
+          withB.filter(!coalesce(col(tc), lit(false))))
+          .getOrElse(withB),
         parent.constraints, "the update batch")
-      val withB = genApplied
-        .withColumn("__bucket", bucketExprFor(keyCols, bucketNs))
       // one job: touched bucket ids, the upserted/deleted row counts,
       // AND (identity tables only) the batch's id extremes — the
       // high-water-mark advance rides the agg we run anyway
@@ -4100,15 +4141,23 @@ object Merge {
           s"column ${f.name} is identity/generated — minting and " +
           "recomputation belong to the copy-on-write upsert")
       })
+      // Materialize an EXPENSIVE batch ONCE (lazy localCheckpoint)
+      // before the several consumers below — constraint agg, per-bucket
+      // agg, broadcast key build, the DV semi-join and the staged append
+      // all re-evaluate a derived batch otherwise (same move, and same
+      // cheap-batch exemption, as upsertImpl).
+      val withB = {
+        val b = updates
+          .withColumn("__bucket", bucketExprFor(keyCols, bucketNs))
+        if (worthPinning(updates)) b.localCheckpoint(false) else b
+      }
       // CHECK constraints gate only the SURVIVING images — a
       // tombstoned key's carried columns are never stored
       enforceConstraints(
         tombstoneCol.map(tc =>
-          updates.filter(!coalesce(col(tc), lit(false))))
-          .getOrElse(updates),
+          withB.filter(!coalesce(col(tc), lit(false))))
+          .getOrElse(withB),
         parent.constraints, "the update batch")
-      val withB = updates
-        .withColumn("__bucket", bucketExprFor(keyCols, bucketNs))
       // one job: touched buckets + per-bucket total and tombstone counts
       val delAgg = tombstoneCol
         .map(tc => sum(when(col(tc), 1L).otherwise(0L)))
@@ -4128,7 +4177,7 @@ object Merge {
       // bytes gate as upsert)
       val parentTouchedFiles =
         parent.files.filter(f => touched(bucketOf(f)))
-      val updKeys = updates.select(keyCols.map(col): _*)
+      val updKeys = withB.select(keyCols.map(col): _*)
       val keyWidth = keyCols.map(k => updates.schema(k).dataType match {
         case _: org.apache.spark.sql.types.StringType |
              _: org.apache.spark.sql.types.BinaryType => 64L

@@ -319,19 +319,23 @@ case class GraftMergeCommand(m: MergeIntoTable, graft: GraftTable)
   private val DEL = "__graft_merge_del"
   private val KCH = "__graft_key_changed"
 
-  /** First-match-wins fold of a branch's WHEN clauses over `rows`:
-    * emits one change row per input row where SOME clause applies
-    * (action conditions are 3VL — null means not applicable), with
-    * every target column materialized, the tombstone flag set by the
-    * winning clause's kind, and a key-identity flag — true when an
-    * UPDATE image carries a key different from the row's own (only a
-    * star expansion can express that; it is checked and refused at
-    * runtime). Rows no clause claims are dropped — they are the
-    * statement's explicit no-ops.
+  /** First-match-wins fold of one branch's WHEN clauses, expressed as
+    * COLUMNS over the single joined frame (see run): the branch's
+    * applicability predicate (action conditions are 3VL — null means
+    * not applicable), every target column's change image, the
+    * tombstone flag set by the winning clause's kind, and a
+    * key-identity flag — true when an UPDATE image carries a key
+    * different from the row's own (only a star expansion can express
+    * that; it is checked and refused at runtime). Rows no clause
+    * claims are dropped by the caller — the statement's explicit
+    * no-ops.
     */
-  private def branch(rows: DataFrame, actions: Seq[MergeAction],
+  private case class BranchCols(applies: Column, images: Seq[Column],
+      del: Column, keyChanged: Column)
+
+  private def branchCols(actions: Seq[MergeAction],
       attrs: Seq[Attribute], keyAttrs: Seq[Attribute],
-      insertBranch: Boolean): DataFrame = {
+      insertBranch: Boolean): BranchCols = {
     val applies = {
       val raw = actions.map(_.condition
         .map(c => coalesce(GraftShim.column(c), lit(false)))
@@ -369,9 +373,7 @@ case class GraftMergeCommand(m: MergeIntoTable, graft: GraftTable)
       else keyAttrs.map(ka =>
         !(unaliased(attrs.indexOf(ka)) <=> GraftShim.column(ka)))
         .reduceLeft(_ || _)
-    rows.filter(applies.reduceLeft(_ || _)).select(
-      attrs.zip(unaliased).map { case (a, c) => c.as(a.name) } :+
-        delFlag.as(DEL) :+ keyChanged.as(KCH): _*)
+    BranchCols(applies.reduceLeft(_ || _), unaliased, delFlag, keyChanged)
   }
 
   override def run(spark: SparkSession): Seq[Row] = {
@@ -410,26 +412,58 @@ case class GraftMergeCommand(m: MergeIntoTable, graft: GraftTable)
     val source = GraftShim.ofRows(spark, m.sourceTable)
     val cond = GraftShim.column(m.mergeCondition)
 
-    val branches = Seq.newBuilder[DataFrame]
-    if (m.matchedActions.nonEmpty)
-      branches += branch(target.join(source, cond, "inner"),
-        m.matchedActions, tAttrs, keyAttrs, insertBranch = false)
-    if (m.notMatchedActions.nonEmpty)
-      branches += branch(source.join(target, cond, "left_anti"),
-        m.notMatchedActions, tAttrs, keyAttrs, insertBranch = true)
-    if (m.notMatchedBySourceActions.nonEmpty)
-      branches += branch(target.join(source, cond, "left_anti"),
-        m.notMatchedBySourceActions, tAttrs, keyAttrs,
-        insertBranch = false)
-    val built = branches.result()
-    if (built.isEmpty) return Seq.empty
+    // ONE join instead of three (inner + two antis): the joined frame
+    // partitions into matched (both sides present), not-matched
+    // (source-only) and not-matched-by-source (target-only) rows, told
+    // apart by null-safe presence markers — so the target is scanned
+    // and joined ONCE however many branches the statement has (the
+    // Delta single-pass writeAllChanges shape; a union of per-branch
+    // joins would re-evaluate the target scan per branch, since Spark
+    // does not share common subtrees across union arms). The join
+    // type keeps only the row classes some branch consumes.
+    val hasM = m.matchedActions.nonEmpty
+    val hasI = m.notMatchedActions.nonEmpty
+    val hasN = m.notMatchedBySourceActions.nonEmpty
+    if (!hasM && !hasI && !hasN) return Seq.empty
+    val TP = "__graft_t_present"
+    val SP = "__graft_s_present"
+    val joinType =
+      if (hasI && hasN) "full_outer"
+      else if (hasI) "right_outer"
+      else if (hasN) "left_outer"
+      else "inner"
+    val joined = target.withColumn(TP, lit(true))
+      .join(source.withColumn(SP, lit(true)), cond, joinType)
+    val tPresent = coalesce(col(TP), lit(false))
+    val sPresent = coalesce(col(SP), lit(false))
+    val parts: Seq[(Column, BranchCols)] = Seq(
+      (hasM, tPresent && sPresent, m.matchedActions, false),
+      (hasI, !tPresent, m.notMatchedActions, true),
+      (hasN, !sPresent, m.notMatchedBySourceActions, false))
+      .collect { case (true, pc, acts, ins) =>
+        (pc, branchCols(acts, tAttrs, keyAttrs, insertBranch = ins))
+      }
+    val applies = parts.map { case (pc, b) => pc && b.applies }
+      .reduceLeft(_ || _)
+    // branch conditions are mutually exclusive and rows are filtered
+    // to `applies`, so the when-chain needs no otherwise
+    def foldParts(sel: BranchCols => Column): Column =
+      parts.tail.foldLeft(
+        when(parts.head._1 && parts.head._2.applies,
+          sel(parts.head._2))) {
+        case (acc, (pc, b)) => acc.when(pc && b.applies, sel(b))
+      }
 
     // MATERIALIZE the change set once (Delta's materializeSource
     // move). A lazy persist is NOT enough: the guards' limit(1) only
     // computes a partition or two, so the cardinality check and the
     // commit protocol (which evaluates its input several times) would
     // each re-run the join-heavy change plan against the full table.
-    val changes = built.reduceLeft(_ union _).localCheckpoint()
+    val changes = joined.filter(applies).select(
+      tAttrs.zipWithIndex.map { case (a, i) =>
+        foldParts(_.images(i)).as(a.name)
+      } :+ foldParts(_.del).as(DEL) :+ foldParts(_.keyChanged).as(KCH): _*)
+      .localCheckpoint()
     try {
       val kch = changes.filter(col(KCH)).limit(1).collect()
       require(kch.isEmpty,

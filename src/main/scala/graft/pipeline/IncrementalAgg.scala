@@ -109,7 +109,9 @@ object IncrementalAgg {
         coalesce(col("dirty_max"), lit(false)).as("dirty_max")): _*)
     // lineage truncation before overwriting the path we just read
     // (bounded: |groups| rows of fixed-width state)
-    materialize(merged, checkpointDir).write.mode("overwrite").parquet(path)
+    val pinned = materialize(merged, checkpointDir)
+    try pinned.write.mode("overwrite").parquet(path)
+    finally org.apache.spark.sql.GraftShim.unpinLocalCheckpoint(pinned)
   }
 
   /** Fold a delta with retractions: `opCol` is +1 (insert) or -1
@@ -150,7 +152,9 @@ object IncrementalAgg {
           (col("d_del_max").isNotNull && col("d_del_max") >= candMax))
           .as("dirty_max")): _*)
       .filter(col("cnt") > 0)
-    materialize(merged, checkpointDir).write.mode("overwrite").parquet(path)
+    val pinned = materialize(merged, checkpointDir)
+    try pinned.write.mode("overwrite").parquet(path)
+    finally org.apache.spark.sql.GraftShim.unpinLocalCheckpoint(pinned)
   }
 
   /** Repair flagged groups' min/max from `net` (the CURRENT raw table —
@@ -179,7 +183,9 @@ object IncrementalAgg {
         when(col("dirty_max"), col("f_max")).otherwise(col("max_v"))
           .as("max_v"),
         lit(false).as("dirty_min"), lit(false).as("dirty_max")): _*)
-    materialize(repaired, checkpointDir).write.mode("overwrite").parquet(path)
+    val pinned = materialize(repaired, checkpointDir)
+    try pinned.write.mode("overwrite").parquet(path)
+    finally org.apache.spark.sql.GraftShim.unpinLocalCheckpoint(pinned)
   }
 
   /** MATERIALIZED-VIEW SYNC over a versioned [[graft.sources.Merge]]

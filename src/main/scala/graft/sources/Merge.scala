@@ -2771,9 +2771,13 @@ object Merge {
       .dropDuplicates(keyCols)
     val batch = pos.withColumn("__apply_del", lit(false))
       .unionByName(delRows.withColumn("__apply_del", lit(true)))
-    upsertGrid(spark, path, batch,
+    try upsertGrid(spark, path, batch,
       maxRetries = maxRetries, txn = txn,
       tombstoneCol = Some("__apply_del"), filesPerBucket = filesPerBucket)
+    // drop the pinned net image's blocks: a long streaming session
+    // folds hundreds of batches and the ContextCleaner only reclaims
+    // them on GC — unpin deterministically once the commit consumed it
+    finally org.apache.spark.sql.GraftShim.unpinLocalCheckpoint(net)
   }
 
   /** [[applyChanges]] for DELTA CDF-DIALECT feeds: fold a batch labeled
@@ -3860,6 +3864,11 @@ object Merge {
           .withColumn("__bucket", bucketExprFor(keyCols, bucketNs))
         if (pinBatch) b.localCheckpoint(false) else b
       }
+      // deterministic block release for the pinned batch — without it a
+      // long session's hundreds of commits leave their checkpoint
+      // blocks to GC-triggered cleaning (block-manager bloat)
+      def unpinBatch(): Unit =
+        if (pinBatch) org.apache.spark.sql.GraftShim.unpinLocalCheckpoint(withB)
       // CHECK constraints gate the commit: every surviving (non-
       // tombstoned) incoming row must satisfy them. Existing rows were
       // validated at their own commit (or at addConstraint), so checking
@@ -3887,8 +3896,10 @@ object Merge {
         .collect() // bounded by nBuckets
       val perBucket =
         perBucketRows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      if (perBucket.isEmpty)
+      if (perBucket.isEmpty) {
+        unpinBatch()
         return MergeStats(0, nTotal, 0L, parentV, attempt)
+      }
       // advance each identity mark monotonically: never below (above,
       // for negative step) the parent's persisted mark, whatever this
       // commit deletes or rewrites
@@ -4013,7 +4024,7 @@ object Merge {
             throw new IllegalStateException(
               s"upsert lost the commit race $attempt times at $path — " +
               "giving up; retry with less write contention")
-      }
+      } finally unpinBatch()
     }
     throw new IllegalStateException("unreachable")
   }
@@ -4146,11 +4157,14 @@ object Merge {
       // agg, broadcast key build, the DV semi-join and the staged append
       // all re-evaluate a derived batch otherwise (same move, and same
       // cheap-batch exemption, as upsertImpl).
+      val pinBatch = worthPinning(updates)
       val withB = {
         val b = updates
           .withColumn("__bucket", bucketExprFor(keyCols, bucketNs))
-        if (worthPinning(updates)) b.localCheckpoint(false) else b
+        if (pinBatch) b.localCheckpoint(false) else b
       }
+      def unpinBatch(): Unit =
+        if (pinBatch) org.apache.spark.sql.GraftShim.unpinLocalCheckpoint(withB)
       // CHECK constraints gate only the SURVIVING images — a
       // tombstoned key's carried columns are never stored
       enforceConstraints(
@@ -4166,8 +4180,10 @@ object Merge {
         .agg(count(lit(1)).as("n"), delAgg).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
         // bounded by nBuckets
-      if (perBucket.isEmpty)
+      if (perBucket.isEmpty) {
+        unpinBatch()
         return MergeStats(0, nTotal, 0L, parentV, attempt)
+      }
       val touched = perBucket.map(_._1).toSet
       val rowsIn = perBucket.map(_._2).sum
       val rowsTombstoned = perBucket.map(_._3).sum
@@ -4246,7 +4262,7 @@ object Merge {
           if (dvRefs.nonEmpty)
             fs.delete(new Path(root, dvRefs.head).getParent, true)
           attempt += 1
-      }
+      } finally unpinBatch()
     }
     throw new IllegalStateException(
       s"upsertDV lost the commit race $attempt times at $path")

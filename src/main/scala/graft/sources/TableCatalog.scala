@@ -488,8 +488,11 @@ object TableCatalog {
       // batch, no-op'd by the txn stamp before any op is built, never
       // evaluates the source at all
       val b = batch.localCheckpoint(eager = false)
-      transactWith(b.sparkSession, catRoot, _ => mkOps(b, batchId),
+      try transactWith(b.sparkSession, catRoot, _ => mkOps(b, batchId),
         txn = Some((appId, batchId)))
+      // drop the batch's pinned blocks once the txn consumed it — a
+      // long stream's checkpoints otherwise wait on GC to be reclaimed
+      finally org.apache.spark.sql.GraftShim.unpinLocalCheckpoint(b)
       ()
     }
 

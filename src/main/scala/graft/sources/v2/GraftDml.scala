@@ -186,7 +186,7 @@ case class GraftDeleteCommand(table: LogicalPlan, graft: GraftTable,
       else
         Merge.upsertGrid(spark, graft.path, changes,
           tombstoneCol = Some("__graft_del"))
-    } finally doomed.unpersist(blocking = false)
+    } finally GraftShim.unpinLocalCheckpoint(doomed)
     Seq.empty
   }
 }
@@ -300,7 +300,7 @@ case class GraftUpdateCommand(table: LogicalPlan, graft: GraftTable,
           GraftDml.morEligible(graft.schema()))
         Merge.upsertDVGrid(spark, graft.path, updated)
       else Merge.upsertGrid(spark, graft.path, updated)
-    } finally updated.unpersist(blocking = false)
+    } finally GraftShim.unpinLocalCheckpoint(updated)
     Seq.empty
   }
 }
@@ -490,7 +490,7 @@ case class GraftMergeCommand(m: MergeIntoTable, graft: GraftTable)
       else
         Merge.upsertGrid(spark, graft.path, changes.drop(KCH),
           tombstoneCol = Some(DEL))
-    } finally changes.unpersist(blocking = false)
+    } finally GraftShim.unpinLocalCheckpoint(changes)
     Seq.empty
   }
 }

@@ -408,7 +408,7 @@ class GraftWriteBuilder(path: String,
       .localCheckpoint()
     try Merge.upsertGrid(spark, path, changes,
       tombstoneCol = Some(DEL))
-    finally changes.unpersist(blocking = false)
+    finally org.apache.spark.sql.GraftShim.unpinLocalCheckpoint(changes)
     ()
   }
 

@@ -52,6 +52,21 @@ object GraftShim {
       plan: catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Drop the storage blocks behind a `localCheckpoint`-ed frame.
+    * `Dataset.unpersist` only uncaches `cache()`-ed plans — a local
+    * checkpoint's blocks live on the LogicalRDD's underlying RDD and
+    * otherwise linger until the ContextCleaner notices the RDD is
+    * unreachable, which under low GC pressure lets hundreds of
+    * commit-pinned batches accumulate in the block manager over a long
+    * session. Callers invoke this once the pinned frame's last
+    * consumer has run.
+    */
+  def unpinLocalCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+
   /** `CatalogV2Util.v2ColumnsToStructType` is `private[sql]`; the
     * catalog's Column[] createTable overload needs the one canonical
     * Column→StructField conversion (defaults ride field metadata) so

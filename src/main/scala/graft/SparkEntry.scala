@@ -1065,10 +1065,18 @@ object SparkEntry {
       // flagged line in a multi-supplier order whose ONLY flagged
       // supplier is its own. Three scans of lineitem become two.
       val l = t(s, dir, "lineitem")
-      val stats = l.groupBy(col("l_orderkey").as("st_orderkey"))
-        .agg(countDistinct(col("l_suppkey")).as("nsupp"),
-          countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
-            .as("nsupp_r"))
+      // two-phase distinct instead of a double countDistinct: two
+      // count-distincts in one aggregate plan through Expand (every
+      // input row duplicated per distinct group); pre-aggregating to
+      // (orderkey, suppkey) pairs and counting flags computes the same
+      // values over one un-expanded pass (l_suppkey is NOT NULL, so
+      // pair-count == distinct-count)
+      val stats = l.groupBy(col("l_orderkey").as("st_orderkey"),
+          col("l_suppkey").as("st_suppkey"))
+        .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("has_r"))
+        .groupBy("st_orderkey")
+        .agg(count(lit(1)).as("nsupp"), sum(col("has_r")).as("nsupp_r"))
       l.filter(col("l_returnflag") === "R")
         .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
           col("l_orderkey") === col("o_orderkey"))

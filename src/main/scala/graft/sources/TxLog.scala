@@ -345,6 +345,31 @@ object TxLog {
     moved.result().sorted
   }
 
+  /** Schema memo for sub-table reads: committed files are IMMUTABLE
+    * (staged under unique part names, moved once, never rewritten in
+    * place), so the schema inferred from a given first-file path can
+    * never go stale — and skipping the per-read footer inference
+    * matters because index probes and catalog transactions resolve
+    * sub-tables once per micro-batch. Keyed by (first file, basePath)
+    * so the partitioned read's directory-derived columns memo
+    * separately from the plain read's.
+    */
+  private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), org.apache.spark.sql.types.StructType]
+
+  private def readWithMemo(spark: SparkSession, paths: Seq[String],
+      basePath: Option[String]): DataFrame = {
+    val reader = basePath.foldLeft(spark.read) {
+      (r, b) => r.option("basePath", b)
+    }
+    val sch = schemaMemo.computeIfAbsent(
+      (paths.head, basePath.getOrElse("")),
+      _ => reader.parquet(paths: _*).schema)
+    basePath.foldLeft(spark.read.schema(sch)) {
+      (r, b) => r.option("basePath", b)
+    }.parquet(paths: _*)
+  }
+
   /** [[readTable]] for a partitioned sub-table: reads the state's exact
     * files with `basePath = <root>/<table>` so the partition columns
     * come back (and partition-filter pruning still applies to the file
@@ -356,8 +381,9 @@ object TxLog {
     if (files.isEmpty) None
     else {
       val base = new Path(new Path(root), table)
-      Some(spark.read.option("basePath", base.toString).parquet(
-        files.map(f => new Path(new Path(root), f).toString): _*))
+      Some(readWithMemo(spark,
+        files.map(f => new Path(new Path(root), f).toString),
+        Some(base.toString)))
     }
   }
 
@@ -369,8 +395,8 @@ object TxLog {
       table: String): Option[DataFrame] = {
     val files = state.tables.getOrElse(table, Seq.empty)
     if (files.isEmpty) None
-    else Some(spark.read.parquet(
-      files.map(f => new Path(new Path(root), f).toString): _*))
+    else Some(readWithMemo(spark,
+      files.map(f => new Path(new Path(root), f).toString), None))
   }
 
   /** Delete files no retained version references (compaction leftovers

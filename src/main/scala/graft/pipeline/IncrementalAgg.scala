@@ -33,32 +33,72 @@ object IncrementalAgg {
 
   private val flagCols = Seq("dirty_min", "dirty_max")
 
-  // test seam: invoked after the new state is materialized and before the
-  // old state path is overwritten — a spec simulates executor/block loss
-  // here to prove the reliable-checkpoint option survives it
+  // test seam: invoked after the new state is durably materialized and
+  // before the old state files are swapped out — a spec simulates
+  // executor/block loss here to prove the pivot survives it
   @volatile private[pipeline] var beforeOverwriteHook: () => Unit = () => ()
 
-  /** Materialize the new state BEFORE overwriting the path it was read
-    * from (the read->fold->overwrite cycle's pivot). `localCheckpoint` by
-    * default — the only copy then lives in the current session's executor
-    * memory/disk for the duration of the overwrite; a reliable
-    * `checkpointDir` (the `Graph.pageRank` option) puts it in durable
-    * storage first, so losing an executor — or the whole session — between
-    * the fold and the overwrite cannot lose state. State is bounded
-    * (|groups| rows of fixed-width aggregates), so the durable write is
-    * cheap insurance for the operator's 100 TB ETL billing.
+  /** Per-path state-schema memo: every update/read of a state path pays
+    * parquet footer inference otherwise, and streaming maintenance
+    * (foreachBatch folds) resolves the same fixed-schema path once per
+    * micro-batch. Entries are written by our own writes (the exact
+    * schema just written) or a first inference read, so they always
+    * match the files on disk; [[init]] refreshes the entry, covering a
+    * re-initialized path inside one JVM. External rewrites of a live
+    * state path mid-session are out of scope (same immutable-input
+    * assumption as the engine's other read memos).
     */
-  private def materialize(df: DataFrame,
-      checkpointDir: Option[String]): DataFrame = {
-    val out = checkpointDir match {
-      case Some(dir) =>
-        val sc = df.sparkSession.sparkContext
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
-        df.checkpoint(true)
-      case None => df.localCheckpoint(true)
+  private val stateSchemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]
+
+  private def readState(spark: SparkSession, path: String): DataFrame = {
+    val memo = stateSchemaMemo.get(path)
+    if (memo != null) spark.read.schema(memo).parquet(path)
+    else {
+      val df = spark.read.parquet(path)
+      stateSchemaMemo.put(path, df.schema)
+      df
     }
+  }
+
+  /** Pivot of the read->fold->write cycle: land the new state DURABLY in
+    * a hidden tmp dir inside the state path (one Spark job — the fold
+    * computes while the old files, its input, are still in place; dot-
+    * prefixed dirs are invisible to the parquet reader), then swap the
+    * data files driver-side. Replaces the old localCheckpoint-then-
+    * overwrite pivot, which paid a second job (blocks -> parquet) per
+    * update and lost state to executor-block loss in the window; now the
+    * new state is on durable storage before any old file is touched, so
+    * the `checkpointDir` escape hatch is no longer needed for safety
+    * (accepted and ignored for API compatibility). The only non-durable
+    * window left is the driver-side rename swap; recovery there is
+    * unchanged: delete the state dir and re-initialize from current data.
+    */
+  private def writeSwap(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // fixed tmp name: overwrite mode self-cleans a crashed prior attempt
+    // (the update cycle is single-writer by contract — read-modify-write)
+    val tmp = new org.apache.hadoop.fs.Path(p, "._graft_state_tmp")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    stateSchemaMemo.put(path, df.schema)
     beforeOverwriteHook()
-    out
+    fs.listStatus(p)
+      .filter(st => st.isFile && {
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+      .foreach(st => fs.delete(st.getPath, false))
+    fs.listStatus(tmp)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .foreach { st =>
+        // spark part names embed a per-job UUID: collisions impossible
+        require(fs.rename(st.getPath, new org.apache.hadoop.fs.Path(
+          p, st.getPath.getName)),
+          s"failed to move new state file ${st.getPath} into $path")
+      }
+    fs.delete(tmp, true)
   }
 
   private def aggregate(df: DataFrame, keys: Seq[String],
@@ -71,11 +111,13 @@ object IncrementalAgg {
 
   /** Initialize the state table from a first batch. */
   def init(df: DataFrame, path: String, keys: Seq[String],
-      valueCol: String): Unit =
-    aggregate(df, keys, valueCol)
+      valueCol: String): Unit = {
+    val state = aggregate(df, keys, valueCol)
       .withColumn("dirty_min", lit(false))
       .withColumn("dirty_max", lit(false))
-      .write.mode("overwrite").parquet(path)
+    state.write.mode("overwrite").parquet(path)
+    stateSchemaMemo.put(path, state.schema)
+  }
 
   // older state tables predate the dirty flags; treat absent as clean
   private def withFlags(state: DataFrame): DataFrame =
@@ -91,7 +133,7 @@ object IncrementalAgg {
   def update(spark: SparkSession, path: String, delta: DataFrame,
       keys: Seq[String], valueCol: String,
       checkpointDir: Option[String] = None): Unit = {
-    val state = withFlags(spark.read.parquet(path))
+    val state = withFlags(readState(spark, path))
     val d = aggregate(delta, keys, valueCol)
       .select(keys.map(col) ++
         Seq("cnt", "sum_exact", "min_v", "max_v")
@@ -107,11 +149,7 @@ object IncrementalAgg {
         greatest(col("max_v"), col("d_max_v")).as("max_v"),
         coalesce(col("dirty_min"), lit(false)).as("dirty_min"),
         coalesce(col("dirty_max"), lit(false)).as("dirty_max")): _*)
-    // lineage truncation before overwriting the path we just read
-    // (bounded: |groups| rows of fixed-width state)
-    val pinned = materialize(merged, checkpointDir)
-    try pinned.write.mode("overwrite").parquet(path)
-    finally org.apache.spark.sql.GraftShim.unpinLocalCheckpoint(pinned)
+    writeSwap(merged, path)
   }
 
   /** Fold a delta with retractions: `opCol` is +1 (insert) or -1
@@ -123,7 +161,7 @@ object IncrementalAgg {
   def updateWithRetractions(spark: SparkSession, path: String,
       delta: DataFrame, keys: Seq[String], valueCol: String,
       opCol: String, checkpointDir: Option[String] = None): Unit = {
-    val state = withFlags(spark.read.parquet(path))
+    val state = withFlags(readState(spark, path))
     val v = col(valueCol).cast("double")
     val adds = (c: Column) => when(col(opCol) > 0, c)
     val dels = (c: Column) => when(col(opCol) < 0, c)
@@ -152,9 +190,7 @@ object IncrementalAgg {
           (col("d_del_max").isNotNull && col("d_del_max") >= candMax))
           .as("dirty_max")): _*)
       .filter(col("cnt") > 0)
-    val pinned = materialize(merged, checkpointDir)
-    try pinned.write.mode("overwrite").parquet(path)
-    finally org.apache.spark.sql.GraftShim.unpinLocalCheckpoint(pinned)
+    writeSwap(merged, path)
   }
 
   /** Repair flagged groups' min/max from `net` (the CURRENT raw table —
@@ -164,7 +200,7 @@ object IncrementalAgg {
   def rebuild(spark: SparkSession, path: String, net: DataFrame,
       keys: Seq[String], valueCol: String,
       checkpointDir: Option[String] = None): Unit = {
-    val state = withFlags(spark.read.parquet(path))
+    val state = withFlags(readState(spark, path))
     val flagged = state.filter(col("dirty_min") || col("dirty_max"))
       .select(keys.map(col): _*)
     // nothing dirty -> nothing to repair: skip without ever touching the
@@ -183,9 +219,7 @@ object IncrementalAgg {
         when(col("dirty_max"), col("f_max")).otherwise(col("max_v"))
           .as("max_v"),
         lit(false).as("dirty_min"), lit(false).as("dirty_max")): _*)
-    val pinned = materialize(repaired, checkpointDir)
-    try pinned.write.mode("overwrite").parquet(path)
-    finally org.apache.spark.sql.GraftShim.unpinLocalCheckpoint(pinned)
+    writeSwap(repaired, path)
   }
 
   /** MATERIALIZED-VIEW SYNC over a versioned [[graft.sources.Merge]]
@@ -258,7 +292,7 @@ object IncrementalAgg {
     */
   def read(spark: SparkSession, path: String,
       allowDirty: Boolean = false): DataFrame = {
-    val state = withFlags(spark.read.parquet(path))
+    val state = withFlags(readState(spark, path))
     if (!allowDirty) {
       val dirty = state.filter(col("dirty_min") || col("dirty_max")).count()
       require(dirty == 0L,
@@ -277,7 +311,7 @@ object IncrementalAgg {
     * groups' extremes are awaiting [[rebuild]].
     */
   def readWithFlags(spark: SparkSession, path: String): DataFrame =
-    withFlags(spark.read.parquet(path))
+    withFlags(readState(spark, path))
       .withColumn("sum_v", col("sum_exact").cast("double"))
       .drop("sum_exact")
 }

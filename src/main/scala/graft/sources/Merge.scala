@@ -1546,7 +1546,8 @@ object Merge {
   }
 
   private def bucketFileStats(spark: SparkSession, dir: String,
-      statsCols: Seq[String]): Seq[Skipping.FileStats] = {
+      statsCols: Seq[String],
+      schemaHint: Option[StructType] = None): Seq[Skipping.FileStats] = {
     if (statsCols.isEmpty) return Seq.empty
     // an EMPTY initial commit (CREATE TABLE before any INSERT) wrote no
     // data files — nothing to collect stats over; later commits record
@@ -1555,7 +1556,13 @@ object Merge {
         .getFileSystem(spark.sparkContext.hadoopConfiguration),
         new Path(dir)).isEmpty)
       return Seq.empty
-    val df = spark.read.parquet(dir)
+    // write-path callers KNOW the schema they just wrote (including the
+    // __bucket partition column) — passing it skips a per-commit footer
+    // inference; the values read back are identical either way
+    val df = schemaHint match {
+      case Some(s) => spark.read.schema(s).parquet(dir)
+      case None => spark.read.parquet(dir)
+    }
     // `bloom:c` specs index column c with a per-file Bloom filter
     // (point-lookup pruning); plain names and `statsx:c` record min/max
     // intervals (statsx differs only at manifest-write time, where
@@ -1639,7 +1646,9 @@ object Merge {
       Some(schemaToString(df.schema)), layout = Some((keyCol, nBuckets)),
       statsCols = statsCols,
       stats = externalizeBlooms(fs, root,
-        bucketFileStats(df.sparkSession, path, statsCols), statsCols),
+        bucketFileStats(df.sparkSession, path, statsCols,
+          schemaHint = Some(df.schema.add("__bucket",
+            org.apache.spark.sql.types.LongType))), statsCols),
       ts = System.currentTimeMillis(), op = Some("write"),
       shardSpan = manifestShardSpan, constraints = constraints,
       keySorted = true))
@@ -1686,7 +1695,9 @@ object Merge {
       Some(schemaToString(df.schema)),
       statsCols = statsCols,
       stats = externalizeBlooms(fs, root,
-        bucketFileStats(df.sparkSession, path, statsCols), statsCols),
+        bucketFileStats(df.sparkSession, path, statsCols,
+          schemaHint = Some(df.schema.add("__bucket",
+            org.apache.spark.sql.types.LongType))), statsCols),
       ts = System.currentTimeMillis(), op = Some("write"),
       layoutCols = keyCols, layoutNs = nBuckets, keySorted = true))
   }
@@ -3408,7 +3419,9 @@ object Merge {
     val stats =
       if (fs.listStatus(staging).exists(_.isDirectory))
         bucketFileStats(spark, staging.toString,
-          statsCols.map(mapCol(_, l2p)))
+          statsCols.map(mapCol(_, l2p)),
+          schemaHint = Some(phys.schema)) // the staged frame's own
+            // schema (physical names, __bucket included) — no inference
           .map(e => e.copy(col = mapCol(e.col, p2l)))
       else Seq.empty // empty write: no bucket dirs, nothing to stat
     val moved = Seq.newBuilder[String]
@@ -3793,9 +3806,20 @@ object Merge {
       // probe, offsets count, the union) — pin an EXPENSIVE batch once
       // first; plain tables skip straight through (the fold is a no-op)
       val pinBatch = worthPinning(updates)
+      // EVERY checkpoint this attempt creates is tracked and released in
+      // one finally — the seed pin and the minting pins used to leak
+      // (only withB was unpinned, and only when the commit try was
+      // reached; a constraint/stage failure leaked even that)
+      val pins = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      def pin(df: DataFrame, eager: Boolean): DataFrame = {
+        val c = df.localCheckpoint(eager); pins += c; c
+      }
+      def unpinAll(): Unit = pins.foreach(
+        org.apache.spark.sql.GraftShim.unpinLocalCheckpoint)
+      try {
       val idApplied = idBases.foldLeft(
         if (idBases.isEmpty || !pinBatch) updates
-        else updates.localCheckpoint(false)) {
+        else pin(updates, eager = false)) {
           case (d, (f, step, hwm)) =>
         if (d.filter(col(f.name).isNull).isEmpty) d
         else {
@@ -3804,7 +3828,7 @@ object Merge {
           // billion-row seed backfill mints in parallel. The null-id
           // subset is PINNED first (localCheckpoint) so the offsets
           // job and the numbering job see identical partitions.
-          val nulls = d.filter(col(f.name).isNull).localCheckpoint()
+          val nulls = pin(d.filter(col(f.name).isNull), eager = true)
           val withPid = nulls.withColumn("__pid", spark_partition_id())
           val counts = withPid.groupBy("__pid").count().collect()
             .map(r => (r.getInt(0), r.getLong(1)))
@@ -3823,14 +3847,14 @@ object Merge {
             typedLit(offsets), col("__pid"))
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy("__pid").orderBy(monotonically_increasing_id())
-          d.filter(col(f.name).isNotNull).unionByName(
+          pin(d.filter(col(f.name).isNotNull).unionByName(
             withPid.withColumn(f.name,
               (lit(hwm) + lit(step) *
                 (offOf + row_number().over(w)))
                 .cast(f.dataType))
-              .drop("__pid"))
-            .localCheckpoint() // minted ids must survive the
-                               // merge's several passes unchanged
+              .drop("__pid")),
+            eager = true) // minted ids must survive the
+                          // merge's several passes unchanged
         }
       }
       // GENERATED columns (`GENERATED ALWAYS AS (expr)`): the ENGINE
@@ -3862,13 +3886,8 @@ object Merge {
       val withB = {
         val b = genApplied
           .withColumn("__bucket", bucketExprFor(keyCols, bucketNs))
-        if (pinBatch) b.localCheckpoint(false) else b
+        if (pinBatch) pin(b, eager = false) else b
       }
-      // deterministic block release for the pinned batch — without it a
-      // long session's hundreds of commits leave their checkpoint
-      // blocks to GC-triggered cleaning (block-manager bloat)
-      def unpinBatch(): Unit =
-        if (pinBatch) org.apache.spark.sql.GraftShim.unpinLocalCheckpoint(withB)
       // CHECK constraints gate the commit: every surviving (non-
       // tombstoned) incoming row must satisfy them. Existing rows were
       // validated at their own commit (or at addConstraint), so checking
@@ -3897,7 +3916,7 @@ object Merge {
       val perBucket =
         perBucketRows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       if (perBucket.isEmpty) {
-        unpinBatch()
+        // the enclosing finally releases the pins
         return MergeStats(0, nTotal, 0L, parentV, attempt)
       }
       // advance each identity mark monotonically: never below (above,
@@ -4024,7 +4043,13 @@ object Merge {
             throw new IllegalStateException(
               s"upsert lost the commit race $attempt times at $path — " +
               "giving up; retry with less write contention")
-      } finally unpinBatch()
+      }
+      // deterministic block release for every pin this attempt made —
+      // on success, on a lost race (the retry re-pins), and on ANY
+      // failure path (constraint refusal, stage error): without it a
+      // long session's hundreds of commits leave their checkpoint
+      // blocks to GC-triggered cleaning (block-manager bloat)
+      } finally unpinAll()
     }
     throw new IllegalStateException("unreachable")
   }
@@ -4165,6 +4190,10 @@ object Merge {
       }
       def unpinBatch(): Unit =
         if (pinBatch) org.apache.spark.sql.GraftShim.unpinLocalCheckpoint(withB)
+      // release the pin on EVERY exit from this attempt — success, lost
+      // race (the retry re-pins), and any failure before the commit try
+      // (constraint refusal, stage error) — not just the commit paths
+      try {
       // CHECK constraints gate only the SURVIVING images — a
       // tombstoned key's carried columns are never stored
       enforceConstraints(
@@ -4181,7 +4210,7 @@ object Merge {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
         // bounded by nBuckets
       if (perBucket.isEmpty) {
-        unpinBatch()
+        // the enclosing finally releases the pin
         return MergeStats(0, nTotal, 0L, parentV, attempt)
       }
       val touched = perBucket.map(_._1).toSet
@@ -4262,6 +4291,7 @@ object Merge {
           if (dvRefs.nonEmpty)
             fs.delete(new Path(root, dvRefs.head).getParent, true)
           attempt += 1
+      }
       } finally unpinBatch()
     }
     throw new IllegalStateException(

@@ -347,24 +347,41 @@ object TxLog {
 
   /** Schema memo for sub-table reads: committed files are IMMUTABLE
     * (staged under unique part names, moved once, never rewritten in
-    * place), so the schema inferred from a given first-file path can
-    * never go stale — and skipping the per-read footer inference
-    * matters because index probes and catalog transactions resolve
-    * sub-tables once per micro-batch. Keyed by (first file, basePath)
-    * so the partitioned read's directory-derived columns memo
-    * separately from the plain read's.
+    * place), so the schema inferred for a given file set can never go
+    * stale — and skipping the per-read footer inference matters because
+    * index probes and catalog transactions resolve sub-tables once per
+    * micro-batch.
+    *
+    * Keying: a PLAIN read's schema rides the (immutable) head file, so
+    * (first file, "") is a stable key that hits across growing states.
+    * A PARTITIONED read additionally infers the partition columns' types
+    * from the directory values of the WHOLE file list — two states of a
+    * growing sub-table commonly share the head file while spanning new
+    * partition directories, and a head-file key would freeze partition
+    * typing at first read — so partitioned reads key on a digest of the
+    * full file list instead (one inference per distinct state, still a
+    * hit for the common repeated-resolution of one state per batch).
+    * Bounded: cleared past a size cap (re-inference is correct, just
+    * slower), so a long session cannot grow it without limit.
     */
   private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
     (String, String), org.apache.spark.sql.types.StructType]
+  private val SchemaMemoCap = 4096
 
   private def readWithMemo(spark: SparkSession, paths: Seq[String],
       basePath: Option[String]): DataFrame = {
-    val reader = basePath.foldLeft(spark.read) {
-      (r, b) => r.option("basePath", b)
+    val key = basePath match {
+      case None => (paths.head, "")
+      case Some(b) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        paths.foreach(p => md.update(p.getBytes("UTF-8")))
+        (java.util.Base64.getEncoder.encodeToString(md.digest()), b)
     }
-    val sch = schemaMemo.computeIfAbsent(
-      (paths.head, basePath.getOrElse("")),
-      _ => reader.parquet(paths: _*).schema)
+    if (schemaMemo.size > SchemaMemoCap) schemaMemo.clear()
+    val sch = schemaMemo.computeIfAbsent(key, _ =>
+      basePath.foldLeft(spark.read) {
+        (r, b) => r.option("basePath", b)
+      }.parquet(paths: _*).schema)
     basePath.foldLeft(spark.read.schema(sch)) {
       (r, b) => r.option("basePath", b)
     }.parquet(paths: _*)

@@ -60,9 +60,16 @@ object GraftShim {
     * commit-pinned batches accumulate in the block manager over a long
     * session. Callers invoke this once the pinned frame's last
     * consumer has run.
+    *
+    * LEAF-ONLY by construction: the frame must BE the checkpoint result
+    * (analyzed plan = a single LogicalRDD). A derived frame may embed
+    * LogicalRDDs of UPSTREAM checkpoints still in use elsewhere —
+    * unpersisting those would destroy blocks that are unrecomputable
+    * after a local checkpoint, so a non-leaf plan is a no-op here, never
+    * a walk.
     */
   def unpinLocalCheckpoint(df: Dataset[_]): Unit =
-    df.queryExecution.analyzed.foreach {
+    df.queryExecution.analyzed match {
       case l: execution.LogicalRDD => l.rdd.unpersist(false)
       case _ => ()
     }

@@ -109,41 +109,30 @@ class IncrementalAggSpec extends SparkSpec {
     assert(r.getAs[Double]("max_v") == 1.0)
   }
 
-  test("checkpointDir state survives executor-block loss; default does not") {
-    // the read->fold->overwrite cycle's window: after the fold is
-    // materialized, before the state path is overwritten, the ONLY copy
-    // under localCheckpoint lives in executor blocks. Simulate losing
-    // them (unpersist every block-backed RDD) inside that window.
+  test("the state pivot survives executor-block loss (durable tmp swap)") {
+    // the read->fold->write cycle's window: after the fold is
+    // materialized, before the old state files are replaced. The pivot
+    // lands the new state DURABLY (a hidden tmp dir inside the state
+    // path) before touching any old file, so losing every executor
+    // block in that window — the failure that killed the old
+    // localCheckpoint pivot — must not lose the update.
     def blowAwayBlocks(): Unit =
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
     val delta = Seq(("a", 2.0), ("b", 3.0)).toDF("g", "v")
-
-    // default localCheckpoint: block loss in the window kills the update
-    val lossy = fresh("lossy")
-    IncrementalAgg.init(Seq(("a", 1.0)).toDF("g", "v"), lossy, Seq("g"), "v")
+    val path = fresh("durable")
+    IncrementalAgg.init(Seq(("a", 1.0)).toDF("g", "v"), path, Seq("g"), "v")
     IncrementalAgg.beforeOverwriteHook = blowAwayBlocks
-    try {
-      intercept[org.apache.spark.SparkException] {
-        IncrementalAgg.update(spark, lossy, delta, Seq("g"), "v")
-      }
-    } finally IncrementalAgg.beforeOverwriteHook = () => ()
-
-    // reliable checkpointDir: same loss, update completes and is exact
-    val safe = fresh("safe")
-    val ckpt = Files.createTempDirectory("graft_incr_ckpt").toFile
-    ckpt.deleteOnExit()
-    IncrementalAgg.init(Seq(("a", 1.0)).toDF("g", "v"), safe, Seq("g"), "v")
-    IncrementalAgg.beforeOverwriteHook = blowAwayBlocks
-    try IncrementalAgg.update(spark, safe, delta, Seq("g"), "v",
-      checkpointDir = Some(ckpt.getAbsolutePath))
+    try IncrementalAgg.update(spark, path, delta, Seq("g"), "v")
     finally IncrementalAgg.beforeOverwriteHook = () => ()
-    val out = IncrementalAgg.read(spark, safe).orderBy("g").collect()
+    val out = IncrementalAgg.read(spark, path).orderBy("g").collect()
     assert(out.map(r => (r.getAs[String]("g"), r.getAs[Long]("cnt"),
       r.getAs[Double]("sum_v"))).toSeq ==
       Seq(("a", 2L, 3.0), ("b", 1L, 3.0)))
-    // the durable copy actually exists under the checkpoint dir
-    assert(ckpt.listFiles() != null && ckpt.listFiles().nonEmpty)
+    // the swap cleans its tmp dir up
+    assert(!new java.io.File(path, "._graft_state_tmp").exists())
+    // and only the new state's files are visible in the state dir
+    assert(IncrementalAgg.read(spark, path).count() == 2L)
   }
 
   test("a delta with only new groups appends them") {

@@ -64,6 +64,25 @@ object Clustering {
     */
   def kmeans(df: DataFrame, vecCol: String, idCol: String, k: Int,
       iters: Int, initIds: Seq[Long] = Seq.empty): DataFrame = {
+    val centroids = kmeansCentroids(df, vecCol, idCol, k, iters, initIds)
+    df.select(col(idCol),
+        assignExpr(transform(col(vecCol), _.cast("double")), centroids)
+          .as("cluster"))
+  }
+
+  /** The FINAL centroids of [[kmeans]]'s iteration — for callers that
+    * need the assignment as a reusable pure expression rather than a
+    * one-shot frame: re-deriving `assignExpr(vec, centroids)` is a
+    * zero-shuffle codegen map, so a consumer that needs (row columns +
+    * cluster) several times can recompute it from the scan instead of
+    * joining the corpus back to a materialized (id, cluster) frame —
+    * the join costs a corpus-wide shuffle PER consumer (SemDeDup paid
+    * it three times). Same seeds, same fold order, same tie rule as
+    * [[kmeans]]: the assignments are bit-identical by construction.
+    */
+  def kmeansCentroids(df: DataFrame, vecCol: String, idCol: String,
+      k: Int, iters: Int,
+      initIds: Seq[Long] = Seq.empty): Seq[(Int, Seq[Double])] = {
     require(k >= 1, "k must be >= 1")
     require(iters >= 1, "iters must be >= 1")
     val v = transform(col(vecCol), _.cast("double"))
@@ -81,13 +100,11 @@ object Clustering {
       s"init id $id not found in $idCol"))
     var centroids: Seq[(Int, Seq[Double])] =
       seeds.zipWithIndex.map { case (id, i) => i -> seedRows(id) }
-
-    var assigned = base.withColumn("__cluster",
-      assignExpr(col("__v"), centroids))
     for (_ <- 1 until iters) {
       // UPDATE: per-dimension means; partial agg bounds the shuffle at
       // partitions × k × dim and the collect at k × dim
-      val means = assigned
+      val means = base
+        .withColumn("__cluster", assignExpr(col("__v"), centroids))
         .select(col("__cluster"), posexplode(col("__v")).as(Seq("__p", "__x")))
         .groupBy("__cluster", "__p").agg(avg("__x").as("__m"))
         .collect()
@@ -96,9 +113,14 @@ object Clustering {
       centroids = centroids.map { case (cid, old) =>
         cid -> means.getOrElse(cid, old) // emptied cluster keeps its seat
       }
-      assigned = base.withColumn("__cluster",
-        assignExpr(col("__v"), centroids))
     }
-    assigned.select(col(idCol), col("__cluster").as("cluster"))
+    centroids
   }
+
+  /** The nearest-centroid assignment for a (cast-to-double) vector
+    * column under fixed centroids — [[kmeansCentroids]]'s companion.
+    */
+  def assignTo(vecCol: Column,
+      centroids: Seq[(Int, Seq[Double])]): Column =
+    assignExpr(transform(vecCol, _.cast("double")), centroids)
 }

@@ -437,6 +437,12 @@ object Dedup {
     // loop starts one propagation hop ahead at no extra job
     var labels = ckpt(edges.groupBy(col("src").as("id"))
       .agg(least(col("id"), min(col("dst"))).as("cluster")), eager = true)
+    // each round's convergence count materializes the NEW labels
+    // checkpoint, after which the previous round's blocks are dead —
+    // release them then (and `edges` after the loop) instead of leaving
+    // a per-round block trail to GC; the final labels stay pinned for
+    // the caller
+    var prevRound: DataFrame = labels
     var iter = 1
     var converged = false
     while (iter < maxIter && !converged) {
@@ -453,9 +459,13 @@ object Dedup {
           least(col("cluster"), coalesce(col("nmin"), col("cluster")))
             .as("cluster")), eager = false)
       converged = updated.filter(col("cluster") =!= col("old")).count() == 0L
+      if (prevRound != null)
+        org.apache.spark.sql.GraftShim.unpinLocalCheckpoint(prevRound)
+      prevRound = updated
       labels = updated.select("id", "cluster")
       iter += 1
     }
+    org.apache.spark.sql.GraftShim.unpinLocalCheckpoint(edges)
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"duplicateClusters: not converged after $maxIter iterations; " +
@@ -987,11 +997,17 @@ object Dedup {
     requireIntegralId(df, idCol)
     val spark = df.sparkSession
     import spark.implicits._
-    val assign = Clustering.kmeans(df, vecCol, idCol, k, kmeansIters)
-      .select(col(idCol).cast("long").as("id"), col("cluster"))
+    // the assignment is a PURE EXPRESSION of the final centroids —
+    // re-derive it per consumer (a zero-shuffle codegen map over the
+    // scan) instead of joining the corpus back to a materialized
+    // (id, cluster) frame: the old shape paid that corpus-wide shuffle
+    // join once per consumer (the centroid-mean agg, the pair kernel,
+    // and the keep-rule scoring all read `base`)
+    val kcents = Clustering.kmeansCentroids(df, vecCol, idCol, k,
+      kmeansIters)
     val base = df.select(col(idCol).cast("long").as("id"),
-      col(vecCol).cast("array<double>").as("__vec"))
-      .join(assign, "id")
+      col(vecCol).cast("array<double>").as("__vec"),
+      Clustering.assignTo(col(vecCol), kcents).as("cluster"))
     // per-cluster mean vector — what the keep rule scores against (one
     // partial-agg'd shuffle, k × dim collect: bounded by construction)
     val centroids: Map[Int, Array[Double]] = base

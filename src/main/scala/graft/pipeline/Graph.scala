@@ -146,6 +146,19 @@ object Graph {
     // aggregate with no broadcast exchange to build.
     var ranks = nodesF.withColumn("rank", lit(1.0))
     var dmassNext = dangling0
+    // once round i's table is MATERIALIZED, round i-1's checkpoint
+    // blocks are dead (only the newest table feeds the next round) —
+    // release them then instead of pinning every round's node table
+    // until GC. The LAST round's frame is lazy (the caller's terminal
+    // action materializes it), so its input — the previous round's
+    // table — must stay pinned; it and the round-invariant e/nodesF
+    // pins are the only blocks that outlive the loop.
+    var prevPinned: DataFrame = null
+    def supersede(now: DataFrame): Unit = {
+      if (prevPinned != null)
+        org.apache.spark.sql.GraftShim.unpinLocalCheckpoint(prevPinned)
+      prevPinned = now
+    }
     for (i <- 1 to iters) {
       ranks =
         if (redistributeDangling) {
@@ -155,15 +168,19 @@ object Graph {
           // round i+1 its scalar. The last round skips it — the
           // caller's own terminal action materializes a one-round-deep
           // plan over pinned inputs.
-          if (i < iters)
+          if (i < iters) {
             dmassNext = next.filter(!col("__has_out"))
               .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+            supersede(next)
+          }
           next
         } else {
           val next = plainRound(e, nodesF, ranks, damping)
-          if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
-            materialize(next)
-          else next
+          if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters) {
+            val m = materialize(next)
+            supersede(m)
+            m
+          } else next
         }
     }
     ranks.select("node", "rank")

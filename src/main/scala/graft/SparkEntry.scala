@@ -1784,8 +1784,11 @@ object SparkEntry {
           .isin("update_preimage", "update_postimage"))
         .groupBy("ok", "ln")
         .agg(countDistinct("_change_type").as("n"))
-      require(pairs.count() == 10 &&
-          pairs.filter(col("n") =!= 2).isEmpty,
+      // ONE action for both halves of the requirement — the old
+      // count()-then-isEmpty pair evaluated the CDF diff twice
+      val pc = pairs.agg(count(lit(1)).as("nt"),
+        sum(when(col("n") =!= 2, 1L).otherwise(0L)).as("bad")).head()
+      require(pc.getLong(0) == 10 && pc.getLong(1) == 0L,
         "every updated tuple must emit both its pre- and post-image")
       // replicate: snapshot as all-insert, then the churn's feed
       graft.sources.Merge.writeKeyedCols(li.limit(0), rep,
@@ -4261,9 +4264,14 @@ object SparkEntry {
       val snap = TableCatalog.state(s, catPath)
       val ordRead = TableCatalog.readTable(s, catPath, "ord", Some(snap))
       val statsRead = TableCatalog.readTable(s, catPath, "stats", Some(snap))
-      require(statsRead.except(rollup(ordRead)).count() == 0 &&
-        rollup(ordRead).except(statsRead).count() == 0,
+      // pin the rollup once (the fact-table aggregate is the expensive
+      // side) and check the symmetric difference in ONE action — the
+      // old two-count form aggregated the fact table twice
+      val ruRead = rollup(ordRead).localCheckpoint()
+      try require(statsRead.except(ruRead)
+          .union(ruRead.except(statsRead)).isEmpty,
         "the pinned rollup must equal the pinned fact table's aggregate")
+      finally org.apache.spark.sql.GraftShim.unpinLocalCheckpoint(ruRead)
       statsRead.orderBy("o_custkey")
     }),
     "q_catalog_tag" -> ((s, dir) => {
@@ -4315,9 +4323,13 @@ object SparkEntry {
       val rel = TableCatalog.stateAtTag(s, catPath, "release")
       val ordRel = TableCatalog.readTable(s, catPath, "ord", Some(rel))
       val statsRel = TableCatalog.readTable(s, catPath, "stats", Some(rel))
-      require(statsRel.except(rollup(ordRel)).count() == 0 &&
-        rollup(ordRel).except(statsRel).count() == 0,
+      // one pinned rollup + one symmetric-difference action (see
+      // q_catalog recover for the same move)
+      val ruRel = rollup(ordRel).localCheckpoint()
+      try require(statsRel.except(ruRel)
+          .union(ruRel.except(statsRel)).isEmpty,
         "the tagged rollup must equal the tagged fact table's aggregate")
+      finally org.apache.spark.sql.GraftShim.unpinLocalCheckpoint(ruRel)
       ordRel.orderBy("o_orderkey")
     }),
     "q_merge_sharded" -> ((s, dir) => {
@@ -6140,9 +6152,13 @@ object SparkEntry {
       val snap = TableCatalog.state(s, catPath)
       val fact = TableCatalog.readTable(s, catPath, "fact", Some(snap))
       val stats = TableCatalog.readTable(s, catPath, "stats", Some(snap))
-      require(stats.except(rollup(fact)).count() == 0 &&
-        rollup(fact).except(stats).count() == 0,
+      // one pinned rollup + one symmetric-difference action (see
+      // q_catalog recover for the same move)
+      val ruFact = rollup(fact).localCheckpoint()
+      try require(stats.except(ruFact)
+          .union(ruFact.except(stats)).isEmpty,
         "the pinned rollup must equal the re-aggregated pinned fact table")
+      finally org.apache.spark.sql.GraftShim.unpinLocalCheckpoint(ruFact)
       stats.orderBy("grp")
     }),
     "q_stream_table_sink" -> ((s, dir) => {

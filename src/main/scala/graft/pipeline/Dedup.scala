@@ -1062,15 +1062,17 @@ object Dedup {
       .select("id_a", "id_b").distinct()
     val groups = duplicateClusters(pairs)
     // keep-the-outlier: per duplicate group the (centroid-cosine, id)
-    // struct minimum — lowest similarity wins, ties to the smallest id
+    // struct minimum — lowest similarity wins, ties to the smallest id.
+    // ONE pass: the window min per group marks the keeper in the same
+    // shuffle the old groupBy-then-anti-join shape paid, without
+    // evaluating `scored` a second time for the join-back.
     val scored = groups.withColumnRenamed("cluster", "grp")
       .join(base, "id")
       .withColumn("__cc", centroidCos(col("cluster"), col("__vec")))
-    val keepers = scored.groupBy("grp")
-      .agg(min(struct(col("__cc"), col("id"))).as("__k"))
-      .select(col("__k").getField("id").as("id"))
-    val losers = scored.select("id")
-      .join(keepers, Seq("id"), "left_anti")
+    val wGrp = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+    val losers = scored
+      .withColumn("__k", min(struct(col("__cc"), col("id"))).over(wGrp))
+      .filter(struct(col("__cc"), col("id")) =!= col("__k"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }

@@ -72,4 +72,21 @@ class ClusteringSpec extends SparkSpec {
     assert(!plan.contains("Exchange"),
       s"iters=1 assignment must not shuffle:\n$plan")
   }
+
+  test("kmeansCentroids + assignTo reproduce kmeans bit-for-bit") {
+    // the SemDeDup consumer re-derives the assignment as a pure
+    // expression over the final centroids instead of joining back to
+    // kmeans' frame — that is only sound if the expression assignment
+    // IS the kmeans assignment, ties included
+    val pts = (0L until 90L).map(i =>
+      i -> Seq((i % 4) * 7.0 + (i % 3) * 0.01, (i % 4) * -2.0))
+    val viaKmeans = Clustering.kmeans(df(pts), "v", "id", 4, 3,
+      Seq(0L, 1L, 2L, 3L)).as[(Long, Int)].collect().toMap
+    val cents = Clustering.kmeansCentroids(df(pts), "v", "id", 4, 3,
+      Seq(0L, 1L, 2L, 3L))
+    val viaExpr = df(pts)
+      .select($"id", Clustering.assignTo($"v", cents).as("cluster"))
+      .as[(Long, Int)].collect().toMap
+    assert(viaKmeans == viaExpr)
+  }
 }
